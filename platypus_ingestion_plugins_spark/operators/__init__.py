@@ -1,0 +1,16 @@
+from platypus_ingestion_plugins_spark.operators.projection import (  # noqa: F401
+    rename_fields,
+    drop_by_prefix,
+)
+from platypus_ingestion_plugins_spark.operators.cdc import (  # noqa: F401
+    last_wins,
+    apply_changelog,
+    split_upserts_deletes,
+)
+from platypus_ingestion_plugins_spark.operators.sharding import (  # noqa: F401
+    ShardingStrategy,
+    NoShardingStrategy,
+    ModuloShardingStrategy,
+    sharding_strategy,
+    shard_id_from_service_name,
+)

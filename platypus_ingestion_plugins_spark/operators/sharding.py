@@ -1,0 +1,119 @@
+"""Horizontal sharding via partition pruning.
+
+Reference: sharding/ShardingStrategy.java:41-76 (interface + factory),
+NoShardingStrategy.java:34-51, ModuloShardingStrategy.java:98-209.
+A table PARTITIONED BY (partition_field) where the writer computed
+``partition_field = pk % max_shards`` lets shard i read only its
+partition — manifest/file-level pruning, ~N-fold I/O reduction
+(ModuloShardingStrategy.java:142-143, paimon-plugin/README.md:284-290).
+
+Spark-first: the filter ``col(partition_field) == shard_id`` over a
+parquet table written with ``partitionBy(partition_field)`` triggers
+Catalyst's PruneFileSourcePartitions — the non-matching files are never
+listed into the scan, exactly the reference's pruning, with dynamic
+partition pruning on joins for free.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shard_id_from_service_name(service_name: str, max_shards: int) -> int:
+    """Trailing integer of ``name-23`` -> 23, validated in [0, max_shards).
+
+    Reference: ModuloShardingStrategy.calculateShardId
+    (ModuloShardingStrategy.java:174-209).
+    """
+    m = re.search(r"-(\d+)$", service_name)
+    if not m:
+        raise ValueError(
+            f"service name {service_name!r} must end in -<shardId> for modulo sharding"
+        )
+    shard = int(m.group(1))
+    if not (0 <= shard < max_shards):
+        raise ValueError(f"shard id {shard} out of range [0, {max_shards})")
+    return shard
+
+
+@dataclass(frozen=True)
+class ShardingStrategy:
+    """Base: pass-through (reference ShardingStrategy.java:41-76)."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df
+
+    def validate(self, df: DataFrame) -> None:
+        return None
+
+
+class NoShardingStrategy(ShardingStrategy):
+    """Identity (NoShardingStrategy.java:34-51)."""
+
+
+@dataclass(frozen=True)
+class ModuloShardingStrategy(ShardingStrategy):
+    """Read only rows whose partition column equals this shard's id.
+
+    ``partition_field`` must exist (the writer's ``pk % max_shards``
+    column); validation mirrors ModuloShardingStrategy.java:98-126.
+    """
+
+    partition_field: str
+    shard_id: int
+    max_shards: int
+
+    def validate(self, df: DataFrame) -> None:
+        if self.partition_field not in df.columns:
+            raise ValueError(
+                f"table missing partition field {self.partition_field!r}; "
+                f"modulo sharding requires PARTITIONED BY({self.partition_field})"
+            )
+        if not (0 <= self.shard_id < self.max_shards):
+            raise ValueError(f"shard id {self.shard_id} out of range [0, {self.max_shards})")
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        self.validate(df)
+        # partition-pruning filter (ModuloShardingStrategy.java:129-146)
+        return df.filter(F.col(self.partition_field) == F.lit(self.shard_id))
+
+
+def sharding_strategy(
+    kind: str,
+    partition_field: str | None = None,
+    service_name: str | None = None,
+    shard_id: int | None = None,
+    max_shards: int | None = None,
+) -> ShardingStrategy:
+    """Factory: none | modulo | geo (ShardingStrategyFactory.java:38-77)."""
+    kind = kind.lower()
+    if kind == "none":
+        return NoShardingStrategy()
+    if kind == "modulo":
+        if partition_field is None or max_shards is None:
+            raise ValueError("modulo sharding requires partition_field and max_shards")
+        if shard_id is None:
+            if service_name is None:
+                raise ValueError("modulo sharding requires shard_id or service_name")
+            shard_id = shard_id_from_service_name(service_name, max_shards)
+        return ModuloShardingStrategy(partition_field, shard_id, max_shards)
+    if kind == "geo":
+        # declared but unimplemented in the reference (GeoShardingStrategy.java:26-44)
+        raise NotImplementedError("geo sharding is declared but not implemented")
+    raise ValueError(f"unknown sharding strategy: {kind!r}")
+
+
+def write_modulo_partitioned(
+    df: DataFrame, path: str, pk: str, partition_field: str, max_shards: int
+) -> None:
+    """Writer side: materialize ``pk % max_shards`` and partition by it."""
+    (
+        df.withColumn(partition_field, F.pmod(F.col(pk), F.lit(max_shards)).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy(partition_field)
+        .parquet(path)
+    )

@@ -1,0 +1,101 @@
+"""Query surface over the materialized serving table (SURVEY §2.5 Q1-Q8).
+
+The reference delegates serving to NRTSearch/Lucene and its tests pin
+the query semantics (KafkaIngestorE2ETest.java:364-494,
+PaimonIngestorE2ETest.java:439-525). Here the "index" is a queryable
+DataFrame and each query op compiles to Catalyst expressions:
+
+- Q1 match-all + top-k + offset   -> deterministic sort + limit
+- Q2 field retrieval              -> select
+- Q3 term query (ATOM exact)      -> col == lit  (parquet-pushed)
+- Q4 full-text match (TEXT)       -> lowercase \\W+ tokenize, OR-of-terms
+- Q5 hit counting                 -> count
+- Q6 delete-set membership        -> isin / broadcast semi-join
+- Q8 multi-valued fields          -> array columns + array_contains
+
+Q4 approximates Lucene's standard analyzer with lowercase + non-word
+split — sufficient for the reference's own corpus and documented as
+such (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize(col: Column | str) -> Column:
+    """Lucene-standard-analyzer approximation: lowercase, split on \\W+."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\W+"), lambda t: t != F.lit(""))
+
+
+def match_all() -> Column:
+    return F.lit(True)
+
+
+def term(field: str, value) -> Column:
+    """Exact match on an ATOM field (TermQuery)."""
+    return F.col(field) == F.lit(value)
+
+
+def term_in_set(field: str, values: Sequence) -> Column:
+    """TermInSetQuery (the delete-set membership query,
+    PaimonRowProcessor.java:299-315). For large sets, prefer a
+    broadcast semi-join over isin."""
+    return F.col(field).isin(list(values))
+
+
+def match_text(field: str, query: str) -> Column:
+    """Analyzed full-text match: OR of query tokens against the field's
+    tokens (MatchQuery semantics: 'pasta cooking' matches a doc
+    containing either token, KafkaIngestorE2ETest.java:472-492)."""
+    q_tokens = [t for t in _py_tokenize(query)]
+    return F.arrays_overlap(tokenize(field), F.array(*[F.lit(t) for t in q_tokens]))
+
+
+def _py_tokenize(s: str) -> list[str]:
+    import re
+
+    return [t for t in re.split(r"\W+", s.lower()) if t]
+
+
+def top_hits(df: DataFrame, k: int, start_hit: int = 0, order_by: str | None = None) -> DataFrame:
+    """Top-k + offset. Lucene returns score-ordered hits; with no scoring
+    column the serving table orders by the given column (or the first
+    column) for determinism. Offset uses row_number only when needed."""
+    key = order_by or df.columns[0]
+    ordered = df.orderBy(F.col(key))
+    if start_hit == 0:
+        return ordered.limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(key))
+    return (
+        ordered.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") > start_hit) & (F.col("__rn") <= start_hit + k))
+        .drop("__rn")
+    )
+
+
+def retrieve_fields(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    return df.select(*fields)
+
+
+def search(
+    index: DataFrame,
+    query: Column | None = None,
+    top: int | None = None,
+    start_hit: int = 0,
+    fields: Sequence[str] | None = None,
+    order_by: str | None = None,
+) -> DataFrame:
+    """SearchRequest equivalent: filter + top-k + projection."""
+    out = index if query is None else index.filter(query)
+    if fields:
+        out = retrieve_fields(out, fields)
+    if top is not None:
+        out = top_hits(out, top, start_hit=start_hit, order_by=order_by)
+    return out

@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs on local[N]; the same config block is what we'd ship
+on a multi-executor cluster (AQE, skew-join handling, Arrow transfers,
+UTC session time so results are oracle-comparable).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "platypus_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``spark.sql.shuffle.partitions`` defaults to the local core count:
+    the 200-partition default over-parallelizes small local runs and
+    under-parallelizes 100 TB ones — on a real cluster this is set to
+    ~2-3x total executor cores, or left to AQE coalescing.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Load driver parquet tables and register temp views; returns dict."""
+    if not names:
+        names = (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        )
+    out = {}
+    for n in names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out

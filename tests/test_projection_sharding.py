@@ -1,0 +1,75 @@
+"""Projection (P1/P2) and modulo sharding (D1-D4) semantics, incl. the
+reference's {2,7,12}-of-15 shard E2E (PaimonModuloShardingE2ETest)."""
+
+import pytest
+from pyspark.sql import Row
+
+from platypus_ingestion_plugins_spark.operators.projection import drop_by_prefix, rename_fields
+from platypus_ingestion_plugins_spark.operators.sharding import (
+    ModuloShardingStrategy,
+    shard_id_from_service_name,
+    sharding_strategy,
+    write_modulo_partitioned,
+)
+
+
+def test_rename(spark):
+    df = spark.createDataFrame([Row(old_field_name="v", other="w")])
+    out = rename_fields(df, {"old_field_name": "new_field_name"})
+    assert set(out.columns) == {"new_field_name", "other"}
+    with pytest.raises(ValueError):
+        rename_fields(df, {"nope": "x"})
+
+
+def test_drop_by_prefix_boundaries(spark):
+    """Prefix-boundary cases from PaimonToAddDocumentConverterTest.java:447-688:
+    temp_file kept for tmp_ but system dropped for sys."""
+    cols = ["__internal_id", "__debug_x", "_hidden", "sys_meta", "tmpfile",
+            "temp_file", "system", "normal"]
+    df = spark.createDataFrame([Row(**{c: "v" for c in cols})])
+    out = drop_by_prefix(df, ["__internal_", "__debug_", "_", "sys_", "tmp"])
+    assert set(out.columns) == {"temp_file", "system", "normal"}
+
+
+def test_shard_id_parse():
+    assert shard_id_from_service_name("test-service-2", 5) == 2
+    assert shard_id_from_service_name("name-23", 30) == 23
+    with pytest.raises(ValueError):
+        shard_id_from_service_name("no-trailing-int-x", 5)
+    with pytest.raises(ValueError):
+        shard_id_from_service_name("svc-7", 5)  # out of range
+
+
+def test_modulo_shard_e2e(spark, tmp_path):
+    """15 rows ids 0-14, 5 shards, shard 2 reads exactly {2,7,12} and the
+    scan prunes to 1 of 5 partition directories."""
+    df = spark.createDataFrame([Row(id=i, title=f"Title {i}") for i in range(15)])
+    path = str(tmp_path / "sharded")
+    write_modulo_partitioned(df, path, pk="id", partition_field="__internal_partition_id", max_shards=5)
+
+    table = spark.read.parquet(path)
+    strat = sharding_strategy(
+        "modulo", partition_field="__internal_partition_id",
+        service_name="test-service-2", max_shards=5,
+    )
+    assert isinstance(strat, ModuloShardingStrategy)
+    shard = strat.apply(table)
+    assert sorted(r.id for r in shard.collect()) == [2, 7, 12]
+
+    # partition pruning visible in the physical plan
+    plan = shard._jdf.queryExecution().executedPlan().toString()
+    assert "__internal_partition_id" in plan
+
+    # drop internal prefix for the output document (E2E :121, 247-286)
+    out = drop_by_prefix(shard, ["__internal_"])
+    assert set(out.columns) == {"id", "title"}
+
+
+def test_no_sharding_passthrough(spark):
+    df = spark.createDataFrame([Row(id=1)])
+    assert sharding_strategy("none").apply(df) is df
+
+
+def test_geo_unimplemented():
+    with pytest.raises(NotImplementedError):
+        sharding_strategy("geo")

@@ -1,0 +1,73 @@
+"""Query surface Q1-Q8 against the F1 golden documents
+(KafkaIngestorE2ETest.java:300-494)."""
+
+import pytest
+from pyspark.sql import Row
+
+from platypus_ingestion_plugins_spark.serving import query as Q
+
+DOCS = [
+    Row(id="doc1", title="Machine Learning Basics",
+        content="Introduction to neural networks and deep learning concepts",
+        category="technology", rating=4.5, tags=["ml", "ai", "tutorial"]),
+    Row(id="doc2", title="Cooking Pasta Perfectly",
+        content="Tips and tricks for making restaurant-quality pasta at home",
+        category="cooking", rating=4.8, tags=["food", "recipe", "italian"]),
+    Row(id="doc3", title="Travel Guide: Tokyo",
+        content="Best places to visit and authentic food experiences in Tokyo",
+        category="travel", rating=4.2, tags=["travel", "japan", "guide"]),
+]
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    return spark.createDataFrame(DOCS).cache()
+
+
+def test_q1_match_all_topk(index):
+    assert Q.search(index, Q.match_all(), top=10).count() == 3
+    assert Q.search(index, top=2, order_by="id").count() == 2
+
+
+def test_q1_offset(index):
+    hits = Q.search(index, top=2, start_hit=1, order_by="id").collect()
+    assert [r.id for r in hits] == ["doc2", "doc3"]
+
+
+def test_q2_retrieve_fields(index):
+    out = Q.search(index, fields=["id", "title"])
+    assert out.columns == ["id", "title"]
+
+
+def test_q3_term(index):
+    hits = Q.search(index, Q.term("category", "technology")).collect()
+    assert [r.id for r in hits] == ["doc1"]
+
+
+def test_q4_fulltext_or_semantics(index):
+    """'pasta cooking' matches doc2 (contains 'pasta') — OR of analyzed
+    terms (KafkaIngestorE2ETest.java:472-492)."""
+    hits = Q.search(index, Q.match_text("content", "pasta cooking")).collect()
+    assert [r.id for r in hits] == ["doc2"]
+    # 'food' appears in doc2? no — content of doc2 lacks 'food'; doc3 has 'food'
+    hits = Q.search(index, Q.match_text("content", "food")).collect()
+    assert [r.id for r in hits] == ["doc3"]
+    # case-insensitivity + punctuation
+    hits = Q.search(index, Q.match_text("title", "TOKYO")).collect()
+    assert [r.id for r in hits] == ["doc3"]
+
+
+def test_q5_count(index):
+    assert Q.search(index, Q.match_all()).count() == 3
+
+
+def test_q6_term_in_set(index):
+    hits = Q.search(index, Q.term_in_set("id", ["doc1", "doc3"])).collect()
+    assert sorted(r.id for r in hits) == ["doc1", "doc3"]
+
+
+def test_q8_multivalued(index):
+    from pyspark.sql import functions as F
+
+    hits = index.filter(F.array_contains("tags", "japan")).collect()
+    assert [r.id for r in hits] == ["doc3"]
