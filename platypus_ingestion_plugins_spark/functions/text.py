@@ -1,0 +1,82 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All pure Catalyst expressions (no UDFs): language-ID heuristic, quality
+scoring, token counting, document fingerprinting. Each is a column
+expression factory so it composes into any plan and stays inside
+whole-stage codegen at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny public stopword lists for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en", "un"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace/punctuation tokenization, lowercased, no empty tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\W+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def subword_count_estimate(col: Column | str) -> Column:
+    """BPE-ish token estimate: ~4 chars per subword token (the public
+    rule-of-thumb for byte-pair encodings)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.ceil(F.length(c) / F.lit(4.0)).cast("long")
+
+
+def stopword_hits(col: Column | str, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(col), lambda t: t.isin(words)))
+
+
+def language_id(col: Column | str) -> Column:
+    """Stopword-overlap language heuristic: argmax of per-language
+    stopword hit counts; 'und' (undetermined) when no list hits."""
+    scores = [(lang, stopword_hits(col, lang)) for lang in STOPWORDS]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    # reverse order so earlier languages win ties deterministically
+    for lang, score in reversed(scores):
+        expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality heuristic in [0,1]:
+    length band + mean token length band + alpha ratio.
+
+    Deterministic integer/char arithmetic only, so an external SQL
+    oracle reproduces it bit-for-bit."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    n_toks = token_count(c)
+    alpha_chars = F.length(F.regexp_replace(c, r"[^a-zA-Z]", ""))
+    mean_tok = n_chars.cast("double") / F.greatest(n_toks, F.lit(1)).cast("double")
+    len_ok = F.when((n_chars >= 100) & (n_chars <= 20000), F.lit(1.0)).otherwise(F.lit(0.0))
+    tok_ok = F.when((mean_tok >= 3.0) & (mean_tok <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    alpha_ratio = alpha_chars.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    return F.round((len_ok + tok_ok + alpha_ratio) / F.lit(3.0), 6)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the sorted distinct token set.
+
+    Robust to token order/duplication — two documents with the same
+    vocabulary collide, which is the 'normalized-text hash' dedup key
+    used at corpus scale."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))

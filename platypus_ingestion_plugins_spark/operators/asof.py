@@ -1,0 +1,61 @@
+"""As-of join: for each left row, the latest right row at-or-before it.
+
+Spark has no native ASOF JOIN. The scalable composition (no pairwise
+blowup, no applyInPandas) is the union-and-window trick:
+
+  tag left/right -> union on (key, t) -> window last_value(right
+  payload) ignoring nulls ordered by (t, side) -> keep left rows.
+
+One shuffle on the key, identical to what a native as-of would cost.
+Works on any orderable time axis; an integer sequence axis sidesteps
+sub-microsecond timestamp semantics entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    on: str,
+    right_value_cols: list[str] | None = None,
+    strict: bool = False,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest ``on``
+    <= left.``on`` (or < when ``strict``), per ``key``.
+
+    Matches DuckDB/ANSI ASOF JOIN inequality semantics (inclusive by
+    default). Left rows with no prior right row keep nulls (left join).
+    """
+    rvals = right_value_cols or [c for c in right.columns if c not in (key, on)]
+    lcols = left.columns
+
+    l_tag = left.withColumn("__side", F.lit(1))
+    r_tag = right.select(
+        key,
+        on,
+        *[F.col(c).alias(c + suffix) for c in rvals],
+    ).withColumn("__side", F.lit(0))
+    r_tag = r_tag.withColumn(f"{on}{suffix}", F.col(on))
+
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    # at equal `on`: inclusive -> right sorts before left (visible);
+    # strict -> right sorts after left (not visible)
+    side_order = F.col("__side").asc() if not strict else F.col("__side").desc()
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(on).asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned
+    for c in [*[v + suffix for v in rvals], f"{on}{suffix}"]:
+        filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return filled.filter(F.col("__side") == 1).select(
+        *lcols, f"{on}{suffix}", *[v + suffix for v in rvals]
+    )

@@ -1,0 +1,218 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design (the whole point at 100 TB):
+- exact dedup is a single hash-shuffle groupBy on the content hash;
+- near-dup never goes O(n^2): candidate pairs come from shared
+  shingles (inverted-index join) or LSH band buckets, then only
+  candidates are verified with the true Jaccard;
+- all hashing uses md5 (available in every SQL engine) so results are
+  engine-independent and oracle-checkable — no Spark-specific
+  murmur3.
+
+All operators are pure DataFrame compositions — no UDFs, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from platypus_ingestion_plugins_spark.functions.text import tokens
+
+
+def content_hash(cols: list[str]) -> Column:
+    """Deterministic row-content hash for exact dedup."""
+    return F.sha2(F.to_json(F.struct(*[F.col(c) for c in cols])), 256)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Collapse exact duplicates: one surviving row (min id) per
+    distinct text, with the duplicate count. One shuffle on the text
+    hash; at scale group on sha2(text) rather than the raw text so
+    shuffle keys are fixed-width."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("content_sha")
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    transform over a token-index sequence keeps everything in one
+    projection (no join); explode fans out to the inverted index.
+    """
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    # documents shorter than n tokens produce their full text as one shingle
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Near-duplicate pairs by true n-gram Jaccard similarity.
+
+    Inverted-index self-join: only document pairs sharing >=1 shingle
+    are ever materialized (candidate generation), then
+    |A∩B| / (|A|+|B|-|A∩B|) filters to >= threshold. Integer counts ->
+    exact arithmetic -> engine-independent results.
+    """
+    sh = shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def _md5_long(col: Column) -> Column:
+    """First 15 hex chars of md5 as a non-negative long (< 2^60)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per document: for permutation i, the min over
+    shingles of md5(i || shingle). Output: (id, sig array<long>).
+
+    One explode + one groupBy; num_hashes mins computed as conditional
+    aggregates in a single pass (no per-hash shuffle)."""
+    sh = shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(_md5_long(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str, bands: int = 4) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band bucket
+    are candidates. bands must divide the signature length."""
+    banded = sig.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.to_json(
+                        F.slice(
+                            F.col("sig"),
+                            b * (F.size("sig") / bands).cast("int") + 1,
+                            (F.size("sig") / bands).cast("int"),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("pos", "bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.withColumnRenamed(id_col, "id_a")
+    b = banded.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> band buckets ->
+    candidate pairs -> verify with true Jaccard >= threshold.
+
+    At 100 TB only the candidate pairs (a tiny fraction of n^2) reach
+    the verification join."""
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    cands = lsh_candidate_pairs(sig, id_col, bands)
+    sh = shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(cands, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: majority vote of token-hash bits.
+
+    Bit j of a token = bit (j%4) of hex digit (j/4) of md5(token);
+    fingerprint bit j is 1 iff the sum over tokens of (2*bit-1) > 0.
+    Pure integer arithmetic on md5 -> oracle-reproducible anywhere.
+    Output: (id, simhash long)."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    hexd = F.md5(F.col("tok"))
+    digit = lambda j: (  # noqa: E731
+        F.instr(F.lit("0123456789abcdef"), F.substring(hexd, j // 4 + 1, 1)) - 1
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(digit(j), j % 4).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))

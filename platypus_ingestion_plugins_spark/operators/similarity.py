@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; sign-bit IVF/LSH
+bucketing as the scale path (candidates only from the query's bucket,
+so the expensive dot products touch ~1/2^bits of the corpus). The dot
+product is a single `aggregate` over `zip_with` — JVM-side, no Python.
+
+At 100 TB the pattern holds: bucket id is a cheap projection computed
+at write time and used as a partition column, so ANN probes become
+partition-pruned scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dvec(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_dvec(a), _dvec(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(_dvec(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame, query: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k by cosine against a 1-row query DataFrame.
+
+    The query side is broadcast (1 row), so this is a map-only pass
+    over the corpus followed by a global top-k (Spark's TakeOrdered) —
+    no shuffle of the corpus itself."""
+    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
+    return (
+        emb.crossJoin(q)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def signbit_bucket(vec_col: Column, bits: int = 4) -> Column:
+    """IVF-style coarse bucket: sign bits of the first ``bits`` dims."""
+    b = F.lit(0)
+    for i in range(bits):
+        b = b + F.when(F.element_at(_dvec(vec_col), i + 1) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+def ann_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: exact cosine within the query's sign-bit
+    bucket only. Recall < 1 by design; the bucket filter is a cheap
+    projection that partition-prunes when the corpus is written
+    partitioned by bucket."""
+    q = F.broadcast(
+        query.select(
+            F.col(vec_col).alias("__qvec"),
+            signbit_bucket(F.col(vec_col), bits).alias("__qbucket"),
+        )
+    )
+    return (
+        emb.withColumn("__bucket", signbit_bucket(F.col(vec_col), bits))
+        .join(q, F.col("__bucket") == F.col("__qbucket"))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 0,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
+
+    bits=0 compares all pairs (exact, O(n^2) — small corpora only);
+    bits>0 restricts to same-sign-bit-bucket pairs (the scale path:
+    near-identical vectors share sign buckets with high probability)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if bits:
+        a = a.withColumn("__bucket", signbit_bucket(F.col("va"), bits))
+        b = b.withColumn("__bucket", signbit_bucket(F.col("vb"), bits))
+        pairs = a.join(b, "__bucket").drop("__bucket")
+    else:
+        pairs = a.crossJoin(b)
+    return (
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,146 @@
+"""Extension operators: dedup, similarity, text analysis, as-of join,
+multimodal plumbing — small known-answer cases."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from platypus_ingestion_plugins_spark.functions import text as TX
+from platypus_ingestion_plugins_spark.operators import asof, dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy cat"),
+        Row(doc_id=3, text="completely different content about spark engines"),
+        Row(doc_id=4, text="the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows).cache()
+
+
+def test_exact_dedup(docs):
+    out = {r.doc_id: r.n_copies for r in dedup.exact_dedup(docs, "text", "doc_id").collect()}
+    assert out == {1: 2, 2: 1, 3: 1}
+
+
+def test_shingles(docs):
+    sh = dedup.shingles(docs.filter("doc_id=1"), "text", "doc_id", n=3).collect()
+    got = {r.shingle for r in sh}
+    assert "the quick brown" in got and "the lazy dog" in got
+    assert len(got) == 7  # 9 tokens -> 7 trigrams, all distinct
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.4).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert got[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in got and 0.4 <= got[(1, 2)] < 1.0  # near dup
+    assert not any(3 in p for p in got)
+
+
+def test_minhash_lsh_finds_exact_dups(docs):
+    pairs = dedup.minhash_lsh_dedup_pairs(docs, "text", "doc_id", threshold=0.9).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 4)}
+
+
+def test_simhash_close_for_neardups(docs):
+    fp = {r.doc_id: r.simhash for r in dedup.simhash(docs, "text", "doc_id").collect()}
+    assert fp[1] == fp[4]  # identical text -> identical fingerprint
+    ham_near = bin(fp[1] ^ fp[2]).count("1")
+    ham_far = bin(fp[1] ^ fp[3]).count("1")
+    assert ham_near <= ham_far
+
+
+def test_cosine_and_topk(spark):
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(
+            [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [-1.0, 0.0]]
+        )]
+    )
+    q = emb.filter("vec_id = 0")
+    top = similarity.brute_force_topk(emb, q, k=2).collect()
+    assert [r.vec_id for r in top] == [0, 1]
+    assert top[0].cos_sim == 1.0
+    expected = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(top[1].cos_sim - round(expected, 6)) < 1e-9
+
+
+def test_ann_bucket_restricts(spark):
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(
+            [[1.0, 1.0, 1.0, 1.0], [0.9, 0.9, 0.9, 0.9], [-1.0, 1.0, 1.0, 1.0]]
+        )]
+    )
+    q = emb.filter("vec_id = 0")
+    got = [r.vec_id for r in similarity.ann_topk(emb, q, k=5, bits=4).collect()]
+    assert got == [0, 1]  # vec 2 is in another sign bucket
+
+
+def test_neardup_pairs(spark):
+    emb = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 0.0]), Row(vec_id=1, embedding=[0.999, 0.01]),
+         Row(vec_id=2, embedding=[0.0, 1.0])]
+    )
+    pairs = similarity.neardup_pairs(emb, threshold=0.99).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(0, 1)]
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame([Row(text="The cat and the dog, of course!")])
+    row = df.select(
+        TX.token_count("text").alias("n"),
+        TX.language_id("text").alias("lang"),
+        TX.fingerprint("text").alias("fp"),
+        TX.subword_count_estimate("text").alias("sub"),
+        TX.quality_score("text").alias("q"),
+    ).collect()[0]
+    assert row.n == 7
+    assert row.lang == "en"
+    assert len(row.fp) == 32
+    assert row.sub == 8  # 31 chars / 4 -> ceil
+    assert 0.0 <= row.q <= 1.0
+    # fingerprint invariant under token order/duplication
+    df2 = spark.createDataFrame([Row(text="dog THE course of and cat the")])
+    assert df2.select(TX.fingerprint("text").alias("fp")).collect()[0].fp == row.fp
+
+
+def test_asof_join(spark):
+    trades = spark.createDataFrame(
+        [Row(sym="A", t=3, qty=10), Row(sym="A", t=7, qty=20), Row(sym="B", t=5, qty=5)]
+    )
+    quotes = spark.createDataFrame(
+        [Row(sym="A", t=1, px=100.0), Row(sym="A", t=5, px=101.0),
+         Row(sym="A", t=7, px=102.0), Row(sym="B", t=9, px=50.0)]
+    )
+    out = asof.asof_join(trades, quotes, key="sym", on="t").collect()
+    got = {(r.sym, r.t): (r.t_right, r.px_right) for r in out}
+    assert got[("A", 3)] == (1, 100.0)
+    assert got[("A", 7)] == (7, 102.0)  # inclusive
+    assert got[("B", 5)] == (None, None)  # no prior quote
+    strict = asof.asof_join(trades, quotes, key="sym", on="t", strict=True).collect()
+    sgot = {(r.sym, r.t): (r.t_right, r.px_right) for r in strict}
+    assert sgot[("A", 7)] == (5, 101.0)  # strict excludes equal-time
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="hello world"), Row(doc_id=2, text="x" * 200)])
+    with_payload = multimodal.attach_payload(df, "text", mime="text/plain")
+    assert dict(with_payload.select("doc_id", "media_meta.n_bytes").collect()) == {1: 11, 2: 200}
+    feats = multimodal.extract_features(with_payload, dim=4).collect()
+    by_id = {r.doc_id: r for r in feats}
+    assert len(by_id[1].feature) == 4
+    assert by_id[2].n_bytes == 200
+    # deterministic: same payload -> same feature
+    feats2 = multimodal.extract_features(with_payload, dim=4).collect()
+    assert {r.doc_id: r.feature for r in feats2} == {r.doc_id: r.feature for r in feats}
+
+
+def test_multimodal_stub_raises(spark):
+    df = multimodal.attach_payload(
+        spark.createDataFrame([Row(doc_id=1, text="abc")]), "text"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        multimodal.extract_features(df, decode_stub=False).collect()
