@@ -1,38 +1,830 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry(spark) smoke, queries() vs oracle_sql().
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query routes through the engine's library operators
+(platypus_ingestion_plugins_spark.*) so the oracle checks exercise the
+real implementation, not ad-hoc SQL. Names/aliases match the oracle
+exactly (the driver hashes values under name-sorted columns).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from platypus_ingestion_plugins_spark.functions import text as TX
+from platypus_ingestion_plugins_spark.functions.converters import flatten_structs
+from platypus_ingestion_plugins_spark.operators import asof, cdc, dedup, multimodal, similarity
+from platypus_ingestion_plugins_spark.operators.projection import drop_by_prefix, rename_fields
+from platypus_ingestion_plugins_spark.operators.sharding import sharding_strategy
+from platypus_ingestion_plugins_spark.serving import query as SQ
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects unless
+        # read as a raw nanosecond long (set here because the driver owns
+        # the session). All arithmetic on it uses integer DIV — ns values
+        # (~1.7e18) exceed double precision.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _ts_ms(df: DataFrame) -> "F.Column":
+    """Epoch-millis expression for events.ts, long-ns or timestamp typed."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        return F.expr("ts DIV 1000000")
+    return F.unix_millis(F.col("ts").cast("timestamp"))
+
+
+def _ts_hour(df: DataFrame) -> "F.Column":
+    """'yyyy-MM-dd HH' string for events.ts (UTC), both physical types."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        return F.date_format(F.timestamp_seconds(F.expr("ts DIV 1000000000")), "yyyy-MM-dd HH")
+    return F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH")
+
+
+def _dec_sum(col, scale: int, alias: str):
+    """Exact decimal sum surfaced as double: deterministic across engines
+    (double sums are order-dependent; decimal sums are exact)."""
+    return F.sum(col.cast(f"decimal(30,{scale})")).cast("double").alias(alias)
+
+
+# --------------------------------------------------------------------------
+# CDC / ingestion surface (SURVEY §2.3, §2.2, §2.4, §1.2)
+# --------------------------------------------------------------------------
+
+def q_cdc_last_wins(spark, sf):
+    """C1/C2/C7: events as a changelog (key=user_id, seq=event_id,
+    click->delete, error->update-before[skipped], rest->upsert);
+    last-wins materialized state."""
+    ev = _t(spark, sf, "events")
+    ch = ev.select(
+        F.col("event_id").alias("_seq"),
+        "user_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "click", "-D")
+        .when(F.col("event_type") == "error", "-U")
+        .otherwise("+I")
+        .alias("_row_kind"),
+    )
+    state = cdc.apply_changelog(ch, "user_id")
+    return state.select("user_id", "event_type", "value")
+
+
+SQL_CDC_LAST_WINS = """
+WITH ch AS (
+  SELECT event_id AS seq, user_id, event_type, value,
+         CASE WHEN event_type='click' THEN '-D'
+              WHEN event_type='error' THEN '-U' ELSE '+I' END AS kind
+  FROM events),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+  FROM ch WHERE kind IN ('+I','-D'))
+SELECT user_id, event_type, value FROM ranked WHERE rn = 1 AND kind <> '-D'
+"""
+
+
+def q_sink_typed_strings(spark, sf):
+    """§1.2 sink-boundary conversions on real data: timestamp->epoch-ms
+    string, date->days-since-epoch, binary->base64."""
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.unix_millis(F.col("l_shipdate").cast("timestamp")).cast("string").alias("ship_ms"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("string")
+        .alias("ship_days"),
+        F.replace(F.base64(F.encode(F.col("l_returnflag"), "UTF-8")), F.lit("\r\n"), F.lit("")).alias("flag_b64"),
+    )
+
+
+SQL_SINK_TYPED_STRINGS = """
+SELECT l_orderkey, l_linenumber,
+       CAST(epoch_ms(l_shipdate) AS VARCHAR) AS ship_ms,
+       CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS VARCHAR) AS ship_days,
+       base64(encode(l_returnflag)) AS flag_b64
+FROM lineitem
+"""
+
+
+def q_flatten_rename_drop(spark, sf):
+    """P1/P2/P3: struct flattening, rename map, drop-by-prefix."""
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.struct("o_orderstatus", "o_orderpriority").alias("meta"),
+        "o_totalprice",
+        F.lit("x").alias("__internal_tmp"),
+    )
+    flat = flatten_structs(o)
+    renamed = rename_fields(flat, {"o_totalprice": "total_price"})
+    return drop_by_prefix(renamed, ["__internal_"])
+
+
+SQL_FLATTEN_RENAME_DROP = """
+SELECT o_orderkey, o_orderstatus AS meta_o_orderstatus,
+       o_orderpriority AS meta_o_orderpriority, o_totalprice AS total_price
+FROM orders
+"""
+
+
+def q_shard_modulo(spark, sf):
+    """D3/D4: modulo shard 2-of-5 over orders (partition-pruned at scale)."""
+    o = _t(spark, sf, "orders").withColumn(
+        "__shard", F.pmod(F.col("o_orderkey"), F.lit(5)).cast("int")
+    )
+    strat = sharding_strategy("modulo", partition_field="__shard",
+                              service_name="orders-service-2", max_shards=5)
+    return drop_by_prefix(strat.apply(o), ["__"]).select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+SQL_SHARD_MODULO = """
+SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey % 5 = 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Query surface Q1-Q8 (SURVEY §2.5)
+# --------------------------------------------------------------------------
+
+def q_match_all_topk(spark, sf):
+    d = _t(spark, sf, "documents")
+    return SQ.search(d, SQ.match_all(), top=10, order_by="doc_id",
+                     fields=["doc_id", "lang", "source"])
+
+
+SQL_MATCH_ALL_TOPK = "SELECT doc_id, lang, source FROM documents ORDER BY doc_id LIMIT 10"
+
+
+def q_match_all_offset(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return SQ.top_hits(d, 5, start_hit=10, order_by="doc_id")
+
+
+SQL_MATCH_ALL_OFFSET = "SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 5 OFFSET 10"
+
+
+def q_term(spark, sf):
+    d = _t(spark, sf, "documents")
+    return SQ.search(d, SQ.term("lang", "en"), fields=["doc_id", "source", "n_chars"])
+
+
+SQL_TERM = "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'"
+
+
+def q_fulltext_match(spark, sf):
+    d = _t(spark, sf, "documents")
+    return SQ.search(d, SQ.match_text("text", "spark vector"), fields=["doc_id", "lang"])
+
+
+SQL_FULLTEXT_MATCH = """
+SELECT doc_id, lang FROM documents
+WHERE len(list_intersect(string_split_regex(lower(text), '\\W+'), ['spark','vector'])) > 0
+"""
+
+
+def q_hit_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_hits"))
+
+
+SQL_HIT_COUNT = "SELECT lang, count(*) AS n_hits FROM documents GROUP BY lang"
+
+
+def q_term_in_set(spark, sf):
+    d = _t(spark, sf, "documents")
+    return SQ.search(d, SQ.term_in_set("doc_id", [1, 2, 3, 5, 8, 13, 21, 34]),
+                     fields=["doc_id", "lang"])
+
+
+SQL_TERM_IN_SET = "SELECT doc_id, lang FROM documents WHERE doc_id IN (1,2,3,5,8,13,21,34)"
+
+
+def q_multivalued_contains(spark, sf):
+    """Q8: multi-valued field (token array) + membership + cardinality."""
+    d = _t(spark, sf, "documents")
+    toks = SQ.tokenize("text")
+    return (
+        d.withColumn("tags", toks)
+        .filter(F.array_contains("tags", "vector"))
+        .select("doc_id", F.size("tags").alias("n_tags"))
+    )
+
+
+SQL_MULTIVALUED_CONTAINS = """
+WITH t AS (SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS tags
+  FROM documents)
+SELECT doc_id, len(tags) AS n_tags FROM t WHERE list_contains(tags, 'vector')
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational surface (SURVEY §2.6 — Spark built-ins, oracle-validated)
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), 2, "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), 2, "sum_base_price"),
+            _dec_sum(disc_price, 6, "sum_disc_price"),
+            _dec_sum(charge, 8, "sum_charge"),
+            (F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double")
+             / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(F.col("l_discount").cast("decimal(30,2)")).cast("double")
+             / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(30,8))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_segment_revenue(spark, sf):
+    """Broadcast dim join: revenue by market segment."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), 2, "revenue"),
+        )
+    )
+
+
+SQL_JOIN_SEGMENT_REVENUE = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_tpch_q5ish(spark, sf):
+    """Multi-way join: revenue per nation in ASIA (Q5 shape: region ->
+    nation -> customer -> orders -> lineitem -> supplier co-located)."""
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dec_sum(disc_price, 6, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+SQL_TPCH_Q5ISH = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_window_topk_per_group(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+SQL_WINDOW_TOPK_PER_GROUP = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders)
+SELECT o_custkey, o_orderkey, rnk FROM r WHERE rnk <= 3
+"""
+
+
+def q_agg_rollup(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dec_sum(F.col("l_quantity"), 2, "sum_qty"),
+    )
+
+
+SQL_AGG_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_anti_join(spark, sf):
+    """Customers with no orders (the delete-set anti-join shape, S6)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_semi_join(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 9000)
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_acctbal")
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE c_acctbal > 9000 AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_set_except(spark, sf):
+    """Set op: BUILDING-segment customers who never ordered (EXCEPT)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+        .subtract(o.select(F.col("o_custkey").alias("custkey")))
+    )
+
+
+SQL_SET_EXCEPT = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+"""
+
+
+def q_sessionize(spark, sf):
+    """Sessionization: 30-min inactivity gap, per-user session count.
+    Millisecond epoch arithmetic (ns-safe across engines)."""
+    ev = _t(spark, sf, "events")
+    ms = _ts_ms(ev)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gap = ms - F.lag(ms).over(w)
+    return (
+        ev.withColumn("is_new", F.when(gap > 1800000, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg((F.sum("is_new") + 1).alias("n_sessions"))
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+  FROM events)
+SELECT user_id,
+       CAST(sum(CASE WHEN gap > 1800000 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_sessions
+FROM g GROUP BY user_id
+"""
+
+
+def q_hourly_agg(spark, sf):
+    """Tumbling-window aggregation (batch shape of the streaming op)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn("hour", _ts_hour(ev))
+        .groupBy("hour", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), _dec_sum(F.col("value"), 2, "sum_value"))
+    )
+
+
+SQL_HOURLY_AGG = """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_asof_join(spark, sf):
+    """As-of join: each purchase matched to the user's most recent
+    prior-or-equal view (event_id axis: exact, monotone)."""
+    ev = _t(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "value")
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "event_id", "value")
+    return asof.asof_join(p, v, key="user_id", on="event_id")
+
+
+SQL_ASOF_JOIN = """
+SELECT p.user_id, p.event_id, p.value,
+       v.event_id AS event_id_right, v.value AS value_right
+FROM (SELECT user_id, event_id, value FROM events WHERE event_type='purchase') p
+ASOF LEFT JOIN (SELECT user_id, event_id, value FROM events WHERE event_type='view') v
+  ON p.user_id = v.user_id AND p.event_id >= v.event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline extensions (SURVEY §2.7)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    return dedup.exact_dedup(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), "text", "doc_id",
+                                     n=3, threshold=0.1)
+
+
+_SQL_SHINGLES = """
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(t)-2, 1)),
+             i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+  FROM toks),
+shf AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id)
+"""
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shf a JOIN shf b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+j AS (
+  SELECT id_a, id_b,
+         round(n_common::DOUBLE / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+  FROM inter
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.1
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    return dedup.minhash_lsh_dedup_pairs(
+        _t(spark, sf, "documents"), "text", "doc_id",
+        n=3, num_hashes=8, bands=4, threshold=0.1,
+    )
+
+
+_MINHASH_COLS = ",\n".join(
+    "  min(CAST(concat('0x', substr(md5(concat('{i}|', shingle)), 1, 15)) AS BIGINT)) AS h{i}".format(i=i)
+    for i in range(8)
+)
+_BAND_COND = " OR ".join(
+    f"(a.h{2*b} = b.h{2*b} AND a.h{2*b+1} = b.h{2*b+1})" for b in range(4)
+)
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH {_SQL_SHINGLES},
+sigs AS (
+  SELECT doc_id,
+{_MINHASH_COLS}
+  FROM shf GROUP BY doc_id),
+cands AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({_BAND_COND})),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shf a JOIN shf b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+    AND (a.doc_id, b.doc_id) IN (SELECT (id_a, id_b) FROM cands)
+  GROUP BY 1, 2),
+j AS (
+  SELECT id_a, id_b,
+         round(n_common::DOUBLE / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+  FROM inter
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.1
+"""
+
+
+def q_dedup_simhash(spark, sf):
+    return dedup.simhash(_t(spark, sf, "documents"), "text", "doc_id", bits=16)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ",\n".join(
+        "  sum(CASE WHEN ((strpos('0123456789abcdef', substr(hx, {d}, 1)) - 1) >> {s}) & 1 = 1 "
+        "THEN 1 ELSE -1 END) AS v{j}".format(d=j // 4 + 1, s=j % 4, j=j)
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')) AS tok
+  FROM documents),
+h AS (SELECT doc_id, md5(tok) AS hx FROM tok),
+votes AS (SELECT doc_id,
+{votes}
+  FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+SQL_DEDUP_SIMHASH = _simhash_sql(16)
+
+
+def q_similarity_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+
+
+SQL_SIMILARITY_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos_sim
+FROM embeddings, q
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_similarity_ann(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return similarity.ann_topk(emb, emb.filter(F.col("vec_id") == 0), k=5, bits=4)
+
+
+SQL_SIMILARITY_ANN = """
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings),
+q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cos_sim
+FROM b, q WHERE bucket = qbucket
+ORDER BY cos_sim DESC, vec_id LIMIT 5
+"""
+
+
+def q_embedding_neardup(spark, sf):
+    return similarity.neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.35)
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+"""
+
+
+def q_text_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.subword_count_estimate("text").alias("n_subwords"),
+        TX.quality_score("text").alias("quality"),
+        TX.fingerprint("text").alias("fingerprint"),
+    )
+
+
+SQL_TEXT_STATS = """
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha
+  FROM documents)
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_subwords,
+  round(((CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN n_chars::DOUBLE / greatest(len(toks), 1) >= 3.0
+               AND n_chars::DOUBLE / greatest(len(toks), 1) <= 12.0 THEN 1.0 ELSE 0.0 END)
+       + alpha::DOUBLE / greatest(n_chars, 1)) / 3.0, 6) AS quality,
+  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+FROM b
+"""
+
+
+_STOP = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en", "un"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que"],
+}
+
+
+def q_text_language_id(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TX.language_id("text").alias("pred_lang"))
+
+
+def _lang_sql() -> str:
+    scores = ",\n".join(
+        "  len(list_filter(toks, x -> list_contains({lst}, x))) AS s_{lang}".format(
+            lst="[" + ",".join(f"'{w}'" for w in ws) + "]", lang=lang
+        )
+        for lang, ws in _STOP.items()
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in _STOP) + ")"
+    case = " ".join(
+        f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'" for lang in _STOP
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+  FROM documents),
+s AS (SELECT doc_id,
+{scores}
+  FROM t),
+b AS (SELECT doc_id, s_en, s_es, s_de, s_fr, {best} AS best FROM s)
+SELECT doc_id, CASE {case} ELSE 'und' END AS pred_lang FROM b
+"""
+
+
+SQL_TEXT_LANGUAGE_ID = _lang_sql()
+
+
+def q_multimodal_meta(spark, sf):
+    d = multimodal.attach_payload(_t(spark, sf, "documents"), "text", mime="text/plain")
+    return d.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha256").alias("payload_sha"),
+        F.replace(F.base64(F.col("payload")), F.lit("\r\n"), F.lit("")).alias("payload_b64"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id, 'text/plain' AS mime,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS payload_sha,
+       base64(encode(text)) AS payload_b64
+FROM documents
+"""
+
+
+def q_multimodal_features(spark, sf):
+    """Arrow-batched mapInPandas decode/feature plumbing (stub kernel) —
+    deterministic, so oracle-checkable on the byte-sum definition."""
+    d = multimodal.attach_payload(_t(spark, sf, "documents"), "text")
+    feats = multimodal.extract_features(d, dim=4)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+    )
+
+
+# oracle: byte-sum of the first of 4 numpy array_split chunks, mod 256, /255.
+# np.array_split puts ceil(n/4) bytes in the first chunk; documents text is
+# ascii so char codes == bytes.
+SQL_MULTIMODAL_FEATURES = """
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         CAST(ceil(octet_length(encode(text)) / 4.0) AS INT) AS c1
+  FROM documents)
+SELECT doc_id, n AS n_bytes,
+       round((coalesce(list_sum(list_transform(
+                 generate_series(1, c1), g -> unicode(substr(text, g, 1)))), 0)
+              % 256) / 255.0, 6) AS f0
+FROM b
+"""
+
+
+# --------------------------------------------------------------------------
+# Driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1 shape on sf0.001."""
+    return q_tpch_q1(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # CDC / ingestion surface
+        "cdc_last_wins": q_cdc_last_wins,
+        "sink_typed_strings": q_sink_typed_strings,
+        "flatten_rename_drop": q_flatten_rename_drop,
+        "shard_modulo": q_shard_modulo,
+        # query surface Q1-Q8
+        "match_all_topk": q_match_all_topk,
+        "match_all_offset": q_match_all_offset,
+        "term": q_term,
+        "fulltext_match": q_fulltext_match,
+        "hit_count": q_hit_count,
+        "term_in_set": q_term_in_set,
+        "multivalued_contains": q_multivalued_contains,
+        # relational surface
+        "tpch_q1": q_tpch_q1,
+        "join_segment_revenue": q_join_segment_revenue,
+        "tpch_q5ish": q_tpch_q5ish,
+        "window_topk_per_group": q_window_topk_per_group,
+        "agg_rollup": q_agg_rollup,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "set_except": q_set_except,
+        "sessionize": q_sessionize,
+        "hourly_agg": q_hourly_agg,
+        "asof_join": q_asof_join,
+        # LLM-pipeline extensions
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ann": q_similarity_ann,
+        "embedding_neardup": q_embedding_neardup,
+        "text_stats": q_text_stats,
+        "text_language_id": q_text_language_id,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_last_wins": SQL_CDC_LAST_WINS,
+        "sink_typed_strings": SQL_SINK_TYPED_STRINGS,
+        "flatten_rename_drop": SQL_FLATTEN_RENAME_DROP,
+        "shard_modulo": SQL_SHARD_MODULO,
+        "match_all_topk": SQL_MATCH_ALL_TOPK,
+        "match_all_offset": SQL_MATCH_ALL_OFFSET,
+        "term": SQL_TERM,
+        "fulltext_match": SQL_FULLTEXT_MATCH,
+        "hit_count": SQL_HIT_COUNT,
+        "term_in_set": SQL_TERM_IN_SET,
+        "multivalued_contains": SQL_MULTIVALUED_CONTAINS,
+        "tpch_q1": SQL_TPCH_Q1,
+        "join_segment_revenue": SQL_JOIN_SEGMENT_REVENUE,
+        "tpch_q5ish": SQL_TPCH_Q5ISH,
+        "window_topk_per_group": SQL_WINDOW_TOPK_PER_GROUP,
+        "agg_rollup": SQL_AGG_ROLLUP,
+        "anti_join": SQL_ANTI_JOIN,
+        "semi_join": SQL_SEMI_JOIN,
+        "set_except": SQL_SET_EXCEPT,
+        "sessionize": SQL_SESSIONIZE,
+        "hourly_agg": SQL_HOURLY_AGG,
+        "asof_join": SQL_ASOF_JOIN,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+        "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "similarity_topk": SQL_SIMILARITY_TOPK,
+        "similarity_ann": SQL_SIMILARITY_ANN,
+        "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+        "text_stats": SQL_TEXT_STATS,
+        "text_language_id": SQL_TEXT_LANGUAGE_ID,
+        "multimodal_meta": SQL_MULTIMODAL_META,
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    }

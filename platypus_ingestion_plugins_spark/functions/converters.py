@@ -64,7 +64,9 @@ def sink_column(col: Column, dtype: T.DataType, mode: str = "paimon") -> Column:
     if isinstance(dtype, T.TimestampType):
         return F.unix_millis(col).cast("string")
     if isinstance(dtype, T.BinaryType):
-        return F.base64(col)
+        # Spark's base64 emits MIME-chunked output (\r\n every 76 chars)
+        # in this version; the reference emits unchunked Base64
+        return F.replace(F.base64(col), F.lit("\r\n"), F.lit(""))
     if isinstance(dtype, T.ArrayType):
         if mode == "kafka":
             return F.transform(col, lambda x: sink_column(x, dtype.elementType, mode))

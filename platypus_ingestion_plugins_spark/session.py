@@ -33,6 +33,9 @@ def get_spark(app_name: str = "platypus_spark", shuffle_partitions: int | None =
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # driver testdata carries TIMESTAMP(NANOS) parquet columns, which
+        # Spark rejects by default; read them as raw nanosecond longs
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
