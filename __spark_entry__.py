@@ -741,6 +741,55 @@ FROM b
 """
 
 
+def q_stream_cdc_materialize(spark, sf):
+    """Full Structured-Streaming path: the cdc_last_wins changelog split
+    into two seq-ordered micro-batches, streamed from parquet through
+    foreachBatch into a ServingTable, then queried. Final state must
+    equal the one-shot batch materialization (same oracle)."""
+    import shutil
+    import tempfile
+
+    from platypus_ingestion_plugins_spark.serving.table import ServingTable
+    from platypus_ingestion_plugins_spark.streaming.pipeline import CdcStreamingPipeline
+
+    ev = _t(spark, sf, "events")
+    ch = ev.select(
+        F.col("event_id").alias("_seq"),
+        "user_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "click", "-D")
+        .when(F.col("event_type") == "error", "-U")
+        .otherwise("+I")
+        .alias("_row_kind"),
+    )
+    mid = ch.approxQuantile("_seq", [0.5], 0.0)[0]
+
+    work = tempfile.mkdtemp(prefix="stream_cdc_")
+    try:
+        src = os.path.join(work, "src")
+        # two ordered drops: all seqs <= mid, then the rest
+        ch.filter(F.col("_seq") <= mid).coalesce(4).write.mode("append").parquet(src)
+        serving = ServingTable(spark, os.path.join(work, "serving"), key="user_id")
+        schema = spark.read.parquet(src).schema
+        pipe = CdcStreamingPipeline(
+            spark, src, schema, serving, os.path.join(work, "ckpt"),
+            max_files_per_trigger=100,
+        )
+        pipe.run_available()
+        ch.filter(F.col("_seq") > mid).coalesce(4).write.mode("append").parquet(src)
+        pipe.run_available()
+        out = serving.query().select("user_id", "event_type", "value")
+        # materialize before the temp dir disappears
+        result = spark.createDataFrame(out.collect(), out.schema)
+        return result
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+SQL_STREAM_CDC_MATERIALIZE = SQL_CDC_LAST_WINS
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -789,6 +838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
+        # streaming (real readStream -> foreachBatch -> serving table)
+        "stream_cdc_materialize": q_stream_cdc_materialize,
     }
 
 
@@ -827,4 +878,5 @@ def oracle_sql() -> dict[str, str]:
         "text_language_id": SQL_TEXT_LANGUAGE_ID,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "stream_cdc_materialize": SQL_STREAM_CDC_MATERIALIZE,
     }

@@ -105,9 +105,17 @@ def neardup_pairs(
 
     bits=0 compares all pairs (exact, O(n^2) — small corpora only);
     bits>0 restricts to same-sign-bit-bucket pairs (the scale path:
-    near-identical vectors share sign buckets with high probability)."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    near-identical vectors share sign buckets with high probability).
+
+    Norms are computed once per vector BEFORE the pair join (n ops,
+    not n^2) — cosine per pair is then dot/(na*nb), numerically
+    identical to computing norms per-pair."""
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), norm(F.col(vec_col)).alias("na")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), norm(F.col(vec_col)).alias("nb")
+    )
     if bits:
         a = a.withColumn("__bucket", signbit_bucket(F.col("va"), bits))
         b = b.withColumn("__bucket", signbit_bucket(F.col("vb"), bits))
@@ -119,7 +127,7 @@ def neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

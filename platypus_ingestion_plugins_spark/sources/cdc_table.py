@@ -1,0 +1,70 @@
+"""CDC-convention parquet table source (the Paimon-table equivalent).
+
+Layout convention (SURVEY §1.1): a parquet table whose rows carry
+  _row_kind  string  (+I/+U/-U/-D)
+  _seq       long    (total order within a key's bucket)
+  _snapshot  long    (snapshot id, monotone per incremental drop)
+  _bucket    int     (ordering/distribution unit; optional)
+
+The reference plans new splits per scan and checkpoints the consumed
+snapshot (PaimonIngestor.java:248-269, StreamTableScan.checkpoint).
+Here incremental reads are `_snapshot > last_snapshot` filters over a
+snapshot-partitioned table — Catalyst partition-prunes old snapshots
+at the manifest level, the same file-skipping the reference gets from
+Paimon, and the checkpoint is just the last consumed snapshot id
+(or, in streaming mode, the Structured Streaming checkpoint dir).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SNAPSHOT_COL = "_snapshot"
+
+
+def write_cdc_snapshot(df: DataFrame, path: str, snapshot_id: int) -> None:
+    """Append one snapshot's changelog, partitioned by snapshot id so
+    incremental readers prune files (append = new snapshot dirs only)."""
+    (
+        df.withColumn(SNAPSHOT_COL, F.lit(snapshot_id).cast("long"))
+        .write.mode("append")
+        .partitionBy(SNAPSHOT_COL)
+        .parquet(path)
+    )
+
+
+def read_cdc_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """Full-table read of the CDC log."""
+    return spark.read.parquet(path)
+
+
+def read_cdc_incremental(
+    spark: SparkSession, path: str, last_snapshot: int | None = None
+) -> DataFrame:
+    """Splits since the checkpoint: `_snapshot > last_snapshot`.
+
+    The filter lands on the partition column, so pruning happens at
+    file-listing time — old snapshots are never opened (the
+    reference's manifest-level skip, paimon-plugin/README.md:247-271).
+    """
+    df = spark.read.parquet(path)
+    if last_snapshot is not None:
+        df = df.filter(F.col(SNAPSHOT_COL) > F.lit(last_snapshot))
+    return df
+
+
+def latest_snapshot_id(spark: SparkSession, path: str) -> int | None:
+    """Max snapshot id present (directory listing, no data read)."""
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return None
+    snaps = [
+        int(n.split("=", 1)[1])
+        for n in names
+        if n.startswith(f"{SNAPSHOT_COL}=")
+    ]
+    return max(snaps) if snaps else None
