@@ -580,7 +580,7 @@ SQL_DEDUP_SIMHASH = _simhash_sql(16)
 
 def q_similarity_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
-    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=10, dim=64)
 
 
 SQL_SIMILARITY_TOPK = """
@@ -594,7 +594,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 
 def q_similarity_ann(spark, sf):
     emb = _t(spark, sf, "embeddings")
-    return similarity.ann_topk(emb, emb.filter(F.col("vec_id") == 0), k=5, bits=4)
+    return similarity.ann_topk(emb, emb.filter(F.col("vec_id") == 0), k=5, bits=4, dim=64)
 
 
 SQL_SIMILARITY_ANN = """
@@ -613,7 +613,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 5
 
 
 def q_embedding_neardup(spark, sf):
-    return similarity.neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.35)
+    return similarity.neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.35, dim=64)
 
 
 SQL_EMBEDDING_NEARDUP = """
