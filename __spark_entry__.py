@@ -551,6 +551,36 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.1
 """
 
 
+def q_dedup_groups(spark, sf):
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    return dedup.connected_components(pairs, nodes=docs, id_col="doc_id")
+
+
+SQL_DEDUP_GROUPS = f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shf a JOIN shf b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+j AS (
+  SELECT id_a, id_b,
+         round(n_common::DOUBLE / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+  FROM inter
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM j WHERE jaccard >= 0.1
+  UNION
+  SELECT id_b, id_a FROM j WHERE jaccard >= 0.1),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r)
+SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
+"""
+
+
 def q_dedup_simhash(spark, sf):
     return dedup.simhash(_t(spark, sf, "documents"), "text", "doc_id", bits=16)
 
@@ -831,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_groups": q_dedup_groups,
         "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
         "embedding_neardup": q_embedding_neardup,
@@ -871,6 +902,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "dedup_groups": SQL_DEDUP_GROUPS,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "similarity_ann": SQL_SIMILARITY_ANN,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,

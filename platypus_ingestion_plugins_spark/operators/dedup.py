@@ -192,6 +192,80 @@ def minhash_lsh_dedup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Dedup group assignment: collapse near-dup pairs into connected
+    components; every node gets ``group_id`` = min id reachable in the
+    similarity graph (the canonical survivor).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels, so the component
+    minimum spreads one hop per round and the loop converges in
+    O(graph diameter) rounds — near-dup clusters are shallow (most are
+    cliques from a shared LSH bucket), so 2-4 rounds in practice.
+    Per round: one shuffle join + one groupBy; lineage truncated with
+    localCheckpoint so plans stay flat. The convergence test is a
+    single count() — this is a genuinely iterative algorithm, the one
+    place a driver-side loop is the right Spark shape. At larger
+    diameters switch the body to alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce"), same
+    per-round cost, O(log^2 n) rounds.
+
+    If ``nodes`` is given (DataFrame containing ``id_col``), rows
+    absent from ``pairs`` come out as singleton groups of themselves.
+    Output: (id_col, group_id).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("src").alias(id_col)).distinct().withColumn(
+        "group_id", F.col(id_col)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col(id_col).alias("dst"), F.col("group_id").alias("nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels[id_col] == nbr_min["src"], "left")
+            .select(
+                F.col(id_col),
+                F.least(F.col("group_id"), F.coalesce("nbr_min", "group_id")).alias("group_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.group_id") != F.col("o.group_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    if nodes is not None:
+        return (
+            nodes.select(id_col)
+            .join(labels, id_col, "left")
+            .select(id_col, F.coalesce("group_id", F.col(id_col)).alias("group_id"))
+        )
+    return labels
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """SimHash fingerprint: majority vote of token-hash bits.
 

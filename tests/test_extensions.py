@@ -144,3 +144,17 @@ def test_multimodal_stub_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         multimodal.extract_features(df, decode_stub=False).collect()
+
+
+def test_connected_components(spark):
+    # two chains and a singleton: {1,2,3,4} via 1-2,2-3,3-4; {10,11}; 99 alone
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "doc_id long")
+    out = dedup.connected_components(pairs, nodes=nodes, id_col="doc_id")
+    got = dict(out.collect())
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+    # without nodes: only graph members, same labels
+    got2 = dict(dedup.connected_components(pairs, id_col="doc_id").collect())
+    assert got2 == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
