@@ -81,6 +81,26 @@ def signbit_bucket(vec_col: Column, bits: int = 4) -> Column:
     return b.cast("int")
 
 
+def signbit_band_keys(vec_col: Column, bits: int = 8, bands: int = 4) -> Column:
+    """Banded sign-LSH keys: band ``b`` hashes dims [b*bits, (b+1)*bits)
+    into a sign-bit bucket, offset so keys are globally unique per band.
+    Two vectors are candidates iff they share ANY band key (OR-of-bands,
+    the same band-amplification trick as MinHash-LSH) — much higher
+    recall than requiring all sign bits equal at once.
+
+    Dims beyond the vector length contribute bit 0 on both sides
+    (``F.get`` returns NULL out of range; the ``when`` falls through),
+    so short vectors are handled consistently."""
+    dv = _dvec(vec_col)
+    keys = []
+    for band in range(bands):
+        acc = F.lit(band * (1 << bits))
+        for i in range(bits):
+            acc = acc + F.when(F.get(dv, band * bits + i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        keys.append(acc.cast("int"))
+    return F.array(*keys)
+
+
 def ann_topk(
     emb: DataFrame,
     query: DataFrame,
@@ -117,36 +137,56 @@ def neardup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = 0,
+    bits: int = 8,
+    bands: int = 8,
     dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
 
-    bits=0 compares all pairs (exact, O(n^2) — small corpora only);
-    bits>0 restricts to same-sign-bit-bucket pairs (the scale path:
-    near-identical vectors share sign buckets with high probability).
+    Default (bits>0): banded sign-LSH blocking — each vector explodes
+    into ``bands`` band keys (``bits`` sign bits each over disjoint
+    dims); only pairs sharing >=1 band key are verified with the exact
+    cosine. Candidate volume is sum over buckets of |bucket|^2, i.e.
+    ~bands/2^bits of n^2 for spread-out data — at 10^9 vectors the
+    blocked join shuffles by band key and never materializes n^2.
+    bits=0 keeps the exact all-pairs crossJoin (small corpora only).
 
     Norms are computed once per vector BEFORE the pair join (n ops,
-    not n^2) — cosine per pair is then dot/(na*nb), numerically
-    identical to computing norms per-pair."""
-    a = emb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), norm(F.col(vec_col), dim).alias("na")
-    )
-    b = emb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), norm(F.col(vec_col), dim).alias("nb")
+    not n^2). The per-pair dot uses the higher-order aggregate, NOT
+    the ``dim``-unrolled chain: a 64-term unrolled expression on the
+    join path blows whole-stage-codegen limits and runs ~8x slower
+    (measured 7.9s vs 1.0s at sf0.1); ``dim`` only unrolls the
+    map-side norm."""
+    base = emb.select(
+        F.col(id_col).alias("__id"),
+        _dvec(F.col(vec_col)).alias("__v"),
+        norm(F.col(vec_col), dim).alias("__n"),
     )
     if bits:
-        a = a.withColumn("__bucket", signbit_bucket(F.col("va"), bits))
-        b = b.withColumn("__bucket", signbit_bucket(F.col("vb"), bits))
-        pairs = a.join(b, "__bucket").drop("__bucket")
+        keyed = base.withColumn("__bk", F.explode(signbit_band_keys(F.col("__v"), bits, bands)))
+        a = keyed.select(
+            F.col("__id").alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na"), "__bk"
+        )
+        b = keyed.select(
+            F.col("__id").alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"), "__bk"
+        )
+        pairs = a.join(b, "__bk").drop("__bk").filter(F.col("id_a") < F.col("id_b"))
+        if bands > 1:
+            # a pair can share several band keys; verify it once
+            pairs = pairs.dropDuplicates(["id_a", "id_b"])
     else:
-        pairs = a.crossJoin(b)
+        a = base.select(
+            F.col("__id").alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na")
+        )
+        b = base.select(
+            F.col("__id").alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb")
+        )
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.filter(F.col("id_a") < F.col("id_b"))
-        .select(
+        pairs.select(
             "id_a",
             "id_b",
-            F.round(dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
