@@ -65,7 +65,12 @@ def _py_tokenize(s: str) -> list[str]:
 def top_hits(df: DataFrame, k: int, start_hit: int = 0, order_by: str | None = None) -> DataFrame:
     """Top-k + offset. Lucene returns score-ordered hits; with no scoring
     column the serving table orders by the given column (or the first
-    column) for determinism. Offset uses row_number only when needed."""
+    column) for determinism.
+
+    Offset path: ``limit(start_hit + k)`` first — a distributed
+    TakeOrdered over the full table — then row_number over the <=
+    start+k survivors. The window is unpartitioned but only ever sees
+    the bounded limit output, never the whole scan."""
     key = order_by or df.columns[0]
     ordered = df.orderBy(F.col(key))
     if start_hit == 0:
@@ -74,8 +79,9 @@ def top_hits(df: DataFrame, k: int, start_hit: int = 0, order_by: str | None = N
 
     w = Window.orderBy(F.col(key))
     return (
-        ordered.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") > start_hit) & (F.col("__rn") <= start_hit + k))
+        ordered.limit(start_hit + k)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > start_hit)
         .drop("__rn")
     )
 
