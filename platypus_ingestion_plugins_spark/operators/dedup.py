@@ -59,8 +59,29 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     )
 
 
+def cap_shingle_df(sh: DataFrame, max_df: int | None) -> DataFrame:
+    """Drop shingles occurring in more than ``max_df`` documents.
+
+    The hot-shingle guard for corpus scale: a shingle shared by k docs
+    contributes k^2 rows to the inverted-index self-join, so one
+    boilerplate phrase shared by 10^6 docs is 10^12 pairs. Capping df
+    bounds per-shingle fan-out at max_df^2. The hot set is tiny by
+    construction, so the anti-join broadcasts. ``None`` disables
+    (exact semantics, oracle-comparable)."""
+    if not max_df:
+        return sh
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by true n-gram Jaccard similarity.
 
@@ -68,8 +89,12 @@ def ngram_jaccard_pairs(
     are ever materialized (candidate generation), then
     |A∩B| / (|A|+|B|-|A∩B|) filters to >= threshold. Integer counts ->
     exact arithmetic -> engine-independent results.
+
+    ``max_shingle_df`` caps shingle document frequency before the
+    self-join (see cap_shingle_df); when set, Jaccard is computed over
+    the capped shingle sets.
     """
-    sh = shingles(df, text_col, id_col, n).cache()
+    sh = cap_shingle_df(shingles(df, text_col, id_col, n), max_shingle_df).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -101,21 +126,25 @@ def _md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 8
-) -> DataFrame:
-    """MinHash signature per document: for permutation i, the min over
-    shingles of md5(i || shingle). Output: (id, sig array<long>).
-
-    One explode + one groupBy; num_hashes mins computed as conditional
-    aggregates in a single pass (no per-hash shuffle)."""
-    sh = shingles(df, text_col, id_col, n)
+def minhash_from_shingles(sh: DataFrame, id_col: str, num_hashes: int = 8) -> DataFrame:
+    """MinHash signatures from a prepared (id, shingle) set: for
+    permutation i, the min over shingles of md5(i || shingle).
+    One groupBy; num_hashes mins computed as conditional aggregates in
+    a single pass (no per-hash shuffle). Output: (id, sig array<long>)."""
     aggs = [
         F.min(_md5_long(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per document: shingle then hash (see
+    minhash_from_shingles)."""
+    return minhash_from_shingles(shingles(df, text_col, id_col, n), id_col, num_hashes)
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str, bands: int = 4) -> DataFrame:
@@ -157,18 +186,32 @@ def minhash_lsh_dedup_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> band buckets ->
     candidate pairs -> verify with true Jaccard >= threshold.
 
-    At 100 TB only the candidate pairs (a tiny fraction of n^2) reach
-    the verification join."""
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    cands = lsh_candidate_pairs(sig, id_col, bands)
-    sh = shingles(df, text_col, id_col, n).cache()
+    The verification join is candidate-bounded on BOTH axes: each side
+    of the shingle self-join is first semi-joined down to the doc ids
+    that appear in >=1 LSH candidate pair, and the joined pairs are
+    semi-joined against the candidate pair set before aggregation. At
+    100 TB the inverted-index blowup LSH exists to avoid therefore
+    never materializes — non-candidate docs never enter the join.
+    ``max_shingle_df`` additionally caps hot-shingle fan-out (see
+    cap_shingle_df), applied before signatures so the LSH and
+    verification stages see the same shingle sets."""
+    sh = cap_shingle_df(shingles(df, text_col, id_col, n), max_shingle_df).cache()
+    sig = minhash_from_shingles(sh, id_col, num_hashes)
+    cands = lsh_candidate_pairs(sig, id_col, bands).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = (
+        sh.join(cands.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi")
+        .select(F.col(id_col).alias("id_a"), "shingle")
+    )
+    b = (
+        sh.join(cands.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi")
+        .select(F.col(id_col).alias("id_b"), "shingle")
+    )
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))

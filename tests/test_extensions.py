@@ -46,6 +46,29 @@ def test_minhash_lsh_finds_exact_dups(docs):
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 4)}
 
 
+def test_shingle_df_cap(spark):
+    # every doc shares exactly one hot trigram; df cap 2 removes it
+    rows = [
+        Row(doc_id=i, text=f"common phrase here unique{i} token{i} word{i}")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows)
+    uncapped = dedup.ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.01)
+    assert uncapped.count() == 6  # all pairs share 'common phrase here'
+    capped = dedup.ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.01, max_shingle_df=2
+    )
+    assert capped.count() == 0
+    # LSH path: exact dups survive a generous cap
+    docs2 = df.union(spark.createDataFrame(
+        [Row(doc_id=10, text="common phrase here unique0 token0 word0")]
+    ))
+    lsh = dedup.minhash_lsh_dedup_pairs(
+        docs2, "text", "doc_id", threshold=0.9, max_shingle_df=3
+    )
+    assert {(r.id_a, r.id_b) for r in lsh.collect()} == {(0, 10)}
+
+
 def test_simhash_close_for_neardups(docs):
     fp = {r.doc_id: r.simhash for r in dedup.simhash(docs, "text", "doc_id").collect()}
     assert fp[1] == fp[4]  # identical text -> identical fingerprint
