@@ -821,7 +821,11 @@ def q_stream_cdc_materialize(spark, sf):
         src = os.path.join(work, "src")
         # two ordered drops: all seqs <= mid, then the rest
         ch.filter(F.col("_seq") <= mid).coalesce(4).write.mode("append").parquet(src)
-        serving = ServingTable(spark, os.path.join(work, "serving"), key="user_id")
+        # bucketed layout: each micro-batch rewrites only the hash-bucket
+        # partitions holding changed keys (the 100 TB merge path)
+        serving = ServingTable(
+            spark, os.path.join(work, "serving"), key="user_id", num_buckets=16
+        )
         schema = spark.read.parquet(src).schema
         pipe = CdcStreamingPipeline(
             spark, src, schema, serving, os.path.join(work, "ckpt"),

@@ -1,0 +1,89 @@
+"""Hadoop FileSystem-backed path operations (local, HDFS, ``s3a://``).
+
+The reference performs its table-directory management through Paimon's
+FileIO abstraction, which it extends to S3A (S3ALoader.java:32-89) so
+the same code path works against local disks in tests and object
+stores in production. The Spark equivalent is the Hadoop FileSystem
+API already on the JVM classpath: every helper here resolves the
+filesystem from the path's scheme, so ``file:/``, ``hdfs://`` and
+``s3a://`` (with the fs.s3a.* session confs from session.s3a_options)
+all behave identically from the caller's point of view.
+
+Caveat for object stores: ``rename`` on S3A is a server-side copy, not
+an atomic metadata operation. The serving table's swap protocol keeps
+the old data aside until the new data is fully in place, so a crash
+mid-rename never loses committed state — but a production deployment
+at 100 TB would put a real table format (Delta/Iceberg/Paimon) behind
+this interface for true atomic commits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs_path(spark, path)
+    return bool(fs.exists(p))
+
+
+def is_dir(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs_path(spark, path)
+    return bool(fs.exists(p) and fs.getFileStatus(p).isDirectory())
+
+
+def list_names(spark: SparkSession, path: str) -> list[str]:
+    """Child basenames of a directory; [] if the path does not exist."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Move src to dst (dst must not exist). Returns success."""
+    fs, s = _fs_path(spark, src)
+    _, d = _fs_path(spark, dst)
+    return bool(fs.rename(s, d))
+
+
+def delete(spark: SparkSession, path: str) -> bool:
+    """Recursive delete; no-op (False) if the path does not exist."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return False
+    return bool(fs.delete(p, True))
+
+
+def mkdirs(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs_path(spark, path)
+    return bool(fs.mkdirs(p))
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Create/overwrite a small text file (metadata sidecars)."""
+    fs, p = _fs_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str | None:
+    """Contents of a small text file, or None if absent."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    jvm = spark._jvm
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+    return bytes(baos.toByteArray()).decode("utf-8")

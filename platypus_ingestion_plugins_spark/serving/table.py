@@ -3,26 +3,48 @@
 Reference sink: addDocuments-upsert + deleteByQuery + commit per batch
 (PaimonRowProcessor.java:242-260; KafkaIngestor.java:251-289). Spark
 has no Lucene index; the serving layer is a parquet table that always
-holds exactly one live row per key, rewritten per micro-batch via the
-CDC merge (operators/cdc.py). Rewrites are idempotent — replaying a
+holds exactly one live row per key, merged per micro-batch via the
+CDC reduce (operators/cdc.py). Merges are idempotent — replaying a
 batch after a failed checkpoint converges to the same state, which is
 the at-least-once-to-effectively-once upgrade the reference gets from
 commit-after-index (KafkaIngestor.java:204-230).
 
-Scale notes: at 100 TB the full-rewrite merge becomes partial — the
-table is hash-partitioned on the key (``num_buckets``) and only
-partitions containing changed keys are rewritten. Both paths are
-implemented; small tables take the simple full rewrite.
+Scale design (100 TB): with ``num_buckets`` set the table is laid out
+as hash-bucket partitions (``__bucket = pmod(hash(key), N)``) and a
+micro-batch rewrites ONLY the buckets containing changed keys — the
+read side partition-prunes to those buckets and the swap moves just
+their directories, so per-batch cost is O(touched buckets), not
+O(table). ``num_buckets=0`` keeps the simple full rewrite for small
+tables.
+
+Commit protocol (both paths): new data is staged to a sibling
+directory, then swapped in with the old data kept aside until the new
+data is fully in place — the same no-commit-until-complete barrier as
+the reference's InFlightBatch (InFlightBatch.java:27-113). A crash
+mid-swap never loses committed state: full-rewrite recovery restores
+the kept-aside table; a partially swapped bucket batch is converged by
+replaying the micro-batch (the streaming checkpoint only advances
+after a successful batch, and the merge is idempotent — the same
+redelivery semantics as PaimonIngestor.java:354-368).
+
+All directory manipulation goes through the Hadoop FileSystem API
+(platypus_ingestion_plugins_spark.fs), so ``path`` may be local,
+``hdfs://`` or ``s3a://`` (reference parity: S3ALoader.java:32-89).
 """
 
 from __future__ import annotations
 
-import os
+import json
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.errors import AnalysisException
 
+from platypus_ingestion_plugins_spark import fs
 from platypus_ingestion_plugins_spark.operators.cdc import apply_changelog
+
+BUCKET_COL = "__bucket"
 
 
 class ServingTable:
@@ -30,59 +52,139 @@ class ServingTable:
 
     def __init__(self, spark: SparkSession, path: str, key: str | list[str], num_buckets: int = 0):
         self.spark = spark
-        self.path = path
+        self.path = path.rstrip("/")
         self.key = [key] if isinstance(key, str) else list(key)
         self.num_buckets = num_buckets
 
+    @property
+    def _staging(self) -> str:
+        return self.path + "__staging"
+
+    @property
+    def _old(self) -> str:
+        return self.path + "__old"
+
+    def _bucket_col(self) -> Column:
+        return F.pmod(F.hash(*[F.col(k) for k in self.key]), F.lit(self.num_buckets))
+
+    def _recover(self) -> None:
+        """Repair any interrupted swap before touching the table.
+
+        - table missing but kept-aside copy present -> crash between
+          the two renames of a full-rewrite swap: restore the copy.
+        - both present -> swap completed, cleanup didn't: drop the copy.
+        - leftover staging is always discarded (never committed).
+        """
+        if fs.exists(self.spark, self._old):
+            if fs.exists(self.spark, self.path):
+                fs.delete(self.spark, self._old)
+            else:
+                fs.rename(self.spark, self._old, self.path)
+        fs.delete(self.spark, self._staging)
+
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self.path, "_SUCCESS")) or (
-            os.path.isdir(self.path) and any(n.endswith(".parquet") for n in os.listdir(self.path))
+        self._recover()
+        names = fs.list_names(self.spark, self.path)
+        return "_SUCCESS" in names or any(
+            n.endswith(".parquet") or n.startswith(f"{BUCKET_COL}=") for n in names
+        )
+
+    def _write_schema(self, schema: T.StructType) -> None:
+        """Persist the data schema so a fully-emptied table (every key
+        deleted -> zero parquet files) stays readable."""
+        data_fields = [f for f in schema.fields if f.name != BUCKET_COL]
+        fs.write_text(
+            self.spark,
+            f"{self.path}/_schema.json",
+            json.dumps(T.StructType(data_fields).jsonValue()),
         )
 
     def read(self) -> DataFrame | None:
         if not self.exists():
             return None
-        return self.spark.read.parquet(self.path)
+        try:
+            return self.spark.read.parquet(self.path)
+        except AnalysisException:
+            schema_json = fs.read_text(self.spark, f"{self.path}/_schema.json")
+            if schema_json is None:
+                raise
+            return self.spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(schema_json))
+            )
 
     def overwrite(self, df: DataFrame) -> None:
-        """Full rewrite. Parquet overwrite isn't atomic-in-place, so we
-        stage to a sibling dir and swap — the same
-        no-commit-until-complete barrier as the reference's
-        InFlightBatch (InFlightBatch.java:27-113)."""
-        staging = self.path.rstrip("/") + "__staging"
-        writer = df.write.mode("overwrite")
+        """Full rewrite via stage-then-swap; the old table is kept
+        aside until the new one is in place (crash-recoverable)."""
+        self._recover()
         if self.num_buckets:
-            writer = (
-                df.withColumn(
-                    "__bucket", F.pmod(F.hash(*[F.col(k) for k in self.key]), F.lit(self.num_buckets))
-                )
+            (
+                df.withColumn(BUCKET_COL, self._bucket_col())
                 .write.mode("overwrite")
-                .partitionBy("__bucket")
+                .partitionBy(BUCKET_COL)
+                .parquet(self._staging)
             )
-        writer.parquet(staging)
-        # swap: read back is always from self.path
-        import shutil
-
-        if os.path.exists(self.path):
-            shutil.rmtree(self.path)
-        os.rename(staging, self.path)
+        else:
+            df.write.mode("overwrite").parquet(self._staging)
+        if fs.exists(self.spark, self.path):
+            fs.rename(self.spark, self.path, self._old)
+        fs.rename(self.spark, self._staging, self.path)
+        fs.delete(self.spark, self._old)
+        self._write_schema(df.schema)
 
     def apply_batch(self, changelog: DataFrame) -> None:
-        """Apply one CDC micro-batch: last-wins + merge + commit."""
+        """Apply one CDC micro-batch: last-wins + merge + commit.
+
+        Bucketed tables rewrite only the hash-bucket partitions whose
+        keys appear in the changelog; untouched bucket directories are
+        not read, rewritten, or moved."""
         current = self.read()
-        merged = apply_changelog(changelog, self.key, target=current)
-        if current is not None:
-            # materialize before the target dir is replaced (merged reads from it)
-            merged.cache()
-            merged.count()
-        self.overwrite(merged)
-        if current is not None:
-            merged.unpersist()
+        if current is None or not self.num_buckets:
+            if current is not None and BUCKET_COL in current.columns:
+                current = current.drop(BUCKET_COL)
+            merged = apply_changelog(changelog, self.key, target=current)
+            self.overwrite(merged)
+            return
+
+        # buckets touched by this batch: bounded by num_buckets, tiny
+        changed = sorted(
+            r[0]
+            for r in changelog.select(self._bucket_col().alias("b")).distinct().collect()
+        )
+        if not changed:
+            return
+        if BUCKET_COL in current.columns:
+            target = (
+                current.filter(F.col(BUCKET_COL).isin(changed))  # partition-pruned scan
+                .drop(BUCKET_COL)
+            )
+        else:
+            target = current  # empty-table fallback (no bucket dirs on disk)
+        merged = apply_changelog(changelog, self.key, target=target)
+        (
+            merged.withColumn(BUCKET_COL, self._bucket_col())
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(self._staging)
+        )
+        # per-bucket swap: old dir aside -> staged dir in -> drop old.
+        fs.delete(self.spark, self._old)
+        fs.mkdirs(self.spark, self._old)
+        for b in changed:
+            part = f"{BUCKET_COL}={b}"
+            live = f"{self.path}/{part}"
+            staged = f"{self._staging}/{part}"
+            if fs.exists(self.spark, live):
+                fs.rename(self.spark, live, f"{self._old}/{part}")
+            if fs.exists(self.spark, staged):
+                fs.rename(self.spark, staged, live)
+        fs.delete(self.spark, self._old)
+        fs.delete(self.spark, self._staging)
+        self._write_schema(merged.schema)
 
     def query(self) -> DataFrame:
         df = self.read()
         if df is None:
             raise FileNotFoundError(f"serving table {self.path} does not exist yet")
-        if "__bucket" in df.columns:
-            df = df.drop("__bucket")
+        if BUCKET_COL in df.columns:
+            df = df.drop(BUCKET_COL)
         return df

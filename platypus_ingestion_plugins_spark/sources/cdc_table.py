@@ -17,10 +17,10 @@ Paimon, and the checkpoint is just the last consumed snapshot id
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from platypus_ingestion_plugins_spark import fs
 
 SNAPSHOT_COL = "_snapshot"
 
@@ -57,11 +57,11 @@ def read_cdc_incremental(
 
 
 def latest_snapshot_id(spark: SparkSession, path: str) -> int | None:
-    """Max snapshot id present (directory listing, no data read)."""
-    try:
-        names = os.listdir(path)
-    except FileNotFoundError:
-        return None
+    """Max snapshot id present (directory listing, no data read).
+
+    Listing goes through the Hadoop FileSystem API so the table may
+    live on any supported store (local/HDFS/s3a)."""
+    names = fs.list_names(spark, path)
     snaps = [
         int(n.split("=", 1)[1])
         for n in names

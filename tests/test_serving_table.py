@@ -1,0 +1,152 @@
+"""ServingTable: bucketed partial rewrite, crash-safe swap, FS shim.
+
+Covers the InFlightBatch-style commit barrier (InFlightBatch.java:27-113)
+and the O(touched-buckets) merge the reference gets from per-bucket
+processing (PaimonIngestor.java:661-712)."""
+
+import hashlib
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from platypus_ingestion_plugins_spark import fs
+from platypus_ingestion_plugins_spark.serving.table import BUCKET_COL, ServingTable
+
+CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("_seq", T.LongType()),
+        T.StructField("_row_kind", T.StringType()),
+        T.StructField("id", T.StringType()),
+        T.StructField("title", T.StringType()),
+    ]
+)
+
+
+def _batch(spark, *ops):
+    return spark.createDataFrame(
+        [Row(_seq=s, _row_kind=k, id=i, title=t) for s, k, i, t in ops], CDC_SCHEMA
+    )
+
+
+def _dir_digest(path):
+    """Stable digest of a directory tree: relative names + bytes."""
+    h = hashlib.sha256()
+    for root, _dirs, files in sorted(os.walk(path)):
+        for name in sorted(files):
+            if name.startswith("."):
+                continue  # CRC sidecars
+            p = os.path.join(root, name)
+            h.update(os.path.relpath(p, path).encode())
+            with open(p, "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()
+
+
+def _bucket_of(spark, table, key):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.createDataFrame([Row(id=key)])
+        .select(F.pmod(F.hash("id"), F.lit(table.num_buckets)).alias("b"))
+        .collect()[0][0]
+    )
+
+
+def test_partial_rewrite_leaves_untouched_buckets_bitwise_identical(spark, tmp_path):
+    path = str(tmp_path / "serving")
+    tbl = ServingTable(spark, path, key="id", num_buckets=8)
+    keys = [f"k{i}" for i in range(32)]
+    tbl.apply_batch(_batch(spark, *[(i, "+I", k, "v1") for i, k in enumerate(keys)]))
+
+    target = keys[0]
+    tb = _bucket_of(spark, tbl, target)
+    before = {
+        d: _dir_digest(os.path.join(path, d))
+        for d in os.listdir(path)
+        if d.startswith(f"{BUCKET_COL}=")
+    }
+    assert len(before) > 1  # data actually spread over several buckets
+
+    tbl.apply_batch(_batch(spark, (100, "+U", target, "v2")))
+
+    after = {
+        d: _dir_digest(os.path.join(path, d))
+        for d in os.listdir(path)
+        if d.startswith(f"{BUCKET_COL}=")
+    }
+    changed_dir = f"{BUCKET_COL}={tb}"
+    assert after[changed_dir] != before[changed_dir]
+    for d, digest in before.items():
+        if d != changed_dir:
+            assert after[d] == digest, f"untouched bucket {d} was rewritten"
+
+    state = {r.id: r.title for r in tbl.query().collect()}
+    assert state[target] == "v2"
+    assert len(state) == 32
+    # no staging/old residue after a committed batch
+    assert not fs.exists(spark, path + "__staging")
+    assert not fs.exists(spark, path + "__old")
+
+
+def test_partial_rewrite_drops_emptied_bucket_dir(spark, tmp_path):
+    path = str(tmp_path / "serving")
+    tbl = ServingTable(spark, path, key="id", num_buckets=4)
+    tbl.apply_batch(_batch(spark, (1, "+I", "only", "v1")))
+    b = _bucket_of(spark, tbl, "only")
+    assert os.path.isdir(os.path.join(path, f"{BUCKET_COL}={b}"))
+
+    tbl.apply_batch(_batch(spark, (2, "-D", "only", "v1")))
+    assert not os.path.exists(os.path.join(path, f"{BUCKET_COL}={b}"))
+    assert tbl.query().count() == 0
+
+
+def test_full_rewrite_crash_between_renames_recovers(spark, tmp_path):
+    path = str(tmp_path / "serving")
+    tbl = ServingTable(spark, path, key="id")
+    tbl.apply_batch(_batch(spark, (1, "+I", "a", "v1")))
+
+    # simulate a crash after `path -> path__old` but before
+    # `staging -> path`: the table dir is gone, only the kept-aside
+    # copy remains
+    os.rename(path, path + "__old")
+    assert not os.path.exists(path)
+
+    state = {r.id: r.title for r in tbl.query().collect()}
+    assert state == {"a": "v1"}
+    assert not os.path.exists(path + "__old")
+
+
+def test_stale_staging_is_discarded(spark, tmp_path):
+    path = str(tmp_path / "serving")
+    tbl = ServingTable(spark, path, key="id")
+    tbl.apply_batch(_batch(spark, (1, "+I", "a", "v1")))
+    os.makedirs(path + "__staging")
+    with open(os.path.join(path + "__staging", "junk.parquet"), "w") as f:
+        f.write("not committed")
+    tbl.apply_batch(_batch(spark, (2, "+U", "a", "v2")))
+    assert {r.id: r.title for r in tbl.query().collect()} == {"a": "v2"}
+    assert not os.path.exists(path + "__staging")
+
+
+def test_bucketed_replay_idempotent(spark, tmp_path):
+    tbl = ServingTable(spark, str(tmp_path / "serving"), key="id", num_buckets=4)
+    b1 = _batch(spark, (1, "+I", "a", "v1"), (2, "+I", "b", "v1"))
+    b2 = _batch(spark, (3, "+U", "a", "v2"), (4, "-D", "b", "v1"))
+    tbl.apply_batch(b1)
+    tbl.apply_batch(b2)
+    tbl.apply_batch(b2)  # at-least-once redelivery
+    assert {r.id: r.title for r in tbl.query().collect()} == {"a": "v2"}
+
+
+def test_fs_shim_roundtrip(spark, tmp_path):
+    base = str(tmp_path / "fsdir")
+    assert not fs.exists(spark, base)
+    fs.mkdirs(spark, base + "/sub")
+    assert fs.is_dir(spark, base + "/sub")
+    assert fs.list_names(spark, base) == ["sub"]
+    fs.rename(spark, base + "/sub", base + "/sub2")
+    assert fs.list_names(spark, base) == ["sub2"]
+    fs.delete(spark, base)
+    assert not fs.exists(spark, base)
+    assert fs.list_names(spark, base) == []
