@@ -36,12 +36,17 @@ def asof_join(
     lcols = left.columns
 
     l_tag = left.withColumn("__side", F.lit(1))
+    # the whole right payload travels as ONE struct so the fill is
+    # atomic: a legitimate NULL inside a payload column stays the
+    # matched row's NULL instead of backfilling from an older right row
     r_tag = right.select(
         key,
         on,
-        *[F.col(c).alias(c + suffix) for c in rvals],
+        F.struct(
+            F.col(on).alias(f"{on}{suffix}"),
+            *[F.col(c).alias(c + suffix) for c in rvals],
+        ).alias("__r"),
     ).withColumn("__side", F.lit(0))
-    r_tag = r_tag.withColumn(f"{on}{suffix}", F.col(on))
 
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
@@ -53,9 +58,9 @@ def asof_join(
         .orderBy(F.col(on).asc(), side_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned
-    for c in [*[v + suffix for v in rvals], f"{on}{suffix}"]:
-        filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    filled = unioned.withColumn("__r", F.last(F.col("__r"), ignorenulls=True).over(w))
     return filled.filter(F.col("__side") == 1).select(
-        *lcols, f"{on}{suffix}", *[v + suffix for v in rvals]
+        *lcols,
+        F.col(f"__r.{on}{suffix}"),
+        *[F.col(f"__r.{v + suffix}") for v in rvals],
     )

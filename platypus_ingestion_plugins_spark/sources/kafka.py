@@ -26,17 +26,26 @@ is pure DataFrame logic, testable without a broker.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 CONFLUENT_HEADER_BYTES = 5  # magic byte + schema-id int32
 
 
-def strip_confluent_header(value_col) -> "F.Column":
+def strip_confluent_header(value_col: Column | str) -> Column:
     """Drop the Confluent wire-format prefix from a binary value column."""
     c = F.col(value_col) if isinstance(value_col, str) else value_col
-    return F.expr(f"substring({value_col}, {CONFLUENT_HEADER_BYTES + 1}, "
-                  f"length({value_col}) - {CONFLUENT_HEADER_BYTES})")
+    return F.substring(c, CONFLUENT_HEADER_BYTES + 1, F.length(c) - CONFLUENT_HEADER_BYTES)
+
+
+def confluent_schema_id(value_col: Column | str) -> Column:
+    """Big-endian int32 schema id from bytes 2-5 of the wire format —
+    the same id the reference's KafkaAvroDeserializer resolves against
+    the Schema Registry per record (KafkaIngestor.java:151-157)."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    return F.conv(F.hex(F.substring(c, 2, 4)), 16, 10).cast("int")
 
 
 def decode_avro_stream(raw: DataFrame, avro_schema_json: str, value_col: str = "value") -> DataFrame:
@@ -55,6 +64,64 @@ def decode_avro_stream(raw: DataFrame, avro_schema_json: str, value_col: str = "
     return (
         raw.withColumn("parsed", parsed)
         .withColumn("_is_poison", F.col("parsed").isNull())
+    )
+
+
+def _avro_decoder(payload: Column, schema_json: str) -> Column:
+    from pyspark.sql.avro.functions import from_avro
+
+    return from_avro(payload, schema_json, {"mode": "PERMISSIVE"})
+
+
+def decode_with_schema_map(
+    raw: DataFrame,
+    schemas: dict[int, str],
+    decoder: Callable[[Column, str], Column] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-record schema resolution for an evolving topic.
+
+    The reference resolves the Avro schema per record from the registry
+    (KafkaIngestor.java:151-157); a single fixed reader schema is wrong
+    once the topic has evolved. Here each record is routed by the
+    schema id in its wire-format header (parsed BEFORE the header is
+    stripped), decoded with that id's registered schema, and the
+    per-schema results are unified by field name — fields missing from
+    older versions come back NULL, the standard
+    backward-compatible-evolution contract. Records with an unknown id
+    are poison (``_is_poison``), mirroring the unknown-record skip
+    (KafkaIngestor.java:192-195) but preserved for the DLQ.
+
+    ``decoder(payload, schema_json) -> struct Column`` defaults to
+    spark-avro's from_avro; injectable so the dispatch plumbing is
+    testable without the Avro package on the classpath.
+
+    Scale note: this plans one pass over the micro-batch per distinct
+    registered schema id (k passes for k live versions — k is small).
+    Inside foreachBatch, cache the batch first so the passes share one
+    source read.
+    """
+    decoder = decoder or _avro_decoder
+    tagged = raw.withColumn("_schema_id", confluent_schema_id(value_col)).withColumn(
+        "_payload", strip_confluent_header(value_col)
+    )
+    base_cols = [c for c in tagged.columns if c != "_payload"]
+    parts = []
+    for schema_id, schema_json in schemas.items():
+        part = tagged.filter(F.col("_schema_id") == F.lit(schema_id)).withColumn(
+            "parsed", decoder(F.col("_payload"), schema_json)
+        )
+        # a PERMISSIVE decode failure yields a null struct -> poison
+        part = part.withColumn("_is_poison", F.col("parsed").isNull())
+        parts.append(part.select(*base_cols, "_is_poison", "parsed.*"))
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part, allowMissingColumns=True)
+    unknown = tagged.filter(
+        ~F.col("_schema_id").isin(list(schemas)) | F.col("_schema_id").isNull()
+    ).select(*base_cols)
+    return out.unionByName(
+        unknown.withColumn("_is_poison", F.lit(True)), allowMissingColumns=True
     )
 
 

@@ -148,6 +148,23 @@ def test_asof_join(spark):
     assert sgot[("A", 7)] == (5, 101.0)  # strict excludes equal-time
 
 
+def test_asof_join_null_payload_is_atomic(spark):
+    # the matched right row carries a legitimate NULL in one payload
+    # column; it must NOT backfill from the older right row
+    trades = spark.createDataFrame([Row(sym="A", t=10, qty=1)])
+    quotes = spark.createDataFrame(
+        [
+            Row(sym="A", t=1, px=100.0, venue="X"),
+            Row(sym="A", t=5, px=None, venue="Y"),
+        ],
+        "sym string, t bigint, px double, venue string",
+    )
+    out = asof.asof_join(trades, quotes, key="sym", on="t").collect()[0]
+    assert out.t_right == 5
+    assert out.venue_right == "Y"
+    assert out.px_right is None  # not 100.0 from the t=1 row
+
+
 def test_multimodal_plumbing(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="hello world"), Row(doc_id=2, text="x" * 200)])
     with_payload = multimodal.attach_payload(df, "text", mime="text/plain")
