@@ -115,6 +115,53 @@ FROM lineitem
 """
 
 
+def q_sink_array_json(spark, sf):
+    """§1.2 ARRAY->JSON sink goldens on real data: numerics unquoted,
+    strings quoted+escaped, null elements literal null, whole-NULL
+    field elided to SQL NULL (PaimonToAddDocumentConverter.java:196-200,
+    226-285; golden strings PaimonToAddDocumentConverterTest.java:
+    231-293, null elision :374). Routed through converters.sink_column
+    so the oracle checks the real sink expression."""
+    from pyspark.sql import types as T
+
+    from platypus_ingestion_plugins_spark.functions.converters import sink_column
+
+    d = _t(spark, sf, "documents")
+    str_arr = F.array(
+        F.col("lang"),
+        # force the escape path: a quote and a backslash in one element
+        F.concat(F.lit('q"b\\s:'), F.col("source")),
+        # every 7th doc carries a null element -> literal null in JSON
+        F.when(F.col("n_chars") % 7 == 0, F.col("source")),
+    )
+    num_arr = F.array(
+        F.col("n_chars"), F.col("n_chars") % 10, F.lit(None).cast("long")
+    )
+    # null-field elision: the whole array is NULL except every 5th doc
+    maybe_arr = F.when(F.col("n_chars") % 5 == 0, str_arr)
+    return d.select(
+        "doc_id",
+        sink_column(str_arr, T.ArrayType(T.StringType())).alias("tags_json"),
+        sink_column(num_arr, T.ArrayType(T.LongType())).alias("nums_json"),
+        sink_column(maybe_arr, T.ArrayType(T.StringType())).alias("maybe_json"),
+    )
+
+
+SQL_SINK_ARRAY_JSON = r"""
+SELECT doc_id,
+       to_json([lang,
+                'q"b\s:' || source,
+                CASE WHEN n_chars % 7 = 0 THEN source END]) AS tags_json,
+       to_json([n_chars, n_chars % 10, NULL]) AS nums_json,
+       CASE WHEN n_chars % 5 = 0
+            THEN to_json([lang,
+                          'q"b\s:' || source,
+                          CASE WHEN n_chars % 7 = 0 THEN source END])
+       END AS maybe_json
+FROM documents
+"""
+
+
 def q_flatten_rename_drop(spark, sf):
     """P1/P2/P3: struct flattening, rename map, drop-by-prefix."""
     o = _t(spark, sf, "orders").select(
@@ -859,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CDC / ingestion surface
         "cdc_last_wins": q_cdc_last_wins,
         "sink_typed_strings": q_sink_typed_strings,
+        "sink_array_json": q_sink_array_json,
         "flatten_rename_drop": q_flatten_rename_drop,
         "shard_modulo": q_shard_modulo,
         # query surface Q1-Q8
@@ -903,6 +951,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_last_wins": SQL_CDC_LAST_WINS,
         "sink_typed_strings": SQL_SINK_TYPED_STRINGS,
+        "sink_array_json": SQL_SINK_ARRAY_JSON,
         "flatten_rename_drop": SQL_FLATTEN_RENAME_DROP,
         "shard_modulo": SQL_SHARD_MODULO,
         "match_all_topk": SQL_MATCH_ALL_TOPK,

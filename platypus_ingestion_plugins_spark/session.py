@@ -12,7 +12,66 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "platypus_spark", shuffle_partitions: int | None = None) -> SparkSession:
+def s3a_options(
+    warehouse_path: str,
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style_access: bool = False,
+) -> dict[str, str]:
+    """Translate warehouse/S3 settings into ``spark.hadoop.fs.s3a.*``
+    session confs (reference S4, PaimonIngestor.java:180-225; behavior
+    pinned by PaimonIngestorS3ConfigTest.java:40-227).
+
+    - non-``s3a://`` warehouse: no S3A confs at all.
+    - any ``s3a://`` warehouse gets the universal tuning the reference
+      applies unconditionally: 256 max connections, 128 threads, 64M
+      blocks, explicit S3AFileSystem impl.
+    - an ``endpoint`` marks a test/local stack (S3Mock): static
+      credentials via SimpleAWSCredentialsProvider, optional
+      path-style access.
+    - no endpoint marks production: the default AWS credentials
+      provider chain (IAM roles), and NO static keys even if passed.
+    """
+    if not warehouse_path.startswith("s3a://"):
+        return {}
+    pfx = "spark.hadoop.fs.s3a."
+    opts = {
+        pfx + "impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+        pfx + "connection.maximum": "256",
+        pfx + "threads.max": "128",
+        pfx + "block.size": "64M",
+    }
+    if endpoint:
+        opts[pfx + "endpoint"] = endpoint
+        opts[pfx + "access.key"] = access_key or ""
+        opts[pfx + "secret.key"] = secret_key or ""
+        opts[pfx + "aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
+        )
+        if path_style_access:
+            opts[pfx + "path.style.access"] = "true"
+    else:
+        opts[pfx + "aws.credentials.provider"] = (
+            "com.amazonaws.auth.DefaultAWSCredentialsProviderChain"
+        )
+    return opts
+
+
+def apply_s3a(spark: SparkSession, options: dict[str, str]) -> None:
+    """Apply s3a_options to a live session's Hadoop configuration (new
+    filesystem instances pick them up; pass to get_spark's extra_confs
+    instead when building the session)."""
+    hconf = spark._jsc.hadoopConfiguration()
+    for k, v in options.items():
+        hconf.set(k.removeprefix("spark.hadoop."), v)
+
+
+def get_spark(
+    app_name: str = "platypus_spark",
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or fetch) the session.
 
     ``spark.sql.shuffle.partitions`` defaults to the local core count:
@@ -39,6 +98,8 @@ def get_spark(app_name: str = "platypus_spark", shuffle_partitions: int | None =
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -1,8 +1,10 @@
 """Projection (P1/P2) and modulo sharding (D1-D4) semantics, incl. the
 reference's {2,7,12}-of-15 shard E2E (PaimonModuloShardingE2ETest)."""
 
+import os
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from platypus_ingestion_plugins_spark.operators.projection import drop_by_prefix, rename_fields
 from platypus_ingestion_plugins_spark.operators.sharding import (
@@ -63,6 +65,35 @@ def test_modulo_shard_e2e(spark, tmp_path):
     # drop internal prefix for the output document (E2E :121, 247-286)
     out = drop_by_prefix(shard, ["__internal_"])
     assert set(out.columns) == {"id", "title"}
+
+
+def test_modulo_shard_prunes_files_read(spark, tmp_path):
+    """Input-metrics check of the ~N-fold I/O reduction claim
+    (ModuloShardingStrategy.java:142-143): the sharded scan touches
+    only its own partition directory's files — at most 1/N of the
+    table's data files."""
+    df = spark.createDataFrame([Row(id=i, title=f"Title {i}") for i in range(100)])
+    path = str(tmp_path / "sharded")
+    write_modulo_partitioned(df, path, pk="id", partition_field="shard", max_shards=5)
+
+    import glob
+
+    total_files = len(glob.glob(f"{path}/shard=*/*.parquet"))
+    assert total_files >= 5  # one or more data files per partition dir
+
+    shard = sharding_strategy(
+        "modulo", partition_field="shard", shard_id=2, max_shards=5
+    ).apply(spark.read.parquet(path))
+    touched = [
+        r.f for r in shard.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert touched, "sharded read scanned no files"
+    assert all("/shard=2/" in f for f in touched), touched
+    # exactly the shard's own partition directory, nothing else
+    own_files = {os.path.basename(f) for f in glob.glob(f"{path}/shard=2/*.parquet")}
+    assert {os.path.basename(f) for f in touched} == own_files
+    # ~N-fold reduction (file counts per dir vary slightly with hashing)
+    assert len(touched) / total_files <= 1 / 5 + 0.05
 
 
 def test_no_sharding_passthrough(spark):
