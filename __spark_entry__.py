@@ -892,6 +892,85 @@ def q_stream_cdc_materialize(spark, sf):
 SQL_STREAM_CDC_MATERIALIZE = SQL_CDC_LAST_WINS
 
 
+def q_stream_sessionize(spark, sf):
+    """Stateful streaming sessionization (applyInPandasWithState): the
+    events table split into two event-time-ordered drops, streamed
+    through the checkpointed state store; emits CLOSED sessions
+    (30-min gap). Oracle: batch sessions minus each key's last
+    (still-open) session — cross-batch state must reconstruct exactly
+    the sessions a batch engine sees."""
+    import shutil
+    import tempfile
+
+    from platypus_ingestion_plugins_spark.streaming.stateful import sessionize_stream
+
+    ev = _t(spark, sf, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        sec = F.expr("ts DIV 1000000000")
+    else:
+        sec = F.col("ts").cast("timestamp").cast("long")
+    e = ev.select(F.col("user_id").cast("string").alias("k"), sec.alias("t"))
+    mid = e.approxQuantile("t", [0.5], 0.0)[0]
+
+    work = tempfile.mkdtemp(prefix="stream_sess_")
+    try:
+        src = os.path.join(work, "src")
+        out = os.path.join(work, "out")
+        ckpt = os.path.join(work, "ckpt")
+        e.filter(F.col("t") <= mid).coalesce(4).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def run_available():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 100)
+                .parquet(src)
+            )
+            q = (
+                sessionize_stream(stream, key_col="k", ts_col="t", gap_s=1800)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_available()
+        e.filter(F.col("t") > mid).coalesce(4).write.mode("append").parquet(src)
+        run_available()
+        res = spark.read.parquet(out)
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+SQL_STREAM_SESSIONIZE = """
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS key,
+         epoch_ns(ts) // 1000000000 AS t
+  FROM events),
+o AS (
+  SELECT key, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY key ORDER BY t) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM e),
+s AS (
+  SELECT key, t,
+         sum(brk) OVER (PARTITION BY key ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o),
+agg AS (
+  SELECT key, sid, min(t) AS session_start, max(t) AS session_end,
+         count(*) AS n_events
+  FROM s GROUP BY key, sid),
+last AS (SELECT key, max(sid) AS last_sid FROM agg GROUP BY key)
+SELECT a.key, a.session_start, a.session_end, a.n_events
+FROM agg a JOIN last l ON a.key = l.key AND a.sid < l.last_sid
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -927,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "set_except": q_set_except,
         "sessionize": q_sessionize,
+        "stream_sessionize": q_stream_sessionize,
         "hourly_agg": q_hourly_agg,
         "asof_join": q_asof_join,
         # LLM-pipeline extensions
@@ -970,6 +1050,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_join": SQL_SEMI_JOIN,
         "set_except": SQL_SET_EXCEPT,
         "sessionize": SQL_SESSIONIZE,
+        "stream_sessionize": SQL_STREAM_SESSIONIZE,
         "hourly_agg": SQL_HOURLY_AGG,
         "asof_join": SQL_ASOF_JOIN,
         "dedup_exact": SQL_DEDUP_EXACT,

@@ -1,0 +1,109 @@
+"""Event-time watermark semantics and cross-batch stateful operators,
+exercised through real streaming checkpoints (two availableNow passes
+over a growing file source)."""
+
+import glob
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from platypus_ingestion_plugins_spark.streaming.stateful import sessionize_stream
+from platypus_ingestion_plugins_spark.streaming.windows import (
+    windowed_counts,
+    with_event_time,
+)
+
+EV_SCHEMA = T.StructType(
+    [T.StructField("k", T.StringType()), T.StructField("ts", T.LongType())]
+)
+
+
+def _drop(spark, src, rows):
+    spark.createDataFrame([Row(k=k, ts=t) for k, t in rows], EV_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+
+def _run_stream(spark, src, ckpt, out, transform):
+    stream = (
+        spark.readStream.schema(EV_SCHEMA).option("maxFilesPerTrigger", 100).parquet(src)
+    )
+    q = (
+        transform(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _read_out(spark, out):
+    if not glob.glob(os.path.join(out, "*.parquet")):
+        return []
+    return spark.read.parquet(out).collect()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode tumbling windows: a row arriving later than the
+    watermark delay is discarded and never reopens a finalized window."""
+    src, ckpt, out = (str(tmp_path / n) for n in ("src", "ckpt", "out"))
+
+    def xf(stream):
+        return windowed_counts(
+            with_event_time(stream, "ts"),
+            window_duration="10 seconds",
+            watermark_delay="5 seconds",
+        ).select(
+            F.col("win.start").cast("long").alias("w_start"),
+            "n_events",
+        )
+
+    # batch 1: windows [0,10) x3 rows, [10,20) x1, [20,30) x1 (max ts 25
+    # -> watermark 20 after the batch; [0,10) and [10,20) finalize)
+    _drop(spark, src, [("a", 1), ("a", 3), ("b", 9), ("a", 12), ("b", 25)])
+    _run_stream(spark, src, ckpt, out, xf)
+    first = {r.w_start: r.n_events for r in _read_out(spark, out)}
+    assert first == {0: 3, 10: 1}
+
+    # batch 2: ts=3 is later than the watermark (20) -> dropped; ts=41
+    # advances the watermark to 36 -> [20,30) finalizes WITHOUT the late row
+    _drop(spark, src, [("a", 3), ("a", 41)])
+    _run_stream(spark, src, ckpt, out, xf)
+    final = {r.w_start: r.n_events for r in _read_out(spark, out)}
+    assert final[0] == 3, "late ts=3 must not reopen the finalized [0,10) window"
+    assert final[20] == 1, "the [20,30) window must not contain the late row"
+
+
+def test_sessionize_stream_state_spans_batches(spark, tmp_path):
+    """A session open at the end of batch 1 is closed by a batch-2 event
+    after the gap — state carried through the checkpointed state store."""
+    src, ckpt, out = (str(tmp_path / n) for n in ("src", "ckpt", "out"))
+
+    def xf(stream):
+        return sessionize_stream(stream, key_col="k", ts_col="ts", gap_s=10)
+
+    # batch 1: key a has events 1,5 (one open session); key b has 100
+    _drop(spark, src, [("a", 1), ("a", 5), ("b", 100)])
+    _run_stream(spark, src, ckpt, out, xf)
+    assert _read_out(spark, out) == []  # nothing closed yet
+
+    # batch 2: a@50 exceeds the gap -> closes [1,5] (2 events) and opens
+    # a new session; in-batch a@51,a@99 shows gap-split within a batch too
+    _drop(spark, src, [("a", 50), ("a", 51), ("a", 99)])
+    _run_stream(spark, src, ckpt, out, xf)
+    rows = {(r.key, r.session_start, r.session_end, r.n_events) for r in _read_out(spark, out)}
+    assert ("a", 1, 5, 2) in rows, rows
+
+    # batch 3: another gap closes [50,51] as one session of 2 and [99,99]
+    _drop(spark, src, [("a", 200)])
+    _run_stream(spark, src, ckpt, out, xf)
+    rows = {(r.key, r.session_start, r.session_end, r.n_events) for r in _read_out(spark, out)}
+    assert ("a", 50, 51, 2) in rows
+    assert ("a", 99, 99, 1) in rows
+    # b's session (single event at 100) is still open -> not emitted
+    assert not any(r[0] == "b" for r in rows)
