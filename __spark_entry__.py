@@ -689,6 +689,41 @@ ORDER BY cos_sim DESC, vec_id LIMIT 5
 """
 
 
+def q_similarity_ivf(spark, sf):
+    """IVF ANN: 16 inverted lists (deterministic lowest-id centroids),
+    query probes its 2 nearest lists, exact cosine within them only
+    (~1/8 of the corpus touched)."""
+    emb = _t(spark, sf, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=10,
+        n_centroids=16, nprobe=2, dim=64,
+    )
+
+
+SQL_SIMILARITY_IVF = """
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+scored AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cent_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) AS sim
+  FROM embeddings e CROSS JOIN cents c),
+assigned AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cent_id) AS rn
+    FROM scored) WHERE rn = 1),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT c.cent_id
+  FROM cents c CROSS JOIN q
+  ORDER BY list_cosine_similarity(q.qv, c.cvec) DESC, c.cent_id LIMIT 2)
+SELECT a.vec_id, round(list_cosine_similarity(a.v, q.qv), 6) AS cos_sim
+FROM assigned a JOIN probe p ON a.cent_id = p.cent_id CROSS JOIN q
+ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+"""
+
+
 def q_embedding_neardup(spark, sf):
     """Banded sign-LSH blocking (8 bands x 8 sign bits = all 64 dims),
     exact cosine verification of candidates only — never O(n^2).
@@ -1017,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
+        "similarity_ivf": q_similarity_ivf,
         "embedding_neardup": q_embedding_neardup,
         "text_stats": q_text_stats,
         "text_language_id": q_text_language_id,
@@ -1060,6 +1096,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups": SQL_DEDUP_GROUPS,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "similarity_ann": SQL_SIMILARITY_ANN,
+        "similarity_ivf": SQL_SIMILARITY_IVF,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "text_stats": SQL_TEXT_STATS,
         "text_language_id": SQL_TEXT_LANGUAGE_ID,

@@ -132,6 +132,87 @@ def ann_topk(
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine).
+
+    Centroids broadcast; the scored frame is reduced with a map-side
+    ``max_by`` partial aggregate (no window shuffle of the x-centroid
+    blowup — the shuffle carries one row per vector). Ties go to the
+    smallest centroid id, so assignment is deterministic.
+    Output: (id, vec, cent_id)."""
+    cents = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("cent_id"), _dvec(F.col(vec_col)).alias("__cvec")
+        )
+    )
+    scored = emb.crossJoin(cents).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cent_id"),
+        cosine(F.col(vec_col), F.col("__cvec"), dim).alias("__sim"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),
+        F.max_by("cent_id", F.struct(F.col("__sim"), -F.col("cent_id"))).alias("cent_id"),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    dim: int | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: the corpus is partitioned into inverted
+    lists by nearest centroid; the query probes only its ``nprobe``
+    closest lists, so the exact cosine touches ~nprobe/n_centroids of
+    the corpus.
+
+    Default centroids are the ``n_centroids`` lowest-id vectors — a
+    deterministic, oracle-reproducible seed; pass ``centroids`` (e.g.
+    k-means output) for production recall. At 100 TB the assignment is
+    computed once at write time and the table is partitioned by
+    cent_id, making each probe a partition-pruned scan (the same
+    manifest-level skip as the modulo shard, SURVEY §2.4)."""
+    cents = centroids if centroids is not None else emb.orderBy(id_col).limit(n_centroids)
+    assigned = ivf_assign(emb, cents, id_col, vec_col, dim)
+    q = query.select(_dvec(F.col(vec_col)).alias("__qvec"))
+    probe = (
+        q.crossJoin(
+            F.broadcast(
+                cents.select(
+                    F.col(id_col).alias("cent_id"), _dvec(F.col(vec_col)).alias("__cvec")
+                )
+            )
+        )
+        .select("cent_id", cosine(F.col("__qvec"), F.col("__cvec"), dim).alias("__sim"))
+        .orderBy(F.col("__sim").desc(), F.col("cent_id"))
+        .limit(nprobe)
+        .select("cent_id")
+    )
+    return (
+        assigned.join(F.broadcast(probe), "cent_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__qvec"), dim), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -39,6 +39,13 @@ def main() -> None:
         finally:
             sys.stdout = stdout
         plan = buf.getvalue()
+        # AQE hides codegen spans until the final plan exists; execute,
+        # then read the executed plan (asterisk markers = codegen stages)
+        try:
+            df.collect()  # executes THIS dataset's own QueryExecution
+            plan += df._jdf.queryExecution().executedPlan().toString()
+        except Exception:
+            pass
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         pushed_n = sum(1 for p in pushed if p.strip())
         scans = len(re.findall(r"Scan parquet", plan))
@@ -46,7 +53,9 @@ def main() -> None:
         smj = len(re.findall(r"SortMergeJoin", plan))
         shj = len(re.findall(r"ShuffledHashJoin", plan))
         exchanges = len(re.findall(r"\bExchange\b|\(Exchange", plan))
-        codegen = len(re.findall(r"WholeStageCodegen", plan))
+        codegen = len(set(re.findall(r"\*\((\d+)\)", plan))) or len(
+            re.findall(r"WholeStageCodegen", plan)
+        )
         pyudf = len(re.findall(r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas", plan))
         wide = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
         widths = [len(w.split(",")) for w in wide if w]

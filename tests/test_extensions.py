@@ -102,6 +102,32 @@ def test_ann_bucket_restricts(spark):
     assert got == [0, 1]  # vec 2 is in another sign bucket
 
 
+def test_ivf_probe_restricts(spark):
+    # centroids = two lowest ids: vec 0 ~ x-axis cluster, vec 1 ~ y-axis.
+    # nprobe=1 from an x-axis query must only see the x-list — vec 3 is
+    # a better cosine match than 2 but lives in the y-list.
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.0, 1.0]),
+            Row(vec_id=2, embedding=[1.0, 0.2]),
+            Row(vec_id=3, embedding=[0.55, 0.6]),  # nearest centroid: y
+        ]
+    )
+    q = emb.filter("vec_id = 0")
+    got = [
+        r.vec_id
+        for r in similarity.ivf_topk(emb, q, k=4, n_centroids=2, nprobe=1).collect()
+    ]
+    assert got == [0, 2]
+    # nprobe=2 probes both lists -> full recall
+    all_got = [
+        r.vec_id
+        for r in similarity.ivf_topk(emb, q, k=4, n_centroids=2, nprobe=2).collect()
+    ]
+    assert set(all_got) == {0, 1, 2, 3}
+
+
 def test_neardup_pairs(spark):
     emb = spark.createDataFrame(
         [Row(vec_id=0, embedding=[1.0, 0.0]), Row(vec_id=1, embedding=[0.999, 0.01]),
