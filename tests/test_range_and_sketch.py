@@ -1,0 +1,67 @@
+"""Range join blocking semantics and the deterministic distinct sketch."""
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from platypus_ingestion_plugins_spark.functions.sketches import distinct_estimate
+from platypus_ingestion_plugins_spark.operators.range_join import range_join
+
+
+def test_range_join_matches_naive(spark):
+    points = spark.createDataFrame(
+        [Row(pid=i, x=float(i)) for i in range(50)]
+    )
+    intervals = spark.createDataFrame(
+        [
+            Row(iid=0, lo=0.0, hi=10.0),
+            Row(iid=1, lo=5.0, hi=6.0),       # narrower than a bucket
+            Row(iid=2, lo=38.5, hi=62.0),     # spans several buckets
+            Row(iid=3, lo=100.0, hi=200.0),   # matches nothing
+        ]
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(points, intervals, "x", "lo", "hi", bucket_width=8.0).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in points.crossJoin(intervals)
+        .filter((F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi")))
+        .collect()
+    }
+    assert got == naive
+    assert (5, 1) in got and (5, 0) in got  # overlap -> multiple matches
+    assert not any(iid == 3 for _, iid in got)
+    # half-open: hi itself excluded
+    assert (10, 0) not in got and (6, 1) not in got
+
+
+def test_range_join_fractional_bucket_edges(spark):
+    points = spark.createDataFrame([Row(pid=0, x=7.25), Row(pid=1, x=7.75)])
+    intervals = spark.createDataFrame([Row(iid=0, lo=7.5, hi=7.8)])
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(points, intervals, "x", "lo", "hi", bucket_width=0.5).collect()
+    }
+    assert got == {(1, 0)}
+
+
+def test_distinct_sketch_accuracy(spark):
+    n = 3000
+    df = spark.range(n * 3).select((F.col("id") % n).alias("v"))
+    est = df.agg(distinct_estimate("v", m=64).alias("e")).collect()[0].e
+    # ~1/sqrt(64) = 12.5% relative error; allow 3 sigma
+    assert abs(est - n) / n < 0.4, est
+    # deterministic: same input -> bit-identical estimate
+    est2 = df.agg(distinct_estimate("v", m=64).alias("e")).collect()[0].e
+    assert est == est2
+
+
+def test_distinct_sketch_dup_invariant(spark):
+    a = spark.range(100).select(F.col("id").alias("v"))
+    b = spark.range(100).union(spark.range(100)).select(F.col("id").alias("v"))
+    ea = a.agg(distinct_estimate("v", m=32).alias("e")).collect()[0].e
+    eb = b.agg(distinct_estimate("v", m=32).alias("e")).collect()[0].e
+    assert ea == eb  # duplicates never move the estimate
