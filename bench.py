@@ -36,6 +36,10 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        # queries are independent jobs: drop any cached/checkpointed
+        # blocks an operator pinned so later timings aren't distorted
+        # by block-manager pressure from earlier ones
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

@@ -83,6 +83,63 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("resized_bytes", T.LongType()),
+    ]
+)
+
+
+def resize(
+    df: DataFrame,
+    target_bytes: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Resize/transcode stage over mapInPandas (Arrow batches).
+
+    Stub kernel: deterministic byte-stride downsample of the payload to
+    <= target_bytes (stride = ceil(len/target)), standing in for a real
+    decode->scale->re-encode (libvips/PIL/ffmpeg not in this
+    environment; ``decode_stub=False`` marks where it goes). The
+    plumbing — binary in/out through Arrow, per-batch Python crossing,
+    schema with size accounting — is the real production shape."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media resize requires codecs not present in this "
+                    "environment; pass decode_stub=True"
+                )
+            out_payloads, orig, resized = [], [], []
+            for buf in pdf[payload_col]:
+                raw = bytes(buf)
+                stride = max(1, math.ceil(len(raw) / target_bytes)) if raw else 1
+                small = raw[::stride]
+                out_payloads.append(small)
+                orig.append(len(raw))
+                resized.append(len(small))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": out_payloads,
+                    "orig_bytes": orig,
+                    "resized_bytes": resized,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, RESIZED_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", every_n_bytes: int = 64
 ) -> DataFrame:

@@ -156,6 +156,23 @@ def test_text_functions(spark):
     assert df2.select(TX.fingerprint("text").alias("fp")).collect()[0].fp == row.fp
 
 
+def test_multimodal_resize(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a" * 100), Row(doc_id=2, text="bc")]
+    )
+    resized = {
+        r.doc_id: r
+        for r in multimodal.resize(
+            multimodal.attach_payload(df, "text"), target_bytes=10
+        ).collect()
+    }
+    assert resized[1].orig_bytes == 100 and resized[1].resized_bytes == 10
+    assert resized[2].resized_bytes == 2  # already under target -> unchanged
+    assert bytes(resized[2].payload) == b"bc"
+    # deterministic stride sample
+    assert bytes(resized[1].payload) == b"a" * 10
+
+
 def test_asof_join(spark):
     trades = spark.createDataFrame(
         [Row(sym="A", t=3, qty=10), Row(sym="A", t=7, qty=20), Row(sym="B", t=5, qty=5)]
