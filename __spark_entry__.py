@@ -667,7 +667,7 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.1
 def q_dedup_groups(spark, sf):
     docs = _t(spark, sf, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
-    return dedup.connected_components(pairs, nodes=docs, id_col="doc_id")
+    return dedup.connected_components_star(pairs, nodes=docs, id_col="doc_id")
 
 
 SQL_DEDUP_GROUPS = f"""

@@ -241,3 +241,32 @@ def test_connected_components(spark):
     # without nodes: only graph members, same labels
     got2 = dict(dedup.connected_components(pairs, id_col="doc_id").collect())
     assert got2 == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_star(spark):
+    # same fixture as label propagation — identical output contract
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "doc_id long")
+    got = dict(dedup.connected_components_star(pairs, nodes=nodes, id_col="doc_id").collect())
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+    # high-diameter path graph (the case star exists for): a 40-node
+    # chain converges in O(log n) star rounds, not 40 propagation hops
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "id_a long, id_b long"
+    )
+    got_star = dict(dedup.connected_components_star(chain, id_col="doc_id", max_iter=8).collect())
+    assert got_star == {i: 1 for i in range(1, 41)}
+    # agrees with label propagation on a random-ish graph
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randint(1, 60), rng.randint(1, 60)) for _ in range(50)]
+    pdf = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = dict(dedup.connected_components(pdf, id_col="doc_id").collect())
+    b = dict(dedup.connected_components_star(pdf, id_col="doc_id").collect())
+    # propagation keeps self-loop-only nodes; star drops pure self-loops —
+    # compare on the union domain with singleton fill
+    for k in set(a) | set(b):
+        assert a.get(k, k) == b.get(k, k)
