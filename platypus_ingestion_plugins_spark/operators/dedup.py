@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from platypus_ingestion_plugins_spark.functions.text import tokens
+from platypus_ingestion_plugins_spark.session import ensure_parallelism
 
 
 def content_hash(cols: list[str]) -> Column:
@@ -46,6 +47,9 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     transform over a token-index sequence keeps everything in one
     projection (no join); explode fans out to the inverted index.
     """
+    # tokenize+gram is the CPU-heavy map stage: spread a
+    # few-split source across cores first (no-op on real multi-split inputs)
+    df = ensure_parallelism(df)
     toks = tokens(text_col)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -398,7 +402,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     fingerprint bit j is 1 iff the sum over tokens of (2*bit-1) > 0.
     Pure integer arithmetic on md5 -> oracle-reproducible anywhere.
     Output: (id, simhash long)."""
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tok = ensure_parallelism(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     hexd = F.md5(F.col("tok"))
     digit = lambda j: (  # noqa: E731
         F.instr(F.lit("0123456789abcdef"), F.substring(hexd, j // 4 + 1, 1)) - 1

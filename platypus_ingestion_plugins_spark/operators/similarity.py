@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from platypus_ingestion_plugins_spark.session import ensure_parallelism
+
 
 def _dvec(col: Column) -> Column:
     return col.cast("array<double>")
@@ -63,7 +65,7 @@ def brute_force_topk(
     no shuffle of the corpus itself."""
     q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
     return (
-        emb.crossJoin(q)
+        ensure_parallelism(emb).crossJoin(q)
         .select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), F.col("__qvec"), dim), 6).alias("cos_sim"),
@@ -121,7 +123,7 @@ def ann_topk(
         )
     )
     return (
-        emb.withColumn("__bucket", signbit_bucket(F.col(vec_col), bits))
+        ensure_parallelism(emb).withColumn("__bucket", signbit_bucket(F.col(vec_col), bits))
         .join(q, F.col("__bucket") == F.col("__qbucket"))
         .select(
             F.col(id_col),
@@ -156,7 +158,7 @@ def ivf_assign(
             F.col(id_col).alias("cent_id"), _dvec(F.col(vec_col)).alias("__cvec")
         )
     )
-    scored = emb.crossJoin(cents).select(
+    scored = ensure_parallelism(emb).crossJoin(cents).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("cent_id"),
@@ -246,7 +248,7 @@ def neardup_pairs(
     join path blows whole-stage-codegen limits and runs ~8x slower
     (measured 7.9s vs 1.0s at sf0.1); ``dim`` only unrolls the
     map-side norm."""
-    base = emb.select(
+    base = ensure_parallelism(emb).select(
         F.col(id_col).alias("__id"),
         _dvec(F.col(vec_col)).alias("__v"),
         norm(F.col(vec_col), dim).alias("__n"),

@@ -105,6 +105,23 @@ def get_spark(
     return spark
 
 
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Round-robin repartition IFF the plan is under-parallelized.
+
+    Heavy per-row compute (tokenize/shingle/hash over text, vector
+    math over embeddings) inherits the scan's split count; a small
+    single-row-group parquet file yields ONE task and serializes the
+    whole stage on one core. At 100 TB inputs arrive as thousands of
+    splits and this is a no-op — the repartition (and its shuffle)
+    only fires when the source has fewer partitions than cores, i.e.
+    exactly the small-input regime where the shuffle is cheap.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Load driver parquet tables and register temp views; returns dict."""
     if not names:
