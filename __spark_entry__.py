@@ -335,6 +335,34 @@ GROUP BY c_mktsegment
 """
 
 
+def q_salted_join_agg(spark, sf):
+    """Skew-safe salted join (operators/skew.py): lineitem x supplier on
+    suppkey with a hot-key threshold low enough that every supplier
+    takes the salted path — scattered across 4 salts on the big side,
+    replicated 4x on the small side. Oracle asserts the result is
+    row-for-row the plain equi-join: salting must never change
+    semantics, only task balance."""
+    from platypus_ingestion_plugins_spark.operators.skew import salted_join
+
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    j = salted_join(li, s, "l_suppkey", salts=4, hot_threshold=50)
+    return j.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dec_sum(F.col("l_quantity"), 2, "sum_qty"),
+    )
+
+
+SQL_SALTED_JOIN_AGG = """
+SELECT s_nationkey, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
 def q_tpch_q5ish(spark, sf):
     """Multi-way join: revenue per nation in ASIA (Q5 shape: region ->
     nation -> customer -> orders -> lineitem -> supplier co-located)."""
@@ -891,6 +919,65 @@ SELECT doc_id, CASE {case} ELSE 'und' END AS pred_lang FROM b
 SQL_TEXT_LANGUAGE_ID = _lang_sql()
 
 
+def q_text_quality_filter(spark, sf):
+    """The composition a training-data pipeline actually runs: keep
+    English documents above a quality floor and a token floor. Pure
+    Catalyst expressions end to end — the filter evaluates inside the
+    scan's WholeStageCodegen, no shuffle at all."""
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.quality_score("text").alias("quality"),
+        TX.language_id("text").alias("pred_lang"),
+    )
+    return scored.filter(
+        (F.col("pred_lang") == "en")
+        & (F.col("quality") >= 0.6)
+        & (F.col("n_tokens") >= 50)
+    )
+
+
+def _quality_filter_sql() -> str:
+    scores = ",\n".join(
+        "  len(list_filter(toks, x -> list_contains({lst}, x))) AS s_{lang}".format(
+            lst="[" + ",".join(f"'{w}'" for w in ws) + "]", lang=lang
+        )
+        for lang, ws in _STOP.items()
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in _STOP) + ")"
+    case = " ".join(
+        f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'" for lang in _STOP
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha
+  FROM documents),
+q AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+    round(((CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN n_chars::DOUBLE / greatest(len(toks), 1) >= 3.0
+                 AND n_chars::DOUBLE / greatest(len(toks), 1) <= 12.0 THEN 1.0 ELSE 0.0 END)
+         + alpha::DOUBLE / greatest(n_chars, 1)) / 3.0, 6) AS quality
+  FROM b),
+s AS (SELECT doc_id, n_tokens, quality,
+{scores}
+  FROM q),
+l AS (SELECT doc_id, n_tokens, quality, {best} AS best,
+             s_en, s_es, s_de, s_fr FROM s)
+SELECT doc_id, n_tokens, quality,
+       CASE {case} ELSE 'und' END AS pred_lang
+FROM l
+WHERE (CASE {case} ELSE 'und' END) = 'en'
+  AND quality >= 0.6 AND n_tokens >= 50
+"""
+
+
+SQL_TEXT_QUALITY_FILTER = _quality_filter_sql()
+
+
 def q_multimodal_meta(spark, sf):
     d = multimodal.attach_payload(_t(spark, sf, "documents"), "text", mime="text/plain")
     return d.select(
@@ -1099,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational surface
         "tpch_q1": q_tpch_q1,
         "join_segment_revenue": q_join_segment_revenue,
+        "salted_join_agg": q_salted_join_agg,
         "tpch_q5ish": q_tpch_q5ish,
         "window_topk_per_group": q_window_topk_per_group,
         "agg_rollup": q_agg_rollup,
@@ -1123,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "text_stats": q_text_stats,
         "text_language_id": q_text_language_id,
+        "text_quality_filter": q_text_quality_filter,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         # streaming (real readStream -> foreachBatch -> serving table)
@@ -1146,6 +1235,7 @@ def oracle_sql() -> dict[str, str]:
         "multivalued_contains": SQL_MULTIVALUED_CONTAINS,
         "tpch_q1": SQL_TPCH_Q1,
         "join_segment_revenue": SQL_JOIN_SEGMENT_REVENUE,
+        "salted_join_agg": SQL_SALTED_JOIN_AGG,
         "tpch_q5ish": SQL_TPCH_Q5ISH,
         "window_topk_per_group": SQL_WINDOW_TOPK_PER_GROUP,
         "agg_rollup": SQL_AGG_ROLLUP,
@@ -1169,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "text_stats": SQL_TEXT_STATS,
         "text_language_id": SQL_TEXT_LANGUAGE_ID,
+        "text_quality_filter": SQL_TEXT_QUALITY_FILTER,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "stream_cdc_materialize": SQL_STREAM_CDC_MATERIALIZE,

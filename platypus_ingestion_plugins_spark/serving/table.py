@@ -166,10 +166,14 @@ class ServingTable:
             .partitionBy(BUCKET_COL)
             .parquet(self._staging)
         )
-        # per-bucket swap: old dir aside -> staged dir in -> drop old.
+        self._swap_buckets(changed)
+        self._write_schema(merged.schema)
+
+    def _swap_buckets(self, buckets: list[int]) -> None:
+        """Per-bucket swap: old dir aside -> staged dir in -> drop old."""
         fs.delete(self.spark, self._old)
         fs.mkdirs(self.spark, self._old)
-        for b in changed:
+        for b in buckets:
             part = f"{BUCKET_COL}={b}"
             live = f"{self.path}/{part}"
             staged = f"{self._staging}/{part}"
@@ -179,7 +183,57 @@ class ServingTable:
                 fs.rename(self.spark, staged, live)
         fs.delete(self.spark, self._old)
         fs.delete(self.spark, self._staging)
-        self._write_schema(merged.schema)
+
+    def compact(self, max_files_per_bucket: int = 4) -> list[int]:
+        """Small-file compaction: rewrite oversized bucket directories
+        down to one parquet file each.
+
+        Every micro-batch write fans a bucket's rows across its shuffle
+        tasks, so a hot bucket accumulates up to #tasks files per
+        rewrite; query-side scan cost and file-listing latency grow with
+        file count, not data size (the classic streaming-sink pathology
+        at scale — the reference delegates this to Paimon's own
+        compaction). Only buckets whose parquet-file count exceeds
+        ``max_files_per_bucket`` are rewritten, through the same
+        stage-then-swap barrier as apply_batch, so a crash mid-compaction
+        is recoverable and readers never see a partial bucket. Returns
+        the bucket ids compacted.
+
+        Unbucketed tables compact to a single file via the full-rewrite
+        path when the table directory is oversized.
+        """
+        if not self.exists():
+            return []
+        if not self.num_buckets:
+            n_files = sum(
+                1 for n in fs.list_names(self.spark, self.path) if n.endswith(".parquet")
+            )
+            if n_files <= max_files_per_bucket:
+                return []
+            self.overwrite(self.query().coalesce(1))
+            return [0]
+
+        oversized = []
+        for name in fs.list_names(self.spark, self.path):
+            if not name.startswith(f"{BUCKET_COL}="):
+                continue
+            b = int(name.split("=", 1)[1])
+            files = fs.list_names(self.spark, f"{self.path}/{name}")
+            if sum(1 for f in files if f.endswith(".parquet")) > max_files_per_bucket:
+                oversized.append(b)
+        if not oversized:
+            return []
+        current = self.spark.read.parquet(self.path)
+        # one shuffle partition per bucket -> exactly one output file each
+        (
+            current.filter(F.col(BUCKET_COL).isin(oversized))
+            .repartition(len(oversized), F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(self._staging)
+        )
+        self._swap_buckets(sorted(oversized))
+        return sorted(oversized)
 
     def query(self) -> DataFrame:
         df = self.read()

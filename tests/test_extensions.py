@@ -270,3 +270,24 @@ def test_connected_components_star(spark):
     # compare on the union domain with singleton fill
     for k in set(a) | set(b):
         assert a.get(k, k) == b.get(k, k)
+
+
+def test_salted_join(spark):
+    from platypus_ingestion_plugins_spark.operators import skew
+
+    # key 1 is hot (60 rows), keys 2/3 cold; key 9 missing from small
+    big = spark.createDataFrame(
+        [(1, i) for i in range(60)] + [(2, 100), (3, 101), (9, 102)], "k long, v long"
+    )
+    small = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, tag string")
+    expect = sorted(big.join(small, "k").collect())
+    got = sorted(skew.salted_join(big, small, "k", salts=4, hot_threshold=10).collect())
+    assert got == expect
+    # left join keeps the unmatched big row
+    expect_l = sorted(map(tuple, big.join(small, "k", "left").collect()))
+    got_l = sorted(map(tuple, skew.salted_join(big, small, "k", salts=4, hot_threshold=10, how="left").collect()))
+    assert got_l == expect_l
+    # hot_keys finds exactly the hot key; sampled estimate agrees
+    assert [r.k for r in skew.hot_keys(big, "k", 10).collect()] == [1]
+    hot_sampled = {r.k for r in skew.hot_keys(big, "k", 10, sample_fraction=0.5).collect()}
+    assert 1 in hot_sampled and not hot_sampled - {1}

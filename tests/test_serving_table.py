@@ -150,3 +150,45 @@ def test_fs_shim_roundtrip(spark, tmp_path):
     fs.delete(spark, base)
     assert not fs.exists(spark, base)
     assert fs.list_names(spark, base) == []
+
+
+def test_compact_bucketed(spark, tmp_path):
+    tbl = ServingTable(spark, str(tmp_path / "t"), key="id", num_buckets=2)
+    # a wide write fans each bucket across many tasks -> small files
+    wide = spark.createDataFrame(
+        [Row(id=f"k{i}", title=f"v{i}") for i in range(40)]
+    ).repartition(8)
+    tbl.overwrite(wide)
+    before = {r.id: r.title for r in tbl.query().collect()}
+
+    def files_per_bucket():
+        out = {}
+        for name in fs.list_names(spark, tbl.path):
+            if name.startswith(f"{BUCKET_COL}="):
+                out[name] = sum(
+                    1
+                    for f in fs.list_names(spark, f"{tbl.path}/{name}")
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    assert any(n > 1 for n in files_per_bucket().values())
+    compacted = tbl.compact(max_files_per_bucket=1)
+    assert compacted  # something was oversized
+    assert all(n == 1 for n in files_per_bucket().values())
+    # data identical, and a second compact is a no-op
+    assert {r.id: r.title for r in tbl.query().collect()} == before
+    assert tbl.compact(max_files_per_bucket=1) == []
+
+
+def test_compact_unbucketed(spark, tmp_path):
+    tbl = ServingTable(spark, str(tmp_path / "u"), key="id")
+    tbl.apply_batch(_batch(spark, *[(i, "+I", f"k{i}", f"v{i}") for i in range(40)]))
+    before = {r.id: r.title for r in tbl.query().collect()}
+    n_files = sum(1 for n in fs.list_names(spark, tbl.path) if n.endswith(".parquet"))
+    if n_files > 1:
+        assert tbl.compact(max_files_per_bucket=1) == [0]
+    assert (
+        sum(1 for n in fs.list_names(spark, tbl.path) if n.endswith(".parquet")) == 1
+    )
+    assert {r.id: r.title for r in tbl.query().collect()} == before
