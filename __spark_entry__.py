@@ -1079,6 +1079,60 @@ def q_stream_cdc_materialize(spark, sf):
 SQL_STREAM_CDC_MATERIALIZE = SQL_CDC_LAST_WINS
 
 
+def q_stream_dedup_exact(spark, sf):
+    """Streaming exact dedup: documents split into two drops, streamed
+    with ``dropDuplicates`` on the content hash — the dedup state
+    lives in the checkpointed state store, so a drop-2 document that
+    duplicates a drop-1 document is suppressed ACROSS micro-batches.
+    Emits the surviving hash set (the one deterministic projection: a
+    duplicate group's surviving doc_id depends on arrival order).
+    Oracle: batch DISTINCT over the same hash."""
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        src = os.path.join(work, "src")
+        out = os.path.join(work, "out")
+        ckpt = os.path.join(work, "ckpt")
+        docs.filter(F.col("doc_id") <= mid).coalesce(4).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def run_available():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 100)
+                .parquet(src)
+            )
+            q = (
+                stream.select(F.sha2(F.col("text"), 256).alias("content_sha"))
+                .dropDuplicates(["content_sha"])
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_available()
+        docs.filter(F.col("doc_id") > mid).coalesce(4).write.mode("append").parquet(src)
+        run_available()
+        res = spark.read.parquet(out)
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+SQL_STREAM_DEDUP_EXACT = """
+SELECT DISTINCT sha256(text) AS content_sha FROM documents
+"""
+
+
 def q_stream_sessionize(spark, sf):
     """Stateful streaming sessionization (applyInPandasWithState): the
     events table split into two event-time-ordered drops, streamed
@@ -1216,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         # streaming (real readStream -> foreachBatch -> serving table)
         "stream_cdc_materialize": q_stream_cdc_materialize,
+        "stream_dedup_exact": q_stream_dedup_exact,
     }
 
 
@@ -1263,4 +1318,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": SQL_MULTIMODAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "stream_cdc_materialize": SQL_STREAM_CDC_MATERIALIZE,
+        "stream_dedup_exact": SQL_STREAM_DEDUP_EXACT,
     }

@@ -107,3 +107,20 @@ def test_sessionize_stream_state_spans_batches(spark, tmp_path):
     assert ("a", 99, 99, 1) in rows
     # b's session (single event at 100) is still open -> not emitted
     assert not any(r[0] == "b" for r in rows)
+
+
+def test_stream_dedup_suppresses_across_batches(spark, tmp_path):
+    """dropDuplicates state persists in the checkpoint: a batch-2 row
+    duplicating a batch-1 row is never emitted."""
+    src, ckpt, out = (str(tmp_path / n) for n in ("src", "ckpt", "out"))
+
+    def xf(stream):
+        return stream.select(F.sha2(F.col("k"), 256).alias("sha")).dropDuplicates(["sha"])
+
+    _drop(spark, src, [("alpha", 1), ("beta", 2), ("alpha", 3)])
+    _run_stream(spark, src, ckpt, out, xf)
+    assert len(_read_out(spark, out)) == 2  # within-batch dedup
+    _drop(spark, src, [("alpha", 4), ("gamma", 5)])
+    _run_stream(spark, src, ckpt, out, xf)
+    rows = _read_out(spark, out)
+    assert len(rows) == 3  # alpha suppressed cross-batch; gamma new
