@@ -344,7 +344,9 @@ def q_salted_join_agg(spark, sf):
     semantics, only task balance."""
     from platypus_ingestion_plugins_spark.operators.skew import salted_join
 
-    li = _t(spark, sf, "lineitem")
+    # project BEFORE salting: the salt is a content hash of the big
+    # side's row, so an unprojected frame would read every column
+    li = _t(spark, sf, "lineitem").select("l_suppkey", "l_quantity")
     s = _t(spark, sf, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
     )

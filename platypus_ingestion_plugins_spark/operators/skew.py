@@ -62,7 +62,9 @@ def salted_join(
     - big side: hot rows get a deterministic salt in [0, salts): a
       content hash of the full row (stable across task retries, no
       RNG; identical duplicate rows share a salt, which only costs
-      balance, never correctness). Cold rows get salt 0.
+      balance, never correctness). Cold rows get salt 0. Because the
+      hash covers every column of ``big``, project the frame down to
+      the columns you need BEFORE the join or column pruning is lost.
     - small side: hot rows are replicated ``salts`` times (posexplode),
       cold rows carry salt 0 only.
 
