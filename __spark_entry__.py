@@ -765,6 +765,32 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+def q_similarity_quantized(spark, sf):
+    """int8-quantized top-k: 4x less scan/shuffle than float at 100 TB;
+    oracle reproduces the same floor(x*127/max|x|+0.5) integer math."""
+    emb = _t(spark, sf, "embeddings")
+    return similarity.quantized_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+
+
+SQL_SIMILARITY_QUANTIZED = """
+WITH m AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         127.0 / greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-12) AS s
+  FROM embeddings),
+b AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(floor(x * s + 0.5) AS BIGINT)) AS qv
+  FROM m),
+q AS (SELECT qv AS qq FROM b WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(qv, qq)
+             / sqrt(CAST(list_dot_product(qv, qv) * list_dot_product(qq, qq) AS DOUBLE)),
+             6) AS qcos_sim
+FROM b, q
+ORDER BY qcos_sim DESC, vec_id LIMIT 10
+"""
+
+
 def q_similarity_ann(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return similarity.ann_topk(emb, emb.filter(F.col("vec_id") == 0), k=5, bits=4, dim=64)
@@ -1263,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
+        "similarity_quantized": q_similarity_quantized,
         "similarity_ivf": q_similarity_ivf,
         "embedding_neardup": q_embedding_neardup,
         "text_stats": q_text_stats,
@@ -1312,6 +1339,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups": SQL_DEDUP_GROUPS,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "similarity_ann": SQL_SIMILARITY_ANN,
+        "similarity_quantized": SQL_SIMILARITY_QUANTIZED,
         "similarity_ivf": SQL_SIMILARITY_IVF,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "text_stats": SQL_TEXT_STATS,

@@ -291,3 +291,17 @@ def test_salted_join(spark):
     assert [r.k for r in skew.hot_keys(big, "k", 10).collect()] == [1]
     hot_sampled = {r.k for r in skew.hot_keys(big, "k", 10, sample_fraction=0.5).collect()}
     assert 1 in hot_sampled and not hot_sampled - {1}
+
+
+def test_quantized_similarity(spark):
+    emb = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 0.0, 0.5]),
+         Row(vec_id=1, embedding=[0.9, 0.05, 0.44]),
+         Row(vec_id=2, embedding=[-1.0, 0.3, 0.0])]
+    )
+    q = dict(similarity.quantize(emb).select("vec_id", "qvec").collect())
+    assert q[0] == [127, 0, 64]  # floor(0.5*127+0.5)=floor(64)=64
+    assert max(abs(v) for v in q[2]) == 127
+    top = similarity.quantized_topk(emb, emb.filter("vec_id = 0"), k=2).collect()
+    assert [r.vec_id for r in top] == [0, 1]
+    assert top[0].qcos_sim == 1.0
