@@ -1054,6 +1054,36 @@ FROM b
 """
 
 
+def q_multimodal_resize(spark, sf):
+    """Resize/transcode stage (Arrow-batched mapInPandas, stub kernel):
+    deterministic byte-stride downsample raw[::stride] with stride =
+    ceil(n/target) — the oracle reproduces the exact stride positions
+    with generate_series stepping, so the binary plumbing is value-
+    checked end to end (documents text is ascii: bytes == chars)."""
+    d = multimodal.attach_payload(_t(spark, sf, "documents"), "text")
+    out = multimodal.resize(d, target_bytes=64)
+    return out.select(
+        "doc_id",
+        "orig_bytes",
+        "resized_bytes",
+        F.decode("payload", "UTF-8").alias("payload_str"),
+    )
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         greatest(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 1) AS stride
+  FROM documents)
+SELECT doc_id, n AS orig_bytes,
+       len(generate_series(1, n, stride)) AS resized_bytes,
+       array_to_string(
+         list_transform(generate_series(1, n, stride), g -> substr(text, g, 1)), ''
+       ) AS payload_str
+FROM b
+"""
+
+
 def q_stream_cdc_materialize(spark, sf):
     """Full Structured-Streaming path: the cdc_last_wins changelog split
     into two seq-ordered micro-batches, streamed from parquet through
@@ -1297,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": q_text_quality_filter,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
         # streaming (real readStream -> foreachBatch -> serving table)
         "stream_cdc_materialize": q_stream_cdc_materialize,
         "stream_dedup_exact": q_stream_dedup_exact,
@@ -1347,6 +1378,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_filter": SQL_TEXT_QUALITY_FILTER,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "multimodal_resize": SQL_MULTIMODAL_RESIZE,
         "stream_cdc_materialize": SQL_STREAM_CDC_MATERIALIZE,
         "stream_dedup_exact": SQL_STREAM_DEDUP_EXACT,
     }
