@@ -1126,12 +1126,11 @@ def q_stream_cdc_materialize(spark, sf):
         pipe.run_available()
         ch.filter(F.col("_seq") > mid).coalesce(4).write.mode("append").parquet(src)
         pipe.run_available()
-        out = serving.query().select("user_id", "event_type", "value")
-        # materialize before the temp dir disappears
-        result = spark.createDataFrame(out.collect(), out.schema)
-        return result
-    finally:
+        _keep_until_exit(work, keep=os.path.join(work, "serving"))
+        return serving.query().select("user_id", "event_type", "value")
+    except BaseException:
         shutil.rmtree(work, ignore_errors=True)
+        raise
 
 
 SQL_STREAM_CDC_MATERIALIZE = SQL_CDC_LAST_WINS
@@ -1180,15 +1179,30 @@ def q_stream_dedup_exact(spark, sf):
         run_available()
         docs.filter(F.col("doc_id") > mid).coalesce(4).write.mode("append").parquet(src)
         run_available()
-        res = spark.read.parquet(out)
-        return spark.createDataFrame(res.collect(), res.schema)
-    finally:
+        _keep_until_exit(work, keep=out)
+        return spark.read.parquet(out)
+    except BaseException:
         shutil.rmtree(work, ignore_errors=True)
+        raise
 
 
 SQL_STREAM_DEDUP_EXACT = """
 SELECT DISTINCT sha256(text) AS content_sha FROM documents
 """
+
+
+def _keep_until_exit(work: str, keep: str):
+    """Drop the stream's src/ckpt scratch now, keep the result parquet
+    until interpreter exit — the returned DataFrame stays a lazy scan
+    (no collect + row-by-row re-parallelize of the result)."""
+    import atexit
+    import shutil
+
+    for name in os.listdir(work):
+        p = os.path.join(work, name)
+        if p != keep:
+            shutil.rmtree(p, ignore_errors=True)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
 
 
 def q_stream_sessionize(spark, sf):
@@ -1212,6 +1226,12 @@ def q_stream_sessionize(spark, sf):
     mid = e.approxQuantile("t", [0.5], 0.0)[0]
 
     work = tempfile.mkdtemp(prefix="stream_sess_")
+    # state-store partition count is fixed at the first checkpoint from
+    # spark.sql.shuffle.partitions; size it to the key cardinality
+    # (thousands of users), not the batch-analytics core count — every
+    # state partition costs provider init/commit per micro-batch
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         src = os.path.join(work, "src")
         out = os.path.join(work, "out")
@@ -1239,10 +1259,13 @@ def q_stream_sessionize(spark, sf):
         run_available()
         e.filter(F.col("t") > mid).coalesce(4).write.mode("append").parquet(src)
         run_available()
-        res = spark.read.parquet(out)
-        return spark.createDataFrame(res.collect(), res.schema)
-    finally:
+        _keep_until_exit(work, keep=out)
+        return spark.read.parquet(out)
+    except BaseException:
         shutil.rmtree(work, ignore_errors=True)
+        raise
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 SQL_STREAM_SESSIONIZE = """
