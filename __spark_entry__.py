@@ -335,6 +335,54 @@ GROUP BY c_mktsegment
 """
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_event_counts(spark, sf):
+    """Pivot (wide conditional aggregation): per-user event counts by
+    type plus summed purchase value. Pivot values are DECLARED, not
+    discovered — at 100 TB the values-unknown form costs an extra
+    distinct scan before planning; the declared form is one hash agg."""
+    ev = _t(spark, sf, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [*EVENT_TYPES])
+    )
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(_dec_sum(F.col("value"), 6, "purchase_value"))
+    )
+    return (
+        piv.join(spend, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("click").alias("n_click"),
+            F.col("error").alias("n_error"),
+            F.col("purchase").alias("n_purchase"),
+            F.col("signup").alias("n_signup"),
+            F.col("view").alias("n_view"),
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+        )
+    )
+
+
+SQL_PIVOT_EVENT_COUNTS = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'error')    AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'view')     AS n_view,
+       coalesce(CAST(sum(CAST(value AS DECIMAL(30,6)))
+                     FILTER (event_type = 'purchase') AS DOUBLE), 0.0)
+         AS purchase_value
+FROM events GROUP BY user_id
+"""
+
+
 def q_salted_join_agg(spark, sf):
     """Skew-safe salted join (operators/skew.py): lineitem x supplier on
     suppkey with a hot-key threshold low enough that every supplier
@@ -1322,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "join_segment_revenue": q_join_segment_revenue,
         "salted_join_agg": q_salted_join_agg,
+        "pivot_event_counts": q_pivot_event_counts,
         "tpch_q5ish": q_tpch_q5ish,
         "window_topk_per_group": q_window_topk_per_group,
         "agg_rollup": q_agg_rollup,
@@ -1374,6 +1423,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": SQL_TPCH_Q1,
         "join_segment_revenue": SQL_JOIN_SEGMENT_REVENUE,
         "salted_join_agg": SQL_SALTED_JOIN_AGG,
+        "pivot_event_counts": SQL_PIVOT_EVENT_COUNTS,
         "tpch_q5ish": SQL_TPCH_Q5ISH,
         "window_topk_per_group": SQL_WINDOW_TOPK_PER_GROUP,
         "agg_rollup": SQL_AGG_ROLLUP,

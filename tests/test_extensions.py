@@ -305,3 +305,27 @@ def test_quantized_similarity(spark):
     top = similarity.quantized_topk(emb, emb.filter("vec_id = 0"), k=2).collect()
     assert [r.vec_id for r in top] == [0, 1]
     assert top[0].qcos_sim == 1.0
+
+
+def test_ivf_assignment_partition_prunes(spark, tmp_path):
+    """The IVF scale claim: written `partitionBy(cent_id)`, a probe of
+    one inverted list touches only that list's directory (manifest-level
+    skip, same mechanism as the modulo shard)."""
+    import glob
+    import os
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+         for i in range(30)]
+    )
+    cents = emb.filter("vec_id < 3")
+    assigned = similarity.ivf_assign(emb, cents)
+    path = str(tmp_path / "ivf")
+    assigned.write.partitionBy("cent_id").parquet(path)
+    assert len(glob.glob(f"{path}/cent_id=*")) == 3
+
+    probe = spark.read.parquet(path).filter(F.col("cent_id") == 1)
+    touched = [
+        r.f for r in probe.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert touched and all("/cent_id=1/" in f for f in touched), touched
