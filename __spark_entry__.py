@@ -335,6 +335,65 @@ GROUP BY c_mktsegment
 """
 
 
+def q_event_gaps(spark, sf):
+    """lead/lag window surface: per-user inter-event gap stats over
+    event time (ns long — exact integer arithmetic, no float drift).
+    One hash shuffle on user_id; the per-key sort is the window's
+    local spill-able sort, not a global order."""
+    ev = _t(spark, sf, "events")
+    # µs precision on both sides: DuckDB truncates the parquet NANOS
+    # column to a µs TIMESTAMP, Spark reads the raw ns long
+    us = F.expr("ts DIV 1000")
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    gaps = ev.select(
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("sum_gap_us"),
+    )
+
+
+SQL_EVENT_GAPS = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events)
+SELECT user_id, count(*) AS n_gaps,
+       min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def q_percentiles(spark, sf):
+    """Exact grouped percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`, both (n-1)q linear interpolation — verified equal
+    on integral and continuous columns). Exact is the oracle-checkable
+    form; at 100 TB swap in `approx_percentile` (t-digest sketch,
+    mergeable partial aggs, no per-group sort) — same call shape."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("qty_p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("price_p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("price_p95"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS price_p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1371,6 +1430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_segment_revenue": q_join_segment_revenue,
         "salted_join_agg": q_salted_join_agg,
         "pivot_event_counts": q_pivot_event_counts,
+        "event_gaps": q_event_gaps,
+        "percentiles": q_percentiles,
         "tpch_q5ish": q_tpch_q5ish,
         "window_topk_per_group": q_window_topk_per_group,
         "agg_rollup": q_agg_rollup,
@@ -1424,6 +1485,8 @@ def oracle_sql() -> dict[str, str]:
         "join_segment_revenue": SQL_JOIN_SEGMENT_REVENUE,
         "salted_join_agg": SQL_SALTED_JOIN_AGG,
         "pivot_event_counts": SQL_PIVOT_EVENT_COUNTS,
+        "event_gaps": SQL_EVENT_GAPS,
+        "percentiles": SQL_PERCENTILES,
         "tpch_q5ish": SQL_TPCH_Q5ISH,
         "window_topk_per_group": SQL_WINDOW_TOPK_PER_GROUP,
         "agg_rollup": SQL_AGG_ROLLUP,

@@ -124,3 +124,35 @@ def test_stream_dedup_suppresses_across_batches(spark, tmp_path):
     _run_stream(spark, src, ckpt, out, xf)
     rows = _read_out(spark, out)
     assert len(rows) == 3  # alpha suppressed cross-batch; gamma new
+
+
+def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates within the watermark
+    horizon are suppressed, and state older than the horizon is
+    EVICTED — the bounded-state form an unbounded stream needs (plain
+    dropDuplicates state grows forever). A duplicate arriving after
+    its key's state was evicted is re-emitted: deduplication weakens to
+    the horizon, state stays O(horizon), not O(stream)."""
+    src, ckpt, out = (str(tmp_path / n) for n in ("src", "ckpt", "out"))
+
+    def xf(stream):
+        return (
+            stream.select(
+                F.col("k"), F.timestamp_seconds(F.col("ts")).alias("ets")
+            )
+            .withWatermark("ets", "10 seconds")
+            .dropDuplicatesWithinWatermark(["k"])
+        )
+
+    # batch 1: dup of A within the horizon -> suppressed
+    _drop(spark, src, [("A", 1), ("B", 2), ("A", 3)])
+    _run_stream(spark, src, ckpt, out, xf)
+    assert sorted(r.k for r in _read_out(spark, out)) == ["A", "B"]
+    # batch 2 advances the watermark far beyond A's state; batch 3's A
+    # arrives after eviction -> re-emitted
+    _drop(spark, src, [("C", 100)])
+    _run_stream(spark, src, ckpt, out, xf)
+    _drop(spark, src, [("A", 101)])
+    _run_stream(spark, src, ckpt, out, xf)
+    ks = sorted(r.k for r in _read_out(spark, out))
+    assert ks == ["A", "A", "B", "C"], ks
