@@ -237,6 +237,30 @@ WHERE len(list_intersect(string_split_regex(lower(text), '\\W+'), ['spark','vect
 """
 
 
+def q_fulltext_ranked(spark, sf):
+    """Ranked retrieval: OR-match scored by distinct-token coordination
+    (serving/query.py:match_score), deterministic tie-break on doc_id,
+    top 20. Global top-k = TakeOrdered (no full sort shuffle)."""
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id", SQ.match_score("text", "spark vector data engine").alias("score")
+    )
+    return scored.filter(F.col("score") > 0).orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    ).limit(20)
+
+
+SQL_FULLTEXT_RANKED = """
+SELECT doc_id,
+       len(list_intersect(list_distinct(string_split_regex(lower(text), '\\W+')),
+                          ['data','engine','spark','vector'])) AS score
+FROM documents
+WHERE len(list_intersect(list_distinct(string_split_regex(lower(text), '\\W+')),
+                         ['data','engine','spark','vector'])) > 0
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
 def q_hit_count(spark, sf):
     d = _t(spark, sf, "documents")
     return d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_hits"))
@@ -368,6 +392,37 @@ SELECT user_id, count(*) AS n_gaps,
        CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
 FROM g WHERE gap_us IS NOT NULL
 GROUP BY user_id
+"""
+
+
+def q_cube_agg(spark, sf):
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations
+    in one pass (Catalyst expands to a single Expand + hash agg — one
+    shuffle, not 4 scans). NULL grouping markers surfaced as 'ALL'
+    so the oracle compare is unambiguous with real NULLs."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dec_sum(F.col("l_quantity"), 2, "sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+SQL_CUBE_AGG = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
@@ -1422,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_all_offset": q_match_all_offset,
         "term": q_term,
         "fulltext_match": q_fulltext_match,
+        "fulltext_ranked": q_fulltext_ranked,
         "hit_count": q_hit_count,
         "term_in_set": q_term_in_set,
         "multivalued_contains": q_multivalued_contains,
@@ -1430,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_segment_revenue": q_join_segment_revenue,
         "salted_join_agg": q_salted_join_agg,
         "pivot_event_counts": q_pivot_event_counts,
+        "cube_agg": q_cube_agg,
         "event_gaps": q_event_gaps,
         "percentiles": q_percentiles,
         "tpch_q5ish": q_tpch_q5ish,
@@ -1478,6 +1535,7 @@ def oracle_sql() -> dict[str, str]:
         "match_all_offset": SQL_MATCH_ALL_OFFSET,
         "term": SQL_TERM,
         "fulltext_match": SQL_FULLTEXT_MATCH,
+        "fulltext_ranked": SQL_FULLTEXT_RANKED,
         "hit_count": SQL_HIT_COUNT,
         "term_in_set": SQL_TERM_IN_SET,
         "multivalued_contains": SQL_MULTIVALUED_CONTAINS,
@@ -1485,6 +1543,7 @@ def oracle_sql() -> dict[str, str]:
         "join_segment_revenue": SQL_JOIN_SEGMENT_REVENUE,
         "salted_join_agg": SQL_SALTED_JOIN_AGG,
         "pivot_event_counts": SQL_PIVOT_EVENT_COUNTS,
+        "cube_agg": SQL_CUBE_AGG,
         "event_gaps": SQL_EVENT_GAPS,
         "percentiles": SQL_PERCENTILES,
         "tpch_q5ish": SQL_TPCH_Q5ISH,

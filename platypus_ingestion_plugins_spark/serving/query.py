@@ -62,6 +62,23 @@ def _py_tokenize(s: str) -> list[str]:
     return [t for t in re.split(r"\W+", s.lower()) if t]
 
 
+def match_score(field: str, query: str) -> Column:
+    """Deterministic relevance for ranked full-text: the number of
+    DISTINCT query tokens present in the field (the coordination
+    factor of Lucene's OR scoring). tf-idf weights are corpus- and
+    engine-dependent; the coord count is an integer every engine
+    reproduces bit-for-bit, which makes ranked retrieval
+    oracle-checkable. Evaluates inside codegen: one array_intersect
+    per row, no shuffle."""
+    q_tokens = sorted(set(_py_tokenize(query)))
+    return F.size(
+        F.array_intersect(
+            F.array_distinct(tokenize(field)),
+            F.array(*[F.lit(t) for t in q_tokens]),
+        )
+    )
+
+
 def top_hits(df: DataFrame, k: int, start_hit: int = 0, order_by: str | None = None) -> DataFrame:
     """Top-k + offset. Lucene returns score-ordered hits; with no scoring
     column the serving table orders by the given column (or the first

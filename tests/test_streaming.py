@@ -162,3 +162,27 @@ def test_schema_map_dispatch(spark):
     assert by_id["b"].lang == "en"
     poison = out.filter(F.col("_is_poison")).collect()
     assert len(poison) == 1 and poison[0]._schema_id == 99
+
+
+def test_jsonl_source_quarantines_poison_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from platypus_ingestion_plugins_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "drop.jsonl"
+    p.write_text(
+        '{"id": 1, "text": "ok one"}\n'
+        '{"id": 2, "text": "ok two"}\n'
+        "{broken json!!\n"
+        '{"id": "not-a-number", "text": 3}\n'
+        '{"id": 3, "text": "ok three"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    good, dlq = read_jsonl(spark, str(p), schema)
+    assert {r.id for r in good.collect()} == {1, 2, 3}
+    bad = {r.raw_line for r in dlq.collect()}
+    assert len(bad) == 2
+    assert any(b.startswith("{broken") for b in bad)  # syntactically invalid
+    assert any("not-a-number" in b for b in bad)  # schema-invalid
