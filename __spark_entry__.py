@@ -395,6 +395,34 @@ GROUP BY user_id
 """
 
 
+def q_sliding_counts(spark, sf):
+    """Sliding event-time windows (1 h length, 30 min slide): every
+    event lands in exactly length/slide = 2 windows; Catalyst expands
+    the window() to that 2-row explode then one hash agg — no
+    self-join. Epoch-aligned starts, exact integer arithmetic."""
+    ev = _t(spark, sf, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        sec = F.expr("ts DIV 1000000000")
+    else:
+        sec = F.col("ts").cast("timestamp").cast("long")
+    win = F.window(F.timestamp_seconds(sec), "1 hour", "30 minutes")
+    return (
+        ev.select(win.alias("w"))
+        .groupBy(F.col("w.start").cast("long").alias("win_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SQL_SLIDING_COUNTS = """
+WITH e AS (
+  SELECT epoch_ns(ts) // 1000000000 AS s FROM events),
+w AS (
+  SELECT unnest([s - (s % 1800) - 1800, s - (s % 1800)]) AS win_start
+  FROM e)
+SELECT win_start, count(*) AS n_events FROM w GROUP BY win_start
+"""
+
+
 def q_cube_agg(spark, sf):
     """CUBE over (returnflag, linestatus): all 4 grouping combinations
     in one pass (Catalyst expands to a single Expand + hash agg — one
@@ -1487,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_agg": q_salted_join_agg,
         "pivot_event_counts": q_pivot_event_counts,
         "cube_agg": q_cube_agg,
+        "sliding_counts": q_sliding_counts,
         "event_gaps": q_event_gaps,
         "percentiles": q_percentiles,
         "tpch_q5ish": q_tpch_q5ish,
@@ -1544,6 +1573,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join_agg": SQL_SALTED_JOIN_AGG,
         "pivot_event_counts": SQL_PIVOT_EVENT_COUNTS,
         "cube_agg": SQL_CUBE_AGG,
+        "sliding_counts": SQL_SLIDING_COUNTS,
         "event_gaps": SQL_EVENT_GAPS,
         "percentiles": SQL_PERCENTILES,
         "tpch_q5ish": SQL_TPCH_Q5ISH,

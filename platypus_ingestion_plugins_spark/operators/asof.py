@@ -25,13 +25,20 @@ def asof_join(
     right_value_cols: list[str] | None = None,
     strict: bool = False,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest ``on``
-    <= left.``on`` (or < when ``strict``), per ``key``.
+    """For each left row, attach the nearest right row per ``key``:
+    ``direction='backward'`` (default) takes the greatest right ``on``
+    <= left.``on``; ``'forward'`` the smallest right ``on`` >= it
+    (``strict`` excludes equality in either direction).
 
     Matches DuckDB/ANSI ASOF JOIN inequality semantics (inclusive by
-    default). Left rows with no prior right row keep nulls (left join).
+    default). Left rows with no matching right row keep nulls (left
+    join). Forward is the time-mirror of backward: the window orders
+    ``on`` descending and fills from the future side.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     rvals = right_value_cols or [c for c in right.columns if c not in (key, on)]
     lcols = left.columns
 
@@ -52,10 +59,11 @@ def asof_join(
 
     # at equal `on`: inclusive -> right sorts before left (visible);
     # strict -> right sorts after left (not visible)
+    on_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     side_order = F.col("__side").asc() if not strict else F.col("__side").desc()
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(on).asc(), side_order)
+        .orderBy(on_order, side_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.withColumn("__r", F.last(F.col("__r"), ignorenulls=True).over(w))

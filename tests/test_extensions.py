@@ -329,3 +329,23 @@ def test_ivf_assignment_partition_prunes(spark, tmp_path):
         r.f for r in probe.select(F.input_file_name().alias("f")).distinct().collect()
     ]
     assert touched and all("/cent_id=1/" in f for f in touched), touched
+
+
+def test_asof_join_forward(spark):
+    trades = spark.createDataFrame(
+        [Row(sym="A", t=3, qty=10), Row(sym="A", t=7, qty=20), Row(sym="B", t=5, qty=5)]
+    )
+    quotes = spark.createDataFrame(
+        [Row(sym="A", t=1, px=100.0), Row(sym="A", t=5, px=101.0),
+         Row(sym="A", t=7, px=102.0), Row(sym="B", t=9, px=50.0)]
+    )
+    out = asof.asof_join(trades, quotes, key="sym", on="t", direction="forward").collect()
+    got = {(r.sym, r.t): (r.t_right, r.px_right) for r in out}
+    assert got[("A", 3)] == (5, 101.0)   # next quote at-or-after
+    assert got[("A", 7)] == (7, 102.0)   # inclusive equality
+    assert got[("B", 5)] == (9, 50.0)
+    strict = asof.asof_join(
+        trades, quotes, key="sym", on="t", direction="forward", strict=True
+    ).collect()
+    sgot = {(r.sym, r.t): (r.t_right, r.px_right) for r in strict}
+    assert sgot[("A", 7)] == (None, None)  # strictly-after: none exists
