@@ -728,6 +728,54 @@ GROUP BY 1
 """
 
 
+def q_heavy_hitters_sketch(spark, sf):
+    """Count-min frequency sketch (functions/sketches): depth=4 x
+    width=256 salted-md5 counters over event_type, point estimates
+    read back for every distinct type beside the exact count. Bounded
+    state (1024 longs) regardless of key cardinality, elementwise-ADD
+    mergeable, and — same md5 trick as the distinct sketch — the
+    estimates value-match the oracle exactly."""
+    from platypus_ingestion_plugins_spark.functions.sketches import (
+        countmin_counters,
+        countmin_estimate,
+    )
+
+    ev = _t(spark, sf, "events")
+    counters = countmin_counters(ev, "event_type", depth=4, width=256)
+    keys = ev.select("event_type").distinct()
+    est = countmin_estimate(counters, keys, "event_type", depth=4, width=256)
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
+    return est.join(exact, "event_type").select(
+        "event_type", "est_count", "exact_count"
+    )
+
+
+def _sql_heavy_hitters(depth: int = 4, width: int = 256) -> str:
+    bucket = (
+        "CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || event_type), 1, 15)) "
+        f"AS BIGINT) % {width}"
+    )
+    return f"""
+WITH cells AS (
+  SELECT i, {bucket} AS b
+  FROM events, unnest([{",".join(str(i) for i in range(depth))}]) AS t(i)),
+counters AS (SELECT i, b, count(*) AS c FROM cells GROUP BY i, b),
+keys AS (SELECT DISTINCT event_type FROM events),
+kb AS (
+  SELECT event_type, i, {bucket} AS b
+  FROM keys, unnest([{",".join(str(i) for i in range(depth))}]) AS t(i)),
+est AS (
+  SELECT event_type, min(c) AS est_count
+  FROM kb JOIN counters USING (i, b) GROUP BY event_type),
+exact AS (SELECT event_type, count(*) AS exact_count FROM events GROUP BY event_type)
+SELECT est.event_type, CAST(est_count AS BIGINT) AS est_count, exact_count
+FROM est JOIN exact USING (event_type)
+"""
+
+
+SQL_HEAVY_HITTERS_SKETCH = _sql_heavy_hitters()
+
+
 def q_distinct_sketch(spark, sf):
     """Bounded-state distinct-count sketch (functions/sketches): per
     event_type, the m=64 minimum-statistics estimate of distinct users
@@ -1529,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_agg": q_hourly_agg,
         "range_join_bands": q_range_join,
         "distinct_sketch": q_distinct_sketch,
+        "heavy_hitters_sketch": q_heavy_hitters_sketch,
         "asof_join": q_asof_join,
         # LLM-pipeline extensions
         "dedup_exact": q_dedup_exact,
@@ -1587,6 +1636,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_agg": SQL_HOURLY_AGG,
         "range_join_bands": SQL_RANGE_JOIN,
         "distinct_sketch": SQL_DISTINCT_SKETCH,
+        "heavy_hitters_sketch": SQL_HEAVY_HITTERS_SKETCH,
         "asof_join": SQL_ASOF_JOIN,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,

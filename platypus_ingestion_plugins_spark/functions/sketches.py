@@ -53,3 +53,64 @@ def distinct_estimate(col: Column | str, m: int = 64) -> Column:
     mins = [F.min(salted_unit_hash(col, i)) for i in range(m)]
     total = reduce(lambda a, b: a + b, mins)
     return F.round(F.lit(float(m)) / total - F.lit(1.0), 4)
+
+
+def _salted_bucket(col: Column | str, salt: int, width: int) -> Column:
+    """Deterministic bucket in [0, width): md5 long mod width."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}|"), c.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def countmin_counters(df, col: str, depth: int = 4, width: int = 256):
+    """Count-min sketch counters: ``depth`` salted hash rows of
+    ``width`` buckets. State is depth*width longs — bounded no matter
+    the key cardinality, and two sketches merge by elementwise ADD
+    (fully algebraic: map-side partial counts, one shuffle of at most
+    depth*width cells per partition). The frequency-tracking complement
+    of the distinct sketch above: same md5 trick, so the counters (and
+    every estimate read off them) hash-match an external oracle.
+    Output: (i, b, c)."""
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"), _salted_bucket(col, i, width).alias("b")
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("cell")
+    return (
+        df.select(cells)
+        .groupBy(F.col("cell.i").alias("i"), F.col("cell.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def countmin_estimate(counters, keys, col: str, depth: int = 4, width: int = 256):
+    """Point-frequency estimates for ``keys`` (a DataFrame with
+    ``col``): min over hash rows of the key's counter — the classic
+    count-min upper bound (overestimates only, by at most the
+    collision mass). The counters broadcast: depth*width cells, a few
+    KB regardless of data size. Output: (col, est_count)."""
+    kb = keys.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), _salted_bucket(col, i, width).alias("b")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(col, F.col("cell.i").alias("i"), F.col("cell.b").alias("b"))
+    return (
+        kb.join(F.broadcast(counters), ["i", "b"])
+        .groupBy(col)
+        .agg(F.min("c").alias("est_count"))
+    )

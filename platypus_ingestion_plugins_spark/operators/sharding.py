@@ -82,12 +82,42 @@ class ModuloShardingStrategy(ShardingStrategy):
         return df.filter(F.col(self.partition_field) == F.lit(self.shard_id))
 
 
+@dataclass(frozen=True)
+class GeoShardingStrategy(ShardingStrategy):
+    """Read only rows whose region partition column matches this
+    shard's regions.
+
+    The reference DECLARES geo sharding and throws
+    (GeoShardingStrategy.java:26-44, acknowledged tech debt); we
+    implement the declared intent — a shard serves a set of regions,
+    pruning to their partition directories — the same
+    PruneFileSourcePartitions mechanism as the modulo strategy, keyed
+    by a categorical region column instead of a hash."""
+
+    partition_field: str
+    regions: tuple[str, ...]
+
+    def validate(self, df: DataFrame) -> None:
+        if self.partition_field not in df.columns:
+            raise ValueError(
+                f"table missing region partition field {self.partition_field!r}; "
+                f"geo sharding requires PARTITIONED BY({self.partition_field})"
+            )
+        if not self.regions:
+            raise ValueError("geo sharding requires a non-empty region set")
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        self.validate(df)
+        return df.filter(F.col(self.partition_field).isin(list(self.regions)))
+
+
 def sharding_strategy(
     kind: str,
     partition_field: str | None = None,
     service_name: str | None = None,
     shard_id: int | None = None,
     max_shards: int | None = None,
+    regions: list[str] | tuple[str, ...] | None = None,
 ) -> ShardingStrategy:
     """Factory: none | modulo | geo (ShardingStrategyFactory.java:38-77)."""
     kind = kind.lower()
@@ -102,8 +132,12 @@ def sharding_strategy(
             shard_id = shard_id_from_service_name(service_name, max_shards)
         return ModuloShardingStrategy(partition_field, shard_id, max_shards)
     if kind == "geo":
-        # declared but unimplemented in the reference (GeoShardingStrategy.java:26-44)
-        raise NotImplementedError("geo sharding is declared but not implemented")
+        # declared but unimplemented in the reference
+        # (GeoShardingStrategy.java:26-44); implemented here as a
+        # region-set partition filter
+        if partition_field is None or not regions:
+            raise ValueError("geo sharding requires partition_field and regions")
+        return GeoShardingStrategy(partition_field, tuple(regions))
     raise ValueError(f"unknown sharding strategy: {kind!r}")
 
 

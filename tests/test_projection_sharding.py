@@ -101,6 +101,23 @@ def test_no_sharding_passthrough(spark):
     assert sharding_strategy("none").apply(df) is df
 
 
-def test_geo_unimplemented():
-    with pytest.raises(NotImplementedError):
+def test_geo_requires_config():
+    # reference declares-and-throws (GeoShardingStrategy.java:26-44);
+    # here misconfiguration throws, a configured strategy works
+    with pytest.raises(ValueError):
         sharding_strategy("geo")
+
+
+def test_geo_sharding_prunes_regions(spark, tmp_path):
+    df = spark.createDataFrame(
+        [Row(id=i, region=r) for i, r in enumerate(["us", "eu", "ap", "us", "eu"])]
+    )
+    path = str(tmp_path / "geo")
+    df.write.partitionBy("region").parquet(path)
+    strat = sharding_strategy("geo", partition_field="region", regions=["us", "ap"])
+    out = strat.apply(spark.read.parquet(path))
+    assert {r.id for r in out.collect()} == {0, 2, 3}
+    touched = {
+        r.f for r in out.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert touched and all("/region=us/" in f or "/region=ap/" in f for f in touched)

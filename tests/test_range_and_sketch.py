@@ -65,3 +65,33 @@ def test_distinct_sketch_dup_invariant(spark):
     ea = a.agg(distinct_estimate("v", m=32).alias("e")).collect()[0].e
     eb = b.agg(distinct_estimate("v", m=32).alias("e")).collect()[0].e
     assert ea == eb  # duplicates never move the estimate
+
+
+def test_countmin_overestimates_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from platypus_ingestion_plugins_spark.functions.sketches import (
+        countmin_counters,
+        countmin_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 10 + [("c",)] * 1, "k string"
+    )
+    counters = countmin_counters(df, "k", depth=4, width=64)
+    keys = df.select("k").distinct()
+    est = {r.k: r.est_count for r in countmin_estimate(counters, keys, "k", 4, 64).collect()}
+    # count-min never underestimates; with 3 keys in 64 buckets it's exact
+    assert est["a"] >= 50 and est["b"] >= 10 and est["c"] >= 1
+    assert sum(est.values()) <= 61 + 3 * 61  # sanity bound on collision mass
+    # mergeability: counters over two halves, summed cellwise == whole
+    d1 = spark.createDataFrame([("a",)] * 20 + [("b",)] * 4, "k string")
+    d2 = spark.createDataFrame([("a",)] * 30 + [("b",)] * 6 + [("c",)] * 1, "k string")
+    h1 = countmin_counters(d1, "k", depth=4, width=64)
+    h2 = countmin_counters(d2, "k", depth=4, width=64)
+    merged = (
+        h1.unionByName(h2).groupBy("i", "b").agg(F.sum("c").alias("c"))
+    )
+    whole = {(r.i, r.b): r.c for r in counters.collect()}
+    got = {(r.i, r.b): r.c for r in merged.collect()}
+    assert got == whole
