@@ -989,6 +989,25 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
 SQL_DEDUP_SIMHASH = _simhash_sql(16)
 
 
+def q_simhash_neardup(spark, sf):
+    """Banded SimHash near-dup pairs (hamming <= 3 over 16 bits, 4
+    bands): the blocking is LOSSLESS by pigeonhole, so the blocked
+    plan must reproduce the oracle's exact all-pairs filter exactly —
+    recall 1 at ~bands/2^4 of the n^2 cost."""
+    return dedup.simhash_neardup_pairs(
+        _t(spark, sf, "documents"), "text", "doc_id", bits=16, max_hamming=3, bands=4
+    )
+
+
+SQL_SIMHASH_NEARDUP = f"""
+WITH fp AS ({_simhash_sql(16)})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def q_similarity_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=10, dim=64)
@@ -1113,6 +1132,32 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b
   ON a.vec_id < b.vec_id AND ({_neardup_band_cond()})
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+"""
+
+
+def q_embedding_dedup_groups(spark, sf):
+    """Composition the 100 TB dedup pipeline actually runs: banded
+    sign-LSH near-dup pairs -> large-star/small-star connected
+    components -> one canonical group id per vector (min reachable
+    id; singletons map to themselves)."""
+    emb = _t(spark, sf, "embeddings")
+    pairs = similarity.neardup_pairs(emb, threshold=0.35, bits=8, bands=8, dim=64)
+    return dedup.connected_components_star(
+        pairs, nodes=emb, id_col="vec_id"
+    ).select("vec_id", "group_id")
+
+
+SQL_EMBEDDING_DEDUP_GROUPS = f"""
+WITH RECURSIVE pairs AS ({SQL_EMBEDDING_NEARDUP}),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r)
+SELECT id AS vec_id, min(r) AS group_id FROM reach GROUP BY id
 """
 
 
@@ -1584,12 +1629,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "simhash_neardup": q_simhash_neardup,
         "dedup_groups": q_dedup_groups,
         "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
         "similarity_quantized": q_similarity_quantized,
         "similarity_ivf": q_similarity_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_dedup_groups": q_embedding_dedup_groups,
         "text_stats": q_text_stats,
         "text_language_id": q_text_language_id,
         "text_quality_filter": q_text_quality_filter,
@@ -1642,12 +1689,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "simhash_neardup": SQL_SIMHASH_NEARDUP,
         "dedup_groups": SQL_DEDUP_GROUPS,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "similarity_ann": SQL_SIMILARITY_ANN,
         "similarity_quantized": SQL_SIMILARITY_QUANTIZED,
         "similarity_ivf": SQL_SIMILARITY_IVF,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+        "embedding_dedup_groups": SQL_EMBEDDING_DEDUP_GROUPS,
         "text_stats": SQL_TEXT_STATS,
         "text_language_id": SQL_TEXT_LANGUAGE_ID,
         "text_quality_filter": SQL_TEXT_QUALITY_FILTER,

@@ -395,6 +395,62 @@ def connected_components(
     return labels
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Banded blocking, LOSSLESS by pigeonhole: with ``bands`` >
+    ``max_hamming`` disjoint bit-bands, two fingerprints within the
+    Hamming budget agree exactly on >= 1 band, so only pairs sharing a
+    band value are verified — never the n^2 cross join — and recall is
+    exactly 1 (the oracle is the exact all-pairs filter). Verification
+    is one popcount(XOR) per candidate. Output: (id_a, id_b, hamming).
+    """
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming for lossless blocking")
+    band_bits = bits // bands
+    fp = simhash(df, text_col, id_col, bits)
+    keyed = fp.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "band", "val"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "band", "val"
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """SimHash fingerprint: majority vote of token-hash bits.
 

@@ -349,3 +349,21 @@ def test_asof_join_forward(spark):
     ).collect()
     sgot = {(r.sym, r.t): (r.t_right, r.px_right) for r in strict}
     assert sgot[("A", 7)] == (None, None)  # strictly-after: none exists
+
+
+def test_simhash_neardup_pairs(docs, spark):
+    # docs 1 and 4 are identical -> hamming 0; blocked plan must find them
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in dedup.simhash_neardup_pairs(docs, "text", "doc_id",
+                                                  bits=16, max_hamming=3).collect()}
+    assert pairs[(1, 4)] == 0
+    # lossless vs exact: blocked result == brute-force filter
+    fp = {r.doc_id: r.simhash for r in dedup.simhash(docs, "text", "doc_id").collect()}
+    exact = {
+        (a, b)
+        for a in fp for b in fp
+        if a < b and bin(fp[a] ^ fp[b]).count("1") <= 3
+    }
+    assert set(pairs) == exact
+    with pytest.raises(ValueError):
+        dedup.simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=4, bands=4)
