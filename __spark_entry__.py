@@ -1367,6 +1367,24 @@ FROM b
 """
 
 
+def q_multimodal_frames(spark, sf):
+    """Frame-sampling stage: payload sliced into fixed 64-byte frames
+    (video frame-extract stand-in), pure JVM byte ops, one posexplode.
+    Oracle reproduces every frame via generate_series + substr."""
+    d = multimodal.attach_payload(_t(spark, sf, "documents"), "text")
+    return multimodal.sample_frames(d, every_n_bytes=64)
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH b AS (
+  SELECT doc_id, text,
+         greatest(length(text) // 64, 1) AS nf
+  FROM documents)
+SELECT doc_id, i - 1 AS frame_no, substr(text, (i - 1) * 64 + 1, 64) AS frame
+FROM b, unnest(generate_series(1, nf)) AS t(i)
+"""
+
+
 def q_stream_cdc_materialize(spark, sf):
     """Full Structured-Streaming path: the cdc_last_wins changelog split
     into two seq-ordered micro-batches, streamed from parquet through
@@ -1643,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         # streaming (real readStream -> foreachBatch -> serving table)
         "stream_cdc_materialize": q_stream_cdc_materialize,
         "stream_dedup_exact": q_stream_dedup_exact,
@@ -1703,6 +1722,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": SQL_MULTIMODAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+        "multimodal_frames": SQL_MULTIMODAL_FRAMES,
         "stream_cdc_materialize": SQL_STREAM_CDC_MATERIALIZE,
         "stream_dedup_exact": SQL_STREAM_DEDUP_EXACT,
     }
