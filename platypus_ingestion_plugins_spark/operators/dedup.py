@@ -300,13 +300,20 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    prev_count = edges.count()
     for _ in range(max_iter):
         grown = _large_star(edges)
         shrunk = _small_star(grown).localCheckpoint(eager=True)
-        # fixpoint: small-star output == previous edge set (star forest)
-        delta = shrunk.subtract(edges).union(edges.subtract(shrunk)).count()
-        edges = shrunk
-        if delta == 0:
+        # fixpoint: small-star output == previous edge set (star
+        # forest). Cheap count compare first; only on equal counts pay
+        # the one subtract (empty subtract + equal counts == equal
+        # sets — both are distinct).
+        new_count = shrunk.count()
+        converged = (
+            new_count == prev_count and shrunk.subtract(edges).isEmpty()
+        )
+        edges, prev_count = shrunk, new_count
+        if converged:
             break
     # star forest: every non-root points straight at its component min
     labels = edges.select(F.col("src").alias(id_col), F.col("dst").alias("group_id"))
@@ -441,13 +448,17 @@ def simhash_neardup_pairs(
     b = keyed.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "band", "val"
     )
+    # popcount-verify BEFORE deduplicating pairs: the filter is a
+    # codegen expression on the join output, the dropDuplicates is a
+    # shuffle — run the cheap kill first so only true near-dups (a
+    # tiny fraction of candidates) pay the shuffle
     return (
         a.join(b, ["band", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
