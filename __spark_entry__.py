@@ -1161,6 +1161,57 @@ SELECT id AS vec_id, min(r) AS group_id FROM reach GROUP BY id
 """
 
 
+_UNIT_SQL = (
+    "(CAST(('0x' || substr(md5('{salt}|' || CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " / 1152921504606846976.0)"
+)
+
+
+def q_dataset_split(spark, sf):
+    """Deterministic train/val/test split (functions/sampling): the
+    split label is a pure function of md5(doc_id), so membership is
+    stable across engines/partitionings/reruns — the oracle reproduces
+    the exact assignment, not just the proportions."""
+    from platypus_ingestion_plugins_spark.functions.sampling import hash_split
+
+    d = _t(spark, sf, "documents")
+    return (
+        hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# thresholds follow hash_split's sorted-key order: test(0.1) -> train(0.9) -> val
+SQL_DATASET_SPLIT = f"""
+WITH h AS (
+  SELECT lang, {_UNIT_SQL.format(salt="split", key="doc_id")} AS u FROM documents)
+SELECT lang,
+       CASE WHEN u < 0.1 THEN 'test' WHEN u < 0.9 THEN 'train' ELSE 'val' END AS split,
+       count(*) AS n_docs
+FROM h GROUP BY 1, 2
+"""
+
+
+def q_stratified_sample(spark, sf):
+    """Per-language deterministic sampling: en keeps 50%, de 20%,
+    everything else 10%. Exact row membership (the oracle returns the
+    same doc_ids), one codegen filter, no RNG."""
+    from platypus_ingestion_plugins_spark.functions.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    return stratified_sample(
+        d, "doc_id", "lang", {"en": 0.5, "de": 0.2}, default_fraction=0.1
+    ).select("doc_id", "lang")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_UNIT_SQL.format(salt="strata", key="doc_id")}
+      < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.2 ELSE 0.1 END)
+"""
+
+
 def q_text_stats(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
@@ -1658,6 +1709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_language_id": q_text_language_id,
         "text_quality_filter": q_text_quality_filter,
+        "dataset_split": q_dataset_split,
+        "stratified_sample": q_stratified_sample,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -1719,6 +1772,8 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": SQL_TEXT_STATS,
         "text_language_id": SQL_TEXT_LANGUAGE_ID,
         "text_quality_filter": SQL_TEXT_QUALITY_FILTER,
+        "dataset_split": SQL_DATASET_SPLIT,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

@@ -1,0 +1,83 @@
+"""Deterministic sampling and dataset splitting.
+
+`df.sample()` is seed-dependent per partition layout — the same call
+over the same data returns DIFFERENT rows after a repartition or an
+engine change, which is poison for reproducible training sets. These
+operators key every decision off a content hash (same md5→unit trick
+as functions/sketches.py), so:
+
+- membership is a pure function of the row's key — stable across
+  engines, partitionings, retries, and re-runs (an external oracle
+  reproduces the exact row set, not just the expected size);
+- sampling composes with incremental data: yesterday's rows keep
+  yesterday's decisions when new rows arrive;
+- everything is a codegen-able filter/projection — no RNG state, no
+  shuffle, pushes through column pruning like any other predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_SPACE = float(16**15)
+
+
+def unit_hash(col: Column | str, salt: str = "") -> Column:
+    """Uniform [0,1) hash of a key column (md5, engine-independent).
+    Distinct ``salt`` values give independent hash functions — use a
+    different salt per decision so sampling and splitting don't
+    correlate."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}|"), c.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(_HASH_SPACE)
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep rows whose key hashes below ``fraction``. Exactly
+    reproducible; approximately ``fraction`` of distinct keys (exact
+    membership, binomial size)."""
+    return df.filter(unit_hash(key, salt) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame, key: str, strata_col: str, fractions: dict[str, float],
+    default_fraction: float = 0.0, salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum ``s`` keeps
+    ``fractions[s]`` of its rows (unlisted strata keep
+    ``default_fraction``). The per-row threshold is a CASE projection;
+    the whole operator is one codegen filter."""
+    thr = F.lit(default_fraction)
+    for s, f in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == s, F.lit(f)).otherwise(thr)
+    return df.filter(unit_hash(key, salt) < thr)
+
+
+def hash_split(
+    df: DataFrame, key: str, weights: dict[str, float], salt: str = "split"
+) -> DataFrame:
+    """Assign every row a split label (train/val/test/...) by hash
+    thresholds proportional to ``weights``. Deterministic, disjoint,
+    exhaustive; a key always lands in the same split — across runs,
+    engines, and data growth. Adds a ``split`` column."""
+    total = sum(weights.values())
+    h = unit_hash(key, salt)
+    expr = None
+    acc = 0.0
+    items = sorted(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = h < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)

@@ -367,3 +367,28 @@ def test_simhash_neardup_pairs(docs, spark):
     assert set(pairs) == exact
     with pytest.raises(ValueError):
         dedup.simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=4, bands=4)
+
+
+def test_deterministic_sampling_and_split(spark):
+    from platypus_ingestion_plugins_spark.functions import sampling
+
+    df = spark.createDataFrame([(i, "en" if i % 3 else "de") for i in range(1000)], "id long, lang string")
+    s1 = {r.id for r in sampling.deterministic_sample(df, "id", 0.3).collect()}
+    # identical membership after a repartition (df.sample would differ)
+    s2 = {r.id for r in sampling.deterministic_sample(df.repartition(7), "id", 0.3).collect()}
+    assert s1 == s2 and 200 < len(s1) < 400
+    # splits: disjoint, exhaustive, stable per key
+    sp = sampling.hash_split(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    got = {r.id: r.split for r in sp.collect()}
+    assert len(got) == 1000 and set(got.values()) == {"train", "val", "test"}
+    n_train = sum(1 for v in got.values() if v == "train")
+    assert 700 < n_train < 900
+    # a larger table preserves earlier assignments (incremental stability)
+    df2 = spark.createDataFrame([(i, "en") for i in range(2000)], "id long, lang string")
+    got2 = {r.id: r.split for r in sampling.hash_split(df2, "id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert all(got2[k] == v for k, v in got.items())
+    # stratified: per-stratum rates honored
+    st = sampling.stratified_sample(df, "id", "lang", {"en": 0.5}, default_fraction=0.05)
+    en = st.filter("lang = 'en'").count() / df.filter("lang = 'en'").count()
+    de = st.filter("lang = 'de'").count() / df.filter("lang = 'de'").count()
+    assert 0.4 < en < 0.6 and de < 0.15
