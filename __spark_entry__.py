@@ -1167,6 +1167,34 @@ _UNIT_SQL = (
 )
 
 
+def q_repetition_stats(spark, sf):
+    """Gopher-style repetition filters: duplicate-token fraction and
+    top-trigram mass per document (functions/text.py:repetition_stats)."""
+    return TX.repetition_stats(_t(spark, sf, "documents"), "text", "doc_id", n=3)
+
+
+SQL_REPETITION_STATS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS t
+  FROM documents),
+tri AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(t) - 2, 1)),
+           i -> array_to_string(t[i:i+2], ' '))) AS gram
+  FROM toks),
+cnt AS (
+  SELECT doc_id, gram, count(*) AS c FROM tri WHERE gram <> '' GROUP BY 1, 2),
+rep AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS tot FROM cnt GROUP BY doc_id),
+tk AS (
+  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct FROM toks)
+SELECT tk.doc_id, n_tokens,
+       round(1.0 - n_distinct::DOUBLE / greatest(n_tokens, 1), 6) AS dup_token_frac,
+       round(top_c::DOUBLE / tot, 6) AS top_ngram_frac
+FROM tk JOIN rep ON tk.doc_id = rep.doc_id
+"""
+
+
 def q_dataset_split(spark, sf):
     """Deterministic train/val/test split (functions/sampling): the
     split label is a pure function of md5(doc_id), so membership is
@@ -1709,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_language_id": q_text_language_id,
         "text_quality_filter": q_text_quality_filter,
+        "repetition_stats": q_repetition_stats,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
         "multimodal_meta": q_multimodal_meta,
@@ -1772,6 +1801,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": SQL_TEXT_STATS,
         "text_language_id": SQL_TEXT_LANGUAGE_ID,
         "text_quality_filter": SQL_TEXT_QUALITY_FILTER,
+        "repetition_stats": SQL_REPETITION_STATS,
         "dataset_split": SQL_DATASET_SPLIT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "multimodal_meta": SQL_MULTIMODAL_META,

@@ -80,3 +80,54 @@ def fingerprint(col: Column | str) -> Column:
     vocabulary collide, which is the 'normalized-text hash' dedup key
     used at corpus scale."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+def repetition_stats(df, text_col: str, id_col: str, n: int = 3):
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction (1 - distinct/total) and top-n-gram mass (most frequent
+    n-gram's share of all n-grams). High values mark boilerplate,
+    keyword stuffing, and generation loops — the standard repetition
+    filters of large-corpus curation pipelines.
+
+    One explode + two hash aggregations, all integer/string
+    arithmetic — an external SQL oracle reproduces the exact values.
+    Output: (id, n_tokens, dup_token_frac, top_ngram_frac).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+    from platypus_ingestion_plugins_spark.session import ensure_parallelism
+
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    base = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        grams.alias("__g"),
+    )
+    ex = (
+        base.select(id_col, F.explode("__g").alias("gram"))
+        .filter(F.col("gram") != "")
+    )
+    rep = (
+        ex.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("tot"))
+    )
+    tk = base.select(id_col, "n_tokens", "n_distinct")
+    return tk.join(rep, id_col).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_token_frac"),
+        F.round(F.col("top_c").cast("double") / F.col("tot").cast("double"), 6).alias(
+            "top_ngram_frac"
+        ),
+    )

@@ -392,3 +392,15 @@ def test_deterministic_sampling_and_split(spark):
     en = st.filter("lang = 'en'").count() / df.filter("lang = 'en'").count()
     de = st.filter("lang = 'de'").count() / df.filter("lang = 'de'").count()
     assert 0.4 < en < 0.6 and de < 0.15
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="spam spam spam spam spam spam"),
+        Row(doc_id=2, text="one two three four five six seven"),
+    ])
+    got = {r.doc_id: r for r in TX.repetition_stats(df, "text", "doc_id").collect()}
+    assert got[1].dup_token_frac == round(1 - 1 / 6, 6)
+    assert got[1].top_ngram_frac == 1.0  # the only trigram repeats
+    assert got[2].dup_token_frac == 0.0
+    assert got[2].top_ngram_frac == 0.2  # 5 distinct trigrams
