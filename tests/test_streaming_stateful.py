@@ -156,3 +156,54 @@ def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
     _run_stream(spark, src, ckpt, out, xf)
     ks = sorted(r.k for r in _read_out(spark, out))
     assert ks == ["A", "A", "B", "C"], ks
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two file streams joined on key within a 10 s event-time bound,
+    through a real checkpoint over two drops; the final emitted set
+    equals the batch interval join (nothing arrives late here, so the
+    watermark only bounds state, never drops matches)."""
+    from platypus_ingestion_plugins_spark.streaming.joins import interval_join
+
+    la, lb = str(tmp_path / "imps"), str(tmp_path / "clicks")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def drop(path, rows):
+        spark.createDataFrame([Row(k=k, ts=t) for k, t in rows], EV_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(path)
+
+    def run():
+        def src(path, tscol):
+            s = (
+                spark.readStream.schema(EV_SCHEMA)
+                .option("maxFilesPerTrigger", 100)
+                .parquet(path)
+            )
+            return s.select("k", F.timestamp_seconds(F.col("ts")).alias(tscol))
+
+        j = interval_join(
+            src(la, "imp_ts"), src(lb, "click_ts"), key="k",
+            left_ts="imp_ts", right_ts="click_ts", max_delay="10 seconds",
+        ).select(F.col("l.k").alias("k"), "imp_ts", "click_ts")
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # drop 1: imp A@10 clicks A@15 (match), B@10 no click yet
+    drop(la, [("A", 10), ("B", 10)])
+    drop(lb, [("A", 15)])
+    run()
+    # drop 2: click B@19 (within 10s of imp B@10 -> cross-DROP match),
+    # click A@50 (outside the interval -> no match)
+    drop(lb, [("B", 19), ("A", 50)])
+    run()
+    got = {(r.k, int(r.imp_ts.timestamp()), int(r.click_ts.timestamp()))
+           for r in _read_out(spark, out)}
+    assert got == {("A", 10, 15), ("B", 10, 19)}
