@@ -899,8 +899,12 @@ def q_dedup_minhash_lsh(spark, sf):
     )
 
 
+# hashes 2j / 2j+1 = the two 60-bit halves of md5(j|shingle) (hex chars
+# 1-15 and 17-31), mirroring minhash_from_shingles
 _MINHASH_COLS = ",\n".join(
-    "  min(CAST(concat('0x', substr(md5(concat('{i}|', shingle)), 1, 15)) AS BIGINT)) AS h{i}".format(i=i)
+    "  min(CAST(concat('0x', substr(md5(concat('{j}|', shingle)), {off}, 15)) AS BIGINT)) AS h{i}".format(
+        j=i // 2, off=1 if i % 2 == 0 else 17, i=i
+    )
     for i in range(8)
 )
 _BAND_COND = " OR ".join(
