@@ -242,3 +242,25 @@ class ServingTable:
         if BUCKET_COL in df.columns:
             df = df.drop(BUCKET_COL)
         return df
+
+    def lookup(self, *key_values) -> DataFrame:
+        """Point lookup by key: on a bucketed table the key's bucket is
+        computed at plan time, so the scan partition-prunes to ONE
+        bucket directory (~1/num_buckets of the files) — the serving
+        layer's Q3 term query at its cheapest. Falls back to a plain
+        filter on unbucketed tables."""
+        if len(key_values) != len(self.key):
+            raise ValueError(f"lookup expects {len(self.key)} value(s) for key {self.key}")
+        df = self.read()
+        if df is None:
+            raise FileNotFoundError(f"serving table {self.path} does not exist yet")
+        cond = None
+        for k, v in zip(self.key, key_values):
+            c = F.col(k) == F.lit(v)
+            cond = c if cond is None else cond & c
+        if self.num_buckets and BUCKET_COL in df.columns:
+            b = F.pmod(
+                F.hash(*[F.lit(v) for v in key_values]), F.lit(self.num_buckets)
+            )
+            cond = (F.col(BUCKET_COL) == b) & cond
+        return df.filter(cond).drop(BUCKET_COL) if BUCKET_COL in df.columns else df.filter(cond)

@@ -192,3 +192,27 @@ def test_compact_unbucketed(spark, tmp_path):
         sum(1 for n in fs.list_names(spark, tbl.path) if n.endswith(".parquet")) == 1
     )
     assert {r.id: r.title for r in tbl.query().collect()} == before
+
+
+def test_lookup_prunes_to_one_bucket(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    tbl = ServingTable(spark, str(tmp_path / "pt"), key="id", num_buckets=8)
+    tbl.apply_batch(
+        _batch(spark, *[(i, "+I", f"k{i}", f"v{i}") for i in range(64)])
+    )
+    n_dirs = sum(
+        1 for n in fs.list_names(spark, tbl.path) if n.startswith(f"{BUCKET_COL}=")
+    )
+    assert n_dirs > 1
+    hit = tbl.lookup("k7")
+    rows = hit.collect()
+    assert [(r.id, r.title) for r in rows] == [("k7", "v7")]
+    # the scan touched exactly one bucket directory
+    touched = {
+        r.f.split(f"{BUCKET_COL}=")[1].split("/")[0]
+        for r in tbl.lookup("k7").select(F.input_file_name().alias("f")).collect()
+    }
+    assert len(touched) == 1
+    # missing key -> empty, not an error
+    assert tbl.lookup("ghost").count() == 0
