@@ -78,6 +78,7 @@ def merge_upsert(
     deletes: DataFrame,
     key: str | list[str],
     seq_col: str = SEQ_COL,
+    allow_schema_evolution: bool = True,
 ) -> DataFrame:
     """MERGE semantics without Delta: last-write-wins against a target.
 
@@ -93,7 +94,11 @@ def merge_upsert(
     if target is None:
         return upserts
     kept = target.join(changed_keys, on=keys, how="left_anti")
-    return kept.unionByName(upserts, allowMissingColumns=False)
+    # add-column evolution: a new column in the changelog widens the
+    # table (existing rows read NULL); a column missing from the batch
+    # stays NULL on its rows. Matches lakehouse upsert-sink behavior;
+    # pass False to fail fast on any schema drift instead.
+    return kept.unionByName(upserts, allowMissingColumns=allow_schema_evolution)
 
 
 def apply_changelog(
@@ -103,6 +108,7 @@ def apply_changelog(
     seq_col: str = SEQ_COL,
     kind_col: str = ROW_KIND_COL,
     drop_meta: bool = True,
+    allow_schema_evolution: bool = True,
 ) -> DataFrame:
     """Full CDC apply: last-wins reduce -> split -> merge into target.
 
@@ -114,4 +120,7 @@ def apply_changelog(
         meta = [c for c in (seq_col, "_snapshot", "_snapshot_id", "_bucket") if c in upserts.columns]
         upserts = upserts.drop(*meta)
         deletes = deletes.drop(*meta)
-    return merge_upsert(target, upserts, deletes, key, seq_col=seq_col)
+    return merge_upsert(
+        target, upserts, deletes, key, seq_col=seq_col,
+        allow_schema_evolution=allow_schema_evolution,
+    )

@@ -102,15 +102,26 @@ class ServingTable:
     def read(self) -> DataFrame | None:
         if not self.exists():
             return None
-        try:
-            return self.spark.read.parquet(self.path)
-        except AnalysisException:
-            schema_json = fs.read_text(self.spark, f"{self.path}/_schema.json")
-            if schema_json is None:
-                raise
-            return self.spark.createDataFrame(
-                [], T.StructType.fromJson(json.loads(schema_json))
-            )
+        # read under the persisted table schema (written on every
+        # commit): after add-column evolution, untouched bucket files
+        # still carry the OLD footer — an explicit schema makes them
+        # read NULL for new columns instead of depending on which
+        # footer parquet inference happens to pick. Also keeps a
+        # fully-emptied table (zero data files) readable.
+        schema_json = fs.read_text(self.spark, f"{self.path}/_schema.json")
+        if schema_json is not None:
+            data_schema = T.StructType.fromJson(json.loads(schema_json))
+            full = data_schema
+            if self.num_buckets:
+                full = T.StructType(
+                    list(data_schema.fields)
+                    + [T.StructField(BUCKET_COL, T.IntegerType())]
+                )
+            try:
+                return self.spark.read.schema(full).parquet(self.path)
+            except AnalysisException:
+                return self.spark.createDataFrame([], data_schema)
+        return self.spark.read.parquet(self.path)
 
     def overwrite(self, df: DataFrame) -> None:
         """Full rewrite via stage-then-swap; the old table is kept

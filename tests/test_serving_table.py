@@ -216,3 +216,49 @@ def test_lookup_prunes_to_one_bucket(spark, tmp_path):
     assert len(touched) == 1
     # missing key -> empty, not an error
     assert tbl.lookup("ghost").count() == 0
+
+
+def test_schema_evolution_adds_column(spark, tmp_path):
+    """A later micro-batch carries a NEW column: the table widens,
+    pre-existing rows read NULL for it — lakehouse add-column
+    evolution through the same idempotent merge."""
+    tbl = ServingTable(spark, str(tmp_path / "evo"), key="id", num_buckets=4)
+    tbl.apply_batch(_batch(spark, (1, "+I", "a", "v1"), (2, "+I", "b", "v1")))
+
+    evolved = spark.createDataFrame(
+        [Row(_seq=3, _row_kind="+U", id="a", title="v2", lang="en")],
+        T.StructType(list(CDC_SCHEMA.fields) + [T.StructField("lang", T.StringType())]),
+    )
+    tbl.apply_batch(evolved)
+    got = {r.id: (r.title, r.lang) for r in tbl.query().collect()}
+    assert got == {"a": ("v2", "en"), "b": ("v1", None)}
+    # next batch WITHOUT the new column still merges (column stays NULL)
+    tbl.apply_batch(_batch(spark, (4, "+U", "b", "v3")))
+    got2 = {r.id: (r.title, r.lang) for r in tbl.query().collect()}
+    assert got2 == {"a": ("v2", "en"), "b": ("v3", None)}
+
+
+def test_composite_key_lookup(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("_seq", T.LongType()),
+            T.StructField("_row_kind", T.StringType()),
+            T.StructField("tenant", T.StringType()),
+            T.StructField("id", T.StringType()),
+            T.StructField("title", T.StringType()),
+        ]
+    )
+    tbl = ServingTable(spark, str(tmp_path / "ck"), key=["tenant", "id"], num_buckets=4)
+    rows = [
+        Row(_seq=1, _row_kind="+I", tenant="t1", id="a", title="v1"),
+        Row(_seq=2, _row_kind="+I", tenant="t2", id="a", title="v2"),
+    ]
+    tbl.apply_batch(spark.createDataFrame(rows, schema))
+    # same id under two tenants: distinct rows, lookup scoped by full key
+    assert {r.tenant: r.title for r in tbl.query().collect()} == {"t1": "v1", "t2": "v2"}
+    got = tbl.lookup("t2", "a").collect()
+    assert [(r.tenant, r.id, r.title) for r in got] == [("t2", "a", "v2")]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tbl.lookup("t2")
