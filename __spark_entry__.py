@@ -966,6 +966,47 @@ SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
 """
 
 
+def q_jaccard_join(spark, sf):
+    """Cross-corpus fuzzy match: even-doc_id corpus joined against the
+    odd-doc_id corpus on trigram Jaccard >= 0.05 (entity-resolution
+    shape: new drop vs existing corpus, never |L|x|R|)."""
+    d = _t(spark, sf, "documents")
+    return dedup.jaccard_join(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "text",
+        "doc_id",
+        n=3,
+        threshold=0.05,
+    )
+
+
+SQL_JACCARD_JOIN = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(t)-2, 1)),
+             i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+  FROM toks),
+shf AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS n_common
+  FROM shf a JOIN shf b USING (shingle)
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY 1, 2)
+SELECT id_l, id_r,
+       round(n_common::DOUBLE / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_l
+JOIN sizes nb ON nb.doc_id = id_r
+WHERE round(n_common::DOUBLE / (na.n_sh + nb.n_sh - n_common), 6) >= 0.05
+"""
+
+
 def q_dedup_simhash(spark, sf):
     return dedup.simhash(_t(spark, sf, "documents"), "text", "doc_id", bits=16)
 
@@ -1729,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "jaccard_join": q_jaccard_join,
         "dedup_simhash": q_dedup_simhash,
         "simhash_neardup": q_simhash_neardup,
         "dedup_groups": q_dedup_groups,
@@ -1793,6 +1835,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+        "jaccard_join": SQL_JACCARD_JOIN,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "simhash_neardup": SQL_SIMHASH_NEARDUP,
         "dedup_groups": SQL_DEDUP_GROUPS,

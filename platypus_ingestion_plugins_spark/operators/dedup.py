@@ -125,6 +125,67 @@ def ngram_jaccard_pairs(
     return out
 
 
+def jaccard_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Cross-corpus similarity join: pairs (one row from ``left``, one
+    from ``right``) with n-gram Jaccard >= threshold — the fuzzy-match
+    primitive for entity resolution and cross-source dedup (match a
+    new crawl against the existing corpus, a vendor drop against the
+    training set).
+
+    Same inverted-index shape as ngram_jaccard_pairs but two-sided:
+    only pairs sharing >=1 shingle materialize; candidate volume is
+    sum over shingles of |left bucket| x |right bucket|, bounded by
+    ``max_shingle_df`` (applied to the UNION of both sides, so a
+    boilerplate phrase hot in either corpus is capped). At 100 TB this
+    is one shuffle join on the shingle plus one on the pair — never
+    |L| x |R|. Output: (id_l, id_r, jaccard).
+    """
+    sh_l = shingles(left, text_col, id_col, n)
+    sh_r = shingles(right, text_col, id_col, n)
+    if max_shingle_df:
+        hot = (
+            sh_l.select("shingle").union(sh_r.select("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh_l = sh_l.join(F.broadcast(hot), "shingle", "left_anti")
+        sh_r = sh_r.join(F.broadcast(hot), "shingle", "left_anti")
+    sh_l = sh_l.cache()
+    sh_r = sh_r.cache()
+    sz_l = sh_l.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_l"))
+    sz_r = sh_r.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_r"))
+    inter = (
+        sh_l.select(F.col(id_col).alias("id_l"), "shingle")
+        .join(sh_r.select(F.col(id_col).alias("id_r"), "shingle"), "shingle")
+        .groupBy("id_l", "id_r")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sz_l.withColumnsRenamed({id_col: "id_l", "n_l": "na"}), "id_l")
+        .join(sz_r.withColumnsRenamed({id_col: "id_r", "n_r": "nb"}), "id_r")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_l", "id_r", "jaccard")
+    )
+
+
 def _md5_long(col: Column) -> Column:
     """First 15 hex chars of md5 as a non-negative long (< 2^60)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

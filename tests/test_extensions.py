@@ -404,3 +404,24 @@ def test_repetition_stats(spark):
     assert got[1].top_ngram_frac == 1.0  # the only trigram repeats
     assert got[2].dup_token_frac == 0.0
     assert got[2].top_ngram_frac == 0.2  # 5 distinct trigrams
+
+
+def test_jaccard_join(spark):
+    left = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="entirely unrelated text about database engines"),
+    ])
+    right = spark.createDataFrame([
+        Row(doc_id=10, text="the quick brown fox jumps over the lazy cat"),
+        Row(doc_id=11, text="nothing in common here at all"),
+    ])
+    got = {(r.id_l, r.id_r): r.jaccard
+           for r in dedup.jaccard_join(left, right, "text", "doc_id", threshold=0.3).collect()}
+    assert set(got) == {(1, 10)} and 0.3 <= got[(1, 10)] < 1.0
+    # hot-shingle cap applies across BOTH corpora
+    l2 = spark.createDataFrame([Row(doc_id=i, text=f"common phrase here u{i} v{i} w{i}") for i in range(3)])
+    r2 = spark.createDataFrame([Row(doc_id=i + 100, text=f"common phrase here x{i} y{i} z{i}") for i in range(3)])
+    uncapped = dedup.jaccard_join(l2, r2, "text", "doc_id", threshold=0.01)
+    assert uncapped.count() == 9
+    capped = dedup.jaccard_join(l2, r2, "text", "doc_id", threshold=0.01, max_shingle_df=3)
+    assert capped.count() == 0
