@@ -1630,6 +1630,87 @@ def _keep_until_exit(work: str, keep: str):
     atexit.register(shutil.rmtree, work, ignore_errors=True)
 
 
+def q_stream_agg_materialize(spark, sf):
+    """Incrementally-maintained aggregate view: a streaming
+    update-mode groupBy over two event drops, each micro-batch's
+    updated groups upserted into a bucketed ServingTable through the
+    same CDC merge as row upserts (updated group = '+U' changelog row,
+    seq = batch id). Final table state must equal the one-shot batch
+    aggregate — the materialized-view maintenance pattern where only
+    CHANGED groups are rewritten per batch. Sums use exact decimal
+    (order-independent), so values hash-match the oracle."""
+    import shutil
+    import tempfile
+
+    from platypus_ingestion_plugins_spark.serving.table import ServingTable
+
+    ev = _t(spark, sf, "events")
+    ch = ev.select("event_id", "user_id", F.col("value"))
+    mid = ch.approxQuantile("event_id", [0.5], 0.0)[0]
+
+    work = tempfile.mkdtemp(prefix="stream_agg_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src = os.path.join(work, "src")
+        ckpt = os.path.join(work, "ckpt")
+        ch.filter(F.col("event_id") <= mid).coalesce(4).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        serving = ServingTable(
+            spark, os.path.join(work, "serving"), key="user_id", num_buckets=8
+        )
+
+        def upsert(batch_df, batch_id):
+            serving.apply_batch(
+                batch_df.withColumn("_row_kind", F.lit("+U")).withColumn(
+                    "_seq", F.lit(int(batch_id))
+                )
+            )
+
+        def run_available():
+            agg = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 100)
+                .parquet(src)
+                .groupBy("user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(30,6)")).alias("__sum_dec"),
+                )
+                .select(
+                    "user_id",
+                    "n_events",
+                    F.col("__sum_dec").cast("double").alias("sum_value"),
+                )
+            )
+            q = (
+                agg.writeStream.foreachBatch(upsert)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_available()
+        ch.filter(F.col("event_id") > mid).coalesce(4).write.mode("append").parquet(src)
+        run_available()
+        _keep_until_exit(work, keep=os.path.join(work, "serving"))
+        return serving.query().select("user_id", "n_events", "sum_value")
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+SQL_STREAM_AGG_MATERIALIZE = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
 def q_stream_sessionize(spark, sf):
     """Stateful streaming sessionization (applyInPandasWithState): the
     events table split into two event-time-ordered drops, streamed
@@ -1793,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming (real readStream -> foreachBatch -> serving table)
         "stream_cdc_materialize": q_stream_cdc_materialize,
         "stream_dedup_exact": q_stream_dedup_exact,
+        "stream_agg_materialize": q_stream_agg_materialize,
     }
 
 
@@ -1857,4 +1939,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,
         "stream_cdc_materialize": SQL_STREAM_CDC_MATERIALIZE,
         "stream_dedup_exact": SQL_STREAM_DEDUP_EXACT,
+        "stream_agg_materialize": SQL_STREAM_AGG_MATERIALIZE,
     }
