@@ -151,3 +151,34 @@ def write_modulo_partitioned(
         .partitionBy(partition_field)
         .parquet(path)
     )
+
+
+DATE_COL = "__date"
+
+
+def write_time_partitioned(
+    df: DataFrame, path: str, ts_col, granularity: str = "day"
+) -> None:
+    """Time-series layout: partition by event-time date (or hour).
+
+    ``ts_col`` is any TimestampType column/expression. A time-range
+    query over the result prunes to the matching date directories at
+    the manifest level — the time-axis analogue of the modulo shard,
+    and the layout every event/log table at 100 TB needs (retention
+    drops are also directory-level deletes).
+    """
+    fmt = {"day": "yyyy-MM-dd", "hour": "yyyy-MM-dd-HH"}[granularity]
+    col = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    (
+        df.withColumn(DATE_COL, F.date_format(col, fmt))
+        .write.mode("overwrite")
+        .partitionBy(DATE_COL)
+        .parquet(path)
+    )
+
+
+def time_range(df: DataFrame, start: str, end: str) -> DataFrame:
+    """Half-open [start, end) filter on the date partition column —
+    string-ordered, so it prunes directories without touching data
+    files outside the range."""
+    return df.filter((F.col(DATE_COL) >= start) & (F.col(DATE_COL) < end))

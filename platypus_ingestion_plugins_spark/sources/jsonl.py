@@ -1,4 +1,4 @@
-"""JSONL file source with poison-line quarantine.
+"""JSONL / CSV file sources with poison-line quarantine.
 
 Training-data drops commonly arrive as JSON-lines; the failure mode is
 a handful of malformed lines poisoning a multi-TB load. Same semantics
@@ -38,6 +38,33 @@ def read_jsonl(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
+        .cache()
+    )
+    good = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    dlq = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line")
+    )
+    return good, dlq
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    sep: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of read_jsonl: declared schema, PERMISSIVE parse,
+    malformed lines (wrong arity, uncastable values) quarantined
+    verbatim. Same ``(good, dlq)`` contract."""
+    full = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
+    parsed = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
         .cache()
     )
     good = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)

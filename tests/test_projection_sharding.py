@@ -121,3 +121,42 @@ def test_geo_sharding_prunes_regions(spark, tmp_path):
         r.f for r in out.select(F.input_file_name().alias("f")).distinct().collect()
     }
     assert touched and all("/region=us/" in f or "/region=ap/" in f for f in touched)
+
+
+def test_time_partitioned_write_prunes(spark, tmp_path):
+    from platypus_ingestion_plugins_spark.operators.sharding import (
+        DATE_COL,
+        time_range,
+        write_time_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [Row(id=i, ts=f"2024-01-{(i % 5) + 1:02d} 10:00:00") for i in range(50)]
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    path = str(tmp_path / "ts")
+    write_time_partitioned(df, path, "ts")
+    out = time_range(spark.read.parquet(path), "2024-01-02", "2024-01-04")
+    assert out.count() == 20  # days 2 and 3
+    touched = {
+        r.f for r in out.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert touched and all(
+        f"/{DATE_COL}=2024-01-02/" in f or f"/{DATE_COL}=2024-01-03/" in f
+        for f in touched
+    )
+
+
+def test_csv_source_quarantines_poison_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from platypus_ingestion_plugins_spark.sources.jsonl import read_csv
+
+    p = tmp_path / "drop.csv"
+    p.write_text("id,text\n1,ok one\n2,ok two\nnot-a-number,3\n3,ok three\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    good, dlq = read_csv(spark, str(p), schema)
+    assert {r.id for r in good.collect()} == {1, 2, 3}
+    bad = [r.raw_line for r in dlq.collect()]
+    assert bad == ["not-a-number,3"]
