@@ -261,6 +261,44 @@ ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+def q_fulltext_tfidf(spark, sf):
+    """TF-IDF relevance over the corpus: score(d) = sum over query
+    terms of tf(t,d) * ln(N/df(t)) — term frequency from the document,
+    document frequency and N from corpus statistics (two tiny
+    broadcast aggregates). All-match scores returned unordered so the
+    oracle compare is order-free (ln is IEEE-identical both engines at
+    6-dp rounding)."""
+    terms = ["spark", "vector", "data", "engine"]
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(SQ.tokenize("text")).alias("tok")).filter(
+        F.col("tok").isin(terms)
+    )
+    n_docs = d.count()
+    df_t = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.join(F.broadcast(df_t), "tok")
+        .withColumn("__w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("__w"), 6).alias("tfidf"))
+    )
+
+
+SQL_FULLTEXT_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                                    x -> x <> '')) AS tok
+  FROM documents),
+hits AS (SELECT doc_id, tok FROM toks WHERE tok IN ('spark','vector','data','engine')),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM hits GROUP BY tok),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM hits GROUP BY 1, 2)
+SELECT doc_id, round(sum(tf * ln(n_docs::DOUBLE / df)), 6) AS tfidf
+FROM tf JOIN dft USING (tok), n
+GROUP BY doc_id
+"""
+
+
 def q_hit_count(spark, sf):
     d = _t(spark, sf, "documents")
     return d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_hits"))
@@ -1822,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term": q_term,
         "fulltext_match": q_fulltext_match,
         "fulltext_ranked": q_fulltext_ranked,
+        "fulltext_tfidf": q_fulltext_tfidf,
         "hit_count": q_hit_count,
         "term_in_set": q_term_in_set,
         "multivalued_contains": q_multivalued_contains,
@@ -1890,6 +1929,7 @@ def oracle_sql() -> dict[str, str]:
         "term": SQL_TERM,
         "fulltext_match": SQL_FULLTEXT_MATCH,
         "fulltext_ranked": SQL_FULLTEXT_RANKED,
+        "fulltext_tfidf": SQL_FULLTEXT_TFIDF,
         "hit_count": SQL_HIT_COUNT,
         "term_in_set": SQL_TERM_IN_SET,
         "multivalued_contains": SQL_MULTIVALUED_CONTAINS,
