@@ -182,3 +182,22 @@ def time_range(df: DataFrame, start: str, end: str) -> DataFrame:
     string-ordered, so it prunes directories without touching data
     files outside the range."""
     return df.filter((F.col(DATE_COL) >= start) & (F.col(DATE_COL) < end))
+
+
+def expire_partitions_before(spark, path: str, cutoff: str) -> list[str]:
+    """Retention for a time-partitioned table: drop every date
+    partition directory strictly older than ``cutoff`` — a pure
+    manifest/directory operation (no data scan, no rewrite), which is
+    the entire point of the date layout at 100 TB. Returns the dropped
+    partition values."""
+    from platypus_ingestion_plugins_spark import fs
+
+    dropped = []
+    for name in fs.list_names(spark, path):
+        if not name.startswith(f"{DATE_COL}="):
+            continue
+        val = name.split("=", 1)[1]
+        if val < cutoff:
+            fs.delete(spark, f"{path}/{name}")
+            dropped.append(val)
+    return sorted(dropped)

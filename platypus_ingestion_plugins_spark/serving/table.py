@@ -89,6 +89,30 @@ class ServingTable:
             n.endswith(".parquet") or n.startswith(f"{BUCKET_COL}=") for n in names
         )
 
+    def _log_commit(self, kind: str, n_rows: int, buckets: list[int] | None) -> None:
+        """Append a commit record to the table's `_commits.json` —
+        the audit surface Paimon gives via snapshot metadata
+        (PaimonIngestor.java:269-276): what committed, how many rows,
+        which buckets moved. Kept to the last 1000 entries (the log is
+        for operators and idempotence debugging, not lineage)."""
+        log_path = f"{self.path}/_commits.json"
+        raw = fs.read_text(self.spark, log_path)
+        entries = json.loads(raw) if raw else []
+        entries.append(
+            {
+                "commit_id": (entries[-1]["commit_id"] + 1) if entries else 0,
+                "kind": kind,
+                "n_rows": n_rows,
+                "buckets": buckets,
+            }
+        )
+        fs.write_text(self.spark, log_path, json.dumps(entries[-1000:]))
+
+    def commits(self) -> list[dict]:
+        """The commit log (oldest first); empty for a fresh table."""
+        raw = fs.read_text(self.spark, f"{self.path}/_commits.json")
+        return json.loads(raw) if raw else []
+
     def _write_schema(self, schema: T.StructType) -> None:
         """Persist the data schema so a fully-emptied table (every key
         deleted -> zero parquet files) stays readable."""
@@ -123,7 +147,7 @@ class ServingTable:
                 return self.spark.createDataFrame([], data_schema)
         return self.spark.read.parquet(self.path)
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame, _log: bool = True) -> None:
         """Full rewrite via stage-then-swap; the old table is kept
         aside until the new one is in place (crash-recoverable)."""
         self._recover()
@@ -136,11 +160,17 @@ class ServingTable:
             )
         else:
             df.write.mode("overwrite").parquet(self._staging)
+        # the swap replaces the whole directory: carry the commit log over
+        prev_log = fs.read_text(self.spark, f"{self.path}/_commits.json")
         if fs.exists(self.spark, self.path):
             fs.rename(self.spark, self.path, self._old)
         fs.rename(self.spark, self._staging, self.path)
         fs.delete(self.spark, self._old)
         self._write_schema(df.schema)
+        if prev_log is not None:
+            fs.write_text(self.spark, f"{self.path}/_commits.json", prev_log)
+        if _log:
+            self._log_commit("overwrite", -1, None)
 
     def apply_batch(self, changelog: DataFrame) -> None:
         """Apply one CDC micro-batch: last-wins + merge + commit.
@@ -153,7 +183,8 @@ class ServingTable:
             if current is not None and BUCKET_COL in current.columns:
                 current = current.drop(BUCKET_COL)
             merged = apply_changelog(changelog, self.key, target=current)
-            self.overwrite(merged)
+            self.overwrite(merged, _log=False)
+            self._log_commit("batch", changelog.count(), None)
             return
 
         # buckets touched by this batch: bounded by num_buckets, tiny
@@ -179,6 +210,7 @@ class ServingTable:
         )
         self._swap_buckets(changed)
         self._write_schema(merged.schema)
+        self._log_commit("batch", changelog.count(), changed)
 
     def _swap_buckets(self, buckets: list[int]) -> None:
         """Per-bucket swap: old dir aside -> staged dir in -> drop old."""
@@ -244,6 +276,7 @@ class ServingTable:
             .parquet(self._staging)
         )
         self._swap_buckets(sorted(oversized))
+        self._log_commit("compact", -1, sorted(oversized))
         return sorted(oversized)
 
     def query(self) -> DataFrame:

@@ -160,3 +160,24 @@ def test_csv_source_quarantines_poison_lines(spark, tmp_path):
     assert {r.id for r in good.collect()} == {1, 2, 3}
     bad = [r.raw_line for r in dlq.collect()]
     assert bad == ["not-a-number,3"]
+
+
+def test_expire_partitions_before(spark, tmp_path):
+    from platypus_ingestion_plugins_spark.operators.sharding import (
+        expire_partitions_before,
+        time_range,
+        write_time_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [Row(id=i, ts=f"2024-01-{(i % 5) + 1:02d} 10:00:00") for i in range(50)]
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    path = str(tmp_path / "ret")
+    write_time_partitioned(df, path, "ts")
+    dropped = expire_partitions_before(spark, path, "2024-01-03")
+    assert dropped == ["2024-01-01", "2024-01-02"]
+    remaining = spark.read.parquet(path)
+    assert remaining.count() == 30
+    assert time_range(remaining, "2024-01-01", "2024-01-03").count() == 0
+    # idempotent
+    assert expire_partitions_before(spark, path, "2024-01-03") == []

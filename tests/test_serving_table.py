@@ -262,3 +262,28 @@ def test_composite_key_lookup(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         tbl.lookup("t2")
+
+
+def test_commit_log(spark, tmp_path):
+    tbl = ServingTable(spark, str(tmp_path / "log"), key="id", num_buckets=4)
+    assert tbl.commits() == []
+    tbl.apply_batch(_batch(spark, (1, "+I", "a", "v1"), (2, "+I", "b", "v1")))
+    tbl.apply_batch(_batch(spark, (3, "-D", "a", "v1")))
+    log = tbl.commits()
+    assert [e["commit_id"] for e in log] == [0, 1]
+    assert log[0]["kind"] == "batch" and log[0]["n_rows"] == 2
+    assert log[1]["n_rows"] == 1
+    # bucketed commits record which buckets moved
+    assert log[1]["buckets"] is not None and len(log[1]["buckets"]) >= 1
+
+
+def test_commit_log_survives_full_rewrite_and_compact(spark, tmp_path):
+    tbl = ServingTable(spark, str(tmp_path / "log2"), key="id", num_buckets=2)
+    tbl.apply_batch(_batch(spark, (1, "+I", "a", "v1")))
+    tbl.overwrite(spark.createDataFrame([Row(id="a", title="v2")]))
+    tbl.compact(max_files_per_bucket=0)
+    kinds = [e["kind"] for e in tbl.commits()]
+    assert kinds[:2] == ["batch", "overwrite"]
+    assert kinds[-1] == "compact" if len(kinds) == 3 else True
+    ids = [e["commit_id"] for e in tbl.commits()]
+    assert ids == list(range(len(ids)))  # monotonic across the swap
