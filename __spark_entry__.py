@@ -563,6 +563,68 @@ FROM events GROUP BY user_id
 """
 
 
+def q_tpch_q6ish(spark, sf):
+    """Q6 shape: tight predicate + single agg — every filter reaches
+    the parquet scan (PushedFilters), the agg is one partial+final
+    hash agg with no data movement beyond the partials."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 6, "revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_TPCH_Q6ISH = """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_tpch_q3ish(spark, sf):
+    """Q3 shape: selective dim filters -> 3-way join -> grouped revenue
+    -> global top 10 (TakeOrdered, no full sort)."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 6, "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3ISH = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < '1995-03-15' AND l_shipdate > '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
 def q_salted_join_agg(spark, sf):
     """Skew-safe salted join (operators/skew.py): lineitem x supplier on
     suppkey with a hot-key threshold low enough that every supplier
@@ -1874,6 +1936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_gaps": q_event_gaps,
         "percentiles": q_percentiles,
         "tpch_q5ish": q_tpch_q5ish,
+        "tpch_q6ish": q_tpch_q6ish,
+        "tpch_q3ish": q_tpch_q3ish,
         "window_topk_per_group": q_window_topk_per_group,
         "agg_rollup": q_agg_rollup,
         "anti_join": q_anti_join,
@@ -1942,6 +2006,8 @@ def oracle_sql() -> dict[str, str]:
         "event_gaps": SQL_EVENT_GAPS,
         "percentiles": SQL_PERCENTILES,
         "tpch_q5ish": SQL_TPCH_Q5ISH,
+        "tpch_q6ish": SQL_TPCH_Q6ISH,
+        "tpch_q3ish": SQL_TPCH_Q3ISH,
         "window_topk_per_group": SQL_WINDOW_TOPK_PER_GROUP,
         "agg_rollup": SQL_AGG_ROLLUP,
         "anti_join": SQL_ANTI_JOIN,
