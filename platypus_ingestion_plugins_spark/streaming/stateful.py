@@ -14,6 +14,16 @@ belong to one session while consecutive gaps stay within ``gap_s``;
 a larger gap closes the session. Closed sessions are emitted
 (append-mode); the open session per key is carried in the state store
 across micro-batches.
+
+State is BOUNDED: the stream carries an event-time watermark
+(``late_s`` allowed lateness) and every open session registers an
+event-time timeout at ``session_end + gap_s``. Once the watermark
+passes that point no in-order event can ever extend the session, so
+the timeout fires, the session is emitted as closed, and the key's
+state is dropped — state size tracks the number of *currently live*
+sessions, not the all-time key cardinality. Without this, months of
+unique user ids would grow the state store without bound (the round-3
+scale-killer).
 """
 
 from __future__ import annotations
@@ -22,6 +32,7 @@ from collections.abc import Iterator
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -47,6 +58,24 @@ def _session_fn(gap_s: int):
     def fn(key: Any, pdfs: Iterator, state: GroupState) -> Iterator:
         import pandas as pd
 
+        def emit(rows):
+            return pd.DataFrame(
+                {
+                    "key": [key[0]] * len(rows),
+                    "session_start": [c[0] for c in rows],
+                    "session_end": [c[1] for c in rows],
+                    "n_events": [c[2] for c in rows],
+                }
+            )
+
+        if state.hasTimedOut:
+            # watermark passed session_end + gap: no in-order event can
+            # extend this session any more — flush it and free the key
+            start, last, n = state.get
+            state.remove()
+            yield emit([(start, last, n)])
+            return
+
         ts = sorted(
             int(t) for pdf in pdfs for t in pdf["ts"] if t is not None
         )
@@ -67,21 +96,20 @@ def _session_fn(gap_s: int):
                 last, n = max(last, t), n + 1
         if start is not None:
             state.update((start, last, n))
+            # evict once the watermark proves the session unreachable
+            state.setTimeoutTimestamp((last + gap_s) * 1000)
         if closed:
-            yield pd.DataFrame(
-                {
-                    "key": [key[0]] * len(closed),
-                    "session_start": [c[0] for c in closed],
-                    "session_end": [c[1] for c in closed],
-                    "n_events": [c[2] for c in closed],
-                }
-            )
+            yield emit(closed)
 
     return fn
 
 
 def sessionize_stream(
-    stream_df: DataFrame, key_col: str, ts_col: str, gap_s: int = 30
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_s: int = 30,
+    late_s: int = 3600,
 ) -> DataFrame:
     """Append-mode stream of CLOSED sessions (key, start, end, n_events).
 
@@ -89,14 +117,26 @@ def sessionize_stream(
     so a session spanning micro-batches (or a restart) is assembled
     correctly — the cross-batch guarantee the batch ``sessionize``
     operator cannot give on an unbounded stream.
+
+    ``late_s`` is the allowed event lateness (watermark delay). When
+    the watermark reaches ``session_end + gap_s`` for an idle key, the
+    open session is emitted as closed and its state evicted
+    (``GroupStateTimeout.EventTimeTimeout``) — bounding the state store
+    to live sessions. Events older than the watermark are dropped by
+    the engine, which is exactly what makes the eviction safe. A
+    ``late_s`` larger than the stream's total span disables eviction
+    (useful for finite replays where the batch engine's answer must be
+    reproduced exactly).
     """
-    prepared = stream_df.selectExpr(
-        f"CAST({key_col} AS STRING) AS key", f"CAST({ts_col} AS LONG) AS ts"
-    )
+    prepared = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(ts_col).cast("long").cast("timestamp").alias("event_time"),
+    ).withWatermark("event_time", f"{int(late_s)} seconds")
     return prepared.groupBy("key").applyInPandasWithState(
         _session_fn(gap_s),
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -109,6 +109,43 @@ def test_sessionize_stream_state_spans_batches(spark, tmp_path):
     assert not any(r[0] == "b" for r in rows)
 
 
+def test_sessionize_state_eviction(spark, tmp_path):
+    """Bounded state: an idle key's open session is emitted as closed
+    and its state EVICTED once the event-time watermark passes
+    session_end + gap (GroupStateTimeout.EventTimeTimeout). Without
+    this, state grows with all-time key cardinality — the 100 TB
+    scale-killer this operator had when it used NoTimeout."""
+    src, ckpt, out = (str(tmp_path / n) for n in ("src", "ckpt", "out"))
+
+    def xf(stream):
+        # gap 10 s, 5 s allowed lateness: a's timeout lands at ts 20
+        return sessionize_stream(stream, key_col="k", ts_col="ts", gap_s=10, late_s=5)
+
+    _drop(spark, src, [("a", 10)])
+    _run_stream(spark, src, ckpt, out, xf)  # watermark 5: nothing evictable
+
+    _drop(spark, src, [("c", 100)])
+    _run_stream(spark, src, ckpt, out, xf)  # watermark 95 > 20: a times out
+
+    _drop(spark, src, [("d", 200)])
+    _run_stream(spark, src, ckpt, out, xf)  # watermark 195 > 110: c times out
+
+    rows = {(r.key, r.session_start, r.session_end, r.n_events)
+            for r in _read_out(spark, out)}
+    assert ("a", 10, 10, 1) in rows, rows   # emitted BY TIMEOUT, no closing event
+    assert ("c", 100, 100, 1) in rows, rows
+    # d's session is live (watermark 195 < its timeout 210) -> still open
+    assert not any(k == "d" for k, *_ in rows), rows
+
+    # a's state really was removed: a re-arrival starts a FRESH session
+    # rather than extending evicted state (new session start 300, not 10)
+    _drop(spark, src, [("a", 300), ("e", 400)])
+    _run_stream(spark, src, ckpt, out, xf)
+    rows = {(r.key, r.session_start, r.session_end, r.n_events)
+            for r in _read_out(spark, out)}
+    assert ("a", 300, 300, 1) in rows, rows
+
+
 def test_stream_dedup_suppresses_across_batches(spark, tmp_path):
     """dropDuplicates state persists in the checkpoint: a batch-2 row
     duplicating a batch-1 row is never emitted."""
