@@ -77,6 +77,20 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         out.close()
 
 
+def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Replace a small text file via stage-and-rename: the new content
+    is fully written to a ``.tmp`` sibling before the destination is
+    touched, so a crash at any point leaves either the old file, the
+    new file, or (worst case, between delete and rename) a complete
+    ``.tmp`` — never a torn half-write."""
+    tmp = path + ".tmp"
+    write_text(spark, tmp, text)
+    fs, p = _fs_path(spark, path)
+    if fs.exists(p):
+        fs.delete(p, False)
+    rename(spark, tmp, path)
+
+
 def read_text(spark: SparkSession, path: str) -> str | None:
     """Contents of a small text file, or None if absent."""
     fs, p = _fs_path(spark, path)

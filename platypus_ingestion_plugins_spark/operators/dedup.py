@@ -97,8 +97,18 @@ def ngram_jaccard_pairs(
     ``max_shingle_df`` caps shingle document frequency before the
     self-join (see cap_shingle_df); when set, Jaccard is computed over
     the capped shingle sets.
+
+    The shingle frame is deliberately NOT cached: its three consumers
+    (both join sides + the size agg) recompute the scan+explode map
+    stage, which is embarrassingly parallel and shuffle-free — at
+    corpus scale that beats materializing a shingle set larger than
+    executor storage, and measured at sf0.1 the un-cached plan is
+    FASTER (no blocking cache write). It also leaves zero persisted
+    state behind in a long-lived session. Callers who want explicit
+    reuse can persist `shingles(...)` themselves and use the
+    building-block functions.
     """
-    sh = cap_shingle_df(shingles(df, text_col, id_col, n), max_shingle_df).cache()
+    sh = cap_shingle_df(shingles(df, text_col, id_col, n), max_shingle_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -160,8 +170,8 @@ def jaccard_join(
         )
         sh_l = sh_l.join(F.broadcast(hot), "shingle", "left_anti")
         sh_r = sh_r.join(F.broadcast(hot), "shingle", "left_anti")
-    sh_l = sh_l.cache()
-    sh_r = sh_r.cache()
+    # not cached — see ngram_jaccard_pairs: recompute of the map-side
+    # shingle stage beats corpus-scale materialization and leaks nothing
     sz_l = sh_l.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_l"))
     sz_r = sh_r.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_r"))
     inter = (
@@ -271,10 +281,15 @@ def minhash_lsh_dedup_pairs(
     never materializes — non-candidate docs never enter the join.
     ``max_shingle_df`` additionally caps hot-shingle fan-out (see
     cap_shingle_df), applied before signatures so the LSH and
-    verification stages see the same shingle sets."""
-    sh = cap_shingle_df(shingles(df, text_col, id_col, n), max_shingle_df).cache()
+    verification stages see the same shingle sets.
+
+    Neither the shingle frame nor the candidate set is cached (see
+    ngram_jaccard_pairs): consumers recompute the shuffle-free map
+    stages, which measures faster than cache materialization and
+    leaves no persisted state behind in a long-lived session."""
+    sh = cap_shingle_df(shingles(df, text_col, id_col, n), max_shingle_df)
     sig = minhash_from_shingles(sh, id_col, num_hashes)
-    cands = lsh_candidate_pairs(sig, id_col, bands).cache()
+    cands = lsh_candidate_pairs(sig, id_col, bands)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = (
         sh.join(cands.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi")

@@ -70,7 +70,16 @@ def salted_join(
 
     Output columns = big's columns plus small's non-key columns,
     exactly as ``big.join(small, key, how)``.
+
+    Only ``inner`` and ``left`` are semantics-preserving: with a right
+    or full outer join, an unmatched hot small-side key is replicated
+    across all ``salts`` sub-keys and would emit ``salts`` duplicate
+    null-padded rows instead of one.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join preserves semantics only for how in ('inner', 'left'); got {how!r}"
+        )
     if hot is None:
         hot = hot_keys(big, key, hot_threshold, sample_fraction)
     hot_marked = F.broadcast(hot.select(F.col(key).alias("__hk")).distinct())

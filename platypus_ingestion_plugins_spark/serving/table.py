@@ -22,10 +22,13 @@ directory, then swapped in with the old data kept aside until the new
 data is fully in place — the same no-commit-until-complete barrier as
 the reference's InFlightBatch (InFlightBatch.java:27-113). A crash
 mid-swap never loses committed state: full-rewrite recovery restores
-the kept-aside table; a partially swapped bucket batch is converged by
-replaying the micro-batch (the streaming checkpoint only advances
-after a successful batch, and the merge is idempotent — the same
-redelivery semantics as PaimonIngestor.java:354-368).
+the kept-aside table; bucket-swap recovery first renames back any
+bucket caught between its two renames (the kept-aside dir holds that
+bucket's ONLY copy — replaying the changelog could not restore keys
+absent from it), then the replayed micro-batch converges the rest
+(the streaming checkpoint only advances after a successful batch, and
+the merge is idempotent — the same redelivery semantics as
+PaimonIngestor.java:354-368).
 
 All directory manipulation goes through the Hadoop FileSystem API
 (platypus_ingestion_plugins_spark.fs), so ``path`` may be local,
@@ -45,6 +48,10 @@ from platypus_ingestion_plugins_spark import fs
 from platypus_ingestion_plugins_spark.operators.cdc import apply_changelog
 
 BUCKET_COL = "__bucket"
+
+# marker file written into the kept-aside dir by a PARTIAL bucket swap;
+# its absence means the kept-aside dir is a full-rewrite's stale copy
+SWAP_MARKER = "_PARTIAL_BUCKET_SWAP"
 
 
 class ServingTable:
@@ -72,14 +79,33 @@ class ServingTable:
 
         - table missing but kept-aside copy present -> crash between
           the two renames of a full-rewrite swap: restore the copy.
-        - both present -> swap completed, cleanup didn't: drop the copy.
+        - both present, kept-aside dir carries the partial-swap marker
+          -> a bucket swap died mid-flight: any ``__bucket=*`` under it
+          whose live directory is MISSING was between its two renames,
+          and the kept-aside copy is the only copy of that bucket's
+          committed rows — rename it back before dropping the rest.
+          (Replaying the micro-batch cannot restore keys absent from
+          the changelog, so discarding it would lose them for good.)
+        - both present, no marker -> a full-rewrite swap completed but
+          cleanup didn't: the copy is entirely stale, drop it. (No
+          per-bucket restore here: a full rewrite may legitimately
+          drop a bucket whose keys were all deleted.)
         - leftover staging is always discarded (never committed).
         """
         if fs.exists(self.spark, self._old):
-            if fs.exists(self.spark, self.path):
-                fs.delete(self.spark, self._old)
-            else:
+            if not fs.exists(self.spark, self.path):
                 fs.rename(self.spark, self._old, self.path)
+            else:
+                names = fs.list_names(self.spark, self._old)
+                if SWAP_MARKER in names:
+                    for n in names:
+                        if n.startswith(f"{BUCKET_COL}=") and not fs.exists(
+                            self.spark, f"{self.path}/{n}"
+                        ):
+                            fs.rename(
+                                self.spark, f"{self._old}/{n}", f"{self.path}/{n}"
+                            )
+                fs.delete(self.spark, self._old)
         fs.delete(self.spark, self._staging)
 
     def exists(self) -> bool:
@@ -94,7 +120,9 @@ class ServingTable:
         the audit surface Paimon gives via snapshot metadata
         (PaimonIngestor.java:269-276): what committed, how many rows,
         which buckets moved. Kept to the last 1000 entries (the log is
-        for operators and idempotence debugging, not lineage)."""
+        for operators and idempotence debugging, not lineage). The
+        read-modify-write lands via stage-and-rename so a crash
+        mid-update never leaves a torn, unparseable log."""
         log_path = f"{self.path}/_commits.json"
         raw = fs.read_text(self.spark, log_path)
         entries = json.loads(raw) if raw else []
@@ -106,20 +134,21 @@ class ServingTable:
                 "buckets": buckets,
             }
         )
-        fs.write_text(self.spark, log_path, json.dumps(entries[-1000:]))
+        fs.write_text_atomic(self.spark, log_path, json.dumps(entries[-1000:]))
 
     def commits(self) -> list[dict]:
         """The commit log (oldest first); empty for a fresh table."""
         raw = fs.read_text(self.spark, f"{self.path}/_commits.json")
         return json.loads(raw) if raw else []
 
-    def _write_schema(self, schema: T.StructType) -> None:
+    def _write_schema(self, schema: T.StructType, at: str | None = None) -> None:
         """Persist the data schema so a fully-emptied table (every key
-        deleted -> zero parquet files) stays readable."""
+        deleted -> zero parquet files) stays readable. ``at`` targets
+        the staging dir so a full rewrite swaps in a complete table."""
         data_fields = [f for f in schema.fields if f.name != BUCKET_COL]
-        fs.write_text(
+        fs.write_text_atomic(
             self.spark,
-            f"{self.path}/_schema.json",
+            f"{at or self.path}/_schema.json",
             json.dumps(T.StructType(data_fields).jsonValue()),
         )
 
@@ -160,15 +189,20 @@ class ServingTable:
             )
         else:
             df.write.mode("overwrite").parquet(self._staging)
-        # the swap replaces the whole directory: carry the commit log over
+        # the swap replaces the whole directory: stage the schema sidecar
+        # and carried-over commit log INTO the staging dir, so the
+        # directory renamed into place is already complete — a crash
+        # right after the swap can't leave a table whose read() falls
+        # back to (possibly stale) parquet footer inference or whose
+        # commit log vanished
         prev_log = fs.read_text(self.spark, f"{self.path}/_commits.json")
+        self._write_schema(df.schema, at=self._staging)
+        if prev_log is not None:
+            fs.write_text(self.spark, f"{self._staging}/_commits.json", prev_log)
         if fs.exists(self.spark, self.path):
             fs.rename(self.spark, self.path, self._old)
         fs.rename(self.spark, self._staging, self.path)
         fs.delete(self.spark, self._old)
-        self._write_schema(df.schema)
-        if prev_log is not None:
-            fs.write_text(self.spark, f"{self.path}/_commits.json", prev_log)
         if _log:
             self._log_commit("overwrite", -1, None)
 
@@ -213,9 +247,14 @@ class ServingTable:
         self._log_commit("batch", changelog.count(), changed)
 
     def _swap_buckets(self, buckets: list[int]) -> None:
-        """Per-bucket swap: old dir aside -> staged dir in -> drop old."""
+        """Per-bucket swap: old dir aside -> staged dir in -> drop old.
+
+        The marker goes in BEFORE the first rename so _recover can tell
+        this kept-aside dir apart from a full rewrite's stale copy and
+        restore any bucket caught between its two renames."""
         fs.delete(self.spark, self._old)
         fs.mkdirs(self.spark, self._old)
+        fs.write_text(self.spark, f"{self._old}/{SWAP_MARKER}", "")
         for b in buckets:
             part = f"{BUCKET_COL}={b}"
             live = f"{self.path}/{part}"
@@ -298,13 +337,23 @@ class ServingTable:
         df = self.read()
         if df is None:
             raise FileNotFoundError(f"serving table {self.path} does not exist yet")
+        # murmur3 is TYPE-sensitive: hash(5 as int) != hash(5 as bigint),
+        # and a bare Python int literal becomes IntegerType while keys
+        # written through createDataFrame/parquet are typically LongType.
+        # Cast every literal to the table's key column type so both the
+        # bucket hash and the equality predicate see the stored type —
+        # otherwise the bucket filter prunes to the WRONG directory and
+        # the lookup silently returns nothing. Casts of literals fold at
+        # plan time, so partition pruning is preserved.
+        lits = [
+            F.lit(v).cast(df.schema[k].dataType)
+            for k, v in zip(self.key, key_values)
+        ]
         cond = None
-        for k, v in zip(self.key, key_values):
-            c = F.col(k) == F.lit(v)
+        for k, lit in zip(self.key, lits):
+            c = F.col(k) == lit
             cond = c if cond is None else cond & c
         if self.num_buckets and BUCKET_COL in df.columns:
-            b = F.pmod(
-                F.hash(*[F.lit(v) for v in key_values]), F.lit(self.num_buckets)
-            )
+            b = F.pmod(F.hash(*lits), F.lit(self.num_buckets))
             cond = (F.col(BUCKET_COL) == b) & cond
         return df.filter(cond).drop(BUCKET_COL) if BUCKET_COL in df.columns else df.filter(cond)

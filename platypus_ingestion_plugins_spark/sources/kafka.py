@@ -106,6 +106,11 @@ def decode_with_schema_map(
         "_payload", strip_confluent_header(value_col)
     )
     base_cols = [c for c in tagged.columns if c != "_payload"]
+    if not schemas:
+        # registry knows no schemas: every record is undecodable — the
+        # degenerate case of registry-driven dispatch is all-poison,
+        # not an IndexError
+        return tagged.select(*base_cols).withColumn("_is_poison", F.lit(True))
     parts = []
     for schema_id, schema_json in schemas.items():
         part = tagged.filter(F.col("_schema_id") == F.lit(schema_id)).withColumn(

@@ -93,6 +93,7 @@ class CdcStreamingPipeline:
         dlq_path: str | None = None,
         poison_col: str = "_is_poison",
         retry: RetryPolicy | None = None,
+        transform=None,
     ):
         self.spark = spark
         self.source_path = source_path
@@ -104,16 +105,36 @@ class CdcStreamingPipeline:
         self.dlq_path = dlq_path
         self.poison_col = poison_col
         self.retry = retry or RetryPolicy()
+        self.transform = transform  # per-batch DataFrame -> DataFrame (e.g. decode)
         self.query = None
 
     def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        df = batch_df
-        if self.poison_col in df.columns:
-            if self.dlq_path:
-                poison = df.filter(F.col(self.poison_col))
-                poison.write.mode("append").parquet(self.dlq_path)
-            df = df.filter(~F.col(self.poison_col)).drop(self.poison_col)
-        self.retry.run(lambda: self.serving.apply_batch(df))
+        # One batch fans into several actions: k per-schema decode passes
+        # (decode_with_schema_map plans one per registered schema), the
+        # DLQ split, bucket discovery, the commit-log row count, and the
+        # merge write. Cache the raw batch so they all share ONE source
+        # scan, and the transformed frame so the decode UDF runs once —
+        # then drop both so executor storage doesn't accumulate across
+        # micro-batches of a long-lived stream.
+        raw = batch_df
+        raw.persist()
+        try:
+            df = self.transform(raw) if self.transform is not None else raw
+            cached = df if df is not raw else None
+            if cached is not None:
+                cached.persist()
+            try:
+                if self.poison_col in df.columns:
+                    if self.dlq_path:
+                        poison = df.filter(F.col(self.poison_col))
+                        poison.write.mode("append").parquet(self.dlq_path)
+                    df = df.filter(~F.col(self.poison_col)).drop(self.poison_col)
+                self.retry.run(lambda: self.serving.apply_batch(df))
+            finally:
+                if cached is not None:
+                    cached.unpersist()
+        finally:
+            raw.unpersist()
 
     def start(self, trigger: dict | None = None):
         """trigger: e.g. {"processingTime": "5 seconds"} (the reference's

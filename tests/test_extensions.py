@@ -46,6 +46,21 @@ def test_minhash_lsh_finds_exact_dups(docs):
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 4)}
 
 
+def test_dedup_family_leaves_no_persisted_storage(spark, docs):
+    """In a long-lived session (a streaming driver, a notebook), an
+    operator that caches without unpersisting accumulates executor
+    storage across calls. The pair-finding family must leave the
+    persisted-RDD set exactly as it found it."""
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.4).count()
+    dedup.minhash_lsh_dedup_pairs(docs, "text", "doc_id").count()
+    dedup.jaccard_join(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"), "text", "doc_id"
+    ).count()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before
+
+
 def test_shingle_df_cap(spark):
     # every doc shares exactly one hot trigram; df cap 2 removes it
     rows = [

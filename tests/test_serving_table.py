@@ -117,6 +117,95 @@ def test_full_rewrite_crash_between_renames_recovers(spark, tmp_path):
     assert not os.path.exists(path + "__old")
 
 
+def test_bucket_swap_crash_mid_swap_restores_bucket(spark, tmp_path):
+    """A crash BETWEEN the two renames of one bucket's swap leaves that
+    bucket's only copy under the kept-aside dir. Recovery must rename
+    it back — deleting it would permanently lose every key in the
+    bucket that the (replayable) changelog doesn't mention."""
+    from platypus_ingestion_plugins_spark.serving.table import SWAP_MARKER
+
+    path = str(tmp_path / "serving")
+    tbl = ServingTable(spark, path, key="id", num_buckets=8)
+    keys = [f"k{i}" for i in range(32)]
+    tbl.apply_batch(_batch(spark, *[(i, "+I", k, "v1") for i, k in enumerate(keys)]))
+
+    b = _bucket_of(spark, tbl, "k0")
+    part = f"{BUCKET_COL}={b}"
+    # simulate _swap_buckets dying after `live -> __old/part` and before
+    # `staged -> live`: marker + the moved bucket under __old, staged
+    # replacement still in __staging
+    os.makedirs(path + "__old")
+    with open(os.path.join(path + "__old", SWAP_MARKER), "w"):
+        pass
+    os.rename(os.path.join(path, part), os.path.join(path + "__old", part))
+    os.makedirs(path + "__staging/" + part)
+    with open(os.path.join(path + "__staging", part, "junk.parquet"), "w") as f:
+        f.write("uncommitted")
+
+    state = {r.id: r.title for r in tbl.query().collect()}
+    assert len(state) == 32, "keys in the mid-swap bucket were lost"
+    assert state["k0"] == "v1"
+    assert not os.path.exists(path + "__old")
+    assert not os.path.exists(path + "__staging")
+
+
+def test_full_rewrite_completed_swap_cleanup_drops_stale_copy(spark, tmp_path):
+    """The OTHER both-present case: a full rewrite's swap completed but
+    cleanup didn't. The kept-aside dir carries no partial-swap marker
+    and is entirely stale — recovery must NOT resurrect its buckets
+    (the new table may legitimately have dropped one)."""
+    path = str(tmp_path / "serving")
+    tbl = ServingTable(spark, path, key="id", num_buckets=4)
+    tbl.apply_batch(_batch(spark, (1, "+I", "gone", "v1")))
+    b = _bucket_of(spark, tbl, "gone")
+    # overwrite to a state WITHOUT key "gone" (its bucket dir disappears)
+    tbl.overwrite(spark.createDataFrame([Row(id="kept", title="v1")]))
+    # simulate the stale pre-overwrite copy lingering as __old
+    os.makedirs(path + "__old/" + f"{BUCKET_COL}={b}")
+    with open(os.path.join(path + "__old", f"{BUCKET_COL}={b}", "stale.parquet"), "w") as f:
+        f.write("stale")
+    state = {r.id for r in tbl.query().collect()}
+    assert state == {"kept"}
+    assert not os.path.exists(os.path.join(path, f"{BUCKET_COL}={b}"))
+    assert not os.path.exists(path + "__old")
+
+
+def test_lookup_int_key_prunes_to_right_bucket(spark, tmp_path):
+    """murmur3 is type-sensitive: hash(7 as int) != hash(7 as bigint).
+    A Python int literal must be cast to the stored key type before the
+    bucket hash, or the lookup prunes to the wrong directory and
+    silently returns nothing."""
+    schema = T.StructType(
+        [
+            T.StructField("_seq", T.LongType()),
+            T.StructField("_row_kind", T.StringType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("title", T.StringType()),
+        ]
+    )
+    tbl = ServingTable(spark, str(tmp_path / "ik"), key="id", num_buckets=8)
+    rows = [Row(_seq=i, _row_kind="+I", id=i, title=f"v{i}") for i in range(64)]
+    tbl.apply_batch(spark.createDataFrame(rows, schema))
+    got = tbl.lookup(7).collect()
+    assert [(r.id, r.title) for r in got] == [(7, "v7")]
+    assert tbl.lookup(10**6).count() == 0
+
+
+def test_commit_log_atomic_and_tmp_residue_ignored(spark, tmp_path):
+    """The commit log lands via stage-and-rename: a crash-leftover
+    .tmp never corrupts it, and no .tmp residue survives a commit."""
+    path = str(tmp_path / "al")
+    tbl = ServingTable(spark, path, key="id", num_buckets=2)
+    tbl.apply_batch(_batch(spark, (1, "+I", "a", "v1")))
+    # crash-leftover junk from a torn staged write
+    with open(os.path.join(path, "_commits.json.tmp"), "w") as f:
+        f.write('[{"cor')
+    tbl.apply_batch(_batch(spark, (2, "+U", "a", "v2")))
+    log = tbl.commits()
+    assert [e["commit_id"] for e in log] == [0, 1]
+    assert not os.path.exists(os.path.join(path, "_commits.json.tmp"))
+
+
 def test_stale_staging_is_discarded(spark, tmp_path):
     path = str(tmp_path / "serving")
     tbl = ServingTable(spark, path, key="id")

@@ -80,6 +80,67 @@ def test_streaming_dlq_split(spark, tmp_path):
     assert [r.id for r in spark.read.parquet(dlq).collect()] == ["bad"]
 
 
+def test_pipeline_decode_transform_single_scan(spark, tmp_path):
+    """The full wire path: Confluent binary frames streamed from a file
+    source, decoded per-batch by the schema-map dispatch (pure-Python
+    Avro fallback), poison to the DLQ, good rows merged. The pipeline
+    caches the raw batch so the k per-schema decode passes + DLQ split
+    + merge share one source scan."""
+    import json as _json
+
+    from platypus_ingestion_plugins_spark.sources.avro_decode import (
+        confluent_frame,
+        python_avro_decoder,
+    )
+    from platypus_ingestion_plugins_spark.sources.kafka import decode_with_schema_map
+
+    v1 = {
+        "type": "record",
+        "name": "Cdc",
+        "fields": [
+            {"name": "_seq", "type": "long"},
+            {"name": "_row_kind", "type": "string"},
+            {"name": "id", "type": "string"},
+            {"name": "title", "type": "string"},
+        ],
+    }
+    frames = [
+        Row(value=bytearray(confluent_frame(
+            {"_seq": 1, "_row_kind": "+I", "id": "a", "title": "v1"}, v1, 1))),
+        Row(value=bytearray(confluent_frame(
+            {"_seq": 2, "_row_kind": "+I", "id": "b", "title": "v1"}, v1, 1))),
+        Row(value=bytearray(b"\x00\x00\x00\x00\x63junk")),  # unknown id 99
+    ]
+    raw_schema = T.StructType([T.StructField("value", T.BinaryType())])
+    src, dlq = str(tmp_path / "src"), str(tmp_path / "dlq")
+    spark.createDataFrame(frames, raw_schema).write.parquet(src)
+
+    # earlier tests in the shared session may hold not-yet-GC'd
+    # localCheckpoint blocks; assert the PIPELINE adds nothing
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    seen_cached = []
+
+    def transform(batch_df):
+        seen_cached.append(batch_df.storageLevel.useMemory)
+        return decode_with_schema_map(
+            batch_df, {1: _json.dumps(v1)}, decoder=python_avro_decoder
+        ).drop("value")
+
+    serving = ServingTable(spark, str(tmp_path / "serving"), key="id", num_buckets=4)
+    pipe = CdcStreamingPipeline(
+        spark, src, raw_schema, serving, str(tmp_path / "ckpt"),
+        dlq_path=dlq, transform=transform,
+    )
+    pipe.run_available()
+    assert {r.id: r.title for r in serving.query().collect()} == {"a": "v1", "b": "v1"}
+    assert spark.read.parquet(dlq).count() == 1  # the unknown-id frame
+    # the raw batch really was cached while the passes ran
+    assert seen_cached == [True]
+    # and the pipeline leaves nothing persisted after the batch completes
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before
+
+
 def test_retry_policy_bounded():
     calls = []
 
@@ -162,6 +223,91 @@ def test_schema_map_dispatch(spark):
     assert by_id["b"].lang == "en"
     poison = out.filter(F.col("_is_poison")).collect()
     assert len(poison) == 1 and poison[0]._schema_id == 99
+
+
+AVRO_V1 = {
+    "type": "record",
+    "name": "Doc",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "title", "type": "string"},
+    ],
+}
+AVRO_V2 = {
+    "type": "record",
+    "name": "Doc",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "title", "type": "string"},
+        {"name": "lang", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+    ],
+}
+
+
+def test_avro_binary_roundtrip_unit():
+    """Pure-Python Avro binary encode/decode against the spec's wire
+    examples: zigzag varints, LE doubles, length-prefixed strings."""
+    from platypus_ingestion_plugins_spark.sources.avro_decode import (
+        decode_record,
+        encode_record,
+    )
+
+    # spec examples: 1 -> 0x02, -1 -> 0x01, 64 -> 0x80 0x01
+    assert encode_record({"id": 1, "title": ""}, AVRO_V1)[:1] == b"\x02"
+    assert encode_record({"id": -1, "title": ""}, AVRO_V1)[:1] == b"\x01"
+    assert encode_record({"id": 64, "title": ""}, AVRO_V1)[:2] == b"\x80\x01"
+    rec = {"id": 123456789, "title": "héllo", "lang": None, "score": -2.5}
+    assert decode_record(encode_record(rec, AVRO_V2), AVRO_V2) == rec
+    rec2 = dict(rec, lang="en")
+    assert decode_record(encode_record(rec2, AVRO_V2), AVRO_V2) == rec2
+
+
+def test_avro_fallback_decoder_end_to_end(spark):
+    """The wire-format -> typed-record path WITHOUT spark-avro: real
+    Confluent frames (magic + schema id + Avro binary) decoded by the
+    pure-Python fallback through the same schema-map dispatch, evolved
+    fields unified by name, corrupt payloads and unknown ids poisoned."""
+    import json as _json
+
+    from platypus_ingestion_plugins_spark.sources.avro_decode import (
+        confluent_frame,
+        python_avro_decoder,
+    )
+    from platypus_ingestion_plugins_spark.sources.kafka import decode_with_schema_map
+
+    rows = [
+        Row(value=bytearray(confluent_frame({"id": 1, "title": "t1"}, AVRO_V1, 1))),
+        Row(
+            value=bytearray(
+                confluent_frame(
+                    {"id": 2, "title": "t2", "lang": "en", "score": 0.5}, AVRO_V2, 2
+                )
+            )
+        ),
+        Row(value=bytearray(_wire(1, b"\xff\xff\xff\xff\xff\xff"))),  # corrupt varint
+        Row(value=bytearray(_wire(99, b"\x02"))),  # unregistered id
+    ]
+    df = spark.createDataFrame(rows)
+    out = decode_with_schema_map(
+        df,
+        {1: _json.dumps(AVRO_V1), 2: _json.dumps(AVRO_V2)},
+        decoder=python_avro_decoder,
+    )
+    good = {r.id: r for r in out.filter(~F.col("_is_poison")).collect()}
+    assert good[1].title == "t1" and good[1].lang is None and good[1].score is None
+    assert good[2].lang == "en" and good[2].score == 0.5
+    poison_ids = sorted(r._schema_id for r in out.filter(F.col("_is_poison")).collect())
+    assert poison_ids == [1, 99]  # corrupt payload AND unknown id -> DLQ
+
+
+def test_schema_map_empty_registry_all_poison(spark):
+    from platypus_ingestion_plugins_spark.sources.kafka import decode_with_schema_map
+
+    df = spark.createDataFrame([Row(value=_wire(1, b"x")), Row(value=_wire(2, b"y"))])
+    out = decode_with_schema_map(df, {})
+    rows = out.collect()
+    assert len(rows) == 2 and all(r._is_poison for r in rows)
 
 
 def test_jsonl_source_quarantines_poison_lines(spark, tmp_path):
