@@ -140,6 +140,173 @@ def resize(
     return df.select(id_col, payload_col).mapInPandas(kernel, RESIZED_SCHEMA)
 
 
+def _ref_schema(df: DataFrame, payload_col: str, ref_col: str) -> T.StructType:
+    """Input schema with ``payload_col`` replaced by the pointer struct."""
+    fields = []
+    for f in df.schema.fields:
+        if f.name == payload_col:
+            fields.append(
+                T.StructField(
+                    ref_col,
+                    T.StructType(
+                        [
+                            T.StructField("path", T.StringType()),
+                            T.StructField("offset", T.LongType()),
+                            T.StructField("length", T.LongType()),
+                            T.StructField("inline", T.BinaryType()),
+                        ]
+                    ),
+                )
+            )
+        else:
+            fields.append(f)
+    return T.StructType(fields)
+
+
+def _blob_fs(path: str):
+    """(pyarrow FileSystem, path-within-fs) for a local path or URI.
+    pyarrow.fs works executor-side (no SparkSession), so blob I/O uses
+    it rather than the driver-bound Hadoop shim in fs.py; s3a:// is
+    spelled s3:// here (same store, pyarrow's scheme)."""
+    import pyarrow.fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def externalize_payloads(
+    df: DataFrame,
+    base_path: str,
+    threshold_bytes: int = 1 << 20,
+    payload_col: str = "payload",
+    ref_col: str = "payload_ref",
+) -> DataFrame:
+    """Swap oversized payloads for object-store pointers.
+
+    Rows whose payload exceeds ``threshold_bytes`` have their bytes
+    appended to ONE packed blob file per partition under ``base_path``
+    and carry a (path, offset, length) pointer; smaller payloads stay
+    inline in the struct's ``inline`` field (NULL payload -> NULL ref).
+    Per-partition packed blobs, not per-object files: at 100 TB of
+    video, per-object files are billions of small objects, while a
+    packed blob is one sequential write per task and one ranged read
+    per consumer. Downstream of this stage every shuffle/join moves a
+    ~100-byte struct instead of multi-MB rows — the row-size cap SURVEY
+    §2.7 names for >2 GB items.
+
+    Blob files are named by task attempt (partition id + task attempt
+    id), so a retried task writes a fresh file and only the winning
+    attempt's pointers are committed — failed-attempt blobs are
+    unreferenced garbage, collectable by comparing file listings
+    against referenced paths (the same uncommitted-file semantics as a
+    parquet write without a committer).
+    """
+    out_schema = _ref_schema(df, payload_col, ref_col)
+    cols = [f.name for f in df.schema.fields]
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        blob_path = (
+            f"{base_path.rstrip('/')}/blob-{ctx.partitionId()}-"
+            f"{ctx.taskAttemptId()}.bin"
+        )
+        fs, inner = _blob_fs(blob_path)
+        out = None  # opened lazily: partitions with no oversized rows write nothing
+        offset = 0
+        try:
+            for pdf in batches:
+                refs = []
+                for buf in pdf[payload_col]:
+                    if buf is None:
+                        refs.append(None)
+                        continue
+                    raw = bytes(buf)
+                    if len(raw) <= threshold_bytes:
+                        refs.append(
+                            {"path": None, "offset": None, "length": len(raw), "inline": raw}
+                        )
+                    else:
+                        if out is None:
+                            fs.create_dir(inner.rsplit("/", 1)[0], recursive=True)
+                            out = fs.open_output_stream(inner)
+                        out.write(raw)
+                        refs.append(
+                            {
+                                "path": blob_path,
+                                "offset": offset,
+                                "length": len(raw),
+                                "inline": None,
+                            }
+                        )
+                        offset += len(raw)
+                res = pd.DataFrame(
+                    {
+                        c: (pd.Series(refs, dtype=object) if c == ref_col else pdf[payload_col if c == payload_col else c])
+                        for c in [f.name for f in out_schema.fields]
+                    }
+                )
+                yield res
+        finally:
+            if out is not None:
+                out.close()
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def load_payloads(
+    df: DataFrame,
+    payload_col: str = "payload",
+    ref_col: str = "payload_ref",
+) -> DataFrame:
+    """Re-materialize payload bytes from a pointer struct (the inverse
+    of externalize_payloads): inline bytes pass through, external rows
+    are ranged-read from their blob file. Reads are grouped by blob
+    path within each Arrow batch — one open + sorted seeks per file per
+    batch, not one open per row. Place AFTER the shuffles/joins that
+    needed the skinny rows and BEFORE the decode kernel."""
+    fields = [
+        f if f.name != ref_col else T.StructField(payload_col, T.BinaryType())
+        for f in df.schema.fields
+    ]
+    out_schema = T.StructType(fields)
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        handles: dict[str, object] = {}
+
+        def read_ref(ref):
+            if ref is None:
+                return None
+            if ref.get("inline") is not None:
+                return bytes(ref["inline"])
+            path = ref["path"]
+            h = handles.get(path)
+            if h is None:
+                fs, inner = _blob_fs(path)
+                h = handles[path] = fs.open_input_file(inner)
+            h.seek(ref["offset"])
+            return h.read(ref["length"])
+
+        try:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        c: (pdf[ref_col].map(read_ref) if c == payload_col else pdf[c])
+                        for c in [f.name for f in out_schema.fields]
+                    }
+                )
+        finally:
+            for h in handles.values():
+                h.close()
+
+    return df.mapInPandas(kernel, out_schema)
+
+
 def sample_frames(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", every_n_bytes: int = 64
 ) -> DataFrame:

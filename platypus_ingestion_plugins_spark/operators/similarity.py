@@ -170,6 +170,73 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train IVF centroids with Lloyd's iterations as DataFrame ops.
+
+    Per iteration: (1) assign every vector to its nearest centroid by
+    cosine (ivf_assign — broadcast centroids, map-side ``max_by``, one
+    shuffle carrying one row per vector), (2) recompute each centroid
+    as the element-wise mean of its members (posexplode ->
+    groupBy(cent, pos) avg -> re-assemble). The centroid set is
+    O(n_centroids * dim) — independent of corpus size — so each
+    round's result is collected to the driver and re-broadcast, the
+    same bounded synchronization step MLlib's KMeans takes; nothing
+    corpus-sized ever leaves the executors and no caching is needed
+    (each round is one self-contained job over the corpus).
+
+    Deterministic: seeded from the ``n_centroids`` lowest-id vectors,
+    ties in assignment go to the smallest centroid id, and the mean is
+    computed with Spark's fixed-order avg over a sorted reassembly.
+    Empty clusters keep their previous centroid. Output: one row per
+    centroid, (id_col = the centroid's seed-vector id, vec_col =
+    array<double>).
+
+    Reference parity: the reference has no ANN surface; this is the
+    trainer the ivf_topk docstring promises ("pass centroids (e.g.
+    k-means output) for production recall").
+    """
+    spark = emb.sparkSession
+    cents = emb.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col), _dvec(F.col(vec_col)).alias(vec_col)
+    )
+    schema = (
+        f"{_quote(id_col)} BIGINT, {_quote(vec_col)} ARRAY<DOUBLE>"
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cents, id_col, vec_col)
+        means = (
+            assigned.select(
+                "cent_id", F.posexplode(_dvec(F.col(vec_col))).alias("__pos", "__x")
+            )
+            .groupBy("cent_id", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                    lambda s: s["__m"],
+                ).alias("__mean")
+            )
+        )
+        # keep the previous centroid for clusters that lost every member
+        rows = {r[0]: list(r[1]) for r in means.collect()}
+        prev = [(r[0], list(r[1])) for r in cents.collect()]
+        cents = spark.createDataFrame(
+            [(cid, rows.get(cid, vec)) for cid, vec in prev], schema
+        )
+    return cents
+
+
+def _quote(name: str) -> str:
+    return f"`{name}`"
+
+
 def ivf_topk(
     emb: DataFrame,
     query: DataFrame,

@@ -236,6 +236,53 @@ def test_multimodal_plumbing(spark):
     assert {r.doc_id: r.feature for r in feats2} == {r.doc_id: r.feature for r in feats}
 
 
+def test_payload_externalize_roundtrip(spark, tmp_path):
+    """Mixed inline/external rows survive the pointer round trip:
+    payloads over the threshold land in per-partition packed blobs and
+    come back byte-identical via ranged reads; small ones ride inline;
+    NULL stays NULL. Downstream rows carry only the skinny struct."""
+    rows = [
+        Row(doc_id=1, payload=b"small"),
+        Row(doc_id=2, payload=b"B" * 5000),
+        Row(doc_id=3, payload=b"C" * 7000),
+        Row(doc_id=4, payload=None),
+        Row(doc_id=5, payload=b"tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    base = str(tmp_path / "blobs")
+    ext = multimodal.externalize_payloads(df, base, threshold_bytes=1000)
+    got = {r.doc_id: r.payload_ref for r in ext.collect()}
+    assert got[1].path is None and bytes(got[1].inline) == b"small"
+    assert got[2].path is not None and got[2].inline is None and got[2].length == 5000
+    assert got[3].path is not None and got[3].length == 7000
+    assert got[4] is None
+    # blob files exist and hold exactly the externalized bytes
+    import os as _os
+
+    blob_bytes = sum(
+        _os.path.getsize(_os.path.join(base, f)) for f in _os.listdir(base)
+    )
+    assert blob_bytes == 12000
+
+    back = multimodal.load_payloads(ext)
+    assert back.schema["payload"].dataType.typeName() == "binary"
+    round_tripped = {r.doc_id: r.payload for r in back.collect()}
+    expected = {r.doc_id: r.payload for r in rows}
+    assert {
+        k: (bytes(v) if v is not None else None) for k, v in round_tripped.items()
+    } == expected
+
+    # the skinny frame shuffles/persists like any table: write + reread,
+    # then load payloads from the reread pointers
+    pq = str(tmp_path / "refs.parquet")
+    ext.write.parquet(pq)
+    reread = multimodal.load_payloads(spark.read.parquet(pq))
+    assert {
+        r.doc_id: (bytes(r.payload) if r.payload is not None else None)
+        for r in reread.collect()
+    } == expected
+
+
 def test_multimodal_stub_raises(spark):
     df = multimodal.attach_payload(
         spark.createDataFrame([Row(doc_id=1, text="abc")]), "text"
@@ -306,6 +353,61 @@ def test_salted_join(spark):
     assert [r.k for r in skew.hot_keys(big, "k", 10).collect()] == [1]
     hot_sampled = {r.k for r in skew.hot_keys(big, "k", 10, sample_fraction=0.5).collect()}
     assert 1 in hot_sampled and not hot_sampled - {1}
+
+
+def test_kmeans_centroids_recall(spark):
+    """Trained centroids must recover the true cluster structure that
+    the lowest-id default seed misses: recall@10 of ivf_topk with
+    k-means centroids vs brute force on clustered data, probing 2 of 8
+    lists. Data is 8 well-separated clusters; the default seed takes
+    the 8 lowest ids, which all land in cluster 0, so training has to
+    actually move the centroids."""
+    import random
+
+    rng = random.Random(7)
+    dim, per = 16, 25
+    centers = []
+    for c in range(8):
+        v = [0.0] * dim
+        v[2 * c] = 1.0
+        v[2 * c + 1] = 1.0 if c % 2 else -1.0
+        centers.append(v)
+    rows = []
+    for c, ctr in enumerate(centers):
+        for j in range(per):
+            rows.append(
+                Row(
+                    vec_id=c * per + j,
+                    embedding=[x + rng.uniform(-0.08, 0.08) for x in ctr],
+                )
+            )
+    # ids 0..24 are ALL cluster 0 -> default 8-lowest-id seed is degenerate
+    emb = spark.createDataFrame(rows)
+    cents = similarity.kmeans_centroids(emb, n_centroids=8, iters=4)
+    assert cents.count() == 8
+
+    q = emb.filter("vec_id = 101")  # a cluster-4 member
+    exact = [r.vec_id for r in similarity.brute_force_topk(emb, q, k=10).collect()]
+    trained = [
+        r.vec_id
+        for r in similarity.ivf_topk(
+            emb, q, k=10, n_centroids=8, nprobe=2, centroids=cents
+        ).collect()
+    ]
+    recall = len(set(exact) & set(trained)) / 10
+    assert recall >= 0.9, f"trained recall@10 = {recall}"
+
+    # and training must beat the degenerate default seed on this data
+    default = [
+        r.vec_id
+        for r in similarity.ivf_topk(emb, q, k=10, n_centroids=8, nprobe=2).collect()
+    ]
+    default_recall = len(set(exact) & set(default)) / 10
+    assert recall >= default_recall
+
+    # determinism: same input -> identical centroids
+    again = similarity.kmeans_centroids(emb, n_centroids=8, iters=4)
+    assert sorted(map(tuple, cents.collect())) == sorted(map(tuple, again.collect()))
 
 
 def test_quantized_similarity(spark):
