@@ -1609,6 +1609,36 @@ FROM b, unnest(generate_series(1, nf)) AS t(i)
 """
 
 
+def q_multimodal_external_meta(spark, sf):
+    """Pointer-to-object-store round trip as an oracle query: payloads
+    over 256 bytes externalize to packed per-partition blobs, the
+    loader ranged-reads them back, and mime/size/sha/base64 are
+    recomputed from the ROUND-TRIPPED bytes — any corruption in the
+    blob write/seek/read path breaks the value hash. Oracle: identical
+    to multimodal_meta, because the round trip must be byte-lossless."""
+    import atexit
+    import shutil
+
+    d = multimodal.attach_payload(
+        _t(spark, sf, "documents"), "text", mime="text/plain"
+    ).select("doc_id", "payload")
+    work = _stream_scratch("mm_ext_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    back = multimodal.load_payloads(
+        multimodal.externalize_payloads(d, work, threshold_bytes=256)
+    )
+    return back.select(
+        "doc_id",
+        F.lit("text/plain").alias("mime"),
+        F.length("payload").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+        F.replace(F.base64(F.col("payload")), F.lit("\r\n"), F.lit("")).alias("payload_b64"),
+    )
+
+
+SQL_MULTIMODAL_EXTERNAL_META = SQL_MULTIMODAL_META
+
+
 def q_stream_cdc_materialize(spark, sf):
     """Full Structured-Streaming path: the cdc_last_wins changelog split
     into two seq-ordered micro-batches, streamed from parquet through
@@ -1960,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_external_meta": q_multimodal_external_meta,
         # streaming (real readStream -> foreachBatch -> serving table)
         "stream_cdc_materialize": q_stream_cdc_materialize,
         "stream_dedup_exact": q_stream_dedup_exact,
@@ -2081,6 +2112,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": SQL_DATASET_SPLIT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "multimodal_meta": SQL_MULTIMODAL_META,
+        "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,
