@@ -81,21 +81,46 @@ def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
     """Replace a small text file via stage-and-rename: the new content
     is fully written to a ``.tmp`` sibling before the destination is
     touched, so a crash at any point leaves either the old file, the
-    new file, or (worst case, between delete and rename) a complete
-    ``.tmp`` — never a torn half-write."""
+    new file, or (between delete and rename) only a complete ``.tmp``
+    — never a torn half-write. ``read_text`` closes that last window
+    by falling back to the staged sibling when the destination is
+    missing, so the content is never unreadable.
+
+    The ``.tmp`` is itself produced by rename (bytes land in an
+    ``.inprogress`` file first), so a ``.tmp`` on disk is complete by
+    construction — the read-side fallback can never observe a torn
+    stage, even for a first-ever write with no destination to fall
+    back on."""
     tmp = path + ".tmp"
-    write_text(spark, tmp, text)
+    inprog = path + ".inprogress"
+    write_text(spark, inprog, text)
     fs, p = _fs_path(spark, path)
+    _, ptmp = _fs_path(spark, tmp)
+    if fs.exists(ptmp):
+        fs.delete(ptmp, False)
+    rename(spark, inprog, tmp)
     if fs.exists(p):
         fs.delete(p, False)
     rename(spark, tmp, path)
 
 
 def read_text(spark: SparkSession, path: str) -> str | None:
-    """Contents of a small text file, or None if absent."""
+    """Contents of a small text file, or None if absent.
+
+    Recovery-on-read for ``write_text_atomic``'s delete->rename
+    window: when the destination is missing but a ``.tmp`` sibling
+    exists, the staged content is returned. The fallback fires ONLY
+    with no destination — a ``.tmp`` beside a live file is ignored,
+    because the destination always wins. A ``.tmp`` written by
+    ``write_text_atomic`` is complete by construction (it appears via
+    rename from the ``.inprogress`` stage), so the fallback never
+    returns torn content."""
     fs, p = _fs_path(spark, path)
     if not fs.exists(p):
-        return None
+        _, ptmp = _fs_path(spark, path + ".tmp")
+        if not fs.exists(ptmp):
+            return None
+        p = ptmp
     stream = fs.open(p)
     jvm = spark._jvm
     baos = jvm.java.io.ByteArrayOutputStream()

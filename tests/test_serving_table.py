@@ -228,6 +228,43 @@ def test_bucketed_replay_idempotent(spark, tmp_path):
     assert {r.id: r.title for r in tbl.query().collect()} == {"a": "v2"}
 
 
+def test_atomic_write_crash_between_delete_and_rename_recovers(spark, tmp_path):
+    """Crash-injection for write_text_atomic's delete->rename window:
+    the destination was deleted but the staged .tmp never renamed in.
+    read_text must fall back to the complete .tmp, so commits() still
+    returns the staged log and commit ids keep advancing."""
+    path = str(tmp_path / "aw")
+    tbl = ServingTable(spark, path, key="id", num_buckets=2)
+    tbl.apply_batch(_batch(spark, (1, "+I", "a", "v1")))
+    tbl.apply_batch(_batch(spark, (2, "+U", "a", "v2")))
+    log_path = os.path.join(path, "_commits.json")
+    # simulate the crash: delete done, rename not — only the staged
+    # sibling (complete by construction) remains
+    os.rename(log_path, log_path + ".tmp")
+    assert tbl.commits() != []
+    assert [e["commit_id"] for e in tbl.commits()] == [0, 1]
+    # the next commit heals the file through the normal staged write
+    tbl.apply_batch(_batch(spark, (3, "+U", "a", "v3")))
+    assert os.path.exists(log_path)
+    assert [e["commit_id"] for e in tbl.commits()] == [0, 1, 2]
+    assert not os.path.exists(log_path + ".tmp")
+
+
+def test_atomic_write_torn_first_stage_reads_absent(spark, tmp_path):
+    """A crash mid-write of the very first stage leaves only a torn
+    .inprogress — never a .tmp — so read_text still reports absent
+    instead of returning torn bytes."""
+    p = str(tmp_path / "x.json")
+    with open(p + ".inprogress", "w") as f:
+        f.write('[{"cor')  # torn
+    assert fs.read_text(spark, p) is None
+    # and a subsequent atomic write overwrites the torn stage cleanly
+    fs.write_text_atomic(spark, p, '["ok"]')
+    assert fs.read_text(spark, p) == '["ok"]'
+    assert not os.path.exists(p + ".inprogress")
+    assert not os.path.exists(p + ".tmp")
+
+
 def test_fs_shim_roundtrip(spark, tmp_path):
     base = str(tmp_path / "fsdir")
     assert not fs.exists(spark, base)
