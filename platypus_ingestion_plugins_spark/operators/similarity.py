@@ -153,20 +153,26 @@ def ivf_assign(
     path, the unrolled expression blows whole-stage-codegen limits and
     runs ~5x slower (measured 5.8s vs 1.3s at sf0.1, the same failure
     mode as neardup_pairs)."""
+    from pyspark.sql import Window
+
+    # a dense ordinal over the (tiny) centroid set makes the smallest-id
+    # tie-break type-agnostic: string/int/bigint centroid ids all order
+    # the same way, and max_by never negates the id itself
     cents = F.broadcast(
         centroids.select(
             F.col(id_col).alias("cent_id"), _dvec(F.col(vec_col)).alias("__cvec")
-        )
+        ).withColumn("__ord", F.row_number().over(Window.orderBy("cent_id")))
     )
     scored = ensure_parallelism(emb).crossJoin(cents).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("cent_id"),
+        F.col("__ord"),
         cosine(F.col(vec_col), F.col("__cvec"), dim=None).alias("__sim"),
     )
     return scored.groupBy(id_col).agg(
         F.first(vec_col).alias(vec_col),
-        F.max_by("cent_id", F.struct(F.col("__sim"), -F.col("cent_id"))).alias("cent_id"),
+        F.max_by("cent_id", F.struct(F.col("__sim"), -F.col("__ord"))).alias("cent_id"),
     )
 
 
@@ -176,6 +182,7 @@ def kmeans_centroids(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tol: float = 1e-6,
 ) -> DataFrame:
     """Train IVF centroids with Lloyd's iterations as DataFrame ops.
 
@@ -190,12 +197,20 @@ def kmeans_centroids(
     corpus-sized ever leaves the executors and no caching is needed
     (each round is one self-contained job over the corpus).
 
+    ``iters`` is a maximum: training stops early once the largest
+    element-wise centroid movement drops below ``tol`` (the standard
+    Lloyd's convergence test, checked driver-side on the O(k*dim)
+    centroid set — corpora that converge in 2 rounds don't pay for 5
+    full-corpus passes). ``tol=0`` restores fixed-iteration behavior.
+
     Deterministic: seeded from the ``n_centroids`` lowest-id vectors,
-    ties in assignment go to the smallest centroid id, and the mean is
-    computed with Spark's fixed-order avg over a sorted reassembly.
+    ties in assignment go to the smallest centroid id, the mean is
+    computed with Spark's fixed-order avg over a sorted reassembly,
+    and the convergence test compares exact driver-side doubles — the
+    same inputs always stop at the same round with the same output.
     Empty clusters keep their previous centroid. Output: one row per
-    centroid, (id_col = the centroid's seed-vector id, vec_col =
-    array<double>).
+    centroid, (id_col = the centroid's seed-vector id — same type as
+    the input id column, vec_col = array<double>).
 
     Reference parity: the reference has no ANN surface; this is the
     trainer the ivf_topk docstring promises ("pass centroids (e.g.
@@ -205,8 +220,11 @@ def kmeans_centroids(
     cents = emb.orderBy(id_col).limit(n_centroids).select(
         F.col(id_col), _dvec(F.col(vec_col)).alias(vec_col)
     )
+    # derive the id field's type from the input frame — a string/int
+    # vec-id corpus must not come back with silently-bigint centroids
+    id_ddl = emb.schema[id_col].dataType.simpleString()
     schema = (
-        f"{_quote(id_col)} BIGINT, {_quote(vec_col)} ARRAY<DOUBLE>"
+        f"{_quote(id_col)} {id_ddl}, {_quote(vec_col)} ARRAY<DOUBLE>"
     )
     for _ in range(iters):
         assigned = ivf_assign(emb, cents, id_col, vec_col)
@@ -227,9 +245,18 @@ def kmeans_centroids(
         # keep the previous centroid for clusters that lost every member
         rows = {r[0]: list(r[1]) for r in means.collect()}
         prev = [(r[0], list(r[1])) for r in cents.collect()]
-        cents = spark.createDataFrame(
-            [(cid, rows.get(cid, vec)) for cid, vec in prev], schema
+        nxt = [(cid, rows.get(cid, vec)) for cid, vec in prev]
+        moved = max(
+            (
+                abs(x - y)
+                for (_, v_new), (_, v_old) in zip(nxt, prev)
+                for x, y in zip(v_new, v_old)
+            ),
+            default=0.0,
         )
+        cents = spark.createDataFrame(nxt, schema)
+        if moved < tol:
+            break
     return cents
 
 
@@ -257,7 +284,9 @@ def ivf_topk(
     k-means output) for production recall. At 100 TB the assignment is
     computed once at write time and the table is partitioned by
     cent_id, making each probe a partition-pruned scan (the same
-    manifest-level skip as the modulo shard, SURVEY §2.4).
+    manifest-level skip as the modulo shard, SURVEY §2.4) — that
+    layout is ``write_ivf_partitioned`` + ``ivf_topk_partitioned``,
+    with an input-file-pruning test mirroring the shard test's.
 
     All cosines use the higher-order aggregate dot: measured at sf0.1,
     the dim-unrolled chain evaluated after the probe joins falls out of
@@ -281,6 +310,88 @@ def ivf_topk(
     return (
         assigned.join(F.broadcast(probe), "cent_id")
         .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def write_ivf_partitioned(
+    emb: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the write-time IVF layout ``ivf_topk`` promises:
+    assignment is computed ONCE (ivf_assign — broadcast centroids,
+    map-side max_by) and the table lands partitioned by ``cent_id``,
+    so every probe is a partition-pruned scan reading only its probed
+    lists' directories — the same manifest-level file skip as the
+    modulo shard (ModuloShardingStrategy.java:129-146), applied to the
+    ANN axis. At 100 TB this turns each query from a full-corpus scan
+    into ~nprobe/n_centroids of the files."""
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(path)
+
+
+def ivf_probe_scan(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+) -> DataFrame:
+    """The partition-pruned scan of an IVF table written by
+    ``write_ivf_partitioned``: only the query's ``nprobe`` nearest
+    lists' directories are read.
+
+    The nearest centroids are ranked driver-side from the O(k*dim)
+    centroid set (the same bounded synchronization kmeans training
+    takes; nothing corpus-sized is collected), so the probe becomes a
+    LITERAL ``cent_id IN (...)`` over the partition column —
+    Catalyst's PruneFileSourcePartitions drops the other lists'
+    directories before any data file is opened. Ranking ties break
+    toward the smaller centroid id, mirroring ivf_topk's
+    ``orderBy(sim desc, cent_id)``."""
+    qv = [float(x) for x in query.select(_dvec(F.col(vec_col)).alias("v")).head()["v"]]
+    cents = [
+        (r[0], [float(x) for x in r[1]])
+        for r in centroids.select(F.col(id_col), _dvec(F.col(vec_col))).collect()
+    ]
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return d / (na * nb) if na and nb else 0.0
+
+    probe_ids = [cid for cid, v in sorted(cents, key=lambda cv: (-cos(qv, cv[1]), cv[0]))[:nprobe]]
+    return spark.read.parquet(path).filter(F.col("cent_id").isin(probe_ids))
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+) -> DataFrame:
+    """Exact cosine top-k over the partition-pruned probe scan — the
+    query path of the materialized IVF layout (see ``ivf_probe_scan``
+    for how the pruning works)."""
+    q = F.broadcast(query.select(_dvec(F.col(vec_col)).alias("__qvec")))
+    return (
+        ivf_probe_scan(spark, path, centroids, query, id_col, vec_col, nprobe)
+        .crossJoin(q)
         .select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
@@ -389,17 +500,38 @@ def neardup_pairs(
         norm(F.col(vec_col), dim).alias("__n"),
     )
     if bits:
-        keyed = base.withColumn("__bk", F.explode(signbit_band_keys(F.col("__v"), bits, bands)))
-        a = keyed.select(
-            F.col("__id").alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na"), "__bk"
+        # Blocking join and pair-dedup carry BARE IDS only: a candidate
+        # pair that shares several band keys is deduplicated on
+        # (id_a, id_b) — two longs — and the ~1 KB vectors + norms are
+        # re-attached afterwards with two n-sized joins against `base`.
+        # Deduping with vectors attached would inflate the candidate
+        # exchange ~60x (2 x 64 doubles per row); at 10^9 vectors the
+        # candidate set dominates every other stage, so the fat shuffle
+        # is the one to starve. Same cheap-kill-before-shuffle order as
+        # the simhash path (dedup.py:simhash_neardup_pairs).
+        keyed = base.select(
+            "__id", F.explode(signbit_band_keys(F.col("__v"), bits, bands)).alias("__bk")
         )
-        b = keyed.select(
-            F.col("__id").alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"), "__bk"
+        cand = (
+            keyed.select(F.col("__id").alias("id_a"), "__bk")
+            .join(keyed.select(F.col("__id").alias("id_b"), "__bk"), "__bk")
+            .drop("__bk")
+            .filter(F.col("id_a") < F.col("id_b"))
         )
-        pairs = a.join(b, "__bk").drop("__bk").filter(F.col("id_a") < F.col("id_b"))
         if bands > 1:
             # a pair can share several band keys; verify it once
-            pairs = pairs.dropDuplicates(["id_a", "id_b"])
+            cand = cand.dropDuplicates(["id_a", "id_b"])
+        pairs = cand.join(
+            base.select(
+                F.col("__id").alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na")
+            ),
+            "id_a",
+        ).join(
+            base.select(
+                F.col("__id").alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb")
+            ),
+            "id_b",
+        )
     else:
         a = base.select(
             F.col("__id").alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na")

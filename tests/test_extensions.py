@@ -542,3 +542,107 @@ def test_jaccard_join(spark):
     assert uncapped.count() == 9
     capped = dedup.jaccard_join(l2, r2, "text", "doc_id", threshold=0.01, max_shingle_df=3)
     assert capped.count() == 0
+
+
+def test_kmeans_converges_early_with_identical_output(spark, monkeypatch):
+    """Convergence stop: a corpus that settles in a few rounds must not
+    pay for the full iteration budget, and the early-stopped result
+    must be identical to the fixed-iteration one."""
+    rows = [
+        Row(vec_id=i * 10 + j, embedding=[1.0 + j * 0.01, 0.0] if i == 0 else [0.0, 1.0 + j * 0.01])
+        for i in range(2)
+        for j in range(5)
+    ]
+    emb = spark.createDataFrame(rows)
+
+    calls = {"n": 0}
+    real_assign = similarity.ivf_assign
+
+    def counting_assign(*a, **kw):
+        calls["n"] += 1
+        return real_assign(*a, **kw)
+
+    monkeypatch.setattr(similarity, "ivf_assign", counting_assign)
+    early = similarity.kmeans_centroids(emb, n_centroids=2, iters=10, tol=1e-9)
+    early_rows = sorted((r[0], tuple(r[1])) for r in early.collect())
+    early_calls = calls["n"]
+    assert early_calls < 10, f"no early stop: {early_calls} assignment rounds"
+
+    calls["n"] = 0
+    full = similarity.kmeans_centroids(emb, n_centroids=2, iters=10, tol=0.0)
+    full_rows = sorted((r[0], tuple(r[1])) for r in full.collect())
+    assert calls["n"] == 10  # tol=0 restores fixed-iteration behavior
+    assert early_rows == full_rows
+
+
+def test_kmeans_preserves_id_type(spark):
+    """Centroid ids keep the input id column's type (a string-id corpus
+    must not come back with bigint centroid ids)."""
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=f"doc-{i}", embedding=[1.0, 0.0] if i < 3 else [0.0, 1.0])
+            for i in range(6)
+        ]
+    )
+    cents = similarity.kmeans_centroids(emb, n_centroids=2, iters=3)
+    assert dict(cents.dtypes)["vec_id"] == "string"
+    ids = {r.vec_id for r in cents.collect()}
+    assert ids == {"doc-0", "doc-1"}
+
+
+def test_ivf_partitioned_probe_prunes_files_and_matches(spark, tmp_path):
+    """Write-time IVF layout: the probe reads ONLY the probed lists'
+    partition directories (input-file metrics, the shard test's
+    pattern) and returns exactly what the in-memory ivf_topk returns
+    for the same centroids and nprobe."""
+    import glob
+    import os
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for c in range(4):
+        ctr = [0.0] * 8
+        ctr[2 * c] = 1.0
+        for j in range(20):
+            rows.append(
+                Row(vec_id=c * 20 + j, embedding=[x + rng.uniform(-0.05, 0.05) for x in ctr])
+            )
+    emb = spark.createDataFrame(rows)
+    cents = similarity.kmeans_centroids(emb, n_centroids=4, iters=4)
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_partitioned(emb, cents, path)
+
+    part_dirs = glob.glob(f"{path}/cent_id=*")
+    assert len(part_dirs) == 4
+    total_files = len(glob.glob(f"{path}/cent_id=*/*.parquet"))
+
+    q = emb.filter("vec_id = 45")  # a cluster-2 member
+    scan = similarity.ivf_probe_scan(spark, path, cents, q, nprobe=1)
+    touched = [
+        r.f for r in scan.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert touched, "probe scanned no files"
+    probed_dirs = {f.rsplit("/", 2)[-2] for f in touched}
+    assert len(probed_dirs) == 1, probed_dirs  # nprobe=1 -> one list only
+    assert len(touched) / total_files <= 1 / 4 + 0.05
+
+    got = similarity.ivf_topk_partitioned(spark, path, cents, q, k=5, nprobe=1)
+    mem = similarity.ivf_topk(emb, q, k=5, nprobe=1, centroids=cents)
+    assert [(r.vec_id, r.cos_sim) for r in got.collect()] == [
+        (r.vec_id, r.cos_sim) for r in mem.collect()
+    ]
+
+
+def test_neardup_pair_dedup_carries_only_ids(spark):
+    """The candidate-dedup exchange must move bare id pairs, not the
+    vectors: no first(va)/first(vb) aggregates anywhere in the plan
+    (the fat-shuffle shape this operator previously had)."""
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0, float(i) * 0.001, 0.0, 0.0]) for i in range(8)]
+    )
+    pairs = similarity.neardup_pairs(emb, threshold=0.9, bits=2, bands=2)
+    plan = pairs._jdf.queryExecution().toString()
+    assert "first(va" not in plan and "first(vb" not in plan
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(a, b) for a in range(8) for b in range(a + 1, 8)}
