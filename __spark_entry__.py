@@ -1619,7 +1619,10 @@ def q_multimodal_external_meta(spark, sf):
     loader ranged-reads them back, and mime/size/sha/base64 are
     recomputed from the ROUND-TRIPPED bytes — any corruption in the
     blob write/seek/read path breaks the value hash. Oracle: identical
-    to multimodal_meta, because the round trip must be byte-lossless."""
+    to multimodal_meta, because the round trip must be byte-lossless.
+    Uses externalize_to_table (externalize + parquet materialization
+    barrier), the pattern object stores require: pointers are pinned
+    by ONE action and blob streams are closed before any read."""
     import atexit
     import shutil
 
@@ -1629,7 +1632,9 @@ def q_multimodal_external_meta(spark, sf):
     work = _stream_scratch("mm_ext_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     back = multimodal.load_payloads(
-        multimodal.externalize_payloads(d, work, threshold_bytes=256)
+        multimodal.externalize_to_table(
+            d, f"{work}/blobs", f"{work}/refs", threshold_bytes=256
+        )
     )
     return back.select(
         "doc_id",

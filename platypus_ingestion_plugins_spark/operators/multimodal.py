@@ -198,9 +198,21 @@ def externalize_payloads(
     Blob files are named by task attempt (partition id + task attempt
     id), so a retried task writes a fresh file and only the winning
     attempt's pointers are committed — failed-attempt blobs are
-    unreferenced garbage, collectable by comparing file listings
-    against referenced paths (the same uncommitted-file semantics as a
-    parquet write without a committer).
+    unreferenced garbage, collected by ``gc_blobs`` (same
+    uncommitted-file semantics as a parquet write without a
+    committer).
+
+    MATERIALIZE THE RESULT IMMEDIATELY (``externalize_to_table`` does
+    both steps): the output is non-deterministic across recomputes —
+    blob paths embed the task attempt id, so running the un-persisted
+    frame twice (two actions, or lineage recompute after executor
+    loss) writes a second copy of every blob and yields different
+    pointers per action. Old pointers stay valid (blobs are never
+    overwritten), but storage doubles until ``gc_blobs`` runs against
+    the frame you actually kept. On object stores the write-then-read
+    ordering ALSO requires the barrier: pyarrow output streams are
+    multipart uploads invisible until close, so a same-plan
+    ``load_payloads`` would miss them (locally it happens to work).
     """
     out_schema = _ref_schema(df, payload_col, ref_col)
     cols = [f.name for f in df.schema.fields]
@@ -257,6 +269,80 @@ def externalize_payloads(
     return df.mapInPandas(kernel, out_schema)
 
 
+def externalize_to_table(
+    df: DataFrame,
+    base_path: str,
+    table_path: str,
+    threshold_bytes: int = 1 << 20,
+    payload_col: str = "payload",
+    ref_col: str = "payload_ref",
+) -> DataFrame:
+    """Externalize + materialize in one step — the safe pattern.
+
+    Writes the pointer frame to parquet at ``table_path`` (ONE action,
+    so every blob is written exactly once and closed before any
+    consumer reads it) and returns the parquet-backed frame. Use this
+    instead of chaining actions onto ``externalize_payloads`` output:
+    the parquet write is the materialization barrier that (a) pins one
+    deterministic set of pointers, (b) closes blob output streams
+    before reads — required on object stores where open multipart
+    uploads are invisible — and (c) defines the reference set
+    ``gc_blobs`` preserves."""
+    ext = externalize_payloads(df, base_path, threshold_bytes, payload_col, ref_col)
+    ext.write.mode("overwrite").parquet(table_path)
+    return df.sparkSession.read.parquet(table_path)
+
+
+def gc_blobs(
+    df: DataFrame,
+    base_path: str,
+    ref_col: str = "payload_ref",
+) -> list[str]:
+    """Garbage-collect orphaned blob files under ``base_path``.
+
+    Failed/retried task attempts (and un-materialized recomputes)
+    leave ``blob-*.bin`` files that no committed pointer references.
+    This lists the blob directory, subtracts every path referenced by
+    ``df``'s pointer column, and deletes the rest. Pass the
+    MATERIALIZED pointer table (the frame ``externalize_to_table``
+    returned / the parquet you kept) — running this against a live
+    un-persisted lineage would recompute it and mint fresh blobs while
+    collecting the ones you meant to keep.
+
+    The listing and delete are driver-side: blob files are one per
+    task attempt, so the set is bounded by task count, not data size
+    (at 100 TB with ~10^5 tasks this is a trivial string set; the
+    distinct referenced-path aggregate is the only cluster step).
+    Returns the deleted paths (fs-internal form), sorted."""
+    import pyarrow.fs as pafs
+
+    fs, inner = _blob_fs(base_path.rstrip("/"))
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(inner, recursive=False))
+    except FileNotFoundError:
+        return []
+    blobs = {
+        i.path
+        for i in infos
+        if i.is_file and i.base_name.startswith("blob-") and i.base_name.endswith(".bin")
+    }
+    if not blobs:
+        return []
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    referenced = {
+        _blob_fs(r[0])[1]
+        for r in df.select(F.col(f"{ref_col}.path").alias("p"))
+        .where(F.col(f"{ref_col}.path").isNotNull())
+        .distinct()
+        .collect()
+    }
+    orphans = sorted(blobs - referenced)
+    for p in orphans:
+        fs.delete_file(p)
+    return orphans
+
+
 def load_payloads(
     df: DataFrame,
     payload_col: str = "payload",
@@ -267,7 +353,14 @@ def load_payloads(
     are ranged-read from their blob file. Reads are grouped by blob
     path within each Arrow batch — one open + sorted seeks per file per
     batch, not one open per row. Place AFTER the shuffles/joins that
-    needed the skinny rows and BEFORE the decode kernel."""
+    needed the skinny rows and BEFORE the decode kernel.
+
+    Requires a materialization barrier upstream on object stores: the
+    pointer frame must come from ``externalize_to_table`` (or another
+    persisted copy), never the same plan as ``externalize_payloads`` —
+    open multipart-upload blobs are invisible to readers until closed.
+    Chaining directly works on local filesystems only, and recomputes
+    the externalize stage (fresh duplicate blobs) on every action."""
     fields = [
         f if f.name != ref_col else T.StructField(payload_col, T.BinaryType())
         for f in df.schema.fields

@@ -646,3 +646,46 @@ def test_neardup_pair_dedup_carries_only_ids(spark):
     assert "first(va" not in plan and "first(vb" not in plan
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert got == {(a, b) for a in range(8) for b in range(a + 1, 8)}
+
+
+def test_gc_blobs_collects_orphans_keeps_live(spark, tmp_path):
+    """Blob GC: a planted failed-attempt blob is deleted; blobs the
+    materialized pointer table references survive, and the payloads
+    still ranged-read back byte-identical afterwards."""
+    import os as _os
+
+    rows = [
+        Row(doc_id=1, payload=b"A" * 4000),
+        Row(doc_id=2, payload=b"B" * 6000),
+        Row(doc_id=3, payload=b"tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    base = str(tmp_path / "blobs")
+    table = str(tmp_path / "refs")
+    ext = multimodal.externalize_to_table(df, base, table, threshold_bytes=1000)
+
+    # plant a failed-attempt orphan alongside the live blobs
+    orphan = _os.path.join(base, "blob-99-99999.bin")
+    with open(orphan, "wb") as f:
+        f.write(b"Z" * 1234)
+    live = {
+        f for f in _os.listdir(base) if f.startswith("blob-")
+    } - {"blob-99-99999.bin"}
+    assert live, "externalize produced no blobs"
+
+    deleted = multimodal.gc_blobs(ext, base)
+    assert [_os.path.basename(p) for p in deleted] == ["blob-99-99999.bin"]
+    assert not _os.path.exists(orphan)
+    assert {f for f in _os.listdir(base) if f.startswith("blob-")} == live
+
+    # live payloads unharmed
+    back = {
+        r.doc_id: (bytes(r.payload) if r.payload is not None else None)
+        for r in multimodal.load_payloads(ext).collect()
+    }
+    assert back == {1: b"A" * 4000, 2: b"B" * 6000, 3: b"tiny"}
+
+    # idempotent: nothing left to collect
+    assert multimodal.gc_blobs(ext, base) == []
+    # and a GC over a missing/empty dir is a no-op
+    assert multimodal.gc_blobs(ext, str(tmp_path / "nope")) == []
