@@ -4,11 +4,20 @@ The sandboxed build has no ``spark-avro`` jar, so the per-record
 schema dispatch in ``sources.kafka.decode_with_schema_map`` could only
 be tested through an injected fake. This module implements the Avro
 binary encoding (the public Apache Avro 1.11 spec, "Binary encoding")
-for flat records of primitive fields — null, boolean, int, long,
-float, double, string, bytes, and 2-branch null unions of those — and
-exposes it through the same ``decoder(payload_col, schema_json) ->
-Column`` injection point, making the wire-format -> typed-record path
-testable end-to-end without the jar.
+for the reference converter's full input lattice — null, boolean,
+int, long, float, double, string, bytes, NESTED RECORDS (typed
+structs; flatten downstream with converters.flatten_structs for the
+``parent_child`` naming, AvroToAddDocumentConverter.java:36-69),
+arrays (block encoding, incl. arrays of records), maps, enums
+(decoded to their symbol), fixed (hex, like bytes), logical types
+(date/timestamp-millis/... pass through as their underlying int/long,
+AvroToAddDocumentConverter.java:94-107), and unions (the decoded
+branch is read exactly; the Spark-side type comes from the first
+non-null branch, the reference's getNonNullSchema rule,
+AvroToAddDocumentConverter.java:77-86) — and exposes it through the
+same ``decoder(payload_col, schema_json) -> Column`` injection point,
+making the wire-format -> typed-record path testable end-to-end
+without the jar.
 
 Spark-first shape: the Python decode runs as an Arrow-batched pandas
 UDF emitting a JSON string per record (``None`` on any decode error),
@@ -68,6 +77,21 @@ class _Reader:
         return (acc >> 1) ^ -(acc & 1)
 
 
+def _read_blocks(r: _Reader, read_item) -> list:
+    """Avro block series: long count per block (negative count = item
+    count is abs(count) and a byte-size long follows), 0 terminates."""
+    out = []
+    while True:
+        n = r.read_long()
+        if n == 0:
+            return out
+        if n < 0:
+            n = -n
+            r.read_long()  # block byte size (skippable; we read items)
+        for _ in range(n):
+            out.append(read_item())
+
+
 def _decode_value(r: _Reader, schema) -> object:
     if isinstance(schema, str):
         t = schema
@@ -83,6 +107,28 @@ def _decode_value(r: _Reader, schema) -> object:
             return {
                 f["name"]: _decode_value(r, f["type"]) for f in schema["fields"]
             }
+        if t == "array":
+            items = schema["items"]
+            return _read_blocks(r, lambda: _decode_value(r, items))
+        if t == "map":
+            values = schema["values"]
+
+            def kv():
+                k = _decode_value(r, "string")
+                return (k, _decode_value(r, values))
+
+            return dict(_read_blocks(r, kv))
+        if t == "enum":
+            idx = r.read_long()
+            symbols = schema["symbols"]
+            if not 0 <= idx < len(symbols):
+                raise ValueError(f"enum index {idx} out of range")
+            return symbols[idx]
+        if t == "fixed":
+            return r.read(int(schema["size"])).hex()
+        # logical types ({"type": "int", "logicalType": "date"}, ...)
+        # pass through as their underlying primitive — reference parity
+        # (AvroToAddDocumentConverter.java:94-107)
     else:
         raise ValueError(f"unsupported schema node: {schema!r}")
     if t == "null":
@@ -134,17 +180,37 @@ def avro_to_spark_type(schema) -> T.DataType:
     if isinstance(schema, str):
         return _PRIMITIVE[schema]
     if isinstance(schema, list):
+        # union: type from the FIRST non-null branch — the reference's
+        # getNonNullSchema rule (AvroToAddDocumentConverter.java:77-86).
+        # Values decoded from other branches surface as NULL fields
+        # after the JVM-side from_json (PERMISSIVE), mirroring the
+        # reference's stringify-whatever looseness without inventing a
+        # union type Spark doesn't have.
         branches = [b for b in schema if b != "null"]
-        if len(branches) != 1:
-            raise ValueError(f"only 2-branch null unions supported: {schema!r}")
+        if not branches:
+            return T.NullType()
         return avro_to_spark_type(branches[0])
-    if schema["type"] == "record":
+    t = schema["type"]
+    if t == "record":
         return T.StructType(
             [
                 T.StructField(f["name"], avro_to_spark_type(f["type"]))
                 for f in schema["fields"]
             ]
         )
+    if t == "array":
+        return T.ArrayType(avro_to_spark_type(schema["items"]))
+    if t == "map":
+        return T.MapType(T.StringType(), avro_to_spark_type(schema["values"]))
+    if t == "enum":
+        return T.StringType()
+    if t == "fixed":
+        return T.StringType()  # hex, like bytes
+    if t in _PRIMITIVE:
+        # logical-type annotation on a primitive: underlying int/long
+        # passes through (AvroToAddDocumentConverter.java:94-107;
+        # goldens AvroToAddDocumentConverterTest.java:60-84)
+        return _PRIMITIVE[t]
     raise ValueError(f"unsupported Avro schema: {schema!r}")
 
 
@@ -215,6 +281,26 @@ def _encode_value(v, schema) -> bytes:
         return b"".join(
             _encode_value(v.get(f["name"]), f["type"]) for f in schema["fields"]
         )
+    if t == "array":
+        if not v:
+            return _encode_long(0)
+        body = b"".join(_encode_value(x, schema["items"]) for x in v)
+        return _encode_long(len(v)) + body + _encode_long(0)
+    if t == "map":
+        if not v:
+            return _encode_long(0)
+        body = b"".join(
+            _encode_value(k, "string") + _encode_value(val, schema["values"])
+            for k, val in v.items()
+        )
+        return _encode_long(len(v)) + body + _encode_long(0)
+    if t == "enum":
+        return _encode_long(schema["symbols"].index(v))
+    if t == "fixed":
+        raw = bytes(v)
+        if len(raw) != int(schema["size"]):
+            raise ValueError("fixed size mismatch")
+        return raw
     if t == "null":
         return b""
     if t == "boolean":

@@ -332,3 +332,214 @@ def test_jsonl_source_quarantines_poison_lines(spark, tmp_path):
     assert len(bad) == 2
     assert any(b.startswith("{broken") for b in bad)  # syntactically invalid
     assert any("not-a-number" in b for b in bad)  # schema-invalid
+
+
+# ---------------------------------------------------------------------------
+# Avro full-lattice goldens, ported from AvroToAddDocumentConverterTest.java
+# (:28-57 primitives, :60-84 logical types, :87-117 nullable unions,
+#  :120-143 arrays, :146-166 nested records, :169-197 arrays of records,
+#  :200-209 Utf8) and the E2E fixture schema (KafkaIngestorE2ETest.java:78-100)
+# ---------------------------------------------------------------------------
+
+AVRO_FULL = {
+    "type": "record",
+    "name": "Full",
+    "fields": [
+        {"name": "stringField", "type": "string"},
+        {"name": "intField", "type": "int"},
+        {"name": "longField", "type": "long"},
+        {"name": "floatField", "type": "float"},
+        {"name": "doubleField", "type": "double"},
+        {"name": "booleanField", "type": "boolean"},
+        {"name": "dateField", "type": {"type": "int", "logicalType": "date"}},
+        {
+            "name": "timestampField",
+            "type": {"type": "long", "logicalType": "timestamp-millis"},
+        },
+        {"name": "nullableString", "type": ["null", "string"]},
+        {"name": "nullableInt", "type": ["null", "int"]},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {
+            "name": "attrs",
+            "type": {"type": "map", "values": "long"},
+        },
+        {
+            "name": "color",
+            "type": {"type": "enum", "name": "Color", "symbols": ["RED", "GREEN"]},
+        },
+        {"name": "fp", "type": {"type": "fixed", "name": "FP", "size": 4}},
+        {
+            "name": "metadata",
+            "type": {
+                "type": "record",
+                "name": "Meta",
+                "fields": [
+                    {"name": "author", "type": "string"},
+                    {"name": "publishDate", "type": "string"},
+                ],
+            },
+        },
+        {
+            "name": "children",
+            "type": {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": "Child",
+                    "fields": [{"name": "name", "type": "string"}],
+                },
+            },
+        },
+    ],
+}
+
+FULL_REC = {
+    "stringField": "hello",
+    "intField": 42,
+    "longField": 123456789,
+    "floatField": 3.5,
+    "doubleField": 2.718,
+    "booleanField": True,
+    "dateField": 19723,  # 2024-01-01 as epoch days — int passthrough
+    "timestampField": 1704110400000,  # 2024-01-01T12:00:00Z epoch ms
+    "nullableString": "nullable",
+    "nullableInt": 99,
+    "tags": ["tag1", "tag2", "tag3"],
+    "attrs": {"views": 7, "likes": 3},
+    "color": "GREEN",
+    "fp": b"\x01\x02\x03\x04",
+    "metadata": {"author": "Alice Smith", "publishDate": "2024-01-15"},
+    "children": [{"name": "Alice"}, {"name": "Bob"}],
+}
+
+
+def test_avro_full_lattice_roundtrip_unit():
+    """Binary encode -> decode over the whole reference lattice:
+    nested records, arrays (incl. of records), maps, enums, fixed,
+    logical types as raw int/long, nullable unions."""
+    from platypus_ingestion_plugins_spark.sources.avro_decode import (
+        decode_record,
+        encode_record,
+    )
+
+    got = decode_record(encode_record(FULL_REC, AVRO_FULL), AVRO_FULL)
+    expected = dict(FULL_REC, fp="01020304")  # fixed decodes to hex
+    assert got == expected
+    # null branches of the unions
+    rec2 = dict(FULL_REC, nullableString=None, nullableInt=None)
+    got2 = decode_record(encode_record(rec2, AVRO_FULL), AVRO_FULL)
+    assert got2["nullableString"] is None and got2["nullableInt"] is None
+    # empty array / empty map encode as a bare 0-block
+    rec3 = dict(FULL_REC, tags=[], attrs={}, children=[])
+    got3 = decode_record(encode_record(rec3, AVRO_FULL), AVRO_FULL)
+    assert got3["tags"] == [] and got3["attrs"] == {} and got3["children"] == []
+
+
+def test_avro_nested_decode_and_flatten_end_to_end(spark):
+    """The Done-criterion path: an E2E-fixture-shaped nested record
+    (KafkaIngestorE2ETest.java:78-100, :300-349) travels wire-format ->
+    decode_with_schema_map (pure-Python decoder) -> flatten_structs,
+    yielding the flattened metadata_author/metadata_publishDate columns
+    the reference registers (:246-260)."""
+    import json as _json
+
+    from platypus_ingestion_plugins_spark.functions.converters import flatten_structs
+    from platypus_ingestion_plugins_spark.sources.avro_decode import (
+        confluent_frame,
+        python_avro_decoder,
+    )
+    from platypus_ingestion_plugins_spark.sources.kafka import decode_with_schema_map
+
+    doc_schema = {
+        "type": "record",
+        "name": "Document",
+        "fields": [
+            {"name": "id", "type": "string"},
+            {"name": "title", "type": "string"},
+            {"name": "content", "type": "string"},
+            {"name": "category", "type": "string"},
+            {"name": "rating", "type": "double"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {
+                "name": "metadata",
+                "type": {
+                    "type": "record",
+                    "name": "Metadata",
+                    "fields": [
+                        {"name": "author", "type": "string"},
+                        {"name": "publishDate", "type": "string"},
+                    ],
+                },
+            },
+        ],
+    }
+    docs = [
+        {
+            "id": "doc1",
+            "title": "Machine Learning Basics",
+            "content": "Introduction to neural networks and deep learning concepts",
+            "category": "technology",
+            "rating": 4.5,
+            "tags": ["ml", "ai", "tutorial"],
+            "metadata": {"author": "Alice Smith", "publishDate": "2024-01-15"},
+        },
+        {
+            "id": "doc2",
+            "title": "Cooking Pasta Perfectly",
+            "content": "Tips and tricks for making restaurant-quality pasta at home",
+            "category": "cooking",
+            "rating": 4.8,
+            "tags": ["food", "recipe", "italian"],
+            "metadata": {"author": "Chef Mario", "publishDate": "2024-01-20"},
+        },
+    ]
+    rows = [Row(value=bytearray(confluent_frame(d, doc_schema, 7))) for d in docs]
+    rows.append(Row(value=bytearray(_wire(7, b"\xff\xff\xff\xff\xff\xff"))))  # poison
+    df = spark.createDataFrame(rows)
+    out = decode_with_schema_map(
+        df, {7: _json.dumps(doc_schema)}, decoder=python_avro_decoder
+    )
+    good = out.filter(~F.col("_is_poison")).drop("value", "_schema_id", "_is_poison")
+    assert good.schema["metadata"].dataType.typeName() == "struct"
+    flat = flatten_structs(good)
+    got = {r.id: r for r in flat.collect()}
+    assert set(flat.columns) >= {"metadata_author", "metadata_publishDate", "tags"}
+    assert got["doc1"].metadata_author == "Alice Smith"
+    assert got["doc1"].metadata_publishDate == "2024-01-15"
+    assert got["doc2"].metadata_author == "Chef Mario"
+    assert list(got["doc2"].tags) == ["food", "recipe", "italian"]
+    assert got["doc1"].rating == 4.5
+    assert out.filter(F.col("_is_poison")).count() == 1
+
+
+def test_avro_full_lattice_through_spark_decoder(spark):
+    """python_avro_decoder must surface the full lattice as typed Spark
+    columns: array<struct> children, map attrs, enum/fixed strings,
+    logical-type ints untouched."""
+    import json as _json
+
+    from platypus_ingestion_plugins_spark.sources.avro_decode import (
+        confluent_frame,
+        python_avro_decoder,
+    )
+    from platypus_ingestion_plugins_spark.sources.kafka import decode_with_schema_map
+
+    df = spark.createDataFrame(
+        [Row(value=bytearray(confluent_frame(FULL_REC, AVRO_FULL, 3)))]
+    )
+    out = decode_with_schema_map(
+        df, {3: _json.dumps(AVRO_FULL)}, decoder=python_avro_decoder
+    )
+    r = out.filter(~F.col("_is_poison")).collect()[0]
+    assert r.stringField == "hello" and r.intField == 42
+    assert r.dateField == 19723 and r.timestampField == 1704110400000
+    assert r.nullableString == "nullable" and r.nullableInt == 99
+    assert list(r.tags) == ["tag1", "tag2", "tag3"]
+    assert dict(r.attrs) == {"views": 7, "likes": 3}
+    assert r.color == "GREEN" and r.fp == "01020304"
+    assert r.metadata.author == "Alice Smith"
+    assert [c.name for c in r.children] == ["Alice", "Bob"]
+    dt = dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)
+    assert dt["children"] == "array<struct<name:string>>"
+    assert dt["attrs"] == "map<string,bigint>"
+    assert dt["dateField"] == "int" and dt["timestampField"] == "bigint"
