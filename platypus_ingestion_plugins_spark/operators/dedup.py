@@ -98,29 +98,34 @@ def ngram_jaccard_pairs(
     self-join (see cap_shingle_df); when set, Jaccard is computed over
     the capped shingle sets.
 
-    The shingle frame is deliberately NOT cached: its three consumers
-    (both join sides + the size agg) recompute the scan+explode map
-    stage, which is embarrassingly parallel and shuffle-free — at
-    corpus scale that beats materializing a shingle set larger than
-    executor storage, and measured at sf0.1 the un-cached plan is
-    FASTER (no blocking cache write). It also leaves zero persisted
-    state behind in a long-lived session. Callers who want explicit
-    reuse can persist `shingles(...)` themselves and use the
-    building-block functions.
+    The shingle frame is deliberately NOT cached: its consumers
+    recompute the scan+explode map stage, which is embarrassingly
+    parallel and shuffle-free — at corpus scale that beats
+    materializing a shingle set larger than executor storage, and
+    measured at sf0.1 the un-cached plan is FASTER (no blocking cache
+    write). It also leaves zero persisted state behind in a long-lived
+    session. To keep the recompute count at two (the join sides), each
+    shingle row carries its document's shingle COUNT, annotated by one
+    window over the id partition — the Jaccard denominator then rides
+    the inverted index instead of needing two more size-join scans.
+    Callers who want explicit reuse can persist `shingles(...)`
+    themselves and use the building-block functions.
     """
+    from pyspark.sql import Window
+
     sh = cap_shingle_df(shingles(df, text_col, id_col, n), max_shingle_df)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
+    sized = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    a = sized.select(F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a"))
+    b = sized.select(F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b"))
+    out = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    out = (
-        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -273,12 +278,16 @@ def minhash_lsh_dedup_pairs(
     """Full MinHash-LSH near-dup pipeline: signatures -> band buckets ->
     candidate pairs -> verify with true Jaccard >= threshold.
 
-    The verification join is candidate-bounded on BOTH axes: each side
-    of the shingle self-join is first semi-joined down to the doc ids
-    that appear in >=1 LSH candidate pair, and the joined pairs are
-    semi-joined against the candidate pair set before aggregation. At
-    100 TB the inverted-index blowup LSH exists to avoid therefore
-    never materializes — non-candidate docs never enter the join.
+    The verification join is candidate-DRIVEN: the candidate pair set
+    (bounded by the LSH blocking, tiny next to the corpus) is joined to
+    the left doc's shingles, then intersected with the right doc's via
+    an equi-join on (id_b, shingle). The work is exactly
+    sum over candidate pairs of |shingles(id_a)| — the inverted-index
+    self-join blowup LSH exists to avoid never materializes, and
+    non-candidate docs never enter any join. This shape also references
+    the candidate subplan ONCE: the previous two-sided semi-join form
+    re-derived the whole shingle->signature->band pipeline three times
+    per action, which dominated wall time on duplicate-heavy corpora.
     ``max_shingle_df`` additionally caps hot-shingle fan-out (see
     cap_shingle_df), applied before signatures so the LSH and
     verification stages see the same shingle sets.
@@ -291,18 +300,9 @@ def minhash_lsh_dedup_pairs(
     sig = minhash_from_shingles(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sig, id_col, bands)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = (
-        sh.join(cands.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi")
-        .select(F.col(id_col).alias("id_a"), "shingle")
-    )
-    b = (
-        sh.join(cands.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi")
-        .select(F.col(id_col).alias("id_b"), "shingle")
-    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .join(cands, ["id_a", "id_b"], "left_semi")
+        cands.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
