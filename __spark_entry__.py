@@ -1171,6 +1171,35 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+def q_knn_join(spark, sf):
+    """Batch k-NN over the embedding corpus: 5 query vectors, top-5
+    neighbors each, via the two-phase bounded partial top-k (the
+    shuffle carries tasks x queries x k rows — see
+    similarity.knn_join). Ranked on rounded cosine + id tie-break so
+    the oracle's row_number reproduces it exactly."""
+    emb = _t(spark, sf, "embeddings")
+    return similarity.knn_join(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, dim=64
+    )
+
+
+SQL_KNN_JOIN = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos_sim
+  FROM embeddings e, q),
+r AS (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id)
+           AS knn_rank
+  FROM scored)
+SELECT q_id, vec_id, cos_sim, knn_rank FROM r WHERE knn_rank <= 5
+"""
+
+
 def q_similarity_quantized(spark, sf):
     """int8-quantized top-k: 4x less scan/shuffle than float at 100 TB;
     oracle reproduces the same floor(x*127/max|x|+0.5) integer math."""
@@ -1989,12 +2018,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. queries whose operator code changed THIS round
     #      (similarity/neardup/IVF/multimodal-externalize),
     #   3. the remaining r04-green queries,
-    #   4. tail (skipped under a 50-cap, recorded here): text_stats,
-    #      text_language_id, text_quality_filter, repetition_stats,
-    #      dataset_split, stratified_sample, multimodal_meta,
-    #      multimodal_features, multimodal_resize, multimodal_frames,
-    #      sink_typed_strings, sink_array_json, pivot_event_counts,
-    #      cube_agg — all r04-green and untouched this round.
+    #   4. tail (skipped under a 50-cap, recorded here): sessionize,
+    #      text_stats, text_language_id, text_quality_filter,
+    #      repetition_stats, dataset_split, stratified_sample,
+    #      multimodal_meta, multimodal_features, multimodal_resize,
+    #      multimodal_frames, sink_typed_strings, sink_array_json,
+    #      pivot_event_counts, cube_agg — all r04-green and untouched
+    #      this round.
     return {
         # 1. absent from CORRECTNESS_r04 (cap-skipped there; green r03)
         "embedding_dedup_groups": q_embedding_dedup_groups,
@@ -2011,8 +2041,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
         "set_except": q_set_except,
-        # 2. operator code touched this round
+        # 2. operator code touched/added this round
         "embedding_neardup": q_embedding_neardup,
+        "knn_join": q_knn_join,
         "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
         "similarity_quantized": q_similarity_quantized,
@@ -2036,7 +2067,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6ish": q_tpch_q6ish,
         "tpch_q3ish": q_tpch_q3ish,
         "window_topk_per_group": q_window_topk_per_group,
-        "sessionize": q_sessionize,
         "hourly_agg": q_hourly_agg,
         "range_join_bands": q_range_join,
         "distinct_sketch": q_distinct_sketch,
@@ -2050,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "dedup_groups": q_dedup_groups,
         # 4. tail — r04-green, untouched; skipped under a 50-entry cap
+        "sessionize": q_sessionize,
         "text_stats": q_text_stats,
         "text_language_id": q_text_language_id,
         "text_quality_filter": q_text_quality_filter,
@@ -2113,6 +2144,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "simhash_neardup": SQL_SIMHASH_NEARDUP,
         "dedup_groups": SQL_DEDUP_GROUPS,
+        "knn_join": SQL_KNN_JOIN,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "similarity_ann": SQL_SIMILARITY_ANN,
         "similarity_quantized": SQL_SIMILARITY_QUANTIZED,

@@ -319,6 +319,62 @@ def ivf_topk(
     )
 
 
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Batch k-NN: for EVERY query vector, its top-k corpus neighbors
+    by cosine — the all-queries generalization of brute_force_topk
+    (cross-dataset dedup, retrieval eval, hard-negative mining).
+
+    Queries broadcast (the small side); scoring is one map-only pass
+    over the corpus. The per-query top-k then uses a TWO-PHASE bounded
+    aggregate: each task keeps only its local top-k per query
+    (array_sort + slice inside the partial aggregate), so the shuffle
+    carries at most tasks * queries * k skinny rows instead of the
+    full |corpus| x |queries| scored set — the same partial/final
+    split a map-side combine gives a sum. A window row_number would
+    shuffle every scored row; at 10^9 corpus rows x 100 queries that
+    is the difference between gigabytes and terabytes of exchange.
+
+    Ranking is on the ROUNDED cosine (6 dp) with id tie-break, so
+    results are engine-reproducible. Output: (q_id, id, cos_sim,
+    knn_rank 1..k)."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias(q_id_col), _dvec(F.col(vec_col)).alias("__qvec"))
+    )
+    scored = ensure_parallelism(corpus).crossJoin(q).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qvec"), dim), 6).alias("cos_sim"),
+    )
+    key = F.struct((-F.col("cos_sim")).alias("nc"), F.col(id_col).alias("i"))
+    local = (
+        scored.withColumn("__p", F.spark_partition_id())
+        .groupBy(q_id_col, "__p")
+        .agg(F.slice(F.array_sort(F.collect_list(key)), 1, k).alias("__top"))
+    )
+    return (
+        local.select(q_id_col, F.explode("__top").alias("s"))
+        .groupBy(q_id_col)
+        .agg(F.slice(F.array_sort(F.collect_list("s")), 1, k).alias("__top"))
+        .select(q_id_col, F.posexplode("__top").alias("__r", "s"))
+        .select(
+            q_id_col,
+            F.col("s.i").alias(id_col),
+            # −(−cos): adding 0.0 normalizes IEEE −0.0 so string-level
+            # oracle compares don't see a sign on zero
+            (-F.col("s.nc") + F.lit(0.0)).alias("cos_sim"),
+            (F.col("__r") + 1).alias("knn_rank"),
+        )
+    )
+
+
 def write_ivf_partitioned(
     emb: DataFrame,
     centroids: DataFrame,

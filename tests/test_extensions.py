@@ -689,3 +689,32 @@ def test_gc_blobs_collects_orphans_keeps_live(spark, tmp_path):
     assert multimodal.gc_blobs(ext, base) == []
     # and a GC over a missing/empty dir is a no-op
     assert multimodal.gc_blobs(ext, str(tmp_path / "nope")) == []
+
+
+def test_knn_join_per_query_topk(spark):
+    """Each query gets ITS OWN ranked top-k; ranking is rounded-cosine
+    desc with id tie-break, identical across partitionings (the
+    two-phase partial top-k must merge losslessly)."""
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1]),
+        Row(vec_id=2, embedding=[0.0, 1.0]),
+        Row(vec_id=3, embedding=[0.1, 0.9]),
+        Row(vec_id=4, embedding=[1.0, 0.0]),  # exact dup of 0 -> tie
+    ]
+    emb = spark.createDataFrame(rows)
+    out = similarity.knn_join(emb, emb.filter("vec_id IN (0, 2)"), k=3)
+    got = {
+        q: [(r.vec_id, r.knn_rank) for r in sorted(rs, key=lambda r: r.knn_rank)]
+        for q, rs in __import__("itertools").groupby(
+            sorted(out.collect(), key=lambda r: (r.q_id, r.knn_rank)),
+            key=lambda r: r.q_id,
+        )
+    }
+    # query 0: itself, then its exact dup (tie -> smaller id first is 0), then 1
+    assert got[0] == [(0, 1), (4, 2), (1, 3)]
+    # query 2: itself, then 3, then 1 (cos(2,1)=0.1/... > cos(2,0)=0)
+    assert got[2][0] == (2, 1) and got[2][1] == (3, 2)
+    # repartitioned corpus produces the identical result (merge is lossless)
+    out2 = similarity.knn_join(emb.repartition(7), emb.filter("vec_id IN (0, 2)"), k=3)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
