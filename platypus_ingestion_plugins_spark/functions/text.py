@@ -89,9 +89,21 @@ def repetition_stats(df, text_col: str, id_col: str, n: int = 3):
     keyword stuffing, and generation loops — the standard repetition
     filters of large-corpus curation pipelines.
 
-    One explode + two hash aggregations, all integer/string
-    arithmetic — an external SQL oracle reproduces the exact values.
-    Output: (id, n_tokens, dup_token_frac, top_ngram_frac).
+    SHUFFLE-FREE: the top-n-gram count is a per-document statistic, so
+    it never needs the explode + two hash aggregations a corpus-level
+    n-gram table would — each row sorts its own gram array and takes
+    the longest equal-adjacent run (max multiplicity) in one
+    higher-order aggregate. Zero exchanges, embarrassingly parallel:
+    at 100 TB this is a map-only pass where the grouped form shuffles
+    |corpus| x grams-per-doc rows twice. Locally it measures a wash
+    (the interpreted lambda trades against codegen'd hash aggs; wall
+    time is dominated by n-gram string construction either way) — the
+    win is the removed exchanges at cluster scale. Values are
+    identical (same counts, same arithmetic), so the SQL oracle is
+    unchanged.
+    Documents with no valid n-gram are dropped, matching the grouped
+    form's inner join. Output: (id, n_tokens, dup_token_frac,
+    top_ngram_frac).
     """
     from pyspark.sql import DataFrame  # noqa: F401
     from platypus_ingestion_plugins_spark.session import ensure_parallelism
@@ -101,33 +113,44 @@ def repetition_stats(df, text_col: str, id_col: str, n: int = 3):
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
-    base = ensure_parallelism(df).select(
-        F.col(id_col),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        grams.alias("__g"),
-    )
-    ex = (
-        base.select(id_col, F.explode("__g").alias("gram"))
-        .filter(F.col("gram") != "")
-    )
-    rep = (
-        ex.groupBy(id_col, "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.max("c").alias("top_c"), F.sum("c").alias("tot"))
-    )
-    tk = base.select(id_col, "n_tokens", "n_distinct")
-    return tk.join(rep, id_col).select(
-        F.col(id_col),
-        F.col("n_tokens"),
-        F.round(
-            F.lit(1.0)
-            - F.col("n_distinct").cast("double")
-            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
-            6,
-        ).alias("dup_token_frac"),
-        F.round(F.col("top_c").cast("double") / F.col("tot").cast("double"), 6).alias(
-            "top_ngram_frac"
+    sg = F.array_sort(F.filter(grams, lambda g: g != ""))
+    # longest run of equal adjacent grams in the sorted array == the
+    # most frequent gram's count
+    run_state = F.aggregate(
+        sg,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
         ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    return (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            run_state["best"].alias("top_c"),
+            F.size(sg).alias("tot"),
+        )
+        .filter(F.col("tot") > 0)
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_token_frac"),
+            F.round(
+                F.col("top_c").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("top_ngram_frac"),
+        )
     )
