@@ -1040,6 +1040,49 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.1
 """
 
 
+def q_winnow_overlap(spark, sf):
+    """Winnowing (rolling-hash) overlap pairs: char-20-gram md5
+    hashes, window-of-8 minima, pairs sharing >= 2 kept fingerprints —
+    the containment detector (copied passage in an otherwise-different
+    doc) that whole-document Jaccard misses. Map-only fingerprinting;
+    the only shuffle is the inverted-index join on the ~1/w-density
+    kept set. k=20 keeps common phrases out of the index (matches
+    need a >= 20-char shared substring), which is what stops a
+    boilerplate-heavy corpus from going quadratic."""
+    return dedup.winnow_overlap_pairs(
+        _t(spark, sf, "documents"), "text", "doc_id", k=20, w=8, min_shared=2
+    )
+
+
+SQL_WINNOW_OVERLAP = """
+WITH t AS (
+  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS txt
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(length(txt) - 20 + 1, 1)),
+           i -> CAST(concat('0x', substr(md5(substr(txt, i, 20)), 1, 15)) AS BIGINT)
+         ) AS hs
+  FROM t),
+wi AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             generate_series(1, greatest(len(hs) - 8 + 1, 1)),
+             j -> list_min(hs[j : j + 7])
+           )
+         ) AS fps
+  FROM h),
+f AS (SELECT doc_id, unnest(fps) AS fp FROM wi)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM f a JOIN f b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
 def q_dedup_groups(spark, sf):
     docs = _t(spark, sf, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
@@ -2018,9 +2061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. queries whose operator code changed THIS round
     #      (similarity/neardup/IVF/multimodal-externalize),
     #   3. the remaining r04-green queries,
-    #   4. tail (skipped under a 50-cap, recorded here): sessionize,
-    #      text_stats, text_language_id, text_quality_filter,
-    #      repetition_stats, dataset_split, stratified_sample,
+    #   4. tail (skipped under a 50-cap, recorded here): asof_join,
+    #      hourly_agg, sessionize, text_stats, text_language_id,
+    #      text_quality_filter, dataset_split, stratified_sample,
     #      multimodal_meta, multimodal_features, multimodal_resize,
     #      multimodal_frames, sink_typed_strings, sink_array_json,
     #      pivot_event_counts, cube_agg — all r04-green and untouched
@@ -2044,6 +2087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 2. operator code touched/added this round
         "embedding_neardup": q_embedding_neardup,
         "knn_join": q_knn_join,
+        "winnow_overlap": q_winnow_overlap,
+        "repetition_stats": q_repetition_stats,
         "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
         "similarity_quantized": q_similarity_quantized,
@@ -2067,11 +2112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6ish": q_tpch_q6ish,
         "tpch_q3ish": q_tpch_q3ish,
         "window_topk_per_group": q_window_topk_per_group,
-        "hourly_agg": q_hourly_agg,
         "range_join_bands": q_range_join,
         "distinct_sketch": q_distinct_sketch,
         "heavy_hitters_sketch": q_heavy_hitters_sketch,
-        "asof_join": q_asof_join,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2080,11 +2123,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "dedup_groups": q_dedup_groups,
         # 4. tail — r04-green, untouched; skipped under a 50-entry cap
+        "asof_join": q_asof_join,
+        "hourly_agg": q_hourly_agg,
         "sessionize": q_sessionize,
         "text_stats": q_text_stats,
         "text_language_id": q_text_language_id,
         "text_quality_filter": q_text_quality_filter,
-        "repetition_stats": q_repetition_stats,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
         "multimodal_meta": q_multimodal_meta,
@@ -2143,6 +2187,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_join": SQL_JACCARD_JOIN,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "simhash_neardup": SQL_SIMHASH_NEARDUP,
+        "winnow_overlap": SQL_WINNOW_OVERLAP,
         "dedup_groups": SQL_DEDUP_GROUPS,
         "knn_join": SQL_KNN_JOIN,
         "similarity_topk": SQL_SIMILARITY_TOPK,

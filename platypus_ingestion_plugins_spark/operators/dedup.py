@@ -206,6 +206,101 @@ def _md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character k-gram of
+    the whitespace-normalized text, slide a window of ``w`` hashes,
+    keep each window's MINIMUM, emit the distinct kept set. Guarantees
+    any shared substring of length >= k+w-1 contributes >= 1 common
+    fingerprint, at ~1/w the density of the full k-gram set — the
+    rolling-hash fingerprint a plagiarism/overlap detector scales on.
+
+    Runs as an Arrow-batched pandas UDF — a deliberate exception to
+    the built-ins-first rule: the higher-order-function formulation
+    (transform over window starts slicing an outer hash array) has
+    Catalyst inline the k-gram hash array into the window lambda, so
+    the whole array is RE-EVALUATED per window — O(len^2) md5 calls
+    per document, measured 25x slower than the batched Python rolling
+    pass at sf0.01. The UDF is a pure map (no shuffle, no state), so
+    the 100 TB story is unchanged: one Arrow-batched pass over the
+    corpus. md5-derived 60-bit hashes keep it engine-reproducible for
+    the SQL oracle (same normalization: lowercase, \\s+ -> single
+    space). Output: (id, fp) one row per distinct kept fingerprint.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def winnow(texts):
+        import hashlib
+        import re as _re
+
+        out = []
+        for t in texts:
+            s = _re.sub(r"\s+", " ", (t or "").lower())
+            n_grams = max(len(s) - k + 1, 1)
+            hs = [
+                int(hashlib.md5(s[i : i + k].encode("utf-8")).hexdigest()[:15], 16)
+                for i in range(n_grams)
+            ]
+            n_wins = max(len(hs) - w + 1, 1)
+            out.append(sorted({min(hs[j : j + w]) for j in range(n_wins)}))
+        return pd.Series(out)
+
+    winnow.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    winnow_udf = pandas_udf("array<long>")(winnow)
+    return ensure_parallelism(df).select(
+        F.col(id_col), F.explode(winnow_udf(F.col(text_col))).alias("fp")
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+    w: int = 8,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Overlapping-document pairs by shared winnowing fingerprints:
+    the inverted-index join touches only docs sharing >= 1 kept
+    fingerprint (~1/w the density of a raw k-gram index), then keeps
+    pairs with >= ``min_shared`` fingerprints in common. The
+    containment-style complement to Jaccard near-dup: a paragraph
+    copied into an otherwise-different document still shares its
+    window minima even though whole-document similarity is low.
+
+    ``k`` is the guarantee length lever: matches require a shared
+    substring of >= k chars (detectable from k+w-1) — keep it well
+    above common-phrase length (MOSS uses tens of characters) or
+    boilerplate makes the candidate set quadratic. ``max_fp_df`` caps
+    a fingerprint's document frequency exactly like cap_shingle_df
+    caps hot shingles: a fp shared by m docs costs m^2 join rows, so
+    corpus-wide template fps get dropped by a broadcast anti-join
+    before the self-join. Output: (id_a, id_b, n_shared), id_a < id_b.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    if max_fp_df:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def minhash_from_shingles(sh: DataFrame, id_col: str, num_hashes: int = 8) -> DataFrame:
     """MinHash signatures from a prepared (id, shingle) set.
 

@@ -718,3 +718,33 @@ def test_knn_join_per_query_topk(spark):
     # repartitioned corpus produces the identical result (merge is lossless)
     out2 = similarity.knn_join(emb.repartition(7), emb.filter("vec_id IN (0, 2)"), k=3)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_winnow_overlap_detects_copied_passage(spark):
+    """Winnowing catches a passage copied into an otherwise-different
+    document (containment), stays silent on unrelated docs, and the
+    hot-fingerprint cap drops corpus-wide template matches."""
+    shared = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        Row(doc_id=1, text=f"intro about databases. {shared} and some closing words."),
+        Row(doc_id=2, text=f"completely different topic on astronomy. {shared} the end."),
+        Row(doc_id=3, text="nothing in common with the others at all, purely unique prose."),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in dedup.winnow_overlap_pairs(
+            df, "text", "doc_id", k=20, w=4, min_shared=2
+        ).collect()
+    }
+    assert set(got) == {(1, 2)} and got[(1, 2)] >= 2
+
+    # template shared by EVERY doc -> capped out by max_fp_df
+    tmpl = [Row(doc_id=i, text=f"standard disclaimer header applies to all documents here. unique part {i}") for i in range(4)]
+    tdf = spark.createDataFrame(tmpl)
+    uncapped = dedup.winnow_overlap_pairs(tdf, "text", "doc_id", k=20, w=4, min_shared=2)
+    assert uncapped.count() == 6  # all pairs share the template
+    capped = dedup.winnow_overlap_pairs(
+        tdf, "text", "doc_id", k=20, w=4, min_shared=2, max_fp_df=2
+    )
+    assert capped.count() == 0
