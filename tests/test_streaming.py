@@ -543,3 +543,62 @@ def test_avro_full_lattice_through_spark_decoder(spark):
     assert dt["children"] == "array<struct<name:string>>"
     assert dt["attrs"] == "map<string,bigint>"
     assert dt["dateField"] == "int" and dt["timestampField"] == "bigint"
+
+
+def test_avro_roundtrip_property():
+    """Property: decode(encode(r)) == r for arbitrary records over the
+    non-float lattice (floats live in the golden tests — binary32
+    re-rounding makes exact equality the wrong property there)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from platypus_ingestion_plugins_spark.sources.avro_decode import (
+        decode_record,
+        encode_record,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "P",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": ["null", "long"]},
+            {"name": "b", "type": "boolean"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {
+                "name": "nested",
+                "type": {
+                    "type": "record",
+                    "name": "N",
+                    "fields": [
+                        {"name": "x", "type": "long"},
+                        {"name": "ys", "type": {"type": "array", "items": "int"}},
+                    ],
+                },
+            },
+        ],
+    }
+    i32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    recs = st.fixed_dictionaries(
+        {
+            "s": st.text(max_size=40),
+            "i": i32,
+            "l": st.none() | i64,
+            "b": st.booleans(),
+            "tags": st.lists(st.text(max_size=10), max_size=5),
+            "m": st.dictionaries(st.text(max_size=8), i64, max_size=4),
+            "nested": st.fixed_dictionaries(
+                {"x": i64, "ys": st.lists(i32, max_size=6)}
+            ),
+        }
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(recs)
+    def roundtrip(rec):
+        assert decode_record(encode_record(rec, schema), schema) == rec
+
+    roundtrip()
