@@ -109,9 +109,15 @@ def repetition_stats(df, text_col: str, id_col: str, n: int = 3):
     from platypus_ingestion_plugins_spark.session import ensure_parallelism
 
     toks = tokens(text_col)
+    # arrays_zip of shifted slices, not transform-over-indices: the
+    # index form has Catalyst inline the tokenize expression into the
+    # lambda (re-split per gram position, quadratic per doc — the
+    # dedup.shingles trap). concat_ws skips zip-padding nulls, so
+    # short docs still yield their full text as one gram.
+    m = F.greatest(F.size(toks) - n + 1, F.lit(1))
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(n)]),
+        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]),
     )
     sg = F.array_sort(F.filter(grams, lambda g: g != ""))
     # longest run of equal adjacent grams in the sorted array == the
