@@ -28,7 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as E
 from platypus_ingestion_plugins_spark.session import get_spark
 
-WARMUP = ("multimodal_features", "tpch_q1")  # pandas-UDF + scan/agg/codegen
+# pandas-UDF (python worker pool) + scan/agg codegen + the shingle
+# tokenize/explode pipeline (first shingle consumer otherwise pays its
+# one-time JIT inside its measurement)
+WARMUP = ("multimodal_features", "tpch_q1", "dedup_ngram_jaccard")
 
 
 def main() -> None:
