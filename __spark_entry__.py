@@ -1840,6 +1840,86 @@ SELECT DISTINCT sha256(text) AS content_sha FROM documents
 """
 
 
+def q_stream_neardup_dedup(spark, sf):
+    """Streaming NEAR-duplicate suppression: documents stream in two
+    seq-ordered drops; each micro-batch computes 32-bit SimHash band
+    keys, suppresses any doc within hamming 3 of a smaller-id doc —
+    band-mates in the accumulated key index OR this batch are the
+    candidates, each verified on the full fingerprint — and appends
+    ALL batch keys (survivors' and suppressed docs') to the index.
+    The any-earlier-doc rule is batch-split independent (see
+    dedup.neardup_survivors), so the streaming result must equal the
+    oracle's one-shot all-pairs filter. foreachBatch writes are
+    append-only and replay-idempotent: re-appended keys add no new
+    hits, re-appended survivors collapse in the final distinct."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark import fs as _fs
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+
+    work = _stream_scratch("stream_neardup_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src = os.path.join(work, "src")
+        idx = os.path.join(work, "index")
+        surv = os.path.join(work, "survivors")
+        ckpt = os.path.join(work, "ckpt")
+        docs.filter(F.col("doc_id") <= mid).coalesce(4).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def handle(batch_df, _bid):
+            keys = dedup.simhash_band_keys(batch_df, "text", "doc_id", bits=32, bands=4)
+            all_keys = keys
+            if _fs.exists(spark, idx):
+                all_keys = keys.unionByName(spark.read.parquet(idx))
+            (
+                dedup.neardup_survivors(all_keys, "doc_id", max_hamming=3)
+                .join(batch_df.select("doc_id"), "doc_id", "left_semi")
+                .write.mode("append")
+                .parquet(surv)
+            )
+            keys.write.mode("append").parquet(idx)
+
+        def run_available():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 100)
+                .parquet(src)
+            )
+            q = (
+                stream.writeStream.foreachBatch(handle)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_available()
+        docs.filter(F.col("doc_id") > mid).coalesce(4).write.mode("append").parquet(src)
+        run_available()
+        _keep_until_exit(work, keep=surv)
+        return spark.read.parquet(surv).distinct()
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+SQL_STREAM_NEARDUP_DEDUP = f"""
+WITH fp AS ({_simhash_sql(32)})
+SELECT d.doc_id, d.simhash
+FROM fp d
+WHERE NOT EXISTS (
+  SELECT 1 FROM fp e
+  WHERE e.doc_id < d.doc_id
+    AND bit_count(xor(e.simhash, d.simhash)) <= 3)
+"""
+
+
 def _stream_scratch(prefix: str) -> str:
     """Scratch dir for a streaming query's src/ckpt/out. Prefers tmpfs
     (/dev/shm): a checkpointed micro-batch writes hundreds of tiny
@@ -2062,12 +2142,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      (similarity/neardup/IVF/multimodal-externalize),
     #   3. the remaining r04-green queries,
     #   4. tail (skipped under a 50-cap, recorded here): asof_join,
-    #      hourly_agg, sessionize, text_stats, text_language_id,
-    #      text_quality_filter, dataset_split, stratified_sample,
-    #      multimodal_meta, multimodal_features, multimodal_resize,
-    #      multimodal_frames, sink_typed_strings, sink_array_json,
-    #      pivot_event_counts, cube_agg — all r04-green and untouched
-    #      this round.
+    #      range_join_bands, hourly_agg, sessionize, text_stats,
+    #      text_language_id, text_quality_filter, dataset_split,
+    #      stratified_sample, multimodal_meta, multimodal_features,
+    #      multimodal_resize, multimodal_frames, sink_typed_strings,
+    #      sink_array_json, pivot_event_counts, cube_agg — all
+    #      r04-green and untouched this round.
     return {
         # 1. absent from CORRECTNESS_r04 (cap-skipped there; green r03)
         "embedding_dedup_groups": q_embedding_dedup_groups,
@@ -2089,6 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "winnow_overlap": q_winnow_overlap,
         "repetition_stats": q_repetition_stats,
+        "stream_neardup_dedup": q_stream_neardup_dedup,
         "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
         "similarity_quantized": q_similarity_quantized,
@@ -2112,7 +2193,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6ish": q_tpch_q6ish,
         "tpch_q3ish": q_tpch_q3ish,
         "window_topk_per_group": q_window_topk_per_group,
-        "range_join_bands": q_range_join,
         "distinct_sketch": q_distinct_sketch,
         "heavy_hitters_sketch": q_heavy_hitters_sketch,
         "dedup_exact": q_dedup_exact,
@@ -2124,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         # 4. tail — r04-green, untouched; skipped under a 50-entry cap
         "asof_join": q_asof_join,
+        "range_join_bands": q_range_join,
         "hourly_agg": q_hourly_agg,
         "sessionize": q_sessionize,
         "text_stats": q_text_stats,
@@ -2209,6 +2290,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,
         "stream_cdc_materialize": SQL_STREAM_CDC_MATERIALIZE,
         "stream_dedup_exact": SQL_STREAM_DEDUP_EXACT,
+        "stream_neardup_dedup": SQL_STREAM_NEARDUP_DEDUP,
         "stream_agg_materialize": SQL_STREAM_AGG_MATERIALIZE,
     }
     # emit in queries() order so a capped harness sweep sees the same

@@ -588,6 +588,77 @@ def connected_components(
     return labels
 
 
+def simhash_band_keys(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 16, bands: int = 4
+) -> DataFrame:
+    """Disjoint bit-bands of the SimHash fingerprint as blocking keys:
+    (id, simhash, band, val) — one row per band. Two docs within
+    Hamming distance < bands agree on >= 1 (band, val) by pigeonhole.
+    Shared by the pairwise blocker (simhash_neardup_pairs) and the
+    streaming suppressor (neardup_survivors over an accumulated key
+    index)."""
+    band_bits = bits // bands
+    fp = simhash(df, text_col, id_col, bits)
+    return fp.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
+    )
+
+
+def neardup_survivors(
+    keys: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Survivors under any-earlier-near-dup suppression: a document is
+    suppressed iff ANY smaller-id document's fingerprint is within
+    ``max_hamming`` of its own. Band keys only BLOCK (candidates =
+    band-mates); every candidate is VERIFIED with popcount(XOR) on the
+    full fingerprint — an unverified shared-band rule accumulates
+    random-collision false kills linearly in corpus size. With bands >
+    max_hamming the blocking is lossless by pigeonhole, so the result
+    equals the exact all-pairs filter (the oracle).
+
+    The rule is deliberately independent of which earlier documents
+    themselves survived (a suppressed doc's fingerprint still
+    suppresses), which makes it BATCH-SPLIT INDEPENDENT: evaluating it
+    incrementally over an accumulated key index — as the streaming
+    pipeline does per micro-batch — yields exactly the one-shot batch
+    result, so a SQL oracle can check the streaming run. The pair join
+    carries only (id, fingerprint-long) — no fat shuffle.
+    Output: (id, simhash)."""
+    a = keys.select(
+        F.col(id_col).alias("__id"), F.col("simhash").alias("__fp"), "band", "val"
+    )
+    e = keys.select(
+        F.col(id_col).alias("__eid"), F.col("simhash").alias("__efp"), "band", "val"
+    )
+    hits = (
+        a.join(e, ["band", "val"])
+        .filter(
+            (F.col("__eid") < F.col("__id"))
+            & (F.bit_count(F.col("__fp").bitwiseXOR(F.col("__efp"))) <= max_hamming)
+        )
+        .select(F.col("__id").alias(id_col))
+        .distinct()
+    )
+    docs = keys.groupBy(id_col).agg(F.first("simhash").alias("simhash"))
+    return docs.join(hits, id_col, "left_anti")
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str,
@@ -607,27 +678,7 @@ def simhash_neardup_pairs(
     """
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming for lossless blocking")
-    band_bits = bits // bands
-    fp = simhash(df, text_col, id_col, bits)
-    keyed = fp.select(
-        F.col(id_col),
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("simhash", i * band_bits)
-                        .bitwiseAND(F.lit((1 << band_bits) - 1))
-                        .alias("val"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(
-        id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
-    )
+    keyed = simhash_band_keys(df, text_col, id_col, bits, bands)
     a = keyed.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "band", "val"
     )

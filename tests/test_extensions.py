@@ -748,3 +748,24 @@ def test_winnow_overlap_detects_copied_passage(spark):
         tdf, "text", "doc_id", k=20, w=4, min_shared=2, max_fp_df=2
     )
     assert capped.count() == 0
+
+
+def test_neardup_survivors_verifies_candidates(spark):
+    """Band keys only block; suppression requires a fingerprint within
+    the hamming budget. A band-mate with a FAR fingerprint (random
+    collision) must NOT be suppressed; an identical fingerprint must."""
+    keys = spark.createDataFrame(
+        [
+            # doc 1: fp 0, two bands
+            Row(doc_id=1, simhash=0, band=0, val=0),
+            Row(doc_id=1, simhash=0, band=1, val=0),
+            # doc 2: identical fp, shares band 0 -> suppressed by doc 1
+            Row(doc_id=2, simhash=0, band=0, val=0),
+            # doc 3: band-0 collision but hamming 32 -> survives
+            Row(doc_id=3, simhash=4294967295, band=0, val=0),
+            # doc 4: no shared band at all -> survives untouched
+            Row(doc_id=4, simhash=7, band=2, val=5),
+        ]
+    )
+    got = {r.doc_id for r in dedup.neardup_survivors(keys, "doc_id", max_hamming=3).collect()}
+    assert got == {1, 3, 4}
