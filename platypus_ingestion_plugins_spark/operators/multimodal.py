@@ -330,8 +330,18 @@ def gc_blobs(
         return []
     from pyspark.sql import functions as F  # local alias for clarity
 
+    base = base_path.rstrip("/")
+
+    def to_inner(p: str) -> str:
+        # pointers under base_path share its fs-internal prefix — map by
+        # string rewrite instead of constructing a FileSystem (an S3
+        # client) per referenced path
+        if p.startswith(base + "/"):
+            return inner + p[len(base) :]
+        return _blob_fs(p)[1]
+
     referenced = {
-        _blob_fs(r[0])[1]
+        to_inner(r[0])
         for r in df.select(F.col(f"{ref_col}.path").alias("p"))
         .where(F.col(f"{ref_col}.path").isNotNull())
         .distinct()
