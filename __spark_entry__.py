@@ -1216,8 +1216,8 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 
 def q_knn_join(spark, sf):
     """Batch k-NN over the embedding corpus: 5 query vectors, top-5
-    neighbors each, via the two-phase bounded partial top-k (the
-    shuffle carries tasks x queries x k rows — see
+    neighbors each, via the two-phase salted top-k merge (spread
+    phase-1 exchange, bounded phase-2 exchange — see
     similarity.knn_join). Ranked on rounded cosine + id tie-break so
     the oracle's row_number reproduces it exactly."""
     emb = _t(spark, sf, "embeddings")

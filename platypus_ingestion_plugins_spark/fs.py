@@ -90,18 +90,35 @@ def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
     ``.inprogress`` file first), so a ``.tmp`` on disk is complete by
     construction — the read-side fallback can never observe a torn
     stage, even for a first-ever write with no destination to fall
-    back on."""
+    back on.
+
+    Heal-before-stage: when the destination is missing but a ``.tmp``
+    survives (a prior writer crashed inside its delete->rename window),
+    that ``.tmp`` is the ONLY durable copy — it is promoted to the
+    destination before any staging deletes it, so a second crash during
+    this write can never leave zero readable copies. Every rename's
+    boolean result is checked: Hadoop FileSystem.rename reports failure
+    by returning false, and silently proceeding would delete the
+    destination with nothing to put in its place."""
     tmp = path + ".tmp"
     inprog = path + ".inprogress"
     write_text(spark, inprog, text)
     fs, p = _fs_path(spark, path)
     _, ptmp = _fs_path(spark, tmp)
+    if not fs.exists(p) and fs.exists(ptmp):
+        # promote the sole surviving copy left by a crashed predecessor
+        _rename_or_raise(spark, tmp, path)
     if fs.exists(ptmp):
         fs.delete(ptmp, False)
-    rename(spark, inprog, tmp)
+    _rename_or_raise(spark, inprog, tmp)
     if fs.exists(p):
         fs.delete(p, False)
-    rename(spark, tmp, path)
+    _rename_or_raise(spark, tmp, path)
+
+
+def _rename_or_raise(spark: SparkSession, src: str, dst: str) -> None:
+    if not rename(spark, src, dst):
+        raise IOError(f"rename failed: {src} -> {dst}")
 
 
 def read_text(spark: SparkSession, path: str) -> str | None:

@@ -71,24 +71,26 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     )
 
 
-def cap_shingle_df(sh: DataFrame, max_df: int | None) -> DataFrame:
-    """Drop shingles occurring in more than ``max_df`` documents.
+def cap_shingle_df(sh: DataFrame, max_df: int | None, key_col: str = "shingle") -> DataFrame:
+    """Drop blocking keys occurring in more than ``max_df`` documents.
 
-    The hot-shingle guard for corpus scale: a shingle shared by k docs
+    The hot-key guard for corpus scale: a key shared by k docs
     contributes k^2 rows to the inverted-index self-join, so one
     boilerplate phrase shared by 10^6 docs is 10^12 pairs. Capping df
-    bounds per-shingle fan-out at max_df^2. The hot set is tiny by
+    bounds per-key fan-out at max_df^2. The hot set is tiny by
     construction, so the anti-join broadcasts. ``None`` disables
-    (exact semantics, oracle-comparable)."""
+    (exact semantics, oracle-comparable). ``key_col`` names the
+    blocking-key column (shingles here, winnow fingerprints in
+    winnow_overlap_pairs — one cap, not three copies)."""
     if not max_df:
         return sh
     hot = (
-        sh.groupBy("shingle")
+        sh.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") > max_df)
-        .select("shingle")
+        .select(key_col)
     )
-    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh.join(F.broadcast(hot), key_col, "left_anti")
 
 
 def ngram_jaccard_pairs(
@@ -289,15 +291,9 @@ def winnow_overlap_pairs(
     corpus-wide template fps get dropped by a broadcast anti-join
     before the self-join. Output: (id_a, id_b, n_shared), id_a < id_b.
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k, w)
-    if max_fp_df:
-        hot = (
-            fps.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_fp_df)
-            .select("fp")
-        )
-        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    fps = cap_shingle_df(
+        winnow_fingerprints(df, text_col, id_col, k, w), max_fp_df, key_col="fp"
+    )
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     return (
@@ -637,9 +633,14 @@ def neardup_survivors(
     suppresses), which makes it BATCH-SPLIT INDEPENDENT: evaluating it
     incrementally over an accumulated key index — as the streaming
     pipeline does per micro-batch — yields exactly the one-shot batch
-    result, so a SQL oracle can check the streaming run. The pair join
-    carries only (id, fingerprint-long) — no fat shuffle.
-    Output: (id, simhash)."""
+    result, so a SQL oracle can check the streaming run. PRECONDITION
+    for that incremental equality: ids must arrive in nondecreasing
+    order across batches (a seq-ordered replay / monotone ingest id).
+    A later batch carrying a SMALLER id cannot retract an
+    already-emitted survivor through an append-only sink — for
+    unordered arrival, re-run the one-shot form over the accumulated
+    keys instead. The pair join carries only (id, fingerprint-long) —
+    no fat shuffle. Output: (id, simhash)."""
     a = keys.select(
         F.col(id_col).alias("__id"), F.col("simhash").alias("__fp"), "band", "val"
     )

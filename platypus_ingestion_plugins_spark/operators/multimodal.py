@@ -297,6 +297,7 @@ def gc_blobs(
     df: DataFrame,
     base_path: str,
     ref_col: str = "payload_ref",
+    min_age_s: float = 3600.0,
 ) -> list[str]:
     """Garbage-collect orphaned blob files under ``base_path``.
 
@@ -309,11 +310,22 @@ def gc_blobs(
     un-persisted lineage would recompute it and mint fresh blobs while
     collecting the ones you meant to keep.
 
+    ``min_age_s`` is the in-flight-writer guard: blobs younger than it
+    are never deleted, so a concurrent ``externalize_to_table`` whose
+    pointers have not landed yet (its fresh blobs are unreferenced BY
+    CONSTRUCTION until the parquet commit) cannot have its data
+    collected from under it. The dual invariant: ``base_path`` belongs
+    to ONE pointer table — blobs referenced by a different table
+    sharing the directory look like orphans here. Set ``min_age_s=0``
+    only when no writer can be in flight.
+
     The listing and delete are driver-side: blob files are one per
     task attempt, so the set is bounded by task count, not data size
     (at 100 TB with ~10^5 tasks this is a trivial string set; the
     distinct referenced-path aggregate is the only cluster step).
     Returns the deleted paths (fs-internal form), sorted."""
+    import time
+
     import pyarrow.fs as pafs
 
     fs, inner = _blob_fs(base_path.rstrip("/"))
@@ -321,10 +333,14 @@ def gc_blobs(
         infos = fs.get_file_info(pafs.FileSelector(inner, recursive=False))
     except FileNotFoundError:
         return []
+    cutoff = time.time() - min_age_s
     blobs = {
         i.path
         for i in infos
-        if i.is_file and i.base_name.startswith("blob-") and i.base_name.endswith(".bin")
+        if i.is_file
+        and i.base_name.startswith("blob-")
+        and i.base_name.endswith(".bin")
+        and (i.mtime is None or i.mtime.timestamp() <= cutoff)
     }
     if not blobs:
         return []

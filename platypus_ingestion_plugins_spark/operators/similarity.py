@@ -327,20 +327,29 @@ def knn_join(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     dim: int | None = None,
+    merge_groups: int = 4096,
 ) -> DataFrame:
     """Batch k-NN: for EVERY query vector, its top-k corpus neighbors
     by cosine — the all-queries generalization of brute_force_topk
     (cross-dataset dedup, retrieval eval, hard-negative mining).
 
     Queries broadcast (the small side); scoring is one map-only pass
-    over the corpus. The per-query top-k then uses a TWO-PHASE bounded
-    aggregate: each task keeps only its local top-k per query
-    (array_sort + slice inside the partial aggregate), so the shuffle
-    carries at most tasks * queries * k skinny rows instead of the
-    full |corpus| x |queries| scored set — the same partial/final
-    split a map-side combine gives a sum. A window row_number would
-    shuffle every scored row; at 10^9 corpus rows x 100 queries that
-    is the difference between gigabytes and terabytes of exchange.
+    over the corpus. The per-query top-k is a two-phase merge:
+
+    - Phase 1 groups scored rows into ``merge_groups`` salted groups
+      per query and keeps each group's local top-k. Its exchange moves
+      every scored row ONCE, but spread over queries x merge_groups
+      keys — no hotspot, and each post-shuffle group materializes only
+      ~|corpus|/merge_groups rows (bounded arrays; raise merge_groups
+      for bigger corpora).
+    - Phase 2's exchange is bounded: merge_groups x queries x k rows.
+
+    The alternative — a window row_number partitioned by query — funnels
+    the ENTIRE corpus through one reducer per query for a corpus-sized
+    sort; with few queries that is a single-machine bottleneck no
+    cluster size fixes. The salt is only a load-spreading device: the
+    top-k merge is lossless under any grouping, so the result is
+    independent of it (asserted by the repartition-invariance test).
 
     Ranking is on the ROUNDED cosine (6 dp) with id tie-break, so
     results are engine-reproducible. Output: (q_id, id, cos_sim,
@@ -354,9 +363,10 @@ def knn_join(
         F.round(cosine(F.col(vec_col), F.col("__qvec"), dim), 6).alias("cos_sim"),
     )
     key = F.struct((-F.col("cos_sim")).alias("nc"), F.col(id_col).alias("i"))
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(merge_groups)).cast("int")
     local = (
-        scored.withColumn("__p", F.spark_partition_id())
-        .groupBy(q_id_col, "__p")
+        scored.withColumn("__s", salt)
+        .groupBy(q_id_col, "__s")
         .agg(F.slice(F.array_sort(F.collect_list(key)), 1, k).alias("__top"))
     )
     return (
@@ -415,7 +425,14 @@ def ivf_probe_scan(
     directories before any data file is opened. Ranking ties break
     toward the smaller centroid id, mirroring ivf_topk's
     ``orderBy(sim desc, cent_id)``."""
-    qv = [float(x) for x in query.select(_dvec(F.col(vec_col)).alias("v")).head()["v"]]
+    qrows = query.select(_dvec(F.col(vec_col)).alias("v")).take(2)
+    if len(qrows) != 1:
+        raise ValueError(
+            f"ivf_probe_scan expects exactly one query row, got "
+            f"{'none' if not qrows else '2+'} — probe per query, or use "
+            f"knn_join for query sets"
+        )
+    qv = [float(x) for x in qrows[0]["v"]]
     cents = [
         (r[0], [float(x) for x in r[1]])
         for r in centroids.select(F.col(id_col), _dvec(F.col(vec_col))).collect()

@@ -673,7 +673,9 @@ def test_gc_blobs_collects_orphans_keeps_live(spark, tmp_path):
     } - {"blob-99-99999.bin"}
     assert live, "externalize produced no blobs"
 
-    deleted = multimodal.gc_blobs(ext, base)
+    # default min_age_s spares young blobs — the in-flight-writer guard
+    assert multimodal.gc_blobs(ext, base) == []
+    deleted = multimodal.gc_blobs(ext, base, min_age_s=0)
     assert [_os.path.basename(p) for p in deleted] == ["blob-99-99999.bin"]
     assert not _os.path.exists(orphan)
     assert {f for f in _os.listdir(base) if f.startswith("blob-")} == live
@@ -686,9 +688,9 @@ def test_gc_blobs_collects_orphans_keeps_live(spark, tmp_path):
     assert back == {1: b"A" * 4000, 2: b"B" * 6000, 3: b"tiny"}
 
     # idempotent: nothing left to collect
-    assert multimodal.gc_blobs(ext, base) == []
+    assert multimodal.gc_blobs(ext, base, min_age_s=0) == []
     # and a GC over a missing/empty dir is a no-op
-    assert multimodal.gc_blobs(ext, str(tmp_path / "nope")) == []
+    assert multimodal.gc_blobs(ext, str(tmp_path / "nope"), min_age_s=0) == []
 
 
 def test_knn_join_per_query_topk(spark):

@@ -413,3 +413,17 @@ def test_commit_log_survives_full_rewrite_and_compact(spark, tmp_path):
     assert kinds[-1] == "compact" if len(kinds) == 3 else True
     ids = [e["commit_id"] for e in tbl.commits()]
     assert ids == list(range(len(ids)))  # monotonic across the swap
+
+
+def test_atomic_write_heals_orphaned_tmp_before_staging(spark, tmp_path):
+    """A predecessor crashed between delete and rename, leaving only a
+    .tmp. The NEXT atomic write must promote that sole surviving copy
+    before staging deletes it — never a window with zero readable
+    copies — and then land the new content normally."""
+    p = str(tmp_path / "h.json")
+    fs.write_text(spark, p + ".tmp", '["old"]')
+    assert fs.read_text(spark, p) == '["old"]'  # fallback sees it
+    fs.write_text_atomic(spark, p, '["new"]')
+    assert fs.read_text(spark, p) == '["new"]'
+    assert not os.path.exists(p + ".tmp")
+    assert not os.path.exists(p + ".inprogress")
