@@ -79,22 +79,31 @@ def match_score(field: str, query: str) -> Column:
     )
 
 
-def top_hits(df: DataFrame, k: int, start_hit: int = 0, order_by: str | None = None) -> DataFrame:
+def top_hits(
+    df: DataFrame,
+    k: int,
+    start_hit: int = 0,
+    order_by: str | None = None,
+    descending: bool = False,
+) -> DataFrame:
     """Top-k + offset. Lucene returns score-ordered hits; with no scoring
     column the serving table orders by the given column (or the first
-    column) for determinism.
+    column) for determinism. ``descending=True`` gives the
+    highest-first ranking a relevance score needs (Lucene's default
+    hit order).
 
     Offset path: ``limit(start_hit + k)`` first — a distributed
     TakeOrdered over the full table — then row_number over the <=
     start+k survivors. The window is unpartitioned but only ever sees
     the bounded limit output, never the whole scan."""
     key = order_by or df.columns[0]
-    ordered = df.orderBy(F.col(key))
+    sort_key = F.col(key).desc() if descending else F.col(key)
+    ordered = df.orderBy(sort_key)
     if start_hit == 0:
         return ordered.limit(k)
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col(key))
+    w = Window.orderBy(sort_key)
     return (
         ordered.limit(start_hit + k)
         .withColumn("__rn", F.row_number().over(w))
@@ -114,11 +123,17 @@ def search(
     start_hit: int = 0,
     fields: Sequence[str] | None = None,
     order_by: str | None = None,
+    descending: bool = False,
 ) -> DataFrame:
-    """SearchRequest equivalent: filter + top-k + projection."""
+    """SearchRequest equivalent: filter + top-k + projection.
+
+    Ranking happens BEFORE field retrieval (Lucene sorts by fields the
+    response need not return), so ``order_by`` may name a column
+    outside ``fields``; Catalyst prunes it from the scan output after
+    the sort either way."""
     out = index if query is None else index.filter(query)
+    if top is not None:
+        out = top_hits(out, top, start_hit=start_hit, order_by=order_by, descending=descending)
     if fields:
         out = retrieve_fields(out, fields)
-    if top is not None:
-        out = top_hits(out, top, start_hit=start_hit, order_by=order_by)
     return out

@@ -94,7 +94,7 @@ class ServingTable:
         """
         if fs.exists(self.spark, self._old):
             if not fs.exists(self.spark, self.path):
-                fs.rename(self.spark, self._old, self.path)
+                fs._rename_or_raise(self.spark, self._old, self.path)
             else:
                 names = fs.list_names(self.spark, self._old)
                 if SWAP_MARKER in names:
@@ -102,7 +102,7 @@ class ServingTable:
                         if n.startswith(f"{BUCKET_COL}=") and not fs.exists(
                             self.spark, f"{self.path}/{n}"
                         ):
-                            fs.rename(
+                            fs._rename_or_raise(
                                 self.spark, f"{self._old}/{n}", f"{self.path}/{n}"
                             )
                 fs.delete(self.spark, self._old)
@@ -200,8 +200,8 @@ class ServingTable:
         if prev_log is not None:
             fs.write_text(self.spark, f"{self._staging}/_commits.json", prev_log)
         if fs.exists(self.spark, self.path):
-            fs.rename(self.spark, self.path, self._old)
-        fs.rename(self.spark, self._staging, self.path)
+            fs._rename_or_raise(self.spark, self.path, self._old)
+        fs._rename_or_raise(self.spark, self._staging, self.path)
         fs.delete(self.spark, self._old)
         if _log:
             self._log_commit("overwrite", -1, None)
@@ -242,8 +242,12 @@ class ServingTable:
             .partitionBy(BUCKET_COL)
             .parquet(self._staging)
         )
-        self._swap_buckets(changed)
+        # schema sidecar BEFORE the swap: widening first is safe (old
+        # bucket files read NULL for a new column), whereas sidecar-after
+        # leaves a crash window where an evolved column is invisible to
+        # read() and a later full rewrite would drop it physically
         self._write_schema(merged.schema)
+        self._swap_buckets(changed)
         self._log_commit("batch", changelog.count(), changed)
 
     def _swap_buckets(self, buckets: list[int]) -> None:
@@ -251,7 +255,14 @@ class ServingTable:
 
         The marker goes in BEFORE the first rename so _recover can tell
         this kept-aside dir apart from a full rewrite's stale copy and
-        restore any bucket caught between its two renames."""
+        restore any bucket caught between its two renames.
+
+        Every rename's boolean result is CHECKED: Hadoop
+        FileSystem.rename reports failure by returning false, and
+        proceeding past one would delete the staging dir holding the
+        only copy of a bucket's merged batch while the commit logs
+        success. A raise here leaves marker + staging in place, which
+        _recover and a replay handle."""
         fs.delete(self.spark, self._old)
         fs.mkdirs(self.spark, self._old)
         fs.write_text(self.spark, f"{self._old}/{SWAP_MARKER}", "")
@@ -260,9 +271,9 @@ class ServingTable:
             live = f"{self.path}/{part}"
             staged = f"{self._staging}/{part}"
             if fs.exists(self.spark, live):
-                fs.rename(self.spark, live, f"{self._old}/{part}")
+                fs._rename_or_raise(self.spark, live, f"{self._old}/{part}")
             if fs.exists(self.spark, staged):
-                fs.rename(self.spark, staged, live)
+                fs._rename_or_raise(self.spark, staged, live)
         fs.delete(self.spark, self._old)
         fs.delete(self.spark, self._staging)
 
@@ -305,7 +316,11 @@ class ServingTable:
                 oversized.append(b)
         if not oversized:
             return []
-        current = self.spark.read.parquet(self.path)
+        # read() pins the persisted sidecar schema: after add-column
+        # evolution a bucket holds files with OLD footers, and raw
+        # parquet inference picking one would rewrite the bucket
+        # without the evolved column — silently destroying its values
+        current = self.read()
         # one shuffle partition per bucket -> exactly one output file each
         (
             current.filter(F.col(BUCKET_COL).isin(oversized))

@@ -35,6 +35,11 @@ def interval_join(
     event-time columns. The watermark + interval predicate make the
     buffered state bounded and let outer-join sides emit NULLs once
     the watermark proves no match can arrive.
+
+    The output carries ONE ``key`` column (coalesced across sides, so
+    outer-join rows keep whichever side is present) — an expression
+    join otherwise leaves two identically-named key columns and every
+    unqualified downstream reference throws AMBIGUOUS_REFERENCE.
     """
     l = left.withWatermark(left_ts, watermark_delay).alias("l")
     r = right.withWatermark(right_ts, watermark_delay).alias("r")
@@ -46,4 +51,12 @@ def interval_join(
             <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
         )
     )
-    return l.join(r, cond, how)
+    joined = l.join(r, cond, how)
+    return (
+        joined.withColumn(
+            "__key", F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}"))
+        )
+        .drop(F.col(f"l.{key}"))
+        .drop(F.col(f"r.{key}"))
+        .withColumnRenamed("__key", key)
+    )

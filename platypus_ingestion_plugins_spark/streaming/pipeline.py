@@ -100,7 +100,13 @@ class CdcStreamingPipeline:
         self.source_schema = source_schema
         self.serving = serving
         self.checkpoint_path = checkpoint_path
-        self.key = key or serving.key
+        # the merge key IS the serving table's key; a differing caller
+        # key would be silently ignored, so mismatches fail loudly
+        self.key = [key] if isinstance(key, str) else list(key) if key else serving.key
+        if list(self.key) != list(serving.key):
+            raise ValueError(
+                f"pipeline key {self.key} != serving table key {serving.key}"
+            )
         self.max_files_per_trigger = max_files_per_trigger
         self.dlq_path = dlq_path
         self.poison_col = poison_col
@@ -126,8 +132,14 @@ class CdcStreamingPipeline:
             try:
                 if self.poison_col in df.columns:
                     if self.dlq_path:
+                        # per-epoch dir + overwrite makes the DLQ write
+                        # replay-idempotent: a redelivered micro-batch
+                        # overwrites ITS OWN quarantine records instead
+                        # of appending duplicates
                         poison = df.filter(F.col(self.poison_col))
-                        poison.write.mode("append").parquet(self.dlq_path)
+                        poison.write.mode("overwrite").parquet(
+                            f"{self.dlq_path}/epoch={epoch_id}"
+                        )
                     df = df.filter(~F.col(self.poison_col)).drop(self.poison_col)
                 self.retry.run(lambda: self.serving.apply_batch(df))
             finally:

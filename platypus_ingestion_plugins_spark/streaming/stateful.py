@@ -91,9 +91,11 @@ def _session_fn(gap_s: int):
                 closed.append((start, last, n))
                 start, last, n = t, t, 1
             else:
-                # max() guards against a same-session event arriving in a
-                # later batch with a slightly older timestamp
-                last, n = max(last, t), n + 1
+                # min()/max() guard against a same-session event arriving
+                # in a later batch with a slightly older timestamp: it
+                # must extend the session's span on BOTH ends, or the
+                # emitted session_start can postdate a member event
+                start, last, n = min(start, t), max(last, t), n + 1
         if start is not None:
             state.update((start, last, n))
             # evict once the watermark proves the session unreachable
@@ -127,6 +129,15 @@ def sessionize_stream(
     ``late_s`` larger than the stream's total span disables eviction
     (useful for finite replays where the batch engine's answer must be
     reproduced exactly).
+
+    Known approximation: a session is emitted as closed as soon as an
+    IN-BATCH gap exceeds ``gap_s``, without waiting for the watermark
+    to pass. An allowed-late event that lands inside an
+    already-emitted session's span therefore starts (or joins) a new
+    session instead of amending the emitted one — append mode cannot
+    retract. Exact late-data semantics need the close deferred to the
+    event-time timeout (trading emission latency); for per-batch-
+    ordered replays — the oracle scenario — the two are identical.
     """
     prepared = stream_df.select(
         F.col(key_col).cast("string").alias("key"),

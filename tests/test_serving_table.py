@@ -427,3 +427,31 @@ def test_atomic_write_heals_orphaned_tmp_before_staging(spark, tmp_path):
     assert fs.read_text(spark, p) == '["new"]'
     assert not os.path.exists(p + ".tmp")
     assert not os.path.exists(p + ".inprogress")
+
+
+def test_compact_preserves_evolved_column(spark, tmp_path):
+    """Compacting a bucket whose files mix old and new footers must
+    read under the persisted sidecar schema: raw parquet inference
+    picking an old footer would rewrite the bucket WITHOUT the evolved
+    column, silently destroying its committed values."""
+    tbl = ServingTable(spark, str(tmp_path / "cevo"), key="id", num_buckets=4)
+    # spread keys over several buckets, all OLD schema footers
+    keys = [f"k{i}" for i in range(16)]
+    for s, k in enumerate(keys):
+        tbl.apply_batch(_batch(spark, (s, "+I", k, "v1")))
+    # evolve ONE bucket: its files carry the new footer, the other
+    # buckets keep old footers — the mixed-footer table raw inference
+    # mis-handles
+    evolved = spark.createDataFrame(
+        [Row(_seq=100, _row_kind="+U", id="k0", title="v2", lang="en")],
+        T.StructType(list(CDC_SCHEMA.fields) + [T.StructField("lang", T.StringType())]),
+    )
+    tbl.apply_batch(evolved)
+    before = {r.id: (r.title, r.lang) for r in tbl.query().collect()}
+    assert before["k0"] == ("v2", "en")
+    assert len(before) == 16
+
+    compacted = tbl.compact(max_files_per_bucket=1)
+    assert compacted, "expected at least one oversized bucket"
+    after = {r.id: (r.title, r.lang) for r in tbl.query().collect()}
+    assert after == before, "compact dropped or altered the evolved column"

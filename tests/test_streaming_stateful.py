@@ -222,7 +222,7 @@ def test_stream_stream_interval_join(spark, tmp_path):
         j = interval_join(
             src(la, "imp_ts"), src(lb, "click_ts"), key="k",
             left_ts="imp_ts", right_ts="click_ts", max_delay="10 seconds",
-        ).select(F.col("l.k").alias("k"), "imp_ts", "click_ts")
+        ).select("k", "imp_ts", "click_ts")
         q = (
             j.writeStream.format("parquet")
             .option("path", out)
