@@ -244,3 +244,26 @@ def test_stream_stream_interval_join(spark, tmp_path):
     got = {(r.k, int(r.imp_ts.timestamp()), int(r.click_ts.timestamp()))
            for r in _read_out(spark, out)}
     assert got == {("A", 10, 15), ("B", 10, 19)}
+
+
+def test_sessionize_late_older_event_extends_session_start(spark, tmp_path):
+    """An allowed-late event arriving in a later batch with a timestamp
+    OLDER than the open session's first event must extend the session's
+    span on both ends — the emitted session_start may never postdate a
+    member event."""
+    src, ckpt, out = (str(tmp_path / n) for n in ("src", "ckpt", "out"))
+
+    def xf(stream):
+        return sessionize_stream(stream, key_col="k", ts_col="ts", gap_s=10)
+
+    # batch 1: open session (100, 100, 1)
+    _drop(spark, src, [("a", 100)])
+    _run_stream(spark, src, ckpt, out, xf)
+    # batch 2: late in-gap event at 95 — same session, older timestamp
+    _drop(spark, src, [("a", 95)])
+    _run_stream(spark, src, ckpt, out, xf)
+    # batch 3: a gap closes the session; it must span [95, 100] with 2 events
+    _drop(spark, src, [("a", 500)])
+    _run_stream(spark, src, ckpt, out, xf)
+    rows = {(r.key, r.session_start, r.session_end, r.n_events) for r in _read_out(spark, out)}
+    assert ("a", 95, 100, 2) in rows, rows
