@@ -29,9 +29,18 @@ import __spark_entry__ as E
 from platypus_ingestion_plugins_spark.session import get_spark
 
 # pandas-UDF (python worker pool) + scan/agg codegen + the shingle
-# tokenize/explode pipeline (first shingle consumer otherwise pays its
-# one-time JIT inside its measurement)
-WARMUP = ("multimodal_features", "tpch_q1", "dedup_ngram_jaccard")
+# tokenize/explode pipeline + a shuffle join (SMJ/exchange codegen) + a
+# real streaming query (checkpoint, state store, foreachBatch) — the
+# r6 bench showed whatever ran first in alphabetical order paying the
+# cold path for machinery the old warmup never touched (asof_join
+# 0.21->0.77s, anti_join 0.39->1.26s, cdc_last_wins 0.49->1.06s)
+WARMUP = (
+    "multimodal_features",
+    "tpch_q1",
+    "dedup_ngram_jaccard",
+    "semi_join",
+    "stream_dedup_exact",
+)
 
 
 def main() -> None:

@@ -334,13 +334,20 @@ def gc_blobs(
     except FileNotFoundError:
         return []
     cutoff = time.time() - min_age_s
+    # A blob with UNKNOWN mtime must be treated as too-young, not
+    # too-old: on a filesystem that doesn't report mtimes, deleting it
+    # would invert the min_age_s in-flight-writer guard and could
+    # collect a concurrent externalize's uncommitted blob.
     blobs = {
         i.path
         for i in infos
         if i.is_file
         and i.base_name.startswith("blob-")
         and i.base_name.endswith(".bin")
-        and (i.mtime is None or i.mtime.timestamp() <= cutoff)
+        and (
+            min_age_s <= 0
+            or (i.mtime is not None and i.mtime.timestamp() <= cutoff)
+        )
     }
     if not blobs:
         return []

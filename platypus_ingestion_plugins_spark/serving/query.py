@@ -130,9 +130,13 @@ def search(
     Ranking happens BEFORE field retrieval (Lucene sorts by fields the
     response need not return), so ``order_by`` may name a column
     outside ``fields``; Catalyst prunes it from the scan output after
-    the sort either way."""
+    the sort either way. When ``order_by`` is None and ``fields`` is
+    given, the implicit sort key is ``fields[0]`` — the contract from
+    when retrieval ran first — not the index's first column."""
     out = index if query is None else index.filter(query)
     if top is not None:
+        if order_by is None and fields:
+            order_by = fields[0]
         out = top_hits(out, top, start_hit=start_hit, order_by=order_by, descending=descending)
     if fields:
         out = retrieve_fields(out, fields)

@@ -135,7 +135,13 @@ class CdcStreamingPipeline:
                         # per-epoch dir + overwrite makes the DLQ write
                         # replay-idempotent: a redelivered micro-batch
                         # overwrites ITS OWN quarantine records instead
-                        # of appending duplicates
+                        # of appending duplicates.
+                        # BREAKING vs the pre-r6 flat-append layout: a
+                        # DLQ dir holding flat parquet files AND
+                        # epoch=N subdirs fails partition discovery —
+                        # point dlq_path at a fresh dir, and read with
+                        # spark.read.option("basePath", dlq_path)
+                        # .parquet(dlq_path) so epoch stays a column.
                         poison = df.filter(F.col(self.poison_col))
                         poison.write.mode("overwrite").parquet(
                             f"{self.dlq_path}/epoch={epoch_id}"

@@ -84,6 +84,26 @@ def _session_fn(gap_s: int):
         else:
             start = last = n = None
         closed: list[tuple[int, int, int]] = []
+        if start is not None and ts and start - ts[0] > gap_s:
+            # Allowed-late events older than start - gap_s cannot chain
+            # onto the open session (the batch oracle would put a split
+            # before it): sessionize them among themselves and close
+            # every chain — each old event is > gap_s before start, so
+            # the last old chain is too, and the open session survives
+            # untouched. Without this split, the min() extension below
+            # would bridge a gap the oracle keeps.
+            old = [t for t in ts if start - t > gap_s]
+            ts = [t for t in ts if start - t <= gap_s]
+            o_start = o_last = old[0]
+            o_n = 1
+            for t in old[1:]:
+                if t - o_last > gap_s:
+                    closed.append((o_start, o_last, o_n))
+                    o_start = o_last = t
+                    o_n = 1
+                else:
+                    o_last, o_n = t, o_n + 1
+            closed.append((o_start, o_last, o_n))
         for t in ts:
             if start is None:
                 start, last, n = t, t, 1
@@ -135,7 +155,10 @@ def sessionize_stream(
     to pass. An allowed-late event that lands inside an
     already-emitted session's span therefore starts (or joins) a new
     session instead of amending the emitted one — append mode cannot
-    retract. Exact late-data semantics need the close deferred to the
+    retract. A late event older than the OPEN session's start by more
+    than ``gap_s`` is NOT merged into it (that would bridge a gap the
+    batch engine keeps): it is sessionized with its fellow old events
+    and closed immediately, which matches the batch split exactly. Exact late-data semantics need the close deferred to the
     event-time timeout (trading emission latency); for per-batch-
     ordered replays — the oracle scenario — the two are identical.
     """

@@ -771,3 +771,51 @@ def test_neardup_survivors_verifies_candidates(spark):
     )
     got = {r.doc_id for r in dedup.neardup_survivors(keys, "doc_id", max_hamming=3).collect()}
     assert got == {1, 3, 4}
+
+
+def test_gc_blobs_spares_unknown_mtime(spark, tmp_path, monkeypatch):
+    """A blob whose filesystem reports no mtime must be treated as
+    too-young (spared) when min_age_s > 0 — deleting it would invert
+    the in-flight-writer guard — and only collected at min_age_s=0."""
+    import os
+    import types
+
+    df = spark.createDataFrame([Row(doc_id=1, payload=b"A" * 4000)],
+                               "doc_id long, payload binary")
+    base = str(tmp_path / "blobs")
+    table = str(tmp_path / "refs")
+    ext = multimodal.externalize_to_table(df, base, table, threshold_bytes=1000)
+
+    real_blob_fs = multimodal._blob_fs
+    deleted = []
+
+    class NoMtimeFS:
+        def __init__(self, inner_fs):
+            self._fs = inner_fs
+
+        def get_file_info(self, sel):
+            out = []
+            for i in self._fs.get_file_info(sel):
+                out.append(types.SimpleNamespace(
+                    path=i.path, base_name=i.base_name,
+                    is_file=i.is_file, mtime=None))
+            return out
+
+        def delete_file(self, p):
+            deleted.append(p)
+            self._fs.delete_file(p)
+
+    def patched(path):
+        fs, inner = real_blob_fs(path)
+        return NoMtimeFS(fs), inner
+
+    monkeypatch.setattr(multimodal, "_blob_fs", patched)
+    orphan = os.path.join(base, "blob-99-99999.bin")
+    with open(orphan, "wb") as f:
+        f.write(b"Z" * 10)
+    # default min_age_s: unknown mtime -> spared, never deleted
+    assert multimodal.gc_blobs(ext, base) == []
+    assert os.path.exists(orphan)
+    # explicit min_age_s=0 opt-out still collects it
+    got = multimodal.gc_blobs(ext, base, min_age_s=0)
+    assert [os.path.basename(p) for p in got] == ["blob-99-99999.bin"]

@@ -71,3 +71,13 @@ def test_q8_multivalued(index):
 
     hits = index.filter(F.array_contains("tags", "japan")).collect()
     assert [r.id for r in hits] == ["doc3"]
+
+
+def test_search_implicit_sort_key_is_first_requested_field(index):
+    """With top + fields and no order_by, the implicit sort key is
+    fields[0] (the contract from when retrieval ran before ranking),
+    not the index's first physical column."""
+    hits = Q.search(index, top=2, fields=["rating", "id"]).collect()
+    assert [r.rating for r in hits] == [4.2, 4.5]
+    desc = Q.search(index, top=1, fields=["rating", "id"], descending=True).collect()
+    assert [r.rating for r in desc] == [4.8]

@@ -267,3 +267,30 @@ def test_sessionize_late_older_event_extends_session_start(spark, tmp_path):
     _run_stream(spark, src, ckpt, out, xf)
     rows = {(r.key, r.session_start, r.session_end, r.n_events) for r in _read_out(spark, out)}
     assert ("a", 95, 100, 2) in rows, rows
+
+
+def test_sessionize_late_event_beyond_gap_splits_session(spark, tmp_path):
+    """An allowed-late event older than the open session's start by MORE
+    than gap_s must NOT merge into it (that would bridge a gap the batch
+    engine keeps): it closes as its own session, and the open session's
+    span is untouched."""
+    src, ckpt, out = (str(tmp_path / n) for n in ("src", "ckpt", "out"))
+
+    def xf(stream):
+        return sessionize_stream(stream, key_col="k", ts_col="ts", gap_s=10)
+
+    # batch 1: open session (100, 100, 1)
+    _drop(spark, src, [("a", 100)])
+    _run_stream(spark, src, ckpt, out, xf)
+    # batch 2: two late events 45 s before the open session, chained to
+    # each other -> one immediately-closed old session [50, 55]
+    _drop(spark, src, [("a", 50), ("a", 55)])
+    _run_stream(spark, src, ckpt, out, xf)
+    rows = {(r.key, r.session_start, r.session_end, r.n_events) for r in _read_out(spark, out)}
+    assert ("a", 50, 55, 2) in rows, rows
+    # batch 3: a gap closes the open session — still exactly [100, 100]
+    _drop(spark, src, [("a", 500)])
+    _run_stream(spark, src, ckpt, out, xf)
+    rows = {(r.key, r.session_start, r.session_end, r.n_events) for r in _read_out(spark, out)}
+    assert ("a", 100, 100, 1) in rows, rows
+    assert not any(r[1] == 50 and r[2] != 55 for r in rows), rows
