@@ -1851,7 +1851,15 @@ def q_stream_neardup_dedup(spark, sf):
     dedup.neardup_survivors), so the streaming result must equal the
     oracle's one-shot all-pairs filter. foreachBatch writes are
     append-only and replay-idempotent: re-appended keys add no new
-    hits, re-appended survivors collapse in the final distinct."""
+    hits, re-appended survivors collapse in the final distinct.
+
+    The key index is PARTITIONED by (band, vb=val%64) and each batch
+    reads only the directories its own band keys can match
+    (dedup.read_band_keys_pruned — literal partition filters, file
+    skip before any data I/O), so steady-state per-batch index I/O is
+    proportional to the batch's key diversity, not the accumulated
+    corpus; the survivors join's left side is the batch alone
+    (neardup_survivors_incremental), not every earlier doc."""
     import shutil
 
     from platypus_ingestion_plugins_spark import fs as _fs
@@ -1872,16 +1880,23 @@ def q_stream_neardup_dedup(spark, sf):
 
         def handle(batch_df, _bid):
             keys = dedup.simhash_band_keys(batch_df, "text", "doc_id", bits=32, bands=4)
-            all_keys = keys
-            if _fs.exists(spark, idx):
-                all_keys = keys.unionByName(spark.read.parquet(idx))
-            (
-                dedup.neardup_survivors(all_keys, "doc_id", max_hamming=3)
-                .join(batch_df.select("doc_id"), "doc_id", "left_semi")
-                .write.mode("append")
-                .parquet(surv)
-            )
-            keys.write.mode("append").parquet(idx)
+            keys.persist()  # fingerprinting runs once for prune/join/append
+            try:
+                earlier = (
+                    dedup.read_band_keys_pruned(spark, idx, keys, val_buckets=16)
+                    if _fs.exists(spark, idx)
+                    else None
+                )
+                (
+                    dedup.neardup_survivors_incremental(
+                        keys, earlier, "doc_id", max_hamming=3
+                    )
+                    .write.mode("append")
+                    .parquet(surv)
+                )
+                dedup.append_band_key_index(keys, idx, val_buckets=16)
+            finally:
+                keys.unpersist()
 
         def run_available():
             stream = (

@@ -641,10 +641,34 @@ def neardup_survivors(
     unordered arrival, re-run the one-shot form over the accumulated
     keys instead. The pair join carries only (id, fingerprint-long) —
     no fat shuffle. Output: (id, simhash)."""
-    a = keys.select(
+    return neardup_survivors_incremental(keys, None, id_col, max_hamming)
+
+
+def neardup_survivors_incremental(
+    batch_keys: DataFrame,
+    earlier_keys: DataFrame | None,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """The per-micro-batch form of ``neardup_survivors``: survivors
+    among the BATCH's documents only, suppressed by any smaller-id
+    fingerprint from the batch itself or from ``earlier_keys`` (the
+    accumulated index, ideally already partition-pruned to the batch's
+    band keys — see ``read_band_keys_pruned``). The candidate join's
+    left side is the batch, not the whole corpus, so per-batch compute
+    is O(batch x matched-band-mates) instead of O(corpus²). Because
+    the suppression rule is batch-split independent (docstring above),
+    unioning each batch's output reproduces the one-shot result
+    exactly. Output: (id, simhash), batch docs only."""
+    e_keys = (
+        batch_keys
+        if earlier_keys is None
+        else batch_keys.unionByName(earlier_keys.select(*batch_keys.columns))
+    )
+    a = batch_keys.select(
         F.col(id_col).alias("__id"), F.col("simhash").alias("__fp"), "band", "val"
     )
-    e = keys.select(
+    e = e_keys.select(
         F.col(id_col).alias("__eid"), F.col("simhash").alias("__efp"), "band", "val"
     )
     hits = (
@@ -656,8 +680,66 @@ def neardup_survivors(
         .select(F.col("__id").alias(id_col))
         .distinct()
     )
-    docs = keys.groupBy(id_col).agg(F.first("simhash").alias("simhash"))
+    docs = batch_keys.groupBy(id_col).agg(F.first("simhash").alias("simhash"))
     return docs.join(hits, id_col, "left_anti")
+
+
+def append_band_key_index(
+    keys: DataFrame, path: str, val_buckets: int = 64
+) -> None:
+    """Append SimHash band keys to a parquet index PARTITIONED by
+    (band, vb=val%val_buckets) — the layout that lets each micro-batch
+    read only the directories its own band keys can match, instead of
+    rescanning the whole accumulated index (the same manifest-level
+    file skip ``write_ivf_partitioned`` gives the ANN axis and the
+    modulo shard gives ingest). The repartition puts each (band, vb)
+    group in exactly one task, so every batch adds at most one file
+    per touched directory — file count grows with batches, not with
+    batch size; compact by rewriting a directory when it fragments."""
+    (
+        keys.withColumn("vb", F.pmod(F.col("val"), F.lit(val_buckets)))
+        .repartition("band", "vb")
+        .write.mode("append")
+        .partitionBy("band", "vb")
+        .parquet(path)
+    )
+
+
+def read_band_keys_pruned(
+    spark,
+    path: str,
+    batch_keys: DataFrame,
+    val_buckets: int = 64,
+) -> DataFrame:
+    """Partition-pruned read of an ``append_band_key_index`` index:
+    only directories whose (band, vb) appears among the batch's own
+    keys are scanned. The batch's distinct (band, vb) set is collected
+    driver-side — bounded by bands x val_buckets (a few hundred
+    pairs), never by batch or corpus size — and becomes a LITERAL
+    per-band ``vb IN (...)`` disjunction, which Catalyst's
+    PruneFileSourcePartitions applies before opening any data file.
+    For a micro-batch of b docs against an N-doc index this reads
+    ~min(b, val_buckets)/val_buckets of each band's data instead of
+    all of it — the steady-state streaming case (small batch, huge
+    accumulated corpus) stops paying O(N) I/O per batch."""
+    pairs = (
+        batch_keys.select(
+            "band", F.pmod(F.col("val"), F.lit(val_buckets)).alias("vb")
+        )
+        .distinct()
+        .collect()
+    )
+    idx = spark.read.parquet(path)
+    if not pairs:
+        return idx.limit(0)
+    by_band: dict = {}
+    for r in pairs:
+        by_band.setdefault(r["band"], []).append(r["vb"])
+    pred = None
+    for band, vbs in sorted(by_band.items()):
+        c = (F.col("band") == band) & F.col("vb").isin(sorted(vbs))
+        pred = c if pred is None else pred | c
+    return idx.filter(pred)
 
 
 def simhash_neardup_pairs(

@@ -819,3 +819,59 @@ def test_gc_blobs_spares_unknown_mtime(spark, tmp_path, monkeypatch):
     # explicit min_age_s=0 opt-out still collects it
     got = multimodal.gc_blobs(ext, base, min_age_s=0)
     assert [os.path.basename(p) for p in got] == ["blob-99-99999.bin"]
+
+
+def test_band_key_index_prunes_partitions_and_matches_oneshot(spark, tmp_path):
+    """The (band, vb)-partitioned key index: a batch's pruned read
+    opens ONLY directories matching its own band keys (input-file
+    metrics, the IVF probe's pattern), and incremental suppression
+    over two batches reproduces the one-shot neardup_survivors result
+    exactly."""
+    import glob
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again!",
+        "completely different content about cooking pasta al dente",
+        "yet another unrelated document concerning alpine skiing",
+        "the quick brown fox jumps over the lazy dog once more today",
+        "financial report third quarter revenue and operating margin",
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    keys = dedup.simhash_band_keys(docs, "text", "doc_id", bits=32, bands=4)
+    oneshot = {
+        (r.doc_id, r.simhash)
+        for r in dedup.neardup_survivors(keys, "doc_id", max_hamming=3).collect()
+    }
+
+    idx = str(tmp_path / "idx")
+    b1 = keys.filter("doc_id < 3")
+    b2 = keys.filter("doc_id >= 3")
+    got = set()
+    for b in (b1, b2):
+        earlier = (
+            dedup.read_band_keys_pruned(spark, idx, b, val_buckets=8)
+            if glob.glob(f"{idx}/band=*")
+            else None
+        )
+        got |= {
+            (r.doc_id, r.simhash)
+            for r in dedup.neardup_survivors_incremental(
+                b, earlier, "doc_id", max_hamming=3
+            ).collect()
+        }
+        dedup.append_band_key_index(b, idx, val_buckets=8)
+    assert got == oneshot, (got, oneshot)
+
+    # pruning: a single-doc probe batch must open only its own dirs
+    total_dirs = len(glob.glob(f"{idx}/band=*/vb=*"))
+    probe = keys.filter("doc_id = 0")
+    scan = dedup.read_band_keys_pruned(spark, idx, probe, val_buckets=8)
+    touched = {
+        r.f.rsplit("/", 3)[-3] + "/" + r.f.rsplit("/", 2)[-2]
+        for r in scan.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert len(touched) <= 4, touched  # one (band, vb) dir per band
+    assert total_dirs > 4, total_dirs  # there genuinely was something to skip
