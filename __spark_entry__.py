@@ -1041,8 +1041,10 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.1
 
 
 def q_winnow_overlap(spark, sf):
-    """Winnowing (rolling-hash) overlap pairs: char-20-gram md5
-    hashes, window-of-8 minima, pairs sharing >= 2 kept fingerprints —
+    """Winnowing (rolling-hash) overlap pairs: char-20-gram dual
+    Karp-Rabin hashes (numpy-vectorized — k fused array ops per doc,
+    not one md5 per char), window-of-8 minima, pairs sharing >= 2
+    kept fingerprints —
     the containment detector (copied passage in an otherwise-different
     doc) that whole-document Jaccard misses. Map-only fingerprinting;
     the only shuffle is the inverted-index join on the ~1/w-density
@@ -1058,13 +1060,22 @@ SQL_WINNOW_OVERLAP = """
 WITH t AS (
   SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS txt
   FROM documents),
+cps AS (
+  SELECT doc_id, length(txt) AS n,
+         list_transform(generate_series(1, greatest(length(txt), 1)),
+                        i -> CAST(unicode(substr(txt, i, 1)) AS BIGINT)) AS cp
+  FROM t),
 h AS (
   SELECT doc_id,
+         CASE WHEN n = 0 THEN [CAST(0 AS BIGINT)] ELSE
          list_transform(
-           generate_series(1, greatest(length(txt) - 20 + 1, 1)),
-           i -> CAST(concat('0x', substr(md5(substr(txt, i, 20)), 1, 15)) AS BIGINT)
-         ) AS hs
-  FROM t),
+           generate_series(1, greatest(n - 20 + 1, 1)),
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), cp[i:least(i+19, n)]),
+                            (a, c) -> (a * 1000003 + c) % 2147483647) * 2147483648
+              + list_reduce(list_prepend(CAST(0 AS BIGINT), cp[i:least(i+19, n)]),
+                            (a, c) -> (a * 257 + c) % 2147483629))
+         END AS hs
+  FROM cps),
 wi AS (
   SELECT doc_id,
          list_distinct(
