@@ -455,3 +455,27 @@ def test_compact_preserves_evolved_column(spark, tmp_path):
     assert compacted, "expected at least one oversized bucket"
     after = {r.id: (r.title, r.lang) for r in tbl.query().collect()}
     assert after == before, "compact dropped or altered the evolved column"
+
+
+def test_commit_log_retention_caps_entries(spark, tmp_path):
+    """The audit log keeps the last 1000 records: a long-lived stream's
+    per-batch commits must not grow the driver-side read-modify-write
+    unboundedly. commit_id keeps advancing monotonically past the cap."""
+    import json as _json
+
+    path = str(tmp_path / "ret")
+    tbl = ServingTable(spark, path, key="id", num_buckets=2)
+    tbl.apply_batch(_batch(spark, (1, "+I", "a", "v1")))
+    # seed a full log (cheaper than 1000 real batches)
+    seeded = [
+        {"commit_id": i, "kind": "merge", "n_rows": 1, "buckets": [0]}
+        for i in range(1000)
+    ]
+    from platypus_ingestion_plugins_spark import fs as _fs
+
+    _fs.write_text_atomic(spark, os.path.join(path, "_commits.json"), _json.dumps(seeded))
+    tbl.apply_batch(_batch(spark, (2, "+U", "a", "v2")))
+    log = tbl.commits()
+    assert len(log) == 1000
+    assert log[-1]["commit_id"] == 1000  # advanced past the seeded head
+    assert log[0]["commit_id"] == 1  # oldest record aged out
