@@ -2161,91 +2161,92 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the least-recently-driver-verified queries come FIRST
     # (the driver caps each round's oracle sweep at 50 entries, so dict
-    # order IS verification priority — r6 rotation):
-    #   1. the 14 queries absent from CORRECTNESS_r04 (green in r03;
-    #      embedding_dedup_groups's operator changed after that check),
-    #   2. queries whose operator code changed THIS round
-    #      (similarity/neardup/IVF/multimodal-externalize),
-    #   3. the remaining r04-green queries,
-    #   4. tail (skipped under a 50-cap, recorded here): asof_join,
-    #      range_join_bands, hourly_agg, sessionize, text_stats,
-    #      text_language_id, text_quality_filter, dataset_split,
-    #      stratified_sample, multimodal_meta, multimodal_features,
-    #      multimodal_resize, multimodal_frames, sink_typed_strings,
-    #      sink_array_json, pivot_event_counts, cube_agg — all
-    #      r04-green and untouched this round.
+    # order IS verification priority — r7 rotation):
+    #   1. the 17 queries cap-skipped in CORRECTNESS_r06 (all r04-green,
+    #      and stateful-sessionize's operator file changed this round),
+    #   2. queries whose code paths changed THIS round (winnowing hash,
+    #      streaming near-dup index layout, sessionize late-event split,
+    #      serving search order contract),
+    #   3. the remaining green-in-r06 untouched queries,
+    #   4. tail (skipped under a 50-cap, recorded here): dedup_exact,
+    #      dedup_ngram_jaccard, dedup_minhash_lsh, dedup_simhash,
+    #      simhash_neardup, dedup_groups, jaccard_join, salted_join_agg,
+    #      distinct_sketch, repetition_stats, embedding_neardup,
+    #      embedding_dedup_groups, knn_join, similarity_topk,
+    #      similarity_ann, similarity_quantized, similarity_ivf — all
+    #      green in CORRECTNESS_r06 with operator code untouched since.
     return {
-        # 1. absent from CORRECTNESS_r04 (cap-skipped there; green r03)
-        "embedding_dedup_groups": q_embedding_dedup_groups,
+        # 1. cap-skipped in r06 (r04-green, least recently verified)
+        "asof_join": q_asof_join,
+        "cube_agg": q_cube_agg,
+        "dataset_split": q_dataset_split,
+        "hourly_agg": q_hourly_agg,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_resize": q_multimodal_resize,
+        "pivot_event_counts": q_pivot_event_counts,
+        "range_join_bands": q_range_join,
+        "sessionize": q_sessionize,
+        "sink_array_json": q_sink_array_json,
+        "sink_typed_strings": q_sink_typed_strings,
+        "stratified_sample": q_stratified_sample,
+        "text_language_id": q_text_language_id,
+        "text_quality_filter": q_text_quality_filter,
+        "text_stats": q_text_stats,
+        # 2. code paths touched this round
+        "winnow_overlap": q_winnow_overlap,
+        "stream_neardup_dedup": q_stream_neardup_dedup,
+        "stream_sessionize": q_stream_sessionize,
+        "multimodal_external_meta": q_multimodal_external_meta,
         "match_all_topk": q_match_all_topk,
         "match_all_offset": q_match_all_offset,
         "term": q_term,
-        "fulltext_match": q_fulltext_match,
-        "hit_count": q_hit_count,
         "term_in_set": q_term_in_set,
+        "fulltext_match": q_fulltext_match,
+        "fulltext_ranked": q_fulltext_ranked,
+        "fulltext_tfidf": q_fulltext_tfidf,
+        "hit_count": q_hit_count,
         "multivalued_contains": q_multivalued_contains,
+        # 3. r06-green, untouched
+        "stream_cdc_materialize": q_stream_cdc_materialize,
+        "stream_dedup_exact": q_stream_dedup_exact,
+        "stream_agg_materialize": q_stream_agg_materialize,
+        "cdc_last_wins": q_cdc_last_wins,
         "flatten_rename_drop": q_flatten_rename_drop,
         "shard_modulo": q_shard_modulo,
         "agg_rollup": q_agg_rollup,
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
         "set_except": q_set_except,
-        # 2. operator code touched/added this round
-        "embedding_neardup": q_embedding_neardup,
-        "knn_join": q_knn_join,
-        "winnow_overlap": q_winnow_overlap,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3ish": q_tpch_q3ish,
+        "tpch_q5ish": q_tpch_q5ish,
+        "tpch_q6ish": q_tpch_q6ish,
+        "join_segment_revenue": q_join_segment_revenue,
+        "sliding_counts": q_sliding_counts,
+        "event_gaps": q_event_gaps,
+        "percentiles": q_percentiles,
+        "window_topk_per_group": q_window_topk_per_group,
+        "heavy_hitters_sketch": q_heavy_hitters_sketch,
+        # 4. tail — r06-green, untouched; skipped under a 50-entry cap
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "dedup_groups": q_dedup_groups,
+        "jaccard_join": q_jaccard_join,
+        "salted_join_agg": q_salted_join_agg,
+        "distinct_sketch": q_distinct_sketch,
         "repetition_stats": q_repetition_stats,
-        "stream_neardup_dedup": q_stream_neardup_dedup,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_dedup_groups": q_embedding_dedup_groups,
+        "knn_join": q_knn_join,
         "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
         "similarity_quantized": q_similarity_quantized,
         "similarity_ivf": q_similarity_ivf,
-        "multimodal_external_meta": q_multimodal_external_meta,
-        # 3. r04-green, untouched
-        "stream_cdc_materialize": q_stream_cdc_materialize,
-        "stream_dedup_exact": q_stream_dedup_exact,
-        "stream_agg_materialize": q_stream_agg_materialize,
-        "stream_sessionize": q_stream_sessionize,
-        "cdc_last_wins": q_cdc_last_wins,
-        "fulltext_ranked": q_fulltext_ranked,
-        "fulltext_tfidf": q_fulltext_tfidf,
-        "tpch_q1": q_tpch_q1,
-        "join_segment_revenue": q_join_segment_revenue,
-        "salted_join_agg": q_salted_join_agg,
-        "sliding_counts": q_sliding_counts,
-        "event_gaps": q_event_gaps,
-        "percentiles": q_percentiles,
-        "tpch_q5ish": q_tpch_q5ish,
-        "tpch_q6ish": q_tpch_q6ish,
-        "tpch_q3ish": q_tpch_q3ish,
-        "window_topk_per_group": q_window_topk_per_group,
-        "distinct_sketch": q_distinct_sketch,
-        "heavy_hitters_sketch": q_heavy_hitters_sketch,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "jaccard_join": q_jaccard_join,
-        "dedup_simhash": q_dedup_simhash,
-        "simhash_neardup": q_simhash_neardup,
-        "dedup_groups": q_dedup_groups,
-        # 4. tail — r04-green, untouched; skipped under a 50-entry cap
-        "asof_join": q_asof_join,
-        "range_join_bands": q_range_join,
-        "hourly_agg": q_hourly_agg,
-        "sessionize": q_sessionize,
-        "text_stats": q_text_stats,
-        "text_language_id": q_text_language_id,
-        "text_quality_filter": q_text_quality_filter,
-        "dataset_split": q_dataset_split,
-        "stratified_sample": q_stratified_sample,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
-        "sink_typed_strings": q_sink_typed_strings,
-        "sink_array_json": q_sink_array_json,
-        "pivot_event_counts": q_pivot_event_counts,
-        "cube_agg": q_cube_agg,
     }
 
 
