@@ -1600,6 +1600,134 @@ WHERE (CASE {case} ELSE 'und' END) = 'en'
 SQL_TEXT_QUALITY_FILTER = _quality_filter_sql()
 
 
+def q_decontam_flags(spark, sf):
+    """Benchmark decontamination audit: training docs sharing any
+    token n-gram with the held-out 'benchmark' slice (doc_id % 101 ==
+    0 stands in for an eval set), with the contaminated-gram count.
+    The benchmark gram set broadcasts (eval sets are MBs against a
+    100 TB corpus), so the training side is a map-side join; the only
+    shuffle is the per-doc count. n=3 fits this synthetic word-salad
+    corpus; real runs use 8-13 (see operators/decontam.py)."""
+    from platypus_ingestion_plugins_spark.operators import decontam
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 101 == 0)
+    train = d.filter(F.col("doc_id") % 101 != 0)
+    return decontam.contaminated_docs(train, bench, "text", "doc_id", n=3)
+
+
+SQL_DECONTAM_FLAGS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(t)-2, 1)),
+             i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+  FROM toks),
+shf AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+bench AS (SELECT DISTINCT shingle FROM shf WHERE doc_id % 101 = 0)
+SELECT f.doc_id, count(*) AS n_contaminated
+FROM shf f JOIN bench USING (shingle)
+WHERE f.doc_id % 101 <> 0
+GROUP BY 1
+"""
+
+
+def q_pii_scrub(spark, sf):
+    """PII audit + redaction: span counts and the scrubbed string,
+    all codegen regexp expressions riding the scan — no UDF, no
+    shuffle (see functions/pii.py for the Java/RE2-common pattern
+    constraint that makes the SQL oracle byte-exact). The synthetic
+    corpus carries no contact-shaped text, so the query fabricates
+    deterministic PII spans from customer keys (conditionally per
+    row, so counts vary 0/1 per type) — the detectors and redaction
+    chain are the product under test, the text is scaffolding."""
+    from platypus_ingestion_plugins_spark.functions import pii
+
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+
+    def num(expr, width):
+        return F.lpad(expr.cast("string"), width, "0")
+
+    email = F.concat(F.lit("user"), k.cast("string"), F.lit("@example.com"))
+    phone = F.concat_ws(
+        "-", num(k % 90 + 10, 2), num((k * 7) % 1000, 3),
+        num((k * 13) % 1000, 3), num((k * 31) % 10000, 4),
+    )
+    ssn = F.concat_ws(
+        "-", num(k % 1000, 3), num(k % 100, 2), num(k % 10000, 4)
+    )
+    ip = F.concat_ws(
+        ".", (k % 256).cast("string"), ((k * 3) % 256).cast("string"),
+        ((k * 5) % 256).cast("string"), ((k * 7) % 256).cast("string"),
+    )
+    src = F.concat_ws(
+        " ",
+        F.lit("contact"), F.col("c_name"), F.lit("at"),
+        F.when(k % 3 == 0, email).otherwise(F.lit("")),
+        F.when(k % 4 == 0, phone).otherwise(F.lit("")),
+        F.when(k % 7 == 0, ssn).otherwise(F.lit("")),
+        F.when(k % 5 == 0, ip).otherwise(F.lit("")),
+        F.lit("segment"), F.col("c_mktsegment"),
+    )
+    return c.select(
+        "c_custkey",
+        pii.pii_counts(src).alias("pii"),
+        pii.redact_pii(src).alias("redacted"),
+    ).select(
+        "c_custkey",
+        F.col("pii.n_email").alias("n_email"),
+        F.col("pii.n_phone").alias("n_phone"),
+        F.col("pii.n_ssn").alias("n_ssn"),
+        F.col("pii.n_ip").alias("n_ip"),
+        "redacted",
+    )
+
+
+SQL_PII_SCRUB = """
+WITH s AS (
+  SELECT c_custkey,
+         concat_ws(' ', 'contact', c_name, 'at',
+           CASE WHEN c_custkey % 3 = 0
+                THEN 'user' || c_custkey || '@example.com' ELSE '' END,
+           CASE WHEN c_custkey % 4 = 0
+                THEN lpad((c_custkey % 90 + 10)::VARCHAR, 2, '0') || '-' ||
+                     lpad(((c_custkey * 7) % 1000)::VARCHAR, 3, '0') || '-' ||
+                     lpad(((c_custkey * 13) % 1000)::VARCHAR, 3, '0') || '-' ||
+                     lpad(((c_custkey * 31) % 10000)::VARCHAR, 4, '0')
+                ELSE '' END,
+           CASE WHEN c_custkey % 7 = 0
+                THEN lpad((c_custkey % 1000)::VARCHAR, 3, '0') || '-' ||
+                     lpad((c_custkey % 100)::VARCHAR, 2, '0') || '-' ||
+                     lpad((c_custkey % 10000)::VARCHAR, 4, '0')
+                ELSE '' END,
+           CASE WHEN c_custkey % 5 = 0
+                THEN (c_custkey % 256)::VARCHAR || '.' ||
+                     ((c_custkey * 3) % 256)::VARCHAR || '.' ||
+                     ((c_custkey * 5) % 256)::VARCHAR || '.' ||
+                     ((c_custkey * 7) % 256)::VARCHAR
+                ELSE '' END,
+           'segment', c_mktsegment) AS txt
+  FROM customer)
+SELECT c_custkey,
+       len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(txt, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+       len(regexp_extract_all(txt, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn,
+       len(regexp_extract_all(txt, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ip,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+           '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+         '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS redacted
+FROM s
+"""
+
+
 def q_multimodal_meta(spark, sf):
     d = multimodal.attach_payload(_t(spark, sf, "documents"), "text", mime="text/plain")
     return d.select(
@@ -2164,11 +2292,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order IS verification priority — r7 rotation):
     #   1. the 17 queries cap-skipped in CORRECTNESS_r06 (all r04-green,
     #      and stateful-sessionize's operator file changed this round),
-    #   2. queries whose code paths changed THIS round (winnowing hash,
+    #   2. queries NEW this round (decontam_flags, pii_scrub) and
+    #      queries whose code paths changed THIS round (winnowing hash,
     #      streaming near-dup index layout, sessionize late-event split,
     #      serving search order contract),
     #   3. the remaining green-in-r06 untouched queries,
-    #   4. tail (skipped under a 50-cap, recorded here): dedup_exact,
+    #   4. tail (skipped under a 50-cap, recorded here):
+    #      window_topk_per_group, heavy_hitters_sketch, dedup_exact,
     #      dedup_ngram_jaccard, dedup_minhash_lsh, dedup_simhash,
     #      simhash_neardup, dedup_groups, jaccard_join, salted_join_agg,
     #      distinct_sketch, repetition_stats, embedding_neardup,
@@ -2194,7 +2324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_quality_filter": q_text_quality_filter,
         "text_stats": q_text_stats,
-        # 2. code paths touched this round
+        # 2. NEW this round + code paths touched this round
+        "decontam_flags": q_decontam_flags,
+        "pii_scrub": q_pii_scrub,
         "winnow_overlap": q_winnow_overlap,
         "stream_neardup_dedup": q_stream_neardup_dedup,
         "stream_sessionize": q_stream_sessionize,
@@ -2227,9 +2359,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_counts": q_sliding_counts,
         "event_gaps": q_event_gaps,
         "percentiles": q_percentiles,
+        # 4. tail — r06-green, untouched; skipped under a 50-entry cap
         "window_topk_per_group": q_window_topk_per_group,
         "heavy_hitters_sketch": q_heavy_hitters_sketch,
-        # 4. tail — r06-green, untouched; skipped under a 50-entry cap
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2252,6 +2384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sql = {
+        "decontam_flags": SQL_DECONTAM_FLAGS,
+        "pii_scrub": SQL_PII_SCRUB,
         "cdc_last_wins": SQL_CDC_LAST_WINS,
         "sink_typed_strings": SQL_SINK_TYPED_STRINGS,
         "sink_array_json": SQL_SINK_ARRAY_JSON,

@@ -1,0 +1,71 @@
+"""Benchmark decontamination: flag (or drop) training documents that
+share token n-grams with a held-out evaluation corpus.
+
+The standard LLM training-data hygiene step (GPT-3 appendix C /
+PaLM-style n-gram overlap): any training document containing an
+n-gram that also appears in an eval/benchmark document is
+contaminated — keeping it inflates eval scores.
+
+Scale design: the benchmark side is SMALL by definition (eval sets
+are MBs against a 100 TB corpus), so its distinct gram set is
+broadcast and the training side stays a map-side hash-join — the
+only shuffle is the final per-doc count aggregation, whose input is
+already collapsed to (doc_id, gram-hit) rows. Gram construction
+reuses ``dedup.shingles`` (zipped token-array slices — codegen, no
+per-gram re-tokenization). If the benchmark gram set ever outgrows
+the broadcast threshold, Spark falls back to a shuffle join on the
+gram string; pre-hash grams to fixed width first if that happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from platypus_ingestion_plugins_spark.operators.dedup import shingles
+
+
+def benchmark_grams(
+    bench: DataFrame, text_col: str, id_col: str, n: int = 13
+) -> DataFrame:
+    """The distinct token n-gram set of the benchmark corpus —
+    computed once, reused across training shards."""
+    return shingles(bench, text_col, id_col, n).select("shingle").distinct()
+
+
+def contaminated_docs(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Training documents sharing >= 1 token n-gram with the benchmark
+    corpus, with the count of distinct contaminated grams — the audit
+    view (what would be dropped, and how contaminated it is).
+
+    ``n`` is the precision lever: real decontamination runs use 8-13
+    token grams (a 13-gram collision is essentially never chance);
+    lower n only for short-document or high-paraphrase corpora.
+    Output: (id, n_contaminated), contaminated docs only."""
+    bg = F.broadcast(benchmark_grams(bench, text_col, id_col, n))
+    tg = shingles(train, text_col, id_col, n)  # distinct per doc already
+    return (
+        tg.join(bg, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """The clean training corpus: ``train`` minus every contaminated
+    document (left-anti join against the flagged set on the id).
+    Returns the full training rows, untouched columns."""
+    flagged = contaminated_docs(train, bench, text_col, id_col, n).select(id_col)
+    return train.join(flagged, id_col, "left_anti")

@@ -875,3 +875,53 @@ def test_band_key_index_prunes_partitions_and_matches_oneshot(spark, tmp_path):
     }
     assert len(touched) <= 4, touched  # one (band, vb) dir per band
     assert total_dirs > 4, total_dirs  # there genuinely was something to skip
+
+
+def test_decontaminate_flags_and_drops_overlapping_docs(spark):
+    """Decontamination: a training doc sharing a token n-gram with the
+    benchmark set is flagged with its distinct-gram count and dropped
+    by decontaminate(); paraphrased/disjoint docs survive."""
+    from platypus_ingestion_plugins_spark.operators import decontam
+
+    bench = spark.createDataFrame([
+        Row(doc_id=100, text="the quick brown fox jumps over the lazy dog"),
+    ])
+    train = spark.createDataFrame([
+        # contains "quick brown fox" and "brown fox jumps" -> 2 hits
+        Row(doc_id=1, text="we saw a quick brown fox jumps right there"),
+        # word-overlap but never 3 consecutive shared tokens
+        Row(doc_id=2, text="the fox was quick and the dog was brown"),
+        Row(doc_id=3, text="completely unrelated text about spark shuffles"),
+    ])
+    flagged = {
+        (r.doc_id, r.n_contaminated)
+        for r in decontam.contaminated_docs(train, bench, "text", "doc_id", n=3).collect()
+    }
+    # shared 3-grams: "quick brown fox", "brown fox jumps"
+    assert flagged == {(1, 2)}, flagged
+    clean = {r.doc_id for r in decontam.decontaminate(train, bench, "text", "doc_id", n=3).collect()}
+    assert clean == {2, 3}
+
+
+def test_pii_counts_and_redaction_order(spark):
+    """PII spans are counted on the original text and redacted in the
+    fixed email->phone->ssn->ip order; non-PII text is untouched."""
+    from platypus_ingestion_plugins_spark.functions import pii
+
+    rows = [
+        Row(id=1, t="mail a.user+tag@sub.example.co and 12-345-678-9012 now"),
+        Row(id=2, t="ssn 123-45-6789 ip 10.0.255.3 end"),
+        Row(id=3, t="no personal data here at all"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.id: (r.p.n_email, r.p.n_phone, r.p.n_ssn, r.p.n_ip, r.red)
+        for r in df.select(
+            "id",
+            pii.pii_counts("t").alias("p"),
+            pii.redact_pii("t").alias("red"),
+        ).collect()
+    }
+    assert got[1] == (1, 1, 0, 0, "mail <EMAIL> and <PHONE> now")
+    assert got[2] == (0, 0, 1, 1, "ssn <SSN> ip <IP> end")
+    assert got[3] == (0, 0, 0, 0, "no personal data here at all")
