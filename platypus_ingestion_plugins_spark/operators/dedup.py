@@ -315,6 +315,12 @@ def winnow_overlap_pairs(
     fps = cap_shingle_df(
         winnow_fingerprints(df, text_col, id_col, k, w), max_fp_df, key_col="fp"
     )
+    # The self-join references fps on both sides, so the fingerprint
+    # UDF runs once per reference — measured FASTER than cutting the
+    # plan with a localCheckpoint (materialization + lost pipelining
+    # cost more than the vectorized recompute). At 100 TB a
+    # repeated-overlap workload materializes the fingerprint index to
+    # parquet once instead.
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     return (
