@@ -2022,7 +2022,7 @@ def q_stream_neardup_dedup(spark, sf):
             keys.persist()  # fingerprinting runs once for prune/join/append
             try:
                 earlier = (
-                    dedup.read_band_keys_pruned(spark, idx, keys, val_buckets=16)
+                    dedup.read_band_keys_pruned(spark, idx, keys, val_buckets=8)
                     if _fs.exists(spark, idx)
                     else None
                 )
@@ -2033,7 +2033,7 @@ def q_stream_neardup_dedup(spark, sf):
                     .write.mode("append")
                     .parquet(surv)
                 )
-                dedup.append_band_key_index(keys, idx, val_buckets=16)
+                dedup.append_band_key_index(keys, idx, val_buckets=8)
             finally:
                 keys.unpersist()
 
