@@ -1,0 +1,145 @@
+"""Physical-plan audit gate for the headline queries.
+
+Locks in the round-4..6 plan fixes against regression (VERDICT r6 #6):
+
+- no ``CartesianProduct`` anywhere (every cross join must ride a
+  broadcast side → ``BroadcastNestedLoopJoin``, which is the intended
+  plan for the O(k) query-side crossJoins in similarity/top-k);
+- no row-at-a-time Python UDF (``BatchEvalPython``) in any headline
+  plan — Python is allowed only Arrow-batched (ArrowEvalPython /
+  MapInPandas / FlatMapGroupsInPandas);
+- the candidate-pair dedup exchange in ``embedding_neardup`` carries
+  only ids — an Exchange hash-partitioned on (id_a, id_b) must not
+  ship vector columns (the round-4 fat-shuffle fix);
+- queries that join an O(k) side actually broadcast it
+  (``BroadcastExchange`` present in the static plan).
+
+Static plans only (``explain("formatted")`` without executing), so the
+gate is fast and independent of AQE's runtime rewrites.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+
+import pytest
+
+import __spark_entry__ as E
+
+# Headline queries: the most expensive / most plan-sensitive batch
+# entries (VERDICT r6 "plan audit of the 5 most expensive" + the
+# broadcast-join suite).
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q5ish",
+    "salted_join_agg",
+    "asof_join",
+    "similarity_topk",
+    "knn_join",
+    "embedding_neardup",
+    "embedding_dedup_groups",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "winnow_overlap",
+    "jaccard_join",
+]
+
+# Queries whose plan legitimately contains a broadcast O(k)-side join.
+EXPECT_BROADCAST = [
+    "tpch_q5ish",
+    "salted_join_agg",
+    "similarity_topk",
+    "knn_join",
+    "dedup_minhash_lsh",
+]
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    stdout, sys.stdout = sys.stdout, buf
+    try:
+        df.explain("formatted")
+    finally:
+        sys.stdout = stdout
+    return buf.getvalue()
+
+
+def _plan(spark, sf_dir, name) -> str:
+    df = E.queries()[name](spark, sf_dir)
+    return _formatted_plan(df)
+
+
+def _detail_blocks(plan: str) -> list[tuple[str, str]]:
+    """Split the formatted-explain detail section into
+    (node_name, block_text) pairs — blocks start at ``(N) NodeName``."""
+    blocks = []
+    current_name, current_lines = None, []
+    for line in plan.splitlines():
+        m = re.match(r"\(\d+\) ([A-Za-z]+)", line)
+        if m:
+            if current_name is not None:
+                blocks.append((current_name, "\n".join(current_lines)))
+            current_name, current_lines = m.group(1), [line]
+        elif current_name is not None:
+            current_lines.append(line)
+    if current_name is not None:
+        blocks.append((current_name, "\n".join(current_lines)))
+    return blocks
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    return {name: _plan(spark, sf_dir, name) for name in HEADLINE}
+
+
+def test_no_cartesian_product(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not offenders, f"CartesianProduct in: {offenders}"
+
+
+def test_no_row_at_a_time_python_udf(plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not offenders, f"row-at-a-time Python UDF in: {offenders}"
+
+
+def test_broadcast_on_small_sides(plans):
+    missing = [
+        n for n in EXPECT_BROADCAST if "BroadcastExchange" not in plans[n]
+    ]
+    assert not missing, f"no BroadcastExchange in: {missing}"
+
+
+def test_pair_dedup_exchange_ships_no_vectors(plans):
+    """The Exchange that hash-partitions candidate pairs on
+    (id_a, id_b) must carry only ids — vectors re-attach AFTER the
+    dedup (operators/similarity.py:570-605)."""
+    vec_names = re.compile(r"\b(__v|va|vb|embedding)#")
+    for name in ("embedding_neardup", "embedding_dedup_groups"):
+        for node, block in _detail_blocks(plans[name]):
+            if node != "Exchange":
+                continue
+            args = next(
+                (l for l in block.splitlines() if l.startswith("Arguments:")), ""
+            )
+            if "id_a#" in args and "id_b#" in args:
+                assert not vec_names.search(block), (
+                    f"{name}: pair-keyed Exchange ships vector columns:\n{block}"
+                )
+
+
+def test_scans_prune_columns(plans):
+    """Every parquet scan in the similarity/dedup suite should read a
+    narrow schema (≤4 columns) — the tables have 3-4 columns of
+    payload but a scan reading the full documents/embeddings width
+    for a 2-column pipeline would be a pruning regression."""
+    for name in ("similarity_topk", "embedding_neardup", "dedup_minhash_lsh"):
+        widths = [
+            len(w.split(","))
+            for w in re.findall(r"ReadSchema: struct<([^>]*)>", plans[name])
+            if w
+        ]
+        assert widths and max(widths) <= 4, (
+            f"{name}: wide scan read_cols={widths}"
+        )
