@@ -602,3 +602,99 @@ def test_avro_roundtrip_property():
         assert decode_record(encode_record(rec, schema), schema) == rec
 
     roundtrip()
+
+
+def test_schema_evolution_mid_stream(spark, tmp_path):
+    """Registry-per-record parity with KafkaIngestor.java:151-157: the
+    schema registry gains a NEW schema id BETWEEN micro-batches of one
+    continuously-running query, and decode_with_schema_map picks it up
+    without a restart. Batch 1 carries v1 frames (id 1); then v2 — a
+    backward-compatible evolution adding a nullable ``lang`` — is
+    registered as id 2 and batch 2 carries v2 frames. Both decode,
+    zero poison, and the serving table evolves its schema in place."""
+    import json as _json
+
+    from platypus_ingestion_plugins_spark.sources.avro_decode import (
+        confluent_frame,
+        python_avro_decoder,
+    )
+    from platypus_ingestion_plugins_spark.sources.kafka import decode_with_schema_map
+
+    base_fields = [
+        {"name": "_seq", "type": "long"},
+        {"name": "_row_kind", "type": "string"},
+        {"name": "id", "type": "string"},
+        {"name": "title", "type": "string"},
+    ]
+    v1 = {"type": "record", "name": "Cdc", "fields": base_fields}
+    v2 = {
+        "type": "record",
+        "name": "Cdc",
+        "fields": base_fields
+        + [{"name": "lang", "type": ["null", "string"], "default": None}],
+    }
+
+    registry = {1: _json.dumps(v1)}  # live registry, mutated mid-stream
+
+    def transform(batch_df):
+        # snapshot the CURRENT registry at each micro-batch, the way a
+        # real registry client resolves ids per record
+        return decode_with_schema_map(
+            batch_df, dict(registry), decoder=python_avro_decoder
+        ).drop("value")
+
+    raw_schema = T.StructType([T.StructField("value", T.BinaryType())])
+    src, dlq = str(tmp_path / "src"), str(tmp_path / "dlq")
+    serving = ServingTable(spark, str(tmp_path / "serving"), key="id", num_buckets=4)
+    pipe = CdcStreamingPipeline(
+        spark, src, raw_schema, serving, str(tmp_path / "ckpt"),
+        dlq_path=dlq, transform=transform,
+    )
+
+    def frames(rows, schema, schema_id):
+        return [
+            Row(value=bytearray(confluent_frame(r, schema, schema_id)))
+            for r in rows
+        ]
+
+    b1 = frames(
+        [
+            {"_seq": 1, "_row_kind": "+I", "id": "a", "title": "v1a"},
+            {"_seq": 2, "_row_kind": "+I", "id": "b", "title": "v1b"},
+        ],
+        v1, 1,
+    )
+    spark.createDataFrame(b1, raw_schema).write.parquet(src)
+
+    q = pipe.start(trigger={"processingTime": "1 second"})
+    try:
+        q.processAllAvailable()
+        assert {r.id: r.title for r in serving.query().collect()} == {
+            "a": "v1a", "b": "v1b",
+        }
+
+        # --- evolution happens while the query keeps running ---
+        registry[2] = _json.dumps(v2)
+        b2 = frames(
+            [
+                {"_seq": 3, "_row_kind": "+U", "id": "a",
+                 "title": "v2a", "lang": "en"},
+                {"_seq": 4, "_row_kind": "+I", "id": "c",
+                 "title": "v2c", "lang": "de"},
+            ],
+            v2, 2,
+        )
+        spark.createDataFrame(b2, raw_schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r.id: r for r in serving.query().collect()}
+    assert rows["a"].title == "v2a" and rows["a"].lang == "en"  # upsert on v2
+    assert rows["c"].title == "v2c" and rows["c"].lang == "de"  # insert on v2
+    assert rows["b"].title == "v1b" and rows["b"].lang is None  # v1 row evolved
+    # zero poison in either epoch
+    assert (
+        spark.read.option("basePath", dlq).parquet(dlq)
+        .filter(F.col("_is_poison")).count() == 0
+    )
