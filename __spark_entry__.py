@@ -1842,11 +1842,21 @@ def q_multimodal_external_meta(spark, sf):
     ).select("doc_id", "payload")
     work = _stream_scratch("mm_ext_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
-    back = multimodal.load_payloads(
-        multimodal.externalize_to_table(
-            d, f"{work}/blobs", f"{work}/refs", threshold_bytes=256
-        )
+    ext = multimodal.externalize_to_table(
+        d, f"{work}/blobs", f"{work}/refs", threshold_bytes=256
     )
+    # GC under the oracle (VERDICT r6 #8): plant an orphan blob (a
+    # failed-attempt leftover), collect with min_age_s=0 (safe — the
+    # materialization barrier above guarantees no writer is in
+    # flight). The orphan must go; every referenced blob must survive,
+    # or the round-tripped hashes below break the value hash.
+    orphan = f"{work}/blobs/blob-deadattempt-00000.bin"
+    with open(orphan, "wb") as f:
+        f.write(b"uncommitted task-attempt leftover")
+    deleted = multimodal.gc_blobs(ext, f"{work}/blobs", min_age_s=0)
+    if deleted != [orphan]:
+        raise RuntimeError(f"gc_blobs deleted {deleted}, expected [{orphan}]")
+    back = multimodal.load_payloads(ext)
     return back.select(
         "doc_id",
         F.lit("text/plain").alias("mime"),
@@ -1915,6 +1925,72 @@ def q_stream_cdc_materialize(spark, sf):
 
 
 SQL_STREAM_CDC_MATERIALIZE = SQL_CDC_LAST_WINS
+
+
+def q_serving_compact(spark, sf):
+    """Merge → compact → read under the oracle (VERDICT r6 #8): the
+    cdc_last_wins changelog applied as two seq-ordered merge batches
+    (each bucket accumulates one parquet file per shuffle task per
+    rewrite — the streaming-sink small-file pathology), then
+    ``compact(max_files_per_bucket=1)`` rewrites every oversized
+    bucket to a single file through the stage-then-swap barrier. The
+    post-compaction read must hash-match the one-shot batch
+    materialization — a row lost, duplicated, or schema-stale'd by
+    compaction breaks the value hash."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.serving.table import ServingTable
+
+    ev = _t(spark, sf, "events")
+    ch = ev.select(
+        F.col("event_id").alias("_seq"),
+        "user_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "click", "-D")
+        .when(F.col("event_type") == "error", "-U")
+        .otherwise("+I")
+        .alias("_row_kind"),
+    )
+    mid = ch.approxQuantile("_seq", [0.5], 0.0)[0]
+
+    work = _stream_scratch("serving_compact_")
+    # 16 shuffle partitions over 8 buckets with AQE coalescing OFF:
+    # each merge rewrite fans a bucket across ~2 tasks, reproducing at
+    # sandbox scale the multi-file buckets a real micro-batch stream
+    # accumulates (at sf0.1 AQE would otherwise coalesce the tiny
+    # shuffle to one file per bucket and compact() would no-op)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        serving = ServingTable(
+            spark, os.path.join(work, "serving"), key="user_id", num_buckets=8
+        )
+        for batch in (
+            ch.filter(F.col("_seq") <= mid),
+            ch.filter(F.col("_seq") > mid),
+        ):
+            serving.apply_batch(batch)
+        compacted = serving.compact(max_files_per_bucket=1)
+        if not compacted:
+            # three merge rewrites must leave >1 file in some bucket;
+            # a no-op here means the query no longer exercises compact
+            raise RuntimeError("compact() found nothing to rewrite")
+        _keep_until_exit(work, keep=os.path.join(work, "serving"))
+        return serving.query().select("user_id", "event_type", "value")
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce
+        )
+
+
+SQL_SERVING_COMPACT = SQL_CDC_LAST_WINS
 
 
 def q_stream_dedup_exact(spark, sf):
@@ -2297,8 +2373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      streaming near-dup index layout, sessionize late-event split,
     #      serving search order contract),
     #   3. the remaining green-in-r06 untouched queries,
-    #   4. tail (skipped under a 50-cap, recorded here):
-    #      window_topk_per_group, heavy_hitters_sketch, dedup_exact,
+    #   4. tail (skipped under a 50-cap, recorded here): percentiles
+    #      (position 51 — section 3's last entry, displaced by the new
+    #      serving_compact), window_topk_per_group, heavy_hitters_sketch, dedup_exact,
     #      dedup_ngram_jaccard, dedup_minhash_lsh, dedup_simhash,
     #      simhash_neardup, dedup_groups, jaccard_join, salted_join_agg,
     #      distinct_sketch, repetition_stats, embedding_neardup,
@@ -2327,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 2. NEW this round + code paths touched this round
         "decontam_flags": q_decontam_flags,
         "pii_scrub": q_pii_scrub,
+        "serving_compact": q_serving_compact,
         "winnow_overlap": q_winnow_overlap,
         "stream_neardup_dedup": q_stream_neardup_dedup,
         "stream_sessionize": q_stream_sessionize,
@@ -2386,6 +2464,7 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "decontam_flags": SQL_DECONTAM_FLAGS,
         "pii_scrub": SQL_PII_SCRUB,
+        "serving_compact": SQL_SERVING_COMPACT,
         "cdc_last_wins": SQL_CDC_LAST_WINS,
         "sink_typed_strings": SQL_SINK_TYPED_STRINGS,
         "sink_array_json": SQL_SINK_ARRAY_JSON,
