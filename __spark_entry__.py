@@ -1728,6 +1728,41 @@ FROM s
 """
 
 
+def q_unigram_logprob(spark, sf):
+    """CCNet-style perplexity proxy (Wenzek et al. 2020): mean token
+    log-prob per document under the corpus's OWN unigram LM — train
+    (one token-count aggregate, vocab capped at 1024 so OOV smoothing
+    is genuinely exercised at every SF) and score (broadcast model,
+    map-side join) in one plan. 6-dp rounding absorbs engine libm and
+    summation-order ulps (same rationale as fulltext_tfidf)."""
+    from platypus_ingestion_plugins_spark.functions import lm
+
+    d = _t(spark, sf, "documents")
+    model, totals = lm.unigram_model(d, "text", vocab_size=1024)
+    scored = lm.doc_logprob(d, model, totals, "text", "doc_id", alpha=0.5)
+    return scored.select(
+        "doc_id", F.round("mean_logp", 6).alias("mean_logp"), "n_tokens"
+    )
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                                    x -> x <> '')) AS tok
+  FROM documents),
+freqs AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT sum(cnt) AS total FROM freqs),
+vocab AS (SELECT tok, cnt FROM freqs ORDER BY cnt DESC, tok LIMIT 1024),
+model AS (SELECT tok, ln(cnt::DOUBLE) - ln(total::DOUBLE) AS logp FROM vocab, tot)
+SELECT doc_id,
+       round(sum(coalesce(m.logp, ln(0.5) - ln(t.total::DOUBLE))) / count(*), 6)
+         AS mean_logp,
+       count(*) AS n_tokens
+FROM toks LEFT JOIN model m USING (tok), tot t
+GROUP BY doc_id
+"""
+
+
 def q_multimodal_meta(spark, sf):
     d = multimodal.attach_payload(_t(spark, sf, "documents"), "text", mime="text/plain")
     return d.select(
@@ -2405,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_flags": q_decontam_flags,
         "pii_scrub": q_pii_scrub,
         "serving_compact": q_serving_compact,
+        "unigram_logprob": q_unigram_logprob,
         "winnow_overlap": q_winnow_overlap,
         "stream_neardup_dedup": q_stream_neardup_dedup,
         "stream_sessionize": q_stream_sessionize,
@@ -2465,6 +2501,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_flags": SQL_DECONTAM_FLAGS,
         "pii_scrub": SQL_PII_SCRUB,
         "serving_compact": SQL_SERVING_COMPACT,
+        "unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "cdc_last_wins": SQL_CDC_LAST_WINS,
         "sink_typed_strings": SQL_SINK_TYPED_STRINGS,
         "sink_array_json": SQL_SINK_ARRAY_JSON,

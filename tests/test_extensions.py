@@ -925,3 +925,48 @@ def test_pii_counts_and_redaction_order(spark):
     assert got[1] == (1, 1, 0, 0, "mail <EMAIL> and <PHONE> now")
     assert got[2] == (0, 0, 1, 1, "ssn <SSN> ip <IP> end")
     assert got[3] == (0, 0, 0, 0, "no personal data here at all")
+
+
+def test_unigram_lm_vocab_cap_smoothing_and_filter(spark):
+    """Corpus unigram LM: the vocab cap keeps the top tokens by count
+    (ties on token string), probabilities are normalized over the FULL
+    token mass (not the kept vocabulary), an all-OOV document scores
+    exactly the smoothing floor, and logprob_filter composes
+    train+score+keep — dropping tokenless documents with the
+    gibberish."""
+    import math
+
+    from platypus_ingestion_plugins_spark.functions import lm
+
+    rows = [
+        Row(doc_id=1, text="the cat and the dog and the bird"),
+        Row(doc_id=2, text="the cat sat"),
+        Row(doc_id=3, text="zzz qqq xxx"),  # all-OOV gibberish
+        Row(doc_id=4, text="..."),  # tokenless
+    ]
+    docs = spark.createDataFrame(rows)
+    # counts: the=4 and=2 cat=2 dog=1 bird=1 sat=1 zzz=1 qqq=1 xxx=1; total=14
+    model, totals = lm.unigram_model(docs, vocab_size=3)
+    kept = {r.tok: r.logp for r in model.collect()}
+    assert set(kept) == {"the", "and", "cat"}  # count desc, tok ties
+    assert kept["the"] == pytest.approx(math.log(4 / 14))
+    assert kept["and"] == pytest.approx(math.log(2 / 14))  # over FULL mass
+
+    scored = {
+        r.doc_id: r
+        for r in lm.doc_logprob(docs, model, totals, alpha=0.5).collect()
+    }
+    assert set(scored) == {1, 2, 3}  # doc 4 has no tokens -> no row
+    floor = math.log(0.5) - math.log(14)
+    assert scored[3].mean_logp == pytest.approx(floor)  # pure smoothing
+    assert scored[3].n_tokens == 3
+    # doc 2: the(4/14), cat(2/14), sat=OOV floor
+    exp2 = (math.log(4 / 14) + math.log(2 / 14) + floor) / 3
+    assert scored[2].mean_logp == pytest.approx(exp2)
+
+    kept_ids = sorted(
+        r.doc_id
+        for r in lm.logprob_filter(docs, min_mean_logp=floor + 1e-9,
+                                   vocab_size=3).collect()
+    )
+    assert kept_ids == [1, 2]  # gibberish and tokenless both dropped
