@@ -1763,6 +1763,28 @@ GROUP BY doc_id
 """
 
 
+def q_shuffle_shards(spark, sf):
+    """Deterministic corpus shuffle: every document assigned a shard
+    and a within-shard position as a pure function of (doc_id, salt) —
+    the reproducible-training-order contract (operators/export.py).
+    The oracle replays the identical permutation from the same md5
+    arithmetic, proving engine/partitioning independence."""
+    from platypus_ingestion_plugins_spark.operators.export import shuffle_positions
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return shuffle_positions(d, "doc_id", n_shards=8)
+
+
+SQL_SHUFFLE_SHARDS = f"""
+WITH h AS (
+  SELECT doc_id, {_UNIT_SQL.format(salt="shuffle", key="doc_id")} AS u FROM documents),
+a AS (SELECT doc_id, CAST(floor(u * 8) AS INT) AS shard, u FROM h)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) - 1 AS pos
+FROM a
+"""
+
+
 def q_multimodal_meta(spark, sf):
     d = multimodal.attach_payload(_t(spark, sf, "documents"), "text", mime="text/plain")
     return d.select(
@@ -2441,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "serving_compact": q_serving_compact,
         "unigram_logprob": q_unigram_logprob,
+        "shuffle_shards": q_shuffle_shards,
         "winnow_overlap": q_winnow_overlap,
         "stream_neardup_dedup": q_stream_neardup_dedup,
         "stream_sessionize": q_stream_sessionize,
@@ -2502,6 +2525,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": SQL_PII_SCRUB,
         "serving_compact": SQL_SERVING_COMPACT,
         "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+        "shuffle_shards": SQL_SHUFFLE_SHARDS,
         "cdc_last_wins": SQL_CDC_LAST_WINS,
         "sink_typed_strings": SQL_SINK_TYPED_STRINGS,
         "sink_array_json": SQL_SINK_ARRAY_JSON,

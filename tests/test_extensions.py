@@ -970,3 +970,47 @@ def test_unigram_lm_vocab_cap_smoothing_and_filter(spark):
                                    vocab_size=3).collect()
     )
     assert kept_ids == [1, 2]  # gibberish and tokenless both dropped
+
+
+def test_export_shuffled_layout_order_and_determinism(spark, tmp_path):
+    """export_shuffled: shard=K directory layout, within-file rows in
+    permutation order, maxRecordsPerFile splits without disturbing it,
+    and the assignment is invariant under input repartitioning."""
+    import os
+
+    from platypus_ingestion_plugins_spark.operators import export as EX
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    out = str(tmp_path / "shards")
+    EX.export_shuffled(docs, out, "doc_id", n_shards=4, max_records_per_file=20)
+
+    shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert shard_dirs == [f"shard={k}" for k in range(4)]
+
+    # expected permutation from the pure-projection assignment
+    exp = {
+        (r.doc_id, r.shard, r.pos)
+        for r in EX.shuffle_positions(docs, "doc_id", 4).collect()
+    }
+    # replay: list files in name order per shard, rows in file order
+    got = set()
+    for k in range(4):
+        pos = 0
+        sd = f"{out}/shard={k}"
+        files = sorted(f for f in os.listdir(sd) if f.endswith(".parquet"))
+        assert len(files) >= 2  # maxRecordsPerFile actually split
+        for fname in files:
+            import pyarrow.parquet as pq
+
+            for doc_id in pq.read_table(f"{sd}/{fname}")["doc_id"].to_pylist():
+                got.add((doc_id, k, pos))
+                pos += 1
+    assert got == exp
+
+    # partitioning-invariance: a different input layout, same permutation
+    shuffled_in = docs.repartition(13)
+    exp2 = {
+        (r.doc_id, r.shard, r.pos)
+        for r in EX.shuffle_positions(shuffled_in, "doc_id", 4).collect()
+    }
+    assert exp2 == exp
