@@ -1785,6 +1785,41 @@ FROM a
 """
 
 
+def q_pack_bins(spark, sf):
+    """Sequence packing for pre-training: documents in deterministic
+    shuffle order form a token stream per shard, chunked into 512-token
+    context windows — each doc's stream offset and starting bin are
+    pure functions of the corpus, reproduced exactly by the SQL oracle
+    (operators/export.py:pack_bins)."""
+    from platypus_ingestion_plugins_spark.operators.export import pack_bins
+
+    d = (
+        _t(spark, sf, "documents")
+        .select("doc_id", TX.token_count("text").alias("n_tok"))
+    )
+    return pack_bins(d, "doc_id", "n_tok", target_tokens=512, n_shards=4)
+
+
+SQL_PACK_BINS = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> ''))
+           AS n_tok,
+         {_UNIT_SQL.format(salt="shuffle", key="doc_id")} AS u
+  FROM documents),
+a AS (SELECT doc_id, n_tok, u, CAST(floor(u * 4) AS INT) AS shard FROM t),
+c AS (
+  SELECT doc_id, n_tok, shard,
+         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY u, doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT)
+           AS "offset"
+  FROM a)
+SELECT doc_id, n_tok, shard, "offset",
+       CAST(floor("offset" / 512.0) AS BIGINT) AS bin
+FROM c
+"""
+
+
 def q_multimodal_meta(spark, sf):
     d = multimodal.attach_payload(_t(spark, sf, "documents"), "text", mime="text/plain")
     return d.select(
@@ -2464,6 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_compact": q_serving_compact,
         "unigram_logprob": q_unigram_logprob,
         "shuffle_shards": q_shuffle_shards,
+        "pack_bins": q_pack_bins,
         "winnow_overlap": q_winnow_overlap,
         "stream_neardup_dedup": q_stream_neardup_dedup,
         "stream_sessionize": q_stream_sessionize,
@@ -2526,6 +2562,7 @@ def oracle_sql() -> dict[str, str]:
         "serving_compact": SQL_SERVING_COMPACT,
         "unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "shuffle_shards": SQL_SHUFFLE_SHARDS,
+        "pack_bins": SQL_PACK_BINS,
         "cdc_last_wins": SQL_CDC_LAST_WINS,
         "sink_typed_strings": SQL_SINK_TYPED_STRINGS,
         "sink_array_json": SQL_SINK_ARRAY_JSON,

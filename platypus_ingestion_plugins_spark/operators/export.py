@@ -58,6 +58,45 @@ def shuffle_positions(
     )
 
 
+def pack_bins(
+    df: DataFrame,
+    key: str,
+    n_tokens_col: str,
+    target_tokens: int,
+    n_shards: int,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Concatenate-then-chunk sequence packing: documents laid out in
+    the deterministic shuffle order form one token stream per shard,
+    chunked into context windows of ``target_tokens``. Each document
+    gets ``offset`` (its exclusive token-cumsum position in the shard
+    stream) and ``bin = floor(offset / target_tokens)`` — the window
+    its first token lands in. Documents may span bins, the standard
+    pre-training packing (no padding waste, no bin-packing heuristics,
+    and — unlike first-fit — fully order-deterministic, so an external
+    engine reproduces the exact layout).
+
+    The cumulative sum is one window per shard (ROWS frame, explicit —
+    RANGE-with-ties would diverge from the SQL oracle), bounded by the
+    same file-sized-shard sizing as shuffle_positions."""
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(ORDER_COL, key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        shuffle_assign(df, key, n_shards, salt)
+        .withColumn(
+            "offset",
+            (F.sum(n_tokens_col).over(w) - F.col(n_tokens_col)).cast("long"),
+        )
+        .withColumn(
+            "bin", F.floor(F.col("offset") / target_tokens).cast("long")
+        )
+        .drop(ORDER_COL)
+    )
+
+
 def export_shuffled(
     df: DataFrame,
     out_path: str,

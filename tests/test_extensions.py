@@ -1014,3 +1014,26 @@ def test_export_shuffled_layout_order_and_determinism(spark, tmp_path):
         for r in EX.shuffle_positions(shuffled_in, "doc_id", 4).collect()
     }
     assert exp2 == exp
+
+
+def test_pack_bins_stream_contiguity(spark):
+    """pack_bins: within each shard, offsets form a contiguous token
+    stream (next offset = prev offset + prev n_tok, starting at 0) and
+    bin is the 512-window the doc's first token lands in."""
+    from platypus_ingestion_plugins_spark.operators.export import pack_bins
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("n_tok")
+    )
+    rows = pack_bins(docs, "doc_id", "n_tok", target_tokens=64, n_shards=3).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= {0, 1, 2} and len(rows) == 100
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.offset)
+        expect = 0
+        for r in rs:
+            assert r.offset == expect, (shard, r)
+            assert r.bin == r.offset // 64
+            expect += r.n_tok
