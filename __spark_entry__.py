@@ -2465,9 +2465,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      streaming near-dup index layout, sessionize late-event split,
     #      serving search order contract),
     #   3. the remaining green-in-r06 untouched queries,
-    #   4. tail (skipped under a 50-cap, recorded here): percentiles
-    #      (position 51 — section 3's last entry, displaced by the new
-    #      serving_compact), window_topk_per_group, heavy_hitters_sketch, dedup_exact,
+    #   4. tail (skipped under a 50-cap, recorded here): the five new
+    #      r7 queries (serving_compact, unigram_logprob, shuffle_shards,
+    #      pack_bins, decontam_flags/pii_scrub) displace section 3's last
+    #      four entries past the cap — join_segment_revenue,
+    #      sliding_counts, event_gaps, percentiles (all r06-green,
+    #      untouched) — plus window_topk_per_group, heavy_hitters_sketch, dedup_exact,
     #      dedup_ngram_jaccard, dedup_minhash_lsh, dedup_simhash,
     #      simhash_neardup, dedup_groups, jaccard_join, salted_join_agg,
     #      distinct_sketch, repetition_stats, embedding_neardup,
