@@ -1820,6 +1820,44 @@ FROM c
 """
 
 
+def q_pack_texts(spark, sf):
+    """The materialized packing: per (shard, bin) the concatenated
+    document text in stream order — collect_list order is
+    partition-dependent, so the operator restores order via
+    offset-tagged array_sort, and the oracle's ORDER BY string_agg
+    must byte-match (operators/export.py:materialize_packs)."""
+    from platypus_ingestion_plugins_spark.operators.export import materialize_packs
+
+    d = (
+        _t(spark, sf, "documents")
+        .select("doc_id", "text", TX.token_count("text").alias("n_tok"))
+    )
+    return materialize_packs(
+        d, "doc_id", "text", "n_tok", target_tokens=512, n_shards=4
+    )
+
+
+SQL_PACK_TEXTS = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> ''))
+           AS n_tok,
+         {_UNIT_SQL.format(salt="shuffle", key="doc_id")} AS u
+  FROM documents),
+a AS (SELECT doc_id, text, n_tok, u, CAST(floor(u * 4) AS INT) AS shard FROM t),
+c AS (
+  SELECT doc_id, text, n_tok, shard,
+         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY u, doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT)
+           AS "offset"
+  FROM a)
+SELECT shard, CAST(floor("offset" / 512.0) AS BIGINT) AS bin,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       string_agg(text, ' ' ORDER BY "offset") AS pack_text
+FROM c GROUP BY 1, 2
+"""
+
+
 def q_multimodal_meta(spark, sf):
     d = multimodal.attach_payload(_t(spark, sf, "documents"), "text", mime="text/plain")
     return d.select(
@@ -2465,12 +2503,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      streaming near-dup index layout, sessionize late-event split,
     #      serving search order contract),
     #   3. the remaining green-in-r06 untouched queries,
-    #   4. tail (skipped under a 50-cap, recorded here): the five new
-    #      r7 queries (serving_compact, unigram_logprob, shuffle_shards,
-    #      pack_bins, decontam_flags/pii_scrub) displace section 3's last
-    #      four entries past the cap — join_segment_revenue,
-    #      sliding_counts, event_gaps, percentiles (all r06-green,
-    #      untouched) — plus window_topk_per_group, heavy_hitters_sketch, dedup_exact,
+    #   4. tail (skipped under a 50-cap, recorded here): the new r7
+    #      queries (decontam_flags, pii_scrub, serving_compact,
+    #      unigram_logprob, shuffle_shards, pack_bins, pack_texts)
+    #      displace section 3's last five entries past the cap —
+    #      tpch_q6ish, join_segment_revenue, sliding_counts, event_gaps,
+    #      percentiles (all r06-green, untouched) — plus
+    #      window_topk_per_group, heavy_hitters_sketch, dedup_exact,
     #      dedup_ngram_jaccard, dedup_minhash_lsh, dedup_simhash,
     #      simhash_neardup, dedup_groups, jaccard_join, salted_join_agg,
     #      distinct_sketch, repetition_stats, embedding_neardup,
@@ -2503,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "shuffle_shards": q_shuffle_shards,
         "pack_bins": q_pack_bins,
+        "pack_texts": q_pack_texts,
         "winnow_overlap": q_winnow_overlap,
         "stream_neardup_dedup": q_stream_neardup_dedup,
         "stream_sessionize": q_stream_sessionize,
@@ -2566,6 +2606,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "shuffle_shards": SQL_SHUFFLE_SHARDS,
         "pack_bins": SQL_PACK_BINS,
+        "pack_texts": SQL_PACK_TEXTS,
         "cdc_last_wins": SQL_CDC_LAST_WINS,
         "sink_typed_strings": SQL_SINK_TYPED_STRINGS,
         "sink_array_json": SQL_SINK_ARRAY_JSON,

@@ -97,6 +97,49 @@ def pack_bins(
     )
 
 
+def materialize_packs(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    n_tokens_col: str,
+    target_tokens: int,
+    n_shards: int,
+    salt: str = "shuffle",
+    sep: str = " ",
+) -> DataFrame:
+    """Build the packed training rows: per (shard, bin), documents
+    concatenated in stream order. A document belongs to the bin its
+    FIRST token lands in, so packs are variable-length around
+    ``target_tokens`` (the chunk grid, not a hard cap) — the padding-
+    free trade the concatenate-then-chunk scheme makes.
+
+    Order inside a pack is made deterministic without a sort exchange:
+    ``collect_list`` order is partition-dependent, so each element
+    carries its offset and ``array_sort`` restores stream order after
+    the aggregation. One groupBy on (shard, bin) — map-side partials,
+    pack sizes bounded by construction (~target_tokens of text)."""
+    packed = pack_bins(df, key, n_tokens_col, target_tokens, n_shards, salt)
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("offset"), F.col(text_col)))
+            ).alias("__parts"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tokens_col).alias("n_tokens"),
+        )
+        .select(
+            "shard",
+            "bin",
+            "n_docs",
+            "n_tokens",
+            F.array_join(
+                F.transform("__parts", lambda s: s[text_col]), sep
+            ).alias("pack_text"),
+        )
+    )
+
+
 def export_shuffled(
     df: DataFrame,
     out_path: str,

@@ -44,6 +44,9 @@ HEADLINE = [
     "dedup_simhash",
     "winnow_overlap",
     "jaccard_join",
+    "unigram_logprob",
+    "shuffle_shards",
+    "pack_texts",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
@@ -53,6 +56,7 @@ EXPECT_BROADCAST = [
     "similarity_topk",
     "knn_join",
     "dedup_minhash_lsh",
+    "unigram_logprob",  # the capped-vocab model must broadcast to the scorer
 ]
 
 

@@ -1037,3 +1037,34 @@ def test_pack_bins_stream_contiguity(spark):
             assert r.offset == expect, (shard, r)
             assert r.bin == r.offset // 64
             expect += r.n_tok
+
+
+def test_materialize_packs_order_and_sizes(spark):
+    """materialize_packs: pack_text is the stream-order concatenation
+    (restored via offset-tagged array_sort, not collect_list order)
+    and n_tokens sums the member docs."""
+    from platypus_ingestion_plugins_spark.operators.export import (
+        materialize_packs,
+        pack_bins,
+    )
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), F.col("id")).alias("text"),
+        (F.col("id") % 11 + 1).alias("n_tok"),
+    )
+    # scramble the input layout so collect_list's native order is wrong
+    packs = materialize_packs(
+        docs.repartition(7), "doc_id", "text", "n_tok",
+        target_tokens=24, n_shards=2,
+    ).collect()
+    layout = pack_bins(docs, "doc_id", "n_tok", 24, 2).collect()
+    exp = {}
+    for r in sorted(layout, key=lambda r: (r.shard, r.offset)):
+        key = (r.shard, r.bin)
+        texts, toks = exp.setdefault(key, ([], 0))[0], exp[key][1]
+        texts.append(f"d{r.doc_id}")
+        exp[key] = (texts, toks + r.n_tok)
+    assert {(p.shard, p.bin): (p.pack_text, p.n_tokens) for p in packs} == {
+        k: (" ".join(t), n) for k, (t, n) in exp.items()
+    }
