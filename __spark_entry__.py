@@ -299,6 +299,35 @@ GROUP BY doc_id
 """
 
 
+def q_fulltext_bm25(spark, sf):
+    """BM25 ranked retrieval — the scoring the reference's Lucene sink
+    actually applies to TEXT fields (serving/query.py:bm25_scores).
+    Unordered scores; the oracle reproduces the exact arithmetic."""
+    d = _t(spark, sf, "documents")
+    return SQ.bm25_scores(d, "text", "spark vector data engine", "doc_id")
+
+
+SQL_FULLTEXT_BM25 = """
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+  FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM toked),
+hits AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM toked),
+qh AS (SELECT * FROM hits WHERE tok IN ('data','engine','spark','vector')),
+tf AS (SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl FROM qh GROUP BY 1, 2),
+dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM qh GROUP BY tok)
+SELECT doc_id,
+       round(sum(
+         ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+       ), 6) AS bm25
+FROM tf JOIN dft USING (tok), stats
+GROUP BY doc_id
+"""
+
+
 def q_hit_count(spark, sf):
     d = _t(spark, sf, "documents")
     return d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_hits"))
@@ -2505,10 +2534,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. the remaining green-in-r06 untouched queries,
     #   4. tail (skipped under a 50-cap, recorded here): the new r7
     #      queries (decontam_flags, pii_scrub, serving_compact,
-    #      unigram_logprob, shuffle_shards, pack_bins, pack_texts)
-    #      displace section 3's last five entries past the cap —
-    #      tpch_q6ish, join_segment_revenue, sliding_counts, event_gaps,
-    #      percentiles (all r06-green, untouched) — plus
+    #      unigram_logprob, shuffle_shards, pack_bins, pack_texts,
+    #      fulltext_bm25) displace section 3's last six entries past the
+    #      cap — tpch_q5ish, tpch_q6ish, join_segment_revenue,
+    #      sliding_counts, event_gaps, percentiles (all r06-green,
+    #      untouched) — plus
     #      window_topk_per_group, heavy_hitters_sketch, dedup_exact,
     #      dedup_ngram_jaccard, dedup_minhash_lsh, dedup_simhash,
     #      simhash_neardup, dedup_groups, jaccard_join, salted_join_agg,
@@ -2554,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_match": q_fulltext_match,
         "fulltext_ranked": q_fulltext_ranked,
         "fulltext_tfidf": q_fulltext_tfidf,
+        "fulltext_bm25": q_fulltext_bm25,
         "hit_count": q_hit_count,
         "multivalued_contains": q_multivalued_contains,
         # 3. r06-green, untouched
@@ -2618,6 +2649,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_match": SQL_FULLTEXT_MATCH,
         "fulltext_ranked": SQL_FULLTEXT_RANKED,
         "fulltext_tfidf": SQL_FULLTEXT_TFIDF,
+        "fulltext_bm25": SQL_FULLTEXT_BM25,
         "hit_count": SQL_HIT_COUNT,
         "term_in_set": SQL_TERM_IN_SET,
         "multivalued_contains": SQL_MULTIVALUED_CONTAINS,

@@ -79,6 +79,64 @@ def match_score(field: str, query: str) -> Column:
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    field: str,
+    query: str,
+    id_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Robertson BM25 over the corpus — the ranking Lucene (the
+    reference's actual serving engine) applies by default to TEXT
+    fields, completing Q4 ranked-retrieval parity beyond the
+    coordination count:
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+
+    Plan shape: the document is tokenized ONCE (dl and the query-term
+    explode come off the same array, no self-join back to the corpus
+    for lengths); df(t) is at most |query| rows and the (N, avgdl)
+    aggregate is one row — both broadcast — so the corpus-sized pass
+    is map-side; per-(doc,term) tf and the final per-doc sum reduce
+    map-side before their shuffles. Only matching documents return.
+    Scores rounded to 6 dp (engine libm / summation-order tolerance,
+    same rationale as fulltext_tfidf)."""
+    q_tokens = sorted(set(_py_tokenize(query)))
+    q_arr = F.array(*[F.lit(t) for t in q_tokens])
+    toked = df.select(id_col, tokenize(field).alias("__toks"))
+    stats = toked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("__toks")).alias("avgdl"),
+    )
+    hits = toked.select(
+        id_col,
+        F.size("__toks").alias("dl"),
+        F.explode(F.filter("__toks", lambda t: F.array_contains(q_arr, t))).alias(
+            "tok"
+        ),
+    )
+    tf = hits.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    df_t = hits.groupBy("tok").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_t), "tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__w", idf * norm)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__w"), 6).alias("bm25"))
+    )
+
+
 def top_hits(
     df: DataFrame,
     k: int,

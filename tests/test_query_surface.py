@@ -81,3 +81,26 @@ def test_search_implicit_sort_key_is_first_requested_field(index):
     assert [r.rating for r in hits] == [4.2, 4.5]
     desc = Q.search(index, top=1, fields=["rating", "id"], descending=True).collect()
     assert [r.rating for r in desc] == [4.8]
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 against hand arithmetic: two-doc corpus, one query term
+    present in one doc — idf and length normalization exact."""
+    import math
+
+    from pyspark.sql import Row
+
+    from platypus_ingestion_plugins_spark.serving import query as SQ
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple banana apple"),  # dl=3, tf(apple)=2
+            Row(doc_id=2, text="cherry date"),  # dl=2
+        ]
+    )
+    got = {r.doc_id: r.bm25 for r in SQ.bm25_scores(docs, "text", "apple", "doc_id").collect()}
+    # N=2, df=1, avgdl=2.5; idf = ln(1 + 1.5/1.5) = ln 2
+    idf = math.log(2.0)
+    norm = (2 * 2.2) / (2 + 1.2 * (1 - 0.75 + 0.75 * 3 / 2.5))
+    assert set(got) == {1}  # non-matching doc 2 absent
+    assert got[1] == round(idf * norm, 6)
