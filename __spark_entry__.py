@@ -328,6 +328,39 @@ GROUP BY doc_id
 """
 
 
+def q_fulltext_phrase(spark, sf):
+    """PhraseQuery parity: token-exact contiguous in-order match
+    (serving/query.py:match_phrase) — sentinel-padded re-join keeps it
+    codegen string ops, no positions index."""
+    d = _t(spark, sf, "documents")
+    return d.filter(SQ.match_phrase("text", "table scan")).select("doc_id")
+
+
+SQL_FULLTEXT_PHRASE = """
+SELECT doc_id FROM documents
+WHERE contains(
+  ' ' || array_to_string(
+           list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> ''),
+           ' ') || ' ',
+  ' table scan ')
+"""
+
+
+def q_term_prefix(spark, sf):
+    """PrefixQuery parity: some analyzed token starts with the prefix
+    (serving/query.py:match_prefix)."""
+    d = _t(spark, sf, "documents")
+    return d.filter(SQ.match_prefix("text", "vec")).select("doc_id")
+
+
+SQL_TERM_PREFIX = """
+SELECT doc_id FROM documents
+WHERE len(list_filter(
+        list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> ''),
+        x -> starts_with(x, 'vec'))) > 0
+"""
+
+
 def q_hit_count(spark, sf):
     d = _t(spark, sf, "documents")
     return d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_hits"))
@@ -2535,8 +2568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   4. tail (skipped under a 50-cap, recorded here): the new r7
     #      queries (decontam_flags, pii_scrub, serving_compact,
     #      unigram_logprob, shuffle_shards, pack_bins, pack_texts,
-    #      fulltext_bm25) displace section 3's last six entries past the
-    #      cap — tpch_q5ish, tpch_q6ish, join_segment_revenue,
+    #      fulltext_bm25, fulltext_phrase, term_prefix) displace
+    #      section 3's last eight entries past the cap — tpch_q1,
+    #      tpch_q3ish, tpch_q5ish, tpch_q6ish, join_segment_revenue,
     #      sliding_counts, event_gaps, percentiles (all r06-green,
     #      untouched) — plus
     #      window_topk_per_group, heavy_hitters_sketch, dedup_exact,
@@ -2585,6 +2619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_ranked": q_fulltext_ranked,
         "fulltext_tfidf": q_fulltext_tfidf,
         "fulltext_bm25": q_fulltext_bm25,
+        "fulltext_phrase": q_fulltext_phrase,
+        "term_prefix": q_term_prefix,
         "hit_count": q_hit_count,
         "multivalued_contains": q_multivalued_contains,
         # 3. r06-green, untouched
@@ -2650,6 +2686,8 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_ranked": SQL_FULLTEXT_RANKED,
         "fulltext_tfidf": SQL_FULLTEXT_TFIDF,
         "fulltext_bm25": SQL_FULLTEXT_BM25,
+        "fulltext_phrase": SQL_FULLTEXT_PHRASE,
+        "term_prefix": SQL_TERM_PREFIX,
         "hit_count": SQL_HIT_COUNT,
         "term_in_set": SQL_TERM_IN_SET,
         "multivalued_contains": SQL_MULTIVALUED_CONTAINS,

@@ -62,6 +62,28 @@ def _py_tokenize(s: str) -> list[str]:
     return [t for t in re.split(r"\W+", s.lower()) if t]
 
 
+def match_phrase(field: str, phrase: str) -> Column:
+    """PhraseQuery: the analyzed phrase tokens appear contiguously and
+    in order. Token-exact (not substring): the field's token array is
+    re-joined space-delimited with sentinel padding, so 'rope a'
+    cannot match inside 'europe about'. Pure codegen string ops —
+    no positions index, no UDF."""
+    p_tokens = _py_tokenize(phrase)
+    if not p_tokens:
+        return F.lit(True)
+    joined = F.concat(
+        F.lit(" "), F.array_join(tokenize(field), " "), F.lit(" ")
+    )
+    return joined.contains(" " + " ".join(p_tokens) + " ")
+
+
+def match_prefix(field: str, prefix: str) -> Column:
+    """PrefixQuery on an analyzed TEXT field: some token starts with
+    the (lowercased) prefix."""
+    p = prefix.lower()
+    return F.exists(tokenize(field), lambda t: t.startswith(p))
+
+
 def match_score(field: str, query: str) -> Column:
     """Deterministic relevance for ranked full-text: the number of
     DISTINCT query tokens present in the field (the coordination

@@ -104,3 +104,28 @@ def test_bm25_hand_computed(spark):
     norm = (2 * 2.2) / (2 + 1.2 * (1 - 0.75 + 0.75 * 3 / 2.5))
     assert set(got) == {1}  # non-matching doc 2 absent
     assert got[1] == round(idf * norm, 6)
+
+
+def test_phrase_and_prefix_semantics(spark):
+    """match_phrase is token-exact, contiguous, in-order (no substring
+    or cross-token-boundary false positives); match_prefix hits any
+    token's prefix, case-folded."""
+    from pyspark.sql import Row
+
+    from platypus_ingestion_plugins_spark.serving import query as SQ
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a Table SCAN follows"),  # analyzed match
+            Row(doc_id=2, text="scan table"),  # wrong order
+            Row(doc_id=3, text="table x scan"),  # not contiguous
+            Row(doc_id=4, text="portable scanner"),  # substring trap
+            Row(doc_id=5, text="the vectorized engine"),  # prefix hit
+        ]
+    )
+    phrase = {r.doc_id for r in docs.filter(SQ.match_phrase("text", "Table scan")).collect()}
+    assert phrase == {1}
+    prefix = {r.doc_id for r in docs.filter(SQ.match_prefix("text", "VEC")).collect()}
+    assert prefix == {5}
+    # empty phrase matches everything (Lucene's empty-query degenerate)
+    assert docs.filter(SQ.match_phrase("text", "  ")).count() == 5
