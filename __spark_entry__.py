@@ -1534,6 +1534,31 @@ WHERE {_UNIT_SQL.format(salt="strata", key="doc_id")}
 """
 
 
+def q_temperature_mix(spark, sf):
+    """Temperature-based domain mixing (XLM-R-style alpha-sampling):
+    per-source keep rates min(1, f*N*n^a / (Z*n)) computed from one
+    count aggregate, membership by the deterministic content hash —
+    the oracle reproduces the exact sampled row set
+    (functions/sampling.py:temperature_mix)."""
+    from platypus_ingestion_plugins_spark.functions.sampling import temperature_mix
+
+    d = _t(spark, sf, "documents")
+    return temperature_mix(
+        d, "doc_id", "source", alpha=0.5, total_fraction=0.3
+    ).select("doc_id", "source")
+
+
+SQL_TEMPERATURE_MIX = f"""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+t AS (SELECT sum(n) AS n_tot, sum(pow(n, 0.5)) AS z FROM c),
+r AS (SELECT source, least(1.0, 0.3 * n_tot * pow(n, 0.5) / (z * n)) AS rate
+      FROM c, t)
+SELECT doc_id, source
+FROM documents JOIN r USING (source)
+WHERE {_UNIT_SQL.format(salt="mix", key="doc_id")} < rate
+"""
+
+
 def q_text_stats(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
@@ -2560,19 +2585,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order IS verification priority — r7 rotation):
     #   1. the 17 queries cap-skipped in CORRECTNESS_r06 (all r04-green,
     #      and stateful-sessionize's operator file changed this round),
-    #   2. queries NEW this round (decontam_flags, pii_scrub) and
-    #      queries whose code paths changed THIS round (winnowing hash,
-    #      streaming near-dup index layout, sessionize late-event split,
-    #      serving search order contract),
+    #   2. queries NEW this round (decontam_flags, pii_scrub,
+    #      serving_compact, unigram_logprob, shuffle_shards, pack_bins,
+    #      pack_texts, fulltext_bm25, fulltext_phrase, term_prefix,
+    #      temperature_mix) and queries whose code paths changed THIS
+    #      round (winnowing hash, streaming near-dup index layout,
+    #      sessionize late-event split, serving search order contract,
+    #      compact+GC under the oracle),
     #   3. the remaining green-in-r06 untouched queries,
     #   4. tail (skipped under a 50-cap, recorded here): the new r7
-    #      queries (decontam_flags, pii_scrub, serving_compact,
-    #      unigram_logprob, shuffle_shards, pack_bins, pack_texts,
-    #      fulltext_bm25, fulltext_phrase, term_prefix) displace
-    #      section 3's last eight entries past the cap — tpch_q1,
-    #      tpch_q3ish, tpch_q5ish, tpch_q6ish, join_segment_revenue,
-    #      sliding_counts, event_gaps, percentiles (all r06-green,
-    #      untouched) — plus
+    #      queries displace section 3's last nine entries past the cap —
+    #      set_except, tpch_q1, tpch_q3ish, tpch_q5ish, tpch_q6ish,
+    #      join_segment_revenue, sliding_counts, event_gaps, percentiles
+    #      (all r06-green, untouched) — plus
     #      window_topk_per_group, heavy_hitters_sketch, dedup_exact,
     #      dedup_ngram_jaccard, dedup_minhash_lsh, dedup_simhash,
     #      simhash_neardup, dedup_groups, jaccard_join, salted_join_agg,
@@ -2621,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_bm25": q_fulltext_bm25,
         "fulltext_phrase": q_fulltext_phrase,
         "term_prefix": q_term_prefix,
+        "temperature_mix": q_temperature_mix,
         "hit_count": q_hit_count,
         "multivalued_contains": q_multivalued_contains,
         # 3. r06-green, untouched
@@ -2688,6 +2714,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25": SQL_FULLTEXT_BM25,
         "fulltext_phrase": SQL_FULLTEXT_PHRASE,
         "term_prefix": SQL_TERM_PREFIX,
+        "temperature_mix": SQL_TEMPERATURE_MIX,
         "hit_count": SQL_HIT_COUNT,
         "term_in_set": SQL_TERM_IN_SET,
         "multivalued_contains": SQL_MULTIVALUED_CONTAINS,

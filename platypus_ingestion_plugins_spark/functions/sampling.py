@@ -81,3 +81,49 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn("split", expr)
+
+
+def temperature_mix(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    total_fraction: float = 0.3,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based domain mixing (the multilingual-pretraining
+    resampling scheme, e.g. XLM-R): stratum ``s`` with ``n_s`` rows
+    receives sample share ``q_s = n_s^alpha / sum_t n_t^alpha`` —
+    ``alpha < 1`` up-weights small domains against head domains — and
+    an expected total of ``total_fraction`` of the corpus. The per-row
+    keep rate ``min(1, f*N*q_s/n_s)`` is computed from one per-stratum
+    count aggregate (broadcast back — strata counts are tiny), and
+    membership is the deterministic ``unit_hash`` decision, so the
+    exact sampled row set is reproducible by an external engine.
+
+    Rows keep their columns; strata missing from ``df`` can't occur by
+    construction (rates derive from the same frame)."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    # corpus totals via an unpartitioned window over the strata-count
+    # frame — bounded by the stratum count, and avoids the ambiguous
+    # self-join a counts.agg + crossJoin would create
+    w = Window.partitionBy()
+    big_n = F.sum("__n").over(w)
+    z = F.sum(F.pow("__n", F.lit(alpha))).over(w)
+    rates = counts.select(
+        strata_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(total_fraction)
+            * big_n
+            * F.pow("__n", F.lit(alpha))
+            / (z * F.col("__n")),
+        ).alias("__rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(unit_hash(key, salt) < F.col("__rate"))
+        .drop("__rate")
+    )

@@ -1068,3 +1068,30 @@ def test_materialize_packs_order_and_sizes(spark):
     assert {(p.shard, p.bin): (p.pack_text, p.n_tokens) for p in packs} == {
         k: (" ".join(t), n) for k, (t, n) in exp.items()
     }
+
+
+def test_temperature_mix_rates_and_determinism(spark):
+    """temperature_mix: alpha<1 up-weights small strata (tail keep-rate
+    > head keep-rate), alpha=1 degenerates to uniform total_fraction
+    for every stratum, and membership is repartition-invariant."""
+    from platypus_ingestion_plugins_spark.functions.sampling import temperature_mix
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, "tail").otherwise("head").alias("src"),
+    )  # head 900, tail 100
+    got = temperature_mix(df, "doc_id", "src", alpha=0.5, total_fraction=0.3)
+    counts = {r.src: r.n for r in got.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # expected rates: q_head = 30/40, q_tail = 10/40 over M = 300
+    # -> head rate 0.25, tail rate 0.75: tail oversampled 3x per-row
+    assert 0.15 < counts["head"] / 900 < 0.35
+    assert 0.60 < counts["tail"] / 100 < 0.90
+    # alpha=1: every stratum keeps ~total_fraction (rate exactly 0.3)
+    uni = temperature_mix(df, "doc_id", "src", alpha=1.0, total_fraction=0.3)
+    uc = {r.src: r.n for r in uni.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.2 < uc["head"] / 900 < 0.4 and 0.15 < uc["tail"] / 100 < 0.45
+    # determinism across partitionings
+    a = {r.doc_id for r in got.collect()}
+    b = {r.doc_id for r in temperature_mix(df.repartition(17), "doc_id", "src",
+                                           alpha=0.5, total_fraction=0.3).collect()}
+    assert a == b
