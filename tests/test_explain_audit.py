@@ -47,6 +47,8 @@ HEADLINE = [
     "unigram_logprob",
     "shuffle_shards",
     "pack_texts",
+    "fulltext_bm25",
+    "temperature_mix",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
@@ -57,6 +59,7 @@ EXPECT_BROADCAST = [
     "knn_join",
     "dedup_minhash_lsh",
     "unigram_logprob",  # the capped-vocab model must broadcast to the scorer
+    "temperature_mix",  # the strata-rate frame must broadcast to the filter
 ]
 
 
