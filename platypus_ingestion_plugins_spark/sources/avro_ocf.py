@@ -1,0 +1,180 @@
+"""Avro Object Container File source (the public Avro 1.x spec's file
+format): header = magic ``Obj\\x01`` + file-metadata map
+(``avro.schema`` JSON, ``avro.codec``) + 16-byte sync marker, then
+data blocks of (record count, byte size, serialized records, sync).
+
+Widens the S-column beyond the Kafka wire format: pipelines exchange
+.avro FILES (Sqoop/Flume/warehouse exports), and this container has no
+spark-avro jar, so the pure-Python binary decoder
+(``sources/avro_decode.py``) is reused over Spark's ``binaryFile``
+source. Parallelism is per FILE — one task per .avro file, the right
+grain for the many-file layouts batch exporters write (sub-file block
+splitting by sync-marker scan is a JVM-reader optimization this
+fallback intentionally skips). Codecs: ``null`` and ``deflate``
+(raw zlib, spec §Required Codecs).
+
+Framing errors (bad magic, sync mismatch, truncated block) raise — a
+corrupt FILE is an operational fault, unlike the per-record poison the
+Kafka path quarantines (sources/kafka.py C14), where records arrive
+individually from an untrusted producer.
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .avro_decode import (
+    _Reader,
+    _decode_value,
+    avro_to_spark_type,
+    encode_record,
+)
+
+MAGIC = b"Obj\x01"
+_SYNC = bytes(range(16))  # fixed writer sync (any 16 bytes, per spec)
+
+
+def _read_meta_map(r: _Reader) -> dict[str, bytes]:
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.read_long()
+        if n == 0:
+            return meta
+        if n < 0:
+            n = -n
+            r.read_long()  # block byte size
+        for _ in range(n):
+            k = r.read(r.read_long()).decode("utf-8")
+            meta[k] = bytes(r.read(r.read_long()))
+
+
+def parse_ocf_header(content: bytes) -> tuple[dict, str, bytes, int]:
+    """(schema, codec, sync, body_offset) from an OCF prefix. Raises
+    ValueError on bad magic / truncation (pass more bytes)."""
+    r = _Reader(content)
+    if r.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    meta = _read_meta_map(r)
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported OCF codec: {codec}")
+    schema = json.loads(meta["avro.schema"])
+    sync = bytes(r.read(16))
+    return schema, codec, sync, r.pos
+
+
+def parse_ocf(content: bytes) -> tuple[dict, list]:
+    """Decode a whole OCF file to (schema, records)."""
+    schema, codec, sync, pos = parse_ocf_header(content)
+    r = _Reader(content)
+    r.pos = pos
+    records: list = []
+    while r.pos < len(content):
+        n = r.read_long()
+        data = bytes(r.read(r.read_long()))
+        if codec == "deflate":
+            data = zlib.decompress(data, -15)  # raw deflate, no zlib header
+        br = _Reader(data)
+        for _ in range(n):
+            records.append(_decode_value(br, schema))
+        if br.pos != len(data):
+            raise ValueError("trailing bytes in OCF block")
+        if bytes(r.read(16)) != sync:
+            raise ValueError("OCF sync marker mismatch")
+    return schema, records
+
+
+def write_ocf(records: list, schema: dict, codec: str = "null") -> bytes:
+    """Encode records as an OCF byte string (one block) — the fixture/
+    round-trip half, same role as ``confluent_frame`` for the wire
+    format."""
+    from .avro_decode import _encode_long
+
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported OCF codec: {codec}")
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
+    out = bytearray(MAGIC)
+    out += _encode_long(len(meta))
+    for k, v in sorted(meta.items()):
+        kb = k.encode()
+        out += _encode_long(len(kb)) + kb + _encode_long(len(v)) + v
+    out += _encode_long(0)  # end of metadata map
+    out += _SYNC
+    body = b"".join(encode_record(rec, schema) for rec in records)
+    if codec == "deflate":
+        comp = zlib.compressobj(wbits=-15)
+        body = comp.compress(body) + comp.flush()
+    out += _encode_long(len(records)) + _encode_long(len(body)) + body + _SYNC
+    return bytes(out)
+
+
+def _sniff_schema(spark: SparkSession, path: str) -> dict:
+    """Driver-side header sniff of one file: read growing prefixes until
+    the header parses — bounded by the schema text size, never the
+    file size."""
+    import pyarrow.fs as pafs
+
+    if "://" in path:
+        fs, inner = pafs.FileSystem.from_uri(path)
+    else:
+        fs, inner = pafs.LocalFileSystem(), path
+    sel = pafs.FileSelector(inner, recursive=True)
+    try:
+        files = [i.path for i in fs.get_file_info(sel) if i.is_file]
+    except NotADirectoryError:
+        files = [inner]
+    files = sorted(f for f in files if f.endswith(".avro")) or sorted(files)
+    if not files:
+        raise FileNotFoundError(f"no files under {path}")
+    size = 1 << 16
+    with fs.open_input_file(files[0]) as f:
+        while True:
+            buf = f.read(size)
+            try:
+                schema, _, _, _ = parse_ocf_header(bytes(buf))
+                return schema
+            except ValueError as exc:
+                if "bad magic" in str(exc) or len(buf) < size:
+                    raise
+            f.seek(0)
+            size *= 4
+
+
+def read_avro_ocf(
+    spark: SparkSession, path: str, schema_json: str | None = None
+) -> DataFrame:
+    """Typed DataFrame over a directory (or single file) of .avro OCF
+    files. ``schema_json`` pins the reader schema; when omitted, the
+    first file's header is sniffed driver-side. Decode runs in an
+    Arrow-batched ``mapInPandas`` over the ``binaryFile`` source (one
+    task per file), surfacing typed columns through the same
+    JSON bridge as ``python_avro_decoder``."""
+    import pandas as pd
+
+    schema = (
+        json.loads(schema_json) if schema_json else _sniff_schema(spark, path)
+    )
+    spark_type = avro_to_spark_type(schema)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, records = parse_ocf(bytes(content))
+                if records:
+                    yield pd.DataFrame(
+                        {"json": [json.dumps(rec) for rec in records]}
+                    )
+
+    decoded = raw.mapInPandas(decode, "json string")
+    parsed = decoded.select(F.from_json("json", spark_type).alias("r"))
+    return parsed.select("r.*")
