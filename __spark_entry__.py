@@ -1553,8 +1553,8 @@ WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
 t AS (SELECT sum(n) AS n_tot, sum(pow(n, 0.5)) AS z FROM c),
 r AS (SELECT source, least(1.0, 0.3 * n_tot * pow(n, 0.5) / (z * n)) AS rate
       FROM c, t)
-SELECT doc_id, source
-FROM documents JOIN r USING (source)
+SELECT doc_id, d.source AS source
+FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.source
 WHERE {_UNIT_SQL.format(salt="mix", key="doc_id")} < rate
 """
 
@@ -1940,7 +1940,7 @@ c AS (
   FROM a)
 SELECT shard, CAST(floor("offset" / 512.0) AS BIGINT) AS bin,
        count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-       string_agg(text, ' ' ORDER BY "offset") AS pack_text
+       string_agg(text, ' ' ORDER BY "offset", text) AS pack_text
 FROM c GROUP BY 1, 2
 """
 

@@ -102,7 +102,10 @@ def temperature_mix(
     exact sampled row set is reproducible by an external engine.
 
     Rows keep their columns; strata missing from ``df`` can't occur by
-    construction (rates derive from the same frame)."""
+    construction (rates derive from the same frame). A NULL stratum is
+    a stratum like any other — the rate join is null-safe, so
+    null-stratum rows are sampled at their group's rate instead of
+    being silently dropped by an equi-join."""
     from pyspark.sql.window import Window
 
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
@@ -113,7 +116,7 @@ def temperature_mix(
     big_n = F.sum("__n").over(w)
     z = F.sum(F.pow("__n", F.lit(alpha))).over(w)
     rates = counts.select(
-        strata_col,
+        F.col(strata_col).alias("__stratum"),
         F.least(
             F.lit(1.0),
             F.lit(total_fraction)
@@ -123,7 +126,10 @@ def temperature_mix(
         ).alias("__rate"),
     )
     return (
-        df.join(F.broadcast(rates), strata_col)
+        df.join(
+            F.broadcast(rates),
+            F.col(strata_col).eqNullSafe(F.col("__stratum")),
+        )
         .filter(unit_hash(key, salt) < F.col("__rate"))
-        .drop("__rate")
+        .drop("__stratum", "__rate")
     )

@@ -722,7 +722,24 @@ def append_band_key_index(
     modulo shard gives ingest). The repartition puts each (band, vb)
     group in exactly one task, so every batch adds at most one file
     per touched directory — file count grows with batches, not with
-    batch size; compact by rewriting a directory when it fragments."""
+    batch size; compact by rewriting a directory when it fragments.
+
+    ``val_buckets`` is part of the index's on-disk layout, so it is
+    pinned in a ``_val_buckets`` sidecar on first append: a later
+    append with a different value would scatter the same val across
+    two bucket schemes and a mismatched reader would prune away
+    directories holding genuine matches — both now fail loudly
+    instead."""
+    from .. import fs as _fs
+
+    spark = keys.sparkSession
+    marker = f"{path}/_val_buckets"
+    pinned = _fs.read_text(spark, marker) if _fs.exists(spark, marker) else None
+    if pinned is not None and int(pinned) != val_buckets:
+        raise ValueError(
+            f"index at {path} was written with val_buckets={pinned}, "
+            f"append requested {val_buckets}"
+        )
     (
         keys.withColumn("vb", F.pmod(F.col("val"), F.lit(val_buckets)))
         .repartition("band", "vb")
@@ -730,13 +747,15 @@ def append_band_key_index(
         .partitionBy("band", "vb")
         .parquet(path)
     )
+    if pinned is None:
+        _fs.write_text_atomic(spark, marker, str(val_buckets))
 
 
 def read_band_keys_pruned(
     spark,
     path: str,
     batch_keys: DataFrame,
-    val_buckets: int = 64,
+    val_buckets: int | None = None,
 ) -> DataFrame:
     """Partition-pruned read of an ``append_band_key_index`` index:
     only directories whose (band, vb) appears among the batch's own
@@ -748,7 +767,27 @@ def read_band_keys_pruned(
     For a micro-batch of b docs against an N-doc index this reads
     ~min(b, val_buckets)/val_buckets of each band's data instead of
     all of it — the steady-state streaming case (small batch, huge
-    accumulated corpus) stops paying O(N) I/O per batch."""
+    accumulated corpus) stops paying O(N) I/O per batch.
+
+    ``val_buckets`` defaults to the writer's pinned ``_val_buckets``
+    sidecar; passing a value that disagrees with the sidecar raises
+    (a mismatched bucket scheme would silently prune away matching
+    directories)."""
+    from .. import fs as _fs
+
+    marker = f"{path}/_val_buckets"
+    pinned = _fs.read_text(spark, marker) if _fs.exists(spark, marker) else None
+    if pinned is not None:
+        if val_buckets is not None and int(pinned) != val_buckets:
+            raise ValueError(
+                f"index at {path} was written with val_buckets={pinned}, "
+                f"read requested {val_buckets}"
+            )
+        val_buckets = int(pinned)
+    elif val_buckets is None:
+        raise ValueError(
+            f"index at {path} has no _val_buckets sidecar; pass val_buckets"
+        )
     pairs = (
         batch_keys.select(
             "band", F.pmod(F.col("val"), F.lit(val_buckets)).alias("vb")

@@ -57,9 +57,14 @@ def match_text(field: str, query: str) -> Column:
 
 
 def _py_tokenize(s: str) -> list[str]:
+    """Query-side analyzer — MUST split identically to ``tokenize``'s
+    field side. Java's regex \\W is ASCII-only by default, so Python's
+    must be too (re.ASCII); without it a query containing accented
+    letters tokenizes differently from the field ('naïve' stays whole
+    here but splits to 'na','ve' in the scan) and can never match."""
     import re
 
-    return [t for t in re.split(r"\W+", s.lower()) if t]
+    return [t for t in re.split(r"\W+", s.lower(), flags=re.ASCII) if t]
 
 
 def match_phrase(field: str, phrase: str) -> Column:

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from .avro_decode import (
     _Reader,
     _decode_value,
+    _read_blocks,
     avro_to_spark_type,
     encode_record,
 )
@@ -39,17 +40,14 @@ _SYNC = bytes(range(16))  # fixed writer sync (any 16 bytes, per spec)
 
 
 def _read_meta_map(r: _Reader) -> dict[str, bytes]:
-    meta: dict[str, bytes] = {}
-    while True:
-        n = r.read_long()
-        if n == 0:
-            return meta
-        if n < 0:
-            n = -n
-            r.read_long()  # block byte size
-        for _ in range(n):
-            k = r.read(r.read_long()).decode("utf-8")
-            meta[k] = bytes(r.read(r.read_long()))
+    """File-metadata map — the same Avro block-series framing
+    ``_read_blocks`` already implements."""
+
+    def kv():
+        k = r.read(r.read_long()).decode("utf-8")
+        return k, bytes(r.read(r.read_long()))
+
+    return dict(_read_blocks(r, kv))
 
 
 def parse_ocf_header(content: bytes) -> tuple[dict, str, bytes, int]:
@@ -112,10 +110,17 @@ def write_ocf(records: list, schema: dict, codec: str = "null") -> bytes:
     return bytes(out)
 
 
-def _sniff_schema(spark: SparkSession, path: str) -> dict:
-    """Driver-side header sniff of one file: read growing prefixes until
-    the header parses — bounded by the schema text size, never the
-    file size."""
+def _sniff_schema(spark: SparkSession, path: str, glob: str) -> dict:
+    """Driver-side header sniff of one file matching ``glob`` (the SAME
+    filter the binaryFile load applies — a sniff/load mismatch would
+    return a schema for files the scan then skips): read growing
+    prefixes until the header parses — bounded by the schema text
+    size, never the file size. Only truncation errors grow the
+    prefix; structural errors (bad magic, unsupported codec) raise
+    immediately instead of re-reading the file."""
+    import fnmatch
+    import os as _os
+
     import pyarrow.fs as pafs
 
     if "://" in path:
@@ -124,12 +129,14 @@ def _sniff_schema(spark: SparkSession, path: str) -> dict:
         fs, inner = pafs.LocalFileSystem(), path
     sel = pafs.FileSelector(inner, recursive=True)
     try:
-        files = [i.path for i in fs.get_file_info(sel) if i.is_file]
+        infos = [i.path for i in fs.get_file_info(sel) if i.is_file]
     except NotADirectoryError:
-        files = [inner]
-    files = sorted(f for f in files if f.endswith(".avro")) or sorted(files)
+        infos = [inner]
+    files = sorted(
+        f for f in infos if fnmatch.fnmatch(_os.path.basename(f), glob)
+    )
     if not files:
-        raise FileNotFoundError(f"no files under {path}")
+        raise FileNotFoundError(f"no files matching {glob!r} under {path}")
     size = 1 << 16
     with fs.open_input_file(files[0]) as f:
         while True:
@@ -138,30 +145,38 @@ def _sniff_schema(spark: SparkSession, path: str) -> dict:
                 schema, _, _, _ = parse_ocf_header(bytes(buf))
                 return schema
             except ValueError as exc:
-                if "bad magic" in str(exc) or len(buf) < size:
-                    raise
+                if "truncated" not in str(exc) or len(buf) < size:
+                    raise  # structural error, or the whole file is read
             f.seek(0)
             size *= 4
 
 
 def read_avro_ocf(
-    spark: SparkSession, path: str, schema_json: str | None = None
+    spark: SparkSession,
+    path: str,
+    schema_json: str | None = None,
+    glob: str = "*.avro",
 ) -> DataFrame:
-    """Typed DataFrame over a directory (or single file) of .avro OCF
-    files. ``schema_json`` pins the reader schema; when omitted, the
-    first file's header is sniffed driver-side. Decode runs in an
-    Arrow-batched ``mapInPandas`` over the ``binaryFile`` source (one
-    task per file), surfacing typed columns through the same
+    """Typed DataFrame over a directory (or single file) of OCF files
+    matching ``glob`` (pass ``"*"`` for extension-less exports, e.g.
+    Sqoop part-files — the sniff and the scan share the one filter, so
+    a file the sniff would accept is never silently skipped by the
+    load). ``schema_json`` pins the reader schema; when omitted, the
+    first matching file's header is sniffed driver-side. Decode runs
+    in an Arrow-batched ``mapInPandas`` over the ``binaryFile`` source
+    (one task per file), surfacing typed columns through the same
     JSON bridge as ``python_avro_decoder``."""
     import pandas as pd
 
     schema = (
-        json.loads(schema_json) if schema_json else _sniff_schema(spark, path)
+        json.loads(schema_json)
+        if schema_json
+        else _sniff_schema(spark, path, glob)
     )
     spark_type = avro_to_spark_type(schema)
     raw = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.avro")
+        .option("pathGlobFilter", glob)
         .load(path)
         .select("path", "content")
     )

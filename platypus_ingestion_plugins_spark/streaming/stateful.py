@@ -84,26 +84,36 @@ def _session_fn(gap_s: int):
         else:
             start = last = n = None
         closed: list[tuple[int, int, int]] = []
-        if start is not None and ts and start - ts[0] > gap_s:
-            # Allowed-late events older than start - gap_s cannot chain
-            # onto the open session (the batch oracle would put a split
-            # before it): sessionize them among themselves and close
-            # every chain — each old event is > gap_s before start, so
-            # the last old chain is too, and the open session survives
-            # untouched. Without this split, the min() extension below
-            # would bridge a gap the oracle keeps.
-            old = [t for t in ts if start - t > gap_s]
-            ts = [t for t in ts if start - t <= gap_s]
-            o_start = o_last = old[0]
-            o_n = 1
-            for t in old[1:]:
-                if t - o_last > gap_s:
-                    closed.append((o_start, o_last, o_n))
-                    o_start = o_last = t
-                    o_n = 1
-                else:
-                    o_last, o_n = t, o_n + 1
-            closed.append((o_start, o_last, o_n))
+        if start is not None and ts and ts[0] < start:
+            # Allowed-late events older than the open session's start:
+            # chain them onto the session from its start DOWNWARD — an
+            # event joins if it is within gap_s of the session's
+            # current (extended) lower edge, exactly how the batch
+            # engine walks the merged sorted sequence. Classifying
+            # against the FIXED pre-batch start instead would refuse an
+            # event the chain reaches (e.g. gap=10, start=100, late
+            # [85, 92]: 92 joins and extends the edge to 92, then 85
+            # joins via 92 — one batch session 85..last). Events the
+            # chain cannot reach are > gap_s from everything kept, so
+            # they sessionize among themselves and close immediately.
+            below = [t for t in ts if t < start]
+            ts = [t for t in ts if t >= start]
+            i = len(below) - 1
+            while i >= 0 and start - below[i] <= gap_s:
+                start, n = below[i], n + 1
+                i -= 1
+            old = below[: i + 1]  # unreachable: > gap_s below the chain
+            if old:
+                o_start = o_last = old[0]
+                o_n = 1
+                for t in old[1:]:
+                    if t - o_last > gap_s:
+                        closed.append((o_start, o_last, o_n))
+                        o_start = o_last = t
+                        o_n = 1
+                    else:
+                        o_last, o_n = t, o_n + 1
+                closed.append((o_start, o_last, o_n))
         for t in ts:
             if start is None:
                 start, last, n = t, t, 1
@@ -155,12 +165,15 @@ def sessionize_stream(
     to pass. An allowed-late event that lands inside an
     already-emitted session's span therefore starts (or joins) a new
     session instead of amending the emitted one — append mode cannot
-    retract. A late event older than the OPEN session's start by more
-    than ``gap_s`` is NOT merged into it (that would bridge a gap the
-    batch engine keeps): it is sessionized with its fellow old events
-    and closed immediately, which matches the batch split exactly. Exact late-data semantics need the close deferred to the
-    event-time timeout (trading emission latency); for per-batch-
-    ordered replays — the oracle scenario — the two are identical.
+    retract. Late events older than the OPEN session's start are
+    chained onto it from the start downward (each joins if within
+    ``gap_s`` of the session's extended lower edge — the batch
+    engine's walk over the merged sorted sequence); events the chain
+    cannot reach are sessionized among themselves and closed
+    immediately, matching the batch split. Exact late-data semantics
+    need the close deferred to the event-time timeout (trading
+    emission latency); for per-batch-ordered replays — the oracle
+    scenario — the two are identical.
     """
     prepared = stream_df.select(
         F.col(key_col).cast("string").alias("key"),

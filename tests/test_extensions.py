@@ -1095,3 +1095,41 @@ def test_temperature_mix_rates_and_determinism(spark):
     b = {r.doc_id for r in temperature_mix(df.repartition(17), "doc_id", "src",
                                            alpha=0.5, total_fraction=0.3).collect()}
     assert a == b
+
+
+def test_band_key_index_val_buckets_contract(spark, tmp_path):
+    """The (band, vb) index pins val_buckets in a sidecar: a
+    mismatched append or read raises instead of silently scattering /
+    pruning away matches, and a reader with no explicit value adopts
+    the writer's."""
+    idx = str(tmp_path / "idx")
+    keys = spark.createDataFrame(
+        [Row(doc_id=i, band=i % 4, val=i * 17, simhash=i) for i in range(40)]
+    )
+    dedup.append_band_key_index(keys, idx, val_buckets=8)
+    with pytest.raises(ValueError, match="val_buckets=8"):
+        dedup.append_band_key_index(keys, idx, val_buckets=64)
+    with pytest.raises(ValueError, match="val_buckets=8"):
+        dedup.read_band_keys_pruned(spark, idx, keys, val_buckets=64)
+    # sidecar-adopted read sees every appended key
+    got = dedup.read_band_keys_pruned(spark, idx, keys).count()
+    assert got == 40
+
+
+def test_temperature_mix_null_stratum_sampled_not_dropped(spark):
+    """A NULL stratum is a stratum: its rows are sampled at the null
+    group's own rate (null-safe join), not silently dropped."""
+    from platypus_ingestion_plugins_spark.functions.sampling import temperature_mix
+
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise(F.lit(None)).alias("src"),
+    )
+    got = temperature_mix(df, "doc_id", "src", alpha=1.0, total_fraction=0.5)
+    counts = {
+        r.src: r.n
+        for r in got.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # alpha=1 -> every stratum keeps rate 0.5, including the NULL one
+    assert None in counts and 60 < counts[None] < 140, counts
+    assert 60 < counts["a"] < 140, counts

@@ -294,3 +294,25 @@ def test_sessionize_late_event_beyond_gap_splits_session(spark, tmp_path):
     rows = {(r.key, r.session_start, r.session_end, r.n_events) for r in _read_out(spark, out)}
     assert ("a", 100, 100, 1) in rows, rows
     assert not any(r[1] == 50 and r[2] != 55 for r in rows), rows
+
+
+def test_sessionize_late_events_bridge_to_open_session(spark, tmp_path):
+    """The chain case the fixed-start classification got wrong: gap=10,
+    open session (100); late batch [85, 92]. 92 is within gap of 100
+    and extends the edge to 92; 85 is within gap of 92 — the batch
+    engine's merged walk yields ONE session 85..100. No spurious
+    (85,85,1) session may be emitted."""
+    src, ckpt, out = (str(tmp_path / n) for n in ("src", "ckpt", "out"))
+
+    def xf(stream):
+        return sessionize_stream(stream, key_col="k", ts_col="ts", gap_s=10)
+
+    _drop(spark, src, [("a", 100)])
+    _run_stream(spark, src, ckpt, out, xf)
+    _drop(spark, src, [("a", 85), ("a", 92)])
+    _run_stream(spark, src, ckpt, out, xf)
+    _drop(spark, src, [("a", 500)])
+    _run_stream(spark, src, ckpt, out, xf)
+    rows = {(r.key, r.session_start, r.session_end, r.n_events) for r in _read_out(spark, out)}
+    assert ("a", 85, 100, 3) in rows, rows
+    assert not any(r[1] == 85 and r[2] == 85 for r in rows), rows
