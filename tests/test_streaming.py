@@ -755,3 +755,47 @@ def test_avro_ocf_roundtrip_and_spark_read(spark, tmp_path):
     # explicit reader schema takes the sniff out of the path
     df2 = read_avro_ocf(spark, str(d), schema_json=_json.dumps(schema))
     assert df2.count() == 10
+
+
+def test_avro_ocf_property_roundtrip():
+    """Property test: OCF write -> parse round-trips arbitrary record
+    batches bit-exactly under both codecs, including multi-byte UTF-8
+    strings and empty batches."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from platypus_ingestion_plugins_spark.sources.avro_ocf import (
+        parse_ocf,
+        write_ocf,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "v", "type": ["null", "double"]},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+        ],
+    }
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    recs = st.lists(
+        st.fixed_dictionaries(
+            {
+                "i": i64,
+                "s": st.text(max_size=30),
+                "v": st.none() | st.floats(allow_nan=False),
+                "tags": st.lists(st.text(max_size=8), max_size=4),
+            }
+        ),
+        max_size=8,
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(recs, st.sampled_from(["null", "deflate"]))
+    def roundtrip(rs, codec):
+        got_schema, got = parse_ocf(write_ocf(rs, schema, codec))
+        assert got == rs and got_schema == schema
+
+    roundtrip()
