@@ -2345,6 +2345,10 @@ def q_stream_neardup_dedup(spark, sf):
             q.awaitTermination()
 
         run_available()
+        # between-drain index maintenance (the slot the compactor is
+        # designed for): drop 2 reads the compacted index, so the
+        # oracle hash also certifies compaction loses no keys
+        dedup.compact_band_key_index(spark, idx, max_files_per_dir=1)
         docs.filter(F.col("doc_id") > mid).coalesce(4).write.mode("append").parquet(src)
         run_available()
         _keep_until_exit(work, keep=surv)

@@ -751,6 +751,65 @@ def append_band_key_index(
         _fs.write_text_atomic(spark, marker, str(val_buckets))
 
 
+def compact_band_key_index(
+    spark, path: str, max_files_per_dir: int = 4
+) -> list[str]:
+    """Rewrite fragmented (band, vb) index directories to one file
+    each. Every ``append_band_key_index`` adds at most one file per
+    touched directory, so after B micro-batches a hot directory holds
+    up to B files and the pruned read's cost drifts from data size to
+    file count — the same small-file pathology ``ServingTable.compact``
+    handles for serving buckets.
+
+    Run between drains: the swap assumes no concurrent appender or
+    reader on the directories it rewrites (the streaming loop owns the
+    index, so scheduling compaction between ``availableNow`` runs is
+    the natural slot). Per-directory crash discipline: the compacted
+    copy is fully written to ``<dir>.compacting`` first; the swap
+    parks the original at a dot-prefixed sibling before renaming the
+    copy in, and the next call heals either interrupted state (parked
+    original restored, incomplete copy discarded) before compacting
+    further. Dot-prefixed names keep every intermediate state
+    invisible to Spark's partition discovery, so a crash never breaks
+    readers of the rest of the index. Returns the directories
+    rewritten."""
+    from .. import fs as _fs
+
+    compacted: list[str] = []
+    for band_name in sorted(_fs.list_names(spark, path)):
+        if not band_name.startswith("band="):
+            continue
+        band_dir = f"{path}/{band_name}"
+        # heal pass FIRST: a parked original whose vb= dir is missing
+        # would never be visited by the vb= loop below
+        for name in sorted(_fs.list_names(spark, band_dir)):
+            if name.startswith(".precompact-"):
+                orig = f"{band_dir}/{name[len('.precompact-'):]}"
+                if not _fs.exists(spark, orig):
+                    _fs.rename(spark, f"{band_dir}/{name}", orig)  # mid-swap
+                else:
+                    _fs.delete(spark, f"{band_dir}/{name}")  # swap done
+            elif name.startswith(".compacting-"):
+                _fs.delete(spark, f"{band_dir}/{name}")  # incomplete copy
+        for vb_name in sorted(_fs.list_names(spark, band_dir)):
+            if not vb_name.startswith("vb="):
+                continue
+            d = f"{band_dir}/{vb_name}"
+            tmp = f"{band_dir}/.compacting-{vb_name}"
+            parked = f"{band_dir}/.precompact-{vb_name}"
+            files = [
+                n for n in _fs.list_names(spark, d) if n.endswith(".parquet")
+            ]
+            if len(files) <= max_files_per_dir:
+                continue
+            spark.read.parquet(d).coalesce(1).write.mode("overwrite").parquet(tmp)
+            _fs.rename(spark, d, parked)
+            _fs.rename(spark, tmp, d)
+            _fs.delete(spark, parked)
+            compacted.append(d)
+    return compacted
+
+
 def read_band_keys_pruned(
     spark,
     path: str,

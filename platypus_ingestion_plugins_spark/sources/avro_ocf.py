@@ -193,3 +193,52 @@ def read_avro_ocf(
     decoded = raw.mapInPandas(decode, "json string")
     parsed = decoded.select(F.from_json("json", spark_type).alias("r"))
     return parsed.select("r.*")
+
+
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def stream_avro_ocf(
+    spark: SparkSession,
+    path: str,
+    schema_json: str,
+    glob: str = "*.avro",
+    max_files_per_trigger: int = 10,
+) -> DataFrame:
+    """Streaming file-drop ingestion of OCF files: each newly-arrived
+    .avro file is decoded in the micro-batch that discovers it — the
+    file-based twin of the Kafka wire path (drop-directory handoff is
+    how batch producers feed a streaming pipeline when there is no
+    broker). The reader schema must be pinned (``schema_json``): a
+    streaming source cannot sniff, and the schema-evolution story is
+    the per-file header + ``unionByName`` downstream, same as the
+    registry dispatch. Plug the result into ``CdcStreamingPipeline``'s
+    transform/foreachBatch like any decoded stream."""
+    import pandas as pd
+
+    schema = json.loads(schema_json)
+    spark_type = avro_to_spark_type(schema)
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+        .select("content")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, records = parse_ocf(bytes(content))
+                if records:
+                    yield pd.DataFrame(
+                        {"json": [json.dumps(rec) for rec in records]}
+                    )
+
+    decoded = raw.mapInPandas(decode, "json string")
+    return decoded.select(F.from_json("json", spark_type).alias("r")).select(
+        "r.*"
+    )

@@ -799,3 +799,50 @@ def test_avro_ocf_property_roundtrip():
         assert got == rs and got_schema == schema
 
     roundtrip()
+
+
+def test_stream_avro_ocf_file_drops(spark, tmp_path):
+    """Streaming OCF ingestion: files dropped into the directory are
+    decoded in the micro-batch that discovers them — two drops, two
+    availableNow drains, all rows typed in the sink."""
+    import json as _json
+
+    from platypus_ingestion_plugins_spark.sources.avro_ocf import (
+        stream_avro_ocf,
+        write_ocf,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "Ev",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "kind", "type": "string"},
+        ],
+    }
+    src = tmp_path / "drop"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            stream_avro_ocf(spark, str(src), _json.dumps(schema))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    (src / "a.avro").write_bytes(
+        write_ocf([{"id": 1, "kind": "x"}, {"id": 2, "kind": "y"}], schema)
+    )
+    drain()
+    (src / "b.avro").write_bytes(
+        write_ocf([{"id": 3, "kind": "z"}], schema, codec="deflate")
+    )
+    drain()
+    rows = {(r.id, r.kind) for r in spark.read.parquet(out).collect()}
+    assert rows == {(1, "x"), (2, "y"), (3, "z")}
