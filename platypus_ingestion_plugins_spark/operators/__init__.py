@@ -14,3 +14,9 @@ from platypus_ingestion_plugins_spark.operators.sharding import (  # noqa: F401
     sharding_strategy,
     shard_id_from_service_name,
 )
+from platypus_ingestion_plugins_spark.operators.export import (  # noqa: F401
+    shuffle_positions,
+    export_shuffled,
+    pack_bins,
+    materialize_packs,
+)
