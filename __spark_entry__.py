@@ -2330,10 +2330,10 @@ def q_stream_neardup_dedup(spark, sf):
             finally:
                 keys.unpersist()
 
-        def run_available():
+        def run_available(max_files=100):
             stream = (
                 spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 100)
+                .option("maxFilesPerTrigger", max_files)
                 .parquet(src)
             )
             q = (
@@ -2345,10 +2345,10 @@ def q_stream_neardup_dedup(spark, sf):
             q.awaitTermination()
 
         run_available()
-        # between-drain index maintenance (the slot the compactor is
-        # designed for): drop 2 reads the compacted index, so the
-        # oracle hash also certifies compaction loses no keys
-        dedup.compact_band_key_index(spark, idx, max_files_per_dir=1)
+        # index compaction is oracle-certified by its own query
+        # (band_index_compact) — wiring it here would add a third of
+        # the cost to the suite's most expensive entry for coverage a
+        # cheap batch query provides identically
         docs.filter(F.col("doc_id") > mid).coalesce(4).write.mode("append").parquet(src)
         run_available()
         _keep_until_exit(work, keep=surv)
@@ -2397,6 +2397,50 @@ def _keep_until_exit(work: str, keep: str):
         if p != keep:
             shutil.rmtree(p, ignore_errors=True)
     atexit.register(shutil.rmtree, work, ignore_errors=True)
+
+
+def q_band_index_compact(spark, sf):
+    """Band-key index maintenance under the oracle: two appends
+    fragment every (band, vb) directory to two files, compaction
+    rewrites them through the single-job copy-park-swap
+    (dedup.compact_band_key_index), and the read-back must return the
+    corpus's EXACT band-key set — a key lost or duplicated by the
+    rewrite breaks the value hash. Crash-heal and threshold behavior
+    are unit-covered (test_band_key_index_compaction_and_crash_heal)."""
+    import shutil
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    keys = dedup.simhash_band_keys(docs, "text", "doc_id", bits=32, bands=4)
+
+    work = _stream_scratch("band_idx_")
+    idx = os.path.join(work, "index")
+    try:
+        # val_buckets=4 (16 dirs): the certification targets the
+        # rewrite+swap, not directory count — fewer dirs, fewer tiny
+        # files and swap round-trips at sandbox scale
+        dedup.append_band_key_index(
+            keys.filter(F.col("doc_id") <= mid), idx, val_buckets=4
+        )
+        dedup.append_band_key_index(
+            keys.filter(F.col("doc_id") > mid), idx, val_buckets=4
+        )
+        if not dedup.compact_band_key_index(spark, idx, max_files_per_dir=1):
+            # a no-op means the query stopped exercising compaction
+            raise RuntimeError("band-key index compaction found nothing")
+        _keep_until_exit(work, keep=idx)
+        return spark.read.parquet(idx).select("doc_id", "simhash", "band", "val")
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+
+
+SQL_BAND_INDEX_COMPACT = f"""
+WITH fp AS ({_simhash_sql(32)}),
+b AS (SELECT unnest([0, 1, 2, 3]) AS band)
+SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS val
+FROM fp, b
+"""
 
 
 def q_stream_agg_materialize(spark, sf):
@@ -2598,10 +2642,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      compact+GC under the oracle),
     #   3. the remaining green-in-r06 untouched queries,
     #   4. tail (skipped under a 50-cap, recorded here): the new r7
-    #      queries displace section 3's last nine entries past the cap —
-    #      set_except, tpch_q1, tpch_q3ish, tpch_q5ish, tpch_q6ish,
-    #      join_segment_revenue, sliding_counts, event_gaps, percentiles
-    #      (all r06-green, untouched) — plus
+    #      queries displace section 3's last ten entries past the cap —
+    #      semi_join, set_except, tpch_q1, tpch_q3ish, tpch_q5ish,
+    #      tpch_q6ish, join_segment_revenue, sliding_counts, event_gaps,
+    #      percentiles (all r06-green, untouched) — plus
     #      window_topk_per_group, heavy_hitters_sketch, dedup_exact,
     #      dedup_ngram_jaccard, dedup_minhash_lsh, dedup_simhash,
     #      simhash_neardup, dedup_groups, jaccard_join, salted_join_agg,
@@ -2651,6 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_phrase": q_fulltext_phrase,
         "term_prefix": q_term_prefix,
         "temperature_mix": q_temperature_mix,
+        "band_index_compact": q_band_index_compact,
         "hit_count": q_hit_count,
         "multivalued_contains": q_multivalued_contains,
         # 3. r06-green, untouched
@@ -2719,6 +2764,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_phrase": SQL_FULLTEXT_PHRASE,
         "term_prefix": SQL_TERM_PREFIX,
         "temperature_mix": SQL_TEMPERATURE_MIX,
+        "band_index_compact": SQL_BAND_INDEX_COMPACT,
         "hit_count": SQL_HIT_COUNT,
         "term_in_set": SQL_TERM_IN_SET,
         "multivalued_contains": SQL_MULTIVALUED_CONTAINS,

@@ -764,49 +764,72 @@ def compact_band_key_index(
     Run between drains: the swap assumes no concurrent appender or
     reader on the directories it rewrites (the streaming loop owns the
     index, so scheduling compaction between ``availableNow`` runs is
-    the natural slot). Per-directory crash discipline: the compacted
-    copy is fully written to ``<dir>.compacting`` first; the swap
-    parks the original at a dot-prefixed sibling before renaming the
-    copy in, and the next call heals either interrupted state (parked
-    original restored, incomplete copy discarded) before compacting
-    further. Dot-prefixed names keep every intermediate state
-    invisible to Spark's partition discovery, so a crash never breaks
-    readers of the rest of the index. Returns the directories
-    rewritten."""
+    the natural slot). All oversized directories are rewritten in ONE
+    Spark job (partition-pruned read of just those dirs, one shuffle
+    task per dir — the same single-pass shape as
+    ``ServingTable.compact``), staged under a dot-prefixed dir, then
+    swapped per-directory: park the original at a dot-prefixed
+    sibling, rename the staged copy in, drop the park. Renames are
+    checked (``fs._rename_or_raise`` — Hadoop rename reports failure
+    by returning false; proceeding would destroy the parked original),
+    and the next call heals any interrupted state (parked original
+    restored, stale staging discarded) before compacting further.
+    Dot-prefixed names keep every intermediate state invisible to
+    Spark's partition discovery, so a crash never breaks readers of
+    the rest of the index. Returns the directories rewritten."""
     from .. import fs as _fs
 
-    compacted: list[str] = []
+    staging = f"{path}/.compact_staging"
+    oversized: list[tuple[int, int]] = []
     for band_name in sorted(_fs.list_names(spark, path)):
         if not band_name.startswith("band="):
             continue
         band_dir = f"{path}/{band_name}"
         # heal pass FIRST: a parked original whose vb= dir is missing
-        # would never be visited by the vb= loop below
+        # would never be visited by the vb= scan below
         for name in sorted(_fs.list_names(spark, band_dir)):
             if name.startswith(".precompact-"):
                 orig = f"{band_dir}/{name[len('.precompact-'):]}"
                 if not _fs.exists(spark, orig):
-                    _fs.rename(spark, f"{band_dir}/{name}", orig)  # mid-swap
+                    _fs._rename_or_raise(spark, f"{band_dir}/{name}", orig)
                 else:
                     _fs.delete(spark, f"{band_dir}/{name}")  # swap done
-            elif name.startswith(".compacting-"):
-                _fs.delete(spark, f"{band_dir}/{name}")  # incomplete copy
         for vb_name in sorted(_fs.list_names(spark, band_dir)):
             if not vb_name.startswith("vb="):
                 continue
-            d = f"{band_dir}/{vb_name}"
-            tmp = f"{band_dir}/.compacting-{vb_name}"
-            parked = f"{band_dir}/.precompact-{vb_name}"
             files = [
-                n for n in _fs.list_names(spark, d) if n.endswith(".parquet")
+                n
+                for n in _fs.list_names(spark, f"{band_dir}/{vb_name}")
+                if n.endswith(".parquet")
             ]
-            if len(files) <= max_files_per_dir:
-                continue
-            spark.read.parquet(d).coalesce(1).write.mode("overwrite").parquet(tmp)
-            _fs.rename(spark, d, parked)
-            _fs.rename(spark, tmp, d)
-            _fs.delete(spark, parked)
-            compacted.append(d)
+            if len(files) > max_files_per_dir:
+                oversized.append(
+                    (int(band_name.split("=", 1)[1]), int(vb_name.split("=", 1)[1]))
+                )
+    _fs.delete(spark, staging)  # stale staging from a crash
+    if not oversized:
+        return []
+    pred = None
+    for band, vb in oversized:
+        c = (F.col("band") == band) & (F.col("vb") == vb)
+        pred = c if pred is None else pred | c
+    (
+        spark.read.parquet(path)
+        .filter(pred)  # partition-pruned: only the oversized dirs
+        .repartition(len(oversized), "band", "vb")
+        .write.partitionBy("band", "vb")
+        .parquet(staging)
+    )
+    compacted: list[str] = []
+    for band, vb in oversized:
+        d = f"{path}/band={band}/vb={vb}"
+        staged = f"{staging}/band={band}/vb={vb}"
+        parked = f"{path}/band={band}/.precompact-vb={vb}"
+        _fs._rename_or_raise(spark, d, parked)
+        _fs._rename_or_raise(spark, staged, d)
+        _fs.delete(spark, parked)
+        compacted.append(d)
+    _fs.delete(spark, staging)
     return compacted
 
 

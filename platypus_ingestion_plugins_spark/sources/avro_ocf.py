@@ -166,22 +166,28 @@ def read_avro_ocf(
     in an Arrow-batched ``mapInPandas`` over the ``binaryFile`` source
     (one task per file), surfacing typed columns through the same
     JSON bridge as ``python_avro_decoder``."""
-    import pandas as pd
-
     schema = (
         json.loads(schema_json)
         if schema_json
         else _sniff_schema(spark, path, glob)
     )
-    spark_type = avro_to_spark_type(schema)
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
-        .select("path", "content")
+        .select("content")
     )
+    return _decode_to_typed(raw, avro_to_spark_type(schema))
+
+
+def _decode_to_typed(raw: DataFrame, spark_type) -> DataFrame:
+    """content-binary frame -> typed rows: per-file parse_ocf in an
+    Arrow-batched mapInPandas, JSON bridge, JVM-side from_json — the
+    one decode tail both the batch and streaming readers share."""
 
     def decode(batches):
+        import pandas as pd
+
         for pdf in batches:
             for content in pdf["content"]:
                 _, records = parse_ocf(bytes(content))
@@ -191,8 +197,9 @@ def read_avro_ocf(
                     )
 
     decoded = raw.mapInPandas(decode, "json string")
-    parsed = decoded.select(F.from_json("json", spark_type).alias("r"))
-    return parsed.select("r.*")
+    return decoded.select(F.from_json("json", spark_type).alias("r")).select(
+        "r.*"
+    )
 
 
 _BINARY_FILE_SCHEMA = (
@@ -216,10 +223,7 @@ def stream_avro_ocf(
     the per-file header + ``unionByName`` downstream, same as the
     registry dispatch. Plug the result into ``CdcStreamingPipeline``'s
     transform/foreachBatch like any decoded stream."""
-    import pandas as pd
-
     schema = json.loads(schema_json)
-    spark_type = avro_to_spark_type(schema)
     raw = (
         spark.readStream.format("binaryFile")
         .schema(_BINARY_FILE_SCHEMA)
@@ -228,17 +232,4 @@ def stream_avro_ocf(
         .load(path)
         .select("content")
     )
-
-    def decode(batches):
-        for pdf in batches:
-            for content in pdf["content"]:
-                _, records = parse_ocf(bytes(content))
-                if records:
-                    yield pd.DataFrame(
-                        {"json": [json.dumps(rec) for rec in records]}
-                    )
-
-    decoded = raw.mapInPandas(decode, "json string")
-    return decoded.select(F.from_json("json", spark_type).alias("r")).select(
-        "r.*"
-    )
+    return _decode_to_typed(raw, avro_to_spark_type(schema))
