@@ -2330,10 +2330,10 @@ def q_stream_neardup_dedup(spark, sf):
             finally:
                 keys.unpersist()
 
-        def run_available(max_files=100):
+        def run_available():
             stream = (
                 spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", max_files)
+                .option("maxFilesPerTrigger", 100)
                 .parquet(src)
             )
             q = (
@@ -2415,6 +2415,11 @@ def q_band_index_compact(spark, sf):
 
     work = _stream_scratch("band_idx_")
     idx = os.path.join(work, "index")
+    # 8 shuffle partitions: repartition("band","vb") has at most 16
+    # groups here — the session default would schedule empty tasks
+    # (same sizing rationale as the sibling streaming index queries)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         # val_buckets=4 (16 dirs): the certification targets the
         # rewrite+swap, not directory count — fewer dirs, fewer tiny
@@ -2433,6 +2438,8 @@ def q_band_index_compact(spark, sf):
     except BaseException:
         shutil.rmtree(work, ignore_errors=True)
         raise
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 SQL_BAND_INDEX_COMPACT = f"""

@@ -794,6 +794,10 @@ def compact_band_key_index(
                     _fs._rename_or_raise(spark, f"{band_dir}/{name}", orig)
                 else:
                     _fs.delete(spark, f"{band_dir}/{name}")  # swap done
+            elif name.startswith(".compacting-"):
+                # stale per-dir staged copy from the pre-single-job
+                # algorithm's crashes — never referenced again
+                _fs.delete(spark, f"{band_dir}/{name}")
         for vb_name in sorted(_fs.list_names(spark, band_dir)):
             if not vb_name.startswith("vb="):
                 continue

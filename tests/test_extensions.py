@@ -1171,12 +1171,32 @@ def test_band_key_index_compaction_and_crash_heal(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(idx).collect()} == before
     assert dedup.compact_band_key_index(spark, idx, max_files_per_dir=1) == []
 
+    # the PRUNED read path over the compacted layout: probing with the
+    # full key set must see every key (a rewrite that broke the
+    # (band, vb) directory scheme would prune matches away here while
+    # the flat read above still passed)
+    pruned = {
+        r.doc_id for r in dedup.read_band_keys_pruned(spark, idx, mk(0, 60)).collect()
+    }
+    assert pruned == before
+    # post-compaction appends land in the same scheme and stay visible
+    dedup.append_band_key_index(mk(60, 70), idx, val_buckets=4)
+    after_append = {
+        r.doc_id for r in dedup.read_band_keys_pruned(spark, idx, mk(0, 70)).collect()
+    }
+    assert after_append == before | set(range(60, 70))
+
     # simulate a crash between the two swap renames
     band0 = f"{idx}/band=0"
     victim = sorted(v for v in os.listdir(band0) if v.startswith("vb="))[0]
     os.rename(f"{band0}/{victim}", f"{band0}/.precompact-{victim}")
+    # and a stale staged copy from the legacy per-dir algorithm
+    os.makedirs(f"{band0}/.compacting-{victim}", exist_ok=True)
     # dot-prefixed park is invisible: the index still reads (minus the
     # parked dir) without partition-discovery errors
     spark.read.parquet(idx).count()
     dedup.compact_band_key_index(spark, idx, max_files_per_dir=1)
-    assert {r.doc_id for r in spark.read.parquet(idx).collect()} == before
+    assert not os.path.exists(f"{band0}/.compacting-{victim}")  # healed away
+    assert {r.doc_id for r in spark.read.parquet(idx).collect()} == before | set(
+        range(60, 70)
+    )
