@@ -239,8 +239,14 @@ def winnow_fingerprints(
     Gram hashing is a numpy-VECTORIZED dual Karp-Rabin polynomial
     hash (two independent 31-bit Horner chains, combined into one
     62-bit value): k fused array ops per document per chain instead
-    of one hashlib.md5 call per character of corpus — the md5 loop
-    this replaces was the map pass's dominant CPU cost at scale. The
+    of one hashlib.md5 call per character of corpus. Isolated timing
+    on the sf0.1 document corpus (avg 297 chars/doc): 0.53 s vs
+    0.84 s per 2k docs single-threaded against the md5 loop — a real
+    but modest win at this doc length (per-call numpy overhead eats
+    part of it; the gap widens with doc length, where the md5 loop is
+    O(len) hashlib calls). The r7 bench regression attributed to this
+    rewrite was actually the self-join's double UDF evaluation — see
+    winnow_overlap_pairs, fixed with a localCheckpoint. The
     dual chain keeps corpus-level collision odds negligible (~2^-62
     per pair; a single 31-bit hash collides by birthday at ~50k
     distinct grams), and the modular arithmetic is plain BIGINT math,
@@ -312,15 +318,24 @@ def winnow_overlap_pairs(
     corpus-wide template fps get dropped by a broadcast anti-join
     before the self-join. Output: (id_a, id_b, n_shared), id_a < id_b.
     """
+    # localCheckpoint BEFORE the self-join (and before the hot-key
+    # cap, which itself references the frame twice): the fingerprint
+    # UDF runs exactly ONCE, and every downstream reference reads the
+    # materialized (id, fp) blocks — two longs per row, spillable
+    # (MEMORY_AND_DISK), ~1/w the density of the corpus grams, so the
+    # footprint stays modest even at corpus scale. Measured at sf0.1
+    # (5k docs, 306k fps, min-of-2 in one session): checkpointed
+    # overlap 1.62 s vs per-side recompute 2.32 s — the r7 claim that
+    # recompute beat the cut was wrong once the UDF's real cost was
+    # isolated, and was the main cause of the r7 winnow_overlap bench
+    # regression (1.94 s -> 3.78 s). At 100 TB a repeated-overlap
+    # workload still materializes the fingerprint index to parquet
+    # once instead of re-fingerprinting per run.
     fps = cap_shingle_df(
-        winnow_fingerprints(df, text_col, id_col, k, w), max_fp_df, key_col="fp"
+        winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint(eager=False),
+        max_fp_df,
+        key_col="fp",
     )
-    # The self-join references fps on both sides, so the fingerprint
-    # UDF runs once per reference — measured FASTER than cutting the
-    # plan with a localCheckpoint (materialization + lost pipelining
-    # cost more than the vectorized recompute). At 100 TB a
-    # repeated-overlap workload materializes the fingerprint index to
-    # parquet once instead.
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     return (
@@ -725,11 +740,17 @@ def append_band_key_index(
     batch size; compact by rewriting a directory when it fragments.
 
     ``val_buckets`` is part of the index's on-disk layout, so it is
-    pinned in a ``_val_buckets`` sidecar on first append: a later
-    append with a different value would scatter the same val across
-    two bucket schemes and a mismatched reader would prune away
+    pinned in a ``_val_buckets`` sidecar BEFORE the first data write:
+    a later append with a different value would scatter the same val
+    across two bucket schemes and a mismatched reader would prune away
     directories holding genuine matches — both now fail loudly
-    instead."""
+    instead. Pin-before-data means any index that holds data is always
+    pinned; the old pin-after-data order left a crash window (data
+    written, no sidecar) in which a later append or read with a
+    different ``val_buckets`` would proceed silently into exactly the
+    mixed-scheme corruption the sidecar exists to prevent. The pin is
+    also re-asserted on every append when absent, healing indexes
+    created inside that window by older writers."""
     from .. import fs as _fs
 
     spark = keys.sparkSession
@@ -740,6 +761,8 @@ def append_band_key_index(
             f"index at {path} was written with val_buckets={pinned}, "
             f"append requested {val_buckets}"
         )
+    if pinned is None:
+        _fs.write_text_atomic(spark, marker, str(val_buckets))
     (
         keys.withColumn("vb", F.pmod(F.col("val"), F.lit(val_buckets)))
         .repartition("band", "vb")
@@ -747,8 +770,6 @@ def append_band_key_index(
         .partitionBy("band", "vb")
         .parquet(path)
     )
-    if pinned is None:
-        _fs.write_text_atomic(spark, marker, str(val_buckets))
 
 
 def compact_band_key_index(
@@ -772,8 +793,15 @@ def compact_band_key_index(
     sibling, rename the staged copy in, drop the park. Renames are
     checked (``fs._rename_or_raise`` — Hadoop rename reports failure
     by returning false; proceeding would destroy the parked original),
-    and the next call heals any interrupted state (parked original
-    restored, stale staging discarded) before compacting further.
+    and the next call heals any interrupted state before compacting
+    further: a parked original whose vb= dir is missing is restored by
+    rename; one whose vb= dir EXISTS is merged file-by-file into it
+    (never deleted outright — the live dir may be a post-crash append
+    recreation holding only new rows, so dropping the park would lose
+    every pre-crash key); stale staging is discarded. The merge can
+    re-add rows a completed swap already compacted — duplicate keys
+    are semantically idempotent here and the next compaction's
+    dropDuplicates absorbs them.
     Dot-prefixed names keep every intermediate state invisible to
     Spark's partition discovery, so a crash never breaks readers of
     the rest of the index. Returns the directories rewritten."""
@@ -789,11 +817,34 @@ def compact_band_key_index(
         # would never be visited by the vb= scan below
         for name in sorted(_fs.list_names(spark, band_dir)):
             if name.startswith(".precompact-"):
+                parked_dir = f"{band_dir}/{name}"
                 orig = f"{band_dir}/{name[len('.precompact-'):]}"
                 if not _fs.exists(spark, orig):
-                    _fs._rename_or_raise(spark, f"{band_dir}/{name}", orig)
+                    _fs._rename_or_raise(spark, parked_dir, orig)
                 else:
-                    _fs.delete(spark, f"{band_dir}/{name}")  # swap done
+                    # A live vb= dir beside a park does NOT prove the
+                    # swap finished: a crash between park and
+                    # swap-in, followed by a streaming append, would
+                    # RECREATE the vb= dir holding only post-crash
+                    # rows — deleting the park then would silently
+                    # drop every pre-crash key and re-admit their
+                    # near-duplicates. The index tolerates duplicate
+                    # keys (appends are replay-idempotent), so the
+                    # always-safe heal is to MERGE: move the park's
+                    # parquet files into the live dir and delete the
+                    # park only once it holds no data. If the swap
+                    # did finish, the staged dir was already deleted
+                    # and the park holds the only copy of its rows —
+                    # merging re-adds rows the compacted file already
+                    # has, which dedup semantics absorb.
+                    for f_name in sorted(_fs.list_names(spark, parked_dir)):
+                        if not f_name.endswith(".parquet"):
+                            continue  # checksum sidecars die with the park
+                        dst = f"{orig}/{f_name}"
+                        if _fs.exists(spark, dst):
+                            dst = f"{orig}/healed-{f_name}"
+                        _fs._rename_or_raise(spark, f"{parked_dir}/{f_name}", dst)
+                    _fs.delete(spark, parked_dir)
             elif name.startswith(".compacting-"):
                 # stale per-dir staged copy from the pre-single-job
                 # algorithm's crashes — never referenced again
@@ -820,6 +871,11 @@ def compact_band_key_index(
     (
         spark.read.parquet(path)
         .filter(pred)  # partition-pruned: only the oversized dirs
+        # the index is a SET (appends are replay-idempotent, the
+        # crash-heal merges parked files back in): compaction is the
+        # place duplicate keys from replays/heals get absorbed, and
+        # the distinct rides the same shuffle the rewrite needs anyway
+        .dropDuplicates()
         .repartition(len(oversized), "band", "vb")
         .write.partitionBy("band", "vb")
         .parquet(staging)

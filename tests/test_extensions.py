@@ -1200,3 +1200,37 @@ def test_band_key_index_compaction_and_crash_heal(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(idx).collect()} == before | set(
         range(60, 70)
     )
+
+
+def test_band_key_index_heal_merges_park_into_recreated_dir(spark, tmp_path):
+    """Crash window the r7 heal got wrong: original parked, staged copy
+    never swapped in, and the streaming loop RESUMES AND APPENDS before
+    the next compact — append_band_key_index recreates the missing vb=
+    dir holding only the new batch's rows. A heal that treats 'park and
+    vb= dir both exist' as a completed swap would delete the park and
+    silently drop every pre-crash key for that (band, vb), re-admitting
+    their near-duplicates. The heal must MERGE the park's files in; the
+    park may only vanish once its rows are back in the live dir."""
+    import os
+
+    idx = str(tmp_path / "idx")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [Row(doc_id=i, band=0, val=4, simhash=i) for i in range(lo, hi)]
+    )
+    dedup.append_band_key_index(mk(0, 10), idx, val_buckets=4)
+    band0 = f"{idx}/band=0"
+    (victim,) = [v for v in os.listdir(band0) if v.startswith("vb=")]
+    # crash after parking the original, before the staged swap-in
+    os.rename(f"{band0}/{victim}", f"{band0}/.precompact-{victim}")
+    # streaming loop resumes: the append recreates vb= with new rows only
+    dedup.append_band_key_index(mk(10, 15), idx, val_buckets=4)
+    assert {r.doc_id for r in spark.read.parquet(idx).collect()} == set(range(10, 15))
+    dedup.compact_band_key_index(spark, idx, max_files_per_dir=1000)  # heal only
+    assert not os.path.exists(f"{band0}/.precompact-{victim}")
+    # every pre-crash key survived the heal alongside the new batch
+    assert {r.doc_id for r in spark.read.parquet(idx).collect()} == set(range(15))
+    # and a follow-up compaction absorbs any heal/replay duplicates
+    dedup.append_band_key_index(mk(0, 15), idx, val_buckets=4)  # replay
+    dedup.compact_band_key_index(spark, idx, max_files_per_dir=1)
+    rows = spark.read.parquet(idx).collect()
+    assert len(rows) == 15 and {r.doc_id for r in rows} == set(range(15))
