@@ -79,17 +79,28 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "sum_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "sum_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # BENCH_r07 recorded "parsed": null — the driver's finite tail
+    # capture clipped the FRONT of the (one, long) summary line, so
+    # its JSON parse failed. Defenses: compact separators (~240 chars
+    # on 79 queries — r07 missed the window by ~80), an explicit
+    # flush so the line is never interleaved or buffered-truncated,
+    # and a sidecar file with the identical object so the numbers
+    # survive even if a future 200-query line outgrows the window.
+    line = json.dumps(summary, separators=(",", ":"))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_summary.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout line is still authoritative
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
