@@ -6,12 +6,15 @@ data blocks of (record count, byte size, serialized records, sync).
 Widens the S-column beyond the Kafka wire format: pipelines exchange
 .avro FILES (Sqoop/Flume/warehouse exports), and this container has no
 spark-avro jar, so the pure-Python binary decoder
-(``sources/avro_decode.py``) is reused over Spark's ``binaryFile``
-source. Parallelism is per FILE — one task per .avro file, the right
-grain for the many-file layouts batch exporters write (sub-file block
-splitting by sync-marker scan is a JVM-reader optimization this
-fallback intentionally skips). Codecs: ``null`` and ``deflate``
-(raw zlib, spec §Required Codecs).
+(``sources/avro_decode.py``) is reused. Batch reads are BLOCK-SPLIT:
+the driver fans out (path, start, end) byte ranges and each task
+resynchronizes on the 16-byte sync marker and decodes only its own
+blocks — a multi-GB file reads in parallel with bounded per-task
+memory (the container format is designed for exactly this). The
+streaming reader stays file-grained: ``binaryFile`` discovery hands
+whole newly-arrived files to the micro-batch, the right grain for
+drop-directory ingestion where files are trigger-sized. Codecs:
+``null`` and ``deflate`` (raw zlib, spec §Required Codecs).
 
 Framing errors (bad magic, sync mismatch, truncated block) raise — a
 corrupt FILE is an operational fault, unlike the per-record poison the
@@ -86,10 +89,15 @@ def parse_ocf(content: bytes) -> tuple[dict, list]:
     return schema, records
 
 
-def write_ocf(records: list, schema: dict, codec: str = "null") -> bytes:
-    """Encode records as an OCF byte string (one block) — the fixture/
-    round-trip half, same role as ``confluent_frame`` for the wire
-    format."""
+def write_ocf(
+    records: list, schema: dict, codec: str = "null",
+    records_per_block: int | None = None,
+) -> bytes:
+    """Encode records as an OCF byte string — the fixture/round-trip
+    half, same role as ``confluent_frame`` for the wire format. One
+    block by default; ``records_per_block`` splits into multiple
+    sync-delimited blocks (the layout real exporters write, and what
+    the block-split reader's range tasks divide between themselves)."""
     from .avro_decode import _encode_long
 
     if codec not in ("null", "deflate"):
@@ -102,48 +110,63 @@ def write_ocf(records: list, schema: dict, codec: str = "null") -> bytes:
         out += _encode_long(len(kb)) + kb + _encode_long(len(v)) + v
     out += _encode_long(0)  # end of metadata map
     out += _SYNC
-    body = b"".join(encode_record(rec, schema) for rec in records)
-    if codec == "deflate":
-        comp = zlib.compressobj(wbits=-15)
-        body = comp.compress(body) + comp.flush()
-    out += _encode_long(len(records)) + _encode_long(len(body)) + body + _SYNC
+    step = records_per_block or max(len(records), 1)
+    for i in range(0, max(len(records), 1), step):
+        chunk = records[i : i + step]
+        body = b"".join(encode_record(rec, schema) for rec in chunk)
+        if codec == "deflate":
+            comp = zlib.compressobj(wbits=-15)
+            body = comp.compress(body) + comp.flush()
+        out += _encode_long(len(chunk)) + _encode_long(len(body)) + body + _SYNC
     return bytes(out)
 
 
-def _sniff_schema(spark: SparkSession, path: str, glob: str) -> dict:
-    """Driver-side header sniff of one file matching ``glob`` (the SAME
-    filter the binaryFile load applies — a sniff/load mismatch would
-    return a schema for files the scan then skips): read growing
-    prefixes until the header parses — bounded by the schema text
-    size, never the file size. Only truncation errors grow the
-    prefix; structural errors (bad magic, unsupported codec) raise
-    immediately instead of re-reading the file."""
+def _open_fs(path: str):
+    """(pyarrow FileSystem, fs-local path) for a URI or local path."""
+    import pyarrow.fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def _list_files(path: str, glob: str) -> list[tuple[str, int]]:
+    """Matching (fs-local path, size) pairs under ``path`` — driver
+    metadata listing only, same filter as the binaryFile scan so the
+    sniff, the whole-file load and the block-split load all agree on
+    which files exist."""
     import fnmatch
     import os as _os
 
     import pyarrow.fs as pafs
 
-    if "://" in path:
-        fs, inner = pafs.FileSystem.from_uri(path)
-    else:
-        fs, inner = pafs.LocalFileSystem(), path
+    fs, inner = _open_fs(path)
     sel = pafs.FileSelector(inner, recursive=True)
     try:
-        infos = [i.path for i in fs.get_file_info(sel) if i.is_file]
+        infos = [(i.path, i.size) for i in fs.get_file_info(sel) if i.is_file]
     except NotADirectoryError:
-        infos = [inner]
+        info = fs.get_file_info(inner)
+        infos = [(info.path, info.size)]
     files = sorted(
-        f for f in infos if fnmatch.fnmatch(_os.path.basename(f), glob)
+        (f, sz) for f, sz in infos if fnmatch.fnmatch(_os.path.basename(f), glob)
     )
     if not files:
         raise FileNotFoundError(f"no files matching {glob!r} under {path}")
+    return files
+
+
+def _sniff_header(fs, file_path: str) -> tuple[dict, str, bytes, int]:
+    """(schema, codec, sync, body_offset) from one file's header: read
+    growing prefixes until the header parses — bounded by the schema
+    text size, never the file size. Only truncation errors grow the
+    prefix; structural errors (bad magic, unsupported codec) raise
+    immediately instead of re-reading the file."""
     size = 1 << 16
-    with fs.open_input_file(files[0]) as f:
+    with fs.open_input_file(file_path) as f:
         while True:
             buf = f.read(size)
             try:
-                schema, _, _, _ = parse_ocf_header(bytes(buf))
-                return schema
+                return parse_ocf_header(bytes(buf))
             except ValueError as exc:
                 if "truncated" not in str(exc) or len(buf) < size:
                     raise  # structural error, or the whole file is read
@@ -151,33 +174,229 @@ def _sniff_schema(spark: SparkSession, path: str, glob: str) -> dict:
             size *= 4
 
 
+def _sniff_schema(spark: SparkSession, path: str, glob: str) -> dict:
+    """Driver-side header sniff of the first file matching ``glob``
+    (the SAME filter the load applies — a sniff/load mismatch would
+    return a schema for files the scan then skips)."""
+    fs, _ = _open_fs(path)
+    files = _list_files(path, glob)
+    return _sniff_header(fs, files[0][0])[0]
+
+
+class _RangedBuf:
+    """Grow-on-demand byte window over a pyarrow input file, starting
+    at ``base``: ``get(pos, n)`` returns bytes [pos, pos+n) reading
+    more of the file only as the block chain actually extends — a
+    range task never buffers more than its own blocks (+ one chunk)."""
+
+    CHUNK = 1 << 20
+
+    def __init__(self, f, base: int, file_size: int):
+        self.f, self.base, self.size = f, base, file_size
+        self.buf = bytearray()
+
+    def _extend_to(self, end: int) -> None:
+        need = min(end, self.size) - (self.base + len(self.buf))
+        if need <= 0:
+            return
+        self.f.seek(self.base + len(self.buf))
+        self.buf += self.f.read(max(need, self.CHUNK))
+
+    def get(self, pos: int, n: int) -> bytes:
+        self._extend_to(pos + n)
+        off = pos - self.base
+        out = bytes(self.buf[off : off + n])
+        if len(out) < n:
+            raise ValueError("truncated Avro OCF: block extends past EOF")
+        return out
+
+    def find_sync(self, sync: bytes, start: int, end: int) -> int:
+        """Absolute position of the first ``sync`` occurrence whose
+        FIRST byte lies in [start, end), or -1. Reads ahead past
+        ``end`` only by the marker length (a marker may straddle the
+        range boundary)."""
+        pos = max(start, self.base)
+        while pos < end:
+            window_end = min(pos + self.CHUNK, end) + len(sync)
+            self._extend_to(window_end)
+            hay = self.buf[pos - self.base : window_end - self.base]
+            i = bytes(hay).find(sync)
+            if i >= 0 and pos + i < end:
+                return pos + i
+            pos = min(pos + self.CHUNK, end)
+        return -1
+
+
+def _read_varint_long(buf: _RangedBuf, pos: int) -> tuple[int, int]:
+    """Avro zig-zag long at ``pos`` -> (value, next_pos)."""
+    shift, acc = 0, 0
+    while True:
+        (b,) = buf.get(pos, 1)
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return (acc >> 1) ^ -(acc & 1), pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("malformed Avro varint")
+
+
+def _try_block(buf: _RangedBuf, sync: bytes, block_pos: int):
+    """Parse the block starting at ``block_pos`` (just past a sync):
+    (count, raw_bytes, next_sync_pos) or None if the framing does not
+    validate — the false-positive rejection for a sync pattern that
+    happens to occur inside block DATA."""
+    try:
+        n, p = _read_varint_long(buf, block_pos)
+        nbytes, p = _read_varint_long(buf, p)
+        if n < 0 or nbytes < 0 or p + nbytes + len(sync) > buf.size:
+            return None
+        data = buf.get(p, nbytes)
+        if buf.get(p + nbytes, len(sync)) != sync:
+            return None
+        return n, data, p + nbytes
+    except ValueError:
+        return None
+
+
+def _decode_block_data(n: int, data: bytes, codec: str, schema: dict) -> list:
+    """Decode one block's raw payload to its ``n`` records; raises
+    ValueError (or zlib.error) on anything that isn't a genuine,
+    complete block — the full-strength validator."""
+    if codec == "deflate":
+        data = zlib.decompress(data, -15)
+    br = _Reader(data)
+    out = [_decode_value(br, schema) for _ in range(n)]
+    if br.pos != len(data):
+        raise ValueError("trailing bytes in OCF block")
+    return out
+
+
+def _decode_block_range(fs, file_path: str, start: int, end: int) -> list:
+    """Records of every block OWNED by byte range [start, end) of one
+    OCF file. Ownership rule (each block decoded by exactly one range,
+    no matter how ranges cut the file): a block belongs to the range
+    containing the first byte of the sync marker that PRECEDES it —
+    for the first data block that is the header's own sync, so the
+    range holding the header tail owns it. A task locates its first
+    sync by byte-scan from ``start``, then follows the block chain —
+    possibly past ``end``, since the last owned block may straddle the
+    boundary — exactly the split protocol Avro's container spec
+    enables (the 16-byte marker exists so readers can resynchronize
+    at arbitrary offsets).
+
+    False-resync defense: a scan hit is accepted only if the bytes
+    after it frame as a block (varint count/size ≥ 0, trailing sync
+    in place) AND that block's payload fully DECODES under the file
+    schema — framing alone is spoofable when the marker pattern
+    occurs inside record data (dense in the worst case, e.g. data
+    that embeds the marker bytes; the block-split test constructs
+    exactly this). Blocks reached by following a validated chain are
+    at exact positions, so later decode failures are real corruption
+    and raise instead of resyncing past data loss."""
+    schema, codec, sync, body_off = _sniff_header(fs, file_path)
+    size = fs.get_file_info(file_path).size
+    with fs.open_input_file(file_path) as f:
+        buf = _RangedBuf(f, max(min(start, body_off - len(sync)), 0), size)
+        # candidate syncs can start no earlier than the header's own
+        scan_from = max(start, body_off - len(sync))
+        pos = buf.find_sync(sync, scan_from, min(end, size))
+        first: list | None = None
+        while pos >= 0:
+            blk = _try_block(buf, sync, pos + len(sync))
+            if blk is not None:
+                n, data, _ = blk
+                try:
+                    first = _decode_block_data(n, data, codec, schema)
+                    break
+                except (ValueError, zlib.error):
+                    pass  # framing coincidence inside record data
+            pos = buf.find_sync(sync, pos + 1, min(end, size))
+        if pos < 0:
+            return []  # no block starts in this range
+        records: list = []
+        while True:
+            blk = _try_block(buf, sync, pos + len(sync))
+            if blk is None:
+                raise ValueError(f"OCF block chain broken at {file_path}:{pos}")
+            n, data, next_sync = blk
+            records.extend(
+                first if first is not None
+                else _decode_block_data(n, data, codec, schema)
+            )
+            first = None
+            if next_sync >= end or next_sync + len(sync) >= size:
+                break
+            pos = next_sync
+        return records
+
+
 def read_avro_ocf(
     spark: SparkSession,
     path: str,
     schema_json: str | None = None,
     glob: str = "*.avro",
+    split_size: int = 32 << 20,
 ) -> DataFrame:
     """Typed DataFrame over a directory (or single file) of OCF files
     matching ``glob`` (pass ``"*"`` for extension-less exports, e.g.
     Sqoop part-files — the sniff and the scan share the one filter, so
     a file the sniff would accept is never silently skipped by the
     load). ``schema_json`` pins the reader schema; when omitted, the
-    first matching file's header is sniffed driver-side. Decode runs
-    in an Arrow-batched ``mapInPandas`` over the ``binaryFile`` source
-    (one task per file), surfacing typed columns through the same
-    JSON bridge as ``python_avro_decoder``."""
+    first matching file's header is sniffed driver-side.
+
+    Scale shape: the driver lists (path, size) METADATA only, fans the
+    byte ranges ``[i*split_size, (i+1)*split_size)`` of every file out
+    as rows, and each range task ranged-reads + decodes just its own
+    sync-delimited blocks (``_decode_block_range``). A multi-GB OCF
+    file therefore decodes across size/split_size parallel tasks with
+    bounded per-task memory — the whole-file ``binaryFile`` row this
+    replaces capped file size at the 2 GiB binary-column limit and
+    serialized each file through one task. Records surface through the
+    same Arrow-batched ``mapInPandas`` + JSON bridge + JVM ``from_json``
+    tail as the streaming reader (``_decode_to_typed``)."""
     schema = (
         json.loads(schema_json)
         if schema_json
         else _sniff_schema(spark, path, glob)
     )
-    raw = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", glob)
-        .load(path)
-        .select("content")
+    scheme = path.split("://", 1)[0] + "://" if "://" in path else ""
+    try:
+        files = _list_files(path, glob)
+    except FileNotFoundError:
+        if schema_json is None:
+            raise  # nothing to sniff a schema from either
+        files = []  # pinned schema over an empty export dir: empty frame
+    ranges = [
+        (f, off, min(off + split_size, sz))
+        for f, sz in files
+        for off in range(0, max(sz, 1), split_size)
+    ]
+    if not ranges:
+        return spark.createDataFrame([], avro_to_spark_type(schema))
+    n_slots = min(len(ranges), spark.sparkContext.defaultParallelism)
+    rdf = spark.createDataFrame(
+        ranges, "file string, start long, end long"
+    ).repartition(n_slots)
+
+    def decode(batches):
+        import pandas as pd
+
+        fs_cache: dict = {}
+        for pdf in batches:
+            for file, s, e in zip(pdf["file"], pdf["start"], pdf["end"]):
+                if not fs_cache:
+                    fs_cache["fs"] = _open_fs(scheme + file)[0]
+                records = _decode_block_range(fs_cache["fs"], file, int(s), int(e))
+                if records:
+                    yield pd.DataFrame(
+                        {"json": [json.dumps(rec) for rec in records]}
+                    )
+
+    decoded = rdf.mapInPandas(decode, "json string")
+    return decoded.select(F.from_json("json", avro_to_spark_type(schema)).alias("r")).select(
+        "r.*"
     )
-    return _decode_to_typed(raw, avro_to_spark_type(schema))
 
 
 def _decode_to_typed(raw: DataFrame, spark_type) -> DataFrame:

@@ -757,6 +757,69 @@ def test_avro_ocf_roundtrip_and_spark_read(spark, tmp_path):
     assert df2.count() == 10
 
 
+def test_avro_ocf_block_split_reads(spark, tmp_path):
+    """Block-split OCF reading (VERDICT r7 #2): a multi-block file is
+    decoded by MANY byte-range tasks — each resynchronizes on the sync
+    marker and owns exactly the blocks whose preceding sync starts in
+    its range — and the result is identical to the whole-file parse
+    for every split size, including splits that slice mid-block,
+    mid-header, and mid-sync. One record embeds the sync byte pattern
+    INSIDE string data to prove the scan's framing validation rejects
+    false resync points instead of double-decoding."""
+    import json as _json
+
+    from platypus_ingestion_plugins_spark.sources.avro_ocf import (
+        _SYNC,
+        parse_ocf,
+        read_avro_ocf,
+        write_ocf,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    evil = _SYNC.decode("utf-8")  # bytes 0..15 are valid 1-byte UTF-8
+    recs = [
+        {"id": i, "s": (evil if i % 7 == 3 else f"text-{i}") * 3}
+        for i in range(200)
+    ]
+    d = tmp_path / "avro"
+    d.mkdir()
+    for codec in ("null", "deflate"):
+        blob = write_ocf(recs, schema, codec, records_per_block=17)
+        (d / f"part-{codec}.avro").write_bytes(blob)
+        # sanity: the fixture really is multi-block and the evil bytes
+        # really do appear inside block data
+        assert blob.count(_SYNC) >= 200 // 17 + 1
+        got_schema, got = parse_ocf(blob)
+        assert got == recs
+
+    expect = sorted(
+        (r["id"], r["s"]) for r in recs
+    ) * 2  # both codec files hold the same records
+    expect.sort()
+    file_size = len((d / "part-null.avro").read_bytes())
+    for split in (64, 257, 1000, file_size * 2):
+        df = read_avro_ocf(spark, str(d), split_size=split)
+        got = sorted((r.id, r.s) for r in df.collect())
+        assert got == expect, f"split_size={split}: {len(got)} rows"
+    # the small split genuinely fans one file into many range tasks
+    assert file_size // 257 >= 10
+
+    # explicit reader schema path too
+    assert (
+        read_avro_ocf(
+            spark, str(d), schema_json=_json.dumps(schema), split_size=509
+        ).count()
+        == 400
+    )
+
+
 def test_avro_ocf_property_roundtrip():
     """Property test: OCF write -> parse round-trips arbitrary record
     batches bit-exactly under both codecs, including multi-byte UTF-8
