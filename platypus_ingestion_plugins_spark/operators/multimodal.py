@@ -319,11 +319,18 @@ def gc_blobs(
     sharing the directory look like orphans here. Set ``min_age_s=0``
     only when no writer can be in flight.
 
-    The listing and delete are driver-side: blob files are one per
-    task attempt, so the set is bounded by task count, not data size
-    (at 100 TB with ~10^5 tasks this is a trivial string set; the
-    distinct referenced-path aggregate is the only cluster step).
-    Returns the deleted paths (fs-internal form), sorted."""
+    The listing and delete are driver-side — blob files are one per
+    task attempt, so that set is bounded by task count, not data size.
+    The referenced side stays DISTRIBUTED: pointer basenames (unique
+    ``blob-<uuid>.bin`` per attempt) are semi-joined against the
+    broadcast listing and only the matches are collected — at most
+    one row per LISTED blob, never one per corpus pointer (the r7
+    shape collected the whole distinct referenced-path set, which at
+    extreme scale is millions of strings on the driver). Matching on
+    basename rather than full path also makes URI-spelling aliases
+    safe: a pointer that reaches the same file through a different
+    scheme prefix still protects it. Returns the deleted paths
+    (fs-internal form), sorted."""
     import time
 
     import pyarrow.fs as pafs
@@ -353,24 +360,21 @@ def gc_blobs(
         return []
     from pyspark.sql import functions as F  # local alias for clarity
 
-    base = base_path.rstrip("/")
-
-    def to_inner(p: str) -> str:
-        # pointers under base_path share its fs-internal prefix — map by
-        # string rewrite instead of constructing a FileSystem (an S3
-        # client) per referenced path
-        if p.startswith(base + "/"):
-            return inner + p[len(base) :]
-        return _blob_fs(p)[1]
-
+    spark = df.sparkSession
+    listing = spark.createDataFrame(
+        [(p.rsplit("/", 1)[-1],) for p in blobs], "base string"
+    )
     referenced = {
-        to_inner(r[0])
-        for r in df.select(F.col(f"{ref_col}.path").alias("p"))
+        r.base
+        for r in df.select(
+            F.element_at(F.split(F.col(f"{ref_col}.path"), "/"), -1).alias("base")
+        )
         .where(F.col(f"{ref_col}.path").isNotNull())
+        .join(F.broadcast(listing), "base", "left_semi")
         .distinct()
         .collect()
     }
-    orphans = sorted(blobs - referenced)
+    orphans = sorted(p for p in blobs if p.rsplit("/", 1)[-1] not in referenced)
     for p in orphans:
         fs.delete_file(p)
     return orphans
