@@ -860,6 +860,47 @@ FROM g GROUP BY user_id
 """
 
 
+def q_session_counts(spark, sf):
+    """Per-session rollups on Spark's NATIVE session_window
+    (streaming/windows.session_counts): JVM-side merge state, no
+    Python round trips — the aggregate-only complement to the
+    row-level sessionize paths. 30-min gap per user; each session
+    reports its [first, last+gap) bounds in epoch ms and event count.
+    Events exactly gap apart MERGE (Spark semantics, empirically
+    pinned in the operator docstring); the oracle reproduces that with
+    a lag/cumsum over ms."""
+    from platypus_ingestion_plugins_spark.streaming.windows import session_counts
+
+    ev = _t(spark, sf, "events")
+    df = ev.withColumn("event_time", F.timestamp_millis(_ts_ms(ev)))
+    return session_counts(df, gap="30 minutes", keys=("user_id",)).select(
+        "user_id",
+        F.unix_millis("session.start").alias("session_start_ms"),
+        F.unix_millis("session.end").alias("session_end_ms"),
+        "n_events",
+    )
+
+
+SQL_SESSION_COUNTS = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+m AS (
+  SELECT user_id, ms,
+         CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                   > 1800000 THEN 1 ELSE 0 END AS is_new
+  FROM e),
+s AS (
+  SELECT user_id, ms,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ms
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM m)
+SELECT user_id,
+       min(ms) AS session_start_ms,
+       max(ms) + 1800000 AS session_end_ms,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_range_join(spark, sf):
     """Range/interval join via bucketed blocking (operators/range_join):
     event values matched into half-open [lo, hi) bands derived from
@@ -2680,6 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": q_text_quality_filter,
         "text_stats": q_text_stats,
         # 2. NEW this round + code paths touched this round
+        "session_counts": q_session_counts,
         "decontam_flags": q_decontam_flags,
         "pii_scrub": q_pii_scrub,
         "serving_compact": q_serving_compact,
@@ -2749,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sql = {
+        "session_counts": SQL_SESSION_COUNTS,
         "decontam_flags": SQL_DECONTAM_FLAGS,
         "pii_scrub": SQL_PII_SCRUB,
         "serving_compact": SQL_SERVING_COMPACT,

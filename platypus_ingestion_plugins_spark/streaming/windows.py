@@ -52,3 +52,36 @@ def windowed_counts(
         else F.window(F.col(event_time_col), window_duration)
     )
     return out.groupBy(*keys, win.alias("win")).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def session_counts(
+    df: DataFrame,
+    event_time_col: str = "event_time",
+    gap: str = "30 minutes",
+    keys: tuple[str, ...] = ("user_id",),
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Per-session aggregates on Spark's BUILT-IN ``session_window`` —
+    the preferred path when you only need session-level rollups
+    (count/min/max/sum per session): all merge state lives JVM-side in
+    the streaming state store, with none of the Python-worker round
+    trips or per-key pandas state of ``sessionize_stream``. Two events
+    share a session iff they are on the same keys and at most ``gap``
+    apart — an event exactly ``gap`` after the previous one still
+    MERGES (verified empirically; only a strictly larger silence opens
+    a new session), and the reported window is [first, last+gap). Use
+    ``sessionize_stream`` (streaming, row-level output) or the batch
+    lag/cumsum ``sessionize`` only when every EVENT must carry its
+    session id, e.g. to join session labels back onto the rows.
+
+    Works identically in batch (oracle-checkable) and streaming; with
+    ``watermark_delay`` set on a stream, sessions finalize in append
+    mode once the watermark passes their close. One shuffle on
+    (keys, merged window); state bounded by open sessions per key.
+    Output: keys + ``session`` struct<start,end> + ``n_events``."""
+    out = df
+    if watermark_delay:
+        out = out.withWatermark(event_time_col, watermark_delay)
+    return out.groupBy(
+        *keys, F.session_window(F.col(event_time_col), gap).alias("session")
+    ).agg(F.count(F.lit(1)).alias("n_events"))

@@ -79,6 +79,49 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert final[20] == 1, "the [20,30) window must not contain the late row"
 
 
+def test_session_counts_native_window_streaming(spark, tmp_path):
+    """The built-in session_window variant (streaming/windows.
+    session_counts): JVM-side merge state across micro-batches in
+    append mode — a session left open by batch 1 is EXTENDED by a
+    batch-2 event within the gap, and finalizes only once the
+    watermark passes its close. Complement to sessionize_stream's
+    row-level output; same gap semantics (exactly-gap merges)."""
+    from platypus_ingestion_plugins_spark.streaming.windows import (
+        session_counts,
+        with_event_time,
+    )
+
+    src, ckpt, out = (str(tmp_path / n) for n in ("src", "ckpt", "out"))
+
+    def xf(stream):
+        return session_counts(
+            with_event_time(stream, "ts"),
+            gap="10 seconds",
+            keys=("k",),
+            watermark_delay="0 seconds",
+        ).select(
+            "k",
+            F.unix_seconds("session.start").alias("s_start"),
+            F.unix_seconds("session.end").alias("s_end"),
+            "n_events",
+        )
+
+    # batch 1: a@1,a@5 open one session; b@100 drives the watermark to
+    # 100, so a's [1, 15) finalizes in THIS batch; b's own stays open
+    _drop(spark, src, [("a", 1), ("a", 5), ("b", 100)])
+    _run_stream(spark, src, ckpt, out, xf)
+    rows = {(r.k, r.s_start, r.s_end, r.n_events) for r in _read_out(spark, out)}
+    assert ("a", 1, 15, 2) in rows, rows
+    assert not any(r[0] == "b" for r in rows)
+
+    # batch 2: b@110 is EXACTLY gap after b@100 -> merges (state carried
+    # through the checkpoint); a@300 advances the watermark past its end
+    _drop(spark, src, [("b", 110), ("a", 300)])
+    _run_stream(spark, src, ckpt, out, xf)
+    rows = {(r.k, r.s_start, r.s_end, r.n_events) for r in _read_out(spark, out)}
+    assert ("b", 100, 120, 2) in rows, rows
+
+
 def test_sessionize_stream_state_spans_batches(spark, tmp_path):
     """A session open at the end of batch 1 is closed by a batch-2 event
     after the gap — state carried through the checkpointed state store."""
