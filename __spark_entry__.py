@@ -2678,84 +2678,20 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the least-recently-driver-verified queries come FIRST
     # (the driver caps each round's oracle sweep at 50 entries, so dict
-    # order IS verification priority — r7 rotation):
-    #   1. the 17 queries cap-skipped in CORRECTNESS_r06 (all r04-green,
-    #      and stateful-sessionize's operator file changed this round),
-    #   2. queries NEW this round (decontam_flags, pii_scrub,
-    #      serving_compact, unigram_logprob, shuffle_shards, pack_bins,
-    #      pack_texts, fulltext_bm25, fulltext_phrase, term_prefix,
-    #      temperature_mix) and queries whose code paths changed THIS
-    #      round (winnowing hash, streaming near-dup index layout,
-    #      sessionize late-event split, serving search order contract,
-    #      compact+GC under the oracle),
-    #   3. the remaining green-in-r06 untouched queries,
-    #   4. tail (skipped under a 50-cap, recorded here): the new r7
-    #      queries displace section 3's last ten entries past the cap —
-    #      semi_join, set_except, tpch_q1, tpch_q3ish, tpch_q5ish,
-    #      tpch_q6ish, join_segment_revenue, sliding_counts, event_gaps,
-    #      percentiles (all r06-green, untouched) — plus
-    #      window_topk_per_group, heavy_hitters_sketch, dedup_exact,
-    #      dedup_ngram_jaccard, dedup_minhash_lsh, dedup_simhash,
-    #      simhash_neardup, dedup_groups, jaccard_join, salted_join_agg,
-    #      distinct_sketch, repetition_stats, embedding_neardup,
-    #      embedding_dedup_groups, knn_join, similarity_topk,
-    #      similarity_ann, similarity_quantized, similarity_ivf — all
-    #      green in CORRECTNESS_r06 with operator code untouched since.
+    # order IS verification priority — r8 rotation, VERDICT r7 task #4):
+    #   1. the 29 queries cap-skipped in CORRECTNESS_r07 (all r06-green,
+    #      now two rounds stale — the verdict's explicit lead list),
+    #   2. queries NEW this round (session_counts) or whose code paths
+    #      changed this round: dedup.py (winnow single-eval checkpoint,
+    #      band-index pin-before-data + heal-merge + compaction dedup)
+    #      -> winnow_overlap, band_index_compact, stream_neardup_dedup,
+    #      dedup/simhash/jaccard family already in section 1;
+    #      multimodal.py (gc_blobs semi-join) -> multimodal_external_meta,
+    #   3. the remaining r07-green untouched queries — the driver's cap
+    #      lands partway through this section; everything below the cap
+    #      was verified green in r07 with operator code untouched since.
     return {
-        # 1. cap-skipped in r06 (r04-green, least recently verified)
-        "asof_join": q_asof_join,
-        "cube_agg": q_cube_agg,
-        "dataset_split": q_dataset_split,
-        "hourly_agg": q_hourly_agg,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_resize": q_multimodal_resize,
-        "pivot_event_counts": q_pivot_event_counts,
-        "range_join_bands": q_range_join,
-        "sessionize": q_sessionize,
-        "sink_array_json": q_sink_array_json,
-        "sink_typed_strings": q_sink_typed_strings,
-        "stratified_sample": q_stratified_sample,
-        "text_language_id": q_text_language_id,
-        "text_quality_filter": q_text_quality_filter,
-        "text_stats": q_text_stats,
-        # 2. NEW this round + code paths touched this round
-        "session_counts": q_session_counts,
-        "decontam_flags": q_decontam_flags,
-        "pii_scrub": q_pii_scrub,
-        "serving_compact": q_serving_compact,
-        "unigram_logprob": q_unigram_logprob,
-        "shuffle_shards": q_shuffle_shards,
-        "pack_bins": q_pack_bins,
-        "pack_texts": q_pack_texts,
-        "winnow_overlap": q_winnow_overlap,
-        "stream_neardup_dedup": q_stream_neardup_dedup,
-        "stream_sessionize": q_stream_sessionize,
-        "multimodal_external_meta": q_multimodal_external_meta,
-        "match_all_topk": q_match_all_topk,
-        "match_all_offset": q_match_all_offset,
-        "term": q_term,
-        "term_in_set": q_term_in_set,
-        "fulltext_match": q_fulltext_match,
-        "fulltext_ranked": q_fulltext_ranked,
-        "fulltext_tfidf": q_fulltext_tfidf,
-        "fulltext_bm25": q_fulltext_bm25,
-        "fulltext_phrase": q_fulltext_phrase,
-        "term_prefix": q_term_prefix,
-        "temperature_mix": q_temperature_mix,
-        "band_index_compact": q_band_index_compact,
-        "hit_count": q_hit_count,
-        "multivalued_contains": q_multivalued_contains,
-        # 3. r06-green, untouched
-        "stream_cdc_materialize": q_stream_cdc_materialize,
-        "stream_dedup_exact": q_stream_dedup_exact,
-        "stream_agg_materialize": q_stream_agg_materialize,
-        "cdc_last_wins": q_cdc_last_wins,
-        "flatten_rename_drop": q_flatten_rename_drop,
-        "shard_modulo": q_shard_modulo,
-        "agg_rollup": q_agg_rollup,
-        "anti_join": q_anti_join,
+        # 1. cap-skipped in r07 (r06-green, least recently verified)
         "semi_join": q_semi_join,
         "set_except": q_set_except,
         "tpch_q1": q_tpch_q1,
@@ -2766,7 +2702,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_counts": q_sliding_counts,
         "event_gaps": q_event_gaps,
         "percentiles": q_percentiles,
-        # 4. tail — r06-green, untouched; skipped under a 50-entry cap
         "window_topk_per_group": q_window_topk_per_group,
         "heavy_hitters_sketch": q_heavy_hitters_sketch,
         "dedup_exact": q_dedup_exact,
@@ -2786,6 +2721,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann": q_similarity_ann,
         "similarity_quantized": q_similarity_quantized,
         "similarity_ivf": q_similarity_ivf,
+        # 2. NEW this round + code paths touched this round
+        "session_counts": q_session_counts,
+        "winnow_overlap": q_winnow_overlap,
+        "band_index_compact": q_band_index_compact,
+        "stream_neardup_dedup": q_stream_neardup_dedup,
+        "multimodal_external_meta": q_multimodal_external_meta,
+        # 3. r07-green, untouched (cap lands partway through)
+        "stream_cdc_materialize": q_stream_cdc_materialize,
+        "stream_dedup_exact": q_stream_dedup_exact,
+        "stream_agg_materialize": q_stream_agg_materialize,
+        "stream_sessionize": q_stream_sessionize,
+        "cdc_last_wins": q_cdc_last_wins,
+        "flatten_rename_drop": q_flatten_rename_drop,
+        "shard_modulo": q_shard_modulo,
+        "agg_rollup": q_agg_rollup,
+        "anti_join": q_anti_join,
+        "serving_compact": q_serving_compact,
+        "decontam_flags": q_decontam_flags,
+        "pii_scrub": q_pii_scrub,
+        "unigram_logprob": q_unigram_logprob,
+        "shuffle_shards": q_shuffle_shards,
+        "pack_bins": q_pack_bins,
+        "pack_texts": q_pack_texts,
+        "temperature_mix": q_temperature_mix,
+        "asof_join": q_asof_join,
+        "cube_agg": q_cube_agg,
+        "dataset_split": q_dataset_split,
+        "hourly_agg": q_hourly_agg,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_resize": q_multimodal_resize,
+        "pivot_event_counts": q_pivot_event_counts,
+        "range_join_bands": q_range_join,
+        "sessionize": q_sessionize,
+        "sink_array_json": q_sink_array_json,
+        "sink_typed_strings": q_sink_typed_strings,
+        "stratified_sample": q_stratified_sample,
+        "text_language_id": q_text_language_id,
+        "text_quality_filter": q_text_quality_filter,
+        "text_stats": q_text_stats,
+        "match_all_topk": q_match_all_topk,
+        "match_all_offset": q_match_all_offset,
+        "term": q_term,
+        "term_in_set": q_term_in_set,
+        "fulltext_match": q_fulltext_match,
+        "fulltext_ranked": q_fulltext_ranked,
+        "fulltext_tfidf": q_fulltext_tfidf,
+        "fulltext_bm25": q_fulltext_bm25,
+        "fulltext_phrase": q_fulltext_phrase,
+        "term_prefix": q_term_prefix,
+        "hit_count": q_hit_count,
+        "multivalued_contains": q_multivalued_contains,
     }
 
 

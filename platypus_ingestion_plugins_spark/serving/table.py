@@ -211,7 +211,17 @@ class ServingTable:
 
         Bucketed tables rewrite only the hash-bucket partitions whose
         keys appear in the changelog; untouched bucket directories are
-        not read, rewritten, or moved."""
+        not read, rewritten, or moved.
+
+        On the bucketed (scale) path the commit log's row count rides
+        the SAME aggregate action that finds the touched buckets — a
+        per-bucket count instead of a distinct — so no dedicated
+        ``changelog.count()`` rescans the source per micro-batch. (An
+        ``observe()`` metric was tried first and DEADLOCKS when
+        apply_batch runs inside ``foreachBatch``: the micro-batch's
+        DataFrame belongs to a cloned SparkSession whose listener bus
+        never delivers the observation, so ``Observation.get`` blocks
+        forever — don't reintroduce it.)"""
         current = self.read()
         if current is None or not self.num_buckets:
             if current is not None and BUCKET_COL in current.columns:
@@ -221,11 +231,15 @@ class ServingTable:
             self._log_commit("batch", changelog.count(), None)
             return
 
-        # buckets touched by this batch: bounded by num_buckets, tiny
-        changed = sorted(
-            r[0]
-            for r in changelog.select(self._bucket_col().alias("b")).distinct().collect()
+        # buckets touched by this batch (bounded by num_buckets, tiny),
+        # and the batch row count off the same single aggregate action
+        per_bucket = (
+            changelog.groupBy(self._bucket_col().alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
         )
+        n_rows = sum(r["n"] for r in per_bucket)
+        changed = sorted(r["b"] for r in per_bucket)
         if not changed:
             return
         if BUCKET_COL in current.columns:
@@ -248,7 +262,7 @@ class ServingTable:
         # read() and a later full rewrite would drop it physically
         self._write_schema(merged.schema)
         self._swap_buckets(changed)
-        self._log_commit("batch", changelog.count(), changed)
+        self._log_commit("batch", n_rows, changed)
 
     def _swap_buckets(self, buckets: list[int]) -> None:
         """Per-bucket swap: old dir aside -> staged dir in -> drop old.
