@@ -901,6 +901,49 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_resample_ffill(spark, sf):
+    """Hourly forward-filled per-user value series
+    (operators/resample.resample_last_ffill): irregular events collapse
+    to last-value-per-hour (deterministic (ts, event_id) tie-break),
+    the dense per-key hour grid comes from one bounded
+    sequence/explode, and gaps carry the previous hour's value — the
+    LOCF resampling a feature pipeline feeds to training joins. The
+    value passes through untouched, so the oracle compare is
+    bit-exact."""
+    from platypus_ingestion_plugins_spark.operators.resample import (
+        resample_last_ffill,
+    )
+
+    ev = _t(spark, sf, "events")
+    return resample_last_ffill(
+        ev, _ts_ms(ev), "value", key_cols=("user_id",),
+        step_ms=3_600_000, tiebreak_col="event_id",
+    )
+
+
+SQL_RESAMPLE_FFILL = """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ms, value, event_id FROM events),
+b AS (
+  SELECT user_id, ms // 3600000 AS bucket, value,
+         row_number() OVER (PARTITION BY user_id, ms // 3600000
+                            ORDER BY ms DESC, event_id DESC) AS rn
+  FROM e),
+lastv AS (SELECT user_id, bucket, value FROM b WHERE rn = 1),
+bounds AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+           FROM lastv GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+         FROM bounds),
+j AS (SELECT g.user_id, g.bucket, l.value
+      FROM grid g LEFT JOIN lastv l USING (user_id, bucket))
+SELECT user_id, bucket,
+       last_value(value IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+FROM j
+"""
+
+
 def q_range_join(spark, sf):
     """Range/interval join via bucketed blocking (operators/range_join):
     event values matched into half-open [lo, hi) bands derived from
@@ -2723,6 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         # 2. NEW this round + code paths touched this round
         "session_counts": q_session_counts,
+        "resample_ffill": q_resample_ffill,
         "winnow_overlap": q_winnow_overlap,
         "band_index_compact": q_band_index_compact,
         "stream_neardup_dedup": q_stream_neardup_dedup,
@@ -2780,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     sql = {
         "session_counts": SQL_SESSION_COUNTS,
+        "resample_ffill": SQL_RESAMPLE_FFILL,
         "decontam_flags": SQL_DECONTAM_FLAGS,
         "pii_scrub": SQL_PII_SCRUB,
         "serving_compact": SQL_SERVING_COMPACT,

@@ -20,3 +20,6 @@ from platypus_ingestion_plugins_spark.operators.export import (  # noqa: F401
     pack_bins,
     materialize_packs,
 )
+from platypus_ingestion_plugins_spark.operators.resample import (  # noqa: F401
+    resample_last_ffill,
+)

@@ -1234,3 +1234,49 @@ def test_band_key_index_heal_merges_park_into_recreated_dir(spark, tmp_path):
     dedup.compact_band_key_index(spark, idx, max_files_per_dir=1)
     rows = spark.read.parquet(idx).collect()
     assert len(rows) == 15 and {r.doc_id for r in rows} == set(range(15))
+
+
+def test_resample_last_ffill_grid_and_tiebreak(spark):
+    """resample_last_ffill: last-per-bucket with (ts, id) tie-break,
+    gaps forward-filled across the dense per-key grid, per-key bounds
+    (no fabricated buckets outside a key's own range), and
+    until_bucket extending every key to a common right edge."""
+    from platypus_ingestion_plugins_spark.operators.resample import (
+        resample_last_ffill,
+    )
+
+    rows = [
+        # key a: buckets 0 (two events, tie on ts -> higher id wins),
+        # gap at 1-2, bucket 3
+        Row(k="a", ms=100, v=1.0, i=1),
+        Row(k="a", ms=100, v=2.0, i=2),   # same ts, larger id -> wins
+        Row(k="a", ms=3_000_500, v=9.0, i=3),   # bucket 3
+        # key b: single bucket 5
+        Row(k="b", ms=5_000_001, v=7.0, i=4),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.k, r.bucket): r.v
+        for r in resample_last_ffill(
+            df, F.col("ms"), "v", key_cols=("k",), step_ms=1_000_000,
+            tiebreak_col="i",
+        ).collect()
+    }
+    assert got == {
+        ("a", 0): 2.0,   # tie-break: id 2 beats id 1 at equal ts
+        ("a", 1): 2.0,   # gap filled forward
+        ("a", 2): 2.0,
+        ("a", 3): 9.0,
+        ("b", 5): 7.0,   # b's grid starts at ITS first bucket
+    }, got
+
+    # common right edge: both keys extended to bucket 7 with LOCF
+    ext = {
+        (r.k, r.bucket): r.v
+        for r in resample_last_ffill(
+            df, F.col("ms"), "v", key_cols=("k",), step_ms=1_000_000,
+            tiebreak_col="i", until_bucket=7,
+        ).collect()
+    }
+    assert ext[("a", 7)] == 9.0 and ext[("b", 7)] == 7.0
+    assert len(ext) == 8 + 3  # a: 0..7, b: 5..7
