@@ -49,6 +49,8 @@ HEADLINE = [
     "pack_texts",
     "fulltext_bm25",
     "temperature_mix",
+    "session_counts",
+    "resample_ffill",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
