@@ -901,6 +901,44 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_tar_roundtrip(spark, sf):
+    """WebDataset-style tar shard export + streaming read-back under
+    the oracle (operators/export.export_tar_shards/read_tar_shards):
+    the corpus lands as deterministic-byte tar shards (one task per
+    shard, permutation order, utf-8 text entries) and the sequential
+    tar reader must reproduce every (doc_id, text) EXACTLY — a sample
+    lost, duplicated, or byte-mangled by the tar framing breaks the
+    value hash against the source table."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.operators.export import (
+        export_tar_shards,
+        read_tar_shards,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    work = _stream_scratch("tar_wds_")
+    out = os.path.join(work, "wds")
+    try:
+        manifest = export_tar_shards(
+            docs, out, "doc_id", {"text": "txt"}, n_shards=8
+        )
+        if len(manifest) != 8:
+            raise RuntimeError(f"expected 8 tar shards, got {len(manifest)}")
+        _keep_until_exit(work, keep=out)
+        return read_tar_shards(spark, out, {"txt": "text"}, key_name="k").select(
+            F.col("k").cast("long").alias("doc_id"), "text"
+        )
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+
+
+SQL_TAR_ROUNDTRIP = """
+SELECT doc_id, text FROM documents
+"""
+
+
 def q_resample_ffill(spark, sf):
     """Hourly forward-filled per-user value series
     (operators/resample.resample_last_ffill): irregular events collapse
@@ -2767,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 2. NEW this round + code paths touched this round
         "session_counts": q_session_counts,
         "resample_ffill": q_resample_ffill,
+        "tar_roundtrip": q_tar_roundtrip,
         "winnow_overlap": q_winnow_overlap,
         "band_index_compact": q_band_index_compact,
         "stream_neardup_dedup": q_stream_neardup_dedup,
@@ -2825,6 +2864,7 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "session_counts": SQL_SESSION_COUNTS,
         "resample_ffill": SQL_RESAMPLE_FFILL,
+        "tar_roundtrip": SQL_TAR_ROUNDTRIP,
         "decontam_flags": SQL_DECONTAM_FLAGS,
         "pii_scrub": SQL_PII_SCRUB,
         "serving_compact": SQL_SERVING_COMPACT,

@@ -19,6 +19,8 @@ from platypus_ingestion_plugins_spark.operators.export import (  # noqa: F401
     export_shuffled,
     pack_bins,
     materialize_packs,
+    export_tar_shards,
+    read_tar_shards,
 )
 from platypus_ingestion_plugins_spark.operators.resample import (  # noqa: F401
     resample_last_ffill,

@@ -165,3 +165,223 @@ def export_shuffled(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(out_path)
+
+
+def _tar_fs(path: str):
+    """(pyarrow FileSystem, fs-local path) — local or URI."""
+    import pyarrow.fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def export_tar_shards(
+    df: DataFrame,
+    out_path: str,
+    key: str,
+    content_cols: dict[str, str],
+    n_shards: int,
+    salt: str = "shuffle",
+) -> list:
+    """Write the corpus as WebDataset-style tar shards —
+    ``out_path/shard-00000.tar`` .. — the sequential-read layout
+    multimodal training loaders stream (one tar per shard; each sample
+    is the group of entries sharing a basename: ``{key}.{ext}`` per
+    ``content_cols`` entry, e.g. ``{"text": "txt", "payload": "bin"}``;
+    string columns land utf-8, binary columns land raw).
+
+    Scale shape: the deterministic shuffle assigns (shard, order) as a
+    codegen projection; ``repartition(n_shards, shard)`` +
+    ``sortWithinPartitions`` is the ONE exchange, putting each shard's
+    rows through a single task in permutation order; the task streams
+    its tar straight to the filesystem (no in-memory tar, no driver
+    data). Pick ``n_shards`` so a shard is loader-sized (hundreds of
+    MB–1 GB) — shard count IS the read parallelism, the WebDataset
+    contract. Tar bytes are deterministic (USTAR, zero mtime/uid/gid,
+    fixed mode), so reruns produce byte-identical shards and the
+    manifest sha256 is stable.
+
+    Runs eagerly (a lazy return re-minting tars per action would be a
+    correctness trap) and returns the manifest rows
+    (shard, path, n_samples, n_bytes, sha256), one per shard.
+    """
+    exts = dict(content_cols)
+    str_cols = {
+        c for c, f in dict(df.dtypes).items() if c in exts and f == "string"
+    }
+    assigned = (
+        shuffle_assign(df, key, n_shards, salt)
+        .select(F.col(key).cast("string").alias("__k"), "shard", ORDER_COL,
+                *exts.keys())
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", ORDER_COL, "__k")
+        .drop(ORDER_COL)
+    )
+    out_schema = (
+        "shard int, path string, n_samples long, n_bytes long, sha256 string"
+    )
+
+    def write_shards(batches):
+        import hashlib
+        import io as _io
+        import tarfile
+
+        import pandas as pd
+
+        fs, inner = _tar_fs(out_path)
+        fs.create_dir(inner, recursive=True)
+
+        state: dict = {}  # open shard -> (tee, tar, counters)
+
+        class _Tee:
+            """File-like that forwards writes to the fs stream while
+            hashing and counting — manifest sha/bytes without
+            buffering the tar."""
+
+            def __init__(self, raw):
+                self.raw, self.h, self.n = raw, hashlib.sha256(), 0
+
+            def write(self, b):
+                self.raw.write(b)
+                self.h.update(b)
+                self.n += len(b)
+                return len(b)
+
+            def tell(self):  # tarfile tracks member offsets
+                return self.n
+
+            def close(self):
+                self.raw.close()
+
+        def close_current():
+            if not state:
+                return None
+            tar, tee, shard, n_samples = (
+                state.pop("tar"), state.pop("tee"),
+                state.pop("shard"), state.pop("n"),
+            )
+            tar.close()
+            tee.close()
+            return (shard, f"{out_path}/shard-{shard:05d}.tar",
+                    n_samples, tee.n, tee.h.hexdigest())
+
+        manifest = []
+        content = list(exts.items())  # (col, ext) in declared order
+        for pdf in batches:
+            # explicit column zip: itertuples would positional-rename
+            # the dunder "__k" column
+            for shard, k, *vals in zip(
+                pdf["shard"], pdf["__k"], *[pdf[c] for c, _ in content]
+            ):
+                shard = int(shard)
+                if state.get("shard") != shard:
+                    done = close_current()
+                    if done:
+                        manifest.append(done)
+                    tee = _Tee(
+                        fs.open_output_stream(
+                            f"{inner}/shard-{shard:05d}.tar"
+                        )
+                    )
+                    state.update(
+                        shard=shard, tee=tee, n=0,
+                        tar=tarfile.open(
+                            fileobj=tee, mode="w",
+                            format=tarfile.USTAR_FORMAT,
+                        ),
+                    )
+                for (col, ext), v in zip(content, vals):
+                    data = (
+                        (v or "").encode("utf-8")
+                        if col in str_cols
+                        else bytes(v or b"")
+                    )
+                    info = tarfile.TarInfo(name=f"{k}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.mode = 0o644
+                    info.uid = info.gid = 0
+                    state["tar"].addfile(info, _io.BytesIO(data))
+                state["n"] += 1
+        done = close_current()
+        if done:
+            manifest.append(done)
+        if manifest:
+            yield pd.DataFrame(
+                manifest,
+                columns=["shard", "path", "n_samples", "n_bytes", "sha256"],
+            )
+
+    # eager: one action executes every write exactly once
+    return assigned.mapInPandas(write_shards, out_schema).collect()
+
+
+def read_tar_shards(
+    spark,
+    path: str,
+    content_cols: dict[str, str],
+    key_name: str = "key",
+    binary_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Stream WebDataset-style tar shards back to rows: one task per
+    tar (shard count = read parallelism, the format's contract), each
+    task reading its tar SEQUENTIALLY in streaming mode (``r|`` — no
+    seeks, no whole-file buffering, object-store friendly). Entries
+    sharing a basename stem form one sample; ``content_cols`` maps
+    extension -> output column (decoded utf-8 unless the column is in
+    ``binary_cols``). Listing is driver-side metadata only."""
+    import pyarrow.fs as pafs
+
+    fs, inner = _tar_fs(path)
+    infos = fs.get_file_info(pafs.FileSelector(inner, recursive=False))
+    tars = sorted(i.path for i in infos if i.is_file and i.path.endswith(".tar"))
+    cols = dict(content_cols)
+    fields = ", ".join(
+        [f"{key_name} string"]
+        + [
+            f"{c} {'binary' if c in binary_cols else 'string'}"
+            for c in cols.values()
+        ]
+    )
+    paths_df = spark.createDataFrame([(p,) for p in tars], "p string").repartition(
+        max(len(tars), 1)
+    )
+
+    def parse(batches):
+        import tarfile
+
+        import pandas as pd
+
+        fs2, _ = _tar_fs(path)
+        for pdf in batches:
+            for p in pdf["p"]:
+                rows: dict[str, dict] = {}
+                order: list[str] = []
+                with fs2.open_input_stream(p) as stream:
+                    with tarfile.open(fileobj=stream, mode="r|") as tar:
+                        for m in tar:
+                            stem, _, ext = m.name.rpartition(".")
+                            if ext not in cols:
+                                continue
+                            data = tar.extractfile(m).read()
+                            if stem not in rows:
+                                rows[stem] = {}
+                                order.append(stem)
+                            col = cols[ext]
+                            rows[stem][col] = (
+                                data if col in binary_cols
+                                else data.decode("utf-8")
+                            )
+                if rows:
+                    yield pd.DataFrame(
+                        {
+                            key_name: order,
+                            **{
+                                c: [rows[s].get(c) for s in order]
+                                for c in cols.values()
+                            },
+                        }
+                    )
+
+    return paths_df.mapInPandas(parse, fields)
