@@ -901,6 +901,67 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_bloom_decontam(spark, sf):
+    """Bloom-filter contamination pre-screen
+    (operators/decontam.contaminated_docs_bloom): the benchmark gram
+    set collapses to 4096 BITS (functions/sketches.bloom_build) and
+    the training side probes a pure codegen expression — no join on
+    the corpus side at all. No false negatives by construction;
+    deterministic salted-md5 bits mean even the false-positive set is
+    engine-reproducible, so the oracle rebuilds the identical filter
+    in SQL and must match every flagged count exactly."""
+    from platypus_ingestion_plugins_spark.operators import decontam
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 101 == 0)
+    train = d.filter(F.col("doc_id") % 101 != 0)
+    return decontam.contaminated_docs_bloom(
+        train, bench, "text", "doc_id", n=3, num_bits=4096, num_hashes=3
+    )
+
+
+def _sql_bloom_decontam(num_bits: int = 4096, num_hashes: int = 3) -> str:
+    def h(salt: int, col: str = "shingle") -> str:
+        return (
+            f"CAST(('0x' || substr(md5('{salt}|' || {col}), 1, 15)) AS BIGINT)"
+            f" % {num_bits}"
+        )
+
+    hashes = ", ".join(h(7000 + i) for i in range(num_hashes))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(t)-2, 1)),
+             i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+  FROM toks),
+shf AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+bench AS (SELECT DISTINCT shingle FROM shf WHERE doc_id % 101 = 0),
+bcell AS (
+  SELECT DISTINCT h // 32 AS w, h % 32 AS bit
+  FROM (SELECT unnest([{hashes}]) AS h FROM bench)),
+words AS (SELECT w, bit_or(CAST(2 ** bit AS BIGINT)) AS bits
+          FROM bcell GROUP BY w),
+probe AS (SELECT doc_id, shingle FROM shf WHERE doc_id % 101 <> 0),
+pcell AS (
+  SELECT doc_id, shingle, unnest([{hashes}]) AS h FROM probe),
+hits AS (
+  SELECT p.doc_id, p.shingle
+  FROM pcell p LEFT JOIN words ON words.w = p.h // 32
+  GROUP BY p.doc_id, p.shingle
+  HAVING count(*) FILTER (
+      WHERE (words.bits & CAST(2 ** (p.h % 32) AS BIGINT))
+            = CAST(2 ** (p.h % 32) AS BIGINT)) = {num_hashes})
+SELECT doc_id, count(*) AS n_flagged_grams FROM hits GROUP BY doc_id
+"""
+
+
+SQL_BLOOM_DECONTAM = _sql_bloom_decontam()
+
+
 def q_tar_roundtrip(spark, sf):
     """WebDataset-style tar shard export + streaming read-back under
     the oracle (operators/export.export_tar_shards/read_tar_shards):
@@ -2806,6 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_counts": q_session_counts,
         "resample_ffill": q_resample_ffill,
         "tar_roundtrip": q_tar_roundtrip,
+        "bloom_decontam": q_bloom_decontam,
         "winnow_overlap": q_winnow_overlap,
         "band_index_compact": q_band_index_compact,
         "stream_neardup_dedup": q_stream_neardup_dedup,
@@ -2865,6 +2927,7 @@ def oracle_sql() -> dict[str, str]:
         "session_counts": SQL_SESSION_COUNTS,
         "resample_ffill": SQL_RESAMPLE_FFILL,
         "tar_roundtrip": SQL_TAR_ROUNDTRIP,
+        "bloom_decontam": SQL_BLOOM_DECONTAM,
         "decontam_flags": SQL_DECONTAM_FLAGS,
         "pii_scrub": SQL_PII_SCRUB,
         "serving_compact": SQL_SERVING_COMPACT,

@@ -90,6 +90,71 @@ def countmin_counters(df, col: str, depth: int = 4, width: int = 256):
     )
 
 
+_BLOOM_SALT = 7000  # salt namespace: keep bloom hashes disjoint from
+# the distinct/count-min families so composed sketches never share bits
+
+
+def _bloom_cell(col: Column | str, i: int, num_bits: int) -> tuple[Column, Column]:
+    """(word index, bit index) of hash ``i`` for a value — 32-bit word
+    packing so every mask stays a positive BIGINT in any engine (no
+    sign-bit divergence between Spark longs and SQL BIGINT shifts)."""
+    p = _salted_bucket(col, _BLOOM_SALT + i, num_bits)
+    return (p / 32).cast("int"), F.pmod(p, F.lit(32)).cast("int")
+
+
+def bloom_build(df, col: str, num_bits: int = 1 << 15, num_hashes: int = 4) -> list[int]:
+    """Bloom filter of ``col``'s distinct values as a packed word list
+    (num_bits/32 longs) — the set-membership sketch: bounded state
+    regardless of cardinality, NO false negatives, false positives at
+    ~(1 - e^(-kn/m))^k. Build is one explode + groupBy(bit_or) over
+    num_bits/32 cells; the collected word array is O(num_bits) driver
+    state by construction (4 KB at the default), sized to ride into a
+    probe expression as a literal. Two filters over the same
+    (num_bits, num_hashes) merge by elementwise OR. Same salted-md5
+    hashing as the sibling sketches, so probe results — including the
+    exact false-positive set — are engine-reproducible."""
+    cells = [
+        F.struct(w.alias("w"), b.alias("bit"))
+        for w, b in (_bloom_cell(col, i, num_bits) for i in range(num_hashes))
+    ]
+    rows = (
+        df.select(F.explode(F.array(*cells)).alias("c"))
+        .groupBy(F.col("c.w").alias("w"))
+        .agg(
+            F.bit_or(
+                F.pow(F.lit(2.0), F.col("c.bit")).cast("long")
+            ).alias("bits")
+        )
+        .collect()
+    )
+    words = [0] * ((num_bits + 31) // 32)
+    for r in rows:
+        words[r.w] = r.bits
+    return words
+
+
+def bloom_maybe_contains(
+    col: Column | str, words: list[int], num_bits: int | None = None,
+    num_hashes: int = 4,
+) -> Column:
+    """Boolean probe expression against a built filter: true iff every
+    hash's bit is set (maybe-member; false = DEFINITELY absent). The
+    word list embeds as an array literal, so the probe is a pure
+    codegen projection — no join, no shuffle, the map-side shape a
+    100 TB scan wants. For filters too big to inline (many MBs),
+    join against the (w, bits) frame instead."""
+    from functools import reduce as _reduce
+
+    num_bits = num_bits or len(words) * 32
+    arr = F.lit(words)
+    conds = []
+    for i in range(num_hashes):
+        w, b = _bloom_cell(col, i, num_bits)
+        mask = F.pow(F.lit(2.0), b).cast("long")
+        conds.append(F.element_at(arr, w + 1).bitwiseAND(mask) == mask)
+    return _reduce(lambda a, c: a & c, conds)
+
+
 def countmin_estimate(counters, keys, col: str, depth: int = 4, width: int = 256):
     """Point-frequency estimates for ``keys`` (a DataFrame with
     ``col``): min over hash rows of the key's counter — the classic

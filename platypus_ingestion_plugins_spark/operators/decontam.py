@@ -57,6 +57,45 @@ def contaminated_docs(
     )
 
 
+def contaminated_docs_bloom(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    num_bits: int = 1 << 15,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter variant of ``contaminated_docs`` for when even the
+    benchmark gram set outgrows a comfortable broadcast (many stacked
+    eval suites): the gram set collapses to ``num_bits`` BITS
+    (functions/sketches.bloom_build) and the training side probes a
+    pure codegen expression — no join at all on the 100 TB side, the
+    cheapest possible contamination pre-screen. Bloom guarantees NO
+    false negatives (nothing contaminated slips through), at a
+    tunable false-positive overcount; run the exact
+    ``contaminated_docs`` on the (tiny) flagged subset when the FP
+    rate matters. Output: (id, n_flagged_grams), flagged docs only —
+    deterministic including the FP set, so oracle-checkable."""
+    from platypus_ingestion_plugins_spark.functions.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    words = bloom_build(
+        benchmark_grams(bench, text_col, id_col, n), "shingle",
+        num_bits, num_hashes,
+    )
+    tg = shingles(train, text_col, id_col, n)
+    return (
+        tg.filter(
+            bloom_maybe_contains(F.col("shingle"), words, num_bits, num_hashes)
+        )
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_flagged_grams"))
+    )
+
+
 def decontaminate(
     train: DataFrame,
     bench: DataFrame,

@@ -95,3 +95,67 @@ def test_countmin_overestimates_and_merges(spark):
     whole = {(r.i, r.b): r.c for r in counters.collect()}
     got = {(r.i, r.b): r.c for r in merged.collect()}
     assert got == whole
+
+
+def test_bloom_filter_membership_and_decontam(spark):
+    """Bloom sketch: NO false negatives (every member probes true),
+    definite-absent values probe false at a sane FP rate, filters
+    merge by elementwise OR, and the bloom decontam pre-screen flags
+    a superset of the exact contamination audit."""
+    from pyspark.sql import Row
+
+    from platypus_ingestion_plugins_spark.functions.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+    from platypus_ingestion_plugins_spark.operators import decontam
+
+    members = spark.createDataFrame([Row(v=f"member-{i}") for i in range(200)])
+    words = bloom_build(members, "v", num_bits=1 << 12, num_hashes=4)
+    assert len(words) == (1 << 12) // 32 and any(words)
+
+    probe = spark.createDataFrame(
+        [Row(v=f"member-{i}") for i in range(200)]
+        + [Row(v=f"absent-{i}") for i in range(500)]
+    )
+    got = probe.withColumn(
+        "hit", bloom_maybe_contains(F.col("v"), words, num_hashes=4)
+    )
+    hits = {r.v for r in got.filter("hit").collect()}
+    assert all(f"member-{i}" in hits for i in range(200)), "false negative!"
+    fp = sum(1 for v in hits if v.startswith("absent-"))
+    assert fp / 500 < 0.15, f"implausible FP rate: {fp}/500"
+
+    # merge = elementwise OR
+    more = spark.createDataFrame([Row(v=f"extra-{i}") for i in range(50)])
+    words2 = bloom_build(more, "v", num_bits=1 << 12, num_hashes=4)
+    merged = [a | b for a, b in zip(words, words2)]
+    mhits = {
+        r.v
+        for r in probe.union(more)
+        .withColumn("hit", bloom_maybe_contains(F.col("v"), merged, num_hashes=4))
+        .filter("hit")
+        .collect()
+    }
+    assert hits <= mhits and all(f"extra-{i}" in mhits for i in range(50))
+
+    # decontam pre-screen: superset of the exact audit, counts >= exact
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma delta unique{i} tail{i}")
+         for i in range(30)]
+        + [Row(doc_id=100, text="alpha beta gamma benchmark phrase here")]
+    )
+    bench = docs.filter("doc_id = 100")
+    train = docs.filter("doc_id <> 100")
+    exact = {
+        r.doc_id: r.n_contaminated
+        for r in decontam.contaminated_docs(train, bench, "text", "doc_id", n=3).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_flagged_grams
+        for r in decontam.contaminated_docs_bloom(
+            train, bench, "text", "doc_id", n=3, num_bits=1 << 12, num_hashes=4
+        ).collect()
+    }
+    assert set(exact) <= set(bloom)
+    assert all(bloom[d] >= n for d, n in exact.items())
