@@ -901,6 +901,51 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_quantile_sketch(spark, sf):
+    """Bottom-k-hash quantile sketch
+    (functions/sketches.bottomk_quantiles): per event_type, p25/50/95
+    of value estimated from the 256 smallest-md5-hash events — the
+    mergeable, ENGINE-CHECKABLE alternative to percentile_approx
+    (whose t-digest layout no oracle can reproduce). The hash order
+    fixes the exact sample, so the oracle recomputes the identical
+    estimate, not just an approximately-close one."""
+    from platypus_ingestion_plugins_spark.functions.sketches import (
+        bottomk_quantiles,
+    )
+
+    ev = _t(spark, sf, "events")
+    return bottomk_quantiles(
+        ev, "event_id", "value", group_cols=("event_type",),
+        probs=(0.25, 0.5, 0.95), k=256,
+    )
+
+
+def _sql_quantile_sketch(k: int = 256) -> str:
+    # same md5->[0,1) idiom as _UNIT_SQL (defined later in the module)
+    u = (
+        "(CAST(('0x' || substr(md5('bottomk|' || CAST(event_id AS VARCHAR)), 1, 15))"
+        " AS BIGINT) / 1152921504606846976.0)"
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type, value, {u} AS u FROM events),
+r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY u, value) AS rn
+  FROM h)
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS q_0_25,
+       round(quantile_cont(value, 0.5), 6) AS q_0_5,
+       round(quantile_cont(value, 0.95), 6) AS q_0_95,
+       count(*) AS n_sample
+FROM r WHERE rn <= {k}
+GROUP BY event_type
+"""
+
+
+SQL_QUANTILE_SKETCH = _sql_quantile_sketch()
+
+
 def q_bloom_decontam(spark, sf):
     """Bloom-filter contamination pre-screen
     (operators/decontam.contaminated_docs_bloom): the benchmark gram
@@ -2868,6 +2913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_ffill": q_resample_ffill,
         "tar_roundtrip": q_tar_roundtrip,
         "bloom_decontam": q_bloom_decontam,
+        "quantile_sketch": q_quantile_sketch,
         "winnow_overlap": q_winnow_overlap,
         "band_index_compact": q_band_index_compact,
         "stream_neardup_dedup": q_stream_neardup_dedup,
@@ -2928,6 +2974,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_ffill": SQL_RESAMPLE_FFILL,
         "tar_roundtrip": SQL_TAR_ROUNDTRIP,
         "bloom_decontam": SQL_BLOOM_DECONTAM,
+        "quantile_sketch": SQL_QUANTILE_SKETCH,
         "decontam_flags": SQL_DECONTAM_FLAGS,
         "pii_scrub": SQL_PII_SCRUB,
         "serving_compact": SQL_SERVING_COMPACT,

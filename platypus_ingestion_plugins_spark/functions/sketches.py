@@ -90,6 +90,59 @@ def countmin_counters(df, col: str, depth: int = 4, width: int = 256):
     )
 
 
+def bottomk_quantiles(
+    df,
+    key_col: str,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    probs: tuple[float, ...] = (0.5,),
+    k: int = 512,
+    salt: str = "bottomk",
+):
+    """Quantile estimates from a BOTTOM-K HASH sample: the k rows with
+    the smallest ``unit_hash(key)`` form a uniform sample of fixed
+    size (the KMV/bottom-k sketch doubles as a sample), and the exact
+    interpolated percentile over that sample estimates the population
+    quantile with error ~1/sqrt(k). The engine-checkable alternative
+    to t-digest/percentile_approx, whose internal layouts no external
+    oracle can reproduce: the md5 hash order — hence the exact sample,
+    hence the estimate — is bit-identical in any engine (estimates
+    rounded to 6 places to absorb interpolation-formula ulp).
+
+    Mergeable: two sketches over the same (key, salt) merge by
+    unioning samples and re-taking the bottom k — the sample property
+    is preserved because membership depends only on each row's own
+    hash. Deterministic under reruns, partitionings, and data growth
+    (a new row evicts the largest hash, never reshuffles the rest).
+
+    ``key_col`` must uniquely identify rows (an event/doc id):
+    duplicate keys tie in the hash order and would make the sample
+    ambiguous — ties break on (u, value) for safety. Shape: grouped =
+    one window shuffle (per-group rank, state k rows per group);
+    global = TakeOrdered, no full sort. Output: group cols,
+    ``q_<pct>`` per requested prob, ``n_sample``."""
+    from ..functions.sampling import unit_hash
+
+    u = unit_hash(key_col, salt)
+    aggs = [
+        F.round(F.percentile(F.col(value_col), F.lit(p)), 6).alias(
+            f"q_{str(p).replace('.', '_')}"
+        )
+        for p in probs
+    ] + [F.count(F.lit(1)).alias("n_sample")]
+    if group_cols:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*group_cols).orderBy(u.asc(), F.col(value_col).asc())
+        sample = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+        )
+        return sample.groupBy(*group_cols).agg(*aggs)
+    sample = df.select(u.alias("__u"), value_col).orderBy("__u", value_col).limit(k)
+    return sample.agg(*aggs)
+
+
 _BLOOM_SALT = 7000  # salt namespace: keep bloom hashes disjoint from
 # the distinct/count-min families so composed sketches never share bits
 

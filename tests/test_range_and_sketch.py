@@ -159,3 +159,45 @@ def test_bloom_filter_membership_and_decontam(spark):
     }
     assert set(exact) <= set(bloom)
     assert all(bloom[d] >= n for d, n in exact.items())
+
+
+def test_bottomk_quantile_sketch(spark):
+    """Bottom-k quantile sketch: estimates land within the sample
+    error of the exact quantiles, the result is invariant to input
+    partitioning (hash membership, not partition luck), and two
+    sketches merge by union + re-bottom-k to the full-data sketch."""
+    from pyspark.sql import Row
+
+    from platypus_ingestion_plugins_spark.functions.sketches import (
+        bottomk_quantiles,
+    )
+    from platypus_ingestion_plugins_spark.functions.sampling import unit_hash
+
+    rows = [Row(rid=i, v=float(i)) for i in range(4000)]  # uniform 0..3999
+    df = spark.createDataFrame(rows)
+    est = bottomk_quantiles(
+        df, "rid", "v", probs=(0.25, 0.5, 0.9), k=512
+    ).collect()[0]
+    assert est.n_sample == 512
+    # 1/sqrt(512) ~ 4.4%; allow 3 sigma
+    for q, p in ((est.q_0_25, 0.25), (est.q_0_5, 0.5), (est.q_0_9, 0.9)):
+        assert abs(q / 3999.0 - p) < 0.14, (q, p)
+
+    # partitioning invariance
+    est2 = bottomk_quantiles(
+        df.repartition(13), "rid", "v", probs=(0.25, 0.5, 0.9), k=512
+    ).collect()[0]
+    assert (est.q_0_25, est.q_0_5, est.q_0_9) == (est2.q_0_25, est2.q_0_5, est2.q_0_9)
+
+    # merge: bottom-k of the union of two halves' bottom-k == full sketch
+    u = unit_hash("rid", "bottomk")
+    halves = [
+        df.filter(f"rid % 2 = {m}").select(u.alias("__u"), "v")
+        .orderBy("__u", "v").limit(512)
+        for m in (0, 1)
+    ]
+    merged = halves[0].union(halves[1]).orderBy("__u", "v").limit(512)
+    m_est = merged.agg(
+        F.round(F.percentile("v", F.lit(0.5)), 6).alias("q")
+    ).collect()[0].q
+    assert m_est == est.q_0_5
