@@ -901,6 +901,59 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_ivf_append_compact(spark, sf):
+    """Incremental IVF layout maintenance under the oracle
+    (similarity.append_ivf_partitioned/compact_ivf_partitioned): two
+    appends against pinned centroids fragment every cent_id= list to
+    two files, compaction rewrites them through the single-job
+    copy-park-swap, and the read-back must hold every vector with its
+    EXACT nearest-centroid assignment — a vector lost, duplicated, or
+    refiled by the rewrite breaks the hash. Centroid-mismatch pinning
+    and crash-heal are unit-covered (test_ivf_append_compact)."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.operators import similarity
+
+    emb = _t(spark, sf, "embeddings")
+    cents = emb.orderBy("vec_id").limit(16)
+    mid = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+    work = _stream_scratch("ivf_idx_")
+    idx = os.path.join(work, "ivf")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        similarity.append_ivf_partitioned(
+            emb.filter(F.col("vec_id") <= mid), cents, idx
+        )
+        similarity.append_ivf_partitioned(
+            emb.filter(F.col("vec_id") > mid), cents, idx
+        )
+        if not similarity.compact_ivf_partitioned(spark, idx, max_files_per_dir=1):
+            raise RuntimeError("IVF compaction found nothing to rewrite")
+        _keep_until_exit(work, keep=idx)
+        return spark.read.parquet(idx).select("vec_id", "cent_id")
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+SQL_IVF_APPEND_COMPACT = """
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+scored AS (
+  SELECT e.vec_id, c.cent_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) AS sim
+  FROM embeddings e CROSS JOIN cents c)
+SELECT vec_id, cent_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cent_id) AS rn
+  FROM scored) WHERE rn = 1
+"""
+
+
 def q_quantile_sketch(spark, sf):
     """Bottom-k-hash quantile sketch
     (functions/sketches.bottomk_quantiles): per event_type, p25/50/95
@@ -2914,6 +2967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tar_roundtrip": q_tar_roundtrip,
         "bloom_decontam": q_bloom_decontam,
         "quantile_sketch": q_quantile_sketch,
+        "ivf_append_compact": q_ivf_append_compact,
         "winnow_overlap": q_winnow_overlap,
         "band_index_compact": q_band_index_compact,
         "stream_neardup_dedup": q_stream_neardup_dedup,
@@ -2975,6 +3029,7 @@ def oracle_sql() -> dict[str, str]:
         "tar_roundtrip": SQL_TAR_ROUNDTRIP,
         "bloom_decontam": SQL_BLOOM_DECONTAM,
         "quantile_sketch": SQL_QUANTILE_SKETCH,
+        "ivf_append_compact": SQL_IVF_APPEND_COMPACT,
         "decontam_flags": SQL_DECONTAM_FLAGS,
         "pii_scrub": SQL_PII_SCRUB,
         "serving_compact": SQL_SERVING_COMPACT,

@@ -404,6 +404,146 @@ def write_ivf_partitioned(
     assigned.write.mode("overwrite").partitionBy("cent_id").parquet(path)
 
 
+def _centroids_fingerprint(
+    centroids: DataFrame, id_col: str, vec_col: str
+) -> str:
+    """sha256 of the canonicalized (id, vector) centroid set — the
+    O(k*dim) identity the incremental layout pins, same bounded sync
+    as kmeans training."""
+    import hashlib
+    import json
+
+    rows = centroids.select(
+        F.col(id_col), _dvec(F.col(vec_col)).alias("__v")
+    ).collect()
+    canon = json.dumps(
+        sorted((str(r[0]), [float(x) for x in r["__v"]]) for r in rows)
+    )
+    return hashlib.sha256(canon.encode("utf-8")).hexdigest()
+
+
+def append_ivf_partitioned(
+    emb: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest into the write-time IVF layout: new vectors
+    assign against the SAME pinned centroids and append into their
+    ``cent_id=`` directories — the ANN-axis twin of
+    ``append_band_key_index``. The repartition puts each touched list
+    in one task, so a batch adds at most one file per directory (file
+    count grows with batches, not batch size; compact with
+    ``compact_ivf_partitioned``).
+
+    The centroid set IS the on-disk layout: a later append against
+    different centroids would scatter the same vector population
+    across two assignment schemes, and probes (which rank the
+    CURRENT centroids) would silently miss matches filed under the
+    old ones. So the centroid fingerprint is pinned in a
+    ``_centroids_sha`` sidecar BEFORE the first data write (an index
+    holding data is always pinned) and any mismatched append fails
+    loudly — re-train centroids by rewriting the layout
+    (``write_ivf_partitioned``), not by appending."""
+    from .. import fs as _fs
+
+    spark = emb.sparkSession
+    marker = f"{path}/_centroids_sha"
+    fp = _centroids_fingerprint(centroids, id_col, vec_col)
+    pinned = _fs.read_text(spark, marker) if _fs.exists(spark, marker) else None
+    if pinned is not None and pinned != fp:
+        raise ValueError(
+            f"IVF layout at {path} is pinned to a different centroid set "
+            f"({pinned[:12]}… != {fp[:12]}…); rewrite the layout to re-train"
+        )
+    if pinned is None:
+        _fs.write_text_atomic(spark, marker, fp)
+    (
+        ivf_assign(emb, centroids, id_col, vec_col)
+        .repartition("cent_id")
+        .write.mode("append")
+        .partitionBy("cent_id")
+        .parquet(path)
+    )
+
+
+def compact_ivf_partitioned(
+    spark, path: str, max_files_per_dir: int = 4
+) -> list[str]:
+    """Rewrite fragmented ``cent_id=`` list directories to one file
+    each — the same single-job copy-park-swap crash discipline as
+    ``compact_band_key_index`` (dedup.py), one level deep: heal any
+    interrupted prior run first (a parked original whose live dir is
+    missing is restored by rename; one whose live dir EXISTS — a
+    post-crash append recreation — is MERGED file-by-file, never
+    deleted), rewrite all oversized lists in ONE partition-pruned job
+    with ``dropDuplicates`` (replay/heal idempotence), then swap each
+    directory via dot-prefixed park. Run between ingest batches; the
+    swap assumes no concurrent appender/reader on the rewritten
+    lists. Returns the directories rewritten."""
+    from .. import fs as _fs
+
+    staging = f"{path}/.compact_staging"
+    for name in sorted(_fs.list_names(spark, path)):
+        if name.startswith(".precompact-"):
+            parked = f"{path}/{name}"
+            orig = f"{path}/{name[len('.precompact-'):]}"
+            if not _fs.exists(spark, orig):
+                _fs._rename_or_raise(spark, parked, orig)
+            else:
+                for f_name in sorted(_fs.list_names(spark, parked)):
+                    if not f_name.endswith(".parquet"):
+                        continue
+                    dst = f"{orig}/{f_name}"
+                    if _fs.exists(spark, dst):
+                        dst = f"{orig}/healed-{f_name}"
+                    _fs._rename_or_raise(spark, f"{parked}/{f_name}", dst)
+                _fs.delete(spark, parked)
+    oversized = []
+    for name in sorted(_fs.list_names(spark, path)):
+        if not name.startswith("cent_id="):
+            continue
+        files = [
+            n
+            for n in _fs.list_names(spark, f"{path}/{name}")
+            if n.endswith(".parquet")
+        ]
+        if len(files) > max_files_per_dir:
+            oversized.append(name.split("=", 1)[1])
+    _fs.delete(spark, staging)
+    if not oversized:
+        return []
+
+    def _typed(s: str):
+        try:
+            return int(s)
+        except ValueError:
+            return s
+
+    (
+        spark.read.parquet(path)
+        # literal values in the partition column's own type: a cast on
+        # the column side would defeat PruneFileSourcePartitions
+        .filter(F.col("cent_id").isin([_typed(s) for s in oversized]))
+        .dropDuplicates()
+        .repartition(len(oversized), "cent_id")
+        .write.partitionBy("cent_id")
+        .parquet(staging)
+    )
+    compacted: list[str] = []
+    for cid in oversized:
+        d = f"{path}/cent_id={cid}"
+        staged = f"{staging}/cent_id={cid}"
+        parked = f"{path}/.precompact-cent_id={cid}"
+        _fs._rename_or_raise(spark, d, parked)
+        _fs._rename_or_raise(spark, staged, d)
+        _fs.delete(spark, parked)
+        compacted.append(d)
+    _fs.delete(spark, staging)
+    return compacted
+
+
 def ivf_probe_scan(
     spark,
     path: str,

@@ -1338,3 +1338,62 @@ def test_tar_shard_export_roundtrip(spark, tmp_path):
     )
     got = {int(r.k): (r.text, bytes(r.payload)) for r in back.collect()}
     assert got == {r.doc_id: (r.text, r.payload) for r in rows}
+
+
+def test_ivf_append_compact(spark, tmp_path):
+    """Incremental IVF maintenance: appends fragment lists (one file
+    per touched dir per batch), mismatched centroids are refused by
+    the sidecar pin, compaction rewrites to one file per list with
+    assignments intact, heal merges a parked list into a post-crash
+    recreation, and the pruned probe scan works over the incremental
+    layout."""
+    import os
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 4 == 0), float(i % 4 == 1),
+                                  float(i % 4 == 2), float(i % 4 == 3)])
+         for i in range(80)]
+    )
+    cents = emb.orderBy("vec_id").limit(4)
+    idx = str(tmp_path / "ivf")
+    similarity.append_ivf_partitioned(emb.filter("vec_id < 40"), cents, idx)
+    assert os.path.exists(f"{idx}/_centroids_sha")  # pin-before-data
+    similarity.append_ivf_partitioned(emb.filter("vec_id >= 40"), cents, idx)
+
+    # a different centroid set must be refused
+    other = emb.orderBy(F.desc("vec_id")).limit(4)
+    with pytest.raises(ValueError, match="pinned to a different centroid"):
+        similarity.append_ivf_partitioned(emb, other, idx)
+
+    def leaf_files(d):
+        return {
+            c: [f for f in os.listdir(f"{d}/{c}") if f.endswith(".parquet")]
+            for c in os.listdir(d) if c.startswith("cent_id=")
+        }
+
+    assert all(len(fs_) == 2 for fs_ in leaf_files(idx).values())
+    before = {(r.vec_id, r.cent_id) for r in spark.read.parquet(idx).collect()}
+    assert len(before) == 80
+    done = similarity.compact_ivf_partitioned(spark, idx, max_files_per_dir=1)
+    assert done and all(len(fs_) == 1 for fs_ in leaf_files(idx).values())
+    assert {(r.vec_id, r.cent_id) for r in spark.read.parquet(idx).collect()} == before
+    assert similarity.compact_ivf_partitioned(spark, idx, max_files_per_dir=1) == []
+
+    # crash between park and swap-in, then an append recreates the dir:
+    # heal must MERGE, not drop the park
+    victim = sorted(c for c in os.listdir(idx) if c.startswith("cent_id="))[0]
+    os.rename(f"{idx}/{victim}", f"{idx}/.precompact-{victim}")
+    similarity.append_ivf_partitioned(emb.filter("vec_id < 40"), cents, idx)
+    similarity.compact_ivf_partitioned(spark, idx, max_files_per_dir=1000)  # heal only
+    assert not os.path.exists(f"{idx}/.precompact-{victim}")
+    healed = {(r.vec_id, r.cent_id) for r in spark.read.parquet(idx).collect()}
+    assert healed == before, "heal lost or refiled vectors"
+    # follow-up compaction absorbs the replay duplicates
+    similarity.compact_ivf_partitioned(spark, idx, max_files_per_dir=0)
+    rows = spark.read.parquet(idx).collect()
+    assert len(rows) == 80 and {(r.vec_id, r.cent_id) for r in rows} == before
+
+    # probe scan over the incremental layout prunes to nprobe lists
+    q = emb.filter("vec_id = 0")
+    got = similarity.ivf_probe_scan(spark, idx, cents, q, nprobe=1)
+    assert 0 < got.count() < 80
