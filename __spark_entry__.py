@@ -901,6 +901,40 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_text_normalize(spark, sf):
+    """Unicode NFC normalization (functions/text.normalize_unicode):
+    the corpus is first DE-composed deterministically (every 'a'
+    becomes 'a' + U+0301 combining acute — both engines apply the
+    same replace), then normalized back to composed form. The oracle
+    compares sha256 of the normalized text, so the hash matches only
+    if Spark's unicodedata path and DuckDB's nfc_normalize produce
+    byte-identical output — the property that makes
+    normalize-before-hash dedup sound across engines."""
+    from platypus_ingestion_plugins_spark.functions.text import normalize_unicode
+
+    d = _t(spark, sf, "documents")
+    decomposed = F.regexp_replace(F.col("text"), "a", "a\u0301")
+    norm = normalize_unicode(decomposed, "NFC")
+    return d.select(
+        "doc_id",
+        F.length(decomposed).alias("n_raw"),
+        F.length(norm).alias("n_norm"),
+        F.sha2(norm, 256).alias("sha_norm"),
+    )
+
+
+SQL_TEXT_NORMALIZE = """
+WITH t AS (
+  SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS decomposed
+  FROM documents)
+SELECT doc_id,
+       length(decomposed) AS n_raw,
+       length(nfc_normalize(decomposed)) AS n_norm,
+       sha256(nfc_normalize(decomposed)) AS sha_norm
+FROM t
+"""
+
+
 def q_ivf_append_compact(spark, sf):
     """Incremental IVF layout maintenance under the oracle
     (similarity.append_ivf_partitioned/compact_ivf_partitioned): two
@@ -2968,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontam": q_bloom_decontam,
         "quantile_sketch": q_quantile_sketch,
         "ivf_append_compact": q_ivf_append_compact,
+        "text_normalize": q_text_normalize,
         "winnow_overlap": q_winnow_overlap,
         "band_index_compact": q_band_index_compact,
         "stream_neardup_dedup": q_stream_neardup_dedup,
@@ -3030,6 +3065,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decontam": SQL_BLOOM_DECONTAM,
         "quantile_sketch": SQL_QUANTILE_SKETCH,
         "ivf_append_compact": SQL_IVF_APPEND_COMPACT,
+        "text_normalize": SQL_TEXT_NORMALIZE,
         "decontam_flags": SQL_DECONTAM_FLAGS,
         "pii_scrub": SQL_PII_SCRUB,
         "serving_compact": SQL_SERVING_COMPACT,

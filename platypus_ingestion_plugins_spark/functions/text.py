@@ -82,6 +82,36 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
 
 
+def normalize_unicode(col: Column | str, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the ingestion
+    hygiene step that belongs BEFORE any content hashing: the same
+    visible text in composed vs decomposed form (é vs e+U+0301) hashes
+    differently, so an un-normalized corpus leaks duplicates straight
+    past exact dedup and splits shingle/minhash keys. Spark has no
+    built-in; this is an Arrow-batched pandas UDF over
+    ``unicodedata.normalize`` (the reference implementation — the same
+    Unicode tables DuckDB's ``nfc_normalize`` applies, so the result
+    is oracle-checkable byte-for-byte). Pure map stage, no shuffle;
+    normalize once at ingest and every downstream hash sees canonical
+    bytes."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+
+    def norm(texts):
+        import unicodedata
+
+        return texts.map(
+            lambda t: None if t is None else unicodedata.normalize(form, t)
+        )
+
+    norm.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    c = F.col(col) if isinstance(col, str) else col
+    return pandas_udf("string")(norm)(c)
+
+
 def repetition_stats(df, text_col: str, id_col: str, n: int = 3):
     """Gopher-style repetition signals per document: duplicate-token
     fraction (1 - distinct/total) and top-n-gram mass (most frequent

@@ -51,6 +51,8 @@ HEADLINE = [
     "temperature_mix",
     "session_counts",
     "resample_ffill",
+    "bloom_decontam",
+    "quantile_sketch",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.

@@ -1397,3 +1397,41 @@ def test_ivf_append_compact(spark, tmp_path):
     q = emb.filter("vec_id = 0")
     got = similarity.ivf_probe_scan(spark, idx, cents, q, nprobe=1)
     assert 0 < got.count() < 80
+
+
+def test_normalize_unicode_forms(spark):
+    """normalize_unicode: decomposed input composes under NFC,
+    compatibility forms fold ligatures, None passes through, and
+    normalize-before-hash actually repairs dedup (the composed and
+    decomposed spellings collapse to one hash)."""
+    from platypus_ingestion_plugins_spark.functions.text import normalize_unicode
+
+    rows = [
+        Row(i=1, t="café"),   # cafe + combining acute (decomposed)
+        Row(i=2, t="café"),          # café (composed)
+        Row(i=3, t="ﬁle"),           # ﬁ ligature + le
+        Row(i=4, t=None),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.i: (r.nfc, r.nfkc)
+        for r in df.select(
+            "i",
+            normalize_unicode("t", "NFC").alias("nfc"),
+            normalize_unicode("t", "NFKC").alias("nfkc"),
+        ).collect()
+    }
+    assert out[1][0] == out[2][0] == "café"  # both spellings compose
+    assert out[3][1] == "file"  # NFKC folds the ligature
+    assert out[3][0] == "ﬁle"  # NFC does not
+    assert out[4] == (None, None)
+    # dedup repair: hashes collapse only after normalization
+    hashes = df.filter("i <= 2").select(
+        F.sha2(F.col("t"), 256).alias("raw"),
+        F.sha2(normalize_unicode("t"), 256).alias("norm"),
+    ).collect()
+    assert hashes[0].raw != hashes[1].raw
+    assert hashes[0].norm == hashes[1].norm
+
+    with pytest.raises(ValueError, match="unknown normalization form"):
+        normalize_unicode("t", "NFX")
