@@ -901,6 +901,79 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_stream_heavy_hitters(spark, sf):
+    """Streaming count-min materialization
+    (functions/sketches.countmin_merge_into): events arrive in two
+    drops; each micro-batch's depth×width counters fold into the
+    accumulated counter table by elementwise ADD under a
+    stage-park-swap commit with the foreachBatch batch_id pinned
+    inside the swapped dir (replay-idempotent — ADD alone would
+    double-count a replayed batch). The algebraic merge makes the
+    final counters EQUAL the one-shot batch sketch, so the estimates
+    read off them match the batch oracle exactly — the
+    precompute-per-batch-then-merge pattern that keeps frequency
+    tracking O(depth×width) state on an unbounded stream."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.functions.sketches import (
+        countmin_estimate,
+        countmin_read,
+        countmin_merge_into,
+    )
+
+    ev = _t(spark, sf, "events")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    work = _stream_scratch("stream_cm_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src = os.path.join(work, "src")
+        ckpt = os.path.join(work, "ckpt")
+        counters_path = os.path.join(work, "counters")
+        ev.filter(F.col("event_id") <= mid).select("event_id", "event_type") \
+            .coalesce(4).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def run_available():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 100)
+                .parquet(src)
+            )
+            q = (
+                stream.writeStream.foreachBatch(
+                    lambda b, bid: countmin_merge_into(
+                        b, "event_type", counters_path,
+                        depth=4, width=256, batch_id=bid,
+                    )
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_available()
+        ev.filter(F.col("event_id") > mid).select("event_id", "event_type") \
+            .coalesce(4).write.mode("append").parquet(src)
+        run_available()
+
+        counters = countmin_read(spark, counters_path)
+        keys = ev.select("event_type").distinct()
+        est = countmin_estimate(counters, keys, "event_type", depth=4, width=256)
+        exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
+        out = est.join(exact, "event_type").select(
+            "event_type", "est_count", "exact_count"
+        ).localCheckpoint(eager=True)
+        shutil.rmtree(work, ignore_errors=True)
+        return out
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def q_text_normalize(spark, sf):
     """Unicode NFC normalization (functions/text.normalize_unicode):
     the corpus is first DE-composed deterministically (every 'a'
@@ -3003,6 +3076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "ivf_append_compact": q_ivf_append_compact,
         "text_normalize": q_text_normalize,
+        "stream_heavy_hitters": q_stream_heavy_hitters,
         "winnow_overlap": q_winnow_overlap,
         "band_index_compact": q_band_index_compact,
         "stream_neardup_dedup": q_stream_neardup_dedup,
@@ -3066,6 +3140,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch": SQL_QUANTILE_SKETCH,
         "ivf_append_compact": SQL_IVF_APPEND_COMPACT,
         "text_normalize": SQL_TEXT_NORMALIZE,
+        "stream_heavy_hitters": SQL_HEAVY_HITTERS_SKETCH,
         "decontam_flags": SQL_DECONTAM_FLAGS,
         "pii_scrub": SQL_PII_SCRUB,
         "serving_compact": SQL_SERVING_COMPACT,

@@ -90,6 +90,80 @@ def countmin_counters(df, col: str, depth: int = 4, width: int = 256):
     )
 
 
+def _countmin_heal(spark, path: str) -> None:
+    """Promote a parked counter table left by a crash mid-swap: the
+    park is the only durable copy once the main dir is gone."""
+    from .. import fs as _fs
+
+    park = path + ".old"
+    if not _fs.exists(spark, path) and _fs.exists(spark, park):
+        _fs._rename_or_raise(spark, park, path)
+
+
+def countmin_merge_into(
+    batch,
+    col: str,
+    path: str,
+    depth: int = 4,
+    width: int = 256,
+    batch_id: int | None = None,
+) -> None:
+    """``foreachBatch`` body: fold a micro-batch's count-min counters
+    into the accumulated counter table at ``path`` — the streaming
+    shape the sketch's algebraic merge exists for. Per batch: one
+    bounded aggregate over the batch (depth*width cells), elementwise
+    ADD with the previous state (depth*width rows read back — KBs, not
+    stream-sized), stage-then-park-swap commit so a crash leaves
+    either the old or the new counters, never a torn mix (heal on the
+    next merge/read).
+
+    ADD is not idempotent, so at-least-once replay would double-count
+    a batch whose commit raced a crash; pass the foreachBatch
+    ``batch_id`` and it is pinned in an ``_epoch`` file INSIDE the
+    swapped directory — part of the same atomic unit as the counters —
+    and a replayed batch with ``batch_id <= pinned`` is skipped.
+    Result: the accumulated table always equals the one-shot batch
+    sketch over everything ingested (the oracle's check)."""
+    from .. import fs as _fs
+
+    spark = batch.sparkSession
+    _countmin_heal(spark, path)
+    if batch_id is not None and _fs.exists(spark, f"{path}/_epoch"):
+        pinned = _fs.read_text(spark, f"{path}/_epoch")
+        if pinned is not None and batch_id <= int(pinned):
+            return  # replayed batch: already folded in
+    new = countmin_counters(batch, col, depth, width)
+    if _fs.exists(spark, path):
+        prev = spark.read.parquet(path)
+        merged = (
+            prev.unionByName(new)
+            .groupBy("i", "b")
+            .agg(F.sum("c").alias("c"))
+        )
+    else:
+        merged = new
+    staging = path + ".staging"
+    park = path + ".old"
+    _fs.delete(spark, staging)
+    # coalesce(1): the state is depth*width rows — one file keeps the
+    # per-batch read-back a single-split scan
+    merged.coalesce(1).write.parquet(staging)
+    if batch_id is not None:
+        _fs.write_text(spark, f"{staging}/_epoch", str(batch_id))
+    _fs.delete(spark, park)
+    if _fs.exists(spark, path):
+        _fs._rename_or_raise(spark, path, park)
+    _fs._rename_or_raise(spark, staging, path)
+    _fs.delete(spark, park)
+
+
+def countmin_read(spark, path: str):
+    """The accumulated counter table (heal-on-read): feed to
+    ``countmin_estimate`` exactly like a one-shot batch sketch."""
+    _countmin_heal(spark, path)
+    return spark.read.parquet(path)
+
+
 def bottomk_quantiles(
     df,
     key_col: str,

@@ -201,3 +201,45 @@ def test_bottomk_quantile_sketch(spark):
         F.round(F.percentile("v", F.lit(0.5)), 6).alias("q")
     ).collect()[0].q
     assert m_est == est.q_0_5
+
+
+def test_countmin_streaming_merge_idempotent_and_heals(spark, tmp_path):
+    """countmin_merge_into: two merged batches equal the one-shot
+    sketch, a REPLAYED batch (same batch_id) is skipped by the
+    epoch pin instead of double-counting, and a crash that leaves
+    only the parked dir heals on read."""
+    import os
+
+    from pyspark.sql import Row
+
+    from platypus_ingestion_plugins_spark.functions.sketches import (
+        countmin_counters,
+        countmin_merge_into,
+        countmin_read,
+    )
+
+    rows = [Row(i=i, k=f"t{i % 5}") for i in range(300)]
+    df = spark.createDataFrame(rows)
+    b1 = df.filter("i < 120")
+    b2 = df.filter("i >= 120")
+    path = str(tmp_path / "cm")
+
+    countmin_merge_into(b1, "k", path, depth=3, width=64, batch_id=0)
+    countmin_merge_into(b2, "k", path, depth=3, width=64, batch_id=1)
+    onehot = {
+        (r.i, r.b): r.c
+        for r in countmin_counters(df, "k", depth=3, width=64).collect()
+    }
+    got = {(r.i, r.b): r.c for r in countmin_read(spark, path).collect()}
+    assert got == onehot
+
+    # replay of batch 1 must be a no-op (ADD is not idempotent; the
+    # epoch pin is)
+    countmin_merge_into(b2, "k", path, depth=3, width=64, batch_id=1)
+    again = {(r.i, r.b): r.c for r in countmin_read(spark, path).collect()}
+    assert again == onehot, "replayed batch double-counted"
+
+    # crash mid-swap: only the park survives -> heal on read
+    os.rename(path, path + ".old")
+    healed = {(r.i, r.b): r.c for r in countmin_read(spark, path).collect()}
+    assert healed == onehot and os.path.exists(path)
