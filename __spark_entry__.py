@@ -901,6 +901,26 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_chunk_text(spark, sf):
+    """RAG-style document chunking (functions/text.chunk_text):
+    256-char windows with 64-char overlap (step 192) — every document
+    becomes its ordinal chunk rows, consecutive chunks sharing the
+    overlap so no split point hides a phrase from retrieval. Pure
+    codegen (sequence + substring + posexplode); the oracle rebuilds
+    the identical windows with generate_series + substr."""
+    from platypus_ingestion_plugins_spark.functions.text import chunk_text
+
+    d = _t(spark, sf, "documents")
+    return chunk_text(d, "text", "doc_id", chunk_chars=256, overlap=64)
+
+
+SQL_CHUNK_TEXT = """
+SELECT doc_id, i AS chunk_id, substr(text, i*192 + 1, 256) AS chunk
+FROM documents,
+     unnest(generate_series(0, greatest(length(text) - 1, 0) // 192)) AS t(i)
+"""
+
+
 def q_stream_heavy_hitters(spark, sf):
     """Streaming count-min materialization
     (functions/sketches.countmin_merge_into): events arrive in two
@@ -3077,6 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_append_compact": q_ivf_append_compact,
         "text_normalize": q_text_normalize,
         "stream_heavy_hitters": q_stream_heavy_hitters,
+        "chunk_text": q_chunk_text,
         "winnow_overlap": q_winnow_overlap,
         "band_index_compact": q_band_index_compact,
         "stream_neardup_dedup": q_stream_neardup_dedup,
@@ -3141,6 +3162,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_append_compact": SQL_IVF_APPEND_COMPACT,
         "text_normalize": SQL_TEXT_NORMALIZE,
         "stream_heavy_hitters": SQL_HEAVY_HITTERS_SKETCH,
+        "chunk_text": SQL_CHUNK_TEXT,
         "decontam_flags": SQL_DECONTAM_FLAGS,
         "pii_scrub": SQL_PII_SCRUB,
         "serving_compact": SQL_SERVING_COMPACT,

@@ -82,6 +82,44 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
 
 
+def chunk_text(
+    df,
+    text_col: str,
+    id_col: str,
+    chunk_chars: int = 512,
+    overlap: int = 128,
+):
+    """Overlapping character windows per document — the
+    retrieval/embedding chunking step (RAG indexes, long-doc
+    embedding models with bounded context): chunk i covers
+    ``[i*step, i*step + chunk_chars)`` with ``step = chunk_chars -
+    overlap``, so consecutive chunks share ``overlap`` characters and
+    no split point can hide a phrase from retrieval. Chunks start
+    while their offset is inside the text, the final one running
+    short; an empty document yields one empty chunk (row-count
+    preserving for joins back to the source).
+
+    Pure codegen — ``sequence`` over chunk ordinals, ``substring``
+    per window, one ``posexplode`` — no UDF, no shuffle; output rows
+    ≈ corpus_chars/step, each carrying (id, chunk_id, chunk).
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    c = F.col(text_col)
+    last_i = F.floor(F.greatest(F.length(c) - 1, F.lit(0)) / F.lit(step)).cast(
+        "int"
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), last_i),
+        lambda i: F.substring(c, i * step + 1, chunk_chars),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(windows).alias("chunk_id", "chunk"),
+    )
+
+
 def normalize_unicode(col: Column | str, form: str = "NFC") -> Column:
     """Unicode normalization (NFC/NFKC/NFD/NFKD) — the ingestion
     hygiene step that belongs BEFORE any content hashing: the same

@@ -1435,3 +1435,28 @@ def test_normalize_unicode_forms(spark):
 
     with pytest.raises(ValueError, match="unknown normalization form"):
         normalize_unicode("t", "NFX")
+
+
+def test_chunk_text_windows(spark):
+    """chunk_text: overlap coverage (consecutive chunks share exactly
+    `overlap` chars), final short chunk, empty doc yields one empty
+    chunk, and overlap >= size is rejected."""
+    from platypus_ingestion_plugins_spark.functions.text import chunk_text
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="abcdefghij"), Row(doc_id=2, text=""),
+         Row(doc_id=3, text="xyz")]
+    )
+    got = {
+        (r.doc_id, r.chunk_id): r.chunk
+        for r in chunk_text(df, "text", "doc_id", chunk_chars=6, overlap=2).collect()
+    }
+    # doc 1 (10 chars, step 4): windows at 0,4,8
+    assert got[(1, 0)] == "abcdef" and got[(1, 1)] == "efghij" and got[(1, 2)] == "ij"
+    assert got[(1, 0)][-2:] == got[(1, 1)][:2]  # shared overlap
+    assert got[(2, 0)] == ""  # empty doc -> one empty chunk
+    assert got[(3, 0)] == "xyz" and (3, 1) not in got
+    assert len(got) == 5
+
+    with pytest.raises(ValueError, match="overlap must be smaller"):
+        chunk_text(df, "text", "doc_id", chunk_chars=4, overlap=4)
