@@ -901,6 +901,50 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_zorder_values(spark, sf):
+    """Morton z-values over two event dimensions
+    (operators/zorder.zorder_value): value bucketed over a fixed
+    [0, 256) range and event_id mod 1024 over [0, 1024), 4 bits each,
+    bit-interleaved — the clustering key behind the z-ordered layout's
+    two-dimensional directory pruning (write_zordered /
+    zorder_range_scan; pruning certified by input-file metrics in
+    test_zorder). Fixed caller-declared ranges make the code pure
+    integer/double arithmetic, so the oracle evaluates the identical
+    closed form term by term."""
+    from platypus_ingestion_plugins_spark.operators.zorder import zorder_value
+
+    ev = _t(spark, sf, "events")
+    z = zorder_value(
+        [
+            (F.col("value"), 0.0, 256.0),
+            (F.pmod(F.col("event_id"), F.lit(1024)).cast("double"), 0.0, 1024.0),
+        ],
+        bits=4,
+    )
+    return ev.select("event_id", z.alias("zval"))
+
+
+def _sql_zorder_values(bits: int = 4) -> str:
+    def bucket(expr: str, mn: float, mx: float) -> str:
+        w = (mx - mn) / float(1 << bits)
+        top = (1 << bits) - 1
+        return (
+            f"greatest(least(CAST(floor(({expr} - {mn!r}) / {w!r}) AS BIGINT), "
+            f"{top}), 0)"
+        )
+
+    b0 = bucket("value", 0.0, 256.0)
+    b1 = bucket("CAST(event_id % 1024 AS DOUBLE)", 0.0, 1024.0)
+    terms = []
+    for j, b in enumerate((b0, b1)):
+        for i in range(bits):
+            terms.append(f"((({b} >> {i}) & 1) << {i * 2 + j})")
+    return f"SELECT event_id, ({' + '.join(terms)}) AS zval FROM events"
+
+
+SQL_ZORDER_VALUES = _sql_zorder_values()
+
+
 def q_chunk_text(spark, sf):
     """RAG-style document chunking (functions/text.chunk_text):
     256-char windows with 64-char overlap (step 192) — every document
@@ -3098,6 +3142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "stream_heavy_hitters": q_stream_heavy_hitters,
         "chunk_text": q_chunk_text,
+        "zorder_values": q_zorder_values,
         "winnow_overlap": q_winnow_overlap,
         "band_index_compact": q_band_index_compact,
         "stream_neardup_dedup": q_stream_neardup_dedup,
@@ -3163,6 +3208,7 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": SQL_TEXT_NORMALIZE,
         "stream_heavy_hitters": SQL_HEAVY_HITTERS_SKETCH,
         "chunk_text": SQL_CHUNK_TEXT,
+        "zorder_values": SQL_ZORDER_VALUES,
         "decontam_flags": SQL_DECONTAM_FLAGS,
         "pii_scrub": SQL_PII_SCRUB,
         "serving_compact": SQL_SERVING_COMPACT,

@@ -181,3 +181,54 @@ def test_expire_partitions_before(spark, tmp_path):
     assert time_range(remaining, "2024-01-01", "2024-01-03").count() == 0
     # idempotent
     assert expire_partitions_before(spark, path, "2024-01-03") == []
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-ordered layout: a rectangle query over TWO dimensions reads
+    only its covering-prefix directories (single-column partitioning
+    can only ever prune one of them), and the pruned scan's result is
+    identical to the full-scan filter."""
+    import glob
+    import random
+
+    from platypus_ingestion_plugins_spark.operators.zorder import (
+        write_zordered,
+        zorder_range_scan,
+    )
+
+    rnd = random.Random(7)
+    rows = [
+        Row(rid=i, x=rnd.uniform(0, 100), y=rnd.uniform(0, 100))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows)
+    path = str(tmp_path / "zordered")
+    specs = [("x", 0.0, 100.0), ("y", 0.0, 100.0)]
+    write_zordered(df, path, specs, bits=5, prefix_bits=4)
+    dirs = glob.glob(f"{path}/zp=*")
+    assert len(dirs) == 16  # full prefix space populated at this n
+
+    rect = [(10.0, 30.0), (60.0, 80.0)]  # selective in BOTH dims
+    got = zorder_range_scan(spark, path, specs, rect, bits=5, prefix_bits=4)
+    expect = {
+        r.rid
+        for r in df.filter(
+            "x >= 10 and x <= 30 and y >= 60 and y <= 80"
+        ).collect()
+    }
+    assert {r.rid for r in got.collect()} == expect and expect
+
+    touched = {
+        r.f.split("/zp=")[1].split("/")[0]
+        for r in got.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    # the rectangle covers ~4% of the plane; its prefix cover must be
+    # a strict minority of directories (both dimensions pruned)
+    assert len(touched) < len(dirs) / 2, (len(touched), len(dirs))
+
+    # degenerate rectangle outside the data range still behaves
+    empty = zorder_range_scan(
+        spark, path, specs, [(200.0, 300.0), (200.0, 300.0)],
+        bits=5, prefix_bits=4,
+    )
+    assert empty.count() == 0
