@@ -901,6 +901,35 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_cap_per_group(spark, sf):
+    """Heavy-tail domain capping (functions/sampling.cap_per_group):
+    every source keeps at most its 15 smallest-hash documents — the
+    absolute-count complement to temperature_mix's rate reweighting.
+    Hash-order membership makes the kept set deterministic across
+    engines, so the oracle reproduces the exact rows, not just the
+    counts."""
+    from platypus_ingestion_plugins_spark.functions.sampling import cap_per_group
+
+    d = _t(spark, sf, "documents")
+    return cap_per_group(d, "doc_id", "source", k=15).select(
+        "doc_id", "source"
+    )
+
+
+SQL_CAP_PER_GROUP = """
+WITH h AS (
+  SELECT doc_id, source,
+         (CAST(('0x' || substr(md5('cap|' || CAST(doc_id AS VARCHAR)), 1, 15))
+           AS BIGINT) / 1152921504606846976.0) AS u
+  FROM documents),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+  FROM h)
+SELECT doc_id, source FROM r WHERE rn <= 15
+"""
+
+
 def q_zorder_values(spark, sf):
     """Morton z-values over two event dimensions
     (operators/zorder.zorder_value): value bucketed over a fixed
@@ -3143,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_heavy_hitters": q_stream_heavy_hitters,
         "chunk_text": q_chunk_text,
         "zorder_values": q_zorder_values,
+        "cap_per_group": q_cap_per_group,
         "winnow_overlap": q_winnow_overlap,
         "band_index_compact": q_band_index_compact,
         "stream_neardup_dedup": q_stream_neardup_dedup,
@@ -3209,6 +3239,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_heavy_hitters": SQL_HEAVY_HITTERS_SKETCH,
         "chunk_text": SQL_CHUNK_TEXT,
         "zorder_values": SQL_ZORDER_VALUES,
+        "cap_per_group": SQL_CAP_PER_GROUP,
         "decontam_flags": SQL_DECONTAM_FLAGS,
         "pii_scrub": SQL_PII_SCRUB,
         "serving_compact": SQL_SERVING_COMPACT,

@@ -23,6 +23,34 @@ from pyspark.sql import functions as F
 _HASH_SPACE = float(16**15)
 
 
+def cap_per_group(
+    df,
+    id_col: str,
+    group_col: str,
+    k: int,
+    salt: str = "cap",
+):
+    """Deterministic fixed-COUNT cap per group: keep each group's k
+    smallest-hash rows — the heavy-tail guard a pretraining mix needs
+    when one domain/source dwarfs the rest (temperature_mix reweights
+    by RATE; this bounds absolute count). Hash-order membership makes
+    the kept set a uniform sample of the group that is stable across
+    reruns, partitionings, and engine (same md5 trick as hash_split),
+    and INCREMENTALLY stable: a group already at its cap only swaps a
+    row out when a new row hashes below one of the kept k, never
+    reshuffles wholesale. One window shuffle on the group; per-group
+    state is the rank counter. Groups under k keep every row."""
+    from pyspark.sql.window import Window
+
+    u = unit_hash(id_col, salt)
+    w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def unit_hash(col: Column | str, salt: str = "") -> Column:
     """Uniform [0,1) hash of a key column (md5, engine-independent).
     Distinct ``salt`` values give independent hash functions — use a

@@ -1460,3 +1460,66 @@ def test_chunk_text_windows(spark):
 
     with pytest.raises(ValueError, match="overlap must be smaller"):
         chunk_text(df, "text", "doc_id", chunk_chars=4, overlap=4)
+
+
+def test_cap_per_group_deterministic(spark):
+    """cap_per_group: binds only above k, kept set is
+    partitioning-invariant, and is incrementally stable (adding rows
+    can swap at most the displaced members, never reshuffle the kept
+    set wholesale)."""
+    from platypus_ingestion_plugins_spark.functions.sampling import cap_per_group
+
+    rows = [Row(doc_id=i, src=f"s{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows)
+    kept = {r.doc_id for r in cap_per_group(df, "doc_id", "src", k=10).collect()}
+    assert len(kept) == 30
+    counts = (
+        cap_per_group(df, "doc_id", "src", k=10)
+        .groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert all(r.n == 10 for r in counts)
+    # under-cap groups keep everything
+    assert cap_per_group(df, "doc_id", "src", k=100).count() == 90
+    # partitioning invariance
+    kept2 = {
+        r.doc_id
+        for r in cap_per_group(df.repartition(17), "doc_id", "src", k=10).collect()
+    }
+    assert kept == kept2
+    # incremental stability: new rows only displace, never reshuffle
+    grown = df.union(spark.createDataFrame([Row(doc_id=i, src=f"s{i % 3}") for i in range(90, 120)]))
+    kept3 = {r.doc_id for r in cap_per_group(grown, "doc_id", "src", k=10).collect()}
+    assert len(kept & kept3) >= 30 - len(kept3 - kept)
+
+
+def test_chunk_text_reconstruction_property(spark):
+    """Property: dropping each chunk's overlap prefix (except the
+    first) and concatenating reproduces the original text exactly —
+    chunking loses nothing and duplicates only the declared overlap."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from platypus_ingestion_plugins_spark.functions.text import chunk_text
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.text(alphabet="abcdef Ωé", max_size=400),
+        st.integers(min_value=2, max_value=50),
+        st.integers(min_value=0, max_value=40),
+    )
+    def check(text, size, overlap):
+        if overlap >= size:
+            overlap = size - 1
+        step = size - overlap
+        df = spark.createDataFrame([Row(doc_id=1, text=text)])
+        chunks = [
+            r.chunk
+            for r in chunk_text(df, "text", "doc_id", size, overlap)
+            .orderBy("chunk_id").collect()
+        ]
+        rebuilt = (chunks[0] if chunks else "") + "".join(
+            c[overlap:] for c in chunks[1:]
+        )
+        assert rebuilt == text, (size, overlap, chunks)
+
+    check()
