@@ -27,6 +27,7 @@ min-of-2, beating both r6 and the <= 2.0 s target.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -85,7 +86,13 @@ def main() -> None:
             print(f"# pass{p} {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
             # queries are independent jobs: drop any cached/checkpointed
             # blocks an operator pinned so later timings aren't distorted
-            # by block-manager pressure from earlier ones
+            # by block-manager pressure from earlier ones. clearCache
+            # only covers cached relations; localCheckpoint blocks are
+            # freed by the JVM ContextCleaner, which waits for the
+            # PYTHON references to die — collect them now so the 90th
+            # query isn't benched against 89 queries of block litter
+            del df
+            gc.collect()
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
