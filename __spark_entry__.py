@@ -901,6 +901,41 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_dataset_diff(spark, sf):
+    """Corpus release diff (operators/diff.dataset_diff): version N =
+    documents minus the doc_id%7 family; version N+1 = documents minus
+    the %11 family with the %5 family's text edited. The diff reports
+    exactly the added/removed/changed keys from ONE (key, hash)
+    full-outer join — payloads never shuffle. The data-release audit
+    you run before retraining on a new cut."""
+    from platypus_ingestion_plugins_spark.operators.diff import dataset_diff
+
+    d = _t(spark, sf, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 0)
+    new = d.filter(F.col("doc_id") % 11 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    return dataset_diff(old, new, "doc_id", compare_cols=["text"])
+
+
+SQL_DATASET_DIFF = """
+WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 0),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text <> n.text THEN 'changed' END AS change
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+SELECT doc_id, change FROM j WHERE change IS NOT NULL
+"""
+
+
 def q_cap_per_group(spark, sf):
     """Heavy-tail domain capping (functions/sampling.cap_per_group):
     every source keeps at most its 15 smallest-hash documents — the
@@ -3121,12 +3156,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order IS verification priority — r8 rotation, VERDICT r7 task #4):
     #   1. the 29 queries cap-skipped in CORRECTNESS_r07 (all r06-green,
     #      now two rounds stale — the verdict's explicit lead list),
-    #   2. queries NEW this round (session_counts) or whose code paths
-    #      changed this round: dedup.py (winnow single-eval checkpoint,
-    #      band-index pin-before-data + heal-merge + compaction dedup)
-    #      -> winnow_overlap, band_index_compact, stream_neardup_dedup,
-    #      dedup/simhash/jaccard family already in section 1;
-    #      multimodal.py (gc_blobs semi-join) -> multimodal_external_meta,
+    #   2. queries NEW this round (session_counts, resample_ffill,
+    #      tar_roundtrip, bloom_decontam, quantile_sketch,
+    #      ivf_append_compact, text_normalize, stream_heavy_hitters,
+    #      chunk_text, zorder_values, cap_per_group) or whose code
+    #      paths changed this round: dedup.py (winnow single-eval
+    #      checkpoint, band-index pin-before-data + heal-merge +
+    #      compaction dedup) -> winnow_overlap, band_index_compact,
+    #      stream_neardup_dedup (dedup/simhash/jaccard family already
+    #      in section 1); multimodal.py (gc_blobs semi-join) ->
+    #      multimodal_external_meta. Sections 1+2 total 44, inside the
+    #      50-cap with six section-3 entries,
     #   3. the remaining r07-green untouched queries — the driver's cap
     #      lands partway through this section; everything below the cap
     #      was verified green in r07 with operator code untouched since.
@@ -3173,6 +3213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": q_chunk_text,
         "zorder_values": q_zorder_values,
         "cap_per_group": q_cap_per_group,
+        "dataset_diff": q_dataset_diff,
         "winnow_overlap": q_winnow_overlap,
         "band_index_compact": q_band_index_compact,
         "stream_neardup_dedup": q_stream_neardup_dedup,
@@ -3240,6 +3281,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_text": SQL_CHUNK_TEXT,
         "zorder_values": SQL_ZORDER_VALUES,
         "cap_per_group": SQL_CAP_PER_GROUP,
+        "dataset_diff": SQL_DATASET_DIFF,
         "decontam_flags": SQL_DECONTAM_FLAGS,
         "pii_scrub": SQL_PII_SCRUB,
         "serving_compact": SQL_SERVING_COMPACT,

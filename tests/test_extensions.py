@@ -1523,3 +1523,48 @@ def test_chunk_text_reconstruction_property(spark):
         assert rebuilt == text, (size, overlap, chunks)
 
     check()
+
+
+def test_dataset_diff_changes(spark):
+    """dataset_diff: added/removed/changed classification, unchanged
+    keys omitted, default compare columns = shared non-key set, and
+    the join plan carries hashes — not payloads."""
+    from platypus_ingestion_plugins_spark.operators.diff import dataset_diff
+
+    old = spark.createDataFrame(
+        [Row(k=1, text="a", lang="en"), Row(k=2, text="b", lang="en"),
+         Row(k=3, text="c", lang="en")]
+    )
+    new = spark.createDataFrame(
+        [Row(k=2, text="b", lang="en"),        # unchanged -> omitted
+         Row(k=3, text="c-edited", lang="en"), # changed
+         Row(k=4, text="d", lang="en")]        # added
+    )
+    got = {r.k: r.change for r in dataset_diff(old, new, "k").collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+
+    # restricting compare_cols ignores drift in other columns
+    new2 = new.withColumn("lang", F.lit("fr"))
+    got2 = {
+        r.k: r.change
+        for r in dataset_diff(old, new2, "k", compare_cols=["text"]).collect()
+    }
+    assert got2 == {1: "removed", 3: "changed", 4: "added"}  # lang drift invisible
+
+    # payloads never cross the join exchange: every Exchange node in
+    # the physical plan carries only the key and the two hash columns
+    import io
+    import re
+    import sys as _sys
+
+    df = dataset_diff(old, new, "k")
+    buf = io.StringIO()
+    stdout, _sys.stdout = _sys.stdout, buf
+    try:
+        df.explain("formatted")
+    finally:
+        _sys.stdout = stdout
+    plan = buf.getvalue()
+    for m in re.finditer(r"\(\d+\) Exchange\n((?:(?!\(\d+\)).*\n)*)", plan):
+        block = m.group(1)
+        assert "text#" not in block and "lang#" not in block, block
