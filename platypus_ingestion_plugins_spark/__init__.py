@@ -9,3 +9,8 @@ broadcast joins for small dims, no driver-side collects in any operator.
 """
 
 __version__ = "0.1.0"
+
+from platypus_ingestion_plugins_spark.config import (  # noqa: F401,E402
+    KafkaIngestionConfig,
+    PaimonIngestionConfig,
+)
