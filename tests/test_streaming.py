@@ -909,3 +909,58 @@ def test_stream_avro_ocf_file_drops(spark, tmp_path):
     drain()
     rows = {(r.id, r.kind) for r in spark.read.parquet(out).collect()}
     assert rows == {(1, "x"), (2, "y"), (3, "z")}
+
+
+def test_avro_ocf_block_range_ownership_property(tmp_path):
+    """Property (pure Python, no Spark): for ANY block layout and ANY
+    partition of the file into byte ranges, the ranges' decodes
+    concatenate to exactly the whole-file record sequence — every
+    block owned by exactly one range, none lost, none doubled. This
+    is the invariant the distributed reader rests on; the Spark test
+    above exercises it through mapInPandas at fixed split sizes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from platypus_ingestion_plugins_spark.sources.avro_ocf import (
+        _SYNC,
+        _decode_block_range,
+        write_ocf,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    evil = _SYNC.decode("utf-8")
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n_records=st.integers(min_value=0, max_value=60),
+        per_block=st.integers(min_value=1, max_value=9),
+        codec=st.sampled_from(["null", "deflate"]),
+        cuts=st.lists(st.integers(min_value=1, max_value=5000), max_size=6),
+        evil_every=st.integers(min_value=2, max_value=9),
+    )
+    def check(n_records, per_block, codec, cuts, evil_every):
+        import pyarrow.fs as pafs
+
+        recs = [
+            {"i": i, "s": (evil * 2 if i % evil_every == 0 else f"row-{i}")}
+            for i in range(n_records)
+        ]
+        blob = write_ocf(recs, schema, codec, records_per_block=per_block)
+        p = tmp_path / "prop.avro"
+        p.write_bytes(blob)
+        fs = pafs.LocalFileSystem()
+        size = len(blob)
+        bounds = sorted({min(c, size) for c in cuts} | {0, size})
+        got = []
+        for s, e in zip(bounds, bounds[1:]):
+            got.extend(_decode_block_range(fs, str(p), s, e))
+        assert got == recs, (n_records, per_block, codec, bounds)
+
+    check()
