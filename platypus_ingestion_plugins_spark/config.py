@@ -58,6 +58,25 @@ def _get_int(config: Mapping[str, Any], path: str, default: int) -> int:
         raise ValueError(f"Invalid integer value for '{path}': {v!r}") from exc
 
 
+def ingestion_config_from(config: Mapping[str, Any]):
+    """Entry point for a WHOLE reference-style config document: the
+    reference wires its plugins from ``pluginConfigs.ingestion.kafka``
+    / ``...ingestion.paimon`` (IngestionConfig.java:41,
+    plugin-metadata.yaml); hand the same parsed YAML here and get the
+    matching typed config back — the one-call migration path for an
+    existing deployment."""
+    ing = config_get(config, "pluginConfigs.ingestion", None)
+    if isinstance(ing, Mapping):
+        if "kafka" in ing:
+            return KafkaIngestionConfig(ing["kafka"])
+        if "paimon" in ing:
+            return PaimonIngestionConfig(ing["paimon"])
+    raise ValueError(
+        "no ingestion plugin configured under pluginConfigs.ingestion "
+        "(expected a 'kafka' or 'paimon' section)"
+    )
+
+
 class KafkaIngestionConfig:
     """IngestionConfig.java parity: same keys, defaults, and
     validation (topic / indexName / bootstrapServers required)."""

@@ -1,0 +1,80 @@
+"""Preset compositions: the standard pretraining-corpus hygiene chain
+assembled from the engine's oracle-verified primitives.
+
+Each stage is independently tested and oracle-checked (see SURVEY §2.7
+for the per-operator evidence); this module encodes the ORDER the
+stages compose in, which is itself load-bearing:
+
+1. normalize BEFORE any hashing — composed vs decomposed spellings
+   would leak past every hash-keyed stage (functions/text.
+   normalize_unicode);
+2. exact dedup before near-dup — hash-identical copies are the cheap
+   90% and shrink the near-dup candidate space (operators/dedup);
+3. near-dup suppression keeps each duplicate group's min-id survivor
+   (minhash_lsh_dedup_pairs → connected_components_star);
+4. quality + repetition filters on the deduped survivors (evaluating
+   them first would waste compute on rows dedup is about to drop);
+5. decontamination LAST — its verdict depends only on content, but
+   running it on the smallest surviving set minimizes the map-side
+   join work (operators/decontam).
+
+All stages are declarative DataFrame transforms; the composition adds
+no collect, no UDF beyond its members' own, and no shuffle the stages
+don't already need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def clean_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    benchmark: DataFrame | None = None,
+    min_quality: float = 0.3,
+    near_dup_threshold: float = 0.8,
+    shingle_n: int = 3,
+    decontam_n: int = 13,
+) -> DataFrame:
+    """The hygiene chain: returns the cleaned corpus (original columns,
+    ``text_col`` NFC-normalized) plus a ``kept_reason``-free contract —
+    every surviving row passed normalization, exact dedup (min-id
+    survivor), near-dup dedup (min-id survivor per LSH group), the
+    quality floor, and (when ``benchmark`` is given) decontamination.
+    """
+    from platypus_ingestion_plugins_spark.functions.text import (
+        normalize_unicode,
+        quality_score,
+    )
+    from platypus_ingestion_plugins_spark.operators import decontam, dedup
+
+    normed = docs.withColumn(text_col, normalize_unicode(text_col))
+
+    # exact: keep each content group's min-id row
+    survivors = (
+        normed.groupBy(F.sha2(F.col(text_col), 256).alias("__sha"))
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__sha")
+    )
+    deduped = normed.join(survivors, id_col, "left_semi")
+
+    # near-dup: LSH pairs -> components -> keep group minimum
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        deduped, text_col, id_col, n=shingle_n, threshold=near_dup_threshold
+    )
+    groups = dedup.connected_components_star(
+        pairs, nodes=deduped.select(id_col), id_col=id_col
+    )
+    keep = groups.filter(F.col(id_col) == F.col("group_id")).select(id_col)
+    deduped = deduped.join(keep, id_col, "left_semi")
+
+    cleaned = deduped.filter(quality_score(text_col) >= min_quality)
+
+    if benchmark is not None:
+        cleaned = decontam.decontaminate(
+            cleaned, benchmark, text_col, id_col, n=decontam_n
+        )
+    return cleaned

@@ -123,3 +123,75 @@ def test_paimon_config_drives_pipeline_end_to_end(spark, tmp_path):
     pipe.run_available()
     got = {r.id: r.title for r in spark.read.parquet(cfg.index_path()).collect()}
     assert got == {"a": "v2"}
+
+
+def test_ingestion_config_from_full_document():
+    """Whole-document dispatch: the reference's YAML shape
+    (pluginConfigs.ingestion.<plugin>) resolves to the right typed
+    config; an empty/unknown section fails loudly."""
+    from platypus_ingestion_plugins_spark.config import ingestion_config_from
+
+    kafka_doc = {
+        "pluginConfigs": {
+            "ingestion": {
+                "kafka": {"topic": "t", "indexName": "idx"},
+            }
+        }
+    }
+    assert isinstance(ingestion_config_from(kafka_doc), KafkaIngestionConfig)
+
+    paimon_doc = {
+        "pluginConfigs": {
+            "ingestion": {
+                "paimon": {
+                    "database.name": "db",
+                    "table.name": "docs",
+                    "target.index.name": "idx",
+                    "warehouse.path": "/tmp/wh",
+                }
+            }
+        }
+    }
+    assert isinstance(ingestion_config_from(paimon_doc), PaimonIngestionConfig)
+
+    with pytest.raises(ValueError, match="no ingestion plugin configured"):
+        ingestion_config_from({"pluginConfigs": {"ingestion": {}}})
+    with pytest.raises(ValueError, match="no ingestion plugin configured"):
+        ingestion_config_from({})
+
+
+def test_clean_corpus_composition(spark):
+    """pipelines.clean_corpus: normalization collapses spelling
+    variants into the exact-dedup stage, near-dups keep the min-id
+    survivor, low-quality rows drop, and benchmark-contaminated docs
+    are removed — one call, the full hygiene chain."""
+    from platypus_ingestion_plugins_spark.pipelines import clean_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    good = base.replace("a", "\u00e1")          # composed a-acute
+    decomposed = base.replace("a", "a\u0301")   # same visible text, decomposed
+    rows = [
+        Row(doc_id=1, text=good),
+        Row(doc_id=2, text=decomposed),  # NFC-normalizes to exactly doc 1
+        Row(doc_id=3, text=good + " extra"),               # near-dup of 1
+        Row(doc_id=4, text="!!! ??? ### $$$ %%% ^^^ &&&"), # quality reject
+        Row(doc_id=5, text="completely different words about benchmark leakage "
+                           "that match the eval set exactly word for word here"),
+        Row(doc_id=6, text="an independent document with its own vocabulary "
+                           "talking about sailing ships and ocean weather"),
+    ]
+    docs = spark.createDataFrame(rows)
+    bench = spark.createDataFrame([rows[4]])  # doc 5 is the eval set
+
+    kept = {
+        r.doc_id
+        for r in clean_corpus(
+            docs, benchmark=bench, near_dup_threshold=0.5, decontam_n=5
+        ).collect()
+    }
+    assert 1 in kept        # exact-group survivor (doc 2 normalized == doc 1)
+    assert 2 not in kept    # spelling variant deduped via normalization
+    assert 3 not in kept    # near-dup suppressed
+    assert 4 not in kept    # quality floor
+    assert 5 not in kept    # contaminated
+    assert 6 in kept        # clean independent doc survives
