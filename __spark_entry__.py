@@ -1009,6 +1009,88 @@ def _sql_zorder_values(bits: int = 4) -> str:
 SQL_ZORDER_VALUES = _sql_zorder_values()
 
 
+def q_stream_quantiles(spark, sf):
+    """Streaming quantile-sketch maintenance
+    (functions/sketches.bottomk_merge_into): events arrive in two
+    drops; each micro-batch's bottom-k hash sample merges with the
+    accumulated state (union + re-bottom-k — membership depends only
+    on each row's own hash, so the merged sample EQUALS the one-shot
+    bottom-k over the whole stream) under the shared epoch-pinned
+    crash-safe commit. The read-back quantiles therefore match the
+    batch oracle exactly — always-current percentiles at k rows of
+    state on an unbounded stream."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.functions.sketches import (
+        bottomk_merge_into,
+        sketch_read,
+    )
+
+    ev = _t(spark, sf, "events")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    work = _stream_scratch("stream_bk_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src = os.path.join(work, "src")
+        ckpt = os.path.join(work, "ckpt")
+        state = os.path.join(work, "sample")
+        ev.filter(F.col("event_id") <= mid).select("event_id", "value") \
+            .coalesce(4).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def run_available():
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 100)
+                .parquet(src)
+                .writeStream.foreachBatch(
+                    lambda b, bid: bottomk_merge_into(
+                        b, "event_id", "value", state, k=256, batch_id=bid
+                    )
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_available()
+        ev.filter(F.col("event_id") > mid).select("event_id", "value") \
+            .coalesce(4).write.mode("append").parquet(src)
+        run_available()
+
+        sample = sketch_read(spark, state)
+        out = sample.agg(
+            F.round(F.percentile("v", F.lit(0.25)), 6).alias("q_0_25"),
+            F.round(F.percentile("v", F.lit(0.5)), 6).alias("q_0_5"),
+            F.round(F.percentile("v", F.lit(0.95)), 6).alias("q_0_95"),
+            F.count(F.lit(1)).alias("n_sample"),
+        ).localCheckpoint(eager=True)
+        shutil.rmtree(work, ignore_errors=True)
+        return out
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+SQL_STREAM_QUANTILES = """
+WITH h AS (
+  SELECT value,
+         (CAST(('0x' || substr(md5('bottomk|' || CAST(event_id AS VARCHAR)), 1, 15))
+           AS BIGINT) / 1152921504606846976.0) AS u
+  FROM events),
+s AS (SELECT value FROM h ORDER BY u, value LIMIT 256)
+SELECT round(quantile_cont(value, 0.25), 6) AS q_0_25,
+       round(quantile_cont(value, 0.5), 6) AS q_0_5,
+       round(quantile_cont(value, 0.95), 6) AS q_0_95,
+       count(*) AS n_sample
+FROM s
+"""
+
+
 def q_chunk_text(spark, sf):
     """RAG-style document chunking (functions/text.chunk_text):
     256-char windows with 64-char overlap (step 192) — every document
@@ -3210,6 +3292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_append_compact": q_ivf_append_compact,
         "text_normalize": q_text_normalize,
         "stream_heavy_hitters": q_stream_heavy_hitters,
+        "stream_quantiles": q_stream_quantiles,
         "chunk_text": q_chunk_text,
         "zorder_values": q_zorder_values,
         "cap_per_group": q_cap_per_group,
@@ -3278,6 +3361,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_append_compact": SQL_IVF_APPEND_COMPACT,
         "text_normalize": SQL_TEXT_NORMALIZE,
         "stream_heavy_hitters": SQL_HEAVY_HITTERS_SKETCH,
+        "stream_quantiles": SQL_STREAM_QUANTILES,
         "chunk_text": SQL_CHUNK_TEXT,
         "zorder_values": SQL_ZORDER_VALUES,
         "cap_per_group": SQL_CAP_PER_GROUP,

@@ -90,14 +90,50 @@ def countmin_counters(df, col: str, depth: int = 4, width: int = 256):
     )
 
 
-def _countmin_heal(spark, path: str) -> None:
-    """Promote a parked counter table left by a crash mid-swap: the
+def _sketch_heal(spark, path: str) -> None:
+    """Promote a parked sketch table left by a crash mid-swap: the
     park is the only durable copy once the main dir is gone."""
     from .. import fs as _fs
 
     park = path + ".old"
     if not _fs.exists(spark, path) and _fs.exists(spark, park):
         _fs._rename_or_raise(spark, park, path)
+
+
+def _merge_sketch_into(batch, path: str, merge_fn, batch_id: int | None) -> None:
+    """The shared streaming-maintenance commit for ANY mergeable
+    sketch: ``merge_fn(batch, prev_or_None) -> merged state frame``,
+    written stage-then-park-swap so a crash leaves either the old or
+    the new state, never a torn mix (heal on the next merge/read).
+    Sketch merges are generally NOT idempotent (ADD double-counts,
+    bottom-k tolerates but shouldn't pay replays), so the foreachBatch
+    ``batch_id`` is pinned in an ``_epoch`` file INSIDE the swapped
+    directory — the same atomic unit as the state — and a replayed
+    batch with ``batch_id <= pinned`` is skipped: at-least-once
+    delivery becomes exactly-once sketch state."""
+    from .. import fs as _fs
+
+    spark = batch.sparkSession
+    _sketch_heal(spark, path)
+    if batch_id is not None and _fs.exists(spark, f"{path}/_epoch"):
+        pinned = _fs.read_text(spark, f"{path}/_epoch")
+        if pinned is not None and batch_id <= int(pinned):
+            return  # replayed batch: already folded in
+    prev = spark.read.parquet(path) if _fs.exists(spark, path) else None
+    merged = merge_fn(batch, prev)
+    staging = path + ".staging"
+    park = path + ".old"
+    _fs.delete(spark, staging)
+    # coalesce(1): sketch state is KBs by construction — one file
+    # keeps the per-batch read-back a single-split scan
+    merged.coalesce(1).write.parquet(staging)
+    if batch_id is not None:
+        _fs.write_text(spark, f"{staging}/_epoch", str(batch_id))
+    _fs.delete(spark, park)
+    if _fs.exists(spark, path):
+        _fs._rename_or_raise(spark, path, park)
+    _fs._rename_or_raise(spark, staging, path)
+    _fs.delete(spark, park)
 
 
 def countmin_merge_into(
@@ -113,55 +149,62 @@ def countmin_merge_into(
     shape the sketch's algebraic merge exists for. Per batch: one
     bounded aggregate over the batch (depth*width cells), elementwise
     ADD with the previous state (depth*width rows read back — KBs, not
-    stream-sized), stage-then-park-swap commit so a crash leaves
-    either the old or the new counters, never a torn mix (heal on the
-    next merge/read).
+    stream-sized), under the shared epoch-pinned stage-park-swap
+    commit (``_merge_sketch_into``). Result: the accumulated table
+    always equals the one-shot batch sketch over everything ingested
+    (the oracle's check)."""
 
-    ADD is not idempotent, so at-least-once replay would double-count
-    a batch whose commit raced a crash; pass the foreachBatch
-    ``batch_id`` and it is pinned in an ``_epoch`` file INSIDE the
-    swapped directory — part of the same atomic unit as the counters —
-    and a replayed batch with ``batch_id <= pinned`` is skipped.
-    Result: the accumulated table always equals the one-shot batch
-    sketch over everything ingested (the oracle's check)."""
-    from .. import fs as _fs
-
-    spark = batch.sparkSession
-    _countmin_heal(spark, path)
-    if batch_id is not None and _fs.exists(spark, f"{path}/_epoch"):
-        pinned = _fs.read_text(spark, f"{path}/_epoch")
-        if pinned is not None and batch_id <= int(pinned):
-            return  # replayed batch: already folded in
-    new = countmin_counters(batch, col, depth, width)
-    if _fs.exists(spark, path):
-        prev = spark.read.parquet(path)
-        merged = (
-            prev.unionByName(new)
-            .groupBy("i", "b")
-            .agg(F.sum("c").alias("c"))
+    def merge(b, prev):
+        new = countmin_counters(b, col, depth, width)
+        if prev is None:
+            return new
+        return (
+            prev.unionByName(new).groupBy("i", "b").agg(F.sum("c").alias("c"))
         )
-    else:
-        merged = new
-    staging = path + ".staging"
-    park = path + ".old"
-    _fs.delete(spark, staging)
-    # coalesce(1): the state is depth*width rows — one file keeps the
-    # per-batch read-back a single-split scan
-    merged.coalesce(1).write.parquet(staging)
-    if batch_id is not None:
-        _fs.write_text(spark, f"{staging}/_epoch", str(batch_id))
-    _fs.delete(spark, park)
-    if _fs.exists(spark, path):
-        _fs._rename_or_raise(spark, path, park)
-    _fs._rename_or_raise(spark, staging, path)
-    _fs.delete(spark, park)
+
+    _merge_sketch_into(batch, path, merge, batch_id)
 
 
-def countmin_read(spark, path: str):
-    """The accumulated counter table (heal-on-read): feed to
-    ``countmin_estimate`` exactly like a one-shot batch sketch."""
-    _countmin_heal(spark, path)
+def bottomk_merge_into(
+    batch,
+    key_col: str,
+    value_col: str,
+    path: str,
+    k: int = 512,
+    salt: str = "bottomk",
+    batch_id: int | None = None,
+) -> None:
+    """``foreachBatch`` body for the quantile sketch: keep the k
+    smallest-hash (u, value) rows across everything ingested — union
+    the batch's bottom-k with the previous state and re-take the
+    bottom k (membership depends only on each row's own hash, so the
+    merged sample equals the one-shot bottom-k over the whole stream).
+    State is k rows; same epoch-pinned crash-safe commit as the
+    count-min maintenance. Read back with ``sketch_read`` and
+    aggregate ``F.percentile`` over it (or reuse
+    ``bottomk_quantiles``'s aggs) for always-current quantiles."""
+    from ..functions.sampling import unit_hash
+
+    def merge(b, prev):
+        new = b.select(
+            unit_hash(key_col, salt).alias("u"), F.col(value_col).alias("v")
+        )
+        if prev is not None:
+            new = new.unionByName(prev)
+        return new.orderBy("u", "v").limit(k)
+
+    _merge_sketch_into(batch, path, merge, batch_id)
+
+
+def sketch_read(spark, path: str):
+    """The accumulated sketch state (heal-on-read): counters for
+    ``countmin_estimate``, or the (u, v) sample for quantiles."""
+    _sketch_heal(spark, path)
     return spark.read.parquet(path)
+
+
+# back-compat name for the count-min reader
+countmin_read = sketch_read
 
 
 def bottomk_quantiles(

@@ -243,3 +243,41 @@ def test_countmin_streaming_merge_idempotent_and_heals(spark, tmp_path):
     os.rename(path, path + ".old")
     healed = {(r.i, r.b): r.c for r in countmin_read(spark, path).collect()}
     assert healed == onehot and os.path.exists(path)
+
+
+def test_bottomk_streaming_merge(spark, tmp_path):
+    """bottomk_merge_into: two merged batches equal the one-shot
+    bottom-k sample (hash membership is batch-split independent), a
+    replayed batch is epoch-skipped, and crash-heal promotes the
+    park — the quantile twin of the count-min maintenance."""
+    import os
+
+    from pyspark.sql import Row
+
+    from platypus_ingestion_plugins_spark.functions.sampling import unit_hash
+    from platypus_ingestion_plugins_spark.functions.sketches import (
+        bottomk_merge_into,
+        sketch_read,
+    )
+
+    rows = [Row(rid=i, v=float(i * 3 % 101)) for i in range(500)]
+    df = spark.createDataFrame(rows)
+    path = str(tmp_path / "bk")
+    bottomk_merge_into(df.filter("rid < 250"), "rid", "v", path, k=64, batch_id=0)
+    bottomk_merge_into(df.filter("rid >= 250"), "rid", "v", path, k=64, batch_id=1)
+
+    oneshot = sorted(
+        (r.u, r.v)
+        for r in df.select(unit_hash("rid", "bottomk").alias("u"), "v")
+        .orderBy("u", "v").limit(64).collect()
+    )
+    got = sorted((r.u, r.v) for r in sketch_read(spark, path).collect())
+    assert got == oneshot
+
+    # replay is a no-op
+    bottomk_merge_into(df.filter("rid >= 250"), "rid", "v", path, k=64, batch_id=1)
+    assert sorted((r.u, r.v) for r in sketch_read(spark, path).collect()) == oneshot
+
+    # crash-heal
+    os.rename(path, path + ".old")
+    assert sorted((r.u, r.v) for r in sketch_read(spark, path).collect()) == oneshot
