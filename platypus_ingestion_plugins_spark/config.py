@@ -159,6 +159,13 @@ class PaimonIngestionConfig:
         self.sharding_config = dict(config_get(config, "sharding", {}) or {})
         self.index_key = config_get(config, "index.key", "id")
         self.index_buckets = _get_int(config, "index.buckets", 0)
+        # the kafka plugin's autoRegisterFields contract, available on
+        # the CDC path too: False makes the registered index schema a
+        # contract (unknown batch columns refuse to ingest)
+        self.auto_register_fields = (
+            str(config_get(config, "index.auto.register.fields", True)).lower()
+            == "true"
+        )
         self.max_files_per_trigger = _get_int(
             config, "spark.max.files.per.trigger", 10
         )
@@ -230,6 +237,7 @@ class PaimonIngestionConfig:
             self.index_path(),
             key=self.index_key,
             num_buckets=self.index_buckets,
+            auto_register_fields=self.auto_register_fields,
         )
         return CdcStreamingPipeline(
             spark,

@@ -57,11 +57,25 @@ SWAP_MARKER = "_PARTIAL_BUCKET_SWAP"
 class ServingTable:
     """A queryable, upsertable materialized table at ``path``."""
 
-    def __init__(self, spark: SparkSession, path: str, key: str | list[str], num_buckets: int = 0):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str | list[str],
+        num_buckets: int = 0,
+        auto_register_fields: bool = True,
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.key = [key] if isinstance(key, str) else list(key)
         self.num_buckets = num_buckets
+        # reference parity (IngestionConfig.autoRegisterFields,
+        # default FALSE there): with auto-register ON (our default —
+        # schema evolution is the lakehouse norm) a batch carrying new
+        # columns widens the table; with it OFF the registered sidecar
+        # schema is a CONTRACT and an unknown column is an ingest
+        # error, caught before any data lands
+        self.auto_register_fields = auto_register_fields
 
     @property
     def _staging(self) -> str:
@@ -140,6 +154,27 @@ class ServingTable:
         """The commit log (oldest first); empty for a fresh table."""
         raw = fs.read_text(self.spark, f"{self.path}/_commits.json")
         return json.loads(raw) if raw else []
+
+    def _check_registered_fields(self, changelog: DataFrame) -> None:
+        """auto_register_fields=False contract: a changelog column
+        absent from the registered sidecar schema (ignoring CDC
+        bookkeeping columns) is an error, raised BEFORE any merge work
+        or data lands — mirroring the reference's refusal to index
+        unregistered fields when auto-registration is off."""
+        if self.auto_register_fields:
+            return
+        schema_json = fs.read_text(self.spark, f"{self.path}/_schema.json")
+        if schema_json is None:
+            return  # first-ever batch REGISTERS the schema
+        known = {f.name for f in T.StructType.fromJson(json.loads(schema_json))}
+        internal = {BUCKET_COL, "_row_kind", "_seq", "_is_poison", "_snapshot"}
+        unknown = sorted(set(changelog.columns) - known - internal)
+        if unknown:
+            raise ValueError(
+                f"auto_register_fields is off and the batch carries "
+                f"unregistered column(s) {unknown}; registered schema: "
+                f"{sorted(known)}"
+            )
 
     def _write_schema(self, schema: T.StructType, at: str | None = None) -> None:
         """Persist the data schema so a fully-emptied table (every key
@@ -222,6 +257,7 @@ class ServingTable:
         DataFrame belongs to a cloned SparkSession whose listener bus
         never delivers the observation, so ``Observation.get`` blocks
         forever — don't reintroduce it.)"""
+        self._check_registered_fields(changelog)
         current = self.read()
         if current is None or not self.num_buckets:
             if current is not None and BUCKET_COL in current.columns:

@@ -479,3 +479,36 @@ def test_commit_log_retention_caps_entries(spark, tmp_path):
     assert len(log) == 1000
     assert log[-1]["commit_id"] == 1000  # advanced past the seeded head
     assert log[0]["commit_id"] == 1  # oldest record aged out
+
+
+def test_auto_register_fields_off_rejects_unknown_columns(spark, tmp_path):
+    """Reference parity (IngestionConfig.autoRegisterFields=false):
+    with auto-registration off the sidecar schema is a contract — a
+    batch carrying an unregistered column is refused BEFORE any data
+    lands; the permissive default still widens."""
+    import pytest
+    from pyspark.sql import Row
+
+    strict = ServingTable(
+        spark, str(tmp_path / "strict"), key="id", auto_register_fields=False
+    )
+    first = spark.createDataFrame(
+        [Row(_seq=1, _row_kind="+I", id="a", title="v1")]
+    )
+    strict.apply_batch(first)  # first batch REGISTERS the schema
+    assert {r.id for r in strict.query().collect()} == {"a"}
+
+    widened = spark.createDataFrame(
+        [Row(_seq=2, _row_kind="+I", id="b", title="v1", extra="nope")]
+    )
+    with pytest.raises(ValueError, match=r"unregistered column\(s\) \['extra'\]"):
+        strict.apply_batch(widened)
+    # nothing landed: table unchanged
+    assert {r.id for r in strict.query().collect()} == {"a"}
+
+    # the permissive default widens as before
+    loose = ServingTable(spark, str(tmp_path / "loose"), key="id")
+    loose.apply_batch(first)
+    loose.apply_batch(widened)
+    rows = {r.id: r.asDict().get("extra") for r in loose.query().collect()}
+    assert rows == {"a": None, "b": "nope"}
