@@ -1377,6 +1377,40 @@ SELECT doc_id, count(*) AS n_flagged_grams FROM hits GROUP BY doc_id
 SQL_BLOOM_DECONTAM = _sql_bloom_decontam()
 
 
+def q_jsonl_roundtrip(spark, sf):
+    """JSONL shard export + typed read-back under the oracle
+    (operators/export.export_jsonl_shards/read_jsonl_shards): the
+    corpus lands as gzip JSONL shards in deterministic permutation
+    order (JVM-side to_json, no Python) and the read-back must
+    reproduce every (doc_id, text, lang) exactly against the source
+    table — the lingua-franca LLM data-drop format round-tripped
+    bit-for-bit."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.operators.export import (
+        export_jsonl_shards,
+        read_jsonl_shards,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    work = _stream_scratch("jsonl_exp_")
+    out = os.path.join(work, "jsonl")
+    try:
+        export_jsonl_shards(docs, out, "doc_id", n_shards=8)
+        _keep_until_exit(work, keep=out)
+        return read_jsonl_shards(
+            spark, out, "doc_id long, text string, lang string"
+        )
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT doc_id, text, lang FROM documents
+"""
+
+
 def q_tar_roundtrip(spark, sf):
     """WebDataset-style tar shard export + streaming read-back under
     the oracle (operators/export.export_tar_shards/read_tar_shards):
@@ -3288,6 +3322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_counts": q_session_counts,
         "resample_ffill": q_resample_ffill,
         "tar_roundtrip": q_tar_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "bloom_decontam": q_bloom_decontam,
         "quantile_sketch": q_quantile_sketch,
         "ivf_append_compact": q_ivf_append_compact,
@@ -3357,6 +3392,7 @@ def oracle_sql() -> dict[str, str]:
         "session_counts": SQL_SESSION_COUNTS,
         "resample_ffill": SQL_RESAMPLE_FFILL,
         "tar_roundtrip": SQL_TAR_ROUNDTRIP,
+        "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
         "bloom_decontam": SQL_BLOOM_DECONTAM,
         "quantile_sketch": SQL_QUANTILE_SKETCH,
         "ivf_append_compact": SQL_IVF_APPEND_COMPACT,

@@ -167,6 +167,55 @@ def export_shuffled(
     writer.parquet(out_path)
 
 
+def export_jsonl_shards(
+    df: DataFrame,
+    out_path: str,
+    key: str,
+    n_shards: int,
+    salt: str = "shuffle",
+    compression: str | None = "gzip",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write the corpus as JSONL shards — the lingua-franca LLM data
+    drop (``out_path/shard=K/*.json[.gz]``, one JSON object per line,
+    rows within each shard in the deterministic permutation order).
+    Same layout contract as ``export_shuffled``: shard = a contiguous
+    range of the hash order (so concatenating shard dirs in name order
+    replays the global permutation) and ``maxRecordsPerFile`` splits
+    the sorted stream sequentially, preserving order. Serialization is
+    JVM-side ``to_json`` over the full row struct — no Python in the
+    path; gzip (default) trades CPU for the ~5-10× text shrink a
+    100 TB JSONL drop needs in transit."""
+    cols = [c for c in df.columns]
+    out = (
+        shuffle_assign(df, key, n_shards, salt)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", ORDER_COL, key)
+        .select(
+            "shard",
+            F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"),
+        )
+    )
+    writer = out.write.mode("overwrite").partitionBy("shard")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(out_path)
+
+
+def read_jsonl_shards(spark, path: str, schema) -> DataFrame:
+    """Typed read-back of an ``export_jsonl_shards`` layout: the text
+    source decompresses transparently, ``from_json`` restores the
+    declared schema JVM-side. Shard dirs remain individually
+    addressable (``.../shard=3``) for per-shard loaders."""
+    return (
+        spark.read.text(f"{path}/shard=*/")
+        .select(F.from_json("value", schema).alias("r"))
+        .select("r.*")
+    )
+
+
 def _tar_fs(path: str):
     """(pyarrow FileSystem, fs-local path) — local or URI."""
     import pyarrow.fs as pafs

@@ -1568,3 +1568,41 @@ def test_dataset_diff_changes(spark):
     for m in re.finditer(r"\(\d+\) Exchange\n((?:(?!\(\d+\)).*\n)*)", plan):
         block = m.group(1)
         assert "text#" not in block and "lang#" not in block, block
+
+
+def test_jsonl_shard_export_order_and_roundtrip(spark, tmp_path):
+    """export_jsonl_shards: gzip JSONL shards whose in-file line order
+    follows the deterministic permutation (concatenating shard dirs in
+    name order replays shuffle_positions exactly), typed read-back
+    reproduces every row."""
+    import glob
+    import gzip
+    import json as _json
+
+    from platypus_ingestion_plugins_spark.operators.export import (
+        export_jsonl_shards,
+        read_jsonl_shards,
+        shuffle_positions,
+    )
+
+    rows = [Row(doc_id=i, text=f"doc {i}") for i in range(120)]
+    df = spark.createDataFrame(rows)
+    out = str(tmp_path / "jsonl")
+    export_jsonl_shards(df, out, "doc_id", n_shards=4)
+
+    files = sorted(glob.glob(f"{out}/shard=*/part-*"))
+    assert files and all(f.endswith(".gz") for f in files)
+    # concatenated (shard, file) name order == the materialized permutation
+    seq = []
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            seq.extend(_json.loads(line)["doc_id"] for line in fh)
+    expect = [
+        r.doc_id
+        for r in shuffle_positions(df, "doc_id", 4).orderBy("shard", "pos").collect()
+    ]
+    assert seq == expect
+
+    back = read_jsonl_shards(spark, out, "doc_id long, text string")
+    got = {(r.doc_id, r.text) for r in back.collect()}
+    assert got == {(r.doc_id, r.text) for r in rows}
