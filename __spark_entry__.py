@@ -1377,6 +1377,46 @@ SELECT doc_id, count(*) AS n_flagged_grams FROM hits GROUP BY doc_id
 SQL_BLOOM_DECONTAM = _sql_bloom_decontam()
 
 
+def q_model_score(spark, sf):
+    """Model-inference hosting plumbing
+    (functions/inference.score_with): per-task model init + Arrow-
+    batched scoring + full-row passthrough, driven by the
+    deterministic md5 stand-in model (hash_scorer) so batching, row
+    alignment, and passthrough are ORACLE-CHECKED rather than trusted
+    — the scaffold a real quality classifier / reward model drops
+    into. Output: every document with its score, filtered to the
+    'keep' band like a real scoring pass would."""
+    from platypus_ingestion_plugins_spark.functions.inference import (
+        hash_scorer,
+        score_with,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    init_calls = {"n": 0}
+
+    def init():
+        init_calls["n"] += 1  # executor-side; cheap marker object
+        return object()
+
+    scored = score_with(
+        d, ["text"], [("score", "double")],
+        hash_scorer("text", "score"), init=init,
+    )
+    return scored.filter(F.col("score") >= 0.2).select(
+        "doc_id", "lang", F.round("score", 6).alias("score")
+    )
+
+
+SQL_MODEL_SCORE = """
+WITH s AS (
+  SELECT doc_id, lang,
+         (CAST(('0x' || substr(md5('model|' || coalesce(text, '')), 1, 15))
+           AS BIGINT) / 1152921504606846976.0) AS score
+  FROM documents)
+SELECT doc_id, lang, round(score, 6) AS score FROM s WHERE score >= 0.2
+"""
+
+
 def q_jsonl_roundtrip(spark, sf):
     """JSONL shard export + typed read-back under the oracle
     (operators/export.export_jsonl_shards/read_jsonl_shards): the
@@ -3323,6 +3363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_ffill": q_resample_ffill,
         "tar_roundtrip": q_tar_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "model_score": q_model_score,
         "bloom_decontam": q_bloom_decontam,
         "quantile_sketch": q_quantile_sketch,
         "ivf_append_compact": q_ivf_append_compact,
@@ -3393,6 +3434,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_ffill": SQL_RESAMPLE_FFILL,
         "tar_roundtrip": SQL_TAR_ROUNDTRIP,
         "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
+        "model_score": SQL_MODEL_SCORE,
         "bloom_decontam": SQL_BLOOM_DECONTAM,
         "quantile_sketch": SQL_QUANTILE_SKETCH,
         "ivf_append_compact": SQL_IVF_APPEND_COMPACT,

@@ -21,6 +21,8 @@ from platypus_ingestion_plugins_spark.operators.export import (  # noqa: F401
     materialize_packs,
     export_tar_shards,
     read_tar_shards,
+    export_jsonl_shards,
+    read_jsonl_shards,
 )
 from platypus_ingestion_plugins_spark.operators.resample import (  # noqa: F401
     resample_last_ffill,

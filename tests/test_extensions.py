@@ -1606,3 +1606,51 @@ def test_jsonl_shard_export_order_and_roundtrip(spark, tmp_path):
     back = read_jsonl_shards(spark, out, "doc_id long, text string")
     got = {(r.doc_id, r.text) for r in back.collect()}
     assert got == {(r.doc_id, r.text) for r in rows}
+
+
+def test_score_with_init_once_and_alignment(spark):
+    """score_with: init() runs once per TASK (not per batch/row),
+    outputs stay row-aligned across multiple Arrow batches, all input
+    columns pass through, and null text is handled."""
+    from platypus_ingestion_plugins_spark.functions.inference import (
+        hash_scorer,
+        score_with,
+    )
+
+    n = 5000  # > arrow batch size (default 10k? force batches via conf)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+    try:
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=(None if i % 997 == 0 else f"t{i}"), extra=i * 2)
+             for i in range(n)]
+        ).repartition(4)
+
+        def init():
+            import os as _os
+
+            return ("model", _os.getpid())
+
+        def scorer(model, pdf):
+            import pandas as pd
+
+            assert model[0] == "model"  # the init()-built object arrives
+            return pd.DataFrame(
+                {"score": pdf["text"].map(lambda t: float(len(t or "")))}
+            )
+
+        out = score_with(df, ["text"], [("score", "double")], scorer, init=init)
+        rows = out.collect()
+        assert len(rows) == n
+        for r in rows[:200]:
+            expected = 0.0 if r.text is None else float(len(r.text))
+            assert r.score == expected and r.extra == r.doc_id * 2
+
+        # deterministic stand-in is partitioning-invariant
+        a = {(r.doc_id, r.score) for r in score_with(
+            df, ["text"], [("score", "double")], hash_scorer("text")).collect()}
+        b = {(r.doc_id, r.score) for r in score_with(
+            df.repartition(11), ["text"], [("score", "double")],
+            hash_scorer("text")).collect()}
+        assert a == b
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
