@@ -3313,17 +3313,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   1. the 29 queries cap-skipped in CORRECTNESS_r07 (all r06-green,
     #      now two rounds stale — the verdict's explicit lead list),
     #   2. queries NEW this round (session_counts, resample_ffill,
-    #      tar_roundtrip, bloom_decontam, quantile_sketch,
-    #      ivf_append_compact, text_normalize, stream_heavy_hitters,
-    #      stream_quantiles, chunk_text, zorder_values, cap_per_group,
-    #      dataset_diff) or whose code paths changed this round:
-    #      dedup.py (winnow single-eval checkpoint, band-index
-    #      pin-before-data + heal-merge + compaction dedup) ->
-    #      winnow_overlap, band_index_compact, stream_neardup_dedup
-    #      (dedup/simhash/jaccard family already in section 1);
-    #      multimodal.py (gc_blobs semi-join) ->
-    #      multimodal_external_meta. Sections 1+2 total 46, inside the
-    #      50-cap with four section-3 entries,
+    #      tar_roundtrip, jsonl_roundtrip, model_score, bloom_decontam,
+    #      quantile_sketch, ivf_append_compact, text_normalize,
+    #      stream_heavy_hitters, stream_quantiles, chunk_text,
+    #      zorder_values, cap_per_group, dataset_diff) or whose code
+    #      paths changed this round: dedup.py (winnow single-eval
+    #      checkpoint, band-index pin-before-data + heal-merge +
+    #      compaction dedup) -> winnow_overlap, band_index_compact,
+    #      stream_neardup_dedup (dedup/simhash/jaccard family already
+    #      in section 1); multimodal.py (gc_blobs semi-join) ->
+    #      multimodal_external_meta. Sections 1+2 total 48, inside the
+    #      50-cap with two section-3 entries,
     #   3. the remaining r07-green untouched queries — the driver's cap
     #      lands partway through this section; everything below the cap
     #      was verified green in r07 with operator code untouched since.
