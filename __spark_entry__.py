@@ -1392,15 +1392,11 @@ def q_model_score(spark, sf):
     )
 
     d = _t(spark, sf, "documents").select("doc_id", "text", "lang")
-    init_calls = {"n": 0}
-
-    def init():
-        init_calls["n"] += 1  # executor-side; cheap marker object
-        return object()
-
+    # init-once-per-task is pinned by test_score_with_init_once_and_alignment;
+    # here a marker object stands in for the weight load
     scored = score_with(
         d, ["text"], [("score", "double")],
-        hash_scorer("text", "score"), init=init,
+        hash_scorer("text", "score"), init=lambda: object(),
     )
     return scored.filter(F.col("score") >= 0.2).select(
         "doc_id", "lang", F.round("score", 6).alias("score")
