@@ -38,6 +38,7 @@ def clean_corpus(
     near_dup_threshold: float = 0.8,
     shingle_n: int = 3,
     decontam_n: int = 13,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """The hygiene chain: returns the cleaned corpus (original columns,
     ``text_col`` NFC-normalized) plus a ``kept_reason``-free contract —
@@ -62,8 +63,11 @@ def clean_corpus(
     deduped = normed.join(survivors, id_col, "left_semi")
 
     # near-dup: LSH pairs -> components -> keep group minimum
+    # at corpus scale SET max_shingle_df: one boilerplate phrase shared
+    # by 10^6 docs is 10^12 candidate pairs without the hot-key cap
     pairs = dedup.minhash_lsh_dedup_pairs(
-        deduped, text_col, id_col, n=shingle_n, threshold=near_dup_threshold
+        deduped, text_col, id_col, n=shingle_n,
+        threshold=near_dup_threshold, max_shingle_df=max_shingle_df,
     )
     groups = dedup.connected_components_star(
         pairs, nodes=deduped.select(id_col), id_col=id_col
