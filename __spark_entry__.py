@@ -1854,6 +1854,51 @@ SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
 """
 
 
+def q_dedup_survivors(spark, sf):
+    """Best-duplicate survivor selection (dedup.pick_survivors): the
+    near-dup groups of dedup_groups, but each group keeps its LONGEST
+    document (n_chars, tie on doc_id) instead of the arbitrary min-id
+    — the policy real pipelines want because duplicate copies differ
+    in truncation and boilerplate. One join + one group-bounded
+    window."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    groups = dedup.connected_components_star(pairs, nodes=docs, id_col="doc_id")
+    return dedup.pick_survivors(
+        docs.select("doc_id", "n_chars"), groups, order_col="n_chars"
+    ).select("group_id", "doc_id", "n_chars")
+
+
+SQL_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shf a JOIN shf b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+j AS (
+  SELECT id_a, id_b,
+         round(n_common::DOUBLE / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+  FROM inter
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM j WHERE jaccard >= 0.1
+  UNION
+  SELECT id_b, id_a FROM j WHERE jaccard >= 0.1),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
+labels AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id),
+ranked AS (
+  SELECT l.group_id, d.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY l.group_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM labels l JOIN documents d USING (doc_id))
+SELECT group_id, doc_id, n_chars FROM ranked WHERE rn = 1
+"""
+
+
 def q_jaccard_join(spark, sf):
     """Cross-corpus fuzzy match: even-doc_id corpus joined against the
     odd-doc_id corpus on trigram Jaccard >= 0.05 (entity-resolution
@@ -3360,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tar_roundtrip": q_tar_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "model_score": q_model_score,
+        "dedup_survivors": q_dedup_survivors,
         "bloom_decontam": q_bloom_decontam,
         "quantile_sketch": q_quantile_sketch,
         "ivf_append_compact": q_ivf_append_compact,
@@ -3431,6 +3477,7 @@ def oracle_sql() -> dict[str, str]:
         "tar_roundtrip": SQL_TAR_ROUNDTRIP,
         "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
         "model_score": SQL_MODEL_SCORE,
+        "dedup_survivors": SQL_DEDUP_SURVIVORS,
         "bloom_decontam": SQL_BLOOM_DECONTAM,
         "quantile_sketch": SQL_QUANTILE_SKETCH,
         "ivf_append_compact": SQL_IVF_APPEND_COMPACT,

@@ -626,6 +626,41 @@ def connected_components(
     return labels
 
 
+def pick_survivors(
+    df: DataFrame,
+    groups: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+    ascending: bool = False,
+) -> DataFrame:
+    """One surviving ROW per dedup group. Default = the group-minimum
+    id (the canonical contract ``connected_components*`` already
+    encodes); pass ``order_col`` to keep the BEST duplicate instead —
+    the choice real pipelines make, because near-dup copies differ in
+    truncation and boilerplate and min-id keeps an arbitrary one
+    (``order_col="n_chars"`` keeps the longest, a quality score keeps
+    the best-scored). Deterministic tie-break on the id.
+
+    One hash join on the id plus one window over ``group_id`` — the
+    window's partition is the dedup group (bounded by group size, not
+    corpus), so there is no global sort. Output: the full surviving
+    rows plus their ``group_id``."""
+    from pyspark.sql import Window
+
+    labeled = df.join(groups, id_col)
+    if order_col is None:
+        order = [F.col(id_col).asc()]
+    else:
+        o = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+        order = [o, F.col(id_col).asc()]
+    w = Window.partitionBy("group_id").orderBy(*order)
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def simhash_band_keys(
     df: DataFrame, text_col: str, id_col: str, bits: int = 16, bands: int = 4
 ) -> DataFrame:

@@ -1654,3 +1654,32 @@ def test_score_with_init_once_and_alignment(spark):
         assert a == b
     finally:
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_pick_survivors_policies(spark):
+    """pick_survivors: default keeps the group-min id; order_col keeps
+    the best (longest here) with deterministic id tie-break; singleton
+    groups pass through."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="short", n=5),
+         Row(doc_id=2, text="the longest copy", n=16),
+         Row(doc_id=3, text="medium copy", n=11),
+         Row(doc_id=9, text="solo", n=4)]
+    )
+    groups = spark.createDataFrame(
+        [Row(doc_id=1, group_id=1), Row(doc_id=2, group_id=1),
+         Row(doc_id=3, group_id=1), Row(doc_id=9, group_id=9)]
+    )
+    by_id = {r.group_id: r.doc_id for r in dedup.pick_survivors(docs, groups).collect()}
+    assert by_id == {1: 1, 9: 9}
+    by_len = {
+        r.group_id: r.doc_id
+        for r in dedup.pick_survivors(docs, groups, order_col="n").collect()
+    }
+    assert by_len == {1: 2, 9: 9}  # longest wins
+    # ascending: smallest n wins; ties (none here) break on id
+    by_short = {
+        r.group_id: r.doc_id
+        for r in dedup.pick_survivors(docs, groups, order_col="n", ascending=True).collect()
+    }
+    assert by_short == {1: 1, 9: 9}  # smallest n within group 1 is doc 1 (n=5)
