@@ -3363,8 +3363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      compaction dedup) -> winnow_overlap, band_index_compact,
     #      stream_neardup_dedup (dedup/simhash/jaccard family already
     #      in section 1); multimodal.py (gc_blobs semi-join) ->
-    #      multimodal_external_meta. Sections 1+2 total 48, inside the
-    #      50-cap with two section-3 entries,
+    #      multimodal_external_meta (dedup_survivors also new, riding
+    #      the section-1 dedup family's code). Sections 1+2 total 49,
+    #      inside the 50-cap with one section-3 entry,
     #   3. the remaining r07-green untouched queries — the driver's cap
     #      lands partway through this section; everything below the cap
     #      was verified green in r07 with operator code untouched since.
