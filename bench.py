@@ -73,7 +73,7 @@ def main() -> None:
             qs[name](spark, sf_dir).count()
             spark.catalog.clearCache()
 
-    timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for p in range(passes):
         for name in sorted(qs):  # canonical order, stable across rounds
             fn = qs[name]
@@ -81,8 +81,7 @@ def main() -> None:
             df = fn(spark, sf_dir)
             n = df.count()  # execute the full plan
             dt = time.perf_counter() - t0
-            if name not in timings or dt < timings[name]:
-                timings[name] = round(dt, 3)
+            all_runs.setdefault(name, []).append(dt)
             print(f"# pass{p} {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
             # queries are independent jobs: drop any cached/checkpointed
             # blocks an operator pinned so later timings aren't distorted
@@ -95,29 +94,45 @@ def main() -> None:
             gc.collect()
             spark.catalog.clearCache()
 
+    timings = {name: round(min(runs), 3) for name, runs in all_runs.items()}
     total = round(sum(timings.values()), 3)
+    # Variance control for the slow cohort (VERDICT r8 task #6): the >2 s
+    # queries are all streaming/maintenance entries where machine noise
+    # swamped r7's regression attribution — record min AND median for
+    # them (min stays the headline figure used in "queries"/"value").
+    variance = {}
+    for name, runs in all_runs.items():
+        if min(runs) > 2.0 and len(runs) > 1:
+            s = sorted(runs)
+            mid = len(s) // 2
+            med = s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+            variance[name] = {"min": round(s[0], 3), "med": round(med, 3)}
     summary = {
         "metric": "sum_query_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "variance_gt2s": variance,
         "sf": sf,
     }
-    # BENCH_r07 recorded "parsed": null — the driver's finite tail
-    # capture clipped the FRONT of the (one, long) summary line, so
-    # its JSON parse failed. Defenses: compact separators (~240 chars
-    # on 79 queries — r07 missed the window by ~80), an explicit
-    # flush so the line is never interleaved or buffered-truncated,
-    # and a sidecar file with the identical object so the numbers
-    # survive even if a future 200-query line outgrows the window.
-    line = json.dumps(summary, separators=(",", ":"))
+    # BENCH_r07 AND r08 recorded "parsed": null — the driver tail-captures
+    # only ~2.2 KB of stdout and the single summary line (~2.5 KB at 95
+    # queries) got its FRONT clipped, breaking the JSON parse, two rounds
+    # running. Fix (VERDICT r8 task #1): the full per-query object goes to
+    # the sidecar file AND an earlier stdout line; the FINAL flushed line
+    # carries only {"metric","value","unit","sf"} (~80 bytes) so it can
+    # never outgrow the capture window regardless of query count.
+    full_line = json.dumps(summary, separators=(",", ":"))
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_summary.json"), "w") as f:
-            f.write(line + "\n")
+            f.write(full_line + "\n")
     except OSError:
-        pass  # read-only checkout: stdout line is still authoritative
-    print(line, flush=True)
+        pass  # read-only checkout: stdout lines are still authoritative
+    print(full_line, flush=True)
+    short = {"metric": "sum_query_wall_sec", "value": total,
+             "unit": "sec", "sf": sf}
+    print(json.dumps(short, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":
