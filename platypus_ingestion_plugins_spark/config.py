@@ -51,11 +51,21 @@ def config_get(config: Mapping[str, Any], path: str, default: Any = _MISSING) ->
 
 
 def _get_int(config: Mapping[str, Any], path: str, default: int) -> int:
+    """Optional-numeric parity: the reference's getOptionalInt /
+    getOptionalLong (PaimonConfig.java) WARN on a malformed value and
+    fall back to the default rather than failing the load — a config
+    that deploys on the reference must load here too."""
     v = config_get(config, path, default)
     try:
         return int(str(v))
-    except (TypeError, ValueError) as exc:
-        raise ValueError(f"Invalid integer value for '{path}': {v!r}") from exc
+    except (TypeError, ValueError):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "Invalid integer value for '%s': %r; using default %d",
+            path, v, default,
+        )
+        return default
 
 
 def ingestion_config_from(config: Mapping[str, Any]):

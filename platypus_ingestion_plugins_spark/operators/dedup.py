@@ -644,10 +644,19 @@ def pick_survivors(
     One hash join on the id plus one window over ``group_id`` — the
     window's partition is the dedup group (bounded by group size, not
     corpus), so there is no global sort. Output: the full surviving
-    rows plus their ``group_id``."""
+    rows plus their ``group_id``.
+
+    Rows absent from ``groups`` are singletons, not drop candidates:
+    the join is LEFT and a missing ``group_id`` coalesces to the row's
+    own id (its own one-element group), so a ``groups`` frame built
+    from pairs only — without ``nodes=`` — cannot silently delete every
+    non-duplicate document."""
     from pyspark.sql import Window
 
-    labeled = df.join(groups, id_col)
+    labeled = (
+        df.join(groups, id_col, "left")
+        .withColumn("group_id", F.coalesce("group_id", F.col(id_col)))
+    )
     if order_col is None:
         order = [F.col(id_col).asc()]
     else:
@@ -875,9 +884,16 @@ def compact_band_key_index(
                     for f_name in sorted(_fs.list_names(spark, parked_dir)):
                         if not f_name.endswith(".parquet"):
                             continue  # checksum sidecars die with the park
+                        # idempotent under repeated crashes: if a crash
+                        # strikes mid-heal, both <name> and any number
+                        # of healed-N-<name> may already exist — loop a
+                        # numbered suffix until a free destination is
+                        # found, so re-running the heal always succeeds
                         dst = f"{orig}/{f_name}"
-                        if _fs.exists(spark, dst):
-                            dst = f"{orig}/healed-{f_name}"
+                        n_try = 0
+                        while _fs.exists(spark, dst):
+                            n_try += 1
+                            dst = f"{orig}/healed-{n_try}-{f_name}"
                         _fs._rename_or_raise(spark, f"{parked_dir}/{f_name}", dst)
                     _fs.delete(spark, parked_dir)
             elif name.startswith(".compacting-"):

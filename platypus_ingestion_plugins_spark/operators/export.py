@@ -254,11 +254,30 @@ def export_tar_shards(
     Runs eagerly (a lazy return re-minting tars per action would be a
     correctness trap) and returns the manifest rows
     (shard, path, n_samples, n_bytes, sha256), one per shard.
+
+    Output-dir hygiene: tars are written straight to their final paths
+    (streaming, no Spark output-commit protocol), so the destination
+    is DELETED AND RECREATED driver-side before fan-out — matching the
+    ``mode("overwrite")`` semantics of the sibling exporters. Without
+    this, a rerun with a smaller ``n_shards`` (or a previously failed
+    job) would leave stale/partial tars that ``read_tar_shards``
+    silently includes. Because final paths are written directly, run
+    this writer with ``spark.speculation=false`` (the repo session
+    default) — a speculative duplicate attempt would race the original
+    on the same tar path.
     """
     exts = dict(content_cols)
     str_cols = {
         c for c, f in dict(df.dtypes).items() if c in exts and f == "string"
     }
+    # overwrite semantics: clear any previous layout before fan-out so
+    # stale shard-NNNNN.tar files from a wider/failed run can't survive
+    import pyarrow.fs as _pafs
+
+    _drv_fs, _drv_inner = _tar_fs(out_path)
+    if _drv_fs.get_file_info(_drv_inner).type != _pafs.FileType.NotFound:
+        _drv_fs.delete_dir(_drv_inner)
+    _drv_fs.create_dir(_drv_inner, recursive=True)
     assigned = (
         shuffle_assign(df, key, n_shards, salt)
         .select(F.col(key).cast("string").alias("__k"), "shard", ORDER_COL,

@@ -293,7 +293,15 @@ def _decode_block_range(fs, file_path: str, start: int, end: int) -> list:
     that embeds the marker bytes; the block-split test constructs
     exactly this). Blocks reached by following a validated chain are
     at exact positions, so later decode failures are real corruption
-    and raise instead of resyncing past data loss."""
+    and raise instead of resyncing past data loss.
+
+    The ONE position where a first-candidate decode failure is provably
+    corruption rather than a framing coincidence is the header's own
+    sync (reachable from the header, so exact-chain): there we raise
+    instead of scanning on — otherwise a corrupt first block would be
+    silently dropped, contradicting the module contract. Every other
+    skipped candidate is counted and logged at WARNING so dense
+    marker-colliding data is observable, not invisible."""
     schema, codec, sync, body_off = _sniff_header(fs, file_path)
     size = fs.get_file_info(file_path).size
     with fs.open_input_file(file_path) as f:
@@ -302,6 +310,7 @@ def _decode_block_range(fs, file_path: str, start: int, end: int) -> list:
         scan_from = max(start, body_off - len(sync))
         pos = buf.find_sync(sync, scan_from, min(end, size))
         first: list | None = None
+        skipped = 0
         while pos >= 0:
             blk = _try_block(buf, sync, pos + len(sync))
             if blk is not None:
@@ -309,9 +318,24 @@ def _decode_block_range(fs, file_path: str, start: int, end: int) -> list:
                 try:
                     first = _decode_block_data(n, data, codec, schema)
                     break
-                except (ValueError, zlib.error):
-                    pass  # framing coincidence inside record data
+                except (ValueError, zlib.error) as exc:
+                    if pos == body_off - len(sync):
+                        # exact chain position (the header's own sync):
+                        # a framed block that fails to decode here IS
+                        # corruption, not a marker coincidence — raise
+                        # rather than resync past data loss
+                        raise ValueError(
+                            f"corrupt first OCF block at {file_path}:{pos}"
+                        ) from exc
+                    skipped += 1  # framing coincidence inside record data
             pos = buf.find_sync(sync, pos + 1, min(end, size))
+        if skipped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "OCF resync skipped %d framed-but-undecodable sync "
+                "candidate(s) in %s[%d:%d)", skipped, file_path, start, end,
+            )
         if pos < 0:
             return []  # no block starts in this range
         records: list = []

@@ -80,8 +80,11 @@ def test_paimon_config_defaults_and_validation():
         broken = {k: v for k, v in base.items() if k != missing}
         with pytest.raises(ValueError, match=missing):
             PaimonIngestionConfig(broken)
-    with pytest.raises(ValueError, match="Invalid integer"):
-        PaimonIngestionConfig({**base, "batch.size": "lots"})
+    # getOptionalInt parity (PaimonConfig.java): a malformed numeric
+    # logs a warning and falls back to the default — it must NOT fail
+    # the load, so a config that deploys on the reference loads here
+    c_bad = PaimonIngestionConfig({**base, "batch.size": "lots"})
+    assert c_bad.batch_size == 1000
 
 
 def test_paimon_config_drives_pipeline_end_to_end(spark, tmp_path):

@@ -1236,6 +1236,47 @@ def test_band_key_index_heal_merges_park_into_recreated_dir(spark, tmp_path):
     assert len(rows) == 15 and {r.doc_id for r in rows} == set(range(15))
 
 
+def test_band_key_index_heal_idempotent_under_repeated_crashes(spark, tmp_path):
+    """A crash DURING a heal leaves both <name> and healed-1-<name> in
+    the live dir with the park still holding files; the re-run heal
+    must find a free numbered destination (healed-2-...) instead of
+    failing the rename — otherwise every subsequent compact raises
+    until manual repair (ADVICE r8)."""
+    import os
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    df = spark.createDataFrame(
+        [Row(doc_id=i, band=0, val=4, simhash=i) for i in range(10)]
+    )
+    dedup.append_band_key_index(df, idx, val_buckets=4)
+    band0 = f"{idx}/band=0"
+    (victim,) = [v for v in os.listdir(band0) if v.startswith("vb=")]
+    live = f"{band0}/{victim}"
+    park = f"{band0}/.precompact-{victim}"
+    # crash #1: original parked mid-swap
+    os.rename(live, park)
+    # resume appends recreate the live dir
+    dedup.append_band_key_index(
+        spark.createDataFrame([Row(doc_id=99, band=0, val=4, simhash=99)]),
+        idx, val_buckets=4,
+    )
+    # crash #2 struck mid-heal previously: the park's file ALREADY has
+    # same-named and healed-1- copies sitting in the live dir
+    pq = [n for n in os.listdir(park) if n.endswith(".parquet")][0]
+    shutil.copy(f"{park}/{pq}", f"{live}/{pq}")
+    shutil.copy(f"{park}/{pq}", f"{live}/healed-1-{pq}")
+    # re-run heal: must not raise, park must drain, no rows lost
+    dedup.compact_band_key_index(spark, idx, max_files_per_dir=1000)
+    assert not os.path.exists(park)
+    got = {r.doc_id for r in spark.read.parquet(idx).collect()}
+    assert got == set(range(10)) | {99}
+    # duplicates from the healed copies are absorbed by compaction
+    dedup.compact_band_key_index(spark, idx, max_files_per_dir=1)
+    rows = spark.read.parquet(idx).collect()
+    assert len(rows) == 11 and {r.doc_id for r in rows} == set(range(10)) | {99}
+
+
 def test_resample_last_ffill_grid_and_tiebreak(spark):
     """resample_last_ffill: last-per-bucket with (ts, id) tie-break,
     gaps forward-filled across the dense per-key grid, per-key bounds
@@ -1338,6 +1379,21 @@ def test_tar_shard_export_roundtrip(spark, tmp_path):
     )
     got = {int(r.k): (r.text, bytes(r.payload)) for r in back.collect()}
     assert got == {r.doc_id: (r.text, r.payload) for r in rows}
+
+    # overwrite semantics (ADVICE r8): re-export over the SAME dir with
+    # fewer shards must clear the wider layout — stale shard-00002/3.tar
+    # must not survive for read_tar_shards to silently include
+    manifest3 = export_tar_shards(
+        df, out, "doc_id", {"text": "txt", "payload": "bin"}, n_shards=2
+    )
+    assert {m.shard for m in manifest3} == {0, 1}
+    on_disk = sorted(n for n in os.listdir(out) if n.endswith(".tar"))
+    assert on_disk == ["shard-00000.tar", "shard-00001.tar"]
+    back2 = read_tar_shards(
+        spark, out, {"txt": "text", "bin": "payload"},
+        key_name="k", binary_cols=("payload",),
+    )
+    assert back2.count() == 40
 
 
 def test_ivf_append_compact(spark, tmp_path):
@@ -1683,3 +1739,12 @@ def test_pick_survivors_policies(spark):
         for r in dedup.pick_survivors(docs, groups, order_col="n", ascending=True).collect()
     }
     assert by_short == {1: 1, 9: 9}  # smallest n within group 1 is doc 1 (n=5)
+    # groups built from PAIRS only (no nodes=): docs absent from the
+    # groups frame are singletons and must survive as their own group,
+    # not vanish through an inner join (ADVICE r8)
+    pair_groups = spark.createDataFrame(
+        [Row(doc_id=1, group_id=1), Row(doc_id=2, group_id=1),
+         Row(doc_id=3, group_id=1)]
+    )
+    kept = dedup.pick_survivors(docs, pair_groups).collect()
+    assert {(r.doc_id, r.group_id) for r in kept} == {(1, 1), (9, 9)}

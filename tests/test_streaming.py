@@ -911,6 +911,47 @@ def test_stream_avro_ocf_file_drops(spark, tmp_path):
     assert rows == {(1, "x"), (2, "y"), (3, "z")}
 
 
+def test_avro_ocf_corrupt_first_block_raises(tmp_path):
+    """A corrupt FIRST block sits at an exact chain position (the
+    header's own sync), so its decode failure is provably corruption —
+    the range scan must raise, not resync past it and silently drop
+    the block's records (ADVICE r8). Mid-data framing coincidences
+    (the evil-bytes fixture above) still skip-and-scan."""
+    import pyarrow.fs as pafs
+    import pytest as _pytest
+
+    from platypus_ingestion_plugins_spark.sources.avro_ocf import (
+        _SYNC,
+        _decode_block_range,
+        _sniff_header,
+        write_ocf,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    recs = [{"i": i, "s": f"row-{i}" * 8} for i in range(50)]
+    blob = write_ocf(recs, schema, "deflate", records_per_block=10)
+    p = tmp_path / "corrupt.avro"
+    p.write_bytes(blob)
+    fs = pafs.LocalFileSystem()
+    _, _, sync, body_off = _sniff_header(fs, str(p))
+    # flip payload bytes INSIDE the first block (past the two varints,
+    # before the trailing sync): framing still validates, the deflate
+    # stream does not — exactly the corrupt-not-coincidence case
+    mut = bytearray(blob)
+    for off in range(body_off + 8, body_off + 16):
+        mut[off] ^= 0xFF
+    p.write_bytes(bytes(mut))
+    with _pytest.raises(ValueError, match="corrupt first OCF block"):
+        _decode_block_range(fs, str(p), 0, len(mut))
+
+
 def test_avro_ocf_block_range_ownership_property(tmp_path):
     """Property (pure Python, no Spark): for ANY block layout and ANY
     partition of the file into byte ranges, the ranges' decodes
