@@ -1863,7 +1863,10 @@ def q_dedup_survivors(spark, sf):
     window."""
     docs = _t(spark, sf, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
-    groups = dedup.connected_components_star(pairs, nodes=docs, id_col="doc_id")
+    # no nodes= materialization: pick_survivors' left-join coalesces
+    # absent ids to their own group (singletons), saving one full
+    # docs-side join vs labeling every document first
+    groups = dedup.connected_components_star(pairs, id_col="doc_id")
     return dedup.pick_survivors(
         docs.select("doc_id", "n_chars"), groups, order_col="n_chars"
     ).select("group_id", "doc_id", "n_chars")

@@ -64,10 +64,14 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     grams = F.transform(
         zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
     )
+    # (id, shingle) is unique BY CONSTRUCTION — array_distinct dedupes
+    # within the document and ids differ across documents — so no
+    # global .distinct() here: that would be a full shuffle of the
+    # shingle set (the largest intermediate in every jaccard-family
+    # plan) re-establishing an invariant the map stage already holds
     return (
         df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
         .filter(F.col("shingle") != "")
-        .distinct()
     )
 
 
@@ -120,11 +124,44 @@ def ngram_jaccard_pairs(
     the inverted index instead of needing two more size-join scans.
     Callers who want explicit reuse can persist `shingles(...)`
     themselves and use the building-block functions.
-    """
-    from pyspark.sql import Window
 
-    sh = cap_shingle_df(shingles(df, text_col, id_col, n), max_shingle_df)
-    sized = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    The Jaccard denominator |doc's shingle set| is computed MAP-SIDE
+    (size of the per-row distinct-gram array, before the explode) —
+    zero extra shuffles. Only the capped path (``max_shingle_df``)
+    still needs a post-cap count, because capping changes the sets the
+    denominator is defined over; there it is one id-partition window
+    over the already-capped rows.
+    """
+    if max_shingle_df is None:
+        df = ensure_parallelism(df)
+        toks = tokens(text_col)
+        m = F.greatest(F.size(toks) - n + 1, F.lit(1))
+        zipped = F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(n)])
+        grams = F.transform(
+            zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
+        )
+        arr = F.filter(F.array_distinct(grams), lambda x: x != "")
+        sized = (
+            df.select(F.col(id_col), arr.alias("__sh_arr"))
+            .withColumn("n_sh", F.size("__sh_arr"))
+            .select(F.col(id_col), F.explode("__sh_arr").alias("shingle"), "n_sh")
+            # lazy localCheckpoint (same single-evaluation fix as
+            # winnow_overlap_pairs): the self-join references the frame
+            # twice and AQE's runtime broadcast conversion defeats
+            # exchange reuse, so without this the tokenize+gram map
+            # stage — the CPU-heavy part — runs once PER SIDE. Blocks
+            # are MEMORY_AND_DISK (spillable); at corpus scale prefer
+            # the max_shingle_df path, whose hot-key cap bounds the
+            # join anyway and which skips this materialization.
+            .localCheckpoint(eager=False)
+        )
+    else:
+        from pyspark.sql import Window
+
+        sh = cap_shingle_df(shingles(df, text_col, id_col, n), max_shingle_df)
+        sized = sh.withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
     a = sized.select(F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a"))
     b = sized.select(F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b"))
     out = (
@@ -650,19 +687,50 @@ def pick_survivors(
     the join is LEFT and a missing ``group_id`` coalesces to the row's
     own id (its own one-element group), so a ``groups`` frame built
     from pairs only — without ``nodes=`` — cannot silently delete every
-    non-duplicate document."""
-    from pyspark.sql import Window
+    non-duplicate document.
 
+    Physical shape: when the sort key is expressible as an ascending
+    struct (always for the default min-id policy; for ``order_col``
+    when it is numeric, via negation) the survivor is ONE ``min_by``
+    aggregation — partial map-side combine, no per-group sort, the
+    right plan at corpus scale where a window would sort every
+    partition. Non-numeric descending order columns fall back to the
+    row_number window (still group-bounded, no global sort)."""
     labeled = (
         df.join(groups, id_col, "left")
         .withColumn("group_id", F.coalesce("group_id", F.col(id_col)))
     )
+    out_cols = [c for c in labeled.columns if c != "group_id"]
+    numeric = order_col is not None and dict(df.dtypes).get(order_col) in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    )
+    # leading null-flag field reproduces the window's null placement
+    # exactly (Spark sorts: asc = nulls first, desc = nulls last)
     if order_col is None:
-        order = [F.col(id_col).asc()]
+        sort_key: Column | None = F.struct(F.col(id_col))
+    elif ascending:
+        sort_key = F.struct(
+            F.col(order_col).isNotNull().cast("int").alias("__nf"),
+            F.col(order_col).alias("__o"), F.col(id_col).alias("__id"),
+        )
+    elif numeric:
+        sort_key = F.struct(
+            F.col(order_col).isNull().cast("int").alias("__nf"),
+            (-F.col(order_col)).alias("__o"), F.col(id_col).alias("__id"),
+        )
     else:
-        o = F.col(order_col).asc() if ascending else F.col(order_col).desc()
-        order = [o, F.col(id_col).asc()]
-    w = Window.partitionBy("group_id").orderBy(*order)
+        sort_key = None
+    if sort_key is not None:
+        return (
+            labeled.groupBy("group_id")
+            .agg(F.min_by(F.struct(*out_cols), sort_key).alias("__row"))
+            .select("group_id", *[F.col(f"__row.{c}").alias(c) for c in out_cols])
+            .select(*labeled.columns)
+        )
+    from pyspark.sql import Window
+
+    o = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = Window.partitionBy("group_id").orderBy(o, F.col(id_col).asc())
     return (
         labeled.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

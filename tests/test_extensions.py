@@ -1748,3 +1748,24 @@ def test_pick_survivors_policies(spark):
     )
     kept = dedup.pick_survivors(docs, pair_groups).collect()
     assert {(r.doc_id, r.group_id) for r in kept} == {(1, 1), (9, 9)}
+    # null order values place exactly as the window would (asc = nulls
+    # first, desc = nulls last) through the min_by aggregate fast path
+    nd = spark.createDataFrame(
+        [Row(doc_id=1, n=None), Row(doc_id=2, n=7), Row(doc_id=3, n=3)],
+        "doc_id int, n int",
+    )
+    ng = spark.createDataFrame([Row(doc_id=i, group_id=1) for i in (1, 2, 3)])
+    desc_r = dedup.pick_survivors(nd, ng, order_col="n").collect()
+    assert [(r.doc_id, r.n) for r in desc_r] == [(2, 7)]  # nulls last
+    asc_r = dedup.pick_survivors(nd, ng, order_col="n", ascending=True).collect()
+    assert [(r.doc_id, r.n) for r in asc_r] == [(1, None)]  # nulls first
+    # non-numeric ascending order col exercises the struct key directly
+    sd = spark.createDataFrame(
+        [Row(doc_id=1, s="beta"), Row(doc_id=2, s="alpha")]
+    )
+    sg = spark.createDataFrame([Row(doc_id=i, group_id=1) for i in (1, 2)])
+    s_r = dedup.pick_survivors(sd, sg, order_col="s", ascending=True).collect()
+    assert [(r.doc_id, r.s) for r in s_r] == [(2, "alpha")]
+    # non-numeric DESCENDING falls back to the window path
+    s_r2 = dedup.pick_survivors(sd, sg, order_col="s").collect()
+    assert [(r.doc_id, r.s) for r in s_r2] == [(1, "beta")]
