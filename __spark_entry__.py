@@ -2438,6 +2438,118 @@ GROUP BY 1
 """
 
 
+def q_pipeline_clean_corpus(spark, sf):
+    """The COMPOSED hygiene preset (pipelines.clean_corpus), oracle-
+    checked end to end: NFC normalize -> exact dedup (min-id) ->
+    MinHash-LSH near-dup (min-id per component) -> quality floor ->
+    decontamination against a held-out benchmark slice. The corpus is
+    deterministically DE-composed first (a -> a + U+0301, the
+    text_normalize trick) so stage 1 does real work and the
+    composed-form hashes only match if both engines normalize
+    identically; doc_id % 101 == 0 stands in for the eval set. Output
+    hashes the surviving normalized text, so a wrong stage ORDER (the
+    contract this preset encodes) breaks the compare, not just a
+    wrong stage."""
+    from platypus_ingestion_plugins_spark.pipelines import clean_corpus
+
+    d = _t(spark, sf, "documents")
+    d2 = d.withColumn("text", F.regexp_replace("text", "a", "a\u0301"))
+    bench = d2.filter(F.col("doc_id") % 101 == 0).select("doc_id", "text")
+    train = d2.filter(F.col("doc_id") % 101 != 0)
+    out = clean_corpus(
+        train, benchmark=bench, min_quality=0.3,
+        near_dup_threshold=0.1, shingle_n=3, decontam_n=4,
+    )
+    return out.select(
+        "doc_id", F.sha2("text", 256).alias("sha_text"),
+        "lang", "source", "n_chars",
+    )
+
+
+SQL_PIPELINE_CLEAN_CORPUS = f"""
+WITH RECURSIVE
+t0 AS (
+  SELECT doc_id, nfc_normalize(replace(text, 'a', 'a' || chr(769))) AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 101 <> 0),
+bench_t AS (
+  SELECT doc_id, nfc_normalize(replace(text, 'a', 'a' || chr(769))) AS text
+  FROM documents WHERE doc_id % 101 = 0),
+exmin AS (SELECT min(doc_id) AS doc_id FROM t0 GROUP BY text),
+t1 AS (SELECT t0.* FROM t0 JOIN exmin USING (doc_id)),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS t
+  FROM t1),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(t)-2, 1)),
+             i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+  FROM toks),
+shf AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
+sigs AS (
+  SELECT doc_id,
+{_MINHASH_COLS}
+  FROM shf GROUP BY doc_id),
+cands AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({_BAND_COND})),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shf a JOIN shf b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+    AND (a.doc_id, b.doc_id) IN (SELECT (id_a, id_b) FROM cands)
+  GROUP BY 1, 2),
+j AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE round(n_common::DOUBLE / (na.n_sh + nb.n_sh - n_common), 6) >= 0.1),
+e AS (SELECT id_a AS src, id_b AS dst FROM j
+      UNION SELECT id_b, id_a FROM j),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM t1
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
+labels AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id),
+t2 AS (SELECT t1.* FROM t1 JOIN labels USING (doc_id)
+       WHERE doc_id = labels.group_id),
+q AS (
+  SELECT doc_id, length(text) AS nc,
+         len(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')) AS ntok,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha
+  FROM t2),
+t3 AS (
+  SELECT t2.* FROM t2 JOIN q USING (doc_id)
+  WHERE round(((CASE WHEN q.nc BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN q.nc::DOUBLE / greatest(q.ntok, 1) >= 3.0
+              AND q.nc::DOUBLE / greatest(q.ntok, 1) <= 12.0 THEN 1.0 ELSE 0.0 END)
+      + q.alpha::DOUBLE / greatest(q.nc, 1)) / 3.0, 6) >= 0.3),
+btoks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS t
+  FROM bench_t),
+bsh AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(t)-3, 1)),
+             i -> array_to_string(t[i:i+3], ' ')))) AS shingle
+  FROM btoks),
+bgrams AS (SELECT shingle FROM bsh WHERE shingle <> ''),
+g4 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(t)-3, 1)),
+             i -> array_to_string(t[i:i+3], ' ')))) AS shingle
+  FROM toks),
+contaminated AS (
+  SELECT DISTINCT f.doc_id FROM g4 f
+  JOIN bgrams USING (shingle) WHERE f.shingle <> '')
+SELECT doc_id, sha256(text) AS sha_text, lang, source, n_chars
+FROM t3 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
 def q_pii_scrub(spark, sf):
     """PII audit + redaction: span counts and the scrubbed string,
     all codegen regexp expressions riding the scan — no UDF, no
@@ -3404,6 +3516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_quantized": q_similarity_quantized,
         "similarity_ivf": q_similarity_ivf,
         # 2. NEW this round + code paths touched this round
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "session_counts": q_session_counts,
         "resample_ffill": q_resample_ffill,
         "tar_roundtrip": q_tar_roundtrip,
@@ -3476,6 +3589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sql = {
+        "pipeline_clean_corpus": SQL_PIPELINE_CLEAN_CORPUS,
         "session_counts": SQL_SESSION_COUNTS,
         "resample_ffill": SQL_RESAMPLE_FFILL,
         "tar_roundtrip": SQL_TAR_ROUNDTRIP,

@@ -78,7 +78,11 @@ def clean_corpus(
     cleaned = deduped.filter(quality_score(text_col) >= min_quality)
 
     if benchmark is not None:
+        # the benchmark must be in the SAME normal form as the corpus,
+        # or composed-vs-decomposed spellings slip past the gram match
+        # — the exact leak rule 1 exists to close
+        bench = benchmark.withColumn(text_col, normalize_unicode(text_col))
         cleaned = decontam.decontaminate(
-            cleaned, benchmark, text_col, id_col, n=decontam_n
+            cleaned, bench, text_col, id_col, n=decontam_n
         )
     return cleaned
