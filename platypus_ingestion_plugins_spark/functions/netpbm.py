@@ -1,0 +1,134 @@
+"""Pure-numpy netpbm (P5 grayscale / P6 RGB) image codec.
+
+The container ships no image libraries, but netpbm binary formats are
+simple enough to decode with numpy alone — which makes them the REAL
+(non-stub) codec path for the multimodal kernels: a byte-exact,
+dependency-free decode -> pixel-op -> re-encode chain
+(`operators/multimodal.py` ``decode_stub=False``). The format is the
+public netpbm spec: magic ``P5``/``P6``, ASCII width/height/maxval
+tokens separated by whitespace with ``#`` comments, a single
+whitespace byte, then the raw big-endian raster (1 byte/sample for
+maxval <= 255, the only depth supported here).
+
+Everything is deterministic (no dithering, floor-index nearest
+neighbor), so outputs are byte-checkable in tests and stable across
+engines/runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_WS = b" \t\r\n\x0b\x0c"
+
+
+def _next_token(raw: bytes, pos: int) -> tuple[bytes, int]:
+    """Next header token after ``pos``, skipping whitespace and
+    ``#``-to-end-of-line comments (netpbm header grammar)."""
+    n = len(raw)
+    while pos < n:
+        c = raw[pos : pos + 1]
+        if c in (b"#",):
+            while pos < n and raw[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c in _WS:
+            pos += 1
+        else:
+            break
+    start = pos
+    while pos < n and raw[pos : pos + 1] not in _WS and raw[pos : pos + 1] != b"#":
+        pos += 1
+    if start == pos:
+        raise ValueError("truncated netpbm header")
+    return raw[start:pos], pos
+
+
+def decode(raw: bytes) -> np.ndarray:
+    """Decode a P5/P6 image to a (height, width, channels) uint8 array
+    (channels 1 for P5, 3 for P6). Raises ValueError on anything that
+    is not a complete, maxval<=255 binary netpbm image."""
+    if len(raw) < 2 or raw[:1] != b"P" or raw[1:2] not in (b"5", b"6"):
+        raise ValueError("not a binary netpbm (P5/P6) payload")
+    channels = 3 if raw[1:2] == b"6" else 1
+    pos = 2
+    dims = []
+    for _ in range(3):
+        tok, pos = _next_token(raw, pos)
+        try:
+            dims.append(int(tok))
+        except ValueError as exc:
+            raise ValueError(f"bad netpbm header token {tok!r}") from exc
+    width, height, maxval = dims
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad netpbm dimensions {width}x{height}")
+    if not 0 < maxval <= 255:
+        raise ValueError(f"unsupported netpbm maxval {maxval}")
+    pos += 1  # exactly one whitespace byte after maxval, per spec
+    count = width * height * channels
+    if len(raw) - pos < count:
+        raise ValueError("truncated netpbm raster")
+    return (
+        np.frombuffer(raw, dtype=np.uint8, count=count, offset=pos)
+        .reshape(height, width, channels)
+        .copy()
+    )
+
+
+def encode(img: np.ndarray) -> bytes:
+    """Encode a (h, w, 1|3) or (h, w) uint8 array as P5/P6 bytes —
+    canonical minimal header, so equal pixel arrays encode to equal
+    bytes."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.ndim != 3 or img.shape[2] not in (1, 3):
+        raise ValueError(f"expected (h, w, 1|3) array, got {img.shape}")
+    magic = b"P6" if img.shape[2] == 3 else b"P5"
+    header = b"%s\n%d %d\n255\n" % (magic, img.shape[1], img.shape[0])
+    return header + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def resize_nearest(img: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
+    """Deterministic floor-index nearest-neighbor resample."""
+    h, w = img.shape[:2]
+    rows = (np.arange(max(new_h, 1)) * h) // max(new_h, 1)
+    cols = (np.arange(max(new_w, 1)) * w) // max(new_w, 1)
+    return img[rows][:, cols]
+
+
+def resize_to_budget(raw: bytes, target_bytes: int) -> bytes:
+    """Decode, downscale (never upscale) so the re-encoded image fits
+    ``target_bytes``, re-encode. The scale factor comes from the exact
+    byte model size = header + h*w*c, solved for the largest uniform
+    scale whose encoding fits; at least 1x1 survives."""
+    img = decode(raw)
+    h, w, c = img.shape
+    header = len(b"P6\n%d %d\n255\n" % (w, h))  # shrinks or stays as dims shrink
+    budget = max(target_bytes - header, c)
+    scale = min(1.0, (budget / (h * w * c)) ** 0.5)
+    new_h = max(1, int(h * scale))
+    new_w = max(1, int(w * scale))
+    # the int() floor plus the shrinking header keep this inside budget
+    # except in degenerate tiny-target cases, where one more shrink
+    # step lands it
+    out = encode(resize_nearest(img, new_h, new_w))
+    while len(out) > target_bytes and (new_h > 1 or new_w > 1):
+        new_h, new_w = max(1, new_h - 1), max(1, new_w - 1)
+        out = encode(resize_nearest(img, new_h, new_w))
+    return out
+
+
+def histogram_features(raw: bytes, dim: int) -> list[float]:
+    """Decode and return the ``dim``-bin normalized luminance
+    histogram — a real, deterministic image feature vector."""
+    img = decode(raw)
+    if img.shape[2] == 3:
+        # integer Rec.601 luma (deterministic, no float rounding drift)
+        lum = (
+            299 * img[:, :, 0].astype(np.int64)
+            + 587 * img[:, :, 1].astype(np.int64)
+            + 114 * img[:, :, 2].astype(np.int64)
+        ) // 1000
+    else:
+        lum = img[:, :, 0].astype(np.int64)
+    counts = np.bincount((lum.ravel() * dim) // 256, minlength=dim)[:dim]
+    return (counts / lum.size).tolist()

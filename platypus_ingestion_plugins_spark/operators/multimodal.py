@@ -5,12 +5,15 @@ pointers for >2 GB items) beside a metadata struct; decode/resize/
 frame-sample run as Arrow-batched `mapInPandas` stages so the Python
 boundary is crossed once per batch, not per row.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED: `decode_stub=True` produces a deterministic fake feature
-vector from the payload bytes (so the Spark-side plumbing — schema,
-batching, partitioning — is fully real and tested); `decode_stub=
-False` raises NotImplementedError where a real libvips/ffmpeg call
-would go.
+Codec paths: `decode_stub=True` produces a deterministic fake from
+the payload bytes (payload-format-agnostic — the oracle queries use
+it over text payloads); `decode_stub=False` runs a REAL codec — the
+pure-numpy netpbm (P5/P6) decoder in `functions/netpbm.py` — doing
+genuine decode -> pixel-op -> re-encode work end to end. General
+formats (JPEG/PNG/mp4) still need libvips/PIL/ffmpeg, absent from
+this container; swapping them in means replacing the netpbm calls
+inside the kernels, nothing else — the Arrow batching, schema, and
+partition shape are shared.
 """
 
 from __future__ import annotations
@@ -53,22 +56,24 @@ def extract_features(
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
     Stub kernel: feature[i] = byte-sum of payload slice i (mod 256) /
-    255 — deterministic, exercises the full batch path. A real kernel
-    would decode the media and run the extractor here, with identical
-    plumbing."""
+    255 — deterministic, format-agnostic, exercises the full batch
+    path. Real kernel (``decode_stub=False``): netpbm decode + the
+    ``dim``-bin normalized luminance histogram
+    (functions/netpbm.histogram_features) — an actual image feature
+    over actual pixels; payloads must be P5/P6."""
 
     def kernel(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
+        from platypus_ingestion_plugins_spark.functions import netpbm
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires image/audio codecs not present "
-                    "in this environment; pass decode_stub=True"
-                )
             feats = []
             for buf in pdf[payload_col]:
+                if not decode_stub:
+                    feats.append(netpbm.histogram_features(bytes(buf), dim))
+                    continue
                 arr = np.frombuffer(bytes(buf), dtype=np.uint8)
                 chunks = np.array_split(arr, dim) if len(arr) else [np.array([0])] * dim
                 feats.append([float(int(c.sum()) % 256) / 255.0 for c in chunks])
@@ -103,28 +108,30 @@ def resize(
     """Resize/transcode stage over mapInPandas (Arrow batches).
 
     Stub kernel: deterministic byte-stride downsample of the payload to
-    <= target_bytes (stride = ceil(len/target)), standing in for a real
-    decode->scale->re-encode (libvips/PIL/ffmpeg not in this
-    environment; ``decode_stub=False`` marks where it goes). The
-    plumbing — binary in/out through Arrow, per-batch Python crossing,
-    schema with size accounting — is the real production shape."""
+    <= target_bytes (stride = ceil(len/target)) — format-agnostic.
+    Real kernel (``decode_stub=False``): netpbm decode -> deterministic
+    nearest-neighbor downscale to the byte budget -> re-encode
+    (functions/netpbm.resize_to_budget) — a genuine
+    decode->scale->re-encode over actual pixels; payloads must be
+    P5/P6. Both share the production plumbing: binary in/out through
+    Arrow, per-batch Python crossing, schema with size accounting."""
 
     def kernel(batches: Iterator) -> Iterator:
         import math
 
         import pandas as pd
 
+        from platypus_ingestion_plugins_spark.functions import netpbm
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media resize requires codecs not present in this "
-                    "environment; pass decode_stub=True"
-                )
             out_payloads, orig, resized = [], [], []
             for buf in pdf[payload_col]:
                 raw = bytes(buf)
-                stride = max(1, math.ceil(len(raw) / target_bytes)) if raw else 1
-                small = raw[::stride]
+                if not decode_stub:
+                    small = netpbm.resize_to_budget(raw, target_bytes)
+                else:
+                    stride = max(1, math.ceil(len(raw) / target_bytes)) if raw else 1
+                    small = raw[::stride]
                 out_payloads.append(small)
                 orig.append(len(raw))
                 resized.append(len(small))

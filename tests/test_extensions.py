@@ -283,12 +283,119 @@ def test_payload_externalize_roundtrip(spark, tmp_path):
     } == expected
 
 
-def test_multimodal_stub_raises(spark):
+def test_multimodal_real_codec_rejects_non_image(spark):
+    """decode_stub=False is the REAL netpbm path now: a payload that
+    is not a P5/P6 image fails loudly, not silently."""
     df = multimodal.attach_payload(
         spark.createDataFrame([Row(doc_id=1, text="abc")]), "text"
     )
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+    with pytest.raises(Exception, match="netpbm"):
         multimodal.extract_features(df, decode_stub=False).collect()
+
+
+def _ppm(w, h, fn):
+    """Synthetic P6 image: pixel (x, y) = fn(x, y) -> (r, g, b)."""
+    import numpy as np
+
+    from platypus_ingestion_plugins_spark.functions import netpbm
+
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = fn(x, y)
+    return netpbm.encode(img)
+
+
+def test_netpbm_codec_roundtrip_and_ops():
+    """The pure-numpy codec itself: encode/decode round-trips pixels
+    byte-exactly (P5 and P6, comment-bearing headers), truncation and
+    bad magic raise, nearest-neighbor resize picks floor indices."""
+    import numpy as np
+
+    from platypus_ingestion_plugins_spark.functions import netpbm
+
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert np.array_equal(netpbm.decode(netpbm.encode(rgb)), rgb)
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    assert np.array_equal(
+        netpbm.decode(netpbm.encode(gray)), gray[:, :, None]
+    )
+    # header grammar: comments and arbitrary whitespace between tokens
+    wire = b"P6 # comment\n# another\n 3\t2\n255\n" + rgb.tobytes()
+    assert np.array_equal(netpbm.decode(wire), rgb)
+    with pytest.raises(ValueError, match="netpbm"):
+        netpbm.decode(b"JFIF....")
+    with pytest.raises(ValueError, match="truncated"):
+        netpbm.decode(netpbm.encode(rgb)[:-2])
+    # floor-index nearest neighbor: 4 wide -> 2 wide keeps cols 0, 2
+    img = np.arange(4, dtype=np.uint8).reshape(1, 4, 1)
+    assert netpbm.resize_nearest(img, 1, 2).ravel().tolist() == [0, 2]
+
+
+def test_netpbm_roundtrip_property():
+    """Property: any uint8 pixel array round-trips byte-exactly, and
+    resize_to_budget always fits the budget for budgets >= one pixel
+    plus header."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from platypus_ingestion_plugins_spark.functions import netpbm
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        h=st.integers(1, 12), w=st.integers(1, 12),
+        c=st.sampled_from([1, 3]), seed=st.integers(0, 2**31 - 1),
+        budget=st.integers(32, 600),
+    )
+    def check(h, w, c, seed, budget):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        assert np.array_equal(netpbm.decode(netpbm.encode(img)), img)
+        out = netpbm.resize_to_budget(netpbm.encode(img), budget)
+        assert len(out) <= max(budget, len(b"P6\n1 1\n255\n") + c)
+        netpbm.decode(out)  # still a valid image
+
+    check()
+
+
+def test_multimodal_real_codec_end_to_end(spark):
+    """VERDICT r8 task #3: resize and extract_features run with
+    decode_stub=False through the full Spark path on synthetic P6
+    images — real decode, real pixel ops, byte-checked output."""
+    import numpy as np
+
+    from platypus_ingestion_plugins_spark.functions import netpbm
+
+    big = _ppm(40, 30, lambda x, y: ((x * 7) % 256, (y * 5) % 256, 9))
+    small = _ppm(4, 4, lambda x, y: (255, 0, 0))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=big), Row(doc_id=2, payload=small)],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r.doc_id: r
+        for r in multimodal.resize(df, target_bytes=400, decode_stub=False).collect()
+    }
+    # byte-exact: the kernel's output equals the library call's output
+    assert bytes(out[1].payload) == netpbm.resize_to_budget(big, 400)
+    assert out[1].resized_bytes <= 400 < out[1].orig_bytes
+    # already under budget -> scale 1.0 -> re-encoded identical image
+    assert bytes(out[2].payload) == small
+    # the resized payload is itself a valid image with scaled dims
+    resized_img = netpbm.decode(bytes(out[1].payload))
+    assert resized_img.shape[2] == 3 and resized_img.shape[0] < 30
+
+    feats = {
+        r.doc_id: r.feature
+        for r in multimodal.extract_features(
+            df, dim=4, decode_stub=False
+        ).collect()
+    }
+    # red 4x4 image: luma = 299*255//1000 = 76 -> bin 76*4//256 = 1
+    assert feats[2] == [0.0, 1.0, 0.0, 0.0]
+    assert feats[1] == netpbm.histogram_features(big, 4)
+    assert abs(sum(feats[1]) - 1.0) < 1e-9
 
 
 def test_connected_components(spark):
