@@ -539,6 +539,7 @@ def connected_components_star(
     nodes: DataFrame | None = None,
     id_col: str = "id",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star
     (Kiveris et al.): converges in O(log n) rounds REGARDLESS of graph
@@ -551,7 +552,11 @@ def connected_components_star(
     with one count per round.
 
     Output contract identical to connected_components: (id_col,
-    group_id = min id reachable)."""
+    group_id = min id reachable).
+
+    ``stats`` (optional dict) gets ``{"rounds": k}`` — observability
+    for the O(log n) bound, pinned by the worst-case chain test
+    (test_giant_component_round_bound)."""
     edges = (
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("src"),
@@ -562,7 +567,9 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     prev_count = edges.count()
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         grown = _large_star(edges)
         shrunk = _small_star(grown).localCheckpoint(eager=True)
         # fixpoint: small-star output == previous edge set (star
@@ -576,6 +583,8 @@ def connected_components_star(
         edges, prev_count = shrunk, new_count
         if converged:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     # star forest: every non-root points straight at its component min
     labels = edges.select(F.col("src").alias(id_col), F.col("dst").alias("group_id"))
     roots = edges.select(F.col("dst").alias(id_col)).distinct().withColumn(

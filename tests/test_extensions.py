@@ -1384,6 +1384,89 @@ def test_band_key_index_heal_idempotent_under_repeated_crashes(spark, tmp_path):
     assert len(rows) == 11 and {r.doc_id for r in rows} == set(range(10)) | {99}
 
 
+def test_giant_component_round_bound(spark):
+    """Worst-case skew for the 100 TB dedup path (VERDICT r8 task #5a):
+    ONE giant component shaped as a maximum-diameter chain (doc i ~
+    doc i+1). Label propagation would need O(n) shuffle rounds here;
+    large-star/small-star must converge in O(log n) — pinned at
+    <= log2(n) + 2 rounds — while still labeling every node with the
+    chain minimum."""
+    import math
+
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    out = dedup.connected_components_star(pairs, id_col="doc_id", stats=stats)
+    got = dict(out.collect())
+    assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= math.log2(n) + 2, stats
+
+
+def test_streaming_neardup_index_read_tracks_batch_not_corpus(spark, tmp_path):
+    """Steady-state scaling of the streaming near-dup index (VERDICT
+    r8 task #5b): as the accumulated corpus grows across batches, a
+    batch's pruned index read touches only the (band, vb) directories
+    its OWN keys hash to — per-batch I/O tracks batch key diversity,
+    not corpus size. Asserted on actual files opened (input_file_name)
+    for the same probe batch after each of 3 growth appends."""
+    import glob
+    import os
+
+    idx = str(tmp_path / "idx")
+    val_buckets = 16
+
+    def keys_df(lo, hi):
+        # band 0..3 per doc; val spreads docs over all vb buckets
+        return spark.createDataFrame(
+            [Row(doc_id=i, band=b, val=i * 37 + b, simhash=i)
+             for i in range(lo, hi) for b in range(4)]
+        )
+
+    # a FIXED probe batch with minimal key diversity: one doc, 4 keys
+    probe = keys_df(0, 1)
+    probe_dirs = {
+        (r.band, (r.val % val_buckets))
+        for r in probe.select("band", "val").distinct().collect()
+    }
+
+    files_read_per_round = []
+    corpus_files_per_round = []
+    for round_no, (lo, hi) in enumerate([(0, 100), (100, 300), (300, 700)]):
+        dedup.append_band_key_index(keys_df(lo, hi), idx, val_buckets=val_buckets)
+        pruned = dedup.read_band_keys_pruned(spark, idx, probe)
+        touched = {
+            r.f
+            for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+        }
+        # every file opened lives in a directory the probe's own keys map to
+        for f in touched:
+            parts = f.split("/")
+            band = int([p for p in parts if p.startswith("band=")][0][5:])
+            vb = int([p for p in parts if p.startswith("vb=")][0][3:])
+            assert (band, vb) in probe_dirs, f
+        files_read_per_round.append(len(touched))
+        corpus_files_per_round.append(len(glob.glob(f"{idx}/band=*/vb=*/*.parquet")))
+
+    # the corpus (and its file count) grew every round...
+    assert corpus_files_per_round[0] < corpus_files_per_round[2]
+    # ...but the probe's read grew only by the one extra file each
+    # append adds to ITS OWN directories (<= |probe_dirs| per round),
+    # staying a shrinking fraction of the corpus
+    assert files_read_per_round[2] <= len(probe_dirs) * 3
+    assert files_read_per_round[2] / corpus_files_per_round[2] < 0.2
+    # and the pruned read still returns exactly the matching-dir rows
+    pred = None
+    for b, v in sorted(probe_dirs):
+        c = (F.col("band") == b) & (
+            F.pmod(F.col("val"), F.lit(val_buckets)) == v
+        )
+        pred = c if pred is None else pred | c
+    expect_rows = spark.read.parquet(idx).filter(pred).count()
+    assert dedup.read_band_keys_pruned(spark, idx, probe).count() == expect_rows
+
+
 def test_resample_last_ffill_grid_and_tiebreak(spark):
     """resample_last_ffill: last-per-bucket with (ts, id) tie-break,
     gaps forward-filled across the dense per-key grid, per-key bounds
