@@ -2438,6 +2438,58 @@ GROUP BY 1
 """
 
 
+def q_line_dedup(spark, sf):
+    """CCNet-style line-level boilerplate scrub (dedup.line_dedup):
+    every document gets a fabricated shared footer (newsletter line,
+    blank line, cookie line; odd ids also a promo line) — the lines
+    duplicated across >= 2 docs vanish, each doc's unique body
+    survives, blank lines are kept as structure. Exercised through
+    full reassembly: the output TEXT must match, not just counts."""
+    d = _t(spark, sf, "documents")
+    boiler = F.concat(
+        F.col("text"),
+        F.lit("\nSubscribe to our newsletter\n\nCookie policy: accept"),
+    )
+    t2 = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(boiler, F.lit("\nFollow us on social media")),
+    ).otherwise(boiler)
+    return dedup.line_dedup(
+        d.select("doc_id", t2.alias("text")), "text", "doc_id", min_df=2
+    ).select("doc_id", "text", "n_lines", "n_dropped")
+
+
+SQL_LINE_DEDUP = """
+WITH src AS (
+  SELECT doc_id,
+         text || chr(10) || 'Subscribe to our newsletter' || chr(10)
+              || chr(10) || 'Cookie policy: accept'
+              || CASE WHEN doc_id % 2 = 1
+                      THEN chr(10) || 'Follow us on social media'
+                      ELSE '' END AS text
+  FROM documents),
+split AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM src),
+ln AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l FROM split),
+keyed AS (
+  SELECT doc_id, i - 1 AS line_no, l[i] AS line,
+         trim(lower(l[i])) AS k, trim(l[i]) = '' AS blank
+  FROM ln),
+hot AS (
+  SELECT k FROM keyed WHERE NOT blank
+  GROUP BY k HAVING count(DISTINCT doc_id) >= 2),
+kept AS (
+  SELECT doc_id, line_no, line,
+         (k IN (SELECT k FROM hot)) AND NOT blank AS dropped
+  FROM keyed)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+                           chr(10) ORDER BY line_no), '') AS text,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM kept GROUP BY doc_id
+"""
+
+
 def q_pipeline_clean_corpus(spark, sf):
     """The COMPOSED hygiene preset (pipelines.clean_corpus), oracle-
     checked end to end: NFC normalize -> exact dedup (min-id) ->
@@ -3465,80 +3517,28 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the least-recently-driver-verified queries come FIRST
     # (the driver caps each round's oracle sweep at 50 entries, so dict
-    # order IS verification priority — r8 rotation, VERDICT r7 task #4):
-    #   1. the 29 queries cap-skipped in CORRECTNESS_r07 (all r06-green,
+    # order IS verification priority — r9 rotation, VERDICT r8 task #2):
+    #   1. the 45 queries cap-skipped in CORRECTNESS_r08 (all r07-green,
     #      now two rounds stale — the verdict's explicit lead list),
-    #   2. queries NEW this round (session_counts, resample_ffill,
-    #      tar_roundtrip, jsonl_roundtrip, model_score, bloom_decontam,
-    #      quantile_sketch, ivf_append_compact, text_normalize,
-    #      stream_heavy_hitters, stream_quantiles, chunk_text,
-    #      zorder_values, cap_per_group, dataset_diff) or whose code
-    #      paths changed this round: dedup.py (winnow single-eval
-    #      checkpoint, band-index pin-before-data + heal-merge +
-    #      compaction dedup) -> winnow_overlap, band_index_compact,
-    #      stream_neardup_dedup (dedup/simhash/jaccard family already
-    #      in section 1); multimodal.py (gc_blobs semi-join) ->
-    #      multimodal_external_meta (dedup_survivors also new, riding
-    #      the section-1 dedup family's code). Sections 1+2 total 49,
-    #      inside the 50-cap with one section-3 entry,
-    #   3. the remaining r07-green untouched queries — the driver's cap
-    #      lands partway through this section; everything below the cap
-    #      was verified green in r07 with operator code untouched since.
+    #   2. NEW this round (pipeline_clean_corpus, line_dedup) plus the
+    #      r8-green queries whose code paths r9 touched hardest: the
+    #      jaccard shingle path lost two shuffles and gained a
+    #      single-eval checkpoint (shingles/ngram_jaccard_pairs),
+    #      pick_survivors became a min_by aggregate with a left-join
+    #      singleton coalesce -> dedup_survivors, dedup_ngram_jaccard,
+    #      dedup_groups. Sections 1+2 = 50, exactly the cap,
+    #   3. the remaining r08-green queries, touched-this-round first
+    #      (jaccard_join/minhash/decontam ride the same shingle change;
+    #      export overwrite -> tar_roundtrip; heal-suffix ->
+    #      band_index_compact, ivf_append_compact; OCF first-block
+    #      guard -> stream_cdc_materialize; netpbm codec shares the
+    #      multimodal kernels -> multimodal_external_meta), then
+    #      untouched —
+    #      everything below the cap was verified green in r08 and the
+    #      touched paths are covered by targeted check_oracle runs and
+    #      pytest this round.
     return {
-        # 1. cap-skipped in r07 (r06-green, least recently verified)
-        "semi_join": q_semi_join,
-        "set_except": q_set_except,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3ish": q_tpch_q3ish,
-        "tpch_q5ish": q_tpch_q5ish,
-        "tpch_q6ish": q_tpch_q6ish,
-        "join_segment_revenue": q_join_segment_revenue,
-        "sliding_counts": q_sliding_counts,
-        "event_gaps": q_event_gaps,
-        "percentiles": q_percentiles,
-        "window_topk_per_group": q_window_topk_per_group,
-        "heavy_hitters_sketch": q_heavy_hitters_sketch,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "simhash_neardup": q_simhash_neardup,
-        "dedup_groups": q_dedup_groups,
-        "jaccard_join": q_jaccard_join,
-        "salted_join_agg": q_salted_join_agg,
-        "distinct_sketch": q_distinct_sketch,
-        "repetition_stats": q_repetition_stats,
-        "embedding_neardup": q_embedding_neardup,
-        "embedding_dedup_groups": q_embedding_dedup_groups,
-        "knn_join": q_knn_join,
-        "similarity_topk": q_similarity_topk,
-        "similarity_ann": q_similarity_ann,
-        "similarity_quantized": q_similarity_quantized,
-        "similarity_ivf": q_similarity_ivf,
-        # 2. NEW this round + code paths touched this round
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "session_counts": q_session_counts,
-        "resample_ffill": q_resample_ffill,
-        "tar_roundtrip": q_tar_roundtrip,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "model_score": q_model_score,
-        "dedup_survivors": q_dedup_survivors,
-        "bloom_decontam": q_bloom_decontam,
-        "quantile_sketch": q_quantile_sketch,
-        "ivf_append_compact": q_ivf_append_compact,
-        "text_normalize": q_text_normalize,
-        "stream_heavy_hitters": q_stream_heavy_hitters,
-        "stream_quantiles": q_stream_quantiles,
-        "chunk_text": q_chunk_text,
-        "zorder_values": q_zorder_values,
-        "cap_per_group": q_cap_per_group,
-        "dataset_diff": q_dataset_diff,
-        "winnow_overlap": q_winnow_overlap,
-        "band_index_compact": q_band_index_compact,
-        "stream_neardup_dedup": q_stream_neardup_dedup,
-        "multimodal_external_meta": q_multimodal_external_meta,
-        # 3. r07-green, untouched (cap lands partway through)
-        "stream_cdc_materialize": q_stream_cdc_materialize,
+        # 1. cap-skipped in r08 (r07-green, least recently verified)
         "stream_dedup_exact": q_stream_dedup_exact,
         "stream_agg_materialize": q_stream_agg_materialize,
         "stream_sessionize": q_stream_sessionize,
@@ -3584,12 +3584,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_prefix": q_term_prefix,
         "hit_count": q_hit_count,
         "multivalued_contains": q_multivalued_contains,
+        # 2. NEW this round + the hardest-touched code paths
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "line_dedup": q_line_dedup,
+        "dedup_survivors": q_dedup_survivors,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_groups": q_dedup_groups,
+        # 3. r08-green, touched-this-round first, then untouched
+        "jaccard_join": q_jaccard_join,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "bloom_decontam": q_bloom_decontam,
+        "tar_roundtrip": q_tar_roundtrip,
+        "band_index_compact": q_band_index_compact,
+        "ivf_append_compact": q_ivf_append_compact,
+        "stream_cdc_materialize": q_stream_cdc_materialize,
+        "multimodal_external_meta": q_multimodal_external_meta,
+        "stream_neardup_dedup": q_stream_neardup_dedup,
+        "winnow_overlap": q_winnow_overlap,
+        "embedding_dedup_groups": q_embedding_dedup_groups,
+        "semi_join": q_semi_join,
+        "set_except": q_set_except,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3ish": q_tpch_q3ish,
+        "tpch_q5ish": q_tpch_q5ish,
+        "tpch_q6ish": q_tpch_q6ish,
+        "join_segment_revenue": q_join_segment_revenue,
+        "sliding_counts": q_sliding_counts,
+        "event_gaps": q_event_gaps,
+        "percentiles": q_percentiles,
+        "window_topk_per_group": q_window_topk_per_group,
+        "heavy_hitters_sketch": q_heavy_hitters_sketch,
+        "dedup_exact": q_dedup_exact,
+        "dedup_simhash": q_dedup_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "salted_join_agg": q_salted_join_agg,
+        "distinct_sketch": q_distinct_sketch,
+        "repetition_stats": q_repetition_stats,
+        "embedding_neardup": q_embedding_neardup,
+        "knn_join": q_knn_join,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ann": q_similarity_ann,
+        "similarity_quantized": q_similarity_quantized,
+        "similarity_ivf": q_similarity_ivf,
+        "session_counts": q_session_counts,
+        "resample_ffill": q_resample_ffill,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "model_score": q_model_score,
+        "quantile_sketch": q_quantile_sketch,
+        "text_normalize": q_text_normalize,
+        "stream_heavy_hitters": q_stream_heavy_hitters,
+        "stream_quantiles": q_stream_quantiles,
+        "chunk_text": q_chunk_text,
+        "zorder_values": q_zorder_values,
+        "cap_per_group": q_cap_per_group,
+        "dataset_diff": q_dataset_diff,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     sql = {
         "pipeline_clean_corpus": SQL_PIPELINE_CLEAN_CORPUS,
+        "line_dedup": SQL_LINE_DEDUP,
         "session_counts": SQL_SESSION_COUNTS,
         "resample_ffill": SQL_RESAMPLE_FFILL,
         "tar_roundtrip": SQL_TAR_ROUNDTRIP,

@@ -41,6 +41,75 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_df: int = 2,
+    normalize: bool = True,
+) -> DataFrame:
+    """CCNet-style line-level deduplication: drop every LINE that
+    occurs (after optional lowercase+trim normalization) in >=
+    ``min_df`` distinct documents — the standard boilerplate scrub
+    (cookie banners, nav menus, share buttons) that document-level
+    dedup cannot touch because the surrounding text differs.
+
+    Shape at scale: explode to (id, line_no, line), one groupBy on the
+    fixed-width line hash counting DISTINCT documents, then an anti
+    join of the line frame against the hot set and a per-document
+    reassembly groupBy ordered by line_no. Two aggregations + one
+    join, all partial-aggregatable; the hot-line set is tiny (it IS
+    the boilerplate) so the anti join broadcasts under AQE. Empty
+    lines are kept verbatim (they carry document structure and are
+    trivially "duplicated" — counting them would blank every
+    paragraph break).
+
+    Output: (id, text-with-dropped-lines, n_lines, n_dropped). A
+    document whose every line is boilerplate survives with empty
+    text, preserving row count for downstream joins.
+    """
+    key = (
+        F.trim(F.lower(F.col("line"))) if normalize else F.col("line")
+    )
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).withColumn("line_key", F.sha2(key, 256)).withColumn(
+        "__blank", F.trim(F.col("line")) == ""
+    )
+    hot = (
+        lines.filter(~F.col("__blank"))
+        .groupBy("line_key")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("line_key")
+    )
+    kept = lines.join(
+        hot.withColumn("__hot", F.lit(True)), "line_key", "left"
+    ).withColumn("__drop", F.coalesce("__hot", F.lit(False)) & ~F.col("__blank"))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("__drop"),
+                                F.struct("line_no", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("__drop").cast("int")).alias("n_dropped"),
+        )
+    )
+
+
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 

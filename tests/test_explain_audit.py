@@ -53,6 +53,9 @@ HEADLINE = [
     "resample_ffill",
     "bloom_decontam",
     "quantile_sketch",
+    "line_dedup",
+    "pipeline_clean_corpus",
+    "dedup_survivors",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.

@@ -46,19 +46,42 @@ def test_minhash_lsh_finds_exact_dups(docs):
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 4)}
 
 
-def test_dedup_family_leaves_no_persisted_storage(spark, docs):
+def test_dedup_family_leaves_no_leaked_storage(spark, docs):
     """In a long-lived session (a streaming driver, a notebook), an
-    operator that caches without unpersisting accumulates executor
-    storage across calls. The pair-finding family must leave the
-    persisted-RDD set exactly as it found it."""
+    operator that pins storage without a bounded lifetime accumulates
+    executor memory across calls. Contract (matching winnow's
+    documented single-evaluation checkpoint): operators MAY
+    localCheckpoint for the lifetime of the returned frame — the
+    blocks must be gone once the caller releases it and the context
+    cleaner runs. (The r1-r8 form demanded zero persisted state even
+    while the frame was alive; ngram_jaccard_pairs now checkpoints its
+    sized shingle frame so the tokenize map stage runs once per query
+    instead of once per self-join side.)"""
+    import gc
+    import time
+
+    docs.count()  # materialize the fixture's own cache() into the baseline
     before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
-    dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.4).count()
-    dedup.minhash_lsh_dedup_pairs(docs, "text", "doc_id").count()
-    dedup.jaccard_join(
-        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"), "text", "doc_id"
-    ).count()
-    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
-    assert after <= before
+    frames = [
+        dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.4),
+        dedup.minhash_lsh_dedup_pairs(docs, "text", "doc_id"),
+        dedup.jaccard_join(
+            docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"),
+            "text", "doc_id",
+        ),
+    ]
+    for f in frames:
+        f.count()
+    frames.clear()
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        gc.collect()  # drop py4j refs so the JVM weak refs can enqueue
+        spark._jvm.System.gc()  # ContextCleaner only polls enqueued refs
+        after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+        if after <= before:
+            break
+        time.sleep(0.5)
+    assert after <= before, f"leaked persisted RDDs: {sorted(after - before)}"
 
 
 def test_shingle_df_cap(spark):
@@ -1382,6 +1405,35 @@ def test_band_key_index_heal_idempotent_under_repeated_crashes(spark, tmp_path):
     dedup.compact_band_key_index(spark, idx, max_files_per_dir=1)
     rows = spark.read.parquet(idx).collect()
     assert len(rows) == 11 and {r.doc_id for r in rows} == set(range(10)) | {99}
+
+
+def test_line_dedup_boilerplate_scrub(spark):
+    """CCNet-style line dedup: lines shared by >= min_df docs vanish,
+    unique body lines survive in order, blank lines are kept as
+    structure, near-identical lines differing only in case/padding
+    collapse under normalization (and don't without it), and an
+    all-boilerplate document survives as an empty row."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="unique one\nSubscribe now\n\nbody A"),
+            Row(doc_id=2, text="unique two\n subscribe NOW \n\nbody B"),
+            Row(doc_id=3, text="Subscribe now"),
+        ]
+    )
+    out = {r.doc_id: r for r in dedup.line_dedup(docs, "text", "doc_id").collect()}
+    assert out[1].text == "unique one\n\nbody A"
+    assert out[2].text == "unique two\n\nbody B"
+    assert out[3].text == "" and out[3].n_dropped == 1  # row survives
+    assert out[1].n_lines == 4 and out[1].n_dropped == 1
+    # without normalization the case/padding variants are distinct
+    raw = {r.doc_id: r for r in dedup.line_dedup(
+        docs, "text", "doc_id", normalize=False).collect()}
+    assert raw[1].text == "unique one\n\nbody A"  # exact match with doc 3
+    assert raw[2].n_dropped == 0  # ' subscribe NOW ' matched nothing
+    # min_df above the fan-out disables dropping entirely
+    none = {r.doc_id: r for r in dedup.line_dedup(
+        docs, "text", "doc_id", min_df=4).collect()}
+    assert all(r.n_dropped == 0 for r in none.values())
 
 
 def test_giant_component_round_bound(spark):
