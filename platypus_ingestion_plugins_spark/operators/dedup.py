@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from platypus_ingestion_plugins_spark.functions.text import tokens
 from platypus_ingestion_plugins_spark.session import ensure_parallelism
@@ -601,6 +602,51 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.filter(F.col("src") != F.col("dst")).distinct()
 
 
+def _cc_local_union_find(
+    edges: DataFrame, nodes: DataFrame | None, id_col: str, stats: dict | None
+) -> DataFrame:
+    """Driver-side min-root union-find over a BOUNDED edge set (the
+    sub-threshold branch of connected_components_star — the caller has
+    already counted the edges). Path-halving find; union roots by id
+    order so every component's root is its minimum id — the exact
+    distributed contract."""
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["local"] = True
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r["src"]), find(r["dst"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    members = {v for r in rows for v in (r["src"], r["dst"])}
+    spark = edges.sparkSession
+    id_type = edges.schema["src"].dataType
+    schema = T.StructType(
+        [T.StructField(id_col, id_type), T.StructField("group_id", id_type)]
+    )
+    labels = spark.createDataFrame(
+        [(m, find(m)) for m in sorted(members)], schema
+    )
+    if nodes is not None:
+        return (
+            nodes.select(id_col)
+            .join(labels, id_col, "left")
+            .select(id_col, F.coalesce("group_id", F.col(id_col)).alias("group_id"))
+        )
+    return labels
+
+
 def connected_components_star(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -609,6 +655,7 @@ def connected_components_star(
     id_col: str = "id",
     max_iter: int = 50,
     stats: dict | None = None,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star
     (Kiveris et al.): converges in O(log n) rounds REGARDLESS of graph
@@ -623,7 +670,20 @@ def connected_components_star(
     Output contract identical to connected_components: (id_col,
     group_id = min id reachable).
 
-    ``stats`` (optional dict) gets ``{"rounds": k}`` — observability
+    Size-based strategy choice (the AQE-broadcast decision applied to
+    an iterative algorithm): the near-dup graph is usually TINY next
+    to the corpus — LSH pairs are the duplicates, not the documents —
+    and below ``local_threshold`` edges (a bounded, ~MB-scale collect;
+    the count is already paid) the star loop's per-round scheduling
+    latency costs more than the whole problem, so the component labels
+    are computed with a driver-side min-root union-find instead:
+    byte-identical output, zero shuffle rounds. Above the threshold —
+    the genuine 100 TB regime — the distributed star loop runs
+    unchanged. ``local_threshold=0`` forces the distributed path (the
+    round-bound test pins the star algorithm that way).
+
+    ``stats`` (optional dict) gets ``{"rounds": k}`` plus
+    ``{"local": True}`` when the union-find path ran — observability
     for the O(log n) bound, pinned by the worst-case chain test
     (test_giant_component_round_bound)."""
     edges = (
@@ -636,6 +696,8 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     prev_count = edges.count()
+    if prev_count <= local_threshold:
+        return _cc_local_union_find(edges, nodes, id_col, stats)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1

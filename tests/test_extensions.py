@@ -1491,10 +1491,21 @@ def test_giant_component_round_bound(spark):
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
     stats: dict = {}
-    out = dedup.connected_components_star(pairs, id_col="doc_id", stats=stats)
+    # local_threshold=0 pins the DISTRIBUTED star algorithm — the
+    # sub-threshold union-find shortcut would trivialize the bound
+    out = dedup.connected_components_star(
+        pairs, id_col="doc_id", stats=stats, local_threshold=0
+    )
     got = dict(out.collect())
     assert got == {i: 0 for i in range(n)}
     assert stats["rounds"] <= math.log2(n) + 2, stats
+    # the union-find shortcut must produce the identical labeling
+    stats2: dict = {}
+    got2 = dict(
+        dedup.connected_components_star(pairs, id_col="doc_id", stats=stats2)
+        .collect()
+    )
+    assert got2 == got and stats2.get("local") is True
 
 
 def test_streaming_neardup_index_read_tracks_batch_not_corpus(spark, tmp_path):
