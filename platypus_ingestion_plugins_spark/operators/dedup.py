@@ -67,14 +67,18 @@ def line_dedup(
 
     Output: (id, text-with-dropped-lines, n_lines, n_dropped). A
     document whose every line is boilerplate survives with empty
-    text, preserving row count for downstream joins.
+    text, preserving row count for downstream joins; NULL text is
+    coalesced to the empty string for the same reason (a bare explode
+    of a null split would silently delete the row).
     """
     key = (
         F.trim(F.lower(F.col("line"))) if normalize else F.col("line")
     )
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("line_no", "line"),
     ).withColumn("line_key", F.sha2(key, 256)).withColumn(
         "__blank", F.trim(F.col("line")) == ""
     )
@@ -111,8 +115,10 @@ def line_dedup(
     )
 
 
-def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+def _gram_array(text_col: str, n: int) -> Column:
+    """The distinct non-empty word-n-gram array of a text column —
+    the single shared map-stage expression behind ``shingles`` and
+    ``ngram_jaccard_pairs`` (one definition, no drift).
 
     Built as arrays_zip of n shifted slices of the token array, then
     one transform joining each zipped struct — the token array is
@@ -123,25 +129,29 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     document corpus; same trap as winnow_fingerprints.) concat_ws
     skips the nulls arrays_zip pads short slices with, so documents
     shorter than n tokens still produce their full text as one
-    shingle — byte-identical output to the index-sequence form.
-    """
-    # tokenize+gram is the CPU-heavy map stage: spread a
-    # few-split source across cores first (no-op on real multi-split inputs)
-    df = ensure_parallelism(df)
+    shingle — byte-identical output to the index-sequence form."""
     toks = tokens(text_col)
     m = F.greatest(F.size(toks) - n + 1, F.lit(1))
     zipped = F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(n)])
     grams = F.transform(
         zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
     )
+    return F.filter(F.array_distinct(grams), lambda x: x != "")
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+    See ``_gram_array`` for the map-stage expression design."""
+    # tokenize+gram is the CPU-heavy map stage: spread a
+    # few-split source across cores first (no-op on real multi-split inputs)
+    df = ensure_parallelism(df)
     # (id, shingle) is unique BY CONSTRUCTION — array_distinct dedupes
     # within the document and ids differ across documents — so no
     # global .distinct() here: that would be a full shuffle of the
     # shingle set (the largest intermediate in every jaccard-family
     # plan) re-establishing an invariant the map stage already holds
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
-        .filter(F.col("shingle") != "")
+    return df.select(
+        F.col(id_col), F.explode(_gram_array(text_col, n)).alias("shingle")
     )
 
 
@@ -182,37 +192,26 @@ def ngram_jaccard_pairs(
     self-join (see cap_shingle_df); when set, Jaccard is computed over
     the capped shingle sets.
 
-    The shingle frame is deliberately NOT cached: its consumers
-    recompute the scan+explode map stage, which is embarrassingly
-    parallel and shuffle-free — at corpus scale that beats
-    materializing a shingle set larger than executor storage, and
-    measured at sf0.1 the un-cached plan is FASTER (no blocking cache
-    write). It also leaves zero persisted state behind in a long-lived
-    session. To keep the recompute count at two (the join sides), each
-    shingle row carries its document's shingle COUNT, annotated by one
-    window over the id partition — the Jaccard denominator then rides
-    the inverted index instead of needing two more size-join scans.
-    Callers who want explicit reuse can persist `shingles(...)`
-    themselves and use the building-block functions.
-
     The Jaccard denominator |doc's shingle set| is computed MAP-SIDE
     (size of the per-row distinct-gram array, before the explode) —
     zero extra shuffles. Only the capped path (``max_shingle_df``)
     still needs a post-cap count, because capping changes the sets the
     denominator is defined over; there it is one id-partition window
     over the already-capped rows.
+
+    The uncapped sized-shingle frame is lazily localCheckpointed
+    (winnow's single-evaluation pattern): the self-join references it
+    twice and AQE's runtime broadcast conversion defeats exchange
+    reuse, so without it the tokenize+gram map stage runs once per
+    side. Blocks are spillable and freed when the caller releases the
+    frame (test_dedup_family_leaves_no_leaked_storage pins the bounded
+    lifetime); at corpus scale prefer the ``max_shingle_df`` path,
+    which bounds the join and skips the materialization.
     """
     if max_shingle_df is None:
         df = ensure_parallelism(df)
-        toks = tokens(text_col)
-        m = F.greatest(F.size(toks) - n + 1, F.lit(1))
-        zipped = F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(n)])
-        grams = F.transform(
-            zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
-        )
-        arr = F.filter(F.array_distinct(grams), lambda x: x != "")
         sized = (
-            df.select(F.col(id_col), arr.alias("__sh_arr"))
+            df.select(F.col(id_col), _gram_array(text_col, n).alias("__sh_arr"))
             .withColumn("n_sh", F.size("__sh_arr"))
             .select(F.col(id_col), F.explode("__sh_arr").alias("shingle"), "n_sh")
             # lazy localCheckpoint (same single-evaluation fix as

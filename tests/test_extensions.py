@@ -1434,6 +1434,14 @@ def test_line_dedup_boilerplate_scrub(spark):
     none = {r.doc_id: r for r in dedup.line_dedup(
         docs, "text", "doc_id", min_df=4).collect()}
     assert all(r.n_dropped == 0 for r in none.values())
+    # NULL text must not delete the row — it survives as empty text
+    nulled = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text="hello")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in dedup.line_dedup(
+        nulled, "text", "doc_id").collect()}
+    assert got == {1: "", 2: "hello"}
 
 
 def test_line_dedup_reassembly_property(spark):
