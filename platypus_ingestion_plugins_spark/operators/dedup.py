@@ -539,11 +539,15 @@ def minhash_lsh_dedup_pairs(
     cap_shingle_df), applied before signatures so the LSH and
     verification stages see the same shingle sets.
 
-    Neither the shingle frame nor the candidate set is cached (see
-    ngram_jaccard_pairs): consumers recompute the shuffle-free map
-    stages, which measures faster than cache materialization and
-    leaves no persisted state behind in a long-lived session."""
-    sh = cap_shingle_df(shingles(df, text_col, id_col, n), max_shingle_df)
+    The shingle frame is lazily localCheckpointed (the winnow /
+    ngram_jaccard_pairs single-evaluation pattern): signatures, sizes,
+    and both verification sides reference it — four evaluations of the
+    tokenize+gram map stage without the checkpoint, one with it.
+    Blocks are spillable and freed when the caller releases the frame
+    (bounded lifetime, leak-tested)."""
+    sh = cap_shingle_df(
+        shingles(df, text_col, id_col, n), max_shingle_df
+    ).localCheckpoint(eager=False)
     sig = minhash_from_shingles(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sig, id_col, bands)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
