@@ -2490,6 +2490,77 @@ FROM kept GROUP BY doc_id
 """
 
 
+def q_top_terms_per_group(spark, sf):
+    """Corpus-composition report (text.top_terms_per_group): top-5
+    tokens of length >= 4 per source — one partial-aggregatable
+    (group, token) count shuffle + a group-bounded rank window,
+    deterministic (count desc, term asc) ordering."""
+    from platypus_ingestion_plugins_spark.functions.text import (
+        top_terms_per_group,
+    )
+
+    d = _t(spark, sf, "documents")
+    return top_terms_per_group(d, "text", "source", k=5, min_token_len=4)
+
+
+SQL_TOP_TERMS_PER_GROUP = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')) AS term
+  FROM documents),
+f AS (SELECT source, term FROM tok WHERE length(term) >= 4),
+c AS (SELECT source, term, count(*) AS n FROM f GROUP BY 1, 2),
+r AS (SELECT source, term, n,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n DESC, term) AS rank
+      FROM c)
+SELECT source, term, n, rank FROM r WHERE rank <= 5
+"""
+
+
+def q_hashed_bow_embedding(spark, sf):
+    """Feature-hashing embeddings (text.hashed_bow_embeddings): every
+    document gets a 32-dim L2-normalized hashed token-count vector —
+    JVM md5 bucketing + Arrow-batched numpy histogram, no vocabulary,
+    no model — the bridge from raw text to the similarity/ANN
+    operators. Flattened to (doc_id, pos, val) rows because array
+    columns stringify differently across engines; the oracle rebuilds
+    each bucket count with the same md5-half hash and normalizes
+    identically."""
+    from platypus_ingestion_plugins_spark.functions.text import (
+        hashed_bow_embeddings,
+    )
+
+    d = _t(spark, sf, "documents")
+    return hashed_bow_embeddings(d, "text", "doc_id", dim=32).select(
+        "doc_id", F.posexplode("embedding").alias("pos", "val")
+    )
+
+
+SQL_HASHED_BOW_EMBEDDING = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')) AS t
+  FROM documents),
+b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 32 AS bucket
+  FROM tok),
+c AS (SELECT doc_id, bucket, count(*)::DOUBLE AS n FROM b GROUP BY 1, 2),
+g AS (
+  SELECT d.doc_id, p.pos
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS pos) p),
+v AS (
+  SELECT g.doc_id, g.pos, coalesce(c.n, 0) AS n
+  FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bucket = g.pos),
+nrm AS (SELECT doc_id, sqrt(sum(n * n)) AS nn FROM v GROUP BY 1)
+SELECT v.doc_id, v.pos,
+       round(CASE WHEN nn > 0 THEN n / nn ELSE 0 END, 6) AS val
+FROM v JOIN nrm USING (doc_id)
+"""
+
+
 def q_pipeline_clean_corpus(spark, sf):
     """The COMPOSED hygiene preset (pipelines.clean_corpus), oracle-
     checked end to end: NFC normalize -> exact dedup (min-id) ->
@@ -3587,10 +3658,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 2. NEW this round + the hardest-touched code paths
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "line_dedup": q_line_dedup,
+        "top_terms_per_group": q_top_terms_per_group,
+        "hashed_bow_embedding": q_hashed_bow_embedding,
         "dedup_survivors": q_dedup_survivors,
+        # 3. r08-green, touched-this-round first, then untouched
+        # (dedup_ngram_jaccard/dedup_groups displaced just below the
+        # cap by the two extra NEW queries — both re-verified green by
+        # this round's targeted check_oracle runs)
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_groups": q_dedup_groups,
-        # 3. r08-green, touched-this-round first, then untouched
         "jaccard_join": q_jaccard_join,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "bloom_decontam": q_bloom_decontam,
@@ -3645,6 +3721,8 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "pipeline_clean_corpus": SQL_PIPELINE_CLEAN_CORPUS,
         "line_dedup": SQL_LINE_DEDUP,
+        "top_terms_per_group": SQL_TOP_TERMS_PER_GROUP,
+        "hashed_bow_embedding": SQL_HASHED_BOW_EMBEDDING,
         "session_counts": SQL_SESSION_COUNTS,
         "resample_ffill": SQL_RESAMPLE_FFILL,
         "tar_roundtrip": SQL_TAR_ROUNDTRIP,

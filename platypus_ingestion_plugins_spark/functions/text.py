@@ -228,3 +228,98 @@ def repetition_stats(df, text_col: str, id_col: str, n: int = 3):
             ).alias("top_ngram_frac"),
         )
     )
+
+
+def top_terms_per_group(
+    df,
+    text_col: str,
+    group_col: str,
+    k: int = 10,
+    min_token_len: int = 1,
+):
+    """Top-k most frequent tokens per group (per source, per language,
+    per date bucket) — the corpus-composition report a training-data
+    pipeline runs after every ingest to spot drift and contamination
+    by eye.
+
+    Shape at scale: explode tokens, ONE partial-aggregatable count
+    shuffle on (group, token), then a group-bounded row_number window
+    — the window's partition is a single group's vocabulary, never the
+    corpus. Deterministic (count desc, token asc) ordering makes the
+    report engine-reproducible. Output: (group_col, term, n, rank).
+    """
+    tok = (
+        df.select(F.col(group_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.length("term") >= min_token_len)
+    )
+    counts = tok.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("n").desc(), F.col("term").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hashed_bow_embeddings(
+    df, text_col: str, id_col: str, dim: int = 32
+):
+    """Hashed bag-of-words embeddings: (id, L2-normalized
+    ``array<double>`` of token-count buckets), token -> bucket by the
+    engine-independent md5-half hash used throughout (so an external
+    SQL engine reproduces the vector bit-for-bit after rounding).
+
+    The feature-hashing trick (Weinberger et al. 2009): no vocabulary,
+    no model file — the cheapest way to give every document a vector
+    the similarity operators (knn_join, IVF/LSH dedup) can consume
+    when no learned embedding exists yet.
+
+    Physical split: the md5 bucketing is a JVM codegen transform (one
+    evaluation per token); the histogram + normalization is an
+    Arrow-batched mapInPandas kernel over the bucket arrays (numpy
+    bincount — map-only, no shuffle). A pure-expression histogram was
+    measured 30x slower: Catalyst either inlines the md5 pipeline
+    into every per-component lambda or, in the single-aggregate form,
+    rebuilds the dim-wide accumulator array per token — per-row array
+    construction is exactly what the Arrow batch boundary avoids.
+    Components round to 6 places AFTER normalization for cross-engine
+    comparability; the zero vector (empty text) stays zero."""
+    from pyspark.sql import types as _T
+
+    buckets = F.transform(
+        tokens(text_col),
+        lambda t: F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+            F.lit(dim),
+        ),
+    )
+    out_schema = _T.StructType(
+        [
+            df.schema[id_col],
+            _T.StructField("embedding", _T.ArrayType(_T.DoubleType())),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for b in pdf["__buckets"]:
+                arr = np.bincount(
+                    np.asarray(b if b is not None else [], dtype=np.int64),
+                    minlength=dim,
+                ).astype(np.float64)
+                n = float(np.sqrt((arr * arr).sum()))
+                if n > 0:
+                    arr = arr / n
+                out.append(np.round(arr, 6).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "embedding": out})
+
+    return df.select(
+        F.col(id_col), buckets.alias("__buckets")
+    ).mapInPandas(kernel, out_schema)

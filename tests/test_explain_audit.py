@@ -56,6 +56,8 @@ HEADLINE = [
     "line_dedup",
     "pipeline_clean_corpus",
     "dedup_survivors",
+    "top_terms_per_group",
+    "hashed_bow_embedding",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
@@ -148,7 +150,10 @@ def test_scans_prune_columns(plans):
     narrow schema (≤4 columns) — the tables have 3-4 columns of
     payload but a scan reading the full documents/embeddings width
     for a 2-column pipeline would be a pruning regression."""
-    for name in ("similarity_topk", "embedding_neardup", "dedup_minhash_lsh"):
+    # (dedup_minhash_lsh's scan is hidden behind its lazy
+    # localCheckpoint in the static plan; jaccard_join reads the same
+    # documents shingle path un-checkpointed, keeping the probe live)
+    for name in ("similarity_topk", "embedding_neardup", "jaccard_join"):
         widths = [
             len(w.split(","))
             for w in re.findall(r"ReadSchema: struct<([^>]*)>", plans[name])

@@ -1444,6 +1444,66 @@ def test_line_dedup_boilerplate_scrub(spark):
     assert got == {1: "", 2: "hello"}
 
 
+def test_top_terms_per_group(spark):
+    """Deterministic per-group term ranking: counts desc, term asc
+    tie-break, k-bounded, min-length filter applied before counting."""
+    from platypus_ingestion_plugins_spark.functions.text import (
+        top_terms_per_group,
+    )
+
+    d = spark.createDataFrame(
+        [
+            Row(g="a", text="apple apple banana cherry x"),
+            Row(g="a", text="banana apple"),
+            Row(g="b", text="zebra zebra zebra yak"),
+        ]
+    )
+    out = top_terms_per_group(d, "text", "g", k=2, min_token_len=3).collect()
+    got = {(r.g, r.rank): (r.term, r.n) for r in out}
+    assert got == {
+        ("a", 1): ("apple", 3),
+        ("a", 2): ("banana", 2),
+        ("b", 1): ("zebra", 3),
+        ("b", 2): ("yak", 1),
+    }
+
+
+def test_hashed_bow_embeddings(spark):
+    """Feature-hashing embeddings: bucket = md5-half % dim reproduced
+    against hashlib, L2 norm 1 for non-empty docs, zero vector for
+    empty, identical docs get identical vectors."""
+    import hashlib
+    import math
+
+    from platypus_ingestion_plugins_spark.functions.text import (
+        hashed_bow_embeddings,
+    )
+
+    d = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta beta"),
+            Row(doc_id=2, text="alpha beta beta"),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    out = {r.doc_id: r.embedding
+           for r in hashed_bow_embeddings(d, "text", "doc_id", dim=8).collect()}
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 8
+
+    expect = [0.0] * 8
+    counts = [0.0] * 8
+    counts[bucket("alpha")] += 1
+    counts[bucket("beta")] += 2
+    n = math.sqrt(sum(v * v for v in counts))
+    expect = [round(v / n, 6) for v in counts]
+    assert out[1] == expect
+    assert out[1] == out[2]
+    assert out[3] == [0.0] * 8
+    assert abs(sum(v * v for v in out[1]) - 1.0) < 1e-4
+
+
 def test_line_dedup_reassembly_property(spark):
     """Property: for arbitrary line soups, line_dedup output equals
     the reference computation — each doc keeps exactly its lines whose
