@@ -121,6 +121,24 @@ def _rename_or_raise(spark: SparkSession, src: str, dst: str) -> None:
         raise IOError(f"rename failed: {src} -> {dst}")
 
 
+def rename_numbered(
+    spark: SparkSession, src: str, dst_dir: str, name: str
+) -> str:
+    """Move ``src`` into ``dst_dir`` as ``name``, falling back to
+    ``healed-N-<name>`` for the first free N when the destination is
+    taken — the idempotent-under-repeated-crashes heal rename shared
+    by the band-key and IVF compactors (a crash mid-heal leaves both
+    <name> and healed-1-<name>; the re-run must find a free slot, not
+    fail every subsequent compaction). Returns the destination used."""
+    dst = f"{dst_dir}/{name}"
+    n_try = 0
+    while exists(spark, dst):
+        n_try += 1
+        dst = f"{dst_dir}/healed-{n_try}-{name}"
+    _rename_or_raise(spark, src, dst)
+    return dst
+
+
 def read_text(spark: SparkSession, path: str) -> str | None:
     """Contents of a small text file, or None if absent.
 

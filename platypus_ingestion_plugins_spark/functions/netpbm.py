@@ -63,15 +63,28 @@ def decode(raw: bytes) -> np.ndarray:
         raise ValueError(f"bad netpbm dimensions {width}x{height}")
     if not 0 < maxval <= 255:
         raise ValueError(f"unsupported netpbm maxval {maxval}")
-    pos += 1  # exactly one whitespace byte after maxval, per spec
+    # exactly ONE whitespace byte after maxval, per spec — anything
+    # else (a comment, CRLF shifting the raster) must fail loudly, not
+    # decode every pixel off-by-N
+    if pos >= len(raw) or raw[pos : pos + 1] not in _WS:
+        raise ValueError("netpbm raster must follow maxval after one whitespace")
+    pos += 1
     count = width * height * channels
     if len(raw) - pos < count:
         raise ValueError("truncated netpbm raster")
-    return (
+    img = (
         np.frombuffer(raw, dtype=np.uint8, count=count, offset=pos)
         .reshape(height, width, channels)
         .copy()
     )
+    if maxval != 255:
+        # rescale sub-255 sample depths to the canonical 0..255 scale
+        # (spec-valid maxval=15 white must stay white, not turn 15/255
+        # gray through re-encode or histogram kernels)
+        img = ((img.astype(np.uint32) * 255 + maxval // 2) // maxval).clip(
+            0, 255
+        ).astype(np.uint8)
+    return img
 
 
 def encode(img: np.ndarray) -> bytes:

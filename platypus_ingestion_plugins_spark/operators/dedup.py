@@ -141,7 +141,16 @@ def _gram_array(text_col: str, n: int) -> Column:
 
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
-    See ``_gram_array`` for the map-stage expression design."""
+    See ``_gram_array`` for the map-stage expression design.
+
+    PRECONDITION: ``id_col`` is unique per row. The whole dedup family
+    treats ids as document identities; a frame carrying the same id on
+    two rows would double every count-based consumer (Jaccard sizes,
+    shingle document frequencies, minhash group sizes) — run
+    ``df.dropDuplicates([id_col])`` (or exact_dedup) first. This used
+    to be masked by a global ``.distinct()`` here, at the price of a
+    full shuffle of the corpus's largest intermediate on EVERY call;
+    the contract is now explicit instead of silently absorbed."""
     # tokenize+gram is the CPU-heavy map stage: spread a
     # few-split source across cores first (no-op on real multi-split inputs)
     df = ensure_parallelism(df)
@@ -699,8 +708,10 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     prev_count = edges.count()
-    if prev_count <= local_threshold:
+    if local_threshold > 0 and prev_count <= local_threshold:
         return _cc_local_union_find(edges, nodes, id_col, stats)
+    if stats is not None:
+        stats["local"] = False  # never leave a stale key from a prior call
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -833,22 +844,25 @@ def pick_survivors(
     non-duplicate document.
 
     Physical shape: when the sort key is expressible as an ascending
-    struct (always for the default min-id policy; for ``order_col``
-    when it is numeric, via negation) the survivor is ONE ``min_by``
-    aggregation — partial map-side combine, no per-group sort, the
-    right plan at corpus scale where a window would sort every
-    partition. Non-numeric descending order columns fall back to the
-    row_number window (still group-bounded, no global sort)."""
+    struct (always for the default min-id policy and any ascending
+    ``order_col``; for descending numerics via an overflow-safe order
+    reversal) the survivor is ONE ``min_by`` aggregation — partial
+    map-side combine, no per-group sort, the right plan at corpus
+    scale where a window would sort every partition. Non-numeric
+    descending order columns fall back to the row_number window
+    (still group-bounded, no global sort)."""
     labeled = (
         df.join(groups, id_col, "left")
         .withColumn("group_id", F.coalesce("group_id", F.col(id_col)))
     )
     out_cols = [c for c in labeled.columns if c != "group_id"]
-    numeric = order_col is not None and dict(df.dtypes).get(order_col) in (
-        "tinyint", "smallint", "int", "bigint", "float", "double",
-    )
     # leading null-flag field reproduces the window's null placement
-    # exactly (Spark sorts: asc = nulls first, desc = nulls last)
+    # exactly (Spark sorts: asc = nulls first, desc = nulls last).
+    # Descending keys are order-reversed WITHOUT unary negation:
+    # integrals use (-1 - x), total and overflow-free at Long.MIN_VALUE
+    # (where -x wraps, or throws under ANSI); floats keep -x but add a
+    # NaN flag so NaN places first, as the window's desc sort does.
+    dtype = dict(df.dtypes).get(order_col) if order_col else None
     if order_col is None:
         sort_key: Column | None = F.struct(F.col(id_col))
     elif ascending:
@@ -856,10 +870,18 @@ def pick_survivors(
             F.col(order_col).isNotNull().cast("int").alias("__nf"),
             F.col(order_col).alias("__o"), F.col(id_col).alias("__id"),
         )
-    elif numeric:
+    elif dtype in ("tinyint", "smallint", "int", "bigint"):
         sort_key = F.struct(
             F.col(order_col).isNull().cast("int").alias("__nf"),
-            (-F.col(order_col)).alias("__o"), F.col(id_col).alias("__id"),
+            (F.lit(-1) - F.col(order_col)).alias("__o"),
+            F.col(id_col).alias("__id"),
+        )
+    elif dtype in ("float", "double"):
+        sort_key = F.struct(
+            F.col(order_col).isNull().cast("int").alias("__nf"),
+            F.when(F.isnan(F.col(order_col)), 0).otherwise(1).alias("__nan"),
+            (-F.col(order_col)).alias("__o"),
+            F.col(id_col).alias("__id"),
         )
     else:
         sort_key = None
@@ -1095,17 +1117,9 @@ def compact_band_key_index(
                     for f_name in sorted(_fs.list_names(spark, parked_dir)):
                         if not f_name.endswith(".parquet"):
                             continue  # checksum sidecars die with the park
-                        # idempotent under repeated crashes: if a crash
-                        # strikes mid-heal, both <name> and any number
-                        # of healed-N-<name> may already exist — loop a
-                        # numbered suffix until a free destination is
-                        # found, so re-running the heal always succeeds
-                        dst = f"{orig}/{f_name}"
-                        n_try = 0
-                        while _fs.exists(spark, dst):
-                            n_try += 1
-                            dst = f"{orig}/healed-{n_try}-{f_name}"
-                        _fs._rename_or_raise(spark, f"{parked_dir}/{f_name}", dst)
+                        _fs.rename_numbered(
+                            spark, f"{parked_dir}/{f_name}", orig, f_name
+                        )
                     _fs.delete(spark, parked_dir)
             elif name.startswith(".compacting-"):
                 # stale per-dir staged copy from the pre-single-job

@@ -255,29 +255,36 @@ def export_tar_shards(
     correctness trap) and returns the manifest rows
     (shard, path, n_samples, n_bytes, sha256), one per shard.
 
-    Output-dir hygiene: tars are written straight to their final paths
-    (streaming, no Spark output-commit protocol), so the destination
-    is DELETED AND RECREATED driver-side before fan-out — matching the
-    ``mode("overwrite")`` semantics of the sibling exporters. Without
-    this, a rerun with a smaller ``n_shards`` (or a previously failed
-    job) would leave stale/partial tars that ``read_tar_shards``
-    silently includes. Because final paths are written directly, run
-    this writer with ``spark.speculation=false`` (the repo session
-    default) — a speculative duplicate attempt would race the original
-    on the same tar path.
+    Output-dir hygiene (overwrite semantics, stage-then-swap): tasks
+    stream their tars into ``out_path/.tar_staging``; only after the
+    job succeeds does the driver move them to their final names,
+    delete any leftover ``shard-*.tar`` from a previous wider/failed
+    run, and drop the staging dir. This gives the sibling exporters'
+    ``mode("overwrite")`` behavior WITHOUT deleting the destination up
+    front — so an in-place reshard
+    (``export_tar_shards(read_tar_shards(spark, p, ...), p, ...)``)
+    reads the old generation intact while writing the new one (a
+    pre-job delete would destroy the lazily-read source). A crash
+    during the final swap can mix generations in the directory; rerun
+    the export to converge. Run with ``spark.speculation=false`` (the
+    repo session default) — a speculative duplicate attempt would race
+    the original on the same staged tar path.
     """
     exts = dict(content_cols)
     str_cols = {
         c for c, f in dict(df.dtypes).items() if c in exts and f == "string"
     }
-    # overwrite semantics: clear any previous layout before fan-out so
-    # stale shard-NNNNN.tar files from a wider/failed run can't survive
     import pyarrow.fs as _pafs
 
     _drv_fs, _drv_inner = _tar_fs(out_path)
-    if _drv_fs.get_file_info(_drv_inner).type != _pafs.FileType.NotFound:
-        _drv_fs.delete_dir(_drv_inner)
-    _drv_fs.create_dir(_drv_inner, recursive=True)
+    _info = _drv_fs.get_file_info(_drv_inner)
+    if _info.type == _pafs.FileType.File:
+        raise ValueError(f"out_path is a regular file, not a directory: {out_path}")
+    staging_name = ".tar_staging"
+    _staging = f"{_drv_inner}/{staging_name}"
+    if _drv_fs.get_file_info(_staging).type != _pafs.FileType.NotFound:
+        _drv_fs.delete_dir(_staging)  # stale staging from a crashed run
+    _drv_fs.create_dir(_staging, recursive=True)
     assigned = (
         shuffle_assign(df, key, n_shards, salt)
         .select(F.col(key).cast("string").alias("__k"), "shard", ORDER_COL,
@@ -298,7 +305,7 @@ def export_tar_shards(
         import pandas as pd
 
         fs, inner = _tar_fs(out_path)
-        fs.create_dir(inner, recursive=True)
+        fs.create_dir(f"{inner}/.tar_staging", recursive=True)
 
         state: dict = {}  # open shard -> (tee, tar, counters)
 
@@ -349,7 +356,7 @@ def export_tar_shards(
                         manifest.append(done)
                     tee = _Tee(
                         fs.open_output_stream(
-                            f"{inner}/shard-{shard:05d}.tar"
+                            f"{inner}/.tar_staging/shard-{shard:05d}.tar"
                         )
                     )
                     state.update(
@@ -382,7 +389,30 @@ def export_tar_shards(
             )
 
     # eager: one action executes every write exactly once
-    return assigned.mapInPandas(write_shards, out_schema).collect()
+    manifest = assigned.mapInPandas(write_shards, out_schema).collect()
+    # swap: staged tars to final names, then clear the previous
+    # generation's leftovers (wider reshards, failed runs) and staging
+    new_names = set()
+    for m in manifest:
+        name = f"shard-{m.shard:05d}.tar"
+        new_names.add(name)
+        final = f"{_drv_inner}/{name}"
+        if _drv_fs.get_file_info(final).type != _pafs.FileType.NotFound:
+            _drv_fs.delete_file(final)
+        _drv_fs.move(f"{_staging}/{name}", final)
+    for info in _drv_fs.get_file_info(
+        _pafs.FileSelector(_drv_inner, recursive=False)
+    ):
+        base = info.path.rsplit("/", 1)[-1]
+        if (
+            info.is_file
+            and base.startswith("shard-")
+            and base.endswith(".tar")
+            and base not in new_names
+        ):
+            _drv_fs.delete_file(info.path)
+    _drv_fs.delete_dir(_staging)
+    return manifest
 
 
 def read_tar_shards(

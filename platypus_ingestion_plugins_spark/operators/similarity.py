@@ -495,14 +495,7 @@ def compact_ivf_partitioned(
                 for f_name in sorted(_fs.list_names(spark, parked)):
                     if not f_name.endswith(".parquet"):
                         continue
-                    # numbered suffix: idempotent under repeated
-                    # crashes mid-heal (see band-index compactor)
-                    dst = f"{orig}/{f_name}"
-                    n_try = 0
-                    while _fs.exists(spark, dst):
-                        n_try += 1
-                        dst = f"{orig}/healed-{n_try}-{f_name}"
-                    _fs._rename_or_raise(spark, f"{parked}/{f_name}", dst)
+                    _fs.rename_numbered(spark, f"{parked}/{f_name}", orig, f_name)
                 _fs.delete(spark, parked)
     oversized = []
     for name in sorted(_fs.list_names(spark, path)):

@@ -313,6 +313,16 @@ def _decode_block_range(fs, file_path: str, start: int, end: int) -> list:
         skipped = 0
         while pos >= 0:
             blk = _try_block(buf, sync, pos + len(sync))
+            if blk is None and pos == body_off - len(sync) and body_off < size:
+                # the header's own sync with data bytes after it MUST
+                # frame a block; a framing failure here (corrupt varints
+                # or missing trailing sync) is first-block corruption,
+                # not a marker coincidence — same contract as the
+                # decode-failure raise below. (A header-only file has
+                # body_off == size and legitimately frames nothing.)
+                raise ValueError(
+                    f"corrupt first OCF block at {file_path}:{pos}"
+                )
             if blk is not None:
                 n, data, _ = blk
                 try:

@@ -353,6 +353,15 @@ def test_netpbm_codec_roundtrip_and_ops():
     # floor-index nearest neighbor: 4 wide -> 2 wide keeps cols 0, 2
     img = np.arange(4, dtype=np.uint8).reshape(1, 4, 1)
     assert netpbm.resize_nearest(img, 1, 2).ravel().tolist() == [0, 2]
+    # sub-255 maxval rescales to the canonical 0..255 scale
+    # (code-review r9: maxval=15 white must stay white)
+    lo = b"P5\n2 1\n15\n" + bytes([15, 0])
+    assert netpbm.decode(lo).ravel().tolist() == [255, 0]
+    # raster must follow maxval after exactly one whitespace byte — a
+    # comment or CRLF there would silently shift every pixel
+    shifted = b"P6 3 2 255#c\n" + rgb.tobytes()
+    with pytest.raises(ValueError, match="whitespace"):
+        netpbm.decode(shifted)
 
 
 def test_netpbm_roundtrip_property():
@@ -1757,6 +1766,24 @@ def test_tar_shard_export_roundtrip(spark, tmp_path):
     )
     assert back2.count() == 40
 
+    # IN-PLACE reshard (code-review r9): the stage-then-swap must read
+    # the old generation intact while writing the new one — a pre-job
+    # destination delete would destroy the lazily-read source
+    manifest4 = export_tar_shards(
+        back2.withColumnsRenamed({"k": "doc_id"}),
+        out, "doc_id", {"text": "txt", "payload": "bin"}, n_shards=3,
+    )
+    assert sum(m.n_samples for m in manifest4) == 40
+    on_disk4 = sorted(n for n in os.listdir(out) if n.endswith(".tar"))
+    assert on_disk4 == [f"shard-0000{i}.tar" for i in range(3)]
+    assert not os.path.exists(f"{out}/.tar_staging")
+    back3 = read_tar_shards(
+        spark, out, {"txt": "text", "bin": "payload"},
+        key_name="k", binary_cols=("payload",),
+    )
+    got3 = {int(r.k): (r.text, bytes(r.payload)) for r in back3.collect()}
+    assert got3 == {r.doc_id: (r.text, r.payload) for r in rows}
+
 
 def test_ivf_append_compact(spark, tmp_path):
     """Incremental IVF maintenance: appends fragment lists (one file
@@ -2131,3 +2158,22 @@ def test_pick_survivors_policies(spark):
     # non-numeric DESCENDING falls back to the window path
     s_r2 = dedup.pick_survivors(sd, sg, order_col="s").collect()
     assert [(r.doc_id, r.s) for r in s_r2] == [(1, "beta")]
+    # overflow-safe descending: Long.MIN_VALUE must sort LAST under
+    # desc (code-review r9 — unary negation wraps or throws there)
+    MIN = -(2 ** 63)
+    od = spark.createDataFrame(
+        [Row(doc_id=1, n=MIN), Row(doc_id=2, n=5)], "doc_id int, n long"
+    )
+    og = spark.createDataFrame([Row(doc_id=i, group_id=1) for i in (1, 2)])
+    o_r = dedup.pick_survivors(od, og, order_col="n").collect()
+    assert [(r.doc_id, r.n) for r in o_r] == [(2, 5)]
+    # NaN places FIRST under desc, matching the window's sort order
+    nan = float("nan")
+    fd = spark.createDataFrame(
+        [Row(doc_id=1, q=0.9), Row(doc_id=2, q=nan)], "doc_id int, q double"
+    )
+    f_r = dedup.pick_survivors(fd, og, order_col="q").collect()
+    assert [r.doc_id for r in f_r] == [2]
+    # and LAST under asc (Spark sorts NaN greatest)
+    f_r2 = dedup.pick_survivors(fd, og, order_col="q", ascending=True).collect()
+    assert [r.doc_id for r in f_r2] == [1]

@@ -1014,6 +1014,24 @@ def test_avro_ocf_corrupt_first_block_raises(tmp_path):
     p.write_bytes(bytes(mut))
     with _pytest.raises(ValueError, match="corrupt first OCF block"):
         _decode_block_range(fs, str(p), 0, len(mut))
+    # FRAMING corruption of the first block (varint header smashed, not
+    # the payload) must raise the same way, not resync past the block
+    # (code-review r9)
+    mut2 = bytearray(blob)
+    mut2[body_off] = 0xFF  # record-count varint becomes a huge/invalid value
+    mut2[body_off + 1] = 0xFF
+    p2 = tmp_path / "corrupt_framing.avro"
+    p2.write_bytes(bytes(mut2))
+    with _pytest.raises(ValueError, match="corrupt first OCF block"):
+        _decode_block_range(fs, str(p2), 0, len(mut2))
+    # a header-only zero-block file is NOT corruption: frames nothing,
+    # returns no records
+    from platypus_ingestion_plugins_spark.sources.avro_ocf import write_ocf as _w
+
+    empty = _w([], schema, "null", records_per_block=10)
+    p3 = tmp_path / "empty.avro"
+    p3.write_bytes(empty)
+    assert _decode_block_range(fs, str(p3), 0, len(empty)) == []
 
 
 def test_avro_ocf_block_range_ownership_property(tmp_path):
