@@ -2561,6 +2561,131 @@ FROM v JOIN nrm USING (doc_id)
 """
 
 
+def q_stream_line_dedup(spark, sf):
+    """Streaming line-level boilerplate suppression
+    (dedup.line_dedup_incremental): documents — carrying the same
+    fabricated shared footer as ``line_dedup`` — stream in two
+    seq-ordered drops; each micro-batch scrubs every line already seen
+    in >= min_df-1 smaller-id documents (accumulated line-count index
+    + this batch), appends its own per-key counts to the index, and
+    emits the scrubbed documents append-only. First-keeps semantics
+    (the line's first document keeps it) because emitted output cannot
+    be retracted; under the seq-ordered contract the union of batch
+    outputs equals the one-shot computation the oracle runs. The
+    count index is PARTITIONED by kb = hash(line_key) % 16 and each
+    batch reads only its own buckets (read_line_counts_pruned —
+    bounded driver collect, literal partition filters)."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark import fs as _fs
+
+    d = _t(spark, sf, "documents")
+    boiler = F.concat(
+        F.col("text"),
+        F.lit("\nSubscribe to our newsletter\n\nCookie policy: accept"),
+    )
+    t2 = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(boiler, F.lit("\nFollow us on social media")),
+    ).otherwise(boiler)
+    docs = d.select("doc_id", t2.alias("text"))
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+
+    work = _stream_scratch("stream_linededup_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src = os.path.join(work, "src")
+        idx = os.path.join(work, "index")
+        outp = os.path.join(work, "out")
+        ckpt = os.path.join(work, "ckpt")
+        docs.filter(F.col("doc_id") <= mid).coalesce(4).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def handle(batch_df, _bid):
+            keys = dedup.line_count_keys(batch_df, "text", "doc_id")
+            keys.persist()  # one explode for prune + append
+            try:
+                earlier = (
+                    dedup.read_line_counts_pruned(spark, idx, keys)
+                    if _fs.exists(spark, idx)
+                    else None
+                )
+                (
+                    dedup.line_dedup_incremental(
+                        batch_df, earlier, "text", "doc_id", min_df=2
+                    )
+                    .write.mode("append")
+                    .parquet(outp)
+                )
+                dedup.append_line_count_index(keys, idx, key_buckets=16)
+            finally:
+                keys.unpersist()
+
+        def run_available():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 100)
+                .parquet(src)
+            )
+            q = (
+                stream.writeStream.foreachBatch(handle)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_available()
+        docs.filter(F.col("doc_id") > mid).coalesce(4).write.mode("append").parquet(src)
+        run_available()
+        _keep_until_exit(work, keep=outp)
+        return spark.read.parquet(outp).select(
+            "doc_id", F.sha2("text", 256).alias("sha_text"),
+            "n_lines", "n_dropped",
+        )
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+SQL_STREAM_LINE_DEDUP = """
+WITH src AS (
+  SELECT doc_id,
+         text || chr(10) || 'Subscribe to our newsletter' || chr(10)
+              || chr(10) || 'Cookie policy: accept'
+              || CASE WHEN doc_id % 2 = 1
+                      THEN chr(10) || 'Follow us on social media'
+                      ELSE '' END AS text
+  FROM documents),
+split AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM src),
+ln AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l FROM split),
+keyed AS (
+  SELECT doc_id, i - 1 AS line_no, l[i] AS line,
+         trim(lower(l[i])) AS k, trim(l[i]) = '' AS blank
+  FROM ln),
+kd AS (SELECT DISTINCT doc_id, k FROM keyed WHERE NOT blank),
+rk AS (
+  SELECT doc_id, k,
+         row_number() OVER (PARTITION BY k ORDER BY doc_id) AS r
+  FROM kd),
+kept AS (
+  SELECT keyed.doc_id, keyed.line_no, keyed.line,
+         CASE WHEN keyed.blank THEN FALSE
+              ELSE coalesce(rk.r, 1) >= 2 END AS dropped
+  FROM keyed LEFT JOIN rk
+    ON rk.k = keyed.k AND rk.doc_id = keyed.doc_id)
+SELECT doc_id,
+       sha256(coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+                                  chr(10) ORDER BY line_no), '')) AS sha_text,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM kept GROUP BY doc_id
+"""
+
+
 def q_pipeline_clean_corpus(spark, sf):
     """The COMPOSED hygiene preset (pipelines.clean_corpus), oracle-
     checked end to end: NFC normalize -> exact dedup (min-id) ->
@@ -3660,8 +3785,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "top_terms_per_group": q_top_terms_per_group,
         "hashed_bow_embedding": q_hashed_bow_embedding,
-        "dedup_survivors": q_dedup_survivors,
+        "stream_line_dedup": q_stream_line_dedup,
         # 3. r08-green, touched-this-round first, then untouched
+        "dedup_survivors": q_dedup_survivors,
         # (dedup_ngram_jaccard/dedup_groups displaced just below the
         # cap by the two extra NEW queries — both re-verified green by
         # this round's targeted check_oracle runs)
@@ -3723,6 +3849,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": SQL_LINE_DEDUP,
         "top_terms_per_group": SQL_TOP_TERMS_PER_GROUP,
         "hashed_bow_embedding": SQL_HASHED_BOW_EMBEDDING,
+        "stream_line_dedup": SQL_STREAM_LINE_DEDUP,
         "session_counts": SQL_SESSION_COUNTS,
         "resample_ffill": SQL_RESAMPLE_FFILL,
         "tar_roundtrip": SQL_TAR_ROUNDTRIP,

@@ -71,17 +71,7 @@ def line_dedup(
     coalesced to the empty string for the same reason (a bare explode
     of a null split would silently delete the row).
     """
-    key = (
-        F.trim(F.lower(F.col("line"))) if normalize else F.col("line")
-    )
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
-        ).alias("line_no", "line"),
-    ).withColumn("line_key", F.sha2(key, 256)).withColumn(
-        "__blank", F.trim(F.col("line")) == ""
-    )
+    lines = _doc_lines(df, text_col, id_col, normalize)
     hot = (
         lines.filter(~F.col("__blank"))
         .groupBy("line_key")
@@ -92,6 +82,31 @@ def line_dedup(
     kept = lines.join(
         hot.withColumn("__hot", F.lit(True)), "line_key", "left"
     ).withColumn("__drop", F.coalesce("__hot", F.lit(False)) & ~F.col("__blank"))
+    return _reassemble_lines(kept, text_col, id_col)
+
+
+def _doc_lines(
+    df: DataFrame, text_col: str, id_col: str, normalize: bool
+) -> DataFrame:
+    """Explode documents to (id, line_no, line, line_key, __blank) —
+    the shared front half of batch and incremental line dedup. NULL
+    text coalesces to '' so the explode cannot delete the row."""
+    key = F.trim(F.lower(F.col("line"))) if normalize else F.col("line")
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("line_no", "line"),
+    ).withColumn("line_key", F.sha2(key, 256)).withColumn(
+        "__blank", F.trim(F.col("line")) == ""
+    )
+
+
+def _reassemble_lines(kept: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document reassembly of surviving lines in original order —
+    the shared back half of batch and incremental line dedup. Expects
+    (id, line_no, line, __drop). Output:
+    (id, text, n_lines, n_dropped)."""
     return (
         kept.groupBy(id_col)
         .agg(
@@ -112,6 +127,164 @@ def line_dedup(
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(F.col("__drop").cast("int")).alias("n_dropped"),
         )
+    )
+
+
+def line_dedup_incremental(
+    batch: DataFrame,
+    earlier_counts: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    min_df: int = 2,
+    normalize: bool = True,
+) -> DataFrame:
+    """Per-micro-batch line-level boilerplate suppression against an
+    accumulated line-frequency index: a document DROPS a line iff at
+    least ``min_df - 1`` smaller-id documents (earlier batches plus
+    smaller ids within this batch) contain it — so the line's FIRST
+    document keeps it and every later one scrubs it, the
+    survivor-keeps analogue of ``neardup_survivors_incremental``'s
+    any-earlier-doc rule. (The batch ``line_dedup`` drops a hot line
+    from EVERY document including the first; a streaming operator
+    cannot retract already-emitted output, so first-keeps is the
+    batch-split-independent form.)
+
+    Contract (same as the near-dup index): batches arrive in id order
+    — every earlier-batch document has a smaller id than every
+    document in this batch (seq-ordered replay / monotone ingest id).
+    Under it, unioning per-batch outputs equals the one-shot
+    first-keeps computation exactly, which is what the oracle checks.
+
+    ``earlier_counts`` is (line_key, n) from the accumulated index,
+    ideally partition-pruned to this batch's key buckets
+    (``read_line_counts_pruned``); None for the first batch. Per-batch
+    work: one distinct + rank window over the BATCH's (key, doc) pairs
+    and one join against the pruned counts — never a join against
+    every earlier document. Output: (id, text, n_lines, n_dropped),
+    batch documents only."""
+    from pyspark.sql import Window
+
+    lines = _doc_lines(batch, text_col, id_col, normalize)
+    kd = (
+        lines.filter(~F.col("__blank"))
+        .select("line_key", id_col)
+        .distinct()
+    )
+    w = Window.partitionBy("line_key").orderBy(F.col(id_col).asc())
+    ranked = kd.withColumn("__rank", F.row_number().over(w))
+    if earlier_counts is not None:
+        ranked = ranked.join(
+            earlier_counts.select(
+                "line_key", F.col("n").alias("__n_earlier")
+            ),
+            "line_key",
+            "left",
+        ).withColumn("__n_earlier", F.coalesce("__n_earlier", F.lit(0)))
+    else:
+        ranked = ranked.withColumn("__n_earlier", F.lit(0))
+    dropped = ranked.filter(
+        F.col("__n_earlier") + F.col("__rank") >= F.lit(min_df)
+    ).select("line_key", F.col(id_col), F.lit(True).alias("__hot"))
+    kept = lines.join(dropped, ["line_key", id_col], "left").withColumn(
+        "__drop", F.coalesce("__hot", F.lit(False)) & ~F.col("__blank")
+    )
+    return _reassemble_lines(kept, text_col, id_col)
+
+
+def line_count_keys(
+    batch: DataFrame, text_col: str, id_col: str, normalize: bool = True
+) -> DataFrame:
+    """Per-batch (line_key, n) distinct-document counts — the rows
+    ``append_line_count_index`` accumulates."""
+    return (
+        _doc_lines(batch, text_col, id_col, normalize)
+        .filter(~F.col("__blank"))
+        .select("line_key", id_col)
+        .distinct()
+        .groupBy("line_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _line_kb(key_buckets: int) -> Column:
+    """Partition bucket of a line_key (md5-free: the key is already a
+    sha2 hex string — bucket on its leading 60 bits)."""
+    return F.pmod(
+        F.conv(F.substring("line_key", 1, 15), 16, 10).cast("long"),
+        F.lit(key_buckets),
+    )
+
+
+def append_line_count_index(
+    counts: DataFrame, path: str, key_buckets: int = 64
+) -> None:
+    """Append per-batch line counts to a parquet index PARTITIONED by
+    kb = hash(line_key) % key_buckets — the band-key-index layout
+    applied to line frequencies, so each micro-batch reads only the
+    bucket directories its own keys hash into. ``key_buckets`` is
+    pinned in a ``_key_buckets`` sidecar before the first data write
+    (mixed bucket schemes would prune away genuine matches — same
+    crash-window discipline as ``append_band_key_index``). Appends are
+    per-batch aggregates; readers SUM across appends, so replaying an
+    already-appended batch requires the caller's checkpointing (the
+    streaming foreachBatch contract) — counts are not idempotent the
+    way band keys are."""
+    from .. import fs as _fs
+
+    spark = counts.sparkSession
+    marker = f"{path}/_key_buckets"
+    pinned = _fs.read_text(spark, marker) if _fs.exists(spark, marker) else None
+    if pinned is not None and int(pinned) != key_buckets:
+        raise ValueError(
+            f"index at {path} was written with key_buckets={pinned}, "
+            f"append requested {key_buckets}"
+        )
+    if pinned is None:
+        _fs.write_text_atomic(spark, marker, str(key_buckets))
+    (
+        counts.withColumn("kb", _line_kb(key_buckets))
+        .repartition("kb")
+        .write.mode("append")
+        .partitionBy("kb")
+        .parquet(path)
+    )
+
+
+def read_line_counts_pruned(
+    spark, path: str, batch_keys: DataFrame, key_buckets: int | None = None
+) -> DataFrame:
+    """Partition-pruned accumulated (line_key, n) totals: only bucket
+    directories the batch's own keys hash into are scanned. The
+    driver-side collect is the batch's DISTINCT kb set — bounded by
+    ``key_buckets``, never by batch or corpus size."""
+    from .. import fs as _fs
+
+    marker = f"{path}/_key_buckets"
+    pinned = _fs.read_text(spark, marker) if _fs.exists(spark, marker) else None
+    if pinned is not None:
+        if key_buckets is not None and int(pinned) != key_buckets:
+            raise ValueError(
+                f"index at {path} was written with key_buckets={pinned}, "
+                f"read requested {key_buckets}"
+            )
+        key_buckets = int(pinned)
+    elif key_buckets is None:
+        raise ValueError(
+            f"index at {path} has no _key_buckets sidecar; pass key_buckets"
+        )
+    kbs = sorted(
+        r["kb"]
+        for r in batch_keys.select(
+            _line_kb(key_buckets).alias("kb")
+        ).distinct().collect()
+    )
+    idx = spark.read.parquet(path)
+    if not kbs:
+        return idx.select("line_key", "n").limit(0)
+    return (
+        idx.filter(F.col("kb").isin(kbs))
+        .groupBy("line_key")
+        .agg(F.sum("n").alias("n"))
     )
 
 

@@ -1513,6 +1513,50 @@ def test_hashed_bow_embeddings(spark):
     assert abs(sum(v * v for v in out[1]) - 1.0) < 1e-4
 
 
+def test_line_dedup_incremental_first_keeps(spark, tmp_path):
+    """Streaming line dedup: first-keeps semantics across seq-ordered
+    batches with the accumulated count index — batch 2's docs scrub a
+    line the index has seen, the line's first doc keeps it, the union
+    of batch outputs equals the one-shot first-keeps computation, and
+    a key_buckets mismatch is refused by the sidecar pin."""
+    idx = str(tmp_path / "idx")
+    b1 = spark.createDataFrame(
+        [Row(doc_id=1, text="unique one\nShared footer"),
+         Row(doc_id=2, text="unique two\nShared footer")]
+    )
+    b2 = spark.createDataFrame(
+        [Row(doc_id=3, text="unique three\nShared footer\nfresh line")]
+    )
+    # batch 1: no earlier index; doc 1 keeps the footer (rank 1),
+    # doc 2 scrubs it (rank 2 >= min_df)
+    out1 = {r.doc_id: r for r in
+            dedup.line_dedup_incremental(b1, None, "text", "doc_id").collect()}
+    assert out1[1].text == "unique one\nShared footer"
+    assert out1[2].text == "unique two" and out1[2].n_dropped == 1
+    k1 = dedup.line_count_keys(b1, "text", "doc_id")
+    dedup.append_line_count_index(k1, idx, key_buckets=8)
+    # batch 2: the index carries the footer's count; doc 3 scrubs it
+    # but keeps its fresh line
+    k2 = dedup.line_count_keys(b2, "text", "doc_id")
+    earlier = dedup.read_line_counts_pruned(spark, idx, k2)
+    out2 = {r.doc_id: r for r in
+            dedup.line_dedup_incremental(b2, earlier, "text", "doc_id").collect()}
+    assert out2[3].text == "unique three\nfresh line"
+    assert out2[3].n_dropped == 1
+    # bucket-scheme pin: a mismatched append or read raises
+    with pytest.raises(ValueError, match="key_buckets"):
+        dedup.append_line_count_index(k2, idx, key_buckets=4)
+    with pytest.raises(ValueError, match="key_buckets"):
+        dedup.read_line_counts_pruned(spark, idx, k2, key_buckets=4)
+    # accumulated counts SUM across appends
+    dedup.append_line_count_index(k2, idx, key_buckets=8)
+    total = {r.line_key: r.n for r in
+             dedup.read_line_counts_pruned(spark, idx, k2).collect()}
+    import hashlib
+    fk = hashlib.sha256(b"shared footer").hexdigest()
+    assert total[fk] == 3  # 2 from batch 1 + 1 from batch 2
+
+
 def test_line_dedup_reassembly_property(spark):
     """Property: for arbitrary line soups, line_dedup output equals
     the reference computation — each doc keeps exactly its lines whose
