@@ -250,15 +250,84 @@ def append_line_count_index(
     )
 
 
+def _heal_line_count_index(spark, path: str) -> None:
+    """Restore a line-count index caught between the two renames of a
+    compaction swap (only ``<path>__old`` exists) and drop leftovers a
+    completed swap didn't get to delete."""
+    from .. import fs as _fs
+
+    old = path + "__old"
+    if not _fs.exists(spark, path) and _fs.exists(spark, old):
+        _fs._rename_or_raise(spark, old, path)
+    if _fs.exists(spark, path):
+        _fs.delete(spark, old)
+        _fs.delete(spark, path + "__staging")
+
+
+def compact_line_count_index(
+    spark, path: str, max_files_per_bucket: int = 4
+) -> bool:
+    """Re-aggregate a fragmented line-count index (every append adds
+    one file per touched kb= directory) down to one summed file per
+    bucket. Counts are NOT idempotent — re-merging a parked file, the
+    band-key compactor's heal, would double-count and over-suppress —
+    so the rewrite is a WHOLE-INDEX staged swap with the serving
+    table's two-rename discipline: build ``<path>__staging``, rename
+    the live index aside to ``<path>__old``, rename staging in, delete
+    the old copy. A crash between the renames leaves the aside copy as
+    the only index; the next compact or pruned read heals by restoring
+    it (``_heal_line_count_index``). Returns True when a rewrite
+    happened."""
+    from .. import fs as _fs
+
+    _heal_line_count_index(spark, path)
+    if not _fs.exists(spark, path):
+        return False
+    fragmented = False
+    for name in _fs.list_names(spark, path):
+        if name.startswith("kb="):
+            files = [
+                n
+                for n in _fs.list_names(spark, f"{path}/{name}")
+                if n.endswith(".parquet")
+            ]
+            if len(files) > max_files_per_bucket:
+                fragmented = True
+                break
+    if not fragmented:
+        return False
+    pinned = _fs.read_text(spark, f"{path}/_key_buckets")
+    staging = path + "__staging"
+    old = path + "__old"
+    (
+        spark.read.parquet(path)
+        .groupBy("kb", "line_key")
+        .agg(F.sum("n").alias("n"))
+        .repartition("kb")
+        .write.mode("overwrite")
+        .partitionBy("kb")
+        .parquet(staging)
+    )
+    if pinned is not None:
+        _fs.write_text_atomic(spark, f"{staging}/_key_buckets", pinned)
+    _fs._rename_or_raise(spark, path, old)
+    _fs._rename_or_raise(spark, staging, path)
+    _fs.delete(spark, old)
+    return True
+
+
 def read_line_counts_pruned(
     spark, path: str, batch_keys: DataFrame, key_buckets: int | None = None
 ) -> DataFrame:
     """Partition-pruned accumulated (line_key, n) totals: only bucket
     directories the batch's own keys hash into are scanned. The
     driver-side collect is the batch's DISTINCT kb set — bounded by
-    ``key_buckets``, never by batch or corpus size."""
+    ``key_buckets``, never by batch or corpus size. Reads heal a
+    compaction swap caught mid-rename first (see
+    ``compact_line_count_index``)."""
     from .. import fs as _fs
 
+    _heal_line_count_index(spark, path)
     marker = f"{path}/_key_buckets"
     pinned = _fs.read_text(spark, marker) if _fs.exists(spark, marker) else None
     if pinned is not None:

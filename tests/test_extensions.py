@@ -1557,6 +1557,47 @@ def test_line_dedup_incremental_first_keeps(spark, tmp_path):
     assert total[fk] == 3  # 2 from batch 1 + 1 from batch 2
 
 
+def test_line_count_index_compaction_and_crash_heal(spark, tmp_path):
+    """Compaction of the line-count index: whole-index staged swap
+    (merge-heal would double-count the non-idempotent counts), totals
+    preserved, one file per kb dir afterwards, no-op when not
+    fragmented, and a crash between the two swap renames heals on the
+    next pruned read with exact totals."""
+    import os
+
+    idx = str(tmp_path / "idx")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [Row(doc_id=i, text=f"unique {i}\nShared footer") for i in range(lo, hi)]
+    )
+    for lo, hi in [(0, 5), (5, 10), (10, 15)]:
+        dedup.append_line_count_index(
+            dedup.line_count_keys(mk(lo, hi), "text", "doc_id"),
+            idx, key_buckets=4,
+        )
+    probe = dedup.line_count_keys(mk(0, 1), "text", "doc_id")
+    import hashlib
+    fk = hashlib.sha256(b"shared footer").hexdigest()
+    before = {r.line_key: r.n
+              for r in dedup.read_line_counts_pruned(spark, idx, probe).collect()}
+    assert before[fk] == 15
+    assert dedup.compact_line_count_index(spark, idx, max_files_per_bucket=1)
+    for name in os.listdir(idx):
+        if name.startswith("kb="):
+            files = [n for n in os.listdir(f"{idx}/{name}") if n.endswith(".parquet")]
+            assert len(files) == 1, (name, files)
+    after = {r.line_key: r.n
+             for r in dedup.read_line_counts_pruned(spark, idx, probe).collect()}
+    assert after == before
+    # already compact -> no-op
+    assert not dedup.compact_line_count_index(spark, idx, max_files_per_bucket=1)
+    # crash between the two renames: only the aside copy exists
+    os.rename(idx, idx + "__old")
+    healed = {r.line_key: r.n
+              for r in dedup.read_line_counts_pruned(spark, idx, probe).collect()}
+    assert healed == before and os.path.exists(idx)
+    assert not os.path.exists(idx + "__old")
+
+
 def test_line_dedup_reassembly_property(spark):
     """Property: for arbitrary line soups, line_dedup output equals
     the reference computation — each doc keeps exactly its lines whose
