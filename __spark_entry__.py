@@ -2602,25 +2602,36 @@ def q_stream_line_dedup(spark, sf):
         docs.filter(F.col("doc_id") <= mid).coalesce(4).write.mode("append").parquet(src)
         schema = spark.read.parquet(src).schema
 
-        def handle(batch_df, _bid):
-            keys = dedup.line_count_keys(batch_df, "text", "doc_id")
-            keys.persist()  # one explode for prune + append
+        def handle(batch_df, bid):
+            # ONE explode+distinct per batch: the persisted pair set
+            # feeds pruning, ranking, and the count append
+            pairs = dedup.line_key_pairs(batch_df, "text", "doc_id")
+            pairs.persist()
             try:
                 earlier = (
-                    dedup.read_line_counts_pruned(spark, idx, keys)
-                    if _fs.exists(spark, idx)
+                    dedup.read_line_counts_pruned(spark, idx, pairs)
+                    if dedup.line_count_index_exists(spark, idx)
                     else None
                 )
                 (
                     dedup.line_dedup_incremental(
-                        batch_df, earlier, "text", "doc_id", min_df=2
+                        batch_df, earlier, "text", "doc_id", min_df=2,
+                        pairs=pairs,
                     )
                     .write.mode("append")
                     .parquet(outp)
                 )
-                dedup.append_line_count_index(keys, idx, key_buckets=16)
+                # batch_id epoch tag: an at-least-once replay of this
+                # batch re-appends identical rows, which the reader
+                # collapses per (line_key, batch_id) — exact counts
+                dedup.append_line_count_index(
+                    dedup.line_count_keys(
+                        batch_df, "text", "doc_id", pairs=pairs
+                    ),
+                    idx, key_buckets=16, batch_id=bid,
+                )
             finally:
-                keys.unpersist()
+                pairs.unpersist()
 
         def run_available():
             stream = (
@@ -2640,10 +2651,12 @@ def q_stream_line_dedup(spark, sf):
         docs.filter(F.col("doc_id") > mid).coalesce(4).write.mode("append").parquet(src)
         run_available()
         _keep_until_exit(work, keep=outp)
+        # distinct: a replayed batch's re-appended output rows are
+        # identical and collapse here (the neardup query's defense)
         return spark.read.parquet(outp).select(
             "doc_id", F.sha2("text", 256).alias("sha_text"),
             "n_lines", "n_dropped",
-        )
+        ).distinct()
     except BaseException:
         shutil.rmtree(work, ignore_errors=True)
         raise

@@ -137,6 +137,7 @@ def line_dedup_incremental(
     id_col: str,
     min_df: int = 2,
     normalize: bool = True,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-micro-batch line-level boilerplate suppression against an
     accumulated line-frequency index: a document DROPS a line iff at
@@ -157,23 +158,27 @@ def line_dedup_incremental(
 
     ``earlier_counts`` is (line_key, n) from the accumulated index,
     ideally partition-pruned to this batch's key buckets
-    (``read_line_counts_pruned``); None for the first batch. Per-batch
-    work: one distinct + rank window over the BATCH's (key, doc) pairs
-    and one join against the pruned counts — never a join against
-    every earlier document. Output: (id, text, n_lines, n_dropped),
-    batch documents only."""
+    (``read_line_counts_pruned``); None for the first batch. Pass the
+    batch's persisted ``line_key_pairs`` as ``pairs`` to avoid a
+    second explode+distinct (the canonical foreachBatch computes the
+    pair set once for prune/rank/append). Per-batch work: one rank
+    window over the batch's (key, doc) pairs and one join against the
+    pruned counts — never a join against every earlier document. Keys
+    whose earlier count already reaches ``min_df`` skip the window
+    entirely: every batch doc drops them unconditionally, so the
+    hottest boilerplate keys (the operator's whole target) never
+    funnel a universal line into a single rank task. Output:
+    (id, text, n_lines, n_dropped), batch documents only."""
     from pyspark.sql import Window
 
     lines = _doc_lines(batch, text_col, id_col, normalize)
     kd = (
-        lines.filter(~F.col("__blank"))
-        .select("line_key", id_col)
-        .distinct()
+        line_key_pairs(batch, text_col, id_col, normalize)
+        if pairs is None
+        else pairs
     )
-    w = Window.partitionBy("line_key").orderBy(F.col(id_col).asc())
-    ranked = kd.withColumn("__rank", F.row_number().over(w))
     if earlier_counts is not None:
-        ranked = ranked.join(
+        kd = kd.join(
             earlier_counts.select(
                 "line_key", F.col("n").alias("__n_earlier")
             ),
@@ -181,29 +186,56 @@ def line_dedup_incremental(
             "left",
         ).withColumn("__n_earlier", F.coalesce("__n_earlier", F.lit(0)))
     else:
-        ranked = ranked.withColumn("__n_earlier", F.lit(0))
-    dropped = ranked.filter(
-        F.col("__n_earlier") + F.col("__rank") >= F.lit(min_df)
-    ).select("line_key", F.col(id_col), F.lit(True).alias("__hot"))
+        kd = kd.withColumn("__n_earlier", F.lit(0))
+    saturated = kd.filter(F.col("__n_earlier") >= F.lit(min_df))
+    w = Window.partitionBy("line_key").orderBy(F.col(id_col).asc())
+    ranked = (
+        kd.filter(F.col("__n_earlier") < F.lit(min_df))
+        .withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__n_earlier") + F.col("__rank") >= F.lit(min_df))
+    )
+    dropped = (
+        saturated.select("line_key", F.col(id_col))
+        .unionByName(ranked.select("line_key", F.col(id_col)))
+        .withColumn("__hot", F.lit(True))
+    )
     kept = lines.join(dropped, ["line_key", id_col], "left").withColumn(
         "__drop", F.coalesce("__hot", F.lit(False)) & ~F.col("__blank")
     )
     return _reassemble_lines(kept, text_col, id_col)
 
 
-def line_count_keys(
+def line_key_pairs(
     batch: DataFrame, text_col: str, id_col: str, normalize: bool = True
 ) -> DataFrame:
-    """Per-batch (line_key, n) distinct-document counts — the rows
-    ``append_line_count_index`` accumulates."""
+    """The batch's distinct non-blank (line_key, id) pair set — the
+    one frame the whole per-batch flow derives from (rank, counts,
+    bucket pruning); persist it in a foreachBatch so the explode and
+    distinct run once."""
     return (
         _doc_lines(batch, text_col, id_col, normalize)
         .filter(~F.col("__blank"))
         .select("line_key", id_col)
         .distinct()
-        .groupBy("line_key")
-        .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def line_count_keys(
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    normalize: bool = True,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-batch (line_key, n) distinct-document counts — the rows
+    ``append_line_count_index`` accumulates. Pass a persisted
+    ``line_key_pairs`` frame to reuse the batch's single explode."""
+    kd = (
+        line_key_pairs(batch, text_col, id_col, normalize)
+        if pairs is None
+        else pairs
+    )
+    return kd.groupBy("line_key").agg(F.count(F.lit(1)).alias("n"))
 
 
 def _line_kb(key_buckets: int) -> Column:
@@ -215,8 +247,25 @@ def _line_kb(key_buckets: int) -> Column:
     )
 
 
+def line_count_index_exists(spark, path: str) -> bool:
+    """Whether an accumulated line-count index holds data at ``path``
+    — healing a compaction swap caught mid-rename FIRST, so a caller
+    branching on existence (the canonical foreachBatch) cannot skip
+    the sole surviving ``__old`` copy and then shadow it with a fresh
+    index (which the next heal would delete: silent total loss of
+    every accumulated count). Every entry point heals — the
+    ServingTable recover-on-any-entry discipline."""
+    from .. import fs as _fs
+
+    _heal_line_count_index(spark, path)
+    if not _fs.exists(spark, path):
+        return False
+    return any(n.startswith("kb=") for n in _fs.list_names(spark, path))
+
+
 def append_line_count_index(
-    counts: DataFrame, path: str, key_buckets: int = 64
+    counts: DataFrame, path: str, key_buckets: int = 64,
+    batch_id: int | str | None = None,
 ) -> None:
     """Append per-batch line counts to a parquet index PARTITIONED by
     kb = hash(line_key) % key_buckets — the band-key-index layout
@@ -224,14 +273,21 @@ def append_line_count_index(
     bucket directories its own keys hash into. ``key_buckets`` is
     pinned in a ``_key_buckets`` sidecar before the first data write
     (mixed bucket schemes would prune away genuine matches — same
-    crash-window discipline as ``append_band_key_index``). Appends are
-    per-batch aggregates; readers SUM across appends, so replaying an
-    already-appended batch requires the caller's checkpointing (the
-    streaming foreachBatch contract) — counts are not idempotent the
-    way band keys are."""
+    crash-window discipline as ``append_band_key_index``). Heals a
+    crashed compaction swap before touching anything.
+
+    Replay safety: counts are NOT idempotent the way band keys are —
+    foreachBatch is at-least-once, and a replayed append would
+    double-count every key. Pass the micro-batch's epoch as
+    ``batch_id`` (the sketch indexes' epoch-pin pattern): rows carry
+    it, and readers collapse duplicate (line_key, batch_id) appends
+    before summing, making replays exact. Compaction folds epochs
+    away, so run it only after a trigger's checkpoint has committed
+    (no earlier epoch can replay)."""
     from .. import fs as _fs
 
     spark = counts.sparkSession
+    _heal_line_count_index(spark, path)
     marker = f"{path}/_key_buckets"
     pinned = _fs.read_text(spark, marker) if _fs.exists(spark, marker) else None
     if pinned is not None and int(pinned) != key_buckets:
@@ -241,8 +297,12 @@ def append_line_count_index(
         )
     if pinned is None:
         _fs.write_text_atomic(spark, marker, str(key_buckets))
+    out = counts.withColumn(
+        "batch_id",
+        F.lit("__unbatched" if batch_id is None else str(batch_id)),
+    )
     (
-        counts.withColumn("kb", _line_kb(key_buckets))
+        out.withColumn("kb", _line_kb(key_buckets))
         .repartition("kb")
         .write.mode("append")
         .partitionBy("kb")
@@ -299,10 +359,19 @@ def compact_line_count_index(
     pinned = _fs.read_text(spark, f"{path}/_key_buckets")
     staging = path + "__staging"
     old = path + "__old"
+    src = spark.read.parquet(path)
+    if "batch_id" in src.columns:
+        # same epoch collapse as the pruned read, so a replayed append
+        # present twice on disk folds to one before the sums
+        src = (
+            src.filter(F.col("batch_id") != "__unbatched")
+            .dropDuplicates(["line_key", "batch_id"])
+            .unionByName(src.filter(F.col("batch_id") == "__unbatched"))
+        )
     (
-        spark.read.parquet(path)
-        .groupBy("kb", "line_key")
+        src.groupBy("kb", "line_key")
         .agg(F.sum("n").alias("n"))
+        .withColumn("batch_id", F.lit("__unbatched"))
         .repartition("kb")
         .write.mode("overwrite")
         .partitionBy("kb")
@@ -347,14 +416,26 @@ def read_line_counts_pruned(
             _line_kb(key_buckets).alias("kb")
         ).distinct().collect()
     )
-    idx = spark.read.parquet(path)
+    empty = spark.createDataFrame([], "line_key string, n bigint")
+    if not any(n.startswith("kb=") for n in _fs.list_names(spark, path)):
+        # a first-append crash between the sidecar pin and the data
+        # write leaves a pin-only directory; reading it as parquet
+        # would wedge the stream on schema inference forever
+        return empty
     if not kbs:
-        return idx.select("line_key", "n").limit(0)
-    return (
-        idx.filter(F.col("kb").isin(kbs))
-        .groupBy("line_key")
-        .agg(F.sum("n").alias("n"))
-    )
+        return empty
+    idx = spark.read.parquet(path).filter(F.col("kb").isin(kbs))
+    if "batch_id" in idx.columns:
+        # epoch-pin replay collapse: a re-appended micro-batch wrote
+        # identical (line_key, n, batch_id) rows — keep one per epoch.
+        # Untagged rows ("__unbatched", or a compaction's folded
+        # output) have no epoch identity and pass through unchanged.
+        tagged = idx.filter(F.col("batch_id") != "__unbatched")
+        idx = (
+            tagged.dropDuplicates(["line_key", "batch_id"])
+            .unionByName(idx.filter(F.col("batch_id") == "__unbatched"))
+        )
+    return idx.groupBy("line_key").agg(F.sum("n").alias("n"))
 
 
 def _gram_array(text_col: str, n: int) -> Column:

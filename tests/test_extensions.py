@@ -1555,6 +1555,21 @@ def test_line_dedup_incremental_first_keeps(spark, tmp_path):
     import hashlib
     fk = hashlib.sha256(b"shared footer").hexdigest()
     assert total[fk] == 3  # 2 from batch 1 + 1 from batch 2
+    # epoch-pinned replay: the same batch appended twice under one
+    # batch_id collapses to a single count at read time (foreachBatch
+    # is at-least-once; counts must not double)
+    idx2 = str(tmp_path / "idx2")
+    dedup.append_line_count_index(k1, idx2, key_buckets=8, batch_id=7)
+    dedup.append_line_count_index(k1, idx2, key_buckets=8, batch_id=7)  # replay
+    dedup.append_line_count_index(k2, idx2, key_buckets=8, batch_id=8)
+    t2 = {r.line_key: r.n for r in
+          dedup.read_line_counts_pruned(spark, idx2, k2).collect()}
+    assert t2[fk] == 3  # not 5: the replayed epoch folded away
+    # and compaction preserves the collapsed totals
+    assert dedup.compact_line_count_index(spark, idx2, max_files_per_bucket=1)
+    t3 = {r.line_key: r.n for r in
+          dedup.read_line_counts_pruned(spark, idx2, k2).collect()}
+    assert t3[fk] == 3
 
 
 def test_line_count_index_compaction_and_crash_heal(spark, tmp_path):
@@ -1590,12 +1605,25 @@ def test_line_count_index_compaction_and_crash_heal(spark, tmp_path):
     assert after == before
     # already compact -> no-op
     assert not dedup.compact_line_count_index(spark, idx, max_files_per_bucket=1)
-    # crash between the two renames: only the aside copy exists
+    # crash between the two renames: only the aside copy exists; the
+    # EXISTENCE probe (what a foreachBatch branches on before its
+    # append) must heal too — an append-first recovery would otherwise
+    # shadow the sole copy with a fresh index and the next heal would
+    # delete it (code-review r9)
     os.rename(idx, idx + "__old")
+    assert dedup.line_count_index_exists(spark, idx)
+    assert os.path.exists(idx) and not os.path.exists(idx + "__old")
     healed = {r.line_key: r.n
               for r in dedup.read_line_counts_pruned(spark, idx, probe).collect()}
-    assert healed == before and os.path.exists(idx)
-    assert not os.path.exists(idx + "__old")
+    assert healed == before
+    # a pin-only index dir (first-append crash between sidecar write
+    # and data write) reads as EMPTY, not a schema-inference wedge
+    idx3 = str(tmp_path / "idx3")
+    os.makedirs(idx3)
+    with open(f"{idx3}/_key_buckets", "w") as f:
+        f.write("4")
+    assert not dedup.line_count_index_exists(spark, idx3)
+    assert dedup.read_line_counts_pruned(spark, idx3, probe).count() == 0
 
 
 def test_line_dedup_reassembly_property(spark):
