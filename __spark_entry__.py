@@ -2699,6 +2699,70 @@ FROM kept GROUP BY doc_id
 """
 
 
+def q_bow_knn(spark, sf):
+    """Text-to-retrieval composition proof: raw documents -> hashed
+    bag-of-words embeddings (text.hashed_bow_embeddings, no model) ->
+    batch k-NN join (similarity.knn_join, broadcast queries + salted
+    two-phase top-k merge). Every doc with doc_id % 53 == 0 retrieves
+    its top-3 cosine neighbors from the whole corpus — the
+    no-learned-embedding retrieval path a fresh corpus gets before any
+    model exists. Zero-vector (token-less) docs are excluded on both
+    sides: cosine is undefined there in every engine."""
+    from platypus_ingestion_plugins_spark.functions.text import (
+        hashed_bow_embeddings,
+        token_count,
+    )
+
+    d = _t(spark, sf, "documents").filter(token_count("text") > 0)
+    emb = hashed_bow_embeddings(d, "text", "doc_id", dim=32)
+    return similarity.knn_join(
+        emb,
+        emb.filter(F.col("doc_id") % 53 == 0),
+        k=3,
+        id_col="doc_id",
+        q_id_col="q_id",
+        dim=32,
+    )
+
+
+SQL_BOW_KNN = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')) AS t
+  FROM documents
+  WHERE len(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')) > 0),
+b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 32 AS bucket
+  FROM tok),
+c AS (SELECT doc_id, bucket, count(*)::DOUBLE AS n FROM b GROUP BY 1, 2),
+g AS (
+  SELECT d.doc_id, p.pos
+  FROM (SELECT DISTINCT doc_id FROM b) d
+  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS pos) p),
+v AS (
+  SELECT g.doc_id, g.pos, coalesce(c.n, 0) AS n
+  FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bucket = g.pos),
+nrm AS (SELECT doc_id, sqrt(sum(n * n)) AS nn FROM v GROUP BY 1),
+emb AS (
+  SELECT v.doc_id,
+         list(round(CASE WHEN nn > 0 THEN n / nn ELSE 0 END, 6)
+              ORDER BY v.pos) AS e
+  FROM v JOIN nrm USING (doc_id) GROUP BY v.doc_id, nn),
+q AS (SELECT doc_id AS q_id, e AS qe FROM emb WHERE doc_id % 53 = 0),
+scored AS (
+  SELECT q.q_id, emb.doc_id,
+         round(list_cosine_similarity(emb.e, q.qe), 6) AS cos_sim
+  FROM emb, q),
+r AS (
+  SELECT q_id, doc_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, doc_id)
+           AS knn_rank
+  FROM scored)
+SELECT q_id, doc_id, cos_sim, knn_rank FROM r WHERE knn_rank <= 3
+"""
+
+
 def q_pipeline_clean_corpus(spark, sf):
     """The COMPOSED hygiene preset (pipelines.clean_corpus), oracle-
     checked end to end: NFC normalize -> exact dedup (min-id) ->
@@ -3760,7 +3824,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_flags": q_decontam_flags,
         "pii_scrub": q_pii_scrub,
         "unigram_logprob": q_unigram_logprob,
-        "shuffle_shards": q_shuffle_shards,
         "pack_bins": q_pack_bins,
         "pack_texts": q_pack_texts,
         "temperature_mix": q_temperature_mix,
@@ -3799,7 +3862,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_per_group": q_top_terms_per_group,
         "hashed_bow_embedding": q_hashed_bow_embedding,
         "stream_line_dedup": q_stream_line_dedup,
+        "bow_knn": q_bow_knn,
         # 3. r08-green, touched-this-round first, then untouched
+        # (shuffle_shards displaced from the stale cohort by the six
+        # never-verified NEW queries — it is green in this round's own
+        # full 101-query check_oracle sweep, recorded in SURVEY §5)
+        "shuffle_shards": q_shuffle_shards,
         "dedup_survivors": q_dedup_survivors,
         # (dedup_ngram_jaccard/dedup_groups displaced just below the
         # cap by the two extra NEW queries — both re-verified green by
@@ -3863,6 +3931,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms_per_group": SQL_TOP_TERMS_PER_GROUP,
         "hashed_bow_embedding": SQL_HASHED_BOW_EMBEDDING,
         "stream_line_dedup": SQL_STREAM_LINE_DEDUP,
+        "bow_knn": SQL_BOW_KNN,
         "session_counts": SQL_SESSION_COUNTS,
         "resample_ffill": SQL_RESAMPLE_FFILL,
         "tar_roundtrip": SQL_TAR_ROUNDTRIP,
