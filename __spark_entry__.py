@@ -2763,6 +2763,43 @@ SELECT q_id, doc_id, cos_sim, knn_rank FROM r WHERE knn_rank <= 3
 """
 
 
+def q_fuzzy_join(spark, sf):
+    """Edit-distance entity resolution (dedup.fuzzy_join): the
+    distinct part-name catalog matched against a deterministically
+    corrupted vendor copy (last char swapped for 'y' — the
+    suffix-typo/vendor-suffix shape) — prefix-blocked candidates,
+    builtin levenshtein verify, distance <= 3. Finds each entity's
+    corrupted twin plus any genuinely-near catalog names."""
+    p = _t(spark, sf, "part")
+    entities = p.groupBy("p_name").agg(F.min("p_partkey").alias("entity_id"))
+    vendor = entities.select(
+        F.col("entity_id").alias("vendor_id"),
+        F.concat(
+            F.expr("substring(p_name, 1, length(p_name) - 1)"), F.lit("y")
+        ).alias("vendor_name"),
+    )
+    return dedup.fuzzy_join(
+        entities.withColumnRenamed("p_name", "name"), vendor,
+        "name", "vendor_name", "entity_id", "vendor_id",
+        max_dist=3, block_prefix=3,
+    )
+
+
+SQL_FUZZY_JOIN = """
+WITH entities AS (
+  SELECT p_name AS name, min(p_partkey) AS entity_id FROM part GROUP BY 1),
+vendor AS (
+  SELECT entity_id AS vendor_id,
+         substr(name, 1, length(name) - 1) || 'y' AS vendor_name
+  FROM entities)
+SELECT e.entity_id, v.vendor_id,
+       levenshtein(e.name, v.vendor_name) AS dist
+FROM entities e JOIN vendor v
+  ON lower(substr(e.name, 1, 3)) = lower(substr(v.vendor_name, 1, 3))
+WHERE levenshtein(e.name, v.vendor_name) <= 3
+"""
+
+
 def q_pipeline_clean_corpus(spark, sf):
     """The COMPOSED hygiene preset (pipelines.clean_corpus), oracle-
     checked end to end: NFC normalize -> exact dedup (min-id) ->
@@ -3824,7 +3861,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_flags": q_decontam_flags,
         "pii_scrub": q_pii_scrub,
         "unigram_logprob": q_unigram_logprob,
-        "pack_bins": q_pack_bins,
         "pack_texts": q_pack_texts,
         "temperature_mix": q_temperature_mix,
         "asof_join": q_asof_join,
@@ -3863,11 +3899,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_bow_embedding": q_hashed_bow_embedding,
         "stream_line_dedup": q_stream_line_dedup,
         "bow_knn": q_bow_knn,
+        "fuzzy_join": q_fuzzy_join,
         # 3. r08-green, touched-this-round first, then untouched
         # (shuffle_shards displaced from the stale cohort by the six
         # never-verified NEW queries — it is green in this round's own
         # full 101-query check_oracle sweep, recorded in SURVEY §5)
         "shuffle_shards": q_shuffle_shards,
+        "pack_bins": q_pack_bins,
         "dedup_survivors": q_dedup_survivors,
         # (dedup_ngram_jaccard/dedup_groups displaced just below the
         # cap by the two extra NEW queries — both re-verified green by
@@ -3932,6 +3970,7 @@ def oracle_sql() -> dict[str, str]:
         "hashed_bow_embedding": SQL_HASHED_BOW_EMBEDDING,
         "stream_line_dedup": SQL_STREAM_LINE_DEDUP,
         "bow_knn": SQL_BOW_KNN,
+        "fuzzy_join": SQL_FUZZY_JOIN,
         "session_counts": SQL_SESSION_COUNTS,
         "resample_ffill": SQL_RESAMPLE_FFILL,
         "tar_roundtrip": SQL_TAR_ROUNDTRIP,

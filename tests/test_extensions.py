@@ -1453,6 +1453,35 @@ def test_line_dedup_boilerplate_scrub(spark):
     assert got == {1: "", 2: "hello"}
 
 
+def test_fuzzy_join_edit_distance(spark):
+    """Prefix-blocked levenshtein matching: suffix typos match within
+    the distance bound, different-prefix strings never reach the
+    verify (the blocking contract), and the hot-block cap drops an
+    over-common prefix entirely."""
+    left = spark.createDataFrame(
+        [Row(lid=1, name="blue bolt"), Row(lid=2, name="red widget")]
+    )
+    right = spark.createDataFrame(
+        [Row(rid=10, cand="blue bolty"),   # suffix typo: dist 1
+         Row(rid=11, cand="blue nut"),     # same prefix, dist 5 -> verify rejects
+         Row(rid=12, cand="glue bolt")]    # dist 1 but different prefix -> blocked
+    )
+    out = dedup.fuzzy_join(
+        left, right, "name", "cand", "lid", "rid", max_dist=2, block_prefix=4
+    ).collect()
+    assert {(r.lid, r.rid, r.dist) for r in out} == {(1, 10, 1)}
+    # hot-block cap: every left row shares the prefix; cap 1 drops it
+    hot_l = spark.createDataFrame(
+        [Row(lid=i, name=f"same prefix {i}") for i in range(5)]
+    )
+    hot_r = spark.createDataFrame([Row(rid=1, cand="same prefix 0")])
+    capped = dedup.fuzzy_join(
+        hot_l, hot_r, "name", "cand", "lid", "rid",
+        max_dist=2, block_prefix=4, max_block_df=1,
+    )
+    assert capped.count() == 0
+
+
 def test_top_terms_per_group(spark):
     """Deterministic per-group term ranking: counts desc, term asc
     tie-break, k-bounded, min-length filter applied before counting."""
