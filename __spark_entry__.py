@@ -2763,6 +2763,58 @@ SELECT q_id, doc_id, cos_sim, knn_rank FROM r WHERE knn_rank <= 3
 """
 
 
+def q_quality_autocalibrated_filter(spark, sf):
+    """Auto-calibrated quality filtering: instead of a fixed global
+    floor (which over-prunes clean sources and under-prunes noisy
+    ones), each SOURCE keeps its documents at or above its own 25th
+    quality percentile — the per-domain threshold real pipelines
+    derive per ingest. One grouped exact percentile (at 100 TB:
+    approx_percentile, same call shape) broadcast back onto the
+    corpus; the filter stays a scan-side predicate. Output counts +
+    cutoffs per source so the compare pins both the thresholds and
+    the selection."""
+    from platypus_ingestion_plugins_spark.functions.text import quality_score
+
+    d = _t(spark, sf, "documents").withColumn("q", quality_score("text"))
+    cuts = d.groupBy("source").agg(
+        F.round(F.expr("percentile(q, 0.25)"), 6).alias("q_cut")
+    )
+    kept = d.join(F.broadcast(cuts), "source").filter(
+        F.round(F.col("q"), 6) >= F.col("q_cut")
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min(F.round("q", 6)).alias("q_min_kept"),
+        F.first("q_cut").alias("q_cut"),
+    )
+
+
+SQL_QUALITY_AUTOCAL = """
+WITH b AS (
+  SELECT source, doc_id, length(text) AS nc,
+         list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha
+  FROM documents),
+q AS (
+  SELECT source, doc_id,
+    round(((CASE WHEN nc BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN nc::DOUBLE / greatest(len(toks), 1) >= 3.0
+                 AND nc::DOUBLE / greatest(len(toks), 1) <= 12.0 THEN 1.0 ELSE 0.0 END)
+         + alpha::DOUBLE / greatest(nc, 1)) / 3.0, 6) AS q
+  FROM b),
+cuts AS (
+  SELECT source, round(quantile_cont(q, 0.25), 6) AS q_cut
+  FROM q GROUP BY source)
+SELECT q.source,
+       count(*) AS n_kept,
+       min(round(q.q, 6)) AS q_min_kept,
+       any_value(c.q_cut) AS q_cut
+FROM q JOIN cuts c USING (source)
+WHERE round(q.q, 6) >= c.q_cut
+GROUP BY q.source
+"""
+
+
 def q_fuzzy_join(spark, sf):
     """Edit-distance entity resolution (dedup.fuzzy_join): the
     distinct part-name catalog matched against a deterministically
@@ -3861,7 +3913,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_flags": q_decontam_flags,
         "pii_scrub": q_pii_scrub,
         "unigram_logprob": q_unigram_logprob,
-        "pack_texts": q_pack_texts,
         "temperature_mix": q_temperature_mix,
         "asof_join": q_asof_join,
         "cube_agg": q_cube_agg,
@@ -3900,12 +3951,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_line_dedup": q_stream_line_dedup,
         "bow_knn": q_bow_knn,
         "fuzzy_join": q_fuzzy_join,
+        "quality_autocalibrated_filter": q_quality_autocalibrated_filter,
         # 3. r08-green, touched-this-round first, then untouched
-        # (shuffle_shards displaced from the stale cohort by the six
-        # never-verified NEW queries — it is green in this round's own
-        # full 101-query check_oracle sweep, recorded in SURVEY §5)
+        # (shuffle_shards/pack_bins/pack_texts displaced from the
+        # stale cohort by the eight never-verified NEW queries — each
+        # re-verified green by this round's own check_oracle runs,
+        # recorded in SURVEY §5)
         "shuffle_shards": q_shuffle_shards,
         "pack_bins": q_pack_bins,
+        "pack_texts": q_pack_texts,
         "dedup_survivors": q_dedup_survivors,
         # (dedup_ngram_jaccard/dedup_groups displaced just below the
         # cap by the two extra NEW queries — both re-verified green by
@@ -3971,6 +4025,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_line_dedup": SQL_STREAM_LINE_DEDUP,
         "bow_knn": SQL_BOW_KNN,
         "fuzzy_join": SQL_FUZZY_JOIN,
+        "quality_autocalibrated_filter": SQL_QUALITY_AUTOCAL,
         "session_counts": SQL_SESSION_COUNTS,
         "resample_ffill": SQL_RESAMPLE_FFILL,
         "tar_roundtrip": SQL_TAR_ROUNDTRIP,
