@@ -689,8 +689,15 @@ def fuzzy_join(
         br = cap_shingle_df(br, max_block_df, key_col="__blk")
     return (
         bl.join(br, "__blk")
-        .withColumn("dist", F.levenshtein(F.col("__tl"), F.col("__tr")))
-        .filter(F.col("dist") <= max_dist)
+        # bounded form: the JVM computes only the banded DP strip and
+        # returns -1 past the threshold — O(max_dist * len) per pair
+        # instead of O(len^2), the verify cost that matters when a
+        # block is large
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("__tl"), F.col("__tr"), max_dist),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select(
             F.col("__il").alias(id_l), F.col("__ir").alias(id_r), "dist"
         )
