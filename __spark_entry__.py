@@ -2715,13 +2715,16 @@ def q_bow_knn(spark, sf):
 
     d = _t(spark, sf, "documents").filter(token_count("text") > 0)
     emb = hashed_bow_embeddings(d, "text", "doc_id", dim=32)
+    # embed the query SIDE from the filtered docs, not by filtering
+    # the corpus embeddings: the broadcast side is a separate plan and
+    # the % 53 predicate cannot push below the embedding kernel, so
+    # filtering after would re-embed the whole corpus and discard
+    # 52/53 of it
+    q_emb = hashed_bow_embeddings(
+        d.filter(F.col("doc_id") % 53 == 0), "text", "doc_id", dim=32
+    )
     return similarity.knn_join(
-        emb,
-        emb.filter(F.col("doc_id") % 53 == 0),
-        k=3,
-        id_col="doc_id",
-        q_id_col="q_id",
-        dim=32,
+        emb, q_emb, k=3, id_col="doc_id", q_id_col="q_id", dim=32,
     )
 
 
@@ -3880,15 +3883,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the least-recently-driver-verified queries come FIRST
     # (the driver caps each round's oracle sweep at 50 entries, so dict
     # order IS verification priority — r9 rotation, VERDICT r8 task #2):
-    #   1. the 45 queries cap-skipped in CORRECTNESS_r08 (all r07-green,
-    #      now two rounds stale — the verdict's explicit lead list),
+    #   1. the queries cap-skipped in CORRECTNESS_r08 (all r07-green,
+    #      now two rounds stale — the verdict's explicit lead list);
+    #      42 of the original 45 — shuffle_shards/pack_bins/pack_texts
+    #      were displaced to section 3 by the section-2 growth and
+    #      re-verified green by this round's own full sweeps,
     #   2. NEW this round (pipeline_clean_corpus, line_dedup) plus the
     #      r8-green queries whose code paths r9 touched hardest: the
     #      jaccard shingle path lost two shuffles and gained a
     #      single-eval checkpoint (shingles/ngram_jaccard_pairs),
     #      pick_survivors became a min_by aggregate with a left-join
     #      singleton coalesce -> dedup_survivors, dedup_ngram_jaccard,
-    #      dedup_groups. Sections 1+2 = 50, exactly the cap,
+    #      dedup_groups. Sections 1 (42) + 2 (8) = 50, exactly the cap,
     #   3. the remaining r08-green queries, touched-this-round first
     #      (jaccard_join/minhash/decontam ride the same shingle change;
     #      export overwrite -> tar_roundtrip; heal-suffix ->

@@ -1463,7 +1463,7 @@ def test_fuzzy_join_edit_distance(spark):
     )
     right = spark.createDataFrame(
         [Row(rid=10, cand="blue bolty"),   # suffix typo: dist 1
-         Row(rid=11, cand="blue nut"),     # same prefix, dist 5 -> verify rejects
+         Row(rid=11, cand="blue nut"),     # same prefix, dist 3 -> verify rejects
          Row(rid=12, cand="glue bolt")]    # dist 1 but different prefix -> blocked
     )
     out = dedup.fuzzy_join(
