@@ -1482,6 +1482,43 @@ def test_fuzzy_join_edit_distance(spark):
     assert capped.count() == 0
 
 
+def test_fuzzy_join_matches_bruteforce(spark):
+    """fuzzy_join vs an independent pure-Python reference: over a
+    deterministic corpus of perturbed strings, the operator's result
+    must equal brute-force {same prefix block} x {levenshtein <= k} —
+    catching drift in the blocking key, the bounded-threshold verify,
+    and the -1 sentinel handling at once."""
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    base = ["alpha node", "alpine mode", "beta rig", "betta ring",
+            "gamma ray", "gamut bay", "delta", "dealt", "omega", ""]
+    left_rows = [(i, s) for i, s in enumerate(base)]
+    right_rows = [
+        (100 + i, s[:-1] + "x" if s else "x") for i, s in enumerate(base)
+    ] + [(200 + i, s) for i, s in enumerate(base)]
+    expect = {
+        (il, ir, lev(sl, sr))
+        for il, sl in left_rows
+        for ir, sr in right_rows
+        if sl[:3].lower() == sr[:3].lower() and lev(sl, sr) <= 3
+    }
+    out = dedup.fuzzy_join(
+        spark.createDataFrame(left_rows, "lid long, name string"),
+        spark.createDataFrame(right_rows, "rid long, cand string"),
+        "name", "cand", "lid", "rid", max_dist=3, block_prefix=3,
+    ).collect()
+    assert {(r.lid, r.rid, r.dist) for r in out} == expect
+
+
 def test_top_terms_per_group(spark):
     """Deterministic per-group term ranking: counts desc, term asc
     tie-break, k-bounded, min-length filter applied before counting."""
