@@ -52,7 +52,14 @@ def clean_corpus(
     )
     from platypus_ingestion_plugins_spark.operators import decontam, dedup
 
-    normed = docs.withColumn(text_col, normalize_unicode(text_col))
+    # lazy single-evaluation checkpoint (the jaccard-family pattern):
+    # the normalized frame is referenced by the exact-dedup aggregate,
+    # its semi-join back, and the whole near-dup subchain — without
+    # the checkpoint the Arrow unicodedata UDF (the chain's priciest
+    # map stage) re-runs once per reference
+    normed = docs.withColumn(
+        text_col, normalize_unicode(text_col)
+    ).localCheckpoint(eager=False)
 
     # exact: keep each content group's min-id row
     survivors = (
@@ -60,7 +67,11 @@ def clean_corpus(
         .agg(F.min(id_col).alias(id_col))
         .drop("__sha")
     )
-    deduped = normed.join(survivors, id_col, "left_semi")
+    # same single-eval rationale: the exact-deduped frame feeds the
+    # LSH pair generation, the CC node set, and the survivor semi-join
+    deduped = normed.join(survivors, id_col, "left_semi").localCheckpoint(
+        eager=False
+    )
 
     # near-dup: LSH pairs -> components -> keep group minimum
     # at corpus scale SET max_shingle_df: one boilerplate phrase shared
