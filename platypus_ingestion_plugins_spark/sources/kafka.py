@@ -100,6 +100,12 @@ def decode_with_schema_map(
     registered schema id (k passes for k live versions — k is small).
     Inside foreachBatch, cache the batch first so the passes share one
     source read.
+
+    For a LIVE registry (ids not known up front, schema evolution
+    mid-stream), use
+    :func:`~platypus_ingestion_plugins_spark.sources.schema_registry.decode_with_registry`,
+    which resolves the batch's ids fetch-on-miss through a cached
+    SchemaRegistryClient and then delegates here.
     """
     decoder = decoder or _avro_decoder
     tagged = raw.withColumn("_schema_id", confluent_schema_id(value_col)).withColumn(
