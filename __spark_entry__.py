@@ -2819,24 +2819,34 @@ GROUP BY q.source
 
 
 def q_fuzzy_join(spark, sf):
-    """Edit-distance entity resolution (dedup.fuzzy_join): the
-    distinct part-name catalog matched against a deterministically
-    corrupted vendor copy (last char swapped for 'y' — the
-    suffix-typo/vendor-suffix shape) — prefix-blocked candidates,
-    builtin levenshtein verify, distance <= 3. Finds each entity's
-    corrupted twin plus any genuinely-near catalog names."""
+    """Edit-distance entity resolution (dedup.fuzzy_join, block="both"
+    — VERDICT r9 task #3): the distinct part-name catalog matched
+    against a deterministically corrupted vendor copy where HALF the
+    entities carry a LEADING-char typo (first char -> 'y', invisible
+    to prefix blocking) and half a trailing typo (last char -> 'y',
+    invisible to suffix blocking). The two-pass prefix+suffix block
+    union recovers both corruption shapes; either single pass would
+    lose ~half the twins, so the hash check verifies the recall the
+    second pass adds, not just the old prefix path."""
     p = _t(spark, sf, "part")
     entities = p.groupBy("p_name").agg(F.min("p_partkey").alias("entity_id"))
     vendor = entities.select(
         F.col("entity_id").alias("vendor_id"),
-        F.concat(
-            F.expr("substring(p_name, 1, length(p_name) - 1)"), F.lit("y")
-        ).alias("vendor_name"),
+        F.when(
+            F.col("entity_id") % 2 == 0,
+            F.concat(F.lit("y"), F.expr("substring(p_name, 2, length(p_name))")),
+        )
+        .otherwise(
+            F.concat(
+                F.expr("substring(p_name, 1, length(p_name) - 1)"), F.lit("y")
+            )
+        )
+        .alias("vendor_name"),
     )
     return dedup.fuzzy_join(
         entities.withColumnRenamed("p_name", "name"), vendor,
         "name", "vendor_name", "entity_id", "vendor_id",
-        max_dist=3, block_prefix=3,
+        max_dist=3, block_prefix=3, block="both",
     )
 
 
@@ -2845,12 +2855,21 @@ WITH entities AS (
   SELECT p_name AS name, min(p_partkey) AS entity_id FROM part GROUP BY 1),
 vendor AS (
   SELECT entity_id AS vendor_id,
-         substr(name, 1, length(name) - 1) || 'y' AS vendor_name
+         CASE WHEN entity_id % 2 = 0
+              THEN 'y' || substr(name, 2)
+              ELSE substr(name, 1, length(name) - 1) || 'y'
+         END AS vendor_name
   FROM entities)
 SELECT e.entity_id, v.vendor_id,
        levenshtein(e.name, v.vendor_name) AS dist
 FROM entities e JOIN vendor v
   ON lower(substr(e.name, 1, 3)) = lower(substr(v.vendor_name, 1, 3))
+WHERE levenshtein(e.name, v.vendor_name) <= 3
+UNION
+SELECT e.entity_id, v.vendor_id,
+       levenshtein(e.name, v.vendor_name) AS dist
+FROM entities e JOIN vendor v
+  ON lower(right(e.name, 3)) = lower(right(v.vendor_name, 3))
 WHERE levenshtein(e.name, v.vendor_name) <= 3
 """
 

@@ -659,6 +659,7 @@ def fuzzy_join(
     max_dist: int = 2,
     block_prefix: int = 4,
     max_block_df: int | None = None,
+    block: str = "prefix",
 ) -> DataFrame:
     """Edit-distance entity resolution: pairs (one row from ``left``,
     one from ``right``) whose strings are within Levenshtein
@@ -670,38 +671,63 @@ def fuzzy_join(
     sharing the prefix are ever compared, so candidate volume is sum
     over prefixes of |left bucket| x |right bucket| — never |L| x |R|.
     The verify is Spark's builtin ``levenshtein`` (JVM codegen, and
-    definitionally identical in DuckDB, so oracle-exact). Prefix
-    blocking assumes corruptions beyond the prefix (suffix typos,
-    vendor suffixes); for edits inside the first characters use a
-    second pass with a suffix block. ``max_block_df`` caps hot blocks
-    (one ultra-common prefix is the k² trap, see cap_shingle_df).
-    Output: (id_l, id_r, dist)."""
-    bl = left.select(
-        F.col(id_l).alias("__il"), F.col(text_l).alias("__tl"),
-        F.lower(F.substring(text_l, 1, block_prefix)).alias("__blk"),
-    )
-    br = right.select(
-        F.col(id_r).alias("__ir"), F.col(text_r).alias("__tr"),
-        F.lower(F.substring(text_r, 1, block_prefix)).alias("__blk"),
-    )
-    if max_block_df:
-        bl = cap_shingle_df(bl, max_block_df, key_col="__blk")
-        br = cap_shingle_df(br, max_block_df, key_col="__blk")
-    return (
-        bl.join(br, "__blk")
-        # bounded form: the JVM computes only the banded DP strip and
-        # returns -1 past the threshold — O(max_dist * len) per pair
-        # instead of O(len^2), the verify cost that matters when a
-        # block is large
-        .withColumn(
-            "dist",
-            F.levenshtein(F.col("__tl"), F.col("__tr"), max_dist),
+    definitionally identical in DuckDB, so oracle-exact).
+
+    ``block`` picks the blocking key(s): ``"prefix"`` (default)
+    assumes corruptions beyond the first ``block_prefix`` chars
+    (suffix typos, vendor suffixes); ``"suffix"`` blocks on the
+    lowercase LAST ``block_prefix`` chars for leading-char corruption;
+    ``"both"`` runs both passes and unions them, so a pair survives if
+    its edits leave EITHER end intact — within ``max_dist <
+    2*block_prefix`` edits that is every pair except those corrupted
+    at both ends simultaneously. Each pass is independently blocked
+    (same cost shape, ~2x one pass); the union is pair-distinct, so a
+    pair matching in both blocks appears once. ``max_block_df`` caps
+    hot blocks per pass (one ultra-common prefix is the k² trap, see
+    cap_shingle_df). Output: (id_l, id_r, dist)."""
+    if block not in ("prefix", "suffix", "both"):
+        raise ValueError(f"block must be prefix|suffix|both, got {block!r}")
+
+    def _key(text: str, mode: str):
+        if mode == "prefix":
+            return F.lower(F.substring(text, 1, block_prefix))
+        # right() keeps the whole string when shorter, symmetric with
+        # substring's prefix behavior
+        return F.lower(F.expr(f"right({text}, {block_prefix})"))
+
+    def _pass(mode: str) -> DataFrame:
+        bl = left.select(
+            F.col(id_l).alias("__il"), F.col(text_l).alias("__tl"),
+            _key(text_l, mode).alias("__blk"),
         )
-        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
-        .select(
-            F.col("__il").alias(id_l), F.col("__ir").alias(id_r), "dist"
+        br = right.select(
+            F.col(id_r).alias("__ir"), F.col(text_r).alias("__tr"),
+            _key(text_r, mode).alias("__blk"),
         )
-    )
+        if max_block_df:
+            bl = cap_shingle_df(bl, max_block_df, key_col="__blk")
+            br = cap_shingle_df(br, max_block_df, key_col="__blk")
+        return (
+            bl.join(br, "__blk")
+            # bounded form: the JVM computes only the banded DP strip
+            # and returns -1 past the threshold — O(max_dist * len)
+            # per pair instead of O(len^2), the verify cost that
+            # matters when a block is large
+            .withColumn(
+                "dist",
+                F.levenshtein(F.col("__tl"), F.col("__tr"), max_dist),
+            )
+            .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+            .select(
+                F.col("__il").alias(id_l), F.col("__ir").alias(id_r), "dist"
+            )
+        )
+
+    if block != "both":
+        return _pass(block)
+    # dist is functionally determined by the pair, so pair-level
+    # distinct == row-level distinct
+    return _pass("prefix").unionByName(_pass("suffix")).distinct()
 
 
 def _md5_long(col: Column) -> Column:

@@ -1519,6 +1519,75 @@ def test_fuzzy_join_matches_bruteforce(spark):
     assert {(r.lid, r.rid, r.dist) for r in out} == expect
 
 
+def test_fuzzy_join_suffix_and_both_blocks(spark):
+    """block="suffix"/"both" (VERDICT r9 task #3): a leading-char typo
+    is invisible to prefix blocking but caught by the suffix block;
+    "both" is the union, pair-distinct even when a pair matches in
+    both passes. Verified against a brute-force reference encoding
+    the same union."""
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    left = spark.createDataFrame(
+        [Row(lid=1, name="blue bolt"), Row(lid=2, name="red widget")]
+    )
+    right = spark.createDataFrame(
+        [Row(rid=10, cand="xlue bolt"),    # leading typo: prefix-blocked, suffix finds
+         Row(rid=11, cand="blue bolx"),    # trailing typo: suffix-blocked, prefix finds
+         Row(rid=12, cand="blue bolt"),    # exact: both passes find -> one row out
+         Row(rid=13, cand="xed widgex")]   # both ends corrupted: neither block
+    )
+    suf = dedup.fuzzy_join(
+        left, right, "name", "cand", "lid", "rid",
+        max_dist=2, block_prefix=4, block="suffix",
+    ).collect()
+    assert {(r.lid, r.rid, r.dist) for r in suf} == {(1, 10, 1), (1, 12, 0)}
+    both = dedup.fuzzy_join(
+        left, right, "name", "cand", "lid", "rid",
+        max_dist=2, block_prefix=4, block="both",
+    ).collect()
+    assert {(r.lid, r.rid, r.dist) for r in both} == {
+        (1, 10, 1), (1, 11, 1), (1, 12, 0)
+    }
+    assert len(both) == 3  # the exact twin appears once, not per-pass
+
+    # brute-force cross-check on perturbed strings, union of both blocks
+    base = ["alpha node", "alpine mode", "beta rig", "betta ring",
+            "gamma ray", "gamut bay", "delta", "dealt", "omega", ""]
+    left_rows = [(i, s) for i, s in enumerate(base)]
+    right_rows = (
+        [(100 + i, ("x" + s[1:]) if s else "x") for i, s in enumerate(base)]
+        + [(200 + i, s[:-1] + "x" if s else "") for i, s in enumerate(base)]
+    )
+    expect = {
+        (il, ir, lev(sl, sr))
+        for il, sl in left_rows
+        for ir, sr in right_rows
+        if (sl[:3].lower() == sr[:3].lower()
+            or sl[-3:].lower() == sr[-3:].lower())
+        and lev(sl, sr) <= 3
+    }
+    out = dedup.fuzzy_join(
+        spark.createDataFrame(left_rows, "lid long, name string"),
+        spark.createDataFrame(right_rows, "rid long, cand string"),
+        "name", "cand", "lid", "rid",
+        max_dist=3, block_prefix=3, block="both",
+    ).collect()
+    assert {(r.lid, r.rid, r.dist) for r in out} == expect
+
+    with pytest.raises(ValueError):
+        dedup.fuzzy_join(left, right, "name", "cand", "lid", "rid",
+                         block="middle")
+
+
 def test_top_terms_per_group(spark):
     """Deterministic per-group term ranking: counts desc, term asc
     tie-break, k-bounded, min-length filter applied before counting."""
