@@ -49,6 +49,20 @@ def _ts_hour(df: DataFrame) -> "F.Column":
     return F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH")
 
 
+def _median_split(df: DataFrame, col: str) -> tuple[DataFrame, DataFrame]:
+    """(<= median, > median) two-drop split WITHOUT a driver action
+    (VERDICT r9 task #7): the one-row exact-median aggregate is
+    broadcast-joined in (scalar-subquery shape, BroadcastNestedLoop on
+    a single row — not a CartesianProduct), so the split predicate
+    evaluates executor-side. Every streaming oracle is split-point
+    independent by design; the split only has to be a deterministic
+    partition of the rows, which an exact median is."""
+    m = df.select(F.median(F.col(col)).alias("__mid"))
+    lo = df.join(F.broadcast(m)).where(F.col(col) <= F.col("__mid")).drop("__mid")
+    hi = df.join(F.broadcast(m)).where(F.col(col) > F.col("__mid")).drop("__mid")
+    return lo, hi
+
+
 def _dec_sum(col, scale: int, alias: str):
     """Exact decimal sum surfaced as double: deterministic across engines
     (double sums are order-dependent; decimal sums are exact)."""
@@ -1027,7 +1041,7 @@ def q_stream_quantiles(spark, sf):
     )
 
     ev = _t(spark, sf, "events")
-    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    ev_lo, ev_hi = _median_split(ev, "event_id")
     work = _stream_scratch("stream_bk_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1035,7 +1049,7 @@ def q_stream_quantiles(spark, sf):
         src = os.path.join(work, "src")
         ckpt = os.path.join(work, "ckpt")
         state = os.path.join(work, "sample")
-        ev.filter(F.col("event_id") <= mid).select("event_id", "value") \
+        ev_lo.select("event_id", "value") \
             .coalesce(4).write.mode("append").parquet(src)
         schema = spark.read.parquet(src).schema
 
@@ -1056,7 +1070,7 @@ def q_stream_quantiles(spark, sf):
             q.awaitTermination()
 
         run_available()
-        ev.filter(F.col("event_id") > mid).select("event_id", "value") \
+        ev_hi.select("event_id", "value") \
             .coalesce(4).write.mode("append").parquet(src)
         run_available()
 
@@ -1132,7 +1146,7 @@ def q_stream_heavy_hitters(spark, sf):
     )
 
     ev = _t(spark, sf, "events")
-    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    ev_lo, ev_hi = _median_split(ev, "event_id")
     work = _stream_scratch("stream_cm_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1140,7 +1154,7 @@ def q_stream_heavy_hitters(spark, sf):
         src = os.path.join(work, "src")
         ckpt = os.path.join(work, "ckpt")
         counters_path = os.path.join(work, "counters")
-        ev.filter(F.col("event_id") <= mid).select("event_id", "event_type") \
+        ev_lo.select("event_id", "event_type") \
             .coalesce(4).write.mode("append").parquet(src)
         schema = spark.read.parquet(src).schema
 
@@ -1164,7 +1178,7 @@ def q_stream_heavy_hitters(spark, sf):
             q.awaitTermination()
 
         run_available()
-        ev.filter(F.col("event_id") > mid).select("event_id", "event_type") \
+        ev_hi.select("event_id", "event_type") \
             .coalesce(4).write.mode("append").parquet(src)
         run_available()
 
@@ -1233,17 +1247,17 @@ def q_ivf_append_compact(spark, sf):
 
     emb = _t(spark, sf, "embeddings")
     cents = emb.orderBy("vec_id").limit(16)
-    mid = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+    emb_lo, emb_hi = _median_split(emb, "vec_id")
     work = _stream_scratch("ivf_idx_")
     idx = os.path.join(work, "ivf")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         similarity.append_ivf_partitioned(
-            emb.filter(F.col("vec_id") <= mid), cents, idx
+            emb_lo, cents, idx
         )
         similarity.append_ivf_partitioned(
-            emb.filter(F.col("vec_id") > mid), cents, idx
+            emb_hi, cents, idx
         )
         if not similarity.compact_ivf_partitioned(spark, idx, max_files_per_dir=1):
             raise RuntimeError("IVF compaction found nothing to rewrite")
@@ -2589,7 +2603,7 @@ def q_stream_line_dedup(spark, sf):
         F.concat(boiler, F.lit("\nFollow us on social media")),
     ).otherwise(boiler)
     docs = d.select("doc_id", t2.alias("text"))
-    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    docs_lo, docs_hi = _median_split(docs, "doc_id")
 
     work = _stream_scratch("stream_linededup_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -2599,7 +2613,7 @@ def q_stream_line_dedup(spark, sf):
         idx = os.path.join(work, "index")
         outp = os.path.join(work, "out")
         ckpt = os.path.join(work, "ckpt")
-        docs.filter(F.col("doc_id") <= mid).coalesce(4).write.mode("append").parquet(src)
+        docs_lo.coalesce(4).write.mode("append").parquet(src)
         schema = spark.read.parquet(src).schema
 
         def handle(batch_df, bid):
@@ -2648,7 +2662,7 @@ def q_stream_line_dedup(spark, sf):
             q.awaitTermination()
 
         run_available()
-        docs.filter(F.col("doc_id") > mid).coalesce(4).write.mode("append").parquet(src)
+        docs_hi.coalesce(4).write.mode("append").parquet(src)
         run_available()
         _keep_until_exit(work, keep=outp)
         # distinct: a replayed batch's re-appended output rows are
@@ -3372,7 +3386,7 @@ def q_stream_cdc_materialize(spark, sf):
         .otherwise("+I")
         .alias("_row_kind"),
     )
-    mid = ch.approxQuantile("_seq", [0.5], 0.0)[0]
+    ch_lo, ch_hi = _median_split(ch, "_seq")
 
     work = _stream_scratch("stream_cdc_")
     # per-batch merge shuffles are tiny; 8 partitions cuts task and
@@ -3382,7 +3396,7 @@ def q_stream_cdc_materialize(spark, sf):
     try:
         src = os.path.join(work, "src")
         # two ordered drops: all seqs <= mid, then the rest
-        ch.filter(F.col("_seq") <= mid).coalesce(4).write.mode("append").parquet(src)
+        ch_lo.coalesce(4).write.mode("append").parquet(src)
         # bucketed layout: each micro-batch rewrites only the hash-bucket
         # partitions holding changed keys (the 100 TB merge path)
         serving = ServingTable(
@@ -3394,7 +3408,7 @@ def q_stream_cdc_materialize(spark, sf):
             max_files_per_trigger=100,
         )
         pipe.run_available()
-        ch.filter(F.col("_seq") > mid).coalesce(4).write.mode("append").parquet(src)
+        ch_hi.coalesce(4).write.mode("append").parquet(src)
         pipe.run_available()
         _keep_until_exit(work, keep=os.path.join(work, "serving"))
         return serving.query().select("user_id", "event_type", "value")
@@ -3433,7 +3447,7 @@ def q_serving_compact(spark, sf):
         .otherwise("+I")
         .alias("_row_kind"),
     )
-    mid = ch.approxQuantile("_seq", [0.5], 0.0)[0]
+    ch_lo, ch_hi = _median_split(ch, "_seq")
 
     work = _stream_scratch("serving_compact_")
     # 16 shuffle partitions over 8 buckets with AQE coalescing OFF:
@@ -3450,8 +3464,8 @@ def q_serving_compact(spark, sf):
             spark, os.path.join(work, "serving"), key="user_id", num_buckets=8
         )
         for batch in (
-            ch.filter(F.col("_seq") <= mid),
-            ch.filter(F.col("_seq") > mid),
+            ch_lo,
+            ch_hi,
         ):
             serving.apply_batch(batch)
         compacted = serving.compact(max_files_per_bucket=1)
@@ -3486,7 +3500,7 @@ def q_stream_dedup_exact(spark, sf):
     import tempfile
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
-    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    docs_lo, docs_hi = _median_split(docs, "doc_id")
 
     work = _stream_scratch("stream_dedup_")
     # dropDuplicates state-store partition count is fixed at the first
@@ -3498,7 +3512,7 @@ def q_stream_dedup_exact(spark, sf):
         src = os.path.join(work, "src")
         out = os.path.join(work, "out")
         ckpt = os.path.join(work, "ckpt")
-        docs.filter(F.col("doc_id") <= mid).coalesce(4).write.mode("append").parquet(src)
+        docs_lo.coalesce(4).write.mode("append").parquet(src)
         schema = spark.read.parquet(src).schema
 
         def run_available():
@@ -3520,7 +3534,7 @@ def q_stream_dedup_exact(spark, sf):
             q.awaitTermination()
 
         run_available()
-        docs.filter(F.col("doc_id") > mid).coalesce(4).write.mode("append").parquet(src)
+        docs_hi.coalesce(4).write.mode("append").parquet(src)
         run_available()
         _keep_until_exit(work, keep=out)
         return spark.read.parquet(out)
@@ -3561,7 +3575,7 @@ def q_stream_neardup_dedup(spark, sf):
     from platypus_ingestion_plugins_spark import fs as _fs
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
-    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    docs_lo, docs_hi = _median_split(docs, "doc_id")
 
     work = _stream_scratch("stream_neardup_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -3571,7 +3585,7 @@ def q_stream_neardup_dedup(spark, sf):
         idx = os.path.join(work, "index")
         surv = os.path.join(work, "survivors")
         ckpt = os.path.join(work, "ckpt")
-        docs.filter(F.col("doc_id") <= mid).coalesce(4).write.mode("append").parquet(src)
+        docs_lo.coalesce(4).write.mode("append").parquet(src)
         schema = spark.read.parquet(src).schema
 
         def handle(batch_df, _bid):
@@ -3613,7 +3627,7 @@ def q_stream_neardup_dedup(spark, sf):
         # (band_index_compact) — wiring it here would add a third of
         # the cost to the suite's most expensive entry for coverage a
         # cheap batch query provides identically
-        docs.filter(F.col("doc_id") > mid).coalesce(4).write.mode("append").parquet(src)
+        docs_hi.coalesce(4).write.mode("append").parquet(src)
         run_available()
         _keep_until_exit(work, keep=surv)
         return spark.read.parquet(surv).distinct()
@@ -3674,8 +3688,11 @@ def q_band_index_compact(spark, sf):
     import shutil
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
-    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
-    keys = dedup.simhash_band_keys(docs, "text", "doc_id", bits=32, bands=4)
+    docs_lo, docs_hi = _median_split(docs, "doc_id")
+    # fingerprint per half: same two UDF evaluations as the old
+    # keys-computed-once-filtered-twice shape, one per append
+    keys_lo = dedup.simhash_band_keys(docs_lo, "text", "doc_id", bits=32, bands=4)
+    keys_hi = dedup.simhash_band_keys(docs_hi, "text", "doc_id", bits=32, bands=4)
 
     work = _stream_scratch("band_idx_")
     idx = os.path.join(work, "index")
@@ -3688,12 +3705,8 @@ def q_band_index_compact(spark, sf):
         # val_buckets=4 (16 dirs): the certification targets the
         # rewrite+swap, not directory count — fewer dirs, fewer tiny
         # files and swap round-trips at sandbox scale
-        dedup.append_band_key_index(
-            keys.filter(F.col("doc_id") <= mid), idx, val_buckets=4
-        )
-        dedup.append_band_key_index(
-            keys.filter(F.col("doc_id") > mid), idx, val_buckets=4
-        )
+        dedup.append_band_key_index(keys_lo, idx, val_buckets=4)
+        dedup.append_band_key_index(keys_hi, idx, val_buckets=4)
         if not dedup.compact_band_key_index(spark, idx, max_files_per_dir=1):
             # a no-op means the query stopped exercising compaction
             raise RuntimeError("band-key index compaction found nothing")
@@ -3730,7 +3743,7 @@ def q_stream_agg_materialize(spark, sf):
 
     ev = _t(spark, sf, "events")
     ch = ev.select("event_id", "user_id", F.col("value"))
-    mid = ch.approxQuantile("event_id", [0.5], 0.0)[0]
+    ch_lo, ch_hi = _median_split(ch, "event_id")
 
     work = _stream_scratch("stream_agg_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -3738,7 +3751,7 @@ def q_stream_agg_materialize(spark, sf):
     try:
         src = os.path.join(work, "src")
         ckpt = os.path.join(work, "ckpt")
-        ch.filter(F.col("event_id") <= mid).coalesce(4).write.mode("append").parquet(src)
+        ch_lo.coalesce(4).write.mode("append").parquet(src)
         schema = spark.read.parquet(src).schema
         serving = ServingTable(
             spark, os.path.join(work, "serving"), key="user_id", num_buckets=8
@@ -3777,7 +3790,7 @@ def q_stream_agg_materialize(spark, sf):
             q.awaitTermination()
 
         run_available()
-        ch.filter(F.col("event_id") > mid).coalesce(4).write.mode("append").parquet(src)
+        ch_hi.coalesce(4).write.mode("append").parquet(src)
         run_available()
         _keep_until_exit(work, keep=os.path.join(work, "serving"))
         return serving.query().select("user_id", "n_events", "sum_value")
@@ -3813,7 +3826,7 @@ def q_stream_sessionize(spark, sf):
     else:
         sec = F.col("ts").cast("timestamp").cast("long")
     e = ev.select(F.col("user_id").cast("string").alias("k"), sec.alias("t"))
-    mid = e.approxQuantile("t", [0.5], 0.0)[0]
+    e_lo, e_hi = _median_split(e, "t")
 
     work = _stream_scratch("stream_sess_")
     # state-store partition count is fixed at the first checkpoint from
@@ -3826,7 +3839,7 @@ def q_stream_sessionize(spark, sf):
         src = os.path.join(work, "src")
         out = os.path.join(work, "out")
         ckpt = os.path.join(work, "ckpt")
-        e.filter(F.col("t") <= mid).coalesce(4).write.mode("append").parquet(src)
+        e_lo.coalesce(4).write.mode("append").parquet(src)
         schema = spark.read.parquet(src).schema
 
         def run_available():
@@ -3853,7 +3866,7 @@ def q_stream_sessionize(spark, sf):
             q.awaitTermination()
 
         run_available()
-        e.filter(F.col("t") > mid).coalesce(4).write.mode("append").parquet(src)
+        e_hi.coalesce(4).write.mode("append").parquet(src)
         run_available()
         _keep_until_exit(work, keep=out)
         return spark.read.parquet(out)
