@@ -2638,11 +2638,20 @@ def q_stream_line_dedup(spark, sf):
                 # batch_id epoch tag: an at-least-once replay of this
                 # batch re-appends identical rows, which the reader
                 # collapses per (line_key, batch_id) — exact counts
+                # auto_compact every 4th epoch: the policy folds any
+                # kb= dir past 4 files before that epoch's rows land
+                # (the in-flight epoch rides tagged —
+                # exclude_batch_id), so index file count plateaus over
+                # unbounded batches; consulting every N batches (not
+                # every batch) keeps the listing amortized
+                # (VERDICT r9 task #5; plateau proven in
+                # test_line_count_auto_compaction_exact_under_replay)
                 dedup.append_line_count_index(
                     dedup.line_count_keys(
                         batch_df, "text", "doc_id", pairs=pairs
                     ),
                     idx, key_buckets=16, batch_id=bid,
+                    auto_compact_max_files=4 if bid % 4 == 3 else None,
                 )
             finally:
                 pairs.unpersist()
@@ -3604,7 +3613,14 @@ def q_stream_neardup_dedup(spark, sf):
                     .write.mode("append")
                     .parquet(surv)
                 )
-                dedup.append_band_key_index(keys, idx, val_buckets=8)
+                # self-maintaining index, consulted every 4th epoch:
+                # dirs fragmented past 4 files are rewritten before
+                # that batch's keys land (plateau proven in
+                # test_band_key_index_auto_compaction_plateau)
+                dedup.append_band_key_index(
+                    keys, idx, val_buckets=8,
+                    auto_compact_max_files=4 if _bid % 4 == 3 else None,
+                )
             finally:
                 keys.unpersist()
 

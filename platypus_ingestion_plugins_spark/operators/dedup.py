@@ -266,6 +266,7 @@ def line_count_index_exists(spark, path: str) -> bool:
 def append_line_count_index(
     counts: DataFrame, path: str, key_buckets: int = 64,
     batch_id: int | str | None = None,
+    auto_compact_max_files: int | None = None,
 ) -> None:
     """Append per-batch line counts to a parquet index PARTITIONED by
     kb = hash(line_key) % key_buckets — the band-key-index layout
@@ -283,7 +284,19 @@ def append_line_count_index(
     it, and readers collapse duplicate (line_key, batch_id) appends
     before summing, making replays exact. Compaction folds epochs
     away, so run it only after a trigger's checkpoint has committed
-    (no earlier epoch can replay)."""
+    (no earlier epoch can replay).
+
+    ``auto_compact_max_files`` (VERDICT r9 task #5): when any kb=
+    directory is fragmented past the threshold, the index is
+    re-aggregated via ``compact_line_count_index`` BEFORE this batch's
+    rows land — at that point every epoch except the one being
+    appended has committed and can never replay. The in-flight epoch
+    CAN replay (foreachBatch is at-least-once), so its rows — present
+    on disk only if this very call is a replay of a crashed attempt —
+    are carried through the rewrite still epoch-tagged
+    (``exclude_batch_id``): folding them into the untagged aggregate
+    would make the re-append double-count. The fragmentation check is
+    a listing bounded by ``key_buckets``, not corpus size."""
     from .. import fs as _fs
 
     spark = counts.sparkSession
@@ -297,6 +310,11 @@ def append_line_count_index(
         )
     if pinned is None:
         _fs.write_text_atomic(spark, marker, str(key_buckets))
+    if auto_compact_max_files is not None and _fs.exists(spark, path):
+        compact_line_count_index(
+            spark, path, max_files_per_bucket=auto_compact_max_files,
+            exclude_batch_id=None if batch_id is None else str(batch_id),
+        )
     out = counts.withColumn(
         "batch_id",
         F.lit("__unbatched" if batch_id is None else str(batch_id)),
@@ -325,7 +343,8 @@ def _heal_line_count_index(spark, path: str) -> None:
 
 
 def compact_line_count_index(
-    spark, path: str, max_files_per_bucket: int = 4
+    spark, path: str, max_files_per_bucket: int = 4,
+    exclude_batch_id: str | None = None,
 ) -> bool:
     """Re-aggregate a fragmented line-count index (every append adds
     one file per touched kb= directory) down to one summed file per
@@ -337,7 +356,15 @@ def compact_line_count_index(
     the old copy. A crash between the renames leaves the aside copy as
     the only index; the next compact or pruned read heals by restoring
     it (``_heal_line_count_index``). Returns True when a rewrite
-    happened."""
+    happened.
+
+    ``exclude_batch_id``: rows tagged with that epoch pass through the
+    rewrite UN-folded (still tagged). Required when compacting while
+    that epoch is in flight (the auto-compact path in
+    ``append_line_count_index``): folding a not-yet-committed epoch
+    into the untagged aggregate would defeat the reader's
+    (line_key, batch_id) replay collapse and double-count on
+    replay."""
     from .. import fs as _fs
 
     _heal_line_count_index(spark, path)
@@ -360,7 +387,14 @@ def compact_line_count_index(
     staging = path + "__staging"
     old = path + "__old"
     src = spark.read.parquet(path)
+    in_flight = None
     if "batch_id" in src.columns:
+        if exclude_batch_id is not None:
+            # the in-flight epoch rides along tagged and un-summed; a
+            # crashed first attempt's duplicate rows still collapse at
+            # read time on (line_key, batch_id)
+            in_flight = src.filter(F.col("batch_id") == exclude_batch_id)
+            src = src.filter(F.col("batch_id") != exclude_batch_id)
         # same epoch collapse as the pruned read, so a replayed append
         # present twice on disk folds to one before the sums
         src = (
@@ -368,11 +402,17 @@ def compact_line_count_index(
             .dropDuplicates(["line_key", "batch_id"])
             .unionByName(src.filter(F.col("batch_id") == "__unbatched"))
         )
-    (
+    folded = (
         src.groupBy("kb", "line_key")
         .agg(F.sum("n").alias("n"))
         .withColumn("batch_id", F.lit("__unbatched"))
-        .repartition("kb")
+    )
+    if in_flight is not None:
+        folded = folded.unionByName(
+            in_flight.select("kb", "line_key", "n", "batch_id")
+        )
+    (
+        folded.repartition("kb")
         .write.mode("overwrite")
         .partitionBy("kb")
         .parquet(staging)
@@ -1408,7 +1448,8 @@ def neardup_survivors_incremental(
 
 
 def append_band_key_index(
-    keys: DataFrame, path: str, val_buckets: int = 64
+    keys: DataFrame, path: str, val_buckets: int = 64,
+    auto_compact_max_files: int | None = None,
 ) -> None:
     """Append SimHash band keys to a parquet index PARTITIONED by
     (band, vb=val%val_buckets) — the layout that lets each micro-batch
@@ -1431,7 +1472,20 @@ def append_band_key_index(
     different ``val_buckets`` would proceed silently into exactly the
     mixed-scheme corruption the sidecar exists to prevent. The pin is
     also re-asserted on every append when absent, healing indexes
-    created inside that window by older writers."""
+    created inside that window by older writers.
+
+    ``auto_compact_max_files`` turns on the self-maintaining policy
+    (VERDICT r9 task #5): before this batch's rows land, any (band,
+    vb) directory fragmented past the threshold is rewritten via
+    ``compact_band_key_index``, so file count per directory plateaus
+    at threshold+1 across unbounded batches instead of growing one
+    file per batch. The check is a directory listing bounded by
+    bands x val_buckets (fixed layout, not corpus size); the rewrite
+    only runs when fragmented. Safe mid-stream: band keys are
+    set-semantics idempotent, and a crash mid-swap heals on the next
+    append/compact. Callers that own a wider maintenance window (e.g.
+    between drains) can keep this off and call the compactor
+    directly."""
     from .. import fs as _fs
 
     spark = keys.sparkSession
@@ -1444,6 +1498,10 @@ def append_band_key_index(
         )
     if pinned is None:
         _fs.write_text_atomic(spark, marker, str(val_buckets))
+    if auto_compact_max_files is not None and _fs.exists(spark, path):
+        compact_band_key_index(
+            spark, path, max_files_per_dir=auto_compact_max_files
+        )
     (
         keys.withColumn("vb", F.pmod(F.col("val"), F.lit(val_buckets)))
         .repartition("band", "vb")

@@ -2425,3 +2425,120 @@ def test_pick_survivors_policies(spark):
     # and LAST under asc (Spark sorts NaN greatest)
     f_r2 = dedup.pick_survivors(fd, og, order_col="q", ascending=True).collect()
     assert [r.doc_id for r in f_r2] == [1]
+
+
+def _leaf_file_counts(root, depth2=False):
+    """{partition dir: parquet-file count} for one- or two-level
+    partitioned indexes (cent_id=/kb= vs band=/vb=)."""
+    import os
+
+    out = {}
+    for a in os.listdir(root):
+        if "=" not in a or a.startswith("."):
+            continue
+        if depth2:
+            for b in os.listdir(f"{root}/{a}"):
+                if "=" not in b or b.startswith("."):
+                    continue
+                out[f"{a}/{b}"] = sum(
+                    f.endswith(".parquet") for f in os.listdir(f"{root}/{a}/{b}")
+                )
+        else:
+            out[a] = sum(
+                f.endswith(".parquet") for f in os.listdir(f"{root}/{a}")
+            )
+    return out
+
+
+def test_band_key_index_auto_compaction_plateau(spark, tmp_path):
+    """Auto-compaction policy (VERDICT r9 task #5): with
+    auto_compact_max_files set, per-directory file count PLATEAUS at
+    threshold+1 across 12 appends instead of growing one file per
+    batch, and the read-back key SET is exactly the appended corpus
+    (compaction is semantically invisible)."""
+    idx = str(tmp_path / "band_idx")
+    expect = set()
+    peak = 0
+    for b in range(12):
+        rows = [Row(doc_id=b * 10 + i, simhash=(b * 10 + i) * 7,
+                    band=i % 2, val=(b * 10 + i) % 5)
+                for i in range(4)]
+        expect |= {(r.doc_id, r.simhash, r.band, r.val) for r in rows}
+        dedup.append_band_key_index(
+            spark.createDataFrame(rows), idx, val_buckets=4,
+            auto_compact_max_files=2,
+        )
+        peak = max(peak, max(_leaf_file_counts(idx, depth2=True).values()))
+    # compact-before-append at threshold 2: a dir can hold at most 2
+    # pre-existing files plus this batch's one
+    assert peak <= 3, peak
+    got = {(r.doc_id, r.simhash, r.band, r.val)
+           for r in spark.read.parquet(idx).select("doc_id", "simhash", "band", "val").collect()}
+    assert got == expect
+    # without the policy the same 12 appends would have fragmented to
+    # ~12 files in a hot dir — prove the counterfactual on a sibling
+    idx2 = str(tmp_path / "band_idx_nopolicy")
+    for b in range(12):
+        rows = [Row(doc_id=b * 10 + i, simhash=1, band=0, val=0) for i in range(2)]
+        dedup.append_band_key_index(spark.createDataFrame(rows), idx2, val_buckets=4)
+    assert max(_leaf_file_counts(idx2, depth2=True).values()) == 12
+
+
+def test_ivf_auto_compaction_plateau(spark, tmp_path):
+    """IVF twin of the band-key plateau: 12 ingest batches against
+    pinned centroids with auto_compact_max_files=2 keep every
+    cent_id= list at <= 3 files, assignments intact."""
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 4 == 0), float(i % 4 == 1),
+                                  float(i % 4 == 2), float(i % 4 == 3)])
+         for i in range(96)]
+    )
+    cents = emb.orderBy("vec_id").limit(4)
+    idx = str(tmp_path / "ivf")
+    peak = 0
+    for b in range(12):
+        similarity.append_ivf_partitioned(
+            emb.filter((F.col("vec_id") >= b * 8) & (F.col("vec_id") < (b + 1) * 8)),
+            cents, idx, auto_compact_max_files=2,
+        )
+        peak = max(peak, max(_leaf_file_counts(idx).values()))
+    assert peak <= 3, peak
+    got = {(r.vec_id, r.cent_id) for r in spark.read.parquet(idx).collect()}
+    assert len(got) == 96 and {v for v, _ in got} == set(range(96))
+
+
+def test_line_count_auto_compaction_exact_under_replay(spark, tmp_path):
+    """Line-count auto-compaction must stay EXACT under at-least-once
+    replay: auto_compact_max_files=0 forces a fold before every
+    append, a replayed epoch (same batch_id appended twice, fold in
+    between) is carried through the rewrite still tagged
+    (exclude_batch_id) so the reader's (line_key, batch_id) collapse
+    counts it once. 12 epochs + 1 replay -> totals of exactly 12."""
+    import hashlib
+
+    idx = str(tmp_path / "lines")
+    mk = lambda b: spark.createDataFrame(
+        [Row(doc_id=b * 10 + i, text=f"unique {b * 10 + i}\nShared footer")
+         for i in range(3)]
+    )
+    peak = 0
+    for b in range(12):
+        counts = dedup.line_count_keys(mk(b), "text", "doc_id")
+        dedup.append_line_count_index(
+            counts, idx, key_buckets=4, batch_id=b, auto_compact_max_files=0,
+        )
+        if b == 5:  # crashed-then-replayed epoch: same batch_id again
+            dedup.append_line_count_index(
+                counts, idx, key_buckets=4, batch_id=b,
+                auto_compact_max_files=0,
+            )
+        peak = max(peak, max(_leaf_file_counts(idx).values()))
+    # fold-every-append keeps each kb dir near one file; the replayed
+    # epoch rides tagged beside the fold, so <= 3 at the peak
+    assert peak <= 3, peak
+    probe = dedup.line_count_keys(mk(0), "text", "doc_id")
+    fk = hashlib.sha256(b"shared footer").hexdigest()
+    totals = {r.line_key: r.n
+              for r in dedup.read_line_counts_pruned(spark, idx, probe).collect()}
+    # 12 epochs x 3 docs sharing the footer; the replay must NOT make it 39
+    assert totals[fk] == 36, totals[fk]
