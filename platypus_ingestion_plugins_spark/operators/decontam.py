@@ -47,7 +47,11 @@ def contaminated_docs(
     ``n`` is the precision lever: real decontamination runs use 8-13
     token grams (a 13-gram collision is essentially never chance);
     lower n only for short-document or high-paraphrase corpora.
-    Output: (id, n_contaminated), contaminated docs only."""
+    Output: (id, n_contaminated), contaminated docs only.
+
+    Inherits ``shingles``' precondition: ``id_col`` unique per row in
+    ``train`` — duplicate ids double their rows' contaminated-gram
+    counts (and the flags consumers derive from them)."""
     bg = F.broadcast(benchmark_grams(bench, text_col, id_col, n))
     tg = shingles(train, text_col, id_col, n)  # distinct per doc already
     return (

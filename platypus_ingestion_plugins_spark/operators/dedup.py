@@ -549,9 +549,25 @@ def cap_shingle_df(sh: DataFrame, max_df: int | None, key_col: str = "shingle") 
     return sh.join(F.broadcast(hot), key_col, "left_anti")
 
 
+
+def _maybe_single_eval(df: DataFrame, enabled: bool) -> DataFrame:
+    """Lazy localCheckpoint when ``enabled`` — the single-evaluation
+    pattern for frames referenced by several subplans (AQE's runtime
+    broadcast conversion defeats exchange reuse, so without it the
+    expensive map stage runs once per reference). TRADE-OFF
+    (ADVICE r9): checkpointed blocks have NO lineage — losing an
+    executor mid-job fails the job instead of recomputing, and the
+    frame occupies (spillable) executor storage until released. On a
+    fault-prone or memory-tight cluster pass ``single_eval=False`` to
+    choose recomputation, or reliable-checkpoint the input yourself
+    (``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``)
+    before calling."""
+    return df.localCheckpoint(eager=False) if enabled else df
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = None, single_eval: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by true n-gram Jaccard similarity.
 
@@ -586,16 +602,15 @@ def ngram_jaccard_pairs(
             df.select(F.col(id_col), _gram_array(text_col, n).alias("__sh_arr"))
             .withColumn("n_sh", F.size("__sh_arr"))
             .select(F.col(id_col), F.explode("__sh_arr").alias("shingle"), "n_sh")
-            # lazy localCheckpoint (same single-evaluation fix as
-            # winnow_overlap_pairs): the self-join references the frame
-            # twice and AQE's runtime broadcast conversion defeats
-            # exchange reuse, so without this the tokenize+gram map
-            # stage — the CPU-heavy part — runs once PER SIDE. Blocks
-            # are MEMORY_AND_DISK (spillable); at corpus scale prefer
-            # the max_shingle_df path, whose hot-key cap bounds the
-            # join anyway and which skips this materialization.
-            .localCheckpoint(eager=False)
         )
+        # single-evaluation fix (see _maybe_single_eval for the
+        # fault-tolerance trade): the self-join references the frame
+        # twice and AQE's runtime broadcast conversion defeats
+        # exchange reuse, so without this the tokenize+gram map
+        # stage — the CPU-heavy part — runs once PER SIDE. At corpus
+        # scale prefer the max_shingle_df path, whose hot-key cap
+        # bounds the join anyway and skips this materialization.
+        sized = _maybe_single_eval(sized, single_eval)
     else:
         from pyspark.sql import Window
 
@@ -650,6 +665,10 @@ def jaccard_join(
     boilerplate phrase hot in either corpus is capped). At 100 TB this
     is one shuffle join on the shingle plus one on the pair — never
     |L| x |R|. Output: (id_l, id_r, jaccard).
+
+    Inherits ``shingles``' precondition: ``id_col`` unique per row on
+    BOTH sides — duplicate ids inflate the per-document set sizes the
+    Jaccard denominators are computed from.
     """
     sh_l = shingles(left, text_col, id_col, n)
     sh_r = shingles(right, text_col, id_col, n)
@@ -974,6 +993,7 @@ def minhash_lsh_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    single_eval: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> band buckets ->
     candidate pairs -> verify with true Jaccard >= threshold.
@@ -997,10 +1017,13 @@ def minhash_lsh_dedup_pairs(
     and both verification sides reference it — four evaluations of the
     tokenize+gram map stage without the checkpoint, one with it.
     Blocks are spillable and freed when the caller releases the frame
-    (bounded lifetime, leak-tested)."""
-    sh = cap_shingle_df(
-        shingles(df, text_col, id_col, n), max_shingle_df
-    ).localCheckpoint(eager=False)
+    (bounded lifetime, leak-tested); ``single_eval=False`` chooses
+    recomputation instead (see _maybe_single_eval for the
+    executor-loss trade)."""
+    sh = _maybe_single_eval(
+        cap_shingle_df(shingles(df, text_col, id_col, n), max_shingle_df),
+        single_eval,
+    )
     sig = minhash_from_shingles(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sig, id_col, bands)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -1135,7 +1158,12 @@ def connected_components_star(
     are computed with a driver-side min-root union-find instead:
     byte-identical output, zero shuffle rounds. Above the threshold —
     the genuine 100 TB regime — the distributed star loop runs
-    unchanged. ``local_threshold=0`` forces the distributed path (the
+    unchanged. NOTE the driver-memory implication of the default: up
+    to ``local_threshold`` edge rows (plus the component member set)
+    are collected and held on the driver — ~MB at the 100k default,
+    but a caller running on a memory-tight driver, or one that must
+    guarantee a fully-distributed plan, should pass
+    ``local_threshold=0``, which forces the distributed path (the
     round-bound test pins the star algorithm that way).
 
     ``stats`` (optional dict) gets ``{"rounds": k}`` plus

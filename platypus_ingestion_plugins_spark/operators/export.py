@@ -255,20 +255,33 @@ def export_tar_shards(
     correctness trap) and returns the manifest rows
     (shard, path, n_samples, n_bytes, sha256), one per shard.
 
-    Output-dir hygiene (overwrite semantics, stage-then-swap): tasks
-    stream their tars into ``out_path/.tar_staging``; only after the
-    job succeeds does the driver move them to their final names,
-    delete any leftover ``shard-*.tar`` from a previous wider/failed
-    run, and drop the staging dir. This gives the sibling exporters'
+    Output-dir hygiene (overwrite semantics, stage-then-swap,
+    ADVICE r9): tasks stream their tars into a GENERATION-SUFFIXED
+    staging dir ``out_path/.tar_staging-<uuid>`` — two exports racing
+    on the same out_path can no longer delete each other's staging
+    mid-write (the old fixed ``.tar_staging`` name made the second
+    run clobber the first's as "stale"). Only after the job succeeds
+    does the driver swap: drop the previous generation's
+    ``_manifest.json`` commit marker, move the staged tars to their
+    final names, delete any leftover ``shard-*.tar`` from a previous
+    wider/failed run plus ALL leftover staging dirs (crashed runs'
+    orphans — the swap phase already assumes it is the only exporter
+    touching out_path), then write a fresh ``_manifest.json`` listing
+    every shard with its sha256. The marker is the COMMIT record: it
+    exists only when a swap ran to completion, so a reader finding it
+    absent (or naming a missing tar) knows the directory is an
+    un-swapped or crash-interrupted state — ``read_tar_shards``
+    enforces exactly that. This gives the sibling exporters'
     ``mode("overwrite")`` behavior WITHOUT deleting the destination up
     front — so an in-place reshard
     (``export_tar_shards(read_tar_shards(spark, p, ...), p, ...)``)
     reads the old generation intact while writing the new one (a
     pre-job delete would destroy the lazily-read source). A crash
-    during the final swap can mix generations in the directory; rerun
-    the export to converge. Run with ``spark.speculation=false`` (the
-    repo session default) — a speculative duplicate attempt would race
-    the original on the same staged tar path.
+    during the final swap can mix generations in the directory; the
+    missing marker flags it, and rerunning the export converges. Run
+    with ``spark.speculation=false`` (the repo session default) — a
+    speculative duplicate attempt would race the original on the same
+    staged tar path.
     """
     exts = dict(content_cols)
     str_cols = {
@@ -280,10 +293,11 @@ def export_tar_shards(
     _info = _drv_fs.get_file_info(_drv_inner)
     if _info.type == _pafs.FileType.File:
         raise ValueError(f"out_path is a regular file, not a directory: {out_path}")
-    staging_name = ".tar_staging"
+    import uuid as _uuid
+
+    generation = _uuid.uuid4().hex[:12]
+    staging_name = f".tar_staging-{generation}"
     _staging = f"{_drv_inner}/{staging_name}"
-    if _drv_fs.get_file_info(_staging).type != _pafs.FileType.NotFound:
-        _drv_fs.delete_dir(_staging)  # stale staging from a crashed run
     _drv_fs.create_dir(_staging, recursive=True)
     assigned = (
         shuffle_assign(df, key, n_shards, salt)
@@ -305,7 +319,7 @@ def export_tar_shards(
         import pandas as pd
 
         fs, inner = _tar_fs(out_path)
-        fs.create_dir(f"{inner}/.tar_staging", recursive=True)
+        fs.create_dir(f"{inner}/{staging_name}", recursive=True)
 
         state: dict = {}  # open shard -> (tee, tar, counters)
 
@@ -356,7 +370,7 @@ def export_tar_shards(
                         manifest.append(done)
                     tee = _Tee(
                         fs.open_output_stream(
-                            f"{inner}/.tar_staging/shard-{shard:05d}.tar"
+                            f"{inner}/{staging_name}/shard-{shard:05d}.tar"
                         )
                     )
                     state.update(
@@ -390,8 +404,13 @@ def export_tar_shards(
 
     # eager: one action executes every write exactly once
     manifest = assigned.mapInPandas(write_shards, out_schema).collect()
-    # swap: staged tars to final names, then clear the previous
-    # generation's leftovers (wider reshards, failed runs) and staging
+    # swap: retract the old generation's commit marker FIRST (a crash
+    # from here on leaves a marker-less, visibly-uncommitted dir),
+    # move staged tars to final names, clear the previous generation's
+    # leftovers (wider reshards, failed runs) and every staging orphan
+    marker = f"{_drv_inner}/_manifest.json"
+    if _drv_fs.get_file_info(marker).type != _pafs.FileType.NotFound:
+        _drv_fs.delete_file(marker)
     new_names = set()
     for m in manifest:
         name = f"shard-{m.shard:05d}.tar"
@@ -404,14 +423,33 @@ def export_tar_shards(
         _pafs.FileSelector(_drv_inner, recursive=False)
     ):
         base = info.path.rsplit("/", 1)[-1]
-        if (
-            info.is_file
-            and base.startswith("shard-")
-            and base.endswith(".tar")
-            and base not in new_names
-        ):
+        if info.is_file and base.startswith("shard-") and base.endswith(
+            ".tar"
+        ) and base not in new_names:
             _drv_fs.delete_file(info.path)
-    _drv_fs.delete_dir(_staging)
+        elif not info.is_file and base.startswith(".tar_staging"):
+            # this run's staging plus any crashed run's orphan; the
+            # swap phase is single-exporter by contract
+            _drv_fs.delete_dir(info.path)
+    # commit: the marker exists IFF the swap completed; staged through
+    # a temp name so readers never see a partial marker
+    import json as _json
+
+    marker_tmp = f"{_drv_inner}/.manifest-{generation}.tmp"
+    with _drv_fs.open_output_stream(marker_tmp) as out:
+        out.write(_json.dumps({
+            "generation": generation,
+            "n_shards": len(manifest),
+            "shards": [
+                {"shard": int(m.shard),
+                 "name": f"shard-{m.shard:05d}.tar",
+                 "n_samples": int(m.n_samples),
+                 "n_bytes": int(m.n_bytes),
+                 "sha256": m.sha256}
+                for m in manifest
+            ],
+        }).encode("utf-8"))
+    _drv_fs.move(marker_tmp, marker)
     return manifest
 
 
@@ -428,12 +466,38 @@ def read_tar_shards(
     seeks, no whole-file buffering, object-store friendly). Entries
     sharing a basename stem form one sample; ``content_cols`` maps
     extension -> output column (decoded utf-8 unless the column is in
-    ``binary_cols``). Listing is driver-side metadata only."""
+    ``binary_cols``). Listing is driver-side metadata only.
+
+    When the directory carries an ``export_tar_shards`` commit marker
+    (``_manifest.json``), the marker IS the shard list: a tar it names
+    that is missing raises (a crash-interrupted swap — rerun the
+    export to converge), and tars it does not name (a previous wider
+    generation's leftovers) are ignored instead of silently mixed in.
+    Marker-less directories (hand-assembled shard sets, pre-marker
+    exports) fall back to listing every ``*.tar``."""
+    import json as _json
+
     import pyarrow.fs as pafs
 
     fs, inner = _tar_fs(path)
-    infos = fs.get_file_info(pafs.FileSelector(inner, recursive=False))
-    tars = sorted(i.path for i in infos if i.is_file and i.path.endswith(".tar"))
+    marker_info = fs.get_file_info(f"{inner}/_manifest.json")
+    if marker_info.type == pafs.FileType.File:
+        with fs.open_input_stream(f"{inner}/_manifest.json") as fh:
+            committed = _json.loads(fh.read().decode("utf-8"))
+        tars = []
+        for entry in sorted(committed["shards"], key=lambda e: e["shard"]):
+            tar_path = f"{inner}/{entry['name']}"
+            if fs.get_file_info(tar_path).type != pafs.FileType.File:
+                raise FileNotFoundError(
+                    f"commit marker names {entry['name']} but it is missing "
+                    f"from {path} — interrupted swap; rerun the export"
+                )
+            tars.append(tar_path)
+    else:
+        infos = fs.get_file_info(pafs.FileSelector(inner, recursive=False))
+        tars = sorted(
+            i.path for i in infos if i.is_file and i.path.endswith(".tar")
+        )
     cols = dict(content_cols)
     fields = ", ".join(
         [f"{key_name} string"]

@@ -39,12 +39,25 @@ def clean_corpus(
     shingle_n: int = 3,
     decontam_n: int = 13,
     max_shingle_df: int | None = None,
+    single_eval: bool = True,
 ) -> DataFrame:
     """The hygiene chain: returns the cleaned corpus (original columns,
     ``text_col`` NFC-normalized) plus a ``kept_reason``-free contract —
     every surviving row passed normalization, exact dedup (min-id
     survivor), near-dup dedup (min-id survivor per LSH group), the
     quality floor, and (when ``benchmark`` is given) decontamination.
+
+    ``single_eval`` (default on) materializes the normalized and
+    exact-deduped frames with lazy localCheckpoints so the Arrow
+    unicodedata UDF — the chain's priciest map stage — runs once per
+    frame instead of once per downstream reference. The trade
+    (ADVICE r9): checkpointed blocks have no lineage, so an executor
+    lost mid-job fails the job instead of recomputing, and the
+    normalized corpus occupies (spillable) executor storage for the
+    call's duration. On a fault-prone or storage-tight cluster pass
+    ``single_eval=False`` to choose recomputation (the flag also
+    propagates to the LSH stage's shingle frame), or reliable-
+    checkpoint ``docs`` yourself before calling.
     """
     from platypus_ingestion_plugins_spark.functions.text import (
         normalize_unicode,
@@ -57,9 +70,9 @@ def clean_corpus(
     # its semi-join back, and the whole near-dup subchain — without
     # the checkpoint the Arrow unicodedata UDF (the chain's priciest
     # map stage) re-runs once per reference
-    normed = docs.withColumn(
-        text_col, normalize_unicode(text_col)
-    ).localCheckpoint(eager=False)
+    normed = dedup._maybe_single_eval(
+        docs.withColumn(text_col, normalize_unicode(text_col)), single_eval
+    )
 
     # exact: keep each content group's min-id row
     survivors = (
@@ -69,8 +82,8 @@ def clean_corpus(
     )
     # same single-eval rationale: the exact-deduped frame feeds the
     # LSH pair generation, the CC node set, and the survivor semi-join
-    deduped = normed.join(survivors, id_col, "left_semi").localCheckpoint(
-        eager=False
+    deduped = dedup._maybe_single_eval(
+        normed.join(survivors, id_col, "left_semi"), single_eval
     )
 
     # near-dup: LSH pairs -> components -> keep group minimum
@@ -79,6 +92,7 @@ def clean_corpus(
     pairs = dedup.minhash_lsh_dedup_pairs(
         deduped, text_col, id_col, n=shingle_n,
         threshold=near_dup_threshold, max_shingle_df=max_shingle_df,
+        single_eval=single_eval,
     )
     groups = dedup.connected_components_star(
         pairs, nodes=deduped.select(id_col), id_col=id_col

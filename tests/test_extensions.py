@@ -2542,3 +2542,87 @@ def test_line_count_auto_compaction_exact_under_replay(spark, tmp_path):
               for r in dedup.read_line_counts_pruned(spark, idx, probe).collect()}
     # 12 epochs x 3 docs sharing the footer; the replay must NOT make it 39
     assert totals[fk] == 36, totals[fk]
+
+
+def test_single_eval_flag_equivalence(spark):
+    """single_eval=False (ADVICE r9: lineage-free localCheckpoint vs
+    executor-loss recompute) must be a pure execution-strategy choice:
+    identical results from ngram_jaccard_pairs, minhash_lsh_dedup_pairs
+    and the composed clean_corpus with the checkpoint off."""
+    from platypus_ingestion_plugins_spark.pipelines import clean_corpus
+
+    d = spark.createDataFrame(
+        [Row(doc_id=i,
+             text=("the quick brown fox jumps over the lazy dog " * 3
+                   + (f"tail {i % 4}" if i % 3 else "")))
+         for i in range(24)]
+    )
+    for fn in (dedup.ngram_jaccard_pairs, dedup.minhash_lsh_dedup_pairs):
+        on = {tuple(r) for r in fn(d, "text", "doc_id", threshold=0.5).collect()}
+        off = {tuple(r) for r in fn(
+            d, "text", "doc_id", threshold=0.5, single_eval=False
+        ).collect()}
+        assert on == off and on, fn.__name__
+    bench = d.filter("doc_id % 7 = 0").select("doc_id", "text")
+    on = {r.doc_id for r in clean_corpus(
+        d, benchmark=bench, min_quality=0.0, near_dup_threshold=0.3
+    ).collect()}
+    off = {r.doc_id for r in clean_corpus(
+        d, benchmark=bench, min_quality=0.0, near_dup_threshold=0.3,
+        single_eval=False,
+    ).collect()}
+    assert on == off
+
+
+def test_tar_export_commit_marker_and_staging_generations(spark, tmp_path):
+    """ADVICE r9: generation-suffixed staging + _manifest.json commit
+    marker. The marker certifies a completed swap (reader uses it as
+    the shard list, ignores foreign leftovers, raises on a tar the
+    marker names but the dir lacks); a crashed run's orphan staging
+    dir neither breaks nor is mistaken for the live run's, and is
+    swept by the next successful export."""
+    import json
+    import os
+
+    from platypus_ingestion_plugins_spark.operators.export import (
+        export_tar_shards,
+        read_tar_shards,
+    )
+
+    rows = [Row(doc_id=i, text=f"doc {i}") for i in range(20)]
+    df = spark.createDataFrame(rows)
+    out = str(tmp_path / "wds")
+    # a crashed previous run left an orphan staging dir with a partial tar
+    os.makedirs(f"{out}/.tar_staging-deadbeef0000")
+    with open(f"{out}/.tar_staging-deadbeef0000/shard-00000.tar", "wb") as f:
+        f.write(b"partial garbage")
+
+    manifest = export_tar_shards(df, out, "doc_id", {"text": "txt"}, n_shards=2)
+    # marker written, orphan staging swept, no staging dirs remain
+    assert os.path.exists(f"{out}/_manifest.json")
+    assert not [n for n in os.listdir(out) if n.startswith(".tar_staging")]
+    committed = json.load(open(f"{out}/_manifest.json"))
+    assert committed["n_shards"] == 2
+    assert {e["sha256"] for e in committed["shards"]} == {m.sha256 for m in manifest}
+
+    # a leftover tar the marker does not name is IGNORED by the reader
+    with open(f"{out}/shard-00099.tar", "wb") as f:
+        f.write(b"stale generation noise")
+    back = read_tar_shards(spark, out, {"txt": "text"}, key_name="k")
+    assert {int(r.k) for r in back.collect()} == {r.doc_id for r in rows}
+    os.remove(f"{out}/shard-00099.tar")
+
+    # a tar the marker names but the dir lacks -> interrupted swap
+    os.remove(f"{out}/shard-00001.tar")
+    with pytest.raises(FileNotFoundError, match="interrupted swap"):
+        read_tar_shards(spark, out, {"txt": "text"})
+
+    # rerunning the export converges: marker + tars consistent again
+    export_tar_shards(df, out, "doc_id", {"text": "txt"}, n_shards=2)
+    back2 = read_tar_shards(spark, out, {"txt": "text"}, key_name="k")
+    assert {int(r.k) for r in back2.collect()} == {r.doc_id for r in rows}
+
+    # marker-less dir (hand-assembled / pre-marker export): listing path
+    os.remove(f"{out}/_manifest.json")
+    back3 = read_tar_shards(spark, out, {"txt": "text"}, key_name="k")
+    assert {int(r.k) for r in back3.collect()} == {r.doc_id for r in rows}
