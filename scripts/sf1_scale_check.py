@@ -1,0 +1,123 @@
+"""One-order-of-magnitude scale spot-check (VERDICT r9 task #4).
+
+Builds a 10x replica of the sf0.1 documents/embeddings tables in a
+scratch dir, runs the dedup/ANN flagship cohort (dedup_groups,
+stream_neardup_dedup, knn_join, line_dedup, pipeline_clean_corpus)
+once at each scale, and records seconds + the sf1/sf0.1 scaling
+factor into bench_summary.json under "sf1_scale_check". Anything
+scaling materially worse than linear gets a named cause in SURVEY §6.
+
+Replica construction keeps the data's dedup characteristics instead
+of creating a degenerate 10x-exact-duplicate corpus: every word in
+replica k is prefixed with ``r{k}`` (one regexp, codegen), so
+in-replica shingle/near-dup relationships are preserved exactly while
+cross-replica Jaccard is 0 — each replica is an independent corpus of
+the same shape, which is what "10x more data" means for a dedup
+workload. Embeddings get a tiny deterministic per-replica rotation of
+the first component for the same reason.
+
+Run UNCONTENDED (no concurrent pytest/oracle runs): timings feed the
+scaling-factor record.
+
+Usage: python scripts/sf1_scale_check.py [--skip-gen]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.environ.get("SF1_DIR", "/tmp/sf1")
+COHORT = [
+    "dedup_groups",
+    "stream_neardup_dedup",
+    "knn_join",
+    "line_dedup",
+    "pipeline_clean_corpus",
+]
+
+
+def build_sf1(spark):
+    from pyspark.sql import functions as F
+
+    os.makedirs(SF1, exist_ok=True)
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    n_docs = docs.count()
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    n_emb = emb.count()
+    for k in range(10):
+        (
+            docs.select(
+                (F.col("doc_id") + F.lit(k * n_docs)).alias("doc_id"),
+                F.regexp_replace("text", r"(\w+)", f"r{k}$1").alias("text")
+                if k
+                else F.col("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            .write.mode("append")
+            .parquet(f"{SF1}/documents.parquet")
+        )
+        (
+            emb.select(
+                (F.col("vec_id") + F.lit(k * n_emb)).alias("vec_id"),
+                F.concat(
+                    F.array((F.col("embedding")[0] + F.lit(k * 1e-3)).cast("float")),
+                    F.slice("embedding", 2, 10_000),
+                ).alias("embedding"),
+                "label",
+            )
+            .write.mode("append")
+            .parquet(f"{SF1}/embeddings.parquet")
+        )
+    print(
+        f"built {SF1}: documents={spark.read.parquet(f'{SF1}/documents.parquet').count()}, "
+        f"embeddings={spark.read.parquet(f'{SF1}/embeddings.parquet').count()}",
+        flush=True,
+    )
+
+
+def main():
+    from platypus_ingestion_plugins_spark.session import get_spark
+
+    import importlib
+
+    entry = importlib.import_module("__spark_entry__")
+    qs = entry.queries()
+    spark = get_spark(app_name="sf1-scale-check")
+    if "--skip-gen" not in sys.argv and not os.path.exists(
+        f"{SF1}/documents.parquet"
+    ):
+        build_sf1(spark)
+
+    results = {}
+    for sf_name, sf_dir in [("sf0.1", SF01), ("sf1", SF1)]:
+        for q in COHORT:
+            t0 = time.monotonic()
+            n = qs[q](spark, sf_dir).count()
+            dt = round(time.monotonic() - t0, 2)
+            results.setdefault(q, {})[sf_name] = {"sec": dt, "rows": n}
+            print(f"{sf_name} {q}: {dt}s ({n} rows)", flush=True)
+
+    for q, r in results.items():
+        r["scaling_factor_10x"] = round(r["sf1"]["sec"] / max(r["sf0.1"]["sec"], 1e-9), 2)
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "bench_summary.json")
+    summary = json.load(open(path)) if os.path.exists(path) else {}
+    summary["sf1_scale_check"] = {
+        "note": "10x replica of sf0.1 (word-prefix salted per replica; "
+                "see scripts/sf1_scale_check.py), one uncontended pass per "
+                "scale; scaling_factor_10x = sec(sf1)/sec(sf0.1), linear == 10",
+        "results": results,
+    }
+    json.dump(summary, open(path, "w"), indent=1)
+    print(json.dumps({q: r["scaling_factor_10x"] for q, r in results.items()}))
+
+
+if __name__ == "__main__":
+    main()
