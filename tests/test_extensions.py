@@ -73,7 +73,10 @@ def test_dedup_family_leaves_no_leaked_storage(spark, docs):
     for f in frames:
         f.count()
     frames.clear()
-    deadline = time.time() + 30
+    # 90 s: the ContextCleaner polls weak refs lazily and falls far
+    # behind when the whole suite is loading all 32 cores — the 30 s
+    # form flaked exactly once that way (r10 full-suite run)
+    deadline = time.time() + 90
     while time.time() < deadline:
         gc.collect()  # drop py4j refs so the JVM weak refs can enqueue
         spark._jvm.System.gc()  # ContextCleaner only polls enqueued refs
