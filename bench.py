@@ -123,10 +123,21 @@ def main() -> None:
     # carries only {"metric","value","unit","sf"} (~80 bytes) so it can
     # never outgrow the capture window regardless of query count.
     full_line = json.dumps(summary, separators=(",", ":"))
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_summary.json")
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_summary.json"), "w") as f:
-            f.write(full_line + "\n")
+        # the sidecar also carries records other harnesses leave there
+        # (scripts/sf1_scale_check.py) — merge, don't wipe
+        try:
+            with open(sidecar) as f:
+                prev = json.load(f)
+            for k, v in prev.items():
+                if k not in summary:
+                    summary[k] = v
+        except (OSError, ValueError):
+            pass
+        with open(sidecar, "w") as f:
+            f.write(json.dumps(summary, separators=(",", ":")) + "\n")
     except OSError:
         pass  # read-only checkout: stdout lines are still authoritative
     print(full_line, flush=True)
