@@ -2622,8 +2622,14 @@ def q_stream_line_dedup(spark, sf):
             pairs = dedup.line_key_pairs(batch_df, "text", "doc_id")
             pairs.persist()
             try:
+                # exclude_batch_id=bid: a crashed prior attempt of
+                # THIS epoch may have appended already — reading its
+                # rows back as "earlier" would over-suppress on replay
+                # (code-review r10 #4)
                 earlier = (
-                    dedup.read_line_counts_pruned(spark, idx, pairs)
+                    dedup.read_line_counts_pruned(
+                        spark, idx, pairs, exclude_batch_id=bid
+                    )
                     if dedup.line_count_index_exists(spark, idx)
                     else None
                 )

@@ -131,9 +131,10 @@ def main() -> None:
         try:
             with open(sidecar) as f:
                 prev = json.load(f)
-            for k, v in prev.items():
-                if k not in summary:
-                    summary[k] = v
+            if isinstance(prev, dict):  # a non-dict sidecar is garbage
+                for k, v in prev.items():
+                    if k not in summary:
+                        summary[k] = v
         except (OSError, ValueError):
             pass
         with open(sidecar, "w") as f:

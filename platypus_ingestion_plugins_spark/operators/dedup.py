@@ -426,14 +426,25 @@ def compact_line_count_index(
 
 
 def read_line_counts_pruned(
-    spark, path: str, batch_keys: DataFrame, key_buckets: int | None = None
+    spark, path: str, batch_keys: DataFrame, key_buckets: int | None = None,
+    exclude_batch_id: int | str | None = None,
 ) -> DataFrame:
     """Partition-pruned accumulated (line_key, n) totals: only bucket
     directories the batch's own keys hash into are scanned. The
     driver-side collect is the batch's DISTINCT kb set — bounded by
     ``key_buckets``, never by batch or corpus size. Reads heal a
     compaction swap caught mid-rename first (see
-    ``compact_line_count_index``)."""
+    ``compact_line_count_index``).
+
+    ``exclude_batch_id`` — REQUIRED for exactly-once semantics when
+    the caller is a foreachBatch handler reading "counts so far"
+    before appending its own epoch (code-review r10 #4): if the
+    previous attempt of THIS epoch crashed after its append, the
+    replay would otherwise read its own rows back as "earlier" state
+    and double-count the in-flight batch (over-suppressing lines one
+    batch early, so replayed output diverges from the first
+    attempt's). Pass the epoch id; rows tagged with it are excluded
+    from the totals."""
     from .. import fs as _fs
 
     _heal_line_count_index(spark, path)
@@ -466,6 +477,11 @@ def read_line_counts_pruned(
         return empty
     idx = spark.read.parquet(path).filter(F.col("kb").isin(kbs))
     if "batch_id" in idx.columns:
+        if exclude_batch_id is not None:
+            # in-flight epoch exclusion: a crashed prior attempt of
+            # this very epoch may have appended already — its rows are
+            # not "earlier" state
+            idx = idx.filter(F.col("batch_id") != str(exclude_batch_id))
         # epoch-pin replay collapse: a re-appended micro-batch wrote
         # identical (line_key, n, batch_id) rows — keep one per epoch.
         # Untagged rows ("__unbatched", or a compaction's folded
@@ -751,8 +767,10 @@ def fuzzy_join(
         if mode == "prefix":
             return F.lower(F.substring(text, 1, block_prefix))
         # right() keeps the whole string when shorter, symmetric with
-        # substring's prefix behavior
-        return F.lower(F.expr(f"right({text}, {block_prefix})"))
+        # substring's prefix behavior; column-object form so names
+        # needing backticks resolve identically to the prefix path
+        # (code-review r10 #6 — the f-string expr broke on them)
+        return F.lower(F.right(F.col(text), F.lit(block_prefix)))
 
     def _pass(mode: str) -> DataFrame:
         bl = left.select(

@@ -261,17 +261,19 @@ def export_tar_shards(
     on the same out_path can no longer delete each other's staging
     mid-write (the old fixed ``.tar_staging`` name made the second
     run clobber the first's as "stale"). Only after the job succeeds
-    does the driver swap: drop the previous generation's
-    ``_manifest.json`` commit marker, move the staged tars to their
-    final names, delete any leftover ``shard-*.tar`` from a previous
-    wider/failed run plus ALL leftover staging dirs (crashed runs'
-    orphans — the swap phase already assumes it is the only exporter
-    touching out_path), then write a fresh ``_manifest.json`` listing
-    every shard with its sha256. The marker is the COMMIT record: it
-    exists only when a swap ran to completion, so a reader finding it
-    absent (or naming a missing tar) knows the directory is an
-    un-swapped or crash-interrupted state — ``read_tar_shards``
-    enforces exactly that. This gives the sibling exporters'
+    does the driver swap: raise a ``.swap_in_progress`` sentinel, drop
+    the previous generation's ``_manifest.json`` commit marker, move
+    the staged tars to their final names, delete any leftover
+    ``shard-*.tar`` from a previous wider/failed run plus its own
+    staging dir and any FOREIGN staging dir idle for >= 1 h (a
+    crashed run's orphan; a younger one may belong to a live
+    concurrent export and is left alone), then write a fresh
+    ``_manifest.json`` listing every shard with its sha256 and drop
+    the sentinel. The marker is the COMMIT record and the sentinel the
+    in-progress flag: marker present = complete generation; sentinel
+    present = crash-interrupted swap (mixed generations possible);
+    neither = hand-assembled/pre-marker directory —
+    ``read_tar_shards`` enforces exactly that. This gives the sibling exporters'
     ``mode("overwrite")`` behavior WITHOUT deleting the destination up
     front — so an in-place reshard
     (``export_tar_shards(read_tar_shards(spark, p, ...), p, ...)``)
@@ -404,11 +406,17 @@ def export_tar_shards(
 
     # eager: one action executes every write exactly once
     manifest = assigned.mapInPandas(write_shards, out_schema).collect()
-    # swap: retract the old generation's commit marker FIRST (a crash
-    # from here on leaves a marker-less, visibly-uncommitted dir),
-    # move staged tars to final names, clear the previous generation's
-    # leftovers (wider reshards, failed runs) and every staging orphan
+    # swap: raise the in-progress sentinel and retract the old
+    # generation's commit marker FIRST — a crash from here until the
+    # new marker lands leaves the sentinel behind, which readers
+    # refuse (a crash-interrupted swap is DETECTABLE, never silently
+    # read as a hand-assembled directory; code-review r10 #1) — then
+    # move staged tars to their final names and clear the previous
+    # generation's leftovers (wider reshards, failed runs)
     marker = f"{_drv_inner}/_manifest.json"
+    sentinel = f"{_drv_inner}/.swap_in_progress"
+    with _drv_fs.open_output_stream(sentinel) as out:
+        out.write(generation.encode("utf-8"))
     if _drv_fs.get_file_info(marker).type != _pafs.FileType.NotFound:
         _drv_fs.delete_file(marker)
     new_names = set()
@@ -427,12 +435,45 @@ def export_tar_shards(
             ".tar"
         ) and base not in new_names:
             _drv_fs.delete_file(info.path)
+        elif info.is_file and base.startswith(".manifest-") and base.endswith(
+            ".tmp"
+        ):
+            # orphan marker temp from a crash mid-commit (r10 #10)
+            _drv_fs.delete_file(info.path)
         elif not info.is_file and base.startswith(".tar_staging"):
-            # this run's staging plus any crashed run's orphan; the
-            # swap phase is single-exporter by contract
-            _drv_fs.delete_dir(info.path)
+            if base == staging_name:
+                _drv_fs.delete_dir(info.path)  # our own, fully drained
+            else:
+                # another generation's staging: an orphan from a crash
+                # OR a concurrent export still writing (r10 #2 — the
+                # old unconditional delete destroyed the racer's
+                # staged tars mid-write). Sweep only when it is
+                # plausibly dead: untouched for >= 1 h by its own
+                # files' mtimes; unknown mtimes leave it for the next
+                # run rather than risk a live racer's data.
+                import datetime as _dt
+
+                stamps = [
+                    fi.mtime
+                    for fi in _drv_fs.get_file_info(
+                        _pafs.FileSelector(info.path, recursive=False)
+                    )
+                    if fi.mtime is not None
+                ]
+                now = _dt.datetime.now(_dt.timezone.utc)
+                if stamps and all(
+                    (now - t.astimezone(_dt.timezone.utc)).total_seconds()
+                    > 3600
+                    for t in stamps
+                ):
+                    _drv_fs.delete_dir(info.path)
+                elif not stamps and _drv_fs.get_file_info(
+                    _pafs.FileSelector(info.path, recursive=False)
+                ) == []:
+                    _drv_fs.delete_dir(info.path)  # empty husk
     # commit: the marker exists IFF the swap completed; staged through
-    # a temp name so readers never see a partial marker
+    # a temp name so readers never see a partial marker, then the
+    # sentinel drops — its absence certifies the swap ran to the end
     import json as _json
 
     marker_tmp = f"{_drv_inner}/.manifest-{generation}.tmp"
@@ -450,6 +491,7 @@ def export_tar_shards(
             ],
         }).encode("utf-8"))
     _drv_fs.move(marker_tmp, marker)
+    _drv_fs.delete_file(sentinel)
     return manifest
 
 
@@ -473,13 +515,25 @@ def read_tar_shards(
     that is missing raises (a crash-interrupted swap — rerun the
     export to converge), and tars it does not name (a previous wider
     generation's leftovers) are ignored instead of silently mixed in.
-    Marker-less directories (hand-assembled shard sets, pre-marker
-    exports) fall back to listing every ``*.tar``."""
+    A ``.swap_in_progress`` sentinel (raised before the swap's first
+    destructive step, dropped after the new marker lands) also raises:
+    a marker-less dir WITH the sentinel is a crash-interrupted swap
+    holding mixed generations, not a hand-assembled shard set —
+    without the sentinel the two were indistinguishable and the
+    fallback read mixed data silently (code-review r10 #1). Only
+    sentinel-less, marker-less directories (hand-assembled shard
+    sets, pre-marker exports) fall back to listing every ``*.tar``."""
     import json as _json
 
     import pyarrow.fs as pafs
 
     fs, inner = _tar_fs(path)
+    if fs.get_file_info(f"{inner}/.swap_in_progress").type == pafs.FileType.File:
+        raise FileNotFoundError(
+            f"{path} has a .swap_in_progress sentinel: an export swap "
+            "crashed mid-way and the directory may mix generations — "
+            "rerun the export to converge (interrupted swap)"
+        )
     marker_info = fs.get_file_info(f"{inner}/_manifest.json")
     if marker_info.type == pafs.FileType.File:
         with fs.open_input_stream(f"{inner}/_manifest.json") as fh:

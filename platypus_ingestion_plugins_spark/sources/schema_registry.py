@@ -82,6 +82,7 @@ class SchemaRegistryClient:
         base_url: str | None = None,
         fetcher: Callable[[int], str | None] | None = None,
         timeout: float = 5.0,
+        max_negative_cache: int = 10_000,
     ) -> None:
         if fetcher is None:
             if base_url is None:
@@ -89,7 +90,13 @@ class SchemaRegistryClient:
             fetcher = http_fetcher(base_url, timeout=timeout)
         self._fetch = fetcher
         self._cache: dict[int, str] = {}
+        # bounded (code-review r10 #8): a corrupt-header topic mints
+        # fresh garbage ids every batch — max_distinct_ids caps them
+        # PER batch, but an unbounded set would still grow on the
+        # driver forever. At the cap the set resets (the 404s those
+        # ids would re-trigger are the price of bounded memory).
         self._missing: set[int] = set()
+        self._max_negative_cache = max_negative_cache
         self._lock = threading.Lock()
         self.fetch_count = 0  # observability: network round-trips issued
 
@@ -101,19 +108,26 @@ class SchemaRegistryClient:
 
     def get(self, schema_id: int) -> str | None:
         """Cached lookup; fetches from the registry on first sight.
-        Returns None for confirmed-unknown ids (negative-cached)."""
+        Returns None for confirmed-unknown ids (negative-cached).
+
+        Concurrency: the fetch itself runs OUTSIDE the lock so a slow
+        registry never serializes unrelated cache hits — the trade is
+        that two threads first-seeing the same id may each issue a
+        fetch (idempotent GETs; the cache converges to one entry).
+        Within one foreachBatch handler calls are sequential, so the
+        one-fetch-per-id discipline the tests assert holds there."""
         schema_id = int(schema_id)
         with self._lock:
             if schema_id in self._cache:
                 return self._cache[schema_id]
             if schema_id in self._missing:
                 return None
-        # fetch outside the lock: a slow registry must not serialize
-        # unrelated cache hits
-        self.fetch_count += 1
+            self.fetch_count += 1  # counted under the lock (r10 #9)
         schema = self._fetch(schema_id)
         with self._lock:
             if schema is None:
+                if len(self._missing) >= self._max_negative_cache:
+                    self._missing.clear()  # bounded driver memory (r10 #8)
                 self._missing.add(schema_id)
             else:
                 self._cache[schema_id] = schema

@@ -41,17 +41,26 @@ COHORT = [
 
 
 def build_sf1(spark):
+    """Build into SF1 + '.building', then atomically rename: a crashed
+    or interrupted generation can never be mistaken for a complete 10x
+    dataset by a later run (code-review r10 #3). Replica id strides use
+    max(id)+1, not row count — sparse id spaces would otherwise collide
+    across replicas and corrupt the measured dedup identity (r10 #5)."""
+    import shutil
+
     from pyspark.sql import functions as F
 
-    os.makedirs(SF1, exist_ok=True)
+    building = SF1 + ".building"
+    shutil.rmtree(building, ignore_errors=True)
+    os.makedirs(building)
     docs = spark.read.parquet(f"{SF01}/documents.parquet")
-    n_docs = docs.count()
+    doc_stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
-    n_emb = emb.count()
+    emb_stride = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     for k in range(10):
         (
             docs.select(
-                (F.col("doc_id") + F.lit(k * n_docs)).alias("doc_id"),
+                (F.col("doc_id") + F.lit(k * doc_stride)).alias("doc_id"),
                 F.regexp_replace("text", r"(\w+)", f"r{k}$1").alias("text")
                 if k
                 else F.col("text"),
@@ -60,11 +69,11 @@ def build_sf1(spark):
                 "n_chars",
             )
             .write.mode("append")
-            .parquet(f"{SF1}/documents.parquet")
+            .parquet(f"{building}/documents.parquet")
         )
         (
             emb.select(
-                (F.col("vec_id") + F.lit(k * n_emb)).alias("vec_id"),
+                (F.col("vec_id") + F.lit(k * emb_stride)).alias("vec_id"),
                 F.concat(
                     F.array((F.col("embedding")[0] + F.lit(k * 1e-3)).cast("float")),
                     F.slice("embedding", 2, 10_000),
@@ -72,8 +81,10 @@ def build_sf1(spark):
                 "label",
             )
             .write.mode("append")
-            .parquet(f"{SF1}/embeddings.parquet")
+            .parquet(f"{building}/embeddings.parquet")
         )
+    shutil.rmtree(SF1, ignore_errors=True)
+    os.rename(building, SF1)
     print(
         f"built {SF1}: documents={spark.read.parquet(f'{SF1}/documents.parquet').count()}, "
         f"embeddings={spark.read.parquet(f'{SF1}/embeddings.parquet').count()}",

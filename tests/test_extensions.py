@@ -2595,15 +2595,28 @@ def test_tar_export_commit_marker_and_staging_generations(spark, tmp_path):
     rows = [Row(doc_id=i, text=f"doc {i}") for i in range(20)]
     df = spark.createDataFrame(rows)
     out = str(tmp_path / "wds")
-    # a crashed previous run left an orphan staging dir with a partial tar
+    # a crashed previous run left an orphan staging dir with a partial
+    # tar; a YOUNG orphan could be a live concurrent export, so the
+    # sweep must leave it (code-review r10 #2) — only once its files
+    # are idle >= 1 h is it swept as dead
     os.makedirs(f"{out}/.tar_staging-deadbeef0000")
     with open(f"{out}/.tar_staging-deadbeef0000/shard-00000.tar", "wb") as f:
         f.write(b"partial garbage")
 
     manifest = export_tar_shards(df, out, "doc_id", {"text": "txt"}, n_shards=2)
-    # marker written, orphan staging swept, no staging dirs remain
     assert os.path.exists(f"{out}/_manifest.json")
+    # fresh orphan survives (live-racer protection), own staging gone
+    assert [n for n in os.listdir(out) if n.startswith(".tar_staging")] == [
+        ".tar_staging-deadbeef0000"
+    ]
+    # backdate the orphan 2h: now provably dead -> next export sweeps it
+    import time as _time
+
+    old = _time.time() - 7200
+    os.utime(f"{out}/.tar_staging-deadbeef0000/shard-00000.tar", (old, old))
+    manifest = export_tar_shards(df, out, "doc_id", {"text": "txt"}, n_shards=2)
     assert not [n for n in os.listdir(out) if n.startswith(".tar_staging")]
+    assert not os.path.exists(f"{out}/.swap_in_progress")  # sentinel dropped
     committed = json.load(open(f"{out}/_manifest.json"))
     assert committed["n_shards"] == 2
     assert {e["sha256"] for e in committed["shards"]} == {m.sha256 for m in manifest}
@@ -2625,7 +2638,63 @@ def test_tar_export_commit_marker_and_staging_generations(spark, tmp_path):
     back2 = read_tar_shards(spark, out, {"txt": "text"}, key_name="k")
     assert {int(r.k) for r in back2.collect()} == {r.doc_id for r in rows}
 
-    # marker-less dir (hand-assembled / pre-marker export): listing path
+    # a swap crash BEFORE the new marker lands leaves the sentinel and
+    # no marker: the reader must refuse, not fall back to a silent
+    # mixed-generation listing (code-review r10 #1)
     os.remove(f"{out}/_manifest.json")
+    with open(f"{out}/.swap_in_progress", "w") as f:
+        f.write("cafecafe0000")
+    with pytest.raises(FileNotFoundError, match="interrupted swap"):
+        read_tar_shards(spark, out, {"txt": "text"})
+    os.remove(f"{out}/.swap_in_progress")
+
+    # marker-less AND sentinel-less (hand-assembled / pre-marker
+    # export): listing path
     back3 = read_tar_shards(spark, out, {"txt": "text"}, key_name="k")
     assert {int(r.k) for r in back3.collect()} == {r.doc_id for r in rows}
+
+
+def test_line_count_pruned_read_excludes_inflight_epoch(spark, tmp_path):
+    """code-review r10 #4: a foreachBatch replay whose previous attempt
+    crashed AFTER appending must not read its own epoch back as
+    'earlier' state — exclude_batch_id makes the replay's view
+    identical to the first attempt's, so the replayed suppression
+    decision (and output) is identical too."""
+    idx = str(tmp_path / "lines")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [Row(doc_id=i, text=f"unique {i}\nShared footer") for i in range(lo, hi)]
+    )
+    b0, b1 = mk(0, 5), mk(5, 10)
+    dedup.append_line_count_index(
+        dedup.line_count_keys(b0, "text", "doc_id"), idx,
+        key_buckets=4, batch_id=0,
+    )
+    probe = dedup.line_count_keys(b1, "text", "doc_id")
+    first_attempt_view = {
+        r.line_key: r.n
+        for r in dedup.read_line_counts_pruned(
+            spark, idx, probe, exclude_batch_id=1
+        ).collect()
+    }
+    # attempt 1 appends its counts, then "crashes" before the commit
+    dedup.append_line_count_index(
+        dedup.line_count_keys(b1, "text", "doc_id"), idx,
+        key_buckets=4, batch_id=1,
+    )
+    # replay of epoch 1: with the exclusion its view matches attempt 1
+    replay_view = {
+        r.line_key: r.n
+        for r in dedup.read_line_counts_pruned(
+            spark, idx, probe, exclude_batch_id=1
+        ).collect()
+    }
+    assert replay_view == first_attempt_view
+    # without the exclusion the replay would see its own rows: footer
+    # count inflated by the in-flight epoch's 5 docs
+    import hashlib
+    fk = hashlib.sha256(b"shared footer").hexdigest()
+    unexcluded = {
+        r.line_key: r.n
+        for r in dedup.read_line_counts_pruned(spark, idx, probe).collect()
+    }
+    assert unexcluded[fk] == first_attempt_view[fk] + 5
