@@ -3379,6 +3379,57 @@ def q_multimodal_external_meta(spark, sf):
 SQL_MULTIMODAL_EXTERNAL_META = SQL_MULTIMODAL_META
 
 
+def q_cdc_format_last_wins(spark, sf):
+    """format("cdc-table") sugar end to end (SURVEY §7.3, r10): the
+    cdc_last_wins changelog written as two _snapshot-partitioned drops
+    (sources/cdc_table.write_cdc_snapshot), read back through the
+    registered Python Data Source — snapshot pruning exercised with an
+    incremental last_snapshot=0 option — and materialized to last-wins
+    state. Same oracle as cdc_last_wins: the sugar must be a pure
+    access-path change."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.sources import cdc_table
+    from platypus_ingestion_plugins_spark.sources.cdc_format import (
+        register_cdc_table_source,
+    )
+
+    ev = _t(spark, sf, "events")
+    ch = ev.select(
+        F.col("event_id").alias("_seq"),
+        "user_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "click", "-D")
+        .when(F.col("event_type") == "error", "-U")
+        .otherwise("+I")
+        .alias("_row_kind"),
+    )
+    ch_lo, ch_hi = _median_split(ch, "_seq")
+    work = _stream_scratch("cdc_format_")
+    try:
+        log = os.path.join(work, "log")
+        cdc_table.write_cdc_snapshot(ch_lo, log, snapshot_id=1)
+        cdc_table.write_cdc_snapshot(ch_hi, log, snapshot_id=2)
+        register_cdc_table_source(spark)
+        back = (
+            spark.read.format("cdc-table")
+            .option("last_snapshot", 0)  # incremental path: all snapshots > 0
+            .load(log)
+            .drop("_snapshot")
+        )
+        state = cdc.apply_changelog(back, "user_id")
+        out = state.select("user_id", "event_type", "value")
+        # the scratch log must outlive this lazy plan (driver collects
+        # later) — park it for end-of-process cleanup like the other
+        # scratch-backed entries
+        _keep_until_exit(work, keep=log)
+        return out
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+
+
 def q_stream_cdc_materialize(spark, sf):
     """Full Structured-Streaming path: the cdc_last_wins changelog split
     into two seq-ordered micro-batches, streamed from parquet through
@@ -3958,6 +4009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      consult) — both re-verified green by this round's targeted
     #      check_oracle runs, recorded in SURVEY §5.
     return {
+        # 0. NEW this round (never driver-verified)
+        "cdc_format_last_wins": q_cdc_format_last_wins,
         # 1. two rounds stale (last green r7)
         "pack_bins": q_pack_bins,
         "pack_texts": q_pack_texts,
@@ -4011,8 +4064,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "window_topk_per_group": q_window_topk_per_group,
         "heavy_hitters_sketch": q_heavy_hitters_sketch,
+        # 5. deferred to r11 (will be 3 rounds stale — lead r11;
+        # sliding_counts displaced below the cap by the new
+        # cdc_format_last_wins entry)
         "sliding_counts": q_sliding_counts,
-        # 5. deferred to r11 (will be 3 rounds stale — lead r11)
         "semi_join": q_semi_join,
         "set_except": q_set_except,
         "tpch_q6ish": q_tpch_q6ish,
@@ -4104,6 +4159,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_bins": SQL_PACK_BINS,
         "pack_texts": SQL_PACK_TEXTS,
         "cdc_last_wins": SQL_CDC_LAST_WINS,
+        "cdc_format_last_wins": SQL_CDC_LAST_WINS,
         "sink_typed_strings": SQL_SINK_TYPED_STRINGS,
         "sink_array_json": SQL_SINK_ARRAY_JSON,
         "flatten_rename_drop": SQL_FLATTEN_RENAME_DROP,
