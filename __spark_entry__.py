@@ -2185,6 +2185,63 @@ SELECT id AS vec_id, min(r) AS group_id FROM reach GROUP BY id
 """
 
 
+def q_embedding_decontam(spark, sf):
+    """Embedding-space benchmark decontamination
+    (operators/decontam.py:contaminated_embeddings): the corpus
+    (vec_id % 7 != 0) screened against a small benchmark set
+    (vec_id % 7 == 0) via banded sign-LSH candidates + exact cosine —
+    bench side broadcast, corpus map-side, one shuffle (the per-doc
+    agg). Catches paraphrase contamination n-gram overlap misses."""
+    from platypus_ingestion_plugins_spark.operators.decontam import (
+        contaminated_embeddings,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return contaminated_embeddings(
+        emb.filter(F.col("vec_id") % 7 != 0),
+        emb.filter(F.col("vec_id") % 7 == 0),
+        threshold=0.30,
+        dim=64,
+    )
+
+
+SQL_EMBEDDING_DECONTAM = f"""
+WITH hits AS (
+  SELECT a.vec_id, b.vec_id AS bid,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id % 7 <> 0 AND b.vec_id % 7 = 0 AND ({_neardup_band_cond()})
+)
+SELECT vec_id, count(DISTINCT bid) AS n_contaminated, max(cos) AS max_cos
+FROM hits WHERE cos >= 0.30 GROUP BY vec_id
+"""
+
+
+def q_semdedup_keep(spark, sf):
+    """SemDeDup pruned corpus (operators/similarity.py:semdedup):
+    cluster-scoped cosine pruning, keep-min-id representative per
+    semantic-duplicate chain. Sign-bit buckets (bits=6) stand in for
+    the paper's k-means here because they are oracle-expressible; the
+    kmeans-cluster path is unit-tested (tests/test_similarity.py)."""
+    return similarity.semdedup(
+        _t(spark, sf, "embeddings"), threshold=0.30, bits=6, dim=64
+    ).select("vec_id", "label")
+
+
+_SEMDEDUP_BITCOND = " AND ".join(
+    f"(a.embedding[{i + 1}] >= 0) = (b.embedding[{i + 1}] >= 0)" for i in range(6)
+)
+
+SQL_SEMDEDUP_KEEP = f"""
+SELECT a.vec_id, a.label FROM embeddings a
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings b
+  WHERE b.vec_id < a.vec_id AND {_SEMDEDUP_BITCOND}
+    AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.30
+)
+"""
+
+
 _UNIT_SQL = (
     "(CAST(('0x' || substr(md5('{salt}|' || CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT)"
     " / 1152921504606846976.0)"
@@ -4009,8 +4066,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      consult) — both re-verified green by this round's targeted
     #      check_oracle runs, recorded in SURVEY §5.
     return {
-        # 0. NEW this round (never driver-verified)
+        # 0. NEW this round (never driver-verified; each new entry
+        # displaces one section-4 tail entry below the cap —
+        # window_topk_per_group / heavy_hitters_sketch join the
+        # deferred-to-r11 cohort)
         "cdc_format_last_wins": q_cdc_format_last_wins,
+        "embedding_decontam": q_embedding_decontam,
+        "semdedup_keep": q_semdedup_keep,
         # 1. two rounds stale (last green r7)
         "pack_bins": q_pack_bins,
         "pack_texts": q_pack_texts,
@@ -4062,11 +4124,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_segment_revenue": q_join_segment_revenue,
         "event_gaps": q_event_gaps,
         "percentiles": q_percentiles,
+        # 5. deferred to r11 (will be 3 rounds stale — lead r11;
+        # sliding_counts / window_topk_per_group / heavy_hitters_sketch
+        # displaced below the cap by the new cdc_format_last_wins /
+        # embedding_decontam / semdedup_keep entries)
         "window_topk_per_group": q_window_topk_per_group,
         "heavy_hitters_sketch": q_heavy_hitters_sketch,
-        # 5. deferred to r11 (will be 3 rounds stale — lead r11;
-        # sliding_counts displaced below the cap by the new
-        # cdc_format_last_wins entry)
         "sliding_counts": q_sliding_counts,
         "semi_join": q_semi_join,
         "set_except": q_set_except,
@@ -4216,6 +4279,8 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf": SQL_SIMILARITY_IVF,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "embedding_dedup_groups": SQL_EMBEDDING_DEDUP_GROUPS,
+        "embedding_decontam": SQL_EMBEDDING_DECONTAM,
+        "semdedup_keep": SQL_SEMDEDUP_KEEP,
         "text_stats": SQL_TEXT_STATS,
         "text_language_id": SQL_TEXT_LANGUAGE_ID,
         "text_quality_filter": SQL_TEXT_QUALITY_FILTER,

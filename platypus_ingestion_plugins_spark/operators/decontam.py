@@ -112,3 +112,87 @@ def decontaminate(
     Returns the full training rows, untouched columns."""
     flagged = contaminated_docs(train, bench, text_col, id_col, n).select(id_col)
     return train.join(flagged, id_col, "left_anti")
+
+
+def contaminated_embeddings(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    bits: int = 8,
+    bands: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-space decontamination: corpus rows whose vector is
+    cosine-similar (>= ``threshold``) to ANY benchmark vector —
+    catches the paraphrase/translation contamination that n-gram
+    overlap (``contaminated_docs``) structurally misses.
+
+    Scale shape mirrors the n-gram path: the benchmark side is tiny
+    (eval suites) and rides a BROADCAST, so the corpus stays map-side.
+    With ``bits>0`` (default) both sides explode into banded sign-LSH
+    keys (similarity.signbit_band_keys — the same blocking as
+    ``similarity.neardup_pairs``) and only band-key matches pay the
+    exact cosine: per corpus row the work is O(matching bench rows),
+    not O(|bench|). Multi-band duplicate candidates are NOT pre-deduped
+    (the extra dots are bounded by ``bands`` and the pairs are already
+    map-side local); the final ``count_distinct`` collapses them.
+    ``bits=0`` is the exact-recall variant — a broadcast nested-loop
+    over the full bench set; affordable whenever
+    |corpus| x |bench| dot products is, and the right default when a
+    missed contamination costs more than the scan (recall of the
+    banded screen at a 0.9 threshold with 8x8 is ~0.94 — document the
+    miss rate, don't discover it in an eval).
+
+    The ONLY shuffle either way is the final per-doc aggregation,
+    whose input is already collapsed to contaminated hits.
+
+    Output: (``id_col``, n_contaminated, max_cos) — contaminated
+    corpus rows only; the audit view. Anti-join the ids to drop them.
+    """
+    from platypus_ingestion_plugins_spark.operators.similarity import (
+        _dvec,
+        norm,
+        signbit_band_keys,
+    )
+
+    bid = bench_id_col or id_col
+    b = bench.select(
+        F.col(bid).alias("__bid"),
+        _dvec(F.col(vec_col)).alias("__bv"),
+        norm(F.col(vec_col), dim).alias("__bn"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        _dvec(F.col(vec_col)).alias("__cv"),
+        norm(F.col(vec_col), dim).alias("__cn"),
+    )
+    if bits:
+        bk = b.withColumn(
+            "__bk", F.explode(signbit_band_keys(F.col("__bv"), bits, bands))
+        )
+        ck = c.withColumn(
+            "__bk", F.explode(signbit_band_keys(F.col("__cv"), bits, bands))
+        )
+        cand = ck.join(F.broadcast(bk), "__bk")
+    else:
+        cand = c.crossJoin(F.broadcast(b))
+    # per-pair dot via the higher-order aggregate, NOT a dim-unrolled
+    # chain: unrolled 64-term expressions on a join path blow codegen
+    # limits (measured in neardup_pairs); dim only unrolls the norms
+    dot_expr = F.aggregate(
+        F.zip_with(F.col("__cv"), F.col("__bv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    hits = cand.select(
+        F.col(id_col),
+        F.col("__bid"),
+        F.round(dot_expr / (F.col("__cn") * F.col("__bn")), 6).alias("__cos"),
+    ).filter(F.col("__cos") >= threshold)
+    return hits.groupBy(id_col).agg(
+        F.count_distinct("__bid").alias("n_contaminated"),
+        F.max("__cos").alias("max_cos"),
+    )

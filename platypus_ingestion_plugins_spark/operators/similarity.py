@@ -772,3 +772,81 @@ def neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    clusters: DataFrame | None = None,
+    cluster_col: str = "cent_id",
+    bits: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by cluster-scoped cosine pruning. Rows are grouped
+    into clusters; within a cluster, a row is DROPPED iff some
+    smaller-id row of the same cluster is cosine-similar above
+    ``threshold`` (keep-min-id — one deterministic representative per
+    semantic-duplicate chain). Returns the KEPT rows, all original
+    columns.
+
+    Cluster source:
+      * ``clusters`` given — an (id, ``cluster_col``) frame, e.g.
+        ``ivf_assign(emb, kmeans_centroids(...))`` — the paper's
+        k-means clustering; the right choice at corpus scale where
+        nlist ~ sqrt(n) bounds cluster sizes.
+      * default — ``signbit_bucket(vec, bits)``: a zero-shuffle
+        projection standing in for k-means; fine for small corpora
+        and, unlike k-means, oracle-expressible. Mind skew: a hot
+        bucket costs O(|bucket|^2) pairs — raise ``bits`` or switch
+        to k-means clusters before that bites.
+
+    Distinct from ``neardup_pairs``+connected-components
+    (embedding_dedup_groups): SemDeDup never links across clusters,
+    trades that recall for a bounded, embarrassingly-cluster-parallel
+    pair stage, and returns the pruned corpus rather than group ids.
+
+    Shuffles: one hash exchange of (id, vec, norm) per side on the
+    cluster key for the pair join, bare-id distinct on the dominated
+    set, and the final anti-join. Norms are computed map-side before
+    the join (n ops, not n^2); the per-pair dot uses the higher-order
+    aggregate (see neardup_pairs on why not the unrolled chain).
+    """
+    base = ensure_parallelism(emb).select(
+        F.col(id_col).alias("__id"),
+        _dvec(F.col(vec_col)).alias("__v"),
+        norm(F.col(vec_col), dim).alias("__n"),
+    )
+    if clusters is not None:
+        keyed = base.join(
+            clusters.select(
+                F.col(id_col).alias("__id"), F.col(cluster_col).alias("__cl")
+            ),
+            "__id",
+        )
+    else:
+        keyed = base.withColumn("__cl", signbit_bucket(F.col("__v"), bits))
+    a = keyed.select(
+        F.col("__id").alias("__ida"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "__cl",
+    )
+    b = keyed.select(
+        F.col("__id").alias("__idb"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "__cl",
+    )
+    dominated = (
+        a.join(b, "__cl")
+        .filter(F.col("__ida") > F.col("__idb"))
+        .select(
+            "__ida",
+            F.round(
+                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+            ).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+    )
+    return emb.join(dominated, id_col, "left_anti")

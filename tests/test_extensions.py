@@ -2698,3 +2698,67 @@ def test_line_count_pruned_read_excludes_inflight_epoch(spark, tmp_path):
         for r in dedup.read_line_counts_pruned(spark, idx, probe).collect()
     }
     assert unexcluded[fk] == first_attempt_view[fk] + 5
+
+
+def test_semdedup_signbit_and_kmeans_paths(spark):
+    # two tight clusters on opposite sides of dim-0 plus one isolate;
+    # within each cluster the smaller id survives
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.999, 0.01]),
+            Row(vec_id=2, embedding=[-1.0, 0.05]),
+            Row(vec_id=3, embedding=[-0.999, 0.06]),
+            Row(vec_id=4, embedding=[0.0, 1.0]),
+        ]
+    )
+    kept = sorted(
+        r.vec_id
+        for r in similarity.semdedup(emb, threshold=0.99, bits=2).collect()
+    )
+    assert kept == [0, 2, 4]
+    # kmeans-cluster path (the paper's clustering) agrees here: the
+    # clusters separate the same neighborhoods
+    cl = similarity.ivf_assign(
+        emb, similarity.kmeans_centroids(emb, n_centroids=2, iters=4)
+    ).select("vec_id", "cent_id")
+    kept_km = sorted(
+        r.vec_id
+        for r in similarity.semdedup(emb, threshold=0.99, clusters=cl).collect()
+    )
+    assert kept_km == [0, 2, 4]
+    # keeps every original column
+    cols = similarity.semdedup(emb, threshold=0.99, bits=2).columns
+    assert cols == ["vec_id", "embedding"]
+
+
+def test_contaminated_embeddings_exact_superset_of_banded(spark):
+    from platypus_ingestion_plugins_spark.operators.decontam import (
+        contaminated_embeddings,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=10, embedding=[1.0, 0.0, 0.0]),
+            Row(vec_id=11, embedding=[0.0, 1.0, 0.0]),
+            Row(vec_id=12, embedding=[-1.0, 0.0, 0.1]),
+        ]
+    )
+    bench = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[0.999, 0.01, 0.0])]
+    )
+    exact = {
+        r.vec_id: r.n_contaminated
+        for r in contaminated_embeddings(
+            corpus, bench, threshold=0.9, bits=0
+        ).collect()
+    }
+    assert exact == {10: 1}
+    # the banded screen can only MISS, never invent, contamination
+    banded = {
+        r.vec_id
+        for r in contaminated_embeddings(
+            corpus, bench, threshold=0.9, bits=2, bands=1
+        ).collect()
+    }
+    assert banded <= set(exact)
