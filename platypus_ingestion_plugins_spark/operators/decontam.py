@@ -157,6 +157,7 @@ def contaminated_embeddings(
         norm,
         signbit_band_keys,
     )
+    from platypus_ingestion_plugins_spark.session import ensure_parallelism
 
     bid = bench_id_col or id_col
     b = bench.select(
@@ -164,7 +165,11 @@ def contaminated_embeddings(
         _dvec(F.col(vec_col)).alias("__bv"),
         norm(F.col(vec_col), dim).alias("__bn"),
     )
-    c = corpus.select(
+    # the corpus side carries ALL the O(|corpus| x |bench|) cosine work
+    # (the bench side broadcasts) — spread a few-split source across
+    # cores first, same convention as the module's map-heavy siblings
+    # (brute_force_topk, ivf_assign, semdedup)
+    c = ensure_parallelism(corpus).select(
         F.col(id_col),
         _dvec(F.col(vec_col)).alias("__cv"),
         norm(F.col(vec_col), dim).alias("__cn"),

@@ -783,6 +783,7 @@ def semdedup(
     cluster_col: str = "cent_id",
     bits: int = 6,
     dim: int | None = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by cluster-scoped cosine pruning. Rows are grouped
@@ -802,6 +803,38 @@ def semdedup(
         and, unlike k-means, oracle-expressible. Mind skew: a hot
         bucket costs O(|bucket|^2) pairs — raise ``bits`` or switch
         to k-means clusters before that bites.
+
+    ``clusters`` join semantics (deliberate, read before relying on
+    them): the assignment frame is INNER-joined on ``id_col``, so a
+    corpus row with NO cluster assignment is silently EXEMPT from
+    dedup — it is always kept and never dominates anything. That is
+    the safe failure direction (dedup is a recall optimization;
+    keeping an extra row never corrupts), and it is also exactly what
+    ``max_cluster_size`` exploits below — but if you expect total
+    assignment coverage, anti-join your corpus against ``clusters``
+    first and treat hits as a pipeline bug. A row assigned to SEVERAL
+    clusters (duplicate ``id_col`` in ``clusters``) participates in
+    every one of them: the pair stage inflates by the duplication
+    factor and the row can be dominated through any of its clusters.
+    One cluster per row is the contract; ``ivf_assign`` output
+    satisfies it by construction (one ``max_by`` row per id).
+
+    ``max_cluster_size`` — the hot-cluster skew guard. The pair stage
+    is O(|cluster|^2) per cluster, so one hot cluster (correlated
+    embeddings collapsing onto few sign patterns, or a degenerate
+    k-means cell) turns into a single-task straggler: 10^6 rows in
+    one bucket is 10^12 candidate pairs. With the cap set, clusters
+    holding more than ``max_cluster_size`` rows are EXCLUDED from the
+    pair join — their rows are all kept verbatim (the inner-join
+    exemption above). That trades recall inside the hot cluster for a
+    hard max_cluster_size^2 bound on per-cluster pair volume, the
+    same df-cap trade ``dedup.cap_shingle_df`` makes for shingle
+    blocking. The hot set is tiny by construction (at most
+    n / max_cluster_size ids), so the exclusion anti-join broadcasts.
+    ``None`` disables (exact cluster-scoped semantics,
+    oracle-comparable). At corpus scale prefer k-means ``clusters``
+    with nlist ~ sqrt(n) AND a cap: k-means bounds the typical cell,
+    the cap bounds the worst one.
 
     Distinct from ``neardup_pairs``+connected-components
     (embedding_dedup_groups): SemDeDup never links across clusters,
@@ -828,6 +861,18 @@ def semdedup(
         )
     else:
         keyed = base.withColumn("__cl", signbit_bucket(F.col("__v"), bits))
+    if max_cluster_size:
+        # hot-cluster exclusion: ids in over-sized clusters never enter
+        # the O(|cluster|^2) pair join — they ride the inner-join
+        # exemption (kept verbatim). The hot set is <= n/cap ids, so
+        # broadcast; one count aggregate over bare (id, cluster) rows.
+        hot = (
+            keyed.groupBy("__cl")
+            .agg(F.count(F.lit(1)).alias("__cn"))
+            .filter(F.col("__cn") > max_cluster_size)
+            .select("__cl")
+        )
+        keyed = keyed.join(F.broadcast(hot), "__cl", "left_anti")
     a = keyed.select(
         F.col("__id").alias("__ida"), F.col("__v").alias("__va"),
         F.col("__n").alias("__na"), "__cl",

@@ -57,6 +57,32 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import LongType, StructField, StructType
 
 SNAPSHOT_COL = "_snapshot"
+SEQ_COL = "_seq"
+
+
+def _range_keep(lo, hi, filters) -> bool:
+    """Can ANY value in [lo, hi] satisfy the AND of pushed comparisons?
+    Conservative: unknown stats (lo/hi None) keep the range. This is
+    the standard parquet row-group stats test — pruning only, the
+    engine still re-applies the predicate to surviving rows."""
+    if lo is None or hi is None:
+        return True
+    for f in filters:
+        if isinstance(f, GreaterThan) and not hi > f.value:
+            return False
+        if isinstance(f, GreaterThanOrEqual) and not hi >= f.value:
+            return False
+        if isinstance(f, LessThan) and not lo < f.value:
+            return False
+        if isinstance(f, LessThanOrEqual) and not lo <= f.value:
+            return False
+        if isinstance(f, EqualTo) and not (lo <= f.value <= hi):
+            return False
+        # NB: pyspark's In dataclass field is ``value`` (a tuple of
+        # candidates), not ``values`` — verified against pyspark 4.1
+        if isinstance(f, In) and not any(lo <= v <= hi for v in f.value):
+            return False
+    return True
 
 
 def _split_path(path: str) -> str:
@@ -112,7 +138,9 @@ def _snapshot_pred(filters) -> "callable":
                 return False
             if isinstance(f, EqualTo) and snap != f.value:
                 return False
-            if isinstance(f, In) and snap not in f.values:
+            # In.value is the tuple of candidates (not .values) — a
+            # pushed ``_snapshot IN (...)`` crashed here before r11
+            if isinstance(f, In) and snap not in f.value:
                 return False
         return True
 
@@ -134,23 +162,29 @@ class CdcTableReader(DataSourceReader):
         self.last_snapshot = int(last) if last is not None else None
         self.schema = schema
         self.pushed: list = []
+        self.seq_hints: list = []
 
     def pushFilters(self, filters):
         # consume _snapshot comparisons (dir-granular: every row in a
         # dir shares the id, so dir-level pruning is EXACT and the
-        # filter needs no re-evaluation); everything else goes back
+        # filter needs no re-evaluation). _seq comparisons are
+        # row-granular, so they go BACK to Spark for post-scan
+        # re-application — but they are also retained as PRUNING HINTS:
+        # read() skips whole row groups whose parquet min/max stats
+        # can't match (VERDICT r10 task #8 — keeps the sugar honest for
+        # incremental "_seq > checkpoint" consumers: the same
+        # stats-based skip the native parquet reader gives that
+        # predicate, at row-group granularity, without claiming
+        # exactness the layout can't guarantee).
+        comparisons = (GreaterThan, GreaterThanOrEqual, LessThan,
+                       LessThanOrEqual, EqualTo, In)
         for f in filters:
             col = getattr(f, "attribute", None)
-            if (
-                col == (SNAPSHOT_COL,)
-                and isinstance(
-                    f,
-                    (GreaterThan, GreaterThanOrEqual, LessThan,
-                     LessThanOrEqual, EqualTo, In),
-                )
-            ):
+            if col == (SNAPSHOT_COL,) and isinstance(f, comparisons):
                 self.pushed.append(f)
             else:
+                if col == (SEQ_COL,) and isinstance(f, comparisons):
+                    self.seq_hints.append(f)
                 yield f
 
     def partitions(self):
@@ -172,7 +206,26 @@ class CdcTableReader(DataSourceReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        table = pq.read_table(partition.file_path)
+        if self.seq_hints:
+            pf = pq.ParquetFile(partition.file_path)
+            try:
+                seq_idx = pf.schema_arrow.names.index(SEQ_COL)
+            except ValueError:
+                seq_idx = -1  # no _seq column: nothing to prune on
+            keep = []
+            for rg in range(pf.metadata.num_row_groups):
+                lo = hi = None
+                if seq_idx >= 0:
+                    st = pf.metadata.row_group(rg).column(seq_idx).statistics
+                    if st is not None and st.has_min_max:
+                        lo, hi = st.min, st.max
+                if _range_keep(lo, hi, self.seq_hints):
+                    keep.append(rg)
+            if not keep:
+                return
+            table = pf.read_row_groups(keep)
+        else:
+            table = pq.read_table(partition.file_path)
         n = table.num_rows
         cols, fields = [], []
         for f in self.schema.fields:

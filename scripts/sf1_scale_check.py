@@ -117,16 +117,32 @@ def main():
     for q, r in results.items():
         r["scaling_factor_10x"] = round(r["sf1"]["sec"] / max(r["sf0.1"]["sec"], 1e-9), 2)
 
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "bench_summary.json")
-    summary = json.load(open(path)) if os.path.exists(path) else {}
-    summary["sf1_scale_check"] = {
+    record = {
         "note": "10x replica of sf0.1 (word-prefix salted per replica; "
                 "see scripts/sf1_scale_check.py), one uncontended pass per "
                 "scale; scaling_factor_10x = sec(sf1)/sec(sf0.1), linear == 10",
         "results": results,
     }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # the UNTRACKED sidecar got the r10 record silently dropped (fresh
+    # checkout -> bench.py regenerates it without the key); the TRACKED
+    # SCALE.md is now the durable home (VERDICT r10 task #3) and the
+    # sidecar merge is kept only as the machine-readable mirror
+    path = os.path.join(repo, "bench_summary.json")
+    summary = json.load(open(path)) if os.path.exists(path) else {}
+    summary["sf1_scale_check"] = record
     json.dump(summary, open(path, "w"), indent=1)
+    with open(os.path.join(repo, "SCALE.md"), "w") as f:
+        f.write(
+            "# SCALE — 10x scale spot-check (tracked record)\n\n"
+            "Harness: `scripts/sf1_scale_check.py` (this file is written by\n"
+            "it on every run). Method: one uncontended pass of the flagship\n"
+            "dedup/ANN cohort at sf0.1 and at a 10x word-prefix-salted\n"
+            "replica (independent same-shape corpora, cross-replica\n"
+            "Jaccard 0). `scaling_factor_10x = sec(sf1)/sec(sf0.1)`;\n"
+            "linear scaling == 10, fixed-cost-bound entries sit near 1.\n\n"
+            "```json\n" + json.dumps(record, indent=1) + "\n```\n"
+        )
     print(json.dumps({q: r["scaling_factor_10x"] for q, r in results.items()}))
 
 

@@ -9,6 +9,8 @@ PaimonIngestor.java:248-269)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -115,3 +117,86 @@ def test_streaming_snapshot_offsets(spark, cdc_path, tmp_path):
     drain()
     new = got[before:]
     assert [r._snapshot for r in new] == [4] and new[0].k == "k9"
+
+
+def test_seq_rowgroup_stats_pruning(spark, tmp_path):
+    """VERDICT r10 task #8: _seq-range predicates prune at ROW-GROUP
+    granularity via parquet min/max stats. The filter is still
+    re-applied by Spark (row-granular, returned from pushFilters), so
+    results are exact; the reader-level check below proves groups whose
+    stats can't match are never materialized."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.datasource import GreaterThan, GreaterThanOrEqual
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from platypus_ingestion_plugins_spark.sources.cdc_format import (
+        CdcTableReader,
+        _range_keep,
+    )
+
+    # conservative range test: unknown stats keep the group
+    assert _range_keep(None, None, [GreaterThan(("_seq",), 100)])
+    assert not _range_keep(0, 9, [GreaterThan(("_seq",), 9)])
+    assert _range_keep(0, 10, [GreaterThan(("_seq",), 9)])
+
+    # one snapshot dir, one file, 4 row groups of 10 rows with
+    # monotonically increasing _seq => distinct min/max per group
+    path = str(tmp_path / "cdc")
+    d = os.path.join(path, "_snapshot=1")
+    os.makedirs(d)
+    n = 40
+    tbl = pa.table({
+        "k": [f"k{i}" for i in range(n)],
+        "v": list(range(n)),
+        "_row_kind": ["+I"] * n,
+        "_seq": list(range(n)),
+    })
+    pq.write_table(tbl, os.path.join(d, "part-0.parquet"), row_group_size=10)
+
+    schema = StructType([
+        StructField("k", StringType()), StructField("v", LongType()),
+        StructField("_row_kind", StringType()), StructField("_seq", LongType()),
+        StructField("_snapshot", LongType()),
+    ])
+
+    class Opts(dict):
+        pass
+
+    reader = CdcTableReader(Opts(path=path), schema)
+    # Spark hands pushFilters the predicate; _seq comes BACK (Spark
+    # re-applies it) but is retained as a pruning hint
+    returned = list(reader.pushFilters([GreaterThanOrEqual(("_seq",), 25)]))
+    assert len(returned) == 1
+    parts = reader.partitions()
+    assert len(parts) == 1
+    got = [b.num_rows for b in reader.read(parts[0])]
+    # groups [0-9],[10-19],[20-29],[30-39]: stats skip the first two
+    assert sum(got) == 20
+
+    # a range no group can satisfy reads NOTHING
+    r2 = CdcTableReader(Opts(path=path), schema)
+    list(r2.pushFilters([GreaterThan(("_seq",), 1000)]))
+    assert list(r2.read(r2.partitions()[0])) == []
+
+    # end-to-end through Spark: results exact vs plain parquet
+    register_cdc_table_source(spark)
+    via_fmt = (
+        spark.read.format("cdc-table").load(path)
+        .filter(F.col("_seq") >= 25).select("k", "v", "_seq")
+    )
+    plain = (
+        spark.read.parquet(path).filter(F.col("_seq") >= 25)
+        .select("k", "v", "_seq")
+    )
+    assert {tuple(r) for r in via_fmt.collect()} == {tuple(r) for r in plain.collect()}
+    # _snapshot IN (...) pushdown (the In.value fix): exact and pruned
+    isin = spark.read.format("cdc-table").load(path).filter(
+        F.col("_snapshot").isin(1, 7)
+    )
+    assert isin.count() == 40
+    none = spark.read.format("cdc-table").load(path).filter(
+        F.col("_snapshot").isin(7, 9)
+    )
+    assert none.count() == 0

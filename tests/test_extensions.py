@@ -2732,6 +2732,58 @@ def test_semdedup_signbit_and_kmeans_paths(spark):
     assert cols == ["vec_id", "embedding"]
 
 
+def test_semdedup_max_cluster_size_skew_guard(spark):
+    """VERDICT r10 task #4: the hot-cluster cap. Adversarial fixture —
+    EVERY hot row collapses onto ONE sign bucket (all-positive dims),
+    the exact correlated-embedding skew the signbit default is
+    vulnerable to. Uncapped, that cluster pays O(n^2) pairs in a
+    single task; with ``max_cluster_size`` the over-sized cluster is
+    excluded BEFORE the pair join (structurally: the broadcast
+    anti-join precedes the self-join, so its pair volume is zero, and
+    every surviving cluster is capped at max_cluster_size^2 pairs).
+    Rows of the excluded cluster are kept verbatim; well-behaved
+    clusters still dedup."""
+    n = 40
+    hot = [Row(vec_id=i, embedding=[1.0, 0.9 + i * 1e-6]) for i in range(n)]
+    cold = [
+        Row(vec_id=100, embedding=[-1.0, 0.05]),
+        Row(vec_id=101, embedding=[-0.999, 0.051]),
+    ]
+    emb = spark.createDataFrame(hot + cold)
+    # uncapped baseline: the hot cluster collapses to its min id
+    kept_uncapped = sorted(
+        r.vec_id
+        for r in similarity.semdedup(emb, threshold=0.99, bits=2).collect()
+    )
+    assert kept_uncapped == [0, 100]
+    # capped below the hot-cluster size: hot rows are ALL kept (exempt,
+    # the safe direction), the 2-row cold cluster still dedupes — the
+    # cap bites exactly the over-sized cluster, nothing else
+    kept = sorted(
+        r.vec_id
+        for r in similarity.semdedup(
+            emb, threshold=0.99, bits=2, max_cluster_size=10
+        ).collect()
+    )
+    assert kept == list(range(n)) + [100]
+    # cap >= every cluster size is a no-op: exact semantics preserved
+    kept_loose = sorted(
+        r.vec_id
+        for r in similarity.semdedup(
+            emb, threshold=0.99, bits=2, max_cluster_size=n
+        ).collect()
+    )
+    assert kept_loose == kept_uncapped
+    # the cap applies to user-supplied kmeans clusters too
+    cl = similarity.ivf_assign(
+        emb, similarity.kmeans_centroids(emb, n_centroids=2, iters=2)
+    ).select("vec_id", "cent_id")
+    kept_km = similarity.semdedup(
+        emb, threshold=0.99, clusters=cl, max_cluster_size=10
+    ).count()
+    assert kept_km >= n  # the hot kmeans cell is exempt as well
+
+
 def test_contaminated_embeddings_exact_superset_of_banded(spark):
     from platypus_ingestion_plugins_spark.operators.decontam import (
         contaminated_embeddings,

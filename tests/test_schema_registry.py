@@ -238,3 +238,91 @@ def test_live_registry_smoke():
     reg = SchemaRegistryClient(base_url=os.environ["SCHEMA_REGISTRY_URL"])
     schema = reg.get(1)
     assert schema is None or isinstance(schema, str)
+
+
+def test_registry_decode_through_checkpointed_stream(spark, tmp_path):
+    """VERDICT r10 task #6: the fetch-on-miss client driven from an
+    actual checkpointed foreachBatch stream with a MID-STREAM
+    schema-evolution drop — the exact scenario the client exists for
+    (KafkaIngestor.java:151-157 parity: per-record registry resolution
+    while the topic evolves under a running consumer).
+
+    Drop 1 carries only schema id 1; after it commits, schema id 2 (a
+    new ``lang`` field) is registered AND appears in drop 2 alongside
+    id-1 records and one unknown-id poison record. Asserts: the evolved
+    field unions in NULL-backfilled, the cache holds across epochs (ONE
+    fetch per id for the stream's lifetime), the poison record lands in
+    the DLQ instead of failing the stream, and a third drain with no
+    new data reprocesses nothing (checkpoint replay safety)."""
+    from platypus_ingestion_plugins_spark.serving.table import ServingTable
+    from platypus_ingestion_plugins_spark.streaming.pipeline import (
+        CdcStreamingPipeline,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    dlq = str(tmp_path / "dlq")
+    os.makedirs(src)
+
+    fetcher = CountingFetcher(
+        {1: "id bigint, v string, _row_kind string, _seq bigint"}
+    )
+    reg = SchemaRegistryClient(fetcher=fetcher)
+    serving = ServingTable(spark, str(tmp_path / "tbl"), key="id")
+    pipe = CdcStreamingPipeline(
+        spark,
+        source_path=src,
+        source_schema="value binary",
+        serving=serving,
+        checkpoint_path=ckpt,
+        dlq_path=dlq,
+        transform=lambda b: decode_with_registry(
+            b, reg, decoder=_json_decoder
+        ).drop("value", "_schema_id"),
+    )
+
+    def rec(sid, **payload):
+        return Row(value=bytearray(_wire(sid, json.dumps(payload).encode())))
+
+    # drop 1: schema id 1 only
+    spark.createDataFrame(
+        [rec(1, id=1, v="a", _row_kind="+I", _seq=1),
+         rec(1, id=2, v="b", _row_kind="+I", _seq=2)],
+        "value binary",
+    ).write.mode("append").parquet(src)
+    pipe.run_available()
+    state = {r.id: r for r in serving.read().collect()}
+    assert set(state) == {1, 2} and "lang" not in serving.read().columns
+    assert fetcher.calls == [1]
+
+    # mid-stream evolution: id 2 registered, then appears in drop 2
+    # next to more id-1 traffic and one unknown-id poison record
+    fetcher.store[2] = "id bigint, v string, lang string, _row_kind string, _seq bigint"
+    spark.createDataFrame(
+        [rec(2, id=3, v="c", lang="en", _row_kind="+I", _seq=3),
+         rec(2, id=1, v="a2", lang="de", _row_kind="+U", _seq=4),
+         rec(1, id=4, v="d", _row_kind="+I", _seq=5),
+         rec(9, id=99, v="junk", _row_kind="+I", _seq=6)],
+        "value binary",
+    ).write.mode("append").parquet(src)
+    pipe.run_available()
+    out = serving.read()
+    state = {r.id: r for r in out.collect()}
+    # evolved field visible, NULL-backfilled for schema-1 rows; the
+    # id-2 upsert of key 1 won (last-wins by _seq)
+    assert state[3].lang == "en" and state[1].v == "a2" and state[1].lang == "de"
+    assert state[4].lang is None and state[2].lang is None
+    assert 99 not in state
+    # one registry round-trip per id EVER: the client cache outlives
+    # micro-batches (id 1 was NOT re-fetched for drop 2; unknown id 9
+    # was asked exactly once and negative-cached)
+    assert fetcher.calls == [1, 2, 9]
+    # the poison record is quarantined under its epoch, not dropped
+    dlq_rows = spark.read.option("basePath", dlq).parquet(dlq).collect()
+    assert len(dlq_rows) == 1
+    # drain 3: no new files -> nothing reprocessed, no new fetches,
+    # state byte-identical (checkpoint replay safety)
+    before = sorted(map(str, serving.read().collect()))
+    pipe.run_available()
+    assert sorted(map(str, serving.read().collect())) == before
+    assert fetcher.calls == [1, 2, 9]
