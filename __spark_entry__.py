@@ -66,8 +66,17 @@ def _median_split(df: DataFrame, col: str) -> tuple[DataFrame, DataFrame]:
     serving_compact 2.3->4.8 s regression the r10 bench recorded
     (A/B-measured r11, SURVEY §6). Checkpointing also guarantees both
     sides split on the SAME value by construction, rather than by
-    determinism of two independent evaluations."""
-    m = df.select(F.median(F.col(col)).alias("__mid")).localCheckpoint()
+    determinism of two independent evaluations. eager=False keeps
+    query CONSTRUCTION action-free (the r9 task's actual objection to
+    approxQuantile): the median job runs inside the first downstream
+    action, then the pinned row is reused. Harness-scale trade (r11
+    review #4): that first evaluation happens on the broadcast build
+    thread, under spark.sql.broadcastTimeout (300 s default) — a
+    non-issue at the oracle's sf0.01/sf0.1 sizes this helper exists
+    for, but a production pipeline splitting a 100 TB frame should
+    compute its split point as its own job (or raise the timeout),
+    not through this broadcast."""
+    m = df.select(F.median(F.col(col)).alias("__mid")).localCheckpoint(eager=False)
     lo = df.join(F.broadcast(m)).where(F.col(col) <= F.col("__mid")).drop("__mid")
     hi = df.join(F.broadcast(m)).where(F.col(col) > F.col("__mid")).drop("__mid")
     return lo, hi
@@ -2231,8 +2240,8 @@ def q_semdedup_keep(spark, sf):
     """SemDeDup pruned corpus (operators/similarity.py:semdedup):
     cluster-scoped cosine pruning, keep-min-id representative per
     semantic-duplicate chain. Sign-bit buckets (bits=6) stand in for
-    the paper's k-means here because they are oracle-expressible; the
-    kmeans-cluster path is unit-tested (tests/test_similarity.py)."""
+    the paper's k-means here; the kmeans-cluster path has its own
+    oracle since r11 (``semdedup_kmeans``) plus unit coverage."""
     return similarity.semdedup(
         _t(spark, sf, "embeddings"), threshold=0.30, bits=6, dim=64
     ).select("vec_id", "label")
@@ -2279,6 +2288,15 @@ def q_semdedup_kmeans(spark, sf):
 # unless two seeds are identical, but the LEFT JOIN mirrors
 # kmeans_centroids' keep-previous rule exactly); a2 = reassignment
 # against the means; then cluster-scoped keep-min-id at the threshold.
+# Known tolerance (r11 review #3): assignment argmaxes compare
+# UNROUNDED cosines and the means sum doubles in engine-specific
+# order, so a vector within ~ulps of equidistance between two
+# centroids could in principle assign differently in Spark vs DuckDB.
+# On this fixture the argmax margins are orders of magnitude above
+# double noise (random 64-dim vectors, 8 well-separated seeds) and
+# the inputs are frozen, so the check is stable; rounding the
+# assignment cosine would CREATE exact ties where the engines'
+# tie-breaks must then agree on unrounded order — strictly worse.
 SQL_SEMDEDUP_KMEANS = """
 WITH seeds AS (
   SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec

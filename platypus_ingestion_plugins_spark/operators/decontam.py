@@ -151,6 +151,14 @@ def contaminated_embeddings(
 
     Output: (``id_col``, n_contaminated, max_cos) — contaminated
     corpus rows only; the audit view. Anti-join the ids to drop them.
+
+    Mismatched vector widths (wrong model / wrong column) FAIL the job
+    with a raise_error on the first candidate pair instead of silently
+    returning zero contamination (r11 review #6). The guard evaluates
+    per candidate, so a banded run where NO band key collides between
+    the mismatched sets can still come back empty — with ``bits=8``
+    over real data that needs every one of bands x 2^bits key spaces
+    to miss, but use ``bits=0`` when auditing a suspect pairing.
     """
     from platypus_ingestion_plugins_spark.operators.similarity import (
         _dvec,
@@ -191,6 +199,32 @@ def contaminated_embeddings(
         F.zip_with(F.col("__cv"), F.col("__bv"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+    # LOUD dimension guard (r11 review #6): mismatched corpus/bench
+    # vector widths (wrong model, wrong column) make zip_with pad with
+    # nulls, the dot goes null, every pair filters out, and the screen
+    # returns "no contamination found" — the most dangerous silent
+    # failure a decontamination step can have. Fail the job instead:
+    # the guard wraps the dot expression ITSELF (a dropped side-column
+    # would be pruned away by Catalyst and never evaluate). Rows with
+    # a NULL vector on either side keep the null dot (no signal is not
+    # an error); only a genuine width conflict trips.
+    dim_ok = (
+        F.col("__cv").isNull()
+        | F.col("__bv").isNull()
+        | (F.size(F.col("__cv")) == F.size(F.col("__bv")))
+    )
+    dot_expr = F.when(dim_ok, dot_expr).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("contaminated_embeddings: corpus vector dim "),
+                F.size(F.col("__cv")).cast("string"),
+                F.lit(" != bench vector dim "),
+                F.size(F.col("__bv")).cast("string"),
+                F.lit(" — comparing embeddings from different models/"
+                      "columns would silently report zero contamination"),
+            )
+        ).cast("double")
     )
     hits = cand.select(
         F.col(id_col),

@@ -414,7 +414,13 @@ def export_tar_shards(
     # move staged tars to their final names and clear the previous
     # generation's leftovers (wider reshards, failed runs)
     marker = f"{_drv_inner}/_manifest.json"
-    sentinel = f"{_drv_inner}/.swap_in_progress"
+    # the sentinel is GENERATION-SUFFIXED (r11 review #1): a single
+    # shared path let the faster of two concurrent exports delete the
+    # slower one's in-flight crash protection (then the slower one's
+    # own delete raised). Each export raises and drops only its own;
+    # readers refuse on ANY sentinel present.
+    sentinel_base = f".swap_in_progress-{generation}"
+    sentinel = f"{_drv_inner}/{sentinel_base}"
     with _drv_fs.open_output_stream(sentinel) as out:
         out.write(generation.encode("utf-8"))
     if _drv_fs.get_file_info(marker).type != _pafs.FileType.NotFound:
@@ -427,9 +433,37 @@ def export_tar_shards(
         if _drv_fs.get_file_info(final).type != _pafs.FileType.NotFound:
             _drv_fs.delete_file(final)
         _drv_fs.move(f"{_staging}/{name}", final)
-    for info in _drv_fs.get_file_info(
-        _pafs.FileSelector(_drv_inner, recursive=False)
-    ):
+    import datetime as _dt
+
+    entries = list(
+        _drv_fs.get_file_info(_pafs.FileSelector(_drv_inner, recursive=False))
+    )
+    now = _dt.datetime.now(_dt.timezone.utc)
+
+    def _stale(info) -> bool:
+        t = info.mtime
+        return t is not None and (
+            (now - t.astimezone(_dt.timezone.utc)).total_seconds() > 3600
+        )
+
+    # pass 1 — sentinels. A foreign sentinel marks an export inside
+    # its swap/commit window: young -> a live racer, keep (dropping it
+    # on success is its own job); stale -> a crashed export's
+    # permanent reader-blocker, clear it so the CURRENT
+    # about-to-commit generation becomes readable (the bare unsuffixed
+    # name is the pre-r11 layout's). ``raised`` then reflects the
+    # post-sweep sentinel set for pass 2's liveness checks.
+    raised = set()
+    for info in entries:
+        base = info.path.rsplit("/", 1)[-1]
+        if not (info.is_file and base.startswith(".swap_in_progress")):
+            continue
+        if base != sentinel_base and _stale(info):
+            _drv_fs.delete_file(info.path)
+        else:
+            raised.add(base)
+    # pass 2 — everything else
+    for info in entries:
         base = info.path.rsplit("/", 1)[-1]
         if info.is_file and base.startswith("shard-") and base.endswith(
             ".tar"
@@ -438,8 +472,14 @@ def export_tar_shards(
         elif info.is_file and base.startswith(".manifest-") and base.endswith(
             ".tmp"
         ):
-            # orphan marker temp from a crash mid-commit (r10 #10)
-            _drv_fs.delete_file(info.path)
+            # orphan marker temp from a crash mid-commit (r10 #10) —
+            # but ONLY if its generation's sentinel is down: a raised
+            # sentinel means that export is between swap-start and
+            # commit-end and will move this temp momentarily
+            # (r11 review #2)
+            gen = base[len(".manifest-"):-len(".tmp")]
+            if f".swap_in_progress-{gen}" not in raised:
+                _drv_fs.delete_file(info.path)
         elif not info.is_file and base.startswith(".tar_staging"):
             if base == staging_name:
                 _drv_fs.delete_dir(info.path)  # our own, fully drained
@@ -450,26 +490,24 @@ def export_tar_shards(
                 # staged tars mid-write). Sweep only when it is
                 # plausibly dead: untouched for >= 1 h by its own
                 # files' mtimes; unknown mtimes leave it for the next
-                # run rather than risk a live racer's data.
-                import datetime as _dt
-
-                stamps = [
-                    fi.mtime
-                    for fi in _drv_fs.get_file_info(
+                # run rather than risk a live racer's data. ONE
+                # listing serves both the age check and the
+                # empty-husk check (r11 review #8).
+                inner_infos = list(
+                    _drv_fs.get_file_info(
                         _pafs.FileSelector(info.path, recursive=False)
                     )
-                    if fi.mtime is not None
+                )
+                stamps = [
+                    fi.mtime for fi in inner_infos if fi.mtime is not None
                 ]
-                now = _dt.datetime.now(_dt.timezone.utc)
                 if stamps and all(
                     (now - t.astimezone(_dt.timezone.utc)).total_seconds()
                     > 3600
                     for t in stamps
                 ):
                     _drv_fs.delete_dir(info.path)
-                elif not stamps and _drv_fs.get_file_info(
-                    _pafs.FileSelector(info.path, recursive=False)
-                ) == []:
+                elif not inner_infos:
                     _drv_fs.delete_dir(info.path)  # empty husk
     # commit: the marker exists IFF the swap completed; staged through
     # a temp name so readers never see a partial marker, then the
@@ -528,11 +566,22 @@ def read_tar_shards(
     import pyarrow.fs as pafs
 
     fs, inner = _tar_fs(path)
-    if fs.get_file_info(f"{inner}/.swap_in_progress").type == pafs.FileType.File:
+    listing = list(fs.get_file_info(pafs.FileSelector(inner, recursive=False)))
+    sentinels = [
+        i.path
+        for i in listing
+        if i.is_file
+        and i.path.rsplit("/", 1)[-1].startswith(".swap_in_progress")
+    ]
+    if sentinels:
+        # generation-suffixed since r11 (one per in-flight export); the
+        # bare name is the pre-r11 layout — ANY of them means a swap is
+        # in flight or crashed mid-way and the dir may mix generations
         raise FileNotFoundError(
-            f"{path} has a .swap_in_progress sentinel: an export swap "
-            "crashed mid-way and the directory may mix generations — "
-            "rerun the export to converge (interrupted swap)"
+            f"{path} has a swap-in-progress sentinel "
+            f"({sentinels[0].rsplit('/', 1)[-1]}): an export swap is "
+            "in flight or crashed mid-way and the directory may mix "
+            "generations — rerun the export to converge (interrupted swap)"
         )
     marker_info = fs.get_file_info(f"{inner}/_manifest.json")
     if marker_info.type == pafs.FileType.File:
@@ -548,9 +597,8 @@ def read_tar_shards(
                 )
             tars.append(tar_path)
     else:
-        infos = fs.get_file_info(pafs.FileSelector(inner, recursive=False))
         tars = sorted(
-            i.path for i in infos if i.is_file and i.path.endswith(".tar")
+            i.path for i in listing if i.is_file and i.path.endswith(".tar")
         )
     cols = dict(content_cols)
     fields = ", ".join(

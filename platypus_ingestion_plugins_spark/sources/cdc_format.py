@@ -39,7 +39,6 @@ Design notes (Spark-first, not a new engine):
 
 from __future__ import annotations
 
-import os
 from typing import Iterator
 
 from pyspark.sql.datasource import (
@@ -86,35 +85,55 @@ def _range_keep(lo, hi, filters) -> bool:
 
 
 def _split_path(path: str) -> str:
-    # local-path source of truth; object stores ride the pyarrow fs the
-    # rest of the package uses — the sugar targets the same layouts
-    # write_cdc_snapshot produces
     return path.rstrip("/")
 
 
+def _cdc_fs(path: str):
+    """(pyarrow FileSystem, fs-local path) — local or URI. The same
+    resolution the package's other drivers use (export._tar_fs): a
+    bare path is LocalFileSystem, ``scheme://...`` routes through
+    ``FileSystem.from_uri`` so ``format("cdc-table")`` works against
+    object stores too, and every file path handed to executors is
+    fs-local and re-resolved THERE from the original load path (r11
+    review #5 — the os.listdir layer silently confined the registered
+    format to driver-local paths with a raw FileNotFoundError)."""
+    import pyarrow.fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
 def _list_snapshot_dirs(path: str) -> list[tuple[int, str]]:
-    """[(snapshot_id, dir)] sorted by id; listing is metadata-only."""
+    """[(snapshot_id, fs-local dir)] sorted by id; metadata-only."""
+    import pyarrow.fs as pafs
+
+    fs, inner = _cdc_fs(path)
     out = []
-    for name in sorted(os.listdir(path)):
-        if name.startswith(f"{SNAPSHOT_COL}="):
-            full = os.path.join(path, name)
-            if os.path.isdir(full):
-                out.append((int(name.split("=", 1)[1]), full))
+    for info in fs.get_file_info(pafs.FileSelector(inner, recursive=False)):
+        name = info.path.rsplit("/", 1)[-1]
+        if not info.is_file and name.startswith(f"{SNAPSHOT_COL}="):
+            out.append((int(name.split("=", 1)[1]), info.path))
     out.sort()
     return out
 
 
-def _list_parquet_files(snap_dir: str) -> list[str]:
+def _list_parquet_files(path: str, snap_dir: str) -> list[str]:
+    """fs-local parquet paths under an fs-local snapshot dir; ``path``
+    is the original load path (carries the filesystem scheme)."""
+    import pyarrow.fs as pafs
+
+    fs, _ = _cdc_fs(path)
     return sorted(
-        os.path.join(snap_dir, f)
-        for f in os.listdir(snap_dir)
-        if f.endswith(".parquet")
+        info.path
+        for info in fs.get_file_info(pafs.FileSelector(snap_dir, recursive=False))
+        if info.is_file and info.path.endswith(".parquet")
     )
 
 
 def _first_data_file(path: str) -> str:
     for _snap, d in _list_snapshot_dirs(path):
-        files = _list_parquet_files(d)
+        files = _list_parquet_files(path, d)
         if files:
             return files[0]
     raise FileNotFoundError(
@@ -125,24 +144,13 @@ def _first_data_file(path: str) -> str:
 
 def _snapshot_pred(filters) -> "callable":
     """AND of pushed ``_snapshot`` comparisons as a Python predicate
-    applied to whole snapshot ids (dir granularity)."""
+    applied to whole snapshot ids (dir granularity). A single id is
+    the degenerate range [snap, snap], so this IS ``_range_keep`` —
+    one comparison dispatch, not two copies drifting apart (r11
+    review #7; the drift was real — the old copy read the
+    nonexistent ``In.values``)."""
     def pred(snap: int) -> bool:
-        for f in filters:
-            if isinstance(f, GreaterThan) and not snap > f.value:
-                return False
-            if isinstance(f, GreaterThanOrEqual) and not snap >= f.value:
-                return False
-            if isinstance(f, LessThan) and not snap < f.value:
-                return False
-            if isinstance(f, LessThanOrEqual) and not snap <= f.value:
-                return False
-            if isinstance(f, EqualTo) and snap != f.value:
-                return False
-            # In.value is the tuple of candidates (not .values) — a
-            # pushed ``_snapshot IN (...)`` crashed here before r11
-            if isinstance(f, In) and snap not in f.value:
-                return False
-        return True
+        return _range_keep(snap, snap, filters)
 
     return pred
 
@@ -195,7 +203,7 @@ class CdcTableReader(DataSourceReader):
                 continue  # incremental read: splits since the checkpoint
             if not pred(snap):
                 continue  # pushed-filter prune, listing time
-            for fp in _list_parquet_files(d):
+            for fp in _list_parquet_files(self.path, d):
                 parts.append(_FilePartition(fp, snap))
         # zero matching splits is a valid (empty) incremental read
         return parts or [_FilePartition("", -1)]
@@ -206,26 +214,30 @@ class CdcTableReader(DataSourceReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        if self.seq_hints:
-            pf = pq.ParquetFile(partition.file_path)
-            try:
-                seq_idx = pf.schema_arrow.names.index(SEQ_COL)
-            except ValueError:
-                seq_idx = -1  # no _seq column: nothing to prune on
-            keep = []
-            for rg in range(pf.metadata.num_row_groups):
-                lo = hi = None
-                if seq_idx >= 0:
-                    st = pf.metadata.row_group(rg).column(seq_idx).statistics
-                    if st is not None and st.has_min_max:
-                        lo, hi = st.min, st.max
-                if _range_keep(lo, hi, self.seq_hints):
-                    keep.append(rg)
-            if not keep:
-                return
-            table = pf.read_row_groups(keep)
-        else:
-            table = pq.read_table(partition.file_path)
+        # file paths are fs-local; re-resolve the filesystem HERE (this
+        # runs on an executor) from the original load path
+        fs, _ = _cdc_fs(self.path)
+        with fs.open_input_file(partition.file_path) as fh:
+            pf = pq.ParquetFile(fh)
+            if self.seq_hints:
+                try:
+                    seq_idx = pf.schema_arrow.names.index(SEQ_COL)
+                except ValueError:
+                    seq_idx = -1  # no _seq column: nothing to prune on
+                keep = []
+                for rg in range(pf.metadata.num_row_groups):
+                    lo = hi = None
+                    if seq_idx >= 0:
+                        st = pf.metadata.row_group(rg).column(seq_idx).statistics
+                        if st is not None and st.has_min_max:
+                            lo, hi = st.min, st.max
+                    if _range_keep(lo, hi, self.seq_hints):
+                        keep.append(rg)
+                if not keep:
+                    return
+                table = pf.read_row_groups(keep)
+            else:
+                table = pf.read()
         n = table.num_rows
         cols, fields = [], []
         for f in self.schema.fields:
@@ -256,12 +268,13 @@ class CdcTableStreamReader(SimpleDataSourceStreamReader):
     def _rows_between(self, lo: int, hi: int | None):
         import pyarrow.parquet as pq
 
+        fs, _ = _cdc_fs(self.path)
         names = [f.name for f in self.schema.fields]
         for snap, d in _list_snapshot_dirs(self.path):
             if snap <= lo or (hi is not None and snap > hi):
                 continue
-            for fp in _list_parquet_files(d):
-                tbl = pq.read_table(fp)
+            for fp in _list_parquet_files(self.path, d):
+                tbl = pq.read_table(fp, filesystem=fs)
                 data = tbl.to_pylist()
                 for row in data:
                     row[SNAPSHOT_COL] = snap
@@ -299,9 +312,11 @@ class CdcTableDataSource(DataSource):
         path = _split_path(self.options.get("path") or "")
         if not path:
             raise ValueError("cdc-table: .load(path) (or option 'path') required")
-        file_schema = from_arrow_schema(
-            pq.read_schema(_first_data_file(path)), prefer_timestamp_ntz=True
-        )
+        fs, _ = _cdc_fs(path)
+        with fs.open_input_file(_first_data_file(path)) as fh:
+            file_schema = from_arrow_schema(
+                pq.read_schema(fh), prefer_timestamp_ntz=True
+            )
         return StructType(
             list(file_schema.fields)
             + [StructField(SNAPSHOT_COL, LongType(), False)]

@@ -105,6 +105,16 @@ def main():
     ):
         build_sf1(spark)
 
+    # warm-up: run the whole cohort once UNTIMED at sf0.1 before any
+    # measurement (r11 review #9 — the old ordering ran sf0.1 on a
+    # cold JVM and sf1 fully warmed, so JIT/codegen/first-touch costs
+    # inflated the sf0.1 denominator and systematically DEFLATED
+    # scaling_factor_10x in the direction that flatters the
+    # at-or-below-linear conclusion this record exists to certify)
+    for q in COHORT:
+        qs[q](spark, SF01).count()
+        print(f"warmup {q}: done", flush=True)
+
     results = {}
     for sf_name, sf_dir in [("sf0.1", SF01), ("sf1", SF1)]:
         for q in COHORT:

@@ -2616,7 +2616,8 @@ def test_tar_export_commit_marker_and_staging_generations(spark, tmp_path):
     os.utime(f"{out}/.tar_staging-deadbeef0000/shard-00000.tar", (old, old))
     manifest = export_tar_shards(df, out, "doc_id", {"text": "txt"}, n_shards=2)
     assert not [n for n in os.listdir(out) if n.startswith(".tar_staging")]
-    assert not os.path.exists(f"{out}/.swap_in_progress")  # sentinel dropped
+    # sentinel dropped (generation-suffixed since r11)
+    assert not [n for n in os.listdir(out) if n.startswith(".swap_in_progress")]
     committed = json.load(open(f"{out}/_manifest.json"))
     assert committed["n_shards"] == 2
     assert {e["sha256"] for e in committed["shards"]} == {m.sha256 for m in manifest}
@@ -2652,6 +2653,59 @@ def test_tar_export_commit_marker_and_staging_generations(spark, tmp_path):
     # export): listing path
     back3 = read_tar_shards(spark, out, {"txt": "text"}, key_name="k")
     assert {int(r.k) for r in back3.collect()} == {r.doc_id for r in rows}
+
+
+def test_tar_swap_sentinel_per_generation_racer_safety(spark, tmp_path):
+    """r11 review #1/#2: sentinels are generation-suffixed, so a
+    completing export can never delete a concurrent racer's in-flight
+    crash protection; a LIVE racer's commit temp survives the sweep;
+    a STALE crashed sentinel (a permanent reader-blocker otherwise) is
+    cleared by the next successful export."""
+    import os
+    import time as _time
+
+    from platypus_ingestion_plugins_spark.operators.export import (
+        export_tar_shards,
+        read_tar_shards,
+    )
+
+    rows = [Row(doc_id=i, text=f"doc {i}") for i in range(10)]
+    df = spark.createDataFrame(rows)
+    out = str(tmp_path / "wds")
+    os.makedirs(out)
+    # a racer mid-commit: young generation-suffixed sentinel + its
+    # manifest temp, both fresh
+    with open(f"{out}/.swap_in_progress-racergen0001", "w") as f:
+        f.write("racergen0001")
+    with open(f"{out}/.manifest-racergen0001.tmp", "w") as f:
+        f.write("{}")
+
+    export_tar_shards(df, out, "doc_id", {"text": "txt"}, n_shards=2)
+    # the completing export kept the racer's sentinel AND its commit
+    # temp (the old shared-path sentinel was deleted here; the old
+    # sweep deleted the temp unconditionally)
+    names = set(os.listdir(out))
+    assert ".swap_in_progress-racergen0001" in names
+    assert ".manifest-racergen0001.tmp" in names
+    # no sentinel of OUR OWN left behind
+    assert [n for n in names if n.startswith(".swap_in_progress")] == [
+        ".swap_in_progress-racergen0001"
+    ]
+    # the racer's sentinel is still up -> the dir is not yet readable
+    with pytest.raises(FileNotFoundError, match="interrupted swap"):
+        read_tar_shards(spark, out, {"txt": "text"})
+
+    # the racer actually crashed: 2h later its sentinel is provably
+    # dead -> the next export clears it and (its sentinel now down)
+    # sweeps the orphan temp; the dir becomes readable again
+    old = _time.time() - 7200
+    os.utime(f"{out}/.swap_in_progress-racergen0001", (old, old))
+    export_tar_shards(df, out, "doc_id", {"text": "txt"}, n_shards=2)
+    names = set(os.listdir(out))
+    assert not [n for n in names if n.startswith(".swap_in_progress")]
+    assert ".manifest-racergen0001.tmp" not in names
+    back = read_tar_shards(spark, out, {"txt": "text"}, key_name="k")
+    assert {int(r.k) for r in back.collect()} == {r.doc_id for r in rows}
 
 
 def test_line_count_pruned_read_excludes_inflight_epoch(spark, tmp_path):
@@ -2782,6 +2836,31 @@ def test_semdedup_max_cluster_size_skew_guard(spark):
         emb, threshold=0.99, clusters=cl, max_cluster_size=10
     ).count()
     assert kept_km >= n  # the hot kmeans cell is exempt as well
+
+
+def test_contaminated_embeddings_dim_mismatch_fails_loud(spark):
+    """r11 review #6: screening a 64-dim corpus against a 128-dim
+    benchmark set (wrong model/column) must FAIL, not silently report
+    zero contamination; NULL vectors on either side stay non-errors."""
+    import pyspark.sql.types as T
+
+    from platypus_ingestion_plugins_spark.operators.decontam import (
+        contaminated_embeddings,
+    )
+
+    c = spark.createDataFrame([Row(vec_id=1, embedding=[1.0] * 64)])
+    b_ok = spark.createDataFrame([Row(vec_id=2, embedding=[1.0] * 64)])
+    b_bad = spark.createDataFrame([Row(vec_id=3, embedding=[1.0] * 128)])
+    assert contaminated_embeddings(c, b_ok, threshold=0.5, dim=64).count() == 1
+    for kw in ({}, {"bits": 0}):
+        with pytest.raises(Exception, match="vector dim"):
+            contaminated_embeddings(c, b_bad, threshold=0.5, **kw).count()
+    vec_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    c_null = spark.createDataFrame([(4, None)], vec_schema)
+    assert contaminated_embeddings(c_null, b_ok, threshold=0.5).count() == 0
 
 
 def test_contaminated_embeddings_exact_superset_of_banded(spark):
