@@ -1480,6 +1480,38 @@ SELECT doc_id, text, lang FROM documents
 """
 
 
+def q_avro_roundtrip(spark, sf):
+    """Avro OCF shard export + block-split read-back under the oracle
+    (sources/avro_ocf.export_avro_ocf/read_avro_ocf — NEW r11, closing
+    the export matrix: JSONL and tar already round-tripped, OCF was
+    read-only): the corpus lands as sync-delimited OCF shards in
+    deterministic permutation order (streamed per-task blocks, no
+    in-memory file image) and the ranged block-split reader must
+    reproduce every (doc_id, text, lang) exactly."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.sources.avro_ocf import (
+        export_avro_ocf,
+        read_avro_ocf,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    work = _stream_scratch("avro_exp_")
+    out = os.path.join(work, "ocf")
+    try:
+        export_avro_ocf(docs, out, "doc_id", n_shards=8)
+        _keep_until_exit(work, keep=out)
+        return read_avro_ocf(spark, out)
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+
+
+SQL_AVRO_ROUNDTRIP = """
+SELECT doc_id, text, lang FROM documents
+"""
+
+
 def q_tar_roundtrip(spark, sf):
     """WebDataset-style tar shard export + streaming read-back under
     the oracle (operators/export.export_tar_shards/read_tar_shards):
@@ -4141,7 +4173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the driver caps each round's oracle sweep at 50 entries, so dict
     # order IS verification priority — r11 rotation, VERDICT r10 task
     # #1, dict comments cross-checked against CORRECTNESS_r08/r09/r10):
-    #   0. NEW this round (never driver-verified): semdedup_kmeans,
+    #   0. NEW this round (never driver-verified): semdedup_kmeans +
+    #      avro_roundtrip,
     #   1. the seven entries last green in CORRECTNESS_r08 — two rounds
     #      stale, the verdict's explicit lead list. This includes
     #      multimodal_external_meta, which the r10 comment mis-filed as
@@ -4149,12 +4182,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      driver green is r8.
     #   2. the 49 entries last green in CORRECTNESS_r09 (the r9 sweep
     #      minus fuzzy_join, which r10 re-verified under its new
-    #      leading-typo oracle), in r9 file order. Sections 0-2 = 57,
-    #      so the 50-cap verifies section 0+1 and the first 42 of the
-    #      r9 cohort; the LAST SEVEN r9 entries (line_dedup,
-    #      top_terms_per_group, hashed_bow_embedding, stream_line_dedup,
-    #      bow_knn, quality_autocalibrated_filter + the section-2 tail
-    #      pipeline_clean_corpus) are DEFERRED and must lead r12.
+    #      leading-typo oracle), in r9 file order. Sections 0-2 = 58,
+    #      so the 50-cap verifies section 0+1 and the first 41 of the
+    #      r9 cohort; the LAST EIGHT r9 entries (multivalued_contains,
+    #      pipeline_clean_corpus, line_dedup, top_terms_per_group,
+    #      hashed_bow_embedding, stream_line_dedup, bow_knn,
+    #      quality_autocalibrated_filter) are DEFERRED and must lead
+    #      r12.
     #      serving_compact / stream_cdc_materialize /
     #      stream_agg_materialize sit in this section AND had their
     #      harness prep changed this round (_median_split evaluates the
@@ -4165,8 +4199,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      (freshest last). semdedup_keep gained the max_cluster_size
     #      param this round with default None = unchanged semantics.
     return {
-        # 0. NEW this round
+        # 0. NEW this round (avro_roundtrip displaces one more r9-tail
+        # entry below the cap: first 41 of the r9 cohort make the sweep)
         "semdedup_kmeans": q_semdedup_kmeans,
+        "avro_roundtrip": q_avro_roundtrip,
         # 1. last green r8 — two rounds stale, lead the sweep
         "window_topk_per_group": q_window_topk_per_group,
         "heavy_hitters_sketch": q_heavy_hitters_sketch,
@@ -4217,9 +4253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_phrase": q_fulltext_phrase,
         "term_prefix": q_term_prefix,
         "hit_count": q_hit_count,
+        # --- the r11 50-cap lands here (2 new + 7 r8 + first 41 of
+        # --- r9); everything below is deferred and must LEAD r12
         "multivalued_contains": q_multivalued_contains,
-        # --- the r11 50-cap lands here (1 new + 7 r8 + first 42 of r9)
-        # --- everything below is deferred: the r9 tail must LEAD r12
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "line_dedup": q_line_dedup,
         "top_terms_per_group": q_top_terms_per_group,
@@ -4375,6 +4411,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_decontam": SQL_EMBEDDING_DECONTAM,
         "semdedup_keep": SQL_SEMDEDUP_KEEP,
         "semdedup_kmeans": SQL_SEMDEDUP_KMEANS,
+        "avro_roundtrip": SQL_AVRO_ROUNDTRIP,
         "text_stats": SQL_TEXT_STATS,
         "text_language_id": SQL_TEXT_LANGUAGE_ID,
         "text_quality_filter": SQL_TEXT_QUALITY_FILTER,

@@ -121,6 +121,214 @@ def write_ocf(
     return bytes(out)
 
 
+def spark_schema_to_avro(schema, name: str = "row") -> dict:
+    """Spark StructType -> Avro record schema (the inverse of
+    ``avro_to_spark_type``, over the types ``_encode_value`` can
+    frame). Every field is the nullable union ``["null", t]`` — the
+    decode side surfaces everything nullable anyway, and it spares
+    callers a per-column nullability audit. Unsupported Spark types
+    (timestamps, decimals) raise with a cast hint instead of writing a
+    file another reader can't interpret."""
+    import pyspark.sql.types as T
+
+    def conv(dt, field_name):
+        if isinstance(dt, T.StructType):
+            return {
+                "type": "record",
+                "name": f"{name}_{field_name}",
+                "fields": [
+                    {"name": f.name, "type": ["null", conv(f.dataType, f"{field_name}_{f.name}")]}
+                    for f in dt.fields
+                ],
+            }
+        if isinstance(dt, T.ArrayType):
+            return {"type": "array", "items": ["null", conv(dt.elementType, field_name)]}
+        if isinstance(dt, T.MapType):
+            if not isinstance(dt.keyType, T.StringType):
+                raise ValueError("Avro maps require string keys")
+            return {"type": "map", "values": ["null", conv(dt.valueType, field_name)]}
+        simple = {
+            T.LongType: "long", T.IntegerType: "int", T.ShortType: "int",
+            T.ByteType: "int", T.DoubleType: "double", T.FloatType: "float",
+            T.StringType: "string", T.BooleanType: "boolean",
+            T.BinaryType: "bytes",
+        }
+        for st, avro_t in simple.items():
+            if isinstance(dt, st):
+                return avro_t
+        raise ValueError(
+            f"no Avro mapping for Spark type {dt.simpleString()} "
+            f"(column {field_name!r}) — cast it first (timestamps: "
+            "unix_micros(...).cast('long'); decimals: cast('double') "
+            "or cast('string'))"
+        )
+
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": ["null", conv(f.dataType, f.name)]}
+            for f in schema.fields
+        ],
+    }
+
+
+def _pyify(v):
+    """Arrow/pandas scalar -> the plain-Python value _encode_value
+    frames (numpy scalars unbox, ndarrays list-ify, NaN -> None)."""
+    import numpy as np
+
+    if v is None or v is False or v is True:
+        return v
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float) and v != v:  # NaN cell = missing
+        return None
+    if isinstance(v, np.ndarray):
+        return [_pyify(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_pyify(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _pyify(x) for k, x in v.items()}
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
+def export_avro_ocf(
+    df: DataFrame,
+    out_path: str,
+    key: str,
+    n_shards: int,
+    salt: str = "shuffle",
+    codec: str = "null",
+    records_per_block: int = 1000,
+) -> list:
+    """Write the corpus as Avro OCF shards —
+    ``out_path/part-00000.avro`` .. — the container the block-split
+    reader (``read_avro_ocf``) and every Avro-speaking warehouse tool
+    consume. Completes the export matrix: JSONL and tar have both
+    directions; OCF was read-only before r11.
+
+    Scale shape mirrors ``export_tar_shards``: the deterministic
+    shuffle assigns (shard, order) as a codegen projection,
+    ``repartition(n_shards, shard)`` gives each task exactly one shard,
+    and the task STREAMS its partition into sync-delimited blocks of
+    ``records_per_block`` through one pyarrow output stream — no
+    in-memory file image, no driver data; executors re-resolve the
+    filesystem from ``out_path`` so object stores work. Rows within a
+    shard land in the deterministic permutation order, so reruns are
+    byte-identical (the writer sync marker is fixed) and the returned
+    manifest (shard, path, n_records) is stable. Each task writes a
+    ``.inprogress`` temp renamed on completion — a crashed task
+    attempt never leaves a readable half-file behind (the reader
+    globs ``*.avro``).
+
+    Blocks are the unit of read parallelism AND compression
+    (``codec="deflate"`` compresses per block), so
+    ``records_per_block`` trades split granularity against framing
+    overhead — 1000 matches the reference's batch-size defaults.
+
+    Binary columns frame as Avro ``bytes`` on disk; NOTE that
+    ``read_avro_ocf`` surfaces them as HEX STRINGS (its JSON-bridge
+    contract, ``avro_decode.avro_to_spark_type``) — unhexlify on read
+    if you need BinaryType back."""
+    from platypus_ingestion_plugins_spark.operators.export import (
+        ORDER_COL,
+        shuffle_assign,
+    )
+
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported OCF codec: {codec}")
+    schema = spark_schema_to_avro(df.schema)
+    schema_bytes = json.dumps(schema).encode()
+    cols = list(df.columns)
+    assigned = (
+        shuffle_assign(df, key, n_shards, salt)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", ORDER_COL, key)
+    )
+    out_schema = "shard long, path string, n_records long"
+
+    def write_shards(batches):
+        import pandas as pd
+
+        meta = {"avro.schema": schema_bytes, "avro.codec": codec.encode()}
+        header = bytearray(MAGIC)
+        from .avro_decode import _encode_long
+
+        header += _encode_long(len(meta))
+        for k, v in sorted(meta.items()):
+            kb = k.encode()
+            header += _encode_long(len(kb)) + kb + _encode_long(len(v)) + v
+        header += _encode_long(0)
+        header += _SYNC
+
+        fs = None
+        inner = None
+        state = {"shard": None, "out": None, "tmp": None, "buf": [], "n": 0}
+        manifest = []
+
+        def flush_block():
+            if not state["buf"]:
+                return
+            body = b"".join(
+                encode_record(rec, schema) for rec in state["buf"]
+            )
+            if codec == "deflate":
+                comp = zlib.compressobj(wbits=-15)
+                body = comp.compress(body) + comp.flush()
+            state["out"].write(
+                _encode_long(len(state["buf"])) + _encode_long(len(body))
+                + body + _SYNC
+            )
+            state["buf"] = []
+
+        def close_current():
+            if state["out"] is None:
+                return None
+            flush_block()
+            state["out"].close()
+            final = f"{inner}/part-{state['shard']:05d}.avro"
+            info = fs.get_file_info(final)
+            import pyarrow.fs as pafs
+
+            if info.type != pafs.FileType.NotFound:
+                fs.delete_file(final)  # task retry overwrites
+            fs.move(state["tmp"], final)
+            rec = (int(state["shard"]), final, int(state["n"]))
+            state.update(shard=None, out=None, tmp=None, n=0)
+            return rec
+
+        for pdf in batches:
+            # to_dict, not itertuples: namedtuples rename
+            # underscore-leading columns (_seq, _row_kind) positionally
+            for d in pdf.to_dict("records"):
+                shard = int(d["shard"])
+                if shard != state["shard"]:
+                    done = close_current()
+                    if done:
+                        manifest.append(done)
+                    if fs is None:
+                        fs, inner = _open_fs(out_path)
+                        fs.create_dir(inner, recursive=True)
+                    tmp = f"{inner}/part-{shard:05d}.avro.inprogress"
+                    out = fs.open_output_stream(tmp)
+                    out.write(bytes(header))
+                    state.update(shard=shard, out=out, tmp=tmp, buf=[], n=0)
+                state["buf"].append({c: _pyify(d[c]) for c in cols})
+                state["n"] += 1
+                if len(state["buf"]) >= records_per_block:
+                    flush_block()
+        done = close_current()
+        if done:
+            manifest.append(done)
+        if manifest:
+            yield pd.DataFrame(manifest, columns=["shard", "path", "n_records"])
+
+    return assigned.mapInPandas(write_shards, out_schema).collect()
+
+
 def _open_fs(path: str):
     """(pyarrow FileSystem, fs-local path) for a URI or local path."""
     import pyarrow.fs as pafs

@@ -1087,3 +1087,60 @@ def test_avro_ocf_block_range_ownership_property(tmp_path):
         assert got == recs, (n_records, per_block, codec, bounds)
 
     check()
+
+
+def test_export_avro_ocf_distributed_roundtrip(spark, tmp_path):
+    """NEW r11: the DISTRIBUTED OCF writer (one streamed shard file
+    per task, deterministic shuffle order) closes the export matrix.
+    Round trip through the block-split reader, byte-determinism across
+    reruns, nested/array/null lattice, deflate blocks, and the
+    .inprogress temp contract (no readable half-files)."""
+    import hashlib
+    import os
+
+    from pyspark.sql import Row
+
+    from platypus_ingestion_plugins_spark.sources.avro_ocf import (
+        export_avro_ocf,
+        read_avro_ocf,
+        spark_schema_to_avro,
+    )
+
+    rows = [
+        Row(_seq=i, name=f"n{i}" if i % 3 else None,
+            vec=[float(i), i + 0.5], meta=Row(k=f"k{i}", n=i))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows)
+    out = str(tmp_path / "ocf")
+    manifest = export_avro_ocf(
+        df, out, "_seq", n_shards=4, codec="deflate", records_per_block=5
+    )
+    assert sorted(m.shard for m in manifest) == list(range(4))
+    assert sum(m.n_records for m in manifest) == 30
+    # no temp files left behind; exactly the manifest's files exist
+    names = sorted(os.listdir(out))
+    assert names == [f"part-{i:05d}.avro" for i in range(4)]
+    back = read_avro_ocf(spark, out)
+    got = sorted(
+        (r._seq, r.name, tuple(r.vec), r.meta.k, r.meta.n)
+        for r in back.collect()
+    )
+    want = sorted(
+        (r._seq, r.name, tuple(r.vec), r.meta.k, r.meta.n) for r in rows
+    )
+    assert got == want
+    # rerun -> byte-identical shards (fixed sync marker, deterministic
+    # permutation order)
+    h1 = {n: hashlib.sha256(open(f"{out}/{n}", "rb").read()).hexdigest() for n in names}
+    export_avro_ocf(
+        df, out, "_seq", n_shards=4, codec="deflate", records_per_block=5
+    )
+    h2 = {n: hashlib.sha256(open(f"{out}/{n}", "rb").read()).hexdigest() for n in names}
+    assert h1 == h2
+    # unsupported types fail loudly with a cast hint
+    import pytest as _pytest
+
+    ts = spark.sql("SELECT current_timestamp() AS t, 1 AS k")
+    with _pytest.raises(ValueError, match="cast"):
+        spark_schema_to_avro(ts.schema)
