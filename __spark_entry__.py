@@ -1480,6 +1480,36 @@ SELECT doc_id, text, lang FROM documents
 """
 
 
+def q_budget_select(spark, sf):
+    """Token-budget selection (functions/sampling.select_token_budget —
+    NEW r11): per-language 50k-char budgets filled in quality-priority
+    order (priority = n_chars desc here, ties -> doc_id) with the
+    strict-prefix contract — a row is kept iff its inclusive running
+    token sum fits, so the selection is a pure window predicate the
+    oracle replays exactly. The global (by=None) variant runs the
+    two-phase bucketed selection (no single-reducer window) and is
+    covered by the brute-force equivalence test."""
+    from platypus_ingestion_plugins_spark.functions.sampling import (
+        select_token_budget,
+    )
+
+    d = _t(spark, sf, "documents")
+    return select_token_budget(
+        d, "doc_id", "n_chars", 50_000, by="lang", priority_col="n_chars"
+    ).select("doc_id", "lang", "n_chars")
+
+
+SQL_BUDGET_SELECT = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents)
+WHERE cum <= 50000
+"""
+
+
 def q_avro_roundtrip(spark, sf):
     """Avro OCF shard export + block-split read-back under the oracle
     (sources/avro_ocf.export_avro_ocf/read_avro_ocf — NEW r11, closing
@@ -4173,8 +4203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the driver caps each round's oracle sweep at 50 entries, so dict
     # order IS verification priority — r11 rotation, VERDICT r10 task
     # #1, dict comments cross-checked against CORRECTNESS_r08/r09/r10):
-    #   0. NEW this round (never driver-verified): semdedup_kmeans +
-    #      avro_roundtrip,
+    #   0. NEW this round (never driver-verified): semdedup_kmeans,
+    #      avro_roundtrip, budget_select,
     #   1. the seven entries last green in CORRECTNESS_r08 — two rounds
     #      stale, the verdict's explicit lead list. This includes
     #      multimodal_external_meta, which the r10 comment mis-filed as
@@ -4182,13 +4212,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      driver green is r8.
     #   2. the 49 entries last green in CORRECTNESS_r09 (the r9 sweep
     #      minus fuzzy_join, which r10 re-verified under its new
-    #      leading-typo oracle), in r9 file order. Sections 0-2 = 58,
-    #      so the 50-cap verifies section 0+1 and the first 41 of the
-    #      r9 cohort; the LAST EIGHT r9 entries (multivalued_contains,
-    #      pipeline_clean_corpus, line_dedup, top_terms_per_group,
-    #      hashed_bow_embedding, stream_line_dedup, bow_knn,
-    #      quality_autocalibrated_filter) are DEFERRED and must lead
-    #      r12.
+    #      leading-typo oracle), in r9 file order. Sections 0-2 = 59,
+    #      so the 50-cap verifies section 0+1 and the first 40 of the
+    #      r9 cohort; the LAST NINE r9 entries (hit_count,
+    #      multivalued_contains, pipeline_clean_corpus, line_dedup,
+    #      top_terms_per_group, hashed_bow_embedding,
+    #      stream_line_dedup, bow_knn, quality_autocalibrated_filter)
+    #      are DEFERRED and must lead r12.
     #      serving_compact / stream_cdc_materialize /
     #      stream_agg_materialize sit in this section AND had their
     #      harness prep changed this round (_median_split evaluates the
@@ -4203,6 +4233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entry below the cap: first 41 of the r9 cohort make the sweep)
         "semdedup_kmeans": q_semdedup_kmeans,
         "avro_roundtrip": q_avro_roundtrip,
+        "budget_select": q_budget_select,
         # 1. last green r8 — two rounds stale, lead the sweep
         "window_topk_per_group": q_window_topk_per_group,
         "heavy_hitters_sketch": q_heavy_hitters_sketch,
@@ -4252,9 +4283,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_bm25": q_fulltext_bm25,
         "fulltext_phrase": q_fulltext_phrase,
         "term_prefix": q_term_prefix,
-        "hit_count": q_hit_count,
-        # --- the r11 50-cap lands here (2 new + 7 r8 + first 41 of
+        # --- the r11 50-cap lands here (3 new + 7 r8 + first 40 of
         # --- r9); everything below is deferred and must LEAD r12
+        "hit_count": q_hit_count,
         "multivalued_contains": q_multivalued_contains,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "line_dedup": q_line_dedup,
@@ -4412,6 +4443,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_keep": SQL_SEMDEDUP_KEEP,
         "semdedup_kmeans": SQL_SEMDEDUP_KMEANS,
         "avro_roundtrip": SQL_AVRO_ROUNDTRIP,
+        "budget_select": SQL_BUDGET_SELECT,
         "text_stats": SQL_TEXT_STATS,
         "text_language_id": SQL_TEXT_LANGUAGE_ID,
         "text_quality_filter": SQL_TEXT_QUALITY_FILTER,

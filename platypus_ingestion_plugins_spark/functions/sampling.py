@@ -161,3 +161,122 @@ def temperature_mix(
         .filter(unit_hash(key, salt) < F.col("__rate"))
         .drop("__stratum", "__rate")
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    key: str,
+    token_col: str,
+    budget: int,
+    by: str | None = None,
+    priority_col: str | None = None,
+    salt: str = "budget",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Fill a token budget with the highest-priority rows — the
+    "select N tokens of training data" step every mix spec ends in.
+    Rows are taken in (priority desc, key asc) order (total order —
+    ``key`` breaks ties deterministically); without ``priority_col``
+    the order is the deterministic ``unit_hash`` permutation (a
+    reproducible random fill, same family as ``deterministic_sample``).
+    A row is KEPT iff its inclusive running token sum is <= ``budget``
+    (hard cap: the selection never exceeds the budget; the boundary
+    document that would cross it is dropped). Columns pass through.
+
+    Scale shape — the naive form is one global-ORDER-BY window, i.e.
+    every row through ONE reducer; at corpus scale that task is the
+    job. Instead:
+
+    * ``by`` given: the budget applies PER GROUP and the running sum
+      is a partitioned window — shuffle by group key, parallel across
+      groups, no global order. The right call for per-domain /
+      per-language budgets (compose with ``temperature_mix`` shares).
+    * global (``by=None``): two-phase bucketed selection. Rows land in
+      ``buckets`` priority-ordered buckets (hash order: uniform
+      ``floor(u*B)``; priority order: broadcast approx_percentile
+      split points — bucketing only needs to be deterministic and
+      order-respecting, exactness stays with phase 2). One bounded
+      aggregate sums tokens per bucket; the driver prefix-sums B rows
+      to find the CUT bucket; better buckets keep wholesale as a
+      filter, and only the cut bucket's ~1/B of the corpus pays a
+      window — partitioned by bucket, so still no global exchange.
+
+    Determinism caveat (global + ``priority_col``): the split points
+    come from ``approx_percentile``, so the BUCKETING of a given run
+    is data-dependent; the SELECTED SET is still exactly the
+    (priority desc, key) prefix fitting the budget — split points only
+    decide which rows take the fine-window path, not the outcome —
+    except that rows tied on priority ACROSS a split boundary share a
+    bucket by construction (``s < p`` comparison), keeping the within-
+    priority key order intact."""
+    from pyspark.sql.window import Window
+
+    tok = F.col(token_col).cast("long")
+    if by is not None:
+        order = (
+            [F.col(priority_col).desc(), F.col(key)]
+            if priority_col
+            else [unit_hash(key, salt), F.col(key)]
+        )
+        w = (
+            Window.partitionBy(by)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            df.withColumn("__cum", F.sum(tok).over(w))
+            .filter(F.col("__cum") <= budget)
+            .drop("__cum")
+        )
+
+    if priority_col is None:
+        u = unit_hash(key, salt)
+        # ascending bucket id = selection order (hash order has no
+        # better/worse, just a fixed permutation)
+        bucket = F.least(F.floor(u * buckets), F.lit(buckets - 1)).cast("int")
+        order_in_bucket = [u, F.col(key)]
+        bucket_sel_order = range(buckets)  # take buckets 0,1,2,...
+    else:
+        p = F.col(priority_col).cast("double")
+        qs = [i / buckets for i in range(1, buckets)]
+        splits = df.agg(
+            F.percentile_approx(p, F.array(*[F.lit(q) for q in qs]), 10_000)
+        ).collect()[0][0] or []
+        lit_splits = F.array(*[F.lit(float(s)) for s in splits])
+        # strict '<' puts priority values equal to a split point in the
+        # HIGHER bucket with their ties; id B-1 = highest priorities
+        bucket = F.size(F.filter(lit_splits, lambda s: s < p)).cast("int")
+        order_in_bucket = [p.desc(), F.col(key)]
+        bucket_sel_order = range(buckets - 1, -1, -1)  # best first
+
+    tagged = df.withColumn("__b", bucket)
+    per_bucket = {
+        r["__b"]: r["__t"]
+        for r in tagged.groupBy("__b").agg(F.sum(tok).alias("__t")).collect()
+    }
+    spent = 0
+    full, cut = [], None
+    for b in bucket_sel_order:
+        t = per_bucket.get(b, 0) or 0
+        if spent + t <= budget:
+            full.append(b)
+            spent += t
+        else:
+            cut = b
+            break
+    keep_full = tagged.filter(F.col("__b").isin(full)) if full else None
+    if cut is None:
+        return keep_full.drop("__b") if keep_full is not None else df.limit(0)
+    w = (
+        Window.partitionBy("__b")
+        .orderBy(*order_in_bucket)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fine = (
+        tagged.filter(F.col("__b") == cut)
+        .withColumn("__cum", F.sum(tok).over(w))
+        .filter(F.col("__cum") <= budget - spent)
+        .drop("__cum")
+    )
+    out = fine if keep_full is None else keep_full.unionByName(fine)
+    return out.drop("__b")

@@ -266,19 +266,29 @@ class CdcTableStreamReader(SimpleDataSourceStreamReader):
         return {"snapshot": self.start_snapshot}
 
     def _rows_between(self, lo: int, hi: int | None):
+        # driver-side by the simple-reader protocol (documented trade
+        # for control-plane-sized drops; heavy topics go through
+        # streaming/pipeline.py) — but COLUMNAR within that: a pruned
+        # read of exactly the schema's columns, one to_pylist per
+        # COLUMN, rows assembled by zip. The old per-row to_pylist
+        # built a dict per row (r10 verdict caveat).
         import pyarrow.parquet as pq
 
         fs, _ = _cdc_fs(self.path)
         names = [f.name for f in self.schema.fields]
+        file_cols = [n for n in names if n != SNAPSHOT_COL]
         for snap, d in _list_snapshot_dirs(self.path):
             if snap <= lo or (hi is not None and snap > hi):
                 continue
             for fp in _list_parquet_files(self.path, d):
-                tbl = pq.read_table(fp, filesystem=fs)
-                data = tbl.to_pylist()
-                for row in data:
-                    row[SNAPSHOT_COL] = snap
-                    yield tuple(row[n] for n in names)
+                tbl = pq.read_table(fp, filesystem=fs, columns=file_cols)
+                cols = [
+                    [snap] * tbl.num_rows
+                    if n == SNAPSHOT_COL
+                    else tbl.column(n).to_pylist()
+                    for n in names
+                ]
+                yield from zip(*cols)
 
     def read(self, start: dict):
         snaps = [s for s, _ in _list_snapshot_dirs(self.path)]

@@ -58,6 +58,9 @@ HEADLINE = [
     "dedup_survivors",
     "top_terms_per_group",
     "hashed_bow_embedding",
+    # r11 additions
+    "budget_select",
+    "semdedup_keep",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.

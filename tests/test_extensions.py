@@ -2893,3 +2893,71 @@ def test_contaminated_embeddings_exact_superset_of_banded(spark):
         ).collect()
     }
     assert banded <= set(exact)
+
+
+def test_select_token_budget_all_paths_match_brute_force(spark):
+    """NEW r11: budget-capped selection. The per-group window path and
+    BOTH global two-phase bucketed paths (hash order / priority order)
+    must reproduce the brute-force prefix exactly — the bucketing is
+    an execution detail, never a semantics change."""
+    import hashlib
+
+    from platypus_ingestion_plugins_spark.functions.sampling import (
+        select_token_budget,
+        unit_hash,
+    )
+
+    rows = [
+        Row(doc_id=i, grp=f"g{i % 3}", toks=(i * 37) % 90 + 10,
+            score=float((i * 53) % 100))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows)
+
+    # brute-force reference: the PREFIX fitting the budget (cumsum is
+    # monotone, so the first crossing row ends the selection — greedy
+    # skip-and-continue would be a knapsack, a different contract)
+    def brute(rs, order_key, budget):
+        out, spent = [], 0
+        for r in sorted(rs, key=order_key):
+            if spent + r.toks > budget:
+                break
+            out.append(r.doc_id)
+            spent += r.toks
+        return sorted(out)
+
+    # 1. per-group, priority order
+    got = select_token_budget(
+        df, "doc_id", "toks", 500, by="grp", priority_col="score"
+    )
+    for g in ("g0", "g1", "g2"):
+        want = brute(
+            [r for r in rows if r.grp == g], lambda r: (-r.score, r.doc_id), 500
+        )
+        assert sorted(r.doc_id for r in got.collect() if r.grp == g) == want
+    # 2. global, priority order (two-phase quantile buckets; tiny
+    # bucket count stresses the cut-bucket fine path)
+    got2 = sorted(
+        r.doc_id
+        for r in select_token_budget(
+            df, "doc_id", "toks", 2000, priority_col="score", buckets=4
+        ).collect()
+    )
+    assert got2 == brute(rows, lambda r: (-r.score, r.doc_id), 2000)
+    # 3. global, hash order — emulate with the engine's own u values
+    u = {
+        r.doc_id: r.u
+        for r in df.select("doc_id", unit_hash("doc_id", "budget").alias("u")).collect()
+    }
+    got3 = sorted(
+        r.doc_id
+        for r in select_token_budget(
+            df, "doc_id", "toks", 2000, buckets=8
+        ).collect()
+    )
+    assert got3 == brute(rows, lambda r: (u[r.doc_id], r.doc_id), 2000)
+    # hard cap: never exceeds the budget
+    tot = sum(r.toks for r in rows if r.doc_id in set(got2))
+    assert tot <= 2000
+    # degenerate: budget smaller than every row -> empty
+    assert select_token_budget(df, "doc_id", "toks", 5).count() == 0
