@@ -1480,6 +1480,47 @@ SELECT doc_id, text, lang FROM documents
 """
 
 
+def q_exact_substring_dedup(spark, sf):
+    """ExactSubstr dedup (operators/dedup.mask_repeated_spans — NEW
+    r11; Lee et al. 2022 arXiv:2107.06499): every token covered by an
+    8-token window occurring >= 2 times corpus-wide is dropped; docs
+    shorter than 8 tokens pass through whitespace-normalized. The
+    oracle replays the identical hot-window coverage and ordered
+    reassembly (1015 hot grams / 47 covered docs at sf0.01 — the
+    near-dup fixture families carry real shared spans)."""
+    return dedup.mask_repeated_spans(
+        _t(spark, sf, "documents"), "text", "doc_id", k=8
+    ).select("doc_id", "text_deduped")
+
+
+SQL_EXACT_SUBSTRING_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents),
+longd AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 8),
+pos AS (SELECT doc_id, t, unnest(generate_series(1, n - 7)) AS i FROM longd),
+grams AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS g FROM pos),
+hot AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+hs AS (SELECT doc_id, i FROM grams JOIN hot USING (g)),
+tp AS (
+  SELECT doc_id, unnest(generate_series(1, n)) AS p, t FROM longd),
+tokpos AS (SELECT doc_id, p, t[p] AS tok FROM tp),
+keep AS (
+  SELECT doc_id, p, tok FROM tokpos
+  WHERE NOT EXISTS (
+    SELECT 1 FROM hs
+    WHERE hs.doc_id = tokpos.doc_id AND hs.i BETWEEN tokpos.p - 7 AND tokpos.p)),
+clean_long AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean FROM keep GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN len(tk.t) >= 8 THEN coalesce(cl.clean, '')
+            ELSE array_to_string(tk.t, ' ') END AS text_deduped
+FROM documents d
+JOIN toks tk USING (doc_id)
+LEFT JOIN clean_long cl USING (doc_id)
+"""
+
+
 def q_budget_select(spark, sf):
     """Token-budget selection (functions/sampling.select_token_budget —
     NEW r11): per-language 50k-char budgets filled in quality-priority
@@ -4204,7 +4245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order IS verification priority — r11 rotation, VERDICT r10 task
     # #1, dict comments cross-checked against CORRECTNESS_r08/r09/r10):
     #   0. NEW this round (never driver-verified): semdedup_kmeans,
-    #      avro_roundtrip, budget_select,
+    #      avro_roundtrip, budget_select, exact_substring_dedup,
     #   1. the seven entries last green in CORRECTNESS_r08 — two rounds
     #      stale, the verdict's explicit lead list. This includes
     #      multimodal_external_meta, which the r10 comment mis-filed as
@@ -4212,13 +4253,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      driver green is r8.
     #   2. the 49 entries last green in CORRECTNESS_r09 (the r9 sweep
     #      minus fuzzy_join, which r10 re-verified under its new
-    #      leading-typo oracle), in r9 file order. Sections 0-2 = 59,
-    #      so the 50-cap verifies section 0+1 and the first 40 of the
-    #      r9 cohort; the LAST NINE r9 entries (hit_count,
+    #      leading-typo oracle), in r9 file order. Sections 0-2 = 60,
+    #      so the 50-cap verifies section 0+1 and the first 39 of the
+    #      r9 cohort; the LAST TEN r9 entries (term_prefix, hit_count,
     #      multivalued_contains, pipeline_clean_corpus, line_dedup,
     #      top_terms_per_group, hashed_bow_embedding,
     #      stream_line_dedup, bow_knn, quality_autocalibrated_filter)
-    #      are DEFERRED and must lead r12.
+    #      are DEFERRED and must lead r12. All ten were re-verified
+    #      green by targeted check_oracle runs this round (SURVEY §5),
+    #      so none enters r12 with an unchecked regression window.
     #      serving_compact / stream_cdc_materialize /
     #      stream_agg_materialize sit in this section AND had their
     #      harness prep changed this round (_median_split evaluates the
@@ -4234,6 +4277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_kmeans": q_semdedup_kmeans,
         "avro_roundtrip": q_avro_roundtrip,
         "budget_select": q_budget_select,
+        "exact_substring_dedup": q_exact_substring_dedup,
         # 1. last green r8 — two rounds stale, lead the sweep
         "window_topk_per_group": q_window_topk_per_group,
         "heavy_hitters_sketch": q_heavy_hitters_sketch,
@@ -4282,9 +4326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_tfidf": q_fulltext_tfidf,
         "fulltext_bm25": q_fulltext_bm25,
         "fulltext_phrase": q_fulltext_phrase,
-        "term_prefix": q_term_prefix,
-        # --- the r11 50-cap lands here (3 new + 7 r8 + first 40 of
+        # --- the r11 50-cap lands here (4 new + 7 r8 + first 39 of
         # --- r9); everything below is deferred and must LEAD r12
+        "term_prefix": q_term_prefix,
         "hit_count": q_hit_count,
         "multivalued_contains": q_multivalued_contains,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
@@ -4444,6 +4488,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_kmeans": SQL_SEMDEDUP_KMEANS,
         "avro_roundtrip": SQL_AVRO_ROUNDTRIP,
         "budget_select": SQL_BUDGET_SELECT,
+        "exact_substring_dedup": SQL_EXACT_SUBSTRING_DEDUP,
         "text_stats": SQL_TEXT_STATS,
         "text_language_id": SQL_TEXT_LANGUAGE_ID,
         "text_quality_filter": SQL_TEXT_QUALITY_FILTER,

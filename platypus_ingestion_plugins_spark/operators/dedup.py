@@ -1798,3 +1798,128 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
         bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def mask_repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 50,
+    min_count: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """EXACT substring-level dedup (Lee et al. 2022, arXiv:2107.06499
+    — "Deduplicating Training Data Makes Language Models Better"):
+    drop every token covered by a ``k``-token window that occurs at
+    least ``min_count`` times CORPUS-WIDE (across documents or
+    repeated within one). This is exactly the paper's ExactSubstr
+    criterion re-keyed from suffix arrays to windows: a span of
+    >= k tokens duplicated anywhere consists entirely of duplicated
+    k-grams, and any duplicated k-gram IS a k-token duplicated span —
+    so masking the union of hot-window coverage removes precisely the
+    maximal >= k-token repeated regions, nothing more. Documents
+    shorter than ``k`` tokens cannot contain a k-token span and pass
+    through untouched.
+
+    Output: the input rows plus ``out_col`` (default
+    ``<text_col>_deduped``) = the SURVIVING tokens joined by single
+    spaces (whitespace-normalized — the reassembly contract; a fully
+    covered document comes back as the empty string). Tokenization is
+    whitespace splitting with case preserved (NOT ``text.tokens``,
+    which lowercases and strips punctuation — reassembly must emit the
+    document's own tokens).
+
+    Distributed shape (the suffix-array build the paper uses is a
+    single-machine algorithm; this is the shuffle-native equivalent):
+      1. map: each long-enough doc explodes to (id, pos, k-gram) via
+         the zipped-slice expression (``_gram_array``'s trick with
+         positions — the token array is evaluated once per row, never
+         re-tokenized per gram);
+      2. one partial-aggregatable count per gram; occurrences >=
+         min_count form the hot set (count counts OCCURRENCES, so a
+         within-doc repeat is hot with min_count=2);
+      3. hot starts join back on the gram string (shuffle join — the
+         hot set is data-dependent and may exceed broadcast size);
+      4. coverage WITHOUT the pos x k blowup: per doc, one window
+         ordered by position carries ``max(hot start) so far``; token
+         t is covered iff that running max >= t-k+1. O(n) rows per
+         doc, partitioned by doc — parallel across the corpus;
+      5. per-doc ordered reassembly of surviving tokens (the
+         line_dedup pattern).
+    Shuffles: gram count, hot join, per-doc window, final group — all
+    keyed/partial-aggregatable; nothing corpus-squared anywhere. The
+    gram-count exchange ships k-token strings; at real scale pass the
+    corpus through ``cap_shingle_df``-style df capping upstream or
+    raise k — cost scales with corpus token count x k bytes.
+    """
+    out_col = out_col or f"{text_col}_deduped"
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"), toks.alias("__t")
+    )
+    longd = base.filter(F.size("__t") >= k)
+    m = F.size("__t") - k + 1
+    zipped = F.arrays_zip(*[F.slice("__t", j + 1, m) for j in range(k)])
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
+    )
+    starts = longd.select(
+        "__id", F.posexplode(grams).alias("__p0", "__g")
+    ).select("__id", (F.col("__p0") + 1).alias("__i"), "__g")
+    hot = (
+        starts.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__g")
+    )
+    hot_starts = starts.join(hot, "__g").select("__id", "__i")
+    tokpos = longd.select(
+        "__id", F.posexplode("__t").alias("__p0", "__tok")
+    ).select("__id", (F.col("__p0") + 1).alias("__p"), "__tok")
+    from pyspark.sql.window import Window
+
+    joined = tokpos.join(
+        hot_starts.withColumnRenamed("__i", "__p").withColumn(
+            "__s", F.col("__p")
+        ).select("__id", "__p", "__s"),
+        ["__id", "__p"],
+        "left",
+    )
+    w = (
+        Window.partitionBy("__id")
+        .orderBy("__p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    survivors = (
+        joined.withColumn("__last", F.max("__s").over(w))
+        .filter(
+            F.col("__last").isNull() | (F.col("__last") < F.col("__p") - k + 1)
+        )
+        .groupBy("__id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__p", "__tok"))),
+                    lambda s: s["__tok"],
+                ),
+            ).alias("__clean")
+        )
+    )
+    # long docs: surviving tokens (empty string when fully covered —
+    # the left join keeps docs whose every token was masked via
+    # coalesce below); short docs: verbatim whitespace-normalized text
+    return (
+        df.join(
+            survivors.withColumnRenamed("__id", id_col), id_col, "left"
+        )
+        .withColumn(
+            out_col,
+            F.when(
+                F.size(toks) >= k, F.coalesce(F.col("__clean"), F.lit(""))
+            ).otherwise(F.concat_ws(" ", toks)),
+        )
+        .drop("__clean")
+    )

@@ -2961,3 +2961,53 @@ def test_select_token_budget_all_paths_match_brute_force(spark):
     assert tot <= 2000
     # degenerate: budget smaller than every row -> empty
     assert select_token_budget(df, "doc_id", "toks", 5).count() == 0
+
+
+def test_mask_repeated_spans_exact_substring_dedup(spark):
+    """NEW r11: ExactSubstr dedup (Lee et al. 2022) via hot k-gram
+    window coverage. A k-token span shared by two docs is masked in
+    BOTH (occurrence-count criterion); within-doc repeats are masked;
+    docs shorter than k pass through verbatim (whitespace-normalized);
+    a fully duplicated doc collapses to the empty string."""
+    k = 4
+    shared = "alpha beta gamma delta"  # the duplicated 4-token span
+    rows = [
+        Row(doc_id=1, text=f"one two three {shared} four five six"),
+        Row(doc_id=2, text=f"seven eight {shared} nine ten eleven"),
+        Row(doc_id=3, text="unique words only in this document here"),
+        Row(doc_id=4, text="tiny doc"),  # < k tokens: untouched
+        Row(doc_id=5, text=shared),  # exactly the hot span: empty out
+        Row(doc_id=6, text=f"{shared} {shared}"),  # within-doc repeat
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.doc_id: r.text_deduped
+        for r in dedup.mask_repeated_spans(df, "text", "doc_id", k=k).collect()
+    }
+    assert out[1] == "one two three four five six"
+    assert out[2] == "seven eight nine ten eleven"
+    assert out[3] == "unique words only in this document here"
+    assert out[4] == "tiny doc"
+    assert out[5] == ""
+    assert out[6] == ""
+    # min_count above the occurrence count disables masking
+    out2 = {
+        r.doc_id: r.text_deduped
+        for r in dedup.mask_repeated_spans(
+            df, "text", "doc_id", k=k, min_count=9
+        ).collect()
+    }
+    assert out2[1] == f"one two three {shared} four five six"
+    # overlapping hot windows merge into one maximal masked region:
+    # doc A repeats a 6-token span of doc B -> all 6 tokens go, and
+    # the doc's OTHER tokens survive
+    span6 = "p q r s t u"
+    df2 = spark.createDataFrame(
+        [Row(doc_id=10, text=f"x y {span6} z w"),
+         Row(doc_id=11, text=f"m n {span6} o v")]
+    )
+    out3 = {
+        r.doc_id: r.text_deduped
+        for r in dedup.mask_repeated_spans(df2, "text", "doc_id", k=4).collect()
+    }
+    assert out3[10] == "x y z w" and out3[11] == "m n o v"
