@@ -1521,6 +1521,129 @@ LEFT JOIN clean_long cl USING (doc_id)
 """
 
 
+def q_stream_exact_substring_dedup(spark, sf):
+    """Streaming ExactSubstr (dedup.mask_repeated_spans_incremental —
+    NEW r11): documents stream in two seq-ordered drops; each
+    micro-batch masks every 8-token window already present in >= 1
+    smaller-id document (accumulated span-count index + this batch,
+    FIRST-KEEPS — the window's first document keeps its copy), appends
+    its own distinct-doc span counts to the index (the line-count
+    index machinery verbatim: bucketed kb= layout, epoch-pinned
+    appends with exclude_batch_id replay exclusion, auto-compaction
+    every 4th epoch), and emits append-only. Under the seq-ordered
+    contract the union of batch outputs equals the one-shot
+    first-keeps computation the oracle replays."""
+    import shutil
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    docs_lo, docs_hi = _median_split(d, "doc_id")
+
+    work = _stream_scratch("stream_substr_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src = os.path.join(work, "src")
+        idx = os.path.join(work, "index")
+        outp = os.path.join(work, "out")
+        ckpt = os.path.join(work, "ckpt")
+        docs_lo.coalesce(4).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def handle(batch_df, bid):
+            starts = dedup.span_start_keys(batch_df, "text", "doc_id", k=8)
+            starts.persist()
+            try:
+                pairs = starts.select("line_key", "doc_id").distinct()
+                earlier = (
+                    dedup.read_line_counts_pruned(
+                        spark, idx, pairs, exclude_batch_id=bid
+                    )
+                    if dedup.line_count_index_exists(spark, idx)
+                    else None
+                )
+                (
+                    dedup.mask_repeated_spans_incremental(
+                        batch_df, earlier, "text", "doc_id", k=8,
+                        starts=starts,
+                    )
+                    .select("doc_id", "text_deduped")
+                    .write.mode("append")
+                    .parquet(outp)
+                )
+                dedup.append_line_count_index(
+                    dedup.span_count_keys(starts, "doc_id"),
+                    idx, key_buckets=16, batch_id=bid,
+                    auto_compact_max_files=4 if bid % 4 == 3 else None,
+                )
+            finally:
+                starts.unpersist()
+
+        def run_available():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 100)
+                .parquet(src)
+            )
+            q = (
+                stream.writeStream.foreachBatch(handle)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_available()
+        docs_hi.coalesce(4).write.mode("append").parquet(src)
+        run_available()
+        _keep_until_exit(work, keep=outp)
+        return (
+            spark.read.parquet(outp)
+            .select("doc_id", F.sha2("text_deduped", 256).alias("sha_clean"))
+            .distinct()
+        )
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+# one-shot FIRST-KEEPS replay: doc masks a window iff >= 1 smaller-id
+# doc contains it <=> the doc's rank among containing docs >= 2
+SQL_STREAM_EXACT_SUBSTRING_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents),
+longd AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 8),
+pos AS (SELECT doc_id, t, unnest(generate_series(1, n - 7)) AS i FROM longd),
+grams AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS g FROM pos),
+kd AS (SELECT DISTINCT doc_id, g FROM grams),
+rk AS (
+  SELECT doc_id, g,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id) AS r
+  FROM kd),
+hotdoc AS (SELECT doc_id, g FROM rk WHERE r >= 2),
+hs AS (
+  SELECT grams.doc_id, grams.i FROM grams
+  JOIN hotdoc ON grams.doc_id = hotdoc.doc_id AND grams.g = hotdoc.g),
+tp AS (SELECT doc_id, unnest(generate_series(1, n)) AS p, t FROM longd),
+tokpos AS (SELECT doc_id, p, t[p] AS tok FROM tp),
+keep AS (
+  SELECT doc_id, p, tok FROM tokpos
+  WHERE NOT EXISTS (
+    SELECT 1 FROM hs
+    WHERE hs.doc_id = tokpos.doc_id AND hs.i BETWEEN tokpos.p - 7 AND tokpos.p)),
+clean_long AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean FROM keep GROUP BY doc_id)
+SELECT d.doc_id,
+       sha256(CASE WHEN len(tk.t) >= 8 THEN coalesce(cl.clean, '')
+                   ELSE array_to_string(tk.t, ' ') END) AS sha_clean
+FROM documents d
+JOIN toks tk USING (doc_id)
+LEFT JOIN clean_long cl USING (doc_id)
+"""
+
+
 def q_budget_select(spark, sf):
     """Token-budget selection (functions/sampling.select_token_budget —
     NEW r11): per-language 50k-char budgets filled in quality-priority
@@ -4246,6 +4369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # #1, dict comments cross-checked against CORRECTNESS_r08/r09/r10):
     #   0. NEW this round (never driver-verified): semdedup_kmeans,
     #      avro_roundtrip, budget_select, exact_substring_dedup,
+    #      stream_exact_substring_dedup,
     #   1. the seven entries last green in CORRECTNESS_r08 — two rounds
     #      stale, the verdict's explicit lead list. This includes
     #      multimodal_external_meta, which the r10 comment mis-filed as
@@ -4253,13 +4377,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      driver green is r8.
     #   2. the 49 entries last green in CORRECTNESS_r09 (the r9 sweep
     #      minus fuzzy_join, which r10 re-verified under its new
-    #      leading-typo oracle), in r9 file order. Sections 0-2 = 60,
-    #      so the 50-cap verifies section 0+1 and the first 39 of the
-    #      r9 cohort; the LAST TEN r9 entries (term_prefix, hit_count,
+    #      leading-typo oracle), in r9 file order. Sections 0-2 = 61,
+    #      so the 50-cap verifies section 0+1 and the first 38 of the
+    #      r9 cohort; the LAST ELEVEN r9 entries (fulltext_phrase,
+    #      term_prefix, hit_count,
     #      multivalued_contains, pipeline_clean_corpus, line_dedup,
     #      top_terms_per_group, hashed_bow_embedding,
     #      stream_line_dedup, bow_knn, quality_autocalibrated_filter)
-    #      are DEFERRED and must lead r12. All ten were re-verified
+    #      are DEFERRED and must lead r12. All eleven were re-verified
     #      green by targeted check_oracle runs this round (SURVEY §5),
     #      so none enters r12 with an unchecked regression window.
     #      serving_compact / stream_cdc_materialize /
@@ -4278,6 +4403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip": q_avro_roundtrip,
         "budget_select": q_budget_select,
         "exact_substring_dedup": q_exact_substring_dedup,
+        "stream_exact_substring_dedup": q_stream_exact_substring_dedup,
         # 1. last green r8 — two rounds stale, lead the sweep
         "window_topk_per_group": q_window_topk_per_group,
         "heavy_hitters_sketch": q_heavy_hitters_sketch,
@@ -4325,9 +4451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_ranked": q_fulltext_ranked,
         "fulltext_tfidf": q_fulltext_tfidf,
         "fulltext_bm25": q_fulltext_bm25,
-        "fulltext_phrase": q_fulltext_phrase,
-        # --- the r11 50-cap lands here (4 new + 7 r8 + first 39 of
+        # --- the r11 50-cap lands here (5 new + 7 r8 + first 38 of
         # --- r9); everything below is deferred and must LEAD r12
+        "fulltext_phrase": q_fulltext_phrase,
         "term_prefix": q_term_prefix,
         "hit_count": q_hit_count,
         "multivalued_contains": q_multivalued_contains,
@@ -4489,6 +4615,7 @@ def oracle_sql() -> dict[str, str]:
         "avro_roundtrip": SQL_AVRO_ROUNDTRIP,
         "budget_select": SQL_BUDGET_SELECT,
         "exact_substring_dedup": SQL_EXACT_SUBSTRING_DEDUP,
+        "stream_exact_substring_dedup": SQL_STREAM_EXACT_SUBSTRING_DEDUP,
         "text_stats": SQL_TEXT_STATS,
         "text_language_id": SQL_TEXT_LANGUAGE_ID,
         "text_quality_filter": SQL_TEXT_QUALITY_FILTER,

@@ -1853,21 +1853,12 @@ def mask_repeated_spans(
     raise k — cost scales with corpus token count x k bytes.
     """
     out_col = out_col or f"{text_col}_deduped"
-    toks = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
-    )
+    toks = _ws_tokens(text_col)
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"), toks.alias("__t")
     )
     longd = base.filter(F.size("__t") >= k)
-    m = F.size("__t") - k + 1
-    zipped = F.arrays_zip(*[F.slice("__t", j + 1, m) for j in range(k)])
-    grams = F.transform(
-        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
-    )
-    starts = longd.select(
-        "__id", F.posexplode(grams).alias("__p0", "__g")
-    ).select("__id", (F.col("__p0") + 1).alias("__i"), "__g")
+    starts = _span_starts(longd, k)
     hot = (
         starts.groupBy("__g")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -1875,11 +1866,61 @@ def mask_repeated_spans(
         .select("__g")
     )
     hot_starts = starts.join(hot, "__g").select("__id", "__i")
+    survivors = _mask_coverage_reassemble(longd, hot_starts, k)
+    # long docs: surviving tokens (empty string when fully covered —
+    # the left join keeps docs whose every token was masked via
+    # coalesce below); short docs: verbatim whitespace-normalized text
+    return (
+        df.join(
+            survivors.withColumnRenamed("__id", id_col), id_col, "left"
+        )
+        .withColumn(
+            out_col,
+            F.when(
+                F.size(toks) >= k, F.coalesce(F.col("__clean"), F.lit(""))
+            ).otherwise(F.concat_ws(" ", toks)),
+        )
+        .drop("__clean")
+    )
+
+
+def _ws_tokens(text_col: str):
+    """Whitespace tokens, case preserved, no empties — NOT
+    ``text.tokens`` (which lowercases and strips punctuation):
+    span-removal reassembly must emit the document's own tokens."""
+    return F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def _span_starts(longd: DataFrame, k: int) -> DataFrame:
+    """(__id, __i, __g): one row per k-token window start over a
+    (__id, __t) frame of >= k-token docs. The zipped-slice expression
+    evaluates the token array once per row (see ``_gram_array`` for
+    why the naive transform re-tokenizes per gram)."""
+    m = F.size("__t") - k + 1
+    zipped = F.arrays_zip(*[F.slice("__t", j + 1, m) for j in range(k)])
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
+    )
+    return longd.select(
+        "__id", F.posexplode(grams).alias("__p0", "__g")
+    ).select("__id", (F.col("__p0") + 1).alias("__i"), "__g")
+
+
+def _mask_coverage_reassemble(
+    longd: DataFrame, hot_starts: DataFrame, k: int
+) -> DataFrame:
+    """(__id, __clean): drop every token covered by a hot window start
+    — per-doc running-max window (token t covered iff the max hot
+    start so far >= t-k+1; O(n) rows per doc, no pos x k blowup),
+    then ordered reassembly. Docs with every token covered drop out
+    (callers coalesce to '')."""
+    from pyspark.sql import Window
+
     tokpos = longd.select(
         "__id", F.posexplode("__t").alias("__p0", "__tok")
     ).select("__id", (F.col("__p0") + 1).alias("__p"), "__tok")
-    from pyspark.sql.window import Window
-
     joined = tokpos.join(
         hot_starts.withColumnRenamed("__i", "__p").withColumn(
             "__s", F.col("__p")
@@ -1892,7 +1933,7 @@ def mask_repeated_spans(
         .orderBy("__p")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    survivors = (
+    return (
         joined.withColumn("__last", F.max("__s").over(w))
         .filter(
             F.col("__last").isNull() | (F.col("__last") < F.col("__p") - k + 1)
@@ -1908,11 +1949,120 @@ def mask_repeated_spans(
             ).alias("__clean")
         )
     )
-    # long docs: surviving tokens (empty string when fully covered —
-    # the left join keeps docs whose every token was masked via
-    # coalesce below); short docs: verbatim whitespace-normalized text
+
+
+def span_start_keys(
+    batch: DataFrame, text_col: str, id_col: str, k: int = 50
+) -> DataFrame:
+    """(id, __i, line_key) — one row per k-token window start;
+    ``line_key`` = sha2 of the window text, the count-index key
+    convention, so ``append_line_count_index`` /
+    ``read_line_counts_pruned`` / ``compact_line_count_index``
+    accumulate SPAN counts completely unchanged (the index machinery
+    is generic over sha2-hex keys; 'line' in its names is historical).
+    Persist this in a foreachBatch: pruning, ranking and the count
+    append all derive from it."""
+    base = batch.select(
+        F.col(id_col), _ws_tokens(text_col).alias("__t")
+    ).filter(F.size("__t") >= k)
+    starts = _span_starts(
+        base.withColumnRenamed(id_col, "__id"), k
+    )
+    return starts.select(
+        F.col("__id").alias(id_col),
+        "__i",
+        F.sha2(F.col("__g"), 256).alias("line_key"),
+    )
+
+
+def span_count_keys(starts: DataFrame, id_col: str) -> DataFrame:
+    """Per-batch (line_key, n) DISTINCT-DOCUMENT span counts — the
+    rows ``append_line_count_index`` accumulates for the streaming
+    ExactSubstr criterion (distinct docs, not occurrences: see
+    ``mask_repeated_spans_incremental``)."""
     return (
-        df.join(
+        starts.select("line_key", id_col)
+        .distinct()
+        .groupBy("line_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def mask_repeated_spans_incremental(
+    batch: DataFrame,
+    earlier_counts: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    k: int = 50,
+    min_count: int = 2,
+    starts: DataFrame | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-micro-batch ExactSubstr against an accumulated span-count
+    index: a batch document masks the tokens of a k-token window iff
+    at least ``min_count - 1`` SMALLER-ID documents (earlier batches
+    plus smaller ids within this batch) contain that window — so the
+    window's first document keeps its copy and every later one scrubs
+    it. First-keeps is the batch-split-independent form (emitted
+    output cannot be retracted); under the seq-ordered ingest
+    contract (the near-dup/line index contract: every earlier-batch
+    id < every current-batch id) the union of batch outputs equals
+    the one-shot first-keeps computation the oracle replays.
+
+    Two deliberate deltas vs the batch ``mask_repeated_spans``:
+    DISTINCT-DOC counting (an occurrence criterion would need to
+    retract the first doc's copy of a within-doc repeat), and the
+    first occurrence SURVIVES (the batch operator masks every copy).
+
+    ``earlier_counts`` is (line_key, n) from the accumulated index,
+    ideally pruned to this batch's buckets
+    (``read_line_counts_pruned``); None for the first batch. Pass the
+    persisted ``span_start_keys`` frame as ``starts`` so the explode
+    runs once per batch. Saturated keys (earlier count already >=
+    min_count) skip the rank window entirely — the hottest boilerplate
+    spans never funnel through a single rank task (the
+    ``line_dedup_incremental`` guard). Output: the batch's rows plus
+    ``out_col`` (surviving tokens, space-joined; sub-k docs
+    whitespace-normalized verbatim)."""
+    from pyspark.sql import Window
+
+    out_col = out_col or f"{text_col}_deduped"
+    st = (
+        span_start_keys(batch, text_col, id_col, k)
+        if starts is None
+        else starts
+    )
+    pairs = st.select("line_key", id_col).distinct()
+    if earlier_counts is not None:
+        pairs = pairs.join(
+            earlier_counts.select(
+                "line_key", F.col("n").alias("__n_earlier")
+            ),
+            "line_key",
+            "left",
+        ).withColumn("__n_earlier", F.coalesce("__n_earlier", F.lit(0)))
+    else:
+        pairs = pairs.withColumn("__n_earlier", F.lit(0))
+    saturated = pairs.filter(F.col("__n_earlier") >= F.lit(min_count))
+    w = Window.partitionBy("line_key").orderBy(F.col(id_col).asc())
+    ranked = (
+        pairs.filter(F.col("__n_earlier") < F.lit(min_count))
+        .withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__n_earlier") + F.col("__rank") >= F.lit(min_count))
+    )
+    hot_docs = saturated.select("line_key", id_col).unionByName(
+        ranked.select("line_key", id_col)
+    )
+    hot_starts = st.join(hot_docs, ["line_key", id_col]).select(
+        F.col(id_col).alias("__id"), "__i"
+    )
+    toks = _ws_tokens(text_col)
+    longd = batch.select(
+        F.col(id_col).alias("__id"), toks.alias("__t")
+    ).filter(F.size("__t") >= k)
+    survivors = _mask_coverage_reassemble(longd, hot_starts, k)
+    return (
+        batch.join(
             survivors.withColumnRenamed("__id", id_col), id_col, "left"
         )
         .withColumn(

@@ -3011,3 +3011,80 @@ def test_mask_repeated_spans_exact_substring_dedup(spark):
         for r in dedup.mask_repeated_spans(df2, "text", "doc_id", k=4).collect()
     }
     assert out3[10] == "x y z w" and out3[11] == "m n o v"
+
+
+def test_mask_repeated_spans_incremental_first_keeps_union(spark):
+    """Streaming ExactSubstr: union of per-batch outputs over the
+    accumulated span-count index == the one-shot FIRST-KEEPS
+    computation (distinct smaller-id docs containing the window),
+    regardless of where the batch boundary falls."""
+    k = 4
+    shared = "alpha beta gamma delta"
+    rows = [
+        Row(doc_id=1, text=f"one two three {shared} four five"),  # first: keeps
+        Row(doc_id=2, text=f"six seven {shared} eight nine"),     # masks
+        Row(doc_id=3, text="totally unique words right here now"),
+        Row(doc_id=4, text=f"ten eleven {shared} twelve thirteen"),  # masks
+        Row(doc_id=5, text="tiny"),
+    ]
+    df = spark.createDataFrame(rows)
+
+    def one_shot_first_keeps():
+        # brute force: doc masks window iff >= 1 smaller-id doc has it
+        import re as _re
+
+        toks = {r.doc_id: _re.split(r"\s+", r.text.strip()) for r in rows}
+        grams = {
+            d: [
+                (i, " ".join(t[i : i + k]))
+                for i in range(len(t) - k + 1)
+            ]
+            for d, t in toks.items()
+            if len(t) >= k
+        }
+        out = {}
+        for d, t in toks.items():
+            if len(t) < k:
+                out[d] = " ".join(t)
+                continue
+            covered = set()
+            for i, g in grams[d]:
+                earlier = sum(
+                    1
+                    for d2, gs in grams.items()
+                    if d2 < d and any(g2 == g for _, g2 in gs)
+                )
+                if earlier >= 1:
+                    covered.update(range(i, i + k))
+            out[d] = " ".join(
+                tok for j, tok in enumerate(t) if j not in covered
+            )
+        return out
+
+    want = one_shot_first_keeps()
+
+    for split_at in (2, 3, 4):
+        batches = [
+            [r for r in rows if r.doc_id <= split_at],
+            [r for r in rows if r.doc_id > split_at],
+        ]
+        counts = None
+        got = {}
+        for b in batches:
+            bdf = spark.createDataFrame(b)
+            starts = dedup.span_start_keys(bdf, "text", "doc_id", k=k)
+            res = dedup.mask_repeated_spans_incremental(
+                bdf, counts, "text", "doc_id", k=k, starts=starts
+            )
+            got.update({r.doc_id: r.text_deduped for r in res.collect()})
+            newc = dedup.span_count_keys(starts, "doc_id")
+            counts = (
+                newc
+                if counts is None
+                else counts.unionByName(newc)
+                .groupBy("line_key")
+                .agg(F.sum("n").alias("n"))
+            )
+        assert got == want, (split_at, got, want)
+    # first-keeps visible: doc 1 kept its copy, later docs scrubbed
+    assert shared in want[1] and shared not in want[2] and shared not in want[4]
