@@ -4353,6 +4353,267 @@ FROM agg a JOIN last l ON a.key = l.key AND a.sid < l.last_sid
 """
 
 
+
+
+def q_weighted_sample(spark, sf):
+    """Efraimidis-Spirakis weighted sampling WITHOUT replacement
+    (sampling.weighted_sample_wor): top-80 documents by
+    u**(1/n_chars) with u the deterministic md5 unit hash — longer
+    docs proportionally likelier, membership a pure function of
+    (doc_id, salt). Compiles to TakeOrderedAndProject (per-partition
+    top-n, no global sort); the oracle replays the identical
+    arithmetic and must reproduce the exact row set."""
+    from platypus_ingestion_plugins_spark.functions.sampling import (
+        weighted_sample_wor,
+    )
+
+    d = _t(spark, sf, "documents")
+    return weighted_sample_wor(d, "doc_id", "n_chars", 80).select(
+        "doc_id", "source"
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH h AS (
+  SELECT doc_id, source, n_chars,
+         {_UNIT_SQL.format(salt="wsample", key="doc_id")} AS u
+  FROM documents)
+SELECT doc_id, source FROM h WHERE n_chars > 0
+ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id LIMIT 80
+"""
+
+
+def q_line_dedup_by_source(spark, sf):
+    """Group-scoped boilerplate scrub (dedup.line_dedup(by=)):
+    doc-frequency counted WITHIN each source — every doc gets a
+    source-branded footer (hot within its source, absent elsewhere)
+    and doc_id % 7 == 0 docs share one global promo line whose
+    within-source df decides its fate source by source: scrubbed
+    where >= 2 docs of the source carry it, kept where it is that
+    source's lone copy. Same reassembly contract as line_dedup."""
+    d = _t(spark, sf, "documents")
+    t2 = F.concat(
+        F.col("text"),
+        F.lit("\nVisit "), F.col("source"), F.lit(" homepage"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit("\nGlobal promo line")
+        ).otherwise(F.lit("")),
+    )
+    return dedup.line_dedup(
+        d.select("doc_id", "source", t2.alias("text")),
+        "text",
+        "doc_id",
+        min_df=2,
+        by="source",
+    ).select("doc_id", "text", "n_lines", "n_dropped")
+
+
+SQL_LINE_DEDUP_BY_SOURCE = """
+WITH src AS (
+  SELECT doc_id, source,
+         text || chr(10) || 'Visit ' || source || ' homepage'
+              || CASE WHEN doc_id % 7 = 0
+                      THEN chr(10) || 'Global promo line'
+                      ELSE '' END AS text
+  FROM documents),
+split AS (SELECT doc_id, source, string_split(text, chr(10)) AS l FROM src),
+ln AS (SELECT doc_id, source, unnest(generate_series(1, len(l))) AS i, l
+       FROM split),
+keyed AS (
+  SELECT doc_id, source, i - 1 AS line_no, l[i] AS line,
+         trim(lower(l[i])) AS k, trim(l[i]) = '' AS blank
+  FROM ln),
+hot AS (
+  SELECT source, k FROM keyed WHERE NOT blank
+  GROUP BY source, k HAVING count(DISTINCT doc_id) >= 2),
+kept AS (
+  SELECT doc_id, line_no, line,
+         (EXISTS (SELECT 1 FROM hot h
+                  WHERE h.source = keyed.source AND h.k = keyed.k))
+           AND NOT blank AS dropped
+  FROM keyed)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+                           chr(10) ORDER BY line_no), '') AS text,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM kept GROUP BY doc_id
+"""
+
+
+def q_perplexity_buckets(spark, sf):
+    """CCNet head/middle/tail partition (lm.perplexity_buckets): the
+    corpus-LM mean-logprob score ranked per LANGUAGE (percent_rank
+    over the 6-dp-rounded score with doc_id tiebreak — a total order
+    both engines reproduce bit-for-bit), cut at 1/3 and 2/3. vocab
+    1024 so OOV smoothing is exercised at every SF (the
+    unigram_logprob convention)."""
+    from platypus_ingestion_plugins_spark.functions.lm import (
+        perplexity_buckets,
+    )
+
+    d = _t(spark, sf, "documents")
+    return perplexity_buckets(
+        d, "text", "doc_id", by="lang", vocab_size=1024
+    )
+
+
+SQL_PERPLEXITY_BUCKETS = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                                    x -> x <> '')) AS tok
+  FROM documents),
+freqs AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT sum(cnt) AS total FROM freqs),
+vocab AS (SELECT tok, cnt FROM freqs ORDER BY cnt DESC, tok LIMIT 1024),
+model AS (SELECT tok, ln(cnt::DOUBLE) - ln(total::DOUBLE) AS logp FROM vocab, tot),
+scored AS (
+  SELECT doc_id,
+         round(sum(coalesce(m.logp, ln(0.5) - ln(t.total::DOUBLE))) / count(*), 6)
+           AS mean_logp
+  FROM toks LEFT JOIN model m USING (tok), tot t
+  GROUP BY doc_id),
+ranked AS (
+  SELECT s.doc_id, d.lang, s.mean_logp,
+         percent_rank() OVER (PARTITION BY d.lang
+                              ORDER BY s.mean_logp DESC, s.doc_id ASC) AS pr
+  FROM scored s JOIN documents d USING (doc_id))
+SELECT doc_id, lang, mean_logp,
+       CASE WHEN pr < 1.0/3.0 THEN 'head'
+            WHEN pr < 2.0/3.0 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+"""
+
+
+def q_dsir_select(spark, sf):
+    """DSIR importance resampling (operators/dsir.py, Xie et al.
+    2023): select 60 corpus docs whose hashed unigram+bigram
+    distribution best matches the German slice (the target), via
+    add-1-smoothed log-likelihood-ratio weights and deterministic
+    Gumbel top-n. Both model fits are bucket-bounded aggregates; the
+    ratio table broadcasts; selection is TakeOrderedAndProject. The
+    oracle replays every md5 bucket, both fits, the ratio sum and
+    the Gumbel draw — exact id-set and 6-dp weight match."""
+    from platypus_ingestion_plugins_spark.operators.dsir import dsir_select
+
+    d = _t(spark, sf, "documents")
+    target = d.filter(F.col("lang") == "de")
+    raw = d.filter(F.col("lang") != "de")
+    return dsir_select(raw, target, 60, buckets=4096).select(
+        "doc_id", "lang", "logw"
+    )
+
+
+SQL_DSIR_SELECT = f"""
+WITH tt AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+                             x -> x <> '') AS t
+  FROM documents WHERE lang = 'de'),
+rt AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+                             x -> x <> '') AS t
+  FROM documents WHERE lang <> 'de'),
+tg AS (
+  SELECT doc_id, unnest(t) AS g FROM tt
+  UNION ALL
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                                       i -> t[i] || ' ' || t[i+1])) AS g
+  FROM tt WHERE len(t) > 1),
+rg AS (
+  SELECT doc_id, unnest(t) AS g FROM rt
+  UNION ALL
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                                       i -> t[i] || ' ' || t[i+1])) AS g
+  FROM rt WHERE len(t) > 1),
+tb AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096
+                AS bucket FROM tg),
+rb AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096
+                AS bucket FROM rg),
+tc AS (SELECT bucket, count(*) AS cnt FROM tb GROUP BY bucket),
+rc AS (SELECT bucket, count(*) AS cnt FROM rb GROUP BY bucket),
+ttot AS (SELECT sum(cnt) AS v FROM tc),
+rtot AS (SELECT sum(cnt) AS v FROM rc),
+ratio AS (
+  SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+         ln(coalesce(tc.cnt, 0) + 1.0) - ln(ttot.v + 4096.0)
+         - ln(coalesce(rc.cnt, 0) + 1.0) + ln(rtot.v + 4096.0) AS logr
+  FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket, ttot, rtot),
+w AS (
+  SELECT rb.doc_id, sum(ratio.logr) AS logw
+  FROM rb JOIN ratio USING (bucket) GROUP BY rb.doc_id),
+sc AS (
+  SELECT doc_id, logw,
+         logw - ln(-ln(greatest(
+             {_UNIT_SQL.format(salt="dsir", key="doc_id")}, 1e-12)))
+           AS score
+  FROM w),
+picked AS (SELECT doc_id, logw FROM sc ORDER BY score DESC, doc_id LIMIT 60)
+SELECT p.doc_id, d.lang, round(p.logw, 6) AS logw
+FROM picked p JOIN documents d USING (doc_id)
+"""
+
+
+
+
+def q_gopher_quality(spark, sf):
+    """The Gopher rule set (Rae et al. 2021 Table A1 — the heuristics
+    FineWeb/Dolma reuse verbatim): seven per-document boolean rules +
+    the conjunction, all deterministic integer/char arithmetic in one
+    codegen projection — map-only, shuffle-free, no UDF. The oracle
+    replicates every flag bit-for-bit."""
+    from platypus_ingestion_plugins_spark.functions.text import (
+        gopher_quality_flags,
+    )
+
+    d = _t(spark, sf, "documents")
+    return gopher_quality_flags(d, "text", "doc_id")
+
+
+SQL_GOPHER_QUALITY = """
+WITH w AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS words,
+         string_split(coalesce(text, ''), chr(10)) AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         greatest(len(words), 1)::DOUBLE AS nw,
+         list_sum(list_transform(words, x -> length(x)))::DOUBLE
+           / greatest(len(words), 1) AS mean_len,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         len(string_split(text, '...')) - 1 AS n_ellipsis,
+         greatest(len(lines), 1)::DOUBLE AS n_lines,
+         len(list_filter(lines,
+             l -> regexp_matches(trim(l), '^([-*\u2022])'))) AS bullet_lines,
+         len(list_filter(lines,
+             l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS ellipsis_lines,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+         len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+             s -> list_contains(list_transform(words, x -> lower(x)), s)))
+           AS n_stop
+  FROM w),
+f AS (
+  SELECT doc_id,
+         n_words >= 50 AND n_words <= 100000 AS r_word_count,
+         mean_len >= 3.0 AND mean_len <= 10.0 AS r_mean_word_len,
+         (n_hash + n_ellipsis) / nw <= 0.1 AS r_symbol_ratio,
+         bullet_lines / n_lines < 0.9 AS r_bullet_lines,
+         ellipsis_lines / n_lines <= 0.3 AS r_ellipsis_lines,
+         alpha_words / nw >= 0.8 AS r_alpha_words,
+         n_stop >= 2 AS r_stopwords
+  FROM m)
+SELECT doc_id, r_word_count, r_mean_word_len, r_symbol_ratio,
+       r_bullet_lines, r_ellipsis_lines, r_alpha_words, r_stopwords,
+       r_word_count AND r_mean_word_len AND r_symbol_ratio
+         AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+         AND r_stopwords AS gopher_pass
+FROM f
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4369,7 +4630,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # #1, dict comments cross-checked against CORRECTNESS_r08/r09/r10):
     #   0. NEW this round (never driver-verified): semdedup_kmeans,
     #      avro_roundtrip, budget_select, exact_substring_dedup,
-    #      stream_exact_substring_dedup,
+    #      stream_exact_substring_dedup, weighted_sample,
+    #      line_dedup_by_source, perplexity_buckets, dsir_select,
+    #      gopher_quality,
     #   1. the seven entries last green in CORRECTNESS_r08 — two rounds
     #      stale, the verdict's explicit lead list. This includes
     #      multimodal_external_meta, which the r10 comment mis-filed as
@@ -4377,14 +4640,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      driver green is r8.
     #   2. the 49 entries last green in CORRECTNESS_r09 (the r9 sweep
     #      minus fuzzy_join, which r10 re-verified under its new
-    #      leading-typo oracle), in r9 file order. Sections 0-2 = 61,
-    #      so the 50-cap verifies section 0+1 and the first 38 of the
-    #      r9 cohort; the LAST ELEVEN r9 entries (fulltext_phrase,
-    #      term_prefix, hit_count,
+    #      leading-typo oracle), in r9 file order. Sections 0-2 = 66,
+    #      so the 50-cap verifies section 0+1 and the first 33 of the
+    #      r9 cohort; the LAST SIXTEEN r9 entries (term_in_set,
+    #      fulltext_match,
+    #      fulltext_ranked, fulltext_tfidf, fulltext_bm25,
+    #      fulltext_phrase, term_prefix, hit_count,
     #      multivalued_contains, pipeline_clean_corpus, line_dedup,
     #      top_terms_per_group, hashed_bow_embedding,
     #      stream_line_dedup, bow_knn, quality_autocalibrated_filter)
-    #      are DEFERRED and must lead r12. All eleven were re-verified
+    #      are DEFERRED and must lead r12. All sixteen were re-verified
     #      green by targeted check_oracle runs this round (SURVEY §5),
     #      so none enters r12 with an unchecked regression window.
     #      serving_compact / stream_cdc_materialize /
@@ -4397,13 +4662,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      (freshest last). semdedup_keep gained the max_cluster_size
     #      param this round with default None = unchanged semantics.
     return {
-        # 0. NEW this round (avro_roundtrip displaces one more r9-tail
-        # entry below the cap: first 41 of the r9 cohort make the sweep)
+        # 0. NEW this round — ten entries, each displacing one r9-tail
+        # entry below the cap (first 33 of the r9 cohort make the sweep)
         "semdedup_kmeans": q_semdedup_kmeans,
         "avro_roundtrip": q_avro_roundtrip,
         "budget_select": q_budget_select,
         "exact_substring_dedup": q_exact_substring_dedup,
         "stream_exact_substring_dedup": q_stream_exact_substring_dedup,
+        "weighted_sample": q_weighted_sample,
+        "line_dedup_by_source": q_line_dedup_by_source,
+        "perplexity_buckets": q_perplexity_buckets,
+        "dsir_select": q_dsir_select,
+        "gopher_quality": q_gopher_quality,
         # 1. last green r8 — two rounds stale, lead the sweep
         "window_topk_per_group": q_window_topk_per_group,
         "heavy_hitters_sketch": q_heavy_hitters_sketch,
@@ -4446,13 +4716,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_all_topk": q_match_all_topk,
         "match_all_offset": q_match_all_offset,
         "term": q_term,
+        # --- the r11 50-cap lands here (10 new + 7 r8 + first 33 of
+        # --- r9); everything below is deferred and must LEAD r12
         "term_in_set": q_term_in_set,
         "fulltext_match": q_fulltext_match,
         "fulltext_ranked": q_fulltext_ranked,
         "fulltext_tfidf": q_fulltext_tfidf,
         "fulltext_bm25": q_fulltext_bm25,
-        # --- the r11 50-cap lands here (5 new + 7 r8 + first 38 of
-        # --- r9); everything below is deferred and must LEAD r12
         "fulltext_phrase": q_fulltext_phrase,
         "term_prefix": q_term_prefix,
         "hit_count": q_hit_count,
@@ -4616,6 +4886,11 @@ def oracle_sql() -> dict[str, str]:
         "budget_select": SQL_BUDGET_SELECT,
         "exact_substring_dedup": SQL_EXACT_SUBSTRING_DEDUP,
         "stream_exact_substring_dedup": SQL_STREAM_EXACT_SUBSTRING_DEDUP,
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "line_dedup_by_source": SQL_LINE_DEDUP_BY_SOURCE,
+        "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
+        "dsir_select": SQL_DSIR_SELECT,
+        "gopher_quality": SQL_GOPHER_QUALITY,
         "text_stats": SQL_TEXT_STATS,
         "text_language_id": SQL_TEXT_LANGUAGE_ID,
         "text_quality_filter": SQL_TEXT_QUALITY_FILTER,

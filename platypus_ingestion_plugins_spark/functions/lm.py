@@ -104,3 +104,62 @@ def logprob_filter(
         id_col,
         "inner",
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str | None = None,
+    vocab_size: int = 1 << 16,
+    alpha: float = 0.5,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple[str, str, str] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet's head/middle/tail perplexity partition (Wenzek et al.
+    2020 §4.3): score every document with the mean-logprob perplexity
+    proxy, then split each ``by`` group (CCNet: the language) into
+    three quality buckets at the ``cuts`` quantiles — head = the
+    best-scoring third, the slice actually used for pretraining mixes;
+    tail = the worst. Returns ``(id_col, [by,] mean_logp, bucket)``;
+    zero-token documents produce no row (no score — same contract as
+    ``doc_logprob``).
+
+    Bucketing is by ``percent_rank`` over ``mean_logp`` DESC (higher
+    mean logprob = lower perplexity = better), with ``id_col`` as the
+    final tiebreak so the rank — and therefore the bucket — is a total
+    order reproducible across engines. ``mean_logp`` is rounded to 6
+    places BEFORE ranking: cross-engine libm/summation-order ulps may
+    perturb raw doubles, and a rank comparison on perturbed keys could
+    flip a boundary document's bucket; ranking on the rounded value
+    makes the sort keys bit-identical everywhere.
+
+    Scale shape: training + scoring as in ``doc_logprob`` (broadcast
+    model, partial-aggregatable passes); the rank is ONE window
+    partitioned by ``by`` — parallel across groups, which is why CCNet
+    shards this step per language. ``by=None`` is a single global
+    window (one reducer over one row per DOCUMENT — fine up to ~10^8
+    docs, but prefer a group column at corpus scale).
+    """
+    from pyspark.sql.window import Window
+
+    model, totals = unigram_model(docs, text_col, vocab_size)
+    scored = doc_logprob(docs, model, totals, text_col, id_col, alpha)
+    scored = scored.withColumn("mean_logp", F.round("mean_logp", 6))
+    keep = [id_col, "mean_logp"]
+    if by is not None:
+        scored = scored.join(
+            docs.select(id_col, by).dropDuplicates([id_col]), id_col
+        )
+        keep = [id_col, by, "mean_logp"]
+        win = Window.partitionBy(by)
+    else:
+        win = Window.partitionBy()
+    win = win.orderBy(F.col("mean_logp").desc(), F.col(id_col).asc())
+    pr = F.percent_rank().over(win)
+    bucket = (
+        F.when(pr < cuts[0], labels[0])
+        .when(pr < cuts[1], labels[1])
+        .otherwise(labels[2])
+    )
+    return scored.select(*keep, bucket.alias("bucket"))

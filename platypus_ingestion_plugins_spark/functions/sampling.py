@@ -280,3 +280,55 @@ def select_token_budget(
     )
     out = fine if keep_full is None else keep_full.unionByName(fine)
     return out.drop("__b")
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    n: int,
+    by: str | None = None,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — the one-pass reservoir
+    algorithm of Efraimidis & Spirakis 2006 ("Weighted random sampling
+    with a reservoir", A-ES): each row draws u in [0,1) and scores
+    ``u ** (1/w)``; the n LARGEST scores are exactly a weighted
+    without-replacement sample (P(row first) = w_i / sum w). Here u is
+    the deterministic ``unit_hash`` of the row key, so — like every
+    sampler in this module — membership is a pure function of
+    (key, salt): stable across engines, partitionings and reruns, and
+    an external oracle reproduces the exact row set.
+
+    Rows with weight <= 0 or NULL are excluded (they have probability
+    zero; ``u ** (1/w)`` is undefined for them). Ties (possible only
+    via identical keys) break on the key column.
+
+    Scale shape: the score is one codegen expression; global top-n
+    compiles to TakeOrderedAndProject — each partition keeps its local
+    top n and only n rows per partition reach the final merge, so the
+    corpus is never globally sorted. n must be driver-modest (samples,
+    not corpora — for "select half the corpus by weight" use
+    ``select_token_budget``, whose two-phase bucketed fill has no
+    driver-size dependence). With ``by``, the top-n is per group via
+    one partitioned window — parallel across groups, no global order.
+    """
+    w = F.col(weight_col).cast("double")
+    score = F.pow(unit_hash(key, salt), F.lit(1.0) / w)
+    pos = df.filter(w > 0).withColumn("__ws", score)
+    if by is not None:
+        from pyspark.sql.window import Window
+
+        win = Window.partitionBy(by).orderBy(
+            F.col("__ws").desc(), F.col(key).asc()
+        )
+        return (
+            pos.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") <= n)
+            .drop("__rn", "__ws")
+        )
+    return (
+        pos.orderBy(F.col("__ws").desc(), F.col(key).asc())
+        .limit(n)
+        .drop("__ws")
+    )

@@ -323,3 +323,61 @@ def hashed_bow_embeddings(
     return df.select(
         F.col(id_col), buckets.alias("__buckets")
     ).mapInPandas(kernel, out_schema)
+
+
+def gopher_quality_flags(df, text_col: str, id_col: str):
+    """The Gopher rule set (Rae et al. 2021, arXiv:2112.11446, Table
+    A1 — the public heuristics FineWeb/Dolma reuse verbatim): one
+    boolean per rule plus the conjunction, so a pipeline can either
+    hard-filter on ``gopher_pass`` or inspect which rule fired.
+
+    Rules (document-level, whitespace words / newline lines):
+      r_word_count     50 <= words <= 100_000
+      r_mean_word_len  3 <= mean word length <= 10
+      r_symbol_ratio   (# '#' + # '...') / words <= 0.1
+      r_bullet_lines   < 90% of lines start with a bullet marker
+      r_ellipsis_lines <= 30% of lines end with '...'
+      r_alpha_words    >= 80% of words contain an alphabetic char
+      r_stopwords      >= 2 distinct of the 8 Gopher stop words
+                       (the, be, to, of, and, that, have, with)
+
+    Every rule is deterministic integer/char arithmetic over one
+    codegen projection — map-only, shuffle-free, no UDF; an external
+    SQL oracle reproduces each flag bit-for-bit. Empty documents fail
+    r_word_count and so fail overall (0 words; ratios guard their
+    denominators)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    ).cast("double") / nw
+    n_hash = F.size(F.split(c, "#", -1)) - 1
+    n_ellipsis = F.size(F.split(c, r"\.\.\.", -1)) - 1
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•])"))
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stops = F.array(*[F.lit(s) for s in
+                      ("the", "be", "to", "of", "and", "that", "have", "with")])
+    n_stop = F.size(
+        F.array_intersect(F.transform(words, lambda w: F.lower(w)), stops)
+    )
+    flags = {
+        "r_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "r_mean_word_len": (mean_len >= 3.0) & (mean_len <= 10.0),
+        "r_symbol_ratio": (n_hash + n_ellipsis).cast("double") / nw <= 0.1,
+        "r_bullet_lines": bullet_lines.cast("double") / n_lines < 0.9,
+        "r_ellipsis_lines": ellipsis_lines.cast("double") / n_lines <= 0.3,
+        "r_alpha_words": alpha_words.cast("double") / nw >= 0.8,
+        "r_stopwords": n_stop >= 2,
+    }
+    out = df.select(F.col(id_col), *[v.alias(k) for k, v in flags.items()])
+    overall = None
+    for k in flags:
+        overall = F.col(k) if overall is None else (overall & F.col(k))
+    return out.withColumn("gopher_pass", overall)

@@ -48,6 +48,7 @@ def line_dedup(
     id_col: str,
     min_df: int = 2,
     normalize: bool = True,
+    by: str | None = None,
 ) -> DataFrame:
     """CCNet-style line-level deduplication: drop every LINE that
     occurs (after optional lowercase+trim normalization) in >=
@@ -70,30 +71,47 @@ def line_dedup(
     text, preserving row count for downstream joins; NULL text is
     coalesced to the empty string for the same reason (a bare explode
     of a null split would silently delete the row).
+
+    ``by`` scopes the doc-frequency count to a group column (e.g. the
+    source domain): boilerplate is domain-local — a nav menu hot on
+    one site must not scrub an identical line that appears once on
+    another — so production scrubs (CCNet groups by web snapshot
+    shard; RefinedWeb by domain) count df WITHIN the group. Same plan
+    shape, the count/join key just widens to (by, line_key); groups
+    are independent, so the hot set stays boilerplate-sized per group.
     """
-    lines = _doc_lines(df, text_col, id_col, normalize)
+    group_keys = ["line_key"] if by is None else [by, "line_key"]
+    lines = _doc_lines(
+        df, text_col, id_col, normalize, extra=() if by is None else (by,)
+    )
     hot = (
         lines.filter(~F.col("__blank"))
-        .groupBy("line_key")
+        .groupBy(*group_keys)
         .agg(F.count_distinct(F.col(id_col)).alias("__df"))
         .filter(F.col("__df") >= min_df)
-        .select("line_key")
+        .select(*group_keys)
     )
     kept = lines.join(
-        hot.withColumn("__hot", F.lit(True)), "line_key", "left"
+        hot.withColumn("__hot", F.lit(True)), group_keys, "left"
     ).withColumn("__drop", F.coalesce("__hot", F.lit(False)) & ~F.col("__blank"))
     return _reassemble_lines(kept, text_col, id_col)
 
 
 def _doc_lines(
-    df: DataFrame, text_col: str, id_col: str, normalize: bool
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    normalize: bool,
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Explode documents to (id, line_no, line, line_key, __blank) —
-    the shared front half of batch and incremental line dedup. NULL
+    """Explode documents to (id, *extra, line_no, line, line_key,
+    __blank) — the shared front half of batch and incremental line
+    dedup (``extra`` carries group columns for scoped df counts). NULL
     text coalesces to '' so the explode cannot delete the row."""
     key = F.trim(F.lower(F.col("line"))) if normalize else F.col("line")
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra],
         F.posexplode(
             F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
         ).alias("line_no", "line"),
@@ -1847,10 +1865,11 @@ def mask_repeated_spans(
       5. per-doc ordered reassembly of surviving tokens (the
          line_dedup pattern).
     Shuffles: gram count, hot join, per-doc window, final group — all
-    keyed/partial-aggregatable; nothing corpus-squared anywhere. The
-    gram-count exchange ships k-token strings; at real scale pass the
-    corpus through ``cap_shingle_df``-style df capping upstream or
-    raise k — cost scales with corpus token count x k bytes.
+    keyed/partial-aggregatable; nothing corpus-squared anywhere. Grams
+    are sha2-keyed before the first exchange (64-hex keys, not raw
+    k-token strings — the streaming path's ``span_start_keys``
+    convention), so exchange cost scales with corpus token COUNT, not
+    token count x k bytes.
     """
     out_col = out_col or f"{text_col}_deduped"
     toks = _ws_tokens(text_col)
@@ -1858,7 +1877,12 @@ def mask_repeated_spans(
         F.col(id_col).alias("__id"), toks.alias("__t")
     )
     longd = base.filter(F.size("__t") >= k)
-    starts = _span_starts(longd, k)
+    # sha2 the gram BEFORE any exchange: the count shuffle and the hot
+    # join then ship 64-hex keys instead of raw k-token strings (~4-5x
+    # fewer bytes at k=50) — the same keying the streaming index path
+    # uses (span_start_keys). Counting per hash = counting per gram
+    # (sha2-256 collisions are negligible at any corpus size).
+    starts = _span_starts(longd, k).withColumn("__g", F.sha2("__g", 256))
     hot = (
         starts.groupBy("__g")
         .agg(F.count(F.lit(1)).alias("__c"))

@@ -3088,3 +3088,241 @@ def test_mask_repeated_spans_incremental_first_keeps_union(spark):
         assert got == want, (split_at, got, want)
     # first-keeps visible: doc 1 kept its copy, later docs scrubbed
     assert shared in want[1] and shared not in want[2] and shared not in want[4]
+
+
+def test_weighted_sample_wor_matches_brute_force(spark):
+    """NEW r11: Efraimidis-Spirakis weighted sampling without
+    replacement. Selection must equal the brute-force top-n by
+    u**(1/w) computed from the engine's own deterministic u values;
+    non-positive / NULL weights are excluded; the by= path applies
+    the same rule per group."""
+    from platypus_ingestion_plugins_spark.functions.sampling import (
+        unit_hash,
+        weighted_sample_wor,
+    )
+
+    rows = [
+        Row(doc_id=i, grp=f"g{i % 2}",
+            w=[0.5, 2.0, 8.0, 0.0, None][i % 5])
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, grp string, w double")
+    u = {
+        r.doc_id: r.u
+        for r in df.select(
+            "doc_id", unit_hash("doc_id", "wsample").alias("u")
+        ).collect()
+    }
+
+    def brute(rs, n):
+        elig = [r for r in rs if r.w is not None and r.w > 0]
+        elig.sort(key=lambda r: (-(u[r.doc_id] ** (1.0 / r.w)), r.doc_id))
+        return sorted(r.doc_id for r in elig[:n])
+
+    got = sorted(
+        r.doc_id for r in weighted_sample_wor(df, "doc_id", "w", 10).collect()
+    )
+    assert got == brute(rows, 10)
+    gotg = weighted_sample_wor(df, "doc_id", "w", 7, by="grp").collect()
+    for g in ("g0", "g1"):
+        assert sorted(r.doc_id for r in gotg if r.grp == g) == brute(
+            [r for r in rows if r.grp == g], 7
+        )
+    # weight tilts selection: the high-weight stratum (w=8) should be
+    # overrepresented relative to its 1/3 share of eligible rows
+    n8 = sum(1 for i in got if rows[i].w == 8.0)
+    assert n8 >= 5
+
+
+def test_line_dedup_by_scopes_df_to_group(spark):
+    """NEW r11: by= scopes the boilerplate doc-frequency count to a
+    group — a nav line hot on source A is scrubbed there, while the
+    IDENTICAL line appearing once on source B survives; by=None (the
+    corpus-wide scrub) drops all copies."""
+    rows = [
+        Row(doc_id=1, src="a", text="nav menu\nreal content one"),
+        Row(doc_id=2, src="a", text="nav menu\nreal content two"),
+        Row(doc_id=3, src="b", text="nav menu\nother site text"),
+    ]
+    df = spark.createDataFrame(rows)
+    scoped = {
+        r.doc_id: r.text
+        for r in dedup.line_dedup(df, "text", "doc_id", by="src").collect()
+    }
+    assert scoped[1] == "real content one"
+    assert scoped[2] == "real content two"
+    assert scoped[3] == "nav menu\nother site text"  # df=1 within b
+    global_ = {
+        r.doc_id: r.text
+        for r in dedup.line_dedup(df, "text", "doc_id").collect()
+    }
+    assert global_[3] == "other site text"  # corpus-wide df=3
+
+
+def test_perplexity_buckets_ccnet_partition(spark):
+    """NEW r11: CCNet head/middle/tail. Buckets must equal the brute
+    percent_rank partition over (rounded mean_logp DESC, id) within
+    each language; zero-token docs yield no row; head really is the
+    more-fluent slice (repeated common tokens score above rare-token
+    gibberish under the corpus LM)."""
+    from platypus_ingestion_plugins_spark.functions.lm import perplexity_buckets
+
+    rows = []
+    for i in range(12):
+        # fluent: common-token text; gibberish: unique rare tokens
+        rows.append(Row(doc_id=i, lang="en",
+                        text="the cat sat on the mat " * 3
+                        if i < 6 else f"zzq{i}x wvu{i}j qqj{i}k"))
+    for i in range(12, 18):
+        rows.append(Row(doc_id=i, lang="de",
+                        text="der hund lief im park " * 2
+                        if i < 15 else f"xxo{i}p yyr{i}m"))
+    rows.append(Row(doc_id=99, lang="en", text="   "))  # zero tokens
+    df = spark.createDataFrame(rows)
+    out = perplexity_buckets(df, "text", "doc_id", by="lang", vocab_size=64)
+    got = {r.doc_id: (r.lang, r.mean_logp, r.bucket) for r in out.collect()}
+    assert 99 not in got
+    # brute replication per language
+    import collections
+
+    by_lang = collections.defaultdict(list)
+    for d, (lang, mlp, _) in got.items():
+        by_lang[lang].append((d, mlp))
+    for lang, pairs in by_lang.items():
+        pairs.sort(key=lambda p: (-p[1], p[0]))
+        n = len(pairs)
+        for rank, (d, _) in enumerate(pairs):
+            pr = rank / (n - 1) if n > 1 else 0.0
+            want = "head" if pr < 1 / 3 else ("middle" if pr < 2 / 3 else "tail")
+            assert got[d][2] == want, (lang, d)
+    # fluency ordering: heads are drawn exclusively from the fluent
+    # docs (the six tie on score; id-order tie-break fills the top
+    # third — 4 of 12 — from them), gibberish never reaches head
+    en_heads = {i for i in range(0, 12) if got[i][2] == "head"}
+    assert en_heads == {0, 1, 2, 3}
+    assert all(got[i][2] in ("middle", "tail") for i in range(6, 12))
+
+
+def test_dsir_matches_python_reference(spark):
+    """NEW r11: DSIR importance resampling. The full pipeline —
+    md5-hashed unigram+bigram features, add-k smoothed target/raw
+    distributions, log-ratio weights, deterministic-Gumbel top-n — is
+    replayed in pure Python from the same md5 arithmetic; the Spark
+    selection must reproduce the reference's exact ids and (to 5dp)
+    weights, and target-like docs must outweigh off-target ones."""
+    import hashlib
+    import math
+    import re
+
+    from platypus_ingestion_plugins_spark.operators.dsir import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    def toks(s):
+        return [t for t in re.split(r"\W+", s.lower()) if t]
+
+    def grams(s):
+        t = toks(s)
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    B, S = 64, 1.0
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    # on-target docs share the target's PHRASING (DSIR features are
+    # unigrams AND bigrams — same words in a different order share few
+    # bigrams and can score below shorter off-target docs)
+    raw_rows = [
+        Row(doc_id=i,
+            text=("spark executor shuffle memory partition tuning"
+                  if i % 3 == 0 else "cooking pasta with tomato sauce basil"))
+        for i in range(30)
+    ]
+    target_rows = [
+        Row(doc_id=100 + i, text="spark executor shuffle memory partition tuning")
+        for i in range(4)
+    ]
+    raw = spark.createDataFrame(raw_rows)
+    target = spark.createDataFrame(target_rows)
+
+    # python reference
+    def counts(rows):
+        c = {}
+        for r in rows:
+            for g in grams(r.text):
+                b = bucket(g)
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    tc, rc = counts(target_rows), counts(raw_rows)
+    t_tot, r_tot = sum(tc.values()), sum(rc.values())
+    logr = {
+        b: (math.log(tc.get(b, 0) + S) - math.log(t_tot + S * B)
+            - math.log(rc.get(b, 0) + S) + math.log(r_tot + S * B))
+        for b in set(tc) | set(rc)
+    }
+    ref_w = {
+        r.doc_id: sum(logr[bucket(g)] for g in grams(r.text))
+        for r in raw_rows
+    }
+
+    got_w = {
+        r.doc_id: r.logw
+        for r in dsir_weights(raw, target, buckets=B, smoothing=S).collect()
+    }
+    assert set(got_w) == set(ref_w)
+    for d, w in ref_w.items():
+        assert abs(got_w[d] - w) < 1e-5, d
+    # on-target docs outweigh off-target ones
+    on = min(w for d, w in ref_w.items() if d % 3 == 0)
+    off = max(w for d, w in ref_w.items() if d % 3 != 0)
+    assert on > off
+
+    # gumbel top-n selection matches the same arithmetic
+    def uhash(d):
+        h = hashlib.md5(f"dsir|{d}".encode()).hexdigest()[:15]
+        return int(h, 16) / float(16 ** 15)
+
+    scored = sorted(
+        ((ref_w[d] - math.log(-math.log(max(uhash(d), 1e-12)))), -d, d)
+        for d in ref_w
+    )
+    want = sorted(d for _, _, d in scored[-8:])
+    got = sorted(
+        r.doc_id for r in dsir_select(raw, target, 8, buckets=B).collect()
+    )
+    assert got == want
+
+
+def test_gopher_quality_flags_rules(spark):
+    """NEW r11: the Gopher rule set. Hand-constructed docs trip each
+    rule in isolation; a long fluent doc passes all seven."""
+    good_words = ("the quick brown fox and the lazy dog that have been "
+                  "with us for years of steady calm text ") * 5  # 100 words
+    rows = [
+        Row(doc_id=0, text=good_words),
+        Row(doc_id=1, text="short text only"),                      # word_count
+        Row(doc_id=2, text="a " * 120),                             # mean_word_len (1.0)
+        Row(doc_id=3, text=("the of and " * 20) + "# " * 30),       # symbol_ratio
+        Row(doc_id=4, text="\n".join("- item %d the of" % i for i in range(20))),  # bullet
+        Row(doc_id=5, text="\n".join("the of and so on..." for _ in range(10))),   # ellipsis
+        Row(doc_id=6, text=("the of " + "123 456 789 " * 30)),      # alpha_words
+        Row(doc_id=7, text="zebra quartz " * 40),                   # stopwords
+        Row(doc_id=8, text=""),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.doc_id: r.asDict() for r in
+           TX.gopher_quality_flags(df, "text", "doc_id").collect()}
+    assert got[0]["gopher_pass"] is True
+    assert got[1]["r_word_count"] is False
+    assert got[2]["r_mean_word_len"] is False
+    assert got[3]["r_symbol_ratio"] is False
+    assert got[4]["r_bullet_lines"] is False
+    assert got[5]["r_ellipsis_lines"] is False
+    assert got[6]["r_alpha_words"] is False
+    assert got[7]["r_stopwords"] is False
+    assert got[8]["r_word_count"] is False and got[8]["gopher_pass"] is False
+    for d in range(1, 9):
+        assert got[d]["gopher_pass"] is False
