@@ -2,8 +2,8 @@
 
 Builds a 10x replica of the sf0.1 documents/embeddings tables in a
 scratch dir, runs the dedup/ANN flagship cohort (dedup_groups,
-stream_neardup_dedup, knn_join, line_dedup, pipeline_clean_corpus)
-once at each scale, and records seconds + the sf1/sf0.1 scaling
+stream_neardup_dedup, knn_join, line_dedup, pipeline_clean_corpus,
+exact_substring_dedup, dsir_select) once at each scale, and records seconds + the sf1/sf0.1 scaling
 factor into bench_summary.json under "sf1_scale_check". Anything
 scaling materially worse than linear gets a named cause in SURVEY §6.
 
@@ -37,6 +37,11 @@ COHORT = [
     "knn_join",
     "line_dedup",
     "pipeline_clean_corpus",
+    # r11 late additions: the two data-proportional newcomers — the
+    # ExactSubstr gram pipeline (explode + count + coverage windows)
+    # and DSIR (two bucket fits + broadcast scoring over the corpus)
+    "exact_substring_dedup",
+    "dsir_select",
 ]
 
 

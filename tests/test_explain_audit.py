@@ -61,6 +61,12 @@ HEADLINE = [
     # r11 additions
     "budget_select",
     "semdedup_keep",
+    "weighted_sample",
+    "dsir_select",
+    "perplexity_buckets",
+    "gopher_quality",
+    "line_dedup_by_source",
+    "exact_substring_dedup",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
@@ -72,6 +78,8 @@ EXPECT_BROADCAST = [
     "dedup_minhash_lsh",
     "unigram_logprob",  # the capped-vocab model must broadcast to the scorer
     "temperature_mix",  # the strata-rate frame must broadcast to the filter
+    "dsir_select",  # the bucket log-ratio table must broadcast to the scorer
+    "perplexity_buckets",  # the capped-vocab LM must broadcast (unigram_logprob)
 ]
 
 
@@ -165,3 +173,23 @@ def test_scans_prune_columns(plans):
         assert widths and max(widths) <= 4, (
             f"{name}: wide scan read_cols={widths}"
         )
+
+
+def test_weighted_sample_is_take_ordered(plans):
+    """weighted_sample's global top-n must compile to
+    TakeOrderedAndProject (per-partition top-n + bounded merge), never
+    a global Sort+Limit over the full corpus."""
+    assert "TakeOrderedAndProject" in plans["weighted_sample"], (
+        plans["weighted_sample"]
+    )
+    assert "dsir_select" in plans  # same contract for the Gumbel top-n
+    assert "TakeOrderedAndProject" in plans["dsir_select"]
+
+
+def test_gopher_flags_map_only(plans):
+    """gopher_quality is one codegen projection — its plan must
+    contain no Exchange (shuffle-free, embarrassingly parallel) and no
+    Python evaluation of any kind."""
+    p = plans["gopher_quality"]
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p and "InPandas" not in p, p
