@@ -4379,7 +4379,7 @@ WITH h AS (
          {_UNIT_SQL.format(salt="wsample", key="doc_id")} AS u
   FROM documents)
 SELECT doc_id, source FROM h WHERE n_chars > 0
-ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id LIMIT 80
+ORDER BY round(pow(u, 1.0 / n_chars), 6) DESC, doc_id LIMIT 80
 """
 
 
@@ -4429,7 +4429,8 @@ hot AS (
 kept AS (
   SELECT doc_id, line_no, line,
          (EXISTS (SELECT 1 FROM hot h
-                  WHERE h.source = keyed.source AND h.k = keyed.k))
+                  WHERE h.source IS NOT DISTINCT FROM keyed.source
+                    AND h.k = keyed.k))
            AND NOT blank AS dropped
   FROM keyed)
 SELECT doc_id,

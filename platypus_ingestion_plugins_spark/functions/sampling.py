@@ -301,8 +301,13 @@ def weighted_sample_wor(
     an external oracle reproduces the exact row set.
 
     Rows with weight <= 0 or NULL are excluded (they have probability
-    zero; ``u ** (1/w)`` is undefined for them). Ties (possible only
-    via identical keys) break on the key column.
+    zero; ``u ** (1/w)`` is undefined for them). The score is rounded
+    to 6 dp BEFORE ranking (the module convention, same as
+    ``perplexity_buckets``): ``pow`` differs by ~1 ulp across libm
+    implementations, so two rows straddling the rank-n boundary
+    within ulps would otherwise select differently engine to engine
+    (r11 review #5); rounding makes boundary ties EXACT and the key
+    tiebreak resolves them identically everywhere.
 
     Scale shape: the score is one codegen expression; global top-n
     compiles to TakeOrderedAndProject — each partition keeps its local
@@ -314,7 +319,7 @@ def weighted_sample_wor(
     one partitioned window — parallel across groups, no global order.
     """
     w = F.col(weight_col).cast("double")
-    score = F.pow(unit_hash(key, salt), F.lit(1.0) / w)
+    score = F.round(F.pow(unit_hash(key, salt), F.lit(1.0) / w), 6)
     pos = df.filter(w > 0).withColumn("__ws", score)
     if by is not None:
         from pyspark.sql.window import Window

@@ -79,6 +79,12 @@ def line_dedup(
     shard; RefinedWeb by domain) count df WITHIN the group. Same plan
     shape, the count/join key just widens to (by, line_key); groups
     are independent, so the hot set stays boilerplate-sized per group.
+    NULL group values form their own group (missing-domain web docs
+    are each other's dedup scope, not exempt): the hot join matches
+    the group column NULL-SAFELY — a plain equality would never match
+    the NULL group's hot rows and silently skip scrubbing exactly the
+    dirtiest slice of a crawl (r11 review #3). groupBy already counts
+    NULL as one group, so both sides agree.
     """
     group_keys = ["line_key"] if by is None else [by, "line_key"]
     lines = _doc_lines(
@@ -90,10 +96,26 @@ def line_dedup(
         .agg(F.count_distinct(F.col(id_col)).alias("__df"))
         .filter(F.col("__df") >= min_df)
         .select(*group_keys)
+        .withColumn("__hot", F.lit(True))
     )
-    kept = lines.join(
-        hot.withColumn("__hot", F.lit(True)), group_keys, "left"
-    ).withColumn("__drop", F.coalesce("__hot", F.lit(False)) & ~F.col("__blank"))
+    if by is None:
+        kept = lines.join(hot, group_keys, "left")
+    else:
+        # renamed right-side keys: hot shares lines' lineage, so
+        # lines[by] == hot[by] is ambiguous self-join column
+        # resolution; fresh names make the condition unambiguous
+        hot = hot.select(
+            F.col("line_key").alias("__h_key"),
+            F.col(by).alias("__h_by"),
+            "__hot",
+        )
+        cond = (F.col("line_key") == F.col("__h_key")) & F.col(
+            by
+        ).eqNullSafe(F.col("__h_by"))
+        kept = lines.join(hot, cond, "left").drop("__h_key", "__h_by")
+    kept = kept.withColumn(
+        "__drop", F.coalesce("__hot", F.lit(False)) & ~F.col("__blank")
+    )
     return _reassemble_lines(kept, text_col, id_col)
 
 

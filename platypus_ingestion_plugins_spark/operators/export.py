@@ -232,6 +232,7 @@ def export_tar_shards(
     content_cols: dict[str, str],
     n_shards: int,
     salt: str = "shuffle",
+    stale_after_s: int = 3600,
 ) -> list:
     """Write the corpus as WebDataset-style tar shards —
     ``out_path/shard-00000.tar`` .. — the sequential-read layout
@@ -284,6 +285,17 @@ def export_tar_shards(
     with ``spark.speculation=false`` (the repo session default) — a
     speculative duplicate attempt would race the original on the same
     staged tar path.
+
+    ``stale_after_s`` (default 1 h) is the liveness horizon for
+    sweeping FOREIGN artifacts (sentinels, staging dirs, marker
+    temps): it must exceed the worst-case SWAP duration on the target
+    store, not the whole export (the sentinel rises after the write
+    action, and this export re-touches its own sentinel every 256
+    shard moves as a heartbeat, so a slow-but-live swap presents a
+    young mtime to concurrent sweepers — r11 review #4). If a racer
+    with a shorter horizon sweeps this export's sentinel anyway, the
+    final sentinel drop tolerates the loss with a warning rather than
+    failing a committed export.
     """
     exts = dict(content_cols)
     str_cols = {
@@ -426,7 +438,14 @@ def export_tar_shards(
     if _drv_fs.get_file_info(marker).type != _pafs.FileType.NotFound:
         _drv_fs.delete_file(marker)
     new_names = set()
-    for m in manifest:
+    for i, m in enumerate(manifest):
+        if i and i % 256 == 0:
+            # heartbeat: a many-thousand-shard swap on an object
+            # store can outlive a racer's staleness horizon; a fresh
+            # sentinel mtime tells concurrent sweepers this swap is
+            # live (r11 review #4)
+            with _drv_fs.open_output_stream(sentinel) as out:
+                out.write(generation.encode("utf-8"))
         name = f"shard-{m.shard:05d}.tar"
         new_names.add(name)
         final = f"{_drv_inner}/{name}"
@@ -443,7 +462,8 @@ def export_tar_shards(
     def _stale(info) -> bool:
         t = info.mtime
         return t is not None and (
-            (now - t.astimezone(_dt.timezone.utc)).total_seconds() > 3600
+            (now - t.astimezone(_dt.timezone.utc)).total_seconds()
+            > stale_after_s
         )
 
     # pass 1 — sentinels. A foreign sentinel marks an export inside
@@ -503,7 +523,7 @@ def export_tar_shards(
                 ]
                 if stamps and all(
                     (now - t.astimezone(_dt.timezone.utc)).total_seconds()
-                    > 3600
+                    > stale_after_s
                     for t in stamps
                 ):
                     _drv_fs.delete_dir(info.path)
@@ -529,7 +549,25 @@ def export_tar_shards(
             ],
         }).encode("utf-8"))
     _drv_fs.move(marker_tmp, marker)
-    _drv_fs.delete_file(sentinel)
+    try:
+        _drv_fs.delete_file(sentinel)
+    except FileNotFoundError:
+        # a racer with a shorter staleness horizon swept our sentinel
+        # mid-swap (r11 review #4). The commit marker just landed, so
+        # THIS export's data is consistent — failing here would junk a
+        # completed job — but readers lost crash protection for part
+        # of the swap window; surface it.
+        import warnings
+
+        warnings.warn(
+            f"swap sentinel {sentinel} was removed by a concurrent "
+            "export before this one finished its swap; the commit "
+            "marker is in place and this generation is consistent, "
+            "but raise stale_after_s above the worst-case swap "
+            "duration to keep the in-progress flag visible",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return manifest
 
 

@@ -174,8 +174,13 @@ def spark_schema_to_avro(schema, name: str = "row") -> dict:
 
 
 def _pyify(v):
-    """Arrow/pandas scalar -> the plain-Python value _encode_value
-    frames (numpy scalars unbox, ndarrays list-ify, NaN -> None)."""
+    """Arrow scalar -> the plain-Python value _encode_value frames.
+    ``RecordBatch.to_pylist`` already yields native Python (exact ints
+    even in nullable columns — the pandas bridge this replaced coerced
+    nullable int64 to float64, silently rounding longs above 2^53;
+    r11 review #2), so this only normalizes the leftovers: NaN -> None
+    (missing), numpy scalars unbox (defensive), Arrow MAP entries
+    (list of (k, v) 2-tuples) -> dict for the Avro map encoder."""
     import numpy as np
 
     if v is None or v is False or v is True:
@@ -186,6 +191,13 @@ def _pyify(v):
         return None
     if isinstance(v, np.ndarray):
         return [_pyify(x) for x in v.tolist()]
+    if isinstance(v, list) and v and all(
+        isinstance(x, tuple) and len(x) == 2 for x in v
+    ):
+        # Arrow map column: to_pylist yields [(key, value), ...].
+        # Unambiguous — Spark array<struct> surfaces as list of dicts,
+        # never tuples.
+        return {k: _pyify(x) for k, x in v}
     if isinstance(v, (list, tuple)):
         return [_pyify(x) for x in v]
     if isinstance(v, dict):
@@ -203,6 +215,7 @@ def export_avro_ocf(
     salt: str = "shuffle",
     codec: str = "null",
     records_per_block: int = 1000,
+    stale_after_s: int = 3600,
 ) -> list:
     """Write the corpus as Avro OCF shards —
     ``out_path/part-00000.avro`` .. — the container the block-split
@@ -220,9 +233,26 @@ def export_avro_ocf(
     shard land in the deterministic permutation order, so reruns are
     byte-identical (the writer sync marker is fixed) and the returned
     manifest (shard, path, n_records) is stable. Each task writes a
-    ``.inprogress`` temp renamed on completion — a crashed task
-    attempt never leaves a readable half-file behind (the reader
-    globs ``*.avro``).
+    an ATTEMPT-UNIQUE ``.inprogress-<attempt>`` temp renamed on
+    completion — a crashed attempt never leaves a readable half-file
+    behind (the reader globs ``*.avro``), and a speculative/zombie
+    second attempt of the same task can never interleave bytes into
+    the first attempt's temp (r11 review #6: a shared temp path
+    published a corrupt shard under ``spark.speculation``).
+
+    Generation protocol (r11 review #1 — previously a re-export with
+    fewer shards silently served old leftover shards alongside the
+    new generation): the driver raises an
+    ``.ocf_export_in_progress-<gen>`` sentinel BEFORE the first
+    final-name move can land, and ``read_avro_ocf`` refuses the
+    directory while any sentinel is up; after the write action, stale
+    ``part-*.avro`` absent from this generation's manifest and aged
+    ``.inprogress-*`` temps are swept, foreign sentinels older than
+    ``stale_after_s`` (a crashed export's permanent reader-blocker)
+    are cleared, then the sentinel drops — its absence certifies the
+    directory lists exactly one generation. A crash anywhere in the
+    window leaves the sentinel up: DETECTABLE, never silently read
+    as a mixed-generation directory.
 
     Blocks are the unit of read parallelism AND compression
     (``codec="deflate"`` compresses per block), so
@@ -251,8 +281,11 @@ def export_avro_ocf(
     out_schema = "shard long, path string, n_records long"
 
     def write_shards(batches):
-        import pandas as pd
+        import pyarrow as pa
+        from pyspark import TaskContext
 
+        tc = TaskContext.get()
+        attempt = tc.taskAttemptId() if tc is not None else 0
         meta = {"avro.schema": schema_bytes, "avro.codec": codec.encode()}
         header = bytearray(MAGIC)
         from .avro_decode import _encode_long
@@ -300,10 +333,13 @@ def export_avro_ocf(
             state.update(shard=None, out=None, tmp=None, n=0)
             return rec
 
-        for pdf in batches:
-            # to_dict, not itertuples: namedtuples rename
-            # underscore-leading columns (_seq, _row_kind) positionally
-            for d in pdf.to_dict("records"):
+        for batch in batches:
+            # Arrow batches, not pandas: to_pylist keeps nullable long
+            # columns as exact Python ints (the pandas bridge coerced
+            # them to float64, corrupting values above 2^53 —
+            # r11 review #2) and preserves underscore-leading column
+            # names (_seq, _row_kind) verbatim.
+            for d in batch.to_pylist():
                 shard = int(d["shard"])
                 if shard != state["shard"]:
                     done = close_current()
@@ -312,7 +348,10 @@ def export_avro_ocf(
                     if fs is None:
                         fs, inner = _open_fs(out_path)
                         fs.create_dir(inner, recursive=True)
-                    tmp = f"{inner}/part-{shard:05d}.avro.inprogress"
+                    tmp = (
+                        f"{inner}/part-{shard:05d}.avro"
+                        f".inprogress-{attempt}"
+                    )
                     out = fs.open_output_stream(tmp)
                     out.write(bytes(header))
                     state.update(shard=shard, out=out, tmp=tmp, buf=[], n=0)
@@ -324,9 +363,78 @@ def export_avro_ocf(
         if done:
             manifest.append(done)
         if manifest:
-            yield pd.DataFrame(manifest, columns=["shard", "path", "n_records"])
+            yield pa.RecordBatch.from_pylist(
+                [
+                    {"shard": s, "path": p, "n_records": n}
+                    for s, p, n in manifest
+                ],
+                schema=pa.schema(
+                    [
+                        pa.field("shard", pa.int64()),
+                        pa.field("path", pa.string()),
+                        pa.field("n_records", pa.int64()),
+                    ]
+                ),
+            )
 
-    return assigned.mapInPandas(write_shards, out_schema).collect()
+    import uuid as _uuid
+
+    generation = _uuid.uuid4().hex
+    _drv_fs, _drv_inner = _open_fs(out_path)
+    _drv_fs.create_dir(_drv_inner, recursive=True)
+    sentinel_base = f".ocf_export_in_progress-{generation}"
+    sentinel = f"{_drv_inner}/{sentinel_base}"
+    with _drv_fs.open_output_stream(sentinel) as _out:
+        _out.write(generation.encode("utf-8"))
+    # sentinel is UP before the action: tasks move finals into place
+    # as they finish, so a reader racing the export would otherwise
+    # see a mixed old/new directory with no tell
+    manifest = assigned.mapInArrow(write_shards, out_schema).collect()
+    _sweep_after_export(
+        _drv_fs, _drv_inner, sentinel_base,
+        keep={f"part-{int(m.shard):05d}.avro" for m in manifest},
+        stale_after_s=stale_after_s,
+    )
+    _drv_fs.delete_file(sentinel)
+    return manifest
+
+
+def _sweep_after_export(fs, inner, own_sentinel, keep, stale_after_s):
+    """Post-action directory reconciliation for ``export_avro_ocf``:
+    drop previous-generation ``part-*.avro`` not in ``keep``, aged
+    ``.inprogress-*`` temps (young ones may belong to a still-running
+    zombie attempt of THIS run — racing a live writer's open stream
+    is worse than a one-hour litter window), and foreign
+    ``.ocf_export_in_progress-*`` sentinels older than
+    ``stale_after_s`` (a crashed export's permanent reader-blocker)."""
+    import datetime as _dt
+
+    import pyarrow.fs as pafs
+
+    now = _dt.datetime.now(_dt.timezone.utc)
+
+    def _stale(info) -> bool:
+        t = info.mtime
+        return t is not None and (
+            (now - t.astimezone(_dt.timezone.utc)).total_seconds()
+            > stale_after_s
+        )
+
+    for info in fs.get_file_info(pafs.FileSelector(inner, recursive=False)):
+        if not info.is_file:
+            continue
+        base = info.path.rsplit("/", 1)[-1]
+        if base.startswith("part-") and base.endswith(".avro"):
+            if base not in keep:
+                fs.delete_file(info.path)
+        elif ".avro.inprogress" in base and _stale(info):
+            fs.delete_file(info.path)
+        elif (
+            base.startswith(".ocf_export_in_progress-")
+            and base != own_sentinel
+            and _stale(info)
+        ):
+            fs.delete_file(info.path)
 
 
 def _open_fs(path: str):
@@ -361,6 +469,34 @@ def _list_files(path: str, glob: str) -> list[tuple[str, int]]:
     if not files:
         raise FileNotFoundError(f"no files matching {glob!r} under {path}")
     return files
+
+
+def _refuse_if_export_in_progress(path: str) -> None:
+    """Raise if ``path`` (when it is a directory) carries an
+    ``.ocf_export_in_progress-*`` sentinel — an in-flight or
+    crash-interrupted ``export_avro_ocf`` whose listing would mix
+    generations. Single-file paths have no sentinel concept."""
+    import pyarrow.fs as pafs
+
+    fs, inner = _open_fs(path)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(inner, recursive=False))
+    except (NotADirectoryError, FileNotFoundError):
+        return
+    raised = [
+        i.path.rsplit("/", 1)[-1]
+        for i in infos
+        if i.is_file
+        and i.path.rsplit("/", 1)[-1].startswith(".ocf_export_in_progress-")
+    ]
+    if raised:
+        raise RuntimeError(
+            f"{path} has an OCF-export-in-progress sentinel "
+            f"({', '.join(sorted(raised))}): an export_avro_ocf is "
+            "either mid-write or crashed before its post-write sweep; "
+            "wait for it (or rerun the export, whose sweep clears "
+            "stale sentinels) before reading"
+        )
 
 
 def _sniff_header(fs, file_path: str) -> tuple[dict, str, bytes, int]:
@@ -596,7 +732,14 @@ def read_avro_ocf(
     replaces capped file size at the 2 GiB binary-column limit and
     serialized each file through one task. Records surface through the
     same Arrow-batched ``mapInPandas`` + JSON bridge + JVM ``from_json``
-    tail as the streaming reader (``_decode_to_typed``)."""
+    tail as the streaming reader (``_decode_to_typed``).
+
+    Refuses a directory with a raised ``.ocf_export_in_progress-*``
+    sentinel: either an export is mid-write (finals land
+    incrementally, the listing would mix generations) or one crashed
+    mid-window — both unreadable states the sentinel exists to make
+    detectable (r11 review #1)."""
+    _refuse_if_export_in_progress(path)
     schema = (
         json.loads(schema_json)
         if schema_json

@@ -3115,8 +3115,13 @@ def test_weighted_sample_wor_matches_brute_force(spark):
     }
 
     def brute(rs, n):
+        # 6-dp rounding BEFORE ranking mirrors the operator (and its
+        # oracle): raw pow differs by ulps across libm builds, so the
+        # rank-n boundary must compare rounded values (r11 review #5)
         elig = [r for r in rs if r.w is not None and r.w > 0]
-        elig.sort(key=lambda r: (-(u[r.doc_id] ** (1.0 / r.w)), r.doc_id))
+        elig.sort(
+            key=lambda r: (-round(u[r.doc_id] ** (1.0 / r.w), 6), r.doc_id)
+        )
         return sorted(r.doc_id for r in elig[:n])
 
     got = sorted(
@@ -3157,6 +3162,28 @@ def test_line_dedup_by_scopes_df_to_group(spark):
         for r in dedup.line_dedup(df, "text", "doc_id").collect()
     }
     assert global_[3] == "other site text"  # corpus-wide df=3
+
+
+def test_line_dedup_by_null_group_is_scrubbed(spark):
+    """r11 review #3: docs whose group column is NULL (missing-domain
+    crawl rows) form their OWN dedup scope — boilerplate hot among
+    them is scrubbed, not silently exempted by a null-unsafe hot
+    join; a line appearing once in the NULL group still survives."""
+    rows = [
+        Row(doc_id=1, src=None, text="cookie banner\nnull doc one"),
+        Row(doc_id=2, src=None, text="cookie banner\nnull doc two"),
+        Row(doc_id=3, src=None, text="lone line\nnull doc three"),
+        Row(doc_id=4, src="a", text="cookie banner\nsite a text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, src string, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.line_dedup(df, "text", "doc_id", by="src").collect()
+    }
+    assert out[1].text == "null doc one" and out[1].n_dropped == 1
+    assert out[2].text == "null doc two" and out[2].n_dropped == 1
+    assert out[3].text == "lone line\nnull doc three"  # df=1 in NULL grp
+    assert out[4].text == "cookie banner\nsite a text"  # df=1 within a
 
 
 def test_perplexity_buckets_ccnet_partition(spark):

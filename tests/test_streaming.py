@@ -1144,3 +1144,59 @@ def test_export_avro_ocf_distributed_roundtrip(spark, tmp_path):
     ts = spark.sql("SELECT current_timestamp() AS t, 1 AS k")
     with _pytest.raises(ValueError, match="cast"):
         spark_schema_to_avro(ts.schema)
+
+
+def test_export_avro_ocf_generation_and_precision(spark, tmp_path):
+    """r11 review #1/#2/#6: (a) a NULLABLE long column keeps exact
+    values above 2^53 — the Arrow writer must never route ints
+    through pandas float64; (b) re-exporting with FEWER shards sweeps
+    the previous generation's leftover parts, so the reader sees
+    exactly one generation; (c) a raised export sentinel makes the
+    reader refuse instead of serving a mixed directory."""
+    import os
+
+    from pyspark.sql import Row
+
+    from platypus_ingestion_plugins_spark.sources.avro_ocf import (
+        export_avro_ocf,
+        read_avro_ocf,
+    )
+
+    big = (1 << 60) + 1  # not representable in float64
+    rows = [
+        Row(doc_id=i, val=(big + i) if i % 3 else None) for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, val long")
+    out = str(tmp_path / "ocf")
+    export_avro_ocf(df, out, "doc_id", n_shards=6)
+    got = {r.doc_id: r.val for r in read_avro_ocf(spark, out).collect()}
+    assert got == {r.doc_id: r.val for r in rows}  # exact, incl. None
+
+    # narrower re-export: old part-00004/5 must not survive to mix
+    # generations into the read
+    sub = df.filter("doc_id < 12")
+    export_avro_ocf(sub, out, "doc_id", n_shards=2)
+    assert sorted(os.listdir(out)) == [
+        "part-00000.avro", "part-00001.avro"
+    ]
+    got2 = {r.doc_id: r.val for r in read_avro_ocf(spark, out).collect()}
+    assert got2 == {r.doc_id: r.val for r in rows if r.doc_id < 12}
+
+    # a raised sentinel (mid-write or crashed export) blocks reads
+    sent = os.path.join(out, ".ocf_export_in_progress-deadbeef")
+    with open(sent, "w") as f:
+        f.write("deadbeef")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="in-progress"):
+        read_avro_ocf(spark, out)
+    os.remove(sent)
+    # ...and the next export's sweep clears it once stale
+    old = os.path.join(out, ".ocf_export_in_progress-stale000")
+    with open(old, "w") as f:
+        f.write("stale000")
+    past = 1_000_000_000  # epoch 2001 — ancient mtime
+    os.utime(old, (past, past))
+    export_avro_ocf(sub, out, "doc_id", n_shards=2)
+    assert not os.path.exists(old)
+    assert read_avro_ocf(spark, out).count() == 12
