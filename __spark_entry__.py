@@ -4615,6 +4615,143 @@ FROM f
 """
 
 
+def q_c4_filter(spark, sf):
+    """The C4 cleaning rules (Raffel et al. 2020 JMLR §2.2 — the
+    other canonical public rule set next to Gopher's): line-level
+    retention (terminal punctuation, >= 5 words, no "javascript")
+    plus page-level flags (>= 3 sentences in kept text, no
+    "lorem ipsum", no brace) — one codegen projection, map-only, no
+    UDF (functions/text.py:c4_line_filter). The oracle replays every
+    line decision and flag bit-for-bit."""
+    from platypus_ingestion_plugins_spark.functions.text import (
+        c4_line_filter,
+    )
+
+    d = _t(spark, sf, "documents")
+    return c4_line_filter(d, "text", "doc_id")
+
+
+SQL_C4_FILTER = """
+WITH w AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+         string_split(coalesce(text, ''), chr(10)) AS lines
+  FROM documents),
+k AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, l ->
+             regexp_matches(trim(l), '[.!?"]$')
+             AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+                                 x -> x <> '')) >= 5
+             AND NOT contains(lower(l), 'javascript')) AS kept_lines
+  FROM w),
+m AS (
+  SELECT doc_id, text, lines, kept_lines,
+         -- array_to_string([]) is NULL in DuckDB; Spark array_join
+         -- gives '' — coalesce to match
+         coalesce(array_to_string(kept_lines, chr(10)), '') AS kept
+  FROM k),
+f AS (
+  SELECT doc_id, kept,
+         len(lines) AS n_lines, len(kept_lines) AS n_kept,
+         length(kept) - length(regexp_replace(kept, '[.!?]', '', 'g'))
+           AS n_sentences,
+         NOT contains(lower(text), 'lorem ipsum') AS c4_no_lorem,
+         NOT contains(text, '{') AS c4_no_brace
+  FROM m)
+SELECT doc_id, kept AS text, n_lines, n_kept, n_sentences,
+       n_sentences >= 3 AS c4_min_sentences,
+       c4_no_lorem, c4_no_brace, TRUE AS c4_no_badwords,
+       (n_sentences >= 3) AND c4_no_lorem AND c4_no_brace AS c4_pass
+FROM f
+"""
+
+
+def q_bigram_logprob(spark, sf):
+    """Interpolated bigram LM scoring (functions/lm.py:
+    doc_bigram_logprob) — the KenLM-shaped upgrade of the CCNet
+    unigram proxy: p(w2|w1) = 0.75 * MLE bigram + 0.25 * add-alpha
+    unigram, mean log over each document's bigram positions. Corpus-
+    trained (no external model), both model tables broadcast. vocab
+    1024 so OOV smoothing is exercised at every SF; 6-dp rounding
+    absorbs libm/summation ulps (the unigram_logprob convention)."""
+    from platypus_ingestion_plugins_spark.functions import lm
+
+    d = _t(spark, sf, "documents")
+    model, totals = lm.unigram_model(d, "text", vocab_size=1024)
+    bgm = lm.bigram_model(d, "text")
+    scored = lm.doc_bigram_logprob(
+        d, bgm, model, totals, "text", "doc_id", lam=0.75, alpha=0.5
+    )
+    return scored.select(
+        "doc_id", F.round("mean_logp2", 6).alias("mean_logp2"), "n_bigrams"
+    )
+
+
+SQL_BIGRAM_LOGPROB = """
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\W+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+toks AS (SELECT doc_id, unnest(ts) AS tok FROM arr),
+freqs AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT sum(cnt) AS total FROM freqs),
+vocab AS (SELECT tok, cnt FROM freqs ORDER BY cnt DESC, tok LIMIT 1024),
+model AS (SELECT tok, ln(cnt::DOUBLE) - ln(total::DOUBLE) AS logp
+          FROM vocab, tot),
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(ts) - 1)) AS i, ts
+  FROM arr WHERE len(ts) >= 2),
+bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 FROM pos),
+bcnt AS (SELECT w1, w2, count(*) AS cnt2 FROM bg GROUP BY w1, w2),
+bmodel AS (
+  SELECT w1, w2, cnt2::DOUBLE / cnt AS p_big
+  FROM (SELECT b.w1, b.w2, b.cnt2, f.cnt FROM bcnt b
+        JOIN freqs f ON f.tok = b.w1
+        ORDER BY b.cnt2 DESC, b.w1, b.w2 LIMIT 1048576)),
+scored AS (
+  SELECT bg.doc_id,
+         ln(0.75 * coalesce(bm.p_big, 0.0)
+            + 0.25 * exp(coalesce(m.logp,
+                                  ln(0.5) - ln(t.total::DOUBLE)))) AS lp
+  FROM bg LEFT JOIN bmodel bm USING (w1, w2)
+          LEFT JOIN model m ON m.tok = bg.w2, tot t)
+SELECT doc_id, round(sum(lp) / count(*), 6) AS mean_logp2,
+       count(*) AS n_bigrams
+FROM scored GROUP BY doc_id
+"""
+
+
+def q_stratified_interleave(spark, sf):
+    """Mixture-preserving training order (functions/sampling.py:
+    stratified_interleave): each source's documents ranked by the
+    deterministic unit hash and placed on the rank-midpoint lattice
+    (2r-1)/(2n), so any prefix of the global order carries every
+    source proportionally. The oracle replays the identical window
+    arithmetic; num/den are exact integers — no float compare."""
+    from platypus_ingestion_plugins_spark.functions.sampling import (
+        stratified_interleave,
+    )
+
+    d = _t(spark, sf, "documents")
+    return stratified_interleave(d, "doc_id", "source").select(
+        "doc_id", "source", "interleave_num", "interleave_den"
+    )
+
+
+SQL_STRATIFIED_INTERLEAVE = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         {_UNIT_SQL.format(salt="interleave", key="doc_id")} AS u
+  FROM documents)
+SELECT doc_id, source,
+       2 * row_number() OVER (PARTITION BY source ORDER BY u, doc_id) - 1
+         AS interleave_num,
+       2 * count(*) OVER (PARTITION BY source) AS interleave_den
+FROM h
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4629,7 +4766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the driver caps each round's oracle sweep at 50 entries, so dict
     # order IS verification priority — r11 rotation, VERDICT r10 task
     # #1, dict comments cross-checked against CORRECTNESS_r08/r09/r10):
-    #   0. NEW this round (never driver-verified): semdedup_kmeans,
+    #   0. NEW this round (never driver-verified): c4_filter,
+    #      bigram_logprob, stratified_interleave, semdedup_kmeans,
     #      avro_roundtrip, budget_select, exact_substring_dedup,
     #      stream_exact_substring_dedup, weighted_sample,
     #      line_dedup_by_source, perplexity_buckets, dsir_select,
@@ -4641,18 +4779,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      driver green is r8.
     #   2. the 49 entries last green in CORRECTNESS_r09 (the r9 sweep
     #      minus fuzzy_join, which r10 re-verified under its new
-    #      leading-typo oracle), in r9 file order. Sections 0-2 = 66,
-    #      so the 50-cap verifies section 0+1 and the first 33 of the
-    #      r9 cohort; the LAST SIXTEEN r9 entries (term_in_set,
-    #      fulltext_match,
+    #      leading-typo oracle), in r9 file order. Sections 0-2 = 69,
+    #      so the 50-cap verifies section 0+1 and the first 30 of the
+    #      r9 cohort; the LAST NINETEEN r9 entries (match_all_topk,
+    #      match_all_offset, term, term_in_set, fulltext_match,
     #      fulltext_ranked, fulltext_tfidf, fulltext_bm25,
     #      fulltext_phrase, term_prefix, hit_count,
     #      multivalued_contains, pipeline_clean_corpus, line_dedup,
     #      top_terms_per_group, hashed_bow_embedding,
     #      stream_line_dedup, bow_knn, quality_autocalibrated_filter)
-    #      are DEFERRED and must lead r12. All sixteen were re-verified
-    #      green by targeted check_oracle runs this round (SURVEY §5),
-    #      so none enters r12 with an unchecked regression window.
+    #      are DEFERRED and must lead r12. All nineteen were
+    #      re-verified green by targeted check_oracle runs this round
+    #      (SURVEY §5), so none enters r12 with an unchecked
+    #      regression window.
     #      serving_compact / stream_cdc_materialize /
     #      stream_agg_materialize sit in this section AND had their
     #      harness prep changed this round (_median_split evaluates the
@@ -4663,8 +4802,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      (freshest last). semdedup_keep gained the max_cluster_size
     #      param this round with default None = unchanged semantics.
     return {
-        # 0. NEW this round — ten entries, each displacing one r9-tail
-        # entry below the cap (first 33 of the r9 cohort make the sweep)
+        # 0. NEW this round — thirteen entries, each displacing one
+        # r9-tail entry below the cap (first 30 of the r9 cohort make
+        # the sweep)
+        "c4_filter": q_c4_filter,
+        "bigram_logprob": q_bigram_logprob,
+        "stratified_interleave": q_stratified_interleave,
         "semdedup_kmeans": q_semdedup_kmeans,
         "avro_roundtrip": q_avro_roundtrip,
         "budget_select": q_budget_select,
@@ -4714,11 +4857,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_quality_filter": q_text_quality_filter,
         "text_stats": q_text_stats,
+        # --- the r11 50-cap lands here (13 new + 7 r8 + first 30 of
+        # --- r9); everything below is deferred and must LEAD r12
         "match_all_topk": q_match_all_topk,
         "match_all_offset": q_match_all_offset,
         "term": q_term,
-        # --- the r11 50-cap lands here (10 new + 7 r8 + first 33 of
-        # --- r9); everything below is deferred and must LEAD r12
         "term_in_set": q_term_in_set,
         "fulltext_match": q_fulltext_match,
         "fulltext_ranked": q_fulltext_ranked,
@@ -4892,6 +5035,9 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
         "dsir_select": SQL_DSIR_SELECT,
         "gopher_quality": SQL_GOPHER_QUALITY,
+        "c4_filter": SQL_C4_FILTER,
+        "bigram_logprob": SQL_BIGRAM_LOGPROB,
+        "stratified_interleave": SQL_STRATIFIED_INTERLEAVE,
         "text_stats": SQL_TEXT_STATS,
         "text_language_id": SQL_TEXT_LANGUAGE_ID,
         "text_quality_filter": SQL_TEXT_QUALITY_FILTER,

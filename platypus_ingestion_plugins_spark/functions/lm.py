@@ -106,6 +106,114 @@ def logprob_filter(
     )
 
 
+def bigram_model(
+    docs: DataFrame,
+    text_col: str = "text",
+    bigram_size: int = 1 << 20,
+) -> DataFrame:
+    """Train the corpus bigram conditional table: at most
+    ``bigram_size`` rows of ``(w1, w2, p_big)`` with
+    ``p_big = c(w1 w2) / c(w1)`` — the maximum-likelihood conditional,
+    denominators taken from the FULL unigram counts (never a capped
+    vocabulary, so a kept bigram's probability is exact even when its
+    history token would miss a vocab cut). The cap keeps the highest-
+    count bigrams, ties broken on (w1, w2) so the table is
+    deterministic.
+
+    100 TB shape: one ``groupBy(w1, w2)`` count with map-side partial
+    aggregation (the bigram key space self-compresses long before the
+    shuffle), one ``groupBy(w1)`` for denominators, one join bigram->
+    unigram on w1 (both sides already reduced to count rows, never
+    corpus rows), one TakeOrdered for the cap. The result is
+    model-sized and broadcast by the scorer.
+    """
+    t = tokens(text_col)
+    n = F.size(t)
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = (
+        docs.select(F.explode(bigrams).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt2"))
+    )
+    uni = (
+        docs.select(F.explode(tokens(text_col)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cnt1"))
+    )
+    return (
+        pairs.join(uni, "w1")
+        .orderBy(F.col("cnt2").desc(), "w1", "w2")
+        .limit(bigram_size)
+        .select("w1", "w2", (F.col("cnt2") / F.col("cnt1")).alias("p_big"))
+    )
+
+
+def doc_bigram_logprob(
+    docs: DataFrame,
+    bigrams: DataFrame,
+    model: DataFrame,
+    totals: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean INTERPOLATED bigram log-probability — the
+    KenLM-shaped upgrade of ``doc_logprob`` (CCNet scores with a
+    5-gram KenLM; a corpus-trained interpolated bigram is the
+    distributed, external-model-free analogue, and separates fluent
+    word ORDER from fluent word CHOICE, which the unigram proxy
+    cannot):
+
+        p(w2 | w1) = lam * p_big(w2 | w1) + (1 - lam) * p_uni(w2)
+
+    with ``p_big`` from ``bigram_model`` (0 when the pair is absent),
+    and ``p_uni`` the ``unigram_model`` probability with the same
+    add-alpha OOV floor as ``doc_logprob`` — the unigram interpolation
+    mass guarantees every position scores > 0, so the log never sees
+    zero. Scores average over the document's ``n_tokens - 1`` bigram
+    positions; documents with fewer than 2 tokens produce no row.
+    Returns ``(id_col, mean_logp2, n_bigrams)``.
+
+    Scale shape: the doc side explodes to one row per position ONCE;
+    both model joins broadcast (model-sized tables); the mean reduces
+    map-side to ~one row per document. No window, no driver data.
+    """
+    t = tokens(text_col)
+    n = F.size(t)
+    bg = F.zip_with(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pos = docs.select(F.col(id_col), F.explode(bg).alias("bg")).select(
+        id_col, "bg.w1", "bg.w2"
+    )
+    uni = model.select(F.col("tok").alias("w2"), F.col("logp").alias("__lp1"))
+    oov = F.log(F.lit(float(alpha))) - F.log("total")
+    p_uni = F.exp(F.coalesce(F.col("__lp1"), oov))
+    score = F.log(
+        F.lit(float(lam)) * F.coalesce(F.col("p_big"), F.lit(0.0))
+        + F.lit(1.0 - float(lam)) * p_uni
+    )
+    return (
+        pos.join(F.broadcast(bigrams), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), "w2", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(id_col, score.alias("__lp"))
+        .groupBy(id_col)
+        .agg(
+            (F.sum("__lp") / F.count(F.lit(1))).alias("mean_logp2"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+
+
 def perplexity_buckets(
     docs: DataFrame,
     text_col: str = "text",

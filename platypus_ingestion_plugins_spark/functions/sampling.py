@@ -282,6 +282,56 @@ def select_token_budget(
     return out.drop("__b")
 
 
+def stratified_interleave(
+    df: DataFrame,
+    key: str,
+    by: str,
+    salt: str = "interleave",
+) -> DataFrame:
+    """Mixture-preserving global training order: give every row a
+    position so that each ``by`` group (domain, language, source) is
+    spread EVENLY across the whole order — any contiguous slice of it
+    (a shard, a curriculum phase, a truncated epoch) then carries
+    every group in proportion to its corpus share. A plain hash
+    shuffle only gives that in expectation; training-data orders that
+    front-load one domain bias early optimization, and a run stopped
+    at 40% of an epoch should not have seen 90% of one source.
+
+    Each group's rows are ranked by the deterministic ``unit_hash``
+    (so the within-group order is itself a stable shuffle, rerun- and
+    partitioning-invariant), and row r of a group with n rows sits at
+    position (2r-1)/(2n) — the rank-midpoint lattice, which spreads n
+    points evenly over (0,1) with no endpoint collisions between a
+    tiny group and a huge one. Consumers sort by
+    (interleave_pos, by, key) — total, deterministic — e.g.
+    ``shuffle_shards``-style exports can range-partition on it.
+
+    Output: the input columns plus ``interleave_num`` = 2r-1 and
+    ``interleave_den`` = 2n (exact integers — the oracle compares
+    them exactly, no float ulps) and ``interleave_pos`` = their
+    ratio for direct sorting.
+
+    Scale shape: ONE window per group computes both the rank and the
+    group size (rows never leave their group's partitions; groups are
+    parallel); no global window, no driver data. Skew = the largest
+    single group, same bound as any per-group op.
+    """
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy(by).orderBy(unit_hash(key, salt), F.col(key))
+    whole = Window.partitionBy(by)
+    num = (F.lit(2) * F.row_number().over(win) - F.lit(1)).cast("long")
+    den = (F.lit(2) * F.count(F.lit(1)).over(whole)).cast("long")
+    return (
+        df.withColumn("interleave_num", num)
+        .withColumn("interleave_den", den)
+        .withColumn(
+            "interleave_pos",
+            F.col("interleave_num") / F.col("interleave_den"),
+        )
+    )
+
+
 def weighted_sample_wor(
     df: DataFrame,
     key: str,

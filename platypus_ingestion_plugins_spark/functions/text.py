@@ -325,6 +325,92 @@ def hashed_bow_embeddings(
     ).mapInPandas(kernel, out_schema)
 
 
+def c4_line_filter(
+    df,
+    text_col: str,
+    id_col: str,
+    bad_words: tuple[str, ...] = (),
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+):
+    """The C4 cleaning rules (Raffel et al. 2020, JMLR §2.2 — the
+    other canonical public rule set next to Gopher's, reused by
+    FineWeb/Dolma): line-level retention plus page-level flags.
+
+    Line retention (a line survives iff ALL hold):
+      - ends in a terminal punctuation mark (. ! ? or a closing
+        double quote), after trimming;
+      - has >= ``min_words_per_line`` whitespace words;
+      - does not contain the word "javascript" (case-insensitive).
+
+    Page-level flags (evaluated on the ORIGINAL text, as in the
+    paper — a page containing "{" anywhere is code, even if the
+    offending line would have been dropped):
+      c4_min_sentences  kept text carries >= ``min_sentences``
+                        sentence-terminal characters ([.!?])
+      c4_no_lorem       "lorem ipsum" absent (case-insensitive)
+      c4_no_brace       "{" absent
+      c4_no_badwords    no ``bad_words`` entry appears as a token
+                        (empty default list = trivially true; supply
+                        the deployment's list — it is policy, not
+                        code)
+
+    Output: (id, text [kept lines re-joined], n_lines, n_kept,
+    n_sentences, the four flags, c4_pass = their conjunction). Like
+    ``gopher_quality_flags``, every rule is one codegen projection —
+    map-only, shuffle-free, no UDF, SQL-oracle-reproducible. A page
+    whose every line is dropped has empty text and fails
+    ``c4_min_sentences``.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(c, "\n")
+
+    def _keep(line):
+        t = F.trim(line)
+        words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+        return (
+            t.rlike(r'[.!?"]$')
+            & (F.size(words) >= min_words_per_line)
+            & ~F.lower(line).contains("javascript")
+        )
+
+    kept_arr = F.filter(lines, _keep)
+    kept = F.array_join(kept_arr, "\n")
+    n_sentences = F.length(kept) - F.length(
+        F.regexp_replace(kept, r"[.!?]", "")
+    )
+    low = F.lower(c)
+    toks = tokens(c)
+    no_bad = (
+        F.lit(True)
+        if not bad_words
+        else F.size(
+            F.array_intersect(
+                toks, F.array(*[F.lit(w.lower()) for w in bad_words])
+            )
+        )
+        == 0
+    )
+    flags = {
+        "c4_min_sentences": n_sentences >= min_sentences,
+        "c4_no_lorem": ~low.contains("lorem ipsum"),
+        "c4_no_brace": ~c.contains("{"),
+        "c4_no_badwords": no_bad,
+    }
+    out = df.select(
+        F.col(id_col),
+        kept.alias(text_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept_arr).alias("n_kept"),
+        n_sentences.alias("n_sentences"),
+        *[v.alias(k) for k, v in flags.items()],
+    )
+    overall = None
+    for k in flags:
+        overall = F.col(k) if overall is None else (overall & F.col(k))
+    return out.withColumn("c4_pass", overall)
+
+
 def gopher_quality_flags(df, text_col: str, id_col: str):
     """The Gopher rule set (Rae et al. 2021, arXiv:2112.11446, Table
     A1 — the public heuristics FineWeb/Dolma reuse verbatim): one

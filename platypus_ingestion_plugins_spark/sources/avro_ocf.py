@@ -232,7 +232,7 @@ def export_avro_ocf(
     filesystem from ``out_path`` so object stores work. Rows within a
     shard land in the deterministic permutation order, so reruns are
     byte-identical (the writer sync marker is fixed) and the returned
-    manifest (shard, path, n_records) is stable. Each task writes a
+    manifest (shard, path, n_records) is stable. Each task writes
     an ATTEMPT-UNIQUE ``.inprogress-<attempt>`` temp renamed on
     completion — a crashed attempt never leaves a readable half-file
     behind (the reader globs ``*.avro``), and a speculative/zombie

@@ -67,6 +67,9 @@ HEADLINE = [
     "gopher_quality",
     "line_dedup_by_source",
     "exact_substring_dedup",
+    "c4_filter",
+    "bigram_logprob",
+    "stratified_interleave",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
@@ -80,6 +83,7 @@ EXPECT_BROADCAST = [
     "temperature_mix",  # the strata-rate frame must broadcast to the filter
     "dsir_select",  # the bucket log-ratio table must broadcast to the scorer
     "perplexity_buckets",  # the capped-vocab LM must broadcast (unigram_logprob)
+    "bigram_logprob",  # both model tables (bigram + unigram) must broadcast
 ]
 
 
@@ -187,9 +191,27 @@ def test_weighted_sample_is_take_ordered(plans):
 
 
 def test_gopher_flags_map_only(plans):
-    """gopher_quality is one codegen projection — its plan must
-    contain no Exchange (shuffle-free, embarrassingly parallel) and no
-    Python evaluation of any kind."""
-    p = plans["gopher_quality"]
-    assert "Exchange" not in p, p
-    assert "EvalPython" not in p and "InPandas" not in p, p
+    """gopher_quality and c4_filter are each one codegen projection —
+    their plans must contain no Exchange (shuffle-free,
+    embarrassingly parallel) and no Python evaluation of any kind."""
+    for name in ("gopher_quality", "c4_filter"):
+        p = plans[name]
+        assert "Exchange" not in p, (name, p)
+        assert "EvalPython" not in p and "InPandas" not in p, (name, p)
+
+
+def test_stratified_interleave_single_shuffle(plans):
+    """stratified_interleave must shuffle EXACTLY once (one
+    hash-partition on the group column; rank and group-count windows
+    share it) and scan only the two columns it uses."""
+    p = plans["stratified_interleave"]
+    n_exchange = sum(
+        1 for n, _ in _detail_blocks(p) if n == "Exchange"
+    )
+    assert n_exchange == 1, p
+    widths = [
+        len(w.split(","))
+        for w in re.findall(r"ReadSchema: struct<([^>]*)>", p)
+        if w
+    ]
+    assert widths and max(widths) <= 2, f"wide scan read_cols={widths}"

@@ -3353,3 +3353,125 @@ def test_gopher_quality_flags_rules(spark):
     assert got[8]["r_word_count"] is False and got[8]["gopher_pass"] is False
     for d in range(1, 9):
         assert got[d]["gopher_pass"] is False
+
+
+def test_c4_line_filter_rules(spark):
+    """NEW r11: the C4 rule set (Raffel et al. 2020 §2.2). Line
+    retention: terminal punctuation, >=5 words, no "javascript";
+    page flags evaluated on ORIGINAL text: >=3 sentences in kept
+    text, no "lorem ipsum", no brace, no bad words."""
+    fluent = ("This is a perfectly normal sentence one. "
+              "Here is another fine sentence two! "
+              "And a third one with plenty of words?")
+    rows = [
+        Row(doc_id=0, text=fluent),
+        # line-level drops: no terminal punct / short / javascript
+        Row(doc_id=1, text="no terminal punctuation on this line\n"
+                           "Short line here.\n"
+                           "Please enable javascript to continue reading.\n"
+                           + fluent),
+        Row(doc_id=2, text="Only two sentences live here today. "
+                           "And this is the second one!"),   # min_sentences
+        Row(doc_id=3, text=fluent + "\nLorem Ipsum dolor sit amet today."),
+        Row(doc_id=4, text=fluent + "\nfunction f() { return 1; } and more."),
+        Row(doc_id=5, text=fluent + "\nThis page contains a banned token badword."),
+        Row(doc_id=6, text=None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.asDict() for r in TX.c4_line_filter(
+        df, "text", "doc_id", bad_words=("badword",)).collect()}
+    assert got[0]["c4_pass"] is True and got[0]["n_kept"] == 1
+    # doc 1: all three offending lines drop (no terminal punct;
+    # 3 words < 5; "javascript"), only the fluent line stays
+    assert got[1]["n_lines"] == 4 and got[1]["n_kept"] == 1
+    assert "javascript" not in got[1]["text"]
+    assert "no terminal" not in got[1]["text"]
+    assert "Short line here." not in got[1]["text"]
+    assert got[1]["text"] == fluent
+    assert got[2]["c4_min_sentences"] is False and got[2]["c4_pass"] is False
+    assert got[3]["c4_no_lorem"] is False
+    assert got[4]["c4_no_brace"] is False
+    assert got[5]["c4_no_badwords"] is False
+    assert got[6]["n_kept"] == 0 and got[6]["c4_pass"] is False
+
+
+def test_bigram_logprob_matches_brute_force(spark):
+    """NEW r11: interpolated bigram LM scoring. Per-doc mean must
+    equal the pure-Python replay of the same train+score arithmetic
+    (bigram MLE over full-unigram denominators, lam-interpolated with
+    the add-alpha unigram), to float tolerance."""
+    import collections
+
+    from platypus_ingestion_plugins_spark.functions.lm import (
+        bigram_model,
+        doc_bigram_logprob,
+        unigram_model,
+    )
+
+    rows = [
+        Row(doc_id=1, text="the cat sat on the mat"),
+        Row(doc_id=2, text="the cat ate the fish"),
+        Row(doc_id=3, text="dogs chase the cat"),
+        Row(doc_id=4, text="one"),          # single token: no bigrams
+        Row(doc_id=5, text=""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    model, totals = unigram_model(df, "text", vocab_size=4)  # force OOV
+    bgm = bigram_model(df, "text")
+    got = {r.doc_id: (r.mean_logp2, r.n_bigrams) for r in
+           doc_bigram_logprob(df, bgm, model, totals, "text", "doc_id",
+                              lam=0.75, alpha=0.5).collect()}
+    assert set(got) == {1, 2, 3}  # docs 4,5 have no bigram positions
+
+    toks = {r.doc_id: r.text.lower().split() for r in rows if r.text}
+    uni = collections.Counter(t for ts in toks.values() for t in ts)
+    total = sum(uni.values())
+    vocab = dict(sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:4])
+    big = collections.Counter(
+        (ts[i], ts[i + 1]) for ts in toks.values() for i in range(len(ts) - 1))
+    for d in (1, 2, 3):
+        ts = toks[d]
+        lps = []
+        for i in range(len(ts) - 1):
+            w1, w2 = ts[i], ts[i + 1]
+            p_big = big.get((w1, w2), 0) / uni[w1] if (w1, w2) in big else 0.0
+            p_uni = (vocab[w2] / total) if w2 in vocab else (0.5 / total)
+            lps.append(math.log(0.75 * p_big + 0.25 * p_uni))
+        want = sum(lps) / len(lps)
+        assert abs(got[d][0] - want) < 1e-9, (d, got[d][0], want)
+        assert got[d][1] == len(ts) - 1
+
+
+def test_stratified_interleave_even_spread(spark):
+    """NEW r11: the rank-midpoint interleave. Exact lattice per group
+    ((2r-1)/2n), partitioning invariance, and the prefix property:
+    any prefix of the sorted order holds each group within 1 of its
+    proportional share."""
+    from platypus_ingestion_plugins_spark.functions.sampling import (
+        stratified_interleave,
+    )
+
+    rows = [Row(k=i, g="big") for i in range(80)] + [
+        Row(k=100 + i, g="small") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "k int, g string")
+    out = stratified_interleave(df, "k", "g").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append((r.interleave_num, r.interleave_den))
+    for g, n in (("big", 80), ("small", 20)):
+        assert sorted(x[0] for x in by_g[g]) == list(range(1, 2 * n, 2))
+        assert {x[1] for x in by_g[g]} == {2 * n}
+    # prefix proportionality on the consumer sort order
+    ordered = sorted(out, key=lambda r: (r.interleave_pos, r.g, r.k))
+    for cut in (10, 25, 50, 75, 100):
+        counts = {}
+        for r in ordered[:cut]:
+            counts[r.g] = counts.get(r.g, 0) + 1
+        assert abs(counts.get("big", 0) - 0.8 * cut) <= 1, cut
+        assert abs(counts.get("small", 0) - 0.2 * cut) <= 1, cut
+    # rerun over a different partitioning -> identical assignment
+    out2 = stratified_interleave(df.repartition(13), "k", "g").collect()
+    assert {(r.k, r.interleave_num) for r in out2} == {
+        (r.k, r.interleave_num) for r in out
+    }
