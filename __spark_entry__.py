@@ -4752,6 +4752,141 @@ FROM h
 """
 
 
+def q_url_dedup(spark, sf):
+    """Canonical-URL dedup (functions/text.py:normalize_url +
+    the exact_dedup groupBy shape): three junk-variant URL spellings
+    of each resource — www + default port + tracking params + fragment
+    + param-order permutation — must collapse to one survivor per
+    (source, page) with the min doc_id; the normalization is pure
+    codegen regexp/array expressions, the dedup ONE shuffle on the
+    canonical string. The oracle replays both."""
+    from platypus_ingestion_plugins_spark.functions.text import (
+        normalize_url,
+    )
+
+    d = _t(spark, sf, "documents")
+    u = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("https://WWW."))
+        .otherwise(F.lit("https://")),
+        F.col("source"),
+        F.lit(".com"),
+        F.when(F.col("doc_id") % 3 == 1, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/?utm_source=x&b=2&a=1#f"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("?b=2&a=1&gclid=z")),
+    )
+    return (
+        d.select("doc_id", normalize_url(u).alias("url"))
+        .groupBy("url")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+SQL_URL_DEDUP = """
+WITH u0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'https://WWW.'
+              ELSE 'https://' END
+         || source || '.com'
+         || CASE WHEN doc_id % 3 = 1 THEN ':443' ELSE '' END
+         || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=x&b=2&a=1#f'
+                 WHEN doc_id % 3 = 1 THEN '?a=1&b=2'
+                 ELSE '?b=2&a=1&gclid=z' END AS u
+  FROM documents),
+p AS (
+  SELECT doc_id, u,
+         lower(regexp_extract(u,
+           '^(https?)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 1))
+           AS scheme,
+         regexp_replace(lower(regexp_extract(u,
+           '^(https?)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 2)),
+           '^www\\.', '') AS host0,
+         regexp_replace(regexp_extract(u,
+           '^(https?)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 3),
+           '(.)/$', '\\1') AS path,
+         regexp_extract(u,
+           '^(https?)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 4)
+           AS qs
+  FROM u0),
+n AS (
+  SELECT doc_id,
+         scheme || '://'
+         || CASE WHEN scheme = 'http'
+                 THEN regexp_replace(host0, ':80$', '')
+                 WHEN scheme = 'https'
+                 THEN regexp_replace(host0, ':443$', '')
+                 ELSE host0 END
+         || path
+         || CASE WHEN qsn <> '' THEN '?' || qsn ELSE '' END AS url
+  FROM (SELECT *,
+               coalesce(array_to_string(list_sort(list_filter(
+                 string_split(qs, '&'),
+                 x -> x <> '' AND NOT regexp_matches(
+                        x, '^(utm_[^=]*|gclid|fbclid|ref)='))), '&'), '')
+                 AS qsn
+        FROM p))
+SELECT url, min(doc_id) AS doc_id, count(*) AS n_copies
+FROM n GROUP BY url
+"""
+
+
+def q_paragraph_dedup(spark, sf):
+    """Paragraph-unit boilerplate scrub (dedup.line_dedup(sep="\\n\\n")
+    — RefinedWeb §3.2's exact paragraph dedup): every doc gains a
+    TWO-LINE promo paragraph branded per source (hot within its
+    source's >= 2 docs, so scrubbed WHOLE — its individual lines are
+    never units) plus its own text as the surviving paragraph."""
+    d = _t(spark, sf, "documents")
+    t2 = F.concat(
+        F.col("text"),
+        F.lit("\n\nPromo paragraph for "),
+        F.col("source"),
+        F.lit("\nsecond promo line"),
+    )
+    return dedup.line_dedup(
+        d.select("doc_id", t2.alias("text")),
+        "text",
+        "doc_id",
+        min_df=2,
+        sep="\n\n",
+    ).select("doc_id", "text", "n_lines", "n_dropped")
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH src AS (
+  SELECT doc_id,
+         text || chr(10) || chr(10) || 'Promo paragraph for ' || source
+              || chr(10) || 'second promo line' AS text
+  FROM documents),
+split AS (
+  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS l FROM src),
+ln AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l FROM split),
+keyed AS (
+  SELECT doc_id, i - 1 AS line_no, l[i] AS line,
+         trim(lower(l[i])) AS k, trim(l[i]) = '' AS blank
+  FROM ln),
+hot AS (
+  SELECT k FROM keyed WHERE NOT blank
+  GROUP BY k HAVING count(DISTINCT doc_id) >= 2),
+kept AS (
+  SELECT doc_id, line_no, line,
+         (k IN (SELECT k FROM hot)) AND NOT blank AS dropped
+  FROM keyed)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+                           chr(10) || chr(10) ORDER BY line_no), '') AS text,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM kept GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4766,7 +4901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the driver caps each round's oracle sweep at 50 entries, so dict
     # order IS verification priority — r11 rotation, VERDICT r10 task
     # #1, dict comments cross-checked against CORRECTNESS_r08/r09/r10):
-    #   0. NEW this round (never driver-verified): c4_filter,
+    #   0. NEW this round (never driver-verified): url_dedup,
+    #      paragraph_dedup, c4_filter,
     #      bigram_logprob, stratified_interleave, semdedup_kmeans,
     #      avro_roundtrip, budget_select, exact_substring_dedup,
     #      stream_exact_substring_dedup, weighted_sample,
@@ -4779,16 +4915,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      driver green is r8.
     #   2. the 49 entries last green in CORRECTNESS_r09 (the r9 sweep
     #      minus fuzzy_join, which r10 re-verified under its new
-    #      leading-typo oracle), in r9 file order. Sections 0-2 = 69,
-    #      so the 50-cap verifies section 0+1 and the first 30 of the
-    #      r9 cohort; the LAST NINETEEN r9 entries (match_all_topk,
+    #      leading-typo oracle), in r9 file order. Sections 0-2 = 71,
+    #      so the 50-cap verifies section 0+1 and the first 28 of the
+    #      r9 cohort; the LAST TWENTY-ONE r9 entries
+    #      (text_quality_filter, text_stats, match_all_topk,
     #      match_all_offset, term, term_in_set, fulltext_match,
     #      fulltext_ranked, fulltext_tfidf, fulltext_bm25,
     #      fulltext_phrase, term_prefix, hit_count,
     #      multivalued_contains, pipeline_clean_corpus, line_dedup,
     #      top_terms_per_group, hashed_bow_embedding,
     #      stream_line_dedup, bow_knn, quality_autocalibrated_filter)
-    #      are DEFERRED and must lead r12. All nineteen were
+    #      are DEFERRED and must lead r12. All twenty-one were
     #      re-verified green by targeted check_oracle runs this round
     #      (SURVEY §5), so none enters r12 with an unchecked
     #      regression window.
@@ -4802,9 +4939,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      (freshest last). semdedup_keep gained the max_cluster_size
     #      param this round with default None = unchanged semantics.
     return {
-        # 0. NEW this round — thirteen entries, each displacing one
-        # r9-tail entry below the cap (first 30 of the r9 cohort make
+        # 0. NEW this round — fifteen entries, each displacing one
+        # r9-tail entry below the cap (first 28 of the r9 cohort make
         # the sweep)
+        "url_dedup": q_url_dedup,
+        "paragraph_dedup": q_paragraph_dedup,
         "c4_filter": q_c4_filter,
         "bigram_logprob": q_bigram_logprob,
         "stratified_interleave": q_stratified_interleave,
@@ -4855,10 +4994,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_typed_strings": q_sink_typed_strings,
         "stratified_sample": q_stratified_sample,
         "text_language_id": q_text_language_id,
+        # --- the r11 50-cap lands here (15 new + 7 r8 + first 28 of
+        # --- r9); everything below is deferred and must LEAD r12
         "text_quality_filter": q_text_quality_filter,
         "text_stats": q_text_stats,
-        # --- the r11 50-cap lands here (13 new + 7 r8 + first 30 of
-        # --- r9); everything below is deferred and must LEAD r12
         "match_all_topk": q_match_all_topk,
         "match_all_offset": q_match_all_offset,
         "term": q_term,
@@ -5035,6 +5174,8 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
         "dsir_select": SQL_DSIR_SELECT,
         "gopher_quality": SQL_GOPHER_QUALITY,
+        "url_dedup": SQL_URL_DEDUP,
+        "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "c4_filter": SQL_C4_FILTER,
         "bigram_logprob": SQL_BIGRAM_LOGPROB,
         "stratified_interleave": SQL_STRATIFIED_INTERLEAVE,

@@ -325,6 +325,52 @@ def hashed_bow_embeddings(
     ).mapInPandas(kernel, out_schema)
 
 
+def normalize_url(col: Column | str) -> Column:
+    """Canonical URL for dedup/grouping — the normalization step every
+    crawl pipeline runs before URL-level dedup (RefinedWeb §3.1 dedups
+    by URL; Dolma filters and groups by it). Rules, all pure codegen
+    string expressions (no UDF, map-only):
+
+      - scheme and host lowercased; leading ``www.`` stripped;
+        default ports dropped (``:80`` for http, ``:443`` for https);
+      - fragment (``#...``) dropped — never sent to the server;
+      - tracking parameters dropped (``utm_*``, ``gclid``, ``fbclid``,
+        ``ref``) and the surviving query parameters SORTED, so
+        param-order permutations of one resource collapse;
+      - trailing slash trimmed from a non-root path.
+
+    Non-http(s) or unparseable values pass through unchanged (a
+    canonicalizer must never manufacture collisions out of garbage).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    rx = r"^(https?)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+    scheme = F.lower(F.regexp_extract(c, rx, 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(c, rx, 2)), r"^www\.", ""
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_replace(F.regexp_extract(c, rx, 3), r"(.)/$", "$1")
+    qs = F.regexp_extract(c, rx, 4)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != F.lit(""))
+        & ~p.rlike(r"^(utm_[^=]*|gclid|fbclid|ref)="),
+    )
+    qsn = F.array_join(F.array_sort(params), "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qsn != "", F.concat(F.lit("?"), qsn)).otherwise(F.lit("")),
+    )
+    return F.when(c.rlike(rx), rebuilt).otherwise(c)
+
+
 def c4_line_filter(
     df,
     text_col: str,

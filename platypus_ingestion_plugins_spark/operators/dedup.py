@@ -49,6 +49,7 @@ def line_dedup(
     min_df: int = 2,
     normalize: bool = True,
     by: str | None = None,
+    sep: str = "\n",
 ) -> DataFrame:
     """CCNet-style line-level deduplication: drop every LINE that
     occurs (after optional lowercase+trim normalization) in >=
@@ -85,10 +86,16 @@ def line_dedup(
     the NULL group's hot rows and silently skip scrubbing exactly the
     dirtiest slice of a crawl (r11 review #3). groupBy already counts
     NULL as one group, so both sides agree.
+
+    ``sep`` sets the dedup UNIT: the default "\\n" scrubs lines;
+    ``sep="\\n\\n"`` scrubs PARAGRAPHS (RefinedWeb §3.2's exact
+    paragraph dedup) — same plan, the explode/reassemble delimiter
+    just widens.
     """
     group_keys = ["line_key"] if by is None else [by, "line_key"]
     lines = _doc_lines(
-        df, text_col, id_col, normalize, extra=() if by is None else (by,)
+        df, text_col, id_col, normalize,
+        extra=() if by is None else (by,), sep=sep,
     )
     hot = (
         lines.filter(~F.col("__blank"))
@@ -116,7 +123,7 @@ def line_dedup(
     kept = kept.withColumn(
         "__drop", F.coalesce("__hot", F.lit(False)) & ~F.col("__blank")
     )
-    return _reassemble_lines(kept, text_col, id_col)
+    return _reassemble_lines(kept, text_col, id_col, sep=sep)
 
 
 def _doc_lines(
@@ -125,24 +132,32 @@ def _doc_lines(
     id_col: str,
     normalize: bool,
     extra: tuple[str, ...] = (),
+    sep: str = "\n",
 ) -> DataFrame:
     """Explode documents to (id, *extra, line_no, line, line_key,
     __blank) — the shared front half of batch and incremental line
-    dedup (``extra`` carries group columns for scoped df counts). NULL
-    text coalesces to '' so the explode cannot delete the row."""
+    dedup (``extra`` carries group columns for scoped df counts;
+    ``sep`` sets the unit — "\\n" for lines, "\\n\\n" for paragraphs).
+    NULL text coalesces to '' so the explode cannot delete the row."""
+    import re as _re
+
     key = F.trim(F.lower(F.col("line"))) if normalize else F.col("line")
     return df.select(
         F.col(id_col),
         *[F.col(c) for c in extra],
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep)
+            )
         ).alias("line_no", "line"),
     ).withColumn("line_key", F.sha2(key, 256)).withColumn(
         "__blank", F.trim(F.col("line")) == ""
     )
 
 
-def _reassemble_lines(kept: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _reassemble_lines(
+    kept: DataFrame, text_col: str, id_col: str, sep: str = "\n"
+) -> DataFrame:
     """Per-document reassembly of surviving lines in original order —
     the shared back half of batch and incremental line dedup. Expects
     (id, line_no, line, __drop). Output:
@@ -162,7 +177,7 @@ def _reassemble_lines(kept: DataFrame, text_col: str, id_col: str) -> DataFrame:
                     ),
                     lambda s: s["line"],
                 ),
-                "\n",
+                sep,
             ).alias(text_col),
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(F.col("__drop").cast("int")).alias("n_dropped"),

@@ -70,6 +70,8 @@ HEADLINE = [
     "c4_filter",
     "bigram_logprob",
     "stratified_interleave",
+    "url_dedup",
+    "paragraph_dedup",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.

@@ -3475,3 +3475,56 @@ def test_stratified_interleave_even_spread(spark):
     assert {(r.k, r.interleave_num) for r in out2} == {
         (r.k, r.interleave_num) for r in out
     }
+
+
+def test_normalize_url_canonicalization(spark):
+    """NEW r11: URL canonicalization for crawl dedup. Scheme/host
+    case, www, default ports, fragments, tracking params and param
+    order must all collapse; distinct resources must NOT; non-URLs
+    pass through untouched."""
+    rows = [
+        Row(i=1, u="https://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag"),
+        Row(i=2, u="https://example.com/a/b?a=1&b=2"),
+        Row(i=3, u="http://Example.com:80/a/b?b=2&a=1&fbclid=zzz"),
+        Row(i=4, u="https://example.com/a/b?a=1&b=3"),     # different query
+        Row(i=5, u="https://example.com/a/c?a=1&b=2"),     # different path
+        Row(i=6, u="not a url at all"),
+        Row(i=7, u="ftp://example.com/a"),                 # non-http: verbatim
+        Row(i=8, u="https://example.com:8443/a"),          # non-default port kept
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.i: r.n for r in df.select(
+        "i", TX.normalize_url("u").alias("n")).collect()}
+    assert got[1] == "https://example.com/a/b?a=1&b=2"
+    assert got[2] == "https://example.com/a/b?a=1&b=2"
+    # http vs https stay distinct resources, but 3's own junk collapses
+    assert got[3] == "http://example.com/a/b?a=1&b=2"
+    assert got[4] == "https://example.com/a/b?a=1&b=3"
+    assert got[5] == "https://example.com/a/c?a=1&b=2"
+    assert got[6] == "not a url at all"
+    assert got[7] == "ftp://example.com/a"
+    assert got[8] == "https://example.com:8443/a"
+
+
+def test_line_dedup_paragraph_unit(spark):
+    """NEW r11: sep="\\n\\n" scrubs PARAGRAPHS (RefinedWeb-style exact
+    paragraph dedup) — a multi-line paragraph duplicated across docs
+    drops whole, while its individual lines never count as units."""
+    shared = "Shared promo paragraph line one\nand its second line"
+    rows = [
+        Row(doc_id=1, text=f"unique one\nstill doc one\n\n{shared}"),
+        Row(doc_id=2, text=f"{shared}\n\nunique two"),
+        Row(doc_id=3, text="unique three\n\nalso unique"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.doc_id: r for r in dedup.line_dedup(
+        df, "text", "doc_id", min_df=2, sep="\n\n").collect()}
+    assert got[1].text == "unique one\nstill doc one" and got[1].n_dropped == 1
+    assert got[2].text == "unique two" and got[2].n_dropped == 1
+    assert got[3].text == "unique three\n\nalso unique"
+    assert got[3].n_lines == 2 and got[3].n_dropped == 0
+    # line-unit default on the same corpus does NOT drop the paragraph
+    # (its two lines each have df=2 though — so they DO drop at \n):
+    line_out = {r.doc_id: r.text for r in dedup.line_dedup(
+        df, "text", "doc_id", min_df=2).collect()}
+    assert "Shared promo" not in line_out[1]
