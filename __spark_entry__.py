@@ -4887,6 +4887,78 @@ FROM kept GROUP BY doc_id
 """
 
 
+def q_quality_classifier(spark, sf):
+    """In-engine trained quality classifier (functions/classifier.py)
+    — the GPT-3/FineWeb-Edu pattern with the model TRAINED here, not
+    hosted: two full-batch logistic-regression iterations over hashed
+    unigram+bigram features (the DSIR bucket convention), labels
+    y = (lang = 'en'), 9-dp-rounded gradients so the weight iterates
+    are engine-reproducible; then the corpus scored under the trained
+    weights. The oracle replays BOTH training iterations in closed
+    form (iteration 1's sigmoid is exactly 0.5 from the zero init)
+    and the scoring pass, 6-dp margins."""
+    from platypus_ingestion_plugins_spark.functions.classifier import (
+        doc_features,
+        score_logreg,
+        train_logreg,
+    )
+
+    d = _t(spark, sf, "documents")
+    labels = d.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    feats = doc_features(d, "text", "doc_id", dim=4096)
+    w = train_logreg(feats, labels, "doc_id", "y", iters=2, lr=1.0)
+    return score_logreg(feats, w, "doc_id").select(
+        "doc_id", F.round("margin", 6).alias("margin")
+    )
+
+
+SQL_QUALITY_CLASSIFIER = """
+WITH arr AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         list_filter(string_split_regex(lower(text), '\\W+'),
+                     x -> x <> '') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, unnest(t) AS g FROM arr
+  UNION ALL
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                                       i -> t[i] || ' ' || t[i+1])) AS g
+  FROM arr WHERE len(t) > 1),
+b AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096
+             AS bucket FROM g),
+f0 AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket),
+tl AS (SELECT doc_id, sum(c) AS n FROM f0 GROUP BY doc_id),
+f AS (SELECT f0.doc_id, bucket, c::DOUBLE / n AS val
+      FROM f0 JOIN tl USING (doc_id)),
+lab AS (SELECT doc_id, y FROM arr),
+nn AS (SELECT count(DISTINCT doc_id) AS n_docs
+       FROM f JOIN lab USING (doc_id)),
+g1 AS (
+  SELECT bucket, round(sum(val * (0.5 - y)) / nn.n_docs, 9) AS gr
+  FROM f JOIN lab USING (doc_id), nn GROUP BY bucket, nn.n_docs),
+w1 AS (SELECT bucket, -gr AS w FROM g1),
+m2 AS (
+  SELECT f.doc_id, sum(val * coalesce(w1.w, 0)) AS m
+  FROM f LEFT JOIN w1 USING (bucket) GROUP BY f.doc_id),
+e2 AS (
+  SELECT m2.doc_id, 1.0 / (1.0 + exp(-m)) - y AS e
+  FROM m2 JOIN lab USING (doc_id)),
+g2 AS (
+  SELECT bucket, round(sum(val * e) / nn.n_docs, 9) AS gr
+  FROM f JOIN e2 USING (doc_id), nn GROUP BY bucket, nn.n_docs),
+w2 AS (
+  SELECT w1.bucket, w1.w - coalesce(g2.gr, 0) AS w
+  FROM w1 LEFT JOIN g2 USING (bucket)),
+sc AS (
+  SELECT f.doc_id, sum(val * coalesce(w2.w, 0)) AS margin
+  FROM f LEFT JOIN w2 USING (bucket) GROUP BY f.doc_id)
+SELECT doc_id, round(margin, 6) AS margin FROM sc
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4901,7 +4973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the driver caps each round's oracle sweep at 50 entries, so dict
     # order IS verification priority — r11 rotation, VERDICT r10 task
     # #1, dict comments cross-checked against CORRECTNESS_r08/r09/r10):
-    #   0. NEW this round (never driver-verified): url_dedup,
+    #   0. NEW this round (never driver-verified): quality_classifier,
+    #      url_dedup,
     #      paragraph_dedup, c4_filter,
     #      bigram_logprob, stratified_interleave, semdedup_kmeans,
     #      avro_roundtrip, budget_select, exact_substring_dedup,
@@ -4915,17 +4988,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      driver green is r8.
     #   2. the 49 entries last green in CORRECTNESS_r09 (the r9 sweep
     #      minus fuzzy_join, which r10 re-verified under its new
-    #      leading-typo oracle), in r9 file order. Sections 0-2 = 71,
-    #      so the 50-cap verifies section 0+1 and the first 28 of the
-    #      r9 cohort; the LAST TWENTY-ONE r9 entries
-    #      (text_quality_filter, text_stats, match_all_topk,
+    #      leading-typo oracle), in r9 file order. Sections 0-2 = 72,
+    #      so the 50-cap verifies section 0+1 and the first 27 of the
+    #      r9 cohort; the LAST TWENTY-TWO r9 entries
+    #      (text_language_id,
+    #      text_quality_filter, text_stats, match_all_topk,
     #      match_all_offset, term, term_in_set, fulltext_match,
     #      fulltext_ranked, fulltext_tfidf, fulltext_bm25,
     #      fulltext_phrase, term_prefix, hit_count,
     #      multivalued_contains, pipeline_clean_corpus, line_dedup,
     #      top_terms_per_group, hashed_bow_embedding,
     #      stream_line_dedup, bow_knn, quality_autocalibrated_filter)
-    #      are DEFERRED and must lead r12. All twenty-one were
+    #      are DEFERRED and must lead r12. All twenty-two were
     #      re-verified green by targeted check_oracle runs this round
     #      (SURVEY §5), so none enters r12 with an unchecked
     #      regression window.
@@ -4939,9 +5013,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      (freshest last). semdedup_keep gained the max_cluster_size
     #      param this round with default None = unchanged semantics.
     return {
-        # 0. NEW this round — fifteen entries, each displacing one
-        # r9-tail entry below the cap (first 28 of the r9 cohort make
+        # 0. NEW this round — sixteen entries, each displacing one
+        # r9-tail entry below the cap (first 27 of the r9 cohort make
         # the sweep)
+        "quality_classifier": q_quality_classifier,
         "url_dedup": q_url_dedup,
         "paragraph_dedup": q_paragraph_dedup,
         "c4_filter": q_c4_filter,
@@ -4993,9 +5068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_array_json": q_sink_array_json,
         "sink_typed_strings": q_sink_typed_strings,
         "stratified_sample": q_stratified_sample,
-        "text_language_id": q_text_language_id,
-        # --- the r11 50-cap lands here (15 new + 7 r8 + first 28 of
+        # --- the r11 50-cap lands here (16 new + 7 r8 + first 27 of
         # --- r9); everything below is deferred and must LEAD r12
+        "text_language_id": q_text_language_id,
         "text_quality_filter": q_text_quality_filter,
         "text_stats": q_text_stats,
         "match_all_topk": q_match_all_topk,
@@ -5174,6 +5249,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
         "dsir_select": SQL_DSIR_SELECT,
         "gopher_quality": SQL_GOPHER_QUALITY,
+        "quality_classifier": SQL_QUALITY_CLASSIFIER,
         "url_dedup": SQL_URL_DEDUP,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "c4_filter": SQL_C4_FILTER,

@@ -1,0 +1,177 @@
+"""Trained quality classifier: logistic regression over hashed
+n-gram features.
+
+The GPT-3 / FineWeb-Edu pattern — train a linear classifier that
+separates a small "good" reference corpus from raw crawl text, then
+score the whole corpus with it — as distributed, engine-reproducible
+DataFrame plans. This completes the classifier story next to
+``operators/dsir.py`` (closed-form distribution matching) and
+``functions/inference.py`` (hosting an EXTERNAL model): here the model
+is TRAINED in-engine, no external artifact.
+
+Design for 100 TB:
+- features are the hashed unigram+bigram bucket convention shared
+  with DSIR / ``hashed_bow_embeddings`` (md5-half buckets — no
+  vocabulary, fixed ``dim`` regardless of corpus size, reproducible
+  by an external SQL engine), L1-normalized per document so document
+  length does not dominate the margin;
+- TRAINING runs full-batch gradient descent with a driver-held weight
+  vector (bounded by ``dim``, never corpus size): each iteration is
+  one broadcast join (margins) + one partial-aggregatable groupBy
+  (per-bucket gradient) + one ``dim``-bounded collect. Train on a
+  SAMPLE (classifier training is sample-sized by design — fit ~10^5-6
+  labeled rows, score 10^10); the iteration count multiplies the
+  sample passes, not corpus passes;
+- SCORING the corpus is one map-side pass: broadcast the weight
+  table, join, per-doc partial agg.
+
+Determinism: the per-bucket gradient is ROUNDED to 9 dp each
+iteration before the weight update — groupBy float sums are
+summation-order dependent across engines/partitionings, and an
+unrounded ulp would compound over iterations; rounding pins every
+iterate so an external oracle can replay training exactly (the
+``perplexity_buckets`` rounding convention, applied per step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from platypus_ingestion_plugins_spark.operators.dsir import _gram_buckets
+
+
+def doc_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 1 << 12,
+) -> DataFrame:
+    """Sparse L1-normalized hashed-gram features: (id, bucket, val)
+    with ``val = count(bucket in doc) / n_grams(doc)`` — at most
+    min(dim, n_grams) rows per document. Zero-gram documents produce
+    no rows (they carry no evidence; score 0.5 under any weights)."""
+    grams = df.select(
+        F.col(id_col), F.explode(_gram_buckets(text_col, dim)).alias("bucket")
+    )
+    counts = grams.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    totals = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    return counts.join(totals, id_col).select(
+        id_col, "bucket", (F.col("__c") / F.col("__n")).alias("val")
+    )
+
+
+def train_logreg(
+    features: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    label_col: str,
+    iters: int = 8,
+    lr: float = 1.0,
+) -> list[tuple[int, float]]:
+    """Full-batch logistic-regression training over sparse features.
+
+    ``features`` is the ``doc_features`` frame; ``labels`` maps id ->
+    0/1. Returns the non-zero weight vector as (bucket, weight) pairs
+    — dim-bounded, driver-held. Weights start at zero (iteration 1's
+    sigmoid is exactly 0.5, which the oracle replays in closed form);
+    each step computes ``grad_b = round(sum_d val_db * (p_d - y_d)
+    / N, 9)`` and updates ``w_b -= lr * grad_b``.
+
+    The joined (features x labels) frame is evaluated once per
+    iteration — persist it before calling when the upstream lineage
+    is expensive; the call itself caches and releases it.
+    """
+    fl = features.join(
+        labels.select(
+            F.col(id_col), F.col(label_col).cast("double").alias("__y")
+        ),
+        id_col,
+    ).persist()
+    try:
+        n_docs = fl.select(id_col).distinct().count()
+        if n_docs == 0:
+            return []
+        w: dict[int, float] = {}
+        for _ in range(int(iters)):
+            if w:
+                wdf = F.broadcast(
+                    fl.sparkSession.createDataFrame(
+                        sorted(w.items()), "bucket long, __w double"
+                    )
+                )
+                margins = (
+                    fl.join(wdf, "bucket", "left")
+                    .groupBy(id_col, "__y")
+                    .agg(
+                        F.sum(
+                            F.col("val") * F.coalesce("__w", F.lit(0.0))
+                        ).alias("__m")
+                    )
+                )
+                err = margins.select(
+                    id_col,
+                    (
+                        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m")))
+                        - F.col("__y")
+                    ).alias("__e"),
+                )
+                graded = fl.join(err, id_col)
+            else:
+                graded = fl.withColumn("__e", F.lit(0.5) - F.col("__y"))
+            grad = (
+                graded.groupBy("bucket")
+                .agg(
+                    F.round(
+                        F.sum(F.col("val") * F.col("__e"))
+                        / F.lit(float(n_docs)),
+                        9,
+                    ).alias("__g")
+                )
+                .collect()
+            )
+            for r in grad:
+                # Row.__g attribute access is reserved; index instead
+                w[r.bucket] = w.get(r.bucket, 0.0) - lr * r["__g"]
+    finally:
+        fl.unpersist()
+    return sorted(w.items())
+
+
+def score_logreg(
+    features: DataFrame,
+    weights: list[tuple[int, float]] | DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Per-document sigmoid score under a trained weight vector:
+    (id, margin, score). One broadcast join + one partial-aggregatable
+    groupBy — the corpus pass is map-side. Documents with no feature
+    rows are absent (no evidence; callers wanting them score 0.5 via
+    a left join on the corpus ids)."""
+    spark = features.sparkSession
+    wdf = (
+        weights
+        if isinstance(weights, DataFrame)
+        else spark.createDataFrame(
+            [(int(b), float(x)) for b, x in weights],
+            "bucket long, __w double",
+        )
+    )
+    return (
+        features.join(F.broadcast(wdf), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("val") * F.coalesce("__w", F.lit(0.0))).alias(
+                "margin"
+            )
+        )
+        .select(
+            id_col,
+            "margin",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))).alias(
+                "score"
+            ),
+        )
+    )

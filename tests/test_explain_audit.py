@@ -72,6 +72,7 @@ HEADLINE = [
     "stratified_interleave",
     "url_dedup",
     "paragraph_dedup",
+    "quality_classifier",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.

@@ -3528,3 +3528,73 @@ def test_line_dedup_paragraph_unit(spark):
     line_out = {r.doc_id: r.text for r in dedup.line_dedup(
         df, "text", "doc_id", min_df=2).collect()}
     assert "Shared promo" not in line_out[1]
+
+
+def test_train_logreg_matches_brute_force(spark):
+    """NEW r11: in-engine logistic-regression training. Two full-batch
+    iterations (9-dp-rounded gradients — the cross-engine determinism
+    convention) must match a pure-Python replay of the same hashed
+    features and arithmetic; the trained scorer must separate the two
+    label populations."""
+    import hashlib
+
+    from platypus_ingestion_plugins_spark.functions.classifier import (
+        doc_features,
+        score_logreg,
+        train_logreg,
+    )
+
+    rows = [
+        Row(doc_id=i,
+            text=("the quick brown fox and the calm clear text " * 3
+                  if i % 2 == 0 else
+                  "zxq qqz kjv wvx bbn mmq zzl pqx " * 3),
+            y=1 if i % 2 == 0 else 0)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, y int")
+    DIM, LR, IT = 64, 1.0, 2
+    feats = doc_features(df, "text", "doc_id", dim=DIM)
+    w = dict(train_logreg(feats, df, "doc_id", "y", iters=IT, lr=LR))
+
+    # pure-Python replay
+    def grams(t):
+        ts = [x for x in __import__("re").split(r"\W+", t.lower()) if x]
+        return ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+
+    def bk(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % DIM
+
+    fv, yv = {}, {}
+    for r in rows:
+        gs = [bk(g) for g in grams(r.text)]
+        d = {}
+        for b in gs:
+            d[b] = d.get(b, 0) + 1
+        fv[r.doc_id] = {b: c / len(gs) for b, c in d.items()}
+        yv[r.doc_id] = float(r.y)
+    N = len(fv)
+    ww = {}
+    for it in range(IT):
+        if ww:
+            err = {}
+            for i, f in fv.items():
+                m = sum(v * ww.get(b, 0.0) for b, v in f.items())
+                err[i] = 1.0 / (1.0 + math.exp(-m)) - yv[i]
+        else:
+            err = {i: 0.5 - yv[i] for i in fv}
+        gr = {}
+        for i, f in fv.items():
+            for b, v in f.items():
+                gr[b] = gr.get(b, 0.0) + v * err[i]
+        for b, g in gr.items():
+            ww[b] = ww.get(b, 0.0) - LR * round(g / N, 9)
+    assert set(w) == set(ww)
+    for b in ww:
+        assert abs(w[b] - ww[b]) < 1e-9, (b, w[b], ww[b])
+
+    scored = {r.doc_id: r.score for r in
+              score_logreg(feats, sorted(w.items()), "doc_id").collect()}
+    good = [scored[i] for i in range(20) if i % 2 == 0]
+    bad = [scored[i] for i in range(20) if i % 2 == 1]
+    assert min(good) > max(bad)
