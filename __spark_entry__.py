@@ -4959,6 +4959,70 @@ SELECT doc_id, round(margin, 6) AS margin FROM sc
 """
 
 
+def q_corpus_profile(spark, sf):
+    """Dataset-card profile per source (operators/profile.py): doc/
+    token/char totals, exact interpolated length percentiles (the
+    `percentile` == `quantile_cont` identity), distinct-text count
+    and exact-dup ratio — ONE group-bounded aggregation pass, every
+    aggregate partial-aggregatable or per-group sort-based."""
+    from platypus_ingestion_plugins_spark.operators.profile import (
+        corpus_profile,
+    )
+
+    d = _t(spark, sf, "documents")
+    return corpus_profile(d, "text", by="source")
+
+
+SQL_CORPUS_PROFILE = """
+WITH b AS (
+  SELECT source,
+         coalesce(text, '') AS t,
+         length(coalesce(text, '')) AS l,
+         len(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '\\W+'), x -> x <> '')) AS tok
+  FROM documents)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS n_tokens,
+       CAST(sum(l) AS BIGINT) AS n_chars,
+       round(quantile_cont(l, 0.5), 6) AS chars_p50,
+       round(quantile_cont(l, 0.9), 6) AS chars_p90,
+       round(quantile_cont(l, 0.99), 6) AS chars_p99,
+       count(DISTINCT t) AS n_distinct_texts,
+       round((count(*) - count(DISTINCT t))::DOUBLE / count(*), 6)
+         AS dup_ratio
+FROM b GROUP BY source
+"""
+
+
+def q_bpe_token_count(spark, sf):
+    """REAL BPE token counts (functions/bpe.py): merges learned
+    driver-side from a deterministic 50-doc sample (training is a
+    sample problem by construction — published tokenizers fit on
+    <= GBs), broadcast model-sized to an Arrow-batched apply with a
+    per-batch distinct-word cache. No SQL oracle — iterative subword
+    merging is not ANSI-expressible; the driver records the rows-only
+    check, and the unit suite pins learn+apply against a pure-Python
+    replay and the classic Sennrich corpus."""
+    from platypus_ingestion_plugins_spark.functions.bpe import (
+        bpe_encode,
+        learn_bpe,
+    )
+
+    d = _t(spark, sf, "documents")
+    sample = [
+        r.text
+        for r in d.select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(50)
+        .collect()
+    ]
+    merges = learn_bpe(sample, n_merges=200)
+    return bpe_encode(d, "text", "doc_id", merges).select(
+        "doc_id", "n_bpe_tokens"
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4973,7 +5037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the driver caps each round's oracle sweep at 50 entries, so dict
     # order IS verification priority — r11 rotation, VERDICT r10 task
     # #1, dict comments cross-checked against CORRECTNESS_r08/r09/r10):
-    #   0. NEW this round (never driver-verified): quality_classifier,
+    #   0. NEW this round (never driver-verified): corpus_profile,
+    #      bpe_token_count (rows-only by design), quality_classifier,
     #      url_dedup,
     #      paragraph_dedup, c4_filter,
     #      bigram_logprob, stratified_interleave, semdedup_kmeans,
@@ -4988,10 +5053,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      driver green is r8.
     #   2. the 49 entries last green in CORRECTNESS_r09 (the r9 sweep
     #      minus fuzzy_join, which r10 re-verified under its new
-    #      leading-typo oracle), in r9 file order. Sections 0-2 = 72,
-    #      so the 50-cap verifies section 0+1 and the first 27 of the
-    #      r9 cohort; the LAST TWENTY-TWO r9 entries
-    #      (text_language_id,
+    #      leading-typo oracle), in r9 file order. Sections 0-2 = 74,
+    #      so the 50-cap verifies section 0+1 and the first 25 of the
+    #      r9 cohort; the LAST TWENTY-FOUR r9 entries
+    #      (sink_typed_strings, stratified_sample, text_language_id,
     #      text_quality_filter, text_stats, match_all_topk,
     #      match_all_offset, term, term_in_set, fulltext_match,
     #      fulltext_ranked, fulltext_tfidf, fulltext_bm25,
@@ -4999,7 +5064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      multivalued_contains, pipeline_clean_corpus, line_dedup,
     #      top_terms_per_group, hashed_bow_embedding,
     #      stream_line_dedup, bow_knn, quality_autocalibrated_filter)
-    #      are DEFERRED and must lead r12. All twenty-two were
+    #      are DEFERRED and must lead r12. All twenty-four were
     #      re-verified green by targeted check_oracle runs this round
     #      (SURVEY §5), so none enters r12 with an unchecked
     #      regression window.
@@ -5013,9 +5078,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      (freshest last). semdedup_keep gained the max_cluster_size
     #      param this round with default None = unchanged semantics.
     return {
-        # 0. NEW this round — sixteen entries, each displacing one
-        # r9-tail entry below the cap (first 27 of the r9 cohort make
+        # 0. NEW this round — eighteen entries, each displacing one
+        # r9-tail entry below the cap (first 25 of the r9 cohort make
         # the sweep)
+        "corpus_profile": q_corpus_profile,
+        "bpe_token_count": q_bpe_token_count,
         "quality_classifier": q_quality_classifier,
         "url_dedup": q_url_dedup,
         "paragraph_dedup": q_paragraph_dedup,
@@ -5066,10 +5133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_bands": q_range_join,
         "sessionize": q_sessionize,
         "sink_array_json": q_sink_array_json,
+        # --- the r11 50-cap lands here (18 new + 7 r8 + first 25 of
+        # --- r9); everything below is deferred and must LEAD r12
         "sink_typed_strings": q_sink_typed_strings,
         "stratified_sample": q_stratified_sample,
-        # --- the r11 50-cap lands here (16 new + 7 r8 + first 27 of
-        # --- r9); everything below is deferred and must LEAD r12
         "text_language_id": q_text_language_id,
         "text_quality_filter": q_text_quality_filter,
         "text_stats": q_text_stats,
@@ -5249,6 +5316,10 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
         "dsir_select": SQL_DSIR_SELECT,
         "gopher_quality": SQL_GOPHER_QUALITY,
+        "corpus_profile": SQL_CORPUS_PROFILE,
+        # bpe_token_count: NO oracle entry on purpose — iterative BPE
+        # merging is not ANSI-SQL-expressible; the driver records the
+        # weaker rows-only check (unit suite pins the arithmetic)
         "quality_classifier": SQL_QUALITY_CLASSIFIER,
         "url_dedup": SQL_URL_DEDUP,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,

@@ -73,6 +73,8 @@ HEADLINE = [
     "url_dedup",
     "paragraph_dedup",
     "quality_classifier",
+    "corpus_profile",
+    "bpe_token_count",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.

@@ -3598,3 +3598,71 @@ def test_train_logreg_matches_brute_force(spark):
     good = [scored[i] for i in range(20) if i % 2 == 0]
     bad = [scored[i] for i in range(20) if i % 2 == 1]
     assert min(good) > max(bad)
+
+
+def test_corpus_profile_datasheet(spark):
+    """NEW r11: dataset-card profile. Counts/sums/percentiles/dup
+    ratio must equal the brute-force numbers per slice; NULL text
+    counts as length 0."""
+    from platypus_ingestion_plugins_spark.operators.profile import (
+        corpus_profile,
+    )
+
+    rows = [
+        Row(doc_id=1, src="a", text="one two three"),
+        Row(doc_id=2, src="a", text="one two three"),     # exact dup
+        Row(doc_id=3, src="a", text="four"),
+        Row(doc_id=4, src="b", text=None),
+        Row(doc_id=5, src="b", text="five six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, src string, text string")
+    got = {r.src: r for r in corpus_profile(df, "text", by="src").collect()}
+    a = got["a"]
+    assert (a.n_docs, a.n_tokens, a.n_chars) == (3, 7, 30)
+    assert a.n_distinct_texts == 2 and abs(a.dup_ratio - 1 / 3) < 1e-6
+    lens = sorted([13, 13, 4])
+    assert a.chars_p50 == lens[1]
+    b = got["b"]
+    assert (b.n_docs, b.n_tokens, b.n_chars) == (2, 2, 8)
+    assert b.n_distinct_texts == 2 and b.dup_ratio == 0.0
+    overall = corpus_profile(df, "text").collect()
+    assert len(overall) == 1 and overall[0].n_docs == 5
+
+
+def test_bpe_learn_and_encode_sennrich_example(spark):
+    """NEW r11: BPE. The classic low/lower/newest/widest corpus must
+    learn the Sennrich et al. 2016 merges ('es' then 'est' first);
+    encoding must split unseen words at learned boundaries and the
+    distributed encode must equal the driver-side one."""
+    from platypus_ingestion_plugins_spark.functions.bpe import (
+        bpe_encode,
+        encode_word,
+        learn_bpe,
+    )
+
+    corpus = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    merges = learn_bpe([" ".join(corpus)], n_merges=10)
+    # the 9-count pairs (t,</w>), (s,t</w>-chain), (e,s...) tie in
+    # round 1; the fixed lexicographic rule resolves t</w> first and
+    # the est</w> unit still emerges by round 3 — same subword, fixed
+    # deterministic order
+    assert merges[0] == ("t", "</w>")
+    assert ("e", "st</w>") in merges[:3]
+    assert ("l", "ow") in merges  # the low unit from low/lower
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    # 'lowest' was never seen whole; it must split at the two learned
+    # units exactly
+    assert encode_word("lowest", ranks) == ["low", "est</w>"]
+    # distributed apply == driver apply, counts included
+    rows = [Row(doc_id=i, text=t) for i, t in
+            enumerate(["low lower", "newest widest lowest", ""])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (list(r.tokens), r.n_bpe_tokens)
+           for r in bpe_encode(df, "text", "doc_id", merges).collect()}
+    from platypus_ingestion_plugins_spark.functions.bpe import pretokenize
+    for r in rows:
+        want = []
+        for w in pretokenize(r.text):
+            want.extend(encode_word(w, ranks))
+        assert got[r.doc_id] == (want, len(want)), r.doc_id
+    assert got[2] == ([], 0)
