@@ -5023,6 +5023,99 @@ def q_bpe_token_count(spark, sf):
     )
 
 
+def q_corpus_overlap(spark, sf):
+    """Sketch set arithmetic (functions/sketches.py:
+    sketch_overlap_estimate): distinct/union/intersection/novelty
+    estimates for two corpus slices from two bounded m=64 min-hash
+    states — the "how much new data does drop B add" number WITHOUT
+    an O(|A|+|B|) distinct join. Deterministic salted-md5 hashing, so
+    the oracle reproduces the ESTIMATES bit-for-bit, not just the
+    exact counts."""
+    from platypus_ingestion_plugins_spark.functions.sketches import (
+        sketch_overlap_estimate,
+    )
+
+    d = _t(spark, sf, "documents")
+    a = d.filter("doc_id % 3 != 0").select("text")
+    b = d.filter("doc_id % 2 != 0").select("text")
+    return sketch_overlap_estimate(a, b, "text", m=64)
+
+
+def _sql_corpus_overlap(m: int = 64) -> str:
+    def mins(alias, src):
+        return ", ".join(
+            "MIN((CAST(('0x' || substr(md5('{i}|' || text), 1, 15)) AS "
+            "BIGINT) + 1.0) / 1152921504606846976.0) AS {a}{i}".format(
+                i=i, a=alias
+            )
+            for i in range(m)
+        )
+
+    sum_a = " + ".join(f"a{i}" for i in range(m))
+    sum_b = " + ".join(f"b{i}" for i in range(m))
+    sum_u = " + ".join(f"least(a{i}, b{i})" for i in range(m))
+    return f"""
+WITH sa AS (SELECT {mins('a', 'a')} FROM documents WHERE doc_id % 3 <> 0),
+sb AS (SELECT {mins('b', 'b')} FROM documents WHERE doc_id % 2 <> 0),
+e AS (
+  SELECT {m}.0 / ({sum_a}) - 1.0 AS ea,
+         {m}.0 / ({sum_b}) - 1.0 AS eb,
+         {m}.0 / ({sum_u}) - 1.0 AS eu
+  FROM sa, sb)
+SELECT round(ea, 4) AS est_a, round(eb, 4) AS est_b,
+       round(eu, 4) AS est_union,
+       round(greatest(ea + eb - eu, 0.0), 4) AS est_intersection,
+       round(greatest(eb - greatest(ea + eb - eu, 0.0), 0.0), 4)
+         AS est_only_b
+FROM e
+"""
+
+
+SQL_CORPUS_OVERLAP = _sql_corpus_overlap(64)
+
+
+def q_tar_scrub(spark, sf):
+    """Right-to-be-forgotten over a committed tar export
+    (operators/export.scrub_tar_shards): delete the doc_id % 97 == 0
+    samples by rewriting ONLY the shards they hash into (the
+    deterministic shuffle makes the affected set computable from the
+    deletion list alone); untouched shards keep their bytes and
+    manifest sha. The read-back must equal documents MINUS the
+    scrubbed ids exactly — a key surviving the scrub, or an innocent
+    sample lost from a rewritten or preserved shard, breaks the
+    hash."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.operators.export import (
+        export_tar_shards,
+        read_tar_shards,
+        scrub_tar_shards,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    victims = [r.doc_id for r in docs.filter("doc_id % 97 = 0").collect()]
+    work = _stream_scratch("tar_scrub_")
+    out = os.path.join(work, "wds")
+    try:
+        export_tar_shards(docs, out, "doc_id", {"text": "txt"}, n_shards=8)
+        res = scrub_tar_shards(spark, out, {"text": "txt"}, victims)
+        if res["n_deleted"] != len(victims):
+            raise RuntimeError(f"scrub removed {res['n_deleted']}, "
+                               f"expected {len(victims)}")
+        _keep_until_exit(work, keep=out)
+        return read_tar_shards(
+            spark, out, {"txt": "text"}, key_name="k"
+        ).select(F.col("k").cast("long").alias("doc_id"), "text")
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+
+
+SQL_TAR_SCRUB = """
+SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -5037,7 +5130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the driver caps each round's oracle sweep at 50 entries, so dict
     # order IS verification priority — r11 rotation, VERDICT r10 task
     # #1, dict comments cross-checked against CORRECTNESS_r08/r09/r10):
-    #   0. NEW this round (never driver-verified): corpus_profile,
+    #   0. NEW this round (never driver-verified): corpus_overlap,
+    #      tar_scrub, corpus_profile,
     #      bpe_token_count (rows-only by design), quality_classifier,
     #      url_dedup,
     #      paragraph_dedup, c4_filter,
@@ -5053,10 +5147,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      driver green is r8.
     #   2. the 49 entries last green in CORRECTNESS_r09 (the r9 sweep
     #      minus fuzzy_join, which r10 re-verified under its new
-    #      leading-typo oracle), in r9 file order. Sections 0-2 = 74,
-    #      so the 50-cap verifies section 0+1 and the first 25 of the
-    #      r9 cohort; the LAST TWENTY-FOUR r9 entries
-    #      (sink_typed_strings, stratified_sample, text_language_id,
+    #      leading-typo oracle), in r9 file order. Sections 0-2 = 76,
+    #      so the 50-cap verifies section 0+1 and the first 23 of the
+    #      r9 cohort; the LAST TWENTY-SIX r9 entries
+    #      (sessionize, sink_array_json,
+    #      sink_typed_strings, stratified_sample, text_language_id,
     #      text_quality_filter, text_stats, match_all_topk,
     #      match_all_offset, term, term_in_set, fulltext_match,
     #      fulltext_ranked, fulltext_tfidf, fulltext_bm25,
@@ -5064,7 +5159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      multivalued_contains, pipeline_clean_corpus, line_dedup,
     #      top_terms_per_group, hashed_bow_embedding,
     #      stream_line_dedup, bow_knn, quality_autocalibrated_filter)
-    #      are DEFERRED and must lead r12. All twenty-four were
+    #      are DEFERRED and must lead r12. All twenty-six were
     #      re-verified green by targeted check_oracle runs this round
     #      (SURVEY §5), so none enters r12 with an unchecked
     #      regression window.
@@ -5078,9 +5173,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      (freshest last). semdedup_keep gained the max_cluster_size
     #      param this round with default None = unchanged semantics.
     return {
-        # 0. NEW this round — eighteen entries, each displacing one
-        # r9-tail entry below the cap (first 25 of the r9 cohort make
+        # 0. NEW this round — twenty entries, each displacing one
+        # r9-tail entry below the cap (first 23 of the r9 cohort make
         # the sweep)
+        "corpus_overlap": q_corpus_overlap,
+        "tar_scrub": q_tar_scrub,
         "corpus_profile": q_corpus_profile,
         "bpe_token_count": q_bpe_token_count,
         "quality_classifier": q_quality_classifier,
@@ -5131,10 +5228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "pivot_event_counts": q_pivot_event_counts,
         "range_join_bands": q_range_join,
+        # --- the r11 50-cap lands here (20 new + 7 r8 + first 23 of
+        # --- r9); everything below is deferred and must LEAD r12
         "sessionize": q_sessionize,
         "sink_array_json": q_sink_array_json,
-        # --- the r11 50-cap lands here (18 new + 7 r8 + first 25 of
-        # --- r9); everything below is deferred and must LEAD r12
         "sink_typed_strings": q_sink_typed_strings,
         "stratified_sample": q_stratified_sample,
         "text_language_id": q_text_language_id,
@@ -5316,6 +5413,8 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
         "dsir_select": SQL_DSIR_SELECT,
         "gopher_quality": SQL_GOPHER_QUALITY,
+        "corpus_overlap": SQL_CORPUS_OVERLAP,
+        "tar_scrub": SQL_TAR_SCRUB,
         "corpus_profile": SQL_CORPUS_PROFILE,
         # bpe_token_count: NO oracle entry on purpose — iterative BPE
         # merging is not ANSI-SQL-expressible; the driver records the

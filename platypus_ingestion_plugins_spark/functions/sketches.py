@@ -55,6 +55,55 @@ def distinct_estimate(col: Column | str, m: int = 64) -> Column:
     return F.round(F.lit(float(m)) / total - F.lit(1.0), 4)
 
 
+def sketch_overlap_estimate(
+    df_a,
+    df_b,
+    col: str,
+    m: int = 64,
+) -> "DataFrame":
+    """Release-engineering set arithmetic WITHOUT a join: estimated
+    distinct counts of two corpora, their union, intersection and
+    B-only novelty — "how much genuinely new data does drop B add" —
+    from two bounded sketch states (m doubles each) instead of an
+    O(|A|+|B|) distinct-join. The union state is the elementwise
+    LEAST of the per-function minimums (the documented merge rule of
+    ``distinct_sketch_mins``); intersection and difference follow by
+    inclusion-exclusion, floored at 0 (the estimator is unbiased, not
+    monotone). Everything is the deterministic salted-md5 hash, so
+    the estimates — not just the exact counts — are reproducible
+    bit-for-bit by an external engine.
+
+    Output: one row (est_a, est_b, est_union, est_intersection,
+    est_only_b), 4-dp rounded like ``distinct_estimate``. Each input
+    pass is ONE map-side-combinable aggregation; the final arithmetic
+    is a 1x1 crossJoin of the two m-column states.
+    """
+    sa = df_a.agg(*distinct_sketch_mins(col, m))
+    sb = df_b.select(F.col(col)).agg(
+        *[
+            F.min(salted_unit_hash(col, i)).alias(f"__bmin{i}")
+            for i in range(m)
+        ]
+    )
+    both = sa.crossJoin(F.broadcast(sb))
+    sum_a = reduce(lambda x, y: x + y, [F.col(f"__kmin{i}") for i in range(m)])
+    sum_b = reduce(lambda x, y: x + y, [F.col(f"__bmin{i}") for i in range(m)])
+    sum_u = reduce(
+        lambda x, y: x + y,
+        [F.least(F.col(f"__kmin{i}"), F.col(f"__bmin{i}")) for i in range(m)],
+    )
+    est = lambda s: F.lit(float(m)) / s - F.lit(1.0)  # noqa: E731
+    ea, eb, eu = est(sum_a), est(sum_b), est(sum_u)
+    inter = F.greatest(ea + eb - eu, F.lit(0.0))
+    return both.select(
+        F.round(ea, 4).alias("est_a"),
+        F.round(eb, 4).alias("est_b"),
+        F.round(eu, 4).alias("est_union"),
+        F.round(inter, 4).alias("est_intersection"),
+        F.round(F.greatest(eb - inter, F.lit(0.0)), 4).alias("est_only_b"),
+    )
+
+
 def _salted_bucket(col: Column | str, salt: int, width: int) -> Column:
     """Deterministic bucket in [0, width): md5 long mod width."""
     c = F.col(col) if isinstance(col, str) else col

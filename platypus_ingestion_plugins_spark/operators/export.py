@@ -233,6 +233,7 @@ def export_tar_shards(
     n_shards: int,
     salt: str = "shuffle",
     stale_after_s: int = 3600,
+    _preserve: dict | None = None,
 ) -> list:
     """Write the corpus as WebDataset-style tar shards —
     ``out_path/shard-00000.tar`` .. — the sequential-read layout
@@ -296,6 +297,13 @@ def export_tar_shards(
     with a shorter horizon sweeps this export's sentinel anyway, the
     final sentinel drop tolerates the loss with a warning rather than
     failing a committed export.
+
+    ``_preserve`` (internal — ``scrub_tar_shards`` is the public
+    face) maps previous-generation shard file names to their manifest
+    entries: those tars are left in place untouched, survive the
+    leftover sweep, and their entries merge into the fresh commit
+    marker — the partial-rewrite contract, where only the shards a
+    deletion touches are re-written and re-hashed.
     """
     exts = dict(content_cols)
     str_cols = {
@@ -437,7 +445,7 @@ def export_tar_shards(
         out.write(generation.encode("utf-8"))
     if _drv_fs.get_file_info(marker).type != _pafs.FileType.NotFound:
         _drv_fs.delete_file(marker)
-    new_names = set()
+    new_names = set() if _preserve is None else set(_preserve)
     for i, m in enumerate(manifest):
         if i and i % 256 == 0:
             # heartbeat: a many-thousand-shard swap on an object
@@ -535,18 +543,26 @@ def export_tar_shards(
     import json as _json
 
     marker_tmp = f"{_drv_inner}/.manifest-{generation}.tmp"
+    entries = [
+        {"shard": int(m.shard),
+         "name": f"shard-{m.shard:05d}.tar",
+         "n_samples": int(m.n_samples),
+         "n_bytes": int(m.n_bytes),
+         "sha256": m.sha256}
+        for m in manifest
+    ]
+    if _preserve:
+        entries.extend(_preserve.values())
+        entries.sort(key=lambda e: e["shard"])
     with _drv_fs.open_output_stream(marker_tmp) as out:
         out.write(_json.dumps({
             "generation": generation,
-            "n_shards": len(manifest),
-            "shards": [
-                {"shard": int(m.shard),
-                 "name": f"shard-{m.shard:05d}.tar",
-                 "n_samples": int(m.n_samples),
-                 "n_bytes": int(m.n_bytes),
-                 "sha256": m.sha256}
-                for m in manifest
-            ],
+            "n_shards": len(entries),
+            # shard_space is the SHUFFLE width (an empty shard has no
+            # entry, so len(entries) can undercount it) — the scrub
+            # path re-derives shard assignment from this
+            "shard_space": int(n_shards),
+            "shards": entries,
         }).encode("utf-8"))
     _drv_fs.move(marker_tmp, marker)
     try:
@@ -577,6 +593,7 @@ def read_tar_shards(
     content_cols: dict[str, str],
     key_name: str = "key",
     binary_cols: tuple[str, ...] = (),
+    shards: list[int] | None = None,
 ) -> DataFrame:
     """Stream WebDataset-style tar shards back to rows: one task per
     tar (shard count = read parallelism, the format's contract), each
@@ -598,7 +615,12 @@ def read_tar_shards(
     without the sentinel the two were indistinguishable and the
     fallback read mixed data silently (code-review r10 #1). Only
     sentinel-less, marker-less directories (hand-assembled shard
-    sets, pre-marker exports) fall back to listing every ``*.tar``."""
+    sets, pre-marker exports) fall back to listing every ``*.tar``.
+
+    ``shards`` restricts the read to those shard ids (marker-backed
+    directories only — the subset is meaningful only against a
+    committed shard list): the scrub path reads JUST the shards a
+    deletion touches instead of the whole export."""
     import json as _json
 
     import pyarrow.fs as pafs
@@ -626,7 +648,10 @@ def read_tar_shards(
         with fs.open_input_stream(f"{inner}/_manifest.json") as fh:
             committed = _json.loads(fh.read().decode("utf-8"))
         tars = []
+        want = None if shards is None else {int(s) for s in shards}
         for entry in sorted(committed["shards"], key=lambda e: e["shard"]):
+            if want is not None and int(entry["shard"]) not in want:
+                continue
             tar_path = f"{inner}/{entry['name']}"
             if fs.get_file_info(tar_path).type != pafs.FileType.File:
                 raise FileNotFoundError(
@@ -635,9 +660,23 @@ def read_tar_shards(
                 )
             tars.append(tar_path)
     else:
+        if shards is not None:
+            raise ValueError(
+                "shards= subset read requires a commit marker "
+                "(_manifest.json); this directory has none"
+            )
         tars = sorted(
             i.path for i in listing if i.is_file and i.path.endswith(".tar")
         )
+    if not tars:
+        fields0 = ", ".join(
+            [f"{key_name} string"]
+            + [
+                f"{c} {'binary' if c in binary_cols else 'string'}"
+                for c in dict(content_cols).values()
+            ]
+        )
+        return spark.createDataFrame([], fields0)
     cols = dict(content_cols)
     fields = ", ".join(
         [f"{key_name} string"]
@@ -687,3 +726,92 @@ def read_tar_shards(
                     )
 
     return paths_df.mapInPandas(parse, fields)
+
+
+def scrub_tar_shards(
+    spark,
+    path: str,
+    content_cols: dict[str, str],
+    ids: list,
+    salt: str = "shuffle",
+    binary_cols: tuple[str, ...] = (),
+) -> dict:
+    """Targeted deletion from a committed tar export — the
+    right-to-be-forgotten path: remove the samples whose keys are in
+    ``ids`` by REWRITING ONLY THE SHARDS THEY LIVE IN, leaving every
+    other shard byte-identical (sha unchanged in the merged manifest).
+
+    Why this is O(touched), not O(corpus): shard assignment is the
+    deterministic ``shuffle_assign`` hash of the key, so the affected
+    shard set is computed from the deletion list alone (one
+    list-sized Spark projection — the SAME expression the export ran,
+    never a re-derivation that could drift); only those tars are read
+    back (``read_tar_shards(shards=...)``), filtered, and re-exported
+    through the standard stage-then-swap machinery with the untouched
+    shards' manifest entries carried forward (``_preserve``). A
+    deletion of k keys touches at most k shards no matter how many
+    thousand the export holds. A shard whose every sample is deleted
+    disappears from directory and manifest both.
+
+    ``content_cols`` is the EXPORT mapping (column -> extension), the
+    same dict the original export was written with; keys compare as
+    their string form (the tar member basename). Requires a commit
+    marker — scrubbing an uncommitted/hand-assembled directory has no
+    authoritative shard list to preserve. Returns
+    {"affected_shards": [...], "rewritten": n, "dropped_shards":
+    [...], "n_deleted": k_found}.
+    """
+    import json as _json
+
+    import pyarrow.fs as pafs
+    from pyspark.sql import functions as F
+
+    fs, inner = _tar_fs(path)
+    marker_path = f"{inner}/_manifest.json"
+    if fs.get_file_info(marker_path).type != pafs.FileType.File:
+        raise FileNotFoundError(
+            f"{path} has no commit marker (_manifest.json); scrub "
+            "requires a committed export"
+        )
+    with fs.open_input_stream(marker_path) as fh:
+        committed = _json.loads(fh.read().decode("utf-8"))
+    entries = {int(e["shard"]): e for e in committed["shards"]}
+    shard_space = int(
+        committed.get("shard_space", max(entries) + 1 if entries else 1)
+    )
+    id_strs = [str(i) for i in ids]
+    ids_df = spark.createDataFrame([(s,) for s in id_strs], "__k string")
+    affected = sorted(
+        r.shard
+        for r in shuffle_assign(ids_df, "__k", shard_space, salt)
+        .select("shard")
+        .distinct()
+        .collect()
+    )
+    touched = [s for s in affected if s in entries]
+    if not touched:
+        return {"affected_shards": [], "rewritten": 0,
+                "dropped_shards": [], "n_deleted": 0}
+    read_map = {ext: col for col, ext in dict(content_cols).items()}
+    back = read_tar_shards(
+        spark, path, read_map, key_name="__k",
+        binary_cols=binary_cols, shards=touched,
+    )
+    kept = back.filter(~F.col("__k").isin(id_strs))
+    n_before = back.count()
+    preserve = {
+        e["name"]: e for s, e in entries.items() if s not in touched
+    }
+    new_rows = export_tar_shards(
+        kept, path, "__k", dict(content_cols), shard_space, salt,
+        _preserve=preserve,
+    )
+    rewritten = {int(m.shard) for m in new_rows}
+    dropped = [s for s in touched if s not in rewritten]
+    n_after = sum(int(m.n_samples) for m in new_rows)
+    return {
+        "affected_shards": touched,
+        "rewritten": len(rewritten),
+        "dropped_shards": dropped,
+        "n_deleted": int(n_before - n_after),
+    }

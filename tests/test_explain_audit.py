@@ -75,6 +75,7 @@ HEADLINE = [
     "quality_classifier",
     "corpus_profile",
     "bpe_token_count",
+    "corpus_overlap",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.

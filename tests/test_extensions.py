@@ -3666,3 +3666,92 @@ def test_bpe_learn_and_encode_sennrich_example(spark):
             want.extend(encode_word(w, ranks))
         assert got[r.doc_id] == (want, len(want)), r.doc_id
     assert got[2] == ([], 0)
+
+
+def test_scrub_tar_shards_partial_rewrite(spark, tmp_path):
+    """NEW r11: right-to-be-forgotten over a committed tar export.
+    Deleting k keys must rewrite ONLY the shards they live in —
+    untouched shards stay byte-identical (manifest sha carried
+    forward verbatim) — and a shard whose every sample is deleted
+    disappears from directory and manifest both."""
+    import hashlib
+    import json
+    import os
+
+    from platypus_ingestion_plugins_spark.operators.export import (
+        export_tar_shards,
+        read_tar_shards,
+        scrub_tar_shards,
+        shuffle_assign,
+    )
+
+    rows = [Row(k=i, text=f"document number {i} body") for i in range(60)]
+    df = spark.createDataFrame(rows, "k int, text string")
+    out = str(tmp_path / "tars")
+    export_tar_shards(df, out, "k", {"text": "txt"}, 6)
+    man0 = json.load(open(os.path.join(out, "_manifest.json")))
+    sha0 = {e["shard"]: e["sha256"] for e in man0["shards"]}
+    assert man0["shard_space"] == 6
+
+    # find two ids in one shard, to delete
+    asg = {r.k: r.shard for r in shuffle_assign(
+        df.select(F.col("k").cast("string")), "k", 6).collect()}
+    target_shard = asg[str(0)]
+    victims = [k for k, s in asg.items() if s == target_shard][:2]
+    res = scrub_tar_shards(spark, out, {"text": "txt"}, victims)
+    assert res["affected_shards"] == [target_shard]
+    assert res["n_deleted"] == len(victims) and res["rewritten"] == 1
+
+    man1 = json.load(open(os.path.join(out, "_manifest.json")))
+    sha1 = {e["shard"]: e["sha256"] for e in man1["shards"]}
+    for s in sha0:
+        if s != target_shard:
+            assert sha1[s] == sha0[s]  # untouched: sha carried forward
+            p = os.path.join(out, f"shard-{s:05d}.tar")
+            assert hashlib.sha256(open(p, "rb").read()).hexdigest() == sha0[s]
+    assert sha1[target_shard] != sha0[target_shard]
+    back = read_tar_shards(spark, out, {"txt": "text"}, key_name="k")
+    got = {r.k for r in back.collect()}
+    assert got == {str(i) for i in range(60)} - set(victims)
+
+    # delete EVERY remaining sample of that shard -> shard vanishes
+    rest = [k for k, s in asg.items() if s == target_shard
+            and k not in victims]
+    res2 = scrub_tar_shards(spark, out, {"text": "txt"}, rest)
+    assert res2["dropped_shards"] == [target_shard]
+    assert not os.path.exists(
+        os.path.join(out, f"shard-{target_shard:05d}.tar"))
+    man2 = json.load(open(os.path.join(out, "_manifest.json")))
+    assert target_shard not in {e["shard"] for e in man2["shards"]}
+    assert man2["shard_space"] == 6  # shuffle width survives drops
+    assert read_tar_shards(spark, out, {"txt": "text"}).count() == 60 - len(
+        victims) - len(rest)
+    # ids that hash to untouched shards: no-op, nothing rewritten
+    res3 = scrub_tar_shards(spark, out, {"text": "txt"}, ["nonexistent"])
+    assert res3["n_deleted"] == 0
+
+
+def test_sketch_overlap_estimate(spark):
+    """NEW r11: sketch set arithmetic. Estimates must be within the
+    m=256 error envelope of the exact sizes, the union state must
+    equal the sketch of the concatenation (merge law), and disjoint
+    corpora must show ~zero intersection."""
+    from platypus_ingestion_plugins_spark.functions.sketches import (
+        sketch_overlap_estimate,
+    )
+
+    a = spark.range(0, 600).select(F.concat(F.lit("k"), "id").alias("v"))
+    b = spark.range(300, 900).select(F.concat(F.lit("k"), "id").alias("v"))
+    r = sketch_overlap_estimate(a, b, "v", m=256).first()
+    assert abs(r.est_a - 600) / 600 < 0.25
+    assert abs(r.est_b - 600) / 600 < 0.25
+    assert abs(r.est_union - 900) / 900 < 0.25
+    assert abs(r.est_intersection - 300) / 300 < 0.6  # diff of ests: wider
+    # merge law: union estimate == estimate of the actual union
+    u = sketch_overlap_estimate(a.union(b), a.union(b), "v", m=256).first()
+    assert abs(r.est_union - u.est_a) < 1e-6
+    # disjoint corpora
+    c = spark.range(5000, 5600).select(F.concat(F.lit("k"), "id").alias("v"))
+    d = sketch_overlap_estimate(a, c, "v", m=256).first()
+    assert d.est_intersection < 0.25 * 600
+    assert d.est_only_b > 0.5 * 600
