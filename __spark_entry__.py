@@ -4802,16 +4802,16 @@ WITH u0 AS (
 p AS (
   SELECT doc_id, u,
          lower(regexp_extract(u,
-           '^(https?)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 1))
+           '^([hH][tT][tT][pP][sS]?)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 1))
            AS scheme,
          regexp_replace(lower(regexp_extract(u,
-           '^(https?)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 2)),
+           '^([hH][tT][tT][pP][sS]?)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 2)),
            '^www\\.', '') AS host0,
          regexp_replace(regexp_extract(u,
-           '^(https?)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 3),
+           '^([hH][tT][tT][pP][sS]?)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 3),
            '(.)/$', '\\1') AS path,
          regexp_extract(u,
-           '^(https?)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 4)
+           '^([hH][tT][tT][pP][sS]?)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 4)
            AS qs
   FROM u0),
 n AS (
@@ -5051,9 +5051,14 @@ def _sql_corpus_overlap(m: int = 64) -> str:
             for i in range(m)
         )
 
-    sum_a = " + ".join(f"a{i}" for i in range(m))
-    sum_b = " + ".join(f"b{i}" for i in range(m))
-    sum_u = " + ".join(f"least(a{i}, b{i})" for i in range(m))
+    # coalesce mirrors the operator's empty-side rule (NULL min -> 1.0
+    # -> estimate 0); both slices are non-empty at every SF, but the
+    # oracle replays the expression, not just the value
+    sum_a = " + ".join(f"coalesce(a{i}, 1.0)" for i in range(m))
+    sum_b = " + ".join(f"coalesce(b{i}, 1.0)" for i in range(m))
+    sum_u = " + ".join(
+        f"least(coalesce(a{i}, 1.0), coalesce(b{i}, 1.0))" for i in range(m)
+    )
     return f"""
 WITH sa AS (SELECT {mins('a', 'a')} FROM documents WHERE doc_id % 3 <> 0),
 sb AS (SELECT {mins('b', 'b')} FROM documents WHERE doc_id % 2 <> 0),

@@ -84,13 +84,20 @@ def learn_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
 
 def load_merges_txt(path: str) -> list[tuple[str, str]]:
     """Parse the standard ``merges.txt`` (one ``left right`` pair per
-    line; ``#``-prefixed header lines skipped) — the artifact published
-    tokenizers ship."""
+    line) — the artifact published tokenizers ship. Only a FIRST-LINE
+    ``#version`` header is skipped: published merge tables contain
+    real merges whose left symbol is ``#`` (``# #``, ``## #`` — code
+    text), so a skip-all-comment-lines rule silently drops them and
+    mistokenizes every document containing ``#`` (r11 review 2nd
+    pass #2). Line endings strip ``\\r`` too — a CRLF-saved file
+    would otherwise corrupt every right-hand symbol."""
     merges = []
     with open(path, encoding="utf-8") as f:
-        for line in f:
-            line = line.rstrip("\n")
-            if not line or line.startswith("#"):
+        for i, line in enumerate(f):
+            line = line.rstrip("\r\n")
+            if not line:
+                continue
+            if i == 0 and line.startswith("#version"):
                 continue
             a, _, b = line.partition(" ")
             if b:

@@ -51,15 +51,20 @@ def doc_features(
     with ``val = count(bucket in doc) / n_grams(doc)`` — at most
     min(dim, n_grams) rows per document. Zero-gram documents produce
     no rows (they carry no evidence; score 0.5 under any weights)."""
+    from pyspark.sql.window import Window
+
     grams = df.select(
         F.col(id_col), F.explode(_gram_buckets(text_col, dim)).alias("bucket")
     )
     counts = grams.groupBy(id_col, "bucket").agg(
         F.count(F.lit(1)).alias("__c")
     )
-    totals = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    return counts.join(totals, id_col).select(
-        id_col, "bucket", (F.col("__c") / F.col("__n")).alias("val")
+    # per-doc total as a window over the per-bucket counts — the
+    # tokenize+hash+explode lineage is evaluated ONCE (a second
+    # groupBy over `grams` re-ran it; r11 review 2nd pass #9)
+    total = F.sum("__c").over(Window.partitionBy(id_col))
+    return counts.select(
+        id_col, "bucket", (F.col("__c") / total).alias("val")
     )
 
 
@@ -82,12 +87,16 @@ def train_logreg(
 
     The joined (features x labels) frame is evaluated once per
     iteration — persist it before calling when the upstream lineage
-    is expensive; the call itself caches and releases it.
+    is expensive; the call itself caches and releases it. Rows whose
+    label is NULL are EXCLUDED from training entirely (a NULL y would
+    silently contribute nothing to any gradient while still inflating
+    the 1/N normalizer, shrinking every weight — r11 review 2nd
+    pass #5); label what you train on, score everything after.
     """
     fl = features.join(
         labels.select(
             F.col(id_col), F.col(label_col).cast("double").alias("__y")
-        ),
+        ).filter(F.col("__y").isNotNull()),
         id_col,
     ).persist()
     try:

@@ -86,11 +86,16 @@ def sketch_overlap_estimate(
         ]
     )
     both = sa.crossJoin(F.broadcast(sb))
-    sum_a = reduce(lambda x, y: x + y, [F.col(f"__kmin{i}") for i in range(m)])
-    sum_b = reduce(lambda x, y: x + y, [F.col(f"__bmin{i}") for i in range(m)])
+    # an EMPTY side aggregates every min to NULL; coalesce to the hash
+    # ceiling 1.0, which estimates exactly 0 distinct (m/m - 1) — the
+    # first-drop case A = empty, B = the new corpus must report
+    # est_only_b ~ |B|, not an all-NULL row (r11 review 2nd pass #6)
+    a_i = [F.coalesce(F.col(f"__kmin{i}"), F.lit(1.0)) for i in range(m)]
+    b_i = [F.coalesce(F.col(f"__bmin{i}"), F.lit(1.0)) for i in range(m)]
+    sum_a = reduce(lambda x, y: x + y, a_i)
+    sum_b = reduce(lambda x, y: x + y, b_i)
     sum_u = reduce(
-        lambda x, y: x + y,
-        [F.least(F.col(f"__kmin{i}"), F.col(f"__bmin{i}")) for i in range(m)],
+        lambda x, y: x + y, [F.least(a, b) for a, b in zip(a_i, b_i)]
     )
     est = lambda s: F.lit(float(m)) / s - F.lit(1.0)  # noqa: E731
     ea, eb, eu = est(sum_a), est(sum_b), est(sum_u)

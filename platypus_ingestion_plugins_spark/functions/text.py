@@ -343,7 +343,14 @@ def normalize_url(col: Column | str) -> Column:
     canonicalizer must never manufacture collisions out of garbage).
     """
     c = F.col(col) if isinstance(col, str) else col
-    rx = r"^(https?)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+    # scheme chars matched case-insensitively via classes (not (?i),
+    # which would also case-fold the host/path groups differently
+    # across regex engines): 'HTTP://X' must canonicalize, not pass
+    # through (r11 review 2nd pass #4)
+    rx = (
+        r"^([hH][tT][tT][pP][sS]?)://([^/?#]+)([^?#]*)"
+        r"(?:\?([^#]*))?(?:#.*)?$"
+    )
     scheme = F.lower(F.regexp_extract(c, rx, 1))
     host = F.regexp_replace(
         F.lower(F.regexp_extract(c, rx, 2)), r"^www\.", ""

@@ -443,8 +443,16 @@ def export_tar_shards(
     sentinel = f"{_drv_inner}/{sentinel_base}"
     with _drv_fs.open_output_stream(sentinel) as out:
         out.write(generation.encode("utf-8"))
+    prev_marker = f"{_drv_inner}/.manifest_prev-{generation}"
     if _drv_fs.get_file_info(marker).type != _pafs.FileType.NotFound:
-        _drv_fs.delete_file(marker)
+        # RENAME, don't delete (r11 review 2nd pass #3): a crash in
+        # the swap window used to destroy the only copy of the
+        # committed manifest — fatal for scrub_tar_shards, whose
+        # SOURCE is this export (an export rerun regenerates; a scrub
+        # cannot). The previous marker survives as .manifest_prev-<gen>
+        # until the new one lands; scrub auto-restores it on the next
+        # attempt after a crash.
+        _drv_fs.move(marker, prev_marker)
     new_names = set() if _preserve is None else set(_preserve)
     for i, m in enumerate(manifest):
         if i and i % 256 == 0:
@@ -508,6 +516,16 @@ def export_tar_shards(
             gen = base[len(".manifest-"):-len(".tmp")]
             if f".swap_in_progress-{gen}" not in raised:
                 _drv_fs.delete_file(info.path)
+        elif info.is_file and base.startswith(".manifest_prev-"):
+            # a crashed swap's recovery copy: keep while its
+            # generation's sentinel is up (scrub auto-restore needs
+            # it) or while young; sweep once stale and sentinel-down
+            # (its generation either committed — owner normally
+            # deletes it — or was superseded by this very run's
+            # about-to-land marker)
+            gen = base[len(".manifest_prev-"):]
+            if f".swap_in_progress-{gen}" not in raised and _stale(info):
+                _drv_fs.delete_file(info.path)
         elif not info.is_file and base.startswith(".tar_staging"):
             if base == staging_name:
                 _drv_fs.delete_dir(info.path)  # our own, fully drained
@@ -565,6 +583,10 @@ def export_tar_shards(
             "shards": entries,
         }).encode("utf-8"))
     _drv_fs.move(marker_tmp, marker)
+    try:
+        _drv_fs.delete_file(prev_marker)
+    except FileNotFoundError:
+        pass  # no previous generation, or a sweeper got it
     try:
         _drv_fs.delete_file(sentinel)
     except FileNotFoundError:
@@ -769,16 +791,56 @@ def scrub_tar_shards(
     fs, inner = _tar_fs(path)
     marker_path = f"{inner}/_manifest.json"
     if fs.get_file_info(marker_path).type != pafs.FileType.File:
-        raise FileNotFoundError(
-            f"{path} has no commit marker (_manifest.json); scrub "
-            "requires a committed export"
+        # crash-recovery: a scrub (or export) that died mid-swap left
+        # the previous committed manifest parked as .manifest_prev-*
+        # (r11 review 2nd pass #3). Exactly one park -> restore it and
+        # clear the dead swap's sentinel; rerunning the same scrub
+        # then converges (deterministic bytes, deletes idempotent).
+        listing = list(
+            fs.get_file_info(pafs.FileSelector(inner, recursive=False))
         )
+        parks = [
+            i.path
+            for i in listing
+            if i.is_file
+            and i.path.rsplit("/", 1)[-1].startswith(".manifest_prev-")
+        ]
+        if len(parks) == 1:
+            import warnings
+
+            gen = parks[0].rsplit("/", 1)[-1][len(".manifest_prev-"):]
+            fs.move(parks[0], marker_path)
+            sent = f"{inner}/.swap_in_progress-{gen}"
+            if fs.get_file_info(sent).type == pafs.FileType.File:
+                fs.delete_file(sent)
+            warnings.warn(
+                f"restored {path}/_manifest.json from a crash-parked "
+                "previous generation; touched shards may already hold "
+                "post-scrub bytes (sha mismatch vs this manifest) — "
+                "this scrub re-converges them",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        else:
+            raise FileNotFoundError(
+                f"{path} has no commit marker (_manifest.json) and "
+                f"{len(parks)} crash-parked manifests; scrub requires "
+                "a committed export"
+            )
     with fs.open_input_stream(marker_path) as fh:
         committed = _json.loads(fh.read().decode("utf-8"))
     entries = {int(e["shard"]): e for e in committed["shards"]}
-    shard_space = int(
-        committed.get("shard_space", max(entries) + 1 if entries else 1)
-    )
+    if "shard_space" not in committed:
+        # guessing the width from max(shard)+1 is WRONG whenever the
+        # original export's top shard(s) happened to be empty — the
+        # deletion ids would be assigned with a different modulus,
+        # silently missing their real shards (r11 review 2nd pass #1)
+        raise ValueError(
+            f"{path}/_manifest.json lacks shard_space (pre-r11 "
+            "marker); re-export once with this version before "
+            "scrubbing — the shuffle width cannot be inferred safely"
+        )
+    shard_space = int(committed["shard_space"])
     id_strs = [str(i) for i in ids]
     ids_df = spark.createDataFrame([(s,) for s in id_strs], "__k string")
     affected = sorted(
@@ -798,7 +860,10 @@ def scrub_tar_shards(
         binary_cols=binary_cols, shards=touched,
     )
     kept = back.filter(~F.col("__k").isin(id_strs))
-    n_before = back.count()
+    # exact sample count of the touched shards comes free from the
+    # committed manifest — no second read of the tars just to count
+    # (r11 review 2nd pass #8)
+    n_before = sum(int(entries[s]["n_samples"]) for s in touched)
     preserve = {
         e["name"]: e for s, e in entries.items() if s not in touched
     }

@@ -72,9 +72,12 @@ HEADLINE = [
     "stratified_interleave",
     "url_dedup",
     "paragraph_dedup",
-    "quality_classifier",
+    # quality_classifier / bpe_token_count are NOT here: their
+    # queries() constructors EXECUTE (training collects / sample
+    # collect) — this module's contract is static plans only. The
+    # classifier's scoring plan is audited by
+    # test_classifier_scoring_plan below, built without training.
     "corpus_profile",
-    "bpe_token_count",
     "corpus_overlap",
 ]
 
@@ -221,3 +224,21 @@ def test_stratified_interleave_single_shuffle(plans):
         if w
     ]
     assert widths and max(widths) <= 2, f"wide scan read_cols={widths}"
+
+
+def test_classifier_scoring_plan(spark, sf_dir):
+    """The classifier's corpus-scoring pass (the part that runs at
+    100 TB) must broadcast the dim-bounded weight table and keep all
+    Python Arrow-batched — audited WITHOUT training (the trainer
+    executes collects; see the HEADLINE note)."""
+    from platypus_ingestion_plugins_spark.functions.classifier import (
+        doc_features,
+        score_logreg,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = doc_features(docs, "text", "doc_id", dim=4096)
+    p = _formatted_plan(score_logreg(feats, [(1, 0.5), (2, -0.25)], "doc_id"))
+    assert "BroadcastExchange" in p, p
+    assert "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p

@@ -3755,3 +3755,84 @@ def test_sketch_overlap_estimate(spark):
     d = sketch_overlap_estimate(a, c, "v", m=256).first()
     assert d.est_intersection < 0.25 * 600
     assert d.est_only_b > 0.5 * 600
+
+
+def test_sketch_overlap_empty_side_estimates_zero(spark):
+    """r11 review 2nd pass #6: the first-drop case (A empty) must
+    report est_a ~ 0 and est_only_b ~ |B|, never an all-NULL row."""
+    from platypus_ingestion_plugins_spark.functions.sketches import (
+        sketch_overlap_estimate,
+    )
+
+    a = spark.range(0).select(F.concat(F.lit("k"), "id").alias("v"))
+    b = spark.range(0, 400).select(F.concat(F.lit("k"), "id").alias("v"))
+    r = sketch_overlap_estimate(a, b, "v", m=128).first()
+    assert r.est_a == 0.0 and r.est_intersection == 0.0
+    assert abs(r.est_b - 400) / 400 < 0.3
+    assert abs(r.est_only_b - r.est_b) < 1e-6
+
+
+def test_normalize_url_uppercase_scheme(spark):
+    """r11 review 2nd pass #4: 'HTTP://X' must canonicalize, not pass
+    through verbatim."""
+    rows = [Row(i=1, u="HTTP://Example.com/a/"),
+            Row(i=2, u="http://example.com/a")]
+    got = {r.i: r.n for r in spark.createDataFrame(rows).select(
+        "i", TX.normalize_url("u").alias("n")).collect()}
+    assert got[1] == got[2] == "http://example.com/a"
+
+
+def test_load_merges_txt_hash_and_crlf(tmp_path):
+    """r11 review 2nd pass #2: merge lines whose left symbol is '#'
+    are real merges (code text), only a first-line #version header is
+    a comment; CRLF endings must not corrupt right-hand symbols."""
+    from platypus_ingestion_plugins_spark.functions.bpe import (
+        load_merges_txt,
+    )
+
+    p = tmp_path / "merges.txt"
+    p.write_bytes(b"#version: 0.2\r\n# #\r\n## #\r\na b\r\n")
+    assert load_merges_txt(str(p)) == [("#", "#"), ("##", "#"), ("a", "b")]
+
+
+def test_scrub_crash_recovery_and_legacy_marker(spark, tmp_path):
+    """r11 review 2nd pass #1/#3: a swap crash parks the previous
+    manifest as .manifest_prev-<gen>; scrub auto-restores it and
+    converges. A legacy marker without shard_space is refused loudly
+    instead of guessing a possibly-wrong shuffle width."""
+    import json
+    import os
+
+    from platypus_ingestion_plugins_spark.operators.export import (
+        export_tar_shards,
+        read_tar_shards,
+        scrub_tar_shards,
+    )
+
+    rows = [Row(k=i, text=f"doc {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "k int, text string")
+    out = str(tmp_path / "t")
+    export_tar_shards(df, out, "k", {"text": "txt"}, 4)
+
+    # simulate a crash mid-swap: marker parked, sentinel up
+    os.rename(os.path.join(out, "_manifest.json"),
+              os.path.join(out, ".manifest_prev-deadbeef"))
+    open(os.path.join(out, ".swap_in_progress-deadbeef"), "w").write("x")
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_tar_shards(spark, out, {"txt": "text"})  # refuses: sentinel
+    with _pytest.warns(RuntimeWarning, match="restored"):
+        res = scrub_tar_shards(spark, out, {"text": "txt"}, [0, 1])
+    assert res["n_deleted"] == 2
+    assert read_tar_shards(spark, out, {"txt": "text"}).count() == 38
+    assert not os.path.exists(os.path.join(out, ".manifest_prev-deadbeef"))
+    assert not os.path.exists(
+        os.path.join(out, ".swap_in_progress-deadbeef"))
+
+    # legacy marker without shard_space: refuse, don't guess
+    man = json.load(open(os.path.join(out, "_manifest.json")))
+    del man["shard_space"]
+    json.dump(man, open(os.path.join(out, "_manifest.json"), "w"))
+    with _pytest.raises(ValueError, match="shard_space"):
+        scrub_tar_shards(spark, out, {"text": "txt"}, [5])
