@@ -5121,6 +5121,100 @@ SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
 """
 
 
+def q_pretraining_mix(spark, sf):
+    """The full selection/ordering preset (pipelines.
+    curate_pretraining_mix): Gopher rule gate (>= 6 of 7 here — the
+    synthetic vocabulary legitimately fails the stop-word rule) →
+    6-dp quality floor → per-source 800-token budget filled in
+    quality-priority order → stratified interleave. The oracle
+    replays the ENTIRE chain end to end — rule arithmetic, quality
+    formula, strict-prefix budget window, rank-midpoint lattice —
+    proving the composition (not just the members) is engine-
+    reproducible."""
+    d = _t(spark, sf, "documents")
+    from platypus_ingestion_plugins_spark.pipelines import (
+        curate_pretraining_mix,
+    )
+
+    return curate_pretraining_mix(
+        d, budget_tokens=800, min_quality=0.6, min_gopher_rules=6
+    ).select(
+        "doc_id", "source", "n_tokens", "quality",
+        "interleave_num", "interleave_den",
+    )
+
+
+SQL_PRETRAINING_MIX = f"""
+WITH w AS (
+  SELECT doc_id, source, coalesce(text, '') AS text,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS words,
+         string_split(coalesce(text, ''), chr(10)) AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id, source, text,
+         len(words) AS n_words,
+         greatest(len(words), 1)::DOUBLE AS nw,
+         list_sum(list_transform(words, x -> length(x)))::DOUBLE
+           / greatest(len(words), 1) AS mean_len,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         len(string_split(text, '...')) - 1 AS n_ellipsis,
+         greatest(len(lines), 1)::DOUBLE AS n_lines,
+         len(list_filter(lines,
+             l -> regexp_matches(trim(l), '^([-*•])'))) AS bullet_lines,
+         len(list_filter(lines,
+             l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS ellipsis_lines,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+           AS alpha_words,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+             s -> list_contains(list_transform(words, x -> lower(x)), s)))
+           AS n_stop
+  FROM w),
+gate AS (
+  SELECT doc_id, source, text FROM m
+  WHERE (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)
+      + (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 1 ELSE 0 END)
+      + (CASE WHEN (n_hash + n_ellipsis) / nw <= 0.1 THEN 1 ELSE 0 END)
+      + (CASE WHEN bullet_lines / n_lines < 0.9 THEN 1 ELSE 0 END)
+      + (CASE WHEN ellipsis_lines / n_lines <= 0.3 THEN 1 ELSE 0 END)
+      + (CASE WHEN alpha_words / nw >= 0.8 THEN 1 ELSE 0 END)
+      + (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) >= 6),
+q AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(lower(text), '\\W+'),
+                         x -> x <> '')) AS n_tokens,
+         round(((CASE WHEN length(text) BETWEEN 100 AND 20000
+                      THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN length(text)::DOUBLE / greatest(
+                        len(list_filter(string_split_regex(lower(text),
+                          '\\W+'), x -> x <> '')), 1) >= 3.0
+                      AND length(text)::DOUBLE / greatest(
+                        len(list_filter(string_split_regex(lower(text),
+                          '\\W+'), x -> x <> '')), 1) <= 12.0
+                      THEN 1.0 ELSE 0.0 END)
+              + length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                / greatest(length(text), 1)) / 3.0, 6) AS quality
+  FROM gate),
+sel AS (
+  SELECT doc_id, source, n_tokens, quality FROM (
+    SELECT doc_id, source, n_tokens, quality,
+           sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY quality DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM q WHERE quality >= 0.6)
+  WHERE cum <= 800),
+h AS (
+  SELECT doc_id, source, n_tokens, quality,
+         {_UNIT_SQL.format(salt="interleave", key="doc_id")} AS u
+  FROM sel)
+SELECT doc_id, source, n_tokens, quality,
+       2 * row_number() OVER (PARTITION BY source ORDER BY u, doc_id) - 1
+         AS interleave_num,
+       2 * count(*) OVER (PARTITION BY source) AS interleave_den
+FROM h
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -5135,7 +5229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the driver caps each round's oracle sweep at 50 entries, so dict
     # order IS verification priority — r11 rotation, VERDICT r10 task
     # #1, dict comments cross-checked against CORRECTNESS_r08/r09/r10):
-    #   0. NEW this round (never driver-verified): corpus_overlap,
+    #   0. NEW this round (never driver-verified): pretraining_mix,
+    #      corpus_overlap,
     #      tar_scrub, corpus_profile,
     #      bpe_token_count (rows-only by design), quality_classifier,
     #      url_dedup,
@@ -5152,10 +5247,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      driver green is r8.
     #   2. the 49 entries last green in CORRECTNESS_r09 (the r9 sweep
     #      minus fuzzy_join, which r10 re-verified under its new
-    #      leading-typo oracle), in r9 file order. Sections 0-2 = 76,
-    #      so the 50-cap verifies section 0+1 and the first 23 of the
-    #      r9 cohort; the LAST TWENTY-SIX r9 entries
-    #      (sessionize, sink_array_json,
+    #      leading-typo oracle), in r9 file order. Sections 0-2 = 77,
+    #      so the 50-cap verifies section 0+1 and the first 22 of the
+    #      r9 cohort; the LAST TWENTY-SEVEN r9 entries
+    #      (range_join_bands, sessionize, sink_array_json,
     #      sink_typed_strings, stratified_sample, text_language_id,
     #      text_quality_filter, text_stats, match_all_topk,
     #      match_all_offset, term, term_in_set, fulltext_match,
@@ -5164,7 +5259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      multivalued_contains, pipeline_clean_corpus, line_dedup,
     #      top_terms_per_group, hashed_bow_embedding,
     #      stream_line_dedup, bow_knn, quality_autocalibrated_filter)
-    #      are DEFERRED and must lead r12. All twenty-six were
+    #      are DEFERRED and must lead r12. All twenty-seven were
     #      re-verified green by targeted check_oracle runs this round
     #      (SURVEY §5), so none enters r12 with an unchecked
     #      regression window.
@@ -5178,9 +5273,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      (freshest last). semdedup_keep gained the max_cluster_size
     #      param this round with default None = unchanged semantics.
     return {
-        # 0. NEW this round — twenty entries, each displacing one
-        # r9-tail entry below the cap (first 23 of the r9 cohort make
+        # 0. NEW this round — twenty-one entries, each displacing one
+        # r9-tail entry below the cap (first 22 of the r9 cohort make
         # the sweep)
+        "pretraining_mix": q_pretraining_mix,
         "corpus_overlap": q_corpus_overlap,
         "tar_scrub": q_tar_scrub,
         "corpus_profile": q_corpus_profile,
@@ -5232,9 +5328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_resize": q_multimodal_resize,
         "pivot_event_counts": q_pivot_event_counts,
-        "range_join_bands": q_range_join,
-        # --- the r11 50-cap lands here (20 new + 7 r8 + first 23 of
+        # --- the r11 50-cap lands here (21 new + 7 r8 + first 22 of
         # --- r9); everything below is deferred and must LEAD r12
+        "range_join_bands": q_range_join,
         "sessionize": q_sessionize,
         "sink_array_json": q_sink_array_json,
         "sink_typed_strings": q_sink_typed_strings,
@@ -5418,6 +5514,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
         "dsir_select": SQL_DSIR_SELECT,
         "gopher_quality": SQL_GOPHER_QUALITY,
+        "pretraining_mix": SQL_PRETRAINING_MIX,
         "corpus_overlap": SQL_CORPUS_OVERLAP,
         "tar_scrub": SQL_TAR_SCRUB,
         "corpus_profile": SQL_CORPUS_PROFILE,

@@ -111,3 +111,71 @@ def clean_corpus(
             cleaned, bench, text_col, id_col, n=decontam_n
         )
     return cleaned
+
+
+def curate_pretraining_mix(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    min_quality: float = 0.6,
+    min_gopher_rules: int = 7,
+    salt: str = "interleave",
+) -> DataFrame:
+    """The SELECTION/ORDERING chain — ``clean_corpus`` is hygiene
+    (dedup + decontam); this is what comes after: turn a clean corpus
+    into an ordered, budgeted, mixture-balanced training set.
+
+    1. rule gate: keep docs passing >= ``min_gopher_rules`` of the
+       seven Gopher heuristics (7 = strict conjunction; lower it for
+       corpora whose vocabulary legitimately fails a rule — e.g. the
+       stop-word rule on non-English or domain-specific text);
+    2. quality floor: ``quality_score`` rounded to 6 dp (the ranking
+       convention) must clear ``min_quality``;
+    3. budget fill: ``select_token_budget`` PER DOMAIN, priority =
+       the rounded quality — each domain's budget goes to its best
+       documents first, strict-prefix contract;
+    4. order: ``stratified_interleave`` on the domain, so any prefix
+       of the final order carries every domain proportionally.
+
+    Output: (id, domain, n_tokens, quality, interleave_num,
+    interleave_den, interleave_pos) — feed it to ``shuffle_shards``-
+    family exporters sorted by (interleave_pos, domain, id).
+
+    Every stage is an independently oracle-verified primitive; the
+    composition adds one join (the rule flags), one window per stage
+    it already owns, and NOTHING driver-side. Like the members, the
+    whole chain is a pure function of (data, salt) — the oracle
+    replays it end to end.
+    """
+    from platypus_ingestion_plugins_spark.functions.sampling import (
+        select_token_budget,
+        stratified_interleave,
+    )
+    from platypus_ingestion_plugins_spark.functions.text import (
+        gopher_quality_flags,
+        quality_score,
+        token_count,
+    )
+
+    flags = gopher_quality_flags(docs, text_col, id_col)
+    rules = [c for c in flags.columns if c.startswith("r_")]
+    n_pass = sum(F.col(c).cast("int") for c in rules)
+    gated_ids = flags.filter(n_pass >= min_gopher_rules).select(id_col)
+    base = (
+        docs.join(gated_ids, id_col, "left_semi")
+        .withColumn("quality", F.round(quality_score(text_col), 6))
+        .filter(F.col("quality") >= min_quality)
+        .withColumn("n_tokens", token_count(text_col))
+        .select(id_col, domain_col, "n_tokens", "quality")
+    )
+    sel = select_token_budget(
+        base,
+        id_col,
+        "n_tokens",
+        budget_tokens,
+        by=domain_col,
+        priority_col="quality",
+    )
+    return stratified_interleave(sel, id_col, domain_col, salt)

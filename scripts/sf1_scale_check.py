@@ -42,6 +42,13 @@ COHORT = [
     # and DSIR (two bucket fits + broadcast scoring over the corpus)
     "exact_substring_dedup",
     "dsir_select",
+    # r11 final additions: the bigram LM (two count fits + a
+    # positioned-bigram explode scoring pass), the trained classifier
+    # (feature explode, two gradient iterations, broadcast scoring),
+    # and the paragraph-unit scrub (explode + df count + reassembly)
+    "bigram_logprob",
+    "quality_classifier",
+    "paragraph_dedup",
 ]
 
 

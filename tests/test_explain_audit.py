@@ -79,6 +79,7 @@ HEADLINE = [
     # test_classifier_scoring_plan below, built without training.
     "corpus_profile",
     "corpus_overlap",
+    "pretraining_mix",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.

@@ -3836,3 +3836,66 @@ def test_scrub_crash_recovery_and_legacy_marker(spark, tmp_path):
     json.dump(man, open(os.path.join(out, "_manifest.json"), "w"))
     with _pytest.raises(ValueError, match="shard_space"):
         scrub_tar_shards(spark, out, {"text": "txt"}, [5])
+
+
+def test_curate_pretraining_mix_invariants(spark):
+    """NEW r11: the selection/ordering preset. Structural invariants:
+    the rule gate and quality floor hold on every selected row, each
+    domain's token budget is a strict prefix (never exceeded, and the
+    next-best excluded doc would not have fit), and the interleave
+    columns form the exact rank-midpoint lattice per domain."""
+    from platypus_ingestion_plugins_spark.pipelines import (
+        curate_pretraining_mix,
+    )
+
+    base = ("the quick brown fox and that lazy dog have been with us of "
+            "late to be honest and the story goes on with more of the "
+            "same words that have to fill space ")  # >= 50 words, stops
+    rows = []
+    for i in range(40):
+        dom = f"d{i % 2}"
+        rows.append(Row(doc_id=i, source=dom,
+                        text=base + ("extra filler words here " * (i % 5))))
+    rows.append(Row(doc_id=99, source="d0", text="tiny"))  # fails gate
+    df = spark.createDataFrame(rows)
+    out = curate_pretraining_mix(
+        df, budget_tokens=600, min_quality=0.5, min_gopher_rules=6
+    ).collect()
+    assert 99 not in {r.doc_id for r in out}
+    assert all(r.quality >= 0.5 for r in out)
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.source, []).append(r)
+    full = {r.doc_id: r for r in out}
+    for dom, rs in by_dom.items():
+        assert sum(r.n_tokens for r in rs) <= 600
+        n = len(rs)
+        assert sorted(r.interleave_num for r in rs) == list(range(1, 2 * n, 2))
+        assert {r.interleave_den for r in rs} == {2 * n}
+    # prefix contract: among gated+quality rows of a domain, selection
+    # is the top-quality prefix — every selected row's (quality, -id)
+    # dominates every excluded one's is too strong with ties; check
+    # budget-exceeded exclusion instead: adding the best excluded row
+    # would break the budget
+    from platypus_ingestion_plugins_spark.functions.text import (
+        gopher_quality_flags, quality_score, token_count)
+    flags = {r.doc_id for r in gopher_quality_flags(df, "text", "doc_id")
+             .withColumn("np", sum(F.col(c).cast("int")
+                                   for c in ["r_word_count", "r_mean_word_len",
+                                             "r_symbol_ratio", "r_bullet_lines",
+                                             "r_ellipsis_lines", "r_alpha_words",
+                                             "r_stopwords"]))
+             .filter("np >= 6").collect()}
+    cand = {r.doc_id: r for r in df.join(
+        df.sparkSession.createDataFrame([(i,) for i in flags], "doc_id long"),
+        "doc_id", "left_semi").select(
+        "doc_id", "source", F.round(quality_score("text"), 6).alias("q"),
+        token_count("text").alias("nt")).filter("q >= 0.5").collect()}
+    for dom, rs in by_dom.items():
+        used = sum(r.n_tokens for r in rs)
+        sel_ids = {r.doc_id for r in rs}
+        excl = [c for c in cand.values() if c.source == dom
+                and c.doc_id not in sel_ids]
+        if excl:
+            best = max(excl, key=lambda c: (c.q, -c.doc_id))
+            assert used + best.nt > 600, (dom, used, best)
