@@ -39,10 +39,17 @@ def salted_unit_hash(col: Column | str, salt: int) -> Column:
     return (h + F.lit(1.0)) / F.lit(_HASH_SPACE)
 
 
-def distinct_sketch_mins(col: Column | str, m: int = 64) -> list[Column]:
+def distinct_sketch_mins(
+    col: Column | str, m: int = 64, prefix: str = "__kmin"
+) -> list[Column]:
     """The m per-function minimum aggregates (the sketch's state).
-    Merge two sketches by elementwise LEAST."""
-    return [F.min(salted_unit_hash(col, i)).alias(f"__kmin{i}") for i in range(m)]
+    Merge two sketches by elementwise LEAST. ``prefix`` names the
+    state columns (two sketches joined side by side need distinct
+    names — sketch_overlap_estimate)."""
+    return [
+        F.min(salted_unit_hash(col, i)).alias(f"{prefix}{i}")
+        for i in range(m)
+    ]
 
 
 def distinct_estimate(col: Column | str, m: int = 64) -> Column:
@@ -79,12 +86,7 @@ def sketch_overlap_estimate(
     is a 1x1 crossJoin of the two m-column states.
     """
     sa = df_a.agg(*distinct_sketch_mins(col, m))
-    sb = df_b.select(F.col(col)).agg(
-        *[
-            F.min(salted_unit_hash(col, i)).alias(f"__bmin{i}")
-            for i in range(m)
-        ]
-    )
+    sb = df_b.agg(*distinct_sketch_mins(col, m, prefix="__bmin"))
     both = sa.crossJoin(F.broadcast(sb))
     # an EMPTY side aggregates every min to NULL; coalesce to the hash
     # ceiling 1.0, which estimates exactly 0 distinct (m/m - 1) — the

@@ -485,6 +485,19 @@ def gopher_quality_flags(df, text_col: str, id_col: str):
     SQL oracle reproduces each flag bit-for-bit. Empty documents fail
     r_word_count and so fail overall (0 words; ratios guard their
     denominators)."""
+    flags = gopher_rule_exprs(text_col)
+    out = df.select(F.col(id_col), *[v.alias(k) for k, v in flags.items()])
+    overall = None
+    for k in flags:
+        overall = F.col(k) if overall is None else (overall & F.col(k))
+    return out.withColumn("gopher_pass", overall)
+
+
+def gopher_rule_exprs(text_col: str) -> dict:
+    """The seven Gopher rule COLUMN EXPRESSIONS, name -> boolean —
+    the composable form: a pipeline that gates on k-of-7 inline
+    (pipelines.curate_pretraining_mix) filters map-only instead of
+    semi-joining a corpus-sized flag frame back onto the corpus."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     words = F.filter(F.split(c, r"\s+"), lambda w: w != F.lit(""))
     n_words = F.size(words)
@@ -506,7 +519,7 @@ def gopher_quality_flags(df, text_col: str, id_col: str):
     n_stop = F.size(
         F.array_intersect(F.transform(words, lambda w: F.lower(w)), stops)
     )
-    flags = {
+    return {
         "r_word_count": (n_words >= 50) & (n_words <= 100_000),
         "r_mean_word_len": (mean_len >= 3.0) & (mean_len <= 10.0),
         "r_symbol_ratio": (n_hash + n_ellipsis).cast("double") / nw <= 0.1,
@@ -515,8 +528,3 @@ def gopher_quality_flags(df, text_col: str, id_col: str):
         "r_alpha_words": alpha_words.cast("double") / nw >= 0.8,
         "r_stopwords": n_stop >= 2,
     }
-    out = df.select(F.col(id_col), *[v.alias(k) for k, v in flags.items()])
-    overall = None
-    for k in flags:
-        overall = F.col(k) if overall is None else (overall & F.col(k))
-    return out.withColumn("gopher_pass", overall)

@@ -648,6 +648,14 @@ def read_tar_shards(
     import pyarrow.fs as pafs
 
     fs, inner = _tar_fs(path)
+    cols = dict(content_cols)
+    fields = ", ".join(
+        [f"{key_name} string"]
+        + [
+            f"{c} {'binary' if c in binary_cols else 'string'}"
+            for c in cols.values()
+        ]
+    )
     listing = list(fs.get_file_info(pafs.FileSelector(inner, recursive=False)))
     sentinels = [
         i.path
@@ -691,22 +699,7 @@ def read_tar_shards(
             i.path for i in listing if i.is_file and i.path.endswith(".tar")
         )
     if not tars:
-        fields0 = ", ".join(
-            [f"{key_name} string"]
-            + [
-                f"{c} {'binary' if c in binary_cols else 'string'}"
-                for c in dict(content_cols).values()
-            ]
-        )
-        return spark.createDataFrame([], fields0)
-    cols = dict(content_cols)
-    fields = ", ".join(
-        [f"{key_name} string"]
-        + [
-            f"{c} {'binary' if c in binary_cols else 'string'}"
-            for c in cols.values()
-        ]
-    )
+        return spark.createDataFrame([], fields)
     paths_df = spark.createDataFrame([(p,) for p in tars], "p string").repartition(
         max(len(tars), 1)
     )
@@ -788,6 +781,21 @@ def scrub_tar_shards(
     import pyarrow.fs as pafs
     from pyspark.sql import functions as F
 
+    for i in ids:
+        # str(True) == 'True' but Spark casts booleans to 'true';
+        # doubles render '1.0E-7' vs Python's '1e-07' — any such
+        # drift silently deletes NOTHING, the worst failure mode a
+        # forget-me path can have (r11 review 3rd pass #2). int/str
+        # render identically in both engines; everything else is
+        # refused loudly — and BEFORE any marker/recovery work, so a
+        # bad argument can never be mistaken for directory state.
+        if isinstance(i, bool) or not isinstance(i, (int, str)):
+            raise TypeError(
+                f"scrub ids must be int or str (got {type(i).__name__}"
+                f" for {i!r}): other types stringify differently in "
+                "Python and Spark, so the deletion would silently "
+                "miss — pass the key's tar-basename string form"
+            )
     fs, inner = _tar_fs(path)
     marker_path = f"{inner}/_manifest.json"
     if fs.get_file_info(marker_path).type != pafs.FileType.File:
@@ -806,18 +814,63 @@ def scrub_tar_shards(
             and i.path.rsplit("/", 1)[-1].startswith(".manifest_prev-")
         ]
         if len(parks) == 1:
+            import hashlib
             import warnings
 
             gen = parks[0].rsplit("/", 1)[-1][len(".manifest_prev-"):]
+            # VERIFY before adopting (r11 review 3rd pass #1): the
+            # park may come from a crashed RE-EXPORT, not a crashed
+            # scrub — then some shards already hold the next
+            # generation's bytes and certifying the old manifest over
+            # them would commit a silently-mixed corpus. The shards
+            # THIS deletion will rewrite anyway may legitimately
+            # mismatch (a crashed identical scrub); any OTHER
+            # mismatch aborts. Recovery-path-only cost: one sha pass
+            # over the export.
+            with fs.open_input_stream(parks[0]) as fh:
+                parked = _json.loads(fh.read().decode("utf-8"))
+            to_rewrite = set()
+            if "shard_space" in parked:
+                sp = int(parked["shard_space"])
+                tmp_ids = spark.createDataFrame(
+                    [(str(i),) for i in ids], "__k string"
+                )
+                to_rewrite = {
+                    r.shard
+                    for r in shuffle_assign(tmp_ids, "__k", sp, salt)
+                    .select("shard")
+                    .distinct()
+                    .collect()
+                }
+            for e in parked.get("shards", []):
+                if int(e["shard"]) in to_rewrite:
+                    continue
+                fpath = f"{inner}/{e['name']}"
+                h = hashlib.sha256()
+                with fs.open_input_stream(fpath) as fh:
+                    while True:
+                        b = fh.read(1 << 20)
+                        if not b:
+                            break
+                        h.update(bytes(b))
+                if h.hexdigest() != e["sha256"]:
+                    raise RuntimeError(
+                        f"{path}: crash-parked manifest (gen {gen}) "
+                        f"does not match disk for {e['name']} — the "
+                        "interrupted writer was a re-export, not a "
+                        "scrub, and the directory mixes generations; "
+                        "rerun that export to converge before "
+                        "scrubbing"
+                    )
             fs.move(parks[0], marker_path)
             sent = f"{inner}/.swap_in_progress-{gen}"
             if fs.get_file_info(sent).type == pafs.FileType.File:
                 fs.delete_file(sent)
             warnings.warn(
                 f"restored {path}/_manifest.json from a crash-parked "
-                "previous generation; touched shards may already hold "
-                "post-scrub bytes (sha mismatch vs this manifest) — "
-                "this scrub re-converges them",
+                "previous generation (disk verified for every shard "
+                "outside this deletion's own rewrite set); this scrub "
+                "re-converges the rest",
                 RuntimeWarning,
                 stacklevel=2,
             )
@@ -858,25 +911,33 @@ def scrub_tar_shards(
     back = read_tar_shards(
         spark, path, read_map, key_name="__k",
         binary_cols=binary_cols, shards=touched,
-    )
-    kept = back.filter(~F.col("__k").isin(id_strs))
-    # exact sample count of the touched shards comes free from the
-    # committed manifest — no second read of the tars just to count
-    # (r11 review 2nd pass #8)
-    n_before = sum(int(entries[s]["n_samples"]) for s in touched)
-    preserve = {
-        e["name"]: e for s, e in entries.items() if s not in touched
-    }
-    new_rows = export_tar_shards(
-        kept, path, "__k", dict(content_cols), shard_space, salt,
-        _preserve=preserve,
-    )
+    ).persist()
+    try:
+        # gate on ACTUAL hits before rewriting: a stale deletion list
+        # (ids already scrubbed, or never present) used to re-read,
+        # re-hash and re-swap the hash-target shards on every run —
+        # O(shard) I/O and a needless crash window per phantom id
+        # (r11 review 3rd pass #4). The persist means the hit count
+        # and the rewrite share one physical read.
+        n_hits = back.filter(F.col("__k").isin(id_strs)).count()
+        if n_hits == 0:
+            return {"affected_shards": touched, "rewritten": 0,
+                    "dropped_shards": [], "n_deleted": 0}
+        kept = back.filter(~F.col("__k").isin(id_strs))
+        preserve = {
+            e["name"]: e for s, e in entries.items() if s not in touched
+        }
+        new_rows = export_tar_shards(
+            kept, path, "__k", dict(content_cols), shard_space, salt,
+            _preserve=preserve,
+        )
+    finally:
+        back.unpersist()
     rewritten = {int(m.shard) for m in new_rows}
     dropped = [s for s in touched if s not in rewritten]
-    n_after = sum(int(m.n_samples) for m in new_rows)
     return {
         "affected_shards": touched,
         "rewritten": len(rewritten),
         "dropped_shards": dropped,
-        "n_deleted": int(n_before - n_after),
+        "n_deleted": int(n_hits),
     }

@@ -154,17 +154,20 @@ def curate_pretraining_mix(
         stratified_interleave,
     )
     from platypus_ingestion_plugins_spark.functions.text import (
-        gopher_quality_flags,
+        gopher_rule_exprs,
         quality_score,
         token_count,
     )
 
-    flags = gopher_quality_flags(docs, text_col, id_col)
-    rules = [c for c in flags.columns if c.startswith("r_")]
-    n_pass = sum(F.col(c).cast("int") for c in rules)
-    gated_ids = flags.filter(n_pass >= min_gopher_rules).select(id_col)
+    # rule gate INLINE on the corpus (r11 review 3rd pass #3): the
+    # rules are pure per-row expressions, so gating is a map-only
+    # filter riding the scan — the flag-frame + semi-join form paid a
+    # corpus-sized hash exchange for a projection
+    n_pass = sum(
+        v.cast("int") for v in gopher_rule_exprs(text_col).values()
+    )
     base = (
-        docs.join(gated_ids, id_col, "left_semi")
+        docs.filter(n_pass >= min_gopher_rules)
         .withColumn("quality", F.round(quality_score(text_col), 6))
         .filter(F.col("quality") >= min_quality)
         .withColumn("n_tokens", token_count(text_col))

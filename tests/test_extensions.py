@@ -3726,9 +3726,13 @@ def test_scrub_tar_shards_partial_rewrite(spark, tmp_path):
     assert man2["shard_space"] == 6  # shuffle width survives drops
     assert read_tar_shards(spark, out, {"txt": "text"}).count() == 60 - len(
         victims) - len(rest)
-    # ids that hash to untouched shards: no-op, nothing rewritten
+    # phantom ids (never exported, or already scrubbed): the hit gate
+    # must SKIP the rewrite entirely — no re-hash, no swap window
+    # (r11 review 3rd pass #4)
     res3 = scrub_tar_shards(spark, out, {"text": "txt"}, ["nonexistent"])
-    assert res3["n_deleted"] == 0
+    assert res3["n_deleted"] == 0 and res3["rewritten"] == 0
+    man3 = json.load(open(os.path.join(out, "_manifest.json")))
+    assert man3["generation"] == man2["generation"]  # untouched commit
 
 
 def test_sketch_overlap_estimate(spark):
@@ -3899,3 +3903,43 @@ def test_curate_pretraining_mix_invariants(spark):
         if excl:
             best = max(excl, key=lambda c: (c.q, -c.doc_id))
             assert used + best.nt > 600, (dom, used, best)
+
+
+def test_scrub_refuses_crash_park_from_foreign_reexport(spark, tmp_path):
+    """r11 review 3rd pass #1: a crash-parked manifest whose shards no
+    longer match disk (the interrupted writer was a RE-EXPORT, not a
+    scrub) must be refused — auto-restoring it would certify a
+    mixed-generation corpus. A phantom-id scrub must also skip the
+    rewrite entirely (hit gate), and non-int/str ids are refused."""
+    import json
+    import os
+
+    from platypus_ingestion_plugins_spark.operators.export import (
+        export_tar_shards,
+        scrub_tar_shards,
+        shuffle_assign,
+    )
+
+    rows = [Row(k=i, text=f"doc {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "k int, text string")
+    out = str(tmp_path / "t")
+    export_tar_shards(df, out, "k", {"text": "txt"}, 4)
+    man = json.load(open(os.path.join(out, "_manifest.json")))
+    os.rename(os.path.join(out, "_manifest.json"),
+              os.path.join(out, ".manifest_prev-feed99"))
+    open(os.path.join(out, ".swap_in_progress-feed99"), "w").write("x")
+    victims = ["0", "1"]
+    asg = {r["__k"]: r.shard for r in shuffle_assign(
+        spark.createDataFrame([(v,) for v in victims], "__k string"),
+        "__k", man["shard_space"]).collect()}
+    other = next(e for e in man["shards"]
+                 if e["shard"] not in set(asg.values()))
+    with open(os.path.join(out, other["name"]), "ab") as f:
+        f.write(b"CORRUPTION")  # simulate a foreign generation's bytes
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="mixes generations"):
+        scrub_tar_shards(spark, out, {"text": "txt"}, victims)
+
+    with _pytest.raises(TypeError, match="int or str"):
+        scrub_tar_shards(spark, out, {"text": "txt"}, [1.5])
