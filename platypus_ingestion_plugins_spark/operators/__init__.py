@@ -21,8 +21,12 @@ from platypus_ingestion_plugins_spark.operators.export import (  # noqa: F401
     materialize_packs,
     export_tar_shards,
     read_tar_shards,
+    scrub_tar_shards,
     export_jsonl_shards,
     read_jsonl_shards,
+)
+from platypus_ingestion_plugins_spark.operators.profile import (  # noqa: F401
+    corpus_profile,
 )
 from platypus_ingestion_plugins_spark.operators.resample import (  # noqa: F401
     resample_last_ffill,
