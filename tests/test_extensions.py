@@ -3943,3 +3943,72 @@ def test_scrub_refuses_crash_park_from_foreign_reexport(spark, tmp_path):
 
     with _pytest.raises(TypeError, match="int or str"):
         scrub_tar_shards(spark, out, {"text": "txt"}, [1.5])
+
+
+def test_scrub_tar_shards_property(spark, tmp_path):
+    """Property (r11): for arbitrary deletion subsets applied in
+    arbitrary sequence, the export converges to exactly corpus MINUS
+    the union of deletions; untouched shards' manifest shas never
+    change; shard_space survives; and the manifest's shard list
+    always matches the directory."""
+    import hashlib
+    import json
+    import os
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from platypus_ingestion_plugins_spark.operators.export import (
+        export_tar_shards,
+        read_tar_shards,
+        scrub_tar_shards,
+    )
+
+    N, SHARDS = 30, 5
+    rows = [Row(k=i, text=f"doc body {i}") for i in range(N)]
+    df = spark.createDataFrame(rows, "k int, text string")
+
+    @settings(
+        max_examples=5, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        waves=st.lists(
+            st.sets(st.integers(0, N + 5), max_size=6),  # incl. phantoms
+            min_size=1, max_size=3,
+        )
+    )
+    def check(waves):
+        out = str(tmp_path / f"t{abs(hash(tuple(map(frozenset, waves))))}")
+        export_tar_shards(df, out, "k", {"text": "txt"}, SHARDS)
+        gone: set[int] = set()
+        for wave in waves:
+            man0 = json.load(open(os.path.join(out, "_manifest.json")))
+            sha0 = {e["shard"]: e["sha256"] for e in man0["shards"]}
+            res = scrub_tar_shards(
+                spark, out, {"text": "txt"}, sorted(wave)
+            )
+            real = {w for w in wave if w < N} - gone
+            assert res["n_deleted"] == len(real), (wave, res)
+            gone |= real
+            man1 = json.load(open(os.path.join(out, "_manifest.json")))
+            assert man1["shard_space"] == SHARDS
+            names_on_disk = {
+                n for n in os.listdir(out)
+                if n.startswith("shard-") and n.endswith(".tar")
+            }
+            assert {e["name"] for e in man1["shards"]} == names_on_disk
+            sha1 = {e["shard"]: e["sha256"] for e in man1["shards"]}
+            for s, h in sha1.items():
+                p = os.path.join(out, f"shard-{s:05d}.tar")
+                assert hashlib.sha256(
+                    open(p, "rb").read()).hexdigest() == h
+            for s in set(sha0) & set(sha1):
+                if s not in res["affected_shards"]:
+                    assert sha1[s] == sha0[s]
+        back = read_tar_shards(spark, out, {"txt": "text"}, key_name="k")
+        assert {r.k for r in back.collect()} == {
+            str(i) for i in range(N) if i not in gone
+        }
+
+    check()
