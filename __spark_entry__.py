@@ -5215,6 +5215,115 @@ FROM h
 """
 
 
+def q_stream_profile(spark, sf):
+    """LIVE corpus datasheet on an ingest stream (operators/profile.
+    profile_merge_into): documents arrive in two drops through a real
+    checkpointed foreachBatch; per-source counts accumulate
+    ALGEBRAICALLY (exact — the oracle's sums), length quantiles come
+    from the merged bottom-k hash sample, distinct-text/dup-ratio
+    from the per-source KMV state — all three under the shared
+    epoch-pinned commit, all deterministic, so the oracle reproduces
+    every number including the estimates."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.operators.profile import (
+        profile_merge_into,
+        profile_read,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    lo, hi = _median_split(d, "doc_id")
+    work = _stream_scratch("stream_prof_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src = os.path.join(work, "src")
+        ckpt = os.path.join(work, "ckpt")
+        state = os.path.join(work, "profile")
+        lo.coalesce(4).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def run_available():
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 100)
+                .parquet(src)
+                .writeStream.foreachBatch(
+                    lambda b, bid: profile_merge_into(
+                        b, "text", "doc_id", "source", state,
+                        k=256, batch_id=bid,
+                    )
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_available()
+        hi.coalesce(4).write.mode("append").parquet(src)
+        run_available()
+        out = profile_read(spark, state, "source").select(
+            "source", "n_docs", "n_tokens", "n_chars",
+            "chars_p5", "chars_p9", "chars_p99",
+            "est_distinct_texts", "est_dup_ratio",
+        )
+        # materialize before the scratch dir is scheduled for cleanup
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _sql_stream_profile(m: int = 64, k: int = 256) -> str:
+    mins = ", ".join(
+        "MIN((CAST(('0x' || substr(md5('{i}|' || sha), 1, 15)) AS BIGINT)"
+        " + 1.0) / 1152921504606846976.0) AS k{i}".format(i=i)
+        for i in range(m)
+    )
+    total = " + ".join(f"k{i}" for i in range(m))
+    return f"""
+WITH b AS (
+  SELECT source, coalesce(text, '') AS t, doc_id,
+         length(coalesce(text, '')) AS l,
+         len(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '\\W+'), x -> x <> '')) AS tok,
+         sha256(coalesce(text, '')) AS sha,
+         {_UNIT_SQL.format(salt="profile", key="doc_id")} AS u
+  FROM documents),
+counts AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(tok) AS BIGINT) AS n_tokens,
+         CAST(sum(l) AS BIGINT) AS n_chars
+  FROM b GROUP BY source),
+smp AS (
+  SELECT source, l FROM (
+    SELECT source, l,
+           row_number() OVER (PARTITION BY source ORDER BY u, l) AS rn
+    FROM b) WHERE rn <= {k}),
+qs AS (
+  SELECT source,
+         round(quantile_cont(l, 0.5), 6) AS chars_p5,
+         round(quantile_cont(l, 0.9), 6) AS chars_p9,
+         round(quantile_cont(l, 0.99), 6) AS chars_p99
+  FROM smp GROUP BY source),
+dk AS (SELECT source, {mins} FROM b GROUP BY source),
+dd AS (
+  SELECT source, round({m}.0 / ({total}) - 1.0, 4) AS est_distinct_texts
+  FROM dk)
+SELECT c.source, c.n_docs, c.n_tokens, c.n_chars,
+       q.chars_p5, q.chars_p9, q.chars_p99,
+       d.est_distinct_texts,
+       round(greatest((c.n_docs - d.est_distinct_texts)
+                      / c.n_docs::DOUBLE, 0.0), 4) AS est_dup_ratio
+FROM counts c JOIN qs q USING (source) JOIN dd d USING (source)
+"""
+
+
+SQL_STREAM_PROFILE = _sql_stream_profile(64, 256)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -5229,7 +5338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the driver caps each round's oracle sweep at 50 entries, so dict
     # order IS verification priority — r11 rotation, VERDICT r10 task
     # #1, dict comments cross-checked against CORRECTNESS_r08/r09/r10):
-    #   0. NEW this round (never driver-verified): pretraining_mix,
+    #   0. NEW this round (never driver-verified): stream_profile,
+    #      pretraining_mix,
     #      corpus_overlap,
     #      tar_scrub, corpus_profile,
     #      bpe_token_count (rows-only by design), quality_classifier,
@@ -5247,10 +5357,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      driver green is r8.
     #   2. the 49 entries last green in CORRECTNESS_r09 (the r9 sweep
     #      minus fuzzy_join, which r10 re-verified under its new
-    #      leading-typo oracle), in r9 file order. Sections 0-2 = 77,
-    #      so the 50-cap verifies section 0+1 and the first 22 of the
-    #      r9 cohort; the LAST TWENTY-SEVEN r9 entries
-    #      (range_join_bands, sessionize, sink_array_json,
+    #      leading-typo oracle), in r9 file order. Sections 0-2 = 78,
+    #      so the 50-cap verifies section 0+1 and the first 21 of the
+    #      r9 cohort; the LAST TWENTY-EIGHT r9 entries
+    #      (pivot_event_counts,
+    #      range_join_bands, sessionize, sink_array_json,
     #      sink_typed_strings, stratified_sample, text_language_id,
     #      text_quality_filter, text_stats, match_all_topk,
     #      match_all_offset, term, term_in_set, fulltext_match,
@@ -5259,7 +5370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      multivalued_contains, pipeline_clean_corpus, line_dedup,
     #      top_terms_per_group, hashed_bow_embedding,
     #      stream_line_dedup, bow_knn, quality_autocalibrated_filter)
-    #      are DEFERRED and must lead r12. All twenty-seven were
+    #      are DEFERRED and must lead r12. All twenty-eight were
     #      re-verified green by targeted check_oracle runs this round
     #      (SURVEY §5), so none enters r12 with an unchecked
     #      regression window.
@@ -5273,9 +5384,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      (freshest last). semdedup_keep gained the max_cluster_size
     #      param this round with default None = unchanged semantics.
     return {
-        # 0. NEW this round — twenty-one entries, each displacing one
-        # r9-tail entry below the cap (first 22 of the r9 cohort make
+        # 0. NEW this round — twenty-two entries, each displacing one
+        # r9-tail entry below the cap (first 21 of the r9 cohort make
         # the sweep)
+        "stream_profile": q_stream_profile,
         "pretraining_mix": q_pretraining_mix,
         "corpus_overlap": q_corpus_overlap,
         "tar_scrub": q_tar_scrub,
@@ -5327,9 +5439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_resize": q_multimodal_resize,
-        "pivot_event_counts": q_pivot_event_counts,
-        # --- the r11 50-cap lands here (21 new + 7 r8 + first 22 of
+        # --- the r11 50-cap lands here (22 new + 7 r8 + first 21 of
         # --- r9); everything below is deferred and must LEAD r12
+        "pivot_event_counts": q_pivot_event_counts,
         "range_join_bands": q_range_join,
         "sessionize": q_sessionize,
         "sink_array_json": q_sink_array_json,
@@ -5514,6 +5626,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
         "dsir_select": SQL_DSIR_SELECT,
         "gopher_quality": SQL_GOPHER_QUALITY,
+        "stream_profile": SQL_STREAM_PROFILE,
         "pretraining_mix": SQL_PRETRAINING_MIX,
         "corpus_overlap": SQL_CORPUS_OVERLAP,
         "tar_scrub": SQL_TAR_SCRUB,

@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 
 from platypus_ingestion_plugins_spark.functions.text import token_count
 
+_M_DISTINCT = 64  # KMV width of the streaming distinct-text state
+
 
 def corpus_profile(
     df: DataFrame,
@@ -58,5 +60,161 @@ def corpus_profile(
             (F.col("n_docs") - F.col("n_distinct_texts"))
             / F.col("n_docs").cast("double"),
             6,
+        ),
+    )
+
+
+def profile_merge_into(
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    by: str,
+    path: str,
+    k: int = 512,
+    batch_id: int | None = None,
+) -> None:
+    """``foreachBatch`` body maintaining a LIVE corpus datasheet on an
+    ingest stream — the streaming twin of ``corpus_profile``, built
+    from three mergeable states under the shared epoch-pinned
+    crash-safe sketch commit (``_merge_sketch_into`` — at-least-once
+    replay folds to exactly-once):
+
+    - ``{path}/counts``: per-slice (n_docs, n_tokens, n_chars) — sums
+      are algebraic, so the accumulated row EQUALS the batch numbers
+      over everything ingested (exact);
+    - ``{path}/sample``: per-slice bottom-``k`` hash sample of
+      lengths (membership depends only on each row's own hash, so the
+      merged sample equals the one-shot bottom-k) — quantile
+      ESTIMATES, error ~1/sqrt(k);
+    - ``{path}/distinct``: per-slice KMV min-state (elementwise-LEAST
+      merge law) — distinct-text/dup-ratio ESTIMATES.
+
+    Counts stay exact forever; the two non-algebraic datasheet
+    numbers degrade gracefully to deterministic, oracle-reproducible
+    estimates — the honest trade for bounded state on an unbounded
+    stream. Read with ``profile_read``. NULL slice keys: coalesce
+    ``by`` upstream — the read joins the three states on the slice
+    key null-UNSAFELY, so a NULL slice would drop there.
+    """
+    from platypus_ingestion_plugins_spark.functions.sampling import (
+        unit_hash,
+    )
+    from platypus_ingestion_plugins_spark.functions.sketches import (
+        _merge_sketch_into,
+        salted_unit_hash,
+    )
+    from pyspark.sql.window import Window
+
+    c = F.coalesce(F.col(text_col), F.lit(""))
+
+    def merge_counts(b, prev):
+        new = (
+            b.select(F.col(by), F.length(c).alias("__l"),
+                     token_count(c).alias("__t"))
+            .groupBy(by)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("__t").alias("n_tokens"),
+                F.sum("__l").alias("n_chars"),
+            )
+        )
+        if prev is None:
+            return new
+        return (
+            prev.unionByName(new)
+            .groupBy(by)
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.sum("n_chars").alias("n_chars"),
+            )
+        )
+
+    def merge_sample(b, prev):
+        new = b.select(
+            F.col(by),
+            unit_hash(id_col, "profile").alias("u"),
+            F.length(c).alias("v"),
+        )
+        if prev is not None:
+            new = new.unionByName(prev)
+        w = Window.partitionBy(by).orderBy("u", "v")
+        return (
+            new.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
+    def merge_distinct(b, prev):
+        sha = F.sha2(c, 256)
+        new = b.select(F.col(by), sha.alias("__sha")).groupBy(by).agg(
+            *[
+                F.min(salted_unit_hash("__sha", i)).alias(f"__kmin{i}")
+                for i in range(_M_DISTINCT)
+            ]
+        )
+        if prev is None:
+            return new
+        return (
+            prev.unionByName(new)
+            .groupBy(by)
+            .agg(
+                *[
+                    F.min(f"__kmin{i}").alias(f"__kmin{i}")
+                    for i in range(_M_DISTINCT)
+                ]
+            )
+        )
+
+    _merge_sketch_into(batch, f"{path}/counts", merge_counts, batch_id)
+    _merge_sketch_into(batch, f"{path}/sample", merge_sample, batch_id)
+    _merge_sketch_into(batch, f"{path}/distinct", merge_distinct, batch_id)
+
+
+def profile_read(
+    spark,
+    path: str,
+    by: str,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """The always-current datasheet from the accumulated profile
+    state: per-slice exact (n_docs, n_tokens, n_chars), quantile
+    estimates from the bottom-k length sample (exact interpolated
+    percentile over the sample, 6-dp rounded), and the KMV
+    distinct-text estimate + dup-ratio estimate (4-dp, the
+    ``distinct_estimate`` convention)."""
+    from functools import reduce
+
+    from platypus_ingestion_plugins_spark.functions.sketches import (
+        sketch_read,
+    )
+
+    counts = sketch_read(spark, f"{path}/counts")
+    sample = sketch_read(spark, f"{path}/sample")
+    distinct = sketch_read(spark, f"{path}/distinct")
+    qs = sample.groupBy(by).agg(
+        *[
+            F.round(F.expr(f"percentile(v, {p!r})"), 6).alias(
+                f"chars_p{str(p).replace('0.', '')}"
+            )
+            for p in probs
+        ]
+    )
+    total = reduce(
+        lambda a, b: a + b,
+        [F.col(f"__kmin{i}") for i in range(_M_DISTINCT)],
+    )
+    est = F.round(F.lit(float(_M_DISTINCT)) / total - F.lit(1.0), 4)
+    dd = distinct.select(F.col(by), est.alias("est_distinct_texts"))
+    out = counts.join(qs, by).join(dd, by)
+    return out.withColumn(
+        "est_dup_ratio",
+        F.round(
+            F.greatest(
+                (F.col("n_docs") - F.col("est_distinct_texts"))
+                / F.col("n_docs").cast("double"),
+                F.lit(0.0),
+            ),
+            4,
         ),
     )

@@ -1200,3 +1200,44 @@ def test_export_avro_ocf_generation_and_precision(spark, tmp_path):
     export_avro_ocf(sub, out, "doc_id", n_shards=2)
     assert not os.path.exists(old)
     assert read_avro_ocf(spark, out).count() == 12
+
+
+def test_profile_merge_into_accumulates_and_replays(spark, tmp_path):
+    """NEW r11: the streaming datasheet. Two epochs must accumulate to
+    the one-shot batch numbers (counts exact; sample and KMV states
+    merge to the one-shot sketch); replaying an epoch with the same
+    batch_id must change NOTHING (epoch-pinned commit)."""
+    from platypus_ingestion_plugins_spark.operators.profile import (
+        corpus_profile,
+        profile_merge_into,
+        profile_read,
+    )
+
+    rows = [
+        Row(doc_id=i, src=f"s{i % 3}", text=("word " * (5 + i % 7)).strip())
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    lo, hi = df.filter("doc_id < 30"), df.filter("doc_id >= 30")
+    state = str(tmp_path / "prof")
+    profile_merge_into(lo, "text", "doc_id", "src", state, k=64, batch_id=0)
+    profile_merge_into(hi, "text", "doc_id", "src", state, k=64, batch_id=1)
+    got = {r.src: r for r in profile_read(spark, state, "src").collect()}
+    want = {r.src: r for r in corpus_profile(df, "text", by="src").collect()}
+    assert set(got) == set(want)
+    for s in want:
+        assert (got[s].n_docs, got[s].n_tokens, got[s].n_chars) == (
+            want[s].n_docs, want[s].n_tokens, want[s].n_chars)
+        # k=64 >= slice size here, so the "sample" is the whole slice
+        # and the quantile estimate must be EXACT
+        assert got[s].chars_p5 == want[s].chars_p50
+        # KMV estimate within the m=64 envelope of the exact count
+        assert abs(got[s].est_distinct_texts - want[s].n_distinct_texts) \
+            <= max(3, 0.5 * want[s].n_distinct_texts)
+    # replay epoch 1 -> nothing changes
+    profile_merge_into(hi, "text", "doc_id", "src", state, k=64, batch_id=1)
+    again = {r.src: r for r in profile_read(spark, state, "src").collect()}
+    for s in want:
+        assert (again[s].n_docs, again[s].n_tokens) == (
+            got[s].n_docs, got[s].n_tokens)
+        assert again[s].est_distinct_texts == got[s].est_distinct_texts
