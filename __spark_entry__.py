@@ -5324,6 +5324,56 @@ FROM counts c JOIN qs q USING (source) JOIN dd d USING (source)
 SQL_STREAM_PROFILE = _sql_stream_profile(64, 256)
 
 
+def q_mixture_plan(spark, sf):
+    """Mixture planning (functions/sampling.solve_mixture): per-source
+    available tokens (the corpus_profile aggregate) against a
+    deterministic spec (weight index cycling 1,2,3 over the sorted
+    source list), budget 50k: normalized weights, per-source
+    requirements and epochs, and the feasible-budget cap bound by the
+    scarcest weighted source. Pure group-bounded arithmetic — the
+    oracle replays every ratio."""
+    from platypus_ingestion_plugins_spark.functions.sampling import (
+        solve_mixture,
+    )
+    from platypus_ingestion_plugins_spark.functions.text import token_count
+
+    d = _t(spark, sf, "documents")
+    counts = d.groupBy("source").agg(
+        F.sum(token_count("text")).alias("n_tokens")
+    )
+    srcs = sorted(r.source for r in counts.select("source").collect())
+    weights = {s: float(i % 3 + 1) for i, s in enumerate(srcs)}
+    return solve_mixture(counts, weights, budget_tokens=50_000)
+
+
+SQL_MIXTURE_PLAN = """
+WITH counts AS (
+  SELECT source,
+         CAST(sum(len(list_filter(string_split_regex(lower(text),
+                '\\W+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+spec AS (
+  SELECT source, n_tokens,
+         ((row_number() OVER (ORDER BY source) - 1) % 3 + 1)::DOUBLE AS wr
+  FROM counts),
+norm AS (
+  SELECT source, n_tokens, wr / (SELECT sum(wr) FROM spec) AS wn FROM spec),
+feas AS (
+  SELECT round(min(CASE WHEN wn > 0
+                        THEN 1.0 * n_tokens / wn END), 6) AS fb
+  FROM norm)
+SELECT source,
+       n_tokens AS avail_tokens,
+       round(wn, 6) AS weight,
+       round(wn * 50000, 3) AS required_tokens,
+       round(wn * 50000 / n_tokens, 6) AS epochs,
+       feas.fb AS feasible_budget,
+       coalesce(round(CASE WHEN wn > 0 THEN 1.0 * n_tokens / wn END, 6)
+                  = feas.fb, FALSE) AS binding
+FROM norm, feas
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -5338,7 +5388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the driver caps each round's oracle sweep at 50 entries, so dict
     # order IS verification priority — r11 rotation, VERDICT r10 task
     # #1, dict comments cross-checked against CORRECTNESS_r08/r09/r10):
-    #   0. NEW this round (never driver-verified): stream_profile,
+    #   0. NEW this round (never driver-verified): mixture_plan,
+    #      stream_profile,
     #      pretraining_mix,
     #      corpus_overlap,
     #      tar_scrub, corpus_profile,
@@ -5357,10 +5408,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      driver green is r8.
     #   2. the 49 entries last green in CORRECTNESS_r09 (the r9 sweep
     #      minus fuzzy_join, which r10 re-verified under its new
-    #      leading-typo oracle), in r9 file order. Sections 0-2 = 78,
-    #      so the 50-cap verifies section 0+1 and the first 21 of the
-    #      r9 cohort; the LAST TWENTY-EIGHT r9 entries
-    #      (pivot_event_counts,
+    #      leading-typo oracle), in r9 file order. Sections 0-2 = 79,
+    #      so the 50-cap verifies section 0+1 and the first 20 of the
+    #      r9 cohort; the LAST TWENTY-NINE r9 entries
+    #      (multimodal_resize, pivot_event_counts,
     #      range_join_bands, sessionize, sink_array_json,
     #      sink_typed_strings, stratified_sample, text_language_id,
     #      text_quality_filter, text_stats, match_all_topk,
@@ -5370,7 +5421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      multivalued_contains, pipeline_clean_corpus, line_dedup,
     #      top_terms_per_group, hashed_bow_embedding,
     #      stream_line_dedup, bow_knn, quality_autocalibrated_filter)
-    #      are DEFERRED and must lead r12. All twenty-eight were
+    #      are DEFERRED and must lead r12. All twenty-nine were
     #      re-verified green by targeted check_oracle runs this round
     #      (SURVEY §5), so none enters r12 with an unchecked
     #      regression window.
@@ -5384,9 +5435,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      (freshest last). semdedup_keep gained the max_cluster_size
     #      param this round with default None = unchanged semantics.
     return {
-        # 0. NEW this round — twenty-two entries, each displacing one
-        # r9-tail entry below the cap (first 21 of the r9 cohort make
-        # the sweep)
+        # 0. NEW this round — twenty-three entries, each displacing
+        # one r9-tail entry below the cap (first 20 of the r9 cohort
+        # make the sweep)
+        "mixture_plan": q_mixture_plan,
         "stream_profile": q_stream_profile,
         "pretraining_mix": q_pretraining_mix,
         "corpus_overlap": q_corpus_overlap,
@@ -5438,9 +5490,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_meta": q_multimodal_meta,
-        "multimodal_resize": q_multimodal_resize,
-        # --- the r11 50-cap lands here (22 new + 7 r8 + first 21 of
+        # --- the r11 50-cap lands here (23 new + 7 r8 + first 20 of
         # --- r9); everything below is deferred and must LEAD r12
+        "multimodal_resize": q_multimodal_resize,
         "pivot_event_counts": q_pivot_event_counts,
         "range_join_bands": q_range_join,
         "sessionize": q_sessionize,
@@ -5626,6 +5678,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
         "dsir_select": SQL_DSIR_SELECT,
         "gopher_quality": SQL_GOPHER_QUALITY,
+        "mixture_plan": SQL_MIXTURE_PLAN,
         "stream_profile": SQL_STREAM_PROFILE,
         "pretraining_mix": SQL_PRETRAINING_MIX,
         "corpus_overlap": SQL_CORPUS_OVERLAP,

@@ -332,6 +332,87 @@ def stratified_interleave(
     )
 
 
+def solve_mixture(
+    domain_tokens: DataFrame,
+    weights: dict,
+    budget_tokens: int,
+    by: str = "source",
+    tokens_col: str = "n_tokens",
+    max_epochs: float = 1.0,
+) -> DataFrame:
+    """Mixture planning — the arithmetic between a mix SPEC (domain ->
+    target weight) and an executable plan: given per-domain available
+    token counts (one `corpus_profile` column) and a total training
+    budget, compute what each domain must contribute and whether the
+    corpus can actually serve the spec.
+
+    Per domain: ``weight`` (normalized), ``required_tokens`` =
+    weight x budget, ``epochs`` = required / available — the repeat
+    factor; > ``max_epochs`` means the spec over-asks this domain.
+    Global: ``feasible_budget`` = min over domains of
+    ``max_epochs x available / weight`` — the largest budget this
+    corpus serves without any domain exceeding ``max_epochs`` (the
+    binding domain is the one whose epochs hit the cap first), and
+    ``binding`` marks it. Downstream: feed ``required_tokens`` per
+    domain to ``select_token_budget(by=...)`` / ``temperature_mix``.
+
+    Domains present in the corpus but absent from ``weights`` get
+    weight 0 (excluded by the spec — kept in the output with zero
+    requirement so the plan is auditable); weights for domains absent
+    from the corpus raise (a spec naming data that does not exist is
+    a bug, not a zero).
+
+    Scale shape: the spec is a broadcast dict-sized frame; one outer
+    join + one global min agg over domain-count rows (group-bounded,
+    never corpus rows). All arithmetic deterministic; 6-dp rounding
+    on the ratios.
+    """
+    spark = domain_tokens.sparkSession
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    wdf = spark.createDataFrame(
+        [(k, float(v) / total_w) for k, v in sorted(weights.items())],
+        f"{by} string, __w double",
+    )
+    have = {r[0] for r in domain_tokens.select(by).distinct().collect()}
+    missing = sorted(set(weights) - have)
+    if missing:
+        raise ValueError(
+            f"mixture spec names domains absent from the corpus: "
+            f"{missing} — a spec naming data that does not exist is a "
+            "bug, not a zero"
+        )
+    j = domain_tokens.join(F.broadcast(wdf), by, "left").select(
+        by,
+        F.col(tokens_col).cast("double").alias("__avail"),
+        F.coalesce("__w", F.lit(0.0)).alias("__wn"),
+    )
+    cap = F.when(
+        F.col("__wn") > 0,
+        F.lit(float(max_epochs)) * F.col("__avail") / F.col("__wn"),
+    )
+    feas = j.agg(F.round(F.min(cap), 6).alias("feasible_budget"))
+    return (
+        j.crossJoin(F.broadcast(feas))
+        .select(
+            by,
+            F.col("__avail").cast("long").alias("avail_tokens"),
+            F.round("__wn", 6).alias("weight"),
+            F.round(F.col("__wn") * budget_tokens, 3).alias(
+                "required_tokens"
+            ),
+            F.round(
+                F.col("__wn") * budget_tokens / F.col("__avail"), 6
+            ).alias("epochs"),
+            "feasible_budget",
+            F.coalesce(
+                F.round(cap, 6) == F.col("feasible_budget"), F.lit(False)
+            ).alias("binding"),
+        )
+    )
+
+
 def weighted_sample_wor(
     df: DataFrame,
     key: str,

@@ -4012,3 +4012,34 @@ def test_scrub_tar_shards_property(spark, tmp_path):
         }
 
     check()
+
+
+def test_solve_mixture_plan(spark):
+    """NEW r11: mixture planning. Normalized weights, per-domain
+    requirements/epochs, the feasible-budget cap bound by the scarce
+    domain, zero-weight pass-through, and the missing-domain guard."""
+    from platypus_ingestion_plugins_spark.functions.sampling import (
+        solve_mixture,
+    )
+
+    counts = spark.createDataFrame(
+        [("web", 1000), ("code", 100), ("books", 400)],
+        "source string, n_tokens long",
+    )
+    out = {r.source: r for r in solve_mixture(
+        counts, {"web": 2.0, "code": 1.0}, budget_tokens=600,
+        max_epochs=1.0).collect()}
+    assert abs(out["web"].weight - 2 / 3) < 1e-6
+    assert abs(out["code"].weight - 1 / 3) < 1e-6
+    assert out["books"].weight == 0.0 and out["books"].required_tokens == 0.0
+    assert abs(out["web"].required_tokens - 400.0) < 1e-6
+    assert abs(out["code"].required_tokens - 200.0) < 1e-6
+    assert abs(out["code"].epochs - 2.0) < 1e-6  # over-asked: 200 of 100
+    # feasible: web caps at 1000/(2/3)=1500, code at 100/(1/3)=300
+    assert all(r.feasible_budget == 300.0 for r in out.values())
+    assert out["code"].binding is True and out["web"].binding is False
+    assert out["books"].binding is False
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="absent from the corpus"):
+        solve_mixture(counts, {"web": 1.0, "nosuch": 1.0}, 100)
