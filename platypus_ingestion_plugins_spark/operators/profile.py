@@ -166,9 +166,18 @@ def profile_merge_into(
             )
         )
 
-    _merge_sketch_into(batch, f"{path}/counts", merge_counts, batch_id)
-    _merge_sketch_into(batch, f"{path}/sample", merge_sample, batch_id)
-    _merge_sketch_into(batch, f"{path}/distinct", merge_distinct, batch_id)
+    # ONE physical scan of the batch feeds all three state merges —
+    # without the persist each _merge_sketch_into re-reads the
+    # micro-batch source (3x I/O per epoch on the ingest path)
+    batch.persist()
+    try:
+        _merge_sketch_into(batch, f"{path}/counts", merge_counts, batch_id)
+        _merge_sketch_into(batch, f"{path}/sample", merge_sample, batch_id)
+        _merge_sketch_into(
+            batch, f"{path}/distinct", merge_distinct, batch_id
+        )
+    finally:
+        batch.unpersist()
 
 
 def profile_read(
