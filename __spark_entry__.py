@@ -5265,7 +5265,7 @@ def q_stream_profile(spark, sf):
         run_available()
         out = profile_read(spark, state, "source").select(
             "source", "n_docs", "n_tokens", "n_chars",
-            "chars_p5", "chars_p9", "chars_p99",
+            "chars_p50", "chars_p90", "chars_p99",
             "est_distinct_texts", "est_dup_ratio",
         )
         # materialize before the scratch dir is scheduled for cleanup
@@ -5304,8 +5304,8 @@ smp AS (
     FROM b) WHERE rn <= {k}),
 qs AS (
   SELECT source,
-         round(quantile_cont(l, 0.5), 6) AS chars_p5,
-         round(quantile_cont(l, 0.9), 6) AS chars_p9,
+         round(quantile_cont(l, 0.5), 6) AS chars_p50,
+         round(quantile_cont(l, 0.9), 6) AS chars_p90,
          round(quantile_cont(l, 0.99), 6) AS chars_p99
   FROM smp GROUP BY source),
 dk AS (SELECT source, {mins} FROM b GROUP BY source),
@@ -5313,7 +5313,7 @@ dd AS (
   SELECT source, round({m}.0 / ({total}) - 1.0, 4) AS est_distinct_texts
   FROM dk)
 SELECT c.source, c.n_docs, c.n_tokens, c.n_chars,
-       q.chars_p5, q.chars_p9, q.chars_p99,
+       q.chars_p50, q.chars_p90, q.chars_p99,
        d.est_distinct_texts,
        round(greatest((c.n_docs - d.est_distinct_texts)
                       / c.n_docs::DOUBLE, 0.0), 4) AS est_dup_ratio

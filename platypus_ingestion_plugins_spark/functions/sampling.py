@@ -367,7 +367,15 @@ def solve_mixture(
     never corpus rows). All arithmetic deterministic; 6-dp rounding
     on the ratios.
     """
+    from pyspark.sql.window import Window
+
     spark = domain_tokens.sparkSession
+    bad = sorted(k for k, v in weights.items() if float(v) < 0)
+    if bad:
+        raise ValueError(
+            f"mixture weights must be non-negative (got negatives for "
+            f"{bad}) — a negative share has no sampling meaning"
+        )
     total_w = float(sum(weights.values()))
     if total_w <= 0:
         raise ValueError("weights must sum to a positive value")
@@ -375,6 +383,11 @@ def solve_mixture(
         [(k, float(v) / total_w) for k, v in sorted(weights.items())],
         f"{by} string, __w double",
     )
+    # ONE evaluation of the (group-bounded) counts frame: the domain
+    # list for validation comes from a single collect, and the global
+    # feasibility min is an unpartitioned window over the same plan —
+    # domain-count rows, never corpus rows, so the single-reducer
+    # window is bounded by construction (r11 review 4th pass #2)
     have = {r[0] for r in domain_tokens.select(by).distinct().collect()}
     missing = sorted(set(weights) - have)
     if missing:
@@ -392,9 +405,9 @@ def solve_mixture(
         F.col("__wn") > 0,
         F.lit(float(max_epochs)) * F.col("__avail") / F.col("__wn"),
     )
-    feas = j.agg(F.round(F.min(cap), 6).alias("feasible_budget"))
+    feas = F.round(F.min(cap).over(Window.partitionBy()), 6)
     return (
-        j.crossJoin(F.broadcast(feas))
+        j.withColumn("feasible_budget", feas)
         .select(
             by,
             F.col("__avail").cast("long").alias("avail_tokens"),

@@ -245,11 +245,39 @@ def bottomk_merge_into(
         new = b.select(
             unit_hash(key_col, salt).alias("u"), F.col(value_col).alias("v")
         )
-        if prev is not None:
-            new = new.unionByName(prev)
-        return new.orderBy("u", "v").limit(k)
+        return bottomk_sample_merge(new, prev, k)
 
     _merge_sketch_into(batch, path, merge, batch_id)
+
+
+def bottomk_sample_merge(new, prev, k: int, group_cols: tuple = ()):
+    """The ONE bottom-k merge law (union + re-take the k smallest
+    (u, v) rows — membership depends only on each row's own hash, so
+    the merged sample equals the one-shot bottom-k), shared by the
+    global quantile sketch and the per-slice streaming datasheet.
+    ``group_cols`` switches global limit to a per-group window."""
+    if prev is not None:
+        new = new.unionByName(prev)
+    if not group_cols:
+        return new.orderBy("u", "v").limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("u", "v")
+    return (
+        new.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmin_state_estimate(m: int, prefix: str = "__kmin"):
+    """Distinct estimate COLUMN over an accumulated min-state row
+    (the read-side twin of ``distinct_estimate``, which aggregates
+    raw rows): m / sum(mins) - 1, 4-dp."""
+    total = reduce(
+        lambda a, b: a + b, [F.col(f"{prefix}{i}") for i in range(m)]
+    )
+    return F.round(F.lit(float(m)) / total - F.lit(1.0), 4)
 
 
 def sketch_read(spark, path: str):

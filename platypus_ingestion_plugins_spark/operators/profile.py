@@ -92,18 +92,17 @@ def profile_merge_into(
     Counts stay exact forever; the two non-algebraic datasheet
     numbers degrade gracefully to deterministic, oracle-reproducible
     estimates — the honest trade for bounded state on an unbounded
-    stream. Read with ``profile_read``. NULL slice keys: coalesce
-    ``by`` upstream — the read joins the three states on the slice
-    key null-UNSAFELY, so a NULL slice would drop there.
+    stream. Read with ``profile_read`` (NULL slice keys accumulate
+    and read back like any other — the read joins null-safely).
     """
     from platypus_ingestion_plugins_spark.functions.sampling import (
         unit_hash,
     )
     from platypus_ingestion_plugins_spark.functions.sketches import (
         _merge_sketch_into,
-        salted_unit_hash,
+        bottomk_sample_merge,
+        distinct_sketch_mins,
     )
-    from pyspark.sql.window import Window
 
     c = F.coalesce(F.col(text_col), F.lit(""))
 
@@ -136,22 +135,13 @@ def profile_merge_into(
             unit_hash(id_col, "profile").alias("u"),
             F.length(c).alias("v"),
         )
-        if prev is not None:
-            new = new.unionByName(prev)
-        w = Window.partitionBy(by).orderBy("u", "v")
-        return (
-            new.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= k)
-            .drop("__rn")
-        )
+        return bottomk_sample_merge(new, prev, k, group_cols=(by,))
 
     def merge_distinct(b, prev):
-        sha = F.sha2(c, 256)
-        new = b.select(F.col(by), sha.alias("__sha")).groupBy(by).agg(
-            *[
-                F.min(salted_unit_hash("__sha", i)).alias(f"__kmin{i}")
-                for i in range(_M_DISTINCT)
-            ]
+        new = (
+            b.select(F.col(by), F.sha2(c, 256).alias("__sha"))
+            .groupBy(by)
+            .agg(*distinct_sketch_mins("__sha", _M_DISTINCT))
         )
         if prev is None:
             return new
@@ -189,12 +179,15 @@ def profile_read(
     """The always-current datasheet from the accumulated profile
     state: per-slice exact (n_docs, n_tokens, n_chars), quantile
     estimates from the bottom-k length sample (exact interpolated
-    percentile over the sample, 6-dp rounded), and the KMV
+    percentile over the sample, 6-dp rounded; columns named
+    ``chars_pN`` with N = the percentile — chars_p50/chars_p90/...,
+    matching the batch twin ``corpus_profile``), and the KMV
     distinct-text estimate + dup-ratio estimate (4-dp, the
-    ``distinct_estimate`` convention)."""
-    from functools import reduce
-
+    ``distinct_estimate`` convention). The three states join
+    NULL-SAFELY on the slice key, so a NULL slice (accumulated like
+    any other by the merges) survives to the output."""
     from platypus_ingestion_plugins_spark.functions.sketches import (
+        kmin_state_estimate,
         sketch_read,
     )
 
@@ -204,18 +197,21 @@ def profile_read(
     qs = sample.groupBy(by).agg(
         *[
             F.round(F.expr(f"percentile(v, {p!r})"), 6).alias(
-                f"chars_p{str(p).replace('0.', '')}"
+                f"chars_p{int(round(p * 100)):d}"
             )
             for p in probs
         ]
+    ).withColumnRenamed(by, "__by_q")
+    dd = distinct.select(
+        F.col(by).alias("__by_d"),
+        kmin_state_estimate(_M_DISTINCT).alias("est_distinct_texts"),
     )
-    total = reduce(
-        lambda a, b: a + b,
-        [F.col(f"__kmin{i}") for i in range(_M_DISTINCT)],
+    out = (
+        counts.join(qs, F.col(by).eqNullSafe(F.col("__by_q")))
+        .drop("__by_q")
+        .join(dd, F.col(by).eqNullSafe(F.col("__by_d")))
+        .drop("__by_d")
     )
-    est = F.round(F.lit(float(_M_DISTINCT)) / total - F.lit(1.0), 4)
-    dd = distinct.select(F.col(by), est.alias("est_distinct_texts"))
-    out = counts.join(qs, by).join(dd, by)
     return out.withColumn(
         "est_dup_ratio",
         F.round(

@@ -1214,9 +1214,11 @@ def test_profile_merge_into_accumulates_and_replays(spark, tmp_path):
     )
 
     rows = [
-        Row(doc_id=i, src=f"s{i % 3}", text=("word " * (5 + i % 7)).strip())
+        Row(doc_id=i,
+            src=None if i % 10 == 9 else f"s{i % 3}",
+            text=("word " * (5 + i % 7)).strip())
         for i in range(60)
-    ]
+    ]  # every 10th doc has a NULL slice key — must survive to the read
     df = spark.createDataFrame(rows, "doc_id long, src string, text string")
     lo, hi = df.filter("doc_id < 30"), df.filter("doc_id >= 30")
     state = str(tmp_path / "prof")
@@ -1230,7 +1232,7 @@ def test_profile_merge_into_accumulates_and_replays(spark, tmp_path):
             want[s].n_docs, want[s].n_tokens, want[s].n_chars)
         # k=64 >= slice size here, so the "sample" is the whole slice
         # and the quantile estimate must be EXACT
-        assert got[s].chars_p5 == want[s].chars_p50
+        assert got[s].chars_p50 == want[s].chars_p50
         # KMV estimate within the m=64 envelope of the exact count
         assert abs(got[s].est_distinct_texts - want[s].n_distinct_texts) \
             <= max(3, 0.5 * want[s].n_distinct_texts)
