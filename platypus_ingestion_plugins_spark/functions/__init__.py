@@ -17,6 +17,7 @@ from platypus_ingestion_plugins_spark.functions.sampling import (  # noqa: F401
     weighted_sample_wor,
     select_token_budget,
     stratified_interleave,
+    solve_mixture,
 )
 from platypus_ingestion_plugins_spark.functions.classifier import (  # noqa: F401
     doc_features,

@@ -27,6 +27,8 @@ from platypus_ingestion_plugins_spark.operators.export import (  # noqa: F401
 )
 from platypus_ingestion_plugins_spark.operators.profile import (  # noqa: F401
     corpus_profile,
+    profile_merge_into,
+    profile_read,
 )
 from platypus_ingestion_plugins_spark.operators.resample import (  # noqa: F401
     resample_last_ffill,
