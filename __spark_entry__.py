@@ -1495,7 +1495,7 @@ def q_exact_substring_dedup(spark, sf):
 
 SQL_EXACT_SUBSTRING_DEDUP = """
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''), '\\s+'), x -> x <> '') AS t
   FROM documents),
 longd AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 8),
 pos AS (SELECT doc_id, t, unnest(generate_series(1, n - 7)) AS i FROM longd),
@@ -1612,7 +1612,7 @@ def q_stream_exact_substring_dedup(spark, sf):
 # doc contains it <=> the doc's rank among containing docs >= 2
 SQL_STREAM_EXACT_SUBSTRING_DEDUP = """
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''), '\\s+'), x -> x <> '') AS t
   FROM documents),
 longd AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 8),
 pos AS (SELECT doc_id, t, unnest(generate_series(1, n - 7)) AS i FROM longd),

@@ -100,8 +100,22 @@ def load_merges_txt(path: str) -> list[tuple[str, str]]:
             if i == 0 and line.startswith("#version"):
                 continue
             a, _, b = line.partition(" ")
-            if b:
-                merges.append((a, b))
+            if not b and "\t" not in line:
+                continue
+            if not b or " " in b or "\t" in line or b != b.rstrip():
+                # trailing spaces/tabs would survive into the
+                # right-hand symbol ('a b ' -> ('a','b ')) and that
+                # merge would silently never apply; a second interior
+                # space means >2 symbols — both are the same
+                # silent-mistokenization class the #version/CRLF
+                # handling guards against (r12 advice #4), so reject
+                # loudly instead of loading a merge that can't fire.
+                raise ValueError(
+                    f"{path}:{i + 1}: malformed merge line "
+                    f"{line!r} — expected exactly 'left right' with "
+                    "no extra whitespace"
+                )
+            merges.append((a, b))
     return merges
 
 

@@ -360,7 +360,13 @@ def solve_mixture(
     weight 0 (excluded by the spec — kept in the output with zero
     requirement so the plan is auditable); weights for domains absent
     from the corpus raise (a spec naming data that does not exist is
-    a bug, not a zero).
+    a bug, not a zero). A POSITIVE-weight domain with ZERO available
+    tokens also raises (r12 advice #3): its epochs would be a 0-division
+    (NULL in Spark, inf/NaN/error in other engines) and it would
+    silently pin ``feasible_budget`` to 0 — a spec demanding data
+    whose every row is empty is the same bug class as naming a
+    missing domain, and it is surfaced with the domain name rather
+    than propagated as NULLs.
 
     Scale shape: the spec is a broadcast dict-sized frame; one outer
     join + one global min agg over domain-count rows (group-bounded,
@@ -388,13 +394,28 @@ def solve_mixture(
     # feasibility min is an unpartitioned window over the same plan —
     # domain-count rows, never corpus rows, so the single-reducer
     # window is bounded by construction (r11 review 4th pass #2)
-    have = {r[0] for r in domain_tokens.select(by).distinct().collect()}
-    missing = sorted(set(weights) - have)
+    avail_by_domain = {
+        r[0]: float(r[1] or 0)
+        for r in domain_tokens.select(by, tokens_col).collect()
+    }
+    missing = sorted(set(weights) - set(avail_by_domain))
     if missing:
         raise ValueError(
             f"mixture spec names domains absent from the corpus: "
             f"{missing} — a spec naming data that does not exist is a "
             "bug, not a zero"
+        )
+    empty = sorted(
+        k
+        for k, v in weights.items()
+        if float(v) > 0 and avail_by_domain.get(k, 0.0) <= 0
+    )
+    if empty:
+        raise ValueError(
+            f"mixture spec puts positive weight on domains with zero "
+            f"available tokens: {empty} — epochs would be a "
+            "0-division and feasible_budget would silently pin to 0; "
+            "fix the spec or the token counts"
         )
     j = domain_tokens.join(F.broadcast(wdf), by, "left").select(
         by,
@@ -415,9 +436,17 @@ def solve_mixture(
             F.round(F.col("__wn") * budget_tokens, 3).alias(
                 "required_tokens"
             ),
-            F.round(
-                F.col("__wn") * budget_tokens / F.col("__avail"), 6
-            ).alias("epochs"),
+            # avail==0 can only reach here with weight 0 (positive
+            # weight on an empty domain raised above): emit epochs 0,
+            # not an engine-dependent 0/0 (NULL / NaN / error)
+            F.when(
+                F.col("__avail") > 0,
+                F.round(
+                    F.col("__wn") * budget_tokens / F.col("__avail"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("epochs"),
             "feasible_budget",
             F.coalesce(
                 F.round(cap, 6) == F.col("feasible_budget"), F.lit(False)

@@ -1948,9 +1948,14 @@ def mask_repeated_spans(
 def _ws_tokens(text_col: str):
     """Whitespace tokens, case preserved, no empties — NOT
     ``text.tokens`` (which lowercases and strips punctuation):
-    span-removal reassembly must emit the document's own tokens."""
+    span-removal reassembly must emit the document's own tokens.
+    NULL text coalesces to '' (module NULL convention, matching
+    ``line_dedup``/``_doc_lines``): a NULL-text row yields zero
+    tokens and reassembles to '', identical to the oracle's
+    coalesce(text, '')."""
     return F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != F.lit(""),
     )
 
 

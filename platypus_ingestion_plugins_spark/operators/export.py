@@ -225,6 +225,20 @@ def _tar_fs(path: str):
     return pafs.LocalFileSystem(), path
 
 
+def _heartbeat_due(
+    move_i: int, elapsed_since_touch_s: float, stale_after_s: float
+) -> bool:
+    """Sentinel re-touch policy for the swap loop: every 256 shard
+    moves AND whenever stale_after_s/4 has elapsed since the last
+    touch — a <256-shard export (or one stalled inside a single slow
+    move) must still refresh its sentinel mtime, else a concurrent
+    export's pass-1 sweep can clear a LIVE racer's crash protection
+    after stale_after_s (r12 advice #2)."""
+    return (move_i > 0 and move_i % 256 == 0) or (
+        elapsed_since_touch_s >= max(1.0, stale_after_s / 4.0)
+    )
+
+
 def export_tar_shards(
     df: DataFrame,
     out_path: str,
@@ -454,14 +468,18 @@ def export_tar_shards(
         # attempt after a crash.
         _drv_fs.move(marker, prev_marker)
     new_names = set() if _preserve is None else set(_preserve)
+    import time as _time
+
+    _hb_last = _time.monotonic()
     for i, m in enumerate(manifest):
-        if i and i % 256 == 0:
+        if _heartbeat_due(i, _time.monotonic() - _hb_last, stale_after_s):
             # heartbeat: a many-thousand-shard swap on an object
             # store can outlive a racer's staleness horizon; a fresh
             # sentinel mtime tells concurrent sweepers this swap is
-            # live (r11 review #4)
+            # live (r11 review #4; r12: elapsed-time trigger too)
             with _drv_fs.open_output_stream(sentinel) as out:
                 out.write(generation.encode("utf-8"))
+            _hb_last = _time.monotonic()
         name = f"shard-{m.shard:05d}.tar"
         new_names.add(name)
         final = f"{_drv_inner}/{name}"

@@ -861,7 +861,13 @@ def semdedup(
         )
     else:
         keyed = base.withColumn("__cl", signbit_bucket(F.col("__v"), bits))
-    if max_cluster_size:
+    if max_cluster_size is not None and max_cluster_size < 1:
+        # truthiness would silently read 0 as "no cap" (r12 advice #5)
+        raise ValueError(
+            f"max_cluster_size must be >= 1 (got {max_cluster_size}) "
+            "— a cap below 1 would exclude every cluster"
+        )
+    if max_cluster_size is not None:
         # hot-cluster exclusion: ids in over-sized clusters never enter
         # the O(|cluster|^2) pair join — they ride the inner-join
         # exemption (kept verbatim). The hot set is <= n/cap ids, so

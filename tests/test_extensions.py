@@ -4043,3 +4043,86 @@ def test_solve_mixture_plan(spark):
 
     with _pytest.raises(ValueError, match="absent from the corpus"):
         solve_mixture(counts, {"web": 1.0, "nosuch": 1.0}, 100)
+
+
+def test_mask_repeated_spans_null_text(spark):
+    """r12 advice #1: NULL text follows the module NULL convention
+    (coalesce to '') — the row survives with text_deduped '' instead
+    of diverging from the oracle's CASE/coalesce semantics."""
+    rows = [
+        Row(doc_id=1, text=None),
+        Row(doc_id=2, text="alpha beta gamma delta one two"),
+        Row(doc_id=3, text="alpha beta gamma delta nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r.doc_id: r.text_deduped
+        for r in dedup.mask_repeated_spans(df, "text", "doc_id", k=4).collect()
+    }
+    assert out[1] == ""
+    assert out[2] == "one two" and out[3] == "nine ten"
+
+
+def test_export_heartbeat_due_policy():
+    """r12 advice #2: the swap-sentinel heartbeat fires on elapsed
+    time as well as move count, so a <256-shard (or stalled) export
+    still refreshes its sentinel inside the staleness horizon."""
+    from platypus_ingestion_plugins_spark.operators.export import (
+        _heartbeat_due,
+    )
+
+    assert not _heartbeat_due(0, 0.0, 3600)        # loop start: fresh
+    assert _heartbeat_due(256, 0.0, 3600)          # count trigger
+    assert not _heartbeat_due(255, 0.0, 3600)
+    assert _heartbeat_due(3, 900.0, 3600)          # stale_after/4 elapsed
+    assert not _heartbeat_due(3, 899.0, 3600)
+    assert _heartbeat_due(1, 1.0, 0)               # floor: never < 1 s
+
+
+def test_solve_mixture_zero_avail_guard(spark):
+    """r12 advice #3: positive weight on a zero-token domain raises
+    (0-division epochs / silent feasible_budget=0); a ZERO-weight
+    zero-token domain passes through with epochs 0, not NULL."""
+    from platypus_ingestion_plugins_spark.functions.sampling import (
+        solve_mixture,
+    )
+
+    counts = spark.createDataFrame(
+        [("web", 1000), ("empty", 0)], "source string, n_tokens long"
+    )
+    with pytest.raises(ValueError, match="zero available tokens"):
+        solve_mixture(counts, {"web": 1.0, "empty": 1.0}, 100)
+    out = {
+        r.source: r
+        for r in solve_mixture(counts, {"web": 1.0}, 100).collect()
+    }
+    assert out["empty"].epochs == 0.0 and out["empty"].weight == 0.0
+    assert out["web"].feasible_budget == 1000.0
+
+
+def test_load_merges_txt_rejects_trailing_whitespace(tmp_path):
+    """r12 advice #4: a merge line with trailing spaces/tabs (or a
+    third symbol) would keep the whitespace in the right-hand symbol
+    and silently never apply — reject loudly instead."""
+    from platypus_ingestion_plugins_spark.functions.bpe import (
+        load_merges_txt,
+    )
+
+    for bad in (b"a b \n", b"a b\t\n", b"a\tb\n", b"a b c\n"):
+        p = tmp_path / "merges.txt"
+        p.write_bytes(bad)
+        with pytest.raises(ValueError, match="malformed merge line"):
+            load_merges_txt(str(p))
+    p = tmp_path / "ok.txt"
+    p.write_bytes(b"#version: 0.2\na b\n")
+    assert load_merges_txt(str(p)) == [("a", "b")]
+
+
+def test_semdedup_rejects_zero_max_cluster_size(spark):
+    """r12 advice #5: max_cluster_size=0 must be rejected, not
+    silently read as 'no cap' by truthiness."""
+    emb = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, 0.0])]
+    )
+    with pytest.raises(ValueError, match="max_cluster_size"):
+        similarity.semdedup(emb, threshold=0.9, max_cluster_size=0)
