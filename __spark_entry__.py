@@ -4995,32 +4995,81 @@ FROM b GROUP BY source
 """
 
 
+_BPE_FROZEN = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "tests", "fixtures", "bpe_merges_frozen.txt",
+)
+
+
 def q_bpe_token_count(spark, sf):
-    """REAL BPE token counts (functions/bpe.py): merges learned
-    driver-side from a deterministic 50-doc sample (training is a
-    sample problem by construction — published tokenizers fit on
-    <= GBs), broadcast model-sized to an Arrow-batched apply with a
-    per-batch distinct-word cache. No SQL oracle — iterative subword
-    merging is not ANSI-expressible; the driver records the rows-only
-    check, and the unit suite pins learn+apply against a pure-Python
-    replay and the classic Sennrich corpus."""
+    """REAL BPE token counts (functions/bpe.py) under a FROZEN merge
+    table (tests/fixtures/bpe_merges_frozen.txt — 32 merges learned
+    once by learn_bpe from the sf0.001 fixture and committed; VERDICT
+    r11 task #2). Loading via load_merges_txt exercises the
+    production merges.txt path; the table is broadcast model-sized to
+    an Arrow-batched apply with a per-batch distinct-word cache.
+
+    The oracle is now a FULL value check, not rows-only: for a
+    well-formed merge table (every merge's parts are base chars or
+    earlier merges' outputs — true of any learn_bpe/published table),
+    applying merges sequentially in rank order, each as an exhaustive
+    left-to-right pass, is equivalent to the lowest-rank-first apply
+    loop (a merge can only create pairs involving its output symbol,
+    and any merge consuming that symbol has a higher rank). So the
+    oracle replays encoding as a bounded chain of string replaces
+    over a token-wrapped representation — see _bpe_oracle_sql."""
     from platypus_ingestion_plugins_spark.functions.bpe import (
         bpe_encode,
-        learn_bpe,
+        load_merges_txt,
     )
 
     d = _t(spark, sf, "documents")
-    sample = [
-        r.text
-        for r in d.select("doc_id", "text")
-        .orderBy("doc_id")
-        .limit(50)
-        .collect()
-    ]
-    merges = learn_bpe(sample, n_merges=200)
+    merges = load_merges_txt(_BPE_FROZEN)
     return bpe_encode(d, "text", "doc_id", merges).select(
         "doc_id", "n_bpe_tokens"
     )
+
+
+def _bpe_oracle_sql() -> str:
+    """Generate the BPE replay SQL from the frozen merge table: each
+    word becomes STX-c-ETX per char + STX-</w>-ETX (full wrapping, so
+    adjacent replace matches share no characters and left-to-right
+    non-overlapping replace == leftmost-greedy merge), then one
+    replace() per merge in rank order. Token count per word = count
+    of STX. The fixture corpus is ASCII with no STX/ETX (asserted at
+    freeze time), so the wrap chars cannot collide with text."""
+    from platypus_ingestion_plugins_spark.functions.bpe import (
+        load_merges_txt,
+    )
+
+    stx, etx = "\x02", "\x03"
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = (
+        "array_to_string(list_transform(string_split(w, ''), "
+        f"c -> '{stx}' || c || '{etx}'), '') || '{stx}</w>{etx}'"
+    )
+    for a, b in load_merges_txt(_BPE_FROZEN):
+        expr = (
+            f"replace({expr}, '{esc(stx + a + etx + stx + b + etx)}', "
+            f"'{esc(stx + a + b + etx)}')"
+        )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(coalesce(text, ''), '\\w+|[^\\w\\s]')) AS w
+  FROM documents),
+reps AS (
+  SELECT doc_id, {expr} AS rep FROM words),
+per_doc AS (
+  SELECT doc_id,
+         sum(length(rep) - length(replace(rep, '{stx}', ''))) AS n
+  FROM reps GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
 
 
 def q_corpus_overlap(spark, sf):
@@ -5577,6 +5626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sql = {
+        # generated from the frozen merge fixture (r12: the suite's
+        # last rows-only entry becomes a full value check)
+        "bpe_token_count": _bpe_oracle_sql(),
         "pipeline_clean_corpus": SQL_PIPELINE_CLEAN_CORPUS,
         "line_dedup": SQL_LINE_DEDUP,
         "top_terms_per_group": SQL_TOP_TERMS_PER_GROUP,

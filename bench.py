@@ -107,12 +107,64 @@ def main() -> None:
             mid = len(s) // 2
             med = s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
             variance[name] = {"min": round(s[0], 3), "med": round(med, 3)}
+    # Contention heuristic (VERDICT r11 task #7): driver-run inflation
+    # (other processes sharing the box) has twice triggered a round of
+    # regression forensics. Compare this run's per-query timings to the
+    # tracked sidecar (the last committed, known-uncontended builder
+    # run): the MEDIAN ratio over common queries is robust to a few
+    # real regressions — a genuinely regressed query moves its own
+    # ratio, machine contention moves ALL of them.
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_summary.json")
+    contended = None
+    median_ratio = None
+    sf_key = str(sf)
+    tracked_by_sf: dict = {}
+    try:
+        with open(sidecar) as f:
+            prev = json.load(f)
+        # the tracked reference is the MIN-OF-HISTORY floor, KEYED BY
+        # SF (an sf0.001 smoke run must not become the floor an sf0.1
+        # driver run is judged against), so a contended run that
+        # overwrites the sidecar can never raise — and a cross-sf run
+        # can never lower — the baseline used next time
+        t = prev.get("tracked_queries_by_sf")
+        if isinstance(t, dict):
+            tracked_by_sf = {
+                k: dict(v) for k, v in t.items() if isinstance(v, dict)
+            }
+        elif str(prev.get("sf")) == sf_key and isinstance(
+            prev.get("queries"), dict
+        ):
+            tracked_by_sf = {sf_key: dict(prev["queries"])}
+    except (OSError, ValueError):
+        pass
+    tracked_prev = tracked_by_sf.get(sf_key, {})
+    ratios = sorted(
+        timings[n] / tracked_prev[n]
+        for n in timings
+        if n in tracked_prev and tracked_prev[n] > 0.05
+    )
+    if len(ratios) >= 8:
+        mid = len(ratios) // 2
+        median_ratio = round(
+            ratios[mid] if len(ratios) % 2
+            else (ratios[mid - 1] + ratios[mid]) / 2, 3
+        )
+        contended = median_ratio > 1.25
+    tracked_by_sf[sf_key] = {
+        n: round(min(t, tracked_prev.get(n, t)), 3)
+        for n, t in timings.items()
+    }
     summary = {
         "metric": "sum_query_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "variance_gt2s": variance,
+        "contended": contended,
+        "median_ratio_vs_tracked": median_ratio,
+        "tracked_queries_by_sf": tracked_by_sf,
         "sf": sf,
     }
     # BENCH_r07 AND r08 recorded "parsed": null — the driver tail-captures
@@ -123,8 +175,6 @@ def main() -> None:
     # carries only {"metric","value","unit","sf"} (~80 bytes) so it can
     # never outgrow the capture window regardless of query count.
     full_line = json.dumps(summary, separators=(",", ":"))
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_summary.json")
     try:
         # the sidecar also carries records other harnesses leave there
         # (scripts/sf1_scale_check.py) — merge, don't wipe
@@ -143,7 +193,8 @@ def main() -> None:
         pass  # read-only checkout: stdout lines are still authoritative
     print(full_line, flush=True)
     short = {"metric": "sum_query_wall_sec", "value": total,
-             "unit": "sec", "sf": sf}
+             "unit": "sec", "sf": sf, "contended": contended,
+             "median_ratio_vs_tracked": median_ratio}
     print(json.dumps(short, separators=(",", ":")), flush=True)
 
 

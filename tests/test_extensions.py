@@ -4126,3 +4126,48 @@ def test_semdedup_rejects_zero_max_cluster_size(spark):
     )
     with pytest.raises(ValueError, match="max_cluster_size"):
         similarity.semdedup(emb, threshold=0.9, max_cluster_size=0)
+
+
+def test_bpe_frozen_table_sequential_replay_equivalence():
+    """r12 (VERDICT r11 task #2): the frozen merge fixture's oracle
+    contract — for a well-formed table, sequential rank-order
+    exhaustive replace over a token-wrapped representation equals the
+    lowest-rank-first apply loop. Pure-Python mirror of the generated
+    SQL, over adversarial words (repeats, overlaps, punctuation)."""
+    import os
+
+    from platypus_ingestion_plugins_spark.functions.bpe import (
+        _EOW,
+        encode_word,
+        load_merges_txt,
+    )
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", "bpe_merges_frozen.txt",
+    )
+    merges = load_merges_txt(path)
+    assert len(merges) == 32
+    # well-formedness: every merge part is a base char or an earlier
+    # merge's output — the property the sequential replay relies on
+    produced = set()
+    for a, b in merges:
+        for part in (a, b):
+            assert len(part) == 1 or part == _EOW or part in produced, (
+                a, b, part,
+            )
+        produced.add(a + b)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    def replay(word: str) -> int:
+        rep = "".join(f"\x02{c}\x03" for c in list(word) + [_EOW])
+        for a, b in merges:
+            rep = rep.replace(f"\x02{a}\x03\x02{b}\x03", f"\x02{a}{b}\x03")
+        return rep.count("\x02")
+
+    words = [
+        "the", "theethee", "eee", "erer", "ee", "e", "ow", "owow",
+        "lowering", "!", "don't", "x", "wwww", "inin", "asasas",
+    ]
+    for w in words:
+        assert replay(w) == len(encode_word(w, ranks)), w
