@@ -2248,6 +2248,60 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def q_image_neardup(spark, sf):
+    """Perceptual image near-dup (operators/multimodal.dhash_images +
+    image_neardup_pairs — NEW r12, VERDICT r11 task #3): each doc
+    renders a REAL 16x16 P5 netpbm image (raster = the text repeated
+    to 256 bytes — a deterministic, oracle-replayable synthesis; the
+    header+raster bytes are genuine netpbm built JVM-side), the
+    kernel does a genuine netpbm decode -> 7x10 floor-index resample
+    -> 63-bit horizontal-gradient dHash, and banded blocking (7
+    disjoint 9-bit bands, lossless by pigeonhole for hamming <= 6)
+    finds pairs without the n^2 cross join. The oracle replays the
+    integer pixel lookups, the hash and the EXACT all-pairs filter —
+    so the blocked plan's recall-1 claim is what's actually checked.
+    Near-dup fixture text families produce near-identical rasters,
+    hence hamming-0-to-small image pairs (18 pairs at sf0.01)."""
+    d = _t(spark, sf, "documents")
+    ras = F.expr(
+        "substring(repeat(text, cast(ceil(256.0/length(text)) as int)), 1, 256)"
+    )
+    imgs = d.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("P5\n16 16\n255\n"), "UTF-8"),
+            F.encode(ras, "UTF-8"),
+        ).alias("payload"),
+    )
+    return multimodal.image_neardup_pairs(imgs, max_hamming=6, bands=7)
+
+
+# exact all-pairs replay of the 63-bit dHash: resized pixel (r, c) of
+# the 7x10 grid reads source pixel (r*16//7, c*16//10) of the 16x16
+# raster; raster byte i = text byte i mod len (repeat-then-truncate);
+# bit r*9+c set iff left pixel > right pixel
+SQL_IMAGE_NEARDUP = """
+WITH raster AS (
+  SELECT doc_id,
+         substr(repeat(text, CAST(ceil(256.0 / length(text)) AS INT)), 1, 256) AS ras
+  FROM documents),
+bits AS (
+  SELECT doc_id,
+         CASE WHEN ascii(substr(ras, ((rr.g*16)//7)*16 + (cc.g*16)//10 + 1, 1))
+                 > ascii(substr(ras, ((rr.g*16)//7)*16 + ((cc.g+1)*16)//10 + 1, 1))
+              THEN 1::BIGINT << (rr.g*9 + cc.g) ELSE 0 END AS bit
+  FROM raster,
+       unnest(generate_series(0, 6)) AS rr(g),
+       unnest(generate_series(0, 8)) AS cc(g)),
+hashes AS (
+  SELECT doc_id, sum(bit)::BIGINT AS dhash FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.dhash, b.dhash)) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+"""
+
+
 def q_similarity_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=10, dim=64)
@@ -5484,6 +5538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      (freshest last). semdedup_keep gained the max_cluster_size
     #      param this round with default None = unchanged semantics.
     return {
+        # r12 section 0a: NEW this round (never driver-verified)
+        "image_neardup": q_image_neardup,
         # 0. NEW this round — twenty-three entries, each displacing
         # one r9-tail entry below the cap (first 20 of the r9 cohort
         # make the sweep)
@@ -5629,6 +5685,7 @@ def oracle_sql() -> dict[str, str]:
         # generated from the frozen merge fixture (r12: the suite's
         # last rows-only entry becomes a full value check)
         "bpe_token_count": _bpe_oracle_sql(),
+        "image_neardup": SQL_IMAGE_NEARDUP,
         "pipeline_clean_corpus": SQL_PIPELINE_CLEAN_CORPUS,
         "line_dedup": SQL_LINE_DEDUP,
         "top_terms_per_group": SQL_TOP_TERMS_PER_GROUP,

@@ -1457,17 +1457,35 @@ def simhash_band_keys(
     Shared by the pairwise blocker (simhash_neardup_pairs) and the
     streaming suppressor (neardup_survivors over an accumulated key
     index)."""
-    band_bits = bits // bands
     fp = simhash(df, text_col, id_col, bits)
+    return fingerprint_band_keys(fp, id_col, "simhash", bits, bands)
+
+
+def fingerprint_band_keys(
+    fp: DataFrame, id_col: str, fp_col: str, bits: int, bands: int
+) -> DataFrame:
+    """Disjoint bit-bands of ANY integer fingerprint column as
+    blocking keys: (id, <fp_col>, band, val) — one row per band. The
+    pigeonhole guarantee (two fingerprints within Hamming distance <
+    bands agree on >= 1 band) holds for any fingerprint, so the text
+    SimHash blocker and the image dHash blocker (r12,
+    operators/multimodal.image_neardup_pairs) share this one
+    explode."""
+    if bits % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide the fingerprint width "
+            f"({bits}) so the disjoint bands cover every bit"
+        )
+    band_bits = bits // bands
     return fp.select(
         F.col(id_col),
-        "simhash",
+        fp_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright("simhash", i * band_bits)
+                        F.shiftright(fp_col, i * band_bits)
                         .bitwiseAND(F.lit((1 << band_bits) - 1))
                         .alias("val"),
                     )
@@ -1476,7 +1494,7 @@ def simhash_band_keys(
             )
         ).alias("bk"),
     ).select(
-        id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
+        id_col, fp_col, F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
     )
 
 

@@ -457,3 +457,117 @@ def sample_frames(
             F.transform(idx, lambda i: F.substring(F.col(payload_col).cast("string"), (i - 1) * every_n_bytes + 1, every_n_bytes))
         ).alias("frame_no", "frame"),
     )
+
+
+def dhash_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    grid_w: int = 10,
+    grid_h: int = 7,
+) -> DataFrame:
+    """Perceptual difference hash (dHash) over netpbm payloads:
+    (id, dhash long) — the image-CONTENT near-dup fingerprint the
+    text-side SimHash can't provide (r12; VERDICT r11 task #3).
+
+    Kernel per image (all integer arithmetic, engine-reproducible):
+    netpbm decode -> integer Rec.601 luma for P6 (P5 is already
+    luminance) -> deterministic floor-index nearest-neighbor resample
+    to (grid_h, grid_w) (functions/netpbm.resize_nearest — the exact
+    resize the codec ships) -> bit r*(grid_w-1)+c is 1 iff
+    luma[r][c] > luma[r][c+1]. Default grid 7x10 gives 7*9 = 63
+    comparison bits — deliberately one short of 64 so the hash stays
+    non-negative in a signed 64-bit long and XOR/popcount/banding
+    arithmetic is identical in every engine (no two's-complement
+    edge). Robust to uniform brightness shifts and re-encodes;
+    near-identical images land within a few bits.
+
+    Scale shape: one Arrow-batched mapInPandas crossing (binary in,
+    one long out), no shuffle; the hash then feeds the banded blocker
+    (image_neardup_pairs), never an all-pairs join.
+    """
+    if grid_w < 2 or grid_h < 1:
+        raise ValueError(f"grid must be >= 1x2, got {grid_h}x{grid_w}")
+    bits = grid_h * (grid_w - 1)
+    if bits > 63:
+        raise ValueError(
+            f"{grid_h}x{grid_w} grid needs {bits} bits; max 63 so the "
+            "hash stays non-negative in a signed 64-bit long"
+        )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from platypus_ingestion_plugins_spark.functions import netpbm
+
+        for pdf in batches:
+            hashes = []
+            for buf in pdf[payload_col]:
+                img = netpbm.decode(bytes(buf))
+                if img.shape[2] == 3:
+                    lum = (
+                        299 * img[:, :, 0].astype(np.int64)
+                        + 587 * img[:, :, 1].astype(np.int64)
+                        + 114 * img[:, :, 2].astype(np.int64)
+                    ) // 1000
+                else:
+                    lum = img[:, :, 0].astype(np.int64)
+                small = netpbm.resize_nearest(lum, grid_h, grid_w)
+                h = 0
+                for r in range(grid_h):
+                    for c in range(grid_w - 1):
+                        if small[r][c] > small[r][c + 1]:
+                            h |= 1 << (r * (grid_w - 1) + c)
+                hashes.append(h)
+            yield pd.DataFrame({id_col: pdf[id_col], "dhash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, f"{id_col} long, dhash long"
+    )
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    bands: int = 7,
+    grid_w: int = 10,
+    grid_h: int = 7,
+) -> DataFrame:
+    """Image near-dup pairs by dHash Hamming distance <= max_hamming:
+    (id_a, id_b, hamming). The text SimHash blocker's shape verbatim
+    (operators/dedup.simhash_neardup_pairs), sharing its band-keys
+    explode: with ``bands`` > ``max_hamming`` disjoint bit-bands over
+    the 63-bit hash, two fingerprints inside the Hamming budget agree
+    on >= 1 (band, val) by pigeonhole — blocking is LOSSLESS (recall
+    exactly 1 vs the all-pairs filter, which is what the oracle
+    replays) and the n^2 cross join never happens. Verification is
+    one popcount(XOR) per candidate, run BEFORE the pair-dedup
+    shuffle so only true near-dups pay it."""
+    from platypus_ingestion_plugins_spark.operators.dedup import (
+        fingerprint_band_keys,
+    )
+
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming for lossless blocking")
+    bits = grid_h * (grid_w - 1)
+    fp = dhash_images(df, id_col, payload_col, grid_w, grid_h)
+    keyed = fingerprint_band_keys(fp, id_col, "dhash", bits, bands)
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("dhash").alias("fp_a"), "band", "val"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("dhash").alias("fp_b"), "band", "val"
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )

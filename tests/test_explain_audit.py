@@ -80,6 +80,8 @@ HEADLINE = [
     "corpus_profile",
     "corpus_overlap",
     "pretraining_mix",
+    # r12 additions
+    "image_neardup",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
