@@ -4968,6 +4968,86 @@ def q_quality_classifier(spark, sf):
     )
 
 
+def q_language_classifier(spark, sf):
+    """Trained fastText-style language classifier (NEW r12, VERDICT
+    r11 task #8; Joulin et al. 2016): one-vs-rest logistic regression
+    over hashed CHARACTER trigram features
+    (functions/classifier.char_gram_features — the language signal
+    the stopword heuristic in text.language_id can't see), all K
+    classes fit simultaneously keyed on (class, bucket) with the
+    quality_classifier determinism contract (zero init, 9-dp-rounded
+    gradients), then the corpus scored and argmax'd with 6-dp margins
+    and lexicographic tie-break. The oracle replays BOTH training
+    iterations in closed form and the scoring pass — the full
+    train-then-predict cycle is value-checked, not just scoring."""
+    from platypus_ingestion_plugins_spark.functions.classifier import (
+        char_gram_features,
+        predict_ovr,
+        train_logreg_ovr,
+    )
+
+    d = _t(spark, sf, "documents")
+    feats = char_gram_features(d, "text", "doc_id", n=3, dim=2048)
+    w = train_logreg_ovr(
+        feats, d.select("doc_id", "lang"), "doc_id", "lang", iters=2
+    )
+    return predict_ovr(feats, w, "doc_id", out_col="pred_lang")
+
+
+SQL_LANGUAGE_CLASSIFIER = """
+WITH cls AS (SELECT DISTINCT lang AS c FROM documents),
+chars AS (SELECT doc_id, lower(text) AS lt FROM documents),
+g AS (
+  SELECT doc_id, substr(lt, i.g, 3) AS gr
+  FROM chars, unnest(generate_series(1, length(lt) - 2)) AS i(g)
+  WHERE length(lt) >= 3),
+b AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(gr), 1, 15)) AS BIGINT) % 2048 AS bucket
+      FROM g),
+f0 AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY doc_id, bucket),
+tl AS (SELECT doc_id, sum(cnt) AS n FROM f0 GROUP BY doc_id),
+f AS (SELECT f0.doc_id, bucket, cnt::DOUBLE / n AS val
+      FROM f0 JOIN tl USING (doc_id)),
+lab AS (SELECT doc_id, lang FROM documents),
+nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM f JOIN lab USING (doc_id)),
+g1 AS (
+  SELECT cls.c, bucket,
+         round(sum(val * (0.5 - CASE WHEN lab.lang = cls.c
+                                     THEN 1.0 ELSE 0.0 END))
+               / nn.n_docs, 9) AS gr
+  FROM f JOIN lab USING (doc_id) CROSS JOIN cls, nn
+  GROUP BY cls.c, bucket, nn.n_docs),
+w1 AS (SELECT c, bucket, -gr AS w FROM g1),
+m2 AS (
+  SELECT f.doc_id, cls.c, sum(val * coalesce(w1.w, 0)) AS m
+  FROM f CROSS JOIN cls
+  LEFT JOIN w1 ON w1.c = cls.c AND w1.bucket = f.bucket
+  GROUP BY f.doc_id, cls.c),
+e2 AS (
+  SELECT m2.doc_id, m2.c,
+         1.0 / (1.0 + exp(-m)) - CASE WHEN lab.lang = m2.c
+                                      THEN 1.0 ELSE 0.0 END AS e
+  FROM m2 JOIN lab USING (doc_id)),
+g2 AS (
+  SELECT e2.c, f.bucket, round(sum(f.val * e2.e) / nn.n_docs, 9) AS gr
+  FROM f JOIN e2 USING (doc_id), nn GROUP BY e2.c, f.bucket, nn.n_docs),
+w2 AS (
+  SELECT coalesce(w1.c, g2.c) AS c,
+         coalesce(w1.bucket, g2.bucket) AS bucket,
+         coalesce(w1.w, 0) - coalesce(g2.gr, 0) AS w
+  FROM w1 FULL JOIN g2 ON w1.c = g2.c AND w1.bucket = g2.bucket),
+sm AS (
+  SELECT f.doc_id, w2.c, round(sum(f.val * w2.w), 6) AS margin
+  FROM f JOIN w2 USING (bucket) GROUP BY f.doc_id, w2.c),
+rk AS (
+  SELECT doc_id, c, margin,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY margin DESC, c ASC) AS rn
+  FROM sm)
+SELECT doc_id, c AS pred_lang, margin FROM rk WHERE rn = 1
+"""
+
+
 SQL_QUALITY_CLASSIFIER = """
 WITH arr AS (
   SELECT doc_id,
@@ -5540,6 +5620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r12 section 0a: NEW this round (never driver-verified)
         "image_neardup": q_image_neardup,
+        "language_classifier": q_language_classifier,
         # 0. NEW this round — twenty-three entries, each displacing
         # one r9-tail entry below the cap (first 20 of the r9 cohort
         # make the sweep)
@@ -5686,6 +5767,7 @@ def oracle_sql() -> dict[str, str]:
         # last rows-only entry becomes a full value check)
         "bpe_token_count": _bpe_oracle_sql(),
         "image_neardup": SQL_IMAGE_NEARDUP,
+        "language_classifier": SQL_LANGUAGE_CLASSIFIER,
         "pipeline_clean_corpus": SQL_PIPELINE_CLEAN_CORPUS,
         "line_dedup": SQL_LINE_DEDUP,
         "top_terms_per_group": SQL_TOP_TERMS_PER_GROUP,

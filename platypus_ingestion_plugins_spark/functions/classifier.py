@@ -184,3 +184,176 @@ def score_logreg(
             ),
         )
     )
+
+
+def char_gram_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    dim: int = 1 << 11,
+) -> DataFrame:
+    """Sparse L1-normalized hashed CHARACTER n-gram features:
+    (id, bucket, val) — the fastText-style language-ID signal (char
+    n-grams separate languages far better than word grams; Joulin et
+    al. 2016). Same engine-independent md5-half bucket convention as
+    the word-gram features (``operators/dsir._gram_buckets``), so an
+    external SQL engine replays every feature id; all Catalyst
+    expressions, no UDF. Documents shorter than ``n`` chars produce
+    no rows (the ``when`` guard — Spark's ``sequence`` would
+    otherwise DESCEND for stop < start and mint phantom grams)."""
+    c = F.lower(F.col(text_col))
+    grams = F.when(
+        F.length(c) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - n + 1),
+            lambda i: c.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    buckets = F.transform(
+        grams,
+        lambda g: F.pmod(
+            F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+            F.lit(dim),
+        ),
+    )
+    grams_df = df.select(
+        F.col(id_col), F.explode(buckets).alias("bucket")
+    )
+    counts = grams_df.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    from pyspark.sql.window import Window
+
+    tot = F.sum("__c").over(Window.partitionBy(id_col))
+    return counts.select(
+        id_col, "bucket", (F.col("__c") / tot).alias("val")
+    )
+
+
+def train_logreg_ovr(
+    features: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    class_col: str,
+    iters: int = 2,
+    lr: float = 1.0,
+) -> list[tuple[str, int, float]]:
+    """One-vs-rest multiclass training: K binary logistic models fit
+    SIMULTANEOUSLY by keying every frame on (class, bucket) — one
+    broadcast-classes expansion, one groupBy(class, bucket) gradient
+    and one (K x dim)-bounded collect per iteration, regardless of K.
+    Same determinism contract as ``train_logreg``: zero init (so
+    iteration 1's sigmoid is exactly 0.5 and the oracle replays it in
+    closed form), 9-dp-rounded gradients pinning every iterate across
+    engines. Returns (class, bucket, weight) rows, driver-held.
+    NULL-class rows are excluded (the ``train_logreg`` rationale)."""
+    spark = features.sparkSession
+    lab = labels.select(
+        F.col(id_col), F.col(class_col).alias("__cls")
+    ).filter(F.col("__cls").isNotNull())
+    classes = sorted(r[0] for r in lab.select("__cls").distinct().collect())
+    if not classes:
+        return []
+    cls_df = F.broadcast(
+        spark.createDataFrame([(c,) for c in classes], "__c string")
+    )
+    # (id, bucket, val, __cls actual, __c candidate, __y) — the OVR
+    # label matrix, K rows per feature row
+    fl = (
+        features.join(lab, id_col)
+        .crossJoin(cls_df)
+        .withColumn(
+            "__y", (F.col("__cls") == F.col("__c")).cast("double")
+        )
+        .persist()
+    )
+    try:
+        n_docs = fl.select(id_col).distinct().count()
+        w: dict[tuple[str, int], float] = {}
+        for _ in range(int(iters)):
+            if w:
+                wdf = F.broadcast(
+                    spark.createDataFrame(
+                        [(c, b, x) for (c, b), x in sorted(w.items())],
+                        "__c string, bucket long, __w double",
+                    )
+                )
+                margins = (
+                    fl.join(wdf, ["__c", "bucket"], "left")
+                    .groupBy(id_col, "__c", "__y")
+                    .agg(
+                        F.sum(
+                            F.col("val") * F.coalesce("__w", F.lit(0.0))
+                        ).alias("__m")
+                    )
+                )
+                err = margins.select(
+                    id_col,
+                    "__c",
+                    (
+                        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m")))
+                        - F.col("__y")
+                    ).alias("__e"),
+                )
+                graded = fl.join(err, [id_col, "__c"])
+            else:
+                graded = fl.withColumn("__e", F.lit(0.5) - F.col("__y"))
+            grad = (
+                graded.groupBy("__c", "bucket")
+                .agg(
+                    F.round(
+                        F.sum(F.col("val") * F.col("__e"))
+                        / F.lit(float(n_docs)),
+                        9,
+                    ).alias("__g")
+                )
+                .collect()
+            )
+            for r in grad:
+                key = (r["__c"], r.bucket)
+                w[key] = w.get(key, 0.0) - lr * r["__g"]
+    finally:
+        fl.unpersist()
+    return sorted((c, b, x) for (c, b), x in w.items())
+
+
+def predict_ovr(
+    features: DataFrame,
+    weights: list[tuple[str, int, float]] | DataFrame,
+    id_col: str,
+    out_col: str = "pred_class",
+) -> DataFrame:
+    """Argmax-margin class per document: (id, <out_col>, margin). One
+    broadcast weights join + one partial-aggregatable groupBy + one
+    per-doc window — the corpus pass is map-side like
+    ``score_logreg``. Margins are 6-dp-rounded BEFORE the argmax and
+    ties break on the lexicographically smallest class, so the
+    prediction is deterministic across engines, partitionings and
+    summation orders."""
+    from pyspark.sql.window import Window
+
+    spark = features.sparkSession
+    wdf = (
+        weights
+        if isinstance(weights, DataFrame)
+        else spark.createDataFrame(
+            [(c, int(b), float(x)) for c, b, x in weights],
+            "__c string, bucket long, __w double",
+        )
+    )
+    margins = (
+        features.join(F.broadcast(wdf), "bucket")
+        .groupBy(id_col, "__c")
+        .agg(F.round(F.sum(F.col("val") * F.col("__w")), 6).alias("margin"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(
+            F.col("margin").desc(), F.col("__c").asc()
+        )
+    )
+    return (
+        margins.withColumn("__rn", rn)
+        .filter(F.col("__rn") == 1)
+        .select(id_col, F.col("__c").alias(out_col), "margin")
+    )

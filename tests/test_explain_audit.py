@@ -245,3 +245,24 @@ def test_classifier_scoring_plan(spark, sf_dir):
     assert "BroadcastExchange" in p, p
     assert "BatchEvalPython" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_language_classifier_scoring_plan(spark, sf_dir):
+    """predict_ovr's corpus pass (r12): broadcast the (K x dim)
+    weight table, no row-at-a-time Python, no cross join — audited
+    without training like test_classifier_scoring_plan."""
+    from platypus_ingestion_plugins_spark.functions.classifier import (
+        char_gram_features,
+        predict_ovr,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = char_gram_features(docs, "text", "doc_id", n=3, dim=2048)
+    p = _formatted_plan(
+        predict_ovr(
+            feats, [("en", 1, 0.5), ("de", 2, -0.25)], "doc_id"
+        )
+    )
+    assert "BroadcastExchange" in p, p
+    assert "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
