@@ -200,3 +200,42 @@ def test_seq_rowgroup_stats_pruning(spark, tmp_path):
         F.col("_snapshot").isin(7, 9)
     )
     assert none.count() == 0
+
+
+def test_stream_reader_is_executor_parallel(spark, cdc_path):
+    """r12 (VERDICT r11 task #4): the stream reader is the full
+    DataSourceStreamReader protocol — the driver only lists
+    (latestOffset/partitions are metadata-only, one InputPartition
+    per data file) and read() streams Arrow RecordBatches on
+    executors, never driver-materialized row tuples."""
+    import pyarrow as pa
+    from pyspark.sql.datasource import (
+        DataSourceStreamReader,
+        SimpleDataSourceStreamReader,
+    )
+
+    from platypus_ingestion_plugins_spark.sources.cdc_format import (
+        CdcTableStreamReader,
+        _list_parquet_files,
+        _list_snapshot_dirs,
+    )
+
+    ds = CdcTableDataSource({"path": cdc_path})
+    reader = ds.streamReader(ds.schema())
+    assert isinstance(reader, DataSourceStreamReader)
+    assert not isinstance(reader, SimpleDataSourceStreamReader)
+    assert isinstance(reader, CdcTableStreamReader)
+    assert reader.latestOffset() == {"snapshot": 3}
+    n_files = sum(
+        len(_list_parquet_files(cdc_path, d))
+        for s, d in _list_snapshot_dirs(cdc_path)
+        if s > 1
+    )
+    parts = reader.partitions({"snapshot": 1}, {"snapshot": 3})
+    assert len(parts) == n_files and all(p.file_path for p in parts)
+    batches = list(reader.read(parts[0]))
+    assert batches and all(isinstance(b, pa.RecordBatch) for b in batches)
+    assert {b.schema.names[-1] for b in batches} == {"_snapshot"}
+    # empty range: the sentinel partition yields nothing
+    empty = reader.partitions({"snapshot": 3}, {"snapshot": 3})
+    assert len(empty) == 1 and not list(reader.read(empty[0]))
