@@ -5569,115 +5569,28 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the least-recently-driver-verified queries come FIRST
     # (the driver caps each round's oracle sweep at 50 entries, so dict
-    # order IS verification priority — r11 rotation, VERDICT r10 task
-    # #1, dict comments cross-checked against CORRECTNESS_r08/r09/r10):
-    #   0. NEW this round (never driver-verified): mixture_plan,
-    #      stream_profile,
-    #      pretraining_mix,
-    #      corpus_overlap,
-    #      tar_scrub, corpus_profile,
-    #      bpe_token_count (rows-only by design), quality_classifier,
-    #      url_dedup,
-    #      paragraph_dedup, c4_filter,
-    #      bigram_logprob, stratified_interleave, semdedup_kmeans,
-    #      avro_roundtrip, budget_select, exact_substring_dedup,
-    #      stream_exact_substring_dedup, weighted_sample,
-    #      line_dedup_by_source, perplexity_buckets, dsir_select,
-    #      gopher_quality,
-    #   1. the seven entries last green in CORRECTNESS_r08 — two rounds
-    #      stale, the verdict's explicit lead list. This includes
-    #      multimodal_external_meta, which the r10 comment mis-filed as
-    #      "r9-verified": it is NOT in CORRECTNESS_r09.json; its last
-    #      driver green is r8.
-    #   2. the 49 entries last green in CORRECTNESS_r09 (the r9 sweep
-    #      minus fuzzy_join, which r10 re-verified under its new
-    #      leading-typo oracle), in r9 file order. Sections 0-2 = 79,
-    #      so the 50-cap verifies section 0+1 and the first 20 of the
-    #      r9 cohort; the LAST TWENTY-NINE r9 entries
-    #      (multimodal_resize, pivot_event_counts,
-    #      range_join_bands, sessionize, sink_array_json,
-    #      sink_typed_strings, stratified_sample, text_language_id,
-    #      text_quality_filter, text_stats, match_all_topk,
-    #      match_all_offset, term, term_in_set, fulltext_match,
-    #      fulltext_ranked, fulltext_tfidf, fulltext_bm25,
-    #      fulltext_phrase, term_prefix, hit_count,
-    #      multivalued_contains, pipeline_clean_corpus, line_dedup,
-    #      top_terms_per_group, hashed_bow_embedding,
-    #      stream_line_dedup, bow_knn, quality_autocalibrated_filter)
-    #      are DEFERRED and must lead r12. All twenty-nine were
-    #      re-verified green by targeted check_oracle runs this round
-    #      (SURVEY §5), so none enters r12 with an unchecked
-    #      regression window.
-    #      serving_compact / stream_cdc_materialize /
-    #      stream_agg_materialize sit in this section AND had their
-    #      harness prep changed this round (_median_split evaluates the
-    #      median once via localCheckpoint — same exact-median split
-    #      VALUE, so oracle-neutral; re-verified by targeted
-    #      check_oracle runs, SURVEY §5) — they are inside the r11 cap.
-    #   3. the 50 entries CORRECTNESS_r10 verified, in r10 file order
-    #      (freshest last). semdedup_keep gained the max_cluster_size
-    #      param this round with default None = unchanged semantics.
+    # order IS verification priority — r12 rotation, VERDICT r11 task
+    # #1, recomputed from the CORRECTNESS_r09/r10/r11 files):
+    #   0. NEW or newly-oracled this round (never driver-value-checked):
+    #      image_neardup, language_classifier (new r12 operators) and
+    #      bpe_token_count (rows-only until r11; its frozen-merge-table
+    #      oracle is new this round, so it re-enters as unverified).
+    #   1. the 29 entries last driver-green in CORRECTNESS_r09 — two
+    #      driver-rounds stale, the r11 verdict's explicit lead list.
+    #   2. the 47 remaining r10-cohort entries in CORRECTNESS_r10 file
+    #      order. Sections 0-2 = 79; the 50-cap verifies sections 0+1
+    #      and the FIRST 18 of the r10 cohort (through dedup_groups);
+    #      the remaining 29 r10 entries are deferred and must lead r13
+    #      together with whatever r12 defers.
+    #   3. the 49 entries CORRECTNESS_r11 verified (minus
+    #      bpe_token_count, moved to section 0), in r11 file order —
+    #      the freshest cohort, last.
     return {
-        # r12 section 0a: NEW this round (never driver-verified)
+        # 0. NEW r12 / newly-oracled (lead the sweep)
         "image_neardup": q_image_neardup,
         "language_classifier": q_language_classifier,
-        # 0. NEW this round — twenty-three entries, each displacing
-        # one r9-tail entry below the cap (first 20 of the r9 cohort
-        # make the sweep)
-        "mixture_plan": q_mixture_plan,
-        "stream_profile": q_stream_profile,
-        "pretraining_mix": q_pretraining_mix,
-        "corpus_overlap": q_corpus_overlap,
-        "tar_scrub": q_tar_scrub,
-        "corpus_profile": q_corpus_profile,
         "bpe_token_count": q_bpe_token_count,
-        "quality_classifier": q_quality_classifier,
-        "url_dedup": q_url_dedup,
-        "paragraph_dedup": q_paragraph_dedup,
-        "c4_filter": q_c4_filter,
-        "bigram_logprob": q_bigram_logprob,
-        "stratified_interleave": q_stratified_interleave,
-        "semdedup_kmeans": q_semdedup_kmeans,
-        "avro_roundtrip": q_avro_roundtrip,
-        "budget_select": q_budget_select,
-        "exact_substring_dedup": q_exact_substring_dedup,
-        "stream_exact_substring_dedup": q_stream_exact_substring_dedup,
-        "weighted_sample": q_weighted_sample,
-        "line_dedup_by_source": q_line_dedup_by_source,
-        "perplexity_buckets": q_perplexity_buckets,
-        "dsir_select": q_dsir_select,
-        "gopher_quality": q_gopher_quality,
-        # 1. last green r8 — two rounds stale, lead the sweep
-        "window_topk_per_group": q_window_topk_per_group,
-        "heavy_hitters_sketch": q_heavy_hitters_sketch,
-        "sliding_counts": q_sliding_counts,
-        "semi_join": q_semi_join,
-        "set_except": q_set_except,
-        "tpch_q6ish": q_tpch_q6ish,
-        "multimodal_external_meta": q_multimodal_external_meta,
-        # 2. last green r9 (CORRECTNESS_r09 order, minus fuzzy_join)
-        "stream_dedup_exact": q_stream_dedup_exact,
-        "stream_agg_materialize": q_stream_agg_materialize,
-        "stream_sessionize": q_stream_sessionize,
-        "cdc_last_wins": q_cdc_last_wins,
-        "flatten_rename_drop": q_flatten_rename_drop,
-        "shard_modulo": q_shard_modulo,
-        "agg_rollup": q_agg_rollup,
-        "anti_join": q_anti_join,
-        "serving_compact": q_serving_compact,
-        "decontam_flags": q_decontam_flags,
-        "pii_scrub": q_pii_scrub,
-        "unigram_logprob": q_unigram_logprob,
-        "temperature_mix": q_temperature_mix,
-        "asof_join": q_asof_join,
-        "cube_agg": q_cube_agg,
-        "dataset_split": q_dataset_split,
-        "hourly_agg": q_hourly_agg,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_meta": q_multimodal_meta,
-        # --- the r11 50-cap lands here (23 new + 7 r8 + first 20 of
-        # --- r9); everything below is deferred and must LEAD r12
+        # 1. last driver-green r9 — two rounds stale (VERDICT r11 lead list)
         "multimodal_resize": q_multimodal_resize,
         "pivot_event_counts": q_pivot_event_counts,
         "range_join_bands": q_range_join,
@@ -5707,7 +5620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_line_dedup": q_stream_line_dedup,
         "bow_knn": q_bow_knn,
         "quality_autocalibrated_filter": q_quality_autocalibrated_filter,
-        # 3. last green r10 (CORRECTNESS_r10 order, freshest cohort)
+        # 2. r10 cohort, CORRECTNESS_r10 file order
         "cdc_format_last_wins": q_cdc_format_last_wins,
         "embedding_decontam": q_embedding_decontam,
         "semdedup_keep": q_semdedup_keep,
@@ -5726,6 +5639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "jaccard_join": q_jaccard_join,
         "dedup_groups": q_dedup_groups,
+        # --- the r12 50-cap lands HERE: everything below is deferred
         "bloom_decontam": q_bloom_decontam,
         "dedup_survivors": q_dedup_survivors,
         "winnow_overlap": q_winnow_overlap,
@@ -5758,6 +5672,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_segment_revenue": q_join_segment_revenue,
         "event_gaps": q_event_gaps,
         "percentiles": q_percentiles,
+        # 3. last green r11 (CORRECTNESS_r11 order, freshest cohort)
+        "mixture_plan": q_mixture_plan,
+        "stream_profile": q_stream_profile,
+        "pretraining_mix": q_pretraining_mix,
+        "corpus_overlap": q_corpus_overlap,
+        "tar_scrub": q_tar_scrub,
+        "corpus_profile": q_corpus_profile,
+        "quality_classifier": q_quality_classifier,
+        "url_dedup": q_url_dedup,
+        "paragraph_dedup": q_paragraph_dedup,
+        "c4_filter": q_c4_filter,
+        "bigram_logprob": q_bigram_logprob,
+        "stratified_interleave": q_stratified_interleave,
+        "semdedup_kmeans": q_semdedup_kmeans,
+        "avro_roundtrip": q_avro_roundtrip,
+        "budget_select": q_budget_select,
+        "exact_substring_dedup": q_exact_substring_dedup,
+        "stream_exact_substring_dedup": q_stream_exact_substring_dedup,
+        "weighted_sample": q_weighted_sample,
+        "line_dedup_by_source": q_line_dedup_by_source,
+        "perplexity_buckets": q_perplexity_buckets,
+        "dsir_select": q_dsir_select,
+        "gopher_quality": q_gopher_quality,
+        "window_topk_per_group": q_window_topk_per_group,
+        "heavy_hitters_sketch": q_heavy_hitters_sketch,
+        "sliding_counts": q_sliding_counts,
+        "semi_join": q_semi_join,
+        "set_except": q_set_except,
+        "tpch_q6ish": q_tpch_q6ish,
+        "multimodal_external_meta": q_multimodal_external_meta,
+        "stream_dedup_exact": q_stream_dedup_exact,
+        "stream_agg_materialize": q_stream_agg_materialize,
+        "stream_sessionize": q_stream_sessionize,
+        "cdc_last_wins": q_cdc_last_wins,
+        "flatten_rename_drop": q_flatten_rename_drop,
+        "shard_modulo": q_shard_modulo,
+        "agg_rollup": q_agg_rollup,
+        "anti_join": q_anti_join,
+        "serving_compact": q_serving_compact,
+        "decontam_flags": q_decontam_flags,
+        "pii_scrub": q_pii_scrub,
+        "unigram_logprob": q_unigram_logprob,
+        "temperature_mix": q_temperature_mix,
+        "asof_join": q_asof_join,
+        "cube_agg": q_cube_agg,
+        "dataset_split": q_dataset_split,
+        "hourly_agg": q_hourly_agg,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_meta": q_multimodal_meta,
     }
 
 

@@ -320,6 +320,14 @@ def export_tar_shards(
     deletion touches are re-written and re-hashed.
     """
     exts = dict(content_cols)
+    if len(set(exts.values())) != len(exts):
+        # two columns sharing an extension would write colliding
+        # {key}.{ext} member names inside the tar (last write wins
+        # silently) AND break the scrub path's ext->column inversion
+        # (r12 review #2) — refuse at export time
+        raise ValueError(
+            f"content_cols extensions must be unique, got {exts}"
+        )
     str_cols = {
         c for c, f in dict(df.dtypes).items() if c in exts and f == "string"
     }
@@ -936,12 +944,15 @@ def scrub_tar_shards(
         # re-hash and re-swap the hash-target shards on every run —
         # O(shard) I/O and a needless crash window per phantom id
         # (r11 review 3rd pass #4). The persist means the hit count
-        # and the rewrite share one physical read.
-        n_hits = back.filter(F.col("__k").isin(id_strs)).count()
+        # and the rewrite share one physical read. Membership is a
+        # broadcast semi/anti join against the ids frame, not an
+        # isin() literal — a million-key deletion list as an
+        # expression tree would choke the planner (r12 review #1).
+        n_hits = back.join(F.broadcast(ids_df), "__k", "left_semi").count()
         if n_hits == 0:
             return {"affected_shards": touched, "rewritten": 0,
                     "dropped_shards": [], "n_deleted": 0}
-        kept = back.filter(~F.col("__k").isin(id_strs))
+        kept = back.join(F.broadcast(ids_df), "__k", "left_anti")
         preserve = {
             e["name"]: e for s, e in entries.items() if s not in touched
         }

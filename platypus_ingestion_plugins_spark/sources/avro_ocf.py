@@ -388,13 +388,37 @@ def export_avro_ocf(
         _out.write(generation.encode("utf-8"))
     # sentinel is UP before the action: tasks move finals into place
     # as they finish, so a reader racing the export would otherwise
-    # see a mixed old/new directory with no tell
-    manifest = assigned.mapInArrow(write_shards, out_schema).collect()
-    _sweep_after_export(
-        _drv_fs, _drv_inner, sentinel_base,
-        keep={f"part-{int(m.shard):05d}.avro" for m in manifest},
-        stale_after_s=stale_after_s,
-    )
+    # see a mixed old/new directory with no tell. The write action can
+    # outlive stale_after_s at scale, and a CONCURRENT export's sweep
+    # clears foreign sentinels past that horizon — so a driver-side
+    # daemon re-touches the sentinel every stale_after_s/4 while the
+    # action runs (r12 review #3, the tar swap-loop heartbeat's
+    # sibling for an action-shaped window). A crashed driver stops
+    # beating and the sentinel ages out as before.
+    import threading as _threading
+
+    _hb_stop = _threading.Event()
+
+    def _heartbeat():
+        while not _hb_stop.wait(max(1.0, stale_after_s / 4.0)):
+            try:
+                with _drv_fs.open_output_stream(sentinel) as _o:
+                    _o.write(generation.encode("utf-8"))
+            except OSError:
+                pass  # transient fs hiccup: the next beat retries
+
+    _hb = _threading.Thread(target=_heartbeat, daemon=True)
+    _hb.start()
+    try:
+        manifest = assigned.mapInArrow(write_shards, out_schema).collect()
+        _sweep_after_export(
+            _drv_fs, _drv_inner, sentinel_base,
+            keep={f"part-{int(m.shard):05d}.avro" for m in manifest},
+            stale_after_s=stale_after_s,
+        )
+    finally:
+        _hb_stop.set()
+        _hb.join(timeout=5)
     _drv_fs.delete_file(sentinel)
     return manifest
 

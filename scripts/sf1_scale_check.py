@@ -49,6 +49,17 @@ COHORT = [
     "bigram_logprob",
     "quality_classifier",
     "paragraph_dedup",
+    # r12 additions (VERDICT r11 task #5): the streaming/stateful
+    # heavyweights — the checkpointed two-drop profile (three mergeable
+    # states under the staged-swap commit) and streaming ExactSubstr
+    # (span-count index appends + pruned reads, ~1.2M keys/drop at
+    # sf0.1) — plus the O(touched-shards) GDPR tar scrub, and the two
+    # new r12 operators (dHash banding; OVR classifier train+score)
+    "stream_profile",
+    "stream_exact_substring_dedup",
+    "tar_scrub",
+    "image_neardup",
+    "language_classifier",
 ]
 
 
