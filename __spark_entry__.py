@@ -3766,6 +3766,72 @@ FROM b, unnest(generate_series(1, nf)) AS t(i)
 """
 
 
+def q_audio_stats(spark, sf):
+    """Audio feature extraction over REAL framed s16le PCM payloads
+    (operators/multimodal.audio_stats + functions/pcm.py — NEW r12,
+    the audio twin of the netpbm image path): each doc synthesizes a
+    deterministic 128-sample clip (sample i = (ascii(text byte
+    i mod len) - 80) * 250 at 1600 Hz — SQL-replayable synthesis, the
+    image_neardup raster convention on the time axis), the kernel
+    does a genuine PCM encode -> decode -> integer stats pass, and
+    the oracle computes the same numbers from the text in closed form
+    — so the framing, decode and every stat are value-checked through
+    the real codec. All integer arithmetic (floor-ms duration,
+    sum-of-squares loudness, nonzero-sign zero-crossing convention)."""
+    from platypus_ingestion_plugins_spark.operators.multimodal import (
+        audio_stats,
+    )
+
+    d = _t(spark, sf, "documents")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from platypus_ingestion_plugins_spark.functions import pcm
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = np.frombuffer((t or " ").encode(), dtype=np.uint8)
+                idx = np.arange(128) % len(b)
+                v = ((b[idx].astype(np.int64) - 80) * 250).astype("int16")
+                payloads.append(pcm.encode(v, rate=1600))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    clips = d.select("doc_id", "text").mapInPandas(
+        synth, "doc_id long, payload binary"
+    )
+    return audio_stats(clips).select(
+        "doc_id", "duration_ms", "sumsq", "peak", "zero_crossings"
+    )
+
+
+SQL_AUDIO_STATS = """
+WITH s AS (
+  SELECT doc_id, i.g AS i,
+         CAST((ascii(substr(text, (i.g % length(text)) + 1, 1)) - 80) * 250
+              AS BIGINT) AS v
+  FROM documents, unnest(generate_series(0, 127)) AS i(g)),
+base AS (
+  SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS sumsq,
+         max(abs(v)) AS peak
+  FROM s GROUP BY doc_id),
+nz AS (SELECT doc_id, i, sign(v) AS sg FROM s WHERE v <> 0),
+cr AS (
+  SELECT doc_id,
+         CASE WHEN sg <> lag(sg) OVER (PARTITION BY doc_id ORDER BY i)
+              THEN 1 ELSE 0 END AS c
+  FROM nz),
+zc AS (SELECT doc_id, sum(c) AS zero_crossings FROM cr GROUP BY doc_id)
+SELECT b.doc_id, CAST(80 AS BIGINT) AS duration_ms, b.sumsq, b.peak,
+       CAST(coalesce(zc.zero_crossings, 0) AS BIGINT) AS zero_crossings
+FROM base b LEFT JOIN zc USING (doc_id)
+"""
+
+
 def q_multimodal_external_meta(spark, sf):
     """Pointer-to-object-store round trip as an oracle query: payloads
     over 256 bytes externalize to packed per-partition blobs, the
@@ -5589,6 +5655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 0. NEW r12 / newly-oracled (lead the sweep)
         "image_neardup": q_image_neardup,
         "language_classifier": q_language_classifier,
+        "audio_stats": q_audio_stats,
         "bpe_token_count": q_bpe_token_count,
         # 1. last driver-green r9 — two rounds stale (VERDICT r11 lead list)
         "multimodal_resize": q_multimodal_resize,
@@ -5732,6 +5799,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": _bpe_oracle_sql(),
         "image_neardup": SQL_IMAGE_NEARDUP,
         "language_classifier": SQL_LANGUAGE_CLASSIFIER,
+        "audio_stats": SQL_AUDIO_STATS,
         "pipeline_clean_corpus": SQL_PIPELINE_CLEAN_CORPUS,
         "line_dedup": SQL_LINE_DEDUP,
         "top_terms_per_group": SQL_TOP_TERMS_PER_GROUP,

@@ -571,3 +571,110 @@ def image_neardup_pairs(
         .select("id_a", "id_b", "hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sumsq", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-clip audio features over framed s16le PCM payloads
+    (functions/pcm.py — the audio twin of the netpbm image path, r12):
+    frame count, exact floor-milliseconds duration, integer
+    sum-of-squares (the loudness sufficient statistic), peak
+    amplitude and zero-crossing count — all integer arithmetic, so an
+    external engine replays every number from the same bytes.
+
+    Scale shape: one Arrow-batched mapInPandas crossing (binary in,
+    six longs out), no shuffle — the audio-quality filter stage of a
+    multimodal pipeline (silence/clipping/duration gates compose as
+    plain column predicates downstream)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from platypus_ingestion_plugins_spark.functions import pcm
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                s = pcm.stats(bytes(buf))
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "n_samples": s["n_samples"],
+                        "sample_rate": s["sample_rate"],
+                        "duration_ms": s["duration_ms"],
+                        "sumsq": s["sumsq"],
+                        "peak": s["peak"],
+                        "zero_crossings": s["zero_crossings"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, AUDIO_STATS_SCHEMA
+    )
+
+
+def audio_resample(
+    df: DataFrame,
+    new_rate: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Deterministic nearest-neighbor PCM resample stage (the audio
+    twin of multimodal.resize): decode -> floor-index time resample ->
+    re-encode, byte-deterministic (functions/pcm.resample_nearest).
+    Output: (id, payload, orig_samples, resampled_samples)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from platypus_ingestion_plugins_spark.functions import pcm
+
+        for pdf in batches:
+            payloads, orig, res = [], [], []
+            for buf in pdf[payload_col]:
+                raw = bytes(buf)
+                arr, _, _ = pcm.decode(raw)
+                out = pcm.resample_nearest(raw, new_rate)
+                oarr, _, _ = pcm.decode(out)
+                payloads.append(out)
+                orig.append(arr.shape[0])
+                res.append(oarr.shape[0])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "orig_samples": orig,
+                    "resampled_samples": res,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, RESIZED_SCHEMA_AUDIO
+    )
+
+
+RESIZED_SCHEMA_AUDIO = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("orig_samples", T.LongType()),
+        T.StructField("resampled_samples", T.LongType()),
+    ]
+)

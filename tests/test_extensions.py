@@ -4436,3 +4436,85 @@ def test_export_tar_rejects_duplicate_extensions(spark, tmp_path):
         export_tar_shards(
             df, str(tmp_path / "t"), "k", {"a": "txt", "b": "txt"}, 2
         )
+
+
+def test_pcm_codec_roundtrip_and_stats():
+    """r12: the pure-numpy PCM audio codec (the netpbm twin). Encode/
+    decode round-trips bytes exactly; stats are integer-deterministic;
+    malformed payloads fail loudly."""
+    import numpy as np
+
+    from platypus_ingestion_plugins_spark.functions import pcm
+
+    s = np.array([0, 1000, -1000, 2000, 0, -2000, 32767, -32768],
+                 dtype="int16")
+    raw = pcm.encode(s, rate=8000)
+    arr, rate, ch = pcm.decode(raw)
+    assert rate == 8000 and ch == 1
+    assert np.array_equal(arr[:, 0], s)
+    st = pcm.stats(raw)
+    assert st["n_samples"] == 8 and st["duration_ms"] == 1
+    assert st["sumsq"] == int((s.astype("int64") ** 2).sum())
+    assert st["peak"] == 32768
+    # sign sequence ignoring zeros: + - + - + - => 5 crossings
+    assert st["zero_crossings"] == 5
+    with pytest.raises(ValueError, match="whole number"):
+        pcm.decode(raw[:-1])
+    with pytest.raises(ValueError, match="headerless"):
+        pcm.decode(b"\x00\x02", )
+    # headerless raw path
+    arr2, r2, c2 = pcm.decode(s.tobytes(), rate=16000, channels=1)
+    assert r2 == 16000 and np.array_equal(arr2[:, 0], s)
+
+
+def test_pcm_resample_floor_index():
+    """Floor-index time resample: output frame i reads input frame
+    i*in//out — verified against the closed form both down and up."""
+    import numpy as np
+
+    from platypus_ingestion_plugins_spark.functions import pcm
+
+    s = np.arange(100, dtype="int16")
+    raw = pcm.encode(s, rate=100)
+    down, rate, _ = pcm.decode(pcm.resample_nearest(raw, 30))
+    assert rate == 30 and down.shape[0] == 30
+    assert np.array_equal(down[:, 0], (np.arange(30) * 100) // 30)
+    up, rate, _ = pcm.decode(pcm.resample_nearest(raw, 250))
+    assert rate == 250 and up.shape[0] == 250
+    assert np.array_equal(up[:, 0], (np.arange(250) * 100) // 250)
+
+
+def test_audio_stats_and_resample_operators(spark):
+    """The Arrow-batched audio kernels over framed PCM payloads:
+    stats match the pure codec; resample is byte-deterministic."""
+    import numpy as np
+
+    from platypus_ingestion_plugins_spark.functions import pcm
+
+    rows = []
+    for i in range(4):
+        s = (np.arange(64, dtype="int64") * (i + 3) % 4001 - 2000).astype(
+            "int16"
+        )
+        rows.append(
+            Row(doc_id=i, payload=bytearray(pcm.encode(s, rate=1600)))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in multimodal.audio_stats(df).collect()}
+    for r in rows:
+        exp = pcm.stats(bytes(r.payload))
+        g = got[r.doc_id]
+        assert (g.n_samples, g.duration_ms, g.sumsq, g.peak,
+                g.zero_crossings) == (
+            exp["n_samples"], exp["duration_ms"], exp["sumsq"],
+            exp["peak"], exp["zero_crossings"],
+        )
+    out = {
+        r.doc_id: r
+        for r in multimodal.audio_resample(df, new_rate=400).collect()
+    }
+    for r in rows:
+        exp_bytes = pcm.resample_nearest(bytes(r.payload), 400)
+        assert bytes(out[r.doc_id].payload) == exp_bytes
+        assert out[r.doc_id].orig_samples == 64
+        assert out[r.doc_id].resampled_samples == 16
