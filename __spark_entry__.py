@@ -3766,6 +3766,65 @@ FROM b, unnest(generate_series(1, nf)) AS t(i)
 """
 
 
+def q_video_neardup(spark, sf):
+    """Video near-dup by aligned per-frame dHash
+    (operators/multimodal.video_frame_dhashes/video_neardup_pairs —
+    NEW r12): each doc renders a REAL 4-frame clip (concatenated
+    self-delimiting 16x16 P5 frames; frame f's raster byte i = text
+    byte (f*97 + i) mod len — deterministic, SQL-replayable), the
+    kernel parses the multi-frame container (netpbm.decode_many) and
+    hashes every frame, and banding per (frame_no, band, val) finds
+    pairs with >= 2 of 4 frame indices within hamming 6 — lossless
+    frame-by-frame by pigeonhole, so the oracle's exact all-pairs
+    per-frame replay is what the blocked plan must reproduce."""
+    d = _t(spark, sf, "documents")
+    # repeat count covers the worst frame offset: 3*97 + 256 = 547
+    # bytes must exist in the repeated text for every row
+    frames = [
+        F.concat(
+            F.encode(F.lit("P5\n16 16\n255\n"), "UTF-8"),
+            F.encode(
+                F.expr(
+                    f"substring(repeat(text, cast(ceil(548.0 / length(text)) as int) + 1), {f * 97 + 1}, 256)"
+                ),
+                "UTF-8",
+            ),
+        )
+        for f in range(4)
+    ]
+    clips = d.select("doc_id", F.concat(*frames).alias("payload"))
+    return multimodal.video_neardup_pairs(
+        clips, max_hamming=6, min_matching_frames=2
+    )
+
+
+SQL_VIDEO_NEARDUP = """
+WITH bits AS (
+  SELECT doc_id, f.g AS f,
+         CASE WHEN ascii(substr(text,
+                 ((f.g*97 + ((rr.g*16)//7)*16 + (cc.g*16)//10)
+                  % length(text)) + 1, 1))
+               > ascii(substr(text,
+                 ((f.g*97 + ((rr.g*16)//7)*16 + ((cc.g+1)*16)//10)
+                  % length(text)) + 1, 1))
+              THEN 1::BIGINT << (rr.g*9 + cc.g) ELSE 0 END AS bit
+  FROM documents,
+       unnest(generate_series(0, 3)) AS f(g),
+       unnest(generate_series(0, 6)) AS rr(g),
+       unnest(generate_series(0, 8)) AS cc(g)),
+hashes AS (
+  SELECT doc_id, f, sum(bit)::BIGINT AS dhash
+  FROM bits GROUP BY doc_id, f),
+fm AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.f
+  FROM hashes a JOIN hashes b
+    ON a.f = b.f AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6)
+SELECT id_a, id_b, count(*) AS n_matching_frames
+FROM fm GROUP BY id_a, id_b HAVING count(*) >= 2
+"""
+
+
 def q_audio_stats(spark, sf):
     """Audio feature extraction over REAL framed s16le PCM payloads
     (operators/multimodal.audio_stats + functions/pcm.py — NEW r12,
@@ -5656,6 +5715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": q_image_neardup,
         "language_classifier": q_language_classifier,
         "audio_stats": q_audio_stats,
+        "video_neardup": q_video_neardup,
         "bpe_token_count": q_bpe_token_count,
         # 1. last driver-green r9 — two rounds stale (VERDICT r11 lead list)
         "multimodal_resize": q_multimodal_resize,
@@ -5800,6 +5860,7 @@ def oracle_sql() -> dict[str, str]:
         "image_neardup": SQL_IMAGE_NEARDUP,
         "language_classifier": SQL_LANGUAGE_CLASSIFIER,
         "audio_stats": SQL_AUDIO_STATS,
+        "video_neardup": SQL_VIDEO_NEARDUP,
         "pipeline_clean_corpus": SQL_PIPELINE_CLEAN_CORPUS,
         "line_dedup": SQL_LINE_DEDUP,
         "top_terms_per_group": SQL_TOP_TERMS_PER_GROUP,

@@ -47,10 +47,32 @@ def decode(raw: bytes) -> np.ndarray:
     """Decode a P5/P6 image to a (height, width, channels) uint8 array
     (channels 1 for P5, 3 for P6). Raises ValueError on anything that
     is not a complete, maxval<=255 binary netpbm image."""
-    if len(raw) < 2 or raw[:1] != b"P" or raw[1:2] not in (b"5", b"6"):
+    img, _end = decode_at(raw, 0)
+    return img
+
+
+def decode_many(raw: bytes) -> list[np.ndarray]:
+    """Decode a CONCATENATION of P5/P6 images (the trivial multi-frame
+    'video' container the frame-level kernels consume — each netpbm
+    header carries its own raster length, so frames self-delimit).
+    Raises on trailing garbage: a container that doesn't parse to
+    exactly N whole frames is corrupt, not 'N frames plus noise'."""
+    frames, pos = [], 0
+    while pos < len(raw):
+        img, pos = decode_at(raw, pos)
+        frames.append(img)
+    return frames
+
+
+def decode_at(raw: bytes, start: int) -> tuple[np.ndarray, int]:
+    """Decode one P5/P6 image beginning at byte ``start``; returns
+    (image, end offset) so concatenated frames parse sequentially."""
+    if len(raw) < start + 2 or raw[start : start + 1] != b"P" or raw[
+        start + 1 : start + 2
+    ] not in (b"5", b"6"):
         raise ValueError("not a binary netpbm (P5/P6) payload")
-    channels = 3 if raw[1:2] == b"6" else 1
-    pos = 2
+    channels = 3 if raw[start + 1 : start + 2] == b"6" else 1
+    pos = start + 2
     dims = []
     for _ in range(3):
         tok, pos = _next_token(raw, pos)
@@ -84,7 +106,7 @@ def decode(raw: bytes) -> np.ndarray:
         img = ((img.astype(np.uint32) * 255 + maxval // 2) // maxval).clip(
             0, 255
         ).astype(np.uint8)
-    return img
+    return img, pos + count
 
 
 def encode(img: np.ndarray) -> bytes:

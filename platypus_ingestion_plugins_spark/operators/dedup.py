@@ -1477,9 +1477,10 @@ def fingerprint_band_keys(
             f"({bits}) so the disjoint bands cover every bit"
         )
     band_bits = bits // bands
+    carried = list(fp.columns)  # id + fp + any extra keys (e.g. the
+    # video blocker's frame_no) ride along into the band rows
     return fp.select(
-        F.col(id_col),
-        fp_col,
+        *carried,
         F.explode(
             F.array(
                 *[
@@ -1494,7 +1495,7 @@ def fingerprint_band_keys(
             )
         ).alias("bk"),
     ).select(
-        id_col, fp_col, F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
+        *carried, F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
     )
 
 

@@ -678,3 +678,123 @@ RESIZED_SCHEMA_AUDIO = T.StructType(
         T.StructField("resampled_samples", T.LongType()),
     ]
 )
+
+
+def video_frame_dhashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    grid_w: int = 10,
+    grid_h: int = 7,
+) -> DataFrame:
+    """Per-frame perceptual hashes over a multi-frame netpbm payload
+    (concatenated P5/P6 frames — each header self-delimits its raster,
+    functions/netpbm.decode_many): (id, frame_no, dhash). The video
+    extension of ``dhash_images`` (r12): one Arrow-batched crossing,
+    a few longs out per frame, no shuffle. Feeds
+    ``video_neardup_pairs`` — never compare videos by raw bytes (a
+    re-encode breaks byte equality; per-frame gradient hashes
+    survive it)."""
+    bits = grid_h * (grid_w - 1)
+    if bits > 63:
+        raise ValueError(
+            f"{grid_h}x{grid_w} grid needs {bits} bits; max 63 so the "
+            "hash stays non-negative in a signed 64-bit long"
+        )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from platypus_ingestion_plugins_spark.functions import netpbm
+
+        def one_hash(img):
+            if img.shape[2] == 3:
+                lum = (
+                    299 * img[:, :, 0].astype(np.int64)
+                    + 587 * img[:, :, 1].astype(np.int64)
+                    + 114 * img[:, :, 2].astype(np.int64)
+                ) // 1000
+            else:
+                lum = img[:, :, 0].astype(np.int64)
+            small = netpbm.resize_nearest(lum, grid_h, grid_w)
+            h = 0
+            for r in range(grid_h):
+                for c in range(grid_w - 1):
+                    if small[r][c] > small[r][c + 1]:
+                        h |= 1 << (r * (grid_w - 1) + c)
+            return h
+
+        for pdf in batches:
+            ids, frame_nos, hashes = [], [], []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                for fno, img in enumerate(netpbm.decode_many(bytes(buf))):
+                    ids.append(i)
+                    frame_nos.append(fno)
+                    hashes.append(one_hash(img))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_no": frame_nos, "dhash": hashes}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, f"{id_col} long, frame_no long, dhash long"
+    )
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    min_matching_frames: int = 2,
+    bands: int = 7,
+    grid_w: int = 10,
+    grid_h: int = 7,
+) -> DataFrame:
+    """Video near-dup pairs by ALIGNED per-frame dHash agreement:
+    (id_a, id_b, n_matching_frames) where a frame index matches when
+    its two hashes sit within ``max_hamming``, and a pair qualifies at
+    >= ``min_matching_frames`` matches — the re-encode/watermark-
+    robust containment test frame fingerprinting buys (aligned
+    comparison is the right default for transcode/crop-free re-uploads;
+    shuffled-order piracy detection would swap frame_no out of the
+    join key for a set-overlap count).
+
+    Scale shape: band-blocking PER (frame_no, band, val) — the
+    pigeonhole guarantee applies frame-by-frame, so every qualifying
+    frame match is found (blocking lossless for the frame predicate,
+    hence for the count) and the n^2 video cross join never happens;
+    popcount verify before the distinct, one count agg to the pair
+    threshold."""
+    from platypus_ingestion_plugins_spark.operators.dedup import (
+        fingerprint_band_keys,
+    )
+
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming for lossless blocking")
+    bits = grid_h * (grid_w - 1)
+    fp = video_frame_dhashes(df, id_col, payload_col, grid_w, grid_h)
+    keyed = fingerprint_band_keys(fp, id_col, "dhash", bits, bands)
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("dhash").alias("fp_a"),
+        "frame_no", "band", "val",
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("dhash").alias("fp_b"),
+        "frame_no", "band", "val",
+    )
+    frame_matches = (
+        a.join(b, ["frame_no", "band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+            <= max_hamming
+        )
+        .select("id_a", "id_b", "frame_no")
+        .distinct()
+    )
+    return (
+        frame_matches.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_matching_frames"))
+        .filter(F.col("n_matching_frames") >= min_matching_frames)
+    )

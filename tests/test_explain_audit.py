@@ -82,6 +82,8 @@ HEADLINE = [
     "pretraining_mix",
     # r12 additions
     "image_neardup",
+    "audio_stats",
+    "video_neardup",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.

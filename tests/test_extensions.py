@@ -4518,3 +4518,58 @@ def test_audio_stats_and_resample_operators(spark):
         assert bytes(out[r.doc_id].payload) == exp_bytes
         assert out[r.doc_id].orig_samples == 64
         assert out[r.doc_id].resampled_samples == 16
+
+
+def test_video_neardup_aligned_frame_matching(spark):
+    """r12: video near-dup via aligned per-frame dHash. Two 4-frame
+    clips sharing 3 near-identical frames qualify; a clip sharing
+    only 1 does not; banding equals the brute-force frame compare.
+    decode_many parses concatenated self-delimiting netpbm frames."""
+    import numpy as np
+
+    from platypus_ingestion_plugins_spark.functions import netpbm
+
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, (16, 16)).astype("uint8") for _ in range(4)]
+
+    def clip(fs):
+        return bytearray(b"".join(netpbm.encode(f) for f in fs))
+
+    tweak = frames[1].copy()
+    tweak[2, 2] ^= 4  # tiny perturbation, few hash bits
+    other = [rng.randint(0, 256, (16, 16)).astype("uint8") for _ in range(4)]
+    rows = [
+        Row(doc_id=1, payload=clip(frames)),
+        # same frames 0,2,3; frame 1 slightly tweaked -> 4 matches
+        Row(doc_id=2, payload=clip([frames[0], tweak, frames[2], frames[3]])),
+        # only frame 0 shared, rest unrelated -> 1 match, below min 2
+        Row(doc_id=3, payload=clip([frames[0]] + other[1:])),
+        Row(doc_id=4, payload=clip(other)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fps = multimodal.video_frame_dhashes(df)
+    got_fp = {(r.doc_id, r.frame_no): r.dhash for r in fps.collect()}
+    assert len(got_fp) == 16  # 4 clips x 4 frames
+    pairs = {
+        (r.id_a, r.id_b): r.n_matching_frames
+        for r in multimodal.video_neardup_pairs(
+            df, max_hamming=6, min_matching_frames=2
+        ).collect()
+    }
+    # brute force from the collected hashes
+    ids = [1, 2, 3, 4]
+    exp = {}
+    for x in ids:
+        for y in ids:
+            if x >= y:
+                continue
+            n = sum(
+                1
+                for f in range(4)
+                if bin(got_fp[(x, f)] ^ got_fp[(y, f)]).count("1") <= 6
+            )
+            if n >= 2:
+                exp[(x, y)] = n
+    assert pairs == exp
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+    assert (1, 3) not in pairs
