@@ -5697,16 +5697,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order IS verification priority — r12 rotation, VERDICT r11 task
     # #1, recomputed from the CORRECTNESS_r09/r10/r11 files):
     #   0. NEW or newly-oracled this round (never driver-value-checked):
-    #      image_neardup, language_classifier (new r12 operators) and
-    #      bpe_token_count (rows-only until r11; its frozen-merge-table
-    #      oracle is new this round, so it re-enters as unverified).
+    #      image_neardup, language_classifier, audio_stats,
+    #      video_neardup (new r12 operators) and bpe_token_count
+    #      (rows-only until r11; its frozen-merge-table oracle is new
+    #      this round, so it re-enters as unverified).
     #   1. the 29 entries last driver-green in CORRECTNESS_r09 — two
     #      driver-rounds stale, the r11 verdict's explicit lead list.
     #   2. the 47 remaining r10-cohort entries in CORRECTNESS_r10 file
-    #      order. Sections 0-2 = 79; the 50-cap verifies sections 0+1
-    #      and the FIRST 18 of the r10 cohort (through dedup_groups);
-    #      the remaining 29 r10 entries are deferred and must lead r13
-    #      together with whatever r12 defers.
+    #      order. Sections 0-2 = 81; the 50-cap verifies sections 0+1
+    #      (5 + 29) and the FIRST 16 of the r10 cohort (through
+    #      dedup_minhash_lsh); the remaining 31 r10 entries are
+    #      deferred, builder-verified green this round by the full
+    #      131-entry check_oracle sweep, and must lead r13 together
+    #      with whatever r12 defers.
     #   3. the 49 entries CORRECTNESS_r11 verified (minus
     #      bpe_token_count, moved to section 0), in r11 file order —
     #      the freshest cohort, last.
@@ -5764,9 +5767,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tar_roundtrip": q_tar_roundtrip,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        # --- the r12 50-cap lands HERE: everything below is deferred
         "jaccard_join": q_jaccard_join,
         "dedup_groups": q_dedup_groups,
-        # --- the r12 50-cap lands HERE: everything below is deferred
         "bloom_decontam": q_bloom_decontam,
         "dedup_survivors": q_dedup_survivors,
         "winnow_overlap": q_winnow_overlap,
