@@ -608,22 +608,20 @@ def audio_stats(
 
         from platypus_ingestion_plugins_spark.functions import pcm
 
+        cols = ("n_samples", "sample_rate", "duration_ms", "sumsq",
+                "peak", "zero_crossings")
         for pdf in batches:
-            rows = []
-            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+            # dict-of-lists, not list-of-dicts: an EMPTY Arrow batch
+            # must still yield a frame carrying the schema's columns
+            # (pd.DataFrame([]) has none and breaks the mapInPandas
+            # contract — r12 self-review)
+            out = {"doc_id": list(pdf[id_col])}
+            out.update({c: [] for c in cols})
+            for buf in pdf[payload_col]:
                 s = pcm.stats(bytes(buf))
-                rows.append(
-                    {
-                        "doc_id": i,
-                        "n_samples": s["n_samples"],
-                        "sample_rate": s["sample_rate"],
-                        "duration_ms": s["duration_ms"],
-                        "sumsq": s["sumsq"],
-                        "peak": s["peak"],
-                        "zero_crossings": s["zero_crossings"],
-                    }
-                )
-            yield pd.DataFrame(rows)
+                for c in cols:
+                    out[c].append(s[c])
+            yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(
         kernel, AUDIO_STATS_SCHEMA
