@@ -3825,6 +3825,133 @@ FROM fm GROUP BY id_a, id_b HAVING count(*) >= 2
 """
 
 
+def q_stream_image_neardup(spark, sf):
+    """Streaming IMAGE near-dup suppression (NEW r12): the text-side
+    streaming band-key machinery running unchanged on dHash
+    fingerprints — documents stream in two seq-ordered drops, each
+    micro-batch renders its docs' 16x16 P5 payloads (the
+    image_neardup synthesis), hashes them (multimodal.dhash_images),
+    bands the 63-bit fingerprints (dedup.fingerprint_band_keys, 7x9
+    bits), suppresses any image within hamming 6 of a smaller-id one
+    (band-mates in the accumulated partition-pruned key index OR this
+    batch), and appends all batch keys. The first-keeps rule is
+    batch-split independent, so the streamed union must equal the
+    oracle's one-shot all-pairs filter — the multimodal axis now has
+    the same batch/stream dedup symmetry as text."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark import fs as _fs
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs_lo, docs_hi = _median_split(docs, "doc_id")
+
+    work = _stream_scratch("stream_imgdup_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src = os.path.join(work, "src")
+        idx = os.path.join(work, "index")
+        surv = os.path.join(work, "survivors")
+        ckpt = os.path.join(work, "ckpt")
+        docs_lo.coalesce(4).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        ras = F.expr(
+            "substring(repeat(text, cast(ceil(256.0/length(text)) as int)"
+            " + 1), 1, 256)"
+        )
+
+        def handle(batch_df, _bid):
+            imgs = batch_df.select(
+                "doc_id",
+                F.concat(
+                    F.encode(F.lit("P5\n16 16\n255\n"), "UTF-8"),
+                    F.encode(ras, "UTF-8"),
+                ).alias("payload"),
+            )
+            fp = multimodal.dhash_images(imgs).withColumnRenamed(
+                "dhash", "simhash"
+            )
+            keys = dedup.fingerprint_band_keys(
+                fp, "doc_id", "simhash", bits=63, bands=7
+            )
+            keys.persist()  # hash once for prune/join/append
+            try:
+                earlier = (
+                    dedup.read_band_keys_pruned(
+                        spark, idx, keys, val_buckets=8
+                    )
+                    if _fs.exists(spark, idx)
+                    else None
+                )
+                (
+                    dedup.neardup_survivors_incremental(
+                        keys, earlier, "doc_id", max_hamming=6
+                    )
+                    .withColumnRenamed("simhash", "dhash")
+                    .write.mode("append")
+                    .parquet(surv)
+                )
+                dedup.append_band_key_index(
+                    keys, idx, val_buckets=8,
+                    auto_compact_max_files=4 if _bid % 4 == 3 else None,
+                )
+            finally:
+                keys.unpersist()
+
+        def run_available():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 100)
+                .parquet(src)
+            )
+            q = (
+                stream.writeStream.foreachBatch(handle)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_available()
+        docs_hi.coalesce(4).write.mode("append").parquet(src)
+        run_available()
+        _keep_until_exit(work, keep=surv)
+        return spark.read.parquet(surv).distinct()
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+# one-shot replay: keep a doc iff no smaller-id doc's dHash sits
+# within hamming 6 (the same closed-form hash as image_neardup)
+SQL_STREAM_IMAGE_NEARDUP = """
+WITH raster AS (
+  SELECT doc_id,
+         substr(repeat(text, CAST(ceil(256.0 / length(text)) AS INT) + 1),
+                1, 256) AS ras
+  FROM documents),
+bits AS (
+  SELECT doc_id,
+         CASE WHEN ascii(substr(ras, ((rr.g*16)//7)*16 + (cc.g*16)//10 + 1, 1))
+                 > ascii(substr(ras, ((rr.g*16)//7)*16 + ((cc.g+1)*16)//10 + 1, 1))
+              THEN 1::BIGINT << (rr.g*9 + cc.g) ELSE 0 END AS bit
+  FROM raster,
+       unnest(generate_series(0, 6)) AS rr(g),
+       unnest(generate_series(0, 8)) AS cc(g)),
+hashes AS (
+  SELECT doc_id, sum(bit)::BIGINT AS dhash FROM bits GROUP BY doc_id)
+SELECT d.doc_id, d.dhash
+FROM hashes d
+WHERE NOT EXISTS (
+  SELECT 1 FROM hashes e
+  WHERE e.doc_id < d.doc_id
+    AND bit_count(xor(e.dhash, d.dhash)) <= 6)
+"""
+
+
 def q_audio_stats(spark, sf):
     """Audio feature extraction over REAL framed s16le PCM payloads
     (operators/multimodal.audio_stats + functions/pcm.py — NEW r12,
@@ -5727,6 +5854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_classifier": q_language_classifier,
         "audio_stats": q_audio_stats,
         "video_neardup": q_video_neardup,
+        "stream_image_neardup": q_stream_image_neardup,
         "bpe_token_count": q_bpe_token_count,
         # 1. last driver-green r9 — two rounds stale (VERDICT r11 lead list)
         "multimodal_resize": q_multimodal_resize,
@@ -5872,6 +6000,7 @@ def oracle_sql() -> dict[str, str]:
         "language_classifier": SQL_LANGUAGE_CLASSIFIER,
         "audio_stats": SQL_AUDIO_STATS,
         "video_neardup": SQL_VIDEO_NEARDUP,
+        "stream_image_neardup": SQL_STREAM_IMAGE_NEARDUP,
         "pipeline_clean_corpus": SQL_PIPELINE_CLEAN_CORPUS,
         "line_dedup": SQL_LINE_DEDUP,
         "top_terms_per_group": SQL_TOP_TERMS_PER_GROUP,
