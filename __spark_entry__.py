@@ -3825,6 +3825,71 @@ FROM fm GROUP BY id_a, id_b HAVING count(*) >= 2
 """
 
 
+def q_audio_neardup(spark, sf):
+    """Audio near-dup by the 63-bit energy-envelope hash
+    (multimodal.audio_fingerprints/audio_neardup_pairs — NEW r12,
+    completing the modality dedup matrix): the audio_stats synthesis
+    renders each doc's 128-sample clip, the kernel does a genuine PCM
+    decode -> 64-window integer energy envelope -> 63 gradient bits
+    (gain-invariant: uniform loudness scales every window's energy
+    together), and the shared lossless banding finds pairs within
+    hamming 6. The oracle replays sample values, window energies, the
+    hash and the exact all-pairs filter from the text in closed
+    form (24 pairs at sf0.01 — the near-dup fixture families)."""
+    from platypus_ingestion_plugins_spark.operators.multimodal import (
+        audio_neardup_pairs,
+    )
+
+    d = _t(spark, sf, "documents")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from platypus_ingestion_plugins_spark.functions import pcm
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = np.frombuffer((t or " ").encode(), dtype=np.uint8)
+                idx = np.arange(128) % len(b)
+                v = ((b[idx].astype(np.int64) - 80) * 250).astype("int16")
+                payloads.append(pcm.encode(v, rate=1600))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    clips = d.select("doc_id", "text").mapInPandas(
+        synth, "doc_id long, payload binary"
+    )
+    return audio_neardup_pairs(clips, max_hamming=6, bands=7)
+
+
+# closed-form replay: with 128 samples and 64 windows the floor
+# boundaries are exactly [2w, 2w+2), so window w's energy is
+# v[2w]^2 + v[2w+1]^2; bit w set iff e_w > e_{w+1}
+SQL_AUDIO_NEARDUP = """
+WITH s AS (
+  SELECT doc_id, i.g AS i,
+         CAST((ascii(substr(text, (i.g % length(text)) + 1, 1)) - 80) * 250
+              AS BIGINT) AS v
+  FROM documents, unnest(generate_series(0, 127)) AS i(g)),
+en AS (
+  SELECT doc_id, i // 2 AS w, CAST(sum(v * v) AS BIGINT) AS e
+  FROM s GROUP BY doc_id, i // 2),
+bits AS (
+  SELECT a.doc_id,
+         CASE WHEN a.e > b.e THEN 1::BIGINT << CAST(a.w AS INT)
+              ELSE 0 END AS bit
+  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.w = a.w + 1),
+hashes AS (SELECT doc_id, sum(bit)::BIGINT AS afp FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.afp, b.afp)) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 6
+"""
+
+
 def q_stream_image_neardup(spark, sf):
     """Streaming IMAGE near-dup suppression (NEW r12): the text-side
     streaming band-key machinery running unchanged on dHash
@@ -5854,6 +5919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_classifier": q_language_classifier,
         "audio_stats": q_audio_stats,
         "video_neardup": q_video_neardup,
+        "audio_neardup": q_audio_neardup,
         "stream_image_neardup": q_stream_image_neardup,
         "bpe_token_count": q_bpe_token_count,
         # 1. last driver-green r9 — two rounds stale (VERDICT r11 lead list)
@@ -6000,6 +6066,7 @@ def oracle_sql() -> dict[str, str]:
         "language_classifier": SQL_LANGUAGE_CLASSIFIER,
         "audio_stats": SQL_AUDIO_STATS,
         "video_neardup": SQL_VIDEO_NEARDUP,
+        "audio_neardup": SQL_AUDIO_NEARDUP,
         "stream_image_neardup": SQL_STREAM_IMAGE_NEARDUP,
         "pipeline_clean_corpus": SQL_PIPELINE_CLEAN_CORPUS,
         "line_dedup": SQL_LINE_DEDUP,

@@ -546,20 +546,37 @@ def image_neardup_pairs(
     replays) and the n^2 cross join never happens. Verification is
     one popcount(XOR) per candidate, run BEFORE the pair-dedup
     shuffle so only true near-dups pay it."""
+    bits = grid_h * (grid_w - 1)
+    fp = dhash_images(df, id_col, payload_col, grid_w, grid_h)
+    return _fingerprint_neardup_pairs(
+        fp, id_col, "dhash", bits, max_hamming, bands
+    )
+
+
+def _fingerprint_neardup_pairs(
+    fp: DataFrame,
+    id_col: str,
+    fp_col: str,
+    bits: int,
+    max_hamming: int,
+    bands: int,
+) -> DataFrame:
+    """The banded verify-join shared by the image (dHash) and audio
+    (energy envelope) near-dup blockers: (id_a, id_b, hamming) with
+    lossless pigeonhole blocking (bands > max_hamming over disjoint
+    bit-bands), popcount verify BEFORE the pair-dedup shuffle."""
     from platypus_ingestion_plugins_spark.operators.dedup import (
         fingerprint_band_keys,
     )
 
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming for lossless blocking")
-    bits = grid_h * (grid_w - 1)
-    fp = dhash_images(df, id_col, payload_col, grid_w, grid_h)
-    keyed = fingerprint_band_keys(fp, id_col, "dhash", bits, bands)
+    keyed = fingerprint_band_keys(fp, id_col, fp_col, bits, bands)
     a = keyed.select(
-        F.col(id_col).alias("id_a"), F.col("dhash").alias("fp_a"), "band", "val"
+        F.col(id_col).alias("id_a"), F.col(fp_col).alias("fp_a"), "band", "val"
     )
     b = keyed.select(
-        F.col(id_col).alias("id_b"), F.col("dhash").alias("fp_b"), "band", "val"
+        F.col(id_col).alias("id_b"), F.col(fp_col).alias("fp_b"), "band", "val"
     )
     return (
         a.join(b, ["band", "val"])
@@ -795,4 +812,74 @@ def video_neardup_pairs(
         frame_matches.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_matching_frames"))
         .filter(F.col("n_matching_frames") >= min_matching_frames)
+    )
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_windows: int = 64,
+) -> DataFrame:
+    """Perceptual audio fingerprint (r12, completing the modality
+    matrix next to dHash): (id, afp long) — a 63-bit energy-envelope
+    hash. The clip's first channel splits into ``n_windows`` equal
+    floor-boundary windows (window w covers samples
+    [w*n//W, (w+1)*n//W)); bit w is 1 iff window w's integer energy
+    (sum of squares) EXCEEDS window w+1's — the time-axis analogue of
+    dHash's horizontal gradient, robust to uniform gain changes
+    (scaling all samples scales every window's energy together, which
+    preserves every comparison) and, like dHash, 63 bits so XOR/
+    popcount/banding arithmetic is engine-identical. All integer
+    arithmetic over the decoded s16le samples."""
+    if n_windows - 1 > 63 or n_windows < 2:
+        raise ValueError(
+            f"n_windows must be in [2, 64] (63-bit budget), got {n_windows}"
+        )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from platypus_ingestion_plugins_spark.functions import pcm
+
+        for pdf in batches:
+            hashes = []
+            for buf in pdf[payload_col]:
+                arr, _, _ = pcm.decode(bytes(buf))
+                ch = arr[:, 0].astype(np.int64)
+                n = ch.shape[0]
+                bounds = (np.arange(n_windows + 1) * n) // n_windows
+                energy = [
+                    int((ch[bounds[w]: bounds[w + 1]] ** 2).sum())
+                    for w in range(n_windows)
+                ]
+                h = 0
+                for w in range(n_windows - 1):
+                    if energy[w] > energy[w + 1]:
+                        h |= 1 << w
+                hashes.append(h)
+            yield pd.DataFrame({id_col: pdf[id_col], "afp": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, f"{id_col} long, afp long"
+    )
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    bands: int = 7,
+    n_windows: int = 64,
+) -> DataFrame:
+    """Audio near-dup pairs by envelope-hash Hamming distance:
+    (id_a, id_b, hamming) — the image blocker's exact shape
+    (_fingerprint_neardup_pairs: lossless pigeonhole banding, popcount
+    verify before the pair shuffle) over ``audio_fingerprints``."""
+    bits = n_windows - 1
+    fp = audio_fingerprints(df, id_col, payload_col, n_windows)
+    return _fingerprint_neardup_pairs(
+        fp, id_col, "afp", bits, max_hamming, bands
     )

@@ -84,6 +84,7 @@ HEADLINE = [
     "image_neardup",
     "audio_stats",
     "video_neardup",
+    "audio_neardup",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.

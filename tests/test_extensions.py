@@ -4573,3 +4573,46 @@ def test_video_neardup_aligned_frame_matching(spark):
     assert pairs == exp
     assert (1, 2) in pairs and pairs[(1, 2)] >= 3
     assert (1, 3) not in pairs
+
+
+def test_audio_neardup_envelope_hash(spark):
+    """r12: audio near-dup via the 63-bit energy-envelope hash. Gain
+    invariance (2x louder clip hashes identically), a small local
+    perturbation stays within budget, unrelated clips exceed it, and
+    banding equals the brute-force all-pairs filter."""
+    import numpy as np
+
+    from platypus_ingestion_plugins_spark.functions import pcm
+
+    rng = np.random.RandomState(3)
+    base = (rng.randint(-3000, 3000, 256)).astype("int16")
+    louder = (base.astype("int32") * 2).clip(-32768, 32767).astype("int16")
+    tweak = base.copy()
+    tweak[40:44] = tweak[40:44] // 3  # one window's energy dips
+    other = (rng.randint(-3000, 3000, 256)).astype("int16")
+    rows = [
+        Row(doc_id=1, payload=bytearray(pcm.encode(base, 8000))),
+        Row(doc_id=2, payload=bytearray(pcm.encode(louder, 8000))),
+        Row(doc_id=3, payload=bytearray(pcm.encode(tweak, 8000))),
+        Row(doc_id=4, payload=bytearray(pcm.encode(other, 8000))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fp = {r.doc_id: r.afp for r in multimodal.audio_fingerprints(df).collect()}
+    assert fp[1] == fp[2]  # uniform gain: every comparison preserved
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.audio_neardup_pairs(df, max_hamming=6).collect()
+    }
+    ids = sorted(fp)
+    exp = {
+        (a, b): bin(fp[a] ^ fp[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(fp[a] ^ fp[b]).count("1") <= 6
+    }
+    assert got == exp
+    assert (1, 2) in got and got[(1, 2)] == 0
+    assert (1, 3) in got  # local perturbation: few envelope bits move
+    assert (1, 4) not in got and (2, 4) not in got
+    with pytest.raises(ValueError, match="n_windows"):
+        multimodal.audio_fingerprints(df, n_windows=65)
