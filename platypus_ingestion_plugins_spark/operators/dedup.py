@@ -1551,8 +1551,28 @@ def neardup_survivors_incremental(
     a = batch_keys.select(
         F.col(id_col).alias("__id"), F.col("simhash").alias("__fp"), "band", "val"
     )
-    e = e_keys.select(
-        F.col(id_col).alias("__eid"), F.col("simhash").alias("__efp"), "band", "val"
+    # Distinct-fingerprint compression (r12 scale hardening): the
+    # suppression predicate — "ANY smaller id within the hamming
+    # budget" — only ever needs the SMALLEST id carrying each distinct
+    # fingerprint value (any other carrier is a strictly weaker
+    # witness), so the earlier side collapses to one row per distinct
+    # (fingerprint, band, val) before the candidate join. Exact by
+    # construction, and it caps the hot-bucket blowup: a corpus of n
+    # IDENTICAL fingerprints (solid-color images through the dHash
+    # path, boilerplate docs through SimHash) otherwise puts n rows on
+    # both sides of one (band, val) key — an O(n^2) candidate join —
+    # where the compressed form joins n batch rows against 1. The
+    # groupBy is partial-aggregatable (map-side combine to distinct
+    # fingerprints per partition), and the earlier side is already
+    # partition-pruned to the batch's band keys, so the extra exchange
+    # moves only compressed matched-band rows.
+    e = (
+        e_keys.select(
+            F.col(id_col).alias("__eid"), F.col("simhash").alias("__efp"),
+            "band", "val",
+        )
+        .groupBy("__efp", "band", "val")
+        .agg(F.min("__eid").alias("__eid"))
     )
     hits = (
         a.join(e, ["band", "val"])

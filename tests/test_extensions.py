@@ -1019,6 +1019,38 @@ def test_band_key_index_prunes_partitions_and_matches_oneshot(spark, tmp_path):
     assert total_dirs > 4, total_dirs  # there genuinely was something to skip
 
 
+def test_neardup_survivors_identical_fingerprint_corpus(spark):
+    """Adversarial hot-bucket case (r12 distinct-fingerprint
+    compression): a corpus where EVERY document carries the same
+    fingerprint — the solid-color-image / boilerplate-doc degenerate
+    that used to put n rows on both sides of one (band, val) join key.
+    Only the minimum id survives, incremental over two batches equals
+    the one-shot, and the candidate join's earlier side aggregates to
+    distinct fingerprints (plan-asserted) so the join is n x 1, not
+    n x n."""
+    rows = [Row(doc_id=i, simhash=0b1010) for i in range(40)]
+    fp = spark.createDataFrame(rows)
+    keys = dedup.fingerprint_band_keys(fp, "doc_id", "simhash", bits=32, bands=4)
+
+    surv = dedup.neardup_survivors(keys, "doc_id", max_hamming=3)
+    assert [r.doc_id for r in surv.collect()] == [0]
+
+    got = set()
+    for pred in ("doc_id < 17", "doc_id >= 17"):
+        b = keys.filter(pred)
+        earlier = keys.filter("doc_id < 17") if pred == "doc_id >= 17" else None
+        got |= {
+            r.doc_id
+            for r in dedup.neardup_survivors_incremental(
+                b, earlier, "doc_id", max_hamming=3
+            ).collect()
+        }
+    assert got == {0}, got
+
+    plan = surv._jdf.queryExecution().executedPlan().toString()
+    assert "min(__eid#" in plan, plan
+
+
 def test_decontaminate_flags_and_drops_overlapping_docs(spark):
     """Decontamination: a training doc sharing a token n-gram with the
     benchmark set is flagged with its distinct-gram count and dropped
