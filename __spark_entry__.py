@@ -361,6 +361,69 @@ GROUP BY doc_id
 """
 
 
+def q_hybrid_search(spark, sf):
+    """Hybrid retrieval (serving/query.rrf_fuse): BM25 lexical ranking
+    and embedding-cosine ranking fused by reciprocal-rank fusion with
+    INTEGER points (floor(1e9/(60+rank)) per system, rank within each
+    system's top-50 by (rounded score desc, id) — a deterministic
+    total order both engines replay exactly). Top-20 by fused points.
+    The standard lexical+vector hybrid a RAG/serving stack runs; both
+    underlying scorers are the already-oracled bm25_scores and
+    brute_force_topk."""
+    d = _t(spark, sf, "documents")
+    e = _t(spark, sf, "embeddings")
+    bm = SQ.bm25_scores(d, "text", "spark vector data engine", "doc_id")
+    cos = similarity.brute_force_topk(
+        e, e.filter(F.col("vec_id") == 0), k=50, dim=64
+    ).withColumnRenamed("vec_id", "doc_id")
+    return SQ.rrf_fuse(
+        {"lexical": bm, "vector": cos},
+        "doc_id",
+        k_candidates=50,
+        rrf_k=60,
+        top=20,
+    )
+
+
+SQL_HYBRID_SEARCH = """
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+  FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM toked),
+hits AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM toked),
+qh AS (SELECT * FROM hits WHERE tok IN ('data','engine','spark','vector')),
+tf AS (SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl FROM qh GROUP BY 1, 2),
+dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM qh GROUP BY tok),
+bm AS (
+  SELECT doc_id,
+         round(sum(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         ), 6) AS bm25
+  FROM tf JOIN dft USING (tok), stats
+  GROUP BY doc_id),
+bm_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM bm QUALIFY rank <= 50),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cs
+  FROM embeddings, q),
+cos_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id) AS rank
+  FROM cos QUALIFY rank <= 50),
+u AS (SELECT * FROM bm_rank UNION ALL SELECT * FROM cos_rank)
+SELECT doc_id,
+       CAST(sum(CAST(floor(1000000000 / (60 + rank)) AS BIGINT)) AS BIGINT) AS rrf,
+       count(*) AS n_systems
+FROM u GROUP BY doc_id
+ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+
 def q_fulltext_phrase(spark, sf):
     """PhraseQuery parity: token-exact contiguous in-order match
     (serving/query.py:match_phrase) — sentinel-padded re-join keeps it
@@ -5922,6 +5985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup": q_audio_neardup,
         "stream_image_neardup": q_stream_image_neardup,
         "bpe_token_count": q_bpe_token_count,
+        "hybrid_search": q_hybrid_search,
         # 1. last driver-green r9 — two rounds stale (VERDICT r11 lead list)
         "multimodal_resize": q_multimodal_resize,
         "pivot_event_counts": q_pivot_event_counts,
@@ -6112,6 +6176,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_ranked": SQL_FULLTEXT_RANKED,
         "fulltext_tfidf": SQL_FULLTEXT_TFIDF,
         "fulltext_bm25": SQL_FULLTEXT_BM25,
+        "hybrid_search": SQL_HYBRID_SEARCH,
         "fulltext_phrase": SQL_FULLTEXT_PHRASE,
         "term_prefix": SQL_TERM_PREFIX,
         "temperature_mix": SQL_TEMPERATURE_MIX,

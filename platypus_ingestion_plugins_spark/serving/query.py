@@ -197,6 +197,72 @@ def top_hits(
     )
 
 
+def rrf_fuse(
+    systems: dict[str, DataFrame],
+    id_col: str,
+    k_candidates: int = 100,
+    rrf_k: int = 60,
+    top: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of several retrieval systems (Cormack et
+    al. 2009 — the standard hybrid of lexical BM25 and embedding-cosine
+    ranking): each system contributes floor(1e9 / (rrf_k + rank)) RRF
+    points for the documents in its top ``k_candidates``, and documents
+    are returned by total points. Output: (id, rrf, n_systems), points
+    descending with id tie-break, limited to ``top`` when given.
+
+    Every ``systems`` value is an (id, score) DataFrame whose SECOND
+    column is the score; ranks are assigned by (score desc, id asc) —
+    a deterministic total order, so ranking the top-k equals taking the
+    top-k of the ranking and an external engine reproduces every rank.
+    Points are INTEGER (scaled-reciprocal floor) rather than double
+    1/(k+rank) sums, so the fused total is exact under any summation
+    order in any engine — the same integer-determinism convention as
+    the fingerprint/sketch operators.
+
+    Plan shape per system: orderBy+limit compiles to a distributed
+    TakeOrdered over the full score set; the rank window is
+    unpartitioned but only ever sees those <= k_candidates survivors
+    (the ``top_hits`` offset pattern). Fusion is a union of
+    candidate-bounded lists and one tiny groupBy — the corpus-sized
+    work stays inside each system's own scorer.
+    """
+    if not systems:
+        raise ValueError("rrf_fuse needs at least one ranked system")
+    if rrf_k < 1 or k_candidates < 1:
+        raise ValueError(f"rrf_k/k_candidates must be >= 1, got {rrf_k}/{k_candidates}")
+    from pyspark.sql import Window
+
+    ranked = []
+    for name, df in systems.items():
+        score = df.columns[1]
+        order = [F.col(score).desc(), F.col(id_col).asc()]
+        w = Window.orderBy(*order)
+        ranked.append(
+            df.orderBy(*order)
+            .limit(k_candidates)
+            .withColumn("__rank", F.row_number().over(w))
+            .select(
+                F.col(id_col),
+                F.floor(
+                    F.lit(1_000_000_000) / (F.lit(rrf_k) + F.col("__rank"))
+                ).alias("__pts"),
+            )
+        )
+    allsys = ranked[0]
+    for r in ranked[1:]:
+        allsys = allsys.unionByName(r)
+    fused = (
+        allsys.groupBy(id_col)
+        .agg(
+            F.sum("__pts").alias("rrf"),
+            F.count(F.lit(1)).alias("n_systems"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+    )
+    return fused.limit(top) if top is not None else fused
+
+
 def retrieve_fields(df: DataFrame, fields: Sequence[str]) -> DataFrame:
     return df.select(*fields)
 

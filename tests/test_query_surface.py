@@ -129,3 +129,55 @@ def test_phrase_and_prefix_semantics(spark):
     assert prefix == {5}
     # empty phrase matches everything (Lucene's empty-query degenerate)
     assert docs.filter(SQ.match_phrase("text", "  ")).count() == 5
+
+
+def test_rrf_fuse_matches_pure_python(spark):
+    """rrf_fuse vs a brute-force Python replay: two systems with
+    overlapping and disjoint hits, rank by (score desc, id), integer
+    floor(1e9/(k+rank)) points, k_candidates trimming the longer list,
+    single-system docs carrying n_systems=1."""
+    from pyspark.sql import Row
+
+    from platypus_ingestion_plugins_spark.serving import query as SQ
+
+    lex = [(1, 9.5), (2, 7.25), (3, 7.25), (4, 1.0), (5, 0.5)]
+    vec = [(3, 0.99), (6, 0.98), (1, 0.42)]
+    k_cand, rrf_k = 4, 60
+
+    def ranks(sys_rows):
+        ordered = sorted(sys_rows, key=lambda t: (-t[1], t[0]))[:k_cand]
+        return {i: r + 1 for r, (i, _) in enumerate(ordered)}
+
+    expect = {}
+    for system in (lex, vec):
+        for i, rank in ranks(system).items():
+            pts, n = expect.get(i, (0, 0))
+            expect[i] = (pts + 10**9 // (rrf_k + rank), n + 1)
+
+    fused = SQ.rrf_fuse(
+        {
+            "lex": spark.createDataFrame([Row(doc_id=i, s=s) for i, s in lex]),
+            "vec": spark.createDataFrame([Row(doc_id=i, s=s) for i, s in vec]),
+        },
+        "doc_id",
+        k_candidates=k_cand,
+        rrf_k=rrf_k,
+    )
+    got = {r.doc_id: (r.rrf, r.n_systems) for r in fused.collect()}
+    assert got == expect, (got, expect)
+    # output ordering: fused points desc, id tie-break; top trims
+    ids = [r.doc_id for r in fused.collect()]
+    assert ids == sorted(expect, key=lambda i: (-expect[i][0], i))
+    top2 = SQ.rrf_fuse(
+        {
+            "lex": spark.createDataFrame([Row(doc_id=i, s=s) for i, s in lex]),
+            "vec": spark.createDataFrame([Row(doc_id=i, s=s) for i, s in vec]),
+        },
+        "doc_id",
+        k_candidates=k_cand,
+        rrf_k=rrf_k,
+        top=2,
+    )
+    assert [r.doc_id for r in top2.collect()] == ids[:2]
+    with pytest.raises(ValueError):
+        SQ.rrf_fuse({}, "doc_id")
