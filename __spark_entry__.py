@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from platypus_ingestion_plugins_spark.functions import text as TX
 from platypus_ingestion_plugins_spark.functions.converters import flatten_structs
-from platypus_ingestion_plugins_spark.operators import asof, cdc, dedup, multimodal, similarity
+from platypus_ingestion_plugins_spark.operators import asof, cdc, chat, dedup, multimodal, similarity
 from platypus_ingestion_plugins_spark.operators.projection import drop_by_prefix, rename_fields
 from platypus_ingestion_plugins_spark.operators.sharding import sharding_strategy
 from platypus_ingestion_plugins_spark.serving import query as SQ
@@ -421,6 +421,149 @@ SELECT doc_id,
        count(*) AS n_systems
 FROM u GROUP BY doc_id
 ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+
+def _synth_chat(d: DataFrame) -> DataFrame:
+    """Deterministic SQL-replayable conversations from doc text (the
+    image_neardup synthesis convention): text splits into 4 quarter
+    chunks (chunk i = substr(text, i*q+1, q), q = max(floor(len/4),1));
+    the conversation keeps the first 2 + doc_id%3 turns. Roles vary so
+    the structural gates exercise every branch: turn 0 is 'system' for
+    doc_id%7==0 (breaks starts_with_user), turn 2 is 'assistant' for
+    doc_id%5==0 (breaks alternation), turns 1/3 are 'assistant'."""
+    L = F.length(F.coalesce(F.col("text"), F.lit("")))
+    q = F.greatest(F.floor(L / 4).cast("int"), F.lit(1))
+    role0 = F.when(F.col("doc_id") % 7 == 0, F.lit("system")).otherwise(F.lit("user"))
+    role2 = F.when(F.col("doc_id") % 5 == 0, F.lit("assistant")).otherwise(F.lit("user"))
+
+    def turn(i, role):
+        return F.struct(
+            role.alias("role"),
+            F.col("text").substr(F.lit(i) * q + 1, q).alias("content"),
+        )
+
+    turns4 = F.array(
+        turn(0, role0),
+        turn(1, F.lit("assistant")),
+        turn(2, role2),
+        turn(3, F.lit("assistant")),
+    )
+    n = (F.col("doc_id") % 3 + 2).cast("int")
+    return d.select("doc_id", F.slice(turns4, 1, n).alias("turns"))
+
+
+def q_chat_render(spark, sf):
+    """SFT chat-template rendering (operators/chat.render_chat): the
+    synthesized turn arrays fold into one ChatML-style training string
+    per conversation — a pure-codegen left-fold, no shuffle."""
+    d = _synth_chat(_t(spark, sf, "documents"))
+    return d.select("doc_id", chat.render_chat("turns").alias("rendered"))
+
+
+SQL_CHAT_RENDER = """
+WITH t AS (
+  SELECT doc_id, text,
+         greatest(CAST(floor(length(text)/4) AS INT), 1) AS q,
+         2 + doc_id % 3 AS n,
+         CASE WHEN doc_id % 7 = 0 THEN 'system' ELSE 'user' END AS role0,
+         CASE WHEN doc_id % 5 = 0 THEN 'assistant' ELSE 'user' END AS role2
+  FROM documents)
+SELECT doc_id,
+  '<|im_start|>' || role0 || chr(10) || coalesce(substr(text, 1, q), '')
+    || '<|im_end|>' || chr(10) ||
+  '<|im_start|>assistant' || chr(10) || coalesce(substr(text, q+1, q), '')
+    || '<|im_end|>' || chr(10) ||
+  CASE WHEN n >= 3 THEN
+    '<|im_start|>' || role2 || chr(10) || coalesce(substr(text, 2*q+1, q), '')
+    || '<|im_end|>' || chr(10) ELSE '' END ||
+  CASE WHEN n >= 4 THEN
+    '<|im_start|>assistant' || chr(10) || coalesce(substr(text, 3*q+1, q), '')
+    || '<|im_end|>' || chr(10) ELSE '' END AS rendered
+FROM t
+"""
+
+
+def q_chat_sft_stats(spark, sf):
+    """Conversation structural stats + the SFT admission gate
+    (operators/chat.chat_turn_stats / sft_gate): per-turn role counts,
+    assistant transcript length, alternation/opening checks, and the
+    composed admission boolean — all array-local codegen expressions,
+    zero shuffle."""
+    d = _synth_chat(_t(spark, sf, "documents"))
+    s = chat.chat_turn_stats("turns")
+    # min_turns=3 so the 2-turn conversations exercise the reject branch
+    return d.select(
+        "doc_id",
+        *s.values(),
+        chat.sft_gate("turns", min_turns=3, max_turns=4).alias("admitted"),
+    )
+
+
+SQL_CHAT_SFT_STATS = """
+WITH t AS (
+  SELECT doc_id, text,
+         greatest(CAST(floor(length(text)/4) AS INT), 1) AS q,
+         CAST(2 + doc_id % 3 AS INT) AS n,
+         doc_id % 7 = 0 AS sys0,
+         doc_id % 5 = 0 AS asst2
+  FROM documents),
+c AS (
+  SELECT doc_id, n,
+         coalesce(length(substr(text, q+1, q)), 0) AS len1,
+         coalesce(length(substr(text, 2*q+1, q)), 0) AS len2,
+         coalesce(length(substr(text, 3*q+1, q)), 0) AS len3,
+         sys0, asst2
+  FROM t)
+SELECT doc_id,
+  CAST(n AS INT) AS n_turns,
+  CAST((CASE WHEN NOT sys0 THEN 1 ELSE 0 END)
+     + (CASE WHEN n >= 3 AND NOT asst2 THEN 1 ELSE 0 END) AS INT) AS n_user,
+  CAST(1 + (CASE WHEN n >= 3 AND asst2 THEN 1 ELSE 0 END)
+     + (CASE WHEN n >= 4 THEN 1 ELSE 0 END) AS INT) AS n_assistant,
+  CAST(len1 + (CASE WHEN n >= 3 AND asst2 THEN len2 ELSE 0 END)
+     + (CASE WHEN n >= 4 THEN len3 ELSE 0 END) AS BIGINT) AS assistant_chars,
+  NOT sys0 AS starts_with_user,
+  NOT (asst2 AND n >= 3) AS alternates,
+  (len1 = 0 OR (n >= 3 AND asst2 AND len2 = 0) OR (n >= 4 AND len3 = 0))
+    AS has_empty_assistant,
+  (n >= 3 AND n <= 4 AND NOT sys0 AND NOT (asst2 AND n >= 3)
+   AND NOT (len1 = 0 OR (n >= 3 AND asst2 AND len2 = 0)
+            OR (n >= 4 AND len3 = 0))) AS admitted
+FROM c
+"""
+
+
+def q_chat_assistant_dedup(spark, sf):
+    """Assistant-response dedup (operators/chat.assistant_dedup): keep
+    the smallest-id conversation per distinct assistant transcript.
+    Responses here are 3-char text slices so the corpus genuinely
+    collides; the shuffle carries only the sha2 key + id."""
+    d = _t(spark, sf, "documents")
+    turns = F.array(
+        F.struct(
+            F.lit("user").alias("role"),
+            F.col("text").substr(F.lit(1), F.lit(4)).alias("content"),
+        ),
+        F.struct(
+            F.lit("assistant").alias("role"),
+            F.col("text").substr(F.lit(5), F.lit(3)).alias("content"),
+        ),
+    )
+    conv = d.select("doc_id", turns.alias("turns"))
+    kept = chat.assistant_dedup(conv, "doc_id", "turns")
+    return kept.select(
+        "doc_id", F.element_at("turns", 2)["content"].alias("resp")
+    )
+
+
+SQL_CHAT_ASSISTANT_DEDUP = """
+WITH t AS (
+  SELECT doc_id, substr(text, 5, 3) AS resp,
+         coalesce(substr(text, 5, 3), '') AS k
+  FROM documents)
+SELECT doc_id, resp FROM t
+WHERE doc_id IN (SELECT min(doc_id) FROM t GROUP BY k)
 """
 
 
@@ -5986,6 +6129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_image_neardup": q_stream_image_neardup,
         "bpe_token_count": q_bpe_token_count,
         "hybrid_search": q_hybrid_search,
+        "chat_render": q_chat_render,
+        "chat_sft_stats": q_chat_sft_stats,
+        "chat_assistant_dedup": q_chat_assistant_dedup,
         # 1. last driver-green r9 — two rounds stale (VERDICT r11 lead list)
         "multimodal_resize": q_multimodal_resize,
         "pivot_event_counts": q_pivot_event_counts,
@@ -6177,6 +6323,9 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_tfidf": SQL_FULLTEXT_TFIDF,
         "fulltext_bm25": SQL_FULLTEXT_BM25,
         "hybrid_search": SQL_HYBRID_SEARCH,
+        "chat_render": SQL_CHAT_RENDER,
+        "chat_sft_stats": SQL_CHAT_SFT_STATS,
+        "chat_assistant_dedup": SQL_CHAT_ASSISTANT_DEDUP,
         "fulltext_phrase": SQL_FULLTEXT_PHRASE,
         "term_prefix": SQL_TERM_PREFIX,
         "temperature_mix": SQL_TEMPERATURE_MIX,

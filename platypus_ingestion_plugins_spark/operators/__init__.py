@@ -33,3 +33,11 @@ from platypus_ingestion_plugins_spark.operators.profile import (  # noqa: F401
 from platypus_ingestion_plugins_spark.operators.resample import (  # noqa: F401
     resample_last_ffill,
 )
+from platypus_ingestion_plugins_spark.operators.chat import (  # noqa: F401
+    render_chat,
+    chat_turn_stats,
+    with_chat_stats,
+    sft_gate,
+    assistant_transcript_key,
+    assistant_dedup,
+)

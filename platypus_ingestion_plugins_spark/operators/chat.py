@@ -1,0 +1,170 @@
+"""Chat / SFT (supervised fine-tuning) data preparation.
+
+Instruction-tuning corpora are conversations — arrays of (role,
+content) turns — not flat documents, and the curation pipeline needs
+turn-STRUCTURE operators the document operators can't express: render
+a turn list into the single training string a trainer consumes,
+validate role alternation, gate on turn counts and empty assistant
+replies, and dedup by what the model actually learns from (the
+assistant responses), not by surface document bytes.
+
+The conversation type is the plain Spark SQL shape
+``array<struct<role:string, content:string>>`` — what
+``spark.read.json`` produces for the ubiquitous
+``{"messages": [{"role": ..., "content": ...}]}`` interchange format.
+
+Everything here is Catalyst higher-order functions (transform /
+aggregate / exists / zip_with) over that array — zero Python in the
+row path, so the operators stay inside whole-stage codegen and an
+external SQL engine replays every output (the rendered string, the
+stats, the dedup keeps) exactly. Scale shape: render/stats/gate are
+map-only projections (no shuffle at any corpus size); the dedup is
+one hash groupBy — the exact-dedup pattern — on a sha2 of the
+assistant transcript, never on the raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TURNS_TYPE = "array<struct<role:string,content:string>>"
+
+
+def _turns(turns_col: Column | str) -> Column:
+    return F.col(turns_col) if isinstance(turns_col, str) else turns_col
+
+
+def render_chat(
+    turns_col: Column | str,
+    turn_start: str = "<|im_start|>",
+    turn_end: str = "<|im_end|>",
+) -> Column:
+    """The turn list rendered to ONE training string — ChatML-style
+    ``{turn_start}{role}\\n{content}{turn_end}\\n`` per turn, in turn
+    order. A left-fold (F.aggregate) so the concatenation order is the
+    array order by construction; NULL content renders as empty (the
+    whole-string alternative would nullify the full conversation on
+    one missing turn). Map-only, codegen."""
+    return F.aggregate(
+        _turns(turns_col),
+        F.lit(""),
+        lambda acc, t: F.concat(
+            acc,
+            F.lit(turn_start),
+            F.coalesce(t["role"], F.lit("")),
+            F.lit("\n"),
+            F.coalesce(t["content"], F.lit("")),
+            F.lit(turn_end),
+            F.lit("\n"),
+        ),
+    )
+
+
+def chat_turn_stats(turns_col: Column | str) -> dict[str, Column]:
+    """Structural statistics of a conversation, as named Columns (use
+    with ``df.select(id, **chat_turn_stats(...))`` or
+    ``with_chat_stats``):
+
+    - n_turns, n_user, n_assistant — turn counts by role
+    - assistant_chars — total assistant content length (what the loss
+      is computed on; NULL content counts 0)
+    - starts_with_user — first turn's role is 'user'
+    - alternates — no two CONSECUTIVE turns share a role (the standard
+      SFT well-formedness check; vacuously true under 2 turns)
+    - has_empty_assistant — any assistant turn with NULL/'' content
+
+    All array-local expressions: zip_with of the array against its own
+    tail for adjacency, filter+size for the counts. Map-only."""
+    t = _turns(turns_col)
+    role = lambda x: x["role"]  # noqa: E731
+    content = lambda x: x["content"]  # noqa: E731
+    tail = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
+    return {
+        "n_turns": F.size(t).alias("n_turns"),
+        "n_user": F.size(F.filter(t, lambda x: role(x) == "user")).alias("n_user"),
+        "n_assistant": F.size(
+            F.filter(t, lambda x: role(x) == "assistant")
+        ).alias("n_assistant"),
+        "assistant_chars": F.aggregate(
+            F.filter(t, lambda x: role(x) == "assistant"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(F.coalesce(content(x), F.lit(""))),
+        ).alias("assistant_chars"),
+        "starts_with_user": (
+            F.coalesce(F.element_at(t, 1)["role"] == "user", F.lit(False))
+        ).alias("starts_with_user"),
+        "alternates": (
+            ~F.exists(
+                F.zip_with(t, tail, lambda a, b: role(a) == role(b)),
+                lambda x: F.coalesce(x, F.lit(False)),
+            )
+        ).alias("alternates"),
+        "has_empty_assistant": F.exists(
+            t,
+            lambda x: (role(x) == "assistant")
+            & (F.coalesce(content(x), F.lit("")) == ""),
+        ).alias("has_empty_assistant"),
+    }
+
+
+def with_chat_stats(
+    df: DataFrame, turns_col: str = "turns"
+) -> DataFrame:
+    """``df`` plus the ``chat_turn_stats`` columns."""
+    return df.select("*", *chat_turn_stats(turns_col).values())
+
+
+def sft_gate(
+    turns_col: Column | str,
+    min_turns: int = 2,
+    max_turns: int = 64,
+) -> Column:
+    """The standard SFT structural admission predicate: turn count in
+    [min_turns, max_turns], opens with a user turn, roles strictly
+    alternate, at least one assistant turn, and no empty assistant
+    reply. One boolean expression — compose with ``df.filter`` and it
+    stays a zero-shuffle codegen projection like the Gopher/C4 rule
+    gates."""
+    s = chat_turn_stats(turns_col)
+    return (
+        (F.size(_turns(turns_col)) >= min_turns)
+        & (F.size(_turns(turns_col)) <= max_turns)
+        & s["starts_with_user"]
+        & s["alternates"]
+        & (s["n_assistant"] > 0)
+        & ~s["has_empty_assistant"]
+    )
+
+
+def assistant_transcript_key(turns_col: Column | str) -> Column:
+    """Dedup key: sha2-256 of the assistant turns' contents joined
+    with an \\x1f unit separator (injection-safe: a separator that
+    appears in no tokenizer's text output, so distinct transcripts
+    can't concatenate to the same key). Two conversations that teach
+    the model the same responses dedup together even when their user
+    prompts were paraphrased — response-level dedup is the SFT
+    analogue of document exact-dedup."""
+    joined = F.aggregate(
+        F.filter(_turns(turns_col), lambda x: x["role"] == "assistant"),
+        F.lit(""),
+        lambda acc, x: F.concat(
+            acc, F.coalesce(x["content"], F.lit("")), F.lit("\x1f")
+        ),
+    )
+    return F.sha2(joined, 256)
+
+
+def assistant_dedup(
+    df: DataFrame, id_col: str = "doc_id", turns_col: str = "turns"
+) -> DataFrame:
+    """Keep the smallest-id conversation per distinct assistant
+    transcript (``assistant_transcript_key``). One partial-aggregatable
+    groupBy on the 64-hex key — ids-only shuffle, the exact-dedup
+    scale shape — then an ids semi-join back, so conversation payloads
+    never shuffle."""
+    keyed = df.withColumn("__atk", assistant_transcript_key(turns_col))
+    keep = keyed.groupBy("__atk").agg(F.min(id_col).alias(id_col))
+    return (
+        keyed.join(keep.select(id_col), id_col, "semi").drop("__atk")
+    )

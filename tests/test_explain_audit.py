@@ -85,6 +85,10 @@ HEADLINE = [
     "audio_stats",
     "video_neardup",
     "audio_neardup",
+    "hybrid_search",
+    "chat_render",
+    "chat_sft_stats",
+    "chat_assistant_dedup",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
@@ -210,6 +214,16 @@ def test_gopher_flags_map_only(plans):
     their plans must contain no Exchange (shuffle-free,
     embarrassingly parallel) and no Python evaluation of any kind."""
     for name in ("gopher_quality", "c4_filter"):
+        p = plans[name]
+        assert "Exchange" not in p, (name, p)
+        assert "EvalPython" not in p and "InPandas" not in p, (name, p)
+
+
+def test_chat_projections_map_only(plans):
+    """chat_render and chat_sft_stats are array-local codegen
+    projections (fold / zip_with / filter over the turns array) —
+    no Exchange, no Python evaluation of any kind."""
+    for name in ("chat_render", "chat_sft_stats"):
         p = plans[name]
         assert "Exchange" not in p, (name, p)
         assert "EvalPython" not in p and "InPandas" not in p, (name, p)

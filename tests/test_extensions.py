@@ -4648,3 +4648,98 @@ def test_audio_neardup_envelope_hash(spark):
     assert (1, 4) not in got and (2, 4) not in got
     with pytest.raises(ValueError, match="n_windows"):
         multimodal.audio_fingerprints(df, n_windows=65)
+
+
+def test_chat_turn_stats_and_gate_edges(spark):
+    """chat operators on handcrafted conversations: NULL content,
+    single-turn, consecutive same-role, empty assistant reply, and the
+    composed sft_gate admission — vs hand-computed expectations."""
+    from platypus_ingestion_plugins_spark.operators import chat
+
+    convs = [
+        # well-formed 4-turn
+        (1, [("user", "hi"), ("assistant", "hello"), ("user", "more?"),
+             ("assistant", "sure")]),
+        # consecutive assistant turns -> alternation violation
+        (2, [("user", "a"), ("assistant", "b"), ("assistant", "c")]),
+        # opens with system -> starts_with_user false
+        (3, [("system", "be brief"), ("user", "q"), ("assistant", "r")]),
+        # empty assistant reply
+        (4, [("user", "q"), ("assistant", "")]),
+        # NULL assistant content counts as empty, renders as ''
+        (5, [("user", "q"), ("assistant", None)]),
+        # single turn, no assistant
+        (6, [("user", "alone")]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [Row(role=r, content=c) for r, c in t]) for i, t in convs],
+        f"doc_id long, turns {chat.TURNS_TYPE}",
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in df.select(
+            "doc_id",
+            *chat.chat_turn_stats("turns").values(),
+            chat.sft_gate("turns", min_turns=2, max_turns=4).alias("ok"),
+            chat.render_chat("turns").alias("rendered"),
+        ).collect()
+    }
+    expect = {
+        1: dict(n_turns=4, n_user=2, n_assistant=2, assistant_chars=9,
+                starts_with_user=True, alternates=True,
+                has_empty_assistant=False, ok=True),
+        2: dict(n_turns=3, n_user=1, n_assistant=2, assistant_chars=2,
+                starts_with_user=True, alternates=False,
+                has_empty_assistant=False, ok=False),
+        3: dict(n_turns=3, n_user=1, n_assistant=1, assistant_chars=1,
+                starts_with_user=False, alternates=True,
+                has_empty_assistant=False, ok=False),
+        4: dict(n_turns=2, n_user=1, n_assistant=1, assistant_chars=0,
+                starts_with_user=True, alternates=True,
+                has_empty_assistant=True, ok=False),
+        5: dict(n_turns=2, n_user=1, n_assistant=1, assistant_chars=0,
+                starts_with_user=True, alternates=True,
+                has_empty_assistant=True, ok=False),
+        6: dict(n_turns=1, n_user=1, n_assistant=0, assistant_chars=0,
+                starts_with_user=True, alternates=True,
+                has_empty_assistant=False, ok=False),
+    }
+    for i, exp in expect.items():
+        got = {k: out[i][k] for k in exp}
+        assert got == exp, (i, got, exp)
+    assert out[1]["rendered"] == (
+        "<|im_start|>user\nhi<|im_end|>\n"
+        "<|im_start|>assistant\nhello<|im_end|>\n"
+        "<|im_start|>user\nmore?<|im_end|>\n"
+        "<|im_start|>assistant\nsure<|im_end|>\n"
+    )
+    # NULL content renders as empty, not NULL-propagating
+    assert out[5]["rendered"].endswith("<|im_start|>assistant\n<|im_end|>\n")
+
+
+def test_chat_assistant_dedup_keeps_min_id_per_transcript(spark):
+    """assistant_dedup: same assistant responses with different user
+    prompts collapse (min id kept); the separator prevents
+    concatenation collisions ('ab'+'c' vs 'a'+'bc')."""
+    from platypus_ingestion_plugins_spark.operators import chat
+
+    def conv(uid, *resps):
+        turns = []
+        for j, rsp in enumerate(resps):
+            turns.append(Row(role="user", content=f"prompt {uid}-{j}"))
+            turns.append(Row(role="assistant", content=rsp))
+        return (uid, turns)
+
+    df = spark.createDataFrame(
+        [
+            conv(10, "ab", "c"),
+            conv(11, "a", "bc"),   # same concat, different split: distinct
+            conv(12, "ab", "c"),   # true duplicate of 10
+            conv(13, "zzz"),
+        ],
+        f"doc_id long, turns {chat.TURNS_TYPE}",
+    )
+    kept = sorted(
+        r.doc_id for r in chat.assistant_dedup(df, "doc_id", "turns").collect()
+    )
+    assert kept == [10, 11, 13], kept
