@@ -567,6 +567,29 @@ WHERE doc_id IN (SELECT min(doc_id) FROM t GROUP BY k)
 """
 
 
+def q_facet_counts(spark, sf):
+    """Terms-facet aggregation (serving/query.facet_counts): top-5
+    values of lang and source with counts and per-field rank — the
+    facets sidecar of a Lucene search response, one scan + one
+    groupBy + a rank window over aggregated counts only."""
+    d = _t(spark, sf, "documents")
+    return SQ.facet_counts(d, ["lang", "source"], top_n=5)
+
+
+SQL_FACET_COUNTS = """
+WITH pairs AS (
+  SELECT 'lang' AS field, lang AS value FROM documents WHERE lang IS NOT NULL
+  UNION ALL
+  SELECT 'source' AS field, source AS value FROM documents WHERE source IS NOT NULL),
+counts AS (
+  SELECT field, value, count(*) AS cnt FROM pairs GROUP BY field, value)
+SELECT field, value, cnt,
+       CAST(row_number() OVER (PARTITION BY field ORDER BY cnt DESC, value)
+            AS INT) AS rank
+FROM counts QUALIFY rank <= 5
+"""
+
+
 def q_fulltext_phrase(spark, sf):
     """PhraseQuery parity: token-exact contiguous in-order match
     (serving/query.py:match_phrase) — sentinel-padded re-join keeps it
@@ -6132,6 +6155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_render": q_chat_render,
         "chat_sft_stats": q_chat_sft_stats,
         "chat_assistant_dedup": q_chat_assistant_dedup,
+        "facet_counts": q_facet_counts,
         # 1. last driver-green r9 — two rounds stale (VERDICT r11 lead list)
         "multimodal_resize": q_multimodal_resize,
         "pivot_event_counts": q_pivot_event_counts,
@@ -6326,6 +6350,7 @@ def oracle_sql() -> dict[str, str]:
         "chat_render": SQL_CHAT_RENDER,
         "chat_sft_stats": SQL_CHAT_SFT_STATS,
         "chat_assistant_dedup": SQL_CHAT_ASSISTANT_DEDUP,
+        "facet_counts": SQL_FACET_COUNTS,
         "fulltext_phrase": SQL_FULLTEXT_PHRASE,
         "term_prefix": SQL_TERM_PREFIX,
         "temperature_mix": SQL_TEMPERATURE_MIX,

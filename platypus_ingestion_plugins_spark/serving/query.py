@@ -263,6 +263,56 @@ def rrf_fuse(
     return fused.limit(top) if top is not None else fused
 
 
+def facet_counts(
+    df: DataFrame, fields: Sequence[str], top_n: int = 10
+) -> DataFrame:
+    """Terms-facet aggregation (the Lucene/NRTSearch facets sidecar of
+    a search response): for each named field, the ``top_n`` most
+    frequent values with their counts. Output (field, value, cnt,
+    rank), rank 1..top_n per field by (count desc, value asc) — a
+    deterministic total order. NULL field values carry no facet row
+    (Lucene counts only present values).
+
+    Plan shape: ONE corpus scan — the per-field pairs explode from an
+    inline array (rows x |fields|, map-side) — then one
+    partial-aggregatable groupBy(field, value) and a rank window over
+    the AGGREGATED counts, partitioned by field. The window input is
+    one row per distinct value, never the corpus; fields facetted in
+    production are low-cardinality by design (that is what makes them
+    facets), so per-field partitions stay small. Values are cast to
+    string so heterogeneous field types coexist in one frame, exactly
+    like a facet API response."""
+    if not fields:
+        raise ValueError("facet_counts needs at least one field")
+    from pyspark.sql import Window
+
+    pairs = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f_).alias("field"),
+                            F.col(f_).cast("string").alias("value"),
+                        )
+                        for f_ in fields
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.field", "p.value")
+        .where(F.col("value").isNotNull())
+    )
+    counts = pairs.groupBy("field", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("field").orderBy(
+        F.col("cnt").desc(), F.col("value").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
 def retrieve_fields(df: DataFrame, fields: Sequence[str]) -> DataFrame:
     return df.select(*fields)
 

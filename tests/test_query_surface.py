@@ -181,3 +181,35 @@ def test_rrf_fuse_matches_pure_python(spark):
     assert [r.doc_id for r in top2.collect()] == ids[:2]
     with pytest.raises(ValueError):
         SQ.rrf_fuse({}, "doc_id")
+
+
+def test_facet_counts_semantics(spark):
+    """facet_counts: NULLs carry no facet row, heterogeneous types
+    coexist as strings, rank breaks count ties by value, top_n trims
+    per field independently."""
+    from pyspark.sql import Row
+
+    from platypus_ingestion_plugins_spark.serving import query as SQ
+
+    df = spark.createDataFrame(
+        [
+            Row(color="red", size=1),
+            Row(color="red", size=2),
+            Row(color="blue", size=2),
+            Row(color="blue", size=1),
+            Row(color="green", size=1),
+            Row(color=None, size=None),
+        ]
+    )
+    got = {
+        (r.field, r.value): (r.cnt, r.rank)
+        for r in SQ.facet_counts(df, ["color", "size"], top_n=2).collect()
+    }
+    assert got == {
+        ("color", "blue"): (2, 1),   # 2-2 tie with red: value asc
+        ("color", "red"): (2, 2),    # green (cnt 1) trimmed by top_n=2
+        ("size", "1"): (3, 1),
+        ("size", "2"): (2, 2),
+    }, got
+    with pytest.raises(ValueError):
+        SQ.facet_counts(df, [])
