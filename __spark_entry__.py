@@ -590,6 +590,71 @@ FROM counts QUALIFY rank <= 5
 """
 
 
+def q_script_detect(spark, sf):
+    """Writing-system detection (functions/text.script_counts /
+    dominant_script): per-script character counts by Unicode BMP range
+    + strictly-greater argmax — works where the stopword language_id
+    is blind (no word boundaries). The corpus is ASCII, so docs are
+    deterministically transliterated by doc_id%4 (full-alphabet
+    Cyrillic / Greek maps, vowel-only Devanagari so latin stays
+    dominant there) — translate() is engine-identical, and both
+    engines count BMP chars the same."""
+    d = _t(spark, sf, "documents")
+    abc = "abcdefghijklmnopqrstuvwxyz"
+    cyr = "абвгдежзийклмнопрстуфхцчшщ"
+    grk = "αβγδεζηθικλμνξοπρστυφχψωϊϋ"
+    dev = "अएइओउ"
+    txt = (
+        F.when(F.col("doc_id") % 4 == 1, F.translate(F.col("text"), abc, cyr))
+        .when(F.col("doc_id") % 4 == 2, F.translate(F.col("text"), abc, grk))
+        .when(F.col("doc_id") % 4 == 3, F.translate(F.col("text"), "aeiou", dev))
+        .otherwise(F.col("text"))
+    )
+    base = d.select("doc_id", txt.alias("t"))
+    return base.select(
+        "doc_id",
+        *TX.script_counts("t").values(),
+        TX.dominant_script("t").alias("script"),
+    )
+
+
+SQL_SCRIPT_DETECT = """
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 1
+           THEN translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                          'абвгдежзийклмнопрстуфхцчшщ')
+         WHEN doc_id % 4 = 2
+           THEN translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                          'αβγδεζηθικλμνξοπρστυφχψωϊϋ')
+         WHEN doc_id % 4 = 3
+           THEN translate(text, 'aeiou', 'अएइओउ')
+         ELSE text END AS t
+  FROM documents),
+c AS (
+  SELECT doc_id,
+    CAST(length(regexp_replace(t, '[^\\x{0400}-\\x{04FF}]', '', 'g')) AS INT)
+      AS cyrillic,
+    CAST(length(regexp_replace(t, '[^\\x{0900}-\\x{097F}]', '', 'g')) AS INT)
+      AS devanagari,
+    CAST(length(regexp_replace(t, '[^\\x{0370}-\\x{03FF}]', '', 'g')) AS INT)
+      AS greek,
+    CAST(length(regexp_replace(t, '[^A-Za-z\\x{00C0}-\\x{024F}]', '', 'g')) AS INT)
+      AS latin,
+    CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS INT) AS digit
+  FROM t)
+SELECT doc_id, cyrillic, devanagari, greek, latin, digit,
+  CASE WHEN greatest(cyrillic, devanagari, greek, latin) = 0 THEN 'und'
+       WHEN cyrillic = greatest(cyrillic, devanagari, greek, latin)
+         THEN 'cyrillic'
+       WHEN devanagari = greatest(cyrillic, devanagari, greek, latin)
+         THEN 'devanagari'
+       WHEN greek = greatest(cyrillic, devanagari, greek, latin) THEN 'greek'
+       ELSE 'latin' END AS script
+FROM c
+"""
+
+
 def q_fulltext_phrase(spark, sf):
     """PhraseQuery parity: token-exact contiguous in-order match
     (serving/query.py:match_phrase) — sentinel-padded re-join keeps it
@@ -6156,6 +6221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_sft_stats": q_chat_sft_stats,
         "chat_assistant_dedup": q_chat_assistant_dedup,
         "facet_counts": q_facet_counts,
+        "script_detect": q_script_detect,
         # 1. last driver-green r9 — two rounds stale (VERDICT r11 lead list)
         "multimodal_resize": q_multimodal_resize,
         "pivot_event_counts": q_pivot_event_counts,
@@ -6351,6 +6417,7 @@ def oracle_sql() -> dict[str, str]:
         "chat_sft_stats": SQL_CHAT_SFT_STATS,
         "chat_assistant_dedup": SQL_CHAT_ASSISTANT_DEDUP,
         "facet_counts": SQL_FACET_COUNTS,
+        "script_detect": SQL_SCRIPT_DETECT,
         "fulltext_phrase": SQL_FULLTEXT_PHRASE,
         "term_prefix": SQL_TERM_PREFIX,
         "temperature_mix": SQL_TEMPERATURE_MIX,

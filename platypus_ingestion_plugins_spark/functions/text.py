@@ -56,6 +56,55 @@ def language_id(col: Column | str) -> Column:
     return expr
 
 
+# Writing-system character classes by Unicode BMP range. BMP-only on
+# purpose: Spark's length() counts UTF-16 code units and DuckDB's
+# counts code points — they agree exactly on BMP text, so every count
+# below is engine-reproducible (astral-plane scripts would need a
+# codepoint-length convention first).
+SCRIPT_RANGES = {
+    "cyrillic": "Ѐ-ӿ",
+    "devanagari": "ऀ-ॿ",
+    "greek": "Ͱ-Ͽ",
+    "latin": "A-Za-zÀ-ɏ",
+}
+
+
+def script_counts(col: Column | str) -> dict[str, Column]:
+    """Per-script character counts (named Columns): how many chars of
+    the text fall in each ``SCRIPT_RANGES`` class, plus ``digit``.
+    Count = length(text) - length(class chars removed) via one
+    regexp_replace per class — pure codegen, no tokenization, which is
+    the point: script ID must work on text that has no word
+    boundaries (CJK, Devanagari) where the stopword ``language_id``
+    heuristic is blind."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(c, F.lit(""))
+    out = {
+        name: F.length(F.regexp_replace(c, f"[^{rng}]", "")).alias(name)
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    out["digit"] = F.length(F.regexp_replace(c, "[^0-9]", "")).alias("digit")
+    return out
+
+
+def dominant_script(col: Column | str) -> Column:
+    """The writing system with the most characters — 'und' when no
+    script char occurs. Ties break to the alphabetically-first script
+    (a strictly-greater fold in alphabetical order, which an external
+    engine replays as a greatest() + first-match CASE chain)."""
+    counts = script_counts(col)
+    best = F.struct(
+        F.lit(0).alias("c"), F.lit("und").alias("s")
+    )
+    for name in sorted(SCRIPT_RANGES):
+        cnt = counts[name]
+        best = F.when(
+            cnt > best["c"],
+            F.struct(cnt.alias("c"), F.lit(name).alias("s")),
+        ).otherwise(best)
+    return best["s"]
+
+
 def quality_score(col: Column | str) -> Column:
     """Composite document-quality heuristic in [0,1]:
     length band + mean token length band + alpha ratio.

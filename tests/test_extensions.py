@@ -4743,3 +4743,35 @@ def test_chat_assistant_dedup_keeps_min_id_per_transcript(spark):
         r.doc_id for r in chat.assistant_dedup(df, "doc_id", "turns").collect()
     )
     assert kept == [10, 11, 13], kept
+
+
+def test_script_detection_handcrafted(spark):
+    """script_counts/dominant_script on handcrafted mixed-script text:
+    per-range counts, the alphabetical tie-break, the 'und' fallback,
+    and NULL-text safety."""
+    from platypus_ingestion_plugins_spark.functions import text as TX
+
+    rows = [
+        Row(doc_id=1, text="hello мир"),          # 5 latin, 3 cyrillic
+        Row(doc_id=2, text="αβγ abc"),            # 3-3 tie -> greek? no: alphabetical first is greek vs latin -> greek
+        Row(doc_id=3, text="123 !?"),             # digits only -> und
+        Row(doc_id=4, text="नमस्ते"),               # devanagari only
+        Row(doc_id=5, text=None),                 # NULL-safe -> und, zeros
+        Row(doc_id=6, text="Ärger straße"),       # accented latin counts
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.doc_id: r.asDict()
+        for r in df.select(
+            "doc_id",
+            *TX.script_counts("text").values(),
+            TX.dominant_script("text").alias("script"),
+        ).collect()
+    }
+    assert (out[1]["latin"], out[1]["cyrillic"], out[1]["script"]) == (5, 3, "latin")
+    # 3-3 tie: strictly-greater fold in alphabetical order keeps greek
+    assert (out[2]["greek"], out[2]["latin"], out[2]["script"]) == (3, 3, "greek")
+    assert (out[3]["digit"], out[3]["script"]) == (3, "und")
+    assert out[4]["devanagari"] == 6 and out[4]["script"] == "devanagari"
+    assert out[5]["script"] == "und" and out[5]["latin"] == 0
+    assert out[6]["latin"] == 11 and out[6]["script"] == "latin"
