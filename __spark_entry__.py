@@ -2911,6 +2911,104 @@ WHERE NOT EXISTS (
 """
 
 
+def q_pq_codes(spark, sf):
+    """Product quantization (similarity.pq_train/pq_encode, Jégou et
+    al. 2011): 64-dim vectors -> 4 subspaces x 8-entry L2 codebooks
+    (one Lloyd round from lowest-id seeds — the semdedup_kmeans
+    oracle-expressibility convention), every vector encoded to 4
+    codes. Encoding is one map-only codegen projection against the
+    literal codebook. Flattened to (vec_id, sub, code) rows (array
+    stringification convention)."""
+    emb = _t(spark, sf, "embeddings")
+    cb = similarity.pq_train(emb, dim=64, m=4, n_codes=8, iters=1)
+    enc = similarity.pq_encode(emb, cb, dim=64)
+    return enc.select("vec_id", F.posexplode("codes").alias("sub", "code"))
+
+
+# The PQ replay: subs = 16-dim slices; seeds = the 8 lowest-id
+# vectors' slices (code = rank by vec_id, the enumerate order);
+# a1/means/cent2 = one Lloyd round with keep-seed-on-empty (the
+# SQL_SEMDEDUP_KMEANS mechanics per subspace); codes = final argmin-L2
+# assignment, smallest code on ties. Same known tolerance as
+# semdedup_kmeans: argmins compare unrounded distances (monotone
+# sqrt-vs-squared), stable on the frozen fixture's margins.
+_SQL_PQ_CODES_CTE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+subs AS (
+  SELECT vec_id, dims.sub, v[dims.sub*16+1 : dims.sub*16+16] AS subvec
+  FROM e CROSS JOIN dims),
+seedv AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8),
+seeds AS (
+  SELECT dims.sub,
+         row_number() OVER (PARTITION BY dims.sub ORDER BY sv.vec_id) - 1
+           AS code,
+         sv.v[dims.sub*16+1 : dims.sub*16+16] AS cvec
+  FROM seedv sv CROSS JOIN dims),
+a1 AS (
+  SELECT vec_id, sub, subvec, code FROM (
+    SELECT u.vec_id, u.sub, u.subvec, sd.code,
+           row_number() OVER (PARTITION BY u.vec_id, u.sub
+             ORDER BY list_distance(u.subvec, sd.cvec), sd.code) AS rn
+    FROM subs u JOIN seeds sd USING (sub)) WHERE rn = 1),
+means AS (
+  SELECT sub, code, i, avg(subvec[i]) AS m
+  FROM a1 CROSS JOIN generate_series(1, 16) AS gs(i)
+  GROUP BY sub, code, i),
+cent2 AS (
+  SELECT sd.sub, sd.code, coalesce(c.cvec, sd.cvec) AS cvec
+  FROM seeds sd LEFT JOIN (
+    SELECT sub, code, list(m ORDER BY i) AS cvec FROM means GROUP BY sub, code
+  ) c USING (sub, code)),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT u.vec_id, u.sub, ct.code,
+           row_number() OVER (PARTITION BY u.vec_id, u.sub
+             ORDER BY list_distance(u.subvec, ct.cvec), ct.code) AS rn
+    FROM subs u JOIN cent2 ct USING (sub)) WHERE rn = 1)
+"""
+
+SQL_PQ_CODES = (
+    _SQL_PQ_CODES_CTE
+    + """
+SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code FROM codes
+"""
+)
+
+
+def q_pq_adc_topk(spark, sf):
+    """Asymmetric-distance PQ search (similarity.pq_adc_topk): the
+    query stays full-precision, database vectors cost one LUT lookup
+    per subspace — map-only projection + distributed TakeOrdered,
+    the corpus never shuffles. Top-10 nearest to vector 0 by
+    approximate squared L2."""
+    emb = _t(spark, sf, "embeddings")
+    cb = similarity.pq_train(emb, dim=64, m=4, n_codes=8, iters=1)
+    enc = similarity.pq_encode(emb, cb, dim=64)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    return similarity.pq_adc_topk(enc, cb, qv, k=10, dim=64)
+
+
+SQL_PQ_ADC_TOPK = (
+    _SQL_PQ_CODES_CTE
+    + """,
+q AS (SELECT v FROM e WHERE vec_id = 0),
+lut AS (
+  SELECT ct.sub, ct.code,
+         round(pow(list_distance(q.v[ct.sub*16+1 : ct.sub*16+16], ct.cvec), 2),
+               6) AS d
+  FROM cent2 ct CROSS JOIN q)
+SELECT c.vec_id, round(sum(l.d), 6) AS adc
+FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+GROUP BY c.vec_id
+ORDER BY adc, c.vec_id LIMIT 10
+"""
+)
+
+
 _UNIT_SQL = (
     "(CAST(('0x' || substr(md5('{salt}|' || CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT)"
     " / 1152921504606846976.0)"
@@ -6222,6 +6320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_assistant_dedup": q_chat_assistant_dedup,
         "facet_counts": q_facet_counts,
         "script_detect": q_script_detect,
+        "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc_topk,
         # 1. last driver-green r9 — two rounds stale (VERDICT r11 lead list)
         "multimodal_resize": q_multimodal_resize,
         "pivot_event_counts": q_pivot_event_counts,
@@ -6418,6 +6518,8 @@ def oracle_sql() -> dict[str, str]:
         "chat_assistant_dedup": SQL_CHAT_ASSISTANT_DEDUP,
         "facet_counts": SQL_FACET_COUNTS,
         "script_detect": SQL_SCRIPT_DETECT,
+        "pq_codes": SQL_PQ_CODES,
+        "pq_adc_topk": SQL_PQ_ADC_TOPK,
         "fulltext_phrase": SQL_FULLTEXT_PHRASE,
         "term_prefix": SQL_TERM_PREFIX,
         "temperature_mix": SQL_TEMPERATURE_MIX,

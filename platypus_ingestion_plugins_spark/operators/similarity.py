@@ -901,3 +901,189 @@ def semdedup(
         .distinct()
     )
     return emb.join(dominated, id_col, "left_anti")
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two array<double> columns — a
+    zip_with/aggregate left-fold, index order, pure codegen."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_codes: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, list[float]]]:
+    """Train a product-quantization codebook (Jégou et al. 2011):
+    the vector splits into ``m`` contiguous subspaces of dim/m dims,
+    each with its own ``n_codes``-entry codebook trained by L2
+    Lloyd's. Returns the codebook as a bounded driver-side list of
+    (subspace, code, centroid) — m * n_codes * dim/m doubles total,
+    independent of corpus size (the kmeans_centroids bounded-collect
+    convention; at production scale train on a deterministic sample,
+    the quality_classifier sample-train/corpus-apply pattern).
+
+    One corpus pass per iteration covers ALL subspaces jointly: the
+    vectors explode to (sub, subvector) rows once, assignment is an
+    array_min over (distance, code) structs against the broadcast
+    literal codebook (smallest-code tie-break — deterministic), and
+    the new centroids are one groupBy(sub, code, pos) mean. Seeds are
+    the ``n_codes`` lowest-id vectors' subvectors; empty codes keep
+    their previous centroid (the kmeans_centroids rule)."""
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub = dim // m
+    seed_rows = (
+        emb.orderBy(id_col).limit(n_codes).select(vec_col).collect()
+    )
+    if len(seed_rows) < n_codes:
+        raise ValueError(
+            f"need >= {n_codes} vectors to seed the codebook, got {len(seed_rows)}"
+        )
+    cb = {
+        (s, c): [float(x) for x in row[0][s * dsub : (s + 1) * dsub]]
+        for c, row in enumerate(seed_rows)
+        for s in range(m)
+    }
+    dv = _dvec(F.col(vec_col))
+    for _ in range(iters):
+        subs = emb.select(
+            F.posexplode(
+                F.array(
+                    *[F.slice(dv, s * dsub + 1, dsub) for s in range(m)]
+                )
+            ).alias("sub", "subvec")
+        )
+        # per-code centroid literals indexed by subspace: CBLIT[c][sub]
+        cands = F.array(
+            *[
+                F.struct(
+                    _sq_l2(
+                        F.col("subvec"),
+                        F.element_at(
+                            F.array(
+                                *[
+                                    F.array(*[F.lit(x) for x in cb[(s, c)]])
+                                    for s in range(m)
+                                ]
+                            ),
+                            F.col("sub") + 1,
+                        ),
+                    ).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(n_codes)
+            ]
+        )
+        assigned = subs.select(
+            "sub", F.array_min(cands)["c"].alias("code"), "subvec"
+        )
+        means = (
+            assigned.select(
+                "sub", "code", F.posexplode("subvec").alias("pos", "x")
+            )
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("x").alias("mean"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+                    lambda st: st["mean"],
+                ).alias("cvec")
+            )
+        )
+        got = {(r["sub"], r["code"]): list(r["cvec"]) for r in means.collect()}
+        cb = {k: got.get(k, v) for k, v in cb.items()}
+    return [(s, c, cb[(s, c)]) for s in range(m) for c in range(n_codes)]
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: list[tuple[int, int, list[float]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes: (id, codes array<int>), codes[s] =
+    argmin-L2 codebook entry of subspace s (smallest code on ties).
+    The codebook rides in the plan as literals (bounded: it is
+    n_codes * dim doubles), so encoding is ONE map-only codegen
+    projection — no join, no shuffle, no Python. 4-8 bits per
+    subspace instead of 4 bytes per dim is the memory step that makes
+    billion-vector ANN serving fit RAM."""
+    m = 1 + max(s for s, _, _ in codebook)
+    dsub = dim // m
+    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+    for s, c, v in codebook:
+        by_sub.setdefault(s, []).append((c, v))
+    dv = _dvec(F.col(vec_col))
+    codes = []
+    for s in range(m):
+        sub = F.slice(dv, s * dsub + 1, dsub)
+        cands = F.array(
+            *[
+                F.struct(
+                    _sq_l2(sub, F.array(*[F.lit(x) for x in v])).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c, v in sorted(by_sub[s])
+            ]
+        )
+        codes.append(F.array_min(cands)["c"])
+    return emb.select(id_col, F.array(*codes).alias("codes"))
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    codebook: list[tuple[int, int, list[float]]],
+    query_vec: list[float],
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays
+    full-precision, each database vector's distance is approximated by
+    summing a per-(subspace, code) lookup table of squared L2
+    distances computed ONCE from the query — the classic ADC search.
+    Output (id, adc) — k smallest approximate distances, id
+    tie-break.
+
+    The LUT is m * n_codes doubles built driver-side (bounded), each
+    entry rounded to 6 dp so the per-vector sum is a sum of
+    6-dp-granular terms every engine reproduces; the final sum is
+    rounded to 6 dp too. Plan: one map-only projection (LUT literals
+    indexed by the codes array) + a distributed TakeOrdered — the
+    corpus never shuffles."""
+    m = 1 + max(s for s, _, _ in codebook)
+    n_codes = 1 + max(c for _, c, _ in codebook)
+    dsub = dim // m
+    lut = [[0.0] * n_codes for _ in range(m)]
+    for s, c, v in codebook:
+        q_sub = query_vec[s * dsub : (s + 1) * dsub]
+        acc = 0.0
+        for qx, cx in zip(q_sub, v):
+            acc += (qx - cx) * (qx - cx)
+        lut[s][c] = round(acc, 6)
+    lut_lit = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in lut]
+    )
+    adc = F.lit(0.0)
+    for s in range(m):
+        adc = adc + F.element_at(
+            F.element_at(lut_lit, s + 1),
+            F.element_at(F.col(codes_col), s + 1) + 1,
+        )
+    return (
+        codes_df.select(id_col, F.round(adc, 6).alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -283,3 +283,30 @@ def test_language_classifier_scoring_plan(spark, sf_dir):
     assert "BroadcastExchange" in p, p
     assert "BatchEvalPython" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_pq_encode_and_adc_plans(spark, sf_dir):
+    """PQ at corpus scale: encoding must be ONE map-only codegen
+    projection (literal codebook — no Exchange, no join, no Python)
+    and ADC top-k must compile to a distributed TakeOrdered — audited
+    with a fixed codebook, WITHOUT training (pq_train executes
+    collects; see the HEADLINE note)."""
+    from platypus_ingestion_plugins_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = [
+        (s, c, [float(s + c + i) for i in range(16)])
+        for s in range(4)
+        for c in range(4)
+    ]
+    enc = pq_encode(emb, cb, dim=64)
+    p = _formatted_plan(enc)
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p and "InPandas" not in p, p
+
+    p2 = _formatted_plan(pq_adc_topk(enc, cb, [0.0] * 64, k=10, dim=64))
+    assert "TakeOrderedAndProject" in p2, p2
+    assert "Exchange" not in p2, p2

@@ -4775,3 +4775,85 @@ def test_script_detection_handcrafted(spark):
     assert out[4]["devanagari"] == 6 and out[4]["script"] == "devanagari"
     assert out[5]["script"] == "und" and out[5]["latin"] == 0
     assert out[6]["latin"] == 11 and out[6]["script"] == "latin"
+
+
+def test_pq_train_encode_adc_pure_python_replay(spark):
+    """Product quantization vs an independent pure-Python replay on a
+    structured fixture: one Lloyd round from lowest-id seeds, argmin
+    encoding with smallest-code tie-break, and ADC distances from the
+    rounded LUT — every code and distance must match exactly."""
+    import itertools
+
+    from platypus_ingestion_plugins_spark.operators import similarity
+
+    dim, m, n_codes, dsub = 8, 2, 3, 4
+    vecs = [
+        [float((i * 7 + j * 3) % 11 - 5) for j in range(dim)] for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+
+    def sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    # --- replay train (1 iteration) ---
+    cb_py = {
+        (s, c): vecs[c][s * dsub : (s + 1) * dsub]
+        for s in range(m)
+        for c in range(n_codes)
+    }
+    members = {k: [] for k in cb_py}
+    for v in vecs:
+        for s in range(m):
+            sub = v[s * dsub : (s + 1) * dsub]
+            code = min(
+                range(n_codes), key=lambda c: (sq(sub, cb_py[(s, c)]), c)
+            )
+            members[(s, code)].append(sub)
+    for k, mem in members.items():
+        if mem:
+            cb_py[k] = [sum(col) / len(mem) for col in zip(*mem)]
+
+    cb = similarity.pq_train(df, dim=dim, m=m, n_codes=n_codes, iters=1)
+    got_cb = {(s, c): v for s, c, v in cb}
+    assert set(got_cb) == set(cb_py)
+    for k in cb_py:
+        assert got_cb[k] == pytest.approx(cb_py[k], abs=1e-12), k
+
+    # --- replay encode ---
+    codes_py = {
+        i: [
+            min(range(n_codes), key=lambda c: (sq(v[s * dsub:(s + 1) * dsub], cb_py[(s, c)]), c))
+            for s in range(m)
+        ]
+        for i, v in enumerate(vecs)
+    }
+    enc = similarity.pq_encode(df, cb, dim=dim)
+    got_codes = {r.vec_id: list(r.codes) for r in enc.collect()}
+    assert got_codes == codes_py
+
+    # --- replay ADC ---
+    qv = vecs[0]
+    lut = {
+        (s, c): round(sq(qv[s * dsub:(s + 1) * dsub], cb_py[(s, c)]), 6)
+        for s in range(m)
+        for c in range(n_codes)
+    }
+    adc_py = sorted(
+        (round(sum(lut[(s, codes_py[i][s])] for s in range(m)), 6), i)
+        for i in range(len(vecs))
+    )[:5]
+    got_adc = [
+        (r.adc, r.vec_id)
+        for r in similarity.pq_adc_topk(enc, cb, qv, k=5, dim=dim).collect()
+    ]
+    assert got_adc == adc_py, (got_adc, adc_py)
+
+    with pytest.raises(ValueError):
+        similarity.pq_train(df, dim=dim, m=3)
+    with pytest.raises(ValueError):
+        similarity.pq_train(df, dim=dim, m=m, n_codes=99)
