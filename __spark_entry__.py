@@ -3009,6 +3009,132 @@ ORDER BY adc, c.vec_id LIMIT 10
 )
 
 
+def q_html_extract(spark, sf):
+    """Web-page -> training-text extraction (functions/text.
+    html_to_text): script/style/comment elision, tag strip, entity
+    decode (amp last), whitespace collapse — one map-only
+    RE2-compatible regexp chain. The corpus is plain text, so each doc
+    is wrapped in a deterministic page skeleton (title/style/script/
+    comment/attributes/entities all present) that both engines build
+    identically."""
+    d = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit(
+            "<html><head><title>T</title><style>body { color: red; }"
+            "</style><script>var x = 1 < 2;</script></head>"
+            "<body><!-- note --><h1>"
+        ),
+        F.substring("text", 1, 20),
+        F.lit('</h1><p class="a">'),
+        F.replace(F.substring("text", 21, 60), F.lit(" "), F.lit("&nbsp;")),
+        F.lit("</p><p>&quot;q&quot; &amp;amp; &#39;s&#39;</p></body></html>"),
+    )
+    return d.select("doc_id", TX.html_to_text(html).alias("text_clean"))
+
+
+SQL_HTML_EXTRACT = """
+WITH h AS (
+  SELECT doc_id,
+    '<html><head><title>T</title><style>body { color: red; }</style>'
+    || '<script>var x = 1 < 2;</script></head><body><!-- note --><h1>'
+    || substr(text, 1, 20) || '</h1><p class="a">'
+    || replace(substr(text, 21, 60), ' ', '&nbsp;')
+    || '</p><p>&quot;q&quot; &amp;amp; &#39;s&#39;</p></body></html>' AS html
+  FROM documents),
+s1 AS (SELECT doc_id,
+         regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g') AS t
+       FROM h),
+s2 AS (SELECT doc_id,
+         regexp_replace(t, '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS t
+       FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s3),
+s5 AS (SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(
+           t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+           '&nbsp;', ' '), '&amp;', '&') AS t
+       FROM s4)
+SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text_clean FROM s5
+"""
+
+
+def q_highlight_snippet(spark, sf):
+    """Search-hit highlighting (serving/query.highlight): snippet of
+    +-20 chars around the first occurrence of the earliest query
+    token, matched span wrapped <em>...</em>, NULL when nothing
+    matches — map-only codegen string expressions with the
+    (position, token) array_min tie rule."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        SQ.highlight("text", "spark vector data engine", context_chars=20)
+        .alias("snippet"),
+    )
+
+
+# argmin over (pos, token-index) encoded as pos*4+idx (idx < 4, so the
+# encoding is order-isomorphic); token lengths decoded by index.
+SQL_HIGHLIGHT_SNIPPET = """
+WITH pos AS (
+  SELECT doc_id, text,
+    coalesce(nullif(strpos(lower(text), 'data'), 0), 2147483648) AS p0,
+    coalesce(nullif(strpos(lower(text), 'engine'), 0), 2147483648) AS p1,
+    coalesce(nullif(strpos(lower(text), 'spark'), 0), 2147483648) AS p2,
+    coalesce(nullif(strpos(lower(text), 'vector'), 0), 2147483648) AS p3
+  FROM documents),
+best AS (
+  SELECT doc_id, text,
+         least(p0*4 + 0, p1*4 + 1, p2*4 + 2, p3*4 + 3) AS enc
+  FROM pos),
+dec AS (
+  SELECT doc_id, text, enc // 4 AS p,
+         CASE enc % 4 WHEN 0 THEN 4 WHEN 1 THEN 6 WHEN 2 THEN 5
+                      ELSE 6 END AS tl
+  FROM best)
+SELECT doc_id,
+  CASE WHEN p < 2147483648 THEN
+    substr(text, greatest(p - 20, 1), p - greatest(p - 20, 1))
+    || '<em>' || substr(text, p, tl) || '</em>'
+    || substr(text, p + tl, 20)
+  END AS snippet
+FROM dec
+"""
+
+
+def q_length_batches(spark, sf):
+    """Length-bucketed batch assignment (functions/sampling.
+    length_batches): power-of-two length buckets via an exact integer
+    comparison chain (no float log2), batch numbers contiguous within
+    (bucket, id%shards) in (length, id) order — one window shuffle,
+    sharded so no bucket ever drags the corpus through one task."""
+    from platypus_ingestion_plugins_spark.functions.sampling import (
+        length_batches,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    return length_batches(d, "doc_id", "n_chars", batch_size=16, shards=4)
+
+
+SQL_LENGTH_BATCHES = """
+WITH b AS (
+  SELECT doc_id, n_chars,
+    CAST(CASE WHEN n_chars <= 16 THEN 16 WHEN n_chars <= 32 THEN 32
+         WHEN n_chars <= 64 THEN 64 WHEN n_chars <= 128 THEN 128
+         WHEN n_chars <= 256 THEN 256 WHEN n_chars <= 512 THEN 512
+         WHEN n_chars <= 1024 THEN 1024 WHEN n_chars <= 2048 THEN 2048
+         WHEN n_chars <= 4096 THEN 4096 WHEN n_chars <= 8192 THEN 8192
+         WHEN n_chars <= 16384 THEN 16384 WHEN n_chars <= 32768 THEN 32768
+         WHEN n_chars <= 65536 THEN 65536 ELSE -1 END AS BIGINT) AS bucket,
+    CAST(doc_id % 4 AS INT) AS shard
+  FROM documents)
+SELECT doc_id, n_chars, bucket, shard,
+  CAST((row_number() OVER (PARTITION BY bucket, shard
+                           ORDER BY n_chars, doc_id) - 1) // 16 AS BIGINT)
+    AS batch_no
+FROM b
+"""
+
+
 _UNIT_SQL = (
     "(CAST(('0x' || substr(md5('{salt}|' || CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT)"
     " / 1152921504606846976.0)"
@@ -6322,6 +6448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_detect": q_script_detect,
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
+        "html_extract": q_html_extract,
+        "highlight_snippet": q_highlight_snippet,
+        "length_batches": q_length_batches,
         # 1. last driver-green r9 — two rounds stale (VERDICT r11 lead list)
         "multimodal_resize": q_multimodal_resize,
         "pivot_event_counts": q_pivot_event_counts,
@@ -6520,6 +6649,9 @@ def oracle_sql() -> dict[str, str]:
         "script_detect": SQL_SCRIPT_DETECT,
         "pq_codes": SQL_PQ_CODES,
         "pq_adc_topk": SQL_PQ_ADC_TOPK,
+        "html_extract": SQL_HTML_EXTRACT,
+        "highlight_snippet": SQL_HIGHLIGHT_SNIPPET,
+        "length_batches": SQL_LENGTH_BATCHES,
         "fulltext_phrase": SQL_FULLTEXT_PHRASE,
         "term_prefix": SQL_TERM_PREFIX,
         "temperature_mix": SQL_TEMPERATURE_MIX,

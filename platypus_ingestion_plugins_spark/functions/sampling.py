@@ -510,3 +510,46 @@ def weighted_sample_wor(
         .limit(n)
         .drop("__ws")
     )
+
+
+def length_batches(
+    df,
+    id_col: str,
+    len_col: str,
+    batch_size: int,
+    shards: int = 1,
+):
+    """Length-bucketed batch assignment — the batching step before
+    padded inference or curriculum training: rows group into
+    power-of-two length buckets (16, 32, ..., 65536, then 'inf') so
+    every batch pads to at most 2x its shortest member, and within a
+    (bucket, shard) the rows take contiguous batch numbers in
+    (length, id) order. Output columns: ``bucket`` (the power-of-two
+    cap, long; the overflow bucket is -1), ``shard``, ``batch_no``.
+
+    The bucket is a bounded comparison chain (no float log2 — an
+    exact-power-of-2 length must not straddle engines on a ulp), so
+    the whole bucketing is one codegen projection. ``shards`` bounds
+    window size at scale: batch numbering needs an order, and a
+    GLOBAL per-bucket row_number would drag a 100-TB bucket through
+    one task — sharding by ``id % shards`` keeps every window
+    partition ~1/shards of its bucket while batches stay
+    homogeneous-length (batch quality needs same-bucket members, not
+    cross-shard contiguity). One shuffle total: the (bucket, shard)
+    window partition."""
+    if batch_size < 1 or shards < 1:
+        raise ValueError(f"batch_size/shards must be >= 1, got {batch_size}/{shards}")
+    from pyspark.sql.window import Window
+
+    length = F.col(len_col).cast("long")
+    bucket = F.lit(-1).cast("long")  # overflow: longer than every cap
+    for cap in (1 << p for p in range(16, 3, -1)):  # 65536 down to 16
+        bucket = F.when(length <= cap, F.lit(cap).cast("long")).otherwise(bucket)
+    tagged = df.withColumn("bucket", bucket).withColumn(
+        "shard", (F.col(id_col) % shards).cast("int")
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy(length.asc(), F.col(id_col).asc())
+    return tagged.withColumn(
+        "batch_no",
+        ((F.row_number().over(w) - 1) / batch_size).cast("long"),
+    )

@@ -56,6 +56,40 @@ def language_id(col: Column | str) -> Column:
     return expr
 
 
+def html_to_text(col: Column | str) -> Column:
+    """Web-page payload -> training text — the extraction step every
+    web-crawl corpus (C4, CCNet, RefinedWeb) runs before any quality
+    or dedup operator sees the document:
+
+    1. drop <script>/<style> ELEMENTS with their contents and HTML
+       comments (their text is code, not prose),
+    2. strip remaining tags to a space (block boundaries must not
+       glue words together),
+    3. decode the five ubiquitous entities (&lt; &gt; &quot; &#39;
+       &nbsp;) and LAST &amp; — last so '&amp;lt;' decodes to the
+       literal '&lt;' the author wrote, not to '<',
+    4. collapse whitespace runs and trim.
+
+    Pure regexp_replace chain — codegen, map-only, no parser
+    dependency. Deliberately RE2-compatible (non-greedy dot-all, no
+    backreferences or lookaround: script/style each get their own
+    pattern), so an external engine replays the exact byte output.
+    Entity decode AFTER tag strip is the correct order: text that
+    spelled '&lt;b&gt;' renders as literal '<b>', never as markup."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.replace(c, F.lit("&amp;"), F.lit("&"))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 # Writing-system character classes by Unicode BMP range. BMP-only on
 # purpose: Spark's length() counts UTF-16 code units and DuckDB's
 # counts code points — they agree exactly on BMP text, so every count

@@ -263,6 +263,56 @@ def rrf_fuse(
     return fused.limit(top) if top is not None else fused
 
 
+def highlight(
+    field: str,
+    query: str,
+    context_chars: int = 30,
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> Column:
+    """Lucene-style highlight snippet: up to ``context_chars`` of
+    context either side of the FIRST occurrence of the
+    earliest-matching query token (case-insensitive substring match —
+    the deterministic contract; analyzed-boundary matching is the
+    ``match_*`` predicates' job), with the matched span wrapped in
+    ``pre``/``post`` in its ORIGINAL case. NULL when no token occurs
+    (the hit simply carries no snippet, like a Lucene response).
+
+    Tie rule, engine-replayable: candidate = min by (position, token)
+    over the sorted distinct query tokens — an array_min over (pos,
+    token) structs, with absent tokens pushed to a sentinel position.
+    Pure codegen string expressions, map-only."""
+    f_ = F.col(field)
+    toks = sorted(set(_py_tokenize(query)))
+    if not toks:
+        return F.lit(None).cast("string")
+    sentinel = 1 << 31
+    cands = F.array(
+        *[
+            F.struct(
+                F.when(F.instr(F.lower(f_), t) > 0, F.instr(F.lower(f_), t))
+                .otherwise(F.lit(sentinel))
+                .alias("p"),
+                F.lit(t).alias("t"),
+            )
+            for t in toks
+        ]
+    )
+    best = F.array_min(cands)
+    pos, tlen = best["p"], F.length(best["t"])
+    start = F.greatest(pos - context_chars, F.lit(1))
+    return F.when(
+        pos < sentinel,
+        F.concat(
+            f_.substr(start, pos - start),
+            F.lit(pre),
+            f_.substr(pos, tlen),
+            F.lit(post),
+            f_.substr(pos + tlen, F.lit(context_chars)),
+        ),
+    ).otherwise(F.lit(None).cast("string"))
+
+
 def facet_counts(
     df: DataFrame, fields: Sequence[str], top_n: int = 10
 ) -> DataFrame:

@@ -4857,3 +4857,37 @@ def test_pq_train_encode_adc_pure_python_replay(spark):
         similarity.pq_train(df, dim=dim, m=3)
     with pytest.raises(ValueError):
         similarity.pq_train(df, dim=dim, m=m, n_codes=99)
+
+
+def test_html_to_text_adversarial(spark):
+    """html_to_text on adversarial fixtures: script bodies with
+    angle brackets, uppercase/attribute tags, double-encoded
+    entities, comments spanning lines, NULL safety."""
+    from platypus_ingestion_plugins_spark.functions import text as TX
+
+    cases = [
+        (1, "<p>hello <b>world</b></p>", "hello world"),
+        # script content (with < and tags inside strings) is elided
+        (2, "a<SCRIPT type='x'>if (1<2) { s='<p>' }</SCRIPT>b", "a b"),
+        (3, "x<style>p > em { color: red }</style>y", "x y"),
+        # comment spanning lines; tag with attributes
+        (4, "<!-- a\nb --><div class='z' data-k=\"v\">t</div>", "t"),
+        # entity decode after tag strip: encoded markup stays literal
+        (5, "&lt;b&gt;not bold&lt;/b&gt;", "<b>not bold</b>"),
+        # double-encoded: &amp;lt; -> &lt; (the author wrote '&lt;')
+        (6, "&amp;lt;", "&lt;"),
+        (7, "a&nbsp;&nbsp;b  c\n\nd", "a b c d"),
+        (8, None, ""),
+        (9, "tom &amp; jerry &#39;07 &quot;q&quot;", "tom & jerry '07 \"q\""),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in cases], "doc_id long, html string"
+    )
+    got = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id", TX.html_to_text("html").alias("t")
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)

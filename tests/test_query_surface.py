@@ -213,3 +213,78 @@ def test_facet_counts_semantics(spark):
     }, got
     with pytest.raises(ValueError):
         SQ.facet_counts(df, [])
+
+
+def test_highlight_semantics(spark):
+    """highlight: earliest token wins, (pos, token) tie-break, original
+    case preserved in the wrapped span, edge-of-string truncation,
+    NULL when no match."""
+    from pyspark.sql import Row
+
+    from platypus_ingestion_plugins_spark.serving import query as SQ
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="The Spark engine indexes data fast"),
+            Row(doc_id=2, text="data at position zero"),
+            Row(doc_id=3, text="nothing relevant here"),
+            Row(doc_id=4, text="engine? DATA!"),  # engine earlier than data
+        ]
+    )
+    got = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id",
+            SQ.highlight("text", "data engine", context_chars=6).alias("s"),
+        ).collect()
+    }
+    # doc 1: 'engine' at 11 beats 'data' at 26; head = chars 5..10
+    assert got[1] == "Spark <em>engine</em> index", got[1]
+    # doc 2: match at string start -> head truncates to nothing
+    assert got[2] == "<em>data</em> at po", got[2]
+    assert got[3] is None
+    # doc 4: engine at 1; original case kept for the matched span
+    assert got[4] == "<em>engine</em>? DATA", got[4]  # 6-char tail
+
+
+def test_length_batches_brute_force(spark):
+    """length_batches vs a pure-Python replay: exact power-of-two
+    bucket boundaries (a 64-char doc is bucket 64, 65 chars is 128),
+    overflow bucket -1, per-(bucket, shard) contiguous batch numbers
+    of at most batch_size members."""
+    from pyspark.sql import Row
+
+    from platypus_ingestion_plugins_spark.functions.sampling import (
+        length_batches,
+    )
+
+    lens = [15, 16, 17, 64, 65, 100, 100, 1 << 17, 40, 33]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, n=ln) for i, ln in enumerate(lens)]
+    )
+    out = {
+        r.doc_id: (r.bucket, r.shard, r.batch_no)
+        for r in length_batches(df, "doc_id", "n", batch_size=2, shards=2).collect()
+    }
+
+    def bucket(n):
+        for p in range(4, 17):
+            if n <= 1 << p:
+                return 1 << p
+        return -1
+
+    groups = {}
+    for i, ln in enumerate(lens):
+        groups.setdefault((bucket(ln), i % 2), []).append((ln, i))
+    expect = {}
+    for (b, s), members in groups.items():
+        for rank, (_, i) in enumerate(sorted(members)):
+            expect[i] = (b, s, rank // 2)
+    assert out == expect, (out, expect)
+    assert out[0][0] == 16 and out[1][0] == 16 and out[2][0] == 32
+    assert out[3][0] == 64 and out[4][0] == 128
+    assert out[7][0] == -1
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        length_batches(df, "doc_id", "n", batch_size=0)
