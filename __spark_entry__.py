@@ -611,10 +611,11 @@ def q_script_detect(spark, sf):
         .otherwise(F.col("text"))
     )
     base = d.select("doc_id", txt.alias("t"))
+    sc = TX.script_counts("t")
     return base.select(
         "doc_id",
-        *TX.script_counts("t").values(),
-        TX.dominant_script("t").alias("script"),
+        *sc.values(),
+        TX.dominant_script("t", sc).alias("script"),
     )
 
 
@@ -639,7 +640,9 @@ c AS (
       AS devanagari,
     CAST(length(regexp_replace(t, '[^\\x{0370}-\\x{03FF}]', '', 'g')) AS INT)
       AS greek,
-    CAST(length(regexp_replace(t, '[^A-Za-z\\x{00C0}-\\x{024F}]', '', 'g')) AS INT)
+    CAST(length(regexp_replace(t,
+         '[^A-Za-z\\x{00C0}-\\x{00D6}\\x{00D8}-\\x{00F6}\\x{00F8}-\\x{024F}]',
+         '', 'g')) AS INT)
       AS latin,
     CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS INT) AS digit
   FROM t)
@@ -6415,19 +6418,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order IS verification priority — r12 rotation, VERDICT r11 task
     # #1, recomputed from the CORRECTNESS_r09/r10/r11 files):
     #   0. NEW or newly-oracled this round (never driver-value-checked):
-    #      image_neardup, language_classifier, audio_stats,
-    #      video_neardup (new r12 operators) and bpe_token_count
-    #      (rows-only until r11; its frozen-merge-table oracle is new
-    #      this round, so it re-enters as unverified).
+    #      the 6 early-r12 operators (image/video/audio near-dup,
+    #      language classifier, audio stats, streaming image near-dup),
+    #      bpe_token_count (rows-only until r11; its frozen-merge-table
+    #      oracle is new this round, so it re-enters as unverified),
+    #      and the 11 late-r12 operators (hybrid search, chat/SFT trio,
+    #      facets, script detection, PQ pair, HTML extraction,
+    #      highlighting, length batching) — 18 entries.
     #   1. the 29 entries last driver-green in CORRECTNESS_r09 — two
     #      driver-rounds stale, the r11 verdict's explicit lead list.
-    #   2. the 47 remaining r10-cohort entries in CORRECTNESS_r10 file
-    #      order. Sections 0-2 = 81; the 50-cap verifies sections 0+1
-    #      (5 + 29) and the FIRST 16 of the r10 cohort (through
-    #      dedup_minhash_lsh); the remaining 31 r10 entries are
-    #      deferred, builder-verified green this round by the full
-    #      131-entry check_oracle sweep, and must lead r13 together
-    #      with whatever r12 defers.
+    #      Sections 0+1 = 47: the 50-cap verifies all of them plus the
+    #      FIRST THREE r10-cohort entries (cdc_format_last_wins,
+    #      embedding_decontam, semdedup_keep) — classification checked
+    #      against the CORRECTNESS_r09/r10/r11 files by script, not by
+    #      hand. Deliberately capped: further new entries would push an
+    #      r9-stale entry out of the sweep, inverting the verdict's
+    #      priority.
+    #   2. the 44 remaining r10-cohort entries in CORRECTNESS_r10 file
+    #      order — deferred (builder-verified green this round by
+    #      targeted check_oracle sweeps), they must lead r13 together
+    #      with whatever else r12 defers.
     #   3. the 49 entries CORRECTNESS_r11 verified (minus
     #      bpe_token_count, moved to section 0), in r11 file order —
     #      the freshest cohort, last.
@@ -6485,6 +6495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_format_last_wins": q_cdc_format_last_wins,
         "embedding_decontam": q_embedding_decontam,
         "semdedup_keep": q_semdedup_keep,
+        # --- the r12 50-cap lands HERE: everything below is deferred
         "pack_bins": q_pack_bins,
         "pack_texts": q_pack_texts,
         "shuffle_shards": q_shuffle_shards,
@@ -6498,7 +6509,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tar_roundtrip": q_tar_roundtrip,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        # --- the r12 50-cap lands HERE: everything below is deferred
         "jaccard_join": q_jaccard_join,
         "dedup_groups": q_dedup_groups,
         "bloom_decontam": q_bloom_decontam,

@@ -99,7 +99,11 @@ SCRIPT_RANGES = {
     "cyrillic": "Ѐ-ӿ",
     "devanagari": "ऀ-ॿ",
     "greek": "Ͱ-Ͽ",
-    "latin": "A-Za-zÀ-ɏ",
+    # Latin-1 letters EXCLUDE U+00D7 x and U+00F7 ÷ — the two math
+    # signs sitting inside the accented-letter block; counting them as
+    # latin would make a math-notation-only doc read as latin-dominant
+    # (r12 review #4)
+    "latin": "A-Za-zÀ-ÖØ-öø-ɏ",
 }
 
 
@@ -121,12 +125,19 @@ def script_counts(col: Column | str) -> dict[str, Column]:
     return out
 
 
-def dominant_script(col: Column | str) -> Column:
+def dominant_script(
+    col: Column | str, counts: dict[str, Column] | None = None
+) -> Column:
     """The writing system with the most characters — 'und' when no
     script char occurs. Ties break to the alphabetically-first script
     (a strictly-greater fold in alphabetical order, which an external
-    engine replays as a greatest() + first-match CASE chain)."""
-    counts = script_counts(col)
+    engine replays as a greatest() + first-match CASE chain).
+
+    Callers also selecting ``script_counts`` should pass that dict as
+    ``counts`` so each per-script regexp scan appears once in the
+    projection by construction instead of leaning on Catalyst
+    subexpression elimination (r12 review #6)."""
+    counts = counts if counts is not None else script_counts(col)
     best = F.struct(
         F.lit(0).alias("c"), F.lit("und").alias("s")
     )

@@ -102,8 +102,15 @@ def chat_turn_stats(turns_col: Column | str) -> dict[str, Column]:
         ).alias("alternates"),
         "has_empty_assistant": F.exists(
             t,
-            lambda x: (role(x) == "assistant")
-            & (F.coalesce(content(x), F.lit("")) == ""),
+            # coalesce the whole predicate: a NULL role makes
+            # (NULL == 'assistant') & ... three-valued NULL, and an
+            # all-NULL/false array gives exists() -> NULL, poisoning
+            # sft_gate and boolean aggregates (r12 review #5)
+            lambda x: F.coalesce(
+                (role(x) == "assistant")
+                & (F.coalesce(content(x), F.lit("")) == ""),
+                F.lit(False),
+            ),
         ).alias("has_empty_assistant"),
     }
 
@@ -144,27 +151,43 @@ def assistant_transcript_key(turns_col: Column | str) -> Column:
     can't concatenate to the same key). Two conversations that teach
     the model the same responses dedup together even when their user
     prompts were paraphrased — response-level dedup is the SFT
-    analogue of document exact-dedup."""
+    analogue of document exact-dedup.
+
+    NULL for a conversation with NO assistant turns: an empty
+    transcript is the ABSENCE of a dedup key, not a key — hashing it
+    would collapse every assistant-free conversation into one
+    arbitrary survivor (r12 review #3). A NULL-role turn is not an
+    assistant turn (the filter predicate's NULL drops it)."""
+    assistant = F.filter(
+        _turns(turns_col), lambda x: x["role"] == "assistant"
+    )
     joined = F.aggregate(
-        F.filter(_turns(turns_col), lambda x: x["role"] == "assistant"),
+        assistant,
         F.lit(""),
         lambda acc, x: F.concat(
             acc, F.coalesce(x["content"], F.lit("")), F.lit("\x1f")
         ),
     )
-    return F.sha2(joined, 256)
+    return F.when(F.size(assistant) > 0, F.sha2(joined, 256))
 
 
 def assistant_dedup(
     df: DataFrame, id_col: str = "doc_id", turns_col: str = "turns"
 ) -> DataFrame:
     """Keep the smallest-id conversation per distinct assistant
-    transcript (``assistant_transcript_key``). One partial-aggregatable
-    groupBy on the 64-hex key — ids-only shuffle, the exact-dedup
-    scale shape — then an ids semi-join back, so conversation payloads
-    never shuffle."""
+    transcript (``assistant_transcript_key``); conversations with no
+    assistant turns carry a NULL key and all pass through — they are
+    not duplicates of each other (run ``sft_gate`` to reject them
+    structurally). One partial-aggregatable groupBy on the 64-hex key
+    — ids-only shuffle, the exact-dedup scale shape — then an ids
+    semi-join back, so conversation payloads never shuffle."""
     keyed = df.withColumn("__atk", assistant_transcript_key(turns_col))
-    keep = keyed.groupBy("__atk").agg(F.min(id_col).alias(id_col))
-    return (
-        keyed.join(keep.select(id_col), id_col, "semi").drop("__atk")
+    keep = (
+        keyed.filter(F.col("__atk").isNotNull())
+        .groupBy("__atk")
+        .agg(F.min(id_col).alias(id_col))
     )
+    survivors = keyed.join(keep.select(id_col), id_col, "semi")
+    return survivors.unionByName(
+        keyed.filter(F.col("__atk").isNull())
+    ).drop("__atk")

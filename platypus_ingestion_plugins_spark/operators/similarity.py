@@ -1005,6 +1005,23 @@ def pq_train(
     return [(s, c, cb[(s, c)]) for s in range(m) for c in range(n_codes)]
 
 
+def _check_pq_codebook(
+    codebook: list[tuple[int, int, list[float]]], dim: int, m: int, dsub: int
+) -> None:
+    """dim must agree with the codebook: a mismatched ``dim`` would
+    slice misaligned subvectors whose zips silently truncate /
+    NULL-pad into wrong distances rather than erroring (r12 review
+    #1) — fail loudly at plan time instead."""
+    if dim % m:
+        raise ValueError(f"dim={dim} is not divisible by the codebook's m={m}")
+    bad = [(s, c) for s, c, v in codebook if len(v) != dsub]
+    if bad:
+        raise ValueError(
+            f"codebook centroids are not dim/m = {dsub} wide (e.g. {bad[0]}); "
+            f"dim={dim} does not match this codebook"
+        )
+
+
 def pq_encode(
     emb: DataFrame,
     codebook: list[tuple[int, int, list[float]]],
@@ -1021,6 +1038,7 @@ def pq_encode(
     billion-vector ANN serving fit RAM."""
     m = 1 + max(s for s, _, _ in codebook)
     dsub = dim // m
+    _check_pq_codebook(codebook, dim, m, dsub)
     by_sub: dict[int, list[tuple[int, list[float]]]] = {}
     for s, c, v in codebook:
         by_sub.setdefault(s, []).append((c, v))
@@ -1066,6 +1084,7 @@ def pq_adc_topk(
     m = 1 + max(s for s, _, _ in codebook)
     n_codes = 1 + max(c for _, c, _ in codebook)
     dsub = dim // m
+    _check_pq_codebook(codebook, dim, m, dsub)
     lut = [[0.0] * n_codes for _ in range(m)]
     for s, c, v in codebook:
         q_sub = query_vec[s * dsub : (s + 1) * dsub]

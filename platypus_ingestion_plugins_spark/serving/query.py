@@ -235,7 +235,20 @@ def rrf_fuse(
 
     ranked = []
     for name, df in systems.items():
+        # positional score-column contract, validated (r12 review #2):
+        # a reordered frame would otherwise silently rank by the wrong
+        # column and fuse a plausible-looking garbage ranking
+        if len(df.columns) < 2 or id_col not in df.columns:
+            raise ValueError(
+                f"system {name!r} must have columns (id, score); got {df.columns}"
+            )
         score = df.columns[1]
+        if score == id_col:
+            raise ValueError(
+                f"system {name!r}: second column is the id column "
+                f"{id_col!r}; the score must be column 2 — reorder with "
+                f"select({id_col!r}, <score>)"
+            )
         order = [F.col(score).desc(), F.col(id_col).asc()]
         w = Window.orderBy(*order)
         ranked.append(

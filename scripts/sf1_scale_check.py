@@ -60,6 +60,17 @@ COHORT = [
     "tar_scrub",
     "image_neardup",
     "language_classifier",
+    # r12 late additions: the shuffle-bearing newcomers — hybrid RRF
+    # (BM25 corpus pass + cosine TakeOrdered + bounded fusion), PQ
+    # (one-iteration joint Lloyd + map-only encode), and the
+    # assistant-transcript dedup (sha2-key groupBy + semi join); the
+    # other late ops (render/stats/gate, script detection, HTML
+    # extraction, highlighting) are zero-shuffle map projections whose
+    # scaling is the scan itself
+    "hybrid_search",
+    "pq_codes",
+    "chat_assistant_dedup",
+    "length_batches",
 ]
 
 

@@ -4891,3 +4891,68 @@ def test_html_to_text_adversarial(spark):
     }
     for i, _, want in cases:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_r12_review_fixes(spark):
+    """Regression pins for the r12 late-batch review findings: PQ dim
+    mismatch raises, rrf_fuse rejects misordered systems, zero-
+    assistant conversations all survive assistant_dedup, NULL-role
+    turns don't NULL-poison sft_gate, math signs are not latin
+    script."""
+    from platypus_ingestion_plugins_spark.functions import text as TX
+    from platypus_ingestion_plugins_spark.operators import chat, similarity
+    from platypus_ingestion_plugins_spark.serving import query as SQ
+
+    # 1. PQ dim/codebook mismatch -> loud error, not silent truncation
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = similarity.pq_train(emb, dim=8, m=2, n_codes=2, iters=1)
+    with pytest.raises(ValueError, match="does not match"):
+        similarity.pq_encode(emb, cb, dim=4)
+    with pytest.raises(ValueError, match="does not match"):
+        similarity.pq_adc_topk(
+            similarity.pq_encode(emb, cb, dim=8), cb, [0.0] * 16, k=2, dim=16
+        )
+
+    # 2. rrf_fuse positional-score contract validated
+    bad = spark.createDataFrame([(1.0, 1)], "score double, doc_id long")
+    with pytest.raises(ValueError, match="id, score"):
+        SQ.rrf_fuse({"s": bad.select("doc_id")}, "doc_id")
+    with pytest.raises(ValueError, match="second column"):
+        SQ.rrf_fuse({"s": bad.select("score", "doc_id")}, "doc_id")
+
+    # 3. assistant-free conversations are NOT each other's duplicates
+    convs = spark.createDataFrame(
+        [
+            (1, [Row(role="user", content="a")]),
+            (2, [Row(role="user", content="b")]),
+            (3, [Row(role="user", content="q"), Row(role="assistant", content="r")]),
+            (4, [Row(role="user", content="p"), Row(role="assistant", content="r")]),
+        ],
+        f"doc_id long, turns {chat.TURNS_TYPE}",
+    )
+    kept = sorted(r.doc_id for r in chat.assistant_dedup(convs).collect())
+    assert kept == [1, 2, 3], kept
+
+    # 4. NULL-role turn: gate stays boolean, no 3VL poisoning
+    nulls = spark.createDataFrame(
+        [(1, [Row(role=None, content=""), Row(role="user", content="q"),
+              Row(role="assistant", content="ok")])],
+        f"doc_id long, turns {chat.TURNS_TYPE}",
+    )
+    row = nulls.select(
+        chat.chat_turn_stats("turns")["has_empty_assistant"],
+        chat.sft_gate("turns", min_turns=1).alias("ok"),
+    ).collect()[0]
+    assert row.has_empty_assistant is False
+    assert row.ok is not None
+
+    # 5. multiplication/division signs are not latin letters
+    math_doc = spark.createDataFrame([(1, "3 × 4 ÷ 2")], "i long, t string")
+    r = math_doc.select(
+        *TX.script_counts("t").values(),
+        TX.dominant_script("t").alias("s"),
+    ).collect()[0]
+    assert r.latin == 0 and r.s == "und", r
