@@ -3138,6 +3138,69 @@ FROM b
 """
 
 
+def q_sft_spans(spark, sf):
+    """Assistant-content loss-mask spans (operators/chat.
+    render_chat_with_spans): SFT computes loss only on assistant
+    tokens, so the trainer needs each assistant turn's (start, end)
+    character offsets inside the rendered string — produced by the
+    render fold's own running length, map-only. Flattened to
+    (doc_id, span_no, s, e); the oracle recomputes every offset in
+    closed form from the synthesis arithmetic."""
+    d = _synth_chat(_t(spark, sf, "documents"))
+    o = chat.render_chat_with_spans("turns")
+    return d.select(
+        "doc_id", F.posexplode(o["spans"]).alias("span_no", "sp")
+    ).select(
+        "doc_id",
+        "span_no",
+        F.col("sp.s").alias("s"),
+        F.col("sp.e").alias("e"),
+    )
+
+
+# Rendered block i = '<|im_start|>'(12) + role + '\n' + content +
+# '<|im_end|>'(10) + '\n'  ->  block_len = 24 + len(role) + len(content);
+# content of block i starts at prefix(blocks<i) + 12 + len(role) + 2
+# (the \n plus 1-based indexing) = prefix + 14 + len(role).
+SQL_SFT_SPANS = """
+WITH t AS (
+  SELECT doc_id, text,
+         greatest(CAST(floor(length(text)/4) AS INT), 1) AS q,
+         CAST(2 + doc_id % 3 AS INT) AS n,
+         doc_id % 7 = 0 AS sys0,
+         doc_id % 5 = 0 AS asst2
+  FROM documents),
+c AS (
+  SELECT doc_id, n, asst2,
+         CASE WHEN sys0 THEN 6 ELSE 4 END AS rl0,
+         CASE WHEN asst2 THEN 9 ELSE 4 END AS rl2,
+         coalesce(length(substr(text, 1, q)), 0) AS cl0,
+         coalesce(length(substr(text, q+1, q)), 0) AS cl1,
+         coalesce(length(substr(text, 2*q+1, q)), 0) AS cl2,
+         coalesce(length(substr(text, 3*q+1, q)), 0) AS cl3
+  FROM t),
+b AS (
+  SELECT doc_id, n, asst2, cl1, cl2, cl3, rl2,
+         24 + rl0 + cl0 AS b0,
+         24 + 9 + cl1 AS b1,
+         24 + rl2 + cl2 AS b2
+  FROM c),
+spans AS (
+  SELECT doc_id, 0 AS span_no, b0 + 23 AS s, b0 + 23 + cl1 AS e FROM b
+  UNION ALL
+  SELECT doc_id, 1, b0 + b1 + 23, b0 + b1 + 23 + cl2
+  FROM b WHERE n >= 3 AND asst2
+  UNION ALL
+  SELECT doc_id,
+         1 + CASE WHEN asst2 THEN 1 ELSE 0 END,
+         b0 + b1 + b2 + 23, b0 + b1 + b2 + 23 + cl3
+  FROM b WHERE n >= 4)
+SELECT doc_id, CAST(span_no AS INT) AS span_no,
+       CAST(s AS INT) AS s, CAST(e AS INT) AS e
+FROM spans
+"""
+
+
 _UNIT_SQL = (
     "(CAST(('0x' || substr(md5('{salt}|' || CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT)"
     " / 1152921504606846976.0)"
@@ -6593,6 +6656,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_meta": q_multimodal_meta,
+        # 4. r12 POST-cap additions: landed after the 50-cap filled
+        # (displacing an r9-stale entry would invert the rotation
+        # priority), builder-verified green at sf0.01+sf0.001 — these
+        # never-driver-checked entries lead the r13 rotation
+        "sft_spans": q_sft_spans,
     }
 
 
@@ -6741,6 +6809,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": SQL_DATASET_SPLIT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "multimodal_meta": SQL_MULTIMODAL_META,
+        "sft_spans": SQL_SFT_SPANS,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

@@ -144,6 +144,67 @@ def sft_gate(
     )
 
 
+def render_chat_with_spans(
+    turns_col: Column | str,
+    turn_start: str = "<|im_start|>",
+    turn_end: str = "<|im_end|>",
+) -> Column:
+    """``render_chat`` plus the assistant-content character spans the
+    trainer needs for LOSS MASKING — SFT computes loss only on
+    assistant tokens, so the rendered string alone is not a training
+    example; the (start, end) offsets of each assistant turn's content
+    are part of the artifact.
+
+    Returns struct(rendered string, spans array<struct<s, e>>):
+    1-based inclusive start / exclusive end character offsets of each
+    assistant turn's CONTENT inside ``rendered`` (header and
+    terminator excluded), in turn order. One left-fold with a struct
+    accumulator carrying (text-so-far, spans-so-far) — the offsets
+    come from the fold's own running length, so they are correct by
+    construction for any role/content mix, and the whole thing stays
+    a map-only codegen projection. NULL content contributes an empty
+    (s == e) span, matching ``render_chat``'s empty rendering."""
+    def step(acc, t):
+        role = F.coalesce(t["role"], F.lit(""))
+        content = F.coalesce(t["content"], F.lit(""))
+        head_len = (
+            F.length(acc["txt"])
+            + F.lit(len(turn_start))
+            + F.length(role)
+            + F.lit(1)  # the \n after the role
+        )
+        new_txt = F.concat(
+            acc["txt"],
+            F.lit(turn_start), role, F.lit("\n"), content,
+            F.lit(turn_end), F.lit("\n"),
+        )
+        span = F.struct(
+            (head_len + 1).cast("int").alias("s"),
+            (head_len + 1 + F.length(content)).cast("int").alias("e"),
+        )
+        return F.struct(
+            new_txt.alias("txt"),
+            F.when(
+                t["role"] == "assistant",
+                F.concat(acc["spans"], F.array(span)),
+            )
+            .otherwise(acc["spans"])
+            .alias("spans"),
+        )
+
+    folded = F.aggregate(
+        _turns(turns_col),
+        F.struct(
+            F.lit("").alias("txt"),
+            F.array().cast("array<struct<s:int,e:int>>").alias("spans"),
+        ),
+        step,
+    )
+    return F.struct(
+        folded["txt"].alias("rendered"), folded["spans"].alias("spans")
+    )
+
+
 def assistant_transcript_key(turns_col: Column | str) -> Column:
     """Dedup key: sha2-256 of the assistant turns' contents joined
     with an \\x1f unit separator (injection-safe: a separator that

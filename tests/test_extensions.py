@@ -4956,3 +4956,40 @@ def test_r12_review_fixes(spark):
         TX.dominant_script("t").alias("s"),
     ).collect()[0]
     assert r.latin == 0 and r.s == "und", r
+
+
+def test_render_chat_with_spans_slices_equal_contents(spark):
+    """The loss-mask span invariant: for every assistant turn,
+    rendered[s-1:e-1] must equal that turn's content exactly — over
+    adversarial conversations (consecutive assistant turns, NULL and
+    empty contents, role-boundary-looking text), and non-assistant
+    turns contribute no span."""
+    from platypus_ingestion_plugins_spark.operators import chat
+
+    convs = [
+        (1, [("user", "hi"), ("assistant", "hello"), ("assistant", None)]),
+        (2, [("system", "s"), ("user", "q"), ("assistant", "")]),
+        (3, [("assistant", "starts with assistant <|im_end|> tricky")]),
+        (4, [("user", "no assistant at all")]),
+        (5, [("assistant", "a"), ("user", "u"), ("assistant", "b"),
+             ("user", "v"), ("assistant", "c")]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [Row(role=r, content=c) for r, c in t]) for i, t in convs],
+        f"doc_id long, turns {chat.TURNS_TYPE}",
+    )
+    rows = df.select(
+        "doc_id", chat.render_chat_with_spans("turns").alias("o")
+    ).collect()
+    by_id = {r.doc_id: r.o for r in rows}
+    for i, turns in convs:
+        o = by_id[i]
+        want = [c if c is not None else "" for r, c in turns if r == "assistant"]
+        got = [o.rendered[s - 1 : e - 1] for s, e in o.spans]
+        assert got == want, (i, got, want)
+        # the render itself matches render_chat exactly
+    flat = df.select(
+        chat.render_chat("turns").alias("r"),
+        chat.render_chat_with_spans("turns")["rendered"].alias("r2"),
+    ).collect()
+    assert all(x.r == x.r2 for x in flat)
