@@ -3201,6 +3201,62 @@ FROM spans
 """
 
 
+def q_mmr_rerank(spark, sf):
+    """MMR diversified reranking (similarity.mmr_rerank, Carbonell &
+    Goldstein 1998): greedy argmax of 0.5*relevance - 0.5*max-sim-to-
+    selected over the whole embedding corpus, k=4 — candidates stay
+    distributed, each round is a map-side score against <= k literal
+    vectors + a TakeOrdered(1); only winners are collected. All
+    similarities rounded 6dp before score arithmetic (the
+    semdedup_kmeans determinism convention)."""
+    emb = _t(spark, sf, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    return similarity.mmr_rerank(emb, qv, k=4, lam=0.5, dim=64)
+
+
+SQL_MMR_RERANK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+rel AS (
+  SELECT vec_id, v, round(list_cosine_similarity(v, qv), 6) AS rel
+  FROM e, q),
+p1 AS (
+  SELECT vec_id, v, round(0.5*rel, 6) AS mmr FROM rel
+  ORDER BY round(0.5*rel, 6) DESC, vec_id LIMIT 1),
+s2 AS (
+  SELECT r.vec_id, r.v, r.rel,
+         round(0.5*r.rel
+               - 0.5*round(list_cosine_similarity(r.v, p1.v), 6), 6) AS mmr
+  FROM rel r, p1 WHERE r.vec_id <> p1.vec_id),
+p2 AS (SELECT vec_id, v, rel, mmr FROM s2 ORDER BY mmr DESC, vec_id LIMIT 1),
+s3 AS (
+  SELECT r.vec_id, r.v, r.rel,
+         round(0.5*r.rel - 0.5*greatest(
+           round(list_cosine_similarity(r.v, p1.v), 6),
+           round(list_cosine_similarity(r.v, p2.v), 6)), 6) AS mmr
+  FROM rel r, p1, p2
+  WHERE r.vec_id <> p1.vec_id AND r.vec_id <> p2.vec_id),
+p3 AS (SELECT vec_id, v, rel, mmr FROM s3 ORDER BY mmr DESC, vec_id LIMIT 1),
+s4 AS (
+  SELECT r.vec_id, r.v,
+         round(0.5*r.rel - 0.5*greatest(
+           round(list_cosine_similarity(r.v, p1.v), 6),
+           round(list_cosine_similarity(r.v, p2.v), 6),
+           round(list_cosine_similarity(r.v, p3.v), 6)), 6) AS mmr
+  FROM rel r, p1, p2, p3
+  WHERE r.vec_id <> p1.vec_id AND r.vec_id <> p2.vec_id
+    AND r.vec_id <> p3.vec_id),
+p4 AS (SELECT vec_id, mmr FROM s4 ORDER BY mmr DESC, vec_id LIMIT 1)
+SELECT vec_id, CAST(1 AS INT) AS mmr_rank, mmr FROM p1
+UNION ALL SELECT vec_id, 2, mmr FROM p2
+UNION ALL SELECT vec_id, 3, mmr FROM p3
+UNION ALL SELECT vec_id, 4, mmr FROM p4
+"""
+
+
 _UNIT_SQL = (
     "(CAST(('0x' || substr(md5('{salt}|' || CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT)"
     " / 1152921504606846976.0)"
@@ -6661,6 +6717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # priority), builder-verified green at sf0.01+sf0.001 — these
         # never-driver-checked entries lead the r13 rotation
         "sft_spans": q_sft_spans,
+        "mmr_rerank": q_mmr_rerank,
     }
 
 
@@ -6810,6 +6867,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "sft_spans": SQL_SFT_SPANS,
+        "mmr_rerank": SQL_MMR_RERANK,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

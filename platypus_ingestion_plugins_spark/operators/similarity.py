@@ -1106,3 +1106,84 @@ def pq_adc_topk(
         .orderBy(F.col("adc").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    query_vec: list[float],
+    k: int,
+    lam: float = 0.5,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein
+    1998) — the retrieval diversifier: greedily pick the candidate
+    maximizing lam * relevance - (1 - lam) * max-similarity-to-already-
+    selected, so the result set covers the query's facets instead of
+    returning k near-duplicates. Output: (id, mmr_rank 1..k, mmr).
+
+    Scale shape: candidates stay DISTRIBUTED (MMR typically reranks an
+    ANN shortlist, but nothing here requires the shortlist to fit the
+    driver). Per round: relevance and the selected-set penalty are
+    map-side expressions against LITERAL vectors (the selected set is
+    <= k vectors — bounded like the PQ codebook), and the argmax is a
+    distributed TakeOrdered(1); only the single winner row is
+    collected per round — k bounded collects total, never the
+    candidate set.
+
+    Determinism: relevance and every pairwise similarity are rounded
+    to 6 dp before the score arithmetic, ties break on id — the
+    semdedup_kmeans convention, with the same documented ulp
+    tolerance on exact score ties across engines."""
+    if k < 1 or not 0.0 <= lam <= 1.0:
+        raise ValueError(f"need k >= 1 and 0 <= lam <= 1, got {k}/{lam}")
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    base = (
+        ensure_parallelism(cands)
+        .select(
+            F.col(id_col),
+            _dvec(F.col(vec_col)).alias("__v"),
+        )
+        .withColumn("__rel", F.round(cosine(F.col("__v"), qlit, dim), 6))
+        .localCheckpoint(eager=False)  # k rounds re-read this, not the scan
+    )
+    picked: list[tuple] = []  # (id, vec, mmr_score)
+    for _ in range(k):
+        rest = base
+        for pid, _, _ in picked:
+            rest = rest.filter(F.col(id_col) != pid)
+        if picked:
+            sims = [
+                F.round(
+                    cosine(
+                        F.col("__v"),
+                        F.array(*[F.lit(float(x)) for x in pv]),
+                        dim,
+                    ),
+                    6,
+                )
+                for _, pv, _ in picked
+            ]
+            # greatest() requires >= 2 args; one selected vector IS the max
+            pen = sims[0] if len(sims) == 1 else F.greatest(*sims)
+        else:
+            pen = F.lit(0.0)
+        scored = rest.withColumn(
+            "__mmr", F.round(F.lit(lam) * F.col("__rel") - F.lit(1.0 - lam) * pen, 6)
+        )
+        row = (
+            scored.orderBy(F.col("__mmr").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            break  # fewer candidates than k
+        r = row[0]
+        picked.append((r[id_col], list(r["__v"]), float(r["__mmr"])))
+    spark = cands.sparkSession
+    return spark.createDataFrame(
+        [(pid, i + 1, score) for i, (pid, _, score) in enumerate(picked)],
+        f"{id_col} {cands.schema[id_col].dataType.simpleString()}, "
+        "mmr_rank int, mmr double",
+    )

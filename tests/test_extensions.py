@@ -4993,3 +4993,62 @@ def test_render_chat_with_spans_slices_equal_contents(spark):
         chat.render_chat_with_spans("turns")["rendered"].alias("r2"),
     ).collect()
     assert all(x.r == x.r2 for x in flat)
+
+
+def test_mmr_rerank_pure_python_replay(spark):
+    """MMR vs a pure-Python greedy replay on a structured fixture:
+    three near-identical high-relevance vectors plus orthogonal-ish
+    diverse ones — MMR must pick ONE of the clones then diversify,
+    and every rank/score must match the replay exactly."""
+    import math
+
+    from platypus_ingestion_plugins_spark.operators import similarity
+
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],       # the query
+        1: [0.99, 0.1, 0.0, 0.0],      # clone A (most relevant)
+        2: [0.98, 0.11, 0.0, 0.0],     # clone B
+        3: [0.97, 0.12, 0.0, 0.0],     # clone C
+        4: [0.5, 0.8, 0.0, 0.0],       # diverse, medium relevance
+        5: [0.4, 0.0, 0.9, 0.0],       # diverse
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    q = vecs[0]
+    rel = {i: cos(v, q) for i, v in vecs.items()}
+    sel, expect = [], []
+    for _ in range(3):
+        best = None
+        for i in vecs:
+            if i in sel:
+                continue
+            pen = max((cos(vecs[i], vecs[j]) for j in sel), default=0.0)
+            score = round(0.5 * rel[i] - 0.5 * pen, 6)
+            if best is None or (-score, i) < (-best[1], best[0]):
+                best = (i, score)
+        sel.append(best[0])
+        expect.append((best[0], len(sel), best[1]))
+
+    got = [
+        (r.vec_id, r.mmr_rank, r.mmr)
+        for r in similarity.mmr_rerank(df, q, k=3, lam=0.5, dim=4)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert got == expect, (got, expect)
+    # rank 1 is the most relevant clone; ranks 2-3 are NOT its clones
+    assert got[0][0] == 0 or got[0][0] == 1
+    clones = {1, 2, 3}
+    assert sum(1 for i, _, _ in got if i in clones) <= 1 or got[0][0] == 0
+
+    with pytest.raises(ValueError):
+        similarity.mmr_rerank(df, q, k=0)
