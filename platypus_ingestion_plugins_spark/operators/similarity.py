@@ -1138,6 +1138,11 @@ def mmr_rerank(
     tolerance on exact score ties across engines."""
     if k < 1 or not 0.0 <= lam <= 1.0:
         raise ValueError(f"need k >= 1 and 0 <= lam <= 1, got {k}/{lam}")
+    if not any(float(x) for x in query_vec):
+        # all-zero query: every cosine is NaN, and NaN sorts LARGEST in
+        # a desc orderBy — the "top" k would be arbitrary ids ranked by
+        # NaN. Fail loudly instead.
+        raise ValueError("query_vec has zero norm; cosine is undefined")
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     base = (
         ensure_parallelism(cands)
