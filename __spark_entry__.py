@@ -3257,6 +3257,67 @@ UNION ALL SELECT vec_id, 4, mmr FROM p4
 """
 
 
+def q_ann_recall(spark, sf):
+    """ANN quality evaluation (similarity.recall_at_k): recall@10 of
+    the sign-bucket ANN against exact brute force for three query
+    vectors — the measure-don't-guess loop every ANN deployment runs.
+    Both result sets are bounded top-k lists, so the compare is a
+    broadcast left join + one tiny aggregate."""
+    emb = _t(spark, sf, "embeddings")
+    parts_e, parts_a = [], []
+    for qid in range(3):
+        qdf = emb.filter(F.col("vec_id") == qid)
+        parts_e.append(
+            similarity.brute_force_topk(emb, qdf, k=10, dim=64).select(
+                F.lit(qid).cast("long").alias("q_id"), "vec_id"
+            )
+        )
+        parts_a.append(
+            similarity.ann_topk(emb, qdf, k=10, dim=64).select(
+                F.lit(qid).cast("long").alias("q_id"), "vec_id"
+            )
+        )
+    exact = parts_e[0].unionByName(parts_e[1]).unionByName(parts_e[2])
+    approx = parts_a[0].unionByName(parts_a[1]).unionByName(parts_a[2])
+    return similarity.recall_at_k(approx, exact, "vec_id", ["q_id"])
+
+
+SQL_ANN_RECALL = """
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings),
+qs AS (SELECT vec_id AS q_id, v AS qv, bucket AS qbucket
+       FROM b WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id, b.vec_id,
+         round(list_cosine_similarity(b.v, q.qv), 6) AS c,
+         b.bucket, q.qbucket
+  FROM b CROSS JOIN qs q),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= 10),
+approx AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn
+    FROM scored WHERE bucket = qbucket) WHERE rn <= 10)
+SELECT e.q_id,
+       count(*) AS n_exact,
+       CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS recall
+FROM exact e LEFT JOIN approx a USING (q_id, vec_id)
+GROUP BY e.q_id
+"""
+
+
 _UNIT_SQL = (
     "(CAST(('0x' || substr(md5('{salt}|' || CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT)"
     " / 1152921504606846976.0)"
@@ -6718,6 +6779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-checked entries lead the r13 rotation
         "sft_spans": q_sft_spans,
         "mmr_rerank": q_mmr_rerank,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -6868,6 +6930,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": SQL_MULTIMODAL_META,
         "sft_spans": SQL_SFT_SPANS,
         "mmr_rerank": SQL_MMR_RERANK,
+        "ann_recall": SQL_ANN_RECALL,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

@@ -1192,3 +1192,34 @@ def mmr_rerank(
         f"{id_col} {cands.schema[id_col].dataType.simpleString()}, "
         "mmr_rank int, mmr double",
     )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    id_col: str = "vec_id",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Recall of an approximate result set against the exact one —
+    the evaluation loop every ANN deployment needs ("measure, don't
+    guess"): per group (e.g. per query id), n_hit = |approx ∩ exact|,
+    recall = n_hit / n_exact rounded 6dp. Output: (*group_cols,
+    n_exact, n_hit, recall).
+
+    Both inputs are top-k lists (bounded by construction), so the
+    approx side broadcasts into a map-side left join against the
+    exact list — no corpus-sized work here; the cost lives in the
+    searchers being evaluated."""
+    gc = list(group_cols or [])
+    a = F.broadcast(
+        approx.select(*gc, id_col).withColumn("__hit", F.lit(1))
+    )
+    joined = exact.select(*gc, id_col).join(a, [*gc, id_col], "left")
+    agged = joined.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+    )
+    return agged.withColumn(
+        "recall",
+        F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 6),
+    )

@@ -5052,3 +5052,35 @@ def test_mmr_rerank_pure_python_replay(spark):
 
     with pytest.raises(ValueError):
         similarity.mmr_rerank(df, q, k=0)
+
+
+def test_recall_at_k_arithmetic(spark):
+    """recall_at_k on handcrafted lists: partial overlap, perfect
+    recall, zero overlap; grouped and global forms."""
+    from pyspark.sql import Row
+
+    from platypus_ingestion_plugins_spark.operators import similarity
+
+    exact = spark.createDataFrame(
+        [Row(q_id=1, vec_id=i) for i in (1, 2, 3, 4)]
+        + [Row(q_id=2, vec_id=i) for i in (5, 6)]
+        + [Row(q_id=3, vec_id=i) for i in (7, 8)]
+    )
+    approx = spark.createDataFrame(
+        [Row(q_id=1, vec_id=i) for i in (2, 4, 99)]   # 2/4 hit
+        + [Row(q_id=2, vec_id=i) for i in (5, 6)]      # 2/2 hit
+        + [Row(q_id=3, vec_id=i) for i in (100, 101)]  # 0/2 hit
+    )
+    got = {
+        r.q_id: (r.n_exact, r.n_hit, r.recall)
+        for r in similarity.recall_at_k(
+            approx, exact, "vec_id", ["q_id"]
+        ).collect()
+    }
+    assert got == {1: (4, 2, 0.5), 2: (2, 2, 1.0), 3: (2, 0, 0.0)}, got
+
+    # global (ungrouped) form: joins on id only, one row out
+    exact2 = spark.createDataFrame([Row(vec_id=i) for i in (1, 2, 3, 4)])
+    approx2 = spark.createDataFrame([Row(vec_id=i) for i in (2, 9)])
+    g2 = similarity.recall_at_k(approx2, exact2, "vec_id").collect()[0]
+    assert (g2.n_exact, g2.n_hit, g2.recall) == (4, 1, 0.25)
