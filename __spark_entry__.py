@@ -3318,9 +3318,90 @@ GROUP BY e.q_id
 """
 
 
+def q_pack_sft(spark, sf):
+    """Packed SFT examples (operators/chat.pack_sft): rendered
+    conversations laid out by the deterministic concatenate-then-chunk
+    packer, every assistant loss-mask span shifted to its in-pack
+    position — the render/pack/mask composition that must move as one
+    unit. The oracle recomputes the rendered lengths, the pack layout
+    hash, and every shifted offset in closed form."""
+    d = _synth_chat(_t(spark, sf, "documents"))
+    return chat.pack_sft(
+        d, "doc_id", "turns", target_chars=600, n_shards=4, sep="\n"
+    )
+
+
+SQL_PACK_SFT_TEMPLATE = """
+WITH t AS (
+  SELECT doc_id, text,
+         greatest(CAST(floor(length(text)/4) AS INT), 1) AS q,
+         CAST(2 + doc_id % 3 AS INT) AS n,
+         doc_id % 7 = 0 AS sys0,
+         doc_id % 5 = 0 AS asst2
+  FROM documents),
+c AS (
+  SELECT doc_id, n, asst2,
+         CASE WHEN sys0 THEN 6 ELSE 4 END AS rl0,
+         CASE WHEN asst2 THEN 9 ELSE 4 END AS rl2,
+         coalesce(length(substr(text, 1, q)), 0) AS cl0,
+         coalesce(length(substr(text, q+1, q)), 0) AS cl1,
+         coalesce(length(substr(text, 2*q+1, q)), 0) AS cl2,
+         coalesce(length(substr(text, 3*q+1, q)), 0) AS cl3
+  FROM t),
+b AS (
+  SELECT doc_id, n, asst2, cl1, cl2, cl3,
+         24 + rl0 + cl0 AS b0,
+         24 + 9 + cl1 AS b1,
+         24 + rl2 + cl2 AS b2,
+         33 + cl3 AS b3
+  FROM c),
+r AS (
+  SELECT doc_id, n, asst2, cl1, cl2, cl3, b0, b1, b2, b3,
+         b0 + b1 + CASE WHEN n >= 3 THEN b2 ELSE 0 END
+                 + CASE WHEN n >= 4 THEN b3 ELSE 0 END AS rlen,
+         {unit} AS u
+  FROM b),
+a AS (SELECT *, CAST(floor(u * 4) AS INT) AS shard FROM r),
+o AS (
+  SELECT *,
+         CAST(sum(rlen) OVER (PARTITION BY shard ORDER BY u, doc_id
+                              ROWS UNBOUNDED PRECEDING) - rlen AS BIGINT)
+           AS "offset"
+  FROM a),
+p AS (
+  SELECT doc_id, shard,
+         CAST(floor("offset" / 600.0) AS BIGINT) AS bin, "offset"
+  FROM o),
+p2 AS (
+  SELECT doc_id, shard, bin,
+         ("offset" - min("offset") OVER (PARTITION BY shard, bin))
+         + (row_number() OVER (PARTITION BY shard, bin ORDER BY "offset")
+            - 1) AS char_base
+  FROM p),
+spans AS (
+  SELECT doc_id, 0 AS span_no, b0 + 23 AS s, b0 + 23 + cl1 AS e FROM b
+  UNION ALL
+  SELECT doc_id, 1, b0 + b1 + 23, b0 + b1 + 23 + cl2
+  FROM b WHERE n >= 3 AND asst2
+  UNION ALL
+  SELECT doc_id,
+         1 + CASE WHEN asst2 THEN 1 ELSE 0 END,
+         b0 + b1 + b2 + 23, b0 + b1 + b2 + 23 + cl3
+  FROM b WHERE n >= 4)
+SELECT p2.shard, p2.bin, s.doc_id, CAST(s.span_no AS INT) AS span_no,
+       CAST(s.s + p2.char_base AS INT) AS s,
+       CAST(s.e + p2.char_base AS INT) AS e
+FROM p2 JOIN spans s USING (doc_id)
+"""
+
+
 _UNIT_SQL = (
     "(CAST(('0x' || substr(md5('{salt}|' || CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT)"
     " / 1152921504606846976.0)"
+)
+
+SQL_PACK_SFT = SQL_PACK_SFT_TEMPLATE.format(
+    unit=_UNIT_SQL.format(salt="shuffle", key="doc_id")
 )
 
 
@@ -6780,6 +6861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_spans": q_sft_spans,
         "mmr_rerank": q_mmr_rerank,
         "ann_recall": q_ann_recall,
+        "pack_sft": q_pack_sft,
     }
 
 
@@ -6931,6 +7013,7 @@ def oracle_sql() -> dict[str, str]:
         "sft_spans": SQL_SFT_SPANS,
         "mmr_rerank": SQL_MMR_RERANK,
         "ann_recall": SQL_ANN_RECALL,
+        "pack_sft": SQL_PACK_SFT,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

@@ -205,6 +205,74 @@ def render_chat_with_spans(
     )
 
 
+def pack_sft(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    turns_col: str = "turns",
+    target_chars: int = 2048,
+    n_shards: int = 4,
+    salt: str = "shuffle",
+    sep: str = "\n",
+) -> DataFrame:
+    """The SFT pipeline's end step: rendered conversations packed into
+    context windows with every assistant loss-mask span SHIFTED to its
+    position inside the pack — rendering, packing and masking must
+    move together or the mask silently points at the wrong bytes.
+
+    Layout is ``export.pack_bins``'s deterministic concatenate-then-
+    chunk scheme over rendered length (deterministic shuffle order,
+    one cumsum window per shard); a conversation's char base inside
+    its pack is (offset - pack's first offset) + index_in_pack *
+    len(sep) — pure arithmetic on the pack_bins columns, exactly the
+    join ``materialize_packs`` performs with ``sep``. Output: one row
+    per shifted span, (shard, bin, id, span_no, s, e) — 1-based
+    inclusive/exclusive offsets into the materialized pack text.
+
+    Scale shape: one render projection (map-only), the pack_bins
+    cumsum window per shard, and one (shard, bin)-partitioned window
+    whose partitions are pack-sized by construction. Invariant (the
+    property test): pack_text[s-1:e-1] == the assistant turn's
+    content, for every span in every pack."""
+    from pyspark.sql import Window
+
+    from platypus_ingestion_plugins_spark.operators.export import pack_bins
+
+    rs = render_chat_with_spans(turns_col, turn_start="<|im_start|>")
+    base = (
+        df.select(F.col(id_col), rs.alias("__rs"))
+        .select(
+            id_col,
+            F.col("__rs.rendered").alias("__text"),
+            F.col("__rs.spans").alias("__spans"),
+        )
+        .withColumn("__n", F.length("__text"))
+    )
+    packed = pack_bins(base, id_col, "__n", target_chars, n_shards, salt)
+    wp = Window.partitionBy("shard", "bin")
+    wo = Window.partitionBy("shard", "bin").orderBy("offset")
+    with_base = (
+        packed.withColumn(
+            "__char_base",
+            (F.col("offset") - F.min("offset").over(wp))
+            + (F.row_number().over(wo) - 1) * len(sep),
+        )
+    )
+    return with_base.select(
+        "shard",
+        "bin",
+        F.col(id_col),
+        F.posexplode("__spans").alias("span_no", "__sp"),
+        "__char_base",
+    ).select(
+        "shard",
+        "bin",
+        id_col,
+        "span_no",
+        (F.col("__sp.s") + F.col("__char_base")).cast("int").alias("s"),
+        (F.col("__sp.e") + F.col("__char_base")).cast("int").alias("e"),
+    )
+
+
 def assistant_transcript_key(turns_col: Column | str) -> Column:
     """Dedup key: sha2-256 of the assistant turns' contents joined
     with an \\x1f unit separator (injection-safe: a separator that

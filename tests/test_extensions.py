@@ -5084,3 +5084,59 @@ def test_recall_at_k_arithmetic(spark):
     approx2 = spark.createDataFrame([Row(vec_id=i) for i in (2, 9)])
     g2 = similarity.recall_at_k(approx2, exact2, "vec_id").collect()[0]
     assert (g2.n_exact, g2.n_hit, g2.recall) == (4, 1, 0.25)
+
+
+def test_pack_sft_spans_point_into_materialized_packs(spark):
+    """The pack_sft invariant: every shifted span, sliced out of the
+    pack text materialized with the SAME layout, equals the assistant
+    turn's content — across packs, shards, multi-doc packs and
+    multi-span conversations."""
+    from platypus_ingestion_plugins_spark.operators import chat
+    from platypus_ingestion_plugins_spark.operators.export import (
+        materialize_packs,
+    )
+    from pyspark.sql import functions as F
+
+    convs = []
+    for i in range(12):
+        turns = []
+        for j in range(1 + i % 3):
+            turns.append(Row(role="user", content=f"question {i}-{j} " + "x" * (i * 3)))
+            turns.append(Row(role="assistant", content=f"answer {i}-{j} " + "y" * (j * 5)))
+        convs.append((i, turns))
+    df = spark.createDataFrame(convs, f"doc_id long, turns {chat.TURNS_TYPE}")
+
+    spans = chat.pack_sft(
+        df, "doc_id", "turns", target_chars=300, n_shards=2, sep="\n"
+    ).collect()
+    assert spans, "no spans produced"
+
+    rs = chat.render_chat_with_spans("turns")
+    base = (
+        df.select("doc_id", rs.alias("__rs"))
+        .select(
+            "doc_id",
+            F.col("__rs.rendered").alias("__text"),
+        )
+        .withColumn("__n", F.length("__text"))
+    )
+    packs = {
+        (r.shard, r.bin): r.pack_text
+        for r in materialize_packs(
+            base, "doc_id", "__text", "__n", 300, 2, sep="\n"
+        ).collect()
+    }
+    expected = {
+        i: [c if c is not None else "" for r, c in t if r == "assistant"]
+        for i, t in convs
+    }
+    checked = 0
+    for r in spans:
+        text = packs[(r.shard, r.bin)]
+        assert text[r.s - 1 : r.e - 1] == expected[r.doc_id][r.span_no], r
+        checked += 1
+    assert checked == sum(len(v) for v in expected.values())
+    # genuinely multi-doc packs exist in the fixture
+    from collections import Counter
+    per_pack = Counter((r.shard, r.bin) for r in spans)
+    assert max(per_pack.values()) > 2
