@@ -4961,6 +4961,57 @@ def q_cdc_format_last_wins(spark, sf):
         raise
 
 
+def q_cdc_time_travel(spark, sf):
+    """Time-travel read (sources/cdc_table.read_as_of — Paimon's
+    VERSION AS OF on the CDC-convention layout): the changelog written
+    as two snapshot drops, then materialized AS OF snapshot 1 —
+    partition pruning keeps snapshot 2's files unopened, and the
+    result must equal a last-wins materialization over the first
+    drop alone (the oracle replays the exact median split)."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.sources import cdc_table
+
+    ev = _t(spark, sf, "events")
+    ch = ev.select(
+        F.col("event_id").alias("_seq"),
+        "user_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "click", "-D")
+        .when(F.col("event_type") == "error", "-U")
+        .otherwise("+I")
+        .alias("_row_kind"),
+    )
+    ch_lo, ch_hi = _median_split(ch, "_seq")
+    work = _stream_scratch("cdc_tt_")
+    try:
+        log = os.path.join(work, "log")
+        cdc_table.write_cdc_snapshot(ch_lo, log, snapshot_id=1)
+        cdc_table.write_cdc_snapshot(ch_hi, log, snapshot_id=2)
+        state1 = cdc_table.read_as_of(spark, log, 1, "user_id")
+        out = state1.select("user_id", "event_type", "value")
+        _keep_until_exit(work, keep=log)
+        return out
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+
+
+SQL_CDC_TIME_TRAVEL = """
+WITH m AS (SELECT median(event_id) AS mid FROM events),
+ch AS (
+  SELECT event_id AS seq, user_id, event_type, value,
+         CASE WHEN event_type='click' THEN '-D'
+              WHEN event_type='error' THEN '-U' ELSE '+I' END AS kind
+  FROM events, m WHERE event_id <= mid),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+  FROM ch WHERE kind IN ('+I','-D'))
+SELECT user_id, event_type, value FROM ranked WHERE rn = 1 AND kind <> '-D'
+"""
+
+
 def q_stream_cdc_materialize(spark, sf):
     """Full Structured-Streaming path: the cdc_last_wins changelog split
     into two seq-ordered micro-batches, streamed from parquet through
@@ -6862,6 +6913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "ann_recall": q_ann_recall,
         "pack_sft": q_pack_sft,
+        "cdc_time_travel": q_cdc_time_travel,
     }
 
 
@@ -7014,6 +7066,7 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank": SQL_MMR_RERANK,
         "ann_recall": SQL_ANN_RECALL,
         "pack_sft": SQL_PACK_SFT,
+        "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

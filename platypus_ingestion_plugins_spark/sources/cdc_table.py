@@ -68,3 +68,45 @@ def latest_snapshot_id(spark: SparkSession, path: str) -> int | None:
         if n.startswith(f"{SNAPSHOT_COL}=")
     ]
     return max(snaps) if snaps else None
+
+
+def read_as_of(
+    spark: SparkSession,
+    path: str,
+    snapshot: int,
+    key: str | list[str],
+    seq_col: str = "_seq",
+) -> DataFrame:
+    """Time-travel read: the table's materialized state AS OF
+    ``snapshot`` — Paimon's `VERSION AS OF` on the CDC-convention
+    layout. The changelog is append-only and snapshot-partitioned, so
+    every historical state remains reconstructible: filter
+    ``_snapshot <= snapshot`` (partition-pruned at file-listing time —
+    later snapshots are never opened) and apply the same last-wins
+    reduction the live materialization uses. A snapshot id that never
+    existed raises rather than silently returning a state nobody
+    wrote.
+
+    Scale shape: identical to a live materialization over the kept
+    prefix — one keyed window; the prune means cost tracks the
+    history you ask for, not the history that exists after it."""
+    from platypus_ingestion_plugins_spark.operators.cdc import apply_changelog
+
+    latest = latest_snapshot_id(spark, path)
+    if latest is None:
+        raise ValueError(f"no snapshots at {path}")
+    names = fs.list_names(spark, path)
+    snaps = {
+        int(n.split("=", 1)[1])
+        for n in names
+        if n.startswith(f"{SNAPSHOT_COL}=")
+    }
+    if snapshot not in snaps:
+        raise ValueError(
+            f"snapshot {snapshot} does not exist at {path}; have "
+            f"{sorted(snaps)}"
+        )
+    log = spark.read.parquet(path).filter(
+        F.col(SNAPSHOT_COL) <= F.lit(snapshot)
+    )
+    return apply_changelog(log.drop(SNAPSHOT_COL), key, seq_col=seq_col)

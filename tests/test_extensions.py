@@ -5140,3 +5140,45 @@ def test_pack_sft_spans_point_into_materialized_packs(spark):
     from collections import Counter
     per_pack = Counter((r.shard, r.bin) for r in spans)
     assert max(per_pack.values()) > 2
+
+
+def test_cdc_time_travel_reconstructs_each_snapshot(spark, tmp_path):
+    """read_as_of: three snapshots of one key's lifecycle (insert ->
+    update -> delete); each as-of read returns exactly that point's
+    state, unknown snapshot ids raise, and the as-of-2 plan never
+    lists snapshot 3's files (partition pruning)."""
+    from pyspark.sql import functions as F
+
+    from platypus_ingestion_plugins_spark.sources import cdc_table
+
+    path = str(tmp_path / "log")
+
+    def drop(rows, snap):
+        df = spark.createDataFrame(
+            rows, "_row_kind string, _seq long, id string, v long"
+        )
+        cdc_table.write_cdc_snapshot(df, path, snapshot_id=snap)
+
+    drop([("+I", 1, "a", 10), ("+I", 2, "b", 20)], 1)
+    drop([("+U", 3, "a", 11)], 2)
+    drop([("-D", 4, "a", None), ("+I", 5, "c", 30)], 3)
+
+    def state(snap):
+        return {
+            r.id: r.v
+            for r in cdc_table.read_as_of(spark, path, snap, "id").collect()
+        }
+
+    assert state(1) == {"a": 10, "b": 20}
+    assert state(2) == {"a": 11, "b": 20}
+    assert state(3) == {"b": 20, "c": 30}
+    with pytest.raises(ValueError, match="does not exist"):
+        cdc_table.read_as_of(spark, path, 9, "id")
+
+    # pruning: the as-of-2 read must not touch snapshot 3 files
+    log = spark.read.parquet(path).filter(F.col("_snapshot") <= 2)
+    touched = {
+        r.f
+        for r in log.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert touched and not any("_snapshot=3" in f for f in touched)
