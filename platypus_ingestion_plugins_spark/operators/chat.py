@@ -239,7 +239,15 @@ def pack_sft(
 
     rs = render_chat_with_spans(turns_col, turn_start="<|im_start|>")
     base = (
-        df.select(F.col(id_col), rs.alias("__rs"))
+        # zero-turn conversations render to '' — no training signal,
+        # and a zero-length member would TIE the cumsum offsets of
+        # adjacent docs, making the in-pack order (and so every later
+        # doc's char base) nondeterministic vs materialize_packs'
+        # (offset, text) sort. Excluded up front; every kept doc has
+        # length >= the turn framing, so offsets are strictly
+        # increasing and order ties cannot occur.
+        df.filter(F.size(_turns(turns_col)) > 0)
+        .select(F.col(id_col), rs.alias("__rs"))
         .select(
             id_col,
             F.col("__rs.rendered").alias("__text"),
