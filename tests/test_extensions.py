@@ -73,10 +73,12 @@ def test_dedup_family_leaves_no_leaked_storage(spark, docs):
     for f in frames:
         f.count()
     frames.clear()
-    # 90 s: the ContextCleaner polls weak refs lazily and falls far
+    del f  # the loop variable still pins the LAST frame (r12 flake)
+    # 150 s: the ContextCleaner polls weak refs lazily and falls far
     # behind when the whole suite is loading all 32 cores — the 30 s
-    # form flaked exactly once that way (r10 full-suite run)
-    deadline = time.time() + 90
+    # form flaked in the r10 full-suite run and the 90 s form flaked
+    # once in an r12 full-suite run (passes standalone in ~20 s)
+    deadline = time.time() + 150
     while time.time() < deadline:
         gc.collect()  # drop py4j refs so the JVM weak refs can enqueue
         spark._jvm.System.gc()  # ContextCleaner only polls enqueued refs
