@@ -2642,6 +2642,102 @@ SELECT q_id, vec_id, cos_sim, knn_rank FROM r WHERE knn_rank <= 5
 """
 
 
+def q_hard_negatives(spark, sf):
+    """Hard-negative mining (similarity.hard_negatives): per anchor,
+    the 5 most-similar corpus vectors with a DIFFERENT label — the
+    contrastive-training near-misses. Label predicate applies before
+    ranking; plan = knn_join's broadcast + salted two-phase merge."""
+    emb = _t(spark, sf, "embeddings")
+    return similarity.hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, dim=64
+    )
+
+
+SQL_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT vec_id AS q_id, label AS qlabel, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+           AS cos_sim
+  FROM embeddings e, q
+  WHERE e.label <> q.qlabel AND e.vec_id <> q.q_id),
+r AS (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id)
+           AS neg_rank
+  FROM scored)
+SELECT q_id, vec_id, cos_sim, neg_rank FROM r WHERE neg_rank <= 5
+"""
+
+
+def q_ndcg_eval(spark, sf):
+    """Rank-aware retrieval evaluation (similarity.ndcg_at_k): nDCG@10
+    of the knn_join ranking against graded judgments synthesized from
+    labels (rel = max(0, 2 - |label_d - label_q|)) — recall says the
+    right documents came back, nDCG says in the right order. Qrels are
+    judgment-sized, so the ideal-order window is bounded."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    ranked = similarity.knn_join(emb, queries, k=10, dim=64)
+    qlbl = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("__qlabel")
+    )
+    rel = (
+        emb.select("vec_id", "label")
+        .crossJoin(F.broadcast(qlbl))
+        .withColumn(
+            "rel",
+            F.greatest(
+                F.lit(0), F.lit(2) - F.abs(F.col("label") - F.col("__qlabel"))
+            ),
+        )
+        .filter(F.col("rel") > 0)
+        .select("q_id", "vec_id", "rel")
+    )
+    return similarity.ndcg_at_k(ranked, rel, k=10, rank_col="knn_rank")
+
+
+SQL_NDCG_EVAL = """
+WITH q AS (
+  SELECT vec_id AS q_id, label AS qlabel, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+           AS cos_sim
+  FROM embeddings e, q),
+r AS (
+  SELECT q_id, vec_id, knn_rank FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id)
+             AS knn_rank
+    FROM scored) WHERE knn_rank <= 10),
+rel AS (
+  SELECT q.q_id, e.vec_id,
+         greatest(0, 2 - abs(e.label - q.qlabel)) AS rel
+  FROM embeddings e, q
+  WHERE greatest(0, 2 - abs(e.label - q.qlabel)) > 0),
+hits AS (
+  SELECT r.q_id,
+         coalesce(power(2, rel.rel) - 1, 0) / log2(r.knn_rank + 1) AS d
+  FROM r LEFT JOIN rel ON r.q_id = rel.q_id AND r.vec_id = rel.vec_id),
+dcg AS (SELECT q_id, round(sum(d), 6) AS dcg FROM hits GROUP BY q_id),
+ideal AS (
+  SELECT q_id, round(sum((power(2, rel) - 1) / log2(ir + 1)), 6) AS idcg
+  FROM (
+    SELECT q_id, rel,
+           row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id)
+             AS ir
+    FROM rel) WHERE ir <= 10
+  GROUP BY q_id)
+SELECT d.q_id, d.dcg, coalesce(i.idcg, 0.0) AS idcg,
+       CASE WHEN i.idcg > 0 THEN round(d.dcg / i.idcg, 6) END AS ndcg
+FROM dcg d LEFT JOIN ideal i USING (q_id)
+"""
+
+
 def q_similarity_quantized(spark, sf):
     """int8-quantized top-k: 4x less scan/shuffle than float at 100 TB;
     oracle reproduces the same floor(x*127/max|x|+0.5) integer math."""
@@ -6914,6 +7010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "pack_sft": q_pack_sft,
         "cdc_time_travel": q_cdc_time_travel,
+        "hard_negatives": q_hard_negatives,
+        "ndcg_eval": q_ndcg_eval,
     }
 
 
@@ -7067,6 +7165,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": SQL_ANN_RECALL,
         "pack_sft": SQL_PACK_SFT,
         "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
+        "hard_negatives": SQL_HARD_NEGATIVES,
+        "ndcg_eval": SQL_NDCG_EVAL,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

@@ -362,6 +362,21 @@ def knn_join(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col("__qvec"), dim), 6).alias("cos_sim"),
     )
+    return _topk_per_query(scored, k, q_id_col, id_col, merge_groups, "knn_rank")
+
+
+def _topk_per_query(
+    scored: DataFrame,
+    k: int,
+    q_id_col: str,
+    id_col: str,
+    merge_groups: int,
+    rank_col: str,
+) -> DataFrame:
+    """The salted two-phase per-query top-k merge shared by knn_join
+    and hard_negatives (docstring economics in ``knn_join``): input is
+    (q_id, id, cos_sim) scored rows; output (q_id, id, cos_sim,
+    rank 1..k) by (cos desc, id)."""
     key = F.struct((-F.col("cos_sim")).alias("nc"), F.col(id_col).alias("i"))
     salt = F.pmod(F.monotonically_increasing_id(), F.lit(merge_groups)).cast("int")
     local = (
@@ -380,9 +395,58 @@ def knn_join(
             # −(−cos): adding 0.0 normalizes IEEE −0.0 so string-level
             # oracle compares don't see a sign on zero
             (-F.col("s.nc") + F.lit(0.0)).alias("cos_sim"),
-            (F.col("__r") + 1).alias("knn_rank"),
+            (F.col("__r") + 1).alias(rank_col),
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    dim: int | None = None,
+    merge_groups: int = 4096,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    anchor, the ``k`` most-similar corpus vectors whose LABEL differs
+    from the anchor's (and which are not the anchor itself) — the
+    near-misses that actually move an embedding model, vs. easy
+    random negatives. Output: (q_id, id, cos_sim, neg_rank 1..k).
+
+    The label predicate applies BEFORE ranking (an after-the-fact
+    filter on a plain top-k would return < k negatives whenever the
+    anchor's own class dominates its neighborhood — exactly the case
+    hard mining exists for). Plan shape = knn_join verbatim: anchors
+    broadcast, one map-side scoring pass over the corpus, the salted
+    two-phase top-k merge; no window funnels the corpus through one
+    reducer per anchor."""
+    q = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias(q_id_col),
+            F.col(label_col).alias("__qlabel"),
+            _dvec(F.col(vec_col)).alias("__qvec"),
+        )
+    )
+    scored = (
+        ensure_parallelism(corpus)
+        .crossJoin(q)
+        .filter(
+            (F.col(label_col) != F.col("__qlabel"))
+            & (F.col(id_col) != F.col(q_id_col))
+        )
+        .select(
+            F.col(q_id_col),
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__qvec"), dim), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    return _topk_per_query(scored, k, q_id_col, id_col, merge_groups, "neg_rank")
 
 
 def write_ivf_partitioned(
@@ -1228,4 +1292,69 @@ def recall_at_k(
     return agged.withColumn(
         "recall",
         F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 6),
+    )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    relevance: DataFrame,
+    k: int,
+    q_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Rank-aware retrieval quality: nDCG@k per query group —
+    ``recall_at_k`` says whether the right documents came back, nDCG
+    says whether they came back in the right ORDER.
+
+        DCG@k  = sum_{rank<=k} (2^rel - 1) / log2(rank + 1)
+        IDCG@k = the same sum over the query's judgments ideally
+                 ordered (rel desc, id tie-break)
+        nDCG   = DCG / IDCG,  NULL when the query has no relevant
+                 judgment (0/0 is "undefined", not "perfect" or
+                 "worst" — the caller decides how to aggregate).
+
+    Inputs: ``ranked`` (q_id, id, rank 1..n) from any retrieval
+    system; ``relevance`` (q_id, id, rel) integer graded judgments —
+    qrels, bounded per query by construction (human/synthetic
+    judgments, not the corpus), which is what makes the ideal-order
+    window safe: it partitions by query over judgment-sized groups.
+    Unjudged retrieved documents carry gain 0. DCG/IDCG/nDCG round to
+    6 dp (log2 is the one double in the formula; sub-6dp ulps are the
+    documented cross-engine tolerance). Output: (q_id, dcg, idcg,
+    ndcg)."""
+    from pyspark.sql import Window
+
+    gain = F.pow(F.lit(2.0), F.col(rel_col)) - F.lit(1.0)
+    hits = (
+        ranked.filter(F.col(rank_col) <= k)
+        .join(
+            relevance.select(q_id_col, id_col, rel_col),
+            [q_id_col, id_col],
+            "left",
+        )
+        .withColumn("__g", F.coalesce(gain, F.lit(0.0)))
+        .withColumn("__d", F.col("__g") / F.log2(F.col(rank_col) + 1))
+    )
+    dcg = hits.groupBy(q_id_col).agg(F.round(F.sum("__d"), 6).alias("dcg"))
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col(rel_col).desc(), F.col(id_col).asc()
+    )
+    ideal = (
+        relevance.withColumn("__ir", F.row_number().over(w))
+        .filter(F.col("__ir") <= k)
+        .withColumn("__d", (F.pow(F.lit(2.0), F.col(rel_col)) - 1) / F.log2(F.col("__ir") + 1))
+        .groupBy(q_id_col)
+        .agg(F.round(F.sum("__d"), 6).alias("idcg"))
+    )
+    return (
+        dcg.join(ideal, q_id_col, "left")
+        .withColumn(
+            "ndcg",
+            F.when(
+                F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), 6)
+            ),
+        )
+        .withColumn("idcg", F.coalesce(F.col("idcg"), F.lit(0.0)))
     )

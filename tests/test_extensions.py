@@ -5184,3 +5184,48 @@ def test_cdc_time_travel_reconstructs_each_snapshot(spark, tmp_path):
         for r in log.select(F.input_file_name().alias("f")).distinct().collect()
     }
     assert touched and not any("_snapshot=3" in f for f in touched)
+
+
+def test_hard_negatives_and_ndcg_hand_computed(spark):
+    """hard_negatives excludes same-label vectors and self BEFORE
+    ranking; ndcg_at_k matches a hand arithmetic on a tiny graded
+    fixture including the no-judgments NULL case."""
+    import math
+
+    from platypus_ingestion_plugins_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),   # anchor
+            (1, [0.99, 0.1], 1),  # same label: excluded even though nearest
+            (2, [0.9, 0.3], 2),
+            (3, [0.5, 0.8], 2),
+            (4, [-1.0, 0.0], 3),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    neg = [
+        (r.vec_id, r.neg_rank)
+        for r in similarity.hard_negatives(
+            emb, emb.filter("vec_id = 0"), k=2, dim=2
+        ).orderBy("neg_rank").collect()
+    ]
+    assert neg == [(2, 1), (3, 2)], neg  # 1 excluded (label), 0 excluded (self)
+
+    ranked = spark.createDataFrame(
+        [(10, 100, 1), (10, 101, 2), (10, 102, 3), (20, 100, 1)],
+        "q_id long, vec_id long, rank int",
+    )
+    rel = spark.createDataFrame(
+        [(10, 101, 3), (10, 102, 1), (10, 999, 2)],
+        "q_id long, vec_id long, rel int",
+    )
+    out = {
+        r.q_id: (r.dcg, r.idcg, r.ndcg)
+        for r in similarity.ndcg_at_k(ranked, rel, k=3).collect()
+    }
+    dcg = round(7 / math.log2(3) + 1 / math.log2(4), 6)
+    idcg = round(7 / math.log2(2) + 3 / math.log2(3) + 1 / math.log2(4), 6)
+    assert out[10] == (dcg, idcg, round(dcg / idcg, 6)), out[10]
+    # query 20 has no judgments at all: dcg 0, idcg 0, ndcg NULL
+    assert out[20] == (0.0, 0.0, None), out[20]
