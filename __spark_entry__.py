@@ -658,6 +658,63 @@ FROM c
 """
 
 
+def q_bm25_prf(spark, sf):
+    """BM25 with pseudo-relevance feedback (serving/query.bm25_prf):
+    top-10 docs of the original query donate their 5 most frequent
+    new terms (len >= 3), and the corpus is rescored under the
+    expanded set — deterministic feedback selection both engines
+    replay exactly."""
+    d = _t(spark, sf, "documents")
+    return SQ.bm25_prf(
+        d, "text", "spark vector data engine", "doc_id",
+        fb_docs=10, fb_terms=5,
+    )
+
+
+SQL_BM25_PRF = """
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+  FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM toked),
+hits AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM toked),
+qh0 AS (SELECT * FROM hits WHERE tok IN ('data','engine','spark','vector')),
+tf0 AS (SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl FROM qh0 GROUP BY 1, 2),
+dft0 AS (SELECT tok, count(DISTINCT doc_id) AS df FROM qh0 GROUP BY tok),
+bm0 AS (
+  SELECT doc_id,
+         round(sum(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         ), 6) AS bm25
+  FROM tf0 JOIN dft0 USING (tok), stats GROUP BY doc_id),
+fbdocs AS (SELECT doc_id FROM bm0 ORDER BY bm25 DESC, doc_id LIMIT 10),
+fbterms AS (
+  SELECT tok FROM (
+    SELECT h.tok, count(*) AS c
+    FROM hits h JOIN fbdocs USING (doc_id)
+    WHERE length(h.tok) >= 3
+      AND h.tok NOT IN ('data','engine','spark','vector')
+    GROUP BY h.tok)
+  ORDER BY c DESC, tok LIMIT 5),
+expset AS (
+  SELECT tok FROM fbterms
+  UNION
+  SELECT unnest(['data','engine','spark','vector']) AS tok),
+qh AS (SELECT * FROM hits WHERE tok IN (SELECT tok FROM expset)),
+tf AS (SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl FROM qh GROUP BY 1, 2),
+dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM qh GROUP BY tok)
+SELECT doc_id,
+       round(sum(
+         ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+       ), 6) AS bm25
+FROM tf JOIN dft USING (tok), stats
+GROUP BY doc_id
+"""
+
+
 def q_fulltext_phrase(spark, sf):
     """PhraseQuery parity: token-exact contiguous in-order match
     (serving/query.py:match_phrase) — sentinel-padded re-join keeps it
@@ -7012,6 +7069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": q_cdc_time_travel,
         "hard_negatives": q_hard_negatives,
         "ndcg_eval": q_ndcg_eval,
+        "bm25_prf": q_bm25_prf,
     }
 
 
@@ -7167,6 +7225,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
         "hard_negatives": SQL_HARD_NEGATIVES,
         "ndcg_eval": SQL_NDCG_EVAL,
+        "bm25_prf": SQL_BM25_PRF,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

@@ -197,6 +197,55 @@ def top_hits(
     )
 
 
+def bm25_prf(
+    df: DataFrame,
+    field: str,
+    query: str,
+    id_col: str,
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    min_term_len: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 with pseudo-relevance feedback (RM3-style query
+    expansion): score the original query, treat its top ``fb_docs``
+    documents as relevant, harvest the ``fb_terms`` most frequent
+    terms from them (excluding the original terms and tokens shorter
+    than ``min_term_len``), and rescore the corpus with the expanded
+    term set — the classic recall lever when the user's wording
+    doesn't match the corpus's.
+
+    Both sync points are BOUNDED driver collects (the
+    kmeans/classifier convention): fb_docs ids, then fb_terms terms —
+    never corpus-sized. Each scoring pass is ``bm25_scores``'s
+    map-side shape. Fully deterministic: feedback docs by (rounded
+    bm25 desc, id), expansion terms by (count desc, term asc) — an
+    external engine replays the exact expanded term set and scores."""
+    orig = sorted(set(_py_tokenize(query)))
+    base = bm25_scores(df, field, query, id_col, k1, b)
+    top_ids = [
+        r[id_col]
+        for r in base.orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(fb_docs)
+        .collect()
+    ]
+    fb = (
+        df.filter(F.col(id_col).isin(top_ids))
+        .select(F.explode(tokenize(field)).alias("__tok"))
+        .filter(
+            (F.length("__tok") >= min_term_len) & ~F.col("__tok").isin(orig)
+        )
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("__tok"))
+        .limit(fb_terms)
+        .collect()
+    )
+    expanded = " ".join(sorted(set(orig) | {r["__tok"] for r in fb}))
+    return bm25_scores(df, field, expanded, id_col, k1, b)
+
+
 def rrf_fuse(
     systems: dict[str, DataFrame],
     id_col: str,

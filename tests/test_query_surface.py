@@ -288,3 +288,32 @@ def test_length_batches_brute_force(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         length_batches(df, "doc_id", "n", batch_size=0)
+
+
+def test_bm25_prf_expands_recall(spark):
+    """PRF: a doc matching only a feedback-harvested term (not the
+    original query) scores after expansion; term selection excludes
+    original terms and short tokens deterministically."""
+    from pyspark.sql import Row
+
+    from platypus_ingestion_plugins_spark.serving import query as SQ
+
+    docs = spark.createDataFrame(
+        [
+            # top doc for 'engine': donates 'vectorized' (and 'the' is
+            # too short to harvest)
+            Row(doc_id=1, text="engine engine the vectorized runtime"),
+            Row(doc_id=2, text="a vectorized pipeline only"),  # no orig term
+            Row(doc_id=3, text="nothing shared here"),
+        ]
+    )
+    base = {r.doc_id for r in SQ.bm25_scores(docs, "text", "engine", "doc_id").collect()}
+    assert base == {1}
+    prf = {
+        r.doc_id
+        for r in SQ.bm25_prf(
+            docs, "text", "engine", "doc_id", fb_docs=1, fb_terms=3
+        ).collect()
+    }
+    # doc 2 now reachable through the expansion term 'vectorized'
+    assert prf == {1, 2}, prf
