@@ -5165,6 +5165,44 @@ SELECT user_id, event_type, value FROM ranked WHERE rn = 1 AND kind <> '-D'
 """
 
 
+def q_cdc_compact_read(spark, sf):
+    """Snapshot compaction invariant (sources/cdc_table.
+    compact_snapshots): fold both changelog snapshots into one
+    tombstone-preserving base, then read the latest state — it must
+    equal the uncompacted full-table materialization exactly (the
+    cdc_last_wins oracle), proving compaction is a pure storage
+    change."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.sources import cdc_table
+
+    ev = _t(spark, sf, "events")
+    ch = ev.select(
+        F.col("event_id").alias("_seq"),
+        "user_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "click", "-D")
+        .when(F.col("event_type") == "error", "-U")
+        .otherwise("+I")
+        .alias("_row_kind"),
+    )
+    ch_lo, ch_hi = _median_split(ch, "_seq")
+    work = _stream_scratch("cdc_compact_")
+    try:
+        log = os.path.join(work, "log")
+        cdc_table.write_cdc_snapshot(ch_lo, log, snapshot_id=1)
+        cdc_table.write_cdc_snapshot(ch_hi, log, snapshot_id=2)
+        cdc_table.compact_snapshots(spark, log, upto=2, key="user_id")
+        state = cdc_table.read_as_of(spark, log, 2, "user_id")
+        out = state.select("user_id", "event_type", "value")
+        _keep_until_exit(work, keep=log)
+        return out
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+
+
 def q_stream_cdc_materialize(spark, sf):
     """Full Structured-Streaming path: the cdc_last_wins changelog split
     into two seq-ordered micro-batches, streamed from parquet through
@@ -7070,6 +7108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "ndcg_eval": q_ndcg_eval,
         "bm25_prf": q_bm25_prf,
+        "cdc_compact_read": q_cdc_compact_read,
     }
 
 
@@ -7226,6 +7265,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": SQL_HARD_NEGATIVES,
         "ndcg_eval": SQL_NDCG_EVAL,
         "bm25_prf": SQL_BM25_PRF,
+        "cdc_compact_read": SQL_CDC_LAST_WINS,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

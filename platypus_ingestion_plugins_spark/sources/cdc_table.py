@@ -110,3 +110,82 @@ def read_as_of(
         F.col(SNAPSHOT_COL) <= F.lit(snapshot)
     )
     return apply_changelog(log.drop(SNAPSHOT_COL), key, seq_col=seq_col)
+
+
+def compact_snapshots(
+    spark: SparkSession,
+    path: str,
+    upto: int,
+    key: str | list[str],
+    seq_col: str = "_seq",
+) -> None:
+    """Changelog compaction / snapshot expiry (Paimon's snapshot
+    expiration on the CDC-convention layout): fold every snapshot
+    <= ``upto`` into ONE materialized base snapshot carrying the
+    last-wins state as +I rows, then drop the originals. History cost
+    stops growing with ingest age while BOTH invariants hold:
+
+    - the LATEST materialized state is unchanged (each surviving key
+      keeps its original max ``seq``, so later snapshots' rows still
+      order correctly against the base — a base row never "wins" over
+      an op it already lost to);
+    - ``read_as_of(s)`` for every s >= ``upto`` is unchanged; reads
+      before the horizon now raise (their history is gone — that IS
+      expiry, surfaced loudly rather than as silently wrong state).
+
+    Crash discipline (the serving-table staged-swap pattern): the base
+    writes to a dot-staging dir (invisible to partition discovery),
+    then swaps in as ``_snapshot=<upto>`` — old dirs are removed only
+    AFTER the swap, so a crash leaves either the original layout or a
+    compacted-plus-leftovers layout, both of which read correctly
+    (the base subsumes any leftover earlier dir; re-running heals)."""
+    from platypus_ingestion_plugins_spark.operators.cdc import last_wins
+
+    names = fs.list_names(spark, path)
+    snaps = sorted(
+        int(n.split("=", 1)[1])
+        for n in names
+        if n.startswith(f"{SNAPSHOT_COL}=")
+    )
+    if upto not in snaps:
+        raise ValueError(f"snapshot {upto} does not exist at {path}; have {snaps}")
+    fold = [s for s in snaps if s <= upto]
+    if len(fold) < 2 and fold == [upto]:
+        return  # nothing before the horizon: already compact
+    log = spark.read.parquet(path).filter(F.col(SNAPSHOT_COL) <= F.lit(upto))
+    # The base is the folded range's last-wins winners VERBATIM —
+    # including -D tombstones. Eliding deletes looks tempting (the key
+    # is gone, why keep a row?) but breaks the crash-window
+    # coexistence guarantee: a leftover earlier dir holding the key's
+    # +I would RESURRECT it with nothing left to outrank it (caught by
+    # the insert-then-delete-across-snapshots test case). A tombstone
+    # at its original max seq beats any folded-range leftover, and
+    # apply_changelog drops it from materialized state as always.
+    base = last_wins(log.drop(SNAPSHOT_COL), key, seq_col=seq_col)
+    staging = f"{path}/.compact-{upto}.staging"
+    fs.delete(spark, staging)
+    base.write.mode("overwrite").parquet(staging)
+    # Swap the <upto> dir FIRST, delete the earlier dirs AFTER: the
+    # base subsumes every folded row, and a leftover earlier dir
+    # coexisting with the base still reads correctly (last-wins
+    # dedups the base's max-seq +I against the original winner — same
+    # seq, same values; an original -D winner was elided from the
+    # base, and its leftover row ties on seq where last-wins keeps
+    # the delete, reproducing the pre-compaction deleted state).
+    # Deleting earlier dirs BEFORE the swap would open a crash window
+    # where <upto> holds only its own changelog and the earlier
+    # history is simply gone — a silently wrong latest state. A crash
+    # anywhere here leaves a readable layout, and re-running the same
+    # compaction heals it (base ∪ leftovers folds to the same base).
+    tmp_old = f"{path}/.compact-{upto}.old"
+    fs.delete(spark, tmp_old)
+    if not fs.rename(spark, f"{path}/{SNAPSHOT_COL}={upto}", tmp_old):
+        raise IOError(f"could not stage out {SNAPSHOT_COL}={upto}")
+    if not fs.rename(spark, staging, f"{path}/{SNAPSHOT_COL}={upto}"):
+        # restore the original dir so the table stays readable
+        fs.rename(spark, tmp_old, f"{path}/{SNAPSHOT_COL}={upto}")
+        raise IOError(f"could not swap compacted base into {path}")
+    fs.delete(spark, tmp_old)
+    for s in fold:
+        if s != upto:
+            fs.delete(spark, f"{path}/{SNAPSHOT_COL}={s}")

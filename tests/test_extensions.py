@@ -5229,3 +5229,60 @@ def test_hard_negatives_and_ndcg_hand_computed(spark):
     assert out[10] == (dcg, idcg, round(dcg / idcg, 6)), out[10]
     # query 20 has no judgments at all: dcg 0, idcg 0, ndcg NULL
     assert out[20] == (0.0, 0.0, None), out[20]
+
+
+def test_compact_snapshots_preserves_state_and_history(spark, tmp_path):
+    """Snapshot compaction invariants: latest state and every as-of
+    read at-or-after the horizon are byte-identical before and after;
+    expired history raises; a crash-window leftover dir coexisting
+    with the base still reads correctly and a re-run heals it."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.sources import cdc_table
+
+    path = str(tmp_path / "log")
+
+    def drop(rows, snap):
+        df = spark.createDataFrame(
+            rows, "_row_kind string, _seq long, id string, v long"
+        )
+        cdc_table.write_cdc_snapshot(df, path, snapshot_id=snap)
+
+    drop([("+I", 1, "a", 10), ("+I", 2, "b", 20), ("+I", 3, "d", 40)], 1)
+    drop([("+U", 4, "a", 11), ("-D", 5, "d", None)], 2)
+    drop([("-D", 6, "b", None), ("+I", 7, "c", 30)], 3)
+
+    def state(snap):
+        return {
+            r.id: r.v
+            for r in cdc_table.read_as_of(spark, path, snap, "id").collect()
+        }
+
+    before_2, before_3 = state(2), state(3)
+    assert before_2 == {"a": 11, "b": 20} and before_3 == {"a": 11, "c": 30}
+
+    # keep a copy of snapshot 1 to fake the crash-window leftover
+    leftover_src = str(tmp_path / "snap1_copy")
+    shutil.copytree(f"{path}/_snapshot=1", leftover_src)
+
+    cdc_table.compact_snapshots(spark, path, upto=2, key="id")
+    assert state(2) == before_2 and state(3) == before_3
+    with pytest.raises(ValueError, match="does not exist"):
+        cdc_table.read_as_of(spark, path, 1, "id")
+    import os
+    assert not os.path.exists(f"{path}/_snapshot=1")
+    # the base must carry original max seqs (a later lower-seq write
+    # cannot beat history it already lost to)
+    base = spark.read.parquet(f"{path}/_snapshot=2")
+    assert {
+        (r.id, r._seq, r._row_kind)
+        for r in base.select("id", "_seq", "_row_kind").collect()
+    } == {("a", 4, "+U"), ("b", 2, "+I"), ("d", 5, "-D")}
+
+    # crash window: an expired dir resurfaces next to the base
+    shutil.copytree(leftover_src, f"{path}/_snapshot=1")
+    assert state(2) == before_2 and state(3) == before_3
+    # healing re-run removes it and changes nothing
+    cdc_table.compact_snapshots(spark, path, upto=2, key="id")
+    assert not os.path.exists(f"{path}/_snapshot=1")
+    assert state(2) == before_2 and state(3) == before_3
