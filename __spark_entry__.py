@@ -2789,9 +2789,10 @@ ideal AS (
              AS ir
     FROM rel) WHERE ir <= 10
   GROUP BY q_id)
-SELECT d.q_id, d.dcg, coalesce(i.idcg, 0.0) AS idcg,
-       CASE WHEN i.idcg > 0 THEN round(d.dcg / i.idcg, 6) END AS ndcg
-FROM dcg d LEFT JOIN ideal i USING (q_id)
+SELECT q_id, coalesce(d.dcg, 0.0) AS dcg, coalesce(i.idcg, 0.0) AS idcg,
+       CASE WHEN i.idcg > 0
+            THEN round(coalesce(d.dcg, 0.0) / i.idcg, 6) END AS ndcg
+FROM dcg d FULL JOIN ideal i USING (q_id)
 """
 
 

@@ -424,8 +424,13 @@ def hard_negatives(
     broadcast, one map-side scoring pass over the corpus, the salted
     two-phase top-k merge; no window funnels the corpus through one
     reducer per anchor."""
+    # NULL labels carry no class information, so they can certify
+    # NOTHING as a negative: NULL-labeled corpus rows and anchors are
+    # excluded EXPLICITLY (not left to null-unsafe != silently
+    # emptying results — r12 review #4). Callers mining a partially
+    # labeled corpus should label or pre-filter first.
     q = F.broadcast(
-        anchors.select(
+        anchors.filter(F.col(label_col).isNotNull()).select(
             F.col(id_col).alias(q_id_col),
             F.col(label_col).alias("__qlabel"),
             _dvec(F.col(vec_col)).alias("__qvec"),
@@ -433,6 +438,7 @@ def hard_negatives(
     )
     scored = (
         ensure_parallelism(corpus)
+        .filter(F.col(label_col).isNotNull())
         .crossJoin(q)
         .filter(
             (F.col(label_col) != F.col("__qlabel"))
@@ -1349,7 +1355,12 @@ def ndcg_at_k(
         .agg(F.round(F.sum("__d"), 6).alias("idcg"))
     )
     return (
-        dcg.join(ideal, q_id_col, "left")
+        # FULL outer: a judged query the system returned NOTHING for
+        # must surface as ndcg=0, not vanish from the output — dropped
+        # worst-failures would inflate any mean over the rows (r12
+        # review #3)
+        dcg.join(ideal, q_id_col, "full")
+        .withColumn("dcg", F.coalesce(F.col("dcg"), F.lit(0.0)))
         .withColumn(
             "ndcg",
             F.when(

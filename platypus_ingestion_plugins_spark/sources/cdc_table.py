@@ -61,13 +61,19 @@ def latest_snapshot_id(spark: SparkSession, path: str) -> int | None:
 
     Listing goes through the Hadoop FileSystem API so the table may
     live on any supported store (local/HDFS/s3a)."""
-    names = fs.list_names(spark, path)
-    snaps = [
-        int(n.split("=", 1)[1])
-        for n in names
-        if n.startswith(f"{SNAPSHOT_COL}=")
-    ]
+    snaps = snapshot_ids(spark, path)
     return max(snaps) if snaps else None
+
+
+def snapshot_ids(spark: SparkSession, path: str) -> list[int]:
+    """Sorted snapshot ids present, from the directory listing — the
+    one parser for the ``_snapshot=<id>`` layout convention (shared by
+    latest_snapshot_id / read_as_of / compact_snapshots)."""
+    return sorted(
+        int(n.split("=", 1)[1])
+        for n in fs.list_names(spark, path)
+        if n.startswith(f"{SNAPSHOT_COL}=")
+    )
 
 
 def read_as_of(
@@ -92,19 +98,12 @@ def read_as_of(
     history you ask for, not the history that exists after it."""
     from platypus_ingestion_plugins_spark.operators.cdc import apply_changelog
 
-    latest = latest_snapshot_id(spark, path)
-    if latest is None:
+    snaps = snapshot_ids(spark, path)
+    if not snaps:
         raise ValueError(f"no snapshots at {path}")
-    names = fs.list_names(spark, path)
-    snaps = {
-        int(n.split("=", 1)[1])
-        for n in names
-        if n.startswith(f"{SNAPSHOT_COL}=")
-    }
     if snapshot not in snaps:
         raise ValueError(
-            f"snapshot {snapshot} does not exist at {path}; have "
-            f"{sorted(snaps)}"
+            f"snapshot {snapshot} does not exist at {path}; have {snaps}"
         )
     log = spark.read.parquet(path).filter(
         F.col(SNAPSHOT_COL) <= F.lit(snapshot)
@@ -141,16 +140,35 @@ def compact_snapshots(
     (the base subsumes any leftover earlier dir; re-running heals)."""
     from platypus_ingestion_plugins_spark.operators.cdc import last_wins
 
-    names = fs.list_names(spark, path)
-    snaps = sorted(
-        int(n.split("=", 1)[1])
-        for n in names
-        if n.startswith(f"{SNAPSHOT_COL}=")
-    )
+    # Heal a crashed prior compaction FIRST (r12 review: the window
+    # between "old dir staged out" and "base renamed in" used to leave
+    # _snapshot=<upto> missing entirely — a silently wrong latest
+    # state with no recovery path). The park dir is the marker: if it
+    # exists and the live dir is gone, the crash hit mid-swap — put
+    # the ORIGINAL back (the staging dir's completeness is unknowable,
+    # so it is discarded, never promoted); if both exist, the swap
+    # completed and the park is garbage. Either way leftover staging
+    # is swept, so orphaned hidden dirs cannot accumulate across the
+    # early-return path either.
+    tmp_old = f"{path}/.compact-{upto}.old"
+    staging = f"{path}/.compact-{upto}.staging"
+    live = f"{path}/{SNAPSHOT_COL}={upto}"
+    if fs.exists(spark, tmp_old):
+        if not fs.exists(spark, live):
+            if not fs.rename(spark, tmp_old, live):
+                raise IOError(
+                    f"crashed compaction at {path}: could not restore "
+                    f"{live} from {tmp_old}"
+                )
+        else:
+            fs.delete(spark, tmp_old)
+    fs.delete(spark, staging)
+
+    snaps = snapshot_ids(spark, path)
     if upto not in snaps:
         raise ValueError(f"snapshot {upto} does not exist at {path}; have {snaps}")
     fold = [s for s in snaps if s <= upto]
-    if len(fold) < 2 and fold == [upto]:
+    if fold == [upto]:
         return  # nothing before the horizon: already compact
     log = spark.read.parquet(path).filter(F.col(SNAPSHOT_COL) <= F.lit(upto))
     # The base is the folded range's last-wins winners VERBATIM —
@@ -162,8 +180,6 @@ def compact_snapshots(
     # at its original max seq beats any folded-range leftover, and
     # apply_changelog drops it from materialized state as always.
     base = last_wins(log.drop(SNAPSHOT_COL), key, seq_col=seq_col)
-    staging = f"{path}/.compact-{upto}.staging"
-    fs.delete(spark, staging)
     base.write.mode("overwrite").parquet(staging)
     # Swap the <upto> dir FIRST, delete the earlier dirs AFTER: the
     # base subsumes every folded row, and a leftover earlier dir
@@ -177,13 +193,11 @@ def compact_snapshots(
     # history is simply gone — a silently wrong latest state. A crash
     # anywhere here leaves a readable layout, and re-running the same
     # compaction heals it (base ∪ leftovers folds to the same base).
-    tmp_old = f"{path}/.compact-{upto}.old"
-    fs.delete(spark, tmp_old)
-    if not fs.rename(spark, f"{path}/{SNAPSHOT_COL}={upto}", tmp_old):
+    if not fs.rename(spark, live, tmp_old):
         raise IOError(f"could not stage out {SNAPSHOT_COL}={upto}")
-    if not fs.rename(spark, staging, f"{path}/{SNAPSHOT_COL}={upto}"):
+    if not fs.rename(spark, staging, live):
         # restore the original dir so the table stays readable
-        fs.rename(spark, tmp_old, f"{path}/{SNAPSHOT_COL}={upto}")
+        fs.rename(spark, tmp_old, live)
         raise IOError(f"could not swap compacted base into {path}")
     fs.delete(spark, tmp_old)
     for s in fold:

@@ -5217,7 +5217,9 @@ def test_hard_negatives_and_ndcg_hand_computed(spark):
         "q_id long, vec_id long, rank int",
     )
     rel = spark.createDataFrame(
-        [(10, 101, 3), (10, 102, 1), (10, 999, 2)],
+        # q 30 is judged but the system returned NOTHING for it —
+        # it must surface as ndcg=0, not vanish (r12 review #3)
+        [(10, 101, 3), (10, 102, 1), (10, 999, 2), (30, 500, 2)],
         "q_id long, vec_id long, rel int",
     )
     out = {
@@ -5229,6 +5231,8 @@ def test_hard_negatives_and_ndcg_hand_computed(spark):
     assert out[10] == (dcg, idcg, round(dcg / idcg, 6)), out[10]
     # query 20 has no judgments at all: dcg 0, idcg 0, ndcg NULL
     assert out[20] == (0.0, 0.0, None), out[20]
+    # judged-but-unranked query surfaces with ndcg 0 (idcg = 3/log2(2))
+    assert out[30] == (0.0, 3.0, 0.0), out[30]
 
 
 def test_compact_snapshots_preserves_state_and_history(spark, tmp_path):
@@ -5286,3 +5290,47 @@ def test_compact_snapshots_preserves_state_and_history(spark, tmp_path):
     cdc_table.compact_snapshots(spark, path, upto=2, key="id")
     assert not os.path.exists(f"{path}/_snapshot=1")
     assert state(2) == before_2 and state(3) == before_3
+
+
+def test_compact_snapshots_heals_mid_swap_crash(spark, tmp_path):
+    """The r12 review's worst window: crash AFTER the live dir was
+    parked but BEFORE the base renamed in — _snapshot=<upto> is gone.
+    A re-run must restore the original from the park (never promote
+    the unknowable staging), then complete the compaction; reads after
+    healing equal the pre-crash state."""
+    import os
+    import shutil
+
+    from platypus_ingestion_plugins_spark.sources import cdc_table
+
+    path = str(tmp_path / "log")
+
+    def drop(rows, snap):
+        df = spark.createDataFrame(
+            rows, "_row_kind string, _seq long, id string, v long"
+        )
+        cdc_table.write_cdc_snapshot(df, path, snapshot_id=snap)
+
+    drop([("+I", 1, "a", 10), ("+I", 2, "b", 20)], 1)
+    drop([("+U", 3, "a", 11)], 2)
+    want = {
+        r.id: r.v
+        for r in cdc_table.read_as_of(spark, path, 2, "id").collect()
+    }
+
+    # simulate the mid-swap crash: park the live dir, leave a
+    # half-written staging dir behind
+    shutil.move(f"{path}/_snapshot=2", f"{path}/.compact-2.old")
+    os.makedirs(f"{path}/.compact-2.staging")
+    with open(f"{path}/.compact-2.staging/part-00000.parquet", "wb") as fh:
+        fh.write(b"GARBAGE")  # unknowable completeness: must be discarded
+
+    cdc_table.compact_snapshots(spark, path, upto=2, key="id")
+    got = {
+        r.id: r.v
+        for r in cdc_table.read_as_of(spark, path, 2, "id").collect()
+    }
+    assert got == want == {"a": 11, "b": 20}
+    assert not os.path.exists(f"{path}/.compact-2.old")
+    assert not os.path.exists(f"{path}/.compact-2.staging")
+    assert not os.path.exists(f"{path}/_snapshot=1")  # compaction completed

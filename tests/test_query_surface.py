@@ -300,11 +300,12 @@ def test_bm25_prf_expands_recall(spark):
 
     docs = spark.createDataFrame(
         [
-            # top doc for 'engine': donates 'vectorized' (and 'the' is
-            # too short to harvest)
-            Row(doc_id=1, text="engine engine the vectorized runtime"),
+            # top doc for 'engine': 'of' (len 2) is below min_term_len
+            # and must NOT be harvested even though it is the most
+            # frequent feedback token
+            Row(doc_id=1, text="engine engine of of of vectorized runtime"),
             Row(doc_id=2, text="a vectorized pipeline only"),  # no orig term
-            Row(doc_id=3, text="nothing shared here"),
+            Row(doc_id=3, text="of of of nothing shared"),  # only 'of' shared
         ]
     )
     base = {r.doc_id for r in SQ.bm25_scores(docs, "text", "engine", "doc_id").collect()}
@@ -315,5 +316,7 @@ def test_bm25_prf_expands_recall(spark):
             docs, "text", "engine", "doc_id", fb_docs=1, fb_terms=3
         ).collect()
     }
-    # doc 2 now reachable through the expansion term 'vectorized'
+    # doc 2 now reachable through the expansion term 'vectorized';
+    # doc 3 must stay unreachable — its only shared token 'of' is
+    # below the length floor, so the exclusion is genuinely exercised
     assert prf == {1, 2}, prf
