@@ -5390,6 +5390,88 @@ SELECT DISTINCT sha256(text) AS content_sha FROM documents
 """
 
 
+def q_stream_chat_dedup(spark, sf):
+    """Streaming assistant-transcript dedup: conversations stream in
+    two drops, the dedup key is operators/chat.assistant_transcript_key
+    (sha2 of the \\x1f-joined assistant contents), and dropDuplicates'
+    checkpointed state suppresses a drop-2 conversation that teaches
+    the same responses as a drop-1 one — the streaming twin of
+    chat_assistant_dedup, completing the batch/stream symmetry for
+    the SFT axis. Responses are 3-char slices so the corpus genuinely
+    collides across the drop boundary. Emits the surviving key set
+    (set semantics are split-independent; the oracle is a DISTINCT
+    over the replayed keys)."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.operators import chat as CHAT
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    turns = F.array(
+        F.struct(
+            F.lit("user").alias("role"),
+            F.col("text").substr(F.lit(1), F.lit(4)).alias("content"),
+        ),
+        F.struct(
+            F.lit("assistant").alias("role"),
+            F.col("text").substr(F.lit(5), F.lit(3)).alias("content"),
+        ),
+    )
+    conv = docs.select("doc_id", turns.alias("turns"))
+    lo, hi = _median_split(conv, "doc_id")
+
+    work = _stream_scratch("stream_chat_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src = os.path.join(work, "src")
+        out = os.path.join(work, "out")
+        ckpt = os.path.join(work, "ckpt")
+        lo.coalesce(4).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def run_available():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 100)
+                .parquet(src)
+            )
+            q = (
+                stream.select(
+                    CHAT.assistant_transcript_key("turns").alias("atk")
+                )
+                # assistant-free conversations carry a NULL key and are
+                # NOT duplicates of each other — they bypass the
+                # stateful dedup (none exist in this fixture; the
+                # filter IS the routing)
+                .filter(F.col("atk").isNotNull())
+                .dropDuplicates(["atk"])
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_available()
+        hi.coalesce(4).write.mode("append").parquet(src)
+        run_available()
+        _keep_until_exit(work, keep=out)
+        return spark.read.parquet(out)
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+SQL_STREAM_CHAT_DEDUP = """
+SELECT DISTINCT sha256(coalesce(substr(text, 5, 3), '') || chr(31)) AS atk
+FROM documents
+"""
+
+
 def q_stream_neardup_dedup(spark, sf):
     """Streaming NEAR-duplicate suppression: documents stream in two
     seq-ordered drops; each micro-batch computes 32-bit SimHash band
@@ -7110,6 +7192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_eval": q_ndcg_eval,
         "bm25_prf": q_bm25_prf,
         "cdc_compact_read": q_cdc_compact_read,
+        "stream_chat_dedup": q_stream_chat_dedup,
     }
 
 
@@ -7267,6 +7350,7 @@ def oracle_sql() -> dict[str, str]:
         "ndcg_eval": SQL_NDCG_EVAL,
         "bm25_prf": SQL_BM25_PRF,
         "cdc_compact_read": SQL_CDC_LAST_WINS,
+        "stream_chat_dedup": SQL_STREAM_CHAT_DEDUP,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,
