@@ -590,6 +590,40 @@ FROM counts QUALIFY rank <= 5
 """
 
 
+def q_fix_mojibake(spark, sf):
+    """Mojibake repair (functions/text.fix_mojibake): cp1252-misread
+    UTF-8 sequences restored by the generated replace chain — the
+    corpus is corrupted deterministically (literal mojibake framing +
+    every 'e' double-encoded) and the fixed text must match the
+    oracle's replay of the SAME generated pair table (one source of
+    truth: both sides build from MOJIBAKE_PAIRS)."""
+    d = _t(spark, sf, "documents")
+    corrupted = F.concat(
+        F.lit("cafÃ© â€œmixÃ©dâ€¦ "),
+        F.replace(F.col("text"), F.lit("e"), F.lit("Ã©")),
+        F.lit(" Â«endÂ» â€“ Â°"),
+    )
+    return d.select("doc_id", TX.fix_mojibake(corrupted).alias("text_fixed"))
+
+
+def _mojibake_sql_chain(expr: str) -> str:
+    from platypus_ingestion_plugins_spark.functions.text import MOJIBAKE_PAIRS
+
+    for moji, ch in MOJIBAKE_PAIRS:
+        expr = f"replace({expr}, '{moji}', '{ch}')"
+    return expr
+
+
+SQL_FIX_MOJIBAKE = f"""
+SELECT doc_id,
+       {_mojibake_sql_chain(
+           "'cafÃ© â€œmixÃ©dâ€¦ ' || replace(text, 'e', 'Ã©')"
+           " || ' Â«endÂ» â€“ Â°'"
+       )} AS text_fixed
+FROM documents
+"""
+
+
 def q_script_detect(spark, sf):
     """Writing-system detection (functions/text.script_counts /
     dominant_script): per-script character counts by Unicode BMP range
@@ -5204,6 +5238,47 @@ def q_cdc_compact_read(spark, sf):
         raise
 
 
+def q_assemble_chat(spark, sf):
+    """Interaction logs -> SFT conversations (operators/chat.
+    assemble_conversations): events group per user into an ordered
+    (role, content) turn array — the inverse of flattening, feeding
+    the whole chat pipeline — then render to the training string.
+    Order restored by array_sort on carried keys, not collect_list
+    luck; one partial-aggregatable groupBy."""
+    ev = _t(spark, sf, "events")
+    rows = ev.select(
+        "user_id",
+        F.when(F.col("event_type").isin("click", "signup"), "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.concat(
+            "event_type", F.lit(":"), F.col("event_id").cast("string")
+        ).alias("content"),
+        "event_id",
+    )
+    conv = chat.assemble_conversations(
+        rows, "user_id", "role", "content", "event_id"
+    )
+    return conv.select(
+        F.col("group").alias("grp"),
+        "n_turns",
+        chat.render_chat("turns").alias("rendered"),
+    )
+
+
+SQL_ASSEMBLE_CHAT = """
+SELECT user_id AS grp, CAST(count(*) AS INT) AS n_turns,
+       string_agg(
+         '<|im_start|>'
+         || CASE WHEN event_type IN ('click', 'signup')
+                 THEN 'user' ELSE 'assistant' END
+         || chr(10) || event_type || ':' || CAST(event_id AS VARCHAR)
+         || '<|im_end|>' || chr(10),
+         '' ORDER BY event_id) AS rendered
+FROM events GROUP BY user_id
+"""
+
+
 def q_stream_cdc_materialize(spark, sf):
     """Full Structured-Streaming path: the cdc_last_wins changelog split
     into two seq-ordered micro-batches, streamed from parquet through
@@ -7193,6 +7268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prf": q_bm25_prf,
         "cdc_compact_read": q_cdc_compact_read,
         "stream_chat_dedup": q_stream_chat_dedup,
+        "assemble_chat": q_assemble_chat,
+        "fix_mojibake": q_fix_mojibake,
     }
 
 
@@ -7351,6 +7428,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_prf": SQL_BM25_PRF,
         "cdc_compact_read": SQL_CDC_LAST_WINS,
         "stream_chat_dedup": SQL_STREAM_CHAT_DEDUP,
+        "assemble_chat": SQL_ASSEMBLE_CHAT,
+        "fix_mojibake": SQL_FIX_MOJIBAKE,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

@@ -56,6 +56,48 @@ def language_id(col: Column | str) -> Column:
     return expr
 
 
+# UTF-8-bytes-read-as-cp1252 mojibake ("Ã©" where the author wrote
+# "é") — the single most common encoding damage in web crawls. The
+# pair table is GENERATED from the encoding round-trip itself rather
+# than hand-typed (one source of truth the oracle SQL builds from the
+# same constant), covering Western-European accents, the euro sign,
+# curly quotes/dashes/ellipsis, guillemets, the degree sign and NBSP.
+# Longest patterns first so a 3-byte sequence is never half-eaten by
+# a 2-byte rule.
+_MOJIBAKE_TARGETS = (
+    "áàâäãåéèêëíìîïóòôöõúùûüñçýÿÁÀÂÄÅÉÈÊËÍÎÓÔÖÕÚÜÑÇßæœ€‘’“”–—…«»° "
+)
+
+
+def _mojibake_pairs() -> list[tuple[str, str]]:
+    pairs = []
+    for ch in _MOJIBAKE_TARGETS:
+        try:
+            moji = ch.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:
+            continue  # cp1252 holes (0x81/8D/8F/90/9D) never decode
+        pairs.append((moji, ch))
+    return sorted(pairs, key=lambda p: -len(p[0]))
+
+
+MOJIBAKE_PAIRS = _mojibake_pairs()
+
+
+def fix_mojibake(col: Column | str) -> Column:
+    """Repair cp1252-misdecoded UTF-8 ('caf' + 'Ã©' -> 'café'): one
+    bounded replace chain over ``MOJIBAKE_PAIRS`` — map-only codegen,
+    no regex, engine-replayable byte-for-byte. Text without mojibake
+    passes through untouched except the pathological case of a
+    document that LEGITIMATELY contains these exact two/three-char
+    sequences ('Ã' followed by a combining symbol), which is
+    vanishingly rare in real prose precisely because the sequences
+    are what broken decoding produces."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    for moji, ch in MOJIBAKE_PAIRS:
+        c = F.replace(c, F.lit(moji), F.lit(ch))
+    return c
+
+
 def html_to_text(col: Column | str) -> Column:
     """Web-page payload -> training text — the extraction step every
     web-crawl corpus (C4, CCNet, RefinedWeb) runs before any quality

@@ -205,6 +205,50 @@ def render_chat_with_spans(
     )
 
 
+def assemble_conversations(
+    df: DataFrame,
+    group_col: str,
+    role_col: str,
+    content_col: str,
+    order_col: str,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Interaction logs -> conversations: one row per ``group_col``
+    (a session/user/thread id) whose ``turns`` array holds the
+    group's (role, content) rows in ``order_col`` order — the INVERSE
+    of flattening, and the first step of building SFT data from
+    production logs (feed the result to sft_gate / assistant_dedup /
+    render_chat_with_spans / pack_sft).
+
+    Order inside a conversation is made deterministic without a sort
+    exchange: each element carries its order key into collect_list
+    and array_sort restores it after aggregation (the
+    materialize_packs convention — collect_list order is
+    partition-dependent). Ties on ``order_col`` break on content so
+    the result is still a total order. One partial-aggregatable
+    groupBy; per-group state is session-sized, never corpus-sized.
+    Output: (group, n_turns, turns)."""
+    elem = F.struct(
+        F.col(order_col).alias("o"),
+        F.coalesce(F.col(content_col).cast("string"), F.lit("")).alias("c"),
+        F.coalesce(F.col(role_col).cast("string"), F.lit("")).alias("r"),
+    )
+    return (
+        df.groupBy(F.col(group_col).alias("group"))
+        .agg(F.array_sort(F.collect_list(elem)).alias("__parts"))
+        .select(
+            "group",
+            F.size("__parts").alias("n_turns"),
+            F.transform(
+                "__parts",
+                lambda s: F.struct(
+                    s["r"].alias("role"), s["c"].alias("content")
+                ),
+            ).alias("turns"),
+        )
+    )
+
+
 def pack_sft(
     df: DataFrame,
     id_col: str = "doc_id",

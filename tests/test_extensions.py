@@ -5334,3 +5334,47 @@ def test_compact_snapshots_heals_mid_swap_crash(spark, tmp_path):
     assert not os.path.exists(f"{path}/.compact-2.old")
     assert not os.path.exists(f"{path}/.compact-2.staging")
     assert not os.path.exists(f"{path}/_snapshot=1")  # compaction completed
+
+
+def test_assemble_and_mojibake(spark):
+    """assemble_conversations restores order regardless of input
+    partition order (ties impossible via the order key), NULL
+    role/content coalesce to ''; fix_mojibake repairs the classic
+    round-trips and leaves clean text untouched."""
+    from platypus_ingestion_plugins_spark.functions import text as TX
+    from platypus_ingestion_plugins_spark.operators import chat
+
+    rows = spark.createDataFrame(
+        [
+            (1, "assistant", "world", 2),
+            (1, "user", "hello", 1),
+            (2, None, None, 1),
+            (1, "assistant", "!", 3),
+        ],
+        "sid long, role string, content string, seq long",
+    ).repartition(8)
+    out = {
+        r.group: (r.n_turns, [(t.role, t.content) for t in r.turns])
+        for r in chat.assemble_conversations(
+            rows, "sid", "role", "content", "seq"
+        ).collect()
+    }
+    assert out[1] == (3, [("user", "hello"), ("assistant", "world"),
+                          ("assistant", "!")])
+    assert out[2] == (1, [("", "")])
+
+    fixes = spark.createDataFrame(
+        [
+            (1, "cafÃ© â€œquotedâ€¦ naÃ¯ve Â«xÂ» â€“ 10Â°"),
+            (2, "already clean text"),
+            (3, None),
+        ],
+        "i long, t string",
+    )
+    got = {
+        r.i: r.f
+        for r in fixes.select("i", TX.fix_mojibake("t").alias("f")).collect()
+    }
+    assert got[1] == "café “quoted… naïve «x» – 10°", got[1]
+    assert got[2] == "already clean text"
+    assert got[3] == ""
