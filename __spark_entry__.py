@@ -2564,6 +2564,53 @@ def q_jaccard_join(spark, sf):
     )
 
 
+def q_containment_join(spark, sf):
+    """Quote/excerpt detection (dedup.containment_join): 80-char
+    prefix snippets (every 5th doc) matched against the full corpus
+    by ASYMMETRIC containment — a snippet inside its source scores ~1
+    where Jaccard vanishes under the long side's union denominator.
+    Same inverted-index shape as jaccard_join."""
+    d = _t(spark, sf, "documents")
+    snippets = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.substring("text", 1, 80).alias("text")
+    )
+    return dedup.containment_join(snippets, d, "text", "doc_id", threshold=0.6)
+
+
+SQL_CONTAINMENT_JOIN = """
+WITH toks_r AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS t
+  FROM documents),
+toks_l AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(substr(text, 1, 80)), '\\W+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE doc_id % 5 = 0),
+sh_l AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(t)-2, 1)),
+             i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+  FROM toks_l),
+sh_r AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(t)-2, 1)),
+             i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+  FROM toks_r),
+shf_l AS (SELECT doc_id, shingle FROM sh_l WHERE shingle <> ''),
+shf_r AS (SELECT doc_id, shingle FROM sh_r WHERE shingle <> ''),
+sizes_l AS (SELECT doc_id, count(*) AS n_sh FROM shf_l GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS n_common
+  FROM shf_l a JOIN shf_r b USING (shingle)
+  GROUP BY 1, 2)
+SELECT id_l, id_r, round(n_common::DOUBLE / na.n_sh, 6) AS containment
+FROM inter JOIN sizes_l na ON na.doc_id = id_l
+WHERE round(n_common::DOUBLE / na.n_sh, 6) >= 0.6
+"""
+
+
 SQL_JACCARD_JOIN = """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS t
@@ -7270,6 +7317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_chat_dedup": q_stream_chat_dedup,
         "assemble_chat": q_assemble_chat,
         "fix_mojibake": q_fix_mojibake,
+        "containment_join": q_containment_join,
     }
 
 
@@ -7430,6 +7478,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_chat_dedup": SQL_STREAM_CHAT_DEDUP,
         "assemble_chat": SQL_ASSEMBLE_CHAT,
         "fix_mojibake": SQL_FIX_MOJIBAKE,
+        "containment_join": SQL_CONTAINMENT_JOIN,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

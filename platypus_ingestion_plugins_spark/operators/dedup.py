@@ -741,6 +741,70 @@ def jaccard_join(
     BOTH sides — duplicate ids inflate the per-document set sizes the
     Jaccard denominators are computed from.
     """
+    overlaps = _shingle_overlap_join(
+        left, right, text_col, id_col, n, max_shingle_df
+    )
+    return (
+        overlaps.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_l", "id_r", "jaccard")
+    )
+
+
+def containment_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC overlap join: pairs where containment(left in
+    right) = |shingles(l) ∩ shingles(r)| / |shingles(l)| >=
+    ``threshold`` — the quote/excerpt detector. A short document
+    verbatim inside a long one scores containment ~1 while its
+    Jaccard tends to ZERO as the long side grows (the union
+    denominator swamps it), so symmetric similarity structurally
+    cannot find quotes; this is the metric for snippet-vs-source,
+    new-chunk-vs-corpus, and citation leakage checks. Same
+    inverted-index shape and ``max_shingle_df`` hot-shingle cap as
+    ``jaccard_join`` (one shuffle on the shingle, one on the pair,
+    never |L| x |R|). Output: (id_l, id_r, containment)."""
+    overlaps = _shingle_overlap_join(
+        left, right, text_col, id_col, n, max_shingle_df
+    )
+    return (
+        overlaps.withColumn(
+            "containment",
+            F.round(
+                F.col("n_common").cast("double") / F.col("na").cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_l", "id_r", "containment")
+    )
+
+
+def _shingle_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """Shared two-corpus shingle machinery for jaccard_join /
+    containment_join: (id_l, id_r, n_common, na, nb) for every pair
+    sharing >= 1 (df-capped) shingle."""
     sh_l = shingles(left, text_col, id_col, n)
     sh_r = shingles(right, text_col, id_col, n)
     if max_shingle_df:
@@ -763,20 +827,9 @@ def jaccard_join(
         .groupBy("id_l", "id_r")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return (
-        inter.join(sz_l.withColumnsRenamed({id_col: "id_l", "n_l": "na"}), "id_l")
-        .join(sz_r.withColumnsRenamed({id_col: "id_r", "n_r": "nb"}), "id_r")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_l", "id_r", "jaccard")
-    )
+    return inter.join(
+        sz_l.withColumnsRenamed({id_col: "id_l", "n_l": "na"}), "id_l"
+    ).join(sz_r.withColumnsRenamed({id_col: "id_r", "n_r": "nb"}), "id_r")
 
 
 def fuzzy_join(

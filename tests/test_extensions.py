@@ -5378,3 +5378,33 @@ def test_assemble_and_mojibake(spark):
     assert got[1] == "café “quoted… naïve «x» – 10°", got[1]
     assert got[2] == "already clean text"
     assert got[3] == ""
+
+
+def test_containment_vs_jaccard_asymmetry(spark):
+    """The containment-vs-jaccard point: a short snippet verbatim
+    inside a long document scores containment 1.0 while its Jaccard
+    stays below any useful threshold; containment is directional
+    (source-in-snippet is NOT 1)."""
+    long_text = " ".join(f"tok{i}" for i in range(200))
+    snippet = " ".join(f"tok{i}" for i in range(10))
+    left = spark.createDataFrame([(1, snippet)], "doc_id long, text string")
+    right = spark.createDataFrame(
+        [(2, long_text), (3, "completely unrelated words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_l, r.id_r): r.containment
+        for r in dedup.containment_join(
+            left, right, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}, got
+    jac = dedup.jaccard_join(
+        left, right, "text", "doc_id", threshold=0.5
+    ).collect()
+    assert jac == []  # jaccard cannot see the quote
+    # directionality: the long doc is NOT contained in the snippet
+    rev = dedup.containment_join(
+        right, left, "text", "doc_id", threshold=0.5
+    ).collect()
+    assert rev == []
