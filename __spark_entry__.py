@@ -624,6 +624,24 @@ FROM documents
 """
 
 
+def q_histogram_facet(spark, sf):
+    """Numeric range facet (serving/query.histogram_facet): event
+    values bucketed into width-25 bins — the Lucene histogram
+    aggregation next to the terms facet; one groupBy over a codegen
+    floor projection, sparse bins only."""
+    ev = _t(spark, sf, "events")
+    return SQ.histogram_facet(ev, "value", bin_width=25.0)
+
+
+SQL_HISTOGRAM_FACET = """
+SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+       count(*) AS cnt,
+       round(CAST(floor(value / 25.0) AS BIGINT) * 25.0, 6) AS bin_lo
+FROM events WHERE value IS NOT NULL
+GROUP BY 1
+"""
+
+
 def q_script_detect(spark, sf):
     """Writing-system detection (functions/text.script_counts /
     dominant_script): per-script character counts by Unicode BMP range
@@ -7318,6 +7336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_chat": q_assemble_chat,
         "fix_mojibake": q_fix_mojibake,
         "containment_join": q_containment_join,
+        "histogram_facet": q_histogram_facet,
     }
 
 
@@ -7479,6 +7498,7 @@ def oracle_sql() -> dict[str, str]:
         "assemble_chat": SQL_ASSEMBLE_CHAT,
         "fix_mojibake": SQL_FIX_MOJIBAKE,
         "containment_join": SQL_CONTAINMENT_JOIN,
+        "histogram_facet": SQL_HISTOGRAM_FACET,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

@@ -425,6 +425,28 @@ def facet_counts(
     )
 
 
+def histogram_facet(
+    df: DataFrame, field: str, bin_width: float
+) -> DataFrame:
+    """Numeric range facet (Lucene's histogram/range aggregation next
+    to the terms facet): rows bucket into fixed-width bins by
+    floor(value / width), returning (bin, bin_lo, cnt) — bin_lo the
+    bucket's inclusive lower edge, NULL values carrying no row (the
+    facet_counts convention). One partial-aggregatable groupBy over a
+    codegen projection; bins materialize only where data exists (no
+    dense range blowup)."""
+    if not bin_width > 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    binned = df.where(F.col(field).isNotNull()).select(
+        F.floor(F.col(field) / bin_width).cast("long").alias("bin")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bin_lo", F.round(F.col("bin") * bin_width, 6))
+    )
+
+
 def retrieve_fields(df: DataFrame, fields: Sequence[str]) -> DataFrame:
     return df.select(*fields)
 

@@ -320,3 +320,21 @@ def test_bm25_prf_expands_recall(spark):
     # doc 3 must stay unreachable — its only shared token 'of' is
     # below the length floor, so the exclusion is genuinely exercised
     assert prf == {1, 2}, prf
+
+
+def test_histogram_facet_bins(spark):
+    """histogram_facet: floor binning (negatives toward -inf), NULLs
+    excluded, sparse bins only, bin_lo edges exact."""
+    from pyspark.sql import Row
+
+    from platypus_ingestion_plugins_spark.serving import query as SQ
+
+    df = spark.createDataFrame(
+        [Row(v=0.0), Row(v=24.9), Row(v=25.0), Row(v=-0.1), Row(v=None),
+         Row(v=1000.0)]
+    )
+    got = {r.bin: (r.cnt, r.bin_lo) for r in SQ.histogram_facet(df, "v", 25.0).collect()}
+    assert got == {0: (2, 0.0), 1: (1, 25.0), -1: (1, -25.0), 40: (1, 1000.0)}, got
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        SQ.histogram_facet(df, "v", 0)
