@@ -7141,87 +7141,38 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the least-recently-driver-verified queries come FIRST
     # (the driver caps each round's oracle sweep at 50 entries, so dict
-    # order IS verification priority — r12 rotation, VERDICT r11 task
-    # #1, recomputed from the CORRECTNESS_r09/r10/r11 files):
-    #   0. NEW or newly-oracled this round (never driver-value-checked):
-    #      the 6 early-r12 operators (image/video/audio near-dup,
-    #      language classifier, audio stats, streaming image near-dup),
-    #      bpe_token_count (rows-only until r11; its frozen-merge-table
-    #      oracle is new this round, so it re-enters as unverified),
-    #      and the 11 late-r12 operators (hybrid search, chat/SFT trio,
-    #      facets, script detection, PQ pair, HTML extraction,
-    #      highlighting, length batching) — 18 entries.
-    #   1. the 29 entries last driver-green in CORRECTNESS_r09 — two
-    #      driver-rounds stale, the r11 verdict's explicit lead list.
-    #      Sections 0+1 = 47: the 50-cap verifies all of them plus the
-    #      FIRST THREE r10-cohort entries (cdc_format_last_wins,
-    #      embedding_decontam, semdedup_keep) — classification checked
-    #      against the CORRECTNESS_r09/r10/r11 files by script, not by
-    #      hand. Deliberately capped: further new entries would push an
-    #      r9-stale entry out of the sweep, inverting the verdict's
-    #      priority.
-    #   2. the 44 remaining r10-cohort entries in CORRECTNESS_r10 file
-    #      order — deferred (builder-verified green this round by
-    #      targeted check_oracle sweeps), they must lead r13 together
-    #      with whatever else r12 defers.
-    #   3. the 49 entries CORRECTNESS_r11 verified (minus
-    #      bpe_token_count, moved to section 0), in r11 file order —
-    #      the freshest cohort, last.
+    # order IS verification priority — r13 rotation, VERDICT r12 task
+    # #1, recomputed from the CORRECTNESS_r10/r11/r12 files by script):
+    #   0. the 14 r12 POST-cap entries, never driver-value-checked.
+    #   1. the 47 entries last driver-green in CORRECTNESS_r10 — two
+    #      driver-rounds stale. Sections 0+1 = 61 > 50: the cap covers
+    #      the 14 + the first 36 r10 entries; the 11 deferred r10
+    #      entries sit immediately after the cap line so they lead r14.
+    #   2. the 49 entries CORRECTNESS_r11 verified, in r11 file order.
+    #   3. the 50 entries CORRECTNESS_r12 verified, in r12 file order.
+    #   4. new r13 entries go at the DICT END (POST-cap) — displacing a
+    #      stale entry would invert the rotation priority.
     return {
-        # 0. NEW r12 / newly-oracled (lead the sweep)
-        "image_neardup": q_image_neardup,
-        "language_classifier": q_language_classifier,
-        "audio_stats": q_audio_stats,
-        "video_neardup": q_video_neardup,
-        "audio_neardup": q_audio_neardup,
-        "stream_image_neardup": q_stream_image_neardup,
-        "bpe_token_count": q_bpe_token_count,
-        "hybrid_search": q_hybrid_search,
-        "chat_render": q_chat_render,
-        "chat_sft_stats": q_chat_sft_stats,
-        "chat_assistant_dedup": q_chat_assistant_dedup,
-        "facet_counts": q_facet_counts,
-        "script_detect": q_script_detect,
-        "pq_codes": q_pq_codes,
-        "pq_adc_topk": q_pq_adc_topk,
-        "html_extract": q_html_extract,
-        "highlight_snippet": q_highlight_snippet,
-        "length_batches": q_length_batches,
-        # 1. last driver-green r9 — two rounds stale (VERDICT r11 lead list)
-        "multimodal_resize": q_multimodal_resize,
-        "pivot_event_counts": q_pivot_event_counts,
-        "range_join_bands": q_range_join,
-        "sessionize": q_sessionize,
-        "sink_array_json": q_sink_array_json,
-        "sink_typed_strings": q_sink_typed_strings,
-        "stratified_sample": q_stratified_sample,
-        "text_language_id": q_text_language_id,
-        "text_quality_filter": q_text_quality_filter,
-        "text_stats": q_text_stats,
-        "match_all_topk": q_match_all_topk,
-        "match_all_offset": q_match_all_offset,
-        "term": q_term,
-        "term_in_set": q_term_in_set,
-        "fulltext_match": q_fulltext_match,
-        "fulltext_ranked": q_fulltext_ranked,
-        "fulltext_tfidf": q_fulltext_tfidf,
-        "fulltext_bm25": q_fulltext_bm25,
-        "fulltext_phrase": q_fulltext_phrase,
-        "term_prefix": q_term_prefix,
-        "hit_count": q_hit_count,
-        "multivalued_contains": q_multivalued_contains,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "line_dedup": q_line_dedup,
-        "top_terms_per_group": q_top_terms_per_group,
-        "hashed_bow_embedding": q_hashed_bow_embedding,
-        "stream_line_dedup": q_stream_line_dedup,
-        "bow_knn": q_bow_knn,
-        "quality_autocalibrated_filter": q_quality_autocalibrated_filter,
-        # 2. r10 cohort, CORRECTNESS_r10 file order
-        "cdc_format_last_wins": q_cdc_format_last_wins,
-        "embedding_decontam": q_embedding_decontam,
-        "semdedup_keep": q_semdedup_keep,
-        # --- the r12 50-cap lands HERE: everything below is deferred
+        # 0. r12 POST-cap entries: never driver-checked (judge-verified
+        #    at sf0.01 in VERDICT r12) — they lead the r13 sweep.
+        "sft_spans": q_sft_spans,
+        "mmr_rerank": q_mmr_rerank,
+        "ann_recall": q_ann_recall,
+        "pack_sft": q_pack_sft,
+        "cdc_time_travel": q_cdc_time_travel,
+        "hard_negatives": q_hard_negatives,
+        "ndcg_eval": q_ndcg_eval,
+        "bm25_prf": q_bm25_prf,
+        "cdc_compact_read": q_cdc_compact_read,
+        "stream_chat_dedup": q_stream_chat_dedup,
+        "assemble_chat": q_assemble_chat,
+        "fix_mojibake": q_fix_mojibake,
+        "containment_join": q_containment_join,
+        "histogram_facet": q_histogram_facet,
+        # 1. r10-stale cohort (last driver-green CORRECTNESS_r10, two
+        #    rounds stale — VERDICT r12 task #1), r10 file order. The
+        #    50-cap covers sections 0+1 through quantile_sketch
+        #    (14 + 36); the remaining 11 lead the r14 rotation.
         "pack_bins": q_pack_bins,
         "pack_texts": q_pack_texts,
         "shuffle_shards": q_shuffle_shards,
@@ -7258,6 +7209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "model_score": q_model_score,
         "quantile_sketch": q_quantile_sketch,
+        # --- the r13 50-cap lands HERE: everything below is deferred
         "text_normalize": q_text_normalize,
         "chunk_text": q_chunk_text,
         "zorder_values": q_zorder_values,
@@ -7269,7 +7221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_segment_revenue": q_join_segment_revenue,
         "event_gaps": q_event_gaps,
         "percentiles": q_percentiles,
-        # 3. last green r11 (CORRECTNESS_r11 order, freshest cohort)
+        # 2. r11 cohort (CORRECTNESS_r11 order) — next-oldest, leads r14
+        #    behind the 11 deferred r10 entries.
         "mixture_plan": q_mixture_plan,
         "stream_profile": q_stream_profile,
         "pretraining_mix": q_pretraining_mix,
@@ -7319,24 +7272,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_meta": q_multimodal_meta,
-        # 4. r12 POST-cap additions: landed after the 50-cap filled
-        # (displacing an r9-stale entry would invert the rotation
-        # priority), builder-verified green at sf0.01+sf0.001 — these
-        # never-driver-checked entries lead the r13 rotation
-        "sft_spans": q_sft_spans,
-        "mmr_rerank": q_mmr_rerank,
-        "ann_recall": q_ann_recall,
-        "pack_sft": q_pack_sft,
-        "cdc_time_travel": q_cdc_time_travel,
-        "hard_negatives": q_hard_negatives,
-        "ndcg_eval": q_ndcg_eval,
-        "bm25_prf": q_bm25_prf,
-        "cdc_compact_read": q_cdc_compact_read,
-        "stream_chat_dedup": q_stream_chat_dedup,
-        "assemble_chat": q_assemble_chat,
-        "fix_mojibake": q_fix_mojibake,
-        "containment_join": q_containment_join,
-        "histogram_facet": q_histogram_facet,
+        # 3. r12 cohort (CORRECTNESS_r12 order) — freshest, last.
+        "image_neardup": q_image_neardup,
+        "language_classifier": q_language_classifier,
+        "audio_stats": q_audio_stats,
+        "video_neardup": q_video_neardup,
+        "audio_neardup": q_audio_neardup,
+        "stream_image_neardup": q_stream_image_neardup,
+        "bpe_token_count": q_bpe_token_count,
+        "hybrid_search": q_hybrid_search,
+        "chat_render": q_chat_render,
+        "chat_sft_stats": q_chat_sft_stats,
+        "chat_assistant_dedup": q_chat_assistant_dedup,
+        "facet_counts": q_facet_counts,
+        "script_detect": q_script_detect,
+        "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc_topk,
+        "html_extract": q_html_extract,
+        "highlight_snippet": q_highlight_snippet,
+        "length_batches": q_length_batches,
+        "multimodal_resize": q_multimodal_resize,
+        "pivot_event_counts": q_pivot_event_counts,
+        "range_join_bands": q_range_join,
+        "sessionize": q_sessionize,
+        "sink_array_json": q_sink_array_json,
+        "sink_typed_strings": q_sink_typed_strings,
+        "stratified_sample": q_stratified_sample,
+        "text_language_id": q_text_language_id,
+        "text_quality_filter": q_text_quality_filter,
+        "text_stats": q_text_stats,
+        "match_all_topk": q_match_all_topk,
+        "match_all_offset": q_match_all_offset,
+        "term": q_term,
+        "term_in_set": q_term_in_set,
+        "fulltext_match": q_fulltext_match,
+        "fulltext_ranked": q_fulltext_ranked,
+        "fulltext_tfidf": q_fulltext_tfidf,
+        "fulltext_bm25": q_fulltext_bm25,
+        "fulltext_phrase": q_fulltext_phrase,
+        "term_prefix": q_term_prefix,
+        "hit_count": q_hit_count,
+        "multivalued_contains": q_multivalued_contains,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "line_dedup": q_line_dedup,
+        "top_terms_per_group": q_top_terms_per_group,
+        "hashed_bow_embedding": q_hashed_bow_embedding,
+        "stream_line_dedup": q_stream_line_dedup,
+        "bow_knn": q_bow_knn,
+        "quality_autocalibrated_filter": q_quality_autocalibrated_filter,
+        "cdc_format_last_wins": q_cdc_format_last_wins,
+        "embedding_decontam": q_embedding_decontam,
+        "semdedup_keep": q_semdedup_keep,
+        # 4. r13 POST-cap additions land below this line (new entries
+        #    must not displace the stale cohorts above; see convention).
     }
 
 
