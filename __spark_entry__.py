@@ -5607,7 +5607,9 @@ def q_stream_chat_dedup(spark, sf):
 
 
 SQL_STREAM_CHAT_DEDUP = """
-SELECT DISTINCT sha256(coalesce(substr(text, 5, 3), '') || chr(31)) AS atk
+SELECT DISTINCT sha256(
+    CAST(length(coalesce(substr(text, 5, 3), '')) AS VARCHAR) || ':'
+    || coalesce(substr(text, 5, 3), '') || chr(31)) AS atk
 FROM documents
 """
 

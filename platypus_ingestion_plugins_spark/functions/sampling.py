@@ -541,7 +541,22 @@ def length_batches(
         raise ValueError(f"batch_size/shards must be >= 1, got {batch_size}/{shards}")
     from pyspark.sql.window import Window
 
-    length = F.col(len_col).cast("long")
+    # Lengths must be non-null and positive: a NULL length would ride
+    # three-valued comparisons into the overflow bucket via Spark's
+    # nulls-first window order — engine-dependent batch numbers — and
+    # a non-positive length is a caller bug (r12 advice; fail-loud per
+    # the mmr_rerank zero-norm convention).
+    raw = F.col(len_col).cast("long")
+    length = F.when(
+        raw.isNull() | (raw <= 0),
+        F.raise_error(
+            F.concat(
+                F.lit(f"length_batches: {len_col} must be a positive "
+                      "non-null length, got "),
+                F.coalesce(raw.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(raw)
     bucket = F.lit(-1).cast("long")  # overflow: longer than every cap
     for cap in (1 << p for p in range(16, 3, -1)):  # 65536 down to 16
         bucket = F.when(length <= cap, F.lit(cap).cast("long")).otherwise(bucket)

@@ -326,10 +326,14 @@ def pack_sft(
 
 
 def assistant_transcript_key(turns_col: Column | str) -> Column:
-    """Dedup key: sha2-256 of the assistant turns' contents joined
-    with an \\x1f unit separator (injection-safe: a separator that
-    appears in no tokenizer's text output, so distinct transcripts
-    can't concatenate to the same key). Two conversations that teach
+    """Dedup key: sha2-256 of the assistant turns' contents, each
+    serialized as ``<char_length>:<content>\\x1f``. The length prefix
+    is what makes the framing injection-safe: a bare separator join is
+    not (turns ``['a\\x1fb']`` and ``['a', 'b']`` both flatten to
+    ``a\\x1fb\\x1f`` — r12 advice), while with the prefix they
+    serialize to ``3:a\\x1fb\\x1f`` vs ``1:a\\x1f1:b\\x1f``, distinct
+    regardless of what bytes the content holds. Two conversations that
+    teach
     the model the same responses dedup together even when their user
     prompts were paraphrased — response-level dedup is the SFT
     analogue of document exact-dedup.
@@ -346,7 +350,11 @@ def assistant_transcript_key(turns_col: Column | str) -> Column:
         assistant,
         F.lit(""),
         lambda acc, x: F.concat(
-            acc, F.coalesce(x["content"], F.lit("")), F.lit("\x1f")
+            acc,
+            F.length(F.coalesce(x["content"], F.lit(""))).cast("string"),
+            F.lit(":"),
+            F.coalesce(x["content"], F.lit("")),
+            F.lit("\x1f"),
         ),
     )
     return F.when(F.size(assistant) > 0, F.sha2(joined, 256))

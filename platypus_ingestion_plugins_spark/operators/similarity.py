@@ -1155,6 +1155,13 @@ def pq_adc_topk(
     n_codes = 1 + max(c for _, c, _ in codebook)
     dsub = dim // m
     _check_pq_codebook(codebook, dim, m, dsub)
+    if len(query_vec) != dim:
+        # a short query would silently truncate the LUT zip — the same
+        # misalignment class _check_pq_codebook guards on the codebook
+        # side (r12 advice)
+        raise ValueError(
+            f"query_vec has {len(query_vec)} dims, expected {dim}"
+        )
     lut = [[0.0] * n_codes for _ in range(m)]
     for s, c, v in codebook:
         q_sub = query_vec[s * dsub : (s + 1) * dsub]
@@ -1208,6 +1215,10 @@ def mmr_rerank(
     tolerance on exact score ties across engines."""
     if k < 1 or not 0.0 <= lam <= 1.0:
         raise ValueError(f"need k >= 1 and 0 <= lam <= 1, got {k}/{lam}")
+    if dim is not None and len(query_vec) != dim:
+        raise ValueError(
+            f"query_vec has {len(query_vec)} dims, expected {dim}"
+        )
     if not any(float(x) for x in query_vec):
         # all-zero query: every cosine is NaN, and NaN sorts LARGEST in
         # a desc orderBy — the "top" k would be arbitrary ids ranked by

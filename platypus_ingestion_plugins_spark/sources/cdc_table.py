@@ -185,9 +185,10 @@ def compact_snapshots(
     # base subsumes every folded row, and a leftover earlier dir
     # coexisting with the base still reads correctly (last-wins
     # dedups the base's max-seq +I against the original winner — same
-    # seq, same values; an original -D winner was elided from the
-    # base, and its leftover row ties on seq where last-wins keeps
-    # the delete, reproducing the pre-compaction deleted state).
+    # seq, same values; an original -D winner is kept VERBATIM in the
+    # base (see above), so its leftover row ties on seq with an
+    # identical tombstone and last-wins keeps either one,
+    # reproducing the pre-compaction deleted state).
     # Deleting earlier dirs BEFORE the swap would open a crash window
     # where <upto> holds only its own changelog and the earlier
     # history is simply gone — a silently wrong latest state. A crash

@@ -4747,6 +4747,45 @@ def test_chat_assistant_dedup_keeps_min_id_per_transcript(spark):
     assert kept == [10, 11, 13], kept
 
 
+def test_transcript_key_separator_injection(spark):
+    """A content that CONTAINS the \\x1f separator must not collide
+    with the two-turn split of the same bytes: ['a\\x1fb'] vs
+    ['a','b'] both flatten to 'a\\x1fb\\x1f' under a bare join — the
+    length prefix keeps them distinct (r12 advice regression pin)."""
+    from platypus_ingestion_plugins_spark.operators import chat
+
+    def conv(uid, *resps):
+        return (uid, [Row(role="assistant", content=r) for r in resps])
+
+    df = spark.createDataFrame(
+        [conv(1, "a\x1fb"), conv(2, "a", "b")],
+        f"doc_id long, turns {chat.TURNS_TYPE}",
+    )
+    keys = {
+        r.doc_id: r.k
+        for r in df.select(
+            "doc_id", chat.assistant_transcript_key("turns").alias("k")
+        ).collect()
+    }
+    assert keys[1] is not None and keys[2] is not None
+    assert keys[1] != keys[2], keys
+
+
+def test_pq_adc_and_mmr_reject_wrong_dim_query(spark):
+    """pq_adc_topk / mmr_rerank raise on a query vector whose length
+    disagrees with dim — a short query would silently truncate the
+    LUT / cosine zips (r12 advice regression pin)."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    codebook = [(s, c, [float(c)] * 2) for s in range(2) for c in range(2)]
+    codes = spark.createDataFrame([(1, [0, 1])], "vec_id long, codes array<int>")
+    with pytest.raises(ValueError, match="dims"):
+        similarity.pq_adc_topk(codes, codebook, [1.0, 0.0], k=1, dim=4)
+    with pytest.raises(ValueError, match="dims"):
+        similarity.mmr_rerank(emb, [1.0, 0.0], k=1, dim=4)
+
+
 def test_script_detection_handcrafted(spark):
     """script_counts/dominant_script on handcrafted mixed-script text:
     per-range counts, the alphabetical tie-break, the 'und' fallback,

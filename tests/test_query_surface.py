@@ -289,6 +289,18 @@ def test_length_batches_brute_force(spark):
     with _pt.raises(ValueError):
         length_batches(df, "doc_id", "n", batch_size=0)
 
+    # NULL / non-positive lengths fail loudly instead of silently
+    # riding nulls-first three-valued comparisons into engine-dependent
+    # batch numbers (r12 advice regression pin)
+    bad = spark.createDataFrame(
+        [(1, None), (2, 8)], "doc_id long, n long"
+    )
+    with _pt.raises(Exception, match="positive non-null"):
+        length_batches(bad, "doc_id", "n", batch_size=2).collect()
+    nonpos = spark.createDataFrame([(1, 0)], "doc_id long, n long")
+    with _pt.raises(Exception, match="positive non-null"):
+        length_batches(nonpos, "doc_id", "n", batch_size=2).collect()
+
 
 def test_bm25_prf_expands_recall(spark):
     """PRF: a doc matching only a feedback-harvested term (not the
