@@ -3514,25 +3514,15 @@ def q_ann_recall(spark, sf):
     """ANN quality evaluation (similarity.recall_at_k): recall@10 of
     the sign-bucket ANN against exact brute force for three query
     vectors — the measure-don't-guess loop every ANN deployment runs.
-    Both result sets are bounded top-k lists, so the compare is a
-    broadcast left join + one tiny aggregate."""
+    The whole evaluation is ONE fused corpus scan
+    (similarity.ann_recall_eval): exact and same-bucket top-k lists
+    accumulate in the same salted two-phase aggregate, recall is an
+    array-intersect expression (r12 verdict task #5: the previous
+    harness ran three separate brute-force scans plus three
+    single-query probes)."""
     emb = _t(spark, sf, "embeddings")
-    parts_e, parts_a = [], []
-    for qid in range(3):
-        qdf = emb.filter(F.col("vec_id") == qid)
-        parts_e.append(
-            similarity.brute_force_topk(emb, qdf, k=10, dim=64).select(
-                F.lit(qid).cast("long").alias("q_id"), "vec_id"
-            )
-        )
-        parts_a.append(
-            similarity.ann_topk(emb, qdf, k=10, dim=64).select(
-                F.lit(qid).cast("long").alias("q_id"), "vec_id"
-            )
-        )
-    exact = parts_e[0].unionByName(parts_e[1]).unionByName(parts_e[2])
-    approx = parts_a[0].unionByName(parts_a[1]).unionByName(parts_a[2])
-    return similarity.recall_at_k(approx, exact, "vec_id", ["q_id"])
+    qs = emb.filter(F.col("vec_id") < 3)
+    return similarity.ann_recall_eval(emb, qs, k=10, dim=64)
 
 
 SQL_ANN_RECALL = """

@@ -5036,6 +5036,57 @@ def test_render_chat_with_spans_slices_equal_contents(spark):
     assert all(x.r == x.r2 for x in flat)
 
 
+def test_ann_topk_batch_matches_per_query_ann_topk(spark):
+    """ann_topk_batch(queries) row-for-row equals ann_topk run once
+    per query (same bucket filter, same rounded-cosine/id ranking) —
+    the batching is a pure one-pass rewrite, not a semantics change."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.filter(F.col("vec_id") < 4)
+    batch = {
+        (r.q_id, r.ann_rank): (r.vec_id, r.cos_sim)
+        for r in similarity.ann_topk_batch(emb, qs, k=5, bits=4).collect()
+    }
+    single = {}
+    for qid in range(4):
+        one = similarity.ann_topk(
+            emb, emb.filter(F.col("vec_id") == qid), k=5, bits=4
+        ).collect()
+        for rank, r in enumerate(one, start=1):
+            single[(qid, rank)] = (r.vec_id, r.cos_sim)
+    assert batch == single, (batch, single)
+
+
+def test_ann_recall_eval_matches_composed_pipeline(spark):
+    """The fused one-scan ann_recall_eval equals the composed
+    knn_join + ann_topk_batch + recall_at_k pipeline — the fusion is
+    a pure plan rewrite, not a semantics change."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.filter(F.col("vec_id") < 4)
+    fused = {
+        r.q_id: (r.n_exact, r.n_hit, r.recall)
+        for r in similarity.ann_recall_eval(emb, qs, k=6, bits=4).collect()
+    }
+    exact = similarity.knn_join(emb, qs, k=6).select("q_id", "vec_id")
+    approx = similarity.ann_topk_batch(emb, qs, k=6, bits=4).select(
+        "q_id", "vec_id"
+    )
+    composed = {
+        r.q_id: (r.n_exact, r.n_hit, r.recall)
+        for r in similarity.recall_at_k(
+            approx, exact, "vec_id", ["q_id"]
+        ).collect()
+    }
+    assert fused == composed, (fused, composed)
+
+
 def test_mmr_rerank_pure_python_replay(spark):
     """MMR vs a pure-Python greedy replay on a structured fixture:
     three near-identical high-relevance vectors plus orthogonal-ish
