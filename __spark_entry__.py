@@ -642,6 +642,55 @@ GROUP BY 1
 """
 
 
+def q_range_bool_query(spark, sf):
+    """Named RangeQuery/BooleanQuery constructors (serving/query.
+    range_query + bool_query — the NRTSearch query-tree analogs next
+    to term/match_*): events in a 3-day window with value >= 1 (must),
+    matching at least one of {click, view, value > 50} (should), and
+    excluding error events and two muted users (must_not, with the
+    NULL-keeps semantics Lucene gives docs missing the field). The
+    whole tree compiles to ONE codegen filter predicate pushed at the
+    scan."""
+    ev = _t(spark, sf, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        us = F.expr("ts DIV 1000")
+    else:
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = ev.withColumn("ts_us", us)
+    q = SQ.bool_query(
+        must=[
+            SQ.range_query(
+                "ts_us", gte=1704153600000000, lt=1704412800000000
+            ),
+            SQ.range_query("value", gte=1.0),
+        ],
+        should=[
+            SQ.term("event_type", "click"),
+            SQ.term("event_type", "view"),
+            SQ.range_query("value", gt=50.0),
+        ],
+        must_not=[
+            SQ.term("event_type", "error"),
+            SQ.term_in_set("user_id", [7, 13]),
+        ],
+        minimum_should_match=1,
+    )
+    return SQ.search(ev, q, fields=["event_id", "event_type", "value"])
+
+
+SQL_RANGE_BOOL_QUERY = """
+SELECT event_id, event_type, value
+FROM events
+WHERE epoch_us(ts) >= 1704153600000000 AND epoch_us(ts) < 1704412800000000
+  AND value >= 1.0
+  AND ((CASE WHEN coalesce(event_type = 'click', FALSE) THEN 1 ELSE 0 END)
+     + (CASE WHEN coalesce(event_type = 'view', FALSE) THEN 1 ELSE 0 END)
+     + (CASE WHEN coalesce(value > 50.0, FALSE) THEN 1 ELSE 0 END)) >= 1
+  AND NOT coalesce(event_type = 'error', FALSE)
+  AND NOT coalesce(user_id IN (7, 13), FALSE)
+"""
+
+
 def q_script_detect(spark, sf):
     """Writing-system detection (functions/text.script_counts /
     dominant_script): per-script character counts by Unicode BMP range
@@ -7317,6 +7366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_keep": q_semdedup_keep,
         # 4. r13 POST-cap additions land below this line (new entries
         #    must not displace the stale cohorts above; see convention).
+        "range_bool_query": q_range_bool_query,
     }
 
 
@@ -7479,6 +7529,7 @@ def oracle_sql() -> dict[str, str]:
         "fix_mojibake": SQL_FIX_MOJIBAKE,
         "containment_join": SQL_CONTAINMENT_JOIN,
         "histogram_facet": SQL_HISTOGRAM_FACET,
+        "range_bool_query": SQL_RANGE_BOOL_QUERY,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

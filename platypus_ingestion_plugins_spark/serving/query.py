@@ -89,6 +89,93 @@ def match_prefix(field: str, prefix: str) -> Column:
     return F.exists(tokenize(field), lambda t: t.startswith(p))
 
 
+def range_query(
+    field: str,
+    gte=None,
+    lte=None,
+    gt=None,
+    lt=None,
+) -> Column:
+    """RangeQuery: bounded comparison on a numeric/temporal/string
+    field (NRTSearch RangeQuery; the reference's clients compose these
+    against the Lucene index — KafkaIngestorE2ETest.java query trees).
+    Bounds are ANDed; at least one must be given. A NULL field value
+    matches no range (Lucene semantics: a doc missing the field is
+    never a range hit), which three-valued comparison already gives.
+    Pure Column predicate, so Catalyst pushes it to the parquet scan
+    like any handwritten comparison."""
+    if all(x is None for x in (gte, lte, gt, lt)):
+        raise ValueError("range_query needs at least one bound")
+    if gte is not None and gt is not None:
+        raise ValueError("give at most one lower bound (gte XOR gt)")
+    if lte is not None and lt is not None:
+        raise ValueError("give at most one upper bound (lte XOR lt)")
+    c = F.col(field)
+    pred = F.lit(True)
+    if gte is not None:
+        pred = pred & (c >= F.lit(gte))
+    if gt is not None:
+        pred = pred & (c > F.lit(gt))
+    if lte is not None:
+        pred = pred & (c <= F.lit(lte))
+    if lt is not None:
+        pred = pred & (c < F.lit(lt))
+    return pred
+
+
+def bool_query(
+    must: Sequence[Column] = (),
+    should: Sequence[Column] = (),
+    must_not: Sequence[Column] = (),
+    minimum_should_match: int | None = None,
+) -> Column:
+    """BooleanQuery: Lucene's boolean composition over sub-queries.
+
+    - ``must``: every clause matches (AND).
+    - ``should``: at least ``minimum_should_match`` clauses match.
+      Default mirrors Lucene: 0 when ``must`` is non-empty (shoulds
+      become optional rank-boosters, which a filter context treats as
+      no constraint), else 1.
+    - ``must_not``: no clause matches. A doc whose field is NULL does
+      NOT match the inner clause, so Lucene KEEPS it — every clause is
+      coalesced to false before negation/counting, otherwise Spark's
+      three-valued NOT would silently drop NULL-field docs the
+      reference's engine returns.
+
+    Compiles to one Column predicate (a sum of integer casts for the
+    should-count), so the whole tree stays inside codegen and pushes
+    down like any manual filter; it composes with ``search()``,
+    ``range_query``, ``term``, ``match_*`` and itself (nested trees)."""
+    must, should, must_not = list(must), list(should), list(must_not)
+    if minimum_should_match is None:
+        # Lucene's default: shoulds are the only positive clauses ->
+        # at least one must match; with must present (or no shoulds at
+        # all, e.g. a pure must_not filter) they are optional boosters.
+        minimum_should_match = 1 if (should and not must) else 0
+    if minimum_should_match > len(should):
+        raise ValueError(
+            f"minimum_should_match={minimum_should_match} exceeds the "
+            f"{len(should)} should clauses"
+        )
+    safe = lambda q: F.coalesce(q, F.lit(False))  # noqa: E731
+    pred = F.lit(True)
+    for q in must:
+        # no coalesce on must: NULL and FALSE both fail an AND filter,
+        # and the bare predicate stays parquet-pushable (a coalesce
+        # wrapper blocks PushedFilters on an otherwise pushable
+        # comparison)
+        pred = pred & q
+    if should and minimum_should_match > 0:
+        n = None
+        for q in should:
+            term_n = safe(q).cast("int")
+            n = term_n if n is None else n + term_n
+        pred = pred & (n >= F.lit(minimum_should_match))
+    for q in must_not:
+        pred = pred & ~safe(q)
+    return pred
+
+
 def match_score(field: str, query: str) -> Column:
     """Deterministic relevance for ranked full-text: the number of
     DISTINCT query tokens present in the field (the coordination

@@ -89,6 +89,9 @@ HEADLINE = [
     "chat_render",
     "chat_sft_stats",
     "chat_assistant_dedup",
+    # r13 additions
+    "range_bool_query",
+    "ann_recall",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.

@@ -350,3 +350,89 @@ def test_histogram_facet_bins(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         SQ.histogram_facet(df, "v", 0)
+
+
+def test_range_query_bounds_and_validation(spark):
+    """range_query: inclusive/exclusive bounds AND together; NULL
+    field never matches; bound validation fails loudly."""
+    df = spark.createDataFrame(
+        [Row(id=1, v=5.0), Row(id=2, v=10.0), Row(id=3, v=20.0),
+         Row(id=4, v=None)]
+    )
+    got = sorted(
+        r.id for r in df.filter(Q.range_query("v", gte=5.0, lt=20.0)).collect()
+    )
+    assert got == [1, 2], got
+    got = sorted(r.id for r in df.filter(Q.range_query("v", gt=5.0)).collect())
+    assert got == [2, 3], got
+    with pytest.raises(ValueError):
+        Q.range_query("v")
+    with pytest.raises(ValueError):
+        Q.range_query("v", gte=1, gt=2)
+    with pytest.raises(ValueError):
+        Q.range_query("v", lte=1, lt=2)
+
+
+def test_bool_query_lucene_semantics(spark):
+    """bool_query: must ANDs, should counts against
+    minimum_should_match (default 1 without must, 0 with), and
+    must_not KEEPS docs whose field is NULL — Lucene's 'missing field
+    matches no query' semantics, which a bare three-valued NOT would
+    silently violate."""
+    df = spark.createDataFrame(
+        [
+            Row(id=1, kind="click", v=5.0),
+            Row(id=2, kind="view", v=60.0),
+            Row(id=3, kind="error", v=7.0),
+            Row(id=4, kind=None, v=8.0),
+            Row(id=5, kind="click", v=None),
+        ]
+    )
+    # must_not on kind: the NULL-kind doc 4 must SURVIVE
+    got = sorted(
+        r.id for r in df.filter(Q.bool_query(must_not=[Q.term("kind", "error")])).collect()
+    )
+    assert got == [1, 2, 4, 5], got
+    # default minimum_should_match = 1 when no must clauses
+    got = sorted(
+        r.id
+        for r in df.filter(
+            Q.bool_query(should=[Q.term("kind", "view"), Q.range_query("v", gt=50.0)])
+        ).collect()
+    )
+    assert got == [2], got
+    # with must present, shoulds default to optional (msm=0)
+    got = sorted(
+        r.id
+        for r in df.filter(
+            Q.bool_query(
+                must=[Q.range_query("v", gte=5.0)],
+                should=[Q.term("kind", "never-matches")],
+            )
+        ).collect()
+    )
+    assert got == [1, 2, 3, 4], got
+    # msm=2 of 3; NULL should-clauses count as non-matches
+    got = sorted(
+        r.id
+        for r in df.filter(
+            Q.bool_query(
+                should=[
+                    Q.term("kind", "click"),
+                    Q.range_query("v", lt=10.0),
+                    Q.range_query("v", gt=1.0),
+                ],
+                minimum_should_match=2,
+            )
+        ).collect()
+    )
+    assert got == [1, 3, 4], got
+    # nested trees compose
+    nested = Q.bool_query(
+        must=[Q.bool_query(should=[Q.term("kind", "click"), Q.term("kind", "view")])],
+        must_not=[Q.bool_query(must=[Q.range_query("v", gt=50.0)])],
+    )
+    got = sorted(r.id for r in df.filter(nested).collect())
+    assert got == [1, 5], got
+    with pytest.raises(ValueError):
+        Q.bool_query(should=[Q.term("kind", "x")], minimum_should_match=2)
