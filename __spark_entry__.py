@@ -6777,9 +6777,10 @@ def q_bpe_token_count(spark, sf):
     )
 
 
-def _bpe_oracle_sql() -> str:
-    """Generate the BPE replay SQL from the frozen merge table: each
-    word becomes STX-c-ETX per char + STX-</w>-ETX (full wrapping, so
+def _bpe_count_ctes() -> str:
+    """The shared BPE-replay CTE chain (words -> reps -> per_doc ->
+    bpe_counts) generated from the frozen merge table: each word
+    becomes STX-c-ETX per char + STX-</w>-ETX (full wrapping, so
     adjacent replace matches share no characters and left-to-right
     non-overlapping replace == leftmost-greedy merge), then one
     replace() per merge in rank order. Token count per word = count
@@ -6813,10 +6814,87 @@ reps AS (
 per_doc AS (
   SELECT doc_id,
          sum(length(rep) - length(replace(rep, '{stx}', ''))) AS n
-  FROM reps GROUP BY doc_id)
-SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_bpe_tokens
-FROM documents d LEFT JOIN per_doc p USING (doc_id)
+  FROM reps GROUP BY doc_id),
+bpe_counts AS (
+  SELECT d.doc_id, d.lang, CAST(coalesce(p.n, 0) AS BIGINT) AS n_bpe_tokens
+  FROM documents d LEFT JOIN per_doc p USING (doc_id))
 """
+
+
+def _bpe_oracle_sql() -> str:
+    return (
+        _bpe_count_ctes()
+        + "SELECT doc_id, n_bpe_tokens FROM bpe_counts"
+    )
+
+
+def q_budget_select_bpe(spark, sf):
+    """BPE-true token accounting through the curation chain (VERDICT
+    r12 task #6): real bpe_encode counts under the frozen merge table
+    feed select_token_budget (per-language 6k-BPE-token budgets,
+    quality-priority fill) and the selection feeds pack_bins (512-token
+    context windows over 4 shards) — every n_tokens_col in the chain
+    is a genuine tokenizer count, not the 4-chars heuristic the other
+    oracles use. The oracle replays the whole pipeline: the bounded
+    replace-chain BPE replay, the per-lang cumsum window, and the
+    deterministic shuffle/offset/bin layout."""
+    from platypus_ingestion_plugins_spark.functions.bpe import (
+        bpe_encode,
+        load_merges_txt,
+    )
+    from platypus_ingestion_plugins_spark.functions.sampling import (
+        select_token_budget,
+    )
+    from platypus_ingestion_plugins_spark.operators.export import pack_bins
+
+    d = _t(spark, sf, "documents")
+    merges = load_merges_txt(_BPE_FROZEN)
+    counts = bpe_encode(d, "text", "doc_id", merges).select(
+        "doc_id", "n_bpe_tokens"
+    )
+    scored = d.select("doc_id", "lang").join(counts, "doc_id")
+    sel = select_token_budget(
+        scored,
+        "doc_id",
+        "n_bpe_tokens",
+        6_000,
+        by="lang",
+        priority_col="n_bpe_tokens",
+    )
+    return pack_bins(
+        sel, "doc_id", "n_bpe_tokens", target_tokens=512, n_shards=4
+    ).select("doc_id", "lang", "n_bpe_tokens", "shard", "offset", "bin")
+
+
+def _bpe_budget_select_sql() -> str:
+    u = _UNIT_SQL.format(salt="shuffle", key="doc_id")
+    return (
+        _bpe_count_ctes()
+        + f""",
+sel AS (
+  SELECT doc_id, lang, n_bpe_tokens FROM (
+    SELECT doc_id, lang, n_bpe_tokens,
+           sum(n_bpe_tokens) OVER (
+             PARTITION BY lang ORDER BY n_bpe_tokens DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM bpe_counts)
+  WHERE cum <= 6000),
+a AS (
+  SELECT doc_id, lang, n_bpe_tokens, {u} AS u,
+         CAST(floor({u} * 4) AS INT) AS shard
+  FROM sel),
+c AS (
+  SELECT doc_id, lang, n_bpe_tokens, shard,
+         CAST(sum(n_bpe_tokens) OVER (
+                PARTITION BY shard ORDER BY u, doc_id
+                ROWS UNBOUNDED PRECEDING) - n_bpe_tokens AS BIGINT)
+           AS "offset"
+  FROM a)
+SELECT doc_id, lang, n_bpe_tokens, shard, "offset",
+       CAST(floor("offset" / 512.0) AS BIGINT) AS bin
+FROM c
+"""
+    )
 
 
 def q_corpus_overlap(spark, sf):
@@ -7367,6 +7445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 4. r13 POST-cap additions land below this line (new entries
         #    must not displace the stale cohorts above; see convention).
         "range_bool_query": q_range_bool_query,
+        "budget_select_bpe": q_budget_select_bpe,
     }
 
 
@@ -7530,6 +7609,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_join": SQL_CONTAINMENT_JOIN,
         "histogram_facet": SQL_HISTOGRAM_FACET,
         "range_bool_query": SQL_RANGE_BOOL_QUERY,
+        "budget_select_bpe": _bpe_budget_select_sql(),
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,
