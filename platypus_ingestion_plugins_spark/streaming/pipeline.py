@@ -39,12 +39,17 @@ class RetryPolicy:
     backoff: float = 2.0
     max_delay_s: float = 60.0
 
-    def run(self, fn):
+    def run(self, fn, on_error=None):
+        """``on_error(exc)`` fires on EVERY failed attempt (including
+        the one that exhausts bounded retries) — the hook the stats
+        listener counts batch errors through."""
         attempt, delay = 0, self.initial_delay_s
         while True:
             try:
                 return fn()
-            except Exception:
+            except Exception as exc:
+                if on_error is not None:
+                    on_error(exc)
                 attempt += 1
                 if self.max_retries is not None and attempt > self.max_retries:
                     raise
@@ -53,11 +58,37 @@ class RetryPolicy:
 
 
 class ThroughputListener(StreamingQueryListener):
-    """docs/sec per batch (reference stats wrapper,
-    PaimonIngestor.java:619-646)."""
+    """Ingest observability (the reference's stats wrapper and its
+    metric TODO: docs/sec + batch failures + 5-minute rolling
+    summaries, PaimonIngestor.java:619-646,779-798; queue-size /
+    error-count / checkpoint-lag metrics, paimon-plugin/TODO.md:6).
 
-    def __init__(self):
+    - Per batch: input rows, docs/sec, trigger-execution ms, and any
+      backlog ("rows behind") metrics the source reports in
+      ``event.progress.sources[*].metrics`` — Kafka publishes
+      ``*OffsetsBehindLatest`` there; the file source reports none.
+    - Batch error count: ``record_error`` is invoked by the
+      pipeline's retry wrapper on every failed sink attempt (pass the
+      listener as ``CdcStreamingPipeline(stats=...)``).
+    - Rolling summary: ``summary()`` aggregates the trailing window;
+      ``maybe_emit()`` appends one to ``self.summaries`` at most once
+      per ``summary_interval_s`` (called from onQueryProgress, so a
+      live stream emits on cadence like the reference's 5-min stats
+      thread). The clock is injectable so tests don't sleep."""
+
+    def __init__(self, summary_interval_s: float = 300.0, clock=time.monotonic):
         self.batches: list[tuple[int, float]] = []
+        self.progress: list[dict] = []
+        self.errors = 0
+        self.error_log: list[tuple[float, str]] = []
+        self.summaries: list[dict] = []
+        self._interval = float(summary_interval_s)
+        self._clock = clock
+        self._last_emit = clock()
+
+    def record_error(self, exc) -> None:
+        self.errors += 1
+        self.error_log.append((self._clock(), repr(exc)))
 
     def onQueryStarted(self, event):
         pass
@@ -65,6 +96,55 @@ class ThroughputListener(StreamingQueryListener):
     def onQueryProgress(self, event):
         p = event.progress
         self.batches.append((p.numInputRows, p.processedRowsPerSecond or 0.0))
+        lag = {}
+        for s in p.sources or []:
+            m = getattr(s, "metrics", None) or {}
+            for key in (
+                "minOffsetsBehindLatest",
+                "maxOffsetsBehindLatest",
+                "avgOffsetsBehindLatest",
+            ):
+                if key in m:
+                    lag[key] = float(m[key])
+        self.progress.append(
+            {
+                "t": self._clock(),
+                "batch_id": p.batchId,
+                "rows": p.numInputRows,
+                "rows_per_sec": p.processedRowsPerSecond or 0.0,
+                "trigger_ms": (p.durationMs or {}).get("triggerExecution"),
+                "rows_behind": lag,
+            }
+        )
+        self.maybe_emit()
+
+    def summary(self, window_s: float | None = None) -> dict:
+        """Aggregate the trailing ``window_s`` (default: the emit
+        interval): batches, rows, wall-clock docs/sec over trigger
+        time, errors in the window, worst rows-behind seen."""
+        now = self._clock()
+        window_s = self._interval if window_s is None else window_s
+        recent = [r for r in self.progress if now - r["t"] <= window_s]
+        rows = sum(r["rows"] for r in recent)
+        busy_s = sum((r["trigger_ms"] or 0) for r in recent) / 1000.0
+        lags = [v for r in recent for v in r["rows_behind"].values()]
+        return {
+            "window_s": window_s,
+            "n_batches": len(recent),
+            "rows": rows,
+            "docs_per_sec": round(rows / busy_s, 3) if busy_s > 0 else 0.0,
+            "errors": sum(1 for t, _ in self.error_log if now - t <= window_s),
+            "total_errors": self.errors,
+            "max_rows_behind": max(lags) if lags else None,
+        }
+
+    def maybe_emit(self) -> dict | None:
+        if self._clock() - self._last_emit < self._interval:
+            return None
+        s = self.summary()
+        self.summaries.append(s)
+        self._last_emit = self._clock()
+        return s
 
     def onQueryIdle(self, event):
         pass
@@ -94,6 +174,7 @@ class CdcStreamingPipeline:
         poison_col: str = "_is_poison",
         retry: RetryPolicy | None = None,
         transform=None,
+        stats: ThroughputListener | None = None,
     ):
         self.spark = spark
         self.source_path = source_path
@@ -112,6 +193,10 @@ class CdcStreamingPipeline:
         self.poison_col = poison_col
         self.retry = retry or RetryPolicy()
         self.transform = transform  # per-batch DataFrame -> DataFrame (e.g. decode)
+        # error-count sink (reference TODO metric parity); progress
+        # events additionally flow to it if the caller registers it
+        # with spark.streams.addListener
+        self.stats = stats
         self.query = None
 
     def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -147,7 +232,12 @@ class CdcStreamingPipeline:
                             f"{self.dlq_path}/epoch={epoch_id}"
                         )
                     df = df.filter(~F.col(self.poison_col)).drop(self.poison_col)
-                self.retry.run(lambda: self.serving.apply_batch(df))
+                self.retry.run(
+                    lambda: self.serving.apply_batch(df),
+                    on_error=(
+                        self.stats.record_error if self.stats is not None else None
+                    ),
+                )
             finally:
                 if cached is not None:
                     cached.unpersist()

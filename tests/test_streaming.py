@@ -1243,3 +1243,101 @@ def test_profile_merge_into_accumulates_and_replays(spark, tmp_path):
         assert (again[s].n_docs, again[s].n_tokens) == (
             got[s].n_docs, got[s].n_tokens)
         assert again[s].est_distinct_texts == got[s].est_distinct_texts
+
+
+def test_stats_listener_failing_then_recovering_stream(spark, tmp_path):
+    """Observability parity (PaimonIngestor.java:619-646,779-798 and
+    the queue/error/lag metric TODO, paimon-plugin/TODO.md:6): a sink
+    that fails once then recovers is retried to success; the stats
+    object counts every failed attempt, the registered listener
+    captures per-batch rows + docs/sec + trigger times, and the
+    rolling summary reports both."""
+    import time as _time
+
+    from platypus_ingestion_plugins_spark.streaming.pipeline import (
+        ThroughputListener,
+    )
+
+    stats = ThroughputListener(summary_interval_s=3600.0)
+    spark.streams.addListener(stats)
+    try:
+        src = str(tmp_path / "cdc_src")
+        serving = ServingTable(spark, str(tmp_path / "serving"), key="id")
+        pipe = CdcStreamingPipeline(
+            spark,
+            src,
+            CDC_SCHEMA,
+            serving,
+            str(tmp_path / "ckpt"),
+            retry=RetryPolicy(max_retries=3, initial_delay_s=0.01),
+            stats=stats,
+        )
+        calls = {"n": 0}
+        orig = serving.apply_batch
+
+        def flaky(df):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("transient sink outage")
+            return orig(df)
+
+        serving.apply_batch = flaky
+        spark.createDataFrame(
+            _rows((1, "+I", "a", "v1"), (2, "+I", "b", "v1")), CDC_SCHEMA
+        ).write.mode("append").parquet(src)
+        pipe.run_available()
+
+        # the failed attempt was counted AND the stream converged
+        assert stats.errors == 1
+        assert "transient sink outage" in stats.error_log[0][1]
+        assert {r.id: r.title for r in serving.query().collect()} == {
+            "a": "v1",
+            "b": "v1",
+        }
+        # listener progress events are delivered asynchronously
+        deadline = _time.time() + 30
+        while not stats.progress and _time.time() < deadline:
+            _time.sleep(0.2)
+        assert stats.progress, "no progress events delivered"
+        batch = next(r for r in stats.progress if r["rows"] == 2)
+        assert batch["trigger_ms"] is not None and batch["trigger_ms"] >= 0
+        assert batch["rows_behind"] == {}  # file source reports no backlog
+        s = stats.summary(window_s=3600.0)
+        assert s["rows"] >= 2 and s["n_batches"] >= 1
+        assert s["errors"] == 1 and s["total_errors"] == 1
+        assert s["docs_per_sec"] > 0
+    finally:
+        spark.streams.removeListener(stats)
+
+
+def test_stats_listener_rolling_summary_clock():
+    """summary()/maybe_emit() under an injected clock: the window
+    excludes old batches and errors, and emission honors the
+    interval — no sleeping, pure arithmetic."""
+    from platypus_ingestion_plugins_spark.streaming.pipeline import (
+        ThroughputListener,
+    )
+
+    now = {"t": 1000.0}
+    st = ThroughputListener(summary_interval_s=300.0, clock=lambda: now["t"])
+    # two old batches + one old error, outside the 300 s window later
+    st.progress.append(
+        {"t": 1000.0, "batch_id": 0, "rows": 50, "rows_per_sec": 10.0,
+         "trigger_ms": 5000, "rows_behind": {"maxOffsetsBehindLatest": 9.0}}
+    )
+    st.record_error(RuntimeError("old"))
+    assert st.maybe_emit() is None  # interval not yet elapsed
+    now["t"] = 1400.0
+    st.progress.append(
+        {"t": 1390.0, "batch_id": 1, "rows": 100, "rows_per_sec": 20.0,
+         "trigger_ms": 2000, "rows_behind": {"maxOffsetsBehindLatest": 3.0}}
+    )
+    st.record_error(RuntimeError("fresh"))
+    s = st.summary()
+    assert s["n_batches"] == 1 and s["rows"] == 100
+    assert s["errors"] == 1 and s["total_errors"] == 2
+    assert s["max_rows_behind"] == 3.0
+    assert s["docs_per_sec"] == 50.0  # 100 rows / 2 s trigger time
+    emitted = st.maybe_emit()
+    assert emitted is not None and st.summaries == [emitted]
+    assert st.maybe_emit() is None  # once per interval
