@@ -227,9 +227,25 @@ def assemble_conversations(
     partition-dependent). Ties on ``order_col`` break on content so
     the result is still a total order. One partial-aggregatable
     groupBy; per-group state is session-sized, never corpus-sized.
-    Output: (group, n_turns, turns)."""
+    Output: (group, n_turns, turns).
+
+    ``order_col`` must be non-null: a NULL order key has no defined
+    position (engines disagree on null placement inside struct
+    sorts), so it raises instead of silently producing an
+    engine-dependent turn order (r13 review #3, the length_batches
+    fail-loud convention)."""
+    raw_order = F.col(order_col)
+    checked_order = F.when(
+        raw_order.isNull(),
+        F.raise_error(
+            F.lit(
+                f"assemble_conversations: {order_col} must be non-null "
+                "(a NULL order key makes turn order engine-dependent)"
+            )
+        ).cast(df.schema[order_col].dataType),
+    ).otherwise(raw_order)
     elem = F.struct(
-        F.col(order_col).alias("o"),
+        checked_order.alias("o"),
         F.coalesce(F.col(content_col).cast("string"), F.lit("")).alias("c"),
         F.coalesce(F.col(role_col).cast("string"), F.lit("")).alias("r"),
     )

@@ -1357,6 +1357,11 @@ def mmr_rerank(
             F.col(id_col),
             _dvec(F.col(vec_col)).alias("__v"),
         )
+        # a NULL vector has no similarity to anything: its __rel/__mmr
+        # would be NULL (sorting last), and if k exceeded the valid
+        # candidates it would get PICKED and crash the next round's
+        # literal build (r13 review #1) — exclude it up front
+        .filter(F.col("__v").isNotNull())
         .withColumn("__rel", F.round(cosine(F.col("__v"), qlit, dim), 6))
         .localCheckpoint(eager=False)  # k rounds re-read this, not the scan
     )
@@ -1422,10 +1427,18 @@ def recall_at_k(
     Both inputs are top-k lists (bounded by construction), so the
     approx side broadcasts into a map-side left join against the
     exact list — no corpus-sized work here; the cost lives in the
-    searchers being evaluated."""
+    searchers being evaluated.
+
+    The approx side is deduplicated on (group, id) before the join: a
+    searcher that returns the same id twice would otherwise MULTIPLY
+    the joined exact rows, silently inflating both n_exact and n_hit
+    (r13 review #2). The exact side must be unique per (group, id) by
+    contract — it is the ground-truth top-k list."""
     gc = list(group_cols or [])
     a = F.broadcast(
-        approx.select(*gc, id_col).withColumn("__hit", F.lit(1))
+        approx.select(*gc, id_col)
+        .dropDuplicates([*gc, id_col])
+        .withColumn("__hit", F.lit(1))
     )
     joined = exact.select(*gc, id_col).join(a, [*gc, id_col], "left")
     agged = joined.groupBy(*gc).agg(

@@ -120,8 +120,10 @@ def compact_snapshots(
 ) -> None:
     """Changelog compaction / snapshot expiry (Paimon's snapshot
     expiration on the CDC-convention layout): fold every snapshot
-    <= ``upto`` into ONE materialized base snapshot carrying the
-    last-wins state as +I rows, then drop the originals. History cost
+    <= ``upto`` into ONE materialized base snapshot carrying each
+    key's last-wins WINNING ROW VERBATIM — original row kind and seq,
+    including -D tombstones (see the crash-window comment below for
+    why deletes are kept) — then drop the originals. History cost
     stops growing with ingest age while BOTH invariants hold:
 
     - the LATEST materialized state is unchanged (each surviving key

@@ -5498,3 +5498,44 @@ def test_containment_vs_jaccard_asymmetry(spark):
         right, left, "text", "doc_id", threshold=0.5
     ).collect()
     assert rev == []
+
+
+def test_mmr_rerank_skips_null_vectors(spark):
+    """A NULL embedding must be excluded up front: with k exceeding
+    the valid candidates it would otherwise be picked (NULL score
+    sorts last but still wins an empty round) and crash the next
+    round's literal build (r13 review #1)."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.mmr_rerank(emb, [1.0, 0.0], k=3).collect()
+    assert sorted(r.vec_id for r in out) == [1, 2], out
+
+
+def test_recall_at_k_dedups_duplicate_approx_ids(spark):
+    """A searcher returning the same id twice must not inflate the
+    counts: the joined exact rows would multiply (r13 review #2)."""
+    exact = spark.createDataFrame(
+        [(0, 1), (0, 2)], "q_id long, vec_id long"
+    )
+    approx = spark.createDataFrame(
+        [(0, 1), (0, 1), (0, 9)], "q_id long, vec_id long"
+    )
+    r = similarity.recall_at_k(approx, exact, "vec_id", ["q_id"]).collect()[0]
+    assert (r.n_exact, r.n_hit, r.recall) == (2, 1, 0.5), r
+
+
+def test_assemble_conversations_rejects_null_order(spark):
+    """NULL order keys make turn order engine-dependent — fail loudly
+    (r13 review #3)."""
+    from platypus_ingestion_plugins_spark.operators import chat
+
+    df = spark.createDataFrame(
+        [(1, "user", "hi", 1), (1, "assistant", "yo", None)],
+        "sess long, role string, content string, pos long",
+    )
+    with pytest.raises(Exception, match="must be non-null"):
+        chat.assemble_conversations(
+            df, "sess", "role", "content", "pos"
+        ).collect()
