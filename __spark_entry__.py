@@ -691,6 +691,45 @@ WHERE epoch_us(ts) >= 1704153600000000 AND epoch_us(ts) < 1704412800000000
 """
 
 
+def q_indexed_term_search(spark, sf):
+    """Materialized inverted term index (serving/text_index — the
+    Lucene-parity scale path): posting lists written partitioned by
+    term hash bucket, then an OR term search answered from PRUNED
+    posting reads (literal tb IN (...) partition filter — file skip
+    before data I/O, proven by the input_file_name test) instead of a
+    corpus scan. Same analyzer as the scan path, so the oracle is the
+    full-scan replay; n_matched is the coordination count."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    d = _t(spark, sf, "documents")
+    work = _stream_scratch("term_idx_")
+    try:
+        idx = os.path.join(work, "idx")
+        TI.build_term_index(d, "text", "doc_id", idx, buckets=32)
+        out = TI.search_terms_indexed(
+            spark, idx, ["join", "scan", "merge"], id_col="doc_id"
+        )
+        _keep_until_exit(work, keep=idx)
+        return out
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+
+
+SQL_INDEXED_TERM_SEARCH = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '\\W+'), x -> x <> ''))) AS term
+  FROM documents)
+SELECT doc_id, CAST(count(*) AS INT) AS n_matched
+FROM toks WHERE term IN ('join', 'scan', 'merge')
+GROUP BY doc_id
+"""
+
+
 def q_script_detect(spark, sf):
     """Writing-system detection (functions/text.script_counts /
     dominant_script): per-script character counts by Unicode BMP range
@@ -7446,6 +7485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    must not displace the stale cohorts above; see convention).
         "range_bool_query": q_range_bool_query,
         "budget_select_bpe": q_budget_select_bpe,
+        "indexed_term_search": q_indexed_term_search,
     }
 
 
@@ -7610,6 +7650,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram_facet": SQL_HISTOGRAM_FACET,
         "range_bool_query": SQL_RANGE_BOOL_QUERY,
         "budget_select_bpe": _bpe_budget_select_sql(),
+        "indexed_term_search": SQL_INDEXED_TERM_SEARCH,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

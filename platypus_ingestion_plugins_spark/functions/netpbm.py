@@ -152,10 +152,36 @@ def resize_to_budget(raw: bytes, target_bytes: int) -> bytes:
     return out
 
 
-def histogram_features(raw: bytes, dim: int) -> list[float]:
-    """Decode and return the ``dim``-bin normalized luminance
-    histogram — a real, deterministic image feature vector."""
-    img = decode(raw)
+def resize_pixels_to_budget(img: np.ndarray, target_bytes: int, encode_fn) -> bytes:
+    """Codec-agnostic ``resize_to_budget``: downscale (never upscale)
+    a decoded pixel array until ``encode_fn``'s output fits
+    ``target_bytes`` — the pixel-op half of the resize kernel when the
+    codec is injected (``operators/multimodal.MediaCodec``) and the
+    exact netpbm byte model doesn't apply. First guess from the
+    uncompressed-raster model, then deterministic multiplicative
+    shrink (x0.9, floor, -1 near the bottom) until the encoding fits;
+    terminates at 1x1. Compressed codecs (JPEG et al.) shrink
+    monotonically enough in practice for the loop to land within a few
+    probes; the result is deterministic for a deterministic codec."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    scale = min(1.0, (max(target_bytes, 1) / (h * w * c)) ** 0.5)
+    new_h, new_w = max(1, int(h * scale)), max(1, int(w * scale))
+    out = encode_fn(resize_nearest(img, new_h, new_w))
+    while len(out) > target_bytes and (new_h > 1 or new_w > 1):
+        new_h = max(1, int(new_h * 0.9) if new_h > 10 else new_h - 1)
+        new_w = max(1, int(new_w * 0.9) if new_w > 10 else new_w - 1)
+        out = encode_fn(resize_nearest(img, new_h, new_w))
+    return out
+
+
+def luminance_histogram(img: np.ndarray, dim: int) -> list[float]:
+    """``dim``-bin normalized luminance histogram of a decoded (h, w,
+    1|3) uint8 array — the pixel-op half of ``histogram_features``,
+    factored out so injected codecs (``MediaCodec``) share it."""
+    if img.ndim == 2:
+        img = img[:, :, None]
     if img.shape[2] == 3:
         # integer Rec.601 luma (deterministic, no float rounding drift)
         lum = (
@@ -167,3 +193,9 @@ def histogram_features(raw: bytes, dim: int) -> list[float]:
         lum = img[:, :, 0].astype(np.int64)
     counts = np.bincount((lum.ravel() * dim) // 256, minlength=dim)[:dim]
     return (counts / lum.size).tolist()
+
+
+def histogram_features(raw: bytes, dim: int) -> list[float]:
+    """Decode and return the ``dim``-bin normalized luminance
+    histogram — a real, deterministic image feature vector."""
+    return luminance_histogram(decode(raw), dim)

@@ -18,11 +18,46 @@ partition shape are shared.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class MediaCodec:
+    """PUBLIC EXTENSION API — the decode-kernel injection point.
+
+    A deployment with real image libraries swaps its codec in here —
+    ``MediaCodec("pillow", decode=pil_decode, encode=pil_encode)`` —
+    and passes it to ``extract_features(codec=...)`` /
+    ``resize(codec=...)``; operator code, Arrow batching, output
+    schemas and partition shape are untouched (the kernels call
+    ``codec.decode``/``codec.encode`` and nothing else of the codec).
+
+    Contract (pinned by tests/test_multimodal_codec_seam.py):
+
+    - ``decode(payload: bytes) -> numpy uint8 array`` of shape
+      (h, w, c) with c in {1, 3} (2-D grayscale also accepted);
+    - ``encode(img) -> bytes`` such that ``decode(encode(img))``
+      round-trips pixel-exactly for images the codec produced;
+    - both deterministic (equal input -> equal output) if downstream
+      oracle checks / replay idempotency are to hold.
+    """
+
+    name: str
+    decode: Callable
+    encode: Callable
+
+
+def netpbm_codec() -> MediaCodec:
+    """The in-sandbox reference MediaCodec: the pure-numpy netpbm
+    P5/P6 codec (functions/netpbm.py) wrapped in the seam's shape."""
+    from platypus_ingestion_plugins_spark.functions import netpbm
+
+    return MediaCodec("netpbm", decode=netpbm.decode, encode=netpbm.encode)
 
 
 def attach_payload(df: DataFrame, text_col: str, mime: str = "application/octet-stream") -> DataFrame:
@@ -52,6 +87,7 @@ def extract_features(
     payload_col: str = "payload",
     dim: int = 8,
     decode_stub: bool = True,
+    codec: MediaCodec | None = None,
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
@@ -60,7 +96,9 @@ def extract_features(
     path. Real kernel (``decode_stub=False``): netpbm decode + the
     ``dim``-bin normalized luminance histogram
     (functions/netpbm.histogram_features) — an actual image feature
-    over actual pixels; payloads must be P5/P6."""
+    over actual pixels; payloads must be P5/P6. An injected ``codec``
+    (``MediaCodec`` — the public seam) overrides both: payloads decode
+    through it and the same luminance histogram runs on its pixels."""
 
     def kernel(batches: Iterator) -> Iterator:
         import numpy as np
@@ -71,6 +109,11 @@ def extract_features(
         for pdf in batches:
             feats = []
             for buf in pdf[payload_col]:
+                if codec is not None:
+                    feats.append(
+                        netpbm.luminance_histogram(codec.decode(bytes(buf)), dim)
+                    )
+                    continue
                 if not decode_stub:
                     feats.append(netpbm.histogram_features(bytes(buf), dim))
                     continue
@@ -104,6 +147,7 @@ def resize(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     decode_stub: bool = True,
+    codec: MediaCodec | None = None,
 ) -> DataFrame:
     """Resize/transcode stage over mapInPandas (Arrow batches).
 
@@ -113,7 +157,10 @@ def resize(
     nearest-neighbor downscale to the byte budget -> re-encode
     (functions/netpbm.resize_to_budget) — a genuine
     decode->scale->re-encode over actual pixels; payloads must be
-    P5/P6. Both share the production plumbing: binary in/out through
+    P5/P6. An injected ``codec`` (``MediaCodec`` — the public seam)
+    overrides both: decode through it, the shared nearest-neighbor
+    budget shrink (netpbm.resize_pixels_to_budget), re-encode through
+    it. All paths share the production plumbing: binary in/out through
     Arrow, per-batch Python crossing, schema with size accounting."""
 
     def kernel(batches: Iterator) -> Iterator:
@@ -127,7 +174,11 @@ def resize(
             out_payloads, orig, resized = [], [], []
             for buf in pdf[payload_col]:
                 raw = bytes(buf)
-                if not decode_stub:
+                if codec is not None:
+                    small = netpbm.resize_pixels_to_budget(
+                        codec.decode(raw), target_bytes, codec.encode
+                    )
+                elif not decode_stub:
                     small = netpbm.resize_to_budget(raw, target_bytes)
                 else:
                     stride = max(1, math.ceil(len(raw) / target_bytes)) if raw else 1

@@ -1,0 +1,166 @@
+"""Materialized inverted term index — the Lucene-parity scale path.
+
+The reference serves term/full-text queries from a Lucene inverted
+index (NRTSearch; KafkaIngestorE2ETest.java:364-494 pins the
+semantics); `serving/query.py` answers the same queries by scanning
+the corpus, which is correct but pays O(corpus) I/O per query. This
+module materializes the posting lists once — (term, doc id) pairs,
+written PARTITIONED by a hash bucket of the term — so a term lookup
+reads only the directories its query terms can live in: the same
+literal-partition-filter file skip the band-key index and modulo
+sharding already prove with input-file metrics. At 100 TB the index
+is built incrementally per ingest batch (append mode) and a query's
+I/O tracks its term count, not the corpus.
+
+Determinism: bucket = pmod(xxhash64(term), buckets) computed by Spark
+itself on BOTH the write and the read path (the read side evaluates
+the expression on a tiny in-memory frame — never a Python re-
+implementation that could drift from the JVM hash). The bucket count
+is pinned in a `_term_buckets` sidecar like the band-key index's, and
+a mismatched reader raises instead of silently pruning away matches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from platypus_ingestion_plugins_spark import fs as _fs
+from platypus_ingestion_plugins_spark.serving.query import tokenize
+
+_SIDECAR = "_term_buckets"
+
+
+def _term_bucket(term_col, buckets: int):
+    return F.pmod(F.xxhash64(term_col), F.lit(buckets)).cast("int")
+
+
+def build_term_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Write the posting lists: distinct (term, id) per document from
+    the shared analyzer (``serving.query.tokenize`` — the SAME
+    tokenization the scan-path queries use, so indexed and scanned
+    answers agree), partitioned by the term's hash bucket. One
+    explode + one partitioned write; the shuffleless layout means an
+    ingest batch appends only to the buckets its terms touch.
+    ``mode="append"`` is the incremental path (replay-safe for
+    idempotent batches only — re-appending the same batch duplicates
+    postings; the readers' DISTINCT collapses them for membership
+    semantics, like the band-key index's append discipline)."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    spark = df.sparkSession
+    pinned = (
+        _fs.read_text(spark, f"{path}/{_SIDECAR}")
+        if _fs.exists(spark, f"{path}/{_SIDECAR}")
+        else None
+    )
+    if pinned is not None and int(pinned) != buckets:
+        raise ValueError(
+            f"index at {path} was written with buckets={pinned}, "
+            f"write requested {buckets}"
+        )
+    postings = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokenize(text_col))).alias("term"),
+    ).withColumn("tb", _term_bucket(F.col("term"), buckets))
+    postings.write.mode(mode).partitionBy("tb").parquet(path)
+    _fs.write_text(spark, f"{path}/{_SIDECAR}", str(buckets))
+
+
+def _query_buckets(
+    spark: SparkSession, path: str, terms: Sequence[str], buckets: int | None
+) -> tuple[list[str], list[int], int]:
+    """Resolve the pinned bucket count and compute each query term's
+    bucket VIA SPARK's own xxhash64 (a one-row local frame — no
+    executor job, no Python hash that could drift from the writer's
+    JVM hash). Returns (normalized terms, distinct buckets, buckets)."""
+    marker = f"{path}/{_SIDECAR}"
+    pinned = _fs.read_text(spark, marker) if _fs.exists(spark, marker) else None
+    if pinned is not None:
+        if buckets is not None and int(pinned) != buckets:
+            raise ValueError(
+                f"index at {path} was written with buckets={pinned}, "
+                f"read requested {buckets}"
+            )
+        buckets = int(pinned)
+    elif buckets is None:
+        raise ValueError(f"index at {path} has no {_SIDECAR} sidecar; pass buckets")
+    norm = sorted({t.lower() for t in terms if t})
+    if not norm:
+        return [], [], buckets
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                _term_bucket(F.lit(t), buckets).alias(f"b{i}")
+                for i, t in enumerate(norm)
+            ]
+        )
+        .collect()[0]
+    )
+    return norm, sorted({int(v) for v in row}), buckets
+
+
+def read_postings_pruned(
+    spark: SparkSession,
+    path: str,
+    terms: Sequence[str],
+    buckets: int | None = None,
+) -> DataFrame:
+    """Pruned posting read: only the directories the query terms hash
+    into are listed/opened (literal ``tb IN (...)`` partition filter —
+    PruneFileSourcePartitions skips the rest before any data I/O), then
+    the term equality filter lands on the parquet scan. Output:
+    distinct (term, id) postings for the requested terms."""
+    scan = _pruned_scan(spark, path, terms, buckets)
+    return scan.drop("tb").distinct()
+
+
+def _pruned_scan(
+    spark: SparkSession,
+    path: str,
+    terms: Sequence[str],
+    buckets: int | None = None,
+) -> DataFrame:
+    """The pre-distinct pruned scan (tb still attached) — split out so
+    the file-skip test can read input_file_name BEFORE the distinct's
+    exchange erases it."""
+    norm, tbs, _ = _query_buckets(spark, path, terms, buckets)
+    idx = spark.read.parquet(path)
+    if not norm:
+        return idx.limit(0)
+    return idx.filter(F.col("tb").isin(tbs) & F.col("term").isin(norm))
+
+
+def search_terms_indexed(
+    spark: SparkSession,
+    path: str,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    require_all: bool = False,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Indexed term search: ids matching ANY (OR — ``match_text``
+    semantics) or ALL (AND) of the analyzed terms, plus ``n_matched``
+    (the coordination count ``match_score`` computes scan-side). One
+    pruned posting read + one ids-only groupBy — I/O tracks the query
+    terms' buckets, never the corpus. Results are engine-checkable:
+    same analyzer as the scan path, so
+    ``search_terms_indexed(ANY) == df.filter(match_text(...))`` ids."""
+    norm = sorted({t.lower() for t in terms if t})
+    postings = read_postings_pruned(spark, path, norm, buckets)
+    agged = postings.groupBy(F.col(id_col)).agg(
+        F.countDistinct("term").cast("int").alias("n_matched")
+    )
+    if require_all:
+        agged = agged.filter(F.col("n_matched") == len(norm))
+    return agged

@@ -74,6 +74,131 @@ COHORT = [
 ]
 
 
+SF10 = os.environ.get("SF10_DIR", "/tmp/sf10")
+# VERDICT r12 task #4: the three most data-proportional cohort entries
+# get a second decade (100x sf0.1). documents-only — all three read
+# only the documents table (image_neardup synthesizes its images from
+# text; a query touching embeddings would fail loudly on the missing
+# file rather than silently measure the wrong thing).
+COHORT_100X = [
+    "pipeline_clean_corpus",
+    "image_neardup",
+    "stream_exact_substring_dedup",
+]
+
+
+def build_sf10(spark):
+    """100x = 10 second-level replicas of the 10x set: every word gets
+    an additional ``s{j}`` prefix (so cross-replica Jaccard stays 0
+    across all 100 copies — same reasoning as build_sf1) and doc ids
+    stride by max(id)+1. Same .building/rename crash discipline."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    building = SF10 + ".building"
+    shutil.rmtree(building, ignore_errors=True)
+    os.makedirs(building)
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    doc_stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    for j in range(10):
+        (
+            docs.select(
+                (F.col("doc_id") + F.lit(j * doc_stride)).alias("doc_id"),
+                F.regexp_replace("text", r"(\w+)", f"s{j}$1").alias("text")
+                if j
+                else F.col("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            .write.mode("append")
+            .parquet(f"{building}/documents.parquet")
+        )
+    shutil.rmtree(SF10, ignore_errors=True)
+    os.rename(building, SF10)
+    print(
+        f"built {SF10}: documents="
+        f"{spark.read.parquet(f'{SF10}/documents.parquet').count()}",
+        flush=True,
+    )
+
+
+def clean_corpus_stage_times(spark, sf_dir):
+    """Per-stage attribution for the preset (VERDICT r12 task #4:
+    which stage owns pipeline_clean_corpus's growth): replicate the
+    q_pipeline_clean_corpus synthesis and time each stage IN
+    ISOLATION — the stage's input is eagerly materialized
+    (localCheckpoint) before its clock starts, so a stage pays only
+    its own work, not its predecessors': NFC normalize -> exact dedup
+    -> LSH/CC near-dup -> quality floor + decontam. (A cumulative-
+    prefix design was tried first and produced negative deltas: each
+    prefix re-runs its predecessors against a differently-warmed JVM,
+    so increments are not attributable.)"""
+    from pyspark.sql import functions as F
+
+    from platypus_ingestion_plugins_spark.functions.text import (
+        normalize_unicode,
+        quality_score,
+    )
+    from platypus_ingestion_plugins_spark.operators import decontam, dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # decomposed a + U+0301, exactly the harness synthesis — NFC must
+    # do real (recomposing) work for the attribution to be honest
+    d2 = d.withColumn("text", F.regexp_replace("text", "a", "a\u0301"))
+    bench = d2.filter(F.col("doc_id") % 101 == 0).select("doc_id", "text")
+    train = d2.filter(F.col("doc_id") % 101 != 0).localCheckpoint()
+
+    stage = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        n = out.count()
+        stage[name] = {"sec": round(time.monotonic() - t0, 2), "rows": n}
+        return out
+
+    normed = timed(
+        "normalize",
+        lambda: train.withColumn(
+            "text", normalize_unicode("text")
+        ).localCheckpoint(),
+    )
+
+    def exact():
+        survivors = (
+            normed.groupBy(F.sha2(F.col("text"), 256).alias("__sha"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .drop("__sha")
+        )
+        return normed.join(survivors, "doc_id", "left_semi").localCheckpoint()
+
+    deduped = timed("exact_dedup", exact)
+
+    def neardup():
+        pairs = dedup.minhash_lsh_dedup_pairs(
+            deduped, "text", "doc_id", n=3, threshold=0.1, single_eval=True
+        )
+        groups = dedup.connected_components_star(
+            pairs, nodes=deduped.select("doc_id"), id_col="doc_id"
+        )
+        keep = groups.filter(F.col("doc_id") == F.col("group_id")).select(
+            "doc_id"
+        )
+        return deduped.join(keep, "doc_id", "left_semi").localCheckpoint()
+
+    survivors = timed("neardup_lsh_cc", neardup)
+
+    def tail():
+        cleaned = survivors.filter(quality_score("text") >= 0.3)
+        benchn = bench.withColumn("text", normalize_unicode("text"))
+        return decontam.decontaminate(cleaned, benchn, "text", "doc_id", n=4)
+
+    timed("quality_decontam", tail)
+    return stage
+
+
 def build_sf1(spark):
     """Build into SF1 + '.building', then atomically rename: a crashed
     or interrupted generation can never be mistaken for a complete 10x
@@ -161,12 +286,39 @@ def main():
     for q, r in results.items():
         r["scaling_factor_10x"] = round(r["sf1"]["sec"] / max(r["sf0.1"]["sec"], 1e-9), 2)
 
+    tier100 = {}
+    if "--tier100" in sys.argv:
+        if not os.path.exists(f"{SF10}/documents.parquet"):
+            build_sf10(spark)
+        for q in COHORT_100X:
+            t0 = time.monotonic()
+            n = qs[q](spark, SF10).count()
+            dt = round(time.monotonic() - t0, 2)
+            base = results[q]["sf0.1"]["sec"]
+            tier100[q] = {
+                "sf10": {"sec": dt, "rows": n},
+                "scaling_factor_100x": round(dt / max(base, 1e-9), 2),
+            }
+            print(f"sf10 {q}: {dt}s ({n} rows)", flush=True)
+        # which stage owns pipeline_clean_corpus's growth: cumulative
+        # prefix timing at both decades
+        tier100["clean_corpus_stages"] = {
+            "sf0.1": clean_corpus_stage_times(spark, SF01),
+            "sf10": clean_corpus_stage_times(spark, SF10),
+        }
+
     record = {
         "note": "10x replica of sf0.1 (word-prefix salted per replica; "
                 "see scripts/sf1_scale_check.py), one uncontended pass per "
-                "scale; scaling_factor_10x = sec(sf1)/sec(sf0.1), linear == 10",
+                "scale; scaling_factor_10x = sec(sf1)/sec(sf0.1), linear == 10. "
+                "tier100 (--tier100): 100x second-level replica for the three "
+                "most data-proportional entries; scaling_factor_100x = "
+                "sec(sf10)/sec(sf0.1), linear == 100; clean_corpus_stages "
+                "attributes the preset's cost per cumulative stage prefix",
         "results": results,
     }
+    if tier100:
+        record["tier100"] = tier100
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     # the UNTRACKED sidecar got the r10 record silently dropped (fresh
     # checkout -> bench.py regenerates it without the key); the TRACKED
@@ -176,6 +328,23 @@ def main():
     summary = json.load(open(path)) if os.path.exists(path) else {}
     summary["sf1_scale_check"] = record
     json.dump(summary, open(path, "w"), indent=1)
+    tier100_md = ""
+    if tier100:
+        factors = ", ".join(
+            f"{q} {v['scaling_factor_100x']}x"
+            for q, v in tier100.items()
+            if isinstance(v, dict) and "scaling_factor_100x" in v
+        )
+        stages = tier100.get("clean_corpus_stages", {}).get("sf10", {})
+        dominant = (
+            max(stages, key=lambda k: stages[k]["sec"]) if stages else "n/a"
+        )
+        tier100_md = (
+            "\nTier-100 (`--tier100`): 100x factors vs sf0.1 (linear == 100)\n"
+            f"— {factors}. Dominant clean-corpus stage at sf10 (isolated-\n"
+            f"stage timing): **{dominant}**; full per-stage numbers in the\n"
+            "record below.\n"
+        )
     with open(os.path.join(repo, "SCALE.md"), "w") as f:
         f.write(
             "# SCALE — 10x scale spot-check (tracked record)\n\n"
@@ -184,8 +353,9 @@ def main():
             "dedup/ANN cohort at sf0.1 and at a 10x word-prefix-salted\n"
             "replica (independent same-shape corpora, cross-replica\n"
             "Jaccard 0). `scaling_factor_10x = sec(sf1)/sec(sf0.1)`;\n"
-            "linear scaling == 10, fixed-cost-bound entries sit near 1.\n\n"
-            "```json\n" + json.dumps(record, indent=1) + "\n```\n"
+            "linear scaling == 10, fixed-cost-bound entries sit near 1.\n"
+            + tier100_md
+            + "\n```json\n" + json.dumps(record, indent=1) + "\n```\n"
         )
     print(json.dumps({q: r["scaling_factor_10x"] for q, r in results.items()}))
 

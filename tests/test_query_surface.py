@@ -436,3 +436,100 @@ def test_bool_query_lucene_semantics(spark):
     assert got == [1, 5], got
     with pytest.raises(ValueError):
         Q.bool_query(should=[Q.term("kind", "x")], minimum_should_match=2)
+
+
+def test_term_index_build_search_and_prune(spark, tmp_path):
+    """Inverted term index (serving/text_index): indexed ANY/ALL term
+    search equals the scan-path match_text/match-all-terms answers;
+    the posting read opens ONLY the query terms' hash-bucket
+    directories (asserted on input_file_name — the band-key-index
+    file-skip pattern); append mode accumulates; a mismatched bucket
+    count raises instead of silently pruning matches away."""
+    from pyspark.sql import functions as F
+
+    from platypus_ingestion_plugins_spark.serving import query as SQ
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data across executors"),
+            (2, "the Catalyst optimizer prunes partitions"),
+            (3, "spark prunes parquet partitions early"),
+            (4, "lucene builds inverted indexes"),
+            (5, "no relevant tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "tidx")
+    TI.build_term_index(docs, "text", "doc_id", idx, buckets=16)
+
+    # ANY == scan-path match_text ids, n_matched == match_score
+    got = {
+        r.doc_id: r.n_matched
+        for r in TI.search_terms_indexed(
+            spark, idx, ["spark", "PRUNES"], id_col="doc_id"
+        ).collect()
+    }
+    scan = {
+        r.doc_id: r.n
+        for r in docs.filter(SQ.match_text("text", "spark prunes"))
+        .select("doc_id", SQ.match_score("text", "spark prunes").alias("n"))
+        .collect()
+    }
+    assert got == scan == {1: 1, 2: 1, 3: 2}, (got, scan)
+
+    # ALL (AND) semantics
+    allm = sorted(
+        r.doc_id
+        for r in TI.search_terms_indexed(
+            spark, idx, ["spark", "prunes"], require_all=True
+        ).collect()
+    )
+    assert allm == [3], allm
+
+    # file-skip: the pruned read opens only the query terms' buckets
+    # (input_file_name read on the pre-distinct scan — the distinct's
+    # exchange erases it)
+    pruned = TI._pruned_scan(spark, idx, ["spark", "prunes"])
+    opened = {
+        r.f
+        for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    norm, tbs, _ = TI._query_buckets(spark, idx, ["spark", "prunes"], None)
+    assert opened, "pruned read returned no files"
+    for f in opened:
+        assert any(f"tb={b}/" in f for b in tbs), (f, tbs)
+    all_dirs = {
+        r.f.split("/tb=")[1].split("/")[0]
+        for r in spark.read.parquet(idx)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert len(all_dirs) > len(tbs), (all_dirs, tbs)  # skip was real
+
+    # incremental append: new doc becomes visible
+    TI.build_term_index(
+        spark.createDataFrame([(6, "spark again")], "doc_id long, text string"),
+        "text",
+        "doc_id",
+        idx,
+        buckets=16,
+        mode="append",
+    )
+    got2 = sorted(
+        r.doc_id
+        for r in TI.search_terms_indexed(spark, idx, ["spark"]).collect()
+    )
+    assert got2 == [1, 3, 6], got2
+
+    # bucket-scheme mismatch fails loudly (write and read)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        TI.build_term_index(docs, "text", "doc_id", idx, buckets=8, mode="append")
+    with _pt.raises(ValueError):
+        TI.read_postings_pruned(spark, idx, ["spark"], buckets=8)
+
+    # empty / no-op term sets
+    assert TI.search_terms_indexed(spark, idx, []).count() == 0
