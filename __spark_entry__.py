@@ -730,6 +730,101 @@ GROUP BY doc_id
 """
 
 
+def q_fuzzy_suggest(spark, sf):
+    """Fuzzy term suggestion (serving/text_index.suggest_terms —
+    Lucene FuzzyQuery parity): index terms within 2 edits of the
+    query term (dist-0 exact hit included), ranked (distance,
+    doc-frequency desc, term). Scans
+    the distinct term DICTIONARY built by the inverted index, never
+    the corpus; both engines' levenshtein are the classic edit
+    distance, so the ranked cut replays exactly."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    d = _t(spark, sf, "documents")
+    work = _stream_scratch("fuzzy_idx_")
+    try:
+        idx = os.path.join(work, "idx")
+        TI.build_term_index(d, "text", "doc_id", idx, buckets=32)
+        out = TI.suggest_terms(spark, idx, "part", max_dist=2, top=10)
+        _keep_until_exit(work, keep=idx)
+        return out
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+
+
+SQL_FUZZY_SUGGEST = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '\\W+'), x -> x <> ''))) AS term
+  FROM documents),
+d AS (SELECT term, count(*) AS doc_freq FROM toks GROUP BY term)
+SELECT term, doc_freq, CAST(levenshtein(term, 'part') AS INT) AS dist
+FROM d WHERE levenshtein(term, 'part') <= 2
+ORDER BY dist, doc_freq DESC, term LIMIT 10
+"""
+
+
+def q_stream_term_index(spark, sf):
+    """Streaming inverted-index maintenance: documents stream in two
+    drops, each micro-batch APPENDS its posting lists to the
+    bucket-partitioned term index (serving/text_index.build_term_index
+    mode=append — an ingest batch touches only its own terms'
+    buckets), and the post-stream indexed search must equal the
+    one-shot full-corpus answer — posting membership is append-order
+    and batch-split independent, and the readers' distinct collapses
+    any replayed appends."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    lo, hi = _median_split(docs, "doc_id")
+    work = _stream_scratch("stream_tidx_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src = os.path.join(work, "src")
+        idx = os.path.join(work, "idx")
+        ckpt = os.path.join(work, "ckpt")
+        lo.coalesce(4).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def handle(batch_df, _bid):
+            TI.build_term_index(
+                batch_df, "text", "doc_id", idx, buckets=32, mode="append"
+            )
+
+        def run_available():
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 100)
+                .parquet(src)
+                .writeStream.foreachBatch(handle)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_available()
+        hi.coalesce(4).write.mode("append").parquet(src)
+        run_available()
+        out = TI.search_terms_indexed(
+            spark, idx, ["join", "scan", "merge"], id_col="doc_id"
+        )
+        _keep_until_exit(work, keep=idx)
+        return out
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def q_script_detect(spark, sf):
     """Writing-system detection (functions/text.script_counts /
     dominant_script): per-script character counts by Unicode BMP range
@@ -7486,6 +7581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_bool_query": q_range_bool_query,
         "budget_select_bpe": q_budget_select_bpe,
         "indexed_term_search": q_indexed_term_search,
+        "fuzzy_suggest": q_fuzzy_suggest,
+        "stream_term_index": q_stream_term_index,
     }
 
 
@@ -7651,6 +7748,8 @@ def oracle_sql() -> dict[str, str]:
         "range_bool_query": SQL_RANGE_BOOL_QUERY,
         "budget_select_bpe": _bpe_budget_select_sql(),
         "indexed_term_search": SQL_INDEXED_TERM_SEARCH,
+        "fuzzy_suggest": SQL_FUZZY_SUGGEST,
+        "stream_term_index": SQL_INDEXED_TERM_SEARCH,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

@@ -141,6 +141,44 @@ def _pruned_scan(
     return idx.filter(F.col("tb").isin(tbs) & F.col("term").isin(norm))
 
 
+def suggest_terms(
+    spark: SparkSession,
+    path: str,
+    query_term: str,
+    max_dist: int = 2,
+    top: int = 10,
+    buckets: int | None = None,
+) -> DataFrame:
+    """FuzzyQuery parity (Lucene's fuzzy term matching): index terms
+    within ``max_dist`` edits of the (lowercased) query term, ranked
+    by (distance asc, doc-frequency desc, term asc) — a total order,
+    so the top-``top`` cut is deterministic. Scans the DISTINCT term
+    DICTIONARY, never the corpus (Lucene's fuzzy automaton walks the
+    term dict for the same reason — the dictionary is orders of
+    magnitude smaller than the postings); ``levenshtein`` is a JVM
+    codegen builtin on both engines. doc_freq counts distinct posting
+    rows, so re-appended idempotent batches don't inflate it.
+    Output: (term, doc_freq, dist)."""
+    if max_dist < 0 or top < 1:
+        raise ValueError(f"need max_dist >= 0 and top >= 1, got {max_dist}/{top}")
+    dictionary = (
+        spark.read.parquet(path)
+        .drop("tb")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+    )
+    q = query_term.lower()
+    return (
+        dictionary.withColumn(
+            "dist", F.levenshtein(F.col("term"), F.lit(q)).cast("int")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .orderBy(F.col("dist"), F.col("doc_freq").desc(), F.col("term"))
+        .limit(top)
+    )
+
+
 def search_terms_indexed(
     spark: SparkSession,
     path: str,

@@ -533,3 +533,59 @@ def test_term_index_build_search_and_prune(spark, tmp_path):
 
     # empty / no-op term sets
     assert TI.search_terms_indexed(spark, idx, []).count() == 0
+
+
+def test_suggest_terms_matches_pure_python(spark, tmp_path):
+    """suggest_terms vs a pure-Python levenshtein replay: distance
+    cut, (dist, doc_freq desc, term) ranking, dictionary-distinct
+    doc_freq, and the deterministic top cut."""
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table scan beats table misuse"),
+            (2, "stable tables everywhere"),
+            (3, "scan the cable"),
+            (4, "tablet mode"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "fidx")
+    TI.build_term_index(docs, "text", "doc_id", idx, buckets=8)
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    toks = {
+        1: {"table", "scan", "beats", "misuse"},
+        2: {"stable", "tables", "everywhere"},
+        3: {"scan", "the", "cable"},
+        4: {"tablet", "mode"},
+    }
+    freq = {}
+    for ts in toks.values():
+        for t in ts:
+            freq[t] = freq.get(t, 0) + 1
+    expect = sorted(
+        (
+            (t, f, lev(t, "tabl"))
+            for t, f in freq.items()
+            if lev(t, "tabl") <= 2
+        ),
+        key=lambda r: (r[2], -r[1], r[0]),
+    )[:3]
+    got = [
+        (r.term, r.doc_freq, r.dist)
+        for r in TI.suggest_terms(spark, idx, "TABL", max_dist=2, top=3).collect()
+    ]
+    assert got == expect, (got, expect)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        TI.suggest_terms(spark, idx, "x", max_dist=-1)
