@@ -825,6 +825,50 @@ def q_stream_term_index(spark, sf):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+def q_term_index_lifecycle(spark, sf):
+    """Full index lifecycle (serving/text_index): build -> tombstone
+    deletes (Lucene's logical-delete model — the `_deletes` side
+    table anti-joins out of every read, no bucket rewrite) ->
+    physical compaction (staged-swap rewrite applying tombstones,
+    distinct posting fold) -> indexed search. The oracle is the
+    full-scan replay excluding the deleted docs, so both the delete
+    semantics and the compaction's pure-storage-change contract are
+    value-checked end to end."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    d = _t(spark, sf, "documents")
+    work = _stream_scratch("tidx_life_")
+    try:
+        idx = os.path.join(work, "idx")
+        TI.build_term_index(d, "text", "doc_id", idx, buckets=32)
+        TI.delete_docs(
+            spark, idx, d.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+        )
+        TI.compact_term_index(spark, idx)
+        out = TI.search_terms_indexed(
+            spark, idx, ["join", "scan", "merge"], id_col="doc_id"
+        )
+        _keep_until_exit(work, keep=idx)
+        return out
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+
+
+SQL_TERM_INDEX_LIFECYCLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '\\W+'), x -> x <> ''))) AS term
+  FROM documents WHERE doc_id % 7 <> 0)
+SELECT doc_id, CAST(count(*) AS INT) AS n_matched
+FROM toks WHERE term IN ('join', 'scan', 'merge')
+GROUP BY doc_id
+"""
+
+
 def q_script_detect(spark, sf):
     """Writing-system detection (functions/text.script_counts /
     dominant_script): per-script character counts by Unicode BMP range
@@ -7583,6 +7627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_term_search": q_indexed_term_search,
         "fuzzy_suggest": q_fuzzy_suggest,
         "stream_term_index": q_stream_term_index,
+        "term_index_lifecycle": q_term_index_lifecycle,
     }
 
 
@@ -7750,6 +7795,7 @@ def oracle_sql() -> dict[str, str]:
         "indexed_term_search": SQL_INDEXED_TERM_SEARCH,
         "fuzzy_suggest": SQL_FUZZY_SUGGEST,
         "stream_term_index": SQL_INDEXED_TERM_SEARCH,
+        "term_index_lifecycle": SQL_TERM_INDEX_LIFECYCLE,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

@@ -122,7 +122,7 @@ def read_postings_pruned(
     the term equality filter lands on the parquet scan. Output:
     distinct (term, id) postings for the requested terms."""
     scan = _pruned_scan(spark, path, terms, buckets)
-    return scan.drop("tb").distinct()
+    return _apply_deletes(spark, path, scan).drop("tb").distinct()
 
 
 def _pruned_scan(
@@ -139,6 +139,62 @@ def _pruned_scan(
     if not norm:
         return idx.limit(0)
     return idx.filter(F.col("tb").isin(tbs) & F.col("term").isin(norm))
+
+
+def delete_docs(spark: SparkSession, path: str, ids: DataFrame) -> None:
+    """Logical document deletion — Lucene's tombstone model: the ids
+    land in a ``_deletes`` side table (append, cheap) and every reader
+    anti-joins them out; postings stay in place until
+    ``compact_term_index`` applies the tombstones physically. A
+    physical delete-on-write would have to rewrite EVERY bucket (ids
+    hash across all term buckets), which is exactly the
+    write-amplification tombstones exist to avoid. ``ids`` must be a
+    one-column frame named like the index's id column. Replay-safe:
+    re-appending the same ids changes nothing (readers use distinct
+    semantics)."""
+    ids.write.mode("append").parquet(f"{path}/_deletes")
+
+
+def _apply_deletes(spark: SparkSession, path: str, postings: DataFrame) -> DataFrame:
+    """Anti-join the tombstone set out of a posting frame. The delete
+    set is broadcast (deletion lists are request-sized, not
+    corpus-sized — the reference's delete-set query shape,
+    PaimonRowProcessor.java:299-315)."""
+    if not _fs.exists(spark, f"{path}/_deletes"):
+        return postings
+    dels = spark.read.parquet(f"{path}/_deletes").distinct()
+    (id_col,) = dels.columns
+    return postings.join(F.broadcast(dels), id_col, "left_anti")
+
+
+def compact_term_index(spark: SparkSession, path: str) -> None:
+    """Physical compaction: fold the accumulated per-batch posting
+    files into one distinct posting set per bucket, applying the
+    tombstones for real, then drop the delete side table. The rewrite
+    goes through a dot-staging dir and a rename swap (the serving-
+    table crash discipline): a crash leaves either the original
+    layout (with tombstones still active — readers stay correct) or
+    the compacted one; re-running heals. Steady-state append+compact
+    keeps files-per-bucket plateaued, the band-key-index policy."""
+    marker = f"{path}/{_SIDECAR}"
+    pinned = _fs.read_text(spark, marker)
+    if pinned is None:
+        raise ValueError(f"no {_SIDECAR} sidecar at {path}; not a term index")
+    idx = spark.read.parquet(path)
+    compacted = _apply_deletes(spark, path, idx).distinct()
+    staging = f"{path}.compacting"
+    _fs.delete(spark, staging)
+    compacted.write.mode("overwrite").partitionBy("tb").parquet(staging)
+    _fs.write_text(spark, f"{staging}/{_SIDECAR}", pinned)
+    old = f"{path}.old"
+    _fs.delete(spark, old)
+    if not _fs.rename(spark, path, old):
+        raise IOError(f"could not stage out {path}")
+    if not _fs.rename(spark, staging, path):
+        # restore the original so the index stays readable
+        _fs.rename(spark, old, path)
+        raise IOError(f"could not swap compacted index into {path}")
+    _fs.delete(spark, old)
 
 
 def suggest_terms(
@@ -162,7 +218,7 @@ def suggest_terms(
     if max_dist < 0 or top < 1:
         raise ValueError(f"need max_dist >= 0 and top >= 1, got {max_dist}/{top}")
     dictionary = (
-        spark.read.parquet(path)
+        _apply_deletes(spark, path, spark.read.parquet(path))
         .drop("tb")
         .distinct()
         .groupBy("term")

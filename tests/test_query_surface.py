@@ -589,3 +589,60 @@ def test_suggest_terms_matches_pure_python(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         TI.suggest_terms(spark, idx, "x", max_dist=-1)
+
+
+def test_term_index_delete_and_compact(spark, tmp_path):
+    """Index lifecycle: tombstone deletes hide docs from every reader
+    immediately (search, postings, suggest doc_freq); compaction
+    applies them physically (same answers, _deletes gone, distinct
+    posting fold) and is replay-safe; double-delete is idempotent."""
+    import os
+
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data"),
+            (2, "spark prunes partitions"),
+            (3, "spark again and again"),
+            (4, "unrelated words only"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "lidx")
+    TI.build_term_index(docs, "text", "doc_id", idx, buckets=8)
+    # duplicate append (replayed batch) — readers' distinct absorbs it
+    TI.build_term_index(
+        docs.filter("doc_id = 1"), "text", "doc_id", idx, buckets=8, mode="append"
+    )
+
+    dels = spark.createDataFrame([(2,), (2,)], "doc_id long")
+    TI.delete_docs(spark, idx, dels)
+    TI.delete_docs(spark, idx, dels)  # idempotent re-delivery
+
+    def hits():
+        return sorted(
+            r.doc_id
+            for r in TI.search_terms_indexed(spark, idx, ["spark"]).collect()
+        )
+
+    assert hits() == [1, 3]  # tombstones active pre-compaction
+    sugg = {
+        r.term: r.doc_freq
+        for r in TI.suggest_terms(spark, idx, "spark", max_dist=0).collect()
+    }
+    assert sugg == {"spark": 2}, sugg  # doc_freq excludes the deleted doc
+
+    TI.compact_term_index(spark, idx)
+    assert hits() == [1, 3]  # physical apply changed no answer
+    assert not os.path.exists(f"{idx}/_deletes")
+    # the compacted index is a distinct posting fold: the duplicate
+    # doc-1 append collapsed
+    postings = spark.read.parquet(idx)
+    assert postings.count() == postings.distinct().count()
+    assert postings.filter("doc_id = 2").count() == 0
+    # sidecar survived the swap; pruned reads still work
+    assert sorted(
+        r.doc_id
+        for r in TI.search_terms_indexed(spark, idx, ["spark"], buckets=8).collect()
+    ) == [1, 3]
