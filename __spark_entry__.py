@@ -869,6 +869,43 @@ GROUP BY doc_id
 """
 
 
+def q_indexed_phrase_search(spark, sf):
+    """PhraseQuery from positional postings (serving/text_index.
+    search_phrase_indexed): the index stores one posting per token
+    occurrence with its position (Lucene's positions model), the
+    pruned read touches only the phrase terms' buckets, and adjacency
+    is a codegen exists-walk over per-(doc, term) sorted position
+    arrays. The oracle replays the SCAN path's match_phrase semantics
+    (sentinel-padded token join + contains), cross-validating two
+    different algorithms."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    d = _t(spark, sf, "documents")
+    work = _stream_scratch("phrase_idx_")
+    try:
+        idx = os.path.join(work, "idx")
+        TI.build_term_index(
+            d, "text", "doc_id", idx, buckets=32, positions=True
+        )
+        out = TI.search_phrase_indexed(spark, idx, "table scan")
+        _keep_until_exit(work, keep=idx)
+        return out
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+
+
+SQL_INDEXED_PHRASE_SEARCH = """
+SELECT doc_id FROM documents
+WHERE contains(
+  ' ' || array_to_string(list_filter(
+      string_split_regex(lower(text), '\\W+'), x -> x <> ''), ' ') || ' ',
+  ' table scan ')
+"""
+
+
 def q_script_detect(spark, sf):
     """Writing-system detection (functions/text.script_counts /
     dominant_script): per-script character counts by Unicode BMP range
@@ -7628,6 +7665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_suggest": q_fuzzy_suggest,
         "stream_term_index": q_stream_term_index,
         "term_index_lifecycle": q_term_index_lifecycle,
+        "indexed_phrase_search": q_indexed_phrase_search,
     }
 
 
@@ -7796,6 +7834,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_suggest": SQL_FUZZY_SUGGEST,
         "stream_term_index": SQL_INDEXED_TERM_SEARCH,
         "term_index_lifecycle": SQL_TERM_INDEX_LIFECYCLE,
+        "indexed_phrase_search": SQL_INDEXED_PHRASE_SEARCH,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

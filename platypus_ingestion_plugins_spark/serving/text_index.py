@@ -44,6 +44,7 @@ def build_term_index(
     path: str,
     buckets: int = 64,
     mode: str = "overwrite",
+    positions: bool = False,
 ) -> None:
     """Write the posting lists: distinct (term, id) per document from
     the shared analyzer (``serving.query.tokenize`` — the SAME
@@ -54,26 +55,40 @@ def build_term_index(
     ``mode="append"`` is the incremental path (replay-safe for
     idempotent batches only — re-appending the same batch duplicates
     postings; the readers' DISTINCT collapses them for membership
-    semantics, like the band-key index's append discipline)."""
+    semantics, like the band-key index's append discipline).
+
+    ``positions=True`` writes one posting PER OCCURRENCE with its
+    0-based token position (Lucene's positional postings) — required
+    by ``search_phrase_indexed``, ~tokens-instead-of-terms bigger.
+    The sidecar pins the choice: mixing positional and non-positional
+    appends into one index raises."""
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
     spark = df.sparkSession
+    sidecar_val = f"{buckets}:pos" if positions else str(buckets)
     pinned = (
         _fs.read_text(spark, f"{path}/{_SIDECAR}")
         if _fs.exists(spark, f"{path}/{_SIDECAR}")
         else None
     )
-    if pinned is not None and int(pinned) != buckets:
+    if pinned is not None and pinned != sidecar_val:
         raise ValueError(
-            f"index at {path} was written with buckets={pinned}, "
-            f"write requested {buckets}"
+            f"index at {path} was written with scheme {pinned!r}, "
+            f"write requested {sidecar_val!r}"
         )
-    postings = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(tokenize(text_col))).alias("term"),
-    ).withColumn("tb", _term_bucket(F.col("term"), buckets))
+    if positions:
+        postings = df.select(
+            F.col(id_col),
+            F.posexplode(tokenize(text_col)).alias("pos", "term"),
+        )
+    else:
+        postings = df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokenize(text_col))).alias("term"),
+        )
+    postings = postings.withColumn("tb", _term_bucket(F.col("term"), buckets))
     postings.write.mode(mode).partitionBy("tb").parquet(path)
-    _fs.write_text(spark, f"{path}/{_SIDECAR}", str(buckets))
+    _fs.write_text(spark, f"{path}/{_SIDECAR}", sidecar_val)
 
 
 def _query_buckets(
@@ -86,12 +101,13 @@ def _query_buckets(
     marker = f"{path}/{_SIDECAR}"
     pinned = _fs.read_text(spark, marker) if _fs.exists(spark, marker) else None
     if pinned is not None:
-        if buckets is not None and int(pinned) != buckets:
+        pinned_buckets = int(pinned.split(":", 1)[0])
+        if buckets is not None and pinned_buckets != buckets:
             raise ValueError(
-                f"index at {path} was written with buckets={pinned}, "
+                f"index at {path} was written with buckets={pinned_buckets}, "
                 f"read requested {buckets}"
             )
-        buckets = int(pinned)
+        buckets = pinned_buckets
     elif buckets is None:
         raise ValueError(f"index at {path} has no {_SIDECAR} sidecar; pass buckets")
     norm = sorted({t.lower() for t in terms if t})
@@ -197,6 +213,64 @@ def compact_term_index(spark: SparkSession, path: str) -> None:
     _fs.delete(spark, old)
 
 
+def search_phrase_indexed(
+    spark: SparkSession,
+    path: str,
+    phrase: str,
+    id_col: str = "doc_id",
+    buckets: int | None = None,
+) -> DataFrame:
+    """PhraseQuery from positional postings (Lucene's positions
+    model): ids whose tokens contain the analyzed phrase contiguously
+    and in order. The pruned read touches only the phrase terms'
+    buckets; positions fold to one sorted array per (id, term) — two
+    bounded shuffles — and adjacency is a pure codegen predicate:
+    exists p in positions[token_0] with p+i in positions[token_i] for
+    every i. Must agree row-for-row with the scan path's
+    ``serving.query.match_phrase`` (the oracle cross-validates the
+    two algorithms). Requires ``positions=True`` at build time —
+    raises otherwise. Output: (id)."""
+    from platypus_ingestion_plugins_spark.serving.query import _py_tokenize
+
+    toks = _py_tokenize(phrase)
+    if not toks:
+        raise ValueError("empty phrase after analysis")
+    uniq = sorted(set(toks))
+    postings = read_postings_pruned(spark, path, uniq, buckets)
+    if "pos" not in postings.columns:
+        raise ValueError(
+            f"index at {path} has no positions; build with positions=True"
+        )
+    per_term = postings.groupBy(id_col, "term").agg(
+        F.array_sort(F.collect_set("pos")).alias("ps")
+    )
+    per_doc = per_term.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("term"), F.col("ps")))
+        ).alias("pm"),
+        F.count(F.lit(1)).alias("__nt"),
+    )
+    # every distinct phrase term present, then the adjacency walk
+    adjacency = F.exists(
+        F.col("pm").getItem(toks[0]),
+        lambda p: _all_follow(p, toks),
+    )
+    return (
+        per_doc.filter(F.col("__nt") == len(uniq))
+        .filter(adjacency)
+        .select(id_col)
+    )
+
+
+def _all_follow(p, toks: Sequence[str]):
+    """Codegen conjunction: positions[toks[i]] contains p + i for
+    every i >= 1 (p is token_0's candidate start position)."""
+    cond = F.lit(True)
+    for i, t in enumerate(toks[1:], start=1):
+        cond = cond & F.array_contains(F.col("pm").getItem(t), p + i)
+    return cond
+
+
 def suggest_terms(
     spark: SparkSession,
     path: str,
@@ -217,9 +291,10 @@ def suggest_terms(
     Output: (term, doc_freq, dist)."""
     if max_dist < 0 or top < 1:
         raise ValueError(f"need max_dist >= 0 and top >= 1, got {max_dist}/{top}")
+    live = _apply_deletes(spark, path, spark.read.parquet(path))
+    doc_col = [c for c in live.columns if c not in ("term", "tb", "pos")][0]
     dictionary = (
-        _apply_deletes(spark, path, spark.read.parquet(path))
-        .drop("tb")
+        live.select(doc_col, "term")
         .distinct()
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))

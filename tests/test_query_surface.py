@@ -646,3 +646,62 @@ def test_term_index_delete_and_compact(spark, tmp_path):
         r.doc_id
         for r in TI.search_terms_indexed(spark, idx, ["spark"], buckets=8).collect()
     ) == [1, 3]
+
+
+def test_search_phrase_indexed_matches_scan_path(spark, tmp_path):
+    """Positional-postings phrase search vs the scan path's
+    match_phrase — two different algorithms, same answers: contiguity,
+    order, substring traps, repeated phrase tokens, 3-token chains,
+    and the positions=True build contract."""
+    from platypus_ingestion_plugins_spark.serving import query as SQ
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a Table SCAN follows"),
+            (2, "scan table"),            # wrong order
+            (3, "table x scan"),          # not contiguous
+            (4, "portable scanner"),      # substring trap
+            (5, "full table scan today"),
+            (6, "scan the scan again"),   # repeated token
+            (7, "the table scan the table scan"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "pidx")
+    TI.build_term_index(docs, "text", "doc_id", idx, buckets=8, positions=True)
+
+    for phrase in ["table scan", "TABLE Scan!", "scan the scan", "the table scan", "scan"]:
+        indexed = sorted(
+            r.doc_id
+            for r in TI.search_phrase_indexed(spark, idx, phrase).collect()
+        )
+        scanned = sorted(
+            r.doc_id
+            for r in docs.filter(SQ.match_phrase("text", phrase)).collect()
+        )
+        assert indexed == scanned, (phrase, indexed, scanned)
+    assert sorted(
+        r.doc_id
+        for r in TI.search_phrase_indexed(spark, idx, "table scan").collect()
+    ) == [1, 5, 7]
+
+    # positionless index refuses phrase queries
+    flat = str(tmp_path / "flat")
+    TI.build_term_index(docs, "text", "doc_id", flat, buckets=8)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="positions"):
+        TI.search_phrase_indexed(spark, flat, "table scan")
+    with _pt.raises(ValueError):
+        TI.search_phrase_indexed(spark, idx, "  !! ")
+    # mixing positional appends into a flat index raises (sidecar pin)
+    with _pt.raises(ValueError):
+        TI.build_term_index(
+            docs, "text", "doc_id", flat, buckets=8, positions=True, mode="append"
+        )
+    # term search still works over a positional index
+    got = sorted(
+        r.doc_id for r in TI.search_terms_indexed(spark, idx, ["table"]).collect()
+    )
+    assert got == [1, 2, 3, 5, 7], got
