@@ -87,7 +87,12 @@ def build_term_index(
             F.explode(F.array_distinct(tokenize(text_col))).alias("term"),
         )
     postings = postings.withColumn("tb", _term_bucket(F.col("term"), buckets))
-    postings.write.mode(mode).partitionBy("tb").parquet(path)
+    # overwrite means REBUILD (all buckets + tombstones truncated):
+    # pin static partition-overwrite so a session-level dynamic mode
+    # can't leave stale postings in buckets this corpus doesn't touch
+    postings.write.mode(mode).option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("tb").parquet(path)
     _fs.write_text(spark, f"{path}/{_SIDECAR}", sidecar_val)
 
 
@@ -168,6 +173,10 @@ def delete_docs(spark: SparkSession, path: str, ids: DataFrame) -> None:
     one-column frame named like the index's id column. Replay-safe:
     re-appending the same ids changes nothing (readers use distinct
     semantics)."""
+    if len(ids.columns) != 1:
+        raise ValueError(
+            f"delete_docs expects a one-column id frame, got {ids.columns}"
+        )
     ids.write.mode("append").parquet(f"{path}/_deletes")
 
 
@@ -180,6 +189,12 @@ def _apply_deletes(spark: SparkSession, path: str, postings: DataFrame) -> DataF
         return postings
     dels = spark.read.parquet(f"{path}/_deletes").distinct()
     (id_col,) = dels.columns
+    if id_col not in postings.columns:
+        raise ValueError(
+            f"delete table at {path}/_deletes is keyed on {id_col!r}, "
+            f"which the index postings lack ({postings.columns}) — "
+            "delete_docs was fed a wrongly-named id frame"
+        )
     return postings.join(F.broadcast(dels), id_col, "left_anti")
 
 
@@ -192,6 +207,19 @@ def compact_term_index(spark: SparkSession, path: str) -> None:
     layout (with tombstones still active — readers stay correct) or
     the compacted one; re-running heals. Steady-state append+compact
     keeps files-per-bucket plateaued, the band-key-index policy."""
+    # Heal a crashed prior compaction FIRST (the cdc compact_snapshots
+    # discipline): a crash between "path staged out" and "staging
+    # renamed in" leaves no live index — the .old park dir is the
+    # marker, and the ORIGINAL (tombstones still active, readers
+    # correct) is what gets restored; the staging dir's completeness
+    # is unknowable, so it is discarded, never promoted.
+    old = f"{path}.old"
+    if not _fs.exists(spark, path):
+        if _fs.exists(spark, old):
+            if not _fs.rename(spark, old, path):
+                raise IOError(f"could not restore {old} to {path}")
+        else:
+            raise ValueError(f"no term index at {path}")
     marker = f"{path}/{_SIDECAR}"
     pinned = _fs.read_text(spark, marker)
     if pinned is None:

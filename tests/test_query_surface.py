@@ -705,3 +705,39 @@ def test_search_phrase_indexed_matches_scan_path(spark, tmp_path):
         r.doc_id for r in TI.search_terms_indexed(spark, idx, ["table"]).collect()
     )
     assert got == [1, 2, 3, 5, 7], got
+
+
+def test_term_index_delete_validation_and_crash_heal(spark, tmp_path):
+    """r13 self-review pins: delete_docs rejects multi-column frames;
+    a wrongly-named delete table fails loudly at read (not a cryptic
+    join error); a compaction crash between the two renames (live dir
+    staged out, staging never promoted) heals on the next
+    compact_term_index call by restoring the original."""
+    import os
+    import shutil
+
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "vidx")
+    TI.build_term_index(docs, "text", "doc_id", idx, buckets=4)
+
+    with pytest.raises(ValueError, match="one-column"):
+        TI.delete_docs(
+            spark, idx, spark.createDataFrame([(1, 2)], "a long, b long")
+        )
+    TI.delete_docs(spark, idx, spark.createDataFrame([(9,)], "wrong_name long"))
+    with pytest.raises(ValueError, match="wrongly-named"):
+        TI.search_terms_indexed(spark, idx, ["beta"]).collect()
+    shutil.rmtree(f"{idx}/_deletes")
+
+    # simulate the mid-swap crash: live dir parked, staging discarded
+    os.rename(idx, f"{idx}.old")
+    TI.compact_term_index(spark, idx)  # heals, then compacts
+    got = sorted(
+        r.doc_id for r in TI.search_terms_indexed(spark, idx, ["beta"]).collect()
+    )
+    assert got == [1, 2], got
+    assert not os.path.exists(f"{idx}.old")
