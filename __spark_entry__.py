@@ -906,6 +906,33 @@ WHERE contains(
 """
 
 
+def q_indexed_bm25(spark, sf):
+    """BM25 from the index (serving/text_index.bm25_indexed — the
+    actual Lucene ranking path: tf/df from positional postings,
+    length norms from the _doclens side table) with the exact
+    scan-path formula and rounding. Same query terms as
+    fulltext_bm25, so the oracle is the same SQL — three
+    implementations (scan DataFrame, index DataFrame, DuckDB SQL)
+    agreeing on every score."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    d = _t(spark, sf, "documents")
+    work = _stream_scratch("bm25_idx_")
+    try:
+        idx = os.path.join(work, "idx")
+        TI.build_term_index(
+            d, "text", "doc_id", idx, buckets=32, positions=True
+        )
+        out = TI.bm25_indexed(spark, idx, "data engine spark vector")
+        _keep_until_exit(work, keep=idx)
+        return out
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+
+
 def q_script_detect(spark, sf):
     """Writing-system detection (functions/text.script_counts /
     dominant_script): per-script character counts by Unicode BMP range
@@ -7666,6 +7693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_term_index": q_stream_term_index,
         "term_index_lifecycle": q_term_index_lifecycle,
         "indexed_phrase_search": q_indexed_phrase_search,
+        "indexed_bm25": q_indexed_bm25,
     }
 
 
@@ -7835,6 +7863,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_term_index": SQL_INDEXED_TERM_SEARCH,
         "term_index_lifecycle": SQL_TERM_INDEX_LIFECYCLE,
         "indexed_phrase_search": SQL_INDEXED_PHRASE_SEARCH,
+        "indexed_bm25": SQL_FULLTEXT_BM25,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

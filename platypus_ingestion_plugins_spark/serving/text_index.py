@@ -87,12 +87,20 @@ def build_term_index(
             F.explode(F.array_distinct(tokenize(text_col))).alias("term"),
         )
     postings = postings.withColumn("tb", _term_bucket(F.col("term"), buckets))
-    # overwrite means REBUILD (all buckets + tombstones truncated):
-    # pin static partition-overwrite so a session-level dynamic mode
-    # can't leave stale postings in buckets this corpus doesn't touch
+    # overwrite means REBUILD (all buckets + tombstones + doclens
+    # truncated): pin static partition-overwrite so a session-level
+    # dynamic mode can't leave stale postings in buckets this corpus
+    # doesn't touch
     postings.write.mode(mode).option(
         "partitionOverwriteMode", "static"
     ).partitionBy("tb").parquet(path)
+    if positions:
+        # doc-length side table — the BM25 length-normalization input
+        # (Lucene's norms file). Written per batch like the postings;
+        # readers take it distinct, so replayed appends collapse.
+        df.select(
+            F.col(id_col), F.size(tokenize(text_col)).alias("dl")
+        ).write.mode("append").parquet(f"{path}/_doclens")
     _fs.write_text(spark, f"{path}/{_SIDECAR}", sidecar_val)
 
 
@@ -229,6 +237,13 @@ def compact_term_index(spark: SparkSession, path: str) -> None:
     staging = f"{path}.compacting"
     _fs.delete(spark, staging)
     compacted.write.mode("overwrite").partitionBy("tb").parquet(staging)
+    dl_path = f"{path}/_doclens"
+    if _fs.exists(spark, dl_path):
+        # fold the norms table the same way: tombstones applied,
+        # replayed-append duplicates collapsed
+        _apply_deletes(
+            spark, path, spark.read.parquet(dl_path).distinct()
+        ).write.mode("overwrite").parquet(f"{staging}/_doclens")
     _fs.write_text(spark, f"{staging}/{_SIDECAR}", pinned)
     old = f"{path}.old"
     _fs.delete(spark, old)
@@ -297,6 +312,71 @@ def _all_follow(p, toks: Sequence[str]):
     for i, t in enumerate(toks[1:], start=1):
         cond = cond & F.array_contains(F.col("pm").getItem(t), p + i)
     return cond
+
+
+def bm25_indexed(
+    spark: SparkSession,
+    path: str,
+    query: str,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    buckets: int | None = None,
+) -> DataFrame:
+    """BM25 answered FROM THE INDEX — the actual Lucene ranking path
+    (postings give tf and df, the norms/doclens side table gives
+    length normalization) — with the same formula, rounding, and
+    semantics as the scan path's ``serving.query.bm25_scores``:
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+
+    Plan: pruned posting read over the query terms' buckets only; tf =
+    occurrence count per (doc, term); df = tf's row count per term
+    (bounded, broadcast); the (N, avgdl) corpus stats are a one-row
+    aggregate over the doclens table; dl joins in with the BOUNDED tf
+    side broadcast, so the only corpus-sized input is the slim
+    doclens scan — query cost tracks terms, not corpus text. Requires
+    a positional index (positions=True writes `_doclens`); tombstoned
+    docs drop out of postings, doclens, N, and avgdl alike. Output:
+    (id, bm25) for matching docs only."""
+    from platypus_ingestion_plugins_spark.serving.query import _py_tokenize
+
+    toks = sorted(set(_py_tokenize(query)))
+    if not toks:
+        raise ValueError("empty query after analysis")
+    postings = read_postings_pruned(spark, path, toks, buckets)
+    if "pos" not in postings.columns:
+        raise ValueError(
+            f"index at {path} has no positions; BM25 needs per-occurrence "
+            "postings — build with positions=True"
+        )
+    dl_path = f"{path}/_doclens"
+    if not _fs.exists(spark, dl_path):
+        raise ValueError(f"no _doclens table at {path}; rebuild with positions=True")
+    doclens = _apply_deletes(
+        spark, path, spark.read.parquet(dl_path).distinct()
+    )
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = postings.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        doclens.join(F.broadcast(tf), id_col)
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__w", idf * norm)
+    )
+    return scored.groupBy(id_col).agg(F.round(F.sum("__w"), 6).alias("bm25"))
 
 
 def suggest_terms(

@@ -741,3 +741,51 @@ def test_term_index_delete_validation_and_crash_heal(spark, tmp_path):
     )
     assert got == [1, 2], got
     assert not os.path.exists(f"{idx}.old")
+
+
+def test_bm25_indexed_matches_scan_path(spark, tmp_path):
+    """bm25_indexed vs the scan path's bm25_scores — identical scores
+    (same formula, same 6dp rounding) from two different data paths
+    (postings+norms vs corpus tokenize), fresh AND after
+    delete+compact (tombstones must leave N/avgdl/df alike)."""
+    from platypus_ingestion_plugins_spark.serving import query as SQ
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana date elderberry"),
+            (3, "apple apple apple"),
+            (4, "cherry date"),
+            (5, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "bidx")
+    TI.build_term_index(docs, "text", "doc_id", idx, buckets=8, positions=True)
+    q = "apple cherry"
+
+    def by_index():
+        return {
+            r.doc_id: r.bm25 for r in TI.bm25_indexed(spark, idx, q).collect()
+        }
+
+    def by_scan(d):
+        return {
+            r.doc_id: r.bm25
+            for r in SQ.bm25_scores(d, "text", q, "doc_id").collect()
+        }
+
+    assert by_index() == by_scan(docs)
+
+    TI.delete_docs(spark, idx, spark.createDataFrame([(3,)], "doc_id long"))
+    shrunk = docs.filter("doc_id <> 3")
+    assert by_index() == by_scan(shrunk)  # tombstones shift N/avgdl/df too
+    TI.compact_term_index(spark, idx)
+    assert by_index() == by_scan(shrunk)  # physical apply changes nothing
+
+    # positionless index refuses (tf needs per-occurrence postings)
+    flat = str(tmp_path / "bflat")
+    TI.build_term_index(docs, "text", "doc_id", flat, buckets=8)
+    with pytest.raises(ValueError, match="positions"):
+        TI.bm25_indexed(spark, flat, q)
