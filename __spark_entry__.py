@@ -933,6 +933,86 @@ def q_indexed_bm25(spark, sf):
         raise
 
 
+def q_hybrid_indexed(spark, sf):
+    """Hybrid retrieval with BOTH legs answered from index structures
+    (the serving-stack shape at scale): BM25 from positional postings
+    + doclens (bm25_indexed — query cost tracks terms), sign-bucket
+    ANN for the vector leg (ann_topk — bucket filter, no full-corpus
+    rank), fused by integer RRF. Complements hybrid_search, whose legs
+    are the full-scan scorers; the oracle replays bucket filter, BM25,
+    and the floor(1e9/(60+rank)) points exactly."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    d = _t(spark, sf, "documents")
+    e = _t(spark, sf, "embeddings")
+    work = _stream_scratch("hybrid_idx_")
+    try:
+        idx = os.path.join(work, "idx")
+        TI.build_term_index(
+            d, "text", "doc_id", idx, buckets=32, positions=True
+        )
+        bm = TI.bm25_indexed(spark, idx, "data engine spark vector")
+        vec = similarity.ann_topk(
+            e, e.filter(F.col("vec_id") == 0), k=50, dim=64
+        ).withColumnRenamed("vec_id", "doc_id")
+        out = SQ.rrf_fuse(
+            {"lex": bm, "vec": vec}, "doc_id", k_candidates=50, rrf_k=60, top=20
+        )
+        _keep_until_exit(work, keep=idx)
+        return out
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+
+
+SQL_HYBRID_INDEXED = """
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+  FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM toked),
+hits AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM toked),
+qh AS (SELECT * FROM hits WHERE tok IN ('data','engine','spark','vector')),
+tf AS (SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl FROM qh GROUP BY 1, 2),
+dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM qh GROUP BY tok),
+bm AS (
+  SELECT doc_id,
+         round(sum(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         ), 6) AS bm25
+  FROM tf JOIN dft USING (tok), stats
+  GROUP BY doc_id),
+bm_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM bm QUALIFY rank <= 50),
+b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings),
+q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+cos AS (
+  SELECT b.vec_id AS doc_id,
+         round(list_cosine_similarity(b.v, q.qv), 6) AS cs
+  FROM b, q WHERE b.bucket = q.qb),
+cos_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id) AS rank
+  FROM cos QUALIFY rank <= 50),
+u AS (SELECT * FROM bm_rank UNION ALL SELECT * FROM cos_rank)
+SELECT doc_id,
+       CAST(sum(CAST(floor(1000000000 / (60 + rank)) AS BIGINT)) AS BIGINT) AS rrf,
+       count(*) AS n_systems
+FROM u GROUP BY doc_id
+ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+
 def q_script_detect(spark, sf):
     """Writing-system detection (functions/text.script_counts /
     dominant_script): per-script character counts by Unicode BMP range
@@ -7694,6 +7774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_index_lifecycle": q_term_index_lifecycle,
         "indexed_phrase_search": q_indexed_phrase_search,
         "indexed_bm25": q_indexed_bm25,
+        "hybrid_indexed": q_hybrid_indexed,
     }
 
 
@@ -7864,6 +7945,7 @@ def oracle_sql() -> dict[str, str]:
         "term_index_lifecycle": SQL_TERM_INDEX_LIFECYCLE,
         "indexed_phrase_search": SQL_INDEXED_PHRASE_SEARCH,
         "indexed_bm25": SQL_FULLTEXT_BM25,
+        "hybrid_indexed": SQL_HYBRID_INDEXED,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,
