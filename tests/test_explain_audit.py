@@ -313,3 +313,36 @@ def test_pq_encode_and_adc_plans(spark, sf_dir):
     p2 = _formatted_plan(pq_adc_topk(enc, cb, [0.0] * 64, k=10, dim=64))
     assert "TakeOrderedAndProject" in p2, p2
     assert "Exchange" not in p2, p2
+
+
+def test_text_index_query_plans(spark, tmp_path):
+    """The index query paths that run at 100 TB (r13): term search and
+    BM25 over a prebuilt index must broadcast the bounded sides (tf /
+    df / stats / delete set), keep everything JVM-side, and contain no
+    cartesian product — audited on a small prebuilt index because the
+    build itself executes (the classifier-pattern exemption from
+    HEADLINE)."""
+    from pyspark.sql import functions as F
+
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 7} shared tokens here") for i in range(50)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "planidx")
+    TI.build_term_index(docs, "text", "doc_id", idx, buckets=8, positions=True)
+    TI.delete_docs(spark, idx, spark.createDataFrame([(1,)], "doc_id long"))
+
+    for df in (
+        TI.search_terms_indexed(spark, idx, ["shared", "term1"]),
+        TI.bm25_indexed(spark, idx, "shared term1"),
+        TI.search_phrase_indexed(spark, idx, "shared tokens"),
+    ):
+        p = _formatted_plan(df)
+        assert "BroadcastExchange" in p, p       # delete set / tf / df / stats
+        assert "BatchEvalPython" not in p, p      # no row-Python anywhere
+        assert "CartesianProduct" not in p, p
+    # the scan carries the literal bucket partition filter
+    p = _formatted_plan(TI._pruned_scan(spark, idx, ["shared"]))
+    assert "PartitionFilters" in p and "tb" in p, p
