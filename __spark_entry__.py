@@ -1013,6 +1013,65 @@ ORDER BY rrf DESC, doc_id LIMIT 20
 """
 
 
+def q_constraint_report(spark, sf):
+    """Data-quality constraint report (operators/validate.
+    check_constraints — the batch-promotion guardrail): null / range /
+    domain / uniqueness checks fold into ONE partial-aggregatable
+    aggregate over one orders scan; each referential check is one
+    broadcast anti-join count. The even-keys dimension variant is
+    deliberately violated so the FK counting path is value-exercised,
+    not just zero-checked."""
+    from platypus_ingestion_plugins_spark.operators import validate as V
+
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    checks = [
+        V.not_null("orders_custkey_not_null", "o_custkey"),
+        V.in_range("orders_price_range", "o_totalprice", lo=0, hi=300000),
+        V.accepted_values("orders_status_domain", "o_orderstatus", ["O", "F"]),
+        V.unique("orders_key_unique", "o_orderkey"),
+        V.references("orders_custkey_fk", "o_custkey", c, "c_custkey"),
+        V.references(
+            "orders_custkey_in_even_dim",
+            "o_custkey",
+            c.filter(F.col("c_custkey") % 2 == 0),
+            "c_custkey",
+        ),
+    ]
+    return V.check_constraints(o, checks)
+
+
+SQL_CONSTRAINT_REPORT = """
+WITH n AS (SELECT count(*) AS n_rows FROM orders),
+v AS (
+  SELECT 'orders_custkey_fk' AS chk,
+         (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+            AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS violations
+  UNION ALL
+  SELECT 'orders_custkey_in_even_dim',
+         (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+            AND o_custkey NOT IN
+                (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0))
+  UNION ALL
+  SELECT 'orders_custkey_not_null',
+         (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+  UNION ALL
+  SELECT 'orders_key_unique',
+         (SELECT count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders)
+  UNION ALL
+  SELECT 'orders_price_range',
+         (SELECT count(*) FROM orders
+          WHERE o_totalprice < 0 OR o_totalprice > 300000)
+  UNION ALL
+  SELECT 'orders_status_domain',
+         (SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('O', 'F')))
+SELECT chk AS "check", CAST(violations AS BIGINT) AS violations,
+       (SELECT n_rows FROM n) AS n_rows, violations = 0 AS passed
+FROM v
+"""
+
+
 def q_script_detect(spark, sf):
     """Writing-system detection (functions/text.script_counts /
     dominant_script): per-script character counts by Unicode BMP range
@@ -7775,6 +7834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_phrase_search": q_indexed_phrase_search,
         "indexed_bm25": q_indexed_bm25,
         "hybrid_indexed": q_hybrid_indexed,
+        "constraint_report": q_constraint_report,
     }
 
 
@@ -7946,6 +8006,7 @@ def oracle_sql() -> dict[str, str]:
         "indexed_phrase_search": SQL_INDEXED_PHRASE_SEARCH,
         "indexed_bm25": SQL_FULLTEXT_BM25,
         "hybrid_indexed": SQL_HYBRID_INDEXED,
+        "constraint_report": SQL_CONSTRAINT_REPORT,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

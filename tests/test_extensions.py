@@ -5539,3 +5539,54 @@ def test_assemble_conversations_rejects_null_order(spark):
         chat.assemble_conversations(
             df, "sess", "role", "content", "pos"
         ).collect()
+
+
+def test_check_constraints_hand_counted(spark):
+    """check_constraints vs hand counts: null policy (NULL never
+    violates a range/domain, nullability is not_null's job),
+    uniqueness exempting NULLs, FK exempting NULL keys, duplicate
+    name / malformed-check validation."""
+    from platypus_ingestion_plugins_spark.operators import validate as V
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "a"),
+            (2, -5.0, "b"),
+            (2, 200.0, "z"),      # dup key + out-of-range + bad domain
+            (None, None, None),   # NULLs: only not_null fires
+            (5, 99.0, "a"),
+        ],
+        "k long, v double, s string",
+    )
+    ref = spark.createDataFrame([(1,), (2,)], "rk long")
+    out = {
+        r.check: (r.violations, r.n_rows, r.passed)
+        for r in V.check_constraints(
+            df,
+            [
+                V.not_null("k_not_null", "k"),
+                V.in_range("v_range", "v", lo=0.0, hi=100.0),
+                V.accepted_values("s_domain", "s", ["a", "b"]),
+                V.unique("k_unique", "k"),
+                V.references("k_fk", "k", ref, "rk"),
+            ],
+        ).collect()
+    }
+    assert out == {
+        "k_not_null": (1, 5, False),
+        "v_range": (2, 5, False),     # -5 and 200; NULL exempt
+        "s_domain": (1, 5, False),    # 'z'; NULL exempt
+        "k_unique": (1, 5, False),    # 2 appears twice; NULL exempt
+        "k_fk": (1, 5, False),        # 5 not in ref; NULL exempt
+    }, out
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="duplicate"):
+        V.check_constraints(df, [V.not_null("x", "k"), V.not_null("x", "v")])
+    with _pt.raises(ValueError):
+        V.check_constraints(df, [])
+    with _pt.raises(ValueError):
+        V.Check("bad")
+    with _pt.raises(ValueError):
+        V.in_range("r", "v")
