@@ -1072,6 +1072,63 @@ FROM v
 """
 
 
+def q_cc_scrub(spark, sf):
+    """Luhn-validated card scrubbing (functions/pii.cc_count /
+    redact_cc): card-shaped spans are checksum-gated — valid test
+    numbers redact, an equally card-shaped but checksum-failing run
+    does not — all pure codegen (the checksum isn't regular, so the
+    valid candidate list folds over the text with literal replace).
+    The corpus is salted deterministically with one of three suffixes
+    by doc_id so both branches and the no-separator form are
+    value-exercised."""
+    from platypus_ingestion_plugins_spark.functions import pii
+
+    d = _t(spark, sf, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" "),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("4539 1488 0343 6467"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("1234-5678-9012-3456"))
+        .otherwise(F.lit("pay 4111111111111111 now")),
+    )
+    return d.select(
+        "doc_id",
+        pii.cc_count(txt).cast("int").alias("n_cc"),
+        pii.redact_cc(txt).alias("scrubbed"),
+    )
+
+
+_SQL_LUHN_DIGIT = (
+    "ascii(substr(reverse(regexp_replace(s, '[^0-9]', '', 'g')), i, 1)) - 48"
+)
+SQL_CC_SCRUB = f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' ' || CASE
+           WHEN doc_id % 3 = 0 THEN '4539 1488 0343 6467'
+           WHEN doc_id % 3 = 1 THEN '1234-5678-9012-3456'
+           ELSE 'pay 4111111111111111 now' END AS txt
+  FROM documents),
+v AS (
+  SELECT doc_id, txt,
+         list_filter(
+           regexp_extract_all(txt, '[0-9]{{4}}(?:[- ]?[0-9]{{4}}){{3}}'),
+           s -> length(regexp_replace(s, '[^0-9]', '', 'g')) = 16
+            AND list_sum(list_transform(generate_series(1, 16), i ->
+                  CASE WHEN (i - 1) % 2 = 1 THEN
+                    CASE WHEN ({_SQL_LUHN_DIGIT}) * 2 > 9
+                         THEN ({_SQL_LUHN_DIGIT}) * 2 - 9
+                         ELSE ({_SQL_LUHN_DIGIT}) * 2 END
+                  ELSE ({_SQL_LUHN_DIGIT}) END)) % 10 = 0
+         ) AS valid
+  FROM t)
+SELECT doc_id, CAST(len(valid) AS INT) AS n_cc,
+       list_reduce(list_prepend(txt, valid),
+                   (acc, s) -> replace(acc, s, '<CC>')) AS scrubbed
+FROM v
+"""
+
+
 def q_script_detect(spark, sf):
     """Writing-system detection (functions/text.script_counts /
     dominant_script): per-script character counts by Unicode BMP range
@@ -7835,6 +7892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_bm25": q_indexed_bm25,
         "hybrid_indexed": q_hybrid_indexed,
         "constraint_report": q_constraint_report,
+        "cc_scrub": q_cc_scrub,
     }
 
 
@@ -8007,6 +8065,7 @@ def oracle_sql() -> dict[str, str]:
         "indexed_bm25": SQL_FULLTEXT_BM25,
         "hybrid_indexed": SQL_HYBRID_INDEXED,
         "constraint_report": SQL_CONSTRAINT_REPORT,
+        "cc_scrub": SQL_CC_SCRUB,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

@@ -64,3 +64,57 @@ def redact_pii(col: Column | str) -> Column:
     for pat, token in _ORDERED:
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+# 16-digit payment-card shapes, optionally 4-4-4-4 grouped by '-' or
+# ' '. Non-capturing group only (Java/RE2-common); no lookaround, so a
+# card inside a LONGER digit run can match its first 16 digits —
+# checksum validation is what keeps that from mattering in practice.
+CC_RE = r"[0-9]{4}(?:[- ]?[0-9]{4}){3}"
+
+
+def _luhn_valid(s: Column) -> Column:
+    """Pure-codegen Luhn checksum over a candidate span: strip
+    separators, reverse, double every second digit from the right
+    (minus 9 when > 9), valid iff 16 digits and sum % 10 == 0. The
+    sum only evaluates inside the length-16 branch, so the degenerate
+    empty-digits case never touches Spark's descending
+    sequence(1, 0)."""
+    rs = F.reverse(F.regexp_replace(s, r"[^0-9]", ""))
+
+    def term(i):
+        d = F.ascii(F.substring(rs, i, F.lit(1))) - F.lit(48)
+        dbl = d * 2
+        return F.when(
+            (i - 1) % 2 == 1, F.when(dbl > 9, dbl - 9).otherwise(dbl)
+        ).otherwise(d)
+
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.length(rs)),
+        F.lit(0),
+        lambda acc, i: acc + term(i),
+    )
+    return F.when(F.length(rs) == 16, total % 10 == 0).otherwise(F.lit(False))
+
+
+def cc_count(col: Column | str) -> Column:
+    """Number of Luhn-VALID card-shaped spans — pattern hits that fail
+    the checksum (order ids, random digit runs) don't count; that's
+    the precision step a bare regex can't give."""
+    cands = F.regexp_extract_all(_c(col), F.lit(CC_RE), F.lit(0))
+    return F.size(F.filter(cands, _luhn_valid))
+
+
+def redact_cc(col: Column | str) -> Column:
+    """Text with every Luhn-valid card span replaced by <CC>.
+    Conditional redaction can't be a regexp_replace (the checksum
+    isn't regular), so the valid candidate list folds over the text
+    with literal replace() — still one codegen expression, no UDF;
+    checksum-failing spans are left untouched."""
+    c = _c(col)
+    valid = F.filter(
+        F.regexp_extract_all(c, F.lit(CC_RE), F.lit(0)), _luhn_valid
+    )
+    return F.aggregate(
+        valid, c, lambda acc, s: F.replace(acc, s, F.lit("<CC>"))
+    )

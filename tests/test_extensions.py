@@ -5590,3 +5590,34 @@ def test_check_constraints_hand_counted(spark):
         V.Check("bad")
     with _pt.raises(ValueError):
         V.in_range("r", "v")
+
+
+def test_cc_luhn_detection_and_redaction(spark):
+    """Luhn-gated card detection: checksum-valid spans (plain, spaced,
+    dashed) count and redact; checksum-failing card-shaped digit runs
+    are left alone — the precision step a bare regex can't provide."""
+    from platypus_ingestion_plugins_spark.functions import pii
+
+    rows = [
+        (1, "pay 4539148803436467 now"),            # valid, plain
+        (2, "card 4539 1488 0343 6467 on file"),    # valid, spaced
+        (3, "4111-1111-1111-1111"),                 # valid, dashed
+        (4, "order 1234567890123456 shipped"),      # card-shaped, invalid
+        (5, "no digits at all"),
+        (6, "two: 4111111111111111 and 4539148803436467"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n, r.scrubbed)
+        for r in df.select(
+            "doc_id",
+            pii.cc_count("text").alias("n"),
+            pii.redact_cc("text").alias("scrubbed"),
+        ).collect()
+    }
+    assert out[1] == (1, "pay <CC> now")
+    assert out[2] == (1, "card <CC> on file")
+    assert out[3] == (1, "<CC>")
+    assert out[4] == (0, "order 1234567890123456 shipped")
+    assert out[5] == (0, "no digits at all")
+    assert out[6] == (2, "two: <CC> and <CC>")
