@@ -71,6 +71,16 @@ COHORT = [
     "pq_codes",
     "chat_assistant_dedup",
     "length_batches",
+    # r13 additions: the shuffle-bearing newcomers — inverted-index
+    # build+search (posexplode + partitioned write + pruned groupBy),
+    # index-side BM25 (postings tf/df + doclens join), the two-leg
+    # indexed hybrid, the BPE->budget->pack chain (Arrow BPE apply +
+    # two windows), and the one-agg constraint report
+    "indexed_term_search",
+    "indexed_bm25",
+    "hybrid_indexed",
+    "budget_select_bpe",
+    "constraint_report",
 ]
 
 

@@ -5621,3 +5621,15 @@ def test_cc_luhn_detection_and_redaction(spark):
     assert out[4] == (0, "order 1234567890123456 shipped")
     assert out[5] == (0, "no digits at all")
     assert out[6] == (2, "two: <CC> and <CC>")
+
+    # NULL text propagates NULL from both (the pii_counts family
+    # convention: NULL in, NULL out — callers coalesce per use case)
+    nrow = (
+        spark.createDataFrame([(7, None)], "doc_id long, text string")
+        .select(
+            pii.cc_count("text").alias("n"),
+            pii.redact_cc("text").alias("scrubbed"),
+        )
+        .collect()[0]
+    )
+    assert nrow.n is None and nrow.scrubbed is None
