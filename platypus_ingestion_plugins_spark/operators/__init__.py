@@ -33,6 +33,15 @@ from platypus_ingestion_plugins_spark.operators.profile import (  # noqa: F401
 from platypus_ingestion_plugins_spark.operators.resample import (  # noqa: F401
     resample_last_ffill,
 )
+from platypus_ingestion_plugins_spark.operators.validate import (  # noqa: F401
+    Check,
+    check_constraints,
+    not_null,
+    in_range,
+    accepted_values,
+    unique,
+    references,
+)
 from platypus_ingestion_plugins_spark.operators.chat import (  # noqa: F401
     render_chat,
     chat_turn_stats,
