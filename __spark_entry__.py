@@ -691,6 +691,45 @@ WHERE epoch_us(ts) >= 1704153600000000 AND epoch_us(ts) < 1704412800000000
 """
 
 
+_TERM_INDEX_MEMO: dict = {}
+
+
+def _term_index_for(spark, sf, positions: bool) -> str:
+    """One shared term index per (sf_dir, scheme) for the read-only
+    indexed queries (term/fuzzy/phrase/bm25/hybrid): the testdata
+    corpus is immutable per sf_dir, so rebuilding an identical index
+    per query would only re-pay the build cost N times in the bench.
+    Queries that MUTATE an index (lifecycle, streaming appends) build
+    their own scratch copies and never touch this one."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    key = (os.path.abspath(sf), positions)
+    path = _TERM_INDEX_MEMO.get(key)
+    if path is not None and os.path.exists(
+        os.path.join(path, "_term_buckets")
+    ):
+        return path
+    work = _stream_scratch("term_idx_shared_")
+    try:
+        idx = os.path.join(work, "idx")
+        TI.build_term_index(
+            _t(spark, sf, "documents"),
+            "text",
+            "doc_id",
+            idx,
+            buckets=32,
+            positions=positions,
+        )
+        _keep_until_exit(work, keep=idx)
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+    _TERM_INDEX_MEMO[key] = idx
+    return idx
+
+
 def q_indexed_term_search(spark, sf):
     """Materialized inverted term index (serving/text_index — the
     Lucene-parity scale path): posting lists written partitioned by
@@ -698,24 +737,14 @@ def q_indexed_term_search(spark, sf):
     posting reads (literal tb IN (...) partition filter — file skip
     before data I/O, proven by the input_file_name test) instead of a
     corpus scan. Same analyzer as the scan path, so the oracle is the
-    full-scan replay; n_matched is the coordination count."""
-    import shutil
-
+    full-scan replay; n_matched is the coordination count. The index
+    is the shared read-only build (_term_index_for)."""
     from platypus_ingestion_plugins_spark.serving import text_index as TI
 
-    d = _t(spark, sf, "documents")
-    work = _stream_scratch("term_idx_")
-    try:
-        idx = os.path.join(work, "idx")
-        TI.build_term_index(d, "text", "doc_id", idx, buckets=32)
-        out = TI.search_terms_indexed(
-            spark, idx, ["join", "scan", "merge"], id_col="doc_id"
-        )
-        _keep_until_exit(work, keep=idx)
-        return out
-    except BaseException:
-        shutil.rmtree(work, ignore_errors=True)
-        raise
+    idx = _term_index_for(spark, sf, positions=False)
+    return TI.search_terms_indexed(
+        spark, idx, ["join", "scan", "merge"], id_col="doc_id"
+    )
 
 
 SQL_INDEXED_TERM_SEARCH = """
@@ -734,25 +763,14 @@ def q_fuzzy_suggest(spark, sf):
     """Fuzzy term suggestion (serving/text_index.suggest_terms —
     Lucene FuzzyQuery parity): index terms within 2 edits of the
     query term (dist-0 exact hit included), ranked (distance,
-    doc-frequency desc, term). Scans
-    the distinct term DICTIONARY built by the inverted index, never
-    the corpus; both engines' levenshtein are the classic edit
-    distance, so the ranked cut replays exactly."""
-    import shutil
-
+    doc-frequency desc, term). Scans the distinct term DICTIONARY
+    built by the shared read-only index, never the corpus; both
+    engines' levenshtein are the classic edit distance, so the ranked
+    cut replays exactly."""
     from platypus_ingestion_plugins_spark.serving import text_index as TI
 
-    d = _t(spark, sf, "documents")
-    work = _stream_scratch("fuzzy_idx_")
-    try:
-        idx = os.path.join(work, "idx")
-        TI.build_term_index(d, "text", "doc_id", idx, buckets=32)
-        out = TI.suggest_terms(spark, idx, "part", max_dist=2, top=10)
-        _keep_until_exit(work, keep=idx)
-        return out
-    except BaseException:
-        shutil.rmtree(work, ignore_errors=True)
-        raise
+    idx = _term_index_for(spark, sf, positions=False)
+    return TI.suggest_terms(spark, idx, "part", max_dist=2, top=10)
 
 
 SQL_FUZZY_SUGGEST = """
@@ -871,30 +889,17 @@ GROUP BY doc_id
 
 def q_indexed_phrase_search(spark, sf):
     """PhraseQuery from positional postings (serving/text_index.
-    search_phrase_indexed): the index stores one posting per token
-    occurrence with its position (Lucene's positions model), the
-    pruned read touches only the phrase terms' buckets, and adjacency
-    is a codegen exists-walk over per-(doc, term) sorted position
-    arrays. The oracle replays the SCAN path's match_phrase semantics
-    (sentinel-padded token join + contains), cross-validating two
-    different algorithms."""
-    import shutil
-
+    search_phrase_indexed): the shared positional index stores one
+    posting per token occurrence with its position (Lucene's
+    positions model), the pruned read touches only the phrase terms'
+    buckets, and adjacency is a codegen exists-walk over per-(doc,
+    term) sorted position arrays. The oracle replays the SCAN path's
+    match_phrase semantics (sentinel-padded token join + contains),
+    cross-validating two different algorithms."""
     from platypus_ingestion_plugins_spark.serving import text_index as TI
 
-    d = _t(spark, sf, "documents")
-    work = _stream_scratch("phrase_idx_")
-    try:
-        idx = os.path.join(work, "idx")
-        TI.build_term_index(
-            d, "text", "doc_id", idx, buckets=32, positions=True
-        )
-        out = TI.search_phrase_indexed(spark, idx, "table scan")
-        _keep_until_exit(work, keep=idx)
-        return out
-    except BaseException:
-        shutil.rmtree(work, ignore_errors=True)
-        raise
+    idx = _term_index_for(spark, sf, positions=True)
+    return TI.search_phrase_indexed(spark, idx, "table scan")
 
 
 SQL_INDEXED_PHRASE_SEARCH = """
@@ -908,63 +913,40 @@ WHERE contains(
 
 def q_indexed_bm25(spark, sf):
     """BM25 from the index (serving/text_index.bm25_indexed — the
-    actual Lucene ranking path: tf/df from positional postings,
-    length norms from the _doclens side table) with the exact
-    scan-path formula and rounding. Same query terms as
+    actual Lucene ranking path: tf/df from the shared positional
+    postings, length norms from the _doclens side table) with the
+    exact scan-path formula and rounding. Same query terms as
     fulltext_bm25, so the oracle is the same SQL — three
     implementations (scan DataFrame, index DataFrame, DuckDB SQL)
     agreeing on every score."""
-    import shutil
-
     from platypus_ingestion_plugins_spark.serving import text_index as TI
 
-    d = _t(spark, sf, "documents")
-    work = _stream_scratch("bm25_idx_")
-    try:
-        idx = os.path.join(work, "idx")
-        TI.build_term_index(
-            d, "text", "doc_id", idx, buckets=32, positions=True
-        )
-        out = TI.bm25_indexed(spark, idx, "data engine spark vector")
-        _keep_until_exit(work, keep=idx)
-        return out
-    except BaseException:
-        shutil.rmtree(work, ignore_errors=True)
-        raise
+    idx = _term_index_for(spark, sf, positions=True)
+    return TI.bm25_indexed(spark, idx, "data engine spark vector")
 
 
 def q_hybrid_indexed(spark, sf):
     """Hybrid retrieval with BOTH legs answered from index structures
-    (the serving-stack shape at scale): BM25 from positional postings
-    + doclens (bm25_indexed — query cost tracks terms), sign-bucket
-    ANN for the vector leg (ann_topk — bucket filter, no full-corpus
-    rank), fused by integer RRF. Complements hybrid_search, whose legs
-    are the full-scan scorers; the oracle replays bucket filter, BM25,
-    and the floor(1e9/(60+rank)) points exactly."""
-    import shutil
-
+    (the serving-stack shape at scale): BM25 from the shared
+    positional postings + doclens (bm25_indexed — query cost tracks
+    terms), sign-bucket ANN for the vector leg (ann_topk — bucket
+    filter, no full-corpus rank), fused by integer RRF. Complements
+    hybrid_search, whose legs are the full-scan scorers; the oracle
+    replays bucket filter, BM25, and the floor(1e9/(60+rank)) points
+    exactly."""
     from platypus_ingestion_plugins_spark.serving import text_index as TI
 
-    d = _t(spark, sf, "documents")
-    e = _t(spark, sf, "embeddings")
-    work = _stream_scratch("hybrid_idx_")
-    try:
-        idx = os.path.join(work, "idx")
-        TI.build_term_index(
-            d, "text", "doc_id", idx, buckets=32, positions=True
-        )
-        bm = TI.bm25_indexed(spark, idx, "data engine spark vector")
-        vec = similarity.ann_topk(
-            e, e.filter(F.col("vec_id") == 0), k=50, dim=64
-        ).withColumnRenamed("vec_id", "doc_id")
-        out = SQ.rrf_fuse(
-            {"lex": bm, "vec": vec}, "doc_id", k_candidates=50, rrf_k=60, top=20
-        )
-        _keep_until_exit(work, keep=idx)
-        return out
-    except BaseException:
-        shutil.rmtree(work, ignore_errors=True)
-        raise
+    idx = _term_index_for(spark, sf, positions=True)
+    bm = TI.bm25_indexed(spark, idx, "data engine spark vector")
+    vec = similarity.ann_topk(
+        _t(spark, sf, "embeddings"),
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") == 0),
+        k=50,
+        dim=64,
+    ).withColumnRenamed("vec_id", "doc_id")
+    return SQ.rrf_fuse(
+        {"lex": bm, "vec": vec}, "doc_id", k_candidates=50, rrf_k=60, top=20
+    )
 
 
 SQL_HYBRID_INDEXED = """
