@@ -1111,6 +1111,88 @@ FROM v
 """
 
 
+def q_stream_constraints(spark, sf):
+    """Streaming constraint monitoring (operators/validate.
+    constraint_monitor): orders stream in two drops through a
+    checkpointed foreachBatch that lands a per-epoch constraint
+    report (per-epoch dir + overwrite — replay-idempotent, the DLQ
+    discipline); the summed row-local reports must equal the
+    whole-corpus counts exactly (each row's null/range/domain verdict
+    is batch-independent), which is what makes the guardrail
+    trustworthy under any batch split."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.operators import validate as V
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    lo, hi = _median_split(o, "o_orderkey")
+    checks = [
+        V.not_null("custkey_not_null", "o_custkey"),
+        V.in_range("price_range", "o_totalprice", lo=0, hi=300000),
+        V.accepted_values("status_domain", "o_orderstatus", ["O", "F"]),
+    ]
+    work = _stream_scratch("stream_constraints_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src = os.path.join(work, "src")
+        rep = os.path.join(work, "reports")
+        ckpt = os.path.join(work, "ckpt")
+        lo.coalesce(4).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def run_available():
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 100)
+                .parquet(src)
+                .writeStream.foreachBatch(V.constraint_monitor(checks, rep))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_available()
+        hi.coalesce(4).write.mode("append").parquet(src)
+        run_available()
+        out = (
+            V.read_reports(spark, rep)
+            .groupBy("check")
+            .agg(
+                F.sum("violations").alias("violations"),
+                F.sum("n_rows").alias("n_rows"),
+            )
+        )
+        _keep_until_exit(work, keep=rep)
+        return out
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+SQL_STREAM_CONSTRAINTS = """
+WITH v AS (
+  SELECT 'custkey_not_null' AS "check",
+         (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS violations
+  UNION ALL
+  SELECT 'price_range',
+         (SELECT count(*) FROM orders
+          WHERE o_totalprice < 0 OR o_totalprice > 300000)
+  UNION ALL
+  SELECT 'status_domain',
+         (SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('O', 'F')))
+SELECT "check", CAST(violations AS BIGINT) AS violations,
+       (SELECT count(*) FROM orders) AS n_rows
+FROM v
+"""
+
+
 def q_script_detect(spark, sf):
     """Writing-system detection (functions/text.script_counts /
     dominant_script): per-script character counts by Unicode BMP range
@@ -7875,6 +7957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_indexed": q_hybrid_indexed,
         "constraint_report": q_constraint_report,
         "cc_scrub": q_cc_scrub,
+        "stream_constraints": q_stream_constraints,
     }
 
 
@@ -8048,6 +8131,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_indexed": SQL_HYBRID_INDEXED,
         "constraint_report": SQL_CONSTRAINT_REPORT,
         "cc_scrub": SQL_CC_SCRUB,
+        "stream_constraints": SQL_STREAM_CONSTRAINTS,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

@@ -88,6 +88,33 @@ def references(name: str, col: str, ref: DataFrame, ref_col: str) -> Check:
     return Check(name, fk=(col, ref, ref_col))
 
 
+def constraint_monitor(checks: list[Check], report_path: str):
+    """Streaming guardrail: a ``foreachBatch`` hook that runs the
+    check set on every micro-batch and lands the report in a
+    per-epoch directory with overwrite — the DLQ replay discipline,
+    so an at-least-once redelivered batch overwrites ITS OWN report
+    instead of double-counting. Read the accumulated history with
+    ``read_reports``; ROW-LOCAL checks (null/range/domain/fk) sum
+    across batches to exactly the whole-corpus counts (each row's
+    verdict is batch-independent), while ``unique`` checks mean
+    WITHIN-BATCH uniqueness here — global uniqueness across a stream
+    is the serving table's key semantics, not a per-batch scan's."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        rep = check_constraints(batch_df, checks)
+        rep.write.mode("overwrite").parquet(f"{report_path}/epoch={epoch_id}")
+
+    return handle
+
+
+def read_reports(spark, report_path: str) -> DataFrame:
+    """The accumulated per-epoch constraint reports (epoch as a
+    column via partition discovery)."""
+    return (
+        spark.read.option("basePath", report_path).parquet(report_path)
+    )
+
+
 def check_constraints(df: DataFrame, checks: list[Check]) -> DataFrame:
     """Run the check set; see the module docstring for the job plan.
     Output: (check, violations, n_rows, passed), one row per check in
