@@ -123,6 +123,19 @@ def _query_buckets(
         buckets = pinned_buckets
     elif buckets is None:
         raise ValueError(f"index at {path} has no {_SIDECAR} sidecar; pass buckets")
+    from platypus_ingestion_plugins_spark.serving.query import _py_tokenize
+
+    for t in terms:
+        # postings hold single analyzed tokens; a multi-word or
+        # punctuation-bearing "term" would hash to a bucket and then
+        # silently match NOTHING (r13 review) — fail loudly and point
+        # at the right API instead
+        if t and _py_tokenize(t) != [t.lower()]:
+            raise ValueError(
+                f"term {t!r} is not a single analyzed token; pass analyzed "
+                "terms (serving.query tokenize semantics) or use "
+                "search_phrase_indexed for multi-word queries"
+            )
     norm = sorted({t.lower() for t in terms if t})
     if not norm:
         return [], [], buckets

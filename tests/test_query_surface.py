@@ -534,6 +534,13 @@ def test_term_index_build_search_and_prune(spark, tmp_path):
     # empty / no-op term sets
     assert TI.search_terms_indexed(spark, idx, []).count() == 0
 
+    # a multi-word or punctuation-bearing "term" would silently match
+    # nothing — fail loudly instead (r13 review)
+    with _pt.raises(ValueError, match="analyzed token"):
+        TI.search_terms_indexed(spark, idx, ["spark prunes"])
+    with _pt.raises(ValueError, match="analyzed token"):
+        TI.read_postings_pruned(spark, idx, ["spark!"])
+
 
 def test_suggest_terms_matches_pure_python(spark, tmp_path):
     """suggest_terms vs a pure-Python levenshtein replay: distance
