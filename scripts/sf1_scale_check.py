@@ -94,6 +94,10 @@ COHORT_100X = [
     "pipeline_clean_corpus",
     "image_neardup",
     "stream_exact_substring_dedup",
+    # r13: the round's flagship index — build (posexplode + partitioned
+    # write) and pruned search/BM25 must hold at the second decade too
+    "indexed_term_search",
+    "indexed_bm25",
 ]
 
 
