@@ -147,7 +147,10 @@ class ThroughputListener(StreamingQueryListener):
         return s
 
     def onQueryIdle(self, event):
-        pass
+        # a stream with no data still reports on cadence (the
+        # reference's stats thread is wall-clock driven, not
+        # batch-driven)
+        self.maybe_emit()
 
     def onQueryTerminated(self, event):
         pass

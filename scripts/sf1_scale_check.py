@@ -74,13 +74,14 @@ COHORT = [
     # r13 additions: the shuffle-bearing newcomers — inverted-index
     # build+search (posexplode + partitioned write + pruned groupBy),
     # index-side BM25 (postings tf/df + doclens join), the two-leg
-    # indexed hybrid, the BPE->budget->pack chain (Arrow BPE apply +
-    # two windows), and the one-agg constraint report
+    # indexed hybrid, and the BPE->budget->pack chain (Arrow BPE apply
+    # + two windows). constraint_report is NOT here: it reads
+    # orders/customer, which the documents/embeddings-only replica
+    # deliberately lacks (its shape is one agg + broadcast anti-joins).
     "indexed_term_search",
     "indexed_bm25",
     "hybrid_indexed",
     "budget_select_bpe",
-    "constraint_report",
 ]
 
 
