@@ -326,10 +326,11 @@ def main():
         "note": "10x replica of sf0.1 (word-prefix salted per replica; "
                 "see scripts/sf1_scale_check.py), one uncontended pass per "
                 "scale; scaling_factor_10x = sec(sf1)/sec(sf0.1), linear == 10. "
-                "tier100 (--tier100): 100x second-level replica for the three "
-                "most data-proportional entries; scaling_factor_100x = "
-                "sec(sf10)/sec(sf0.1), linear == 100; clean_corpus_stages "
-                "attributes the preset's cost per cumulative stage prefix",
+                "tier100 (--tier100): 100x second-level replica for the most "
+                "data-proportional entries plus the index family; "
+                "scaling_factor_100x = sec(sf10)/sec(sf0.1), linear == 100; "
+                "clean_corpus_stages times each preset stage in isolation "
+                "(inputs materialized before the clock starts)",
         "results": results,
     }
     if tier100:
