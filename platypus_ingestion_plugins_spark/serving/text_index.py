@@ -403,12 +403,14 @@ def suggest_terms(
     """FuzzyQuery parity (Lucene's fuzzy term matching): index terms
     within ``max_dist`` edits of the (lowercased) query term, ranked
     by (distance asc, doc-frequency desc, term asc) — a total order,
-    so the top-``top`` cut is deterministic. Scans the DISTINCT term
-    DICTIONARY, never the corpus (Lucene's fuzzy automaton walks the
-    term dict for the same reason — the dictionary is orders of
-    magnitude smaller than the postings); ``levenshtein`` is a JVM
-    codegen builtin on both engines. doc_freq counts distinct posting
-    rows, so re-appended idempotent batches don't inflate it.
+    so the top-``top`` cut is deterministic. The candidate set is the
+    term DICTIONARY, never the corpus text — though here the
+    dictionary is DERIVED by one scan over the postings (index ≪
+    corpus text; a deployment with heavy suggest volume would persist
+    a dictionary side table at compaction, the way Lucene keeps its
+    term dict — same pattern as ``_doclens``). ``levenshtein`` is a
+    JVM codegen builtin on both engines. doc_freq counts distinct
+    posting rows, so re-appended idempotent batches don't inflate it.
     Output: (term, doc_freq, dist)."""
     if max_dist < 0 or top < 1:
         raise ValueError(f"need max_dist >= 0 and top >= 1, got {max_dist}/{top}")
