@@ -101,6 +101,10 @@ def build_term_index(
         df.select(
             F.col(id_col), F.size(tokenize(text_col)).alias("dl")
         ).write.mode("append").parquet(f"{path}/_doclens")
+    if mode == "append":
+        # new postings invalidate the compaction-time term dictionary
+        # (suggest_terms would otherwise read a stale term set)
+        _fs.delete(spark, f"{path}/_termdict")
     _fs.write_text(spark, f"{path}/{_SIDECAR}", sidecar_val)
 
 
@@ -257,6 +261,20 @@ def compact_term_index(spark: SparkSession, path: str) -> None:
         _apply_deletes(
             spark, path, spark.read.parquet(dl_path).distinct()
         ).write.mode("overwrite").parquet(f"{staging}/_doclens")
+    # persist the term dictionary (Lucene keeps one for the same
+    # reason): (term, doc_freq) folded from the compacted postings, so
+    # suggest_terms reads dictionary-sized data instead of re-deriving
+    # from all postings. Valid only while no NEW tombstones arrive —
+    # readers check for _deletes and fall back to derivation.
+    doc_col = [c for c in compacted.columns if c not in ("term", "tb", "pos")][0]
+    (
+        compacted.select(doc_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+        .write.mode("overwrite")
+        .parquet(f"{staging}/_termdict")
+    )
     _fs.write_text(spark, f"{staging}/{_SIDECAR}", pinned)
     old = f"{path}.old"
     _fs.delete(spark, old)
@@ -404,24 +422,31 @@ def suggest_terms(
     within ``max_dist`` edits of the (lowercased) query term, ranked
     by (distance asc, doc-frequency desc, term asc) — a total order,
     so the top-``top`` cut is deterministic. The candidate set is the
-    term DICTIONARY, never the corpus text — though here the
-    dictionary is DERIVED by one scan over the postings (index ≪
-    corpus text; a deployment with heavy suggest volume would persist
-    a dictionary side table at compaction, the way Lucene keeps its
-    term dict — same pattern as ``_doclens``). ``levenshtein`` is a
-    JVM codegen builtin on both engines. doc_freq counts distinct
-    posting rows, so re-appended idempotent batches don't inflate it.
-    Output: (term, doc_freq, dist)."""
+    term DICTIONARY, never the corpus text: ``compact_term_index``
+    persists a ``_termdict`` side table (Lucene keeps one for the same
+    reason), and suggest reads THAT — dictionary-sized I/O — whenever
+    it is fresh; post-compaction appends or tombstones (``_deletes``
+    present) invalidate it and the dictionary is re-derived by one
+    scan over the postings (index ≪ corpus text) so answers are never
+    stale. ``levenshtein`` is a JVM codegen builtin on both engines.
+    doc_freq counts distinct posting rows, so re-appended idempotent
+    batches don't inflate it. Output: (term, doc_freq, dist)."""
     if max_dist < 0 or top < 1:
         raise ValueError(f"need max_dist >= 0 and top >= 1, got {max_dist}/{top}")
-    live = _apply_deletes(spark, path, spark.read.parquet(path))
-    doc_col = [c for c in live.columns if c not in ("term", "tb", "pos")][0]
-    dictionary = (
-        live.select(doc_col, "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
-    )
+    td_path = f"{path}/_termdict"
+    if _fs.exists(spark, td_path) and not _fs.exists(spark, f"{path}/_deletes"):
+        dictionary = spark.read.parquet(td_path)
+    else:
+        live = _apply_deletes(spark, path, spark.read.parquet(path))
+        doc_col = [
+            c for c in live.columns if c not in ("term", "tb", "pos")
+        ][0]
+        dictionary = (
+            live.select(doc_col, "term")
+            .distinct()
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+        )
     q = query_term.lower()
     return (
         dictionary.withColumn(

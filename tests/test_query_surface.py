@@ -796,3 +796,47 @@ def test_bm25_indexed_matches_scan_path(spark, tmp_path):
     TI.build_term_index(docs, "text", "doc_id", flat, buckets=8)
     with pytest.raises(ValueError, match="positions"):
         TI.bm25_indexed(spark, flat, q)
+
+
+def test_suggest_terms_termdict_lifecycle(spark, tmp_path):
+    """The compaction-persisted term dictionary: suggest answers from
+    _termdict after compaction (and they equal the derived answers);
+    a post-compaction APPEND invalidates it (file gone, fresh terms
+    visible); post-compaction TOMBSTONES force the derivation
+    fallback (deleted docs leave doc_freq immediately)."""
+    import os
+
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma"), (3, "delta")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "tdidx")
+    TI.build_term_index(docs, "text", "doc_id", idx, buckets=4)
+
+    def sugg():
+        return {
+            (r.term, r.doc_freq, r.dist)
+            for r in TI.suggest_terms(spark, idx, "alpha", max_dist=1).collect()
+        }
+
+    before = sugg()  # derived (no dict yet)
+    assert not os.path.exists(f"{idx}/_termdict")
+    TI.compact_term_index(spark, idx)
+    assert os.path.exists(f"{idx}/_termdict")
+    assert sugg() == before == {("alpha", 2, 0)}
+
+    # append invalidates: the stale dict must not hide 'alphq'
+    TI.build_term_index(
+        spark.createDataFrame([(4, "alphq")], "doc_id long, text string"),
+        "text", "doc_id", idx, buckets=4, mode="append",
+    )
+    assert not os.path.exists(f"{idx}/_termdict")
+    assert sugg() == {("alpha", 2, 0), ("alphq", 1, 1)}
+
+    # tombstones force the fallback even with a dict present
+    TI.compact_term_index(spark, idx)
+    assert os.path.exists(f"{idx}/_termdict")
+    TI.delete_docs(spark, idx, spark.createDataFrame([(1,)], "doc_id long"))
+    assert sugg() == {("alpha", 1, 0), ("alphq", 1, 1)}
