@@ -1193,6 +1193,42 @@ FROM v
 """
 
 
+def q_search_after(spark, sf):
+    """Cursor pagination (serving/query.search_after — Lucene's
+    searchAfter): page 2 of the (value desc, event_id) ranking fetched
+    by feeding back page 1's last (value, event_id) cursor — one
+    filtered TakeOrdered whose cost is cursor-depth independent, where
+    offset pagination pays limit(S+k). The boundary row is a bounded
+    1-row collect; the oracle recomputes it with a window and pages
+    identically (exact parquet doubles tie-break identically on both
+    engines)."""
+    ev = _t(spark, sf, "events")
+    page1 = (
+        ev.orderBy(F.col("value").desc(), F.col("event_id"))
+        .limit(10)
+        .collect()
+    )
+    last = page1[-1]
+    return SQ.search_after(
+        ev,
+        10,
+        "value",
+        float(last["value"]),
+        int(last["event_id"]),
+        "event_id",
+        descending=True,
+    ).select("event_id", "value")
+
+
+SQL_SEARCH_AFTER = """
+WITH ranked AS (
+  SELECT event_id, value,
+         row_number() OVER (ORDER BY value DESC, event_id) AS rn
+  FROM events)
+SELECT event_id, value FROM ranked WHERE rn > 10 AND rn <= 20
+"""
+
+
 def q_script_detect(spark, sf):
     """Writing-system detection (functions/text.script_counts /
     dominant_script): per-script character counts by Unicode BMP range
@@ -7958,6 +7994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_report": q_constraint_report,
         "cc_scrub": q_cc_scrub,
         "stream_constraints": q_stream_constraints,
+        "search_after": q_search_after,
     }
 
 
@@ -8132,6 +8169,7 @@ def oracle_sql() -> dict[str, str]:
         "constraint_report": SQL_CONSTRAINT_REPORT,
         "cc_scrub": SQL_CC_SCRUB,
         "stream_constraints": SQL_STREAM_CONSTRAINTS,
+        "search_after": SQL_SEARCH_AFTER,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

@@ -284,6 +284,40 @@ def top_hits(
     )
 
 
+def search_after(
+    index: DataFrame,
+    k: int,
+    order_by: str,
+    last_key,
+    last_id,
+    id_col: str,
+    descending: bool = False,
+) -> Column:
+    """Cursor ("deep") pagination — Lucene's searchAfter: the next
+    page is the k rows strictly AFTER the previous page's last
+    (sort_key, id) in the total order (key asc|desc, id asc). One
+    filtered TakeOrderedAndProject whose cost is independent of how
+    deep the cursor sits; ``top_hits(start_hit=S)`` instead pays a
+    limit(S + k) that grows with every page — the difference between
+    O(k) and O(S) per page when a client walks a 100 TB result set.
+    The (key, id) pair makes the cursor exact under key ties; the
+    caller feeds back the last row of each page verbatim."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key = F.col(order_by)
+    if descending:
+        after = (key < F.lit(last_key)) | (
+            (key == F.lit(last_key)) & (F.col(id_col) > F.lit(last_id))
+        )
+        order = [key.desc(), F.col(id_col).asc()]
+    else:
+        after = (key > F.lit(last_key)) | (
+            (key == F.lit(last_key)) & (F.col(id_col) > F.lit(last_id))
+        )
+        order = [key.asc(), F.col(id_col).asc()]
+    return index.filter(after).orderBy(*order).limit(k)
+
+
 def bm25_prf(
     df: DataFrame,
     field: str,

@@ -840,3 +840,37 @@ def test_suggest_terms_termdict_lifecycle(spark, tmp_path):
     assert os.path.exists(f"{idx}/_termdict")
     TI.delete_docs(spark, idx, spark.createDataFrame([(1,)], "doc_id long"))
     assert sugg() == {("alpha", 1, 0), ("alphq", 1, 1)}
+
+
+def test_search_after_cursor_semantics(spark):
+    """search_after: walking pages by cursor reproduces the offset
+    ranking exactly — including across a run of TIED sort keys, where
+    the (key, id) cursor is what keeps pages overlap- and gap-free."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, float(v)) for i, v in enumerate([9, 7, 7, 7, 7, 5, 5, 3, 2, 1])]
+    df = spark.createDataFrame(rows, "id long, v double")
+    full = [
+        (r.id, r.v)
+        for r in df.orderBy(F.col("v").desc(), F.col("id")).collect()
+    ]
+    pages, cursor = [], None
+    for _ in range(5):
+        if cursor is None:
+            page = df.orderBy(F.col("v").desc(), F.col("id")).limit(3).collect()
+        else:
+            page = Q.search_after(
+                df, 3, "v", cursor[1], cursor[0], "id", descending=True
+            ).collect()
+        if not page:
+            break
+        pages.extend((r.id, r.v) for r in page)
+        cursor = (page[-1].id, page[-1].v)
+    assert pages == full, (pages, full)
+    # ascending too
+    asc_full = [(r.id, r.v) for r in df.orderBy("v", "id").collect()]
+    first = df.orderBy("v", "id").limit(4).collect()
+    rest = Q.search_after(df, 10, "v", first[-1].v, first[-1].id, "id").collect()
+    assert [(r.id, r.v) for r in first + rest] == asc_full
+    with pytest.raises(ValueError):
+        Q.search_after(df, 0, "v", 1.0, 1, "id")
