@@ -1229,6 +1229,79 @@ SELECT event_id, value FROM ranked WHERE rn > 10 AND rn <= 20
 """
 
 
+def q_bpe_train(spark, sf):
+    """Distributed BPE TRAINING (functions/bpe.bpe_train — NEW r13):
+    the Sennrich trainer re-expressed Spark-first. One corpus scan
+    builds the distinct-word histogram (the only corpus-sized stage);
+    each merge round runs on the zipf-bounded vocab only — pair-count
+    groupBy, 1-row argmax collect (driver-bounded by construction),
+    and a pure-codegen replace over the same fully-wrapped STX·sym·ETX
+    representation the bpe_token_count oracle replay uses (adjacent
+    matches share no characters, so leftmost non-overlapping replace
+    IS the greedy merge pass). The oracle replays all 8 training
+    rounds in SQL: per round a pair-count CTE, a deterministic argmax
+    (count desc, then lexicographically greatest pair — equal to
+    Python tuple-max), and the same replace. Unit test pins
+    bpe_train == learn_bpe on adversarial ASCII (ties, overlapping
+    'aaaa' runs, multi-doc frequency aggregation)."""
+    from platypus_ingestion_plugins_spark.functions.bpe import bpe_train
+
+    d = _t(spark, sf, "documents")
+    merges = bpe_train(d, "text", 8)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, lhs string, rhs string",
+    )
+
+
+def _bpe_train_oracle_sql(n_merges: int = 8) -> str:
+    """The 8-round training replay: v0 = distinct-word histogram in
+    the wrapped representation; round i derives pair counts from
+    v{i-1} (list_zip of adjacent tokens), picks the argmax merge
+    m{i}, and applies it with the boundary-safe replace to form
+    v{i}. Exhaustion degrades identically on both engines (an empty
+    m{i} empties every later stage and the union skips those
+    ranks)."""
+    stages = []
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        stages.append(f"""
+t{i} AS (
+  SELECT freq,
+         list_transform(list_filter(string_split(rep, chr(3)), x -> x <> ''),
+                        x -> x[2:]) AS toks
+  FROM v{p}),
+p{i} AS (
+  SELECT u.pr[1] AS a, u.pr[2] AS b, sum(freq) AS c
+  FROM t{i}, unnest(list_zip(toks, toks[2:])) AS u(pr)
+  WHERE u.pr[2] IS NOT NULL
+  GROUP BY 1, 2),
+m{i} AS (SELECT a, b FROM p{i} ORDER BY c DESC, a DESC, b DESC LIMIT 1),
+v{i} AS (
+  SELECT replace(rep, chr(2) || m.a || chr(3) || chr(2) || m.b || chr(3),
+                 chr(2) || m.a || m.b || chr(3)) AS rep, freq
+  FROM v{p}, m{i} AS m)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, a AS lhs, b AS rhs FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(
+           replace(replace(coalesce(text, ''), chr(2), ''), chr(3), ''),
+           '\\w+|[^\\w\\s]')) AS w
+  FROM documents),
+v0 AS (
+  SELECT array_to_string(list_transform(string_split(w, ''),
+                                        c -> chr(2) || c || chr(3)), '')
+         || chr(2) || '</w>' || chr(3) AS rep,
+         count(*) AS freq
+  FROM words GROUP BY w),{','.join(stages)}
+{unions}
+ORDER BY rank
+"""
+
+
 def q_script_detect(spark, sf):
     """Writing-system detection (functions/text.script_counts /
     dominant_script): per-script character counts by Unicode BMP range
@@ -7995,6 +8068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_scrub": q_cc_scrub,
         "stream_constraints": q_stream_constraints,
         "search_after": q_search_after,
+        "bpe_train": q_bpe_train,
     }
 
 
@@ -8170,6 +8244,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_scrub": SQL_CC_SCRUB,
         "stream_constraints": SQL_STREAM_CONSTRAINTS,
         "search_after": SQL_SEARCH_AFTER,
+        "bpe_train": _bpe_train_oracle_sql(),
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

@@ -17,9 +17,12 @@ cache hit ~95%+ on natural text).
 
 ``learn_bpe`` is a driver-side trainer for samples/tests (pure
 Python, deterministic: ties on pair count break lexicographically).
-Learning at corpus scale is a sample problem by construction —
-published tokenizers train on <= a few GB — so the distributed side
-of this module is APPLICATION, not training.
+``bpe_train`` is the same algorithm distributed: one corpus scan
+builds the distinct-word histogram, then every merge round runs on
+the vocabulary table only (pair-count groupBy + 1-row argmax collect
++ pure-codegen replace) — the path for training over a corpus too
+large to sample to one machine's comfort, while published-table
+APPLICATION stays the hot path (``bpe_encode``).
 """
 
 from __future__ import annotations
@@ -79,6 +82,113 @@ def learn_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
                     i += 1
             new_vocab[tuple(out)] += cnt
         vocab = new_vocab
+    return merges
+
+
+_STX, _ETX = "\x02", "\x03"
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    *,
+    min_word_freq: int = 1,
+) -> list[tuple[str, str]]:
+    """Distributed BPE training: the Sennrich et al. 2016 trainer
+    re-expressed for Spark, byte-for-byte equivalent to ``learn_bpe``
+    on ASCII corpora (unit-pinned).
+
+    Shape at scale: the corpus is scanned ONCE to build the
+    distinct-word/frequency vocabulary (the only corpus-sized stage —
+    a partial-aggregatable groupBy). Every merge round then runs on
+    the VOCAB table only (zipf-bounded: distinct words, not
+    occurrences): one pair-count groupBy, one 1-row argmax collect
+    (driver-bounded by construction, the kmeans-centroids pattern),
+    and one pure-codegen ``replace`` applying the merge. No UDF
+    anywhere — the word is held as the fully-wrapped
+    ``STX·sym·ETX`` representation the ``bpe_token_count`` oracle
+    replay already uses, so adjacent replace matches share no
+    characters and left-to-right non-overlapping ``replace`` IS the
+    leftmost-greedy merge pass of ``learn_bpe`` (the fold never
+    re-merges the token it just produced: ``a+b != a`` for non-empty
+    ``b``).
+
+    Determinism: ties on pair count break on the lexicographically
+    greatest ``(left, right)`` pair — ``ORDER BY c DESC, a DESC,
+    b DESC`` equals Python tuple-max because tuple comparison is
+    first-element-then-second. Pretokenization runs JVM-side
+    (``regexp_extract_all`` with the same ``\\w+|[^\\w\\s]`` the
+    DuckDB replay uses — both ASCII ``\\w``; Python's ``re.UNICODE``
+    in ``pretokenize`` differs only on non-ASCII word characters,
+    so the ``learn_bpe`` equivalence is pinned on ASCII text). STX/ETX
+    control characters are stripped from the input first (both engines
+    alike) so text can never collide with the wrapping."""
+    spark = df.sparkSession  # noqa: F841  (documents the session scope)
+    words = df.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.translate(
+                    F.coalesce(F.col(text_col), F.lit("")), _STX + _ETX, ""
+                ),
+                F.lit(r"\w+|[^\w\s]"),
+                F.lit(0),
+            )
+        ).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= F.lit(min_word_freq))
+        .select(
+            F.concat(
+                F.regexp_replace("w", "(.)", _STX + "$1" + _ETX),
+                F.lit(_STX + _EOW + _ETX),
+            ).alias("rep"),
+            "freq",
+        )
+        .persist()
+    )
+    vocab.count()
+    pair_expr = F.explode(
+        F.expr(
+            "transform(slice(toks, 1, size(toks)-1),"
+            " (x, i) -> struct(x AS a, element_at(toks, i+2) AS b))"
+        )
+    )
+    toks_expr = F.expr(
+        "transform(filter(split(rep, '\\u0003'), x -> x != ''),"
+        " x -> substring(x, 2))"
+    )
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            top = (
+                vocab.withColumn("toks", toks_expr)
+                .select("freq", pair_expr.alias("p"))
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("c"))
+                .orderBy(F.desc("c"), F.desc("a"), F.desc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            nxt = vocab.withColumn(
+                "rep",
+                F.replace(
+                    F.col("rep"),
+                    F.lit(_STX + a + _ETX + _STX + b + _ETX),
+                    F.lit(_STX + a + b + _ETX),
+                ),
+            ).persist()
+            nxt.count()  # materialize before dropping the parent cache
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
     return merges
 
 

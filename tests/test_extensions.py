@@ -3702,6 +3702,44 @@ def test_bpe_learn_and_encode_sennrich_example(spark):
     assert got[2] == ([], 0)
 
 
+def test_bpe_train_distributed_equals_driver(spark):
+    """NEW r13: distributed BPE training (one corpus scan + per-round
+    vocab-only groupBy/argmax/replace) must learn the EXACT merge list
+    ``learn_bpe`` produces — same greedy leftmost apply, same
+    count-then-lexicographic-max tie rule — on an ASCII corpus that
+    exercises ties, overlapping runs ('aaaa' must merge greedily to
+    [aa, aa]), punctuation pretokens and multi-doc frequency
+    aggregation."""
+    from platypus_ingestion_plugins_spark.functions.bpe import (
+        bpe_train,
+        learn_bpe,
+    )
+
+    texts = [
+        "low low low low low lower lower newest newest newest",
+        "newest newest newest widest widest widest, banana!",
+        "aaaa aaaa baaab; low-key, lowest",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    for k in (1, 4, 12):
+        assert bpe_train(df, "text", k) == learn_bpe(texts, k), k
+    # exhaustion: a tiny vocab runs out of pairs and stops early
+    tiny = spark.createDataFrame([Row(doc_id=0, text="ab ab")],
+                                 "doc_id long, text string")
+    got = bpe_train(tiny, "text", 50)
+    assert got == learn_bpe(["ab ab"], 50) and len(got) < 50
+    # min_word_freq drops hapax words from the vocab before training
+    skewed = ["aa aa aa aa zz"]
+    df2 = spark.createDataFrame([Row(doc_id=0, text=skewed[0])],
+                                "doc_id long, text string")
+    only_freq = bpe_train(df2, "text", 1, min_word_freq=2)
+    assert only_freq == [("a", "a")]
+
+
 def test_scrub_tar_shards_partial_rewrite(spark, tmp_path):
     """NEW r11: right-to-be-forgotten over a committed tar export.
     Deleting k keys must rewrite ONLY the shards they live in —
