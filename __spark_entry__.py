@@ -786,6 +786,34 @@ ORDER BY dist, doc_freq DESC, term LIMIT 10
 """
 
 
+def q_indexed_wildcard(spark, sf):
+    """WildcardQuery (NEW r13, serving/text_index.search_wildcard_indexed
+    + query.match_wildcard): the Lucene rewrite — expand 's?a*' against
+    the term DICTIONARY (dictionary-sized I/O, TooManyClauses-capped),
+    then one pruned posting read over the matched terms. The oracle
+    replays the scan path (anchored regex over analyzed tokens), so
+    the two algorithms cross-validate; n_matched is the per-doc count
+    of distinct matched terms. Unit test pins indexed == scan on
+    '*'/'?' semantics, literal metachar escape, the cap, and
+    tombstones."""
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    idx = _term_index_for(spark, sf, positions=False)
+    return TI.search_wildcard_indexed(spark, idx, "s?a*", id_col="doc_id")
+
+
+SQL_INDEXED_WILDCARD = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '\\W+'), x -> x <> ''))) AS term
+  FROM documents)
+SELECT doc_id, CAST(count(*) AS INT) AS n_matched
+FROM toks WHERE regexp_matches(term, '^s.a.*$')
+GROUP BY doc_id
+"""
+
+
 def q_stream_term_index(spark, sf):
     """Streaming inverted-index maintenance: documents stream in two
     drops, each micro-batch APPENDS its posting lists to the
@@ -8069,6 +8097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_constraints": q_stream_constraints,
         "search_after": q_search_after,
         "bpe_train": q_bpe_train,
+        "indexed_wildcard": q_indexed_wildcard,
     }
 
 
@@ -8245,6 +8274,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_constraints": SQL_STREAM_CONSTRAINTS,
         "search_after": SQL_SEARCH_AFTER,
         "bpe_train": _bpe_train_oracle_sql(),
+        "indexed_wildcard": SQL_INDEXED_WILDCARD,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

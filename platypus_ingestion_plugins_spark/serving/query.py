@@ -67,6 +67,40 @@ def _py_tokenize(s: str) -> list[str]:
     return [t for t in re.split(r"\W+", s.lower(), flags=re.ASCII) if t]
 
 
+def wildcard_regex(pattern: str) -> str:
+    """Lucene WildcardQuery pattern -> anchored regex: ``*`` matches
+    any (possibly empty) run, ``?`` exactly one character, everything
+    else is literal (escaped character-by-character, so the
+    translation uses only the escaped-literal + ``.*`` / ``.`` regex
+    subset, which behaves identically in Java regex and RE2 — the
+    oracle replays it verbatim). The pattern is lowercased to match
+    the analyzer's lowercased terms: Lucene does not analyze wildcard
+    patterns, and lowercasing is the only normalization our analyzer
+    applies to single tokens."""
+    import re as _re
+
+    out = []
+    for ch in pattern.lower():
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def match_wildcard(field: str, pattern: str) -> Column:
+    """WildcardQuery on the scan path: true when ANY analyzed term of
+    ``field`` matches the pattern. Pure codegen (EXISTS over the
+    tokenized array + RLIKE) — no UDF. The indexed twin
+    (``text_index.search_wildcard_indexed``) answers the same query
+    from the term dictionary + pruned postings without touching the
+    corpus text."""
+    rx = wildcard_regex(pattern)
+    return F.exists(tokenize(field), lambda t: t.rlike(rx))
+
+
 def match_phrase(field: str, phrase: str) -> Column:
     """PhraseQuery: the analyzed phrase tokens appear contiguously and
     in order. Token-exact (not substring): the field's token array is

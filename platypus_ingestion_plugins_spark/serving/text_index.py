@@ -410,6 +410,83 @@ def bm25_indexed(
     return scored.groupBy(id_col).agg(F.round(F.sum("__w"), 6).alias("bm25"))
 
 
+def _term_dictionary(spark: SparkSession, path: str) -> DataFrame:
+    """The (term, doc_freq) dictionary every multi-term rewrite
+    (fuzzy, wildcard) expands against: the ``_termdict`` side table
+    ``compact_term_index`` persists whenever it is fresh (Lucene keeps
+    a term dictionary for the same reason); post-compaction appends or
+    live tombstones (``_deletes`` present) invalidate it and the
+    dictionary is re-derived by one scan over the postings (index ≪
+    corpus text), so answers are never stale. doc_freq counts distinct
+    (id, term) postings, so replayed idempotent appends don't inflate
+    it."""
+    td_path = f"{path}/_termdict"
+    if _fs.exists(spark, td_path) and not _fs.exists(spark, f"{path}/_deletes"):
+        return spark.read.parquet(td_path)
+    live = _apply_deletes(spark, path, spark.read.parquet(path))
+    doc_col = [c for c in live.columns if c not in ("term", "tb", "pos")][0]
+    return (
+        live.select(doc_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+    )
+
+
+def expand_wildcard(
+    spark: SparkSession,
+    path: str,
+    pattern: str,
+    max_expansions: int = 1024,
+) -> list[str]:
+    """Lucene WildcardQuery rewrite, step 1: expand the pattern
+    against the term DICTIONARY (``*`` = any run, ``?`` = one char,
+    pattern lowercased to the analyzer's terms) into a concrete term
+    list — dictionary-sized I/O, never the corpus. Expansion is capped
+    like Lucene's BooleanQuery rewrite (TooManyClauses at 1024 by
+    default): raising beats silently answering with a truncated term
+    set, which would drop matching documents. Returns the sorted
+    matched terms."""
+    if max_expansions < 1:
+        raise ValueError(f"max_expansions must be >= 1, got {max_expansions}")
+    from platypus_ingestion_plugins_spark.serving.query import wildcard_regex
+
+    rx = wildcard_regex(pattern)
+    got = (
+        _term_dictionary(spark, path)
+        .filter(F.col("term").rlike(rx))
+        .select("term")
+        .orderBy("term")
+        .limit(max_expansions + 1)
+        .collect()
+    )
+    if len(got) > max_expansions:
+        raise ValueError(
+            f"wildcard {pattern!r} expands to more than {max_expansions} "
+            "terms (Lucene TooManyClauses) — tighten the pattern or raise "
+            "max_expansions"
+        )
+    return [r["term"] for r in got]
+
+
+def search_wildcard_indexed(
+    spark: SparkSession,
+    path: str,
+    pattern: str,
+    id_col: str = "doc_id",
+    max_expansions: int = 1024,
+    buckets: int | None = None,
+) -> DataFrame:
+    """WildcardQuery answered from the index: dictionary expansion
+    (``expand_wildcard``) then one pruned posting read over the
+    matched terms (``search_terms_indexed`` OR semantics — n_matched
+    is the count of distinct matching terms per document). Query I/O =
+    dictionary + the matched terms' buckets; the corpus text is never
+    touched. Scan-path twin: ``query.match_wildcard``."""
+    terms = expand_wildcard(spark, path, pattern, max_expansions)
+    return search_terms_indexed(spark, path, terms, id_col=id_col, buckets=buckets)
+
+
 def suggest_terms(
     spark: SparkSession,
     path: str,
@@ -433,20 +510,7 @@ def suggest_terms(
     batches don't inflate it. Output: (term, doc_freq, dist)."""
     if max_dist < 0 or top < 1:
         raise ValueError(f"need max_dist >= 0 and top >= 1, got {max_dist}/{top}")
-    td_path = f"{path}/_termdict"
-    if _fs.exists(spark, td_path) and not _fs.exists(spark, f"{path}/_deletes"):
-        dictionary = spark.read.parquet(td_path)
-    else:
-        live = _apply_deletes(spark, path, spark.read.parquet(path))
-        doc_col = [
-            c for c in live.columns if c not in ("term", "tb", "pos")
-        ][0]
-        dictionary = (
-            live.select(doc_col, "term")
-            .distinct()
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
-        )
+    dictionary = _term_dictionary(spark, path)
     q = query_term.lower()
     return (
         dictionary.withColumn(

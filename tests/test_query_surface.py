@@ -542,6 +542,68 @@ def test_term_index_build_search_and_prune(spark, tmp_path):
         TI.read_postings_pruned(spark, idx, ["spark!"])
 
 
+def test_wildcard_scan_and_indexed_agree(spark, tmp_path):
+    """NEW r13: WildcardQuery. The indexed rewrite (term-dictionary
+    expansion -> pruned OR search) must return exactly the scan path's
+    match_wildcard ids; '*'/'?' semantics, literal-escape of regex
+    metachars, the TooManyClauses cap, empty expansion, and tombstone
+    visibility all pinned."""
+    from platypus_ingestion_plugins_spark.serving import query as SQ
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table scan beats table misuse"),
+            (2, "stable tables everywhere"),
+            (3, "scan the cable"),
+            (4, "tablet mode table"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "widx")
+    TI.build_term_index(docs, "text", "doc_id", idx, buckets=8)
+
+    for pattern, want_terms in [
+        ("tab*", ["table", "tables", "tablet"]),
+        ("?able", ["cable", "table"]),
+        ("*able*", ["cable", "stable", "table", "tables", "tablet"]),
+        ("scan", ["scan"]),
+        ("ta.le", []),  # '.' is LITERAL, not any-char
+        ("TAB*", ["table", "tables", "tablet"]),  # pattern lowercased
+    ]:
+        assert TI.expand_wildcard(spark, idx, pattern) == want_terms, pattern
+        got = {
+            r["doc_id"]
+            for r in TI.search_wildcard_indexed(spark, idx, pattern).collect()
+        }
+        scan = {
+            r["doc_id"]
+            for r in docs.filter(SQ.match_wildcard("text", pattern)).collect()
+        }
+        assert got == scan, pattern
+    # n_matched is the per-doc distinct matched-term count
+    got = {
+        r["doc_id"]: r["n_matched"]
+        for r in TI.search_wildcard_indexed(spark, idx, "tab*").collect()
+    }
+    assert got == {1: 1, 2: 1, 4: 2}
+    # empty expansion -> empty frame, schema intact
+    empty = TI.search_wildcard_indexed(spark, idx, "zz*")
+    assert empty.columns == ["doc_id", "n_matched"] and empty.count() == 0
+    # Lucene's TooManyClauses: cap is a loud error, not truncation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="TooManyClauses"):
+        TI.expand_wildcard(spark, idx, "*", max_expansions=3)
+    # tombstones: deleted docs leave results AND the dictionary count
+    TI.delete_docs(spark, idx, docs.filter("doc_id = 2").select("doc_id"))
+    got = {
+        r["doc_id"]
+        for r in TI.search_wildcard_indexed(spark, idx, "tab*").collect()
+    }
+    assert got == {1, 4}
+
+
 def test_suggest_terms_matches_pure_python(spark, tmp_path):
     """suggest_terms vs a pure-Python levenshtein replay: distance
     cut, (dist, doc_freq desc, term) ranking, dictionary-distinct
