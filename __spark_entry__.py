@@ -814,6 +814,43 @@ GROUP BY doc_id
 """
 
 
+def q_more_like_this(spark, sf):
+    """MoreLikeThis (NEW r13, serving/query.more_like_this — Lucene
+    MLT): the seed document's top-5 terms by tf·ln((N+1)/(df+1))
+    (min gates, (weight desc, term) cut) form a weight-boosted OR
+    query; candidates rank by the summed weights of their DISTINCT
+    matched terms, 6dp-rounded (bm25 convention), seed excluded,
+    (score desc, id) cut. Two corpus aggregations + one broadcast
+    join of the ≤5-term query — no collect beyond the N scalar."""
+    d = _t(spark, sf, "documents")
+    return SQ.more_like_this(
+        d, "text", "doc_id", 1, max_query_terms=5, top=10
+    )
+
+
+SQL_MORE_LIKE_THIS = """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                              x -> x <> '')) AS term
+    FROM documents) GROUP BY doc_id, term),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+sel AS (
+  SELECT tf.term, tf.tf * ln((n.n + 1) / (dfc.df + 1)) AS weight
+  FROM tf, dfc, n
+  WHERE tf.doc_id = 1 AND tf.term = dfc.term
+    AND tf.tf >= 1 AND dfc.df >= 1
+  ORDER BY weight DESC, tf.term LIMIT 5)
+SELECT tf.doc_id, round(sum(sel.weight), 6) AS mlt_score
+FROM tf JOIN sel ON tf.term = sel.term
+WHERE tf.doc_id <> 1
+GROUP BY tf.doc_id
+ORDER BY mlt_score DESC, doc_id LIMIT 10
+"""
+
+
 def q_stream_term_index(spark, sf):
     """Streaming inverted-index maintenance: documents stream in two
     drops, each micro-batch APPENDS its posting lists to the
@@ -8098,6 +8135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after": q_search_after,
         "bpe_train": q_bpe_train,
         "indexed_wildcard": q_indexed_wildcard,
+        "more_like_this": q_more_like_this,
     }
 
 
@@ -8275,6 +8313,7 @@ def oracle_sql() -> dict[str, str]:
         "search_after": SQL_SEARCH_AFTER,
         "bpe_train": _bpe_train_oracle_sql(),
         "indexed_wildcard": SQL_INDEXED_WILDCARD,
+        "more_like_this": SQL_MORE_LIKE_THIS,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

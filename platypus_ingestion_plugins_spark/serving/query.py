@@ -352,6 +352,78 @@ def search_after(
     return index.filter(after).orderBy(*order).limit(k)
 
 
+def more_like_this(
+    index: DataFrame,
+    field: str,
+    id_col: str,
+    seed_id,
+    max_query_terms: int = 25,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 1,
+    top: int = 10,
+) -> DataFrame:
+    """Lucene MoreLikeThis: select the seed document's most
+    informative terms by tf·idf, then rank the corpus by the boosted
+    OR query those terms form.
+
+    Term selection (Lucene's interesting-terms loop): seed-document
+    term frequency gated by ``min_term_freq``, document frequency
+    gated by ``min_doc_freq``, weight = tf · ln((N+1)/(df+1))
+    (strictly positive, monotone in Lucene's idf), top
+    ``max_query_terms`` by (weight desc, term) — a total order, so
+    the query is deterministic. Document ranking: weight-boosted
+    coordination — Σ weight over the DISTINCT selected terms a
+    candidate contains (the boost carries the seed's tf; presence,
+    not candidate-tf, keeps the score engine-replayable), seed
+    excluded, top-``top`` by (score desc, id). Scores round to 6dp
+    (the bm25_scores convention) so cross-engine float noise can't
+    reorder the cut.
+
+    Shape at scale: two aggregations over the tokenized corpus (tf
+    per (doc, term), then df per term), a point-filter for the seed,
+    and ONE broadcast join of the ≤ max_query_terms selected terms
+    against the term table — no collect, no cartesian. A missing
+    seed id yields an empty result (no terms to select), not an
+    error."""
+    if max_query_terms < 1 or top < 1:
+        raise ValueError(
+            f"need max_query_terms >= 1 and top >= 1, got "
+            f"{max_query_terms}/{top}"
+        )
+    tf = (
+        index.select(F.col(id_col), F.explode(tokenize(field)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_docs = index.select(F.countDistinct(id_col)).collect()[0][0]
+    selected = (
+        tf.filter(F.col(id_col) == F.lit(seed_id))
+        .filter(F.col("tf") >= F.lit(min_term_freq))
+        .join(df_counts, "term")
+        .filter(F.col("df") >= F.lit(min_doc_freq))
+        .select(
+            "term",
+            (
+                F.col("tf")
+                * F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1)))
+            ).alias("weight"),
+        )
+        .orderBy(F.desc("weight"), F.col("term"))
+        .limit(max_query_terms)
+    )
+    return (
+        tf.join(F.broadcast(selected), "term")
+        .filter(F.col(id_col) != F.lit(seed_id))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("weight"), 6).alias("mlt_score"))
+        .orderBy(F.desc("mlt_score"), F.col(id_col))
+        .limit(top)
+    )
+
+
 def bm25_prf(
     df: DataFrame,
     field: str,

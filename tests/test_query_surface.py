@@ -302,6 +302,73 @@ def test_length_batches_brute_force(spark):
         length_batches(nonpos, "doc_id", "n", batch_size=2).collect()
 
 
+def test_more_like_this_matches_python_replay(spark):
+    """NEW r13: MoreLikeThis. Term selection (tf·idf, min_term_freq /
+    min_doc_freq gates, (weight desc, term) cut) and weight-boosted
+    coordination ranking must match a pure-Python replay; missing
+    seed is empty, the term cap binds, the seed never ranks itself."""
+    import math
+
+    from platypus_ingestion_plugins_spark.serving.query import (
+        more_like_this,
+    )
+
+    rows = [
+        (1, "spark spark spark shuffle join"),
+        (2, "spark shuffle partition"),
+        (3, "join join merge"),
+        (4, "python driver"),
+        (5, "spark join shuffle merge"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def replay(seed, mqt, mtf, mdf, top):
+        toks = {i: t.split() for i, t in rows}
+        tf = {i: {} for i, _ in rows}
+        for i, ts in toks.items():
+            for t in ts:
+                tf[i][t] = tf[i].get(t, 0) + 1
+        dfc = {}
+        for i in tf:
+            for t in tf[i]:
+                dfc[t] = dfc.get(t, 0) + 1
+        n = len(rows)
+        sel = sorted(
+            (
+                (t, c * math.log((n + 1) / (dfc[t] + 1)))
+                for t, c in tf.get(seed, {}).items()
+                if c >= mtf and dfc[t] >= mdf
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )[:mqt]
+        w = dict(sel)
+        scored = [
+            (i, round(sum(wt for t, wt in w.items() if t in tf[i]), 6))
+            for i in tf
+            if i != seed and any(t in tf[i] for t in w)
+        ]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:top]
+
+    for seed, mqt, mtf, mdf, top in [
+        (1, 25, 1, 1, 10),
+        (1, 2, 1, 1, 10),   # cap binds: only the 2 best terms form the query
+        (1, 25, 2, 1, 10),  # min_term_freq drops single-occurrence seed terms
+        (1, 25, 1, 3, 10),  # min_doc_freq drops rare terms
+        (3, 25, 1, 1, 2),   # top cut
+    ]:
+        got = [
+            (r["doc_id"], r["mlt_score"])
+            for r in more_like_this(
+                df, "text", "doc_id", seed,
+                max_query_terms=mqt, min_term_freq=mtf,
+                min_doc_freq=mdf, top=top,
+            ).collect()
+        ]
+        assert got == replay(seed, mqt, mtf, mdf, top), (seed, mqt, mtf, mdf)
+    assert more_like_this(df, "text", "doc_id", 999).count() == 0
+
+
 def test_bm25_prf_expands_recall(spark):
     """PRF: a doc matching only a feedback-harvested term (not the
     original query) scores after expansion; term selection excludes
