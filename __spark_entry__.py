@@ -851,6 +851,37 @@ ORDER BY mlt_score DESC, doc_id LIMIT 10
 """
 
 
+def q_date_histogram(spark, sf):
+    """Date-histogram facet (NEW r13, serving/query.date_histogram_facet
+    — the ES/NRTSearch date_histogram): purchases over 100 bucket by
+    hour with min_doc_count=0, so EVERY hour between the slice's min
+    and max materializes and the gaps carry cnt 0 (the sequence() grid
+    is interval-bounded, broadcast-joined against one
+    partial-aggregatable groupBy). Bucket formatted to the hourly_agg
+    string convention for the oracle."""
+    ev = _t(spark, sf, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 100)
+    )
+    return SQ.date_histogram_facet(ev, "ts", "hour", 0).select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "cnt",
+    )
+
+
+SQL_DATE_HISTOGRAM = """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt
+  FROM events
+  WHERE event_type = 'purchase' AND value > 100 AND ts IS NOT NULL
+  GROUP BY 1),
+g AS (SELECT unnest(generate_series(min(bucket), max(bucket),
+                                    INTERVAL 1 HOUR)) AS bucket FROM b)
+SELECT strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       CAST(coalesce(b.cnt, 0) AS BIGINT) AS cnt
+FROM g LEFT JOIN b USING (bucket)
+"""
+
+
 def q_stream_term_index(spark, sf):
     """Streaming inverted-index maintenance: documents stream in two
     drops, each micro-batch APPENDS its posting lists to the
@@ -8136,6 +8167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "indexed_wildcard": q_indexed_wildcard,
         "more_like_this": q_more_like_this,
+        "date_histogram": q_date_histogram,
     }
 
 
@@ -8314,6 +8346,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_train_oracle_sql(),
         "indexed_wildcard": SQL_INDEXED_WILDCARD,
         "more_like_this": SQL_MORE_LIKE_THIS,
+        "date_histogram": SQL_DATE_HISTOGRAM,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

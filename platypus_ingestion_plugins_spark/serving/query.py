@@ -674,6 +674,59 @@ def histogram_facet(
     )
 
 
+_DATE_INTERVALS = ("hour", "day", "week", "month")
+
+
+def date_histogram_facet(
+    df: DataFrame,
+    ts_field: str,
+    interval: str,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """Date-histogram facet (the Elasticsearch/NRTSearch
+    date_histogram aggregation next to terms/histogram facets):
+    events bucket by calendar interval via ``date_trunc``, returning
+    (bucket, cnt). With ``min_doc_count=0`` the ES semantics apply —
+    EVERY interval between the data's min and max bucket
+    materializes, gaps carrying cnt 0 (one ``sequence()`` over the
+    1-row bounds aggregate, broadcast-joined against the counts —
+    the dense grid is interval-bounded, never row-bounded). NULL
+    timestamps carry no row (the facet_counts convention); week
+    buckets start Monday on both engines.
+
+    Shape at scale: one partial-aggregatable groupBy over a codegen
+    date_trunc; the densification side is grid-sized (hours between
+    min and max), not corpus-sized."""
+    if interval not in _DATE_INTERVALS:
+        raise ValueError(
+            f"interval must be one of {_DATE_INTERVALS}, got {interval!r}"
+        )
+    if min_doc_count < 0:
+        raise ValueError(f"min_doc_count must be >= 0, got {min_doc_count}")
+    buckets = (
+        df.where(F.col(ts_field).isNotNull())
+        .select(F.date_trunc(interval, F.col(ts_field)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if min_doc_count == 0:
+        grid = (
+            buckets.agg(
+                F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+            )
+            .where(F.col("mn").isNotNull())
+            .select(
+                F.explode(
+                    F.expr(f"sequence(mn, mx, interval 1 {interval})")
+                ).alias("bucket")
+            )
+        )
+        return grid.join(buckets, "bucket", "left").select(
+            "bucket", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+        )
+    return buckets.where(F.col("cnt") >= F.lit(min_doc_count))
+
+
 def retrieve_fields(df: DataFrame, fields: Sequence[str]) -> DataFrame:
     return df.select(*fields)
 

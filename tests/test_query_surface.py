@@ -302,6 +302,49 @@ def test_length_batches_brute_force(spark):
         length_batches(nonpos, "doc_id", "n", batch_size=2).collect()
 
 
+def test_date_histogram_facet(spark):
+    """NEW r13: date_histogram. min_doc_count=0 must materialize
+    EVERY calendar bucket between min and max with 0-filled gaps (ES
+    semantics); min_doc_count=1 only populated buckets; NULL ts rows
+    carry nothing; bad interval is a loud error."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from platypus_ingestion_plugins_spark.serving.query import (
+        date_histogram_facet,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 10, 15)
+    rows = [
+        (1, t0),
+        (2, t0.replace(minute=50)),
+        (3, t0 + dt.timedelta(hours=3)),  # hours 11 and 12 are gaps
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp_ntz")
+    dense = {
+        r["bucket"].hour: r["cnt"]
+        for r in date_histogram_facet(df, "ts", "hour", 0).collect()
+    }
+    assert dense == {10: 2, 11: 0, 12: 0, 13: 1}
+    sparse = {
+        r["bucket"].hour: r["cnt"]
+        for r in date_histogram_facet(df, "ts", "hour").collect()
+    }
+    assert sparse == {10: 2, 13: 1}
+    # day interval truncates to midnight; single bucket, no gaps
+    day = date_histogram_facet(df, "ts", "day", 0).collect()
+    assert len(day) == 1 and day[0]["cnt"] == 3
+    assert day[0]["bucket"] == dt.datetime(2024, 3, 1)
+    # empty input stays empty even when densifying
+    assert date_histogram_facet(
+        df.where("id > 100"), "ts", "hour", 0
+    ).count() == 0
+    with _pytest.raises(ValueError, match="interval"):
+        date_histogram_facet(df, "ts", "minute")
+
+
 def test_more_like_this_matches_python_replay(spark):
     """NEW r13: MoreLikeThis. Term selection (tf·idf, min_term_freq /
     min_doc_freq gates, (weight desc, term) cut) and weight-boosted
