@@ -882,6 +882,43 @@ FROM g LEFT JOIN b USING (bucket)
 """
 
 
+def q_key_skew(spark, sf):
+    """Key-skew diagnostic (NEW r13, operators/profile.key_skew_report):
+    the one-row shuffle-planning report for events.user_id — heaviest
+    key + share, per-key count percentiles, Gini. Everything after the
+    per-key groupBy runs on the (count, n_keys) frequency table
+    (bounded by distinct count VALUES, not keys), with exact
+    block-rank arithmetic for the Gini numerator; the oracle computes
+    the naive ranked sum over all keys — two algorithms
+    cross-validated."""
+    from platypus_ingestion_plugins_spark.operators.profile import (
+        key_skew_report,
+    )
+
+    return key_skew_report(_t(spark, sf, "events"), "user_id")
+
+
+SQL_KEY_SKEW = """
+WITH c AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
+s AS (SELECT count(*) AS n_keys, sum(cnt) AS n_rows, max(cnt) AS max_cnt,
+             quantile_cont(cnt, 0.5) AS p50, quantile_cont(cnt, 0.99) AS p99
+      FROM c),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn FROM c),
+g AS (SELECT sum(rn * cnt) AS srn, sum(cnt) AS t, count(*) AS n FROM r),
+tk AS (SELECT CAST(k AS VARCHAR) AS top_key FROM c
+       ORDER BY cnt DESC, k LIMIT 1)
+SELECT CAST(s.n_rows AS BIGINT) AS n_rows,
+       CAST(s.n_keys AS BIGINT) AS n_keys,
+       CAST(s.max_cnt AS BIGINT) AS max_cnt,
+       tk.top_key,
+       round(s.max_cnt / s.n_rows, 6) AS top_pct,
+       round(s.p50, 6) AS p50_cnt,
+       round(s.p99, 6) AS p99_cnt,
+       round((2.0 * g.srn - (g.n + 1) * g.t) / (g.n * g.t), 6) AS gini
+FROM s, g, tk
+"""
+
+
 def q_stream_term_index(spark, sf):
     """Streaming inverted-index maintenance: documents stream in two
     drops, each micro-batch APPENDS its posting lists to the
@@ -8168,6 +8205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_wildcard": q_indexed_wildcard,
         "more_like_this": q_more_like_this,
         "date_histogram": q_date_histogram,
+        "key_skew": q_key_skew,
     }
 
 
@@ -8347,6 +8385,7 @@ def oracle_sql() -> dict[str, str]:
         "indexed_wildcard": SQL_INDEXED_WILDCARD,
         "more_like_this": SQL_MORE_LIKE_THIS,
         "date_histogram": SQL_DATE_HISTOGRAM,
+        "key_skew": SQL_KEY_SKEW,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

@@ -64,6 +64,90 @@ def corpus_profile(
     )
 
 
+def key_skew_report(
+    df: DataFrame,
+    key: str,
+    percentiles: tuple[float, ...] = (0.5, 0.99),
+) -> DataFrame:
+    """Key-distribution diagnostic for shuffle planning: before a
+    100 TB join/groupBy on ``key``, this one-row report says whether
+    the key needs salting (``salted_join_agg``), AQE skew handling,
+    or nothing — max count, the heaviest key and its row share,
+    per-key count percentiles, and the Gini coefficient of the key
+    distribution (0 = uniform, → 1 = one key owns everything).
+
+    Scale shape: ONE partial-aggregatable groupBy builds the per-key
+    counts; everything downstream runs on the (count value,
+    n_keys-with-that-count) FREQUENCY table, which is bounded by the
+    number of DISTINCT count values, not keys — so the rank window
+    the Gini needs is over a tiny frame (a billion keys collapse to
+    at most thousands of distinct counts), never a single-reducer
+    pass over the keys. Rank-block arithmetic is exact: a block of
+    ``nk`` tied keys starting after ``s`` others contributes
+    ``cnt · (nk·s + nk(nk+1)/2)`` to the Gini numerator — identical
+    to any tie order, so the statistic is deterministic. Percentiles
+    use Spark's frequency-weighted ``percentile`` over the same tiny
+    table. NULL keys group as one key (groupBy semantics on both
+    engines). The heaviest key reports via a (cnt desc, key)
+    TakeOrdered and is cast to string for a stable schema."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    freq = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("nk"))
+    blocks = freq.withColumn(
+        "cum", F.sum("nk").over(Window.orderBy("cnt"))
+    )
+    pct_arr = ", ".join(repr(float(p)) for p in percentiles)
+    stats = blocks.agg(
+        F.sum(F.col("cnt") * F.col("nk")).alias("n_rows"),
+        F.sum("nk").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(
+            (
+                F.col("cnt")
+                * (
+                    (F.col("cum") - F.col("nk")) * F.col("nk")
+                    + F.expr("(nk * (nk + 1)) div 2")
+                )
+            ).cast("decimal(38,0)")
+        ).alias("srn"),
+        F.expr(f"percentile(cnt, array({pct_arr}), nk)").alias("pcts"),
+    )
+    top = (
+        counts.orderBy(F.desc("cnt"), F.col("k"))
+        .limit(1)
+        .select(F.col("k").cast("string").alias("top_key"))
+    )
+    out = stats.crossJoin(F.broadcast(top)).select(
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        "top_key",
+        F.round(F.col("max_cnt") / F.col("n_rows"), 6).alias("top_pct"),
+        *[
+            F.round(F.element_at("pcts", i + 1), 6).alias(
+                f"p{float(p) * 100:g}_cnt".replace(".", "_")
+            )
+            for i, p in enumerate(percentiles)
+        ],
+        F.round(
+            (
+                F.lit(2) * F.col("srn").cast("double")
+                - (F.col("n_keys") + F.lit(1)).cast("double")
+                * F.col("n_rows").cast("double")
+            )
+            / (
+                F.col("n_keys").cast("double")
+                * F.col("n_rows").cast("double")
+            ),
+            6,
+        ).alias("gini"),
+    )
+    return out
+
+
 def profile_merge_into(
     batch: DataFrame,
     text_col: str,

@@ -3702,6 +3702,43 @@ def test_bpe_learn_and_encode_sennrich_example(spark):
     assert got[2] == ([], 0)
 
 
+def test_key_skew_report_matches_python(spark):
+    """NEW r13: key-skew diagnostic. One-row report (counts, heaviest
+    key, percentiles, Gini) must match a pure-Python replay computed
+    from sorted per-key counts; the block-rank arithmetic over the
+    frequency table must equal the naive ranked sum; NULL keys group
+    as one key."""
+    from platypus_ingestion_plugins_spark.operators.profile import (
+        key_skew_report,
+    )
+
+    # key -> count: a=5, b=2, c=2, NULL=1  (ties exercise the blocks)
+    rows = (
+        [("a",)] * 5 + [("b",)] * 2 + [("c",)] * 2 + [(None,)]
+    )
+    df = spark.createDataFrame(rows, "k string")
+    got = key_skew_report(df, "k").collect()[0]
+    cnts = sorted([5, 2, 2, 1])
+    n, t = len(cnts), sum(cnts)
+    srn = sum((i + 1) * x for i, x in enumerate(cnts))
+    gini = round((2 * srn - (n + 1) * t) / (n * t), 6)
+
+    def q(p):
+        # the percentile/quantile_cont interpolation both engines use
+        idx = p * (n - 1)
+        lo, hi = int(idx), min(int(idx) + 1, n - 1)
+        return round(cnts[lo] + (idx - int(idx)) * (cnts[hi] - cnts[lo]), 6)
+
+    assert (got["n_rows"], got["n_keys"], got["max_cnt"]) == (10, 4, 5)
+    assert got["top_key"] == "a" and got["top_pct"] == 0.5
+    assert got["p50_cnt"] == q(0.5) and got["p99_cnt"] == q(0.99)
+    assert got["gini"] == gini
+    # uniform distribution -> gini 0
+    uni = spark.createDataFrame([(i % 4,) for i in range(8)], "k int")
+    r = key_skew_report(uni, "k").collect()[0]
+    assert r["gini"] == 0.0 and r["top_key"] == "0" and r["max_cnt"] == 2
+
+
 def test_bpe_train_distributed_equals_driver(spark):
     """NEW r13: distributed BPE training (one corpus scan + per-round
     vocab-only groupBy/argmax/replace) must learn the EXACT merge list
