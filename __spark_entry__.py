@@ -3312,6 +3312,62 @@ SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
 """
 
 
+def q_group_split(spark, sf):
+    """Leakage-free dataset split (NEW r13,
+    functions/sampling.leakage_free_split): near-dup clusters from
+    ngram-Jaccard + connected components, then every member hashes by
+    its GROUP id — a test doc's near-twin can never land in train,
+    the eval-leakage mode a row-hash split cannot prevent. Singletons
+    (absent from the pair-driven CC output) coalesce to their own id,
+    keeping the groups side duplicate-sized. Oracle replays the CC
+    recursion + the md5 split CASE."""
+    from platypus_ingestion_plugins_spark.functions.sampling import (
+        leakage_free_split,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    groups = dedup.connected_components_star(pairs, id_col="doc_id")
+    return leakage_free_split(
+        docs, "doc_id", groups, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "group_id", "split")
+
+
+SQL_GROUP_SPLIT_TEMPLATE = f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shf a JOIN shf b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+j AS (
+  SELECT id_a, id_b,
+         round(n_common::DOUBLE / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+  FROM inter
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM j WHERE jaccard >= 0.1
+  UNION
+  SELECT id_b, id_a FROM j WHERE jaccard >= 0.1),
+reach(id, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
+grp AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id),
+eff AS (
+  SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN grp g USING (doc_id)),
+h AS (
+  SELECT doc_id, group_id,
+         {{unit}} AS u
+  FROM eff)
+SELECT doc_id, group_id,
+       CASE WHEN u < 0.1 THEN 'test' WHEN u < 0.9 THEN 'train'
+            ELSE 'val' END AS split
+FROM h
+"""
+
+
 def q_dedup_survivors(spark, sf):
     """Best-duplicate survivor selection (dedup.pick_survivors): the
     near-dup groups of dedup_groups, but each group keeps its LONGEST
@@ -4438,6 +4494,10 @@ _UNIT_SQL = (
 
 SQL_PACK_SFT = SQL_PACK_SFT_TEMPLATE.format(
     unit=_UNIT_SQL.format(salt="shuffle", key="doc_id")
+)
+
+SQL_GROUP_SPLIT = SQL_GROUP_SPLIT_TEMPLATE.format(
+    unit=_UNIT_SQL.format(salt="split", key="group_id")
 )
 
 
@@ -8206,6 +8266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": q_more_like_this,
         "date_histogram": q_date_histogram,
         "key_skew": q_key_skew,
+        "group_split": q_group_split,
     }
 
 
@@ -8386,6 +8447,7 @@ def oracle_sql() -> dict[str, str]:
         "more_like_this": SQL_MORE_LIKE_THIS,
         "date_histogram": SQL_DATE_HISTOGRAM,
         "key_skew": SQL_KEY_SKEW,
+        "group_split": SQL_GROUP_SPLIT,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

@@ -111,6 +111,42 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def leakage_free_split(
+    df: DataFrame,
+    id_col: str,
+    groups: DataFrame,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Group-aware train/val/test assignment — the split that keeps
+    near-duplicates OUT of each other's splits: every member of a
+    duplicate group (``connected_components_star`` output:
+    (id_col, group_id)) hashes by its GROUP key, so a test document's
+    near-twin can never land in train (the eval-leakage mode a
+    row-hash split like ``hash_split(id)`` cannot prevent). Documents
+    absent from ``groups`` are singletons and hash by their own id
+    (the ``pick_survivors`` left-join-coalesce convention — pair-driven
+    CC output only labels clustered docs, so the groups side stays
+    duplicate-sized, not corpus-sized). Because the split key is the
+    group id (min reachable id), growing a cluster never moves its
+    existing members unless the minimum itself changes — and when it
+    does, the whole group moves TOGETHER, preserving the invariant.
+
+    Output: ``df``'s columns + ``group_id`` (coalesced effective key)
+    + ``split``. One shuffle join df⋈groups + the codegen hash CASE;
+    deterministic across runs and engines (md5 ``unit_hash``)."""
+    out = df.join(groups, id_col, "left").withColumn(
+        "group_id", F.coalesce(F.col("group_id"), F.col(id_col))
+    )
+    out = hash_split(
+        out.withColumn("_gkey", F.col("group_id").cast("string")),
+        "_gkey",
+        weights,
+        salt=salt,
+    )
+    return out.drop("_gkey")
+
+
 def temperature_mix(
     df: DataFrame,
     key: str,

@@ -3702,6 +3702,47 @@ def test_bpe_learn_and_encode_sennrich_example(spark):
     assert got[2] == ([], 0)
 
 
+def test_leakage_free_split_cotravel(spark):
+    """NEW r13: group-aware splits. Every member of a duplicate group
+    gets the group's split (no cross-split leakage); singletons hash
+    exactly like a plain hash_split on their own id; all rows keep
+    exactly one split label."""
+    from platypus_ingestion_plugins_spark.functions.sampling import (
+        hash_split,
+        leakage_free_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 41)], "doc_id long, text string"
+    )
+    groups = spark.createDataFrame(
+        # two clusters: {1,2,3} -> 1, {10,11} -> 10
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, group_id long",
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {
+        r["doc_id"]: (r["group_id"], r["split"])
+        for r in leakage_free_split(docs, "doc_id", groups, w).collect()
+    }
+    assert len(got) == 40
+    assert got[1] == got[2] == got[3]          # cluster co-travels
+    assert got[10] == got[11]
+    # singletons: identical to hashing the bare id
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            docs.withColumn("_gkey", F.col("doc_id").cast("string")),
+            "_gkey", w,
+        ).collect()
+    }
+    for i in range(4, 10):
+        assert got[i] == (i, plain[i]), i
+    # cluster members hash by GROUP id: doc 2 and 3 get doc 1's split
+    assert got[2][1] == plain[1] and got[3][1] == plain[1]
+    assert got[11][1] == plain[10]
+
+
 def test_key_skew_report_matches_python(spark):
     """NEW r13: key-skew diagnostic. One-row report (counts, heaviest
     key, percentiles, Gini) must match a pure-Python replay computed
