@@ -92,6 +92,15 @@ HEADLINE = [
     # r13 additions
     "range_bool_query",
     "ann_recall",
+    "date_histogram",
+    "key_skew",
+    # bpe_train / indexed_wildcard / more_like_this / group_split are
+    # NOT here: their queries() constructors EXECUTE (merge-round
+    # argmax collects / index build + dictionary expansion / the
+    # N-docs scalar / CC iteration) — static plans only. Their scale
+    # shapes are pinned by construction instead: vocab-only rounds,
+    # dictionary-sized expansion + pruned postings, one broadcast
+    # term join, duplicate-sized groups join (see each docstring).
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
@@ -106,6 +115,7 @@ EXPECT_BROADCAST = [
     "dsir_select",  # the bucket log-ratio table must broadcast to the scorer
     "perplexity_buckets",  # the capped-vocab LM must broadcast (unigram_logprob)
     "bigram_logprob",  # both model tables (bigram + unigram) must broadcast
+    "key_skew",  # the 1-row top-key frame must broadcast onto the stats row
 ]
 
 
