@@ -882,6 +882,82 @@ FROM g LEFT JOIN b USING (bucket)
 """
 
 
+def q_funnel(spark, sf):
+    """Funnel conversion (NEW r13, operators/analytics.funnel):
+    view -> click -> purchase with greedy in-order semantics (step i
+    needs a step-i event at-or-after the user's greedy step-i-1
+    time). ONE shuffle: groupBy/pivot collects per-step timestamp
+    lists, the step chain folds as nested codegen array expressions.
+    The oracle computes the same chain as k staged aggregations — two
+    algorithms cross-validated."""
+    from platypus_ingestion_plugins_spark.operators.analytics import funnel
+
+    return funnel(
+        _t(spark, sf, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+    )
+
+
+SQL_FUNNEL = """
+WITH u1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+u2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN u1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= u1.t1 GROUP BY 1),
+u3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN u2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= u2.t2 GROUP BY 1),
+c AS (SELECT (SELECT count(*) FROM u1) AS n1,
+             (SELECT count(*) FROM u2) AS n2,
+             (SELECT count(*) FROM u3) AS n3)
+SELECT step, step_idx, n_users,
+       CASE WHEN n1 > 0 THEN round(n_users / n1, 6) END AS pct_of_first
+FROM c, (
+  SELECT 'view' AS step, CAST(1 AS INT) AS step_idx,
+         (SELECT n1 FROM c) AS n_users
+  UNION ALL
+  SELECT 'click', CAST(2 AS INT), (SELECT n2 FROM c)
+  UNION ALL
+  SELECT 'purchase', CAST(3 AS INT), (SELECT n3 FROM c))
+"""
+
+
+def q_retention(spark, sf):
+    """Cohort retention (NEW r13, operators/analytics.cohort_retention):
+    users cohort by first-seen week, cells count distinct weekly
+    actives at each offset, retention anchored at offset 0. Two
+    partial-aggregatable aggregations + one user join; the result is
+    period-grid-sized."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    return cohort_retention(
+        _t(spark, sf, "events"), "user_id", "ts", "week"
+    ).withColumn("cohort", F.col("cohort").cast("string"))
+
+
+SQL_RETENTION = """
+WITH ev AS (
+  SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS p
+  FROM events WHERE ts IS NOT NULL),
+f AS (SELECT u, min(p) AS cohort FROM ev GROUP BY 1),
+a AS (SELECT DISTINCT u, p FROM ev),
+cells AS (
+  SELECT cohort, CAST((p - cohort) / 7 AS INT) AS "offset",
+         count(*) AS n_users
+  FROM a JOIN f USING (u) GROUP BY 1, 2),
+b AS (SELECT cohort, n_users AS base FROM cells WHERE "offset" = 0)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort, "offset", n_users,
+       round(n_users / base, 6) AS retention_pct
+FROM cells JOIN b USING (cohort)
+"""
+
+
 def q_key_skew(spark, sf):
     """Key-skew diagnostic (NEW r13, operators/profile.key_skew_report):
     the one-row shuffle-planning report for events.user_id — heaviest
@@ -8267,6 +8343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram": q_date_histogram,
         "key_skew": q_key_skew,
         "group_split": q_group_split,
+        "funnel": q_funnel,
+        "retention": q_retention,
     }
 
 
@@ -8448,6 +8526,8 @@ def oracle_sql() -> dict[str, str]:
         "date_histogram": SQL_DATE_HISTOGRAM,
         "key_skew": SQL_KEY_SKEW,
         "group_split": SQL_GROUP_SPLIT,
+        "funnel": SQL_FUNNEL,
+        "retention": SQL_RETENTION,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

@@ -1,0 +1,150 @@
+"""Event-sequence analytics: funnel conversion and cohort retention.
+
+The reference's serving stack answers per-event queries (terms,
+ranges, facets — serving/query.py); these operators cover the two
+sequence-shaped questions every event corpus gets asked that single
+aggregations can't express: "how many users complete step A then B
+then C, in order?" (funnel) and "of the users who arrived in period
+X, how many came back k periods later?" (retention).
+
+Both are pure DataFrame compositions — no UDF, no collect:
+
+- ``funnel`` makes ONE pass over the (filtered) events: a
+  groupBy/pivot collects each user's per-step timestamp lists, then
+  the greedy step-chain folds as nested codegen array expressions
+  (``array_min(filter(ts_i, t >= t_prev))``), so k steps cost one
+  shuffle, not k scans. NULLs propagate exactly like the greedy walk:
+  a user who never reaches step i has t_i NULL and every later filter
+  drops to an empty array.
+- ``cohort_retention`` is two partial-aggregatable aggregations
+  (first-seen period per user, distinct user-activity periods) and
+  one join on user — the result is period-grid-sized.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered funnel conversion: step i counts a user iff some step-i
+    event happens at-or-after the user's GREEDY completion time of
+    step i-1 (t_1 = min ts of step 1; t_i = min step-i ts >= t_{i-1}).
+    Greedy-min is the standard funnel semantics: it maximizes the
+    number of completed steps, so the counts are order-insensitive to
+    event arrival and replayable in plain SQL (the oracle chains k
+    staged aggregations; this implementation folds the same chain as
+    array expressions over ONE shuffle).
+
+    Output: (step, step_idx, n_users, pct_of_first) — pct 6dp-rounded,
+    NULL when the first step matched nobody. Duplicate step names
+    would make the pivot ambiguous and raise."""
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError(f"funnel needs >= 2 steps, got {steps}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps}")
+    per_user = (
+        df.filter(F.col(type_col).isin(steps))
+        .groupBy(F.col(user_col).alias("u"))
+        .pivot(type_col, steps)
+        .agg(F.collect_list(F.col(ts_col)))
+    )
+    def _at_or_after(prev: Column):
+        # one-arg lambda on purpose: a defaulted second parameter
+        # would make F.filter pass the ELEMENT INDEX as the bound arg
+        return lambda x: x >= prev
+
+    reach: list[Column] = []
+    t_prev: Column | None = None
+    for s in steps:
+        if t_prev is None:
+            t_i = F.array_min(F.col(s))
+        else:
+            t_i = F.array_min(F.filter(F.col(s), _at_or_after(t_prev)))
+        reach.append(t_i)
+        t_prev = t_i
+    counts = per_user.agg(
+        *[
+            F.count(t_i).cast("long").alias(f"n{i}")
+            for i, t_i in enumerate(reach)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{s}', {i + 1}, n{i}" for i, s in enumerate(steps)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(steps)}, {stack_args}) AS (step, step_idx, n_users)"
+        ),
+        F.col("n0").alias("_n0"),
+    ).select(
+        "step",
+        F.col("step_idx").cast("int").alias("step_idx"),
+        "n_users",
+        F.when(
+            F.col("_n0") > 0,
+            F.round(F.col("n_users") / F.col("_n0"), 6),
+        ).alias("pct_of_first"),
+    )
+
+
+_RETENTION_GRAINS = ("day", "week")
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention: users cohort by their FIRST-seen period
+    (date_trunc), activity is the distinct (user, period) set, and
+    cell (cohort, offset) counts the cohort's users active exactly
+    ``offset`` periods after arrival — offset 0 is the cohort size by
+    construction, so ``retention_pct`` divides by it. Two
+    partial-aggregatable aggregations + one join on user; output is
+    period-grid-sized. NULL timestamps carry no activity (and a user
+    whose every event is NULL-stamped never cohorts)."""
+    if granularity not in _RETENTION_GRAINS:
+        raise ValueError(
+            f"granularity must be one of {_RETENTION_GRAINS}, "
+            f"got {granularity!r}"
+        )
+    period = F.date_trunc(granularity, F.col(ts_col))
+    ev = df.where(F.col(ts_col).isNotNull()).select(
+        F.col(user_col).alias("u"), period.cast("date").alias("p")
+    )
+    firsts = ev.groupBy("u").agg(F.min("p").alias("cohort"))
+    activity = ev.distinct()
+    days = 7 if granularity == "week" else 1
+    cells = (
+        activity.join(firsts, "u")
+        .select(
+            "cohort",
+            (F.datediff(F.col("p"), F.col("cohort")) / F.lit(days))
+            .cast("int")
+            .alias("offset"),
+            "u",
+        )
+        .groupBy("cohort", "offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    base = cells.where(F.col("offset") == 0).select(
+        "cohort", F.col("n_users").alias("_base")
+    )
+    return cells.join(base, "cohort").select(
+        "cohort",
+        "offset",
+        "n_users",
+        F.round(F.col("n_users") / F.col("_base"), 6).alias("retention_pct"),
+    )

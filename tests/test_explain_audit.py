@@ -94,6 +94,8 @@ HEADLINE = [
     "ann_recall",
     "date_histogram",
     "key_skew",
+    "funnel",
+    "retention",
     # bpe_train / indexed_wildcard / more_like_this / group_split are
     # NOT here: their queries() constructors EXECUTE (merge-round
     # argmax collects / index build + dictionary expansion / the

@@ -3702,6 +3702,87 @@ def test_bpe_learn_and_encode_sennrich_example(spark):
     assert got[2] == ([], 0)
 
 
+def test_funnel_greedy_order(spark):
+    """NEW r13: funnel. Greedy in-order semantics: a user counts for
+    step i only with a step-i event at-or-after their greedy step-i-1
+    time; out-of-order completions don't count; ties (equal ts) do;
+    the one-pass array fold must equal the staged-aggregation
+    definition the oracle uses."""
+    import datetime as dt
+
+    from platypus_ingestion_plugins_spark.operators.analytics import funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1 completes all three in order
+        (1, t(0), "view"), (1, t(5), "click"), (1, t(9), "buy"),
+        # u2: click BEFORE view -> stalls at view
+        (2, t(5), "click"), (2, t(9), "view"),
+        # u3: view+click, no buy
+        (3, t(0), "view"), (3, t(1), "click"),
+        # u4: buy only -> counts nowhere
+        (4, t(0), "buy"),
+        # u5: simultaneous view/click (tie counts), buy earlier same ts
+        (5, t(3), "view"), (5, t(3), "click"), (5, t(3), "buy"),
+        # u6: greedy trap — early click is unusable, later one works
+        (6, t(2), "view"), (6, t(1), "click"), (6, t(4), "click"),
+        (6, t(5), "buy"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, et string")
+    got = {
+        r["step"]: (r["step_idx"], r["n_users"], r["pct_of_first"])
+        for r in funnel(df, "user_id", "ts", "et", ["view", "click", "buy"]).collect()
+    }
+    assert got == {
+        "view": (1, 5, 1.0),
+        "click": (2, 4, 0.8),
+        "buy": (3, 3, 0.6),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="distinct"):
+        funnel(df, "user_id", "ts", "et", ["view", "view"])
+
+
+def test_cohort_retention_grid(spark):
+    """NEW r13: cohort retention. First-seen period cohorts, distinct
+    (user, period) activity, offset arithmetic per granularity,
+    retention_pct anchored at offset 0."""
+    import datetime as dt
+
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    d = lambda day, h=0: dt.datetime(2024, 1, day, h)  # noqa: E731
+    rows = [
+        # cohort Jan-1 (week of 2024-01-01): u1 active wk0, wk1; u2 wk0 only
+        (1, d(1)), (1, d(2)), (1, d(8)),
+        (2, d(3)),
+        # cohort week of Jan-8: u3 wk0 and wk2
+        (3, d(9)), (3, d(22)),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    got = {
+        (str(r["cohort"]), r["offset"]): (r["n_users"], r["retention_pct"])
+        for r in cohort_retention(df, "user_id", "ts", "week").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 1.0),
+        ("2024-01-01", 1): (1, 0.5),
+        ("2024-01-08", 0): (1, 1.0),
+        ("2024-01-08", 2): (1, 1.0),
+    }
+    # day granularity: u1's Jan-1 and Jan-2 are offsets 0 and 1
+    day = {
+        (str(r["cohort"]), r["offset"]): r["n_users"]
+        for r in cohort_retention(df, "user_id", "ts", "day").collect()
+    }
+    assert day[("2024-01-01", 0)] == 1 and day[("2024-01-01", 1)] == 1
+    assert day[("2024-01-01", 7)] == 1  # Jan-8 is day-offset 7
+
+
 def test_leakage_free_split_cotravel(spark):
     """NEW r13: group-aware splits. Every member of a duplicate group
     gets the group's split (no cross-split leakage); singletons hash
