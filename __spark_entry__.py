@@ -882,6 +882,37 @@ FROM g LEFT JOIN b USING (bucket)
 """
 
 
+def q_multi_match(spark, sf):
+    """MultiMatchQuery (NEW r13, serving/query.multi_match): boosted
+    most_fields over (text ×1, source ×3) — integer coordination
+    counts × fixed boosts keep the score engine-exact; the whole
+    expression is per-row codegen, ranked top-20 with id tie-break."""
+    d = _t(spark, sf, "documents")
+    score = SQ.multi_match("scan src7 table", {"text": 1.0, "source": 3.0})
+    return (
+        d.select("doc_id", score.alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_MULTI_MATCH = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_intersect(list_distinct(list_filter(
+             string_split_regex(lower(text), '\\W+'), x -> x <> '')),
+             ['scan', 'src7', 'table'])) AS cb,
+         len(list_intersect(list_distinct(list_filter(
+             string_split_regex(lower(source), '\\W+'), x -> x <> '')),
+             ['scan', 'src7', 'table'])) AS cs
+  FROM documents)
+SELECT doc_id, 1.0 * cb + 3.0 * cs AS score
+FROM t WHERE 1.0 * cb + 3.0 * cs > 0
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
 def q_funnel(spark, sf):
     """Funnel conversion (NEW r13, operators/analytics.funnel):
     view -> click -> purchase with greedy in-order semantics (step i
@@ -8345,6 +8376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split": q_group_split,
         "funnel": q_funnel,
         "retention": q_retention,
+        "multi_match": q_multi_match,
     }
 
 
@@ -8528,6 +8560,7 @@ def oracle_sql() -> dict[str, str]:
         "group_split": SQL_GROUP_SPLIT,
         "funnel": SQL_FUNNEL,
         "retention": SQL_RETENTION,
+        "multi_match": SQL_MULTI_MATCH,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

@@ -227,6 +227,44 @@ def match_score(field: str, query: str) -> Column:
     )
 
 
+def multi_match(
+    query: str,
+    fields: dict[str, float],
+    mode: str = "most_fields",
+) -> Column:
+    """Lucene/ES MultiMatchQuery over boosted fields, scored with the
+    engine-replayable coordination count (``match_score``):
+
+    - ``most_fields``: Σ boost·coord(field) — fields reinforce each
+      other (the ES most_fields combiner);
+    - ``best_fields``: max boost·coord(field) — the single best field
+      wins (the ES default / DisMax with tie_breaker 0).
+
+    Integer coords × caller-fixed boosts keep the score exactly
+    reproducible across engines (the match_score rationale); the
+    whole expression is per-row codegen — no shuffle, no UDF. Boosts
+    must be positive: a zero boost silently erases a field from the
+    query (pass the field or don't), and a negative one inverts
+    ranking."""
+    if not fields:
+        raise ValueError("multi_match needs at least one field")
+    if mode not in ("most_fields", "best_fields"):
+        raise ValueError(f"mode must be most_fields|best_fields, got {mode!r}")
+    for f, b in fields.items():
+        if not b > 0:
+            raise ValueError(f"boost for {f!r} must be > 0, got {b}")
+    parts = [
+        (F.lit(float(b)) * match_score(f, query)).alias(f)
+        for f, b in sorted(fields.items())
+    ]
+    if mode == "most_fields":
+        out = parts[0]
+        for p in parts[1:]:
+            out = out + p
+        return out
+    return F.greatest(*parts) if len(parts) > 1 else parts[0]
+
+
 def bm25_scores(
     df: DataFrame,
     field: str,

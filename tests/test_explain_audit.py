@@ -96,6 +96,7 @@ HEADLINE = [
     "key_skew",
     "funnel",
     "retention",
+    "multi_match",
     # bpe_train / indexed_wildcard / more_like_this / group_split are
     # NOT here: their queries() constructors EXECUTE (merge-round
     # argmax collects / index build + dictionary expansion / the

@@ -302,6 +302,51 @@ def test_length_batches_brute_force(spark):
         length_batches(nonpos, "doc_id", "n", batch_size=2).collect()
 
 
+def test_multi_match_modes(spark):
+    """NEW r13: MultiMatchQuery. most_fields sums boosted coords,
+    best_fields takes the max; coords are distinct-token counts per
+    field; invalid boosts/modes are loud errors."""
+    import pytest as _pytest
+
+    from platypus_ingestion_plugins_spark.serving.query import multi_match
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark shuffle join", "spark docs"),
+            (2, "python driver", "spark internals"),
+            (3, "join join spark spark", "other"),
+        ],
+        "id long, body string, title string",
+    )
+    q = "spark join"
+    most = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id",
+            multi_match(q, {"body": 1.0, "title": 2.0}).alias("s"),
+        ).collect()
+    }
+    # coords: body(1)=2, title(1)=1 -> 1*2+2*1=4 ; body(2)=0, title(2)=1 -> 2
+    # body(3)=2 (distinct!), title(3)=0 -> 2
+    assert most == {1: 4.0, 2: 2.0, 3: 2.0}
+    best = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id",
+            multi_match(
+                q, {"body": 1.0, "title": 2.0}, mode="best_fields"
+            ).alias("s"),
+        ).collect()
+    }
+    assert best == {1: 2.0, 2: 2.0, 3: 2.0}
+    with _pytest.raises(ValueError, match="boost"):
+        multi_match(q, {"body": 0.0})
+    with _pytest.raises(ValueError, match="mode"):
+        multi_match(q, {"body": 1.0}, mode="cross_fields")
+    with _pytest.raises(ValueError, match="at least one"):
+        multi_match(q, {})
+
+
 def test_date_histogram_facet(spark):
     """NEW r13: date_histogram. min_doc_count=0 must materialize
     EVERY calendar bucket between min and max with 0-filled gaps (ES
