@@ -1026,6 +1026,46 @@ FROM s, g, tk
 """
 
 
+def q_mlt_indexed(spark, sf):
+    """Indexed MoreLikeThis (NEW r13,
+    text_index.more_like_this_indexed — Lucene MLT.like(text)): the
+    probe text analyzes locally (query-sized tf, no term-vector
+    store needed), df + candidates come from ONE pruned posting read
+    over the probe terms' buckets, N from the slim _doclens table —
+    corpus text never touched. Same selection/ranking math as the
+    scan path's more_like_this; the oracle replays the corpus-side
+    definition, cross-validating the index path."""
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    idx = _term_index_for(spark, sf, positions=True)
+    return TI.more_like_this_indexed(
+        spark, idx, "spark scan scan table join", max_query_terms=5, top=10
+    )
+
+
+SQL_MLT_INDEXED = """
+WITH qt AS (
+  SELECT t AS term, count(*) AS qtf FROM (
+    SELECT unnest(list_filter(
+        string_split_regex(lower('spark scan scan table join'), '\\W+'),
+        x -> x <> '')) AS t) GROUP BY 1),
+toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '\\W+'), x -> x <> ''))) AS term
+  FROM documents),
+dfc AS (SELECT term, count(*) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+sel AS (
+  SELECT qt.term, qt.qtf * ln((n.n + 1) / (dfc.df + 1)) AS weight
+  FROM qt JOIN dfc USING (term), n
+  ORDER BY weight DESC, term LIMIT 5)
+SELECT toks.doc_id, round(sum(sel.weight), 6) AS mlt_score
+FROM toks JOIN sel USING (term)
+GROUP BY 1 ORDER BY mlt_score DESC, doc_id LIMIT 10
+"""
+
+
 def q_stream_term_index(spark, sf):
     """Streaming inverted-index maintenance: documents stream in two
     drops, each micro-batch APPENDS its posting lists to the
@@ -8377,6 +8417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention": q_retention,
         "multi_match": q_multi_match,
+        "mlt_indexed": q_mlt_indexed,
     }
 
 
@@ -8561,6 +8602,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": SQL_FUNNEL,
         "retention": SQL_RETENTION,
         "multi_match": SQL_MULTI_MATCH,
+        "mlt_indexed": SQL_MLT_INDEXED,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

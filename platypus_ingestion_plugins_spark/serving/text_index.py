@@ -487,6 +487,92 @@ def search_wildcard_indexed(
     return search_terms_indexed(spark, path, terms, id_col=id_col, buckets=buckets)
 
 
+def more_like_this_indexed(
+    spark: SparkSession,
+    path: str,
+    like_text: str,
+    id_col: str = "doc_id",
+    max_query_terms: int = 25,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 1,
+    top: int = 10,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Lucene MoreLikeThis in ``like_text`` mode, answered FROM THE
+    INDEX: the probe text is analyzed locally (its term frequencies
+    are query-sized — Lucene's MLT.like(text) path, which needs no
+    forward/term-vector store), document frequencies and candidate
+    documents come from ONE pruned posting read over the probe's
+    terms' buckets, and N comes from the slim ``_doclens`` table —
+    corpus text is never touched.
+
+    Selection and ranking mirror the scan path
+    (``serving.query.more_like_this``): weight = qtf·ln((N+1)/(df+1)),
+    (weight desc, term) cut at ``max_query_terms``, candidates score
+    Σ weight over DISTINCT matched terms, 6dp-rounded, (score desc,
+    id) cut at ``top``. Requires a positional index (the
+    ``bm25_indexed`` contract — ``positions=True`` writes
+    ``_doclens``); tombstoned docs drop out of candidates, df, and N
+    alike."""
+    from collections import Counter
+
+    from platypus_ingestion_plugins_spark.serving.query import _py_tokenize
+
+    if max_query_terms < 1 or top < 1:
+        raise ValueError(
+            f"need max_query_terms >= 1 and top >= 1, got "
+            f"{max_query_terms}/{top}"
+        )
+    qtf = Counter(_py_tokenize(like_text))
+    cand = sorted(t for t, c in qtf.items() if c >= min_term_freq)
+    if not cand:
+        raise ValueError(
+            "like_text has no analyzed terms at min_term_freq "
+            f"{min_term_freq}"
+        )
+    dl_path = f"{path}/_doclens"
+    if not _fs.exists(spark, dl_path):
+        raise ValueError(
+            f"no _doclens table at {path}; more_like_this_indexed needs "
+            "a positional index (positions=True)"
+        )
+    n_docs = (
+        _apply_deletes(spark, path, spark.read.parquet(dl_path))
+        .select(id_col)
+        .distinct()
+        .count()
+    )
+    matches = read_postings_pruned(spark, path, cand, buckets).select(
+        id_col, "term"
+    ).distinct()
+    dfc = matches.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    qtf_frame = spark.createDataFrame(
+        [(t, int(qtf[t])) for t in cand], "term string, qtf long"
+    )
+    sel = (
+        dfc.join(F.broadcast(qtf_frame), "term")
+        .filter(F.col("df") >= F.lit(min_doc_freq))
+        .select(
+            "term",
+            (
+                F.col("qtf")
+                * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)))
+            ).alias("weight"),
+        )
+        .orderBy(F.desc("weight"), F.col("term"))
+        .limit(max_query_terms)
+    )
+    return (
+        matches.join(F.broadcast(sel), "term")
+        .groupBy(id_col)
+        .agg(F.round(F.sum("weight"), 6).alias("mlt_score"))
+        .orderBy(F.desc("mlt_score"), F.col(id_col))
+        .limit(top)
+    )
+
+
 def suggest_terms(
     spark: SparkSession,
     path: str,

@@ -759,6 +759,84 @@ def test_wildcard_scan_and_indexed_agree(spark, tmp_path):
     assert got == {1, 4}
 
 
+def test_more_like_this_indexed_matches_replay(spark, tmp_path):
+    """NEW r13: indexed MLT (like_text mode). Selection + ranking
+    must match a pure-Python replay over the corpus; tombstones shift
+    df, N and candidates; a flat index (no _doclens) and an empty
+    probe are loud errors."""
+    import math
+
+    import pytest as _pytest
+
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    rows = [
+        (1, "spark spark shuffle join"),
+        (2, "spark shuffle partition"),
+        (3, "join join merge"),
+        (4, "python driver"),
+        (5, "spark join shuffle merge"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "midx")
+    TI.build_term_index(docs, "text", "doc_id", idx, buckets=8, positions=True)
+
+    def replay(like, mqt, top, deleted=()):
+        live = {i: set(t.split()) for i, t in rows if i not in deleted}
+        qtf = {}
+        for t in like.split():
+            qtf[t] = qtf.get(t, 0) + 1
+        n = len(live)
+        dfc = {}
+        for ts in live.values():
+            for t in ts:
+                dfc[t] = dfc.get(t, 0) + 1
+        sel = sorted(
+            (
+                (t, c * math.log((n + 1) / (dfc[t] + 1)))
+                for t, c in qtf.items()
+                if t in dfc
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )[:mqt]
+        w = dict(sel)
+        scored = [
+            (i, round(sum(wt for t, wt in w.items() if t in ts), 6))
+            for i, ts in live.items()
+            if any(t in ts for t in w)
+        ]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:top]
+
+    like = "spark spark join query"
+    got = [
+        (r["doc_id"], r["mlt_score"])
+        for r in TI.more_like_this_indexed(spark, idx, like).collect()
+    ]
+    assert got == replay(like, 25, 10)
+    # cap binds
+    got = [
+        (r["doc_id"], r["mlt_score"])
+        for r in TI.more_like_this_indexed(
+            spark, idx, like, max_query_terms=1
+        ).collect()
+    ]
+    assert got == replay(like, 1, 10)
+    # tombstones shift df/N/candidates
+    TI.delete_docs(spark, idx, docs.filter("doc_id = 1").select("doc_id"))
+    got = [
+        (r["doc_id"], r["mlt_score"])
+        for r in TI.more_like_this_indexed(spark, idx, like).collect()
+    ]
+    assert got == replay(like, 25, 10, deleted={1})
+    with _pytest.raises(ValueError, match="analyzed terms"):
+        TI.more_like_this_indexed(spark, idx, "...")
+    flat = str(tmp_path / "flatidx")
+    TI.build_term_index(docs, "text", "doc_id", flat, buckets=8)
+    with _pytest.raises(ValueError, match="_doclens"):
+        TI.more_like_this_indexed(spark, flat, like)
+
+
 def test_suggest_terms_matches_pure_python(spark, tmp_path):
     """suggest_terms vs a pure-Python levenshtein replay: distance
     cut, (dist, doc_freq desc, term) ranking, dictionary-distinct
