@@ -184,7 +184,11 @@ def bpe_train(
                     F.lit(_STX + a + b + _ETX),
                 ),
             ).persist()
-            nxt.count()  # materialize before dropping the parent cache
+            try:
+                nxt.count()  # materialize before dropping the parent cache
+            except BaseException:
+                nxt.unpersist()  # don't leak the round's cache on failure
+                raise
             vocab.unpersist()
             vocab = nxt
     finally:

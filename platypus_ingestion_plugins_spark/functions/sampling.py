@@ -135,6 +135,14 @@ def leakage_free_split(
     Output: ``df``'s columns + ``group_id`` (coalesced effective key)
     + ``split``. One shuffle join df⋈groups + the codegen hash CASE;
     deterministic across runs and engines (md5 ``unit_hash``)."""
+    if "group_id" in df.columns:
+        # the join would carry two group_id columns and the coalesce
+        # below would be ambiguous — fail loudly instead of resolving
+        # to whichever side the analyzer happens to pick
+        raise ValueError(
+            "df already has a group_id column; rename it before "
+            "leakage_free_split"
+        )
     out = df.join(groups, id_col, "left").withColumn(
         "group_id", F.coalesce(F.col("group_id"), F.col(id_col))
     )

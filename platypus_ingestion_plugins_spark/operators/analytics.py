@@ -53,6 +53,12 @@ def funnel(
         raise ValueError(f"funnel needs >= 2 steps, got {steps}")
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel steps must be distinct, got {steps}")
+    for s in steps:
+        # step names become pivot column names and stack() literals;
+        # a quote would break the expression and 'u' collides with
+        # the internal user column — reject rather than mis-parse
+        if "'" in s or "`" in s or s == "u":
+            raise ValueError(f"unsupported step name {s!r}")
     per_user = (
         df.filter(F.col(type_col).isin(steps))
         .groupBy(F.col(user_col).alias("u"))

@@ -3742,6 +3742,10 @@ def test_funnel_greedy_order(spark):
 
     with _pytest.raises(ValueError, match="distinct"):
         funnel(df, "user_id", "ts", "et", ["view", "view"])
+    with _pytest.raises(ValueError, match="unsupported step"):
+        funnel(df, "user_id", "ts", "et", ["view", "it's"])
+    with _pytest.raises(ValueError, match="unsupported step"):
+        funnel(df, "user_id", "ts", "et", ["u", "view"])
 
 
 def test_cohort_retention_grid(spark):
@@ -3822,6 +3826,13 @@ def test_leakage_free_split_cotravel(spark):
     # cluster members hash by GROUP id: doc 2 and 3 get doc 1's split
     assert got[2][1] == plain[1] and got[3][1] == plain[1]
     assert got[11][1] == plain[10]
+    # a pre-existing group_id column would make the coalesce ambiguous
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="group_id"):
+        leakage_free_split(
+            docs.withColumn("group_id", F.lit(0)), "doc_id", groups, w
+        )
 
 
 def test_key_skew_report_matches_python(spark):

@@ -388,6 +388,20 @@ def test_date_histogram_facet(spark):
     ).count() == 0
     with _pytest.raises(ValueError, match="interval"):
         date_histogram_facet(df, "ts", "minute")
+    # calendar-interval densification: two events five weeks apart
+    # materialize all six Monday-aligned weekly buckets
+    wk = spark.createDataFrame(
+        [(1, dt.datetime(2024, 3, 6)), (2, dt.datetime(2024, 4, 9))],
+        "id long, ts timestamp_ntz",
+    )
+    weeks = sorted(
+        (r["bucket"], r["cnt"])
+        for r in date_histogram_facet(wk, "ts", "week", 0).collect()
+    )
+    assert len(weeks) == 6
+    assert weeks[0] == (dt.datetime(2024, 3, 4), 1)   # Monday-truncated
+    assert weeks[-1] == (dt.datetime(2024, 4, 8), 1)
+    assert all(c == 0 for _, c in weeks[1:-1])
 
 
 def test_more_like_this_matches_python_replay(spark):
