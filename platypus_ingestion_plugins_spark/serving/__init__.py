@@ -3,11 +3,16 @@ from platypus_ingestion_plugins_spark.serving.query import (  # noqa: F401
     term,
     term_in_set,
     match_text,
+    match_wildcard,
+    multi_match,
+    more_like_this,
     range_query,
     bool_query,
+    date_histogram_facet,
     top_hits,
     retrieve_fields,
     search,
+    search_after,
 )
 from platypus_ingestion_plugins_spark.serving.table import ServingTable  # noqa: F401
 from platypus_ingestion_plugins_spark.serving.text_index import (  # noqa: F401
@@ -16,6 +21,8 @@ from platypus_ingestion_plugins_spark.serving.text_index import (  # noqa: F401
     search_phrase_indexed,
     bm25_indexed,
     suggest_terms,
+    search_wildcard_indexed,
+    more_like_this_indexed,
     delete_docs,
     compact_term_index,
 )

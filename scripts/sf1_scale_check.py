@@ -82,6 +82,19 @@ COHORT = [
     "indexed_bm25",
     "hybrid_indexed",
     "budget_select_bpe",
+    # r13 continuation batch: the documents-reading newcomers with a
+    # real scale dimension — distributed BPE training (the replica
+    # prefixes multiply DISTINCT words, so the vocab-only merge rounds
+    # face a genuinely 10x vocabulary), scan-path and indexed MLT
+    # (corpus aggs / pruned postings + doclens), and the CC-grouped
+    # split (pairs + star rounds + md5 hash join). The events-reading
+    # newcomers (funnel/retention/key_skew/date_histogram) can't run
+    # on the documents-only replica; their shapes are one-or-two
+    # partial-aggregatable shuffles by construction.
+    "bpe_train",
+    "more_like_this",
+    "mlt_indexed",
+    "group_split",
 ]
 
 
