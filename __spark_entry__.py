@@ -1534,6 +1534,58 @@ def q_bpe_train(spark, sf):
     )
 
 
+def q_chunk_tokens(spark, sf):
+    """Token-budgeted RAG chunking (NEW r13,
+    functions/bpe.chunk_text_tokens): 32-token windows with 8 tokens
+    of overlap under the FROZEN merge table — the retrieval-chunking
+    contract embedding models actually have. One Arrow-batched encode
+    + codegen windowing; trailing windows fully contained in their
+    predecessor are suppressed (the standard splitter stop rule). The
+    oracle rebuilds each document's token stream with the shared
+    replace-chain word replay and slices the same windows in SQL."""
+    from platypus_ingestion_plugins_spark.functions.bpe import (
+        chunk_text_tokens,
+        load_merges_txt,
+    )
+
+    d = _t(spark, sf, "documents")
+    merges = load_merges_txt(_BPE_FROZEN)
+    return chunk_text_tokens(
+        d, "text", "doc_id", merges, max_tokens=32, overlap=8
+    )
+
+
+def _chunk_tokens_oracle_sql() -> str:
+    rep = _bpe_word_rep_sql("w")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_extract_all(coalesce(text, ''), '\\w+|[^\\w\\s]') AS ws
+  FROM documents),
+toksd AS (
+  SELECT doc_id,
+         flatten(list_transform(ws, w ->
+           list_transform(
+             list_filter(string_split({rep}, chr(3)), x -> x <> ''),
+             x -> x[2:])
+         )) AS toks
+  FROM d),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM toksd WHERE len(toks) > 0),
+wins AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           list_filter(generate_series(1, n, 24),
+                       s -> s = 1 OR s <= n - 8),
+           s -> struct_pack(chunk_id := CAST((s - 1) // 24 AS INT),
+                            toks := toks[s : s + 31]))) AS c
+  FROM nz)
+SELECT doc_id, c.chunk_id AS chunk_id,
+       CAST(len(c.toks) AS BIGINT) AS n_tokens,
+       rtrim(replace(array_to_string(c.toks, ''), '</w>', ' ')) AS chunk
+FROM wins
+"""
+
+
 def _bpe_train_oracle_sql(n_merges: int = 8) -> str:
     """The 8-round training replay: v0 = distinct-word histogram in
     the wrapped representation; round i derives pair counts from
@@ -7728,15 +7780,11 @@ def q_bpe_token_count(spark, sf):
     )
 
 
-def _bpe_count_ctes() -> str:
-    """The shared BPE-replay CTE chain (words -> reps -> per_doc ->
-    bpe_counts) generated from the frozen merge table: each word
-    becomes STX-c-ETX per char + STX-</w>-ETX (full wrapping, so
-    adjacent replace matches share no characters and left-to-right
-    non-overlapping replace == leftmost-greedy merge), then one
-    replace() per merge in rank order. Token count per word = count
-    of STX. The fixture corpus is ASCII with no STX/ETX (asserted at
-    freeze time), so the wrap chars cannot collide with text."""
+def _bpe_word_rep_sql(var: str) -> str:
+    """The frozen-merge-table replay expression for ONE word held in
+    SQL variable ``var``: full STX·sym·ETX wrapping + one replace()
+    per merge in rank order (see _bpe_count_ctes for why adjacent
+    matches can't share characters)."""
     from platypus_ingestion_plugins_spark.functions.bpe import (
         load_merges_txt,
     )
@@ -7747,7 +7795,7 @@ def _bpe_count_ctes() -> str:
         return s.replace("'", "''")
 
     expr = (
-        "array_to_string(list_transform(string_split(w, ''), "
+        f"array_to_string(list_transform(string_split({var}, ''), "
         f"c -> '{stx}' || c || '{etx}'), '') || '{stx}</w>{etx}'"
     )
     for a, b in load_merges_txt(_BPE_FROZEN):
@@ -7755,6 +7803,20 @@ def _bpe_count_ctes() -> str:
             f"replace({expr}, '{esc(stx + a + etx + stx + b + etx)}', "
             f"'{esc(stx + a + b + etx)}')"
         )
+    return expr
+
+
+def _bpe_count_ctes() -> str:
+    """The shared BPE-replay CTE chain (words -> reps -> per_doc ->
+    bpe_counts) generated from the frozen merge table: each word
+    becomes STX-c-ETX per char + STX-</w>-ETX (full wrapping, so
+    adjacent replace matches share no characters and left-to-right
+    non-overlapping replace == leftmost-greedy merge), then one
+    replace() per merge in rank order. Token count per word = count
+    of STX. The fixture corpus is ASCII with no STX/ETX (asserted at
+    freeze time), so the wrap chars cannot collide with text."""
+    expr = _bpe_word_rep_sql("w")
+    stx = "\x02"
     return f"""
 WITH words AS (
   SELECT doc_id,
@@ -8418,6 +8480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "multi_match": q_multi_match,
         "mlt_indexed": q_mlt_indexed,
+        "chunk_tokens": q_chunk_tokens,
     }
 
 
@@ -8603,6 +8666,7 @@ def oracle_sql() -> dict[str, str]:
         "retention": SQL_RETENTION,
         "multi_match": SQL_MULTI_MATCH,
         "mlt_indexed": SQL_MLT_INDEXED,
+        "chunk_tokens": _chunk_tokens_oracle_sql(),
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

@@ -196,6 +196,74 @@ def bpe_train(
     return merges
 
 
+def chunk_text_tokens(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+    max_tokens: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Token-budgeted RAG chunking: windows of ``max_tokens`` REAL
+    BPE tokens with ``overlap`` tokens of context carry-over — the
+    retrieval-chunking contract embedding models actually have (a
+    token budget), where ``text.chunk_text``'s character windows only
+    approximate it. Chunks start every ``stride = max_tokens -
+    overlap`` tokens, so chunk k holds tokens [k·stride, k·stride +
+    max_tokens); the final partial window is kept (standard RAG
+    practice — dropping it loses the document tail).
+
+    ``chunk`` is the detokenized window: concatenated symbols with
+    the ``</w>`` end-of-word markers becoming spaces — i.e.
+    whitespace-NORMALIZED text (pretokenization discards the original
+    spacing; punctuation detaches: 'low-key' -> 'low - key'),
+    documented like the analyzer's other normalizations. Documents
+    with no tokens yield no chunks.
+
+    One Arrow-batched encode (``bpe_encode`` — the module's
+    documented slow-path exception) + pure codegen windowing
+    (sequence/slice/explode): chunk fan-out is token-budget-bounded
+    per row, never a shuffle."""
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if overlap < 0 or overlap >= max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap}"
+        )
+    stride = max_tokens - overlap
+    enc = bpe_encode(df, text_col, id_col, merges)
+    # a window starting at s adds new tokens iff the previous window
+    # didn't already reach the document end: prev covered through
+    # (s - stride) + max_tokens - 1 >= n  <=>  s > n - overlap — so
+    # keep s = 1 (there's always a first chunk) or s <= n - overlap,
+    # suppressing trailing windows fully contained in their
+    # predecessor (the standard splitter stop rule)
+    win = F.expr(
+        f"transform("
+        f"  filter(sequence(1, size(tokens), {stride}),"
+        f"         s -> s = 1 OR s <= size(tokens) - {overlap}),"
+        f" s -> struct(CAST((s - 1) DIV {stride} AS INT) AS chunk_id,"
+        f"             slice(tokens, s, {max_tokens}) AS toks))"
+    )
+    out = (
+        enc.where(F.col("n_bpe_tokens") > 0)
+        .select(F.col(id_col), F.explode(win).alias("w"))
+        .select(
+            id_col,
+            F.col("w.chunk_id").alias("chunk_id"),
+            F.size("w.toks").cast("long").alias("n_tokens"),
+            F.rtrim(
+                F.replace(
+                    F.array_join(F.col("w.toks"), ""),
+                    F.lit(_EOW),
+                    F.lit(" "),
+                )
+            ).alias("chunk"),
+        )
+    )
+    return out
+
+
 def load_merges_txt(path: str) -> list[tuple[str, str]]:
     """Parse the standard ``merges.txt`` (one ``left right`` pair per
     line) — the artifact published tokenizers ship. Only a FIRST-LINE

@@ -3835,6 +3835,70 @@ def test_leakage_free_split_cotravel(spark):
         )
 
 
+def test_chunk_text_tokens_matches_replay(spark):
+    """NEW r13: token-budgeted chunking. Windows, overlap carry-over,
+    the trailing-window suppression rule, detokenized text, empty-doc
+    elision and the param guards must all match a pure-Python
+    replay built from encode_word."""
+    import pytest as _pytest
+
+    from platypus_ingestion_plugins_spark.functions.bpe import (
+        chunk_text_tokens,
+        encode_word,
+        learn_bpe,
+        pretokenize,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "tiny",
+        3: "",
+        4: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    }
+    merges = learn_bpe(list(texts.values()), 16)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+    def replay(max_tokens, overlap):
+        stride = max_tokens - overlap
+        out = []
+        for i, t in texts.items():
+            toks = []
+            for w in pretokenize(t):
+                toks.extend(encode_word(w, ranks))
+            n = len(toks)
+            if n == 0:
+                continue
+            s = 1
+            k = 0
+            while s <= n and (s == 1 or s <= n - overlap):
+                window = toks[s - 1 : s - 1 + max_tokens]
+                text = "".join(window).replace("</w>", " ").rstrip()
+                out.append((i, k, len(window), text))
+                s += stride
+                k += 1
+            out_len = None  # noqa: F841
+        return sorted(out)
+
+    for mt, ov in [(6, 2), (4, 0), (100, 10), (1, 0)]:
+        got = sorted(
+            (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk"])
+            for r in chunk_text_tokens(
+                df, "text", "doc_id", merges, mt, ov
+            ).collect()
+        )
+        assert got == replay(mt, ov), (mt, ov)
+    # overlap really carries context: consecutive chunks share tokens
+    rows = chunk_text_tokens(df, "text", "doc_id", merges, 6, 2).collect()
+    assert any(r["chunk_id"] >= 1 for r in rows)
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_text_tokens(df, "text", "doc_id", merges, 4, 4)
+    with _pytest.raises(ValueError, match="max_tokens"):
+        chunk_text_tokens(df, "text", "doc_id", merges, 0)
+
+
 def test_key_skew_report_matches_python(spark):
     """NEW r13: key-skew diagnostic. One-row report (counts, heaviest
     key, percentiles, Gini) must match a pure-Python replay computed
