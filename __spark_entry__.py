@@ -1026,6 +1026,41 @@ FROM s, g, tk
 """
 
 
+def q_bool_indexed(spark, sf):
+    """Indexed BooleanQuery (NEW r13, text_index.search_bool_indexed):
+    must=[scan], should=[merge, join, sort] (Lucene default msm=0
+    with must present — shoulds become the rank signal), must_not=
+    [dup] — ONE pruned posting read over the union of clause buckets
+    + ONE aggregation. The oracle replays the scan-path bool
+    semantics over analyzed tokens; must_not-as-absence equals the
+    scan path's NULL-keeping negation (no postings = no match)."""
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    idx = _term_index_for(spark, sf, positions=False)
+    return TI.search_bool_indexed(
+        spark,
+        idx,
+        must=["scan"],
+        should=["merge", "join", "sort"],
+        must_not=["dup"],
+    )
+
+
+SQL_BOOL_INDEXED = """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+             string_split_regex(lower(text), '\\W+'), x -> x <> '')) AS ts
+  FROM documents)
+SELECT doc_id,
+       CAST(len(list_intersect(ts, ['merge', 'join', 'sort'])) AS INT)
+         AS should_matched
+FROM toks
+WHERE list_has_all(ts, ['scan'])
+  AND NOT list_has_any(ts, ['dup'])
+"""
+
+
 def q_mlt_indexed(spark, sf):
     """Indexed MoreLikeThis (NEW r13,
     text_index.more_like_this_indexed — Lucene MLT.like(text)): the
@@ -8481,6 +8516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match": q_multi_match,
         "mlt_indexed": q_mlt_indexed,
         "chunk_tokens": q_chunk_tokens,
+        "bool_indexed": q_bool_indexed,
     }
 
 
@@ -8667,6 +8703,7 @@ def oracle_sql() -> dict[str, str]:
         "multi_match": SQL_MULTI_MATCH,
         "mlt_indexed": SQL_MLT_INDEXED,
         "chunk_tokens": _chunk_tokens_oracle_sql(),
+        "bool_indexed": SQL_BOOL_INDEXED,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

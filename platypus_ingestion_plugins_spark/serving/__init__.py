@@ -22,6 +22,7 @@ from platypus_ingestion_plugins_spark.serving.text_index import (  # noqa: F401
     bm25_indexed,
     suggest_terms,
     search_wildcard_indexed,
+    search_bool_indexed,
     more_like_this_indexed,
     delete_docs,
     compact_term_index,

@@ -487,6 +487,77 @@ def search_wildcard_indexed(
     return search_terms_indexed(spark, path, terms, id_col=id_col, buckets=buckets)
 
 
+def search_bool_indexed(
+    spark: SparkSession,
+    path: str,
+    must: Sequence[str] = (),
+    should: Sequence[str] = (),
+    must_not: Sequence[str] = (),
+    minimum_should_match: int | None = None,
+    id_col: str = "doc_id",
+    buckets: int | None = None,
+) -> DataFrame:
+    """BooleanQuery answered FROM THE INDEX: term-level must/should/
+    must_not composed in ONE pruned posting read + ONE aggregation.
+    All three clause lists' terms read together (their buckets'
+    union), then per document a single groupBy computes the distinct
+    must-count, should-count, and a must_not flag — a doc qualifies
+    iff it carries every must term, at least ``minimum_should_match``
+    should terms (Lucene's default: 1 when shoulds are the only
+    positive clauses, else 0), and no must_not term.
+
+    Parity scope vs the scan path's ``query.bool_query``: clauses
+    here are TERMS (what postings can answer), not arbitrary Column
+    predicates; a must_not term is absence-from-postings, which
+    equals the scan path's NULL-keeping semantics (a NULL-field doc
+    has no postings, so it never matches the inner clause and
+    survives the negation). Lucene's pure-negative restriction
+    applies: at least one positive clause is required — an
+    index CANNOT enumerate match-all-minus (that's a corpus scan by
+    definition), so it raises rather than silently scanning.
+
+    Output: (id, should_matched int) — the should coordination count
+    (0 when no shoulds), the rank signal bool_query exposes through
+    its sum-of-casts."""
+    must = sorted({t.lower() for t in must if t})
+    should = sorted({t.lower() for t in should if t})
+    must_not = sorted({t.lower() for t in must_not if t})
+    if not must and not should:
+        raise ValueError(
+            "search_bool_indexed needs a positive clause (must or "
+            "should): a pure must_not query is match-all-minus, which "
+            "an inverted index cannot enumerate — use the scan path"
+        )
+    if minimum_should_match is None:
+        minimum_should_match = 1 if (should and not must) else 0
+    if minimum_should_match > len(should):
+        raise ValueError(
+            f"minimum_should_match={minimum_should_match} exceeds the "
+            f"{len(should)} should clauses"
+        )
+    all_terms = sorted({*must, *should, *must_not})
+    postings = read_postings_pruned(spark, path, all_terms, buckets).select(
+        id_col, "term"
+    ).distinct()
+    agged = postings.groupBy(id_col).agg(
+        F.count_distinct(
+            F.when(F.col("term").isin(must), F.col("term"))
+        ).alias("_must"),
+        F.count_distinct(
+            F.when(F.col("term").isin(should), F.col("term"))
+        ).cast("int").alias("should_matched"),
+        F.max(
+            F.when(F.col("term").isin(must_not), F.lit(1)).otherwise(0)
+        ).alias("_neg"),
+    )
+    out = agged.filter(
+        (F.col("_must") == F.lit(len(must)))
+        & (F.col("should_matched") >= F.lit(minimum_should_match))
+        & (F.col("_neg") == F.lit(0))
+    )
+    return out.select(id_col, "should_matched")
+
+
 def more_like_this_indexed(
     spark: SparkSession,
     path: str,

@@ -773,6 +773,75 @@ def test_wildcard_scan_and_indexed_agree(spark, tmp_path):
     assert got == {1, 4}
 
 
+def test_search_bool_indexed_matches_scan(spark, tmp_path):
+    """NEW r13: indexed BooleanQuery. One pruned read + one agg must
+    equal the scan path's bool_query over match_text clauses for
+    every must/should/must_not/msm combination; NULL-field docs
+    survive must_not (no postings = no match); pure-negative queries
+    raise."""
+    import pytest as _pytest
+
+    from platypus_ingestion_plugins_spark.serving import query as SQ
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    rows = [
+        (1, "spark shuffle join merge"),
+        (2, "spark shuffle"),
+        (3, "join merge sort"),
+        (4, None),                      # NULL field: survives must_not
+        (5, "spark join dup"),
+        (6, "sort dup"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "bidx")
+    TI.build_term_index(docs, "text", "doc_id", idx, buckets=8)
+
+    def scan(must=(), should=(), must_not=(), msm=None):
+        pred = SQ.bool_query(
+            must=[SQ.match_text("text", t) for t in must],
+            should=[SQ.match_text("text", t) for t in should],
+            must_not=[SQ.match_text("text", t) for t in must_not],
+            minimum_should_match=msm,
+        )
+        return {r["doc_id"] for r in docs.filter(pred).collect()}
+
+    def indexed(must=(), should=(), must_not=(), msm=None):
+        return {
+            r["doc_id"]: r["should_matched"]
+            for r in TI.search_bool_indexed(
+                spark, idx, must=must, should=should, must_not=must_not,
+                minimum_should_match=msm,
+            ).collect()
+        }
+
+    cases = [
+        dict(must=["spark"], should=["join", "merge"], must_not=["dup"]),
+        dict(must=["spark", "shuffle"]),
+        dict(should=["join", "sort"], msm=2),
+        dict(should=["join", "sort"]),          # default msm = 1
+        dict(must=["spark"], must_not=["shuffle"]),
+        dict(must=["spark"], should=["join", "merge"], msm=2),
+    ]
+    for c in cases:
+        got = indexed(**c)
+        want_ids = scan(**c)
+        # the indexed answer can only list docs carrying >= 1 queried
+        # term; every scan-path match here carries a positive term, so
+        # the id sets must be equal
+        assert set(got) == want_ids, c
+        # should_matched is the distinct should-coordination count
+        for i, t in [(r[0], r[1]) for r in rows if r[0] in got and r[1]]:
+            want = len({s for s in c.get("should", ()) if s in t.split()})
+            assert got[i] == want, (c, i)
+    with _pytest.raises(ValueError, match="positive clause"):
+        TI.search_bool_indexed(spark, idx, must_not=["dup"])
+    with _pytest.raises(ValueError, match="minimum_should_match"):
+        TI.search_bool_indexed(spark, idx, should=["join"], minimum_should_match=5)
+    # tombstones drop out
+    TI.delete_docs(spark, idx, docs.filter("doc_id = 1").select("doc_id"))
+    assert 1 not in indexed(must=["spark"])
+
+
 def test_more_like_this_indexed_matches_replay(spark, tmp_path):
     """NEW r13: indexed MLT (like_text mode). Selection + ranking
     must match a pure-Python replay over the corpus; tombstones shift
