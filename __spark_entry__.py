@@ -957,6 +957,53 @@ FROM c, (
 """
 
 
+def q_funnel_windowed(spark, sf):
+    """Deadline funnel (NEW r13): the funnel with a per-hop
+    conversion window — each step must land within 1 hour of the
+    user's greedy previous-step time. Same one-shuffle array fold,
+    with the deadline folded into the in-window filter; the oracle's
+    staged aggregations carry the identical ts BETWEEN bound."""
+    from platypus_ingestion_plugins_spark.operators.analytics import funnel
+
+    return funnel(
+        _t(spark, sf, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        within=3600,
+    )
+
+
+SQL_FUNNEL_WINDOWED = """
+WITH u1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+u2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN u1 USING (user_id)
+  WHERE e.event_type = 'click'
+    AND e.ts >= u1.t1 AND e.ts <= u1.t1 + INTERVAL 3600 SECOND
+  GROUP BY 1),
+u3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN u2 USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.ts >= u2.t2 AND e.ts <= u2.t2 + INTERVAL 3600 SECOND
+  GROUP BY 1),
+c AS (SELECT (SELECT count(*) FROM u1) AS n1,
+             (SELECT count(*) FROM u2) AS n2,
+             (SELECT count(*) FROM u3) AS n3)
+SELECT step, step_idx, n_users,
+       CASE WHEN n1 > 0 THEN round(n_users / n1, 6) END AS pct_of_first
+FROM c, (
+  SELECT 'view' AS step, CAST(1 AS INT) AS step_idx,
+         (SELECT n1 FROM c) AS n_users
+  UNION ALL
+  SELECT 'click', CAST(2 AS INT), (SELECT n2 FROM c)
+  UNION ALL
+  SELECT 'purchase', CAST(3 AS INT), (SELECT n3 FROM c))
+"""
+
+
 def q_retention(spark, sf):
     """Cohort retention (NEW r13, operators/analytics.cohort_retention):
     users cohort by first-seen week, cells count distinct weekly
@@ -1023,6 +1070,34 @@ SELECT CAST(s.n_rows AS BIGINT) AS n_rows,
        round(s.p99, 6) AS p99_cnt,
        round((2.0 * g.srn - (g.n + 1) * g.t) / (g.n * g.t), 6) AS gini
 FROM s, g, tk
+"""
+
+
+def q_index_stats(spark, sf):
+    """Index health report (NEW r13, text_index.term_index_stats —
+    CheckIndex parity): dictionary size, reader-visible posting
+    count, live docs, waiting tombstones over the shared flat index.
+    The oracle recomputes every number from the corpus text — the
+    index's contents cross-validated against what a rebuild would
+    contain."""
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    idx = _term_index_for(spark, sf, positions=False)
+    return TI.term_index_stats(spark, idx)
+
+
+SQL_INDEX_STATS = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '\\W+'), x -> x <> ''))) AS term
+  FROM documents)
+SELECT CAST(32 AS INT) AS buckets, FALSE AS positional,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+       CAST(count(*) AS BIGINT) AS n_postings,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS n_deleted
+FROM toks
 """
 
 
@@ -8517,6 +8592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_indexed": q_mlt_indexed,
         "chunk_tokens": q_chunk_tokens,
         "bool_indexed": q_bool_indexed,
+        "funnel_windowed": q_funnel_windowed,
+        "index_stats": q_index_stats,
     }
 
 
@@ -8704,6 +8781,8 @@ def oracle_sql() -> dict[str, str]:
         "mlt_indexed": SQL_MLT_INDEXED,
         "chunk_tokens": _chunk_tokens_oracle_sql(),
         "bool_indexed": SQL_BOOL_INDEXED,
+        "funnel_windowed": SQL_FUNNEL_WINDOWED,
+        "index_stats": SQL_INDEX_STATS,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

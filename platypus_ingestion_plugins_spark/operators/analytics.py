@@ -35,6 +35,7 @@ def funnel(
     ts_col: str,
     type_col: str,
     steps: Sequence[str],
+    within: int | None = None,
 ) -> DataFrame:
     """Ordered funnel conversion: step i counts a user iff some step-i
     event happens at-or-after the user's GREEDY completion time of
@@ -44,6 +45,13 @@ def funnel(
     event arrival and replayable in plain SQL (the oracle chains k
     staged aggregations; this implementation folds the same chain as
     array expressions over ONE shuffle).
+
+    ``within`` adds the conversion-deadline variant every funnel tool
+    offers: step i only counts at-or-after AND within ``within``
+    seconds of the greedy step-i-1 time (deadline per consecutive
+    hop, not from the funnel start — the stricter per-hop reading is
+    the composable one: a whole-funnel deadline is the hops' sum).
+    Greedy stays well-defined: the earliest in-window step-i event.
 
     Output: (step, step_idx, n_users, pct_of_first) — pct 6dp-rounded,
     NULL when the first step matched nobody. Duplicate step names
@@ -65,10 +73,16 @@ def funnel(
         .pivot(type_col, steps)
         .agg(F.collect_list(F.col(ts_col)))
     )
+    if within is not None and within <= 0:
+        raise ValueError(f"within must be positive seconds, got {within}")
+
     def _at_or_after(prev: Column):
         # one-arg lambda on purpose: a defaulted second parameter
         # would make F.filter pass the ELEMENT INDEX as the bound arg
-        return lambda x: x >= prev
+        if within is None:
+            return lambda x: x >= prev
+        deadline = prev + F.expr(f"INTERVAL {int(within)} SECONDS")
+        return lambda x: (x >= prev) & (x <= deadline)
 
     reach: list[Column] = []
     t_prev: Column | None = None

@@ -487,6 +487,62 @@ def search_wildcard_indexed(
     return search_terms_indexed(spark, path, terms, id_col=id_col, buckets=buckets)
 
 
+def term_index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """CheckIndex-style health report, one row: (buckets, positional,
+    n_terms, n_postings, n_docs, n_deleted). The operational questions
+    it answers before anyone queries: how big is the dictionary, how
+    many reader-visible postings (DISTINCT, the readers' semantics —
+    replayed idempotent appends don't inflate the count), how many
+    live documents, how many tombstones are waiting for compaction
+    (the compact-now signal).
+
+    One postings scan + the slim side tables; n_postings counts what
+    a reader sees — (id, term) for a flat index, (id, term, pos) for
+    a positional one. n_docs prefers the ``_doclens`` table (present
+    on positional indexes; it also counts zero-token docs) and falls
+    back to distinct posting ids."""
+    marker = f"{path}/{_SIDECAR}"
+    if not _fs.exists(spark, marker):
+        raise ValueError(f"no {_SIDECAR} sidecar at {path}; not a term index")
+    pinned = _fs.read_text(spark, marker)
+    buckets = int(pinned.split(":", 1)[0])
+    positional = pinned.endswith(":pos")
+    live = _apply_deletes(spark, path, spark.read.parquet(path))
+    doc_col = [c for c in live.columns if c not in ("term", "tb", "pos")][0]
+    cols = [doc_col, "term"] + (["pos"] if positional else [])
+    postings = live.select(*cols).distinct()
+    agg = postings.agg(
+        F.count_distinct("term").cast("long").alias("n_terms"),
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        F.count_distinct(doc_col).cast("long").alias("_pdocs"),
+    )
+    dl_path = f"{path}/_doclens"
+    if _fs.exists(spark, dl_path):
+        n_docs = (
+            _apply_deletes(spark, path, spark.read.parquet(dl_path))
+            .select(doc_col)
+            .distinct()
+            .count()
+        )
+        agg = agg.withColumn("n_docs", F.lit(int(n_docs)).cast("long"))
+    else:
+        agg = agg.withColumn("n_docs", F.col("_pdocs"))
+    del_path = f"{path}/_deletes"
+    n_deleted = (
+        spark.read.parquet(del_path).distinct().count()
+        if _fs.exists(spark, del_path)
+        else 0
+    )
+    return agg.select(
+        F.lit(buckets).cast("int").alias("buckets"),
+        F.lit(positional).alias("positional"),
+        "n_terms",
+        "n_postings",
+        "n_docs",
+        F.lit(int(n_deleted)).cast("long").alias("n_deleted"),
+    )
+
+
 def search_bool_indexed(
     spark: SparkSession,
     path: str,

@@ -3746,6 +3746,30 @@ def test_funnel_greedy_order(spark):
         funnel(df, "user_id", "ts", "et", ["view", "it's"])
     with _pytest.raises(ValueError, match="unsupported step"):
         funnel(df, "user_id", "ts", "et", ["u", "view"])
+    # conversion deadline: with within=240s, u1's click at +5min is
+    # out of window (stalls at view), u5's same-ts chain still counts,
+    # u6's usable click at +2min and buy at +1min stay in window
+    timed = {
+        r["step"]: r["n_users"]
+        for r in funnel(
+            df, "user_id", "ts", "et", ["view", "click", "buy"], within=240
+        ).collect()
+    }
+    assert timed == {"view": 5, "click": 3, "buy": 2}
+    # the deadline is inclusive: exactly `within` seconds still counts
+    edge = spark.createDataFrame(
+        [(9, t(0), "view"), (9, t(4), "click")],
+        "user_id long, ts timestamp_ntz, et string",
+    )
+    got9 = {
+        r["step"]: r["n_users"]
+        for r in funnel(
+            edge, "user_id", "ts", "et", ["view", "click"], within=240
+        ).collect()
+    }
+    assert got9 == {"view": 1, "click": 1}
+    with _pytest.raises(ValueError, match="within"):
+        funnel(df, "user_id", "ts", "et", ["view", "click"], within=0)
 
 
 def test_cohort_retention_grid(spark):

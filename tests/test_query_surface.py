@@ -773,6 +773,41 @@ def test_wildcard_scan_and_indexed_agree(spark, tmp_path):
     assert got == {1, 4}
 
 
+def test_term_index_stats(spark, tmp_path):
+    """NEW r13: CheckIndex parity. Stats must match hand counts on a
+    flat index, track tombstones (live counts shrink, n_deleted
+    grows), collapse replayed appends (reader DISTINCT semantics),
+    and count per-occurrence postings + zero-token docs on a
+    positional index."""
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "sidx")
+    TI.build_term_index(docs, "text", "doc_id", idx, buckets=4)
+    s = TI.term_index_stats(spark, idx).collect()[0]
+    # flat: postings {1:(a,b), 2:(b,c)}; doc 3 has no tokens
+    assert (s["buckets"], s["positional"]) == (4, False)
+    assert (s["n_terms"], s["n_postings"], s["n_docs"], s["n_deleted"]) == (3, 4, 2, 0)
+    # replayed append: reader-visible counts unchanged
+    TI.build_term_index(docs, "text", "doc_id", idx, buckets=4, mode="append")
+    s = TI.term_index_stats(spark, idx).collect()[0]
+    assert (s["n_terms"], s["n_postings"], s["n_docs"]) == (3, 4, 2)
+    # tombstone: doc 1 leaves, 'a' disappears from the dictionary
+    TI.delete_docs(spark, idx, docs.filter("doc_id = 1").select("doc_id"))
+    s = TI.term_index_stats(spark, idx).collect()[0]
+    assert (s["n_terms"], s["n_postings"], s["n_docs"], s["n_deleted"]) == (2, 2, 1, 1)
+    # positional: per-occurrence postings, _doclens counts doc 3 too
+    pidx = str(tmp_path / "psidx")
+    TI.build_term_index(docs, "text", "doc_id", pidx, buckets=4, positions=True)
+    s = TI.term_index_stats(spark, pidx).collect()[0]
+    assert (s["positional"], s["n_terms"], s["n_postings"], s["n_docs"]) == (
+        True, 3, 5, 3,
+    )
+
+
 def test_search_bool_indexed_matches_scan(spark, tmp_path):
     """NEW r13: indexed BooleanQuery. One pruned read + one agg must
     equal the scan path's bool_query over match_text clauses for
