@@ -957,6 +957,48 @@ FROM c, (
 """
 
 
+def q_ab_test(spark, sf):
+    """A/B experiment readout (NEW r13, operators/analytics.ab_test):
+    per-variant conversion rates + the pooled two-proportion z-vs-rest
+    over a per-user frame (variant derived deterministically from
+    user_id parity; conversion = any purchase event). One
+    partial-aggregatable groupBy + a 1-row totals broadcast; 6dp
+    rounding keeps z engine-exact."""
+    from platypus_ingestion_plugins_spark.operators.analytics import ab_test
+
+    ev = _t(spark, sf, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", True).otherwise(False)).alias("conv")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+        "conv",
+    )
+    return ab_test(users, "variant", "conv")
+
+
+SQL_AB_TEST = """
+WITH u AS (
+  SELECT user_id, bool_or(event_type = 'purchase') AS conv
+  FROM events GROUP BY 1),
+v AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant, conv
+  FROM u),
+per AS (
+  SELECT variant, count(*) AS n,
+         sum(CASE WHEN coalesce(conv, FALSE) THEN 1 ELSE 0 END) AS conversions
+  FROM v GROUP BY 1),
+t AS (SELECT sum(n) AS tn, sum(conversions) AS tc FROM per)
+SELECT variant, CAST(n AS BIGINT) AS n,
+       CAST(conversions AS BIGINT) AS conversions,
+       round(conversions / n, 6) AS rate,
+       CASE WHEN n > 0 AND (tn - n) > 0 AND tc > 0 AND tc < tn THEN
+         round(((conversions / n) - ((tc - conversions) / (tn - n))) /
+               sqrt((tc / tn) * (1 - tc / tn) * (1.0 / n + 1.0 / (tn - n))), 6)
+       END AS z_vs_rest
+FROM per, t
+"""
+
+
 def q_funnel_windowed(spark, sf):
     """Deadline funnel (NEW r13): the funnel with a per-hop
     conversion window — each step must land within 1 hour of the
@@ -8594,6 +8636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_indexed": q_bool_indexed,
         "funnel_windowed": q_funnel_windowed,
         "index_stats": q_index_stats,
+        "ab_test": q_ab_test,
     }
 
 
@@ -8783,6 +8826,7 @@ def oracle_sql() -> dict[str, str]:
         "bool_indexed": SQL_BOOL_INDEXED,
         "funnel_windowed": SQL_FUNNEL_WINDOWED,
         "index_stats": SQL_INDEX_STATS,
+        "ab_test": SQL_AB_TEST,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

@@ -118,6 +118,60 @@ def funnel(
     )
 
 
+def ab_test(
+    df: DataFrame,
+    variant_col: str,
+    converted_col: str,
+) -> DataFrame:
+    """Two-proportion experiment readout over a per-unit frame (one
+    row per user/session, a variant label, a boolean conversion):
+    per-variant (n, conversions, rate) plus the pooled two-proportion
+    z statistic against the OTHER variants pooled — the standard A/B
+    significance input (look the z up in a normal table; neither
+    engine ships erf, and shipping a hand-rolled CDF would imply
+    precision the normal approximation doesn't have).
+
+    z = (p_v − p_rest) / sqrt(p̂(1−p̂)(1/n_v + 1/n_rest)), p̂ the
+    pooled rate; NULL when either side is empty or the pooled rate is
+    degenerate (0 or 1 — no variance, significance undefined). One
+    partial-aggregatable groupBy + a 1-row totals broadcast;
+    variant-count-bounded output; 6dp rounding keeps it
+    engine-exact. NULL conversions count as not-converted (the
+    missing-outcome reading); NULL variants group as their own
+    arm — filter upstream if that's unintended."""
+    per = df.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.coalesce(F.col(converted_col), F.lit(False)), 1).otherwise(0)
+        ).cast("long").alias("conversions"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("_tn"), F.sum("conversions").alias("_tc")
+    )
+    out = per.crossJoin(F.broadcast(tot))
+    rest_n = F.col("_tn") - F.col("n")
+    rest_c = F.col("_tc") - F.col("conversions")
+    p_v = F.col("conversions") / F.col("n")
+    p_r = rest_c / rest_n
+    pooled = F.col("_tc") / F.col("_tn")
+    z = (p_v - p_r) / F.sqrt(
+        pooled * (F.lit(1) - pooled) * (F.lit(1) / F.col("n") + F.lit(1) / rest_n)
+    )
+    return out.select(
+        "variant",
+        "n",
+        "conversions",
+        F.round(p_v, 6).alias("rate"),
+        F.when(
+            (F.col("n") > 0)
+            & (rest_n > 0)
+            & (pooled > 0)
+            & (pooled < 1),
+            F.round(z, 6),
+        ).alias("z_vs_rest"),
+    )
+
+
 _RETENTION_GRAINS = ("day", "week")
 
 

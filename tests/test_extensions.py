@@ -3772,6 +3772,46 @@ def test_funnel_greedy_order(spark):
         funnel(df, "user_id", "ts", "et", ["view", "click"], within=0)
 
 
+def test_ab_test_two_proportion(spark):
+    """NEW r13: A/B readout. Rates and the pooled z-vs-rest must
+    match a hand computation; NULL conversions count as
+    not-converted; degenerate pooled rates yield NULL z."""
+    import math
+
+    from platypus_ingestion_plugins_spark.operators.analytics import ab_test
+
+    rows = (
+        [("a", True)] * 30 + [("a", False)] * 70
+        + [("b", True)] * 45 + [("b", False)] * 55
+        + [("b", None)] * 0
+    )
+    df = spark.createDataFrame(rows, "variant string, converted boolean")
+    got = {r["variant"]: r for r in ab_test(df, "variant", "converted").collect()}
+
+    def z(c1, n1, c2, n2):
+        p1, p2, p = c1 / n1, c2 / n2, (c1 + c2) / (n1 + n2)
+        return round((p1 - p2) / math.sqrt(p * (1 - p) * (1 / n1 + 1 / n2)), 6)
+
+    a, b = got["a"], got["b"]
+    assert (a["n"], a["conversions"], a["rate"]) == (100, 30, 0.3)
+    assert (b["n"], b["conversions"], b["rate"]) == (100, 45, 0.45)
+    assert a["z_vs_rest"] == z(30, 100, 45, 100)
+    assert b["z_vs_rest"] == z(45, 100, 30, 100)
+    # NULL conversion = not converted
+    df2 = spark.createDataFrame(
+        [("a", True), ("a", None), ("b", False), ("b", True)],
+        "variant string, converted boolean",
+    )
+    g2 = {r["variant"]: r for r in ab_test(df2, "variant", "converted").collect()}
+    assert g2["a"]["conversions"] == 1 and g2["a"]["n"] == 2
+    # degenerate pooled rate (all converted) -> NULL z
+    df3 = spark.createDataFrame(
+        [("a", True), ("b", True)], "variant string, converted boolean"
+    )
+    g3 = {r["variant"]: r["z_vs_rest"] for r in ab_test(df3, "variant", "converted").collect()}
+    assert g3 == {"a": None, "b": None}
+
+
 def test_cohort_retention_grid(spark):
     """NEW r13: cohort retention. First-seen period cohorts, distinct
     (user, period) activity, offset arithmetic per granularity,
