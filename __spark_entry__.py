@@ -7142,6 +7142,96 @@ def q_stream_sessionize(spark, sf):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+def q_stream_funnel(spark, sf):
+    """Streaming funnel (NEW r13, streaming/stateful.funnel_stream):
+    the events table in two event-time-ordered drops through the
+    checkpointed state store; emits (key, step, step_idx, ts) the
+    moment each user completes a step, greedy times FROZEN on
+    emission, pending candidates retained so boundary-equality events
+    arriving before their predecessor stay usable. On an ordered
+    replay the output equals the batch staged-aggregation definition
+    exactly — the oracle is a full value check of a custom stateful
+    streaming operator."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.streaming.stateful import (
+        funnel_stream,
+    )
+
+    ev = _t(spark, sf, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        sec = F.expr("ts DIV 1000000000")
+    else:
+        sec = F.col("ts").cast("timestamp").cast("long")
+    e = ev.select(
+        F.col("user_id").cast("string").alias("k"),
+        sec.alias("t"),
+        F.col("event_type").alias("et"),
+    )
+    e_lo, e_hi = _median_split(e, "t")
+
+    work = _stream_scratch("stream_funnel_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src = os.path.join(work, "src")
+        out = os.path.join(work, "out")
+        ckpt = os.path.join(work, "ckpt")
+        e_lo.coalesce(4).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def run_available():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 100)
+                .parquet(src)
+            )
+            q = (
+                funnel_stream(
+                    stream,
+                    "k",
+                    "t",
+                    "et",
+                    ["view", "click", "purchase"],
+                    late_s=10**9,
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_available()
+        e_hi.coalesce(4).write.mode("append").parquet(src)
+        run_available()
+        _keep_until_exit(work, keep=out)
+        return spark.read.parquet(out)
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+SQL_STREAM_FUNNEL = """
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS key,
+         epoch_ns(ts) // 1000000000 AS t, event_type AS et
+  FROM events),
+u1 AS (SELECT key, min(t) AS t1 FROM e WHERE et = 'view' GROUP BY 1),
+u2 AS (SELECT e.key, min(t) AS t2 FROM e JOIN u1 USING (key)
+       WHERE et = 'click' AND t >= t1 GROUP BY 1),
+u3 AS (SELECT e.key, min(t) AS t3 FROM e JOIN u2 USING (key)
+       WHERE et = 'purchase' AND t >= t2 GROUP BY 1)
+SELECT key, 'view' AS step, CAST(1 AS INT) AS step_idx, t1 AS ts FROM u1
+UNION ALL SELECT key, 'click', CAST(2 AS INT), t2 FROM u2
+UNION ALL SELECT key, 'purchase', CAST(3 AS INT), t3 FROM u3
+"""
+
+
 SQL_STREAM_SESSIONIZE = """
 WITH e AS (
   SELECT CAST(user_id AS VARCHAR) AS key,
@@ -8637,6 +8727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_windowed": q_funnel_windowed,
         "index_stats": q_index_stats,
         "ab_test": q_ab_test,
+        "stream_funnel": q_stream_funnel,
     }
 
 
@@ -8827,6 +8918,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_windowed": SQL_FUNNEL_WINDOWED,
         "index_stats": SQL_INDEX_STATS,
         "ab_test": SQL_AB_TEST,
+        "stream_funnel": SQL_STREAM_FUNNEL,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

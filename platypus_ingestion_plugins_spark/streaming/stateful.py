@@ -187,3 +187,140 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+FUNNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("step", T.StringType()),
+        T.StructField("step_idx", T.IntegerType()),
+        T.StructField("ts", T.LongType()),
+    ]
+)
+
+_FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("times", T.ArrayType(T.LongType(), True)),
+        T.StructField("pend", T.ArrayType(T.ArrayType(T.LongType()))),
+    ]
+)
+
+
+def _funnel_fn(steps: list[str], within: int | None):
+    k = len(steps)
+    idx = {s: i for i, s in enumerate(steps)}
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            # idle past the horizon: this user can still only FORFEIT
+            # future completions (already-emitted rows stand — they
+            # are monotone facts), so dropping the state is safe
+            state.remove()
+            return
+        if state.exists:
+            times, pend = state.get
+            times = list(times)
+            pend = [list(p) for p in pend]
+        else:
+            times, pend = [None] * k, [[] for _ in range(k)]
+        max_ts = None
+        for pdf in pdfs:
+            for t, et in zip(pdf["ts"], pdf["et"]):
+                if t is None or et not in idx:
+                    continue
+                t = int(t)
+                max_ts = t if max_ts is None else max(max_ts, t)
+                i = idx[et]
+                if times[i] is None:
+                    pend[i].append(t)
+        emitted = []
+        for i in range(k):
+            if times[i] is not None:
+                continue
+            if i > 0 and times[i - 1] is None:
+                break  # the chain is stuck; later steps can't fire
+            lo = times[i - 1] if i > 0 else None
+            cand = [
+                t
+                for t in pend[i]
+                if i == 0
+                or (t >= lo and (within is None or t <= lo + within))
+            ]
+            if not cand:
+                continue
+            times[i] = min(cand)
+            pend[i] = []  # the completion time is FROZEN (append mode)
+            emitted.append(i)
+        # Fully-converted keys KEEP their (tiny: k longs, empty pend)
+        # state as a tombstone — dropping it would let any later event
+        # from the same user re-run the chain and re-emit every step
+        # with later times (duplicate rows downstream). Idle eviction
+        # below still bounds the store; a user who returns AFTER
+        # eviction starts a new funnel journey (documented forfeit).
+        state.update((times, pend))
+        if max_ts is not None:
+            state.setTimeoutTimestamp((max_ts + 365 * 86400) * 1000)
+        if emitted:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(emitted),
+                    "step": [steps[i] for i in emitted],
+                    "step_idx": [i + 1 for i in emitted],
+                    "ts": [times[i] for i in emitted],
+                }
+            )
+
+    return fn
+
+
+def funnel_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within: int | None = None,
+    late_s: int = 3600,
+) -> DataFrame:
+    """Streaming funnel: emits (key, step, step_idx, ts) the moment a
+    user completes a step, with the greedy in-order semantics of the
+    batch ``analytics.funnel`` (step i fires at the earliest step-i
+    event at-or-after — and, with ``within``, inside the deadline of —
+    the user's step-i-1 completion time). Per-step final counts equal
+    the batch funnel's n_users column.
+
+    State per key: the FROZEN completion times (append mode cannot
+    retract, so once emitted a time never moves) plus the pending
+    candidate timestamps for not-yet-completed steps — keeping those
+    is what makes a boundary-equality event that arrives BEFORE its
+    predecessor's completion usable later, so event-time-ordered
+    replays (the oracle scenario) reproduce the batch answer exactly,
+    pending included. Fully-converted keys keep a tiny tombstone
+    state (k longs) so later events from the same user can't re-run
+    the chain and duplicate emissions; idle keys evict a year past
+    their last event (a stuck funnel only ever FORFEITS future
+    completions — emitted rows are monotone facts, so eviction is
+    safe, unlike sessionize's flush-on-timeout; a user returning
+    after eviction starts a new funnel journey). Known approximation, as for
+    ``sessionize_stream``: an allowed-late event that would have
+    produced an EARLIER completion time than one already emitted
+    cannot amend it."""
+    if len(steps) < 2 or len(set(steps)) != len(steps):
+        raise ValueError(f"need >= 2 distinct steps, got {steps}")
+    if within is not None and within <= 0:
+        raise ValueError(f"within must be positive seconds, got {within}")
+    prepared = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(type_col).cast("string").alias("et"),
+        F.col(ts_col).cast("long").cast("timestamp").alias("event_time"),
+    ).withWatermark("event_time", f"{int(late_s)} seconds")
+    return prepared.groupBy("key").applyInPandasWithState(
+        _funnel_fn(list(steps), within),
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

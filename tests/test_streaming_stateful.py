@@ -359,3 +359,118 @@ def test_sessionize_late_events_bridge_to_open_session(spark, tmp_path):
     rows = {(r.key, r.session_start, r.session_end, r.n_events) for r in _read_out(spark, out)}
     assert ("a", 85, 100, 3) in rows, rows
     assert not any(r[1] == 85 and r[2] == 85 for r in rows), rows
+
+
+FUNNEL_EV_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("et", T.StringType()),
+    ]
+)
+
+
+def _funnel_drop(spark, src, rows):
+    spark.createDataFrame(
+        [Row(k=k, ts=t, et=e) for k, t, e in rows], FUNNEL_EV_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+
+
+def _run_funnel_stream(spark, src, ckpt, out, **kw):
+    from platypus_ingestion_plugins_spark.streaming.stateful import (
+        funnel_stream,
+    )
+
+    stream = (
+        spark.readStream.schema(FUNNEL_EV_SCHEMA)
+        .option("maxFilesPerTrigger", 100)
+        .parquet(src)
+    )
+    q = (
+        funnel_stream(
+            stream, "k", "ts", "et", ["view", "click", "buy"],
+            late_s=10**9, **kw,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_funnel_stream_spans_batches(spark, tmp_path):
+    """NEW r13: streaming funnel. A chain completed ACROSS
+    micro-batches must emit the batch engine's greedy completion
+    times, including the pending-candidate case where a later step's
+    event arrives BEFORE its predecessor completes (boundary
+    equality); out-of-order completions stall exactly like batch."""
+    src, ckpt, out = (str(tmp_path / n) for n in ("src", "ckpt", "out"))
+    # u1 completes across drops; u2 click-before-view stalls at view;
+    # u3: click@10 arrives in drop 1, view@10 only in drop 2 — the
+    # pending list must keep the click usable (ts == t1 boundary)
+    _funnel_drop(spark, src, [
+        ("u1", 100, "view"), ("u1", 150, "click"),
+        ("u2", 50, "click"),
+        ("u3", 10, "click"),
+    ])
+    _run_funnel_stream(spark, src, ckpt, out)
+    _funnel_drop(spark, src, [
+        ("u1", 200, "buy"),
+        ("u2", 60, "view"),
+        ("u3", 10, "view"),
+    ])
+    _run_funnel_stream(spark, src, ckpt, out)
+    got = {
+        (r["key"], r["step"]): (r["step_idx"], r["ts"])
+        for r in _read_out(spark, out)
+    }
+    assert got == {
+        ("u1", "view"): (1, 100),
+        ("u1", "click"): (2, 150),
+        ("u1", "buy"): (3, 200),
+        ("u2", "view"): (1, 60),          # click@50 precedes view: stalls
+        ("u3", "view"): (1, 10),
+        ("u3", "click"): (2, 10),         # pending boundary-equality event
+    }
+
+
+def test_funnel_stream_no_reemission_after_conversion(spark, tmp_path):
+    """Regression (caught by the oracle): a fully-converted user's
+    LATER events must not re-run the chain and duplicate emissions —
+    the completed-times tombstone has to survive in the state store."""
+    src, ckpt, out = (str(tmp_path / n) for n in ("src", "ckpt", "out"))
+    _funnel_drop(spark, src, [
+        ("u1", 100, "view"), ("u1", 150, "click"), ("u1", 200, "buy"),
+    ])
+    _run_funnel_stream(spark, src, ckpt, out)
+    _funnel_drop(spark, src, [
+        ("u1", 300, "view"), ("u1", 350, "click"), ("u1", 400, "buy"),
+    ])
+    _run_funnel_stream(spark, src, ckpt, out)
+    rows = _read_out(spark, out)
+    assert len(rows) == 3
+    assert {(r["step"], r["ts"]) for r in rows} == {
+        ("view", 100), ("click", 150), ("buy", 200),
+    }
+
+
+def test_funnel_stream_deadline(spark, tmp_path):
+    """The within-deadline variant: an out-of-window step event never
+    fires, a later in-window one does."""
+    src, ckpt, out = (str(tmp_path / n) for n in ("src", "ckpt", "out"))
+    _funnel_drop(spark, src, [
+        ("u1", 100, "view"), ("u1", 500, "click"),   # 400s > 240s window
+        ("u2", 100, "view"), ("u2", 300, "click"),   # in window
+    ])
+    _run_funnel_stream(spark, src, ckpt, out, within=240)
+    _funnel_drop(spark, src, [
+        ("u2", 540, "buy"),                           # 240s after click: inclusive edge
+    ])
+    _run_funnel_stream(spark, src, ckpt, out, within=240)
+    got = {(r["key"], r["step"]) for r in _read_out(spark, out)}
+    assert got == {
+        ("u1", "view"), ("u2", "view"), ("u2", "click"), ("u2", "buy"),
+    }
