@@ -957,6 +957,37 @@ FROM c, (
 """
 
 
+def q_event_transitions(spark, sf):
+    """Markov transition matrix (NEW r13,
+    operators/analytics.event_transitions): consecutive event-type
+    pairs per user ordered by (ts, event_id) — the tie-break makes
+    the matrix engine-exact — with per-from probabilities. One user
+    window + one groupBy."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        event_transitions,
+    )
+
+    return event_transitions(
+        _t(spark, sf, "events"), "user_id", "ts", "event_type", "event_id"
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH o AS (
+  SELECT event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events WHERE ts IS NOT NULL),
+p AS (
+  SELECT from_type, to_type, count(*) AS n FROM o
+  WHERE from_type IS NOT NULL GROUP BY 1, 2),
+ft AS (SELECT from_type, sum(n) AS fn FROM p GROUP BY 1)
+SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+       round(p.n / ft.fn, 6) AS p
+FROM p JOIN ft USING (from_type)
+"""
+
+
 def q_ab_test(spark, sf):
     """A/B experiment readout (NEW r13, operators/analytics.ab_test):
     per-variant conversion rates + the pooled two-proportion z-vs-rest
@@ -8728,6 +8759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": q_index_stats,
         "ab_test": q_ab_test,
         "stream_funnel": q_stream_funnel,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -8919,6 +8951,7 @@ def oracle_sql() -> dict[str, str]:
         "index_stats": SQL_INDEX_STATS,
         "ab_test": SQL_AB_TEST,
         "stream_funnel": SQL_STREAM_FUNNEL,
+        "event_transitions": SQL_EVENT_TRANSITIONS,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

@@ -118,6 +118,51 @@ def funnel(
     )
 
 
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition readout: for each consecutive
+    event pair within a user's (ts, order_col)-ordered stream, count
+    (from_type, to_type) and its probability among the from-type's
+    outgoing transitions — the what-happens-next matrix behind path
+    analysis and next-event prediction.
+
+    ``order_col`` breaks timestamp ties deterministically (pass the
+    event id); without it, equal-ts neighbors would order
+    arbitrarily and the matrix would be run-dependent — required, not
+    optional, when ts can tie, so it defaults to requiring none only
+    for strictly-ordered streams. One window over user partitions +
+    one groupBy; probabilities 6dp-rounded, denominators exact
+    integers."""
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(F.col(user_col)).orderBy(*order)
+    pairs = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(
+            F.col(type_col).alias("to_type"),
+            F.lag(F.col(type_col)).over(w).alias("from_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from_totals = pairs.groupBy("from_type").agg(
+        F.sum("n").alias("_from_n")
+    )
+    return pairs.join(from_totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("_from_n"), 6).alias("p"),
+    )
+
+
 def ab_test(
     df: DataFrame,
     variant_col: str,

@@ -95,8 +95,11 @@ HEADLINE = [
     "date_histogram",
     "key_skew",
     "funnel",
+    "funnel_windowed",
     "retention",
     "multi_match",
+    "ab_test",
+    "event_transitions",
     # bpe_train / indexed_wildcard / more_like_this / group_split are
     # NOT here: their queries() constructors EXECUTE (merge-round
     # argmax collects / index build + dictionary expansion / the

@@ -3772,6 +3772,40 @@ def test_funnel_greedy_order(spark):
         funnel(df, "user_id", "ts", "et", ["view", "click"], within=0)
 
 
+def test_event_transitions_matrix(spark):
+    """NEW r13: Markov transitions. Pair counts and per-from
+    probabilities from a hand-built stream; tie-broken ordering via
+    the order column; per-user boundaries never produce cross-user
+    pairs; NULL ts rows carry nothing."""
+    import datetime as dt
+
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        event_transitions,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, t(0), 1, "view"), (1, t(1), 2, "click"), (1, t(2), 3, "view"),
+        (1, t(3), 4, "click"),
+        (2, t(0), 5, "view"), (2, t(0), 6, "click"),  # tie: id order
+        (3, t(9), 7, "buy"),                           # singleton: no pair
+        (4, None, 8, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, et string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in event_transitions(df, "user_id", "ts", "et", "event_id").collect()
+    }
+    # from view: ->click x3 (u1 twice, u2 tie-ordered once)
+    # from click: ->view x1 ; totals: view->3, click->1
+    assert got == {
+        ("view", "click"): (3, 1.0),
+        ("click", "view"): (1, 1.0),
+    }
+
+
 def test_ab_test_two_proportion(spark):
     """NEW r13: A/B readout. Rates and the pooled z-vs-rest must
     match a hand computation; NULL conversions count as
