@@ -77,3 +77,35 @@ def test_batched_merge_equals_sequential_replay(raw, splits):
         else {r.key: r.payload for r in target.collect()}
     )
     assert got == expected
+
+
+# --- distributed BPE training property (NEW r13 continuation) ---
+# Adversarial shape: tiny alphabets maximize pair-count TIES (the
+# tie-break rule is where a distributed argmax can silently diverge
+# from the driver trainer) and repeated letters maximize overlapping
+# runs (where greedy-leftmost apply differs from any other policy).
+_bpe_word = st.text(alphabet="abc", min_size=1, max_size=5)
+_bpe_texts = st.lists(
+    st.lists(_bpe_word, min_size=0, max_size=6).map(" ".join),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_bpe_texts, n_merges=st.integers(min_value=1, max_value=5))
+def test_bpe_train_property_equals_driver(texts, n_merges):
+    from platypus_ingestion_plugins_spark.functions.bpe import (
+        bpe_train,
+        learn_bpe,
+    )
+
+    spark = get_spark("tests", shuffle_partitions=4)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    assert bpe_train(df, "text", n_merges) == learn_bpe(texts, n_merges)
