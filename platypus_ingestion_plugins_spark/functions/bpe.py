@@ -217,8 +217,13 @@ def chunk_text_tokens(
     the ``</w>`` end-of-word markers becoming spaces — i.e.
     whitespace-NORMALIZED text (pretokenization discards the original
     spacing; punctuation detaches: 'low-key' -> 'low - key'),
-    documented like the analyzer's other normalizations. Documents
-    with no tokens yield no chunks.
+    documented like the analyzer's other normalizations. Marker
+    collision caveat: if the merge table ever LEARNS the 4-symbol
+    chain '<'+'/'+'w'+'>' from text that literally contains "</w>",
+    that content token detokenizes to a space too — the classic BPE
+    marker ambiguity, affecting display text only (token counts and
+    windows are exact either way). Documents with no tokens yield no
+    chunks.
 
     One Arrow-batched encode (``bpe_encode`` — the module's
     documented slow-path exception) + pure codegen windowing

@@ -206,7 +206,7 @@ _FUNNEL_STATE_SCHEMA = T.StructType(
 )
 
 
-def _funnel_fn(steps: list[str], within: int | None):
+def _funnel_fn(steps: list[str], within: int | None, idle_evict_s: int):
     k = len(steps)
     idx = {s: i for i, s in enumerate(steps)}
 
@@ -261,7 +261,7 @@ def _funnel_fn(steps: list[str], within: int | None):
         # eviction starts a new funnel journey (documented forfeit).
         state.update((times, pend))
         if max_ts is not None:
-            state.setTimeoutTimestamp((max_ts + 365 * 86400) * 1000)
+            state.setTimeoutTimestamp((max_ts + idle_evict_s) * 1000)
         if emitted:
             yield pd.DataFrame(
                 {
@@ -283,6 +283,7 @@ def funnel_stream(
     steps: list[str],
     within: int | None = None,
     late_s: int = 3600,
+    idle_evict_s: int = 365 * 86400,
 ) -> DataFrame:
     """Streaming funnel: emits (key, step, step_idx, ts) the moment a
     user completes a step, with the greedy in-order semantics of the
@@ -299,8 +300,10 @@ def funnel_stream(
     replays (the oracle scenario) reproduce the batch answer exactly,
     pending included. Fully-converted keys keep a tiny tombstone
     state (k longs) so later events from the same user can't re-run
-    the chain and duplicate emissions; idle keys evict a year past
-    their last event (a stuck funnel only ever FORFEITS future
+    the chain and duplicate emissions; idle keys evict
+    ``idle_evict_s`` past their last event (default a year — pending
+    candidate lists for a stalled user grow with that user's events
+    until eviction, so the horizon is the state-size knob) (a stuck funnel only ever FORFEITS future
     completions — emitted rows are monotone facts, so eviction is
     safe, unlike sessionize's flush-on-timeout; a user returning
     after eviction starts a new funnel journey). Known approximation, as for
@@ -318,7 +321,7 @@ def funnel_stream(
         F.col(ts_col).cast("long").cast("timestamp").alias("event_time"),
     ).withWatermark("event_time", f"{int(late_s)} seconds")
     return prepared.groupBy("key").applyInPandasWithState(
-        _funnel_fn(list(steps), within),
+        _funnel_fn(list(steps), within, int(idle_evict_s)),
         outputStructType=FUNNEL_OUT_SCHEMA,
         stateStructType=_FUNNEL_STATE_SCHEMA,
         outputMode="append",
