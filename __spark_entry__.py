@@ -957,6 +957,51 @@ FROM c, (
 """
 
 
+def q_preference_pairs(spark, sf):
+    """Preference-pair preparation (NEW r13,
+    operators/chat.build_preference_pairs — the DPO/RLHF data shape):
+    per source-prompt, the longest document pairs as chosen against
+    the shortest as rejected under total (score, id) tie-breaks;
+    degenerate and zero-margin prompts drop. Two prompt-partitioned
+    windows + a row-local filter."""
+    from platypus_ingestion_plugins_spark.operators.chat import (
+        build_preference_pairs,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        F.col("source").alias("prompt"),
+        F.col("text").alias("completion"),
+        F.col("n_chars").alias("score"),
+        F.col("doc_id").alias("cid"),
+    )
+    return build_preference_pairs(d, "prompt", "completion", "score", "cid")
+
+
+SQL_PREFERENCE_PAIRS = """
+WITH b AS (
+  SELECT source AS prompt, text AS completion,
+         CAST(n_chars AS DOUBLE) AS score, doc_id AS cid
+  FROM documents WHERE n_chars IS NOT NULL),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY prompt
+                            ORDER BY score DESC, cid) AS rb,
+         row_number() OVER (PARTITION BY prompt ORDER BY score, cid) AS rw,
+         count(*) OVER (PARTITION BY prompt) AS n
+  FROM b),
+best AS (SELECT prompt, completion AS chosen, score AS chosen_score,
+                cid AS chosen_id, n FROM r WHERE rb = 1),
+worst AS (SELECT prompt, completion AS rejected, score AS rejected_score,
+                 cid AS rejected_id FROM r WHERE rw = 1)
+SELECT prompt, chosen, rejected, chosen_score, rejected_score,
+       round(chosen_score - rejected_score, 6) AS margin,
+       chosen_id, rejected_id
+FROM best JOIN worst USING (prompt)
+WHERE n >= 2 AND chosen_id <> rejected_id
+  AND chosen_score - rejected_score > 0.0
+"""
+
+
 def q_event_transitions(spark, sf):
     """Markov transition matrix (NEW r13,
     operators/analytics.event_transitions): consecutive event-type
@@ -8760,6 +8805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "stream_funnel": q_stream_funnel,
         "event_transitions": q_event_transitions,
+        "preference_pairs": q_preference_pairs,
     }
 
 
@@ -8952,6 +8998,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_test": SQL_AB_TEST,
         "stream_funnel": SQL_STREAM_FUNNEL,
         "event_transitions": SQL_EVENT_TRANSITIONS,
+        "preference_pairs": SQL_PREFERENCE_PAIRS,
         "multimodal_external_meta": SQL_MULTIMODAL_EXTERNAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,

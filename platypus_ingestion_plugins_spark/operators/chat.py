@@ -396,3 +396,83 @@ def assistant_dedup(
     return survivors.unionByName(
         keyed.filter(F.col("__atk").isNull())
     ).drop("__atk")
+
+
+def build_preference_pairs(
+    df: DataFrame,
+    prompt_col: str,
+    completion_col: str,
+    score_col: str,
+    id_col: str,
+    margin_min: float = 0.0,
+) -> DataFrame:
+    """Preference-pair preparation (the DPO/RLHF reward-data shape):
+    per prompt, pair the highest-scored completion (chosen) with the
+    lowest-scored one (rejected). Ranking is total — (score desc, id)
+    and (score asc, id) — so the pair is a pure function of the
+    input; prompts with fewer than two completions, a degenerate pair
+    (chosen == rejected), or a margin at-or-below ``margin_min`` are
+    dropped (margin 0 means the ranker couldn't tell the completions
+    apart — training on it teaches noise; raise ``margin_min`` to
+    keep only confidently-separated pairs).
+
+    Two prompt-partitioned windows (per-prompt candidate counts, not
+    corpus-sized) + one row-local filter. Output: (prompt, chosen,
+    rejected, chosen_score, rejected_score, margin 6dp,
+    chosen_id, rejected_id)."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(prompt_col).alias("prompt"),
+        F.col(completion_col).alias("completion"),
+        F.col(score_col).cast("double").alias("score"),
+        F.col(id_col).alias("cid"),
+    ).where(F.col("score").isNotNull())
+    w_best = Window.partitionBy("prompt").orderBy(
+        F.desc("score"), F.col("cid")
+    )
+    w_worst = Window.partitionBy("prompt").orderBy(
+        F.col("score"), F.col("cid")
+    )
+    ranked = base.select(
+        "*",
+        F.row_number().over(w_best).alias("_rb"),
+        F.row_number().over(w_worst).alias("_rw"),
+        F.count(F.lit(1)).over(Window.partitionBy("prompt")).alias("_n"),
+    ).where((F.col("_rb") == 1) | (F.col("_rw") == 1))
+    best = ranked.where(F.col("_rb") == 1).select(
+        "prompt",
+        F.col("completion").alias("chosen"),
+        F.col("score").alias("chosen_score"),
+        F.col("cid").alias("chosen_id"),
+        "_n",
+    )
+    worst = ranked.where(F.col("_rw") == 1).select(
+        "prompt",
+        F.col("completion").alias("rejected"),
+        F.col("score").alias("rejected_score"),
+        F.col("cid").alias("rejected_id"),
+    )
+    return (
+        best.join(worst, "prompt")
+        .where(
+            (F.col("_n") >= 2)
+            & (F.col("chosen_id") != F.col("rejected_id"))
+            & (
+                F.col("chosen_score") - F.col("rejected_score")
+                > F.lit(float(margin_min))
+            )
+        )
+        .select(
+            "prompt",
+            "chosen",
+            "rejected",
+            "chosen_score",
+            "rejected_score",
+            F.round(
+                F.col("chosen_score") - F.col("rejected_score"), 6
+            ).alias("margin"),
+            "chosen_id",
+            "rejected_id",
+        )
+    )

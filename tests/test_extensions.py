@@ -3772,6 +3772,51 @@ def test_funnel_greedy_order(spark):
         funnel(df, "user_id", "ts", "et", ["view", "click"], within=0)
 
 
+def test_build_preference_pairs(spark):
+    """NEW r13: DPO pair prep. Best-vs-worst per prompt with total
+    tie-breaks; single-completion prompts, all-tied prompts (margin
+    0), and sub-margin pairs drop; NULL scores never rank."""
+    from platypus_ingestion_plugins_spark.operators.chat import (
+        build_preference_pairs,
+    )
+
+    rows = [
+        ("p1", "good", 0.9, 1), ("p1", "bad", 0.1, 2), ("p1", "mid", 0.5, 3),
+        ("p2", "only", 0.7, 4),                 # single completion: drop
+        ("p3", "tie-a", 0.5, 5), ("p3", "tie-b", 0.5, 6),   # margin 0: drop
+        ("p4", "close-hi", 0.52, 7), ("p4", "close-lo", 0.5, 8),
+        ("p5", "x", None, 9), ("p5", "y", 0.3, 10),  # NULL never ranks
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt string, completion string, score double, cid long"
+    )
+    got = {
+        r["prompt"]: r
+        for r in build_preference_pairs(
+            df, "prompt", "completion", "score", "cid"
+        ).collect()
+    }
+    assert set(got) == {"p1", "p4"}
+    p1 = got["p1"]
+    assert (p1["chosen"], p1["rejected"], p1["margin"]) == ("good", "bad", 0.8)
+    assert (p1["chosen_id"], p1["rejected_id"]) == (1, 2)
+    # margin_min filters the close pair
+    got2 = {
+        r["prompt"]
+        for r in build_preference_pairs(
+            df, "prompt", "completion", "score", "cid", margin_min=0.1
+        ).collect()
+    }
+    assert got2 == {"p1"}
+    # deterministic tie-breaks: equal scores rank by id on both ends
+    df3 = spark.createDataFrame(
+        [("q", "a", 1.0, 2), ("q", "b", 1.0, 1), ("q", "c", 0.0, 3)],
+        "prompt string, completion string, score double, cid long",
+    )
+    r3 = build_preference_pairs(df3, "prompt", "completion", "score", "cid").collect()[0]
+    assert (r3["chosen"], r3["chosen_id"]) == ("b", 1)
+
+
 def test_event_transitions_matrix(spark):
     """NEW r13: Markov transitions. Pair counts and per-from
     probabilities from a hand-built stream; tie-broken ordering via
