@@ -100,6 +100,7 @@ HEADLINE = [
     "multi_match",
     "ab_test",
     "event_transitions",
+    "preference_pairs",
     # bpe_train / indexed_wildcard / more_like_this / group_split are
     # NOT here: their queries() constructors EXECUTE (merge-round
     # argmax collects / index build + dictionary expansion / the
