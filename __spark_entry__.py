@@ -957,6 +957,26 @@ FROM c, (
 """
 
 
+def q_funnel_cascade(spark, sf):
+    """Skew-safe funnel (NEW r14, operators/analytics.funnel
+    mode='cascade' — the r13 verdict's weak-item fix): the same
+    greedy view -> click -> purchase funnel computed as k-1
+    user-co-partitioned join+min stages with BOUNDED row width —
+    no per-user array ever materializes, so one bot user with
+    millions of step events cannot OOM a task. Must hash-match the
+    array-mode funnel's oracle exactly."""
+    from platypus_ingestion_plugins_spark.operators.analytics import funnel
+
+    return funnel(
+        _t(spark, sf, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        mode="cascade",
+    )
+
+
 def q_preference_pairs(spark, sf):
     """Preference-pair preparation (NEW r13,
     operators/chat.build_preference_pairs — the DPO/RLHF data shape):
@@ -1416,6 +1436,61 @@ WHERE contains(
   ' ' || array_to_string(list_filter(
       string_split_regex(lower(text), '\\W+'), x -> x <> ''), ' ') || ' ',
   ' table scan ')
+"""
+
+
+def q_phrase_slop(spark, sf):
+    """PhraseQuery with slop (NEW r14, serving/text_index.
+    search_phrase_indexed(slop=2) — Lucene PhraseQuery(slop) in its
+    in-order reading / SpanNearQuery(inOrder=true)): 'table scan'
+    where scan follows table within a 4-position window. The greedy
+    position chain folds as codegen array expressions over the pruned
+    positional postings; the oracle joins the tokenized positions
+    pairwise — two different algorithms, same ids."""
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    idx = _term_index_for(spark, sf, positions=True)
+    return TI.search_phrase_indexed(spark, idx, "table scan", slop=2)
+
+
+SQL_PHRASE_SLOP = """
+WITH toked AS (
+  SELECT doc_id, list_filter(
+      string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+  FROM documents),
+pos AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM toked)
+SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
+WHERE a.tok = 'table' AND b.tok = 'scan'
+  AND b.pos > a.pos AND b.pos <= a.pos + 3
+"""
+
+
+def q_span_near(spark, sf):
+    """Unordered span-near (NEW r14, serving/text_index.
+    search_span_near(in_order=False) — Lucene SpanNearQuery): docs
+    where 'spark' and 'vector' occur within a 5-position window in
+    either order. Codegen exists-over-positions per clause (never a
+    postings self-join); the oracle is the pairwise |Δpos| join."""
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    idx = _term_index_for(spark, sf, positions=True)
+    return TI.search_span_near(
+        spark, idx, ["spark", "vector"], slop=3, in_order=False
+    )
+
+
+SQL_SPAN_NEAR = """
+WITH toked AS (
+  SELECT doc_id, list_filter(
+      string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+  FROM documents),
+pos AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM toked)
+SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
+WHERE a.tok = 'spark' AND b.tok = 'vector' AND abs(a.pos - b.pos) <= 4
 """
 
 
@@ -8591,75 +8666,59 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the least-recently-driver-verified queries come FIRST
     # (the driver caps each round's oracle sweep at 50 entries, so dict
-    # order IS verification priority — r13 rotation, VERDICT r12 task
-    # #1, recomputed from the CORRECTNESS_r10/r11/r12 files by script):
-    #   0. the 14 r12 POST-cap entries, never driver-value-checked.
-    #   1. the 47 entries last driver-green in CORRECTNESS_r10 — two
-    #      driver-rounds stale. Sections 0+1 = 61 > 50: the cap covers
-    #      the 14 + the first 36 r10 entries; the 11 deferred r10
-    #      entries sit immediately after the cap line so they lead r14.
-    #   2. the 49 entries CORRECTNESS_r11 verified, in r11 file order.
-    #   3. the 50 entries CORRECTNESS_r12 verified, in r12 file order.
-    #   4. new r13 entries go at the DICT END (POST-cap) — displacing a
-    #      stale entry would invert the rotation priority.
+    # order IS verification priority — r14 rotation, VERDICT r13 task
+    # #6, recomputed from the CORRECTNESS_r01..r13 files by script):
+    #   0.  the 31 r13-new entries the driver never saw (judge-verified
+    #       at sf0.01 in VERDICT r13), in r13 declaration order.
+    #   0b. the 3 NEW r14 entries. Sections 0+0b = 34 < 50.
+    #   1.  every previously-green entry ascending by its LAST
+    #       driver-green round (r10 → r11 → r12 → r13), each cohort in
+    #       its CORRECTNESS file order: the cap's remaining 16 slots
+    #       cover the 11 r10-stale entries + the first 5 of r11's.
     return {
-        # 0. r12 POST-cap entries: never driver-checked (judge-verified
-        #    at sf0.01 in VERDICT r12) — they lead the r13 sweep.
-        "sft_spans": q_sft_spans,
-        "mmr_rerank": q_mmr_rerank,
-        "ann_recall": q_ann_recall,
-        "pack_sft": q_pack_sft,
-        "cdc_time_travel": q_cdc_time_travel,
-        "hard_negatives": q_hard_negatives,
-        "ndcg_eval": q_ndcg_eval,
-        "bm25_prf": q_bm25_prf,
-        "cdc_compact_read": q_cdc_compact_read,
-        "stream_chat_dedup": q_stream_chat_dedup,
-        "assemble_chat": q_assemble_chat,
-        "fix_mojibake": q_fix_mojibake,
-        "containment_join": q_containment_join,
-        "histogram_facet": q_histogram_facet,
-        # 1. r10-stale cohort (last driver-green CORRECTNESS_r10, two
-        #    rounds stale — VERDICT r12 task #1), r10 file order. The
-        #    50-cap covers sections 0+1 through quantile_sketch
-        #    (14 + 36); the remaining 11 lead the r14 rotation.
-        "pack_bins": q_pack_bins,
-        "pack_texts": q_pack_texts,
-        "shuffle_shards": q_shuffle_shards,
-        "fuzzy_join": q_fuzzy_join,
-        "stream_heavy_hitters": q_stream_heavy_hitters,
-        "stream_quantiles": q_stream_quantiles,
-        "ivf_append_compact": q_ivf_append_compact,
-        "stream_cdc_materialize": q_stream_cdc_materialize,
-        "band_index_compact": q_band_index_compact,
-        "stream_neardup_dedup": q_stream_neardup_dedup,
-        "tar_roundtrip": q_tar_roundtrip,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "jaccard_join": q_jaccard_join,
-        "dedup_groups": q_dedup_groups,
-        "bloom_decontam": q_bloom_decontam,
-        "dedup_survivors": q_dedup_survivors,
-        "winnow_overlap": q_winnow_overlap,
-        "embedding_dedup_groups": q_embedding_dedup_groups,
-        "dedup_exact": q_dedup_exact,
-        "dedup_simhash": q_dedup_simhash,
-        "simhash_neardup": q_simhash_neardup,
-        "salted_join_agg": q_salted_join_agg,
-        "distinct_sketch": q_distinct_sketch,
-        "repetition_stats": q_repetition_stats,
-        "embedding_neardup": q_embedding_neardup,
-        "knn_join": q_knn_join,
-        "similarity_topk": q_similarity_topk,
-        "similarity_ann": q_similarity_ann,
-        "similarity_quantized": q_similarity_quantized,
-        "similarity_ivf": q_similarity_ivf,
-        "session_counts": q_session_counts,
-        "resample_ffill": q_resample_ffill,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "model_score": q_model_score,
-        "quantile_sketch": q_quantile_sketch,
-        # --- the r13 50-cap lands HERE: everything below is deferred
+        # 0. the 31 r13 POST-cap entries: never driver-value-checked
+        #    (judge-verified at sf0.01 in VERDICT r13) — they lead r14.
+        "range_bool_query": q_range_bool_query,
+        "budget_select_bpe": q_budget_select_bpe,
+        "indexed_term_search": q_indexed_term_search,
+        "fuzzy_suggest": q_fuzzy_suggest,
+        "stream_term_index": q_stream_term_index,
+        "term_index_lifecycle": q_term_index_lifecycle,
+        "indexed_phrase_search": q_indexed_phrase_search,
+        "indexed_bm25": q_indexed_bm25,
+        "hybrid_indexed": q_hybrid_indexed,
+        "constraint_report": q_constraint_report,
+        "cc_scrub": q_cc_scrub,
+        "stream_constraints": q_stream_constraints,
+        "search_after": q_search_after,
+        "bpe_train": q_bpe_train,
+        "indexed_wildcard": q_indexed_wildcard,
+        "more_like_this": q_more_like_this,
+        "date_histogram": q_date_histogram,
+        "key_skew": q_key_skew,
+        "group_split": q_group_split,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "multi_match": q_multi_match,
+        "mlt_indexed": q_mlt_indexed,
+        "chunk_tokens": q_chunk_tokens,
+        "bool_indexed": q_bool_indexed,
+        "funnel_windowed": q_funnel_windowed,
+        "index_stats": q_index_stats,
+        "ab_test": q_ab_test,
+        "stream_funnel": q_stream_funnel,
+        "event_transitions": q_event_transitions,
+        "preference_pairs": q_preference_pairs,
+        # 0b. NEW r14 entries (never checked by anyone but this repo's
+        #     tests) — inside the 50-cap on their first round.
+        "phrase_slop": q_phrase_slop,
+        "span_near": q_span_near,
+        "funnel_cascade": q_funnel_cascade,
+        # 1. stale cohorts, least-recently-driver-green first
+        #    (r10 → r11 → r12 → r13), each in its CORRECTNESS file
+        #    order. The 50-cap covers sections 0+0b (34) plus the 11
+        #    r10-stale entries and the first 5 of the r11 cohort.
+        # -- last driver-green in CORRECTNESS_r10 --
         "text_normalize": q_text_normalize,
         "chunk_text": q_chunk_text,
         "zorder_values": q_zorder_values,
@@ -8671,8 +8730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_segment_revenue": q_join_segment_revenue,
         "event_gaps": q_event_gaps,
         "percentiles": q_percentiles,
-        # 2. r11 cohort (CORRECTNESS_r11 order) — next-oldest, leads r14
-        #    behind the 11 deferred r10 entries.
+        # -- last driver-green in CORRECTNESS_r11 --
         "mixture_plan": q_mixture_plan,
         "stream_profile": q_stream_profile,
         "pretraining_mix": q_pretraining_mix,
@@ -8722,7 +8780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_meta": q_multimodal_meta,
-        # 3. r12 cohort (CORRECTNESS_r12 order) — freshest, last.
+        # -- last driver-green in CORRECTNESS_r12 --
         "image_neardup": q_image_neardup,
         "language_classifier": q_language_classifier,
         "audio_stats": q_audio_stats,
@@ -8773,39 +8831,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_format_last_wins": q_cdc_format_last_wins,
         "embedding_decontam": q_embedding_decontam,
         "semdedup_keep": q_semdedup_keep,
-        # 4. r13 POST-cap additions land below this line (new entries
-        #    must not displace the stale cohorts above; see convention).
-        "range_bool_query": q_range_bool_query,
-        "budget_select_bpe": q_budget_select_bpe,
-        "indexed_term_search": q_indexed_term_search,
-        "fuzzy_suggest": q_fuzzy_suggest,
-        "stream_term_index": q_stream_term_index,
-        "term_index_lifecycle": q_term_index_lifecycle,
-        "indexed_phrase_search": q_indexed_phrase_search,
-        "indexed_bm25": q_indexed_bm25,
-        "hybrid_indexed": q_hybrid_indexed,
-        "constraint_report": q_constraint_report,
-        "cc_scrub": q_cc_scrub,
-        "stream_constraints": q_stream_constraints,
-        "search_after": q_search_after,
-        "bpe_train": q_bpe_train,
-        "indexed_wildcard": q_indexed_wildcard,
-        "more_like_this": q_more_like_this,
-        "date_histogram": q_date_histogram,
-        "key_skew": q_key_skew,
-        "group_split": q_group_split,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "multi_match": q_multi_match,
-        "mlt_indexed": q_mlt_indexed,
-        "chunk_tokens": q_chunk_tokens,
-        "bool_indexed": q_bool_indexed,
-        "funnel_windowed": q_funnel_windowed,
-        "index_stats": q_index_stats,
-        "ab_test": q_ab_test,
-        "stream_funnel": q_stream_funnel,
-        "event_transitions": q_event_transitions,
-        "preference_pairs": q_preference_pairs,
+        # -- last driver-green in CORRECTNESS_r13 --
+        "sft_spans": q_sft_spans,
+        "mmr_rerank": q_mmr_rerank,
+        "ann_recall": q_ann_recall,
+        "pack_sft": q_pack_sft,
+        "cdc_time_travel": q_cdc_time_travel,
+        "hard_negatives": q_hard_negatives,
+        "ndcg_eval": q_ndcg_eval,
+        "bm25_prf": q_bm25_prf,
+        "cdc_compact_read": q_cdc_compact_read,
+        "stream_chat_dedup": q_stream_chat_dedup,
+        "assemble_chat": q_assemble_chat,
+        "fix_mojibake": q_fix_mojibake,
+        "containment_join": q_containment_join,
+        "histogram_facet": q_histogram_facet,
+        "pack_bins": q_pack_bins,
+        "pack_texts": q_pack_texts,
+        "shuffle_shards": q_shuffle_shards,
+        "fuzzy_join": q_fuzzy_join,
+        "stream_heavy_hitters": q_stream_heavy_hitters,
+        "stream_quantiles": q_stream_quantiles,
+        "ivf_append_compact": q_ivf_append_compact,
+        "stream_cdc_materialize": q_stream_cdc_materialize,
+        "band_index_compact": q_band_index_compact,
+        "stream_neardup_dedup": q_stream_neardup_dedup,
+        "tar_roundtrip": q_tar_roundtrip,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "jaccard_join": q_jaccard_join,
+        "dedup_groups": q_dedup_groups,
+        "bloom_decontam": q_bloom_decontam,
+        "dedup_survivors": q_dedup_survivors,
+        "winnow_overlap": q_winnow_overlap,
+        "embedding_dedup_groups": q_embedding_dedup_groups,
+        "dedup_exact": q_dedup_exact,
+        "dedup_simhash": q_dedup_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "salted_join_agg": q_salted_join_agg,
+        "distinct_sketch": q_distinct_sketch,
+        "repetition_stats": q_repetition_stats,
+        "embedding_neardup": q_embedding_neardup,
+        "knn_join": q_knn_join,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ann": q_similarity_ann,
+        "similarity_quantized": q_similarity_quantized,
+        "similarity_ivf": q_similarity_ivf,
+        "session_counts": q_session_counts,
+        "resample_ffill": q_resample_ffill,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "model_score": q_model_score,
+        "quantile_sketch": q_quantile_sketch,
     }
 
 
@@ -8975,6 +9051,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_term_index": SQL_INDEXED_TERM_SEARCH,
         "term_index_lifecycle": SQL_TERM_INDEX_LIFECYCLE,
         "indexed_phrase_search": SQL_INDEXED_PHRASE_SEARCH,
+        "phrase_slop": SQL_PHRASE_SLOP,
+        "span_near": SQL_SPAN_NEAR,
+        "funnel_cascade": SQL_FUNNEL,
         "indexed_bm25": SQL_FULLTEXT_BM25,
         "hybrid_indexed": SQL_HYBRID_INDEXED,
         "constraint_report": SQL_CONSTRAINT_REPORT,

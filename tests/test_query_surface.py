@@ -1163,6 +1163,112 @@ def test_term_index_delete_validation_and_crash_heal(spark, tmp_path):
     assert not os.path.exists(f"{idx}.old")
 
 
+def test_phrase_slop_and_span_near(spark, tmp_path):
+    """r14: PhraseQuery(slop=k) / SpanNearQuery from positional
+    postings vs a brute-force Python oracle over the tokenized text —
+    ordered window semantics (greedy chain), unordered windows,
+    slop=0 ≡ exact phrase, repeated-term distinct positions, and the
+    argument checks."""
+    import re as _re
+
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    rows = [
+        (1, "a table scan follows"),            # adjacent
+        (2, "table full scan"),                 # gap 1
+        (3, "table of the full scan"),          # gap 3
+        (4, "scan table"),                      # wrong order
+        (5, "scan a near table"),               # unordered window 3
+        (6, "table and also a scan of scans"),  # gap 4
+        (7, "scan scan table table scan"),      # repeats both ways
+        (8, "no relevant words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "sidx")
+    TI.build_term_index(docs, "text", "doc_id", idx, buckets=8, positions=True)
+
+    def toks(text):
+        return [t for t in _re.split(r"\W+", text.lower()) if t]
+
+    def ordered_match(ts, phrase, window):
+        pos = {t: [i for i, x in enumerate(ts) if x == t] for t in set(phrase)}
+        for p in pos.get(phrase[0], []):
+            prev, ok = p, True
+            for t in phrase[1:]:
+                nxt = [q for q in pos.get(t, []) if q > prev]
+                if not nxt:
+                    ok = False
+                    break
+                prev = nxt[0]
+            if ok and prev <= p + window:
+                return True
+        return False
+
+    def unordered_match(ts, terms, window):
+        pos = {t: [i for i, x in enumerate(ts) if x == t] for t in set(terms)}
+        starts = sorted(q for ps in pos.values() for q in ps)
+        return any(
+            all(any(p <= q <= p + window for q in pos.get(t, [])) for t in terms)
+            for p in starts
+        )
+
+    phrase = ["table", "scan"]
+    for slop in (0, 1, 2, 3):
+        want = sorted(
+            d for d, t in rows if ordered_match(toks(t), phrase, 1 + slop)
+        )
+        got = sorted(
+            r.doc_id
+            for r in TI.search_phrase_indexed(
+                spark, idx, "table scan", slop=slop
+            ).collect()
+        )
+        assert got == want, (slop, got, want)
+        got_span = sorted(
+            r.doc_id
+            for r in TI.search_span_near(spark, idx, phrase, slop=slop).collect()
+        )
+        assert got_span == want, ("span", slop, got_span, want)
+        want_un = sorted(
+            d for d, t in rows if unordered_match(toks(t), phrase, 1 + slop)
+        )
+        got_un = sorted(
+            r.doc_id
+            for r in TI.search_span_near(
+                spark, idx, phrase, slop=slop, in_order=False
+            ).collect()
+        )
+        assert got_un == want_un, ("unordered", slop, got_un, want_un)
+    # slop=0 ≡ the exact-adjacency path
+    assert sorted(
+        r.doc_id
+        for r in TI.search_phrase_indexed(spark, idx, "table scan").collect()
+    ) == sorted(
+        r.doc_id
+        for r in TI.search_phrase_indexed(spark, idx, "table scan", slop=0).collect()
+    )
+    # repeated phrase terms need distinct positions: "scan scan" only
+    # where scan occurs twice within the window
+    got_rep = sorted(
+        r.doc_id
+        for r in TI.search_phrase_indexed(spark, idx, "scan scan", slop=2).collect()
+    )
+    want_rep = sorted(
+        d for d, t in rows if ordered_match(toks(t), ["scan", "scan"], 3)
+    )
+    assert got_rep == want_rep
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="slop"):
+        TI.search_phrase_indexed(spark, idx, "table scan", slop=-1)
+    with _pt.raises(ValueError, match=">= 2"):
+        TI.search_span_near(spark, idx, ["table"])
+    with _pt.raises(ValueError, match="distinct"):
+        TI.search_span_near(
+            spark, idx, ["scan", "scan"], slop=2, in_order=False
+        )
+
+
 def test_bm25_indexed_matches_scan_path(spark, tmp_path):
     """bm25_indexed vs the scan path's bm25_scores — identical scores
     (same formula, same 6dp rounding) from two different data paths
