@@ -149,7 +149,9 @@ def bpe_train(
         )
         .persist()
     )
-    vocab.count()
+    # no eager materialization: the first round's pair-count collect
+    # populates the cache while doing useful work (one corpus-sized
+    # job instead of two)
     pair_expr = F.explode(
         F.expr(
             "transform(slice(toks, 1, size(toks)-1),"
@@ -162,38 +164,113 @@ def bpe_train(
     )
     merges: list[tuple[str, str]] = []
     try:
-        for _ in range(n_merges):
-            top = (
+        while len(merges) < n_merges:
+            # the FULL pair-count table, not just the argmax: it is
+            # vocab-pair-sized (zipf-bounded, distinct adjacent symbol
+            # pairs of distinct words) and holding it driver-side lets
+            # one scan commit a BATCH of merges — a 32k-merge
+            # production vocabulary as ~32k/batch scans instead of 32k
+            # sequential Spark jobs (r13 advice: scheduling, not data,
+            # dominated the per-merge loop)
+            table = (
                 vocab.withColumn("toks", toks_expr)
                 .select("freq", pair_expr.alias("p"))
                 .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
                 .agg(F.sum("freq").alias("c"))
-                .orderBy(F.desc("c"), F.desc("a"), F.desc("b"))
-                .limit(1)
                 .collect()
             )
-            if not top:
+            if not table:
                 break
-            a, b = top[0]["a"], top[0]["b"]
-            merges.append((a, b))
-            nxt = vocab.withColumn(
-                "rep",
-                F.replace(
-                    F.col("rep"),
+            rows = sorted(
+                table, key=lambda r: (r["c"], (r["a"], r["b"])), reverse=True
+            )
+            chosen = _select_merge_batch(
+                rows, budget=min(n_merges - len(merges), 64)
+            )
+            rep = F.col("rep")
+            for a, b in chosen:
+                # symbol-disjoint by construction, so the chained
+                # replaces can't interfere (no pattern matches across
+                # another merge's output)
+                rep = F.replace(
+                    rep,
                     F.lit(_STX + a + _ETX + _STX + b + _ETX),
                     F.lit(_STX + a + b + _ETX),
-                ),
-            ).persist()
-            try:
-                nxt.count()  # materialize before dropping the parent cache
-            except BaseException:
-                nxt.unpersist()  # don't leak the round's cache on failure
-                raise
-            vocab.unpersist()
-            vocab = nxt
+                )
+            # lazy localCheckpoint, not persist: caching keeps the
+            # FULL logical plan (analysis re-walks k nested rounds
+            # every round — measured superlinear past ~15 merges,
+            # minutes at 40); the checkpoint truncates the plan to a
+            # LogicalRDD, so every round plans over depth-1 lineage.
+            # eager=False defers materialization to the next round's
+            # pair-count collect — still ONE job per round. Storage is
+            # vocab-sized; the ContextCleaner reclaims prior rounds.
+            vocab = vocab.withColumn("rep", rep).localCheckpoint(eager=False)
+            merges.extend(chosen)
     finally:
         vocab.unpersist()
     return merges
+
+
+def _select_merge_batch(
+    rows: list, budget: int
+) -> list[tuple[str, str]]:
+    """The maximal prefix of the (count desc, pair desc)-sorted pair
+    table that provably commits in ONE pass with the exact result of
+    that many SEQUENTIAL merge rounds. Pair j joins the batch iff:
+
+    - its symbols (and its concatenation) are disjoint from every
+      earlier batch member's symbols AND concatenations — merging
+      (a,b) only changes counts of pairs touching a, b, or the new
+      symbol ab, so disjoint pairs keep their exact counts;
+    - its count strictly exceeds every possible NEW pair's count: a
+      new pair (x, ab) occupies a subset of the old (x, a) sites and
+      of the (a, b) sites, so it is bounded by
+      min(c_i, max(maxcount(*, a_i), maxcount(b_i, *))) — strict,
+      because a tying new pair could win the lexicographic tie-break;
+    - its concatenation is not an EXISTING symbol: merging would mint
+      more tokens of that symbol and INFLATE existing pair counts
+      (the one case where counts can rise), so such a merge commits
+      alone, exactly like the sequential trainer.
+
+    Every decrease elsewhere is harmless: the sorted prefix already
+    outranks all original pairs after it. Equivalence to the
+    one-merge-per-scan trainer is property-tested against
+    ``learn_bpe``."""
+    symbols: set[str] = set()
+    maxc_left: dict[str, int] = {}
+    maxc_right: dict[str, int] = {}
+    for r in rows:
+        a, b, c = r["a"], r["b"], r["c"]
+        symbols.add(a)
+        symbols.add(b)
+        if c > maxc_left.get(a, 0):
+            maxc_left[a] = c
+        if c > maxc_right.get(b, 0):
+            maxc_right[b] = c
+    chosen: list[tuple[str, str]] = []
+    used: set[str] = set()
+    max_new_bound = 0
+    for r in rows:
+        a, b, c = r["a"], r["b"], r["c"]
+        concat = a + b
+        if chosen and (
+            a in used
+            or b in used
+            or concat in used
+            or c <= max_new_bound
+            or concat in symbols
+        ):
+            break
+        chosen.append((a, b))
+        if concat in symbols:
+            break  # inflating merge: commit alone (first pick only)
+        used.update((a, b, concat))
+        bound = min(c, max(maxc_right.get(a, 0), maxc_left.get(b, 0)))
+        max_new_bound = max(max_new_bound, bound)
+        if len(chosen) >= budget:
+            break
+    return chosen
 
 
 def chunk_text_tokens(

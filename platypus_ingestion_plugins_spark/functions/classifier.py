@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from platypus_ingestion_plugins_spark.operators.dsir import _gram_buckets
+from platypus_ingestion_plugins_spark.session import ensure_parallelism
 
 
 def doc_features(
@@ -51,20 +52,25 @@ def doc_features(
     with ``val = count(bucket in doc) / n_grams(doc)`` — at most
     min(dim, n_grams) rows per document. Zero-gram documents produce
     no rows (they carry no evidence; score 0.5 under any weights)."""
-    from pyspark.sql.window import Window
-
-    grams = df.select(
-        F.col(id_col), F.explode(_gram_buckets(text_col, dim)).alias("bucket")
+    # per-doc total = the gram-array size, taken BEFORE the explode
+    # and carried through it — a window over the per-bucket counts
+    # cost a second full shuffle (repartition by id) for the same
+    # number (r13 bench follow-up). Two-step select so the md5 array
+    # is materialized once (CollapseProject keeps multi-use non-cheap
+    # exprs in their own Project); first() is constant per group.
+    arr = ensure_parallelism(df).select(
+        F.col(id_col), _gram_buckets(text_col, dim).alias("__b")
+    )
+    grams = arr.select(
+        F.col(id_col),
+        F.size("__b").alias("__n"),
+        F.explode("__b").alias("bucket"),
     )
     counts = grams.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).alias("__c")
+        F.count(F.lit(1)).alias("__c"), F.first("__n").alias("__n")
     )
-    # per-doc total as a window over the per-bucket counts — the
-    # tokenize+hash+explode lineage is evaluated ONCE (a second
-    # groupBy over `grams` re-ran it; r11 review 2nd pass #9)
-    total = F.sum("__c").over(Window.partitionBy(id_col))
     return counts.select(
-        id_col, "bucket", (F.col("__c") / total).alias("val")
+        id_col, "bucket", (F.col("__c") / F.col("__n")).alias("val")
     )
 
 
@@ -217,17 +223,26 @@ def char_gram_features(
             F.lit(dim),
         ),
     )
-    grams_df = df.select(
-        F.col(id_col), F.explode(buckets).alias("bucket")
+    # per-doc total = the gram count, which is a pure LENGTH formula
+    # (length - n + 1 when long enough) — no window over the
+    # per-bucket counts, whose partition-by-id shuffle doubled the
+    # feature cost (r13 bench follow-up)
+    n_grams = F.when(
+        F.length(c) >= n, (F.length(c) - n + 1).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    # the md5-per-gram transform is heavy per-row compute: inherit a
+    # single-split small scan and the whole stage serializes on one
+    # core (the session.ensure_parallelism contract; no-op at scale)
+    grams_df = ensure_parallelism(df).select(
+        F.col(id_col),
+        n_grams.alias("__n"),
+        F.explode(buckets).alias("bucket"),
     )
     counts = grams_df.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).alias("__c")
+        F.count(F.lit(1)).alias("__c"), F.first("__n").alias("__n")
     )
-    from pyspark.sql.window import Window
-
-    tot = F.sum("__c").over(Window.partitionBy(id_col))
     return counts.select(
-        id_col, "bucket", (F.col("__c") / tot).alias("val")
+        id_col, "bucket", (F.col("__c") / F.col("__n")).alias("val")
     )
 
 
@@ -258,18 +273,20 @@ def train_logreg_ovr(
     cls_df = F.broadcast(
         spark.createDataFrame([(c,) for c in classes], "__c string")
     )
+    # cache the labeled features PRE-expansion: the K-way class
+    # cross join is a cheap in-memory broadcast expansion, so caching
+    # fj instead of fl holds K x less data and the distinct-doc count
+    # scans K x fewer rows (r13 bench follow-up — this was the
+    # suite's slowest query)
+    fj = features.join(lab, id_col).persist()
     # (id, bucket, val, __cls actual, __c candidate, __y) — the OVR
-    # label matrix, K rows per feature row
-    fl = (
-        features.join(lab, id_col)
-        .crossJoin(cls_df)
-        .withColumn(
-            "__y", (F.col("__cls") == F.col("__c")).cast("double")
-        )
-        .persist()
+    # label matrix, K rows per feature row, derived lazily from the
+    # cached fj on each use
+    fl = fj.crossJoin(cls_df).withColumn(
+        "__y", (F.col("__cls") == F.col("__c")).cast("double")
     )
     try:
-        n_docs = fl.select(id_col).distinct().count()
+        n_docs = fj.select(id_col).distinct().count()
         w: dict[tuple[str, int], float] = {}
         for _ in range(int(iters)):
             if w:
@@ -314,7 +331,7 @@ def train_logreg_ovr(
                 key = (r["__c"], r.bucket)
                 w[key] = w.get(key, 0.0) - lr * r["__g"]
     finally:
-        fl.unpersist()
+        fj.unpersist()
     return sorted((c, b, x) for (c, b), x in w.items())
 
 
@@ -325,14 +342,17 @@ def predict_ovr(
     out_col: str = "pred_class",
 ) -> DataFrame:
     """Argmax-margin class per document: (id, <out_col>, margin). One
-    broadcast weights join + one partial-aggregatable groupBy + one
-    per-doc window — the corpus pass is map-side like
-    ``score_logreg``. Margins are 6-dp-rounded BEFORE the argmax and
-    ties break on the lexicographically smallest class, so the
-    prediction is deterministic across engines, partitionings and
-    summation orders."""
-    from pyspark.sql.window import Window
-
+    broadcast weights join + one partial-aggregatable groupBy per
+    (id, class) + one partial-aggregatable argmax groupBy per id —
+    the corpus pass is map-side like ``score_logreg``. The argmax is
+    min(struct(-margin, class)) rather than a window: a window
+    re-shuffles AND sorts every (id, class) row, where the min-struct
+    combines map-side (r13 bench follow-up). Margins are
+    6-dp-rounded BEFORE the argmax and ties break on the
+    lexicographically smallest class (min over (-margin, class)
+    equals max-margin-then-min-class), so the prediction is
+    deterministic across engines, partitionings and summation
+    orders."""
     spark = features.sparkSession
     wdf = (
         weights
@@ -347,13 +367,15 @@ def predict_ovr(
         .groupBy(id_col, "__c")
         .agg(F.round(F.sum(F.col("val") * F.col("__w")), 6).alias("margin"))
     )
-    rn = F.row_number().over(
-        Window.partitionBy(id_col).orderBy(
-            F.col("margin").desc(), F.col("__c").asc()
-        )
+    best = margins.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("margin")).alias("nm"), F.col("__c").alias("c")
+            )
+        ).alias("__best")
     )
-    return (
-        margins.withColumn("__rn", rn)
-        .filter(F.col("__rn") == 1)
-        .select(id_col, F.col("__c").alias(out_col), "margin")
+    return best.select(
+        id_col,
+        F.col("__best.c").alias(out_col),
+        (-F.col("__best.nm")).alias("margin"),
     )

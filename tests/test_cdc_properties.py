@@ -97,8 +97,13 @@ _bpe_texts = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(texts=_bpe_texts, n_merges=st.integers(min_value=1, max_value=5))
+@given(texts=_bpe_texts, n_merges=st.integers(min_value=1, max_value=12))
 def test_bpe_train_property_equals_driver(texts, n_merges):
+    # n_merges up to 12 over a 3-letter alphabet forces multi-pair
+    # batches through _select_merge_batch's interaction guards
+    # (shared symbols, concat == existing symbol, new-pair bounds) —
+    # the r14 batched trainer must stay merge-for-merge equal to the
+    # sequential driver trainer
     from platypus_ingestion_plugins_spark.functions.bpe import (
         bpe_train,
         learn_bpe,
@@ -109,3 +114,68 @@ def test_bpe_train_property_equals_driver(texts, n_merges):
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
     assert bpe_train(df, "text", n_merges) == learn_bpe(texts, n_merges)
+
+
+def test_select_merge_batch_is_sequential_prefix():
+    """Pure-driver property sweep of the batch selector: on hundreds
+    of random corpora the batched trainer's SELECTION must equal the
+    sequential trainer's next-k merges for the batch it claims. Runs
+    learn_bpe as ground truth and replays _select_merge_batch over
+    the same pair tables — no Spark needed, so the sweep is wide."""
+    import random
+
+    from platypus_ingestion_plugins_spark.functions.bpe import (
+        _EOW,
+        _select_merge_batch,
+        learn_bpe,
+    )
+    from collections import Counter
+
+    rng = random.Random(14)
+    for trial in range(300):
+        n_words = rng.randint(1, 8)
+        words = [
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+            for _ in range(n_words)
+        ]
+        texts = [" ".join(rng.choices(words, k=rng.randint(1, 10)))]
+        want = learn_bpe(texts, 12)
+        # replay: walk the sequential vocab, at each state ask the
+        # selector for a batch and check it prefixes `want`
+        vocab: Counter = Counter()
+        for t in texts:
+            for w in t.split():
+                vocab[tuple(list(w) + [_EOW])] += 1
+        got: list = []
+        while len(got) < len(want):
+            pairs: Counter = Counter()
+            for sym, cnt in vocab.items():
+                for a, b in zip(sym, sym[1:]):
+                    pairs[(a, b)] += cnt
+            if not pairs:
+                break
+            rows = [
+                {"a": a, "b": b, "c": c} for (a, b), c in pairs.items()
+            ]
+            rows.sort(key=lambda r: (r["c"], (r["a"], r["b"])), reverse=True)
+            batch = _select_merge_batch(rows, budget=12 - len(got))
+            assert batch == want[len(got): len(got) + len(batch)], (
+                trial, texts, got, batch, want)
+            # apply the batch sequentially (ground-truth application)
+            for pair in batch:
+                merged = pair[0] + pair[1]
+                nv: Counter = Counter()
+                for sym, cnt in vocab.items():
+                    out, i = [], 0
+                    while i < len(sym):
+                        if (i + 1 < len(sym) and sym[i] == pair[0]
+                                and sym[i + 1] == pair[1]):
+                            out.append(merged)
+                            i += 2
+                        else:
+                            out.append(sym[i])
+                            i += 1
+                    nv[tuple(out)] += cnt
+                vocab = nv
+            got.extend(batch)
+        assert got == want[: len(got)]
