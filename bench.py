@@ -54,6 +54,34 @@ WARMUP = (
 )
 
 
+def _stream_noop_floor(spark) -> float:
+    """Wall-clock of one checkpointed availableNow stream over a
+    2-row parquet source with a no-op foreachBatch — the per-drop
+    fixed overhead every stream_* bench entry pays before touching
+    data. Runs after warmup so it measures steady-state setup cost,
+    not first-stream JVM amortization."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bench_stream_floor_")
+    try:
+        src = os.path.join(work, "src")
+        spark.range(2).write.parquet(src)
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.schema("id long")
+            .parquet(src)
+            .writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -72,6 +100,13 @@ def main() -> None:
         if name in qs:
             qs[name](spark, sf_dir).count()
             spark.catalog.clearCache()
+    # measured fixed cost of ONE checkpointed availableNow micro-stream
+    # over trivial data: the stream_* queries each pay this per drop
+    # regardless of data volume (VERDICT r13 task #8 — ~2-8 s per
+    # streaming oracle at sf0.1 is trigger/checkpoint setup, not rows;
+    # report the floor next to the totals so regression attribution can
+    # subtract it instead of reading setup noise as data signal)
+    stream_floor = round(_stream_noop_floor(spark), 3)
 
     all_runs: dict[str, list[float]] = {}
     for p in range(passes):
@@ -96,6 +131,20 @@ def main() -> None:
 
     timings = {name: round(min(runs), 3) for name, runs in all_runs.items()}
     total = round(sum(timings.values()), 3)
+    # the stream/batch split + measured per-drop setup floor (VERDICT
+    # r13 task #8): stream_* totals are dominated by checkpoint/trigger
+    # fixed cost at bench scale; the split keeps that visible so a
+    # "stream_x regressed 1.3x" reading can check whether DATA work or
+    # session setup moved
+    stream_names = [n for n in timings if n.startswith("stream_")]
+    stream_split = {
+        "stream_sum_sec": round(sum(timings[n] for n in stream_names), 3),
+        "batch_sum_sec": round(
+            total - sum(timings[n] for n in stream_names), 3
+        ),
+        "n_stream_queries": len(stream_names),
+        "stream_noop_floor_sec": stream_floor,
+    }
     # Variance control for the slow cohort (VERDICT r8 task #6): the >2 s
     # queries are all streaming/maintenance entries where machine noise
     # swamped r7's regression attribution — record min AND median for
@@ -161,6 +210,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "stream_split": stream_split,
         "variance_gt2s": variance,
         "contended": contended,
         "median_ratio_vs_tracked": median_ratio,

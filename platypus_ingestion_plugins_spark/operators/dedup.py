@@ -621,6 +621,20 @@ def cap_shingle_df(sh: DataFrame, max_df: int | None, key_col: str = "shingle") 
 
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate — free (no job), file
+    size at the scan and propagated through projections/checkpoints.
+    Used to choose lazy vs eager materialization boundaries; unknown
+    stats return huge, which maps to the safe-at-scale (eager)
+    choice."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover - py4j edge
+        return 1 << 62
+
+
 def _maybe_single_eval(df: DataFrame, enabled: bool) -> DataFrame:
     """Lazy localCheckpoint when ``enabled`` — the single-evaluation
     pattern for frames referenced by several subplans (AQE's runtime
@@ -1146,12 +1160,29 @@ def minhash_lsh_dedup_pairs(
     (bounded lifetime, leak-tested); ``single_eval=False`` chooses
     recomputation instead (see _maybe_single_eval for the
     executor-loss trade)."""
-    sh = _maybe_single_eval(
-        cap_shingle_df(shingles(df, text_col, id_col, n), max_shingle_df),
-        single_eval,
-    )
+    # size-gated materialization boundaries (r14, the AQE-broadcast
+    # decision applied to checkpoint placement): on a LARGE corpus the
+    # fused pairs job is pathological — the shingle frame's three
+    # in-job references race ahead of the lazy checkpoint's block
+    # store (each recomputing tokenize+gram), the band self-join reads
+    # sig twice, and AQE plans the verification joins blind to the
+    # candidate count (measured 79.2 s -> 39.0 s at sf10 with the
+    # three boundaries eager). On a SMALL corpus those duplicated
+    # computes cost less than the three extra materialization jobs,
+    # so the r13 lazy single-eval shape stays (bench floor unchanged).
+    # Catalyst's optimized-plan size estimate is free and survives
+    # localCheckpoint inputs; unknown stats read huge, mapping to the
+    # safe-at-scale eager choice.
+    big = single_eval and _plan_size_bytes(df) >= (32 << 20)
+    sh = cap_shingle_df(shingles(df, text_col, id_col, n), max_shingle_df)
+    if single_eval:
+        sh = sh.localCheckpoint(eager=big)
     sig = minhash_from_shingles(sh, id_col, num_hashes)
+    if big:
+        sig = sig.localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sig, id_col, bands)
+    if big:
+        cands = cands.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cands.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
