@@ -957,6 +957,181 @@ FROM c, (
 """
 
 
+def q_significant_terms(spark, sf):
+    """Significant-terms aggregation (NEW r14, serving/query.
+    significant_terms — the Elasticsearch significant_terms bucket):
+    terms over-represented in the lang='de' slice vs the whole corpus
+    under the JLH heuristic (absolute lift x relative lift). One scan,
+    distinct-terms-per-doc explode with the foreground flag carried
+    through, one partial-aggregatable groupBy, 1-row totals broadcast,
+    distributed TakeOrdered — never a vocabulary-wide window."""
+    from platypus_ingestion_plugins_spark.serving.query import (
+        significant_terms,
+    )
+
+    return significant_terms(
+        _t(spark, sf, "documents"),
+        "text",
+        F.col("lang") == "de",
+        top_n=10,
+        min_doc_count=3,
+    )
+
+
+SQL_SIGNIFICANT_TERMS = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN coalesce(lang = 'de', FALSE) THEN 1 ELSE 0 END AS fg,
+         unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '\\W+'), x -> x <> ''))) AS term
+  FROM documents),
+tot AS (SELECT count(*) AS n_bg,
+               sum(CASE WHEN coalesce(lang = 'de', FALSE)
+                   THEN 1 ELSE 0 END) AS n_fg
+        FROM documents),
+pt AS (SELECT term, CAST(sum(fg) AS BIGINT) AS fg_count,
+              CAST(count(*) AS BIGINT) AS bg_count
+       FROM toks GROUP BY term)
+SELECT term, fg_count, bg_count,
+       round((fg_count * 1.0 / n_fg - bg_count * 1.0 / n_bg)
+             * ((fg_count * 1.0 / n_fg) / (bg_count * 1.0 / n_bg)), 6)
+           AS score
+FROM pt, tot WHERE fg_count >= 3 AND n_fg > 0
+ORDER BY score DESC, term LIMIT 10
+"""
+
+
+def q_event_paths(spark, sf):
+    """Top user journeys (NEW r14, operators/analytics.event_paths):
+    the most common first-4-event-type sequences — path analysis next
+    to event_transitions' one-step matrix. The per-user prefix is cut
+    with a row_number window BEFORE any list materializes (no fat
+    collect_list row on a bot user — the funnel cascade lesson);
+    event_id breaks ts ties deterministically."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        event_paths,
+    )
+
+    return event_paths(
+        _t(spark, sf, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        max_len=4,
+        top_n=15,
+        order_col="event_id",
+    )
+
+
+SQL_EVENT_PATHS = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE ts IS NOT NULL),
+pre AS (SELECT * FROM ranked WHERE rn <= 4),
+per_user AS (
+  SELECT user_id, string_agg(event_type, ' -> ' ORDER BY rn) AS path,
+         CAST(count(*) AS INT) AS path_len
+  FROM pre GROUP BY user_id)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users, path_len
+FROM per_user GROUP BY path, path_len
+ORDER BY n_users DESC, path LIMIT 15
+"""
+
+
+def q_rate_anomalies(spark, sf):
+    """Event-rate anomaly readout (NEW r14, operators/analytics.
+    rate_anomalies): per (type, hour) counts z-scored against the
+    type's trailing 24 hours — spikes AND drops flag once at least 6
+    prior buckets exist and variance is nonzero. One
+    partial-aggregatable groupBy to hourly counts (the only
+    corpus-sized stage), then windows over the hours x types series."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        rate_anomalies,
+    )
+
+    return rate_anomalies(
+        _t(spark, sf, "events"),
+        "ts",
+        "event_type",
+        window_hours=24,
+        z_threshold=1.8,
+        min_history=6,
+    )
+
+
+SQL_RATE_ANOMALIES = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, hour, cnt,
+         round(avg(cnt) OVER w, 6) AS mean_prev,
+         round(stddev_samp(cnt) OVER w, 6) AS sd_prev,
+         count(cnt) OVER w AS n_prev
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT event_type, hour, cnt, mean_prev, sd_prev,
+       round((cnt - mean_prev) / sd_prev, 6) AS z
+FROM stats
+WHERE n_prev >= 6 AND sd_prev IS NOT NULL AND sd_prev > 0
+  AND abs(round((cnt - mean_prev) / sd_prev, 6)) >= 1.8
+"""
+
+
+def q_tokenizer_fit(spark, sf):
+    """Per-source tokenizer fit datasheet (NEW r14, functions/bpe.
+    tokenizer_fit_report): compression (chars/token) and
+    character-fallback share under the frozen merge table — the
+    domain-shift go/no-go numbers for reusing a tokenizer. One
+    Arrow-batched bpe_encode pass + a row-local singles count + one
+    partial-aggregatable groupBy; the oracle replays the frozen
+    replace-chain BPE and counts single-char symbols with a wrapped
+    regexp."""
+    from platypus_ingestion_plugins_spark.functions.bpe import (
+        load_merges_txt,
+        tokenizer_fit_report,
+    )
+
+    d = _t(spark, sf, "documents")
+    merges = load_merges_txt(_BPE_FROZEN)
+    return tokenizer_fit_report(d, "text", "source", "doc_id", merges)
+
+
+def _tokenizer_fit_oracle_sql() -> str:
+    stx, etx = "\x02", "\x03"
+    expr = _bpe_word_rep_sql("w")
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(coalesce(text, ''), '\\w+|[^\\w\\s]')) AS w
+  FROM documents),
+reps AS (
+  SELECT doc_id, {expr} AS rep FROM words),
+per_doc AS (
+  SELECT doc_id,
+         sum(length(rep) - length(replace(rep, '{stx}', ''))) AS n,
+         sum(len(regexp_extract_all(rep,
+             '{stx}[^{stx}{etx}]{etx}'))) AS singles
+  FROM reps GROUP BY doc_id),
+base AS (
+  SELECT d.source AS "group", coalesce(p.n, 0) AS n,
+         coalesce(p.singles, 0) AS s,
+         length(coalesce(d.text, '')) AS ch
+  FROM documents d LEFT JOIN per_doc p USING (doc_id))
+SELECT "group", CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(sum(ch) AS BIGINT) AS n_chars,
+       round(sum(ch) * 1.0 / nullif(sum(n), 0), 6) AS chars_per_token,
+       CAST(sum(s) AS BIGINT) AS single_char_tokens,
+       round(sum(s) * 1.0 / nullif(sum(n), 0), 6) AS single_char_rate
+FROM base GROUP BY "group"
+"""
+
+
 def q_funnel_cascade(spark, sf):
     """Skew-safe funnel (NEW r14, operators/analytics.funnel
     mode='cascade' — the r13 verdict's weak-item fix): the same
@@ -8670,11 +8845,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # #6, recomputed from the CORRECTNESS_r01..r13 files by script):
     #   0.  the 31 r13-new entries the driver never saw (judge-verified
     #       at sf0.01 in VERDICT r13), in r13 declaration order.
-    #   0b. the 3 NEW r14 entries. Sections 0+0b = 34 < 50.
+    #   0b. the 7 NEW r14 entries. Sections 0+0b = 38 < 50.
     #   1.  every previously-green entry ascending by its LAST
     #       driver-green round (r10 → r11 → r12 → r13), each cohort in
-    #       its CORRECTNESS file order: the cap's remaining 16 slots
-    #       cover the 11 r10-stale entries + the first 5 of r11's.
+    #       its CORRECTNESS file order: the cap's remaining 12 slots
+    #       cover the 11 r10-stale entries + the first 1 of r11's.
     return {
         # 0. the 31 r13 POST-cap entries: never driver-value-checked
         #    (judge-verified at sf0.01 in VERDICT r13) — they lead r14.
@@ -8714,6 +8889,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_slop": q_phrase_slop,
         "span_near": q_span_near,
         "funnel_cascade": q_funnel_cascade,
+        "significant_terms": q_significant_terms,
+        "event_paths": q_event_paths,
+        "rate_anomalies": q_rate_anomalies,
+        "tokenizer_fit": q_tokenizer_fit,
         # 1. stale cohorts, least-recently-driver-green first
         #    (r10 → r11 → r12 → r13), each in its CORRECTNESS file
         #    order. The 50-cap covers sections 0+0b (34) plus the 11
@@ -9054,6 +9233,10 @@ def oracle_sql() -> dict[str, str]:
         "phrase_slop": SQL_PHRASE_SLOP,
         "span_near": SQL_SPAN_NEAR,
         "funnel_cascade": SQL_FUNNEL,
+        "significant_terms": SQL_SIGNIFICANT_TERMS,
+        "event_paths": SQL_EVENT_PATHS,
+        "rate_anomalies": SQL_RATE_ANOMALIES,
+        "tokenizer_fit": _tokenizer_fit_oracle_sql(),
         "indexed_bm25": SQL_FULLTEXT_BM25,
         "hybrid_indexed": SQL_HYBRID_INDEXED,
         "constraint_report": SQL_CONSTRAINT_REPORT,

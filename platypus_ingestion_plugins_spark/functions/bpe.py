@@ -163,6 +163,8 @@ def bpe_train(
         " x -> substring(x, 2))"
     )
     merges: list[tuple[str, str]] = []
+    base = vocab  # the only .persist() — released in finally; later
+    # rounds are localCheckpoint frames the ContextCleaner reclaims
     try:
         while len(merges) < n_merges:
             # the FULL pair-count table, not just the argmax: it is
@@ -208,7 +210,7 @@ def bpe_train(
             vocab = vocab.withColumn("rep", rep).localCheckpoint(eager=False)
             merges.extend(chosen)
     finally:
-        vocab.unpersist()
+        base.unpersist()
     return merges
 
 
@@ -445,3 +447,60 @@ def bpe_encode(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
+def tokenizer_fit_report(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Per-group tokenizer FIT datasheet under a frozen merge table:
+    the go/no-go numbers for reusing a tokenizer on a new corpus
+    slice — (group, n_docs, n_tokens, n_chars, chars_per_token,
+    single_char_tokens, single_char_rate). ``chars_per_token``
+    (compression) drops and ``single_char_rate`` (character-fallback
+    share: tokens the merge table couldn't grow past one character)
+    rises on text the vocabulary wasn't trained for — the standard
+    domain-shift signals.
+
+    One Arrow-batched ``bpe_encode`` pass (the module's documented
+    slow-path exception) + a row-local singles count + one
+    partial-aggregatable groupBy; output is group-count-sized. Ratios
+    6dp-rounded; a group with zero tokens reports NULL ratios
+    (0-token docs still count toward n_docs)."""
+    enc = bpe_encode(df, text_col, id_col, merges).select(
+        id_col,
+        F.col("n_bpe_tokens"),
+        F.size(F.filter("tokens", lambda t: F.length(t) == 1)).alias(
+            "__singles"
+        ),
+    )
+    base = df.select(
+        id_col,
+        F.col(group_col).alias("group"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("__chars"),
+    )
+    per_group = (
+        base.join(enc, id_col)
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_tokens"),
+            F.sum("__chars").cast("long").alias("n_chars"),
+            F.sum("__singles").cast("long").alias("single_char_tokens"),
+        )
+    )
+    nz = F.when(F.col("n_tokens") > 0, F.col("n_tokens"))
+    return per_group.select(
+        "group",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.round(F.col("n_chars") / nz, 6).alias("chars_per_token"),
+        "single_char_tokens",
+        F.round(F.col("single_char_tokens") / nz, 6).alias(
+            "single_char_rate"
+        ),
+    )

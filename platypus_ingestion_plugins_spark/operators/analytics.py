@@ -344,3 +344,133 @@ def cohort_retention(
         "n_users",
         F.round(F.col("n_users") / F.col("_base"), 6).alias("retention_pct"),
     )
+
+
+def event_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    max_len: int = 5,
+    top_n: int = 20,
+    order_col: str | None = None,
+    sep: str = " -> ",
+) -> DataFrame:
+    """Top user journeys: the most common sequences of each user's
+    FIRST ``max_len`` event types — the path-analysis readout next to
+    ``event_transitions``'s one-step matrix (the matrix says what
+    follows a click; paths say which whole journeys dominate).
+
+    ``order_col`` breaks timestamp ties deterministically (pass the
+    event id) — required whenever ts can tie, the
+    ``event_transitions`` contract. Output (path, n_users, path_len)
+    ranked by (n_users desc, path asc), top_n rows.
+
+    Skew shape: the per-user prefix is cut with a row_number window
+    BEFORE any list materializes, so no row ever holds more than
+    ``max_len`` event types — a bot user with millions of events
+    costs a window sort (spillable), never a fat collect_list row
+    (the funnel cascade-mode lesson). The final rank is a distributed
+    TakeOrdered over path-distinct rows."""
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col).asc()] + (
+        [F.col(order_col).asc()] if order_col else []
+    )
+    w = Window.partitionBy(F.col(user_col)).orderBy(*order)
+    prefix = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).alias("u"),
+            F.col(type_col).alias("et"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= max_len)
+    )
+    paths = prefix.groupBy("u").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rn"), F.col("et")))
+                ),
+                lambda s: s["et"],
+            ),
+            sep,
+        ).alias("path"),
+        F.count(F.lit(1)).cast("int").alias("path_len"),
+    )
+    return (
+        paths.groupBy("path", "path_len")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(top_n)
+        .select("path", "n_users", "path_len")
+    )
+
+
+def rate_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    type_col: str,
+    window_hours: int = 24,
+    z_threshold: float = 3.0,
+    min_history: int = 6,
+) -> DataFrame:
+    """Event-rate anomaly readout: per (event type, hour) counts
+    z-scored against that type's TRAILING ``window_hours`` hours —
+    the ops question ("did errors spike at 3am?") every event corpus
+    gets asked. A bucket flags when its count sits ``z_threshold``
+    sample standard deviations from the trailing mean, with at least
+    ``min_history`` prior buckets observed (young series don't
+    alarm) and nonzero variance (a flat series alarms on ANY change
+    — deliberate).
+
+    Output (event_type, hour, cnt, mean_prev, sd_prev, z) — stats
+    6dp-rounded, z's sign preserved (drops as anomalous as spikes).
+    Shape: one partial-aggregatable groupBy to hourly counts (the
+    only corpus-sized stage), then windows over the HOURLY series
+    (hours x types rows, never events). Empty hours inside the
+    trailing window are absent, not zero — the sparse-series reading;
+    densify upstream with date_histogram_facet(min_doc_count=0) if
+    gaps should count."""
+    if window_hours < 1:
+        raise ValueError(f"window_hours must be >= 1, got {window_hours}")
+    if min_history < 2:
+        raise ValueError(f"min_history must be >= 2, got {min_history}")
+    from pyspark.sql.window import Window
+
+    hourly = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-int(window_hours), -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.round(F.avg("cnt").over(w), 6).alias("mean_prev"),
+        F.round(F.stddev_samp("cnt").over(w), 6).alias("sd_prev"),
+        F.count("cnt").over(w).alias("__n_prev"),
+    )
+    z = F.round((F.col("cnt") - F.col("mean_prev")) / F.col("sd_prev"), 6)
+    return (
+        stats.where(
+            (F.col("__n_prev") >= min_history)
+            & F.col("sd_prev").isNotNull()
+            & (F.col("sd_prev") > 0)
+        )
+        .select("event_type", "hour", "cnt", "mean_prev", "sd_prev", z.alias("z"))
+        .where(F.abs(F.col("z")) >= F.lit(float(z_threshold)))
+    )

@@ -6138,3 +6138,173 @@ def test_cc_luhn_detection_and_redaction(spark):
         .collect()[0]
     )
     assert nrow.n is None and nrow.scrubbed is None
+
+
+def test_significant_terms_jlh(spark):
+    """NEW r14: significant-terms aggregation. JLH = (fg%-bg%)*(fg%/bg%)
+    over doc frequencies; per-doc DISTINCT terms; min_doc_count floor;
+    (score desc, term) order; NULL foreground = background-only."""
+    from platypus_ingestion_plugins_spark.serving.query import (
+        significant_terms,
+    )
+
+    rows = [
+        # 4 foreground docs: 'spark' in all 4, 'data' in 2
+        (1, "spark spark fast", True), (2, "spark data", True),
+        (3, "spark big data", True), (4, "spark only", True),
+        # 6 background docs: 'spark' in 1, 'data' in 3, 'slow' in 6
+        (5, "slow data", False), (6, "slow data", False),
+        (7, "slow data", False), (8, "slow spark", False),
+        (9, "slow stuff", False), (10, "slow stuff", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, fg boolean")
+    got = {
+        r["term"]: (r["fg_count"], r["bg_count"], r["score"])
+        for r in significant_terms(
+            df, "text", F.col("fg"), top_n=10, min_doc_count=2
+        ).collect()
+    }
+    # fg total = 4, bg total = 10
+    # spark: fg 4/4=1.0, bg 5/10=0.5 -> (0.5)*(2.0) = 1.0
+    assert got["spark"] == (4, 5, 1.0)
+    # data: fg 2/4=0.5, bg 5/10=0.5 -> 0.0
+    assert got["data"] == (2, 5, 0.0)
+    # 'fast'/'big'/'only' have fg_count 1 < min_doc_count=2: dropped
+    assert "fast" not in got and "only" not in got
+    # 'slow' has fg_count 0: dropped by the same floor
+    assert "slow" not in got
+    # per-doc distinct: doc 1's double 'spark' counts once
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="top_n"):
+        significant_terms(df, "text", F.col("fg"), top_n=0)
+    with _pt.raises(ValueError, match="min_doc_count"):
+        significant_terms(df, "text", F.col("fg"), min_doc_count=0)
+
+
+def test_event_paths_prefix_and_rank(spark):
+    """NEW r14: top user journeys. Prefix cut BEFORE any list
+    materializes (max_len), (ts, order_col) determinism, rank by
+    (n_users desc, path asc), path_len for short journeys."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        event_paths,
+    )
+
+    rows = [
+        (1, 1, 101, "view"), (1, 2, 102, "click"), (1, 3, 103, "buy"),
+        (2, 1, 201, "view"), (2, 2, 202, "click"), (2, 3, 203, "buy"),
+        (3, 1, 301, "view"), (3, 2, 302, "click"),
+        (4, 5, 401, "view"),
+        # u5: 4 events, max_len=3 cuts the tail
+        (5, 1, 501, "view"), (5, 2, 502, "click"), (5, 3, 503, "buy"),
+        (5, 4, 504, "return"),
+        # u6: tie on ts resolved by event id
+        (6, 1, 602, "click"), (6, 1, 601, "view"), (6, 2, 603, "buy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, et string"
+    )
+    got = [
+        (r["path"], r["n_users"], r["path_len"])
+        for r in event_paths(
+            df, "user_id", "ts", "et", max_len=3, top_n=10,
+            order_col="event_id",
+        ).collect()
+    ]
+    assert got == [
+        ("view -> click -> buy", 4, 3),
+        ("view", 1, 1),
+        ("view -> click", 1, 2),
+    ]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_len"):
+        event_paths(df, "user_id", "ts", "et", max_len=0)
+
+
+def test_rate_anomalies_zscore(spark):
+    """NEW r14: event-rate anomalies. A spike z-scored against the
+    trailing window; young series (< min_history) and zero-variance
+    windows never alarm; drops flag with negative z."""
+    import datetime as dt
+
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        rate_anomalies,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 10 steady hours alternating 10/12 events, then an hour with 100
+    counts = [10, 12, 10, 12, 10, 12, 10, 12, 10, 12, 100]
+    for h, c in enumerate(counts):
+        for i in range(c):
+            rows.append(("err", base + dt.timedelta(hours=h, seconds=i)))
+    # a type too young to alarm (3 hours only)
+    for h, c in enumerate([5, 5, 50]):
+        for i in range(c):
+            rows.append(("young", base + dt.timedelta(hours=h, seconds=i)))
+    df = spark.createDataFrame(rows, "et string, ts timestamp_ntz")
+    got = rate_anomalies(
+        df, "ts", "et", window_hours=24, z_threshold=3.0, min_history=6
+    ).collect()
+    assert len(got) == 1 and got[0]["event_type"] == "err"
+    r = got[0]
+    assert r["cnt"] == 100 and r["mean_prev"] == 11.0
+    import statistics
+
+    want_sd = round(statistics.stdev([10, 12] * 5), 6)
+    assert r["sd_prev"] == want_sd
+    assert r["z"] == round((100 - 11.0) / want_sd, 6)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window_hours"):
+        rate_anomalies(df, "ts", "et", window_hours=0)
+
+
+def test_tokenizer_fit_report(spark):
+    """NEW r14: per-group tokenizer fit under a frozen merge table —
+    compression (chars/token) and character-fallback share computed
+    against a hand encode; zero-token docs keep n_docs but NULL
+    ratios."""
+    from platypus_ingestion_plugins_spark.functions.bpe import (
+        encode_word,
+        pretokenize,
+        tokenizer_fit_report,
+    )
+
+    merges = [("l", "o"), ("lo", "w"), ("low", "</w>")]
+    rows = [
+        (1, "low low", "fit"), (2, "lower", "fit"),
+        (3, "zzz qqq", "alien"), (4, "", "alien"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    got = {
+        r["group"]: r.asDict()
+        for r in tokenizer_fit_report(
+            df, "text", "src", "doc_id", merges
+        ).collect()
+    }
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    def enc(text):
+        toks = []
+        for w in pretokenize(text):
+            toks.extend(encode_word(w, ranks))
+        return toks
+
+    fit_toks = enc("low low") + enc("lower")
+    n_fit = len(fit_toks)
+    singles_fit = sum(1 for t in fit_toks if len(t) == 1)
+    assert got["fit"]["n_docs"] == 2
+    assert got["fit"]["n_tokens"] == n_fit
+    assert got["fit"]["n_chars"] == len("low low") + len("lower")
+    assert got["fit"]["chars_per_token"] == round(
+        got["fit"]["n_chars"] / n_fit, 6)
+    assert got["fit"]["single_char_tokens"] == singles_fit
+    # the alien group is all character fallbacks + </w> markers
+    alien_toks = enc("zzz qqq")
+    assert got["alien"]["n_docs"] == 2  # the empty doc still counts
+    assert got["alien"]["n_tokens"] == len(alien_toks)
+    assert got["alien"]["single_char_tokens"] == sum(
+        1 for t in alien_toks if len(t) == 1)
+    assert got["alien"]["single_char_rate"] > got["fit"]["single_char_rate"]
