@@ -664,3 +664,65 @@ def gopher_rule_exprs(text_col: str) -> dict:
         "r_alpha_words": alpha_words.cast("double") / nw >= 0.8,
         "r_stopwords": n_stop >= 2,
     }
+
+
+def tfidf_keywords(
+    df,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_token_len: int = 2,
+):
+    """Per-document keyword extraction by smoothed TF-IDF: each doc's
+    top-k terms under score = tf * (ln((N+1)/(df+1)) + 1) — term
+    frequency within the doc times the sklearn-style smoothed inverse
+    document frequency (df counts DOCUMENTS containing the term, the
+    +1s keep corpus-universal terms finite and new-term scores
+    defined). The per-doc summary every search/RAG pipeline wants
+    next to the corpus-level ``top_terms_per_group``.
+
+    Output (id, term, tf, score 6dp, rank), rank by (score desc,
+    term asc) within the doc — deterministic, engine-reproducible.
+
+    Scale shape: explode tokens once; tf is one partial-aggregatable
+    (doc, term) count; df reduces the SAME frame by term (vocab-sized)
+    and joins back on term; N rides a 1-row broadcast; the final
+    window partitions by doc — a single doc's vocabulary, never the
+    corpus (the ``top_terms_per_group`` contract)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.length("term") >= min_token_len)
+    tf = tok.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("__n")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("__n") + 1) / (F.col("__df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score", "rank")
+    )

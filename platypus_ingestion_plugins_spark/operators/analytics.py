@@ -474,3 +474,305 @@ def rate_anomalies(
         .select("event_type", "hour", "cnt", "mean_prev", "sd_prev", z.alias("z"))
         .where(F.abs(F.col("z")) >= F.lit(float(z_threshold)))
     )
+
+
+_ATTRIBUTION_MODELS = ("first_touch", "last_touch", "linear", "position")
+
+
+def attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion: str,
+    touches: Sequence[str],
+    model: str = "last_touch",
+    lookback_s: int | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Multi-touch conversion attribution: credit each conversion
+    event's preceding touch events (same user, touch ts <= conversion
+    ts, optionally within a ``lookback_s`` window) to their channels
+    under the four standard models — ``first_touch`` / ``last_touch``
+    (all credit to the earliest / latest touch), ``linear`` (1/n
+    each), ``position`` (U-shaped 40/20/40: 0.4 first, 0.4 last, the
+    middle 0.2 split evenly; 1 touch takes 1.0, 2 touches 0.5 each).
+
+    Every conversion credits its own lookback window independently —
+    a touch inside two conversions' windows credits both (the
+    standard window semantics; de-dup upstream if single-use credit
+    is wanted). Conversions with no in-window touch credit nothing.
+    ``order_col`` breaks ts ties deterministically (pass the event
+    id) — required whenever ts can tie, the ``event_transitions``
+    contract; it also orders same-instant touch-vs-conversion pairs
+    (a touch AT the conversion instant counts).
+
+    Output (channel, credit, share) — credit 6dp, share = channel
+    credit / total credited (6dp), ranked (credit desc, channel asc).
+
+    Scale shape: one equi-join on user (both sides pre-filtered to
+    the relevant types, so the join is conversions x touches per
+    user, bounded by the lookback window — the funnel-candidate
+    shape, not an event cross product), one per-conversion window to
+    rank touches, one channel-count-sized groupBy. The join and the
+    window share the user/conversion keys, so Spark reuses one
+    partitioning; a bot user's cost is bounded by its in-window
+    touches per conversion — cap event streams upstream
+    (``cap_per_group``) when a hot key's window itself is unbounded."""
+    touches = list(touches)
+    if model not in _ATTRIBUTION_MODELS:
+        raise ValueError(
+            f"model must be one of {_ATTRIBUTION_MODELS}, got {model!r}"
+        )
+    if not touches:
+        raise ValueError("touches must be non-empty")
+    if conversion in touches:
+        raise ValueError(
+            f"conversion {conversion!r} cannot also be a touch type"
+        )
+    if lookback_s is not None and lookback_s <= 0:
+        raise ValueError(f"lookback_s must be positive, got {lookback_s}")
+    from pyspark.sql.window import Window
+
+    base = df.where(F.col(ts_col).isNotNull())
+    oc = [F.col(order_col).alias("oid")] if order_col else []
+    conv = base.where(F.col(type_col) == conversion).select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("cts"),
+        *([F.col(order_col).alias("cid")] if order_col else []),
+    )
+    touch = base.where(F.col(type_col).isin(touches)).select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("tts"),
+        F.col(type_col).alias("channel"),
+        *oc,
+    )
+    cond = F.col("tts") <= F.col("cts")
+    if lookback_s is not None:
+        cond = cond & (
+            F.col("tts")
+            >= F.col("cts") - F.expr(f"INTERVAL {int(lookback_s)} SECONDS")
+        )
+    pairs = conv.join(touch, "u").where(cond)
+    conv_key = ["u", "cts"] + (["cid"] if order_col else [])
+    order = [F.col("tts").asc()] + ([F.col("oid").asc()] if order_col else [])
+    w = Window.partitionBy(*[F.col(c) for c in conv_key]).orderBy(*order)
+    ranked = pairs.select(
+        *conv_key,
+        "channel",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(*[F.col(c) for c in conv_key])
+        ).alias("nt"),
+    )
+    n = F.col("nt")
+    rn = F.col("rn")
+    if model == "first_touch":
+        weight = F.when(rn == 1, F.lit(1.0)).otherwise(F.lit(0.0))
+    elif model == "last_touch":
+        weight = F.when(rn == n, F.lit(1.0)).otherwise(F.lit(0.0))
+    elif model == "linear":
+        weight = F.lit(1.0) / n
+    else:  # position (U-shaped 40/20/40)
+        weight = (
+            F.when(n == 1, F.lit(1.0))
+            .when(n == 2, F.lit(0.5))
+            .when((rn == 1) | (rn == n), F.lit(0.4))
+            .otherwise(F.lit(0.2) / (n - 2))
+        )
+    per_channel = (
+        ranked.select("channel", weight.alias("w"))
+        .where(F.col("w") > 0)
+        .groupBy("channel")
+        .agg(F.sum("w").alias("_credit"))
+    )
+    tot = per_channel.agg(F.sum("_credit").alias("_tot"))
+    return (
+        per_channel.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.round(F.col("_credit"), 6).alias("credit"),
+            F.round(F.col("_credit") / F.col("_tot"), 6).alias("share"),
+        )
+        .orderBy(F.col("credit").desc(), F.col("channel").asc())
+    )
+
+
+def user_durations(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    horizon_s: int,
+) -> DataFrame:
+    """Per-user observation spans for survival analysis over an event
+    log: duration = seconds from the user's first to last event;
+    ``observed`` = 1 when the user has been silent for at least
+    ``horizon_s`` seconds before the corpus's last timestamp (the
+    churn event happened inside the observation window), else 0
+    (still active at the edge — right-censored). The standard
+    churn-defined-as-inactivity framing; feed the result to
+    ``survival_km``.
+
+    One partial-aggregatable groupBy(user) + a 1-row global-max
+    broadcast. Durations are integer seconds (exact — no float
+    drift); single-event users get duration 0."""
+    if horizon_s <= 0:
+        raise ValueError(f"horizon_s must be positive, got {horizon_s}")
+    per = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(
+            F.min(ts_col).alias("_first"),
+            F.max(ts_col).alias("_last"),
+        )
+    )
+    edge = per.agg(F.max("_last").alias("_edge"))
+    return per.crossJoin(F.broadcast(edge)).select(
+        "user",
+        (
+            F.col("_last").cast("long") - F.col("_first").cast("long")
+        ).alias("duration_s"),
+        F.when(
+            F.col("_last").cast("long")
+            <= F.col("_edge").cast("long") - F.lit(int(horizon_s)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("observed"),
+    )
+
+
+def survival_km(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over (duration, observed 0/1)
+    rows — observed=1 is an event (churn/failure) at that duration,
+    observed=0 a right-censored span (Kaplan & Meier 1958). At each
+    distinct duration t: d_t events, c_t censored, n_t at risk
+    (rows with duration >= t); S(t) = prod_{s<=t} (1 - d_s/n_s),
+    computed as exp(sum ln) over the ordered duration grid with the
+    d==n terminal point pinned to exactly 0.0 (Spark's ln(0) is NULL,
+    DuckDB's -inf — the explicit guard is the engine-portable
+    reading).
+
+    Output (t, n_risk, events, censored, survival 6dp) ordered by t.
+
+    Scale shape: one partial-aggregatable groupBy(duration) collapses
+    the corpus to the distinct-duration grid; the running windows
+    (cumsum for n_risk, cumsum-of-logs for S) run over THAT grid
+    only — a curve, not the corpus — so the single-partition ordered
+    window is grid-sized by construction (the rate_anomalies
+    contract). NULL durations are dropped; NULL observed counts as
+    censored (the conservative reading)."""
+    from pyspark.sql.window import Window
+
+    grid = (
+        df.where(F.col(duration_col).isNotNull())
+        .groupBy(F.col(duration_col).alias("t"))
+        .agg(
+            F.sum(
+                F.when(F.coalesce(F.col(observed_col), F.lit(0)) == 1, 1)
+                .otherwise(0)
+            ).cast("long").alias("events"),
+            F.sum(
+                F.when(F.coalesce(F.col(observed_col), F.lit(0)) == 1, 0)
+                .otherwise(1)
+            ).cast("long").alias("censored"),
+        )
+    )
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    total = grid.agg(
+        F.sum(F.col("events") + F.col("censored")).alias("_n")
+    )
+    staged = grid.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk",
+        F.col("_n")
+        - F.coalesce(
+            F.sum(F.col("events") + F.col("censored")).over(w_prev), F.lit(0)
+        ),
+    )
+    factor = F.lit(1.0) - F.col("events") / F.col("n_risk")
+    surv = F.when(
+        F.min(factor).over(w_all) <= F.lit(0.0), F.lit(0.0)
+    ).otherwise(F.exp(F.sum(F.log(factor)).over(w_all)))
+    return staged.select(
+        "t",
+        "n_risk",
+        "events",
+        "censored",
+        F.round(surv, 6).alias("survival"),
+    ).orderBy("t")
+
+
+def rfm_segments(
+    df: DataFrame,
+    cust_col: str,
+    date_col: str,
+    amount_col: str,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation over an order log: per customer,
+    recency (days from last order to the corpus's last order date),
+    frequency (order count), monetary (amount sum), each scored
+    1..n_tiles by equal-frequency ntile with HIGHER = better (most
+    recent / most frequent / highest spend get n_tiles), plus the
+    concatenated segment label ('555' = best). The classic
+    direct-marketing readout (Hughes 1994).
+
+    Ties break on the customer key, so scores are run-deterministic
+    (ntile with a total order is engine-exact — same bucket widths,
+    same extras-to-early-buckets rule in Spark and ANSI SQL).
+    Dates compare at DAY grain (timestamps truncate first).
+
+    Scale shape: one partial-aggregatable groupBy(customer) collapses
+    orders to the customer grid; the three ntile windows are global
+    sorts of THAT grid — inherent to exact equal-frequency
+    segmentation (the curve-not-corpus rule). At 100 TB swap exact
+    ntile for approx-quantile cut points upstream; the output
+    contract is the same."""
+    if n_tiles < 2:
+        raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    from pyspark.sql.window import Window
+
+    per = (
+        df.where(F.col(date_col).isNotNull())
+        .groupBy(F.col(cust_col).alias("customer"))
+        .agg(
+            F.max(F.to_date(F.col(date_col))).alias("_last"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.round(F.sum(amount_col), 6).alias("monetary"),
+        )
+    )
+    edge = per.agg(F.max("_last").alias("_edge"))
+    base = per.crossJoin(F.broadcast(edge)).select(
+        "customer",
+        F.datediff(F.col("_edge"), F.col("_last")).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    nt = int(n_tiles)
+    r_w = Window.orderBy(F.col("recency_days").desc(), F.col("customer").asc())
+    f_w = Window.orderBy(F.col("frequency").asc(), F.col("customer").asc())
+    m_w = Window.orderBy(F.col("monetary").asc(), F.col("customer").asc())
+    return base.select(
+        "customer",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(nt).over(r_w).alias("r_score"),
+        F.ntile(nt).over(f_w).alias("f_score"),
+        F.ntile(nt).over(m_w).alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

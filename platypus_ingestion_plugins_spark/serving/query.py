@@ -830,6 +830,118 @@ def significant_terms(
     )
 
 
+def percolate(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_field: str,
+    id_field: str,
+    query_id_field: str,
+    terms_field: str,
+    minimum_should_match: int | None = None,
+) -> DataFrame:
+    """Percolation — reverse search (Elasticsearch/Lucene percolate
+    query): a table of REGISTERED term queries matched against
+    incoming documents, the alerting/classification primitive ("which
+    saved searches does this new doc satisfy?"). ``queries`` carries
+    (query_id, array<string> terms); a document matches a query when
+    its analyzed token set covers at least ``minimum_should_match``
+    of the query's DISTINCT terms — default ALL of them (the
+    AND/phrase-free percolator core).
+
+    Output (doc id, query id) pairs, one per match.
+
+    Scale shape: the registry explodes to (term, query) rows and
+    BROADCASTS (saved-search registries are dictionary-sized next to
+    a document corpus); documents explode to distinct tokens once and
+    the match is one broadcast equi-join on term + one
+    per-(doc, query) count-off — never a doc x query cross product.
+    An empty-terms query matches NOTHING (it explodes to zero
+    registry rows), deliberately the opposite of vacuous truth — a
+    match-all row in an alerting registry is always a bug."""
+    if minimum_should_match is not None and minimum_should_match < 1:
+        raise ValueError(
+            f"minimum_should_match must be >= 1, got {minimum_should_match}"
+        )
+    reg = queries.select(
+        F.col(query_id_field).alias("__qid"),
+        F.array_distinct(F.col(terms_field)).alias("__qterms"),
+    )
+    reg = reg.select(
+        "__qid",
+        F.size("__qterms").alias("__need"),
+        F.explode("__qterms").alias("term"),
+    )
+    if minimum_should_match is not None:
+        reg = reg.withColumn(
+            "__need", F.least(F.col("__need"), F.lit(minimum_should_match))
+        )
+    doc_terms = docs.select(
+        F.col(id_field).alias("__did"),
+        F.explode(F.array_distinct(tokenize(text_field))).alias("term"),
+    )
+    return (
+        doc_terms.join(F.broadcast(reg), "term")
+        .groupBy("__did", "__qid", "__need")
+        .agg(F.count(F.lit(1)).alias("__got"))
+        .where(F.col("__got") >= F.col("__need"))
+        .select(
+            F.col("__did").alias(id_field), F.col("__qid").alias(query_id_field)
+        )
+    )
+
+
+def collapse_topk(
+    index: DataFrame,
+    collapse_field: str,
+    order_by: str,
+    k: int,
+    descending: bool = True,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Field collapsing (Elasticsearch ``collapse`` / Lucene grouping):
+    ONE representative hit per ``collapse_field`` group — the group's
+    best row by ``order_by`` — plus the group's total hit count
+    (``inner_hits`` cardinality), keeping the ``k`` groups whose best
+    hit ranks highest. The dedup-at-serving-time query shape (one
+    result per domain/author/product).
+
+    ``tie_break`` names a unique column (the doc id) to make the
+    per-group champion deterministic when ``order_by`` ties — required
+    whenever the sort key isn't unique, the ``event_transitions``
+    contract. NULL group keys collapse as their own group (ES
+    semantics); NULL sort keys rank last.
+
+    Output: all of the champion row's columns + ``group_count``,
+    ranked (order_by desc/asc, tie_break, collapse_field), k rows.
+
+    Scale shape: one window per group (row_number + count share the
+    partitioning — one shuffle on the collapse key) then a
+    distributed TakeOrdered for the final k — never a global sort of
+    the corpus."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql.window import Window
+
+    key = F.col(order_by)
+    order = [key.desc_nulls_last() if descending else key.asc_nulls_last()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    w = Window.partitionBy(F.col(collapse_field)).orderBy(*order)
+    champs = (
+        index.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "group_count",
+            F.count(F.lit(1))
+            .over(Window.partitionBy(F.col(collapse_field)))
+            .cast("long"),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    final_order = list(order) + [F.col(collapse_field).asc()]
+    return champs.orderBy(*final_order).limit(k)
+
+
 def retrieve_fields(df: DataFrame, fields: Sequence[str]) -> DataFrame:
     return df.select(*fields)
 

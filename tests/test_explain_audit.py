@@ -108,6 +108,19 @@ HEADLINE = [
     # shapes are pinned by construction instead: vocab-only rounds,
     # dictionary-sized expansion + pruned postings, one broadcast
     # term join, duplicate-sized groups join (see each docstring).
+    # r14 additions. phrase_slop / span_near are NOT here: their
+    # constructors EXECUTE (shared term-index build); their pruned
+    # posting-read shape is pinned by the text_index prune tests.
+    "significant_terms",
+    "event_paths",
+    "rate_anomalies",
+    "funnel_cascade",
+    "attribution",
+    "survival_km",
+    "rfm_segments",
+    "percolate",
+    "collapse_source",
+    "tfidf_keywords",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
@@ -123,6 +136,12 @@ EXPECT_BROADCAST = [
     "perplexity_buckets",  # the capped-vocab LM must broadcast (unigram_logprob)
     "bigram_logprob",  # both model tables (bigram + unigram) must broadcast
     "key_skew",  # the 1-row top-key frame must broadcast onto the stats row
+    "significant_terms",  # the 1-row fg/bg totals must broadcast
+    "attribution",  # the 1-row credit total must broadcast
+    "survival_km",  # the 1-row at-risk total must broadcast
+    "rfm_segments",  # the 1-row as-of edge date must broadcast
+    "percolate",  # the registry must broadcast (never shuffle the corpus)
+    "tfidf_keywords",  # the 1-row N must broadcast
 ]
 
 

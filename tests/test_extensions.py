@@ -6308,3 +6308,221 @@ def test_tokenizer_fit_report(spark):
     assert got["alien"]["single_char_tokens"] == sum(
         1 for t in alien_toks if len(t) == 1)
     assert got["alien"]["single_char_rate"] > got["fit"]["single_char_rate"]
+
+
+def test_attribution_models(spark):
+    """NEW r14: multi-touch attribution. All four models on a
+    hand-walked fixture; lookback window; order_col tie-breaks;
+    touch-free conversions credit nothing."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        attribution,
+    )
+
+    rows = [
+        # user 1: view@10, click@20, view@30, purchase@40
+        (1, 1, 10, "view"), (2, 1, 20, "click"),
+        (3, 1, 30, "view"), (4, 1, 40, "purchase"),
+        # user 2: click@5, purchase@100 (outside lookback_s=50)
+        (5, 2, 5, "click"), (6, 2, 100, "purchase"),
+        # user 3: purchase with no touches at all
+        (7, 3, 10, "purchase"),
+        # user 4: two touches at the SAME ts -> order_col decides
+        (8, 4, 10, "click"), (9, 4, 10, "view"), (10, 4, 20, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, t long, event_type string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("t")))
+
+    def run(model, lookback=None):
+        return {
+            r["channel"]: (r["credit"], r["share"])
+            for r in attribution(
+                df, "user_id", "ts", "event_type", "purchase",
+                ["click", "view"], model=model, lookback_s=lookback,
+                order_col="event_id",
+            ).collect()
+        }
+
+    # last_touch: u1 -> view@30, u2 -> click@5, u4 -> view (event 9, ties
+    # broken by event_id so view@10 is LAST among same-ts touches)
+    got = run("last_touch")
+    assert got["view"] == (2.0, round(2 / 3, 6)) and got["click"][0] == 1.0
+    # first_touch: u1 -> view@10, u2 -> click, u4 -> click (event 8 first)
+    got = run("first_touch")
+    assert got["view"][0] == 1.0 and got["click"][0] == 2.0
+    # linear: u1 1/3 each of (view,click,view) -> view 2/3 click 1/3;
+    # u2 click 1.0; u4 0.5/0.5
+    got = run("linear")
+    assert got["click"] == (round(1 / 3 + 1 + 0.5, 6), round((1/3+1.5)/3, 6))
+    assert got["view"][0] == round(2 / 3 + 0.5, 6)
+    # position: u1 (n=3) view 0.4 first + 0.4 last, click 0.2 middle
+    got = run("position")
+    assert got["view"][0] == round(0.8 + 0.5, 6)
+    assert got["click"][0] == round(0.2 + 1.0 + 0.5, 6)
+    # lookback drops u2's click@5 (100-5 > 50)
+    got = run("last_touch", lookback=50)
+    assert "click" in got and got["click"][0] == 0.0 or "click" not in got
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="model"):
+        attribution(df, "user_id", "ts", "event_type", "purchase",
+                    ["click"], model="shapley")
+    with _pt.raises(ValueError, match="touch"):
+        attribution(df, "user_id", "ts", "event_type", "purchase",
+                    ["purchase", "click"])
+
+
+def test_survival_km_hand_computed(spark):
+    """NEW r14: Kaplan-Meier estimator. Classic hand example with
+    censoring; terminal d==n point pins survival to exactly 0;
+    NULL observed counts as censored."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        survival_km,
+    )
+
+    # durations: events at 1 (d=1/n=5), 3 (d=1/n=3), censored at 2, 4;
+    # event at 5 (d=1/n=1 -> S=0)
+    rows = [(1, 1), (2, 0), (3, 1), (4, None), (5, 1)]
+    df = spark.createDataFrame(rows, "duration_s long, observed int")
+    got = {r["t"]: r for r in survival_km(df, "duration_s", "observed").collect()}
+    assert got[1]["n_risk"] == 5 and got[1]["survival"] == 0.8
+    assert got[2]["survival"] == 0.8  # censor-only row: no drop
+    # S(3) = 0.8 * (1 - 1/3)
+    assert got[3]["n_risk"] == 3 and abs(got[3]["survival"] - 0.8 * 2 / 3) < 1e-6
+    assert got[5]["n_risk"] == 1 and got[5]["survival"] == 0.0
+
+
+def test_user_durations_censoring(spark):
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        user_durations,
+    )
+
+    rows = [
+        (1, 0), (1, 100),     # active span 100s, silent 900s -> observed
+        (2, 500), (2, 980),   # last at 980, silent 20s < 100 -> censored
+        (3, 1000),            # the edge user: duration 0, censored
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t long").withColumn(
+        "ts", F.timestamp_seconds(F.col("t"))
+    )
+    got = {r["user"]: (r["duration_s"], r["observed"])
+           for r in user_durations(df, "user_id", "ts", 100).collect()}
+    assert got[1] == (100, 1)
+    assert got[2] == (480, 0)
+    assert got[3] == (0, 0)
+
+
+def test_rfm_segments_tiles(spark):
+    """NEW r14: RFM segmentation. Deterministic ntile with custkey
+    tie-break; higher score = better on each axis."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        rfm_segments,
+    )
+
+    rows = [
+        # cust 1: recent, frequent, big spender
+        (1, "2024-01-10", 100.0), (1, "2024-01-09", 100.0),
+        # cust 2: old single small order
+        (2, "2024-01-01", 10.0),
+        # cust 3: middling
+        (3, "2024-01-05", 50.0),
+        # cust 4: recent single mid order
+        (4, "2024-01-10", 20.0),
+    ]
+    df = spark.createDataFrame(rows, "c long, d string, amt double").select(
+        "c", F.to_timestamp("d").alias("d"), "amt"
+    )
+    got = {r["customer"]: r for r in
+           rfm_segments(df, "c", "d", "amt", n_tiles=2).collect()}
+    assert got[1]["recency_days"] == 0 and got[1]["frequency"] == 2
+    assert got[1]["monetary"] == 200.0
+    assert got[1]["segment"] == "222"
+    assert got[2]["segment"] == "111"
+    # r ordering: recency desc (2:9d, 3:5d, 1:0d, 4:0d tie->custkey asc)
+    # ntile(2) over 4 rows -> first two rows tile 1: custs 2,3 score 1
+    assert got[3]["r_score"] == 1 and got[4]["r_score"] == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="n_tiles"):
+        rfm_segments(df, "c", "d", "amt", n_tiles=1)
+
+
+def test_percolate_registry(spark):
+    """NEW r14: reverse search. All-terms default, msm override,
+    distinct-terms analysis, empty-terms query matches nothing."""
+    from platypus_ingestion_plugins_spark.serving.query import percolate
+
+    docs = spark.createDataFrame(
+        [(1, "Spark streaming engine"), (2, "fast spark"), (3, "slow db")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [
+            (10, ["spark", "engine"]),
+            (11, ["spark"]),
+            (12, ["spark", "spark"]),   # dup terms collapse: needs 1 term
+            (13, []),                   # matches nothing
+            (14, ["db", "missing"]),
+        ],
+        "qid long, terms array<string>",
+    )
+    got = {(r["doc_id"], r["qid"]) for r in
+           percolate(docs, qs, "text", "doc_id", "qid", "terms").collect()}
+    assert got == {(1, 10), (1, 11), (2, 11), (1, 12), (2, 12)}
+    # msm=1 turns q14 into an OR: doc 3 has 'db'
+    got2 = {(r["doc_id"], r["qid"]) for r in
+            percolate(docs, qs, "text", "doc_id", "qid", "terms",
+                      minimum_should_match=1).collect()}
+    assert (3, 14) in got2 and (1, 10) in got2 and (2, 10) in got2
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="minimum_should_match"):
+        percolate(docs, qs, "text", "doc_id", "qid", "terms",
+                  minimum_should_match=0)
+
+
+def test_collapse_topk_groups(spark):
+    """NEW r14: field collapsing. Champion per group with group_count,
+    tie_break determinism, NULL sort keys last, NULL group own group."""
+    from platypus_ingestion_plugins_spark.serving.query import collapse_topk
+
+    rows = [
+        (1, "a", 10), (2, "a", 30), (3, "a", 30),   # champ: id 2 (tie->id)
+        (4, "b", 50),
+        (5, "c", None), (6, "c", 5),                # NULL ranks last
+        (7, None, 40),
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, score int")
+    got = collapse_topk(df, "grp", "score", k=3, tie_break="id").collect()
+    assert [(r["id"], r["grp"], r["group_count"]) for r in got] == [
+        (4, "b", 1), (7, None, 1), (2, "a", 3)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k"):
+        collapse_topk(df, "grp", "score", k=0)
+
+
+def test_tfidf_keywords_scores(spark):
+    """NEW r14: per-doc TF-IDF keywords. Smoothed idf, rank ties on
+    term asc, min_token_len floor."""
+    import math
+
+    from platypus_ingestion_plugins_spark.functions.text import (
+        tfidf_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry date")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["term"]): (r["tf"], r["score"], r["rank"])
+           for r in tfidf_keywords(docs, "text", "doc_id", k=2).collect()}
+    idf = lambda dfreq: math.log(4 / (dfreq + 1)) + 1
+    assert got[(1, "apple")][0] == 2
+    assert abs(got[(1, "apple")][1] - round(2 * idf(1), 6)) < 1e-9
+    assert got[(1, "apple")][2] == 1  # 2*ln(2)+2 > 1*ln(4/3)+1
+    assert got[(2, "banana")][2] in (1, 2) and len(got) == 6
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k"):
+        tfidf_keywords(docs, "text", "doc_id", k=0)
