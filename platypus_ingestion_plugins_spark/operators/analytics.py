@@ -548,10 +548,20 @@ def attribution(
     )
     cond = F.col("tts") <= F.col("cts")
     if lookback_s is not None:
-        cond = cond & (
-            F.col("tts")
-            >= F.col("cts") - F.expr(f"INTERVAL {int(lookback_s)} SECONDS")
-        )
+        # epoch-second numerics subtract a plain number; timestamps
+        # need an INTERVAL (the funnel ``within`` dtype contract —
+        # both twins accept either physical type)
+        from pyspark.sql.types import NumericType
+
+        if isinstance(
+            df.select(F.col(ts_col)).schema[0].dataType, NumericType
+        ):
+            window_start = F.col("cts") - F.lit(int(lookback_s))
+        else:
+            window_start = F.col("cts") - F.expr(
+                f"INTERVAL {int(lookback_s)} SECONDS"
+            )
+        cond = cond & (F.col("tts") >= window_start)
     pairs = conv.join(touch, "u").where(cond)
     conv_key = ["u", "cts"] + (["cid"] if order_col else [])
     order = [F.col("tts").asc()] + ([F.col("oid").asc()] if order_col else [])

@@ -6526,3 +6526,27 @@ def test_tfidf_keywords_scores(spark):
 
     with _pt.raises(ValueError, match="k"):
         tfidf_keywords(docs, "text", "doc_id", k=0)
+
+
+def test_attribution_numeric_ts_lookback(spark):
+    """r14 review: lookback must work on epoch-second numeric ts too
+    (the funnel `within` dtype contract — no INTERVAL-on-long
+    analysis error)."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        attribution,
+    )
+
+    rows = [
+        (1, 1, 5, "click"), (2, 1, 100, "purchase"),
+        (3, 2, 90, "view"), (4, 2, 100, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    got = {r["channel"]: r["credit"] for r in attribution(
+        df, "user_id", "ts", "event_type", "purchase",
+        ["click", "view"], model="last_touch", lookback_s=50,
+        order_col="event_id",
+    ).collect()}
+    # user 1's click@5 is outside the 50s window of purchase@100
+    assert got == {"view": 1.0}
