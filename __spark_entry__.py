@@ -1400,6 +1400,181 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_rouge_pairs(spark, sf):
+    """ROUGE-2 eval (NEW r14, functions/text.rouge_n): each doc
+    scored against the NEXT doc of its source as the candidate (the
+    adjacent-pair harness for the pairwise metric). Clipped bigram
+    overlap; codegen n-gram arrays, one full-outer count join, one
+    groupBy(id)."""
+    from pyspark.sql.window import Window
+
+    from platypus_ingestion_plugins_spark.functions.text import rouge_n
+
+    d = _t(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    paired = d.select(
+        "doc_id",
+        F.col("text").alias("ref"),
+        F.lead("text").over(w).alias("cand"),
+    ).where(F.col("cand").isNotNull())
+    return rouge_n(paired, "ref", "cand", "doc_id", n=2)
+
+
+SQL_ROUGE_PAIRS = """
+WITH paired AS (
+  SELECT doc_id, text AS rtxt,
+         lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS cand
+  FROM documents),
+pp AS (SELECT * FROM paired WHERE cand IS NOT NULL),
+rt AS MATERIALIZED (
+  SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id) - 1 pos
+  FROM (SELECT doc_id, unnest(list_filter(
+      string_split_regex(lower(rtxt), '\\W+'), x -> x <> '')) t FROM pp)),
+ct AS MATERIALIZED (
+  SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id) - 1 pos
+  FROM (SELECT doc_id, unnest(list_filter(
+      string_split_regex(lower(cand), '\\W+'), x -> x <> '')) t FROM pp)),
+rg AS (SELECT a.doc_id, a.t || ' ' || b.t gram, count(*) rn
+       FROM rt a JOIN rt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       GROUP BY 1, 2),
+cg AS (SELECT a.doc_id, a.t || ' ' || b.t gram, count(*) cn
+       FROM ct a JOIN ct b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       GROUP BY 1, 2),
+clip AS (
+  SELECT coalesce(rg.doc_id, cg.doc_id) doc_id,
+         CAST(sum(coalesce(rn, 0)) AS BIGINT) ref_ngrams,
+         CAST(sum(coalesce(cn, 0)) AS BIGINT) cand_ngrams,
+         CAST(sum(least(coalesce(rn, 0), coalesce(cn, 0))) AS BIGINT)
+             overlap
+  FROM rg FULL OUTER JOIN cg USING (doc_id, gram) GROUP BY 1),
+base AS (
+  SELECT p.doc_id, coalesce(ref_ngrams, 0) ref_ngrams,
+         coalesce(cand_ngrams, 0) cand_ngrams, coalesce(overlap, 0) overlap
+  FROM pp p LEFT JOIN clip USING (doc_id))
+SELECT doc_id, ref_ngrams, cand_ngrams, overlap,
+       round(CASE WHEN cand_ngrams > 0
+                  THEN overlap * 1.0 / cand_ngrams END, 6) AS precision,
+       round(CASE WHEN ref_ngrams > 0
+                  THEN overlap * 1.0 / ref_ngrams END, 6) AS recall,
+       round(CASE WHEN cand_ngrams > 0 AND ref_ngrams > 0
+                  THEN 2.0 * overlap / (cand_ngrams + ref_ngrams)
+             END, 6) AS f1
+FROM base
+"""
+
+
+def q_char_entropy(spark, sf):
+    """Char-entropy gibberish signal (NEW r14, functions/text.
+    char_entropy_stats): per-doc character-distribution Shannon
+    entropy in bits. Two bounded shuffles ((id, char) then (id)),
+    no UDF."""
+    from platypus_ingestion_plugins_spark.functions.text import (
+        char_entropy_stats,
+    )
+
+    return char_entropy_stats(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+SQL_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, substring(text, i, 1) ch
+  FROM documents, unnest(range(1, length(coalesce(text, '')) + 1)) t(i)),
+cnts AS (SELECT doc_id, ch, count(*) cnt FROM chars GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) n_chars,
+         sum(cnt * log2(cnt)) s
+  FROM cnts GROUP BY doc_id)
+SELECT d.doc_id, coalesce(per.n_chars, 0) AS n_chars,
+       CASE WHEN per.n_chars > 0
+            THEN round(log2(per.n_chars) - s / per.n_chars, 6) END AS entropy
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+def q_phrase_prefix(spark, sf):
+    """Search-as-you-type (NEW r14, serving/query.
+    match_phrase_prefix): 'table sc' matches docs where 'table' is
+    followed by a token starting with 'sc'. Sentinel-padded joined
+    tokens, pure codegen."""
+    from platypus_ingestion_plugins_spark.serving.query import (
+        match_phrase_prefix,
+        search,
+    )
+
+    d = _t(spark, sf, "documents")
+    return search(
+        d, query=match_phrase_prefix("text", "table sc"), top=None
+    ).select("doc_id", "source")
+
+
+SQL_PHRASE_PREFIX = """
+SELECT doc_id, source FROM documents
+WHERE ' ' || array_to_string(list_filter(
+          string_split_regex(lower(text), '\\W+'), x -> x <> ''), ' ')
+      || ' ' LIKE '% table sc%'
+"""
+
+
+def q_stats_facet(spark, sf):
+    """Stats-in-terms facet (NEW r14, serving/query.stats_facet): per
+    event type, (n, min, max, sum, avg) of the value field — the ES
+    stats sub-aggregation. One partial-aggregatable groupBy."""
+    from platypus_ingestion_plugins_spark.serving.query import stats_facet
+
+    return stats_facet(_t(spark, sf, "events"), "value", "event_type")
+
+
+SQL_STATS_FACET = """
+SELECT event_type AS bucket, CAST(count(value) AS BIGINT) AS n,
+       min(value) AS min, max(value) AS max,
+       round(sum(value), 6) AS sum, round(avg(value), 6) AS avg
+FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+"""
+
+
+def q_recency_decay(spark, sf):
+    """function_score recency boost (NEW r14, serving/query.
+    decay_score): orders ranked by o_totalprice x gauss decay of
+    order age (scale 30 days, decay 0.5 — half-strength at a month
+    old). Pure codegen arithmetic over one scan + a 1-row max-date
+    broadcast; top 20 by (score desc, key)."""
+    from platypus_ingestion_plugins_spark.serving.query import decay_score
+
+    o = _t(spark, sf, "orders")
+    edge = o.agg(F.max("o_orderdate").alias("_edge"))
+    aged = o.crossJoin(F.broadcast(edge)).withColumn(
+        "_age_s",
+        F.col("_edge").cast("timestamp").cast("long")
+        - F.col("o_orderdate").cast("timestamp").cast("long"),
+    )
+    scored = aged.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.round(
+            F.col("o_totalprice")
+            * decay_score(F.col("_age_s"), 30 * 86400.0, 0.5, "gauss"),
+            6,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("o_orderkey")).limit(
+        20
+    )
+
+
+SQL_RECENCY_DECAY = """
+WITH edge AS (SELECT max(o_orderdate) e FROM orders),
+aged AS (
+  SELECT o_orderkey, o_totalprice,
+         floor(epoch(e)) - floor(epoch(o_orderdate)) age_s
+  FROM orders, edge)
+SELECT o_orderkey, o_totalprice,
+       round(o_totalprice * exp(-(age_s * age_s)
+             / (2.0 * (-(2592000.0 * 2592000.0) / (2.0 * ln(0.5))))), 6)
+           AS score
+FROM aged ORDER BY score DESC, o_orderkey LIMIT 20
+"""
+
+
 def q_funnel_cascade(spark, sf):
     """Skew-safe funnel (NEW r14, operators/analytics.funnel
     mode='cascade' — the r13 verdict's weak-item fix): the same
@@ -9339,6 +9514,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": q_percolate,
         "collapse_source": q_collapse,
         "tfidf_keywords": q_tfidf_keywords,
+        "rouge_pairs": q_rouge_pairs,
+        "char_entropy": q_char_entropy,
+        "phrase_prefix": q_phrase_prefix,
+        "stats_facet": q_stats_facet,
+        "recency_decay": q_recency_decay,
     }
 
 
@@ -9554,6 +9734,11 @@ def oracle_sql() -> dict[str, str]:
         "percolate": SQL_PERCOLATE,
         "collapse_source": SQL_COLLAPSE,
         "tfidf_keywords": SQL_TFIDF_KEYWORDS,
+        "rouge_pairs": SQL_ROUGE_PAIRS,
+        "char_entropy": SQL_CHAR_ENTROPY,
+        "phrase_prefix": SQL_PHRASE_PREFIX,
+        "stats_facet": SQL_STATS_FACET,
+        "recency_decay": SQL_RECENCY_DECAY,
     }
     # emit in queries() order so a capped harness sweep sees the same
     # least-recently-verified-first priority on both sides

@@ -726,3 +726,148 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "score", "rank")
     )
+
+
+def rouge_n(
+    df,
+    ref_col: str,
+    cand_col: str,
+    id_col: str,
+    n: int = 2,
+):
+    """ROUGE-N overlap between paired texts (Lin 2004) — the n-gram
+    eval metric for generated/rewritten data: per row, clipped n-gram
+    overlap between reference and candidate, reported as precision
+    (overlap / candidate grams), recall (overlap / reference grams)
+    and F1. Clipping counts each gram min(ref multiplicity, cand
+    multiplicity) times — the standard anti-gaming reading (repeating
+    a matched gram in the candidate earns nothing).
+
+    Output (id, ref_ngrams, cand_ngrams, overlap, precision, recall,
+    f1) — ratios 6dp, NULL when the denominator is 0 (an empty side
+    scores nothing, it doesn't crash); rows where BOTH sides have
+    zero grams still appear (n_grams 0, NULL ratios).
+
+    Scale shape: both sides' n-grams build as codegen array
+    expressions (transform over a sequence of slices — no UDF),
+    explode once each, clip via one (id, gram) full-outer count join,
+    then one partial-aggregatable groupBy(id). Pair rows upstream
+    (the operator takes one frame carrying both columns)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def grams(col):
+        toks = tokens(col)
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = df.select(
+        F.col(id_col),
+        grams(ref_col).alias("__rg"),
+        grams(cand_col).alias("__cg"),
+    )
+    rc = (
+        base.select(F.col(id_col), F.explode("__rg").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("rn"))
+    )
+    cc = (
+        base.select(F.col(id_col), F.explode("__cg").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    clip = (
+        rc.join(cc, [id_col, "gram"], "full_outer")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce("rn", F.lit(0))).cast("long").alias("ref_ngrams"),
+            F.sum(F.coalesce("cn", F.lit(0))).cast("long").alias("cand_ngrams"),
+            F.sum(
+                F.least(
+                    F.coalesce("rn", F.lit(0)), F.coalesce("cn", F.lit(0))
+                )
+            ).cast("long").alias("overlap"),
+        )
+    )
+    # rows whose both sides are empty never reach the explode — join
+    # them back so the report covers every input pair
+    ids = base.select(id_col).distinct()
+    out = ids.join(clip, id_col, "left").select(
+        id_col,
+        F.coalesce("ref_ngrams", F.lit(0)).alias("ref_ngrams"),
+        F.coalesce("cand_ngrams", F.lit(0)).alias("cand_ngrams"),
+        F.coalesce("overlap", F.lit(0)).alias("overlap"),
+    )
+    p = F.when(
+        F.col("cand_ngrams") > 0, F.col("overlap") / F.col("cand_ngrams")
+    )
+    r = F.when(
+        F.col("ref_ngrams") > 0, F.col("overlap") / F.col("ref_ngrams")
+    )
+    f1 = F.when(
+        (F.col("cand_ngrams") > 0)
+        & (F.col("ref_ngrams") > 0)
+        & (F.col("overlap") > 0),
+        2.0
+        * F.col("overlap")
+        / (F.col("cand_ngrams") + F.col("ref_ngrams")),
+    ).otherwise(
+        F.when(
+            (F.col("cand_ngrams") > 0) & (F.col("ref_ngrams") > 0),
+            F.lit(0.0),
+        )
+    )
+    return out.select(
+        id_col,
+        "ref_ngrams",
+        "cand_ngrams",
+        "overlap",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def char_entropy_stats(df, text_col: str, id_col: str):
+    """Per-document character-distribution Shannon entropy (bits) —
+    the classic gibberish/compression-quality signal: natural prose
+    sits in a tight entropy band (~3.5-4.5 bits for English),
+    keyboard mashing and base64 blobs sit high, repeated-character
+    filler sits low. Output (id, n_chars, entropy 6dp); empty/NULL
+    text reports (0, NULL).
+
+    Scale shape: one explode to (id, char) rows, one
+    partial-aggregatable groupBy(id, char), one groupBy(id) folding
+    -sum(p log2 p) — two bounded shuffles, no UDF (entropy needs the
+    per-char histogram; there is no single-pass column form). The
+    per-doc char alphabet is <= a few hundred rows, so the second
+    stage is tiny."""
+    chars = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "")
+            ).alias("ch"),
+        )
+        .where(F.col("ch") != "")
+        .groupBy(id_col, "ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = chars.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_chars"),
+        F.sum(F.col("cnt") * F.log2(F.col("cnt"))).alias("__sum_nlogn"),
+    )
+    entropy = F.log2(F.col("n_chars")) - F.col("__sum_nlogn") / F.col(
+        "n_chars"
+    )
+    ids = df.select(id_col).distinct()
+    return ids.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+        F.when(F.col("n_chars") > 0, F.round(entropy, 6)).alias("entropy"),
+    )

@@ -123,6 +123,24 @@ def match_prefix(field: str, prefix: str) -> Column:
     return F.exists(tokenize(field), lambda t: t.startswith(p))
 
 
+def match_phrase_prefix(field: str, phrase: str) -> Column:
+    """MatchPhrasePrefixQuery (the search-as-you-type primitive): the
+    analyzed phrase tokens appear contiguously and in order, with the
+    LAST token matching as a prefix — 'spark str' matches 'spark
+    streaming engine'. Same sentinel-padded joined-tokens trick as
+    ``match_phrase``: the leading space anchors the first token's
+    start and the missing trailing space leaves the last token
+    prefix-open. A single-token phrase degrades to ``match_prefix``
+    at the phrase position (i.e. any token). Pure codegen, no UDF."""
+    p_tokens = _py_tokenize(phrase)
+    if not p_tokens:
+        return F.lit(True)
+    joined = F.concat(
+        F.lit(" "), F.array_join(tokenize(field), " "), F.lit(" ")
+    )
+    return joined.contains(" " + " ".join(p_tokens))
+
+
 def range_query(
     field: str,
     gte=None,
@@ -828,6 +846,78 @@ def significant_terms(
     return scored.orderBy(F.col("score").desc(), F.col("term").asc()).limit(
         top_n
     )
+
+
+def stats_facet(
+    df: DataFrame,
+    value_field: str,
+    by: str,
+) -> DataFrame:
+    """Stats aggregation inside a terms bucket (the Elasticsearch
+    ``stats`` sub-aggregation): per ``by`` value, (n, min, max, sum,
+    avg) of the numeric ``value_field``. NULL metric values don't
+    count toward n (ES semantics — n is the count of VALUES, not
+    docs); NULL bucket keys carry no row (the facet_counts
+    convention); all-NULL buckets report n=0 with NULL stats.
+
+    One partial-aggregatable groupBy — bucket-count-sized output;
+    sum/avg 6dp-rounded for engine-exact comparison."""
+    per = (
+        df.where(F.col(by).isNotNull())
+        .groupBy(F.col(by).alias("bucket"))
+        .agg(
+            F.count(F.col(value_field)).cast("long").alias("n"),
+            F.min(value_field).alias("min"),
+            F.max(value_field).alias("max"),
+            F.round(F.sum(value_field), 6).alias("sum"),
+            F.round(F.avg(value_field), 6).alias("avg"),
+        )
+    )
+    return per
+
+
+_DECAY_FNS = ("exp", "gauss", "linear")
+
+
+def decay_score(
+    dist: Column,
+    scale: float,
+    decay: float = 0.5,
+    fn: str = "gauss",
+) -> Column:
+    """Lucene/Elasticsearch function_score decay: a multiplicative
+    relevance factor that falls from 1.0 at distance 0 to ``decay``
+    at distance ``scale`` — the recency/geo boost primitive
+    (score = base_score * decay_score(age)). ``dist`` is any
+    non-negative numeric distance column (seconds of age, meters,
+    price delta); the three ES shapes:
+
+        exp:    exp(ln(decay)/scale * d)          — heavy tail
+        gauss:  exp(-d^2 / (2 sigma^2)),
+                sigma^2 = -scale^2 / (2 ln decay)  — flat top
+        linear: max(0, (s - d)/s),
+                s = scale / (1 - decay)            — hard zero
+
+    Pure codegen arithmetic — compose it into any ranked query's
+    ORDER BY; negative distances are clamped to 0 (ES's offset=0
+    reading: at-origin or earlier is a full-strength match)."""
+    import math
+
+    if fn not in _DECAY_FNS:
+        raise ValueError(f"fn must be one of {_DECAY_FNS}, got {fn!r}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    if not (0.0 < decay < 1.0):
+        raise ValueError(f"decay must be in (0, 1), got {decay}")
+    d = F.greatest(dist.cast("double"), F.lit(0.0))
+    if fn == "exp":
+        lam = math.log(decay) / scale
+        return F.exp(F.lit(lam) * d)
+    if fn == "gauss":
+        sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+        return F.exp(-(d * d) / F.lit(2.0 * sigma2))
+    s = scale / (1.0 - decay)
+    return F.greatest((F.lit(s) - d) / F.lit(s), F.lit(0.0))
 
 
 def percolate(

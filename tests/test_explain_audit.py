@@ -121,6 +121,11 @@ HEADLINE = [
     "percolate",
     "collapse_source",
     "tfidf_keywords",
+    "rouge_pairs",
+    "char_entropy",
+    "phrase_prefix",
+    "stats_facet",
+    "recency_decay",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
@@ -142,6 +147,7 @@ EXPECT_BROADCAST = [
     "rfm_segments",  # the 1-row as-of edge date must broadcast
     "percolate",  # the registry must broadcast (never shuffle the corpus)
     "tfidf_keywords",  # the 1-row N must broadcast
+    "recency_decay",  # the 1-row max-date edge must broadcast
 ]
 
 

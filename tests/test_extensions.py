@@ -6550,3 +6550,112 @@ def test_attribution_numeric_ts_lookback(spark):
     ).collect()}
     # user 1's click@5 is outside the 50s window of purchase@100
     assert got == {"view": 1.0}
+
+
+def test_rouge_n_clipped_overlap(spark):
+    """NEW r14: ROUGE-N. Clipped bigram counts, P/R/F1, empty-side
+    NULL policy, both-empty rows still reported."""
+    from platypus_ingestion_plugins_spark.functions.text import rouge_n
+
+    rows = [
+        # ref 'a b c d' bigrams {ab,bc,cd}; cand 'a b c' {ab,bc}
+        (1, "a b c d", "a b c"),
+        # clipping: cand repeats 'a b' 3x, ref has it once -> overlap 1
+        (2, "a b x", "a b a b a b"),
+        (3, "", "a b"),          # empty ref: recall NULL
+        (4, None, None),         # both empty: 0-gram row, NULL ratios
+    ]
+    df = spark.createDataFrame(rows, "id long, ref string, cand string")
+    got = {r["id"]: r for r in rouge_n(df, "ref", "cand", "id", n=2).collect()}
+    r1 = got[1]
+    assert (r1["ref_ngrams"], r1["cand_ngrams"], r1["overlap"]) == (3, 2, 2)
+    assert r1["precision"] == 1.0 and r1["recall"] == round(2 / 3, 6)
+    assert r1["f1"] == round(4 / 5, 6)
+    r2 = got[2]
+    # cand 'a b a b a b' bigrams: ab,ba,ab,ba,ab -> 5; clip(ab)=1
+    assert (r2["ref_ngrams"], r2["cand_ngrams"], r2["overlap"]) == (2, 5, 1)
+    assert got[3]["recall"] is None and got[3]["precision"] == 0.0
+    assert got[4]["ref_ngrams"] == 0 and got[4]["f1"] is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="n must"):
+        rouge_n(df, "ref", "cand", "id", n=0)
+
+
+def test_char_entropy_stats(spark):
+    """NEW r14: char entropy. Hand values: uniform 2 chars -> 1 bit,
+    single char -> 0, empty/NULL -> (0, NULL)."""
+    import math
+
+    from platypus_ingestion_plugins_spark.functions.text import (
+        char_entropy_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abab"), (2, "aaaa"), (3, ""), (4, None), (5, "abcd")],
+        "id long, text string",
+    )
+    got = {r["id"]: (r["n_chars"], r["entropy"])
+           for r in char_entropy_stats(df, "text", "id").collect()}
+    assert got[1] == (4, 1.0)
+    assert got[2] == (4, 0.0)
+    assert got[3] == (0, None) and got[4] == (0, None)
+    assert got[5] == (4, 2.0)
+
+
+def test_match_phrase_prefix(spark):
+    from platypus_ingestion_plugins_spark.serving.query import (
+        match_phrase_prefix,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark streaming engine"),
+            (2, "streaming spark strongly"),  # 'spark str' matches here too
+            (3, "sparkly stream"),            # 'spark' must be a whole token
+            (4, "spark is streaming"),        # tokens not contiguous
+        ],
+        "id long, text string",
+    )
+    hits = {r["id"] for r in
+            df.where(match_phrase_prefix("text", "Spark STR")).collect()}
+    assert hits == {1, 2}
+    # single token degrades to prefix-anywhere
+    hits1 = {r["id"] for r in
+             df.where(match_phrase_prefix("text", "stream")).collect()}
+    assert hits1 == {1, 2, 3, 4}
+
+
+def test_stats_facet_and_decay(spark):
+    from platypus_ingestion_plugins_spark.serving.query import (
+        decay_score,
+        stats_facet,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", 10.0), (None, 5.0)],
+        "grp string, v double",
+    )
+    got = {r["bucket"]: (r["n"], r["min"], r["max"], r["sum"], r["avg"])
+           for r in stats_facet(df, "v", "grp").collect()}
+    assert got["a"] == (2, 1.0, 3.0, 4.0, 2.0)
+    assert got["b"] == (1, 10.0, 10.0, 10.0, 10.0)
+    assert None not in got
+    # decay: value at scale distance must equal `decay` for all fns
+    import math
+
+    row = spark.range(1).select(
+        *[decay_score(F.lit(100.0), 100.0, 0.5, fn).alias(fn)
+          for fn in ("exp", "gauss", "linear")],
+        decay_score(F.lit(0.0), 100.0, 0.5, "gauss").alias("at0"),
+        decay_score(F.lit(-5.0), 100.0, 0.5, "exp").alias("neg"),
+    ).collect()[0]
+    for fn in ("exp", "gauss", "linear"):
+        assert abs(row[fn] - 0.5) < 1e-9, fn
+    assert row["at0"] == 1.0 and row["neg"] == 1.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="fn"):
+        decay_score(F.lit(1.0), 100.0, 0.5, "step")
+    with _pt.raises(ValueError, match="decay"):
+        decay_score(F.lit(1.0), 100.0, 1.5)
