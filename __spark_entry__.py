@@ -1575,6 +1575,64 @@ FROM aged ORDER BY score DESC, o_orderkey LIMIT 20
 """
 
 
+def q_stream_rate_anomalies(spark, sf):
+    """Streaming rate-anomaly monitor (NEW r14, operators/analytics.
+    hourly_counts_merge_into + rate_anomalies_read): events arrive in
+    two drops through a real checkpointed foreachBatch; the hourly
+    (type, hour) grid accumulates ALGEBRAICALLY under the shared
+    epoch-pinned commit (exact counts — replay folds to
+    exactly-once), and the readout z-scores the grid through the SAME
+    code path as the batch twin, so the post-stream answer equals
+    rate_anomalies over everything ingested (the oracle)."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        hourly_counts_merge_into,
+        rate_anomalies_read,
+    )
+
+    d = _events_ts(spark, sf).select("event_id", "ts", "event_type")
+    lo, hi = _median_split(d, "event_id")
+    work = _stream_scratch("stream_rate_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src = os.path.join(work, "src")
+        ckpt = os.path.join(work, "ckpt")
+        state = os.path.join(work, "hourly")
+        lo.coalesce(4).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def run_available():
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 100)
+                .parquet(src)
+                .writeStream.foreachBatch(
+                    lambda b, bid: hourly_counts_merge_into(
+                        b, "ts", "event_type", state, batch_id=bid
+                    )
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_available()
+        hi.coalesce(4).write.mode("append").parquet(src)
+        run_available()
+        out = rate_anomalies_read(
+            spark, state, window_hours=24, z_threshold=1.8, min_history=6
+        )
+        # materialize before the scratch dir is scheduled for cleanup
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_funnel_cascade(spark, sf):
     """Skew-safe funnel (NEW r14, operators/analytics.funnel
     mode='cascade' — the r13 verdict's weak-item fix): the same
@@ -9519,6 +9577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_prefix": q_phrase_prefix,
         "stats_facet": q_stats_facet,
         "recency_decay": q_recency_decay,
+        "stream_rate_anomalies": q_stream_rate_anomalies,
     }
 
 
@@ -9739,6 +9798,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_prefix": SQL_PHRASE_PREFIX,
         "stats_facet": SQL_STATS_FACET,
         "recency_decay": SQL_RECENCY_DECAY,
+        "stream_rate_anomalies": SQL_RATE_ANOMALIES,
     }
     # emit in queries() order so a capped harness sweep sees the same
     # least-recently-verified-first priority on both sides

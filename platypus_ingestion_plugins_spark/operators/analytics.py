@@ -437,13 +437,19 @@ def rate_anomalies(
     trailing window are absent, not zero — the sparse-series reading;
     densify upstream with date_histogram_facet(min_doc_count=0) if
     gaps should count."""
-    if window_hours < 1:
-        raise ValueError(f"window_hours must be >= 1, got {window_hours}")
-    if min_history < 2:
-        raise ValueError(f"min_history must be >= 2, got {min_history}")
-    from pyspark.sql.window import Window
+    return _hourly_zscore(
+        _hourly_counts(df, ts_col, type_col),
+        window_hours,
+        z_threshold,
+        min_history,
+    )
 
-    hourly = (
+
+def _hourly_counts(df: DataFrame, ts_col: str, type_col: str) -> DataFrame:
+    """The one corpus-sized stage: partial-aggregatable hourly counts
+    per event type. ADD-mergeable (sums are algebraic), which is what
+    makes the streaming twin's accumulated state exact."""
+    return (
         df.where(F.col(ts_col).isNotNull())
         .groupBy(
             F.col(type_col).alias("event_type"),
@@ -451,6 +457,23 @@ def rate_anomalies(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+
+
+def _hourly_zscore(
+    hourly: DataFrame,
+    window_hours: int,
+    z_threshold: float,
+    min_history: int,
+) -> DataFrame:
+    """The grid-sized z-score tail shared by ``rate_anomalies`` and
+    ``rate_anomalies_read`` — one code path, so the batch and
+    streaming twins cannot drift."""
+    if window_hours < 1:
+        raise ValueError(f"window_hours must be >= 1, got {window_hours}")
+    if min_history < 2:
+        raise ValueError(f"min_history must be >= 2, got {min_history}")
+    from pyspark.sql.window import Window
+
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour")
@@ -473,6 +496,55 @@ def rate_anomalies(
         )
         .select("event_type", "hour", "cnt", "mean_prev", "sd_prev", z.alias("z"))
         .where(F.abs(F.col("z")) >= F.lit(float(z_threshold)))
+    )
+
+
+def hourly_counts_merge_into(
+    batch: DataFrame,
+    ts_col: str,
+    type_col: str,
+    path: str,
+    batch_id: int | None = None,
+) -> None:
+    """``foreachBatch`` body maintaining the LIVE hourly-count grid an
+    event stream's anomaly monitor reads — the streaming twin of
+    ``rate_anomalies``'s corpus-sized stage. Per batch: one bounded
+    aggregate to (type, hour, cnt), then an elementwise ADD with the
+    previous grid (grid-sized read-back — hours x types rows, KBs)
+    under the shared epoch-pinned stage-park-swap commit
+    (``_merge_sketch_into`` — at-least-once replay folds to
+    exactly-once, counts stay EXACT forever because sums are
+    algebraic). Read with ``rate_anomalies_read``."""
+    from ..functions.sketches import _merge_sketch_into
+
+    def merge(b, prev):
+        new = _hourly_counts(b, ts_col, type_col)
+        if prev is None:
+            return new
+        return (
+            prev.unionByName(new)
+            .groupBy("event_type", "hour")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+
+    _merge_sketch_into(batch, path, merge, batch_id)
+
+
+def rate_anomalies_read(
+    spark,
+    path: str,
+    window_hours: int = 24,
+    z_threshold: float = 3.0,
+    min_history: int = 6,
+) -> DataFrame:
+    """The always-current anomaly readout from the accumulated hourly
+    grid: identical output contract (and code path — ``_hourly_zscore``)
+    to the batch ``rate_anomalies`` over everything ingested. Query
+    cost is grid-sized, never stream-sized."""
+    from ..functions.sketches import sketch_read
+
+    return _hourly_zscore(
+        sketch_read(spark, path), window_hours, z_threshold, min_history
     )
 
 

@@ -6659,3 +6659,49 @@ def test_stats_facet_and_decay(spark):
         decay_score(F.lit(1.0), 100.0, 0.5, "step")
     with _pt.raises(ValueError, match="decay"):
         decay_score(F.lit(1.0), 100.0, 1.5)
+
+
+def test_hourly_counts_merge_replay_and_equality(spark, tmp_path):
+    """NEW r14: streaming rate-anomaly state. Two drops == one-shot
+    batch answer; epoch-pinned replay folds to exactly-once."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        hourly_counts_merge_into,
+        rate_anomalies,
+        rate_anomalies_read,
+    )
+
+    rows = []
+    eid = 0
+    # type 'a': mildly varying 4/5/6-per-hour baseline for 9 hours
+    # (a FLAT baseline has zero variance and is deliberately
+    # suppressed), then a 50-count spike
+    for h in range(9):
+        for _ in range(4 + (h % 3)):
+            rows.append((eid, 3600 * h + 60, "a")); eid += 1
+    for _ in range(50):
+        rows.append((eid, 3600 * 9 + 60, "a")); eid += 1
+    # type 'b': constant 3/hour (flat series never alarms)
+    for h in range(10):
+        for _ in range(3):
+            rows.append((eid, 3600 * h + 120, "b")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, t long, event_type string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("t")))
+
+    batch_answer = rate_anomalies(
+        df, "ts", "event_type", window_hours=6, z_threshold=2.0,
+        min_history=3,
+    ).collect()
+    assert len(batch_answer) == 1 and batch_answer[0]["event_type"] == "a"
+
+    state = str(tmp_path / "hourly")
+    lo = df.where(F.col("t") < 3600 * 5)
+    hi = df.where(F.col("t") >= 3600 * 5)
+    hourly_counts_merge_into(lo, "ts", "event_type", state, batch_id=0)
+    hourly_counts_merge_into(hi, "ts", "event_type", state, batch_id=1)
+    # replayed batch folds to a no-op
+    hourly_counts_merge_into(hi, "ts", "event_type", state, batch_id=1)
+    got = rate_anomalies_read(
+        spark, state, window_hours=6, z_threshold=2.0, min_history=3
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch_answer))
