@@ -1633,6 +1633,69 @@ def q_stream_rate_anomalies(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_pagerank(spark, sf):
+    """Weighted PageRank (NEW r14, operators/graph.pagerank) over the
+    event-transition graph (edges = consecutive event-type pairs per
+    user, weight = transition count): 5 fixed power-iteration rounds,
+    damping 0.85, dangling mass redistributed uniformly. Each round =
+    one co-partitioned join + one partial-aggregatable groupBy; the
+    oracle unrolls the same rounds as SQL CTEs."""
+    from pyspark.sql.window import Window
+
+    from platypus_ingestion_plugins_spark.operators.graph import pagerank
+
+    d = _events_ts(spark, sf)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    edges = (
+        d.where(F.col("ts").isNotNull())
+        .select(
+            F.lag("event_type").over(w).alias("s"),
+            F.col("event_type").alias("t"),
+        )
+        .where(F.col("s").isNotNull())
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    return pagerank(edges, "s", "t", "w", iterations=5, damping=0.85)
+
+
+def _pagerank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """The same fixed power-iteration rounds unrolled as SQL CTEs."""
+    d = damping
+    head = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) s,
+         event_type t
+  FROM events WHERE ts IS NOT NULL),
+e AS (SELECT s, t AS d, CAST(count(*) AS DOUBLE) w
+      FROM pairs WHERE s IS NOT NULL GROUP BY 1, 2),
+nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+ow AS (SELECT s AS node, sum(w) ow FROM e GROUP BY s),
+n AS (SELECT CAST(count(*) AS DOUBLE) n FROM nodes),
+r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes, n)"""
+    body = []
+    for i in range(iterations):
+        body.append(f""",
+d{i} AS (SELECT coalesce(sum(CASE WHEN ow.ow IS NULL
+                             THEN r{i}.rank END), 0) dang
+         FROM r{i} LEFT JOIN ow USING (node)),
+c{i} AS (SELECT e.d AS node, sum(r{i}.rank * e.w / ow.ow) inp
+         FROM r{i} JOIN ow USING (node) JOIN e ON e.s = r{i}.node
+         GROUP BY e.d),
+r{i + 1} AS (SELECT nodes.node,
+             (1.0 - {d}) / n.n
+             + {d} * (coalesce(c{i}.inp, 0) + d{i}.dang / n.n) AS rank
+             FROM nodes LEFT JOIN c{i} USING (node), n, d{i})""")
+    return (
+        head
+        + "".join(body)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
+    )
+
+
 def q_funnel_cascade(spark, sf):
     """Skew-safe funnel (NEW r14, operators/analytics.funnel
     mode='cascade' — the r13 verdict's weak-item fix): the same
@@ -9578,6 +9641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_facet": q_stats_facet,
         "recency_decay": q_recency_decay,
         "stream_rate_anomalies": q_stream_rate_anomalies,
+        "pagerank": q_pagerank,
     }
 
 
@@ -9799,6 +9863,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_facet": SQL_STATS_FACET,
         "recency_decay": SQL_RECENCY_DECAY,
         "stream_rate_anomalies": SQL_RATE_ANOMALIES,
+        "pagerank": _pagerank_oracle_sql(),
     }
     # emit in queries() order so a capped harness sweep sees the same
     # least-recently-verified-first priority on both sides

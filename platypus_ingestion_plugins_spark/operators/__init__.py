@@ -50,3 +50,6 @@ from platypus_ingestion_plugins_spark.operators.chat import (  # noqa: F401
     assistant_transcript_key,
     assistant_dedup,
 )
+from platypus_ingestion_plugins_spark.operators.graph import (  # noqa: F401
+    pagerank,
+)

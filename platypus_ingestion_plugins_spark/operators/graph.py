@@ -1,0 +1,116 @@
+"""Graph analytics over edge frames: weighted PageRank.
+
+The near-dup stack already walks graphs for membership
+(``connected_components_star``); this module adds CENTRALITY — which
+nodes matter — for the graphs a data pipeline keeps producing: event
+transitions, duplicate-pair clusters, citation/link webs.
+
+Spark-first shape: each power-iteration round is one join of the rank
+frame to the edge list plus one partial-aggregatable groupBy, both
+hash-partitioned on the node key, so Spark reuses a single
+partitioning across rounds. Rounds are fixed (``iterations``), not
+convergence-tested — a deterministic operator an oracle can replay by
+unrolling the same rounds in SQL. No collect touches edge- or
+node-sized data; the only driver-side values are the two 1-row
+aggregates (node count, per-round dangling mass) folded in as
+broadcast scalars inside the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    weight: str | None = None,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank (Brin & Page 1998) over a directed edge
+    frame, fixed-round power iteration:
+
+        rank'(v) = (1-d)/N + d * (sum over in-edges u->v of
+                   rank(u) * w(u,v) / out_weight(u)  +  dangling/N)
+
+    ``weight`` of None means unweighted (every edge 1.0); parallel
+    edges accumulate weight. Dangling nodes (no out-edges) donate
+    their rank uniformly to every node each round — the standard
+    stochastic-matrix completion, without which total rank leaks.
+    Nodes are the UNION of sources and destinations; ranks start
+    uniform at 1/N and sum to 1 every round (the oracle's invariant).
+
+    Output (node, rank 6dp). Plan shape per round: rank ⋈ out_weight
+    (co-partitioned on node), one groupBy(dst) fold, a 1-row dangling
+    aggregate broadcast in — never a driver-side loop over nodes.
+    Each round's frame is lazily localCheckpointed so round k+1's
+    lineage doesn't replay rounds 1..k (the Lloyd-iteration
+    precedent in ``kmeans_centroids``); NULL endpoints are rejected
+    upstream concerns — rows with NULL src/dst are dropped."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not (0.0 < damping < 1.0):
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = (
+        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(
+            F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
+        )
+        .groupBy("__s", "__d")
+        .agg(F.sum("__w").alias("__w"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    out_w = e.groupBy(F.col("__s").alias("node")).agg(
+        F.sum("__w").alias("__ow")
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    d = float(damping)
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
+    )
+    for _ in range(int(iterations)):
+        with_out = ranks.join(out_w, "node", "left")
+        dangling = with_out.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__ow").isNull(), F.col("rank"))),
+                F.lit(0.0),
+            ).alias("__dangle")
+        )
+        contrib = (
+            with_out.where(F.col("__ow").isNotNull())
+            .join(e, F.col("node") == F.col("__s"))
+            .groupBy(F.col("__d").alias("node"))
+            .agg(
+                F.sum(F.col("rank") * F.col("__w") / F.col("__ow")).alias(
+                    "__in"
+                )
+            )
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    (F.lit(1.0) - F.lit(d)) / F.col("__n")
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.col("__dangle") / F.col("__n")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

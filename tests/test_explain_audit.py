@@ -126,6 +126,7 @@ HEADLINE = [
     "phrase_prefix",
     "stats_facet",
     "recency_decay",
+    "pagerank",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
@@ -148,6 +149,9 @@ EXPECT_BROADCAST = [
     "percolate",  # the registry must broadcast (never shuffle the corpus)
     "tfidf_keywords",  # the 1-row N must broadcast
     "recency_decay",  # the 1-row max-date edge must broadcast
+    # pagerank is NOT here: its returned frame sits behind the final
+    # round's localCheckpoint, so the per-round broadcast scalars live
+    # in already-truncated lineage — the unit test pins the semantics.
 ]
 
 

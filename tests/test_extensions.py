@@ -6705,3 +6705,40 @@ def test_hourly_counts_merge_replay_and_equality(spark, tmp_path):
         spark, state, window_hours=6, z_threshold=2.0, min_history=3
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch_answer))
+
+
+def test_pagerank_hand_values(spark):
+    """NEW r14: weighted PageRank. Hand-checked 3-node chain with a
+    dangling node; rank mass conserved; weighted split; parallel-edge
+    accumulation."""
+    from platypus_ingestion_plugins_spark.operators.graph import pagerank
+
+    # a -> b (w 2), a -> c (w 1), b -> c; c dangling
+    edges = spark.createDataFrame(
+        [("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0)],
+        "s string, d string, w double",
+    )
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges, "s", "d", "w", iterations=1,
+                             damping=0.85).collect()}
+    # after 1 round from uniform 1/3: dangle = 1/3 (c);
+    # base = 0.15/3 + 0.85*(1/9) per-node dangle share
+    base = 0.15 / 3 + 0.85 * (1 / 3) / 3
+    assert abs(got["a"] - base) < 1e-6
+    assert abs(got["b"] - (base + 0.85 * (1 / 3) * (2 / 3))) < 1e-6
+    assert abs(got["c"] - (base + 0.85 * ((1 / 3) / 3 + 1 / 3))) < 1e-6
+    assert abs(sum(got.values()) - 1.0) < 1e-5  # mass conserved
+    # parallel edges accumulate: a->b twice unweighted == w 2
+    e2 = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "c"), ("b", "c")], "s string, d string"
+    )
+    got2 = {r["node"]: r["rank"]
+            for r in pagerank(e2, "s", "d", iterations=1).collect()}
+    for k in got:
+        assert abs(got[k] - got2[k]) < 1e-6, k
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="iterations"):
+        pagerank(edges, "s", "d", iterations=0)
+    with _pt.raises(ValueError, match="damping"):
+        pagerank(edges, "s", "d", damping=1.0)
