@@ -1696,6 +1696,65 @@ r{i + 1} AS (SELECT nodes.node,
     )
 
 
+def q_fd_violations(spark, sf):
+    """FD discovery (NEW r14, operators/validate.fd_violations):
+    sources whose documents carry more than one language — the
+    profiling complement to the declared constraint checks. One
+    partial-aggregatable groupBy, group-count-sized output."""
+    from platypus_ingestion_plugins_spark.operators.validate import (
+        fd_violations,
+    )
+
+    return fd_violations(_t(spark, sf, "documents"), "source", "lang")
+
+
+SQL_FD_VIOLATIONS = """
+SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_rhs_values,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM documents GROUP BY source HAVING count(DISTINCT lang) > 1
+"""
+
+
+def q_pmi_pairs(spark, sf):
+    """Term-pair PMI collocations (NEW r14, functions/text.pmi_pairs):
+    which of the 30 most document-frequent terms travel together,
+    doc-level probabilities, >= 5 shared docs, top 20 by PMI. The
+    vocab bound caps the per-doc pair fan-out at vocab^2/2 — the
+    explicit blocking that keeps the self-join candidate-driven."""
+    from platypus_ingestion_plugins_spark.functions.text import pmi_pairs
+
+    return pmi_pairs(
+        _t(spark, sf, "documents"), "text", "doc_id",
+        vocab=30, min_pair_docs=5, top_n=20,
+    )
+
+
+SQL_PMI_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+      string_split_regex(lower(text), '\\W+'), x -> x <> ''))) term
+  FROM documents),
+dfreq AS (SELECT term, count(*) df FROM toks GROUP BY term),
+vocab AS (
+  SELECT term, df FROM (
+    SELECT term, df, row_number() OVER (ORDER BY df DESC, term) rk
+    FROM dfreq) WHERE rk <= 30),
+filt AS (SELECT doc_id, term FROM toks JOIN vocab USING (term)),
+pairs AS (
+  SELECT a.term term_a, b.term term_b,
+         CAST(count(*) AS BIGINT) n_pair_docs
+  FROM filt a JOIN filt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2 HAVING count(*) >= 5),
+n AS (SELECT count(DISTINCT doc_id) nd FROM documents)
+SELECT term_a, term_b, n_pair_docs,
+       round(ln(n_pair_docs * 1.0 * nd / (va.df * vb.df)), 6) AS pmi
+FROM pairs
+JOIN vocab va ON va.term = pairs.term_a
+JOIN vocab vb ON vb.term = pairs.term_b, n
+ORDER BY pmi DESC, term_a, term_b LIMIT 20
+"""
+
+
 def q_funnel_cascade(spark, sf):
     """Skew-safe funnel (NEW r14, operators/analytics.funnel
     mode='cascade' — the r13 verdict's weak-item fix): the same
@@ -9642,6 +9701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recency_decay": q_recency_decay,
         "stream_rate_anomalies": q_stream_rate_anomalies,
         "pagerank": q_pagerank,
+        "fd_violations": q_fd_violations,
+        "pmi_pairs": q_pmi_pairs,
     }
 
 
@@ -9864,6 +9925,8 @@ def oracle_sql() -> dict[str, str]:
         "recency_decay": SQL_RECENCY_DECAY,
         "stream_rate_anomalies": SQL_RATE_ANOMALIES,
         "pagerank": _pagerank_oracle_sql(),
+        "fd_violations": SQL_FD_VIOLATIONS,
+        "pmi_pairs": SQL_PMI_PAIRS,
     }
     # emit in queries() order so a capped harness sweep sees the same
     # least-recently-verified-first priority on both sides

@@ -871,3 +871,98 @@ def char_entropy_stats(df, text_col: str, id_col: str):
         F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
         F.when(F.col("n_chars") > 0, F.round(entropy, 6)).alias("entropy"),
     )
+
+
+def pmi_pairs(
+    df,
+    text_col: str,
+    id_col: str,
+    vocab: int = 30,
+    min_pair_docs: int = 5,
+    top_n: int = 20,
+):
+    """Top term-pair pointwise mutual information over documents —
+    "which words travel together" (Church & Hanks 1990), the corpus
+    collocation report next to `top_terms_per_group`'s solo counts:
+
+        pmi(a, b) = ln( P(a, b) / (P(a) P(b)) )
+
+    with doc-level probabilities (P(x) = docs containing x / N).
+    Pairs are unordered (a < b lexicographically) over per-doc
+    DISTINCT terms, restricted to the ``vocab`` most document-frequent
+    terms — the explicit blocking bound that keeps the per-doc pair
+    fan-out <= vocab^2/2 regardless of corpus size (the MinHash-band
+    lesson: never an unbounded self-join). Pairs in fewer than
+    ``min_pair_docs`` docs drop (rare-pair noise floor). Output
+    (term_a, term_b, n_pair_docs, pmi 6dp) ranked (pmi desc, term_a,
+    term_b), top_n rows.
+
+    Scale shape: one explode + distinct to (doc, term); the vocab
+    frame (vocab rows, rank by (df desc, term)) BROADCASTS into a
+    semi-join filter; the pair stage self-joins the filtered frame on
+    doc (fan-out bounded by vocab); one partial-aggregatable
+    groupBy(pair); doc frequencies re-join from the vocab frame; N
+    rides a 1-row broadcast; final rank is a distributed
+    TakeOrdered."""
+    if vocab < 2:
+        raise ValueError(f"vocab must be >= 2, got {vocab}")
+    if min_pair_docs < 1:
+        raise ValueError(f"min_pair_docs must be >= 1, got {min_pair_docs}")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    from pyspark.sql import Window
+
+    doc_terms = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+    )
+    dfreq = doc_terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    w = Window.orderBy(F.col("__df").desc(), F.col("term").asc())
+    top_vocab = (
+        dfreq.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= vocab)
+        .select("term", "__df")
+    )
+    filtered = doc_terms.join(F.broadcast(top_vocab), "term").select(
+        "__id", "term"
+    )
+    a = filtered.select("__id", F.col("term").alias("term_a"))
+    b = filtered.select("__id", F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "__id")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair_docs"))
+        .where(F.col("n_pair_docs") >= min_pair_docs)
+    )
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("__n"))
+    scored = (
+        pairs.join(
+            F.broadcast(top_vocab.select(F.col("term").alias("term_a"),
+                                         F.col("__df").alias("__dfa"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(top_vocab.select(F.col("term").alias("term_b"),
+                                         F.col("__df").alias("__dfb"))),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_pair_docs",
+            F.round(
+                F.log(
+                    (F.col("n_pair_docs") * F.col("__n"))
+                    / (F.col("__dfa") * F.col("__dfb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc()
+    ).limit(top_n)

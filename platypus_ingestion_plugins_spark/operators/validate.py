@@ -168,3 +168,38 @@ def check_constraints(df: DataFrame, checks: list[Check]) -> DataFrame:
     return spark.createDataFrame(
         rows, "check string, violations long, n_rows long, passed boolean"
     )
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs: list[str] | tuple[str, ...] | str,
+    rhs: str,
+) -> DataFrame:
+    """Functional-dependency DISCOVERY report — the profiling
+    complement to the declared `Check` constraints: for the candidate
+    dependency lhs -> rhs, every lhs group carrying MORE than one
+    distinct rhs value, with its violation surface. Empty output =
+    the FD holds (promote it to a declared constraint); populated
+    output = the denormalization/drift the pipeline should look at.
+
+    Output (lhs..., n_rhs_values, n_rows) for violating groups only
+    — n_rhs_values counts distinct NON-NULL rhs values (a NULL rhs
+    never contradicts a dependency, the SQL-semantics reading), and
+    rows whose lhs contains a NULL group together like any other
+    value (profiling wants to see them).
+
+    One partial-aggregatable groupBy(lhs) — group-count-sized output,
+    one shuffle."""
+    cols = [lhs] if isinstance(lhs, str) else list(lhs)
+    if not cols:
+        raise ValueError("lhs must name at least one column")
+    if rhs in cols:
+        raise ValueError(f"rhs {rhs!r} cannot be part of lhs")
+    return (
+        df.groupBy(*[F.col(c) for c in cols])
+        .agg(
+            F.count_distinct(F.col(rhs)).cast("long").alias("n_rhs_values"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .where(F.col("n_rhs_values") > 1)
+    )

@@ -127,6 +127,8 @@ HEADLINE = [
     "stats_facet",
     "recency_decay",
     "pagerank",
+    "fd_violations",
+    "pmi_pairs",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
@@ -149,6 +151,7 @@ EXPECT_BROADCAST = [
     "percolate",  # the registry must broadcast (never shuffle the corpus)
     "tfidf_keywords",  # the 1-row N must broadcast
     "recency_decay",  # the 1-row max-date edge must broadcast
+    "pmi_pairs",  # the vocab frame + 1-row N must broadcast
     # pagerank is NOT here: its returned frame sits behind the final
     # round's localCheckpoint, so the per-round broadcast scalars live
     # in already-truncated lineage — the unit test pins the semantics.

@@ -6742,3 +6742,57 @@ def test_pagerank_hand_values(spark):
         pagerank(edges, "s", "d", iterations=0)
     with _pt.raises(ValueError, match="damping"):
         pagerank(edges, "s", "d", damping=1.0)
+
+
+def test_fd_violations(spark):
+    """NEW r14: FD discovery. Violating groups only; NULL rhs never
+    contradicts; NULL lhs groups like a value; composite lhs."""
+    from platypus_ingestion_plugins_spark.operators.validate import (
+        fd_violations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "en"), ("s1", "de"),           # violation: 2 langs
+            ("s2", "en"), ("s2", "en"),           # holds
+            ("s3", "en"), ("s3", None),           # NULL rhs: holds
+            (None, "en"), (None, "fr"),           # NULL lhs group violates
+        ],
+        "source string, lang string",
+    )
+    got = {r["source"]: (r["n_rhs_values"], r["n_rows"])
+           for r in fd_violations(df, "source", "lang").collect()}
+    assert got == {"s1": (2, 2), None: (2, 2)}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="lhs"):
+        fd_violations(df, [], "lang")
+    with _pt.raises(ValueError, match="rhs"):
+        fd_violations(df, ["lang"], "lang")
+
+
+def test_pmi_pairs_hand_values(spark):
+    """NEW r14: PMI collocations. Doc-level probabilities, distinct
+    terms per doc, unordered pairs, vocab + floor bounds."""
+    import math
+
+    from platypus_ingestion_plugins_spark.functions.text import pmi_pairs
+
+    rows = [
+        (1, "alpha beta"), (2, "alpha beta"), (3, "alpha beta"),
+        (4, "alpha gamma"), (5, "beta delta gamma"), (6, "alpha alpha beta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["term_a"], r["term_b"]): (r["n_pair_docs"], r["pmi"])
+           for r in pmi_pairs(df, "text", "doc_id", vocab=10,
+                              min_pair_docs=2, top_n=10).collect()}
+    # alpha in 5 docs, beta in 5, together in 4 (doc 6 counts ONCE)
+    n, pmi = got[("alpha", "beta")]
+    assert n == 4
+    assert abs(pmi - round(math.log(4 * 6 / (5 * 5)), 6)) < 1e-9
+    # pairs below the floor drop
+    assert ("alpha", "gamma") not in got  # together in 1 doc only
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="vocab"):
+        pmi_pairs(df, "text", "doc_id", vocab=1)
