@@ -708,14 +708,19 @@ def user_durations(
         )
     )
     edge = per.agg(F.max("_last").alias("_edge"))
+
+    def _secs(c: Column) -> Column:
+        # TIMESTAMP_NTZ (how Spark 4 reads the driver's parquet) can't
+        # cast to BIGINT directly — route through TIMESTAMP; the
+        # session tz is pinned UTC (session.py), so values don't move
+        return c.cast("timestamp").cast("long")
+
     return per.crossJoin(F.broadcast(edge)).select(
         "user",
-        (
-            F.col("_last").cast("long") - F.col("_first").cast("long")
-        ).alias("duration_s"),
+        (_secs(F.col("_last")) - _secs(F.col("_first"))).alias("duration_s"),
         F.when(
-            F.col("_last").cast("long")
-            <= F.col("_edge").cast("long") - F.lit(int(horizon_s)),
+            _secs(F.col("_last"))
+            <= _secs(F.col("_edge")) - F.lit(int(horizon_s)),
             F.lit(1),
         )
         .otherwise(F.lit(0))
@@ -839,9 +844,15 @@ def rfm_segments(
         "monetary",
     )
     nt = int(n_tiles)
+    # monetary can be NULL (all-NULL amounts in a group); pin it LAST
+    # explicitly — Spark's asc default is nulls-FIRST, ANSI/DuckDB's
+    # is nulls-LAST, and an implicit default would make the scores
+    # engine-dependent on exactly the rows profiling cares about
     r_w = Window.orderBy(F.col("recency_days").desc(), F.col("customer").asc())
     f_w = Window.orderBy(F.col("frequency").asc(), F.col("customer").asc())
-    m_w = Window.orderBy(F.col("monetary").asc(), F.col("customer").asc())
+    m_w = Window.orderBy(
+        F.col("monetary").asc_nulls_last(), F.col("customer").asc()
+    )
     return base.select(
         "customer",
         "recency_days",

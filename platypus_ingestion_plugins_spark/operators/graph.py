@@ -48,8 +48,10 @@ def pagerank(
     aggregate broadcast in — never a driver-side loop over nodes.
     Each round's frame is lazily localCheckpointed so round k+1's
     lineage doesn't replay rounds 1..k (the Lloyd-iteration
-    precedent in ``kmeans_centroids``); NULL endpoints are rejected
-    upstream concerns — rows with NULL src/dst are dropped."""
+    precedent in ``kmeans_centroids``); rows with NULL src/dst or a
+    non-positive/NULL weight are dropped (a zero-weight edge is no
+    edge — keeping it would divide a zero out-weight sum), so a node
+    reachable only through dropped edges leaves the graph."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not (0.0 < damping < 1.0):
@@ -60,6 +62,10 @@ def pagerank(
         .select(
             F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
         )
+        # non-positive/NULL weights drop BEFORE out-weight sums: a node
+        # whose edges all weigh 0 must count as DANGLING, not divide
+        # its rank by zero (NULL contribs would silently leak mass)
+        .where(F.col("__w") > 0)
         .groupBy("__s", "__d")
         .agg(F.sum("__w").alias("__w"))
         .localCheckpoint(eager=False)

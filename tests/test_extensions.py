@@ -6796,3 +6796,47 @@ def test_pmi_pairs_hand_values(spark):
 
     with _pt.raises(ValueError, match="vocab"):
         pmi_pairs(df, "text", "doc_id", vocab=1)
+
+
+def test_r14_review_fixes(spark):
+    """r14 review pass: (a) user_durations accepts TIMESTAMP_NTZ
+    (Spark 4's parquet default — direct ntz->long cast fails
+    analysis); (b) pagerank drops non-positive-weight edges instead of
+    dividing a zero out-weight (silent mass leak); (c) rfm NULL
+    monetary pins nulls-LAST (the ANSI/DuckDB default) so scores are
+    engine-portable."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        rfm_segments,
+        user_durations,
+    )
+    from platypus_ingestion_plugins_spark.operators.graph import pagerank
+
+    # (a) ntz input
+    ntz = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+         (2, "2024-01-01 01:00:00")],
+        "u long, s string",
+    ).select("u", F.to_timestamp_ntz("s").alias("ts"))
+    got = {r["user"]: (r["duration_s"], r["observed"])
+           for r in user_durations(ntz, "u", "ts", 600).collect()}
+    assert got == {1: (600, 1), 2: (0, 0)}
+
+    # (b) node 'a' has only zero-weight out-edges -> dangling, mass
+    # conserved; and the zero-weight edge contributes nothing
+    e = spark.createDataFrame(
+        [("a", "b", 0.0), ("b", "c", 1.0)], "s string, d string, w double"
+    )
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank(e, "s", "d", "w", iterations=2).collect()}
+    assert set(ranks) == {"b", "c"}  # 'a' leaves with its only 0-edge
+    assert abs(sum(ranks.values()) - 1.0) < 1e-5
+
+    # (c) NULL monetary sorts LAST (lowest tile is a REAL low spender)
+    o = spark.createDataFrame(
+        [(1, "2024-01-02", None), (2, "2024-01-02", 5.0),
+         (3, "2024-01-02", 9.0), (4, "2024-01-02", 1.0)],
+        "c long, d string, amt double",
+    ).select("c", F.to_timestamp("d").alias("d"), "amt")
+    m = {r["customer"]: r["m_score"]
+         for r in rfm_segments(o, "c", "d", "amt", n_tiles=2).collect()}
+    assert m[1] == 2 and m[4] == 1  # NULL in the top (last) tile
