@@ -95,6 +95,16 @@ COHORT = [
     "more_like_this",
     "mlt_indexed",
     "group_split",
+    # r14 additions: the two heaviest documents-reading newcomers —
+    # PMI pairs (vocab-bounded distinct-term self-join: the replica
+    # prefixes multiply the vocabulary, so the top-V filter does real
+    # pruning work) and per-doc TF-IDF keywords (tf + df reductions +
+    # per-doc rank window; 2.7x at 10x in the r14 manual probe, the
+    # cohort's watch item). The other r14 doc-readers measured
+    # 1.05-1.36x manually (SURVEY r14 summary); the events/orders
+    # readers can't run on the documents-only replica.
+    "pmi_pairs",
+    "tfidf_keywords",
 ]
 
 
