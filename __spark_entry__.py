@@ -1755,6 +1755,63 @@ ORDER BY pmi DESC, term_a, term_b LIMIT 20
 """
 
 
+def q_stream_percolate(spark, sf):
+    """Streaming percolation / alerting (NEW r14, serving/query.
+    percolate_stream_append + read_alerts): documents arrive in two
+    drops through a real checkpointed foreachBatch, each batch
+    matching against the fixed saved-search registry and appending
+    its (doc, query) hits to the alert log — set-semantic rows, so
+    replays collapse on the distinct read. Post-stream alerts must
+    equal the one-shot batch percolate (the oracle)."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.serving.query import (
+        percolate_stream_append,
+        read_alerts,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    reg = spark.createDataFrame(
+        _PERCOLATE_REGISTRY, "qid long, terms array<string>"
+    )
+    lo, hi = _median_split(d, "doc_id")
+    work = _stream_scratch("stream_perc_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src = os.path.join(work, "src")
+        ckpt = os.path.join(work, "ckpt")
+        alerts = os.path.join(work, "alerts")
+        lo.coalesce(4).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def run_available():
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 100)
+                .parquet(src)
+                .writeStream.foreachBatch(
+                    lambda b, bid: percolate_stream_append(
+                        b, reg, "text", "doc_id", "qid", "terms", alerts
+                    )
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_available()
+        hi.coalesce(4).write.mode("append").parquet(src)
+        run_available()
+        out = read_alerts(spark, alerts)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_funnel_cascade(spark, sf):
     """Skew-safe funnel (NEW r14, operators/analytics.funnel
     mode='cascade' — the r13 verdict's weak-item fix): the same
@@ -9703,6 +9760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "fd_violations": q_fd_violations,
         "pmi_pairs": q_pmi_pairs,
+        "stream_percolate": q_stream_percolate,
     }
 
 
@@ -9927,6 +9985,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle_sql(),
         "fd_violations": SQL_FD_VIOLATIONS,
         "pmi_pairs": SQL_PMI_PAIRS,
+        "stream_percolate": SQL_PERCOLATE,
     }
     # emit in queries() order so a capped harness sweep sees the same
     # least-recently-verified-first priority on both sides

@@ -980,6 +980,47 @@ def percolate(
     )
 
 
+def percolate_stream_append(
+    batch: DataFrame,
+    queries: DataFrame,
+    text_field: str,
+    id_field: str,
+    query_id_field: str,
+    terms_field: str,
+    path: str,
+    minimum_should_match: int | None = None,
+) -> None:
+    """``foreachBatch`` body for STREAMING percolation — the alerting
+    deployment the percolator exists for: each micro-batch's documents
+    match against the registered queries and the (doc, query) hits
+    append to the alert log at ``path``. Alert rows are SET-SEMANTIC
+    (a replayed batch re-derives exactly the same matches, and a
+    re-ingested doc re-matches the same queries), so at-least-once
+    delivery needs no epoch pin — ``read_alerts``'s distinct collapses
+    replays, the ``append_band_key_index`` discipline. Per batch: one
+    broadcast join against the registry + one append write; never a
+    read of the accumulated log."""
+    matches = percolate(
+        batch,
+        queries,
+        text_field,
+        id_field,
+        query_id_field,
+        terms_field,
+        minimum_should_match=minimum_should_match,
+    )
+    matches.write.mode("append").parquet(path)
+
+
+def read_alerts(spark, path: str) -> DataFrame:
+    """The accumulated percolation alerts: distinct (doc, query) hits
+    over everything ingested — equals the one-shot batch ``percolate``
+    over the full corpus (the oracle's check). Raises if no batch has
+    ever appended (an alert log that was never written is a wiring
+    bug, not an empty result)."""
+    return spark.read.parquet(path).distinct()
+
+
 def collapse_topk(
     index: DataFrame,
     collapse_field: str,

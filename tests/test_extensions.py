@@ -6840,3 +6840,34 @@ def test_r14_review_fixes(spark):
     m = {r["customer"]: r["m_score"]
          for r in rfm_segments(o, "c", "d", "amt", n_tiles=2).collect()}
     assert m[1] == 2 and m[4] == 1  # NULL in the top (last) tile
+
+
+def test_percolate_stream_append_replay(spark, tmp_path):
+    """NEW r14: streaming percolation. Two appends == one-shot batch
+    percolate; a replayed batch collapses via distinct-on-read."""
+    from platypus_ingestion_plugins_spark.serving.query import (
+        percolate,
+        percolate_stream_append,
+        read_alerts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark streaming engine"), (2, "fast spark"),
+         (3, "slow db"), (4, "spark engine room")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(10, ["spark", "engine"]), (11, ["db"])],
+        "qid long, terms array<string>",
+    )
+    expected = {(r["doc_id"], r["qid"]) for r in
+                percolate(docs, qs, "text", "doc_id", "qid", "terms").collect()}
+    path = str(tmp_path / "alerts")
+    lo = docs.where(F.col("doc_id") <= 2)
+    hi = docs.where(F.col("doc_id") > 2)
+    percolate_stream_append(lo, qs, "text", "doc_id", "qid", "terms", path)
+    percolate_stream_append(hi, qs, "text", "doc_id", "qid", "terms", path)
+    # replay the second batch: set semantics absorb it
+    percolate_stream_append(hi, qs, "text", "doc_id", "qid", "terms", path)
+    got = {(r["doc_id"], r["qid"]) for r in read_alerts(spark, path).collect()}
+    assert got == expected and (1, 10) in got and (3, 11) in got
