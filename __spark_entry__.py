@@ -1812,6 +1812,74 @@ def q_stream_percolate(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_seasonal_anomalies(spark, sf):
+    """Seasonally-baselined anomalies (NEW r14, operators/analytics.
+    seasonal_rate_anomalies): each (type, hour) bucket z-scored
+    against the SAME hour-of-day across the trailing week — the
+    daily-rhythm-aware twin of rate_anomalies. Same corpus-sized
+    hourly groupBy; windows partition by (type, hour-of-day) over the
+    grid."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        seasonal_rate_anomalies,
+    )
+
+    return seasonal_rate_anomalies(
+        _events_ts(spark, sf), "ts", "event_type",
+        window_days=7, z_threshold=1.5, min_history=3,
+    )
+
+
+SQL_SEASONAL_ANOMALIES = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+st AS (
+  SELECT event_type, hour, CAST(hour(hour) AS INT) hod, cnt,
+         round(avg(cnt) OVER w, 6) AS mean_prev,
+         round(stddev_samp(cnt) OVER w, 6) AS sd_prev,
+         count(cnt) OVER w AS n_prev
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type, hour(hour) ORDER BY hour
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT event_type, hour, hod, cnt, mean_prev, sd_prev,
+       round((cnt - mean_prev) / sd_prev, 6) AS z
+FROM st
+WHERE n_prev >= 3 AND sd_prev IS NOT NULL AND sd_prev > 0
+  AND abs(round((cnt - mean_prev) / sd_prev, 6)) >= 1.5
+"""
+
+
+def q_terms_lookup(spark, sf):
+    """Terms-lookup query (NEW r14, serving/query.terms_lookup — the
+    ES variant of term_in_set with a table-side set): documents whose
+    language is in the data-derived allowlist of languages appearing
+    in >= 30 docs. The lookup side is dictionary-sized by contract
+    (ES's index.max_terms_count reading); corpus-sized sets take the
+    broadcast semi-join path instead."""
+    from platypus_ingestion_plugins_spark.serving.query import (
+        search,
+        terms_lookup,
+    )
+
+    d = _t(spark, sf, "documents")
+    allow = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 30)
+    )
+    return search(d, query=terms_lookup("lang", allow, "lang"), top=None).select(
+        "doc_id", "lang"
+    )
+
+
+SQL_TERMS_LOOKUP = """
+SELECT doc_id, lang FROM documents
+WHERE lang IN (SELECT lang FROM documents
+               GROUP BY lang HAVING count(*) >= 30)
+"""
+
+
 def q_funnel_cascade(spark, sf):
     """Skew-safe funnel (NEW r14, operators/analytics.funnel
     mode='cascade' — the r13 verdict's weak-item fix): the same
@@ -9761,6 +9829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_violations": q_fd_violations,
         "pmi_pairs": q_pmi_pairs,
         "stream_percolate": q_stream_percolate,
+        "seasonal_anomalies": q_seasonal_anomalies,
+        "terms_lookup_filter": q_terms_lookup,
     }
 
 
@@ -9986,6 +10056,8 @@ def oracle_sql() -> dict[str, str]:
         "fd_violations": SQL_FD_VIOLATIONS,
         "pmi_pairs": SQL_PMI_PAIRS,
         "stream_percolate": SQL_PERCOLATE,
+        "seasonal_anomalies": SQL_SEASONAL_ANOMALIES,
+        "terms_lookup_filter": SQL_TERMS_LOOKUP,
     }
     # emit in queries() order so a capped harness sweep sees the same
     # least-recently-verified-first priority on both sides

@@ -499,6 +499,68 @@ def _hourly_zscore(
     )
 
 
+def seasonal_rate_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    type_col: str,
+    window_days: int = 7,
+    z_threshold: float = 3.0,
+    min_history: int = 3,
+) -> DataFrame:
+    """Seasonally-baselined rate anomalies: each (type, hour) bucket
+    z-scores against the SAME HOUR OF DAY across the trailing
+    ``window_days`` days — the daily-rhythm-aware twin of
+    ``rate_anomalies``, which a trailing-hours window can't give you
+    ("3am is always quiet" must not alarm every morning, and a 3am
+    spike must not hide under the daytime mean). Same guards: at
+    least ``min_history`` prior same-hour buckets, nonzero variance,
+    both spike and drop signs.
+
+    Output (event_type, hour, hod, cnt, mean_prev, sd_prev, z) — hod
+    the 0-23 hour-of-day the baseline conditions on. Shape: the same
+    one corpus-sized hourly groupBy as ``rate_anomalies``
+    (``_hourly_counts``), then windows partitioned by (type,
+    hour-of-day) over the grid — 24x more, 24x shorter partitions,
+    still grid-sized. Absent hours are absent, not zero (the sparse
+    reading)."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    if min_history < 2:
+        raise ValueError(f"min_history must be >= 2, got {min_history}")
+    from pyspark.sql.window import Window
+
+    hourly = _hourly_counts(df, ts_col, type_col).withColumn(
+        "hod", F.hour("hour")
+    )
+    w = (
+        Window.partitionBy("event_type", "hod")
+        .orderBy("hour")
+        .rowsBetween(-int(window_days), -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hour",
+        "hod",
+        "cnt",
+        F.round(F.avg("cnt").over(w), 6).alias("mean_prev"),
+        F.round(F.stddev_samp("cnt").over(w), 6).alias("sd_prev"),
+        F.count("cnt").over(w).alias("__n_prev"),
+    )
+    z = F.round((F.col("cnt") - F.col("mean_prev")) / F.col("sd_prev"), 6)
+    return (
+        stats.where(
+            (F.col("__n_prev") >= min_history)
+            & F.col("sd_prev").isNotNull()
+            & (F.col("sd_prev") > 0)
+        )
+        .select(
+            "event_type", "hour", "hod", "cnt", "mean_prev", "sd_prev",
+            z.alias("z"),
+        )
+        .where(F.abs(F.col("z")) >= F.lit(float(z_threshold)))
+    )
+
+
 def hourly_counts_merge_into(
     batch: DataFrame,
     ts_col: str,

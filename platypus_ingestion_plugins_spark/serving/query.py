@@ -980,6 +980,29 @@ def percolate(
     )
 
 
+def terms_lookup(
+    field: str,
+    lookup: DataFrame,
+    lookup_field: str,
+) -> Column:
+    """TermsQuery with a LOOKUP side (the Elasticsearch terms-lookup
+    variant of ``term_in_set``): membership against values read from
+    another frame at query time — "docs whose id is in today's
+    blocklist table" — instead of a literal list baked into the query.
+    Compiles to ``isin`` over the collected lookup column, so the
+    lookup frame must be dictionary-sized (the same contract ES
+    imposes via ``index.max_terms_count``); for corpus-sized sets use
+    a broadcast semi-join instead (``term_in_set``'s documented scale
+    path). NULL lookup values are dropped (a NULL never term-matches)."""
+    values = [
+        r[0]
+        for r in lookup.select(lookup_field).where(
+            F.col(lookup_field).isNotNull()
+        ).distinct().collect()
+    ]
+    return F.col(field).isin(values) if values else F.lit(False)
+
+
 def percolate_stream_append(
     batch: DataFrame,
     queries: DataFrame,

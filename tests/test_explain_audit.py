@@ -129,6 +129,7 @@ HEADLINE = [
     "pagerank",
     "fd_violations",
     "pmi_pairs",
+    "seasonal_anomalies",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.

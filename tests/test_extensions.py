@@ -6871,3 +6871,52 @@ def test_percolate_stream_append_replay(spark, tmp_path):
     percolate_stream_append(hi, qs, "text", "doc_id", "qid", "terms", path)
     got = {(r["doc_id"], r["qid"]) for r in read_alerts(spark, path).collect()}
     assert got == expected and (1, 10) in got and (3, 11) in got
+
+
+def test_seasonal_rate_anomalies(spark):
+    """NEW r14: seasonal anomaly baseline. A quiet-hour spike flags
+    against its SAME-HOUR history even when it sits under the daily
+    mean; young same-hour series don't alarm."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        seasonal_rate_anomalies,
+    )
+
+    rows = []
+    eid = 0
+    # 9 days: hour 3 gets 2/3/4 rotating (quiet), hour 12 gets 100
+    for day in range(9):
+        for _ in range(2 + (day % 3)):
+            rows.append((eid, 86400 * day + 3 * 3600 + 60, "a")); eid += 1
+        for _ in range(100):
+            rows.append((eid, 86400 * day + 12 * 3600 + 60, "a")); eid += 1
+    # day 9: hour 3 spikes to 30 — way under the daily mean (~100)
+    # but 10x its same-hour history
+    for _ in range(30):
+        rows.append((eid, 86400 * 9 + 3 * 3600 + 60, "a")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, t long, event_type string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("t")))
+    got = seasonal_rate_anomalies(
+        df, "ts", "event_type", window_days=7, z_threshold=3.0,
+        min_history=3,
+    ).collect()
+    assert len(got) == 1 and got[0]["hod"] == 3 and got[0]["cnt"] == 30
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window_days"):
+        seasonal_rate_anomalies(df, "ts", "event_type", window_days=0)
+
+
+def test_terms_lookup(spark):
+    from platypus_ingestion_plugins_spark.serving.query import terms_lookup
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, k string"
+    )
+    lk = spark.createDataFrame(
+        [("a",), ("c",), (None,), ("a",)], "v string"
+    )
+    got = {r["id"] for r in docs.where(terms_lookup("k", lk, "v")).collect()}
+    assert got == {1, 3}
+    empty = spark.createDataFrame([], "v string")
+    assert docs.where(terms_lookup("k", empty, "v")).count() == 0
