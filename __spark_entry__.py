@@ -1880,6 +1880,44 @@ WHERE lang IN (SELECT lang FROM documents
 """
 
 
+def q_adjacency_matrix(spark, sf):
+    """Adjacency-matrix aggregation (NEW r14, serving/query.
+    adjacency_matrix — the ES adjacency_matrix bucket): singleton and
+    pairwise-intersection doc counts for three named event filters.
+    One scan, per-row matched-name array, one partial-aggregatable
+    groupBy(key)."""
+    from platypus_ingestion_plugins_spark.serving.query import (
+        adjacency_matrix,
+    )
+
+    d = _events_ts(spark, sf)
+    return adjacency_matrix(
+        d,
+        {
+            "purchase": F.col("event_type") == "purchase",
+            "high_value": F.col("value") > 50,
+            "night": F.hour("ts") < 6,
+        },
+    )
+
+
+SQL_ADJACENCY_MATRIX = """
+WITH m AS (
+  SELECT coalesce(event_type = 'purchase', FALSE) p,
+         coalesce(value > 50, FALSE) h,
+         coalesce(hour(ts) < 6, FALSE) n
+  FROM events),
+k AS (
+  SELECT 'high_value' AS key, CAST(count(*) AS BIGINT) cnt FROM m WHERE h
+  UNION ALL SELECT 'night', count(*) FROM m WHERE n
+  UNION ALL SELECT 'purchase', count(*) FROM m WHERE p
+  UNION ALL SELECT 'high_value&night', count(*) FROM m WHERE h AND n
+  UNION ALL SELECT 'high_value&purchase', count(*) FROM m WHERE h AND p
+  UNION ALL SELECT 'night&purchase', count(*) FROM m WHERE n AND p)
+SELECT key, cnt FROM k WHERE cnt > 0
+"""
+
+
 def q_funnel_cascade(spark, sf):
     """Skew-safe funnel (NEW r14, operators/analytics.funnel
     mode='cascade' — the r13 verdict's weak-item fix): the same
@@ -9831,6 +9869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_percolate": q_stream_percolate,
         "seasonal_anomalies": q_seasonal_anomalies,
         "terms_lookup_filter": q_terms_lookup,
+        "adjacency_matrix": q_adjacency_matrix,
     }
 
 
@@ -10058,6 +10097,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_percolate": SQL_PERCOLATE,
         "seasonal_anomalies": SQL_SEASONAL_ANOMALIES,
         "terms_lookup_filter": SQL_TERMS_LOOKUP,
+        "adjacency_matrix": SQL_ADJACENCY_MATRIX,
     }
     # emit in queries() order so a capped harness sweep sees the same
     # least-recently-verified-first priority on both sides

@@ -980,6 +980,63 @@ def percolate(
     )
 
 
+def adjacency_matrix(
+    df: DataFrame,
+    filters: dict[str, Column],
+    sep: str = "&",
+) -> DataFrame:
+    """Adjacency-matrix aggregation (the Elasticsearch
+    ``adjacency_matrix`` bucket): given NAMED filters, the doc count
+    of every filter and every pairwise intersection — the
+    co-occurrence readout behind "users who are both mobile AND
+    churned". Output (key, cnt) with singleton keys as given and
+    intersection keys ``a&b`` (names sorted, ES's key convention);
+    empty buckets are absent (ES omits zero-doc buckets). Filter
+    names must not contain ``sep`` — rejected, they'd make keys
+    ambiguous.
+
+    Plan shape: ONE corpus scan — each row projects its matched-name
+    array (k boolean codegen expressions), singleton + pair keys
+    explode from that array (k + k²/2 per row worst case, filter
+    count is API-bounded like ES's 100-filter cap), then one
+    partial-aggregatable groupBy(key)."""
+    if not filters:
+        raise ValueError("adjacency_matrix needs at least one filter")
+    names = sorted(filters)
+    for n in names:
+        if sep in n:
+            raise ValueError(
+                f"filter name {n!r} must not contain the separator {sep!r}"
+            )
+    matched = F.filter(
+        F.array(
+            *[
+                F.when(F.coalesce(filters[n], F.lit(False)), F.lit(n))
+                for n in names
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    # singletons + ordered pairs from the (sorted-name) matched array
+    keys = F.flatten(
+        F.transform(
+            matched,
+            lambda a, i: F.concat(
+                F.array(a),
+                F.transform(
+                    F.slice(matched, i + 2, F.size(matched)),
+                    lambda b: F.concat(a, F.lit(sep), b),
+                ),
+            ),
+        )
+    )
+    return (
+        df.select(F.explode(keys).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
 def terms_lookup(
     field: str,
     lookup: DataFrame,

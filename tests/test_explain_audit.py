@@ -130,6 +130,7 @@ HEADLINE = [
     "fd_violations",
     "pmi_pairs",
     "seasonal_anomalies",
+    "adjacency_matrix",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.

@@ -6920,3 +6920,32 @@ def test_terms_lookup(spark):
     assert got == {1, 3}
     empty = spark.createDataFrame([], "v string")
     assert docs.where(terms_lookup("k", empty, "v")).count() == 0
+
+
+def test_adjacency_matrix(spark):
+    """NEW r14: adjacency-matrix agg. Singleton + sorted-pair keys,
+    NULL predicate = no match, empty buckets absent."""
+    from platypus_ingestion_plugins_spark.serving.query import (
+        adjacency_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(1, True, True, False), (2, True, None, False),
+         (3, False, True, True), (4, True, True, True)],
+        "id long, mobile boolean, churned boolean, eu boolean",
+    )
+    got = {r["key"]: r["cnt"] for r in adjacency_matrix(
+        df,
+        {"mobile": F.col("mobile"), "churned": F.col("churned"),
+         "eu": F.col("eu")},
+    ).collect()}
+    assert got["mobile"] == 3 and got["churned"] == 3 and got["eu"] == 2
+    assert got["churned&mobile"] == 2          # rows 1, 4 (NULL != match)
+    assert got["churned&eu"] == 2 and got["eu&mobile"] == 1
+    assert "nosuch" not in got
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="separator"):
+        adjacency_matrix(df, {"a&b": F.col("mobile")})
+    with _pt.raises(ValueError, match="at least one"):
+        adjacency_matrix(df, {})
