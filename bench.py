@@ -107,6 +107,22 @@ def main() -> None:
     # report the floor next to the totals so regression attribution can
     # subtract it instead of reading setup noise as data signal)
     stream_floor = round(_stream_noop_floor(spark), 3)
+    # Shared read-only term-index builds as their OWN timed lines
+    # (VERDICT r14 task #1): _term_index_for memoizes one index per
+    # (sf_dir, positions) scheme, so in a single-pass run whichever
+    # indexed query sorts first paid the whole build — r14 charged
+    # hybrid_indexed 5.39 s for a 2.6 s query. Pre-build both schemes
+    # here, timed separately, so every indexed query measures pure
+    # query cost and the build stays visible for attribution.
+    index_build = {}
+    if hasattr(E, "_term_index_for"):
+        for positions in (False, True):
+            t0 = time.perf_counter()
+            E._term_index_for(spark, sf_dir, positions=positions)
+            key = "positional" if positions else "plain"
+            index_build[f"term_index_build_{key}_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
 
     all_runs: dict[str, list[float]] = {}
     for p in range(passes):
@@ -212,6 +228,7 @@ def main() -> None:
         "queries": timings,
         "stream_split": stream_split,
         "variance_gt2s": variance,
+        "index_build": index_build,
         "contended": contended,
         "median_ratio_vs_tracked": median_ratio,
         "tracked_queries_by_sf": tracked_by_sf,

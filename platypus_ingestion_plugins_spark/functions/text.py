@@ -752,9 +752,24 @@ def rouge_n(
     expressions (transform over a sequence of slices — no UDF),
     explode once each, clip via one (id, gram) full-outer count join,
     then one partial-aggregatable groupBy(id). Pair rows upstream
-    (the operator takes one frame carrying both columns)."""
+    (the operator takes one frame carrying both columns).
+
+    ``id_col`` must be UNIQUE per row — the clip aggregates by id, so
+    duplicate ids would silently merge gram counts across distinct
+    (ref, cand) pairs and corrupt every ratio. Enforced eagerly (one
+    count/count_distinct aggregate) — duplicates raise instead of
+    mis-scoring (ADVICE r14)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    dup = df.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col(id_col))).alias("d")
+    ).first()["d"]
+    if dup:
+        raise ValueError(
+            f"rouge_n: id_col {id_col!r} has {dup} duplicate row(s); "
+            "scores aggregate per id, so ids must be unique per "
+            "(ref, cand) pair"
+        )
 
     def grams(col):
         toks = tokens(col)

@@ -936,7 +936,12 @@ def percolate(
     (query_id, array<string> terms); a document matches a query when
     its analyzed token set covers at least ``minimum_should_match``
     of the query's DISTINCT terms — default ALL of them (the
-    AND/phrase-free percolator core).
+    AND/phrase-free percolator core). A query whose distinct-term
+    count is BELOW ``minimum_should_match`` is UNMATCHABLE (matches
+    no document) — Elasticsearch/Lucene semantics: msm is a
+    requirement the query must meet, not a bound to clamp down to.
+    Clamping would make an over-specified alert FIRE instead of
+    staying silent (ADVICE r14).
 
     Output (doc id, query id) pairs, one per match.
 
@@ -962,9 +967,13 @@ def percolate(
         F.explode("__qterms").alias("term"),
     )
     if minimum_should_match is not None:
-        reg = reg.withColumn(
-            "__need", F.least(F.col("__need"), F.lit(minimum_should_match))
-        )
+        # ES semantics: msm REPLACES the all-terms requirement; a query
+        # with fewer distinct terms than msm can never satisfy it, so
+        # drop its registry rows entirely (it matches nothing) instead
+        # of clamping down to all-terms-required
+        reg = reg.where(
+            F.col("__need") >= F.lit(minimum_should_match)
+        ).withColumn("__need", F.lit(minimum_should_match))
     doc_terms = docs.select(
         F.col(id_field).alias("__did"),
         F.explode(F.array_distinct(tokenize(text_field))).alias("term"),
@@ -1041,22 +1050,39 @@ def terms_lookup(
     field: str,
     lookup: DataFrame,
     lookup_field: str,
+    max_terms: int = 65536,
 ) -> Column:
     """TermsQuery with a LOOKUP side (the Elasticsearch terms-lookup
     variant of ``term_in_set``): membership against values read from
     another frame at query time — "docs whose id is in today's
     blocklist table" — instead of a literal list baked into the query.
     Compiles to ``isin`` over the collected lookup column, so the
-    lookup frame must be dictionary-sized (the same contract ES
-    imposes via ``index.max_terms_count``); for corpus-sized sets use
-    a broadcast semi-join instead (``term_in_set``'s documented scale
-    path). NULL lookup values are dropped (a NULL never term-matches)."""
+    lookup frame must be dictionary-sized. ``max_terms`` enforces that
+    contract the way ES's ``index.max_terms_count`` (default 65536)
+    does: if the distinct non-NULL lookup values exceed it, raise
+    instead of silently collecting an unbounded column into the driver
+    (VERDICT r14 watch #3; the ``TooManyClauses`` precedent in
+    text_index). For corpus-sized sets use a broadcast semi-join
+    instead (``term_in_set``'s documented scale path). NULL lookup
+    values are dropped (a NULL never term-matches)."""
+    if max_terms < 1:
+        raise ValueError(f"max_terms must be >= 1, got {max_terms}")
+    # limit(max_terms + 1): bounds the collect itself, so an over-limit
+    # lookup costs one extra row, not a driver OOM before the check
     values = [
         r[0]
-        for r in lookup.select(lookup_field).where(
-            F.col(lookup_field).isNotNull()
-        ).distinct().collect()
+        for r in lookup.select(lookup_field)
+        .where(F.col(lookup_field).isNotNull())
+        .distinct()
+        .limit(max_terms + 1)
+        .collect()
     ]
+    if len(values) > max_terms:
+        raise ValueError(
+            f"terms_lookup: lookup column {lookup_field!r} has more than "
+            f"max_terms={max_terms} distinct values; use a broadcast "
+            f"semi-join (term_in_set scale path) for corpus-sized sets"
+        )
     return F.col(field).isin(values) if values else F.lit(False)
 
 
@@ -1131,6 +1157,13 @@ def collapse_topk(
     the corpus."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if "group_count" in index.columns:
+        # the output contract adds group_count; silently overwriting a
+        # caller column of that name would lose data (ADVICE r14)
+        raise ValueError(
+            "collapse_topk: input already has a 'group_count' column — "
+            "rename it before collapsing (the output adds its own)"
+        )
     from pyspark.sql.window import Window
 
     key = F.col(order_by)

@@ -365,8 +365,25 @@ def search_span_near(
     duplicate clause terms would need a distinct-position matching
     (Lucene restricts them too) and raise here. Both are pure codegen
     over per-(id, term) sorted position arrays — clause-count-bounded
-    expression size, never a self-join of postings. Output: (id)."""
-    toks = [t.lower() for t in terms if t]
+    expression size, never a self-join of postings. Output: (id).
+
+    Each clause runs through the SAME analyzer the index was built
+    with (``_py_tokenize``, like ``search_phrase_indexed``) — a
+    clause carrying punctuation/whitespace (``'spark,'``) would
+    otherwise silently miss every posting (ADVICE r14); a clause that
+    analyzes to zero or multiple tokens raises (a multi-token clause
+    is a nested phrase, not a term clause)."""
+    from platypus_ingestion_plugins_spark.serving.query import _py_tokenize
+
+    toks = []
+    for t in terms:
+        analyzed = _py_tokenize(t) if t else []
+        if len(analyzed) != 1:
+            raise ValueError(
+                f"span_near clause {t!r} analyzes to {len(analyzed)} "
+                "tokens; each clause must be a single term"
+            )
+        toks.append(analyzed[0])
     if len(toks) < 2:
         raise ValueError(f"span_near needs >= 2 terms, got {terms!r}")
     if slop < 0:

@@ -1267,6 +1267,27 @@ def test_phrase_slop_and_span_near(spark, tmp_path):
         TI.search_span_near(
             spark, idx, ["scan", "scan"], slop=2, in_order=False
         )
+    # ADVICE r14: clauses run through the index's analyzer, so a term
+    # carrying punctuation matches the same postings as its clean form
+    # instead of silently returning zero rows...
+    dirty = sorted(
+        r.doc_id
+        for r in TI.search_span_near(
+            spark, idx, ["Table,", " scan!"], slop=1
+        ).collect()
+    )
+    clean = sorted(
+        r.doc_id
+        for r in TI.search_span_near(
+            spark, idx, ["table", "scan"], slop=1
+        ).collect()
+    )
+    assert dirty == clean and dirty
+    # ...and a clause that analyzes to 0 or 2+ tokens raises loudly
+    with _pt.raises(ValueError, match="analyzes to"):
+        TI.search_span_near(spark, idx, ["table scan", "sort"])
+    with _pt.raises(ValueError, match="analyzes to"):
+        TI.search_span_near(spark, idx, ["table", "!!"])
 
 
 def test_bm25_indexed_matches_scan_path(spark, tmp_path):
