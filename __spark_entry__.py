@@ -9615,6 +9615,86 @@ FROM norm, feas
 """
 
 
+def q_geo_distance(spark, sf):
+    """Geo-distance query (NEW r15, operators/geo — the read-side twin
+    of GeoShardingStrategy, VERDICT r14 task #7): rows within 3000 km
+    of (48, 2) with the great-circle distance, over coordinates
+    derived deterministically from the order key (testdata carries no
+    geo columns; both engines replay the same integer-hash
+    derivation). Plan shape: pushdown-able bounding-box BETWEEN
+    pre-filter, then the exact haversine (codegen trig) on box
+    survivors; the partition-prune path over a geo-cell layout is
+    pinned by the input-file-metrics unit test. Distances keep the
+    operator's single 6dp round — the raw doubles are bit-identical
+    across engines (verified for this derivation), and a SECOND
+    round is exactly what diverges: Spark re-rounds the decimal
+    2454.384350 half-up while DuckDB re-rounds its double
+    2454.38434999... down (the classic double-rounding trap) — round
+    once, never twice."""
+    from platypus_ingestion_plugins_spark.operators import geo
+
+    pts = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        ((F.col("o_orderkey") * F.lit(7919)) % F.lit(17000) / F.lit(100.0)
+         - F.lit(85.0)).alias("lat"),
+        ((F.col("o_orderkey") * F.lit(104729)) % F.lit(36000) / F.lit(100.0)
+         - F.lit(180.0)).alias("lon"),
+    )
+    out = geo.geo_distance(pts, "lat", "lon", 48.0, 2.0, 3000.0)
+    return out.select("o_orderkey", "dist_km")
+
+
+SQL_GEO_DISTANCE = """
+WITH pts AS (
+  SELECT o_orderkey,
+         (o_orderkey * 7919) % 17000 / 100.0 - 85.0 AS lat,
+         (o_orderkey * 104729) % 36000 / 100.0 - 180.0 AS lon
+  FROM orders),
+d AS (
+  SELECT o_orderkey,
+         round(2.0 * 6371.0088 * asin(
+             CASE WHEN sqrt(s) > 1.0 THEN 1.0 ELSE sqrt(s) END), 6) AS dist_km
+  FROM (
+    SELECT o_orderkey,
+           sin(radians(48.0 - lat) / 2.0) * sin(radians(48.0 - lat) / 2.0)
+           + cos(radians(lat)) * cos(radians(48.0))
+             * (sin(radians(2.0 - lon) / 2.0) * sin(radians(2.0 - lon) / 2.0))
+             AS s
+    FROM pts))
+SELECT o_orderkey, dist_km
+FROM d WHERE dist_km <= 3000.0
+"""
+
+
+def q_indexed_regexp(spark, sf):
+    """RegexpQuery (NEW r15, text_index.search_regexp_indexed +
+    query.match_regexp, VERDICT r14 task #8): Lucene's anchored
+    whole-term regexp, rewritten against the term DICTIONARY
+    (TooManyClauses-capped) into a pruned posting read. The oracle
+    replays the scan path (regexp_full_match over analyzed tokens) so
+    the two algorithms cross-validate; n_matched counts distinct
+    matched terms per doc. Unit test pins indexed == scan, anchoring,
+    invalid-pattern raise, the cap, and tombstones."""
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    idx = _term_index_for(spark, sf, positions=False)
+    return TI.search_regexp_indexed(
+        spark, idx, "s(c|h)a[nr].*|engine?s?", id_col="doc_id"
+    )
+
+
+SQL_INDEXED_REGEXP = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '\\W+'), x -> x <> ''))) AS term
+  FROM documents)
+SELECT doc_id, CAST(count(*) AS INT) AS n_matched
+FROM toks WHERE regexp_matches(term, '^(?:s(c|h)a[nr].*|engine?s?)$')
+GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -9627,76 +9707,47 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the least-recently-driver-verified queries come FIRST
     # (the driver caps each round's oracle sweep at 50 entries, so dict
-    # order IS verification priority — r14 rotation, VERDICT r13 task
-    # #6, recomputed from the CORRECTNESS_r01..r13 files by script):
-    #   0.  the 31 r13-new entries the driver never saw (judge-verified
-    #       at sf0.01 in VERDICT r13), in r13 declaration order.
-    #   0b. the 7 NEW r14 entries. Sections 0+0b = 38 < 50.
+    # order IS verification priority — r15 rotation, VERDICT r14 task
+    # #4, recomputed from the CORRECTNESS_r01..r14 files by script):
+    #   0.  the 19 r14 entries the driver never saw (judge-verified at
+    #       sf0.01 in VERDICT r14), in r14 declaration order.
+    #   0b. the 2 NEW r15 entries. Sections 0+0b = 21 < 50.
     #   1.  every previously-green entry ascending by its LAST
-    #       driver-green round (r10 → r11 → r12 → r13), each cohort in
-    #       its CORRECTNESS file order: the cap's remaining 12 slots
-    #       cover the 11 r10-stale entries + the first 1 of r11's.
+    #       driver-green round (r11 -> r12 -> r13 -> r14), each cohort
+    #       in its CORRECTNESS file order: the cap's remaining 29
+    #       slots cover the first 29 of the 48 r11-stale entries.
     return {
-        # 0. the 31 r13 POST-cap entries: never driver-value-checked
-        #    (judge-verified at sf0.01 in VERDICT r13) — they lead r14.
-        "range_bool_query": q_range_bool_query,
-        "budget_select_bpe": q_budget_select_bpe,
-        "indexed_term_search": q_indexed_term_search,
-        "fuzzy_suggest": q_fuzzy_suggest,
-        "stream_term_index": q_stream_term_index,
-        "term_index_lifecycle": q_term_index_lifecycle,
-        "indexed_phrase_search": q_indexed_phrase_search,
-        "indexed_bm25": q_indexed_bm25,
-        "hybrid_indexed": q_hybrid_indexed,
-        "constraint_report": q_constraint_report,
-        "cc_scrub": q_cc_scrub,
-        "stream_constraints": q_stream_constraints,
-        "search_after": q_search_after,
-        "bpe_train": q_bpe_train,
-        "indexed_wildcard": q_indexed_wildcard,
-        "more_like_this": q_more_like_this,
-        "date_histogram": q_date_histogram,
-        "key_skew": q_key_skew,
-        "group_split": q_group_split,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "multi_match": q_multi_match,
-        "mlt_indexed": q_mlt_indexed,
-        "chunk_tokens": q_chunk_tokens,
-        "bool_indexed": q_bool_indexed,
-        "funnel_windowed": q_funnel_windowed,
-        "index_stats": q_index_stats,
-        "ab_test": q_ab_test,
-        "stream_funnel": q_stream_funnel,
-        "event_transitions": q_event_transitions,
-        "preference_pairs": q_preference_pairs,
-        # 0b. NEW r14 entries (never checked by anyone but this repo's
-        #     tests) — inside the 50-cap on their first round.
-        "phrase_slop": q_phrase_slop,
-        "span_near": q_span_near,
-        "funnel_cascade": q_funnel_cascade,
-        "significant_terms": q_significant_terms,
-        "event_paths": q_event_paths,
-        "rate_anomalies": q_rate_anomalies,
-        "tokenizer_fit": q_tokenizer_fit,
+        # 0. the 19 r14 entries the driver never value-checked
+        #    (judge-verified at sf0.01 in VERDICT r14) — they lead r15.
+        "attribution": q_attribution,
+        "survival_km": q_survival_km,
+        "rfm_segments": q_rfm_segments,
+        "percolate": q_percolate,
+        "collapse_source": q_collapse,
+        "tfidf_keywords": q_tfidf_keywords,
+        "rouge_pairs": q_rouge_pairs,
+        "char_entropy": q_char_entropy,
+        "phrase_prefix": q_phrase_prefix,
+        "stats_facet": q_stats_facet,
+        "recency_decay": q_recency_decay,
+        "stream_rate_anomalies": q_stream_rate_anomalies,
+        "pagerank": q_pagerank,
+        "fd_violations": q_fd_violations,
+        "pmi_pairs": q_pmi_pairs,
+        "stream_percolate": q_stream_percolate,
+        "seasonal_anomalies": q_seasonal_anomalies,
+        "terms_lookup_filter": q_terms_lookup,
+        "adjacency_matrix": q_adjacency_matrix,
+        # 0b. NEW r15 entries (builder-verified at sf0.01 + sf0.001 on
+        #     landing) — inside the 50-cap on their first round.
+        "geo_distance": q_geo_distance,
+        "indexed_regexp": q_indexed_regexp,
         # 1. stale cohorts, least-recently-driver-green first
-        #    (r10 → r11 → r12 → r13), each in its CORRECTNESS file
-        #    order. The 50-cap covers sections 0+0b (34) plus the 11
-        #    r10-stale entries and the first 5 of the r11 cohort.
-        # -- last driver-green in CORRECTNESS_r10 --
-        "text_normalize": q_text_normalize,
-        "chunk_text": q_chunk_text,
-        "zorder_values": q_zorder_values,
-        "cap_per_group": q_cap_per_group,
-        "dataset_diff": q_dataset_diff,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3ish": q_tpch_q3ish,
-        "tpch_q5ish": q_tpch_q5ish,
-        "join_segment_revenue": q_join_segment_revenue,
-        "event_gaps": q_event_gaps,
-        "percentiles": q_percentiles,
+        #    (r11 -> r12 -> r13 -> r14), each in its CORRECTNESS file
+        #    order. The 50-cap covers sections 0+0b (21) plus the
+        #    first 29 of the r11 cohort (cap boundary after
+        #    stream_dedup_exact).
         # -- last driver-green in CORRECTNESS_r11 --
-        "mixture_plan": q_mixture_plan,
         "stream_profile": q_stream_profile,
         "pretraining_mix": q_pretraining_mix,
         "corpus_overlap": q_corpus_overlap,
@@ -9726,6 +9777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6ish": q_tpch_q6ish,
         "multimodal_external_meta": q_multimodal_external_meta,
         "stream_dedup_exact": q_stream_dedup_exact,
+        # ---- 50-entry sweep cap falls HERE (21 + 29) ----
         "stream_agg_materialize": q_stream_agg_materialize,
         "stream_sessionize": q_stream_sessionize,
         "cdc_last_wins": q_cdc_last_wins,
@@ -9847,29 +9899,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "model_score": q_model_score,
         "quantile_sketch": q_quantile_sketch,
-        # POST-cap (r14 second batch): landed after sections 0+0b+1
-        # filled the 50-entry sweep; builder-verified at sf0.01 AND
-        # sf0.001 on landing (scripts/check_oracle.py); these lead
-        # r15's rotation.
-        "attribution": q_attribution,
-        "survival_km": q_survival_km,
-        "rfm_segments": q_rfm_segments,
-        "percolate": q_percolate,
-        "collapse_source": q_collapse,
-        "tfidf_keywords": q_tfidf_keywords,
-        "rouge_pairs": q_rouge_pairs,
-        "char_entropy": q_char_entropy,
-        "phrase_prefix": q_phrase_prefix,
-        "stats_facet": q_stats_facet,
-        "recency_decay": q_recency_decay,
-        "stream_rate_anomalies": q_stream_rate_anomalies,
-        "pagerank": q_pagerank,
-        "fd_violations": q_fd_violations,
-        "pmi_pairs": q_pmi_pairs,
-        "stream_percolate": q_stream_percolate,
-        "seasonal_anomalies": q_seasonal_anomalies,
-        "terms_lookup_filter": q_terms_lookup,
-        "adjacency_matrix": q_adjacency_matrix,
+        # -- last driver-green in CORRECTNESS_r14 --
+        "range_bool_query": q_range_bool_query,
+        "budget_select_bpe": q_budget_select_bpe,
+        "indexed_term_search": q_indexed_term_search,
+        "fuzzy_suggest": q_fuzzy_suggest,
+        "stream_term_index": q_stream_term_index,
+        "term_index_lifecycle": q_term_index_lifecycle,
+        "indexed_phrase_search": q_indexed_phrase_search,
+        "indexed_bm25": q_indexed_bm25,
+        "hybrid_indexed": q_hybrid_indexed,
+        "constraint_report": q_constraint_report,
+        "cc_scrub": q_cc_scrub,
+        "stream_constraints": q_stream_constraints,
+        "search_after": q_search_after,
+        "bpe_train": q_bpe_train,
+        "indexed_wildcard": q_indexed_wildcard,
+        "more_like_this": q_more_like_this,
+        "date_histogram": q_date_histogram,
+        "key_skew": q_key_skew,
+        "group_split": q_group_split,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "multi_match": q_multi_match,
+        "mlt_indexed": q_mlt_indexed,
+        "chunk_tokens": q_chunk_tokens,
+        "bool_indexed": q_bool_indexed,
+        "funnel_windowed": q_funnel_windowed,
+        "index_stats": q_index_stats,
+        "ab_test": q_ab_test,
+        "stream_funnel": q_stream_funnel,
+        "event_transitions": q_event_transitions,
+        "preference_pairs": q_preference_pairs,
+        "phrase_slop": q_phrase_slop,
+        "span_near": q_span_near,
+        "funnel_cascade": q_funnel_cascade,
+        "significant_terms": q_significant_terms,
+        "event_paths": q_event_paths,
+        "rate_anomalies": q_rate_anomalies,
+        "tokenizer_fit": q_tokenizer_fit,
+        "text_normalize": q_text_normalize,
+        "chunk_text": q_chunk_text,
+        "zorder_values": q_zorder_values,
+        "cap_per_group": q_cap_per_group,
+        "dataset_diff": q_dataset_diff,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3ish": q_tpch_q3ish,
+        "tpch_q5ish": q_tpch_q5ish,
+        "join_segment_revenue": q_join_segment_revenue,
+        "event_gaps": q_event_gaps,
+        "percentiles": q_percentiles,
+        "mixture_plan": q_mixture_plan,
     }
 
 
@@ -9877,6 +9957,8 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         # generated from the frozen merge fixture (r12: the suite's
         # last rows-only entry becomes a full value check)
+        "geo_distance": SQL_GEO_DISTANCE,
+        "indexed_regexp": SQL_INDEXED_REGEXP,
         "bpe_token_count": _bpe_oracle_sql(),
         "image_neardup": SQL_IMAGE_NEARDUP,
         "language_classifier": SQL_LANGUAGE_CLASSIFIER,

@@ -101,6 +101,36 @@ def match_wildcard(field: str, pattern: str) -> Column:
     return F.exists(tokenize(field), lambda t: t.rlike(rx))
 
 
+def regexp_term_regex(regex: str) -> str:
+    """Lucene ``RegexpQuery`` pattern -> anchored whole-term regex.
+    Lucene matches a regexp against ENTIRE terms (implicit anchors);
+    the translation adds them around a non-capturing group.
+    Validated eagerly (a malformed pattern raises at query build, not
+    per-row at scan time); the pattern is NOT lowercased — unlike
+    wildcards, a character class like ``[a-z]`` can't be lowercased
+    textually, so the caller writes against the analyzer's lowercase
+    terms (Lucene's contract too). Keep to the portable subset
+    (literals, classes, ``.``, ``*``, ``+``, ``?``, ``|``, groups) —
+    it behaves identically in Java regex and the oracle's engine."""
+    import re as _re
+
+    try:
+        _re.compile(regex)
+    except _re.error as e:
+        raise ValueError(f"invalid regexp {regex!r}: {e}") from None
+    return f"^(?:{regex})$"
+
+
+def match_regexp(field: str, regex: str) -> Column:
+    """RegexpQuery on the scan path (NEW r15, the read-side next to
+    ``match_wildcard``): true when ANY analyzed term of ``field``
+    matches the whole-term regexp. Pure codegen (EXISTS + RLIKE).
+    Indexed twin: ``text_index.search_regexp_indexed`` — dictionary
+    expansion + pruned postings, never a corpus text scan."""
+    rx = regexp_term_regex(regex)
+    return F.exists(tokenize(field), lambda t: t.rlike(rx))
+
+
 def match_phrase(field: str, phrase: str) -> Column:
     """PhraseQuery: the analyzed phrase tokens appear contiguously and
     in order. Token-exact (not substring): the field's token array is

@@ -206,7 +206,12 @@ _FUNNEL_STATE_SCHEMA = T.StructType(
 )
 
 
-def _funnel_fn(steps: list[str], within: int | None, idle_evict_s: int):
+def _funnel_fn(
+    steps: list[str],
+    within: int | None,
+    idle_evict_s: int,
+    max_pending: int,
+):
     k = len(steps)
     idx = {s: i for i, s in enumerate(steps)}
 
@@ -236,6 +241,21 @@ def _funnel_fn(steps: list[str], within: int | None, idle_evict_s: int):
                 i = idx[et]
                 if times[i] is None:
                     pend[i].append(t)
+        # HARD per-step pending bound (VERDICT r14 task #9, the batch
+        # cascade's bounded-width twin): dedup + keep the SMALLEST
+        # max_pending candidates. Greedy funnel completion is
+        # min(valid candidates), so dropping only the LARGEST is
+        # exact-or-forfeit: if the kept set still holds the true
+        # minimum valid candidate the emission is identical; if every
+        # kept candidate turns out below the predecessor's completion
+        # time the step stalls where unbounded state might have
+        # completed late — the same forfeit class as idle eviction,
+        # never a wrong row. A hot user (bot replaying one step
+        # millions of times) now costs k * max_pending longs, not its
+        # event count.
+        for i in range(k):
+            if times[i] is None and len(pend[i]) > max_pending:
+                pend[i] = sorted(set(pend[i]))[:max_pending]
         emitted = []
         for i in range(k):
             if times[i] is not None:
@@ -291,6 +311,7 @@ def funnel_stream(
     within: int | None = None,
     late_s: int = 3600,
     idle_evict_s: int = 365 * 86400,
+    max_pending: int = 4096,
 ) -> DataFrame:
     """Streaming funnel: emits (key, step, step_idx, ts) the moment a
     user completes a step, with the greedy in-order semantics of the
@@ -308,9 +329,14 @@ def funnel_stream(
     pending included. Fully-converted keys keep a tiny tombstone
     state (k longs) so later events from the same user can't re-run
     the chain and duplicate emissions; idle keys evict
-    ``idle_evict_s`` past their last event (default a year — pending
-    candidate lists for a stalled user grow with that user's events
-    until eviction, so the horizon is the state-size knob) (a stuck funnel only ever FORFEITS future
+    ``idle_evict_s`` past their last event (default a year). Per-step
+    pending lists are HARD-BOUNDED at ``max_pending`` deduped
+    candidates, smallest kept (VERDICT r14 task #9): greedy
+    completion takes the MINIMUM valid candidate, so the cap is
+    exact-or-forfeit — a key whose kept candidates all fall before
+    its predecessor's eventual completion time stalls instead of
+    completing late, never emits a wrong row; worst-case state per
+    key is ~k*max_pending longs however hot the key (a stuck funnel only ever FORFEITS future
     completions — emitted rows are monotone facts, so eviction is
     safe, unlike sessionize's flush-on-timeout; a user returning
     after eviction starts a new funnel journey). Known approximation, as for
@@ -321,6 +347,8 @@ def funnel_stream(
         raise ValueError(f"need >= 2 distinct steps, got {steps}")
     if within is not None and within <= 0:
         raise ValueError(f"within must be positive seconds, got {within}")
+    if max_pending < 1:
+        raise ValueError(f"max_pending must be >= 1, got {max_pending}")
     prepared = (
         stream_df.select(
             F.col(key_col).cast("string").alias("key"),
@@ -341,7 +369,7 @@ def funnel_stream(
         .withWatermark("event_time", f"{int(late_s)} seconds")
     )
     return prepared.groupBy("key").applyInPandasWithState(
-        _funnel_fn(list(steps), within, int(idle_evict_s)),
+        _funnel_fn(list(steps), within, int(idle_evict_s), int(max_pending)),
         outputStructType=FUNNEL_OUT_SCHEMA,
         stateStructType=_FUNNEL_STATE_SCHEMA,
         outputMode="append",

@@ -131,6 +131,11 @@ HEADLINE = [
     "pmi_pairs",
     "seasonal_anomalies",
     "adjacency_matrix",
+    # r15 additions. indexed_regexp is NOT here: its constructor
+    # EXECUTES (dictionary expansion collect, like indexed_wildcard);
+    # its pruned posting-read shape is pinned by the text_index
+    # prune tests.
+    "geo_distance",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.

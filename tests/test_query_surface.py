@@ -773,6 +773,70 @@ def test_wildcard_scan_and_indexed_agree(spark, tmp_path):
     assert got == {1, 4}
 
 
+def test_regexp_scan_and_indexed_agree(spark, tmp_path):
+    """NEW r15 (VERDICT r14 task #8): RegexpQuery next to the
+    wildcard — anchored whole-term match against the term dictionary,
+    same TooManyClauses cap, scan/indexed agreement, loud invalid
+    patterns, tombstone visibility."""
+    from platypus_ingestion_plugins_spark.serving import query as SQ
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table scan beats table misuse"),
+            (2, "stable tables everywhere"),
+            (3, "scan the cable"),
+            (4, "tablet mode table"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "ridx")
+    TI.build_term_index(docs, "text", "doc_id", idx, buckets=8)
+
+    for regex, want_terms in [
+        ("tab.*", ["table", "tables", "tablet"]),
+        ("[ct]able", ["cable", "table"]),
+        (".*able.*", ["cable", "stable", "table", "tables", "tablet"]),
+        ("scan|cable", ["cable", "scan"]),
+        ("tables?", ["table", "tables"]),
+        ("able", []),            # ANCHORED: no substring match
+        ("zz+", []),
+    ]:
+        assert TI.expand_regexp(spark, idx, regex) == want_terms, regex
+        got = {
+            r["doc_id"]
+            for r in TI.search_regexp_indexed(spark, idx, regex).collect()
+        }
+        scan = {
+            r["doc_id"]
+            for r in docs.filter(SQ.match_regexp("text", regex)).collect()
+        }
+        assert got == scan, regex
+    # n_matched = distinct matched terms per doc
+    got = {
+        r["doc_id"]: r["n_matched"]
+        for r in TI.search_regexp_indexed(spark, idx, "tab.*").collect()
+    }
+    assert got == {1: 1, 2: 1, 4: 2}
+    empty = TI.search_regexp_indexed(spark, idx, "zz+")
+    assert empty.columns == ["doc_id", "n_matched"] and empty.count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="TooManyClauses"):
+        TI.expand_regexp(spark, idx, ".*", max_expansions=3)
+    with _pytest.raises(ValueError, match="invalid regexp"):
+        SQ.match_regexp("text", "[unclosed")
+    with _pytest.raises(ValueError, match="invalid regexp"):
+        TI.expand_regexp(spark, idx, "(broken")
+    # tombstones stay invisible to the regexp path too
+    TI.delete_docs(spark, idx, docs.filter("doc_id = 2").select("doc_id"))
+    got = {
+        r["doc_id"]
+        for r in TI.search_regexp_indexed(spark, idx, "tab.*").collect()
+    }
+    assert got == {1, 4}
+
+
 def test_term_index_stats(spark, tmp_path):
     """NEW r13: CheckIndex parity. Stats must match hand counts on a
     flat index, track tombstones (live counts shrink, n_deleted
