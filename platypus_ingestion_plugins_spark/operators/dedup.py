@@ -1078,11 +1078,25 @@ def minhash_from_shingles(sh: DataFrame, id_col: str, num_hashes: int = 8) -> Da
     halves = {}
     for j in range((num_hashes + 1) // 2):
         hx = F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))
-        halves[2 * j] = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
-        halves[2 * j + 1] = F.conv(F.substring(hx, 17, 15), 16, 10).cast("long")
+        halves[2 * j] = F.substring(hx, 1, 15)
+        halves[2 * j + 1] = F.substring(hx, 17, 15)
+    # min over the fixed-width lowercase-hex substrings EQUALS min over
+    # their numeric values (15 hex chars, uniform case -> lexicographic
+    # == numeric order), so the base-16 conversion runs once per
+    # (doc, hash) AFTER the aggregate instead of once per
+    # (shingle, hash) before it — identical signature values
+    # (r15 perf: conv dropped from the 35M-row map stage at sf10)
     aggs = [F.min(halves[i]).alias(f"h{i}") for i in range(num_hashes)]
     sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    return sig.select(
+        id_col,
+        F.array(
+            *[
+                F.conv(F.col(f"h{i}"), 16, 10).cast("long")
+                for i in range(num_hashes)
+            ]
+        ).alias("sig"),
+    )
 
 
 def minhash_signatures(
@@ -1093,9 +1107,27 @@ def minhash_signatures(
     return minhash_from_shingles(shingles(df, text_col, id_col, n), id_col, num_hashes)
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str, bands: int = 4) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    max_band_bucket: int | None = None,
+) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band bucket
-    are candidates. bands must divide the signature length."""
+    are candidates. bands must divide the signature length.
+
+    ``max_band_bucket`` is the HOT-BAND cap (VERDICT r14 task #6): a
+    band bucket with m members contributes m(m-1)/2 candidate pairs,
+    so one boilerplate signature shared by 10^5 docs is 5x10^9 pairs
+    from a single bucket — the quadratic blowup band-blocking exists
+    to avoid, reintroduced through the back door. With the cap set,
+    buckets larger than ``max_band_bucket`` are DROPPED before the
+    self-join (one partial-aggregatable count per (band, bucket)).
+    Recall trade, same shape as ``cap_shingle_df``: docs in a dropped
+    bucket can still pair through their other bands — with b bands a
+    true near-dup pair is lost only if EVERY band that matches it is
+    hot. Default None (exact candidates — the oracle-replayed
+    semantics); set it on corpora with boilerplate-heavy signatures."""
     banded = sig.select(
         id_col,
         F.posexplode(
@@ -1114,6 +1146,19 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, bands: int = 4) -> DataFram
             )
         ).alias("pos", "bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_band_bucket is not None:
+        if max_band_bucket < 2:
+            raise ValueError(
+                f"max_band_bucket must be >= 2, got {max_band_bucket}"
+            )
+        from pyspark.sql.window import Window
+
+        cnt = F.count(F.lit(1)).over(
+            Window.partitionBy("band", "bucket")
+        )
+        banded = banded.withColumn("__bc", cnt).filter(
+            F.col("__bc") <= max_band_bucket
+        ).drop("__bc")
     a = banded.withColumnRenamed(id_col, "id_a")
     b = banded.withColumnRenamed(id_col, "id_b")
     return (
@@ -1134,9 +1179,13 @@ def minhash_lsh_dedup_pairs(
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
     single_eval: bool = True,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> band buckets ->
     candidate pairs -> verify with true Jaccard >= threshold.
+    ``max_band_bucket`` caps hot band buckets (see
+    ``lsh_candidate_pairs`` — the quadratic-bucket guard for
+    boilerplate-heavy corpora; default None keeps exact candidates).
 
     The verification join is candidate-DRIVEN: the candidate pair set
     (bounded by the LSH blocking, tiny next to the corpus) is joined to
@@ -1180,15 +1229,52 @@ def minhash_lsh_dedup_pairs(
     sig = minhash_from_shingles(sh, id_col, num_hashes)
     if big:
         sig = sig.localCheckpoint(eager=True)
-    cands = lsh_candidate_pairs(sig, id_col, bands)
+    cands = lsh_candidate_pairs(sig, id_col, bands, max_band_bucket)
     if big:
         cands = cands.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # verification ships HASHED shingles (xxhash64: one long instead of
+    # a ~30-byte gram string through two shuffles and the pair-sized
+    # intermediate) restricted to docs that actually appear in a
+    # candidate pair — non-candidate docs never enter the joins. The
+    # intersection count over 64-bit hashes equals the count over
+    # strings up to a cross-shingle collision INSIDE one candidate
+    # pair (~|A|·|B|/2^64 per pair — vanishing), the standard trade
+    # every hashed-gram dedup makes (r15 perf: the verify stage's
+    # shuffle bytes, the sf10 preset's dominant cost).
+    sh_h = sh.select(id_col, F.xxhash64("shingle").alias("__hsh"))
+    cand_ids = cands.select(F.col("id_a").alias(id_col)).union(
+        cands.select(F.col("id_b").alias(id_col))
+    ).distinct()
+    # one hashed-shingle ARRAY per candidate doc, intersected per pair
+    # in codegen (array_intersect over unique elements == the
+    # equi-join count): the pair-sized frame is ~70x fewer rows than
+    # the exploded join intermediate (sum over pairs of |shingles|),
+    # which was the sf10 preset's dominant shuffle. Per-doc array
+    # width is bounded by the doc's token count (and cap_shingle_df
+    # bounds cross-doc fan-out); n_common > 0 keeps the inner-join
+    # semantics (a zero-overlap pair emits no row, threshold 0.0
+    # included).
+    arrs = (
+        sh_h.join(cand_ids, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("__hsh").alias("__arr"))
+    )
     inter = (
-        cands.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        cands.join(
+            arrs.select(F.col(id_col).alias("id_a"), F.col("__arr").alias("__a")),
+            "id_a",
+        )
+        .join(
+            arrs.select(F.col(id_col).alias("id_b"), F.col("__arr").alias("__b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__a", "__b")).cast("long").alias("n_common"),
+        )
+        .filter(F.col("n_common") > 0)
     )
     return (
         inter.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), "id_a")

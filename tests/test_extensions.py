@@ -7139,3 +7139,41 @@ def test_geo_partitioned_read_prunes_files(spark, tmp_path):
     for f in touched:
         cell = int(f.split(f"{geo.GEO_CELL_COL}=")[1].split("/")[0])
         assert cell in cells
+
+
+def test_lsh_hot_band_bucket_cap(spark):
+    """NEW r15 (VERDICT r14 task #6): max_band_bucket drops band
+    buckets larger than the cap BEFORE the self-join — a boilerplate
+    signature shared by m docs stops contributing m^2/2 candidate
+    pairs. Docs in a dropped bucket still pair through their other
+    (cold) bands; uncapped behavior is unchanged."""
+    rows = (
+        # 12 exact copies: every band bucket is hot for this group
+        [(i, "the same boilerplate sentence repeated everywhere")
+         for i in range(12)]
+        # one true near-dup pair with a unique vocabulary
+        + [(100, "completely different spark engine shuffle text body"),
+           (101, "completely different spark engine shuffle text tail")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = dedup.minhash_signatures(df, "text", "doc_id", n=3, num_hashes=8)
+    uncapped = dedup.lsh_candidate_pairs(sig, "doc_id", bands=4)
+    capped = dedup.lsh_candidate_pairs(
+        sig, "doc_id", bands=4, max_band_bucket=8
+    )
+    un = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cp = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # the 12-copy group saturates every bucket: 66 pairs uncapped,
+    # gone under the cap; the cold near-dup pair survives
+    assert (100, 101) in un and (100, 101) in cp
+    assert len([p for p in un if p[0] < 100]) == 66
+    assert not [p for p in cp if p[0] < 100]
+    # end-to-end: pairs still verify through the capped path
+    got = dedup.minhash_lsh_dedup_pairs(
+        df, "text", "doc_id", n=3, threshold=0.5, max_band_bucket=8
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(100, 101)}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_band_bucket"):
+        dedup.lsh_candidate_pairs(sig, "doc_id", bands=4, max_band_bucket=1)
