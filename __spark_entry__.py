@@ -9695,6 +9695,223 @@ GROUP BY doc_id
 """
 
 
+def q_geo_grid(spark, sf):
+    """Geo-grid bucket aggregation (NEW r15, operators/geo.
+    geo_grid_counts — the ES geohash_grid/geotile_grid agg on the flat
+    cell grid): doc counts + cell centers per 15-degree cell over the
+    order-key-derived coordinates (the geo_distance derivation). One
+    partial-aggregatable groupBy over the codegen cell id; output is
+    grid-bounded (<= 288 cells), never corpus-sized."""
+    from platypus_ingestion_plugins_spark.operators import geo
+
+    pts = _t(spark, sf, "orders").select(
+        ((F.col("o_orderkey") * F.lit(7919)) % F.lit(17000) / F.lit(100.0)
+         - F.lit(85.0)).alias("lat"),
+        ((F.col("o_orderkey") * F.lit(104729)) % F.lit(36000) / F.lit(100.0)
+         - F.lit(180.0)).alias("lon"),
+    )
+    return geo.geo_grid_counts(pts, "lat", "lon", cell_deg=15.0, min_count=2)
+
+
+SQL_GEO_GRID = """
+WITH pts AS (
+  SELECT (o_orderkey * 7919) % 17000 / 100.0 - 85.0 AS lat,
+         (o_orderkey * 104729) % 36000 / 100.0 - 180.0 AS lon
+  FROM orders),
+cells AS (
+  SELECT CAST(least(floor((lat + 90.0) / 15.0), 11) * 24
+              + least(floor((lon + 180.0) / 15.0), 23) AS INT) AS cell
+  FROM pts WHERE lat IS NOT NULL AND lon IS NOT NULL),
+agg AS (SELECT cell, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY cell)
+SELECT cell,
+       round(floor(cell / 24) * 15.0 - 90.0 + 7.5, 6) AS center_lat,
+       round((cell % 24) * 15.0 - 180.0 + 7.5, 6) AS center_lon,
+       cnt
+FROM agg WHERE cnt >= 2
+"""
+
+
+def q_stickiness(spark, sf):
+    """DAU/WAU stickiness (NEW r15, operators/analytics.stickiness):
+    per calendar week, active users, mean daily-active count over
+    active days, and their ratio — the engagement readout next to
+    funnel/retention. Two partial-aggregatable distinct aggregations
+    joined on the week grid (a curve); (period, user) shuffle keys."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        stickiness,
+    )
+
+    return stickiness(
+        _events_ts(spark, sf), "user_id", "ts", period="week"
+    ).select(
+        F.date_format("month", "yyyy-MM-dd").alias("week"),
+        "mau",
+        "avg_dau",
+        "stickiness",
+    )
+
+
+SQL_STICKINESS = """
+WITH base AS (
+  SELECT user_id AS u, date_trunc('day', ts) AS d, date_trunc('week', ts) AS m
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+dau AS (
+  SELECT m, round(avg(dau), 6) AS avg_dau FROM (
+    SELECT m, d, count(*) AS dau FROM (SELECT DISTINCT m, d, u FROM base)
+    GROUP BY m, d)
+  GROUP BY m),
+mau AS (
+  SELECT m, CAST(count(*) AS BIGINT) AS mau
+  FROM (SELECT DISTINCT m, u FROM base) GROUP BY m)
+SELECT strftime(m, '%Y-%m-%d') AS week, mau, avg_dau,
+       round(avg_dau / mau, 6) AS stickiness
+FROM mau JOIN dau USING (m)
+"""
+
+
+def q_percentile_ranks(spark, sf):
+    """Percentile-ranks facet (NEW r15, serving/query.
+    percentile_ranks_facet — the ES percentile_ranks agg, EXACT where
+    ES TDigests): % of lineitem prices at or below each probe value.
+    One partial-aggregatable pass with k conditional sums."""
+    return SQ.percentile_ranks_facet(
+        _t(spark, sf, "lineitem"),
+        "l_extendedprice",
+        [1000.0, 25000.0, 60000.0, 110000.0],
+    )
+
+
+SQL_PERCENTILE_RANKS = """
+WITH s AS (
+  SELECT count(l_extendedprice) AS n,
+         sum(CASE WHEN l_extendedprice <= 1000.0 THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN l_extendedprice <= 25000.0 THEN 1 ELSE 0 END) AS b,
+         sum(CASE WHEN l_extendedprice <= 60000.0 THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN l_extendedprice <= 110000.0 THEN 1 ELSE 0 END) AS d
+  FROM lineitem)
+SELECT v.value, CASE WHEN s.n > 0
+                     THEN round(v.le * 100.0 / s.n, 6) END AS pct
+FROM s, (VALUES (1000.0, (SELECT a FROM s)),
+                (25000.0, (SELECT b FROM s)),
+                (60000.0, (SELECT c FROM s)),
+                (110000.0, (SELECT d FROM s))) v(value, le)
+"""
+
+
+def q_rare_terms(spark, sf):
+    """Rare-terms aggregation (NEW r15, serving/query.rare_terms — the
+    ES rare_terms bucket, the long-tail inverse of the terms facet):
+    the rarest analyzed terms (the synthetic vocabulary is dense, so
+    the ceiling sits at 385 docs — the semantics are pinned by the
+    unit test's genuinely-rare fixture), (cnt asc, term asc), top 40.
+    One explode + one partial-aggregatable groupBy + a distributed
+    TakeOrdered."""
+    return SQ.rare_terms(
+        _t(spark, sf, "documents"), "text", max_doc_count=385, top_n=40
+    )
+
+
+SQL_RARE_TERMS = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '\\W+'), x -> x <> ''))) AS term
+  FROM documents)
+SELECT term, CAST(count(*) AS BIGINT) AS cnt
+FROM toks GROUP BY term HAVING count(*) <= 385
+ORDER BY cnt ASC, term ASC LIMIT 40
+"""
+
+
+def q_composite_page(spark, sf):
+    """Composite aggregation with after-key pagination (NEW r15,
+    serving/query.composite_after — the ES composite bucket): the
+    (source, lang) bucket page AFTER ('src12', 'en'), size 8, in key
+    order — the scale-safe bucket-space enumeration (each page is an
+    independent groupBy + tuple-greater cut + TakeOrdered, never a
+    full facet rank)."""
+    return SQ.composite_after(
+        _t(spark, sf, "documents"),
+        ["source", "lang"],
+        size=8,
+        after={"source": "src12", "lang": "en"},
+    )
+
+
+SQL_COMPOSITE_PAGE = """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS doc_count
+FROM documents
+WHERE source IS NOT NULL AND lang IS NOT NULL
+  AND (source > 'src12' OR (source = 'src12' AND lang > 'en'))
+GROUP BY source, lang
+ORDER BY source ASC, lang ASC LIMIT 8
+"""
+
+
+def q_histogram_pipeline(spark, sf):
+    """Pipeline aggs over the dense date histogram (NEW r15,
+    serving/query.date_histogram_pipeline — ES cumulative_sum +
+    derivative + moving_avg in one readout): daily purchase counts
+    with running total, day-over-day delta (first bucket NULL), and
+    the trailing 3-day mean, over the GAP-FREE grid (silent days
+    contribute 0). Windows order the interval-bounded grid — a plot
+    axis, never the corpus (the survival_km curve rule)."""
+    ev = _t(spark, sf, "events").where(F.col("event_type") == "purchase")
+    return SQ.date_histogram_pipeline(ev, "ts", "day", window=3).select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "cnt",
+        "cum",
+        "deriv",
+        "mov_avg",
+    )
+
+
+SQL_HISTOGRAM_PIPELINE = """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS bucket, count(*) AS cnt
+  FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
+  GROUP BY 1),
+g AS (SELECT unnest(generate_series(min(bucket), max(bucket),
+                                    INTERVAL 1 DAY)) AS bucket FROM b),
+grid AS (
+  SELECT g.bucket, CAST(coalesce(b.cnt, 0) AS BIGINT) AS cnt
+  FROM g LEFT JOIN b USING (bucket))
+SELECT strftime(bucket, '%Y-%m-%d') AS day, cnt,
+       CAST(sum(cnt) OVER w_all AS BIGINT) AS cum,
+       CAST(cnt - lag(cnt) OVER (ORDER BY bucket) AS BIGINT) AS deriv,
+       round(avg(cnt) OVER w_mov, 6) AS mov_avg
+FROM grid
+WINDOW w_all AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING),
+       w_mov AS (ORDER BY bucket ROWS 2 PRECEDING)
+"""
+
+
+def q_indexed_prefix(spark, sf):
+    """PrefixQuery from the index (NEW r15, text_index.
+    search_prefix_indexed): dictionary RANGE expansion
+    (TooManyClauses-capped) then one pruned posting read. Oracle
+    replays the scan path (token startswith), so the dictionary and
+    scan algorithms cross-validate; n_matched counts distinct
+    matching terms per doc."""
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    idx = _term_index_for(spark, sf, positions=False)
+    return TI.search_prefix_indexed(spark, idx, "s", id_col="doc_id")
+
+
+SQL_INDEXED_PREFIX = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '\\W+'), x -> x <> ''))) AS term
+  FROM documents)
+SELECT doc_id, CAST(count(*) AS INT) AS n_matched
+FROM toks WHERE term LIKE 's%'
+GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -9711,11 +9928,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # #4, recomputed from the CORRECTNESS_r01..r14 files by script):
     #   0.  the 19 r14 entries the driver never saw (judge-verified at
     #       sf0.01 in VERDICT r14), in r14 declaration order.
-    #   0b. the 2 NEW r15 entries. Sections 0+0b = 21 < 50.
+    #   0b. the 9 NEW r15 entries. Sections 0+0b = 28 < 50.
     #   1.  every previously-green entry ascending by its LAST
     #       driver-green round (r11 -> r12 -> r13 -> r14), each cohort
-    #       in its CORRECTNESS file order: the cap's remaining 29
-    #       slots cover the first 29 of the 48 r11-stale entries.
+    #       in its CORRECTNESS file order: the cap's remaining 22
+    #       slots cover the first 22 of the 48 r11-stale entries.
     return {
         # 0. the 19 r14 entries the driver never value-checked
         #    (judge-verified at sf0.01 in VERDICT r14) — they lead r15.
@@ -9742,6 +9959,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     landing) — inside the 50-cap on their first round.
         "geo_distance": q_geo_distance,
         "indexed_regexp": q_indexed_regexp,
+        "geo_grid": q_geo_grid,
+        "stickiness": q_stickiness,
+        "percentile_ranks": q_percentile_ranks,
+        "rare_terms": q_rare_terms,
+        "composite_page": q_composite_page,
+        "histogram_pipeline": q_histogram_pipeline,
+        "indexed_prefix": q_indexed_prefix,
         # 1. stale cohorts, least-recently-driver-green first
         #    (r11 -> r12 -> r13 -> r14), each in its CORRECTNESS file
         #    order. The 50-cap covers sections 0+0b (21) plus the
@@ -9770,6 +9994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "gopher_quality": q_gopher_quality,
         "window_topk_per_group": q_window_topk_per_group,
+        # ---- 50-entry sweep cap falls HERE (28 + 22) ----
         "heavy_hitters_sketch": q_heavy_hitters_sketch,
         "sliding_counts": q_sliding_counts,
         "semi_join": q_semi_join,
@@ -9777,7 +10002,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6ish": q_tpch_q6ish,
         "multimodal_external_meta": q_multimodal_external_meta,
         "stream_dedup_exact": q_stream_dedup_exact,
-        # ---- 50-entry sweep cap falls HERE (21 + 29) ----
         "stream_agg_materialize": q_stream_agg_materialize,
         "stream_sessionize": q_stream_sessionize,
         "cdc_last_wins": q_cdc_last_wins,
@@ -9959,6 +10183,13 @@ def oracle_sql() -> dict[str, str]:
         # last rows-only entry becomes a full value check)
         "geo_distance": SQL_GEO_DISTANCE,
         "indexed_regexp": SQL_INDEXED_REGEXP,
+        "geo_grid": SQL_GEO_GRID,
+        "stickiness": SQL_STICKINESS,
+        "percentile_ranks": SQL_PERCENTILE_RANKS,
+        "rare_terms": SQL_RARE_TERMS,
+        "composite_page": SQL_COMPOSITE_PAGE,
+        "histogram_pipeline": SQL_HISTOGRAM_PIPELINE,
+        "indexed_prefix": SQL_INDEXED_PREFIX,
         "bpe_token_count": _bpe_oracle_sql(),
         "image_neardup": SQL_IMAGE_NEARDUP,
         "language_classifier": SQL_LANGUAGE_CLASSIFIER,

@@ -1031,3 +1031,61 @@ def rfm_segments(
             F.col("m_score").cast("string"),
         ),
     )
+
+
+def stickiness(
+    df: DataFrame,
+    user_col: str,
+    ts_col,
+    period: str = "month",
+) -> DataFrame:
+    """DAU/MAU stickiness (NEW r15) — the product-analytics engagement
+    readout next to funnel/retention: per calendar ``period`` (month
+    default, week for DAU/WAU), the period's active users (MAU/WAU),
+    the mean of the period's daily-active-user counts over DAYS WITH
+    ACTIVITY, and their ratio (avg_dau / mau, 6dp) — 1.0 means every
+    active user shows up every active day, the "how habitual is
+    usage" number.
+
+    NULL users/timestamps drop. Output (month, mau, avg_dau 6dp,
+    stickiness 6dp) ordered by period start (column names keep the
+    canonical DAU/MAU reading at either grain).
+
+    Plan shape: two partial-aggregatable aggregations — distinct
+    (day, user) then per-day DAU -> per-period mean, and distinct
+    (period, user) -> MAU — joined on the period-grid (a curve, never
+    corpus-sized). The distincts shuffle on (period, user), the same
+    key balance as cohort_retention."""
+    if period not in ("week", "month"):
+        raise ValueError(f"period must be 'week' or 'month', got {period!r}")
+    base = df.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.date_trunc("day", F.col(ts_col)).alias("__d"),
+        F.date_trunc(period, F.col(ts_col)).alias("__m"),
+    )
+    dau = (
+        base.select("__d", "__m", "__u")
+        .distinct()
+        .groupBy("__m", "__d")
+        .agg(F.count(F.lit(1)).alias("__dau"))
+        .groupBy(F.col("__m").alias("month"))
+        .agg(F.round(F.avg("__dau"), 6).alias("avg_dau"))
+    )
+    mau = (
+        base.select("__m", "__u")
+        .distinct()
+        .groupBy(F.col("__m").alias("month"))
+        .agg(F.count(F.lit(1)).cast("long").alias("mau"))
+    )
+    return (
+        mau.join(dau, "month")
+        .select(
+            "month",
+            "mau",
+            "avg_dau",
+            F.round(F.col("avg_dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("month")
+    )

@@ -217,6 +217,48 @@ def cells_for_box(
     ]
 
 
+def geo_grid_counts(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    cell_deg: float = 15.0,
+    min_count: int = 1,
+) -> DataFrame:
+    """Geo-grid bucket aggregation (the Elasticsearch ``geohash_grid``
+    / ``geotile_grid`` agg on the flat ``geo_cell`` grid, NEW r15):
+    doc counts per grid cell plus the cell's center point — the
+    density-map readout behind every "where are my users" heatmap.
+    Rows with a NULL coordinate carry no bucket (ES ignores missing
+    geo points); cells under ``min_count`` drop (ES's min_doc_count).
+    Output (cell, center_lat, center_lon, cnt) ordered (cnt desc,
+    cell asc) — ES's count-descending bucket order.
+
+    One partial-aggregatable groupBy over the codegen cell id; output
+    is grid-bounded (<= (180/cell)*(360/cell) rows), never
+    corpus-sized."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    n_lon = int(math.ceil(360.0 / cell_deg))
+    per = (
+        df.where(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+        .groupBy(geo_cell(lat_col, lon_col, cell_deg).alias("cell"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .where(F.col("cnt") >= F.lit(min_count))
+    )
+    lat_i = F.floor(F.col("cell") / F.lit(n_lon))
+    lon_i = F.col("cell") % F.lit(n_lon)
+    return per.select(
+        "cell",
+        F.round(
+            lat_i * F.lit(cell_deg) - F.lit(90.0) + F.lit(cell_deg / 2.0), 6
+        ).alias("center_lat"),
+        F.round(
+            lon_i * F.lit(cell_deg) - F.lit(180.0) + F.lit(cell_deg / 2.0), 6
+        ).alias("center_lon"),
+        "cnt",
+    ).orderBy(F.col("cnt").desc(), F.col("cell").asc())
+
+
 def write_geo_partitioned(
     df: DataFrame,
     path: str,

@@ -906,6 +906,178 @@ def stats_facet(
     return per
 
 
+def percentile_ranks_facet(
+    df: DataFrame,
+    value_field: str,
+    values: Sequence[float],
+) -> DataFrame:
+    """Percentile-ranks aggregation (the Elasticsearch
+    ``percentile_ranks`` twin of the percentiles facet, NEW r15): for
+    each given value, the percentage of non-NULL ``value_field``
+    entries at or below it — "what fraction of latencies beat 500ms".
+    EXACT (one conditional sum per requested value in a single
+    partial-aggregatable pass), where ES approximates with TDigest —
+    same contract, deterministic answer. Output (value, pct 6dp)
+    in the given order of ``values``; an all-NULL column yields pct
+    NULL (no rank against nothing), ES's null_value-less behavior."""
+    if not values:
+        raise ValueError("percentile_ranks_facet needs at least one value")
+    v = F.col(value_field)
+    aggs = [F.count(v).cast("long").alias("__n")]
+    for i, x in enumerate(values):
+        aggs.append(
+            F.sum(
+                F.when(v <= F.lit(float(x)), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias(f"__le{i}")
+        )
+    row = df.agg(*aggs)
+    cols = []
+    for i, x in enumerate(values):
+        cols.append(
+            F.struct(
+                F.lit(float(x)).alias("value"),
+                F.when(
+                    F.col("__n") > 0,
+                    F.round(
+                        F.col(f"__le{i}") * F.lit(100.0) / F.col("__n"), 6
+                    ),
+                ).alias("pct"),
+            )
+        )
+    return row.select(F.explode(F.array(*cols)).alias("s")).select(
+        "s.value", "s.pct"
+    )
+
+
+def rare_terms(
+    df: DataFrame,
+    text_field: str,
+    max_doc_count: int = 1,
+    top_n: int = 100,
+) -> DataFrame:
+    """Rare-terms aggregation (the Elasticsearch ``rare_terms``
+    bucket, NEW r15 — the long-tail inverse of the terms facet):
+    analyzed terms appearing in AT MOST ``max_doc_count`` documents —
+    the typo/outlier/contamination surface a top-N facet never shows.
+    Output (term, cnt) ranked (cnt asc, term asc), ``top_n`` rows.
+
+    Plan shape: one corpus scan — distinct terms per doc explode once,
+    one partial-aggregatable groupBy(term), then a distributed
+    TakeOrdered; the doc-count ceiling means the candidate set shrinks
+    as the corpus grows (a term gains docs, it leaves the bucket), the
+    property ES exploits with its CuckooFilter."""
+    if max_doc_count < 1:
+        raise ValueError(f"max_doc_count must be >= 1, got {max_doc_count}")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    per_term = (
+        df.select(
+            F.explode(F.array_distinct(tokenize(text_field))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .where(F.col("cnt") <= F.lit(max_doc_count))
+    )
+    return per_term.orderBy(F.col("cnt").asc(), F.col("term").asc()).limit(
+        top_n
+    )
+
+
+def composite_after(
+    df: DataFrame,
+    sources: Sequence[str],
+    size: int = 10,
+    after: dict | None = None,
+) -> DataFrame:
+    """Composite aggregation with after-key pagination (the
+    Elasticsearch ``composite`` bucket, NEW r15): multi-field buckets
+    in KEY order, a page at a time — the scale-safe way to enumerate
+    a large bucket space (a terms facet must materialize and rank
+    every bucket; composite streams them in key order, and the
+    ``after`` key makes each page an independent query). ``after`` is
+    the last key tuple of the previous page (dict of source ->
+    value); rows with a NULL in any source drop (ES omits
+    missing-bucket keys unless missing_bucket is set). Output: the
+    source columns + doc_count, (sources asc) order, ``size`` rows.
+
+    Plan shape: one partial-aggregatable groupBy over the sources, a
+    codegen tuple-greater predicate for the page cut, then a
+    distributed TakeOrdered — pagination never re-ranks the full
+    bucket space."""
+    if not sources:
+        raise ValueError("composite_after needs at least one source field")
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    base = df
+    for s in sources:
+        base = base.where(F.col(s).isNotNull())
+    buckets = base.groupBy(*[F.col(s) for s in sources]).agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count")
+    )
+    if after is not None:
+        missing = [s for s in sources if s not in after]
+        if missing:
+            raise ValueError(
+                f"after key must carry every source field; missing {missing}"
+            )
+        # tuple-lexicographic "key > after": (k1>a1) OR (k1=a1 AND k2>a2) ...
+        pred = F.lit(False)
+        eq_prefix = F.lit(True)
+        for s in sources:
+            pred = pred | (eq_prefix & (F.col(s) > F.lit(after[s])))
+            eq_prefix = eq_prefix & (F.col(s) == F.lit(after[s]))
+        buckets = buckets.where(pred)
+    return buckets.orderBy(*[F.col(s).asc() for s in sources]).limit(size)
+
+
+_PIPELINE_INTERVALS = ("hour", "day", "week", "month")
+
+
+def date_histogram_pipeline(
+    df: DataFrame,
+    ts_field: str,
+    interval: str,
+    window: int = 3,
+) -> DataFrame:
+    """Pipeline aggregations over a dense date histogram (the
+    Elasticsearch ``cumulative_sum`` / ``derivative`` / ``moving_avg``
+    pipeline aggs in one readout, NEW r15): per calendar bucket, the
+    doc count plus its running total, the bucket-over-bucket delta
+    (NULL on the first bucket, ES's derivative contract), and the
+    trailing ``window``-bucket mean (simple model, 6dp), computed
+    over the GAP-FREE grid (min_doc_count=0 densification) so a
+    silent interval contributes 0 to every pipeline stage instead of
+    vanishing.
+
+    The windows are unpartitioned ORDER BY bucket — over the
+    interval-bounded grid, not the corpus (the survival_km
+    curve-not-corpus rule): hours between min and max is a plot
+    axis at any data scale."""
+    if interval not in _PIPELINE_INTERVALS:
+        raise ValueError(
+            f"interval must be one of {_PIPELINE_INTERVALS}, got {interval!r}"
+        )
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    from pyspark.sql.window import Window
+
+    grid = date_histogram_facet(df, ts_field, interval, min_doc_count=0)
+    w_all = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_prev = Window.orderBy("bucket")
+    w_mov = Window.orderBy("bucket").rowsBetween(-(window - 1), 0)
+    return grid.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w_all).cast("long").alias("cum"),
+        (F.col("cnt") - F.lag("cnt").over(w_prev)).cast("long").alias(
+            "deriv"
+        ),
+        F.round(F.avg("cnt").over(w_mov), 6).alias("mov_avg"),
+    )
+
+
 _DECAY_FNS = ("exp", "gauss", "linear")
 
 

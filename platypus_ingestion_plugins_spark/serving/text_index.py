@@ -679,6 +679,58 @@ def search_regexp_indexed(
     return search_terms_indexed(spark, path, terms, id_col=id_col, buckets=buckets)
 
 
+def expand_prefix(
+    spark: SparkSession,
+    path: str,
+    prefix: str,
+    max_expansions: int = 1024,
+) -> list[str]:
+    """Lucene ``PrefixQuery`` rewrite, step 1 (NEW r15): match the
+    lowercased prefix against the term dictionary with a
+    ``startswith`` range predicate (a sorted dictionary answers this
+    with a seek, a columnar one with min/max skipping — either way
+    dictionary-sized I/O), TooManyClauses-capped like wildcard/regexp.
+    Returns the sorted matched terms; an empty or non-analyzable
+    prefix raises (a PrefixQuery for '' is a disguised match-all)."""
+    if max_expansions < 1:
+        raise ValueError(f"max_expansions must be >= 1, got {max_expansions}")
+    p = prefix.lower().strip()
+    if not p:
+        raise ValueError("empty prefix")
+    got = (
+        _term_dictionary(spark, path)
+        .filter(F.col("term").startswith(p))
+        .select("term")
+        .orderBy("term")
+        .limit(max_expansions + 1)
+        .collect()
+    )
+    if len(got) > max_expansions:
+        raise ValueError(
+            f"prefix {prefix!r} expands to more than {max_expansions} "
+            "terms (Lucene TooManyClauses) — lengthen the prefix or raise "
+            "max_expansions"
+        )
+    return [r["term"] for r in got]
+
+
+def search_prefix_indexed(
+    spark: SparkSession,
+    path: str,
+    prefix: str,
+    id_col: str = "doc_id",
+    max_expansions: int = 1024,
+    buckets: int | None = None,
+) -> DataFrame:
+    """PrefixQuery answered from the index (NEW r15): dictionary range
+    expansion (``expand_prefix``) then one pruned posting read over
+    the matched terms (``search_terms_indexed`` OR semantics —
+    n_matched counts distinct matching terms per doc). Scan-path
+    twin: ``query.match_prefix``."""
+    terms = expand_prefix(spark, path, prefix, max_expansions)
+    return search_terms_indexed(spark, path, terms, id_col=id_col, buckets=buckets)
+
+
 def term_index_stats(spark: SparkSession, path: str) -> DataFrame:
     """CheckIndex-style health report, one row: (buckets, positional,
     n_terms, n_postings, n_docs, n_deleted). The operational questions

@@ -131,11 +131,17 @@ HEADLINE = [
     "pmi_pairs",
     "seasonal_anomalies",
     "adjacency_matrix",
-    # r15 additions. indexed_regexp is NOT here: its constructor
-    # EXECUTES (dictionary expansion collect, like indexed_wildcard);
-    # its pruned posting-read shape is pinned by the text_index
-    # prune tests.
+    # r15 additions. indexed_regexp / indexed_prefix are NOT here:
+    # their constructors EXECUTE (dictionary expansion collect, like
+    # indexed_wildcard); their pruned posting-read shape is pinned by
+    # the text_index prune tests.
     "geo_distance",
+    "geo_grid",
+    "stickiness",
+    "percentile_ranks",
+    "rare_terms",
+    "composite_page",
+    "histogram_pipeline",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.

@@ -7177,3 +7177,168 @@ def test_lsh_hot_band_bucket_cap(spark):
 
     with _pt.raises(ValueError, match="max_band_bucket"):
         dedup.lsh_candidate_pairs(sig, "doc_id", bands=4, max_band_bucket=1)
+
+
+def test_geo_grid_counts(spark):
+    """NEW r15: geohash_grid-style cell aggregation. Hand-checked cell
+    ids/centers on a 90-degree grid, NULL coords ignored, min_count,
+    count-desc order."""
+    from platypus_ingestion_plugins_spark.operators import geo
+
+    rows = [
+        (1, 10.0, 10.0), (2, 20.0, 20.0), (3, 40.0, 40.0),  # same 90° cell
+        (4, -50.0, -120.0),
+        (5, None, 5.0), (6, 5.0, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    got = geo.geo_grid_counts(df, "lat", "lon", cell_deg=90.0).collect()
+    # 90° grid: n_lon=4; (10,10) -> lat_i=1, lon_i=2 -> cell 6,
+    # center (45, 45); (-50,-120) -> lat_i=0, lon_i=0 -> cell 0
+    assert [(r["cell"], r["center_lat"], r["center_lon"], r["cnt"])
+            for r in got] == [(6, 45.0, 45.0, 3), (0, -45.0, -135.0, 1)]
+    only_hot = geo.geo_grid_counts(df, "lat", "lon", 90.0, min_count=2)
+    assert [r["cell"] for r in only_hot.collect()] == [6]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="min_count"):
+        geo.geo_grid_counts(df, "lat", "lon", 90.0, min_count=0)
+
+
+def test_stickiness_dau_mau(spark):
+    """NEW r15: DAU/MAU. Hand case: Jan has users {a,b} active on 2
+    days (DAU 2 then 1 -> avg 1.5), MAU 2 -> stickiness 0.75; dup
+    events same day collapse; NULLs drop."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        stickiness,
+    )
+
+    rows = [
+        ("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 11:00:00"),
+        ("b", "2024-01-01 12:00:00"),
+        ("a", "2024-01-02 09:00:00"),
+        ("c", "2024-02-10 09:00:00"),
+        (None, "2024-01-01 10:00:00"), ("d", None),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts string").select(
+        "u", F.to_timestamp("ts").alias("ts")
+    )
+    got = {str(r["month"])[:7]: r for r in stickiness(df, "u", "ts").collect()}
+    jan = got["2024-01"]
+    assert jan["mau"] == 2 and jan["avg_dau"] == 1.5
+    assert jan["stickiness"] == 0.75
+    feb = got["2024-02"]
+    assert feb["mau"] == 1 and feb["stickiness"] == 1.0
+
+
+def test_percentile_ranks_facet(spark):
+    """NEW r15: exact percentile_ranks. 10 values 1..10: rank(3)=30%,
+    rank(10)=100%, rank(0.5)=0%; NULLs excluded from n; all-NULL ->
+    NULL pct."""
+    from platypus_ingestion_plugins_spark.serving.query import (
+        percentile_ranks_facet,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 11)] + [(None,)], "v double"
+    )
+    got = {r["value"]: r["pct"]
+           for r in percentile_ranks_facet(df, "v", [0.5, 3.0, 10.0]).collect()}
+    assert got == {0.5: 0.0, 3.0: 30.0, 10.0: 100.0}
+    empty = spark.createDataFrame([(None,), (None,)], "v double")
+    assert [r["pct"] for r in
+            percentile_ranks_facet(empty, "v", [1.0]).collect()] == [None]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least one"):
+        percentile_ranks_facet(df, "v", [])
+
+
+def test_rare_terms_bucket(spark):
+    """NEW r15: rare_terms. Terms in <= max_doc_count docs, (cnt asc,
+    term asc) order, per-doc distinct counting (a term twice in one
+    doc counts once)."""
+    from platypus_ingestion_plugins_spark.serving.query import rare_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common word alpha alpha"),
+            (2, "common word beta"),
+            (3, "common gamma"),
+        ],
+        "id long, text string",
+    )
+    got = [(r["term"], r["cnt"]) for r in rare_terms(df, "text", 1).collect()]
+    assert got == [("alpha", 1), ("beta", 1), ("gamma", 1)]
+    got2 = [(r["term"], r["cnt"]) for r in rare_terms(df, "text", 2).collect()]
+    assert got2 == [("alpha", 1), ("beta", 1), ("gamma", 1), ("word", 2)]
+    assert [r["term"] for r in rare_terms(df, "text", 2, top_n=2).collect()] \
+        == ["alpha", "beta"]
+
+
+def test_composite_after_pagination(spark):
+    """NEW r15: composite agg. Key-ordered buckets, page size, after
+    key resumes EXACTLY where the last page stopped, NULL keys drop,
+    pages tile the bucket space with no overlap or gap."""
+    from platypus_ingestion_plugins_spark.serving.query import (
+        composite_after,
+    )
+
+    rows = [
+        ("web", "en"), ("web", "en"), ("web", "de"),
+        ("crawl", "en"), ("crawl", "fr"), ("books", "en"),
+        (None, "en"), ("web", None),
+    ]
+    df = spark.createDataFrame(rows, "source string, lang string")
+    p1 = composite_after(df, ["source", "lang"], size=2)
+    rows1 = [(r["source"], r["lang"], r["doc_count"]) for r in p1.collect()]
+    assert rows1 == [("books", "en", 1), ("crawl", "en", 1)]
+    after = {"source": rows1[-1][0], "lang": rows1[-1][1]}
+    p2 = composite_after(df, ["source", "lang"], size=2, after=after)
+    rows2 = [(r["source"], r["lang"], r["doc_count"]) for r in p2.collect()]
+    assert rows2 == [("crawl", "fr", 1), ("web", "de", 1)]
+    after2 = {"source": rows2[-1][0], "lang": rows2[-1][1]}
+    p3 = composite_after(df, ["source", "lang"], size=2, after=after2)
+    assert [(r["source"], r["lang"], r["doc_count"]) for r in p3.collect()] \
+        == [("web", "en", 2)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="missing"):
+        composite_after(df, ["source", "lang"], after={"source": "web"})
+    with _pt.raises(ValueError, match="at least one"):
+        composite_after(df, [])
+
+
+def test_date_histogram_pipeline_aggs(spark):
+    """NEW r15: cumulative_sum/derivative/moving_avg pipeline aggs
+    over the DENSE grid — a silent day contributes 0 (not a gap),
+    first-bucket derivative is NULL, trailing window mean."""
+    from platypus_ingestion_plugins_spark.serving.query import (
+        date_histogram_pipeline,
+    )
+
+    rows = [
+        ("2024-01-01 05:00:00",), ("2024-01-01 09:00:00",),
+        ("2024-01-02 05:00:00",),
+        # Jan 3 silent
+        ("2024-01-04 05:00:00",), ("2024-01-04 06:00:00",),
+        ("2024-01-04 07:00:00",),
+    ]
+    df = spark.createDataFrame(rows, "ts string").select(
+        F.to_timestamp("ts").alias("ts")
+    )
+    got = [
+        (str(r["bucket"])[:10], r["cnt"], r["cum"], r["deriv"], r["mov_avg"])
+        for r in date_histogram_pipeline(df, "ts", "day", window=2).collect()
+    ]
+    assert got == [
+        ("2024-01-01", 2, 2, None, 2.0),
+        ("2024-01-02", 1, 3, -1, 1.5),
+        ("2024-01-03", 0, 3, -1, 0.5),
+        ("2024-01-04", 3, 6, 3, 1.5),
+    ]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="interval"):
+        date_histogram_pipeline(df, "ts", "minute")
+    with _pt.raises(ValueError, match="window"):
+        date_histogram_pipeline(df, "ts", "day", window=0)

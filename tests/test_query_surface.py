@@ -1478,3 +1478,57 @@ def test_search_after_cursor_semantics(spark):
     assert [(r.id, r.v) for r in first + rest] == asc_full
     with pytest.raises(ValueError):
         Q.search_after(df, 0, "v", 1.0, 1, "id")
+
+
+def test_prefix_indexed_matches_scan(spark, tmp_path):
+    """NEW r15: PrefixQuery from the term dictionary (range expansion
+    + pruned postings) must return exactly the scan path's
+    match_prefix ids; TooManyClauses cap, empty prefix raise,
+    tombstones."""
+    from platypus_ingestion_plugins_spark.serving import query as SQ
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table scan beats table misuse"),
+            (2, "stable tables everywhere"),
+            (3, "scan the cable"),
+            (4, "tablet mode table"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "pidx")
+    TI.build_term_index(docs, "text", "doc_id", idx, buckets=8)
+    for prefix in ["tab", "TAB", "scan", "c", "zz"]:
+        assert TI.expand_prefix(spark, idx, prefix) == sorted(
+            t for t in {"table", "tables", "tablet", "scan", "stable",
+                        "beats", "misuse", "everywhere", "the", "cable",
+                        "mode"}
+            if t.startswith(prefix.lower())
+        ), prefix
+        got = {
+            r["doc_id"]
+            for r in TI.search_prefix_indexed(spark, idx, prefix).collect()
+        }
+        scan = {
+            r["doc_id"]
+            for r in docs.filter(SQ.match_prefix("text", prefix.lower())).collect()
+        }
+        assert got == scan, prefix
+    got = {
+        r["doc_id"]: r["n_matched"]
+        for r in TI.search_prefix_indexed(spark, idx, "tab").collect()
+    }
+    assert got == {1: 1, 2: 1, 4: 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="TooManyClauses"):
+        TI.expand_prefix(spark, idx, "t", max_expansions=2)
+    with _pytest.raises(ValueError, match="empty prefix"):
+        TI.expand_prefix(spark, idx, "  ")
+    TI.delete_docs(spark, idx, docs.filter("doc_id = 2").select("doc_id"))
+    got = {
+        r["doc_id"]
+        for r in TI.search_prefix_indexed(spark, idx, "tab").collect()
+    }
+    assert got == {1, 4}
