@@ -9912,6 +9912,182 @@ GROUP BY doc_id
 """
 
 
+def q_maxsim_topk(spark, sf):
+    """Late-interaction / MaxSim retrieval (NEW r15, operators/
+    similarity.late_interaction_topk — ColBERT, Khattab & Zaharia
+    2020): documents carry one embedding per token (synthesized here
+    by folding the embeddings table into 50 multi-vector docs), the
+    3-token query broadcasts, and score = sum over query tokens of
+    the max per-token cosine (6dp before max — the oracle replays the
+    order). Map-side expansion + two partial-aggregatable aggs + a
+    TakeOrdered; raw token vectors never shuffle."""
+    from platypus_ingestion_plugins_spark.operators.similarity import (
+        late_interaction_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    dt = emb.select(
+        (F.col("vec_id") % F.lit(50)).alias("doc_id"), "embedding"
+    )
+    qt = emb.where(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("qpos"), "embedding"
+    )
+    return late_interaction_topk(dt, qt, k=20, dim=64)
+
+
+SQL_MAXSIM_TOPK = """
+WITH d AS (
+  SELECT vec_id % 50 AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (
+  SELECT vec_id AS qp, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+c AS (
+  SELECT doc_id, qp, max(round(list_cosine_similarity(v, qv), 6)) AS best
+  FROM d, q GROUP BY doc_id, qp)
+SELECT doc_id, round(sum(best), 6) AS maxsim
+FROM c GROUP BY doc_id
+ORDER BY maxsim DESC, doc_id LIMIT 20
+"""
+
+
+def q_did_you_mean(spark, sf):
+    """Phrase-level "did you mean" (NEW r15, text_index.did_you_mean
+    — the ES phrase suggester): each analyzed query term corrected to
+    the dictionary's (edit distance asc, doc_freq desc, term asc)
+    winner; in-vocabulary terms pass through at distance 0, an
+    unfixable token suggests NULL. One dictionary scan, broadcast
+    query frame, position-partitioned bounded window."""
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    idx = _term_index_for(spark, sf, positions=False)
+    return TI.did_you_mean(spark, idx, "scna tabel join filtr zzzzzzzzzz")
+
+
+SQL_DID_YOU_MEAN = """
+WITH dic AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM (
+    SELECT DISTINCT doc_id,
+           unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '\\W+'), x -> x <> ''))) AS term
+    FROM documents)
+  GROUP BY term),
+qf AS (SELECT * FROM (VALUES
+    (0, 'scna'), (1, 'tabel'), (2, 'join'), (3, 'filtr'),
+    (4, 'zzzzzzzzzz')) t(pos, qterm)),
+cand AS (
+  SELECT qf.pos, qf.qterm, dic.term, dic.doc_freq,
+         CAST(levenshtein(dic.term, qf.qterm) AS INT) AS dist
+  FROM dic, qf
+  WHERE levenshtein(dic.term, qf.qterm) <= 2),
+best AS (
+  SELECT pos, term AS suggestion, dist, doc_freq,
+         row_number() OVER (PARTITION BY pos
+                            ORDER BY dist ASC, doc_freq DESC, term ASC) rn
+  FROM cand)
+SELECT CAST(qf.pos AS INT) AS pos, qf.qterm AS term,
+       b.suggestion, b.dist, b.doc_freq
+FROM qf LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (pos)
+"""
+
+
+def q_diff_in_diff(spark, sf):
+    """Difference-in-differences (NEW r15, operators/analytics.
+    diff_in_diff — the quasi-experimental twin of ab_test): purchase
+    value for even-user-id "treated" units before/after Jan 15, and
+    the DiD estimate under parallel trends. ONE conditional
+    aggregation pass, constant-size output."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        diff_in_diff,
+    )
+
+    ev = _t(spark, sf, "events").where(F.col("event_type") == "purchase")
+    return diff_in_diff(
+        ev, "ts", "value",
+        F.col("user_id") % 2 == 0,
+        "2024-01-15 00:00:00",
+    )
+
+
+SQL_DIFF_IN_DIFF = """
+WITH base AS (
+  SELECT value AS v, (user_id % 2 = 0) AS t,
+         (ts >= TIMESTAMP '2024-01-15 00:00:00') AS post
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL AND ts IS NOT NULL),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN t AND NOT post THEN 1 ELSE 0 END) AS BIGINT) n_treat_pre,
+    avg(CASE WHEN t AND NOT post THEN v END) m_tp,
+    CAST(sum(CASE WHEN t AND post THEN 1 ELSE 0 END) AS BIGINT) n_treat_post,
+    avg(CASE WHEN t AND post THEN v END) m_tq,
+    CAST(sum(CASE WHEN NOT t AND NOT post THEN 1 ELSE 0 END) AS BIGINT) n_control_pre,
+    avg(CASE WHEN NOT t AND NOT post THEN v END) m_cp,
+    CAST(sum(CASE WHEN NOT t AND post THEN 1 ELSE 0 END) AS BIGINT) n_control_post,
+    avg(CASE WHEN NOT t AND post THEN v END) m_cq
+  FROM base)
+SELECT n_treat_pre, round(m_tp, 6) AS treat_pre,
+       n_treat_post, round(m_tq, 6) AS treat_post,
+       n_control_pre, round(m_cp, 6) AS control_pre,
+       n_control_post, round(m_cq, 6) AS control_post,
+       round((m_tq - m_tp) - (m_cq - m_cp), 6) AS did
+FROM agg
+"""
+
+
+def q_funnel_latency(spark, sf):
+    """Per-hop funnel latency distribution (NEW r15, operators/
+    analytics.funnel_latency): for view->click and click->purchase,
+    completed-user count and mean / exact p50 / exact p90 hop
+    seconds over the greedy completion times (the cascade's bounded
+    rows, one reused hash(u) partitioning, then ONE aggregation).
+    percentile == quantile_cont (the percentiles precedent);
+    timestamps truncate to epoch seconds BEFORE the chain on both
+    engines."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        funnel_latency,
+    )
+
+    return funnel_latency(
+        _t(spark, sf, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+    )
+
+
+SQL_FUNNEL_LATENCY = """
+WITH ev AS (
+  SELECT user_id AS u, event_type AS et,
+         CAST(floor(epoch(ts)) AS BIGINT) AS e
+  FROM events WHERE ts IS NOT NULL
+    AND event_type IN ('view', 'click', 'purchase')),
+u1 AS (SELECT u, min(e) AS t0 FROM ev WHERE et = 'view' GROUP BY u),
+u2 AS (
+  SELECT ev.u, min(ev.e) AS t1 FROM ev JOIN u1 USING (u)
+  WHERE ev.et = 'click' AND ev.e >= u1.t0 GROUP BY ev.u),
+u3 AS (
+  SELECT ev.u, min(ev.e) AS t2 FROM ev JOIN u2 USING (u)
+  WHERE ev.et = 'purchase' AND ev.e >= u2.t1 GROUP BY ev.u),
+times AS (
+  SELECT u1.u, u1.t0, u2.t1, u3.t2
+  FROM u1 LEFT JOIN u2 USING (u) LEFT JOIN u3 USING (u)),
+agg AS (
+  SELECT
+    CAST(count(t1) AS BIGINT) n1, round(avg(t1 - t0), 6) a1,
+    round(quantile_cont(t1 - t0, 0.5), 6) m1,
+    round(quantile_cont(t1 - t0, 0.9), 6) q1,
+    CAST(count(t2) AS BIGINT) n2, round(avg(t2 - t1), 6) a2,
+    round(quantile_cont(t2 - t1, 0.5), 6) m2,
+    round(quantile_cont(t2 - t1, 0.9), 6) q2
+  FROM times)
+SELECT 'view->click' AS hop, CAST(1 AS INT) AS hop_idx,
+       n1 AS n_completed, a1 AS avg_s, m1 AS p50_s, q1 AS p90_s FROM agg
+UNION ALL
+SELECT 'click->purchase', CAST(2 AS INT), n2, a2, m2, q2 FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -9928,11 +10104,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # #4, recomputed from the CORRECTNESS_r01..r14 files by script):
     #   0.  the 19 r14 entries the driver never saw (judge-verified at
     #       sf0.01 in VERDICT r14), in r14 declaration order.
-    #   0b. the 9 NEW r15 entries. Sections 0+0b = 28 < 50.
+    #   0b. the 13 NEW r15 entries. Sections 0+0b = 32 < 50.
     #   1.  every previously-green entry ascending by its LAST
     #       driver-green round (r11 -> r12 -> r13 -> r14), each cohort
-    #       in its CORRECTNESS file order: the cap's remaining 22
-    #       slots cover the first 22 of the 48 r11-stale entries.
+    #       in its CORRECTNESS file order: the cap's remaining 18
+    #       slots cover the first 18 of the 48 r11-stale entries.
     return {
         # 0. the 19 r14 entries the driver never value-checked
         #    (judge-verified at sf0.01 in VERDICT r14) — they lead r15.
@@ -9966,6 +10142,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_page": q_composite_page,
         "histogram_pipeline": q_histogram_pipeline,
         "indexed_prefix": q_indexed_prefix,
+        "maxsim_topk": q_maxsim_topk,
+        "did_you_mean": q_did_you_mean,
+        "diff_in_diff": q_diff_in_diff,
+        "funnel_latency": q_funnel_latency,
         # 1. stale cohorts, least-recently-driver-green first
         #    (r11 -> r12 -> r13 -> r14), each in its CORRECTNESS file
         #    order. The 50-cap covers sections 0+0b (21) plus the
@@ -9990,11 +10170,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_exact_substring_dedup": q_stream_exact_substring_dedup,
         "weighted_sample": q_weighted_sample,
         "line_dedup_by_source": q_line_dedup_by_source,
+        # ---- 50-entry sweep cap falls HERE (32 + 18) ----
         "perplexity_buckets": q_perplexity_buckets,
         "dsir_select": q_dsir_select,
         "gopher_quality": q_gopher_quality,
         "window_topk_per_group": q_window_topk_per_group,
-        # ---- 50-entry sweep cap falls HERE (28 + 22) ----
         "heavy_hitters_sketch": q_heavy_hitters_sketch,
         "sliding_counts": q_sliding_counts,
         "semi_join": q_semi_join,
@@ -10190,6 +10370,10 @@ def oracle_sql() -> dict[str, str]:
         "composite_page": SQL_COMPOSITE_PAGE,
         "histogram_pipeline": SQL_HISTOGRAM_PIPELINE,
         "indexed_prefix": SQL_INDEXED_PREFIX,
+        "maxsim_topk": SQL_MAXSIM_TOPK,
+        "did_you_mean": SQL_DID_YOU_MEAN,
+        "diff_in_diff": SQL_DIFF_IN_DIFF,
+        "funnel_latency": SQL_FUNNEL_LATENCY,
         "bpe_token_count": _bpe_oracle_sql(),
         "image_neardup": SQL_IMAGE_NEARDUP,
         "language_classifier": SQL_LANGUAGE_CLASSIFIER,

@@ -1089,3 +1089,177 @@ def stickiness(
         )
         .orderBy("month")
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    ts_col,
+    value_col: str,
+    treated: Column,
+    cutoff,
+) -> DataFrame:
+    """Difference-in-differences readout (NEW r15) — the quasi-
+    experimental twin of ``ab_test`` for launches WITHOUT random
+    assignment: mean ``value_col`` for treated/control units before
+    and after ``cutoff``, and the DiD estimate
+
+        did = (treat_post - treat_pre) - (control_post - control_pre)
+
+    — the treatment-effect estimate under the parallel-trends
+    assumption (Card & Krueger 1994). Rows with NULL value/timestamp
+    drop; a cell with no rows yields NULL means and a NULL estimate
+    (no fabricated zero). Output ONE row: per-cell n and mean (6dp)
+    plus did (6dp, computed from unrounded means).
+
+    Plan shape: one partial-aggregatable conditional aggregation —
+    a single corpus pass, constant-size output."""
+    cut = cutoff if isinstance(cutoff, Column) else F.lit(cutoff)
+    post = F.col(ts_col) >= cut.cast(
+        df.select(F.col(ts_col)).schema[0].dataType
+    )
+    t = F.coalesce(treated, F.lit(False))
+    v = F.col(value_col)
+    base = df.where(v.isNotNull() & F.col(ts_col).isNotNull())
+
+    def cell(flag_t: bool, flag_post: bool, name: str):
+        incell = (t == F.lit(flag_t)) & (post == F.lit(flag_post))
+        return [
+            F.sum(F.when(incell, 1).otherwise(0)).cast("long").alias(
+                f"n_{name}"
+            ),
+            F.avg(F.when(incell, v)).alias(f"__m_{name}"),
+        ]
+
+    agg = base.agg(
+        *cell(True, False, "treat_pre"),
+        *cell(True, True, "treat_post"),
+        *cell(False, False, "control_pre"),
+        *cell(False, True, "control_post"),
+    )
+    did = (
+        (F.col("__m_treat_post") - F.col("__m_treat_pre"))
+        - (F.col("__m_control_post") - F.col("__m_control_pre"))
+    )
+    return agg.select(
+        "n_treat_pre",
+        F.round("__m_treat_pre", 6).alias("treat_pre"),
+        "n_treat_post",
+        F.round("__m_treat_post", 6).alias("treat_post"),
+        "n_control_pre",
+        F.round("__m_control_pre", 6).alias("control_pre"),
+        "n_control_post",
+        F.round("__m_control_post", 6).alias("control_post"),
+        F.round(did, 6).alias("did"),
+    )
+
+
+def funnel_user_times(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    within: int | None = None,
+) -> DataFrame:
+    """Per-user greedy funnel completion times as EPOCH SECONDS (the
+    cascade shape — bounded row width, shared hash(u) partitioning
+    across stages): (u, t0..t{k-1}), NULL from the first missed step
+    on. The building block ``funnel_latency`` aggregates; timestamps
+    and epoch numerics both accepted (timestamps route through a
+    cast, the funnel_stream contract)."""
+    steps = list(steps)
+    if len(steps) < 2 or len(set(steps)) != len(steps):
+        raise ValueError(f"need >= 2 distinct steps, got {steps}")
+    if within is not None and within <= 0:
+        raise ValueError(f"within must be positive seconds, got {within}")
+    from pyspark.sql.types import NumericType
+
+    ts_is_numeric = isinstance(
+        df.select(F.col(ts_col)).schema[0].dataType, NumericType
+    )
+    e = F.col(ts_col) if ts_is_numeric else F.col(ts_col).cast(
+        "timestamp"
+    ).cast("long")
+    ev = df.filter(
+        F.col(type_col).isin(steps) & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("_et"),
+        e.cast("long").alias("_e"),
+    )
+    cur = (
+        ev.filter(F.col("_et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("_e").alias("_t0"))
+    )
+    for i in range(1, len(steps)):
+        ev_i = ev.filter(F.col("_et") == steps[i]).select("u", "_e")
+        prev = F.col(f"_t{i - 1}")
+        qual = F.col("_e") >= prev
+        if within is not None:
+            qual = qual & (F.col("_e") <= prev + F.lit(int(within)))
+        cur = (
+            cur.join(ev_i, "u", "left")
+            .groupBy("u")
+            .agg(
+                *[F.first(f"_t{j}").alias(f"_t{j}") for j in range(i)],
+                F.min(F.when(qual, F.col("_e"))).alias(f"_t{i}"),
+            )
+        )
+    return cur
+
+
+def funnel_latency(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    within: int | None = None,
+) -> DataFrame:
+    """Time-to-convert distribution per funnel hop (NEW r15) — the
+    "how long does view -> click take" readout next to the funnel's
+    counts: for each consecutive step pair, the number of users who
+    completed the hop and the mean / exact median / exact p90 of the
+    hop latency in seconds (greedy times, so latencies are the same
+    deterministic quantities the funnel counts; 6dp rounds).
+
+    Plan shape: the cascade's k-1 user-co-partitioned join+min stages
+    (``funnel_user_times`` — bounded row width, one reused hash(u)
+    partitioning) then ONE aggregation over the per-user times; the
+    hop rows unpivot from that single row. Exact percentile ==
+    DuckDB quantile_cont (the ``percentiles`` precedent); at 100 TB
+    swap approx_percentile, same call shape."""
+    steps = list(steps)
+    times = funnel_user_times(df, user_col, ts_col, type_col, steps, within)
+    aggs = []
+    for i in range(1, len(steps)):
+        d = (F.col(f"_t{i}") - F.col(f"_t{i - 1}")).cast("double")
+        tag = f"h{i}"
+        aggs += [
+            F.count(F.col(f"_t{i}")).cast("long").alias(f"n_{tag}"),
+            F.round(F.avg(d), 6).alias(f"avg_{tag}"),
+            F.round(F.expr(
+                f"percentile(_t{i} - _t{i - 1}, 0.5)"
+            ), 6).alias(f"p50_{tag}"),
+            F.round(F.expr(
+                f"percentile(_t{i} - _t{i - 1}, 0.9)"
+            ), 6).alias(f"p90_{tag}"),
+        ]
+    one = times.agg(*aggs)
+    rows = []
+    for i in range(1, len(steps)):
+        tag = f"h{i}"
+        rows.append(
+            F.struct(
+                F.lit(f"{steps[i - 1]}->{steps[i]}").alias("hop"),
+                F.lit(i).cast("int").alias("hop_idx"),
+                F.col(f"n_{tag}").alias("n_completed"),
+                F.col(f"avg_{tag}").alias("avg_s"),
+                F.col(f"p50_{tag}").alias("p50_s"),
+                F.col(f"p90_{tag}").alias("p90_s"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("s")).select(
+        "s.hop", "s.hop_idx", "s.n_completed", "s.avg_s", "s.p50_s", "s.p90_s"
+    )

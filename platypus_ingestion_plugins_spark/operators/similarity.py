@@ -54,6 +54,63 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
+def late_interaction_topk(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int,
+    doc_col: str = "doc_id",
+    vec_col: str = "embedding",
+    qpos_col: str = "qpos",
+    dim: int | None = None,
+) -> DataFrame:
+    """Late-interaction / MaxSim retrieval (ColBERT, Khattab &
+    Zaharia 2020 — NEW r15): documents carry one embedding PER TOKEN
+    (``doc_tokens``: one row per (doc, token vector)), the query
+    carries one per query token, and the score is
+
+        MaxSim(q, d) = sum over query tokens t of
+                       max over doc tokens v of cos(t, v)
+
+    — the retrieval scorer for RAG stacks where single-vector cosine
+    loses token-level matching. Exact top-``k`` by (maxsim desc,
+    doc id): per-token cosines round to 6dp BEFORE the max (the
+    oracle replays the same order), maxsim rounds the sum.
+
+    Plan shape: the query side is query-token-bounded and BROADCAST;
+    the corpus side expands map-side to |doc tokens| x |query tokens|
+    cosine rows, then two partial-aggregatable aggregations (max per
+    (doc, query token), sum per doc) and a distributed TakeOrdered —
+    the corpus shuffles only grouped maxima, never raw token
+    vectors. The scale path bucket-prunes doc tokens first (sign-LSH
+    or IVF on token vectors) and hands survivors here."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = F.broadcast(
+        query_tokens.select(
+            F.col(qpos_col).alias("__qp"), F.col(vec_col).alias("__qv")
+        )
+    )
+    per_qtoken = (
+        ensure_parallelism(doc_tokens)
+        .crossJoin(q)
+        .select(
+            F.col(doc_col),
+            F.col("__qp"),
+            F.round(cosine(F.col(vec_col), F.col("__qv"), dim), 6).alias(
+                "__cos"
+            ),
+        )
+        .groupBy(doc_col, "__qp")
+        .agg(F.max("__cos").alias("__best"))
+    )
+    return (
+        per_qtoken.groupBy(doc_col)
+        .agg(F.round(F.sum("__best"), 6).alias("maxsim"))
+        .orderBy(F.col("maxsim").desc(), F.col(doc_col))
+        .limit(k)
+    )
+
+
 def brute_force_topk(
     emb: DataFrame, query: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding",
     dim: int | None = None,

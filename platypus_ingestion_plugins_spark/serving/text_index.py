@@ -985,6 +985,70 @@ def suggest_terms(
     )
 
 
+def did_you_mean(
+    spark: SparkSession,
+    path: str,
+    query: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Phrase-level "did you mean" suggester (the Elasticsearch
+    phrase/term suggester over the whole query, NEW r15): every
+    analyzed query term gets its best dictionary correction by
+    (edit distance asc, doc_freq desc, term asc) — a term that exists
+    in the dictionary wins at distance 0 automatically, so frequent
+    correctly-spelled terms pass through unchanged and only
+    out-of-vocabulary terms move. Output one row per query position:
+    (pos, term, suggestion, dist, doc_freq), suggestion NULL when no
+    dictionary term is within ``max_dist`` edits.
+
+    Plan shape: ONE dictionary scan — the query frame (term-count
+    bounded) broadcasts against the term dictionary, levenshtein is
+    JVM codegen, and the per-position winner is a row_number over a
+    position-partitioned (bounded-cardinality) window. Complements
+    the single-term ``suggest_fuzzy_terms``."""
+    from platypus_ingestion_plugins_spark.serving.query import _py_tokenize
+
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    toks = _py_tokenize(query)
+    if not toks:
+        raise ValueError("empty query after analysis")
+    from pyspark.sql.window import Window
+
+    qf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "pos int, qterm string"
+    )
+    dic = _term_dictionary(spark, path)
+    cand = (
+        dic.crossJoin(F.broadcast(qf))
+        .withColumn(
+            "dist", F.levenshtein(F.col("term"), F.col("qterm")).cast("int")
+        )
+        .filter(F.col("dist") <= F.lit(max_dist))
+    )
+    w = Window.partitionBy("pos").orderBy(
+        F.col("dist").asc(), F.col("doc_freq").desc(), F.col("term").asc()
+    )
+    best = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "pos",
+            F.col("term").alias("suggestion"),
+            "dist",
+            "doc_freq",
+        )
+    )
+    return (
+        qf.join(best, "pos", "left")
+        .select(
+            "pos", F.col("qterm").alias("term"), "suggestion", "dist",
+            "doc_freq",
+        )
+        .orderBy("pos")
+    )
+
+
 def search_terms_indexed(
     spark: SparkSession,
     path: str,

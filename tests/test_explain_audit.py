@@ -142,6 +142,12 @@ HEADLINE = [
     "rare_terms",
     "composite_page",
     "histogram_pipeline",
+    # did_you_mean is NOT here: its constructor EXECUTES (shared
+    # index build + query-frame createDataFrame); the dictionary-scan
+    # shape is pinned by its unit test.
+    "maxsim_topk",
+    "diff_in_diff",
+    "funnel_latency",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
@@ -165,6 +171,7 @@ EXPECT_BROADCAST = [
     "tfidf_keywords",  # the 1-row N must broadcast
     "recency_decay",  # the 1-row max-date edge must broadcast
     "pmi_pairs",  # the vocab frame + 1-row N must broadcast
+    "maxsim_topk",  # the query-token frame must broadcast to the corpus
     # pagerank is NOT here: its returned frame sits behind the final
     # round's localCheckpoint, so the per-round broadcast scalars live
     # in already-truncated lineage — the unit test pins the semantics.

@@ -7342,3 +7342,129 @@ def test_date_histogram_pipeline_aggs(spark):
         date_histogram_pipeline(df, "ts", "minute")
     with _pt.raises(ValueError, match="window"):
         date_histogram_pipeline(df, "ts", "day", window=0)
+
+
+def test_late_interaction_maxsim(spark):
+    """NEW r15: ColBERT-style MaxSim. Hand case: doc A has a token
+    exactly matching each query token (maxsim 2.0); doc B matches one
+    and is orthogonal to the other (1.0); top-k order + tie-break."""
+    from platypus_ingestion_plugins_spark.operators.similarity import (
+        late_interaction_topk,
+    )
+
+    dt = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]), (1, [0.0, 1.0]),
+            (2, [1.0, 0.0]), (2, [1.0, 0.0]),
+            (3, [-1.0, 0.0]), (3, [0.0, -1.0]),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    qt = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "qpos int, embedding array<double>",
+    )
+    got = [(r["doc_id"], r["maxsim"])
+           for r in late_interaction_topk(dt, qt, k=3, dim=2).collect()]
+    # doc 3: each query token's best doc token is the ORTHOGONAL one
+    # (max picks 0.0 over -1.0) -> maxsim 0.0, the MaxSim semantics
+    assert got == [(1, 2.0), (2, 1.0), (3, 0.0)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k must"):
+        late_interaction_topk(dt, qt, k=0)
+
+
+def test_did_you_mean_suggester(spark, tmp_path):
+    """NEW r15: phrase suggester. In-dictionary terms pass through at
+    dist 0; a typo corrects to the (dist, df desc, term) winner; an
+    unfixable token suggests NULL."""
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table scan beats table misuse"),
+            (2, "stable tables everywhere"),
+            (3, "scan the table"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "didx")
+    TI.build_term_index(docs, "text", "doc_id", idx, buckets=8)
+    got = {r["pos"]: (r["term"], r["suggestion"], r["dist"])
+           for r in TI.did_you_mean(spark, idx, "tabel scna XXXXXXXXXX").collect()}
+    # 'tabel' -> 'table' (dist 2 beats 'tables' dist 3... actually
+    # levenshtein(tabel, table)=2, (tabel, tables)=3): winner 'table'
+    assert got[0] == ("tabel", "table", 2)
+    assert got[1] == ("scna", "scan", 2)
+    assert got[2][1] is None
+    # correctly-spelled frequent terms pass through at dist 0
+    got2 = {r["pos"]: (r["suggestion"], r["dist"])
+            for r in TI.did_you_mean(spark, idx, "table scan").collect()}
+    assert got2 == {0: ("table", 0), 1: ("scan", 0)}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="empty query"):
+        TI.did_you_mean(spark, idx, "!!!")
+    with _pt.raises(ValueError, match="max_dist"):
+        TI.did_you_mean(spark, idx, "table", max_dist=-1)
+
+
+def test_diff_in_diff(spark):
+    """NEW r15: DiD. Hand case: treated moves 10->25 (+15), control
+    10->14 (+4) -> did = 11; NULL values drop; empty cell -> NULL."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        diff_in_diff,
+    )
+
+    rows = [
+        # (unit, ts, value, treated)
+        (1, "2024-01-01", 10.0, True), (1, "2024-02-01", 25.0, True),
+        (2, "2024-01-01", 10.0, False), (2, "2024-02-01", 14.0, False),
+        (3, "2024-01-01", None, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "unit long, ts string, v double, treated boolean"
+    ).select(F.col("unit"), F.to_timestamp("ts").alias("ts"), "v", "treated")
+    r = diff_in_diff(
+        df, "ts", "v", F.col("treated"), "2024-01-15 00:00:00"
+    ).collect()[0]
+    assert (r["treat_pre"], r["treat_post"]) == (10.0, 25.0)
+    assert (r["control_pre"], r["control_post"]) == (10.0, 14.0)
+    assert r["did"] == 11.0
+    assert r["n_control_pre"] == 1  # the NULL-value row dropped
+    # empty treated-pre cell -> NULL means and NULL estimate
+    r2 = diff_in_diff(
+        df.where("unit <> 1 OR ts >= '2024-01-15'"),
+        "ts", "v", F.col("treated"), "2024-01-15 00:00:00",
+    ).collect()[0]
+    assert r2["treat_pre"] is None and r2["did"] is None
+
+
+def test_funnel_latency_hops(spark):
+    """NEW r15: per-hop latency distribution. Greedy times: u1
+    view@0 click@10 buy@40 (hops 10, 30); u2 view@0 click@30 (hop
+    30, never buys); u3 click-only (no hops). Exact p50/p90 over
+    {10,30} and {30}."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        funnel_latency,
+    )
+
+    rows = [
+        ("u1", 0, "view"), ("u1", 10, "click"), ("u1", 40, "buy"),
+        ("u2", 0, "view"), ("u2", 30, "click"),
+        ("u3", 5, "click"),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts long, et string")
+    got = {r["hop"]: r for r in funnel_latency(
+        df, "u", "ts", "et", ["view", "click", "buy"]).collect()}
+    vc = got["view->click"]
+    assert vc["n_completed"] == 2 and vc["avg_s"] == 20.0
+    assert vc["p50_s"] == 20.0 and vc["p90_s"] == 28.0  # interp of {10,30}
+    cb = got["click->buy"]
+    assert cb["n_completed"] == 1 and cb["p50_s"] == 30.0
+    # timestamps route through the epoch cast
+    df_ts = df.select("u", F.timestamp_seconds("ts").alias("ts"), "et")
+    got2 = {r["hop"]: r["avg_s"] for r in funnel_latency(
+        df_ts, "u", "ts", "et", ["view", "click", "buy"]).collect()}
+    assert got2["view->click"] == 20.0
