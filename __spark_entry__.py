@@ -10088,6 +10088,215 @@ SELECT 'click->purchase', CAST(2 AS INT), n2, a2, m2, q2 FROM agg
 """
 
 
+def q_eval_report(spark, sf):
+    """Per-class classification report (NEW r15, functions/evals.
+    classification_report — the sklearn shape, distributed): gold =
+    the documents' lang, predictions = a deterministically corrupted
+    copy (every 7th doc mispredicted 'en'), so precision/recall/F1
+    have real confusion to measure. Two class-sized aggregations
+    full-outer-joined — the corpus never shuffles wider than (label,
+    count)."""
+    from platypus_ingestion_plugins_spark.functions.evals import (
+        classification_report,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        F.col("lang").alias("gold"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("en")).otherwise(
+            F.col("lang")
+        ).alias("pred"),
+    )
+    return classification_report(d, "gold", "pred")
+
+
+SQL_EVAL_REPORT = """
+WITH base AS (
+  SELECT lang AS g,
+         CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END AS p
+  FROM documents WHERE lang IS NOT NULL),
+per_gold AS (
+  SELECT g AS label, CAST(count(*) AS BIGINT) AS support,
+         CAST(sum(CASE WHEN p = g THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM base GROUP BY g),
+per_pred AS (
+  SELECT p AS label, CAST(count(*) AS BIGINT) AS pn
+  FROM base WHERE p IS NOT NULL GROUP BY p),
+j AS (
+  SELECT coalesce(pg.label, pp.label) AS label,
+         coalesce(support, 0) AS support, coalesce(tp, 0) AS tp,
+         coalesce(pn, 0) AS pn
+  FROM per_gold pg FULL OUTER JOIN per_pred pp USING (label))
+SELECT label, support, tp,
+       round(CASE WHEN pn > 0 THEN tp * 1.0 / pn ELSE 0.0 END, 6) AS precision,
+       round(CASE WHEN support > 0 THEN tp * 1.0 / support ELSE 0.0 END, 6) AS recall,
+       round(CASE WHEN (CASE WHEN pn > 0 THEN tp * 1.0 / pn ELSE 0.0 END)
+                     + (CASE WHEN support > 0 THEN tp * 1.0 / support ELSE 0.0 END) > 0
+             THEN 2.0 * (CASE WHEN pn > 0 THEN tp * 1.0 / pn ELSE 0.0 END)
+                      * (CASE WHEN support > 0 THEN tp * 1.0 / support ELSE 0.0 END)
+                  / ((CASE WHEN pn > 0 THEN tp * 1.0 / pn ELSE 0.0 END)
+                     + (CASE WHEN support > 0 THEN tp * 1.0 / support ELSE 0.0 END))
+             ELSE 0.0 END, 6) AS f1
+FROM j
+"""
+
+
+def q_calibration(spark, sf):
+    """Reliability-diagram bins (NEW r15, functions/evals.
+    calibration_report — ECE inputs, Naeini 2015): a deterministic
+    length-based score against a doc_id-parity label; per bin the
+    count, mean confidence, empirical positive rate and |gap|. One
+    partial-aggregatable groupBy over a codegen bin id."""
+    from platypus_ingestion_plugins_spark.functions.evals import (
+        calibration_report,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        F.least(F.col("n_chars") / F.lit(2000.0), F.lit(1.0)).alias("score"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("y"),
+    )
+    return calibration_report(d, "score", "y", n_bins=10)
+
+
+SQL_CALIBRATION = """
+WITH base AS (
+  SELECT least(n_chars / 2000.0, 1.0) AS s,
+         CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+  WHERE n_chars IS NOT NULL)
+SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(s), 6) AS avg_score,
+       round(avg(y), 6) AS pos_rate,
+       round(abs(avg(s) - avg(y)), 6) AS abs_gap
+FROM base GROUP BY 1
+"""
+
+
+def q_knn_label(spark, sf):
+    """kNN label propagation (NEW r15, functions/evals.knn_classify —
+    the auto-labeling primitive): vectors with id < 100 carry a
+    derived class, the rest take the majority label of their 5
+    nearest labeled neighbors (cosine 6dp, (votes, summed-cos, label)
+    tie order). Labeled side broadcast; per-query top-k via the
+    salted two-phase merge — no per-query hot reducer."""
+    from platypus_ingestion_plugins_spark.functions.evals import knn_classify
+
+    emb = _t(spark, sf, "embeddings")
+    labeled = emb.where(F.col("vec_id") < 100).select(
+        "vec_id", "embedding",
+        F.concat(F.lit("c"), (F.col("vec_id") % 4).cast("string")).alias(
+            "label"
+        ),
+    )
+    unlabeled = emb.where(F.col("vec_id") >= 100).select(
+        "vec_id", "embedding"
+    )
+    return knn_classify(labeled, unlabeled, k=5, dim=64)
+
+
+SQL_KNN_LABEL = """
+WITH lab AS (
+  SELECT vec_id AS lid, embedding::DOUBLE[] AS lv,
+         'c' || CAST(vec_id % 4 AS VARCHAR) AS lab
+  FROM embeddings WHERE vec_id < 100),
+unl AS (
+  SELECT vec_id AS uid, embedding::DOUBLE[] AS uv
+  FROM embeddings WHERE vec_id >= 100),
+scored AS (
+  SELECT uid, lid, lab,
+         round(list_cosine_similarity(uv, lv), 6) AS cs
+  FROM unl, lab),
+ranked AS (
+  SELECT uid, lid, lab, cs,
+         row_number() OVER (PARTITION BY uid ORDER BY cs DESC, lid) AS rn
+  FROM scored),
+nn AS (SELECT * FROM ranked WHERE rn <= 5),
+votes AS (
+  SELECT uid, lab, CAST(count(*) AS BIGINT) AS votes, sum(cs) AS w
+  FROM nn GROUP BY uid, lab),
+best AS (
+  SELECT uid, lab, votes,
+         row_number() OVER (PARTITION BY uid
+                            ORDER BY votes DESC, w DESC, lab ASC) AS rn
+  FROM votes),
+tot AS (SELECT uid, CAST(sum(votes) AS BIGINT) AS n_neighbors
+        FROM votes GROUP BY uid)
+SELECT b.uid AS vec_id, b.lab AS label, b.votes, t.n_neighbors
+FROM best b JOIN tot t USING (uid) WHERE b.rn = 1
+"""
+
+
+def q_corpus_kl(spark, sf):
+    """Corpus-drift KL contributions (NEW r15, functions/evals.
+    unigram_kl_divergence): which terms make the German slice differ
+    from the English slice — smoothed per-term p_A*ln(p_A/p_B) over
+    the union vocabulary, top 25. Two token aggregations + one
+    vocab-sized full-outer join + 1-row totals broadcast."""
+    from platypus_ingestion_plugins_spark.functions.evals import (
+        unigram_kl_divergence,
+    )
+
+    d = _t(spark, sf, "documents")
+    return unigram_kl_divergence(
+        d.where(F.col("lang") == "de"),
+        d.where(F.col("lang") == "en"),
+        "text",
+        top_n=25,
+    )
+
+
+SQL_CORPUS_KL = """
+WITH ta AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                x -> x <> '')) AS term
+  FROM documents WHERE lang = 'de'),
+tb AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                x -> x <> '')) AS term
+  FROM documents WHERE lang = 'en'),
+ca AS (SELECT term, count(*) AS na FROM ta GROUP BY term),
+cb AS (SELECT term, count(*) AS nb FROM tb GROUP BY term),
+vocab AS (
+  SELECT coalesce(ca.term, cb.term) AS term,
+         coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+  FROM ca FULL OUTER JOIN cb USING (term)),
+tot AS (SELECT sum(na) AS tta, sum(nb) AS ttb, count(*) AS v FROM vocab)
+SELECT term,
+       round((na + 0.5) / (tta + 0.5 * v), 6) AS p_a,
+       round((nb + 0.5) / (ttb + 0.5 * v), 6) AS p_b,
+       round(((na + 0.5) / (tta + 0.5 * v))
+             * ln(((na + 0.5) / (tta + 0.5 * v))
+                  / ((nb + 0.5) / (ttb + 0.5 * v))), 6) AS contrib
+FROM vocab, tot
+ORDER BY contrib DESC, term ASC LIMIT 25
+"""
+
+
+def q_synonym_search(spark, sf):
+    """Query-time synonym expansion (NEW r15, functions/evals.
+    match_synonyms — the ES synonym_graph filter at query time): the
+    query 'scan' expands one hop through a registry-sized map and
+    matches docs containing any expanded term; one EXISTS+isin
+    codegen predicate, no join."""
+    from platypus_ingestion_plugins_spark.functions.evals import (
+        match_synonyms,
+    )
+
+    d = _t(spark, sf, "documents")
+    return d.where(
+        match_synonyms("text", "scan", {"scan": ["merge", "probe"]})
+    ).select("doc_id", "source")
+
+
+SQL_SYNONYM_SEARCH = """
+SELECT doc_id, source FROM documents
+WHERE len(list_intersect(
+    list_distinct(list_filter(string_split_regex(lower(text), '\\W+'),
+                  x -> x <> '')),
+    ['scan', 'merge', 'probe'])) > 0
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -10104,11 +10313,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # #4, recomputed from the CORRECTNESS_r01..r14 files by script):
     #   0.  the 19 r14 entries the driver never saw (judge-verified at
     #       sf0.01 in VERDICT r14), in r14 declaration order.
-    #   0b. the 13 NEW r15 entries. Sections 0+0b = 32 < 50.
+    #   0b. the 18 NEW r15 entries. Sections 0+0b = 37 < 50.
     #   1.  every previously-green entry ascending by its LAST
     #       driver-green round (r11 -> r12 -> r13 -> r14), each cohort
-    #       in its CORRECTNESS file order: the cap's remaining 18
-    #       slots cover the first 18 of the 48 r11-stale entries.
+    #       in its CORRECTNESS file order: the cap's remaining 13
+    #       slots cover the first 13 of the 48 r11-stale entries.
     return {
         # 0. the 19 r14 entries the driver never value-checked
         #    (judge-verified at sf0.01 in VERDICT r14) — they lead r15.
@@ -10146,6 +10355,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did_you_mean": q_did_you_mean,
         "diff_in_diff": q_diff_in_diff,
         "funnel_latency": q_funnel_latency,
+        "eval_report": q_eval_report,
+        "calibration": q_calibration,
+        "knn_label": q_knn_label,
+        "corpus_kl": q_corpus_kl,
+        "synonym_search": q_synonym_search,
         # 1. stale cohorts, least-recently-driver-green first
         #    (r11 -> r12 -> r13 -> r14), each in its CORRECTNESS file
         #    order. The 50-cap covers sections 0+0b (21) plus the
@@ -10165,12 +10379,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_interleave": q_stratified_interleave,
         "semdedup_kmeans": q_semdedup_kmeans,
         "avro_roundtrip": q_avro_roundtrip,
+        # ---- 50-entry sweep cap falls HERE (37 + 13) ----
         "budget_select": q_budget_select,
         "exact_substring_dedup": q_exact_substring_dedup,
         "stream_exact_substring_dedup": q_stream_exact_substring_dedup,
         "weighted_sample": q_weighted_sample,
         "line_dedup_by_source": q_line_dedup_by_source,
-        # ---- 50-entry sweep cap falls HERE (32 + 18) ----
         "perplexity_buckets": q_perplexity_buckets,
         "dsir_select": q_dsir_select,
         "gopher_quality": q_gopher_quality,
@@ -10374,6 +10588,11 @@ def oracle_sql() -> dict[str, str]:
         "did_you_mean": SQL_DID_YOU_MEAN,
         "diff_in_diff": SQL_DIFF_IN_DIFF,
         "funnel_latency": SQL_FUNNEL_LATENCY,
+        "eval_report": SQL_EVAL_REPORT,
+        "calibration": SQL_CALIBRATION,
+        "knn_label": SQL_KNN_LABEL,
+        "corpus_kl": SQL_CORPUS_KL,
+        "synonym_search": SQL_SYNONYM_SEARCH,
         "bpe_token_count": _bpe_oracle_sql(),
         "image_neardup": SQL_IMAGE_NEARDUP,
         "language_classifier": SQL_LANGUAGE_CLASSIFIER,

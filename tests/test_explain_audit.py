@@ -148,6 +148,11 @@ HEADLINE = [
     "maxsim_topk",
     "diff_in_diff",
     "funnel_latency",
+    "eval_report",
+    "calibration",
+    "knn_label",
+    "corpus_kl",
+    "synonym_search",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
@@ -172,6 +177,8 @@ EXPECT_BROADCAST = [
     "recency_decay",  # the 1-row max-date edge must broadcast
     "pmi_pairs",  # the vocab frame + 1-row N must broadcast
     "maxsim_topk",  # the query-token frame must broadcast to the corpus
+    "knn_label",  # the labeled slice must broadcast to the corpus
+    "corpus_kl",  # the 1-row vocabulary totals must broadcast
     # pagerank is NOT here: its returned frame sits behind the final
     # round's localCheckpoint, so the per-round broadcast scalars live
     # in already-truncated lineage — the unit test pins the semantics.

@@ -7468,3 +7468,142 @@ def test_funnel_latency_hops(spark):
     got2 = {r["hop"]: r["avg_s"] for r in funnel_latency(
         df_ts, "u", "ts", "et", ["view", "click", "buy"]).collect()}
     assert got2["view->click"] == 20.0
+
+
+def test_classification_report(spark):
+    """NEW r15: per-class P/R/F1. Hand case incl. a never-predicted
+    class (precision 0, sklearn zero_division=0), a never-gold
+    predicted class (support 0), NULL gold drop, NULL pred wrong."""
+    from platypus_ingestion_plugins_spark.functions.evals import (
+        classification_report,
+    )
+
+    rows = [
+        ("a", "a"), ("a", "a"), ("a", "b"),
+        ("b", "a"),
+        ("c", None),
+        (None, "a"),
+    ]
+    df = spark.createDataFrame(rows, "gold string, pred string")
+    got = {r["label"]: r for r in
+           classification_report(df, "gold", "pred").collect()}
+    a = got["a"]
+    assert (a["support"], a["tp"]) == (3, 2)
+    # 3 predicted 'a' among gold-labeled rows (the NULL-gold row is
+    # unlabeled — it can't score against any gold, sklearn's frame)
+    assert a["precision"] == round(2 / 3, 6)
+    assert a["recall"] == round(2 / 3, 6)
+    b = got["b"]
+    assert (b["support"], b["tp"], b["precision"], b["recall"]) == (1, 0, 0.0, 0.0)
+    c = got["c"]
+    assert (c["support"], c["precision"], c["f1"]) == (1, 0.0, 0.0)
+
+
+def test_calibration_report(spark):
+    """NEW r15: reliability bins. Scores 0.05/0.15x2/0.95/1.0 with
+    labels -> bin ids, avg score, pos rate, |gap|; 1.0 folds into the
+    last bin; NULLs drop."""
+    from platypus_ingestion_plugins_spark.functions.evals import (
+        calibration_report,
+    )
+
+    rows = [
+        (0.05, 0), (0.15, 1), (0.15, 0), (0.95, 1), (1.0, 1),
+        (None, 1), (0.5, None),
+    ]
+    df = spark.createDataFrame(rows, "score double, y int")
+    got = {r["bin"]: r for r in
+           calibration_report(df, "score", "y", n_bins=10).collect()}
+    assert set(got) == {0, 1, 9}
+    assert got[0]["n"] == 1 and got[0]["pos_rate"] == 0.0
+    assert got[1]["n"] == 2 and got[1]["pos_rate"] == 0.5
+    assert got[1]["abs_gap"] == round(abs(0.15 - 0.5), 6)
+    assert got[9]["n"] == 2 and got[9]["avg_score"] == 0.975
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="n_bins"):
+        calibration_report(df, "score", "y", n_bins=1)
+
+
+def test_knn_classify_majority(spark):
+    """NEW r15: kNN label propagation. 3-NN majority with summed-
+    cosine tie-break; labeled side broadcast; deterministic."""
+    from platypus_ingestion_plugins_spark.functions.evals import (
+        knn_classify,
+    )
+
+    labeled = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "x"), (2, [0.9, 0.1], "x"),
+            (3, [0.0, 1.0], "y"), (4, [0.1, 0.9], "y"),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    unlabeled = spark.createDataFrame(
+        [(10, [1.0, 0.05]), (11, [0.05, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: (r["label"], r["votes"], r["n_neighbors"])
+           for r in knn_classify(labeled, unlabeled, k=3, dim=2).collect()}
+    assert got[10] == ("x", 2, 3)
+    assert got[11] == ("y", 2, 3)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k must"):
+        knn_classify(labeled, unlabeled, k=0)
+
+
+def test_unigram_kl_divergence(spark):
+    """NEW r15: smoothed per-term KL contributions. A term enriched
+    in A tops the list; a term only in B contributes negatively-or-
+    small; smoothing keeps absent terms finite."""
+    from platypus_ingestion_plugins_spark.functions.evals import (
+        unigram_kl_divergence,
+    )
+
+    a = spark.createDataFrame(
+        [("spark spark spark engine",), ("spark shuffle",)], "text string"
+    )
+    b = spark.createDataFrame(
+        [("engine shuffle database",), ("database query",)], "text string"
+    )
+    got = unigram_kl_divergence(a, b, "text", top_n=10).collect()
+    terms = [r["term"] for r in got]
+    assert terms[0] == "spark"           # most over-represented in A
+    by = {r["term"]: r for r in got}
+    assert by["spark"]["contrib"] > 0
+    assert by["database"]["contrib"] < by["spark"]["contrib"]
+    import math
+
+    # replay the top contribution by hand (alpha=0.5, union vocab=5:
+    # spark/engine/shuffle/database/query; A: spark=4 of 6 tokens,
+    # B: spark=0 of 5)
+    p_a = (4 + 0.5) / (6 + 0.5 * 5)
+    p_b = (0 + 0.5) / (5 + 0.5 * 5)
+    assert by["spark"]["contrib"] == round(p_a * math.log(p_a / p_b), 6)
+
+
+def test_match_synonyms(spark):
+    """NEW r15: query-time synonym expansion. One-hop map, analyzed
+    clauses, multi-token synonym rejected."""
+    from platypus_ingestion_plugins_spark.functions.evals import (
+        match_synonyms,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "fast car on the road"), (2, "quick automobile"),
+         (3, "slow bicycle")],
+        "id long, text string",
+    )
+    syn = {"car": ["automobile", "auto"], "fast": ["quick"]}
+    got = {r["id"] for r in
+           docs.filter(match_synonyms("text", "fast car", syn)).collect()}
+    assert got == {1, 2}
+    # no synonyms: plain OR match
+    got2 = {r["id"] for r in
+            docs.filter(match_synonyms("text", "bicycle", {})).collect()}
+    assert got2 == {3}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="one term"):
+        docs.filter(match_synonyms("text", "car", {"car": ["motor car"]}))
