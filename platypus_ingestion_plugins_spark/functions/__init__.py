@@ -29,3 +29,10 @@ from platypus_ingestion_plugins_spark.functions.bpe import (  # noqa: F401
     load_merges_txt,
     bpe_encode,
 )
+from platypus_ingestion_plugins_spark.functions.evals import (  # noqa: F401
+    classification_report,
+    calibration_report,
+    knn_classify,
+    unigram_kl_divergence,
+    match_synonyms,
+)

@@ -53,3 +53,13 @@ from platypus_ingestion_plugins_spark.operators.chat import (  # noqa: F401
 from platypus_ingestion_plugins_spark.operators.graph import (  # noqa: F401
     pagerank,
 )
+from platypus_ingestion_plugins_spark.operators.geo import (  # noqa: F401
+    haversine_km,
+    bounding_box,
+    box_for_radius,
+    geo_distance,
+    geo_cell,
+    geo_grid_counts,
+    write_geo_partitioned,
+    read_geo_pruned,
+)
