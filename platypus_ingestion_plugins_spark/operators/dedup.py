@@ -1259,6 +1259,10 @@ def minhash_lsh_dedup_pairs(
         sh_h.join(cand_ids, id_col, "left_semi")
         .groupBy(id_col)
         .agg(F.collect_list("__hsh").alias("__arr"))
+        # SHUFFLE_HASH: sort-merge would sort the fat array rows twice
+        # (the attach joins' dominant cost at sf10); the hash side is
+        # one partition's worth of candidate-doc arrays — bounded
+        .hint("shuffle_hash")
     )
     inter = (
         cands.join(

@@ -66,14 +66,25 @@ def clean_corpus(
     )
     from platypus_ingestion_plugins_spark.operators import decontam, dedup
 
-    # lazy single-evaluation checkpoint (the jaccard-family pattern):
-    # the normalized frame is referenced by the exact-dedup aggregate,
+    # single-evaluation checkpoint (the jaccard-family pattern): the
+    # normalized frame is referenced by the exact-dedup aggregate,
     # its semi-join back, and the whole near-dup subchain — without
     # the checkpoint the Arrow unicodedata UDF (the chain's priciest
-    # map stage) re-runs once per reference
-    normed = dedup._maybe_single_eval(
-        docs.withColumn(text_col, normalize_unicode(text_col)), single_eval
-    )
+    # map stage) re-runs once per reference. The boundary goes EAGER
+    # on a large corpus (the r14/r15 size gate minhash_lsh_dedup_pairs
+    # uses): lazily-checkpointed frames let the preset's fused first
+    # action race the block store and recompute the UDF anyway —
+    # measured ~20 s of the sf10 preset wall; on a small corpus the
+    # extra materialization jobs cost more than the duplicated
+    # computes, so lazy stays.
+    big = single_eval and dedup._plan_size_bytes(docs) >= (32 << 20)
+
+    def _stage(df):
+        if not single_eval:
+            return df
+        return df.localCheckpoint(eager=big)
+
+    normed = _stage(docs.withColumn(text_col, normalize_unicode(text_col)))
 
     # exact: keep each content group's min-id row
     survivors = (
@@ -83,9 +94,7 @@ def clean_corpus(
     )
     # same single-eval rationale: the exact-deduped frame feeds the
     # LSH pair generation, the CC node set, and the survivor semi-join
-    deduped = dedup._maybe_single_eval(
-        normed.join(survivors, id_col, "left_semi"), single_eval
-    )
+    deduped = _stage(normed.join(survivors, id_col, "left_semi"))
 
     # near-dup: LSH pairs -> components -> keep group minimum
     # at corpus scale SET max_shingle_df AND max_band_bucket: one
