@@ -9856,7 +9856,7 @@ def q_histogram_pipeline(spark, sf):
     the trailing 3-day mean, over the GAP-FREE grid (silent days
     contribute 0). Windows order the interval-bounded grid — a plot
     axis, never the corpus (the survival_km curve rule)."""
-    ev = _t(spark, sf, "events").where(F.col("event_type") == "purchase")
+    ev = _events_ts(spark, sf).where(F.col("event_type") == "purchase")
     return SQ.date_histogram_pipeline(ev, "ts", "day", window=3).select(
         F.date_format("bucket", "yyyy-MM-dd").alias("day"),
         "cnt",
@@ -10000,7 +10000,7 @@ def q_diff_in_diff(spark, sf):
         diff_in_diff,
     )
 
-    ev = _t(spark, sf, "events").where(F.col("event_type") == "purchase")
+    ev = _events_ts(spark, sf).where(F.col("event_type") == "purchase")
     return diff_in_diff(
         ev, "ts", "value",
         F.col("user_id") % 2 == 0,
@@ -10048,7 +10048,7 @@ def q_funnel_latency(spark, sf):
     )
 
     return funnel_latency(
-        _t(spark, sf, "events"),
+        _events_ts(spark, sf),
         "user_id",
         "ts",
         "event_type",
@@ -10150,7 +10150,12 @@ def q_calibration(spark, sf):
         calibration_report,
     )
 
-    d = _t(spark, sf, "documents").select(
+    # NULL n_chars must drop BEFORE least(): Spark's least IGNORES
+    # NULLs (the geo haversine clamp lesson), so a NULL row would
+    # otherwise score 1.0 here while the oracle's IS NOT NULL drops it
+    d = _t(spark, sf, "documents").where(
+        F.col("n_chars").isNotNull()
+    ).select(
         F.least(F.col("n_chars") / F.lit(2000.0), F.lit(1.0)).alias("score"),
         (F.col("doc_id") % 3 == 0).cast("int").alias("y"),
     )
@@ -10362,9 +10367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_search": q_synonym_search,
         # 1. stale cohorts, least-recently-driver-green first
         #    (r11 -> r12 -> r13 -> r14), each in its CORRECTNESS file
-        #    order. The 50-cap covers sections 0+0b (21) plus the
-        #    first 29 of the r11 cohort (cap boundary after
-        #    stream_dedup_exact).
+        #    order. The 50-cap covers sections 0+0b (37: 19 r14 + 18
+        #    r15) plus the first 13 of the r11 cohort (cap boundary
+        #    marked below, after avro_roundtrip).
         # -- last driver-green in CORRECTNESS_r11 --
         "stream_profile": q_stream_profile,
         "pretraining_mix": q_pretraining_mix,

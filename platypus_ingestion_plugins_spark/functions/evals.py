@@ -288,6 +288,10 @@ def match_synonyms(field: str, query: str, synonyms: dict) -> Column:
                 )
             expanded.add(toks[0])
     if not expanded:
-        return F.lit(True)
+        # match_text semantics: an empty analyzed query matches
+        # NOTHING (arrays_overlap with an empty array) — a match-all
+        # from punctuation-only input would hand a filter/alert caller
+        # the whole corpus (the percolate empty-terms rule)
+        return F.lit(False)
     lst = sorted(expanded)
     return F.exists(tokenize(field), lambda x: x.isin(lst))

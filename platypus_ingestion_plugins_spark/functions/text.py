@@ -761,8 +761,15 @@ def rouge_n(
     mis-scoring (ADVICE r14)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    # count_distinct ignores NULL ids, so NULL counts as its own
+    # distinct value explicitly — otherwise one NULL id falsely reads
+    # as a duplicate (the clip groups a lone NULL by itself correctly)
     dup = df.agg(
-        (F.count(F.lit(1)) - F.count_distinct(F.col(id_col))).alias("d")
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.col(id_col))
+            - F.max(F.col(id_col).isNull().cast("int"))
+        ).alias("d")
     ).first()["d"]
     if dup:
         raise ValueError(

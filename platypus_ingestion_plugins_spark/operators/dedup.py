@@ -1151,14 +1151,20 @@ def lsh_candidate_pairs(
             raise ValueError(
                 f"max_band_bucket must be >= 2, got {max_band_bucket}"
             )
-        from pyspark.sql.window import Window
-
-        cnt = F.count(F.lit(1)).over(
-            Window.partitionBy("band", "bucket")
+        # the cap_shingle_df shape (one hot-key guard, one plan): a
+        # partial-aggregatable count per (band, bucket) reduced to the
+        # hot set — tiny by construction, every member breeds > cap²/2
+        # pairs — then a broadcast anti-join; cheaper than a window
+        # count materialized on every banded row
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bc"))
+            .filter(F.col("__bc") > max_band_bucket)
+            .select("band", "bucket")
         )
-        banded = banded.withColumn("__bc", cnt).filter(
-            F.col("__bc") <= max_band_bucket
-        ).drop("__bc")
+        banded = banded.join(
+            F.broadcast(hot), ["band", "bucket"], "left_anti"
+        )
     a = banded.withColumnRenamed(id_col, "id_a")
     b = banded.withColumnRenamed(id_col, "id_b")
     return (

@@ -694,9 +694,19 @@ def expand_prefix(
     prefix raises (a PrefixQuery for '' is a disguised match-all)."""
     if max_expansions < 1:
         raise ValueError(f"max_expansions must be >= 1, got {max_expansions}")
-    p = prefix.lower().strip()
-    if not p:
-        raise ValueError("empty prefix")
+    from platypus_ingestion_plugins_spark.serving.query import _py_tokenize
+
+    # analyze the prefix with the index's analyzer (the span_near
+    # lesson): 'spark,' would otherwise keep its comma and silently
+    # match no dictionary term; a multi-token prefix is a phrase, not
+    # a prefix — both raise
+    analyzed = _py_tokenize(prefix)
+    if len(analyzed) != 1:
+        raise ValueError(
+            f"empty prefix or multi-token prefix {prefix!r} "
+            f"(analyzes to {len(analyzed)} tokens)"
+        )
+    p = analyzed[0]
     got = (
         _term_dictionary(spark, path)
         .filter(F.col("term").startswith(p))

@@ -7607,3 +7607,43 @@ def test_match_synonyms(spark):
 
     with _pt.raises(ValueError, match="one term"):
         docs.filter(match_synonyms("text", "car", {"car": ["motor car"]}))
+
+
+def test_r15_review_regressions(spark, tmp_path):
+    """Review-pass pins (r15): (1) match_synonyms on an empty analyzed
+    query matches NOTHING (match_text semantics, not match-all);
+    (2) rouge_n accepts a lone NULL id (it groups by itself) but
+    rejects two NULL ids (they'd merge); (3) expand_prefix analyzes
+    its prefix, so punctuation matches the clean form instead of
+    silently missing."""
+    from platypus_ingestion_plugins_spark.functions.evals import (
+        match_synonyms,
+    )
+    from platypus_ingestion_plugins_spark.functions.text import rouge_n
+    from platypus_ingestion_plugins_spark.serving import text_index as TI
+
+    docs = spark.createDataFrame(
+        [(1, "spark table scan"), (2, "slow merge")], "id long, text string"
+    )
+    assert docs.filter(match_synonyms("text", "!!!", {})).count() == 0
+
+    paired = spark.createDataFrame(
+        [(1, "a b", "a b"), (None, "c d", "c d")],
+        "id long, ref string, cand string",
+    )
+    # lone NULL id: fine (its clip group is itself)
+    assert rouge_n(paired, "ref", "cand", "id", n=1).count() == 2
+    two_nulls = paired.union(
+        spark.createDataFrame([(None, "e f", "e f")],
+                              "id long, ref string, cand string")
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="duplicate"):
+        rouge_n(two_nulls, "ref", "cand", "id", n=1)
+
+    idx = str(tmp_path / "pfx")
+    TI.build_term_index(docs, "text", "id", idx, buckets=4)
+    assert TI.expand_prefix(spark, idx, "Spark,") == ["spark"]
+    with _pt.raises(ValueError, match="multi-token"):
+        TI.expand_prefix(spark, idx, "table scan")
