@@ -10302,6 +10302,101 @@ WHERE len(list_intersect(
 """
 
 
+def q_dsl_query(spark, sf):
+    """ES query-DSL parser (NEW r15, serving/query.parse_query): the
+    JSON bool tree a search client already stores compiles into ONE
+    codegen predicate over the module's constructors — term / range /
+    match / phrase / prefix / regexp / exists under bool with
+    minimum_should_match. The oracle replays the tree as plain SQL,
+    so the parser's compilation is value-checked clause by clause."""
+    dsl = {
+        "bool": {
+            "must": [{"range": {"n_chars": {"gte": 200}}}],
+            "filter": [{"exists": {"field": "lang"}}],
+            "should": [
+                {"match_phrase": {"text": "table scan"}},
+                {"prefix": {"text": "shuf"}},
+                {"regexp": {"text": "eng.*|merge"}},
+                {"term": {"lang": "de"}},
+            ],
+            "must_not": [{"terms": {"source": ["src0", "src7"]}}],
+            "minimum_should_match": 2,
+        }
+    }
+    d = _t(spark, sf, "documents")
+    return d.filter(SQ.parse_query(dsl)).select("doc_id", "lang", "source")
+
+
+SQL_DSL_QUERY = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\W+'),
+                     x -> x <> '') AS t
+  FROM documents)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN toks USING (doc_id)
+WHERE d.n_chars >= 200
+  AND d.lang IS NOT NULL
+  AND (
+    (CASE WHEN contains(' ' || array_to_string(t, ' ') || ' ',
+                        ' table scan ') THEN 1 ELSE 0 END)
+    + (CASE WHEN len(list_filter(t, x -> x LIKE 'shuf%')) > 0
+            THEN 1 ELSE 0 END)
+    + (CASE WHEN len(list_filter(t,
+            x -> regexp_matches(x, '^(?:eng.*|merge)$'))) > 0
+            THEN 1 ELSE 0 END)
+    + (CASE WHEN d.lang = 'de' THEN 1 ELSE 0 END)
+  ) >= 2
+  AND NOT coalesce(d.source IN ('src0', 'src7'), FALSE)
+"""
+
+
+def q_update_by_query(spark, sf):
+    """_update_by_query / _delete_by_query lifecycle (NEW r15,
+    serving/table.update_by_query/delete_by_query): a scratch serving
+    table built from documents takes an update (German docs get a
+    boosted n_chars) then a delete (drop one source), both routed
+    through the SAME CDC apply path as ingest (last-wins merge,
+    commit log); the readback is the oracle's CASE-and-exclude replay
+    — the update semantics and the delete's read-your-writes are
+    value-checked end to end."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.serving.table import (
+        ServingTable,
+        delete_by_query,
+        update_by_query,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    work = _stream_scratch("ubq_")
+    try:
+        tbl = ServingTable(spark, os.path.join(work, "tbl"), key="doc_id")
+        tbl.overwrite(d)
+        update_by_query(
+            tbl,
+            F.col("lang") == "de",
+            {"n_chars": F.col("n_chars") + F.lit(100000)},
+        )
+        delete_by_query(tbl, F.col("source") == "src3")
+        out = tbl.query()
+        _keep_until_exit(work, keep=os.path.join(work, "tbl"))
+        return out
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+
+
+SQL_UPDATE_BY_QUERY = """
+SELECT doc_id, lang, source,
+       CAST(CASE WHEN lang = 'de' THEN n_chars + 100000
+                 ELSE n_chars END AS BIGINT) AS n_chars
+FROM documents WHERE NOT coalesce(source = 'src3', FALSE)
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -10318,11 +10413,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # #4, recomputed from the CORRECTNESS_r01..r14 files by script):
     #   0.  the 19 r14 entries the driver never saw (judge-verified at
     #       sf0.01 in VERDICT r14), in r14 declaration order.
-    #   0b. the 18 NEW r15 entries. Sections 0+0b = 37 < 50.
+    #   0b. the 20 NEW r15 entries. Sections 0+0b = 39 < 50.
     #   1.  every previously-green entry ascending by its LAST
     #       driver-green round (r11 -> r12 -> r13 -> r14), each cohort
-    #       in its CORRECTNESS file order: the cap's remaining 13
-    #       slots cover the first 13 of the 48 r11-stale entries.
+    #       in its CORRECTNESS file order: the cap's remaining 11
+    #       slots cover the first 11 of the 48 r11-stale entries.
     return {
         # 0. the 19 r14 entries the driver never value-checked
         #    (judge-verified at sf0.01 in VERDICT r14) — they lead r15.
@@ -10365,11 +10460,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label": q_knn_label,
         "corpus_kl": q_corpus_kl,
         "synonym_search": q_synonym_search,
+        "dsl_query": q_dsl_query,
+        "update_by_query": q_update_by_query,
         # 1. stale cohorts, least-recently-driver-green first
         #    (r11 -> r12 -> r13 -> r14), each in its CORRECTNESS file
-        #    order. The 50-cap covers sections 0+0b (37: 19 r14 + 18
-        #    r15) plus the first 13 of the r11 cohort (cap boundary
-        #    marked below, after avro_roundtrip).
+        #    order. The 50-cap covers sections 0+0b (39: 19 r14 + 20
+        #    r15) plus the first 11 of the r11 cohort (cap boundary
+        #    marked below).
         # -- last driver-green in CORRECTNESS_r11 --
         "stream_profile": q_stream_profile,
         "pretraining_mix": q_pretraining_mix,
@@ -10382,9 +10479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,
         "bigram_logprob": q_bigram_logprob,
         "stratified_interleave": q_stratified_interleave,
+        # ---- 50-entry sweep cap falls HERE (39 + 11) ----
         "semdedup_kmeans": q_semdedup_kmeans,
         "avro_roundtrip": q_avro_roundtrip,
-        # ---- 50-entry sweep cap falls HERE (37 + 13) ----
         "budget_select": q_budget_select,
         "exact_substring_dedup": q_exact_substring_dedup,
         "stream_exact_substring_dedup": q_stream_exact_substring_dedup,
@@ -10598,6 +10695,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_label": SQL_KNN_LABEL,
         "corpus_kl": SQL_CORPUS_KL,
         "synonym_search": SQL_SYNONYM_SEARCH,
+        "dsl_query": SQL_DSL_QUERY,
+        "update_by_query": SQL_UPDATE_BY_QUERY,
         "bpe_token_count": _bpe_oracle_sql(),
         "image_neardup": SQL_IMAGE_NEARDUP,
         "language_classifier": SQL_LANGUAGE_CLASSIFIER,

@@ -258,6 +258,112 @@ def bool_query(
     return pred
 
 
+_DSL_LEAVES = (
+    "match_all", "term", "terms", "range", "match", "match_phrase",
+    "match_phrase_prefix", "prefix", "wildcard", "regexp", "exists",
+    "bool",
+)
+
+
+def parse_query(dsl) -> Column:
+    """Elasticsearch query-DSL parser (NEW r15): compile the JSON
+    query a search client already sends — ``bool`` trees over
+    ``term/terms/range/match/match_phrase/match_phrase_prefix/prefix/
+    wildcard/regexp/exists/match_all`` leaves — into ONE Column
+    predicate built from this module's constructors, so an ES user's
+    stored queries run unchanged. Accepts a dict or a JSON string.
+    ``filter`` clauses fold into ``must`` (identical semantics here —
+    there is no scoring context to skip). Unknown query types, clause
+    keys, or malformed bodies raise with the offending fragment
+    (silent acceptance of a typo'd query is a wrong-results bug).
+
+    The result is a pure codegen predicate: it pushes down, composes
+    with ``search()``/``collapse_topk``/facets, and nests arbitrarily
+    — exactly what the hand-built constructors give, minus the hand."""
+    import json as _json
+
+    if isinstance(dsl, str):
+        try:
+            dsl = _json.loads(dsl)
+        except ValueError as e:
+            raise ValueError(f"invalid query JSON: {e}") from None
+    return _parse_node(dsl)
+
+
+def _one_entry(node: dict, what: str):
+    if not isinstance(node, dict) or len(node) != 1:
+        raise ValueError(
+            f"{what} must be an object with exactly one key, got {node!r}"
+        )
+    return next(iter(node.items()))
+
+
+def _parse_node(node) -> Column:
+    qtype, body = _one_entry(node, "query")
+    if qtype not in _DSL_LEAVES:
+        raise ValueError(
+            f"unsupported query type {qtype!r} (supported: {_DSL_LEAVES})"
+        )
+    if qtype == "match_all":
+        if body not in ({}, None):
+            raise ValueError(f"match_all takes no body, got {body!r}")
+        return match_all()
+    if qtype == "exists":
+        if not isinstance(body, dict) or set(body) != {"field"}:
+            raise ValueError(f"exists needs {{'field': ...}}, got {body!r}")
+        return F.col(body["field"]).isNotNull()
+    if qtype == "bool":
+        if not isinstance(body, dict):
+            raise ValueError(f"bool body must be an object, got {body!r}")
+        known = {"must", "filter", "should", "must_not",
+                 "minimum_should_match"}
+        unknown = set(body) - known
+        if unknown:
+            raise ValueError(f"unknown bool clause(s) {sorted(unknown)}")
+
+        def clauses(key):
+            v = body.get(key, [])
+            v = v if isinstance(v, list) else [v]
+            return [_parse_node(c) for c in v]
+
+        return bool_query(
+            must=clauses("must") + clauses("filter"),
+            should=clauses("should"),
+            must_not=clauses("must_not"),
+            minimum_should_match=body.get("minimum_should_match"),
+        )
+    # field-keyed leaves
+    field, spec = _one_entry(body, f"{qtype} body")
+    if qtype == "term":
+        v = spec["value"] if isinstance(spec, dict) else spec
+        return term(field, v)
+    if qtype == "terms":
+        if not isinstance(spec, list):
+            raise ValueError(f"terms needs a value list, got {spec!r}")
+        return term_in_set(field, spec)
+    if qtype == "range":
+        if not isinstance(spec, dict):
+            raise ValueError(f"range needs a bounds object, got {spec!r}")
+        unknown = set(spec) - {"gte", "gt", "lte", "lt"}
+        if unknown:
+            raise ValueError(f"unknown range bound(s) {sorted(unknown)}")
+        return range_query(field, **spec)
+    text = spec["query"] if isinstance(spec, dict) else spec
+    if not isinstance(text, str):
+        raise ValueError(f"{qtype} needs a string query, got {text!r}")
+    if qtype == "match":
+        return match_text(field, text)
+    if qtype == "match_phrase":
+        return match_phrase(field, text)
+    if qtype == "match_phrase_prefix":
+        return match_phrase_prefix(field, text)
+    if qtype == "prefix":
+        return match_prefix(field, text)
+    if qtype == "wildcard":
+        return match_wildcard(field, text)
+    return match_regexp(field, text)  # qtype == "regexp"
+
+
 def match_score(field: str, query: str) -> Column:
     """Deterministic relevance for ranked full-text: the number of
     DISTINCT query tokens present in the field (the coordination

@@ -422,3 +422,103 @@ class ServingTable:
             b = F.pmod(F.hash(*lits), F.lit(self.num_buckets))
             cond = (F.col(BUCKET_COL) == b) & cond
         return df.filter(cond).drop(BUCKET_COL) if BUCKET_COL in df.columns else df.filter(cond)
+
+
+def update_by_query(
+    table: ServingTable,
+    predicate: Column,
+    assignments: dict[str, Column],
+) -> int:
+    """Elasticsearch ``_update_by_query`` on the serving table
+    (NEW r15): apply column ``assignments`` to every CURRENT row
+    matching ``predicate``, routed through the SAME CDC apply path as
+    any ingest batch (last-wins merge, bucket-pruned rewrite, commit
+    log) — updates are upsert batches, not a second write path, so
+    crash recovery, schema checks, and read-your-writes hold without
+    new machinery. Returns the number of rows updated.
+
+    Scale shape: one read + filter (bucket/partition pruning applies
+    to the predicate like any query), assignments are codegen
+    expressions, and ``apply_batch`` rewrites ONLY the touched
+    buckets. Assigning a key column is rejected — that is a delete +
+    insert, not an update (ES rejects id reassignment in scripts for
+    the same reason)."""
+    for col in assignments:
+        if col in table.key:
+            raise ValueError(
+                f"update_by_query cannot reassign key column {col!r}; "
+                "delete and re-ingest instead"
+            )
+    cur = table.query()
+    matched = cur.filter(predicate)
+    upd = matched
+    for col, expr in assignments.items():
+        upd = upd.withColumn(col, expr)
+    changelog = upd.withColumn("_row_kind", F.lit("+U")).withColumn(
+        "_seq", F.monotonically_increasing_id()
+    )
+    # the changelog is derived from the very files apply_batch swaps
+    # out — pin it (lineage-free) BEFORE the apply, or the commit
+    # log's post-swap count re-reads deleted files
+    changelog = changelog.localCheckpoint(eager=True)
+    n = changelog.count()
+    if n:
+        table.apply_batch(changelog)
+    return n
+
+
+def delete_by_query(table: ServingTable, predicate: Column) -> int:
+    """Elasticsearch ``_delete_by_query``: route matching rows through
+    the CDC path as ``-D`` ops (same rationale as update_by_query).
+    Returns the number of rows deleted."""
+    cur = table.query()
+    matched = cur.filter(predicate)
+    changelog = matched.withColumn("_row_kind", F.lit("-D")).withColumn(
+        "_seq", F.monotonically_increasing_id()
+    )
+    # same self-reference pin as update_by_query
+    changelog = changelog.localCheckpoint(eager=True)
+    n = changelog.count()
+    if n:
+        table.apply_batch(changelog)
+    return n
+
+
+_ALIAS_SIDECAR = "_alias"
+
+
+def set_alias(spark: SparkSession, alias_path: str, table_path: str) -> None:
+    """Index alias (the Elasticsearch aliases API, NEW r15): an
+    atomic name -> table-path indirection, the zero-downtime swap
+    primitive — rebuild a corpus at a new path, point the alias,
+    readers move on their next resolve with no partial state
+    (fs.write_text_atomic = temp + rename, the serving table's own
+    commit discipline). The target must exist — aliasing a
+    nonexistent table is always a deploy bug."""
+    probe = ServingTable(spark, table_path, key="_probe")
+    if not probe.exists():
+        raise FileNotFoundError(
+            f"alias target {table_path} is not a serving table"
+        )
+    fs.write_text_atomic(
+        spark, f"{alias_path.rstrip('/')}/{_ALIAS_SIDECAR}", table_path
+    )
+
+
+def resolve_alias(spark: SparkSession, alias_path: str) -> str:
+    """The table path an alias currently points at; raises on a
+    dangling or never-set alias."""
+    target = fs.read_text(
+        spark, f"{alias_path.rstrip('/')}/{_ALIAS_SIDECAR}"
+    )
+    if not target:
+        raise FileNotFoundError(f"no alias at {alias_path}")
+    return target
+
+
+def read_alias(
+    spark: SparkSession, alias_path: str, key: str | list[str]
+) -> DataFrame:
+    """Read the serving table behind an alias — the reader-side hop
+    clients use so a swap needs no reader redeploy."""
+    return ServingTable(spark, resolve_alias(spark, alias_path), key=key).query()

@@ -153,6 +153,10 @@ HEADLINE = [
     "knn_label",
     "corpus_kl",
     "synonym_search",
+    # update_by_query is NOT here: its constructor EXECUTES (scratch
+    # serving-table build + CDC applies); its plan discipline is the
+    # serving table's own, pinned by the table suite.
+    "dsl_query",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.

@@ -1532,3 +1532,116 @@ def test_prefix_indexed_matches_scan(spark, tmp_path):
         for r in TI.search_prefix_indexed(spark, idx, "tab").collect()
     }
     assert got == {1, 4}
+
+
+def test_parse_query_dsl(spark):
+    """NEW r15: the ES query-DSL parser. A stored bool tree compiles
+    to the same predicate the hand-built constructors give; JSON
+    string input; filter == must; loud failures on typos."""
+    import json
+
+    from pyspark.sql import Row
+
+    from platypus_ingestion_plugins_spark.serving import query as SQ
+
+    docs = spark.createDataFrame(
+        [
+            Row(id=1, kind="a", score=5, text="spark table scan"),
+            Row(id=2, kind="a", score=9, text="slow merge join"),
+            Row(id=3, kind="b", score=7, text="table scan again"),
+            Row(id=4, kind=None, score=2, text="spark stream"),
+        ]
+    )
+    dsl = {
+        "bool": {
+            "must": [{"range": {"score": {"gte": 3}}}],
+            "filter": [{"exists": {"field": "kind"}}],
+            "should": [
+                {"match": {"text": "spark"}},
+                {"match_phrase": {"text": "table scan"}},
+                {"prefix": {"text": "mer"}},
+            ],
+            "minimum_should_match": 1,
+        }
+    }
+    got = {r.id for r in docs.filter(SQ.parse_query(dsl)).collect()}
+    assert got == {1, 2, 3}
+    # JSON-string input parses identically
+    got2 = {r.id for r in docs.filter(SQ.parse_query(json.dumps(dsl))).collect()}
+    assert got2 == got
+    # leaves: term / terms / wildcard / regexp / match_all
+    assert {r.id for r in docs.filter(
+        SQ.parse_query({"term": {"kind": {"value": "b"}}})).collect()} == {3}
+    assert {r.id for r in docs.filter(
+        SQ.parse_query({"terms": {"kind": ["a", "b"]}})).collect()} == {1, 2, 3}
+    assert {r.id for r in docs.filter(
+        SQ.parse_query({"wildcard": {"text": "st*am"}})).collect()} == {4}
+    assert {r.id for r in docs.filter(
+        SQ.parse_query({"regexp": {"text": "sca[nm]"}})).collect()} == {1, 3}
+    assert docs.filter(SQ.parse_query({"match_all": {}})).count() == 4
+    # loud failures: unknown type, unknown bool clause, malformed leaf
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unsupported query type"):
+        SQ.parse_query({"fuzzy": {"text": "spark"}})
+    with _pt.raises(ValueError, match="unknown bool clause"):
+        SQ.parse_query({"bool": {"must": [], "boost": 2}})
+    with _pt.raises(ValueError, match="exactly one key"):
+        SQ.parse_query({"term": {"a": 1, "b": 2}})
+    with _pt.raises(ValueError, match="invalid query JSON"):
+        SQ.parse_query("{not json")
+    with _pt.raises(ValueError, match="unknown range bound"):
+        SQ.parse_query({"range": {"score": {"gte": 1, "from": 2}}})
+
+
+def test_update_delete_by_query_and_aliases(spark, tmp_path):
+    """NEW r15: update_by_query / delete_by_query route through the
+    CDC apply path (commit-logged, read-your-writes); aliases swap
+    atomically and reject dangling targets."""
+    from pyspark.sql import functions as F
+
+    from platypus_ingestion_plugins_spark.serving import query as SQ
+    from platypus_ingestion_plugins_spark.serving.table import (
+        ServingTable,
+        delete_by_query,
+        read_alias,
+        resolve_alias,
+        set_alias,
+        update_by_query,
+    )
+
+    t1 = str(tmp_path / "t1")
+    tbl = ServingTable(spark, t1, key="id")
+    tbl.overwrite(spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 9), (3, "b", 7)], "id long, kind string, score long"
+    ))
+    n = update_by_query(
+        tbl, SQ.parse_query({"term": {"kind": "a"}}),
+        {"score": F.col("score") + 100},
+    )
+    assert n == 2
+    got = {r["id"]: r["score"] for r in tbl.query().collect()}
+    assert got == {1: 105, 2: 109, 3: 7}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="key column"):
+        update_by_query(tbl, SQ.match_all(), {"id": F.lit(9)})
+    assert update_by_query(tbl, F.col("kind") == "zz", {"score": F.lit(0)}) == 0
+    n = delete_by_query(tbl, SQ.parse_query({"range": {"score": {"gte": 100}}}))
+    assert n == 2
+    assert {r["id"] for r in tbl.query().collect()} == {3}
+    # aliases
+    alias = str(tmp_path / "alias_current")
+    set_alias(spark, alias, t1)
+    assert resolve_alias(spark, alias) == t1
+    assert {r["id"] for r in read_alias(spark, alias, key="id").collect()} == {3}
+    # swap to a rebuilt table: readers move with no redeploy
+    t2 = str(tmp_path / "t2")
+    tbl2 = ServingTable(spark, t2, key="id")
+    tbl2.overwrite(spark.createDataFrame([(9, "c", 1)], "id long, kind string, score long"))
+    set_alias(spark, alias, t2)
+    assert {r["id"] for r in read_alias(spark, alias, key="id").collect()} == {9}
+    with _pt.raises(FileNotFoundError, match="not a serving table"):
+        set_alias(spark, alias, str(tmp_path / "nope"))
+    with _pt.raises(FileNotFoundError, match="no alias"):
+        resolve_alias(spark, str(tmp_path / "never_set"))
