@@ -1106,10 +1106,14 @@ def diff_in_diff(
         did = (treat_post - treat_pre) - (control_post - control_pre)
 
     — the treatment-effect estimate under the parallel-trends
-    assumption (Card & Krueger 1994). Rows with NULL value/timestamp
-    drop; a cell with no rows yields NULL means and a NULL estimate
-    (no fabricated zero). Output ONE row: per-cell n and mean (6dp)
-    plus did (6dp, computed from unrounded means).
+    assumption (Card & Krueger 1994). Rows with a NULL value,
+    timestamp, OR treatment flag drop — an unknown-assignment unit
+    belongs to NEITHER group (silently coalescing it into control
+    would bias the control means; SQL three-valued logic drops it,
+    and the oracle replay must agree). A cell with no rows yields
+    NULL means and a NULL estimate (no fabricated zero). Output ONE
+    row: per-cell n and mean (6dp) plus did (6dp, computed from
+    unrounded means).
 
     Plan shape: one partial-aggregatable conditional aggregation —
     a single corpus pass, constant-size output."""
@@ -1117,9 +1121,11 @@ def diff_in_diff(
     post = F.col(ts_col) >= cut.cast(
         df.select(F.col(ts_col)).schema[0].dataType
     )
-    t = F.coalesce(treated, F.lit(False))
+    t = treated
     v = F.col(value_col)
-    base = df.where(v.isNotNull() & F.col(ts_col).isNotNull())
+    base = df.where(
+        v.isNotNull() & F.col(ts_col).isNotNull() & t.isNotNull()
+    )
 
     def cell(flag_t: bool, flag_post: bool, name: str):
         incell = (t == F.lit(flag_t)) & (post == F.lit(flag_post))

@@ -334,9 +334,21 @@ def _parse_node(node) -> Column:
         )
     # field-keyed leaves
     field, spec = _one_entry(body, f"{qtype} body")
+
+    def unwrap(key: str):
+        # ES body forms: a bare scalar OR {"value"/"query": ..., and
+        # possibly boost etc. we don't score}. A missing wrapper key
+        # must raise the promised ValueError, never a KeyError.
+        if isinstance(spec, dict):
+            if key not in spec:
+                raise ValueError(
+                    f"{qtype} body for {field!r} needs {key!r}, got {spec!r}"
+                )
+            return spec[key]
+        return spec
+
     if qtype == "term":
-        v = spec["value"] if isinstance(spec, dict) else spec
-        return term(field, v)
+        return term(field, unwrap("value"))
     if qtype == "terms":
         if not isinstance(spec, list):
             raise ValueError(f"terms needs a value list, got {spec!r}")
@@ -348,9 +360,22 @@ def _parse_node(node) -> Column:
         if unknown:
             raise ValueError(f"unknown range bound(s) {sorted(unknown)}")
         return range_query(field, **spec)
-    text = spec["query"] if isinstance(spec, dict) else spec
+    # ES wraps prefix/wildcard/regexp text as "value", the match
+    # family as "query" — both canonical forms parse
+    wrapper = "value" if qtype in ("prefix", "wildcard", "regexp") else "query"
+    text = unwrap(wrapper)
     if not isinstance(text, str):
-        raise ValueError(f"{qtype} needs a string query, got {text!r}")
+        raise ValueError(f"{qtype} needs a string, got {text!r}")
+    if qtype in ("match", "match_phrase", "match_phrase_prefix", "prefix"):
+        # an analyzed-to-nothing query here would silently compile to
+        # match-ALL (match_phrase's empty-degenerate) or near-match-all
+        # (prefix '') — in a stored-query surface that's a typo handing
+        # the caller the whole corpus (the match_synonyms/percolate
+        # rule): raise instead
+        if not _py_tokenize(text):
+            raise ValueError(
+                f"{qtype} query {text!r} analyzes to zero tokens"
+            )
     if qtype == "match":
         return match_text(field, text)
     if qtype == "match_phrase":

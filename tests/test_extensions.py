@@ -7647,3 +7647,27 @@ def test_r15_review_regressions(spark, tmp_path):
     assert TI.expand_prefix(spark, idx, "Spark,") == ["spark"]
     with _pt.raises(ValueError, match="multi-token"):
         TI.expand_prefix(spark, idx, "table scan")
+
+
+def test_diff_in_diff_null_treatment_excluded(spark):
+    """Review-pass pin (r15, second pass): a NULL treatment flag
+    drops the row from BOTH groups (unknown assignment must not
+    contaminate control) — matching the oracle's three-valued CASE."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        diff_in_diff,
+    )
+
+    rows = [
+        (1, "2024-01-01", 10.0, True), (1, "2024-02-01", 20.0, True),
+        (2, "2024-01-01", 10.0, False), (2, "2024-02-01", 12.0, False),
+        (3, "2024-01-01", 999.0, None), (3, "2024-02-01", 999.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "unit long, ts string, v double, treated boolean"
+    ).select("unit", F.to_timestamp("ts").alias("ts"), "v", "treated")
+    r = diff_in_diff(
+        df, "ts", "v", F.col("treated"), "2024-01-15 00:00:00"
+    ).collect()[0]
+    assert (r["n_control_pre"], r["n_control_post"]) == (1, 1)
+    assert r["control_pre"] == 10.0 and r["control_post"] == 12.0
+    assert r["did"] == 8.0

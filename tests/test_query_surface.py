@@ -1645,3 +1645,37 @@ def test_update_delete_by_query_and_aliases(spark, tmp_path):
         set_alias(spark, alias, str(tmp_path / "nope"))
     with _pt.raises(FileNotFoundError, match="no alias"):
         resolve_alias(spark, str(tmp_path / "never_set"))
+
+
+def test_parse_query_es_body_forms_and_empty_analysis(spark):
+    """Review-pass pins (r15, second pass): (1) the ES-canonical
+    wrapped bodies parse ({'value': ...} for prefix/wildcard/regexp,
+    {'query': ...} for the match family) and a missing wrapper key
+    raises ValueError, never KeyError; (2) a match/phrase/prefix leaf
+    whose text analyzes to zero tokens raises instead of silently
+    compiling to match-all."""
+    from pyspark.sql import Row
+
+    from platypus_ingestion_plugins_spark.serving import query as SQ
+
+    docs = spark.createDataFrame(
+        [Row(id=1, text="spark table scan"), Row(id=2, text="slow merge")]
+    )
+    assert {r.id for r in docs.filter(SQ.parse_query(
+        {"wildcard": {"text": {"value": "sc*n"}}})).collect()} == {1}
+    assert {r.id for r in docs.filter(SQ.parse_query(
+        {"prefix": {"text": {"value": "mer"}}})).collect()} == {2}
+    assert {r.id for r in docs.filter(SQ.parse_query(
+        {"regexp": {"text": {"value": "sca[nm]"}}})).collect()} == {1}
+    assert {r.id for r in docs.filter(SQ.parse_query(
+        {"match": {"text": {"query": "merge"}}})).collect()} == {2}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="needs 'value'"):
+        SQ.parse_query({"wildcard": {"text": {"query": "x"}}})
+    with _pt.raises(ValueError, match="needs 'value'"):
+        SQ.parse_query({"term": {"text": {}}})
+    with _pt.raises(ValueError, match="analyzes to zero"):
+        SQ.parse_query({"match_phrase": {"text": "!!!"}})
+    with _pt.raises(ValueError, match="analyzes to zero"):
+        SQ.parse_query({"prefix": {"text": ""}})
