@@ -7671,3 +7671,34 @@ def test_diff_in_diff_null_treatment_excluded(spark):
     assert (r["n_control_pre"], r["n_control_post"]) == (1, 1)
     assert r["control_pre"] == 10.0 and r["control_post"] == 12.0
     assert r["did"] == 8.0
+
+
+def test_geo_box_filter_pushes_to_scan(spark, tmp_path):
+    """The bounding-box pre-filter must reach the parquet scan as
+    PushedFilters on a real geo table (min/max row-group skip — the
+    reason geo_distance filters with BETWEENs before any trig), and
+    the haversine must NOT block column pruning."""
+    import io
+    import sys as _sys
+
+    from platypus_ingestion_plugins_spark.operators import geo
+
+    df = spark.createDataFrame(
+        [(i, float(i % 90), float(i % 180), f"p{i}") for i in range(100)],
+        "id long, lat double, lon double, payload string",
+    )
+    path = str(tmp_path / "geo_plain")
+    df.write.parquet(path)
+    out = geo.geo_distance(
+        spark.read.parquet(path), "lat", "lon", 10.0, 20.0, 500.0
+    ).select("id", "dist_km")
+    buf = io.StringIO()
+    stdout, _sys.stdout = _sys.stdout, buf
+    try:
+        out.explain("formatted")
+    finally:
+        _sys.stdout = stdout
+    plan = buf.getvalue()
+    assert "GreaterThanOrEqual(lat" in plan and "LessThanOrEqual(lon" in plan
+    # column pruning: the unused payload column never leaves the scan
+    assert "payload" not in plan.split("ReadSchema")[1].splitlines()[0]
