@@ -10397,6 +10397,76 @@ FROM documents WHERE NOT coalesce(source = 'src3', FALSE)
 """
 
 
+def q_soft_dedup(spark, sf):
+    """Soft deduplication (NEW r15, operators/dedup.soft_dedup_weights
+    — SoftDeDup, He et al. 2024): every row kept, weighted 1/copies of
+    its exact content, so distinct content carries equal expected
+    sampling mass without the hard drop. One content-hash count + one
+    join back (the exact_dedup shape minus the drop); composes with
+    weighted_sample_wor/temperature_mix downstream."""
+    from platypus_ingestion_plugins_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    d = _t(spark, sf, "documents")
+    return soft_dedup_weights(d, "text", "doc_id").select(
+        "doc_id", "n_copies", "weight"
+    )
+
+
+SQL_SOFT_DEDUP = """
+WITH c AS (
+  SELECT text, CAST(count(*) AS BIGINT) AS n_copies
+  FROM documents GROUP BY text)
+SELECT d.doc_id, c.n_copies, round(1.0 / c.n_copies, 6) AS weight
+FROM documents d JOIN c USING (text)
+"""
+
+
+def q_json_validity(spark, sf):
+    """JSON-parseability profile (NEW r15, functions/text.
+    json_validity): per source, how many synthesized payloads parse —
+    the silent-scraper-breakage gate for structured-text corpora.
+    Payloads are deterministically derived (valid object / prose /
+    truncated object by doc_id mod 3) so both engines judge the same
+    strings; try_parse_json is JVM codegen, json_valid the DuckDB
+    twin; one partial-aggregatable groupBy."""
+    from platypus_ingestion_plugins_spark.functions.text import (
+        json_validity,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "source",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit('{"id": '), F.col("doc_id").cast("string"),
+                     F.lit(', "lang": "'), F.col("lang"), F.lit('"}')),
+        ).when(F.col("doc_id") % 3 == 1, F.col("text")).otherwise(
+            F.concat(F.lit('{"id": '), F.col("doc_id").cast("string"))
+        ).alias("payload"),
+    )
+    return json_validity(d, "payload", "source")
+
+
+SQL_JSON_VALIDITY = """
+WITH p AS (
+  SELECT source,
+         CASE WHEN doc_id % 3 = 0
+              THEN '{"id": ' || CAST(doc_id AS VARCHAR)
+                   || ', "lang": "' || lang || '"}'
+              WHEN doc_id % 3 = 1 THEN text
+              ELSE '{"id": ' || CAST(doc_id AS VARCHAR) END AS payload
+  FROM documents)
+SELECT source AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN payload IS NOT NULL AND json_valid(payload)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       round(sum(CASE WHEN payload IS NOT NULL AND json_valid(payload)
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS valid_rate
+FROM p WHERE source IS NOT NULL GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -10413,11 +10483,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # #4, recomputed from the CORRECTNESS_r01..r14 files by script):
     #   0.  the 19 r14 entries the driver never saw (judge-verified at
     #       sf0.01 in VERDICT r14), in r14 declaration order.
-    #   0b. the 20 NEW r15 entries. Sections 0+0b = 39 < 50.
+    #   0b. the 22 NEW r15 entries. Sections 0+0b = 41 < 50.
     #   1.  every previously-green entry ascending by its LAST
     #       driver-green round (r11 -> r12 -> r13 -> r14), each cohort
-    #       in its CORRECTNESS file order: the cap's remaining 11
-    #       slots cover the first 11 of the 48 r11-stale entries.
+    #       in its CORRECTNESS file order: the cap's remaining 9
+    #       slots cover the first 9 of the 48 r11-stale entries.
     return {
         # 0. the 19 r14 entries the driver never value-checked
         #    (judge-verified at sf0.01 in VERDICT r14) — they lead r15.
@@ -10462,10 +10532,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_search": q_synonym_search,
         "dsl_query": q_dsl_query,
         "update_by_query": q_update_by_query,
+        "soft_dedup": q_soft_dedup,
+        "json_validity": q_json_validity,
         # 1. stale cohorts, least-recently-driver-green first
         #    (r11 -> r12 -> r13 -> r14), each in its CORRECTNESS file
-        #    order. The 50-cap covers sections 0+0b (39: 19 r14 + 20
-        #    r15) plus the first 11 of the r11 cohort (cap boundary
+        #    order. The 50-cap covers sections 0+0b (41: 19 r14 + 22
+        #    r15) plus the first 9 of the r11 cohort (cap boundary
         #    marked below).
         # -- last driver-green in CORRECTNESS_r11 --
         "stream_profile": q_stream_profile,
@@ -10477,9 +10549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "paragraph_dedup": q_paragraph_dedup,
         "c4_filter": q_c4_filter,
+        # ---- 50-entry sweep cap falls HERE (41 + 9) ----
         "bigram_logprob": q_bigram_logprob,
         "stratified_interleave": q_stratified_interleave,
-        # ---- 50-entry sweep cap falls HERE (39 + 11) ----
         "semdedup_kmeans": q_semdedup_kmeans,
         "avro_roundtrip": q_avro_roundtrip,
         "budget_select": q_budget_select,
@@ -10697,6 +10769,8 @@ def oracle_sql() -> dict[str, str]:
         "synonym_search": SQL_SYNONYM_SEARCH,
         "dsl_query": SQL_DSL_QUERY,
         "update_by_query": SQL_UPDATE_BY_QUERY,
+        "soft_dedup": SQL_SOFT_DEDUP,
+        "json_validity": SQL_JSON_VALIDITY,
         "bpe_token_count": _bpe_oracle_sql(),
         "image_neardup": SQL_IMAGE_NEARDUP,
         "language_classifier": SQL_LANGUAGE_CLASSIFIER,

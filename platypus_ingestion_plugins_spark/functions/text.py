@@ -988,3 +988,31 @@ def pmi_pairs(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc()
     ).limit(top_n)
+
+
+def json_validity(df, col: str, by: str):
+    """JSON-parseability profile per group (NEW r15) — the corpus-
+    hygiene gate for code/config/structured-text sources: per ``by``
+    bucket, the row count, how many rows parse as JSON, and the valid
+    rate (6dp). A source whose validity rate drops between releases
+    is the canonical silent-scraper-breakage signal. NULL text rows
+    count as INVALID (a missing payload fails any parse); NULL group
+    keys carry no row (the facet convention).
+
+    Pure codegen: ``try_parse_json`` (the VARIANT parser — JVM-side,
+    no UDF) feeds one partial-aggregatable groupBy."""
+    valid = F.try_parse_json(F.col(col)).isNotNull().cast("int")
+    return (
+        df.where(F.col(by).isNotNull())
+        .groupBy(F.col(by).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(valid).cast("long").alias("n_valid"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "n_valid",
+            F.round(F.col("n_valid") / F.col("n"), 6).alias("valid_rate"),
+        )
+    )

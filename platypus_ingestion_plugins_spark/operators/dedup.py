@@ -2358,3 +2358,33 @@ def mask_repeated_spans_incremental(
         )
         .drop("__clean")
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Soft deduplication (NEW r15): instead of DROPPING duplicates,
+    weight each row by the inverse of its exact-content copy count —
+    every distinct content then contributes equal expected mass to a
+    weighted sample (``sampling.weighted_sample_wor`` /
+    ``temperature_mix`` compose downstream), the SoftDeDup reading
+    (He et al. 2024) that preserves natural duplication signal
+    without letting boilerplate dominate the mixture. Output: the
+    input rows + ``n_copies`` + ``weight`` (1/n_copies, 6dp).
+
+    One partial-aggregatable count over the content hash + one join
+    back on that hash — the exact_dedup shape, minus the drop."""
+    h = F.sha2(F.col(text_col), 256)
+    counts = (
+        df.select(h.alias("__h"))
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_copies"))
+    )
+    return (
+        df.withColumn("__h", h)
+        .join(counts, "__h")
+        .drop("__h")
+        .withColumn(
+            "weight", F.round(F.lit(1.0) / F.col("n_copies"), 6)
+        )
+    )

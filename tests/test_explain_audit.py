@@ -157,6 +157,8 @@ HEADLINE = [
     # serving-table build + CDC applies); its plan discipline is the
     # serving table's own, pinned by the table suite.
     "dsl_query",
+    "soft_dedup",
+    "json_validity",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.

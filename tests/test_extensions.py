@@ -7702,3 +7702,32 @@ def test_geo_box_filter_pushes_to_scan(spark, tmp_path):
     assert "GreaterThanOrEqual(lat" in plan and "LessThanOrEqual(lon" in plan
     # column pruning: the unused payload column never leaves the scan
     assert "payload" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_soft_dedup_weights(spark):
+    """NEW r15: SoftDeDup weighting. Duplicate content gets weight
+    1/n_copies (so each distinct content carries equal expected
+    sampling mass); uniques keep 1.0; all rows survive."""
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "same text"),
+         (4, "unique one")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_copies"], r["weight"])
+           for r in dedup.soft_dedup_weights(df, "text", "doc_id").collect()}
+    assert got == {1: (3, round(1 / 3, 6)), 2: (3, round(1 / 3, 6)),
+                   3: (3, round(1 / 3, 6)), 4: (1, 1.0)}
+
+
+def test_json_validity_profile(spark):
+    """NEW r15: JSON-parseability per source. Valid objects/scalars
+    count, garbage and NULL payloads don't; NULL groups drop."""
+    rows = [
+        ("a", '{"x": 1}'), ("a", "not json"), ("a", None),
+        ("b", "[1, 2, 3]"), ("b", '{"y": "z"}'),
+        (None, '{"x": 1}'),
+    ]
+    df = spark.createDataFrame(rows, "src string, payload string")
+    got = {r["bucket"]: (r["n"], r["n_valid"], r["valid_rate"])
+           for r in TX.json_validity(df, "payload", "src").collect()}
+    assert got == {"a": (3, 1, round(1 / 3, 6)), "b": (2, 2, 1.0)}
