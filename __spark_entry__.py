@@ -10467,6 +10467,228 @@ FROM p WHERE source IS NOT NULL GROUP BY source
 """
 
 
+def q_aggs_dsl(spark, sf):
+    """ES aggregations-DSL executor (NEW r15, serving/aggs.run_aggs):
+    a stored Kibana-style request body — query + terms(source, top 4)
+    → terms(lang, top 2) → stats + value_count metrics — runs
+    unchanged as ONE groupBy over both keys with window-sum cuts over
+    the aggregated bucket grid; the oracle replays the rectangle with
+    GROUP BY + dense_rank windows, so the per-parent top-N semantics
+    (ranked by the parent's TOTAL doc_count) are value-checked."""
+    from platypus_ingestion_plugins_spark.serving.aggs import run_aggs
+
+    d = _t(spark, sf, "documents")
+    return run_aggs(d, {
+        "query": {"range": {"n_chars": {"gte": 100}}},
+        "aggs": {
+            "by_source": {
+                "terms": {"field": "source", "size": 4},
+                "aggs": {
+                    "by_lang": {
+                        "terms": {"field": "lang", "size": 2},
+                        "aggs": {
+                            "len": {"stats": {"field": "n_chars"}},
+                            "n_docs": {"value_count": {"field": "doc_id"}},
+                        },
+                    }
+                },
+            }
+        },
+    })
+
+
+SQL_AGGS_DSL = """
+WITH f AS (
+  SELECT * FROM documents
+  WHERE n_chars >= 100 AND source IS NOT NULL AND lang IS NOT NULL),
+g AS (
+  SELECT source, lang,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         CAST(count(n_chars) AS BIGINT) AS len_count,
+         min(n_chars) AS len_min, max(n_chars) AS len_max,
+         avg(n_chars) AS len_avg,
+         CAST(sum(n_chars) AS BIGINT) AS len_sum,
+         CAST(count(doc_id) AS BIGINT) AS n_docs
+  FROM f GROUP BY 1, 2),
+c1 AS (SELECT source, sum(doc_count) AS src_cnt FROM g GROUP BY source),
+r1 AS (
+  SELECT g.*, dense_rank() OVER (
+    ORDER BY c1.src_cnt DESC, g.source ASC
+  ) AS rk1 FROM g JOIN c1 USING (source)),
+r2 AS (
+  SELECT *, dense_rank() OVER (
+    PARTITION BY source ORDER BY doc_count DESC, lang ASC
+  ) AS rk2 FROM r1 WHERE rk1 <= 4)
+SELECT source AS by_source, lang AS by_lang, doc_count,
+       len_count, len_min, len_max, len_avg, len_sum, n_docs
+FROM r2 WHERE rk2 <= 2
+"""
+
+
+def q_aggs_dsl_range(spark, sf):
+    """ES aggs-DSL range + filters coverage (NEW r15, serving/aggs.
+    run_aggs): value bands (half-open [from, to), ES key format) with
+    an avg metric under a filters-parsed query — the multi-membership
+    explode leaves of the executor; the oracle replays the bands as a
+    CASE over non-overlapping ranges."""
+    from platypus_ingestion_plugins_spark.serving.aggs import run_aggs
+
+    e = _events_ts(spark, sf)
+    return run_aggs(e, {
+        "query": {"bool": {"must_not": [
+            {"term": {"event_type": "error"}}]}},
+        "aggs": {
+            "bands": {
+                "range": {"field": "value", "ranges": [
+                    {"to": 10}, {"from": 10, "to": 60}, {"from": 60},
+                ]},
+                "aggs": {"v_avg": {"avg": {"field": "value"}}},
+            }
+        },
+    })
+
+
+SQL_AGGS_DSL_RANGE = """
+WITH f AS (
+  SELECT CASE WHEN value < 10 THEN '*-10'
+              WHEN value >= 10 AND value < 60 THEN '10-60'
+              WHEN value >= 60 THEN '60-*' END AS bands,
+         value
+  FROM events
+  WHERE NOT coalesce(event_type = 'error', FALSE) AND value IS NOT NULL)
+SELECT bands, CAST(count(*) AS BIGINT) AS doc_count, avg(value) AS v_avg
+FROM f WHERE bands IS NOT NULL GROUP BY bands
+"""
+
+
+def q_simple_query(spark, sf):
+    """simple_query_string (NEW r15, serving/query.
+    simple_query_string): the end-user search-box syntax — phrase,
+    trailing-* prefix, a fuzzy suffix degrading to exact, and a
+    prohibited term, under default OR (at least one optional clause
+    matches). The oracle replays each clause over the tokenized field
+    with the dsl_query conventions."""
+    d = _t(spark, sf, "documents")
+    return d.filter(
+        SQ.simple_query_string("text", '"query plan" merg* fast~2 -shuffle')
+    ).select("doc_id", "lang", "source")
+
+
+SQL_SIMPLE_QUERY = """
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split_regex(lower(text), '\\W+'),
+                     x -> x <> '') AS t
+  FROM documents)
+SELECT doc_id, lang, source
+FROM toks
+WHERE (contains(' ' || array_to_string(t, ' ') || ' ', ' query plan ')
+       OR len(list_filter(t, x -> x LIKE 'merg%')) > 0
+       OR list_contains(t, 'fast'))
+  AND NOT list_contains(t, 'shuffle')
+"""
+
+
+def q_triangle_count(spark, sf):
+    """Per-node triangle counts (NEW r15, operators/graph.
+    triangle_count) over a deterministic hash-derived user graph
+    (3 pseudo-random neighbors per user via Knuth multiplicative
+    hashing mod the id space — the order-key-derived-input rule, so
+    both engines build the SAME graph): degree-ordered wedge join
+    (Suri & Vassilvitskii 2011), every pair stage bounded O(m^1.5);
+    the oracle enumerates a<b<c triangles with plain self-joins."""
+    from platypus_ingestion_plugins_spark.operators.graph import (
+        triangle_count,
+    )
+
+    users = (
+        _t(spark, sf, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(F.col("user_id").alias("u"))
+        .distinct()
+    )
+    m = users.agg((F.max("u") + F.lit(1)).alias("m"))
+    ks = spark.range(1, 4).select(F.col("id").alias("k"))
+    raw = (
+        users.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "u",
+            F.pmod(
+                F.pmod(F.col("u"), F.lit(1000003)) * F.lit(2654435761)
+                + F.col("k") * F.lit(40503),
+                F.col("m"),
+            ).alias("v"),
+        )
+    )
+    edges = raw.where(F.col("u") != F.col("v"))
+    return triangle_count(edges, "u", "v")
+
+
+SQL_TRIANGLE_COUNT = """
+WITH users AS (
+  SELECT DISTINCT user_id AS u FROM events WHERE user_id IS NOT NULL),
+m AS (SELECT max(u) + 1 AS m FROM users),
+raw AS (
+  SELECT u, ((u % 1000003) * 2654435761 + k * 40503) % m.m AS v
+  FROM users, m, (VALUES (1), (2), (3)) AS ks(k)),
+e AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM raw WHERE u <> v),
+nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e),
+tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+corners AS (
+  SELECT x AS n FROM tris
+  UNION ALL SELECT y FROM tris
+  UNION ALL SELECT z FROM tris),
+c AS (SELECT n, CAST(count(*) AS BIGINT) AS triangles FROM corners GROUP BY n)
+SELECT nodes.n AS node, coalesce(c.triangles, 0) AS triangles
+FROM nodes LEFT JOIN c ON nodes.n = c.n
+"""
+
+
+def q_fim_split(spark, sf):
+    """Fill-in-the-middle transform (NEW r15, functions/text.
+    fim_transform): a deterministic half of the docs re-render as
+    <pre>prefix<suf>suffix<mid>middle at key-derived cut points
+    (Bavarian et al. 2022's PSM mode), the rest pass through; the
+    oracle replays the multiplicative-hash pick and the substring
+    tiling character for character."""
+    from platypus_ingestion_plugins_spark.functions.text import (
+        fim_transform,
+    )
+
+    d = _t(spark, sf, "documents")
+    return fim_transform(d, rate=0.5).select("doc_id", "fim", "fim_text")
+
+
+SQL_FIM_SPLIT = """
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n, doc_id % 1000003 AS kh
+  FROM documents),
+c AS (
+  SELECT *,
+         ((kh * 2654435761) % 1000000 < 500000
+          AND text IS NOT NULL) AS picked,
+         least((kh * 40503 + 12345) % (n + 1),
+               (kh * 69069 + 54321) % (n + 1)) AS lo,
+         greatest((kh * 40503 + 12345) % (n + 1),
+                  (kh * 69069 + 54321) % (n + 1)) AS hi
+  FROM b)
+SELECT doc_id, coalesce(picked, FALSE) AS fim,
+       CASE WHEN coalesce(picked, FALSE)
+            THEN '<|fim_prefix|>' || substr(text, 1, lo)
+                 || '<|fim_suffix|>' || substr(text, hi + 1, n - hi)
+                 || '<|fim_middle|>' || substr(text, lo + 1, hi - lo)
+            ELSE text END AS fim_text
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -10534,6 +10756,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_by_query": q_update_by_query,
         "soft_dedup": q_soft_dedup,
         "json_validity": q_json_validity,
+        "aggs_dsl": q_aggs_dsl,
+        "aggs_dsl_range": q_aggs_dsl_range,
+        "simple_query": q_simple_query,
+        "triangle_count": q_triangle_count,
+        "fim_split": q_fim_split,
         # 1. stale cohorts, least-recently-driver-green first
         #    (r11 -> r12 -> r13 -> r14), each in its CORRECTNESS file
         #    order. The 50-cap covers sections 0+0b (41: 19 r14 + 22
@@ -10771,6 +10998,11 @@ def oracle_sql() -> dict[str, str]:
         "update_by_query": SQL_UPDATE_BY_QUERY,
         "soft_dedup": SQL_SOFT_DEDUP,
         "json_validity": SQL_JSON_VALIDITY,
+        "aggs_dsl": SQL_AGGS_DSL,
+        "aggs_dsl_range": SQL_AGGS_DSL_RANGE,
+        "simple_query": SQL_SIMPLE_QUERY,
+        "triangle_count": SQL_TRIANGLE_COUNT,
+        "fim_split": SQL_FIM_SPLIT,
         "bpe_token_count": _bpe_oracle_sql(),
         "image_neardup": SQL_IMAGE_NEARDUP,
         "language_classifier": SQL_LANGUAGE_CLASSIFIER,

@@ -1016,3 +1016,61 @@ def json_validity(df, col: str, by: str):
             F.round(F.col("n_valid") / F.col("n"), 6).alias("valid_rate"),
         )
     )
+
+
+def fim_transform(
+    df,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    rate: float = 0.5,
+    pre_tok: str = "<|fim_prefix|>",
+    suf_tok: str = "<|fim_suffix|>",
+    mid_tok: str = "<|fim_middle|>",
+):
+    """Fill-in-the-middle pretraining transform (NEW r15; Bavarian et
+    al. 2022, "Efficient Training of Language Models to Fill in the
+    Middle") — the formatting step between curation and packing for
+    code/infilling corpora: a deterministic ``rate`` fraction of docs
+    split at two content-independent cut points into
+    (prefix, middle, suffix) and re-render in PSM order
+    ``<pre>prefix<suf>suffix<mid>middle``; the rest pass through
+    unchanged. Output: the input columns plus ``fim`` (bool) and
+    ``fim_text`` (the training payload — rendered PSM for transformed
+    rows, the original text otherwise).
+
+    Everything derives from ``key_col`` by multiplicative hashing
+    (Knuth constants), NOT from a random source: reruns, replays and
+    the two halves of a diffed release transform the SAME docs at the
+    SAME cut points — the determinism rule every sampling operator in
+    this engine follows (``dataset_split``'s hash-membership
+    precedent). Cut points are uniform over [0, len] and order-fixed
+    with least/greatest, so prefix/middle/suffix tile the exact
+    original (empty spans allowed, ES-of-substr semantics). NULL text
+    passes through untransformed (``fim`` false, ``fim_text`` NULL).
+    Pure codegen substring arithmetic — no UDF, no shuffle; composes
+    map-side with ``pack_texts``/``pack_bins`` downstream."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate!r}")
+    # fold the key below 2**20 BEFORE the Knuth multiply: a raw
+    # 100 TB-scale id times 2654435761 overflows BIGINT, and Spark 4's
+    # ANSI default turns that into a runtime error mid-corpus
+    key = F.pmod(F.col(key_col).cast("long"), F.lit(1000003))
+    text = F.col(text_col)
+    n = F.length(text)
+    picked = F.coalesce(
+        (F.pmod(key * F.lit(2654435761), F.lit(1000000)) <
+         F.lit(int(round(rate * 1000000)))) & text.isNotNull(),
+        F.lit(False),
+    )
+    r1 = F.pmod(key * F.lit(40503) + F.lit(12345), n + F.lit(1))
+    r2 = F.pmod(key * F.lit(69069) + F.lit(54321), n + F.lit(1))
+    lo, hi = F.least(r1, r2), F.greatest(r1, r2)
+    prefix = F.substring(text, F.lit(1), lo)
+    middle = F.substring(text, lo + F.lit(1), hi - lo)
+    suffix = F.substring(text, hi + F.lit(1), n - hi)
+    rendered = F.concat(
+        F.lit(pre_tok), prefix, F.lit(suf_tok), suffix, F.lit(mid_tok), middle
+    )
+    return df.withColumn("fim", picked).withColumn(
+        "fim_text", F.when(picked, rendered).otherwise(text)
+    )

@@ -120,3 +120,83 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def triangle_count(
+    edges: DataFrame, src: str, dst: str
+) -> DataFrame:
+    """Per-node triangle counts (NEW r15) — the clustering signal next
+    to PageRank's centrality: how many triangles each node closes in
+    the UNDIRECTED graph under ``edges`` (direction and duplicate
+    edges ignored; self-loops dropped). Output ``(node, triangles)``
+    for every node on at least one edge, zero rows included.
+
+    Spark-first shape — the degree-ordered wedge join (Suri &
+    Vassilvitskii 2011, "Counting triangles and the curse of the last
+    reducer"): canonicalize + dedup the edge set, compute degrees, and
+    orient every edge from its LOWER-(degree, id) endpoint to the
+    higher. Each node then generates wedges only among its
+    higher-ranked neighbors, so a celebrity node of degree d produces
+    O(matched pairs) wedges from its few lower-ranked edges instead of
+    d^2 — total wedge volume is O(m^1.5) regardless of skew, the
+    property that makes this the 100 TB shape. The pipeline is three
+    self-joins/groupBys all hash-partitioned on node ids:
+    wedges(a,b,c) from oriented edges (a->b, a->c, b<c), closed by an
+    oriented edge (b->c); each closed triangle credits all three
+    corners via one map-side explode + a partial-aggregatable count.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v")))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient low-(degree, id) -> high-(degree, id)
+    ranked = (
+        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"),
+               "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"),
+              "v")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    l1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    l2 = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    wedges = l1.join(l2, "a").where(F.col("b") < F.col("c"))
+    closed = wedges.join(
+        # the closing edge may be oriented either way relative to the
+        # wedge's VALUE-ordered (b, c); unionByName — a positional
+        # union would silently re-emit the same direction twice and
+        # double every count
+        oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
+        .unionByName(
+            oriented.select(F.col("s").alias("c"), F.col("t").alias("b"))
+        ),
+        ["b", "c"],
+    )
+    corners = closed.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    tri = corners.groupBy("node").agg(
+        (F.count(F.lit(1))).alias("triangles")
+    )
+    nodes = deg.select(F.col("n").alias("node"))
+    return (
+        nodes.join(tri, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+        )
+    )

@@ -28,3 +28,4 @@ from platypus_ingestion_plugins_spark.serving.text_index import (  # noqa: F401
     delete_docs,
     compact_term_index,
 )
+from platypus_ingestion_plugins_spark.serving.aggs import run_aggs  # noqa: F401

@@ -1,0 +1,393 @@
+"""Elasticsearch aggregations-DSL executor (NEW r15).
+
+The read-side twin of ``serving/query.parse_query``: where that
+compiles the ``query`` half of an ES request body, ``run_aggs`` runs
+the ``aggs`` half — the JSON a Kibana dashboard or search client
+already stores — as ONE Spark aggregation plan.  An ES user's saved
+request body (``{"query": ..., "aggs": ...}``) runs unchanged and
+returns one rectangular DataFrame: bucket-key columns named after the
+bucket aggs, ``doc_count`` per innermost bucket, metric columns named
+after the metric aggs.
+
+Supported bucket aggs (ES names): ``terms`` (per-parent top-``size``
+by doc_count desc then key asc, ``min_doc_count``), ``histogram``
+(fixed ``interval``; ``min_doc_count: 0`` densifies the grid over the
+per-parent extent, innermost level only), ``date_histogram``
+(``calendar_interval`` hour/day/week/month), ``range`` (half-open
+[from, to) bands, a doc may land in several — ES semantics), and
+``filters`` (named sub-queries, each body parsed by ``parse_query``).
+Supported metric aggs: ``avg sum min max value_count cardinality
+stats`` (stats expands to ``<name>_count/_min/_max/_avg/_sum``;
+cardinality is EXACT where ES uses HyperLogLog — same contract as
+``percentile_ranks_facet`` being exact where ES TDigests).  One
+documented deviation: a declared ``range``/``filters`` bucket that
+matches zero docs elides from the result (ES returns it with
+doc_count 0) — the output rectangle carries only realized buckets;
+the histogram/date_histogram ``min_doc_count: 0`` grid is the
+densified surface.
+
+Shape restriction (raised loudly, never silently reshaped): each
+nesting level holds EITHER one bucket agg (with optional ``aggs``
+below) OR only metric aggs — i.e. one bucket CHAIN with metrics at
+the innermost level, the dominant dashboard shape (terms →
+date_histogram → metrics).  Sibling bucket aggs or a metric next to a
+bucket would need several result rectangles — run them as separate
+``run_aggs`` calls, exactly like issuing two ES requests.
+
+Plan shape: multi-bucket leaves (range/filters) explode map-side from
+an inline array (the ``facet_counts`` shape); the whole chain then
+folds into ONE partial-aggregatable ``groupBy`` over all bucket keys.
+``size``/``min_doc_count`` cuts are windows over the AGGREGATED
+bucket grid — one row per bucket combination, never the corpus — with
+per-level doc_counts recovered as window sums, so a parent's top-N is
+ranked by its TOTAL count (ES semantics), not per-child slices.  The
+corpus shuffles exactly once, on the full key tuple.
+
+Reference: the NRTSearch sink this engine's serving side mirrors
+exposes Lucene facets the same way (`PaimonRowProcessor.java` feeds
+the index the fields these aggs read); the DSL itself is public ES
+API surface.
+"""
+
+from __future__ import annotations
+
+import json as _json
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_BUCKET_TYPES = {"terms", "histogram", "date_histogram", "range", "filters"}
+_METRIC_TYPES = {
+    "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
+}
+_CALENDAR = {"hour", "day", "week", "month"}
+
+
+def _split_level(aggs: dict, path: str):
+    """One DSL level -> (bucket (name, type, body, sub) | None,
+    [(metric name, type, body), ...]); raises on unsupported shapes."""
+    if not isinstance(aggs, dict) or not aggs:
+        raise ValueError(f"{path}: aggs must be a non-empty object")
+    bucket = None
+    metrics = []
+    for name, spec in aggs.items():
+        if not isinstance(spec, dict):
+            raise ValueError(f"{path}.{name}: agg body must be an object")
+        sub = spec.get("aggs", spec.get("aggregations"))
+        types = [k for k in spec if k not in ("aggs", "aggregations")]
+        if len(types) != 1:
+            raise ValueError(
+                f"{path}.{name}: expected exactly one agg type, got {types}"
+            )
+        t = types[0]
+        if t in _BUCKET_TYPES:
+            if bucket is not None:
+                raise ValueError(
+                    f"{path}: sibling bucket aggs ({bucket[0]!r}, {name!r}) "
+                    "need separate result rectangles — run them as two "
+                    "run_aggs calls"
+                )
+            bucket = (name, t, spec[t], sub)
+        elif t in _METRIC_TYPES:
+            if sub:
+                raise ValueError(f"{path}.{name}: metric aggs take no sub-aggs")
+            metrics.append((name, t, spec[t]))
+        else:
+            raise ValueError(
+                f"{path}.{name}: unsupported agg type {t!r} "
+                f"(buckets: {sorted(_BUCKET_TYPES)}, "
+                f"metrics: {sorted(_METRIC_TYPES)})"
+            )
+    if bucket is not None and metrics:
+        raise ValueError(
+            f"{path}: metric agg(s) {[m[0] for m in metrics]} next to bucket "
+            f"agg {bucket[0]!r} would apply to the parent scope — nest them "
+            "inside the bucket's own 'aggs'"
+        )
+    return bucket, metrics
+
+
+def _require(body: dict, path: str, required: set, optional: set):
+    if not isinstance(body, dict):
+        raise ValueError(f"{path}: body must be an object, got {body!r}")
+    missing = required - set(body)
+    unknown = set(body) - required - optional
+    if missing or unknown:
+        raise ValueError(
+            f"{path}: missing keys {sorted(missing)}, unknown keys "
+            f"{sorted(unknown)}"
+        )
+
+
+class _Level:
+    """One bucket level: projected key column + post-agg cut policy."""
+
+    def __init__(self, name, key_expr, size=None, min_doc_count=1,
+                 densify=None, drop_null_key=True):
+        self.name = name
+        self.key_expr = key_expr
+        self.size = size
+        self.min_doc_count = min_doc_count
+        self.densify = densify  # (interval Column, kind) for histogram mdc=0
+        self.drop_null_key = drop_null_key
+
+
+def _compile_bucket(name, btype, body, innermost: bool) -> tuple:
+    """-> (_Level, explode_pairs | None). explode_pairs is a Column of
+    array<struct<k,...>> for multi-membership leaves (range/filters)."""
+    path = f"aggs.{name}"
+    if btype == "terms":
+        _require(body, path, {"field"}, {"size", "min_doc_count"})
+        return _Level(
+            name, F.col(body["field"]).cast("string"),
+            size=int(body.get("size", 10)),
+            min_doc_count=int(body.get("min_doc_count", 1)),
+        ), None
+    if btype == "histogram":
+        _require(body, path, {"field", "interval"}, {"min_doc_count"})
+        interval = float(body["interval"])
+        if interval <= 0:
+            raise ValueError(f"{path}: interval must be > 0")
+        mdc = int(body.get("min_doc_count", 0))
+        key = (
+            F.floor(F.col(body["field"]) / F.lit(interval)) * F.lit(interval)
+        ).cast("double")
+        densify = None
+        if mdc == 0:
+            if not innermost:
+                raise ValueError(
+                    f"{path}: min_doc_count=0 (gap-free grid) is only "
+                    "supported at the innermost bucket level — empty "
+                    "buckets have no sub-bucket rows to carry"
+                )
+            densify = (F.lit(interval), "num")
+        return _Level(name, key, min_doc_count=max(mdc, 0) or 0,
+                      densify=densify), None
+    if btype == "date_histogram":
+        _require(body, path, {"field", "calendar_interval"},
+                 {"min_doc_count"})
+        unit = body["calendar_interval"]
+        if unit not in _CALENDAR:
+            raise ValueError(
+                f"{path}: calendar_interval must be one of "
+                f"{sorted(_CALENDAR)}, got {unit!r}"
+            )
+        mdc = int(body.get("min_doc_count", 0))
+        key = F.date_trunc(unit, F.col(body["field"]))
+        densify = None
+        if mdc == 0:
+            if not innermost:
+                raise ValueError(
+                    f"{path}: min_doc_count=0 (the ES default — a gap-free "
+                    "grid) is only supported at the innermost bucket level; "
+                    "set min_doc_count>=1 on a mid-chain date_histogram"
+                )
+            step_sql = {"hour": "INTERVAL 1 HOUR", "day": "INTERVAL 1 DAY",
+                        "week": "INTERVAL 7 DAY", "month": "INTERVAL 1 MONTH"}
+            densify = (F.expr(step_sql[unit]), "ts")
+        return _Level(name, key, min_doc_count=mdc, densify=densify), None
+    if btype == "range":
+        _require(body, path, {"field", "ranges"}, set())
+        ranges = body["ranges"]
+        if not isinstance(ranges, list) or not ranges:
+            raise ValueError(f"{path}: ranges must be a non-empty list")
+        col = F.col(body["field"])
+        entries = []
+        for r in ranges:
+            _require(r, f"{path}.ranges[]", set(), {"from", "to", "key"})
+            lo, hi = r.get("from"), r.get("to")
+            if lo is None and hi is None:
+                raise ValueError(f"{path}: a range needs 'from' and/or 'to'")
+            key = r.get("key")
+            if key is None:
+                key = (f"{'*' if lo is None else lo}-"
+                       f"{'*' if hi is None else hi}")
+            pred = F.lit(True)
+            if lo is not None:
+                pred = pred & (col >= F.lit(float(lo)))
+            if hi is not None:
+                pred = pred & (col < F.lit(float(hi)))
+            entries.append(
+                F.when(pred & col.isNotNull(), F.lit(str(key)))
+            )
+        pairs = F.array_compact(F.array(*entries))
+        return _Level(name, None), pairs
+    if btype == "filters":
+        from platypus_ingestion_plugins_spark.serving.query import parse_query
+        _require(body, path, {"filters"}, set())
+        named = body["filters"]
+        if not isinstance(named, dict) or not named:
+            raise ValueError(f"{path}: filters must be a non-empty object")
+        entries = [
+            F.when(parse_query(q), F.lit(str(fname)))
+            for fname, q in named.items()
+        ]
+        pairs = F.array_compact(F.array(*entries))
+        return _Level(name, None), pairs
+    raise AssertionError(btype)
+
+
+def _metric_exprs(metrics) -> list:
+    out = []
+    for name, t, body in metrics:
+        _require(body, f"aggs.{name}", {"field"}, set())
+        col = F.col(body["field"])
+        if t == "avg":
+            out.append(F.avg(col).alias(name))
+        elif t == "sum":
+            out.append(F.sum(col).alias(name))
+        elif t == "min":
+            out.append(F.min(col).alias(name))
+        elif t == "max":
+            out.append(F.max(col).alias(name))
+        elif t == "value_count":
+            out.append(F.count(col).alias(name))
+        elif t == "cardinality":
+            # exact where ES HyperLogLogs — documented contract
+            out.append(F.count_distinct(col).alias(name))
+        elif t == "stats":
+            out.extend([
+                F.count(col).alias(f"{name}_count"),
+                F.min(col).alias(f"{name}_min"),
+                F.max(col).alias(f"{name}_max"),
+                F.avg(col).alias(f"{name}_avg"),
+                F.sum(col).alias(f"{name}_sum"),
+            ])
+        else:
+            raise AssertionError(t)
+    return out
+
+
+def run_aggs(df: DataFrame, dsl) -> DataFrame:
+    """Run an ES request body's ``aggs`` (plus optional ``query``)
+    against ``df``; see the module docstring for the supported surface
+    and the one-bucket-chain shape rule.  Accepts a dict or a JSON
+    string.  Returns one row per innermost bucket combination with the
+    bucket-key columns (named after the bucket aggs), ``doc_count``,
+    and any metric columns."""
+    if isinstance(dsl, str):
+        try:
+            dsl = _json.loads(dsl)
+        except ValueError as e:
+            raise ValueError(f"invalid aggs JSON: {e}") from None
+    if not isinstance(dsl, dict):
+        raise ValueError(f"aggs DSL must be an object, got {dsl!r}")
+    known = {"query", "aggs", "aggregations"}
+    unknown = set(dsl) - known
+    if unknown:
+        raise ValueError(f"unknown request keys {sorted(unknown)}")
+    if dsl.get("query") is not None:
+        from platypus_ingestion_plugins_spark.serving.query import parse_query
+        df = df.filter(parse_query(dsl["query"]))
+    aggs = dsl.get("aggs", dsl.get("aggregations"))
+    if aggs is None:
+        raise ValueError("request has no 'aggs'")
+
+    # Linearize the bucket chain.
+    levels: list[_Level] = []
+    explode_at: list = []  # (level index, pairs Column)
+    node = aggs
+    metrics = []
+    while node is not None:
+        bucket, lvl_metrics = _split_level(node, "aggs")
+        if bucket is None:
+            metrics = lvl_metrics
+            break
+        name, btype, body, sub = bucket
+        # innermost = no bucket agg BELOW (metric-only sub-aggs keep
+        # this level innermost for the gap-free-grid rule)
+        innermost = sub is None or _split_level(sub, f"aggs.{name}")[0] is None
+        lvl, pairs = _compile_bucket(name, btype, body, innermost=innermost)
+        if pairs is not None:
+            explode_at.append((len(levels), pairs))
+        levels.append(lvl)
+        node = sub
+    if not levels and not metrics:
+        raise ValueError("aggs resolved to neither buckets nor metrics")
+
+    # Project bucket keys (multi-membership leaves explode map-side).
+    for i, lvl in enumerate(levels):
+        pairs = next((p for j, p in explode_at if j == i), None)
+        if pairs is not None:
+            df = df.withColumn(lvl.name, F.explode(pairs))
+        else:
+            df = df.withColumn(lvl.name, lvl.key_expr)
+            if lvl.drop_null_key:
+                df = df.where(F.col(lvl.name).isNotNull())
+
+    keys = [lvl.name for lvl in levels]
+    if not keys:
+        return df.agg(*_metric_exprs(metrics))
+    grouped = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("doc_count"), *_metric_exprs(metrics)
+    )
+
+    # Histogram/date-histogram gap-free grid (innermost level only):
+    # per-parent extent -> sequence -> left join. Grid frames are
+    # bucket-bounded (a plot axis, never the corpus).
+    last = levels[-1]
+    if last.densify is not None:
+        step, kind = last.densify
+        parents = keys[:-1]
+        ext = grouped.groupBy(*parents).agg(
+            F.min(last.name).alias("__lo"), F.max(last.name).alias("__hi")
+        ) if parents else grouped.agg(
+            F.min(last.name).alias("__lo"), F.max(last.name).alias("__hi")
+        )
+        if kind == "num":
+            # float sequence via integer steps (F.sequence is int/ts)
+            grid = ext.select(
+                *parents,
+                F.explode(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            F.round((F.col("__hi") - F.col("__lo")) / step)
+                            .cast("long"),
+                        ),
+                        lambda i: (F.col("__lo") + i.cast("double") * step)
+                        .cast("double"),
+                    )
+                ).alias(last.name),
+            )
+        else:
+            grid = ext.select(
+                *parents,
+                F.explode(
+                    F.sequence(F.col("__lo"), F.col("__hi"), step)
+                ).alias(last.name),
+            )
+        fill = [F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count")]
+        metric_cols = [c for c in grouped.columns
+                       if c not in keys and c != "doc_count"]
+        grouped = grid.join(grouped, on=parents + [last.name], how="left") \
+            .select(*keys, *fill, *[F.col(c) for c in metric_cols])
+
+    # Per-level min_doc_count / terms-size cuts over the aggregated
+    # bucket grid. Level i's bucket count = window sum of doc_count
+    # over keys[:i+1]; its rank orders SIBLINGS under keys[:i].
+    out = grouped
+    for i, lvl in enumerate(levels):
+        if lvl.size is None and lvl.min_doc_count <= (
+            0 if lvl.densify is not None else 1
+        ):
+            continue
+        part = keys[: i + 1]
+        lvl_cnt = F.sum("doc_count").over(Window.partitionBy(*part))
+        if lvl.min_doc_count > (0 if lvl.densify is not None else 1):
+            out = out.withColumn("__lc", lvl_cnt).where(
+                F.col("__lc") >= F.lit(lvl.min_doc_count)
+            ).drop("__lc")
+            lvl_cnt = F.sum("doc_count").over(Window.partitionBy(*part))
+        if lvl.size is not None:
+            w = Window.partitionBy(*keys[:i]).orderBy(
+                lvl_cnt.desc(), F.col(lvl.name).asc()
+            ) if i else Window.partitionBy().orderBy(
+                lvl_cnt.desc(), F.col(lvl.name).asc()
+            )
+            out = (
+                out.withColumn("__rk", F.dense_rank().over(w))
+                .where(F.col("__rk") <= F.lit(lvl.size))
+                .drop("__rk")
+            )
+    return out

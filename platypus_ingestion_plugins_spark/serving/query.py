@@ -389,6 +389,65 @@ def _parse_node(node) -> Column:
     return match_regexp(field, text)  # qtype == "regexp"
 
 
+def simple_query_string(
+    field: str, query: str, default_operator: str = "or"
+) -> Column:
+    """Lucene ``SimpleQueryParser`` / ES ``simple_query_string`` (NEW
+    r15): the end-user search-box syntax — never raises on user input,
+    by contract. Supported operators: ``+term`` (required), ``-term``
+    (prohibited), ``"quoted phrase"``, trailing ``*`` (prefix), bare
+    terms joined by ``default_operator`` ("or": at least one optional
+    term matches when nothing is required; "and": every term matches —
+    the Lucene BooleanQuery defaults ``bool_query`` already encodes).
+
+    Lenient dialect (documented degradations, matching the parser's
+    never-fail contract): ``|``/``(``/``)`` analyze away as term
+    separators, so grouping degrades to the default operator; a fuzzy
+    suffix ``~N`` strips to the exact term; a token that analyzes to
+    several terms contributes each term as its own clause; an
+    unbalanced quote reads as plain terms. A query whose every clause
+    analyzes to nothing compiles to FALSE — Lucene's
+    ``MatchNoDocsQuery`` for empty input, NOT match-all (the
+    stored-query typo rule ``parse_query`` enforces by raising; a
+    search box must stay silent instead)."""
+    import re
+
+    if default_operator not in ("or", "and"):
+        raise ValueError(
+            f"default_operator must be 'or' or 'and', got {default_operator!r}"
+        )
+    must: list[Column] = []
+    should: list[Column] = []
+    must_not: list[Column] = []
+    for sign, phrase, tok in re.findall(
+        r'([+-]?)(?:"([^"]*)"|(\S+))', query or ""
+    ):
+        dest = (
+            must_not if sign == "-"
+            else must if sign == "+" or default_operator == "and"
+            else should
+        )
+        if tok == "" and phrase is not None:
+            if _py_tokenize(phrase):
+                dest.append(match_phrase(field, phrase))
+            continue
+        tok = re.sub(r"~\d*$", "", tok)  # fuzzy degrades to exact
+        if tok.endswith("*"):
+            stem_toks = _py_tokenize(tok[:-1])
+            if not stem_toks:
+                continue
+            if len(stem_toks) == 1:
+                dest.append(match_prefix(field, stem_toks[0]))
+            else:
+                dest.append(match_phrase_prefix(field, " ".join(stem_toks)))
+            continue
+        for t in _py_tokenize(tok):
+            dest.append(F.array_contains(tokenize(field), t))
+    if not must and not should and not must_not:
+        return F.lit(False)
+    return bool_query(must=must, should=should, must_not=must_not)
+
+
 def match_score(field: str, query: str) -> Column:
     """Deterministic relevance for ranked full-text: the number of
     DISTINCT query tokens present in the field (the coordination
