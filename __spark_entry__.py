@@ -10771,12 +10771,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretraining_mix": q_pretraining_mix,
         "corpus_overlap": q_corpus_overlap,
         "tar_scrub": q_tar_scrub,
+        # ---- 50-entry sweep cap falls HERE (46 + 4: the r15-tail
+        # batch displaced corpus_profile..c4_filter, each re-verified
+        # by targeted check_oracle on displacement) ----
         "corpus_profile": q_corpus_profile,
         "quality_classifier": q_quality_classifier,
         "url_dedup": q_url_dedup,
         "paragraph_dedup": q_paragraph_dedup,
         "c4_filter": q_c4_filter,
-        # ---- 50-entry sweep cap falls HERE (41 + 9) ----
         "bigram_logprob": q_bigram_logprob,
         "stratified_interleave": q_stratified_interleave,
         "semdedup_kmeans": q_semdedup_kmeans,

@@ -159,6 +159,12 @@ HEADLINE = [
     "dsl_query",
     "soft_dedup",
     "json_validity",
+    # r15 tail batch
+    "aggs_dsl",
+    "aggs_dsl_range",
+    "simple_query",
+    "triangle_count",
+    "fim_split",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
@@ -185,6 +191,7 @@ EXPECT_BROADCAST = [
     "maxsim_topk",  # the query-token frame must broadcast to the corpus
     "knn_label",  # the labeled slice must broadcast to the corpus
     "corpus_kl",  # the 1-row vocabulary totals must broadcast
+    "triangle_count",  # the 1-row id-space modulus must broadcast
     # pagerank is NOT here: its returned frame sits behind the final
     # round's localCheckpoint, so the per-round broadcast scalars live
     # in already-truncated lineage — the unit test pins the semantics.
