@@ -10601,28 +10601,7 @@ def q_triangle_count(spark, sf):
         triangle_count,
     )
 
-    users = (
-        _t(spark, sf, "events")
-        .where(F.col("user_id").isNotNull())
-        .select(F.col("user_id").alias("u"))
-        .distinct()
-    )
-    m = users.agg((F.max("u") + F.lit(1)).alias("m"))
-    ks = spark.range(1, 4).select(F.col("id").alias("k"))
-    raw = (
-        users.crossJoin(F.broadcast(m))
-        .crossJoin(F.broadcast(ks))
-        .select(
-            "u",
-            F.pmod(
-                F.pmod(F.col("u"), F.lit(1000003)) * F.lit(2654435761)
-                + F.col("k") * F.lit(40503),
-                F.col("m"),
-            ).alias("v"),
-        )
-    )
-    edges = raw.where(F.col("u") != F.col("v"))
-    return triangle_count(edges, "u", "v")
+    return triangle_count(_hash_user_edges(spark, sf), "u", "v")
 
 
 SQL_TRIANGLE_COUNT = """
@@ -10687,6 +10666,435 @@ SELECT doc_id, coalesce(picked, FALSE) AS fim,
             ELSE text END AS fim_text
 FROM c
 """
+
+
+def _hash_user_edges(spark, sf):
+    """The deterministic hash-derived user graph shared by
+    `triangle_count` and `lpa_communities`: 3 pseudo-random neighbors
+    per distinct user via Knuth multiplicative hashing mod the id
+    space (pure arithmetic, so DuckDB rebuilds the SAME graph)."""
+    users = (
+        _t(spark, sf, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(F.col("user_id").alias("u"))
+        .distinct()
+    )
+    m = users.agg((F.max("u") + F.lit(1)).alias("m"))
+    ks = spark.range(1, 4).select(F.col("id").alias("k"))
+    return (
+        users.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "u",
+            F.pmod(
+                F.pmod(F.col("u"), F.lit(1000003)) * F.lit(2654435761)
+                + F.col("k") * F.lit(40503),
+                F.col("m"),
+            ).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+    )
+
+
+def q_lpa_communities(spark, sf):
+    """Label-propagation communities (NEW r15, operators/graph.
+    label_propagation): 4 synchronous rounds over the hash-derived
+    user graph, each node re-labeled with its neighbors' most
+    frequent label, ties to the smallest — fully deterministic, so
+    the oracle unrolls the same rounds as SQL CTEs (the pagerank
+    rule). Each round = one co-partitioned join + one (node, label)
+    count + one degree-bounded argmax window."""
+    from platypus_ingestion_plugins_spark.operators.graph import (
+        label_propagation,
+    )
+
+    return label_propagation(_hash_user_edges(spark, sf), "u", "v", rounds=4)
+
+
+def _lpa_oracle_sql(rounds: int = 4) -> str:
+    head = """
+WITH users AS (
+  SELECT DISTINCT user_id AS u FROM events WHERE user_id IS NOT NULL),
+m AS (SELECT max(u) + 1 AS m FROM users),
+raw AS (
+  SELECT u, ((u % 1000003) * 2654435761 + k * 40503) % m.m AS v
+  FROM users, m, (VALUES (1), (2), (3)) AS ks(k)),
+pairs2 AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT u AS s, v AS t FROM raw WHERE u <> v
+    UNION ALL
+    SELECT v, u FROM raw WHERE u <> v)),
+l0 AS (SELECT DISTINCT s AS node, s AS label FROM pairs2)"""
+    body = []
+    for i in range(rounds):
+        body.append(f""",
+v{i} AS (
+  SELECT b.s AS node, l.label, count(*) AS c
+  FROM pairs2 b JOIN l{i} l ON l.node = b.t
+  GROUP BY 1, 2),
+l{i + 1} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM v{i}) WHERE rn = 1)""")
+    return (
+        head + "".join(body)
+        + f"\nSELECT node, label FROM l{rounds}"
+    )
+
+
+def q_span_corrupt(spark, sf):
+    """T5 span corruption (NEW r15, functions/text.span_corrupt):
+    3-token blocks, a deterministic 1-in-5 masked into incrementing
+    sentinels with the masked spans emitted as the target — the
+    (inputs, targets) pair a denoising objective trains on, rendered
+    in ONE linear F.aggregate codegen scan per row; the oracle
+    recomputes the prefix-count sentinels with an unnest + window
+    replay."""
+    from platypus_ingestion_plugins_spark.functions.text import (
+        span_corrupt,
+    )
+
+    d = _t(spark, sf, "documents")
+    return span_corrupt(d).select(
+        "doc_id", "corrupt_input", "corrupt_target"
+    )
+
+
+SQL_SPAN_CORRUPT = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         doc_id % 1000003 AS kh
+  FROM documents WHERE text IS NOT NULL),
+nb AS (
+  SELECT *, CAST(ceil(len(toks) / 3.0) AS INT) AS nblocks FROM t
+  WHERE len(toks) > 0),
+b AS (
+  SELECT doc_id, kh, toks, unnest(range(nblocks)) AS blk FROM nb),
+p AS (
+  SELECT doc_id, blk,
+         ((kh + blk) * 2654435761) % 5 = 0 AS m,
+         array_to_string(list_slice(toks, blk * 3 + 1, blk * 3 + 3),
+                         ' ') AS btxt
+  FROM b),
+q AS (
+  SELECT *,
+         coalesce(sum(CASE WHEN m THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY blk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS kprev
+  FROM p),
+r AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN m
+                         THEN '<extra_id_' || CAST(kprev AS VARCHAR) || '>'
+                         ELSE btxt END, ' ' ORDER BY blk) AS inp,
+         string_agg(CASE WHEN m
+                         THEN '<extra_id_' || CAST(kprev AS VARCHAR) || '> '
+                              || btxt END, ' ' ORDER BY blk) AS tgt,
+         bool_or(m) AS any_m
+  FROM q GROUP BY doc_id)
+SELECT d.doc_id, r.inp AS corrupt_input,
+       CASE WHEN r.any_m THEN r.tgt END AS corrupt_target
+FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+"""
+
+
+def q_psi_drift(spark, sf):
+    """PSI drift report (NEW r15, functions/evals.psi_report): the
+    'click' slice's exact decile cut points (quantile_cont
+    convention) bin both slices; per-bin smoothed proportions and PSI
+    contributions — the numeric pre-retraining drift gate next to
+    corpus_kl's vocabulary drift. One 1-row percentile aggregate
+    broadcast onto the scan, one groupBy(bin), window totals over the
+    10-row bin grid."""
+    from platypus_ingestion_plugins_spark.functions.evals import psi_report
+
+    e = _t(spark, sf, "events")
+    return psi_report(e, "value", "event_type", "click", "view", bins=10)
+
+
+SQL_PSI_DRIFT = """
+WITH sl AS (
+  SELECT event_type AS s, value AS x FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+cuts AS (
+  SELECT quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5,
+                           0.6, 0.7, 0.8, 0.9]) AS c
+  FROM sl WHERE s = 'click'),
+binned AS (
+  SELECT s, len(list_filter(c, e -> e < x)) AS bin FROM sl, cuts),
+counts AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN s = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ref,
+         CAST(sum(CASE WHEN s = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cmp
+  FROM binned GROUP BY bin)
+SELECT bin, n_ref, n_cmp,
+       round((n_ref + 0.5) / (sum(n_ref) OVER () + 5.0), 6) AS ref_pct,
+       round((n_cmp + 0.5) / (sum(n_cmp) OVER () + 5.0), 6) AS cmp_pct,
+       round(((n_ref + 0.5) / (sum(n_ref) OVER () + 5.0)
+              - (n_cmp + 0.5) / (sum(n_cmp) OVER () + 5.0))
+             * ln(((n_ref + 0.5) / (sum(n_ref) OVER () + 5.0))
+                  / ((n_cmp + 0.5) / (sum(n_cmp) OVER () + 5.0))), 6)
+         AS psi_contrib
+FROM counts
+"""
+
+
+def q_ewma_anomalies(spark, sf):
+    """EWMA control chart (NEW r15, operators/analytics.
+    ewma_anomalies): hourly counts per event type against a
+    geometrically-weighted trailing baseline (alpha 0.3, 24h window)
+    flagging ratio spikes AND outages; the curve-sized grid
+    self-joins to its trailing hours, weights are codegen pow. The
+    oracle replays the join band and weights verbatim."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        ewma_anomalies,
+    )
+
+    e = _events_ts(spark, sf)
+    return ewma_anomalies(e, "ts", "event_type")
+
+
+SQL_EWMA_ANOMALIES = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+j AS (
+  SELECT c.event_type, c.hour, c.cnt, p.cnt AS pcnt,
+         (epoch(c.hour) - epoch(p.hour)) / 3600 AS age
+  FROM h c LEFT JOIN h p
+    ON p.event_type = c.event_type AND p.hour < c.hour
+   AND p.hour >= c.hour - INTERVAL 24 HOUR),
+s AS (
+  SELECT event_type, hour, cnt,
+         sum(CASE WHEN pcnt IS NOT NULL
+                  THEN 0.3 * power(0.7, age - 1) * pcnt END) AS num,
+         sum(CASE WHEN pcnt IS NOT NULL
+                  THEN 0.3 * power(0.7, age - 1) END) AS den,
+         count(pcnt) AS hist
+  FROM j GROUP BY 1, 2, 3)
+SELECT event_type, hour, cnt,
+       round(num / den, 6) AS ewma,
+       round(cnt / (num / den), 6) AS ratio,
+       (hist >= 6 AND (cnt / (num / den) > 2.0
+                       OR cnt / (num / den) < 0.5)) AS anomaly
+FROM s
+"""
+
+
+def q_aggs_dsl_filter(spark, sf):
+    """ES single-bucket `filter` agg (NEW r15, serving/aggs.run_aggs):
+    the scope-narrowing bucket every saved dashboard uses (filter →
+    date_histogram → metric); the constant agg name is the bucket key
+    the ES response shows. Oracle replays the narrowed chain."""
+    from platypus_ingestion_plugins_spark.serving.aggs import run_aggs
+
+    e = _events_ts(spark, sf)
+    return run_aggs(e, {
+        "aggs": {
+            "purchases": {
+                "filter": {"term": {"event_type": "purchase"}},
+                "aggs": {
+                    "per_day": {
+                        "date_histogram": {"field": "ts",
+                                           "calendar_interval": "day",
+                                           "min_doc_count": 1},
+                        "aggs": {"rev": {"sum": {"field": "value"}}},
+                    }
+                },
+            }
+        },
+    })
+
+
+SQL_AGGS_DSL_FILTER = """
+SELECT 'purchases' AS purchases, date_trunc('day', ts) AS per_day,
+       CAST(count(*) AS BIGINT) AS doc_count, sum(value) AS rev
+FROM events
+WHERE event_type = 'purchase' AND ts IS NOT NULL
+GROUP BY 2
+"""
+
+
+def q_kcore_graph(spark, sf):
+    """k-core peeling (NEW r15, operators/graph.k_core): 6 fixed
+    peels at k=4 over the hash-derived user graph — the densest-region
+    trim before community/centrality reads; each peel one degree
+    groupBy + two semi-joins. The oracle unrolls the same peels as
+    SQL CTEs (idempotent once converged, the pagerank rule)."""
+    from platypus_ingestion_plugins_spark.operators.graph import k_core
+
+    return k_core(_hash_user_edges(spark, sf), "u", "v", k=4, rounds=6)
+
+
+def _kcore_oracle_sql(k: int = 4, rounds: int = 6) -> str:
+    head = """
+WITH users AS (
+  SELECT DISTINCT user_id AS u FROM events WHERE user_id IS NOT NULL),
+m AS (SELECT max(u) + 1 AS m FROM users),
+raw AS (
+  SELECT u, ((u % 1000003) * 2654435761 + k * 40503) % m.m AS v
+  FROM users, m, (VALUES (1), (2), (3)) AS ks(k)),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+  FROM raw WHERE u <> v)"""
+    body = []
+    for i in range(rounds):
+        body.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT n, count(*) AS d FROM (
+    SELECT u AS n FROM e{i} UNION ALL SELECT v FROM e{i})
+  GROUP BY n),
+s{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE d >= {k}),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i} e
+  JOIN s{i} a ON e.u = a.n JOIN s{i} b ON e.v = b.n)""")
+    return (
+        head + "".join(body) + f"""
+SELECT n AS node, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT u AS n FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+GROUP BY n"""
+    )
+
+
+def q_readability(spark, sf):
+    """Flesch reading ease (NEW r15, functions/text.
+    readability_stats): words / sentence runs / per-word vowel-group
+    syllables and the 206.835 formula, all higher-order-function
+    codegen; the oracle replays the token and vowel-group counts with
+    DuckDB list functions."""
+    from platypus_ingestion_plugins_spark.functions.text import (
+        readability_stats,
+    )
+
+    d = _t(spark, sf, "documents")
+    st = readability_stats("text")
+    return d.select(
+        "doc_id",
+        st["n_words"].cast("long").alias("n_words"),
+        st["n_sentences"].cast("long").alias("n_sentences"),
+        st["n_syllables"].cast("long").alias("n_syllables"),
+        st["flesch"],
+    )
+
+
+SQL_READABILITY = """
+WITH b AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS c FROM documents),
+w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(c, '\\s+'), x -> x <> '') AS words,
+         greatest(len(list_filter(string_split_regex(c, '[.!?]+'),
+                                  s -> trim(s) <> '')), 1) AS n_sent
+  FROM b),
+s AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(n_sent AS BIGINT) AS n_sentences,
+         CAST(coalesce(list_sum(list_transform(words,
+           x -> greatest(len(list_filter(
+                  string_split_regex(x, '[^aeiouy]+'), g -> g <> '')),
+                1))), 0) AS BIGINT) AS n_syllables
+  FROM w)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words >= 1
+            THEN round(206.835 - 1.015 * n_words / n_sentences
+                       - 84.6 * n_syllables / n_words, 6) END AS flesch
+FROM s
+"""
+
+
+def q_aggs_multi_terms(spark, sf):
+    """ES multi_terms agg (NEW r15, serving/aggs.run_aggs): tuple-
+    keyed terms buckets over (source, lang) with the ES '|'
+    key_as_string, top-5 by count, a stats metric below; docs missing
+    either field land in no bucket. Oracle replays the concat key and
+    the dense_rank cut."""
+    from platypus_ingestion_plugins_spark.serving.aggs import run_aggs
+
+    d = _t(spark, sf, "documents")
+    return run_aggs(d, {
+        "aggs": {
+            "src_lang": {
+                "multi_terms": {"terms": [{"field": "source"},
+                                          {"field": "lang"}],
+                                "size": 5},
+                "aggs": {"len_avg": {"avg": {"field": "n_chars"}}},
+            }
+        },
+    })
+
+
+SQL_AGGS_MULTI_TERMS = """
+WITH g AS (
+  SELECT source || '|' || lang AS src_lang,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         avg(n_chars) AS len_avg
+  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1),
+r AS (
+  SELECT *, dense_rank() OVER (
+    ORDER BY doc_count DESC, src_lang ASC) AS rk FROM g)
+SELECT src_lang, doc_count, len_avg FROM r WHERE rk <= 5
+"""
+
+
+def q_stream_ewma_anomalies(spark, sf):
+    """Streaming EWMA control chart (NEW r15, operators/analytics.
+    hourly_counts_merge_into + ewma_anomalies_read): the SAME
+    accumulated hourly grid the rate-anomaly monitor maintains serves
+    the EWMA readout — one state store, two charts; events arrive in
+    two drops through a real checkpointed foreachBatch and the
+    post-stream answer equals batch ewma_anomalies over everything
+    ingested (the oracle)."""
+    import shutil
+
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        ewma_anomalies_read,
+        hourly_counts_merge_into,
+    )
+
+    d = _events_ts(spark, sf).select("event_id", "ts", "event_type")
+    lo, hi = _median_split(d, "event_id")
+    work = _stream_scratch("stream_ewma_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src = os.path.join(work, "src")
+        ckpt = os.path.join(work, "ckpt")
+        state = os.path.join(work, "hourly")
+        lo.coalesce(4).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def run_available():
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 100)
+                .parquet(src)
+                .writeStream.foreachBatch(
+                    lambda b, bid: hourly_counts_merge_into(
+                        b, "ts", "event_type", state, batch_id=bid
+                    )
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_available()
+        hi.coalesce(4).write.mode("append").parquet(src)
+        run_available()
+        out = ewma_anomalies_read(spark, state)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------
@@ -10971,6 +11379,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_gaps": q_event_gaps,
         "percentiles": q_percentiles,
         "mixture_plan": q_mixture_plan,
+        # POST-cap (r15 second batch): the 50-sweep is already all-new
+        # this round — these landed builder-verified at sf0.001 AND
+        # sf0.01 and lead the r16 rotation
+        "lpa_communities": q_lpa_communities,
+        "span_corrupt": q_span_corrupt,
+        "psi_drift": q_psi_drift,
+        "ewma_anomalies": q_ewma_anomalies,
+        "aggs_dsl_filter": q_aggs_dsl_filter,
+        "kcore_graph": q_kcore_graph,
+        "readability": q_readability,
+        "aggs_multi_terms": q_aggs_multi_terms,
+        "stream_ewma_anomalies": q_stream_ewma_anomalies,
     }
 
 
@@ -11005,6 +11425,15 @@ def oracle_sql() -> dict[str, str]:
         "simple_query": SQL_SIMPLE_QUERY,
         "triangle_count": SQL_TRIANGLE_COUNT,
         "fim_split": SQL_FIM_SPLIT,
+        "lpa_communities": _lpa_oracle_sql(),
+        "span_corrupt": SQL_SPAN_CORRUPT,
+        "psi_drift": SQL_PSI_DRIFT,
+        "ewma_anomalies": SQL_EWMA_ANOMALIES,
+        "aggs_dsl_filter": SQL_AGGS_DSL_FILTER,
+        "kcore_graph": _kcore_oracle_sql(),
+        "readability": SQL_READABILITY,
+        "aggs_multi_terms": SQL_AGGS_MULTI_TERMS,
+        "stream_ewma_anomalies": SQL_EWMA_ANOMALIES,
         "bpe_token_count": _bpe_oracle_sql(),
         "image_neardup": SQL_IMAGE_NEARDUP,
         "language_classifier": SQL_LANGUAGE_CLASSIFIER,

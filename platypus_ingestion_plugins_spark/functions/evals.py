@@ -295,3 +295,73 @@ def match_synonyms(field: str, query: str, synonyms: dict) -> Column:
         return F.lit(False)
     lst = sorted(expanded)
     return F.exists(tokenize(field), lambda x: x.isin(lst))
+
+
+def psi_report(
+    df: DataFrame,
+    value_col: str,
+    slice_col: str,
+    ref_value,
+    cmp_value,
+    bins: int = 10,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Population-stability-index drift report (NEW r15) — the numeric
+    twin of ``unigram_kl_divergence``'s vocabulary drift: how far a
+    feature's distribution moved between two corpus slices (release
+    vs release, train vs serve), the standard pre-retraining gate
+    (PSI < 0.1 stable / 0.1-0.25 drifting / > 0.25 shifted). Bins are
+    the REFERENCE slice's exact ``bins``-quantile cut points (the
+    ``percentiles`` quantile_cont convention, so an external engine
+    replays them bit-for-bit); each slice's rows land in
+    bin = #cuts strictly below the value. Output one row per realized
+    bin: ``(bin, n_ref, n_cmp, ref_pct, cmp_pct, psi_contrib)`` with
+    add-``alpha`` smoothed proportions (absent mass stays finite, the
+    KL rule); total PSI = sum of contribs. NULL values drop.
+
+    Plan shape: one 1-row exact-percentile aggregate over the
+    reference slice broadcast onto the scan, bin ids via a
+    size(filter(cuts)) codegen fold (``bins``-bounded, no UDF), one
+    partial-aggregatable groupBy(bin), then window totals over the
+    bin grid — a curve by construction, never the corpus."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    from pyspark.sql import Window
+
+    x = F.col(value_col)
+    both = df.where(
+        x.isNotNull() & F.col(slice_col).isin([ref_value, cmp_value])
+    )
+    cuts = (
+        both.where(F.col(slice_col) == F.lit(ref_value))
+        .agg(
+            F.percentile(
+                x, F.array(*[F.lit(i / bins) for i in range(1, bins)])
+            ).alias("__cuts")
+        )
+    )
+    binned = both.join(F.broadcast(cuts)).select(
+        F.col(slice_col).alias("__slice"),
+        F.size(F.filter(F.col("__cuts"), lambda c: c < x)).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum((F.col("__slice") == F.lit(ref_value)).cast("long"))
+        .alias("n_ref"),
+        F.sum((F.col("__slice") == F.lit(cmp_value)).cast("long"))
+        .alias("n_cmp"),
+    )
+    w = Window.partitionBy()
+    pa = (F.col("n_ref") + F.lit(alpha)) / (
+        F.sum("n_ref").over(w) + F.lit(alpha * bins)
+    )
+    pb = (F.col("n_cmp") + F.lit(alpha)) / (
+        F.sum("n_cmp").over(w) + F.lit(alpha * bins)
+    )
+    return counts.select(
+        "bin",
+        "n_ref",
+        "n_cmp",
+        F.round(pa, 6).alias("ref_pct"),
+        F.round(pb, 6).alias("cmp_pct"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
+    )

@@ -1074,3 +1074,156 @@ def fim_transform(
     return df.withColumn("fim", picked).withColumn(
         "fim_text", F.when(picked, rendered).otherwise(text)
     )
+
+
+def span_corrupt(
+    df,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    block_tokens: int = 3,
+    mask_one_in: int = 5,
+):
+    """T5-style span-corruption formatting (NEW r15; Raffel et al.
+    2020, the denoising sibling of ``fim_transform``'s infilling):
+    whitespace tokens group into fixed ``block_tokens`` blocks; a
+    deterministic 1-in-``mask_one_in`` of the blocks mask out, each
+    replaced in the input by an incrementing sentinel and emitted in
+    the target as ``<extra_id_k> span-text`` — the exact
+    (inputs, targets) pair a T5/UL2 objective trains on. Output: the
+    input columns plus ``corrupt_input`` and ``corrupt_target``
+    (target NULL when no block masked — such rows carry no denoising
+    signal and a caller filters them, matching the reference
+    preprocessing's drop).
+
+    Mask membership derives from (``key_col``, block index) by
+    multiplicative hashing (the ``fim_transform`` determinism rule,
+    key folded below 2**20 first — ANSI-safe at 100 TB ids). The
+    sentinel numbering is a PREFIX COUNT over masked blocks, computed
+    in ONE linear ``F.aggregate`` scan per row carrying
+    (input, target, k) — no posexplode/window round-trip, no O(n^2)
+    slice-refilter; pure codegen higher-order functions, map-side,
+    NULL text passes through NULL."""
+    if block_tokens < 1:
+        raise ValueError(f"block_tokens must be >= 1, got {block_tokens}")
+    if mask_one_in < 2:
+        raise ValueError(f"mask_one_in must be >= 2, got {mask_one_in}")
+    kh = F.pmod(F.col(key_col).cast("long"), F.lit(1000003))
+    toks = F.split(F.col(text_col), " ")
+    n_blocks = F.ceil(F.size(toks) / F.lit(block_tokens)).cast("int")
+
+    def block_text(b):
+        return F.concat_ws(
+            " ", F.slice(toks, b * F.lit(block_tokens) + 1, block_tokens)
+        )
+
+    def masked(b):
+        return (
+            F.pmod((kh + b) * F.lit(2654435761), F.lit(mask_one_in)) == 0
+        )
+
+    def sentinel(k):
+        return F.concat(
+            F.lit("<extra_id_"), k.cast("string"), F.lit(">")
+        )
+
+    def join_piece(acc_str, piece):
+        return F.when(acc_str == "", piece).otherwise(
+            F.concat(acc_str, F.lit(" "), piece)
+        )
+
+    zero = F.struct(
+        F.lit("").alias("inp"), F.lit("").alias("tgt"),
+        F.lit(0).alias("k"),
+    )
+
+    def step(acc, b):
+        return F.when(
+            masked(b),
+            F.struct(
+                join_piece(acc["inp"], sentinel(acc["k"])).alias("inp"),
+                join_piece(
+                    acc["tgt"],
+                    F.concat(
+                        sentinel(acc["k"]), F.lit(" "), block_text(b)
+                    ),
+                ).alias("tgt"),
+                (acc["k"] + F.lit(1)).alias("k"),
+            ),
+        ).otherwise(
+            F.struct(
+                join_piece(acc["inp"], block_text(b)).alias("inp"),
+                acc["tgt"].alias("tgt"),
+                acc["k"].alias("k"),
+            )
+        )
+
+    folded = F.aggregate(
+        F.sequence(F.lit(0), n_blocks - F.lit(1)),
+        zero,
+        step,
+    )
+    has_text = F.col(text_col).isNotNull() & (F.size(toks) > 0)
+    return df.withColumn(
+        "corrupt_input", F.when(has_text, folded["inp"])
+    ).withColumn(
+        "corrupt_target",
+        F.when(has_text & (folded["k"] > 0), folded["tgt"]),
+    )
+
+
+def readability_stats(col, min_words: int = 1):
+    """Flesch reading-ease readability (NEW r15; Flesch 1948, the
+    score every readability gate quotes) as named codegen Columns —
+    the style-complexity signal next to ``gopher_quality_flags``'
+    structural rules: words (whitespace tokens), sentences
+    (``[.!?]+`` runs, min 1 — a fragment is one sentence), syllables
+    (per-word ``[aeiouy]+`` vowel groups, min 1 per word — the
+    standard heuristic), and
+
+        flesch = 206.835 - 1.015 * words/sentences
+                         - 84.6 * syllables/words
+
+    (~90-100 grade-school, ~30-50 college, <0 dense legalese).
+    Returns a dict of Columns (the ``script_counts`` convention) so a
+    caller projects them in one pass: ``n_words``, ``n_sentences``,
+    ``n_syllables``, ``flesch`` (6dp, NULL when under ``min_words``).
+    Pure higher-order-function codegen (split/filter/aggregate) — no
+    UDF; the syllable heuristic is ASCII-vowel-based, i.e. an ENGLISH
+    readability instrument (its published scope), applied after
+    lowercasing."""
+    c = F.lower(F.coalesce(F.col(col) if isinstance(col, str) else col,
+                           F.lit("")))
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    n_sent = F.greatest(
+        F.size(
+            F.filter(F.split(c, r"[.!?]+"), lambda s: F.trim(s) != F.lit(""))
+        ),
+        F.lit(1),
+    )
+    syl = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(
+                F.filter(
+                    F.split(w, "[^aeiouy]+"), lambda g: g != F.lit("")
+                )
+            ),
+            F.lit(1),
+        ),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * n_words / n_sent
+        - F.lit(84.6) * syl / n_words
+    )
+    return {
+        "n_words": n_words.alias("n_words"),
+        "n_sentences": n_sent.alias("n_sentences"),
+        "n_syllables": syl.alias("n_syllables"),
+        "flesch": F.when(
+            n_words >= F.lit(min_words), F.round(flesch, 6)
+        ).alias("flesch"),
+    }

@@ -1269,3 +1269,116 @@ def funnel_latency(
     return one.select(F.explode(F.array(*rows)).alias("s")).select(
         "s.hop", "s.hop_idx", "s.n_completed", "s.avg_s", "s.p50_s", "s.p90_s"
     )
+
+
+def ewma_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    type_col: str,
+    alpha: float = 0.3,
+    window_hours: int = 24,
+    ratio_threshold: float = 2.0,
+    min_history: int = 6,
+) -> DataFrame:
+    """EWMA control chart over hourly event rates (NEW r15; Roberts
+    1959) — the smoothed sibling of ``rate_anomalies``' z-scores: the
+    trailing mean weights RECENT hours geometrically
+    (``alpha * (1-alpha)^age``), so a level shift three hours ago
+    dominates the baseline where the plain window mean still averages
+    it away. Per (event type, hour): the finite-window normalized
+    EWMA of the PRIOR ``window_hours`` observed hourly counts, the
+    count/EWMA ratio, and a flag when the ratio exceeds
+    ``ratio_threshold`` or drops below its inverse (spikes AND
+    outages), after ``min_history`` prior buckets.
+
+    Output (event_type, hour, cnt, ewma, ratio, anomaly), 6dp.
+    Shape: one partial-aggregatable corpus-sized groupBy to hourly
+    counts (shared `_hourly_counts`), then a self-join of the hourly
+    GRID to its own trailing hours on (type, hour-offset band) — the
+    grid is hours x types, a curve, so the join is curve x window
+    sized, never the corpus; weights are pure codegen pow. Absent
+    hours inside the window are absent (sparse-series reading, the
+    ``rate_anomalies`` convention) — ages still count calendar hours,
+    so a gap DECAYS older evidence rather than stretching it."""
+    return _ewma_from_hourly(
+        _hourly_counts(df, ts_col, type_col),
+        alpha, window_hours, ratio_threshold, min_history,
+    )
+
+
+def ewma_anomalies_read(
+    spark,
+    path: str,
+    alpha: float = 0.3,
+    window_hours: int = 24,
+    ratio_threshold: float = 2.0,
+    min_history: int = 6,
+) -> DataFrame:
+    """The streaming EWMA readout over the SAME accumulated hourly
+    grid ``hourly_counts_merge_into`` maintains (and
+    ``rate_anomalies_read`` z-scores): identical output contract and
+    code path (``_ewma_from_hourly``) to the batch twin, so the two
+    monitors cannot drift; one state store serves both charts. Query
+    cost is grid-sized, never stream-sized."""
+    from ..functions.sketches import sketch_read
+
+    return _ewma_from_hourly(
+        sketch_read(spark, path),
+        alpha, window_hours, ratio_threshold, min_history,
+    )
+
+
+def _ewma_from_hourly(
+    hourly: DataFrame,
+    alpha: float,
+    window_hours: int,
+    ratio_threshold: float,
+    min_history: int,
+) -> DataFrame:
+    """The grid-sized EWMA tail shared by ``ewma_anomalies`` and
+    ``ewma_anomalies_read`` — one code path, so the batch and
+    streaming twins cannot drift."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    if window_hours < 1:
+        raise ValueError(f"window_hours must be >= 1, got {window_hours}")
+    cur = hourly.select(
+        "event_type", "hour", "cnt",
+        F.col("hour").cast("timestamp").cast("long").alias("__h"),
+    )
+    prev = hourly.select(
+        F.col("event_type").alias("__et"),
+        F.col("cnt").alias("__pcnt"),
+        F.col("hour").cast("timestamp").cast("long").alias("__ph"),
+    )
+    age = (F.col("__h") - F.col("__ph")) / F.lit(3600)
+    joined = cur.join(
+        prev,
+        (F.col("event_type") == F.col("__et"))
+        & (F.col("__ph") < F.col("__h"))
+        & (F.col("__ph") >= F.col("__h") - F.lit(3600 * window_hours)),
+        "left",
+    )
+    wgt = F.lit(alpha) * F.pow(F.lit(1.0 - alpha), age - F.lit(1))
+    stats = joined.groupBy("event_type", "hour", "cnt").agg(
+        F.sum(F.when(F.col("__ph").isNotNull(), wgt * F.col("__pcnt")))
+        .alias("__num"),
+        F.sum(F.when(F.col("__ph").isNotNull(), wgt)).alias("__den"),
+        F.count("__ph").alias("__hist"),
+    )
+    ewma = F.col("__num") / F.col("__den")
+    ratio = F.col("cnt") / ewma
+    return stats.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.round(ewma, 6).alias("ewma"),
+        F.round(ratio, 6).alias("ratio"),
+        (
+            (F.col("__hist") >= F.lit(min_history))
+            & (
+                (ratio > F.lit(ratio_threshold))
+                | (ratio < F.lit(1.0 / ratio_threshold))
+            )
+        ).alias("anomaly"),
+    )

@@ -200,3 +200,124 @@ def triangle_count(
             F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame, src: str, dst: str, rounds: int = 4
+) -> DataFrame:
+    """Synchronous label-propagation communities (NEW r15; Raghavan et
+    al. 2007) — the community twin of ``triangle_count``'s clustering
+    and ``pagerank``'s centrality, and the cheap first answer to "what
+    CLUSTERS does this interaction graph have" before anything as
+    heavy as modularity optimization. Undirected; every node starts
+    labeled with its own id, and each round RE-labels every node with
+    the most frequent label among its neighbors, ties to the SMALLEST
+    label — a deterministic total order, so a fixed-``rounds`` run is
+    exactly replayable (the ``pagerank`` oracle rule; classic LPA's
+    random tie-breaks cannot be value-checked). Output
+    ``(node, label)``; labels share the node-id type.
+
+    Spark-first shape: each round is one co-partitioned join of the
+    label frame to the doubled edge list plus one partial-aggregatable
+    (node, label) count and one per-node argmax window — the window
+    input is one row per DISTINCT neighbor label, bounded by degree,
+    never the corpus. Rounds reuse the node-key hash partitioning, and
+    a lazy localCheckpoint per round keeps round k+1 from replaying
+    1..k (the pagerank precedent). Skew note: a celebrity node's vote
+    count is |distinct neighbor labels| <= degree rows into ONE
+    window partition — at 100 TB cap hub degrees upstream (the
+    ``lsh_candidate_pairs`` hot-band precedent) or pre-aggregate votes
+    by (node, label), which this already does."""
+    from pyspark.sql import Window
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .where(F.col("s").isNotNull() & F.col("t").isNotNull())
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    both = und.unionByName(
+        und.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).distinct()
+    labels = (
+        both.select(F.col("s").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        votes = (
+            both.join(
+                labels.select(
+                    F.col("node").alias("t"), F.col("label")
+                ),
+                "t",
+            )
+            .groupBy(F.col("s").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("node", "label")
+        )
+        labels = labels.localCheckpoint(eager=False)
+    return labels
+
+
+def k_core(
+    edges: DataFrame, src: str, dst: str, k: int = 2, rounds: int = 8
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (NEW r15; Seidman
+    1983) — the densest-region filter next to ``triangle_count``'s
+    clustering: repeatedly drop every node with fewer than ``k``
+    surviving neighbors until the graph stabilizes; what remains is
+    the k-core, the standard noise-trim before any community or
+    centrality read (a near-dup cluster's core members, the
+    interaction subgraph worth modeling). Undirected, dedup'd,
+    self-loops dropped. Output ``(node, degree)`` of the surviving
+    subgraph — empty when no k-core exists.
+
+    ``rounds`` fixed peels, not convergence-tested (the ``pagerank``
+    oracle rule — an oracle replays the same rounds; peeling is
+    IDEMPOTENT once converged, so extra rounds are no-ops and a graph
+    whose peel depth exceeds ``rounds`` returns the partially-peeled
+    superset, documented). Each peel = one degree groupBy + two
+    semi-joins, all hash-partitioned on node ids; a lazy
+    localCheckpoint per peel keeps round r+1 from replaying 1..r."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionByName(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= F.lit(k)).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

@@ -10,12 +10,17 @@ bucket aggs, ``doc_count`` per innermost bucket, metric columns named
 after the metric aggs.
 
 Supported bucket aggs (ES names): ``terms`` (per-parent top-``size``
-by doc_count desc then key asc, ``min_doc_count``), ``histogram``
+by doc_count desc then key asc, ``min_doc_count``), ``multi_terms``
+(tuple-keyed terms; key_as_string joins fields with ``|``, docs
+missing any field land in no bucket), ``histogram``
 (fixed ``interval``; ``min_doc_count: 0`` densifies the grid over the
 per-parent extent, innermost level only), ``date_histogram``
 (``calendar_interval`` hour/day/week/month), ``range`` (half-open
-[from, to) bands, a doc may land in several — ES semantics), and
-``filters`` (named sub-queries, each body parsed by ``parse_query``).
+[from, to) bands, a doc may land in several — ES semantics),
+``filters`` (named sub-queries, each body parsed by ``parse_query``),
+and single-bucket ``filter`` (scope narrowing for everything below;
+the constant agg name becomes the bucket key column — the named
+single bucket an ES response shows).
 Supported metric aggs: ``avg sum min max value_count cardinality
 stats`` (stats expands to ``<name>_count/_min/_max/_avg/_sum``;
 cardinality is EXACT where ES uses HyperLogLog — same contract as
@@ -56,7 +61,10 @@ import json as _json
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_BUCKET_TYPES = {"terms", "histogram", "date_histogram", "range", "filters"}
+_BUCKET_TYPES = {
+    "terms", "multi_terms", "histogram", "date_histogram", "range",
+    "filters", "filter",
+}
 _METRIC_TYPES = {
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
 }
@@ -123,13 +131,14 @@ class _Level:
     """One bucket level: projected key column + post-agg cut policy."""
 
     def __init__(self, name, key_expr, size=None, min_doc_count=1,
-                 densify=None, drop_null_key=True):
+                 densify=None, drop_null_key=True, prefilter=None):
         self.name = name
         self.key_expr = key_expr
         self.size = size
         self.min_doc_count = min_doc_count
         self.densify = densify  # (interval Column, kind) for histogram mdc=0
         self.drop_null_key = drop_null_key
+        self.prefilter = prefilter  # single-bucket `filter` scope
 
 
 def _compile_bucket(name, btype, body, innermost: bool) -> tuple:
@@ -140,6 +149,29 @@ def _compile_bucket(name, btype, body, innermost: bool) -> tuple:
         _require(body, path, {"field"}, {"size", "min_doc_count"})
         return _Level(
             name, F.col(body["field"]).cast("string"),
+            size=int(body.get("size", 10)),
+            min_doc_count=int(body.get("min_doc_count", 1)),
+        ), None
+    if btype == "multi_terms":
+        # ES multi_terms: buckets keyed on a field TUPLE; key_as_string
+        # joins with '|' (the ES response convention). A doc missing
+        # ANY of the fields lands in no bucket (ES semantics — the
+        # null-key drop below sees the null-propagating concat_ws
+        # guard, not concat_ws's null-skipping).
+        _require(body, path, {"terms"}, {"size", "min_doc_count"})
+        terms = body["terms"]
+        if not isinstance(terms, list) or len(terms) < 2:
+            raise ValueError(f"{path}: multi_terms needs >= 2 terms")
+        cols = []
+        for t in terms:
+            _require(t, f"{path}.terms[]", {"field"}, set())
+            cols.append(F.col(t["field"]).cast("string"))
+        any_null = cols[0].isNull()
+        for c in cols[1:]:
+            any_null = any_null | c.isNull()
+        key = F.when(~any_null, F.concat_ws("|", *cols))
+        return _Level(
+            name, key,
             size=int(body.get("size", 10)),
             min_doc_count=int(body.get("min_doc_count", 1)),
         ), None
@@ -212,6 +244,15 @@ def _compile_bucket(name, btype, body, innermost: bool) -> tuple:
             )
         pairs = F.array_compact(F.array(*entries))
         return _Level(name, None), pairs
+    if btype == "filter":
+        # ES single-bucket filter: narrows the scope for everything
+        # below; the bucket key is the constant agg name (the named
+        # single bucket the ES response shows)
+        from platypus_ingestion_plugins_spark.serving.query import parse_query
+        return _Level(
+            name, F.lit(name), drop_null_key=False,
+            prefilter=parse_query(body),
+        ), None
     if btype == "filters":
         from platypus_ingestion_plugins_spark.serving.query import parse_query
         _require(body, path, {"filters"}, set())
@@ -307,6 +348,8 @@ def run_aggs(df: DataFrame, dsl) -> DataFrame:
 
     # Project bucket keys (multi-membership leaves explode map-side).
     for i, lvl in enumerate(levels):
+        if lvl.prefilter is not None:
+            df = df.where(lvl.prefilter)
         pairs = next((p for j, p in explode_at if j == i), None)
         if pairs is not None:
             df = df.withColumn(lvl.name, F.explode(pairs))

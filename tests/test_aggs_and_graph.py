@@ -245,3 +245,256 @@ def test_fim_deterministic_and_rate_bounds(spark):
     assert 20 <= picked <= 80
     with pytest.raises(ValueError, match="rate"):
         fim_transform(df, rate=1.5)
+
+
+# ------------------------------------------------------ batch B: graph 2
+
+
+from platypus_ingestion_plugins_spark.operators.graph import (  # noqa: E402
+    label_propagation,
+)
+from platypus_ingestion_plugins_spark.functions.text import (  # noqa: E402
+    span_corrupt,
+)
+from platypus_ingestion_plugins_spark.functions.evals import (  # noqa: E402
+    psi_report,
+)
+from platypus_ingestion_plugins_spark.operators.analytics import (  # noqa: E402
+    ewma_anomalies,
+)
+
+
+def test_lpa_two_cliques(spark):
+    # two triangles bridged by one edge: each clique converges to its
+    # own min label; the bridge can't outvote two clique neighbors
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "s int, t int",
+    )
+    out = {r.node: r.label for r in
+           label_propagation(e, "s", "t", rounds=4).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    # the second clique converges to ITS own label (3 floods across
+    # the bridge in round 1 then wins the clique) — distinct from the
+    # first community is the invariant
+    assert out[4] == out[5] == out[6] == 3
+    with pytest.raises(ValueError, match="rounds"):
+        label_propagation(e, "s", "t", rounds=0)
+
+
+def test_lpa_tie_breaks_to_smallest(spark):
+    # node 3's neighbors 1 and 2 tie at one vote each -> label 1
+    e = spark.createDataFrame([(1, 3), (2, 3)], "s int, t int")
+    out = {r.node: r.label for r in
+           label_propagation(e, "s", "t", rounds=1).collect()}
+    assert out[3] == 1
+
+
+def test_span_corrupt_renders_sentinels(spark):
+    rows = [Row(doc_id=k, text=" ".join(f"w{i}" for i in range(30)))
+            for k in range(25)]
+    out = span_corrupt(spark.createDataFrame(rows)).collect()
+    some = [r for r in out if r.corrupt_target is not None]
+    assert some, "1-in-5 of 10 blocks x 25 docs must mask something"
+    for r in some:
+        assert "<extra_id_0>" in r.corrupt_input
+        assert r.corrupt_target.startswith("<extra_id_0> ")
+        # masked words appear in the target, not the input
+        for tok in r.corrupt_target.split():
+            if not tok.startswith("<extra_id_"):
+                assert tok not in r.corrupt_input.split()
+        # sentinels increment without gaps and match across the pair
+        ids = [t for t in r.corrupt_input.split()
+               if t.startswith("<extra_id_")]
+        assert ids == [f"<extra_id_{i}>" for i in range(len(ids))]
+        assert [t for t in r.corrupt_target.split()
+                if t.startswith("<extra_id_")] == ids
+
+
+def test_span_corrupt_reconstructs_original(spark):
+    rows = [Row(doc_id=k, text=" ".join(f"w{i}" for i in range(31)))
+            for k in range(20)]
+    out = span_corrupt(spark.createDataFrame(rows)).collect()
+    for r in out:
+        # splice targets back into the input -> the original text
+        spans = {}
+        if r.corrupt_target:
+            parts = r.corrupt_target.split("<extra_id_")
+            for p in parts[1:]:
+                k, rest = p.split(">", 1)
+                spans[f"<extra_id_{k}>"] = rest.strip()
+        rebuilt = " ".join(
+            spans.get(t, t) for t in r.corrupt_input.split()
+        )
+        # splicing collapses on empty spans; compare token streams
+        assert rebuilt.split() == " ".join(
+            f"w{i}" for i in range(31)
+        ).split()
+
+
+def test_span_corrupt_null_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, None)], "doc_id long, text string"
+    )
+    r = span_corrupt(df).first()
+    assert r.corrupt_input is None and r.corrupt_target is None
+    with pytest.raises(ValueError, match="block_tokens"):
+        span_corrupt(df, block_tokens=0)
+    with pytest.raises(ValueError, match="mask_one_in"):
+        span_corrupt(df, mask_one_in=1)
+
+
+def test_psi_identical_slices_near_zero(spark):
+    rows = [Row(s=s, x=float(i % 50)) for s in ("a", "b")
+            for i in range(500)]
+    out = psi_report(spark.createDataFrame(rows), "x", "s", "a", "b")
+    total = abs(sum(r.psi_contrib for r in out.collect()))
+    assert total < 0.01
+
+
+def test_psi_shifted_slice_flags(spark):
+    rows = ([Row(s="a", x=float(i % 50)) for i in range(500)]
+            + [Row(s="b", x=float(i % 50) + 40.0) for i in range(500)])
+    out = psi_report(spark.createDataFrame(rows), "x", "s", "a", "b")
+    rows_out = out.collect()
+    total = sum(r.psi_contrib for r in rows_out)
+    assert total > 0.25
+    # proportions each sum to ~1 over realized bins
+    assert abs(sum(r.ref_pct for r in rows_out) - 1.0) < 0.05
+    with pytest.raises(ValueError, match="bins"):
+        psi_report(spark.createDataFrame(rows), "x", "s", "a", "b", bins=1)
+
+
+def test_ewma_flags_spike_not_baseline(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(30):
+        n = 5 if h != 28 else 40  # spike in hour 28
+        for _ in range(n):
+            rows.append(Row(ts=base + dt.timedelta(hours=h), e="x"))
+            eid += 1
+    df = spark.createDataFrame(rows)
+    out = {r.hour.hour + (r.hour.day - 1) * 24: r
+           for r in ewma_anomalies(df, "ts", "e").collect()}
+    spike = out[28]
+    assert spike.anomaly and spike.ratio > 2.0
+    flagged = [k for k, r in out.items() if r.anomaly]
+    # hour 29 is the textbook post-spike shadow: the spike inflates
+    # the EWMA baseline, so the return to 5/hour reads as an outage
+    # (ratio < 1/threshold) — the chart's memory, by design
+    assert flagged == [28, 29]
+    assert out[29].ratio < 0.5
+    # young series (first min_history hours) never alarm
+    assert not out[1].anomaly
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_anomalies(df, "ts", "e", alpha=1.0)
+
+
+def test_aggs_filter_bucket_narrows_scope(spark):
+    df = spark.createDataFrame([
+        Row(kind="a", v=1.0), Row(kind="a", v=2.0), Row(kind="b", v=9.0),
+    ])
+    from platypus_ingestion_plugins_spark.serving.aggs import run_aggs
+    out = run_aggs(df, {"aggs": {"only_a": {
+        "filter": {"term": {"kind": "a"}},
+        "aggs": {"s": {"sum": {"field": "v"}}}}}}).collect()
+    assert out == [Row(only_a="only_a", doc_count=2, s=3.0)]
+
+
+# ------------------------------------------------------ batch C
+
+
+from platypus_ingestion_plugins_spark.operators.graph import (  # noqa: E402
+    k_core,
+)
+from platypus_ingestion_plugins_spark.functions.text import (  # noqa: E402
+    readability_stats,
+)
+
+
+def test_kcore_peels_tail_keeps_clique(spark):
+    # triangle {1,2,3} with a pendant chain 3-4-5: 2-core = triangle
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "s int, t int"
+    )
+    out = {r.node: r.degree for r in
+           k_core(e, "s", "t", k=2, rounds=4).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # k=3: no 3-core exists -> empty
+    assert k_core(e, "s", "t", k=3, rounds=4).count() == 0
+    with pytest.raises(ValueError, match="k must"):
+        k_core(e, "s", "t", k=0)
+
+
+def test_kcore_cascade_requires_rounds(spark):
+    # a chain peels one node per round from each end; rounds bound it
+    chain = [(i, i + 1) for i in range(1, 8)]
+    e = spark.createDataFrame(chain, "s int, t int")
+    # 2-core of a pure chain is empty, but needs ceil(n/2) peels
+    assert k_core(e, "s", "t", k=2, rounds=6).count() == 0
+
+
+def test_readability_hand_case(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="The cat sat. The dog barked!"),
+         Row(doc_id=2, text=None)]
+    )
+    st = readability_stats("text")
+    r = {x.doc_id: x for x in df.select("doc_id", *st.values()).collect()}
+    a = r[1]
+    assert a.n_words == 6 and a.n_sentences == 2
+    # syllables: the(1) cat(1) sat(1) the(1) dog(1) barked(2: a, e) = 7
+    assert a.n_syllables == 7
+    expect = 206.835 - 1.015 * 6 / 2 - 84.6 * 7 / 6
+    assert abs(a.flesch - expect) < 1e-4
+    b = r[2]
+    assert b.n_words == 0 and b.flesch is None and b.n_sentences == 1
+
+
+def test_aggs_multi_terms_tuple_key(spark):
+    df = spark.createDataFrame([
+        Row(a="x", b="1", v=1.0), Row(a="x", b="1", v=3.0),
+        Row(a="x", b="2", v=5.0), Row(a=None, b="1", v=7.0),
+        Row(a="y", b=None, v=9.0),
+    ])
+    out = run_aggs(df, {"aggs": {"k": {
+        "multi_terms": {"terms": [{"field": "a"}, {"field": "b"}],
+                        "size": 1},
+        "aggs": {"m": {"avg": {"field": "v"}}}}}}).collect()
+    # NULL-bearing rows land in no bucket; top-1 = x|1 (count 2)
+    assert out == [Row(k="x|1", doc_count=2, m=2.0)]
+    with pytest.raises(ValueError, match="multi_terms"):
+        run_aggs(df, {"aggs": {"k": {
+            "multi_terms": {"terms": [{"field": "a"}]}}}})
+
+
+def test_ewma_read_equals_batch_twin(spark, tmp_path):
+    import datetime as dt
+
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        ewma_anomalies_read,
+        hourly_counts_merge_into,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [Row(ts=base + dt.timedelta(hours=h, minutes=m), e="x")
+            for h in range(12) for m in range(0, 60, 7)]
+    df = spark.createDataFrame(rows)
+    a, b = df.limit(40), df.subtract(df.limit(40))
+    state = str(tmp_path / "hourly")
+    hourly_counts_merge_into(a, "ts", "e", state, batch_id=0)
+    hourly_counts_merge_into(b, "ts", "e", state, batch_id=1)
+    # replay batch 1 (at-least-once): must fold to exactly-once
+    hourly_counts_merge_into(b, "ts", "e", state, batch_id=1)
+    got = sorted(
+        ewma_anomalies_read(spark, state).collect(),
+        key=lambda r: (r.event_type, r.hour),
+    )
+    want = sorted(
+        ewma_anomalies(df, "ts", "e").collect(),
+        key=lambda r: (r.event_type, r.hour),
+    )
+    assert got == want

@@ -159,12 +159,20 @@ HEADLINE = [
     "dsl_query",
     "soft_dedup",
     "json_validity",
-    # r15 tail batch
+    # r15 tail batch. lpa_communities / kcore_graph are NOT here:
+    # their returned frames sit behind per-round localCheckpoints
+    # (the pagerank exclusion); unit tests pin the semantics.
     "aggs_dsl",
     "aggs_dsl_range",
     "simple_query",
     "triangle_count",
     "fim_split",
+    "span_corrupt",
+    "psi_drift",
+    "ewma_anomalies",
+    "aggs_dsl_filter",
+    "readability",
+    "aggs_multi_terms",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
@@ -192,6 +200,7 @@ EXPECT_BROADCAST = [
     "knn_label",  # the labeled slice must broadcast to the corpus
     "corpus_kl",  # the 1-row vocabulary totals must broadcast
     "triangle_count",  # the 1-row id-space modulus must broadcast
+    "psi_drift",  # the 1-row decile-cuts frame must broadcast
     # pagerank is NOT here: its returned frame sits behind the final
     # round's localCheckpoint, so the per-round broadcast scalars live
     # in already-truncated lineage — the unit test pins the semantics.
