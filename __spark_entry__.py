@@ -10510,7 +10510,11 @@ g AS (
          CAST(sum(n_chars) AS BIGINT) AS len_sum,
          CAST(count(doc_id) AS BIGINT) AS n_docs
   FROM f GROUP BY 1, 2),
-c1 AS (SELECT source, sum(doc_count) AS src_cnt FROM g GROUP BY source),
+c1 AS (
+  -- the parent's TRUE doc_count: its level snapshot (source present,
+  -- query applied), INDEPENDENT of the child terms' NULL-lang drop
+  SELECT source, count(*) AS src_cnt FROM documents
+  WHERE n_chars >= 100 AND source IS NOT NULL GROUP BY source),
 r1 AS (
   SELECT g.*, dense_rank() OVER (
     ORDER BY c1.src_cnt DESC, g.source ASC
@@ -10550,9 +10554,9 @@ def q_aggs_dsl_range(spark, sf):
 
 SQL_AGGS_DSL_RANGE = """
 WITH f AS (
-  SELECT CASE WHEN value < 10 THEN '*-10'
-              WHEN value >= 10 AND value < 60 THEN '10-60'
-              WHEN value >= 60 THEN '60-*' END AS bands,
+  SELECT CASE WHEN value < 10 THEN '*-10.0'
+              WHEN value >= 10 AND value < 60 THEN '10.0-60.0'
+              WHEN value >= 60 THEN '60.0-*' END AS bands,
          value
   FROM events
   WHERE NOT coalesce(event_type = 'error', FALSE) AND value IS NOT NULL)

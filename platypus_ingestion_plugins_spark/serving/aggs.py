@@ -42,11 +42,14 @@ bucket would need several result rectangles — run them as separate
 Plan shape: multi-bucket leaves (range/filters) explode map-side from
 an inline array (the ``facet_counts`` shape); the whole chain then
 folds into ONE partial-aggregatable ``groupBy`` over all bucket keys.
-``size``/``min_doc_count`` cuts are windows over the AGGREGATED
-bucket grid — one row per bucket combination, never the corpus — with
-per-level doc_counts recovered as window sums, so a parent's top-N is
-ranked by its TOTAL count (ES semantics), not per-child slices.  The
-corpus shuffles exactly once, on the full key tuple.
+A ``terms`` level's ``size``/``min_doc_count`` cut ranks by the
+level's TRUE doc_count — one extra partial-aggregatable pass over
+that level's pre-child-transform snapshot per cut level (a window sum
+over the final grid would be cheaper but WRONG under scope-modifying
+children: a child ``filter`` must not demote a big parent) — applied
+as dense_rank windows over the bucket-grid rectangle, never the
+corpus.  Agg names that would shadow an input column or duplicate
+another output column raise loudly.
 
 Reference: the NRTSearch sink this engine's serving side mirrors
 exposes Lucene facets the same way (`PaimonRowProcessor.java` feeds
@@ -232,8 +235,11 @@ def _compile_bucket(name, btype, body, innermost: bool) -> tuple:
                 raise ValueError(f"{path}: a range needs 'from' and/or 'to'")
             key = r.get("key")
             if key is None:
-                key = (f"{'*' if lo is None else lo}-"
-                       f"{'*' if hi is None else hi}")
+                # ES renders default range keys as DOUBLES ('10.0-60.0',
+                # '*-10.0') — a client keying on the ES-format string
+                # must match
+                key = (f"{'*' if lo is None else float(lo)}-"
+                       f"{'*' if hi is None else float(hi)}")
             pred = F.lit(True)
             if lo is not None:
                 pred = pred & (col >= F.lit(float(lo)))
@@ -346,7 +352,36 @@ def run_aggs(df: DataFrame, dsl) -> DataFrame:
     if not levels and not metrics:
         raise ValueError("aggs resolved to neither buckets nor metrics")
 
-    # Project bucket keys (multi-membership leaves explode map-side).
+    # Name hygiene, raised loudly (the module contract): ES keeps agg
+    # names and field names in separate namespaces, but this executor
+    # materializes bucket keys AS columns — a level name shadowing an
+    # input column would silently corrupt deeper keys/metrics, and
+    # duplicate output names would overwrite each other.
+    out_names = [lvl.name for lvl in levels] + ["doc_count"]
+    for name, t, body in metrics:
+        out_names.extend(
+            [f"{name}_{s}" for s in ("count", "min", "max", "avg", "sum")]
+            if t == "stats" else [name]
+        )
+    dupes = {n for n in out_names if out_names.count(n) > 1}
+    if dupes:
+        raise ValueError(
+            f"duplicate output column name(s) {sorted(dupes)} — rename the "
+            "agg(s); 'doc_count' is reserved"
+        )
+    shadows = {lvl.name for lvl in levels} & set(df.columns)
+    if shadows:
+        raise ValueError(
+            f"bucket agg name(s) {sorted(shadows)} shadow input column(s) — "
+            "bucket keys materialize as columns here, rename the agg(s)"
+        )
+
+    # Project bucket keys (multi-membership leaves explode map-side),
+    # snapshotting the frame at each level: a level's TRUE bucket
+    # totals (ES doc_count semantics) must count rows BEFORE any
+    # deeper scope-modifying transform (a child filter/range/terms
+    # null-drop must not change its parent's ranking).
+    snapshots: list[DataFrame] = []
     for i, lvl in enumerate(levels):
         if lvl.prefilter is not None:
             df = df.where(lvl.prefilter)
@@ -357,6 +392,7 @@ def run_aggs(df: DataFrame, dsl) -> DataFrame:
             df = df.withColumn(lvl.name, lvl.key_expr)
             if lvl.drop_null_key:
                 df = df.where(F.col(lvl.name).isNotNull())
+        snapshots.append(df)
 
     keys = [lvl.name for lvl in levels]
     if not keys:
@@ -378,18 +414,19 @@ def run_aggs(df: DataFrame, dsl) -> DataFrame:
             F.min(last.name).alias("__lo"), F.max(last.name).alias("__hi")
         )
         if kind == "num":
-            # float sequence via integer steps (F.sequence is int/ts)
+            # float sequence via integer steps (F.sequence is int/ts).
+            # Grid values MUST be built as (integer * interval) — the
+            # exact float expression the bucket key uses — not as
+            # lo + i*interval, whose ULP drift on fractional intervals
+            # would miss the join and silently zero realized buckets.
+            n_lo = F.round(F.col("__lo") / step).cast("long")
+            n_hi = F.round(F.col("__hi") / step).cast("long")
             grid = ext.select(
                 *parents,
                 F.explode(
                     F.transform(
-                        F.sequence(
-                            F.lit(0),
-                            F.round((F.col("__hi") - F.col("__lo")) / step)
-                            .cast("long"),
-                        ),
-                        lambda i: (F.col("__lo") + i.cast("double") * step)
-                        .cast("double"),
+                        F.sequence(F.lit(0).cast("long"), n_hi - n_lo),
+                        lambda i: ((n_lo + i) * step).cast("double"),
                     )
                 ).alias(last.name),
             )
@@ -406,31 +443,35 @@ def run_aggs(df: DataFrame, dsl) -> DataFrame:
         grouped = grid.join(grouped, on=parents + [last.name], how="left") \
             .select(*keys, *fill, *[F.col(c) for c in metric_cols])
 
-    # Per-level min_doc_count / terms-size cuts over the aggregated
-    # bucket grid. Level i's bucket count = window sum of doc_count
-    # over keys[:i+1]; its rank orders SIBLINGS under keys[:i].
+    # Per-level min_doc_count / terms-size cuts. A level's TRUE bucket
+    # count (ES doc_count) aggregates its SNAPSHOT — one extra
+    # partial-aggregatable pass per cut level, joined onto the
+    # bucket-grid rectangle (grid-sized join). A window sum over the
+    # final grid would be cheaper but WRONG under scope-modifying
+    # children (a child filter would demote a big parent).
     out = grouped
     for i, lvl in enumerate(levels):
-        if lvl.size is None and lvl.min_doc_count <= (
+        need_mdc = lvl.min_doc_count > (
             0 if lvl.densify is not None else 1
-        ):
+        )
+        if lvl.size is None and not need_mdc:
             continue
-        part = keys[: i + 1]
-        lvl_cnt = F.sum("doc_count").over(Window.partitionBy(*part))
-        if lvl.min_doc_count > (0 if lvl.densify is not None else 1):
-            out = out.withColumn("__lc", lvl_cnt).where(
-                F.col("__lc") >= F.lit(lvl.min_doc_count)
-            ).drop("__lc")
-            lvl_cnt = F.sum("doc_count").over(Window.partitionBy(*part))
+        totals = snapshots[i].groupBy(*keys[: i + 1]).agg(
+            F.count(F.lit(1)).alias("__lvl_cnt")
+        )
+        out = out.join(totals, keys[: i + 1], "left")
+        if need_mdc:
+            out = out.where(F.col("__lvl_cnt") >= F.lit(lvl.min_doc_count))
         if lvl.size is not None:
             w = Window.partitionBy(*keys[:i]).orderBy(
-                lvl_cnt.desc(), F.col(lvl.name).asc()
-            ) if i else Window.partitionBy().orderBy(
-                lvl_cnt.desc(), F.col(lvl.name).asc()
+                F.col("__lvl_cnt").desc(), F.col(lvl.name).asc()
             )
             out = (
                 out.withColumn("__rk", F.dense_rank().over(w))
                 .where(F.col("__rk") <= F.lit(lvl.size))
                 .drop("__rk")
             )
-    return out
+        out = out.drop("__lvl_cnt")
+    return out.select(*keys, "doc_count", *[
+        c for c in grouped.columns if c not in keys and c != "doc_count"
+    ])

@@ -37,9 +37,9 @@ def test_aggs_terms_chain_with_metrics(docs):
                  "aggs": {"l": {"terms": {"field": "lang", "size": 1},
                           "aggs": {"m": {"avg": {"field": "n"}}}}}}},
     }).orderBy("s", "l").collect()
-    # src counts over realized (src, lang) buckets: a=3, b=1 (NULL lang
-    # elides), c=1 -> top-2 parents = a, then b (count tie 1v1 broken
-    # by key asc). within a: en(2) beats fr(1); within b: en.
+    # TRUE src counts (pre-child-transform snapshots): a=3, b=2 (doc 5
+    # counts for b even though its NULL lang elides below), c=1 ->
+    # top-2 parents = a, b. within a: en(2) beats fr(1); within b: en.
     assert [(r.s, r.l, r.doc_count, r.m) for r in out] == [
         ("a", "en", 2, 15.0),
         ("b", "en", 1, 40.0),
@@ -48,7 +48,7 @@ def test_aggs_terms_chain_with_metrics(docs):
 
 def test_aggs_parent_rank_uses_total_count(docs):
     # parent 'a' has 3 docs split 2+1 across langs -> its rank must use
-    # 3 (the window SUM), not any single child row's count
+    # 3 (the level-snapshot total), not any single child row's count
     out = run_aggs(docs, {
         "aggs": {"s": {"terms": {"field": "src", "size": 1},
                  "aggs": {"l": {"terms": {"field": "lang", "size": 10},
@@ -498,3 +498,51 @@ def test_ewma_read_equals_batch_twin(spark, tmp_path):
         key=lambda r: (r.event_type, r.hour),
     )
     assert got == want
+
+
+# ------------------------------------ review-pass regressions (aggs)
+
+
+def test_aggs_fractional_interval_densify_keeps_buckets(spark):
+    # lo + i*interval drifts a ULP off floor(x/interval)*interval for
+    # non-integral intervals; the grid must be built as int*interval
+    # or the realized 0.6 bucket silently zeroes out
+    df = spark.createDataFrame([Row(x=0.15), Row(x=0.65)])
+    out = run_aggs(df, {"aggs": {"h": {"histogram":
+        {"field": "x", "interval": 0.1}}}}).orderBy("h").collect()
+    assert [r.doc_count for r in out] == [1, 0, 0, 0, 0, 1]
+    assert sum(r.doc_count for r in out) == 2
+
+
+def test_aggs_parent_rank_survives_child_filter(spark):
+    # parent A: 101 docs, 1 buy; parent B: 10 docs, 9 buys. ES ranks
+    # parents by their TRUE doc_count (A wins), not by the rows that
+    # survive the child filter bucket
+    rows = ([Row(src="A", kind="buy" if i == 0 else "view")
+             for i in range(101)]
+            + [Row(src="B", kind="buy" if i else "view")
+               for i in range(10)])
+    out = run_aggs(spark.createDataFrame(rows), {"aggs": {"top": {
+        "terms": {"field": "src", "size": 1},
+        "aggs": {"buys": {"filter": {"term": {"kind": "buy"}}}}}}}) \
+        .collect()
+    assert {r.top for r in out} == {"A"}
+
+
+def test_aggs_name_collisions_raise(spark, docs):
+    with pytest.raises(ValueError, match="duplicate output column"):
+        run_aggs(docs, {"aggs": {"by": {"terms": {"field": "src"},
+                 "aggs": {"by": {"terms": {"field": "lang"}}}}}})
+    with pytest.raises(ValueError, match="shadow input column"):
+        run_aggs(docs, {"aggs": {"n": {"terms": {"field": "src"},
+                 "aggs": {"m": {"avg": {"field": "n"}}}}}})
+    with pytest.raises(ValueError, match="doc_count"):
+        run_aggs(docs, {"aggs": {"doc_count": {"terms":
+                 {"field": "src"}}}})
+
+
+def test_aggs_range_default_keys_es_format(spark):
+    df = spark.createDataFrame([Row(x=5.0), Row(x=20.0)])
+    out = run_aggs(df, {"aggs": {"b": {"range": {"field": "x",
+        "ranges": [{"to": 10}, {"from": 10}]}}}}).orderBy("b").collect()
+    assert [r.b for r in out] == ["*-10.0", "10.0-*"]
