@@ -11101,6 +11101,207 @@ def q_stream_ewma_anomalies(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_ab_cuped(spark, sf):
+    """CUPED variance-reduced readout (NEW r15, operators/analytics.
+    ab_test_cuped): per-user late-period purchase value adjusted by
+    the pre-period covariate with the pooled theta — var_adj <=
+    var_raw is the point; the oracle replays theta, the neutral NULL
+    imputation, and the per-arm moments."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        ab_test_cuped,
+    )
+
+    e = _events_ts(spark, sf)
+    cut = F.lit("2024-01-15").cast("timestamp")
+    per = (
+        e.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") >= cut, F.col("value"))).alias("y"),
+            F.sum(F.when(F.col("ts") < cut, F.col("value"))).alias("x"),
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B")).alias("variant"),
+            "y", "x",
+        )
+    )
+    return ab_test_cuped(per, "variant", "y", "x")
+
+
+SQL_AB_CUPED = """
+WITH per AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN value END) AS y,
+         sum(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN value END) AS x
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+b AS (SELECT * FROM per WHERE y IS NOT NULL),
+st AS (
+  SELECT covar_pop(x, y) AS cov, var_pop(x) AS varx, avg(x) AS mx
+  FROM b),
+a AS (
+  SELECT variant, y,
+         y - (CASE WHEN varx > 0 THEN cov / varx ELSE 0 END)
+             * coalesce(x - mx, 0) AS adj
+  FROM b, st)
+SELECT variant, CAST(count(*) AS BIGINT) AS n,
+       round(avg(y), 6) AS mean_raw, round(avg(adj), 6) AS mean_adj,
+       round(var_pop(y), 6) AS var_raw, round(var_pop(adj), 6) AS var_adj
+FROM a GROUP BY variant
+"""
+
+
+def q_srm_check(spark, sf):
+    """Sample-ratio-mismatch check (NEW r15, operators/analytics.
+    srm_check): per-user deterministic arm assignment against a
+    50/40/10 expected allocation; chi-square goodness-of-fit terms per
+    arm. The oracle replays the expected counts and terms."""
+    from platypus_ingestion_plugins_spark.operators.analytics import (
+        srm_check,
+    )
+
+    users = (
+        _t(spark, sf, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .select(
+            F.when(F.col("user_id") % 10 < 5, F.lit("A"))
+            .when(F.col("user_id") % 10 < 9, F.lit("B"))
+            .otherwise(F.lit("C")).alias("arm")
+        )
+    )
+    return srm_check(users, "arm", {"A": 0.5, "B": 0.4, "C": 0.1})
+
+
+SQL_SRM_CHECK = """
+WITH users AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+arms AS (
+  SELECT CASE WHEN user_id % 10 < 5 THEN 'A'
+              WHEN user_id % 10 < 9 THEN 'B' ELSE 'C' END AS variant
+  FROM users),
+cnt AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n FROM arms
+  GROUP BY variant),
+exp AS (
+  SELECT * FROM (VALUES ('A', 0.5), ('B', 0.4), ('C', 0.1))
+  AS t(variant, share)),
+tot AS (SELECT sum(n) AS total FROM cnt)
+SELECT e.variant, coalesce(c.n, 0) AS n,
+       round(e.share * tot.total, 6) AS expected_n,
+       round((coalesce(c.n, 0) - e.share * tot.total)
+             * (coalesce(c.n, 0) - e.share * tot.total)
+             / (e.share * tot.total), 6) AS chi2_term
+FROM exp e LEFT JOIN cnt c ON e.variant = c.variant, tot
+"""
+
+
+def q_aggs_missing(spark, sf):
+    """ES missing bucket (NEW r15, serving/aggs.run_aggs): docs
+    WITHOUT a field (deterministically synthesized NULLs — the
+    json_validity convention) with a stats metric below; the
+    data-quality counterpart of exists. Oracle replays the NULL rule
+    and the narrowed stats."""
+    from platypus_ingestion_plugins_spark.serving.aggs import run_aggs
+
+    d = _t(spark, sf, "documents").withColumn(
+        "payload",
+        F.when(F.col("doc_id") % 4 != 0, F.col("lang")),
+    )
+    return run_aggs(d, {
+        "aggs": {
+            "no_payload": {
+                "missing": {"field": "payload"},
+                "aggs": {"len": {"stats": {"field": "n_chars"}}},
+            }
+        },
+    })
+
+
+SQL_AGGS_MISSING = """
+SELECT 'no_payload' AS no_payload,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(count(n_chars) AS BIGINT) AS len_count,
+       min(n_chars) AS len_min, max(n_chars) AS len_max,
+       avg(n_chars) AS len_avg,
+       CAST(sum(n_chars) AS BIGINT) AS len_sum
+FROM documents WHERE doc_id % 4 = 0
+"""
+
+
+def q_ppr_seeds(spark, sf):
+    """Personalized PageRank (NEW r15, operators/graph.pagerank with
+    seeds): importance relative to the {purchase, signup} event types
+    on the transition graph — teleport, init, and dangling mass all
+    concentrate on the seed set; the oracle unrolls the same rounds
+    with the seed-indicator teleport vector."""
+    from pyspark.sql.window import Window
+
+    from platypus_ingestion_plugins_spark.operators.graph import pagerank
+
+    d = _events_ts(spark, sf)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    edges = (
+        d.where(F.col("ts").isNotNull())
+        .select(
+            F.lag("event_type").over(w).alias("s"),
+            F.col("event_type").alias("t"),
+        )
+        .where(F.col("s").isNotNull())
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    seeds = spark.createDataFrame(
+        [("purchase",), ("signup",)], "node string"
+    )
+    return pagerank(edges, "s", "t", "w", iterations=5, damping=0.85,
+                    seeds=seeds)
+
+
+def _ppr_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Personalized-PageRank rounds unrolled as SQL CTEs — the
+    ``_pagerank_oracle_sql`` shape with the seed-concentrated
+    teleport vector replacing every 1/N term."""
+    d = damping
+    head = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) s,
+         event_type t
+  FROM events WHERE ts IS NOT NULL),
+e AS (SELECT s, t AS d, CAST(count(*) AS DOUBLE) w
+      FROM pairs WHERE s IS NOT NULL GROUP BY 1, 2),
+nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+ow AS (SELECT s AS node, sum(w) ow FROM e GROUP BY s),
+ns AS (SELECT CAST(count(*) AS DOUBLE) c FROM nodes
+       WHERE node IN ('purchase', 'signup')),
+v AS (SELECT node, CASE WHEN node IN ('purchase', 'signup')
+                        THEN 1.0 / ns.c ELSE 0.0 END AS v
+      FROM nodes, ns),
+r0 AS (SELECT node, v AS rank FROM v)"""
+    body = []
+    for i in range(iterations):
+        body.append(f""",
+d{i} AS (SELECT coalesce(sum(CASE WHEN ow.ow IS NULL
+                             THEN r{i}.rank END), 0) dang
+         FROM r{i} LEFT JOIN ow USING (node)),
+c{i} AS (SELECT e.d AS node, sum(r{i}.rank * e.w / ow.ow) inp
+         FROM r{i} JOIN ow USING (node) JOIN e ON e.s = r{i}.node
+         GROUP BY e.d),
+r{i + 1} AS (SELECT v.node,
+             (1.0 - {d}) * v.v
+             + {d} * (coalesce(c{i}.inp, 0) + d{i}.dang * v.v) AS rank
+             FROM v LEFT JOIN c{i} USING (node), d{i})""")
+    return (
+        head
+        + "".join(body)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -11395,6 +11596,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "aggs_multi_terms": q_aggs_multi_terms,
         "stream_ewma_anomalies": q_stream_ewma_anomalies,
+        "ab_cuped": q_ab_cuped,
+        "srm_check": q_srm_check,
+        "aggs_missing": q_aggs_missing,
+        "ppr_seeds": q_ppr_seeds,
     }
 
 
@@ -11438,6 +11643,10 @@ def oracle_sql() -> dict[str, str]:
         "readability": SQL_READABILITY,
         "aggs_multi_terms": SQL_AGGS_MULTI_TERMS,
         "stream_ewma_anomalies": SQL_EWMA_ANOMALIES,
+        "ab_cuped": SQL_AB_CUPED,
+        "srm_check": SQL_SRM_CHECK,
+        "aggs_missing": SQL_AGGS_MISSING,
+        "ppr_seeds": _ppr_oracle_sql(),
         "bpe_token_count": _bpe_oracle_sql(),
         "image_neardup": SQL_IMAGE_NEARDUP,
         "language_classifier": SQL_LANGUAGE_CLASSIFIER,

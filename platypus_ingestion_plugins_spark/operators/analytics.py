@@ -1382,3 +1382,126 @@ def _ewma_from_hourly(
             )
         ).alias("anomaly"),
     )
+
+
+def ab_test_cuped(
+    df: DataFrame,
+    variant_col: str,
+    metric_col: str,
+    covariate_col: str,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (NEW r15; Deng et al.
+    2013, the industry-standard pre-period adjustment) — the
+    continuous-metric sibling of ``ab_test``'s two-proportion z: each
+    unit's metric is adjusted by its PRE-EXPERIMENT covariate,
+    ``y_adj = y − θ·(x − mean(x))`` with ``θ = cov(x, y)/var(x)``
+    estimated POOLED across arms (the standard, assignment-independent
+    estimator), removing the variance the pre-period already
+    explains. Output per variant: ``(variant, n, mean_raw, mean_adj,
+    var_raw, var_adj)`` 6dp — ``var_adj <= var_raw`` is the point
+    (tighter confidence at the same traffic); the t/z lookup stays
+    with the caller (the ``ab_test`` no-hand-rolled-CDF rule).
+
+    Rows with a NULL metric drop (no outcome, nothing to adjust);
+    a NULL covariate adjusts by 0 (reads as x = mean(x) — the neutral
+    imputation, so late-joining units without a pre-period neither
+    shift nor shrink the estimate). Plan: one 1-row pooled (θ, mean)
+    aggregate broadcast onto the scan, then one partial-aggregatable
+    per-variant groupBy — two corpus passes, no window, no UDF;
+    population variance (the 1-row aggregate convention), matching
+    the oracle's var_pop."""
+    y = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    base = df.where(y.isNotNull())
+    stats = base.agg(
+        F.covar_pop(x, y).alias("__cov"),
+        F.var_pop(x).alias("__varx"),
+        F.avg(x).alias("__mx"),
+    )
+    theta = F.when(
+        F.col("__varx") > 0, F.col("__cov") / F.col("__varx")
+    ).otherwise(F.lit(0.0))
+    # NULL covariate (or an all-NULL covariate making mx itself NULL)
+    # adjusts by 0 — theta * NULL would silently NULL the metric out
+    adj = y - theta * F.coalesce(x - F.col("__mx"), F.lit(0.0))
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select(F.col(variant_col).alias("variant"), y.alias("__y"),
+                adj.alias("__adj"))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("__y"), 6).alias("mean_raw"),
+            F.round(F.avg("__adj"), 6).alias("mean_adj"),
+            F.round(F.var_pop("__y"), 6).alias("var_raw"),
+            F.round(F.var_pop("__adj"), 6).alias("var_adj"),
+        )
+    )
+
+
+def srm_check(
+    df: DataFrame,
+    variant_col: str,
+    expected: dict,
+) -> DataFrame:
+    """Sample-ratio-mismatch check (NEW r15) — the experiment-health
+    gate that must run BEFORE any readout is believed: compare each
+    arm's observed unit count against its expected allocation share
+    and emit the chi-square goodness-of-fit statistic. An SRM
+    invalidates the experiment regardless of how significant the
+    metric looks (bot filtering, crash-on-assignment, logging loss
+    all land here first). Output one row per EXPECTED arm:
+    ``(variant, n, expected_n, chi2_term)`` plus the arm count-
+    bounded total is one ``sum`` away; compare the statistic against
+    the chi-square critical value for (arms − 1) df caller-side (the
+    ``ab_test`` no-hand-rolled-CDF rule). Units in arms NOT in
+    ``expected`` raise loudly — an unknown arm IS the mismatch.
+
+    ``expected`` maps arm -> weight (normalized internally). One
+    partial-aggregatable groupBy + a 1-row total broadcast onto the
+    arm-bounded frame."""
+    if not expected:
+        raise ValueError("expected allocation must be non-empty")
+    wsum = float(sum(expected.values()))
+    if wsum <= 0:
+        raise ValueError("expected weights must sum > 0")
+    shares = {str(k): v / wsum for k, v in expected.items()}
+    per = df.groupBy(
+        F.col(variant_col).cast("string").alias("variant")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    known = per.where(
+        F.col("variant").isin(list(shares)) | F.col("variant").isNull()
+    )
+    # loud unknown-arm check: bounded collect (arms, not units)
+    unknown = [
+        r.variant for r in per.select("variant").collect()
+        if r.variant not in shares and r.variant is not None
+    ]
+    if unknown:
+        raise ValueError(
+            f"arm(s) {sorted(unknown)} not in the expected allocation "
+            f"{sorted(shares)} — an unknown arm IS a sample-ratio mismatch"
+        )
+    spark = df.sparkSession
+    exp_rows = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(shares.items())],
+        "variant string, share double",
+    )
+    tot = known.agg(F.sum("n").alias("__tot"))
+    out = (
+        exp_rows.join(known, "variant", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "variant",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            (F.col("share") * F.col("__tot")).alias("__exp"),
+        )
+    )
+    chi = (F.col("n") - F.col("__exp")) * (F.col("n") - F.col("__exp")) / \
+        F.col("__exp")
+    return out.select(
+        "variant",
+        "n",
+        F.round(F.col("__exp"), 6).alias("expected_n"),
+        F.round(chi, 6).alias("chi2_term"),
+    )

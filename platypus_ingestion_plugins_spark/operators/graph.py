@@ -29,6 +29,7 @@ def pagerank(
     weight: str | None = None,
     iterations: int = 5,
     damping: float = 0.85,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank (Brin & Page 1998) over a directed edge
     frame, fixed-round power iteration:
@@ -51,7 +52,17 @@ def pagerank(
     precedent in ``kmeans_centroids``); rows with NULL src/dst or a
     non-positive/NULL weight are dropped (a zero-weight edge is no
     edge — keeping it would divide a zero out-weight sum), so a node
-    reachable only through dropped edges leaves the graph."""
+    reachable only through dropped edges leaves the graph.
+
+    ``seeds`` (NEW r15) switches to PERSONALIZED PageRank (Haveliwala
+    2002 — "importance relative to THESE nodes", the recommender /
+    related-items reading): the teleport distribution concentrates
+    uniformly on the seed set (a 1-column frame of node ids) instead
+    of all nodes — ranks start there, the (1−d) restart returns
+    there, and dangling mass redistributes there. Seeds outside the
+    graph are ignored; an empty intersection raises. The default
+    ``seeds=None`` path is expression-identical to before (same
+    floats, same oracle)."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not (0.0 < damping < 1.0):
@@ -81,9 +92,40 @@ def pagerank(
     )
     n_nodes = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     d = float(damping)
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
-    )
+    if seeds is None:
+        vbase = None
+        ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+            "node", (F.lit(1.0) / F.col("__n")).alias("rank")
+        )
+    else:
+        seed_col = seeds.columns[0]
+        seed_nodes = (
+            seeds.select(F.col(seed_col).alias("node"))
+            .where(F.col("node").isNotNull())
+            .distinct()
+            .join(nodes, "node", "left_semi")
+        )
+        n_seeds = seed_nodes.agg(
+            F.count(F.lit(1)).cast("double").alias("__ns")
+        )
+        if n_seeds.first()["__ns"] == 0.0:
+            raise ValueError("no seed intersects the graph's node set")
+        # the teleport vector as a node-keyed frame: 1/|seeds| on
+        # seeds, 0 elsewhere — pinned so every round reuses it
+        vbase = (
+            nodes.join(
+                seed_nodes.withColumn("__is", F.lit(1)), "node", "left"
+            )
+            .crossJoin(F.broadcast(n_seeds))
+            .select(
+                "node",
+                F.when(F.col("__is").isNotNull(),
+                       F.lit(1.0) / F.col("__ns"))
+                .otherwise(F.lit(0.0)).alias("__v"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        ranks = vbase.select("node", F.col("__v").alias("rank"))
     for _ in range(int(iterations)):
         with_out = ranks.join(out_w, "node", "left")
         dangling = with_out.agg(
@@ -102,21 +144,31 @@ def pagerank(
                 )
             )
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(n_nodes))
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    (F.lit(1.0) - F.lit(d)) / F.col("__n")
-                    + F.lit(d)
-                    * (
-                        F.coalesce(F.col("__in"), F.lit(0.0))
-                        + F.col("__dangle") / F.col("__n")
-                    )
-                ).alias("rank"),
+        if vbase is None:
+            new_rank = (
+                (F.lit(1.0) - F.lit(d)) / F.col("__n")
+                + F.lit(d)
+                * (
+                    F.coalesce(F.col("__in"), F.lit(0.0))
+                    + F.col("__dangle") / F.col("__n")
+                )
             )
+            base = nodes.join(contrib, "node", "left").crossJoin(
+                F.broadcast(n_nodes)
+            )
+        else:
+            new_rank = (
+                (F.lit(1.0) - F.lit(d)) * F.col("__v")
+                + F.lit(d)
+                * (
+                    F.coalesce(F.col("__in"), F.lit(0.0))
+                    + F.col("__dangle") * F.col("__v")
+                )
+            )
+            base = vbase.join(contrib, "node", "left")
+        ranks = (
+            base.crossJoin(F.broadcast(dangling))
+            .select("node", new_rank.alias("rank"))
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -18,9 +18,9 @@ per-parent extent, innermost level only), ``date_histogram``
 (``calendar_interval`` hour/day/week/month), ``range`` (half-open
 [from, to) bands, a doc may land in several — ES semantics),
 ``filters`` (named sub-queries, each body parsed by ``parse_query``),
-and single-bucket ``filter`` (scope narrowing for everything below;
-the constant agg name becomes the bucket key column — the named
-single bucket an ES response shows).
+and the single-bucket ``filter`` / ``missing`` scopes (narrowing for
+everything below; the constant agg name becomes the bucket key column
+— the named single bucket an ES response shows).
 Supported metric aggs: ``avg sum min max value_count cardinality
 stats`` (stats expands to ``<name>_count/_min/_max/_avg/_sum``;
 cardinality is EXACT where ES uses HyperLogLog — same contract as
@@ -66,7 +66,7 @@ from pyspark.sql import functions as F
 
 _BUCKET_TYPES = {
     "terms", "multi_terms", "histogram", "date_histogram", "range",
-    "filters", "filter",
+    "filters", "filter", "missing",
 }
 _METRIC_TYPES = {
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
@@ -250,6 +250,14 @@ def _compile_bucket(name, btype, body, innermost: bool) -> tuple:
             )
         pairs = F.array_compact(F.array(*entries))
         return _Level(name, None), pairs
+    if btype == "missing":
+        # ES missing bucket: docs WITHOUT the field — the data-quality
+        # counterpart of exists; scope narrows like `filter`
+        _require(body, path, {"field"}, set())
+        return _Level(
+            name, F.lit(name), drop_null_key=False,
+            prefilter=F.col(body["field"]).isNull(),
+        ), None
     if btype == "filter":
         # ES single-bucket filter: narrows the scope for everything
         # below; the bucket key is the constant agg name (the named

@@ -546,3 +546,103 @@ def test_aggs_range_default_keys_es_format(spark):
     out = run_aggs(df, {"aggs": {"b": {"range": {"field": "x",
         "ranges": [{"to": 10}, {"from": 10}]}}}}).orderBy("b").collect()
     assert [r.b for r in out] == ["*-10.0", "10.0-*"]
+
+
+# ------------------------------------------------------ batch D
+
+
+from platypus_ingestion_plugins_spark.operators.analytics import (  # noqa: E402
+    ab_test_cuped,
+    srm_check,
+)
+from platypus_ingestion_plugins_spark.operators.graph import (  # noqa: E402
+    pagerank,
+)
+
+
+def test_cuped_reduces_variance_keeps_effect(spark):
+    import math
+
+    # y = x + treatment effect + deterministic noise: CUPED must strip
+    # the x-driven variance and keep the arm means' gap
+    rows = []
+    for i in range(400):
+        # x independent of the arm (paired) — a confounded fixture
+        # would make the RAW lift zero and the test meaningless
+        x = float((i // 2) % 20)
+        arm = "t" if i % 2 == 0 else "c"
+        noise = math.sin(i * 0.7) * 0.1
+        y = x + (1.0 if arm == "t" else 0.0) + noise
+        rows.append(Row(variant=arm, y=y, x=x))
+    out = {r.variant: r for r in ab_test_cuped(
+        spark.createDataFrame(rows), "variant", "y", "x").collect()}
+    lift_raw = out["t"].mean_raw - out["c"].mean_raw
+    lift_adj = out["t"].mean_adj - out["c"].mean_adj
+    assert abs(lift_adj - lift_raw) < 0.05
+    assert out["t"].var_adj < out["t"].var_raw * 0.05
+    assert out["c"].var_adj < out["c"].var_raw * 0.05
+
+
+def test_cuped_null_covariate_neutral(spark):
+    rows = [Row(variant="a", y=float(i), x=None) for i in range(10)]
+    out = ab_test_cuped(
+        spark.createDataFrame(rows, "variant string, y double, x double"),
+        "variant", "y", "x").collect()
+    # all-NULL covariate: theta 0, adjusted == raw
+    assert out[0].mean_adj == out[0].mean_raw
+
+
+def test_srm_terms_and_unknown_arm(spark):
+    rows = [Row(arm="A")] * 50 + [Row(arm="B")] * 50
+    out = {r.variant: r for r in srm_check(
+        spark.createDataFrame(rows), "arm",
+        {"A": 0.5, "B": 0.5}).collect()}
+    assert out["A"].expected_n == 50.0 and out["A"].chi2_term == 0.0
+    skew = [Row(arm="A")] * 80 + [Row(arm="B")] * 20
+    out = {r.variant: r for r in srm_check(
+        spark.createDataFrame(skew), "arm",
+        {"A": 0.5, "B": 0.5}).collect()}
+    assert out["A"].chi2_term == out["B"].chi2_term == 18.0
+    with pytest.raises(ValueError, match="unknown arm"):
+        srm_check(spark.createDataFrame([Row(arm="Z")]), "arm",
+                  {"A": 1.0})
+    with pytest.raises(ValueError, match="non-empty"):
+        srm_check(spark.createDataFrame([Row(arm="A")]), "arm", {})
+
+
+def test_aggs_missing_bucket(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0), (None, 4.0)], "f string, v double"
+    )
+    out = run_aggs(df, {"aggs": {"gone": {"missing": {"field": "f"},
+        "aggs": {"s": {"sum": {"field": "v"}}}}}}).collect()
+    assert out == [Row(gone="gone", doc_count=2, s=6.0)]
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    # star: hub -> a,b,c; seeding {a} must rank a far above b/c and
+    # above the unseeded-run spread
+    e = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("h", "c"), ("a", "h")],
+        "s string, t string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    pr = {r.node: r.rank for r in
+          pagerank(e, "s", "t", iterations=8, seeds=seeds).collect()}
+    assert pr["a"] > pr["b"] * 2 and pr["b"] == pr["c"]
+    assert abs(sum(pr.values()) - 1.0) < 1e-4
+    with pytest.raises(ValueError, match="seed"):
+        pagerank(e, "s", "t",
+                 seeds=spark.createDataFrame([("zz",)], "node string"))
+
+
+def test_pagerank_default_path_unchanged(spark):
+    # seeds=None must produce the exact pre-change ranks (the oracle
+    # contract): uniform teleport, dangling redistribution
+    e = spark.createDataFrame(
+        [("x", "y"), ("y", "z")], "s string, t string"
+    )
+    a = {r.node: r.rank for r in pagerank(e, "s", "t").collect()}
+    b = {r.node: r.rank for r in
+         pagerank(e, "s", "t", seeds=None).collect()}
+    assert a == b and abs(sum(a.values()) - 1.0) < 1e-4

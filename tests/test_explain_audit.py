@@ -173,6 +173,10 @@ HEADLINE = [
     "aggs_dsl_filter",
     "readability",
     "aggs_multi_terms",
+    # srm_check / ppr_seeds are NOT here: their constructors EXECUTE
+    # (the bounded unknown-arm collect; the seed-intersection guard)
+    "ab_cuped",
+    "aggs_missing",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
@@ -201,6 +205,7 @@ EXPECT_BROADCAST = [
     "corpus_kl",  # the 1-row vocabulary totals must broadcast
     "triangle_count",  # the 1-row id-space modulus must broadcast
     "psi_drift",  # the 1-row decile-cuts frame must broadcast
+    "ab_cuped",  # the 1-row pooled-theta stats must broadcast
     # pagerank is NOT here: its returned frame sits behind the final
     # round's localCheckpoint, so the per-round broadcast scalars live
     # in already-truncated lineage — the unit test pins the semantics.
