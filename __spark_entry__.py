@@ -11302,6 +11302,69 @@ r{i + 1} AS (SELECT v.node,
     )
 
 
+def q_aggs_pipeline(spark, sf):
+    """ES pipeline aggs in the DSL (NEW r15, serving/aggs.run_aggs):
+    a stored terms → date_histogram body with cumulative_sum /
+    derivative / moving_avg siblings on _count runs unchanged —
+    windows per parent over the bucket-grid rectangle (the
+    date_histogram_pipeline conventions). The oracle replays the
+    snapshot-ranked parents and all three windows."""
+    from platypus_ingestion_plugins_spark.serving.aggs import run_aggs
+
+    e = _events_ts(spark, sf)
+    return run_aggs(e, {
+        "aggs": {
+            "et": {
+                "terms": {"field": "event_type", "size": 3},
+                "aggs": {
+                    "day": {
+                        "date_histogram": {"field": "ts",
+                                           "calendar_interval": "day",
+                                           "min_doc_count": 1},
+                        "aggs": {
+                            "vals": {"value_count": {"field": "value"}},
+                            "cum": {"cumulative_sum":
+                                    {"buckets_path": "_count"}},
+                            "deriv": {"derivative":
+                                      {"buckets_path": "_count"}},
+                            "mov": {"moving_avg":
+                                    {"buckets_path": "_count",
+                                     "window": 3}},
+                        },
+                    }
+                },
+            }
+        },
+    })
+
+
+SQL_AGGS_PIPELINE = """
+WITH h AS (
+  SELECT event_type AS et, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         CAST(count(value) AS BIGINT) AS vals
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+tot AS (
+  SELECT event_type AS et, CAST(count(*) AS BIGINT) AS c FROM events
+  WHERE event_type IS NOT NULL GROUP BY 1),
+r AS (
+  SELECT h.*, dense_rank() OVER (ORDER BY tot.c DESC, h.et ASC) AS rk
+  FROM h JOIN tot USING (et))
+SELECT et, day, doc_count, vals,
+       CAST(sum(doc_count) OVER (
+         PARTITION BY et ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum,
+       doc_count - lag(doc_count) OVER (PARTITION BY et ORDER BY day)
+         AS deriv,
+       round(avg(doc_count) OVER (
+         PARTITION BY et ORDER BY day
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov
+FROM r WHERE rk <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -11600,6 +11663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srm_check": q_srm_check,
         "aggs_missing": q_aggs_missing,
         "ppr_seeds": q_ppr_seeds,
+        "aggs_pipeline": q_aggs_pipeline,
     }
 
 
@@ -11647,6 +11711,7 @@ def oracle_sql() -> dict[str, str]:
         "srm_check": SQL_SRM_CHECK,
         "aggs_missing": SQL_AGGS_MISSING,
         "ppr_seeds": _ppr_oracle_sql(),
+        "aggs_pipeline": SQL_AGGS_PIPELINE,
         "bpe_token_count": _bpe_oracle_sql(),
         "image_neardup": SQL_IMAGE_NEARDUP,
         "language_classifier": SQL_LANGUAGE_CLASSIFIER,

@@ -21,8 +21,12 @@ per-parent extent, innermost level only), ``date_histogram``
 and the single-bucket ``filter`` / ``missing`` scopes (narrowing for
 everything below; the constant agg name becomes the bucket key column
 — the named single bucket an ES response shows).
-Supported metric aggs: ``avg sum min max value_count cardinality
-stats`` (stats expands to ``<name>_count/_min/_max/_avg/_sum``;
+Supported pipeline aggs (innermost histogram/date_histogram axis
+only, the ``date_histogram_pipeline`` conventions): ``cumulative_sum
+derivative moving_avg`` with ``buckets_path`` of ``_count`` or a
+sibling metric name, windowed per parent over the bucket-grid
+rectangle.  Supported metric aggs: ``avg sum min max value_count
+cardinality stats`` (stats expands to ``<name>_count/_min/_max/_avg/_sum``;
 cardinality is EXACT where ES uses HyperLogLog — same contract as
 ``percentile_ranks_facet`` being exact where ES TDigests).  One
 documented deviation: a declared ``range``/``filters`` bucket that
@@ -71,16 +75,19 @@ _BUCKET_TYPES = {
 _METRIC_TYPES = {
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
 }
+_PIPELINE_TYPES = {"cumulative_sum", "derivative", "moving_avg"}
 _CALENDAR = {"hour", "day", "week", "month"}
 
 
 def _split_level(aggs: dict, path: str):
     """One DSL level -> (bucket (name, type, body, sub) | None,
-    [(metric name, type, body), ...]); raises on unsupported shapes."""
+    [(metric name, type, body), ...], [(pipeline name, type, body),
+    ...]); raises on unsupported shapes."""
     if not isinstance(aggs, dict) or not aggs:
         raise ValueError(f"{path}: aggs must be a non-empty object")
     bucket = None
     metrics = []
+    pipelines = []
     for name, spec in aggs.items():
         if not isinstance(spec, dict):
             raise ValueError(f"{path}.{name}: agg body must be an object")
@@ -103,19 +110,27 @@ def _split_level(aggs: dict, path: str):
             if sub:
                 raise ValueError(f"{path}.{name}: metric aggs take no sub-aggs")
             metrics.append((name, t, spec[t]))
+        elif t in _PIPELINE_TYPES:
+            if sub:
+                raise ValueError(
+                    f"{path}.{name}: pipeline aggs take no sub-aggs"
+                )
+            pipelines.append((name, t, spec[t]))
         else:
             raise ValueError(
                 f"{path}.{name}: unsupported agg type {t!r} "
                 f"(buckets: {sorted(_BUCKET_TYPES)}, "
-                f"metrics: {sorted(_METRIC_TYPES)})"
+                f"metrics: {sorted(_METRIC_TYPES)}, "
+                f"pipelines: {sorted(_PIPELINE_TYPES)})"
             )
-    if bucket is not None and metrics:
+    if bucket is not None and (metrics or pipelines):
         raise ValueError(
-            f"{path}: metric agg(s) {[m[0] for m in metrics]} next to bucket "
-            f"agg {bucket[0]!r} would apply to the parent scope — nest them "
-            "inside the bucket's own 'aggs'"
+            f"{path}: agg(s) "
+            f"{[m[0] for m in metrics] + [p[0] for p in pipelines]} next to "
+            f"bucket agg {bucket[0]!r} would apply to the parent scope — "
+            "nest them inside the bucket's own 'aggs'"
         )
-    return bucket, metrics
+    return bucket, metrics, pipelines
 
 
 def _require(body: dict, path: str, required: set, optional: set):
@@ -343,12 +358,16 @@ def run_aggs(df: DataFrame, dsl) -> DataFrame:
     explode_at: list = []  # (level index, pairs Column)
     node = aggs
     metrics = []
+    pipelines = []
+    inner_btype = None
     while node is not None:
-        bucket, lvl_metrics = _split_level(node, "aggs")
+        bucket, lvl_metrics, lvl_pipelines = _split_level(node, "aggs")
         if bucket is None:
             metrics = lvl_metrics
+            pipelines = lvl_pipelines
             break
         name, btype, body, sub = bucket
+        inner_btype = btype
         # innermost = no bucket agg BELOW (metric-only sub-aggs keep
         # this level innermost for the gap-free-grid rule)
         innermost = sub is None or _split_level(sub, f"aggs.{name}")[0] is None
@@ -359,6 +378,22 @@ def run_aggs(df: DataFrame, dsl) -> DataFrame:
         node = sub
     if not levels and not metrics:
         raise ValueError("aggs resolved to neither buckets nor metrics")
+    if pipelines and inner_btype not in ("histogram", "date_histogram"):
+        raise ValueError(
+            f"pipeline agg(s) {[p[0] for p in pipelines]} need an ORDERED "
+            "histogram/date_histogram axis as the innermost bucket "
+            f"(innermost here: {inner_btype!r})"
+        )
+    metric_names = {m[0] for m in metrics if m[1] != "stats"}
+    for pname, pt, pbody in pipelines:
+        _require(pbody, f"aggs.{pname}", {"buckets_path"},
+                 {"window"} if pt == "moving_avg" else set())
+        bp = pbody["buckets_path"]
+        if bp != "_count" and bp not in metric_names:
+            raise ValueError(
+                f"aggs.{pname}: buckets_path {bp!r} must be '_count' or a "
+                f"sibling non-stats metric name {sorted(metric_names)}"
+            )
 
     # Name hygiene, raised loudly (the module contract): ES keeps agg
     # names and field names in separate namespaces, but this executor
@@ -371,6 +406,7 @@ def run_aggs(df: DataFrame, dsl) -> DataFrame:
             [f"{name}_{s}" for s in ("count", "min", "max", "avg", "sum")]
             if t == "stats" else [name]
         )
+    out_names.extend(p[0] for p in pipelines)
     dupes = {n for n in out_names if out_names.count(n) > 1}
     if dupes:
         raise ValueError(
@@ -480,6 +516,39 @@ def run_aggs(df: DataFrame, dsl) -> DataFrame:
                 .drop("__rk")
             )
         out = out.drop("__lvl_cnt")
-    return out.select(*keys, "doc_count", *[
+    out = out.select(*keys, "doc_count", *[
         c for c in grouped.columns if c not in keys and c != "doc_count"
     ])
+
+    # ES pipeline aggs over the innermost ordered axis (the
+    # date_histogram_pipeline conventions: running total includes the
+    # current bucket, derivative is NULL on each parent's first
+    # bucket, moving_avg is the trailing-window mean, 6dp). Windows
+    # partition by the parent keys over the bucket-grid rectangle —
+    # a plot axis per parent, never the corpus.
+    if pipelines:
+        parents = keys[:-1]
+        axis = keys[-1]
+        for pname, pt, pbody in pipelines:
+            bp = pbody["buckets_path"]
+            src = F.col("doc_count" if bp == "_count" else bp)
+            if pt == "cumulative_sum":
+                w = Window.partitionBy(*parents).orderBy(axis).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+                expr = F.sum(src).over(w)
+            elif pt == "derivative":
+                w = Window.partitionBy(*parents).orderBy(axis)
+                expr = src - F.lag(src).over(w)
+            else:  # moving_avg
+                window = int(pbody.get("window", 5))
+                if window < 1:
+                    raise ValueError(
+                        f"aggs.{pname}: window must be >= 1, got {window}"
+                    )
+                w = Window.partitionBy(*parents).orderBy(axis).rowsBetween(
+                    -(window - 1), 0
+                )
+                expr = F.round(F.avg(src).over(w), 6)
+            out = out.withColumn(pname, expr)
+    return out

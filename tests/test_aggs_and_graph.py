@@ -1,6 +1,9 @@
-"""Units for the r15 tail batch: the ES aggregations-DSL executor
-(``serving/aggs.run_aggs``), ``simple_query_string``, per-node
-triangle counting, and the FIM pretraining transform."""
+"""Units for the r15 tail batches: the ES aggregations-DSL executor
+(``serving/aggs.run_aggs`` — buckets, metrics, pipeline aggs, shape
+raises), ``simple_query_string``, the graph family (triangles, LPA,
+k-core, personalized PageRank), the FIM/span-corruption transforms,
+readability, PSI drift, EWMA charts (batch + shared-state streaming
+twin), CUPED, and the SRM check."""
 
 import pytest
 from pyspark.sql import Row
@@ -646,3 +649,38 @@ def test_pagerank_default_path_unchanged(spark):
     b = {r.node: r.rank for r in
          pagerank(e, "s", "t", seeds=None).collect()}
     assert a == b and abs(sum(a.values()) - 1.0) < 1e-4
+
+
+def test_aggs_pipeline_windows(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", x=float(v)) for v in [1, 1, 3, 3, 3, 5]]
+        + [Row(g="b", x=1.0)]
+    )
+    out = run_aggs(df, {"aggs": {"g2": {
+        "terms": {"field": "g", "size": 10},
+        "aggs": {"h": {"histogram": {"field": "x", "interval": 2.0,
+                                     "min_doc_count": 1},
+                 "aggs": {"cum": {"cumulative_sum":
+                                  {"buckets_path": "_count"}},
+                          "d": {"derivative": {"buckets_path": "_count"}},
+                          "m": {"moving_avg": {"buckets_path": "_count",
+                                               "window": 2}}}}}}}}) \
+        .orderBy("g2", "h").collect()
+    a = [(r.h, r.doc_count, r.cum, r.d, r.m) for r in out if r.g2 == "a"]
+    assert a == [(0.0, 2, 2, None, 2.0), (2.0, 3, 5, 1, 2.5),
+                 (4.0, 1, 6, -2, 2.0)]
+    b = [(r.cum, r.d) for r in out if r.g2 == "b"]
+    assert b == [(1, None)]  # derivative NULL restarts per parent
+
+
+def test_aggs_pipeline_validation(spark):
+    df = spark.createDataFrame([Row(g="a", x=1.0)])
+    with pytest.raises(ValueError, match="ORDERED"):
+        run_aggs(df, {"aggs": {"t": {"terms": {"field": "g"},
+                 "aggs": {"c": {"cumulative_sum":
+                                {"buckets_path": "_count"}}}}}})
+    with pytest.raises(ValueError, match="buckets_path"):
+        run_aggs(df, {"aggs": {"h": {
+            "histogram": {"field": "x", "interval": 1.0},
+            "aggs": {"c": {"cumulative_sum":
+                           {"buckets_path": "nope"}}}}}})

@@ -177,6 +177,7 @@ HEADLINE = [
     # (the bounded unknown-arm collect; the seed-intersection guard)
     "ab_cuped",
     "aggs_missing",
+    "aggs_pipeline",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
