@@ -11365,6 +11365,66 @@ FROM r WHERE rk <= 3
 """
 
 
+def q_aggs_geo_rings(spark, sf):
+    """ES geo_distance agg (NEW r15, serving/aggs.run_aggs): km rings
+    of the codegen haversine around (48, 2) over order-key-derived
+    coordinates, doc counts + a value metric per ring; bands cut the
+    RAW distance (bit-identical across engines for this derivation —
+    the geo_distance round-once rule). Oracle replays the trig and
+    the CASE bands."""
+    from platypus_ingestion_plugins_spark.serving.aggs import run_aggs
+
+    pts = _t(spark, sf, "orders").select(
+        "o_totalprice",
+        ((F.col("o_orderkey") * F.lit(7919)) % F.lit(17000) / F.lit(100.0)
+         - F.lit(85.0)).alias("lat"),
+        ((F.col("o_orderkey") * F.lit(104729)) % F.lit(36000) / F.lit(100.0)
+         - F.lit(180.0)).alias("lon"),
+    )
+    return run_aggs(pts, {
+        "aggs": {
+            "rings": {
+                "geo_distance": {
+                    "lat_field": "lat", "lon_field": "lon",
+                    "origin": [48.0, 2.0],
+                    "ranges": [{"to": 3000}, {"from": 3000, "to": 8000},
+                               {"from": 8000}],
+                },
+                "aggs": {"price": {"avg": {"field": "o_totalprice"}}},
+            }
+        },
+    })
+
+
+SQL_AGGS_GEO_RINGS = """
+WITH pts AS (
+  SELECT o_totalprice,
+         (o_orderkey * 7919) % 17000 / 100.0 - 85.0 AS lat,
+         (o_orderkey * 104729) % 36000 / 100.0 - 180.0 AS lon
+  FROM orders),
+d AS (
+  SELECT o_totalprice,
+         2.0 * 6371.0088 * asin(
+             CASE WHEN sqrt(s) > 1.0 THEN 1.0 ELSE sqrt(s) END) AS dist
+  FROM (
+    SELECT o_totalprice,
+           sin(radians(48.0 - lat) / 2.0) * sin(radians(48.0 - lat) / 2.0)
+           + cos(radians(lat)) * cos(radians(48.0))
+             * (sin(radians(2.0 - lon) / 2.0) * sin(radians(2.0 - lon) / 2.0))
+             AS s
+    FROM pts)),
+b AS (
+  SELECT CASE WHEN dist < 3000 THEN '*-3000.0'
+              WHEN dist >= 3000 AND dist < 8000 THEN '3000.0-8000.0'
+              ELSE '8000.0-*' END AS rings,
+         o_totalprice
+  FROM d WHERE dist IS NOT NULL)
+SELECT rings, CAST(count(*) AS BIGINT) AS doc_count,
+       avg(o_totalprice) AS price
+FROM b GROUP BY rings
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -11664,6 +11724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggs_missing": q_aggs_missing,
         "ppr_seeds": q_ppr_seeds,
         "aggs_pipeline": q_aggs_pipeline,
+        "aggs_geo_rings": q_aggs_geo_rings,
     }
 
 
@@ -11712,6 +11773,7 @@ def oracle_sql() -> dict[str, str]:
         "aggs_missing": SQL_AGGS_MISSING,
         "ppr_seeds": _ppr_oracle_sql(),
         "aggs_pipeline": SQL_AGGS_PIPELINE,
+        "aggs_geo_rings": SQL_AGGS_GEO_RINGS,
         "bpe_token_count": _bpe_oracle_sql(),
         "image_neardup": SQL_IMAGE_NEARDUP,
         "language_classifier": SQL_LANGUAGE_CLASSIFIER,

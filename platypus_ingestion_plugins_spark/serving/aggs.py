@@ -17,6 +17,9 @@ missing any field land in no bucket), ``histogram``
 per-parent extent, innermost level only), ``date_histogram``
 (``calendar_interval`` hour/day/week/month), ``range`` (half-open
 [from, to) bands, a doc may land in several — ES semantics),
+``geo_distance`` (km rings of the codegen haversine around an
+``origin: [lat, lon]``; ``lat_field``/``lon_field`` columns stand in
+for ES's geo_point — the operators/geo convention),
 ``filters`` (named sub-queries, each body parsed by ``parse_query``),
 and the single-bucket ``filter`` / ``missing`` scopes (narrowing for
 everything below; the constant agg name becomes the bucket key column
@@ -70,7 +73,7 @@ from pyspark.sql import functions as F
 
 _BUCKET_TYPES = {
     "terms", "multi_terms", "histogram", "date_histogram", "range",
-    "filters", "filter", "missing",
+    "geo_distance", "filters", "filter", "missing",
 }
 _METRIC_TYPES = {
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
@@ -159,6 +162,34 @@ class _Level:
         self.prefilter = prefilter  # single-bucket `filter` scope
 
 
+def _range_pairs(col: Column, ranges, path: str) -> Column:
+    """Shared by ``range`` and ``geo_distance``: declared half-open
+    [from, to) bands over ``col`` as a compacted membership array (a
+    row may land in several — ES semantics; NULL values in none).
+    Default keys render ES-style as doubles ('10.0-60.0', '*-10.0')."""
+    if not isinstance(ranges, list) or not ranges:
+        raise ValueError(f"{path}: ranges must be a non-empty list")
+    entries = []
+    for r in ranges:
+        _require(r, f"{path}.ranges[]", set(), {"from", "to", "key"})
+        lo, hi = r.get("from"), r.get("to")
+        if lo is None and hi is None:
+            raise ValueError(f"{path}: a range needs 'from' and/or 'to'")
+        key = r.get("key")
+        if key is None:
+            key = (f"{'*' if lo is None else float(lo)}-"
+                   f"{'*' if hi is None else float(hi)}")
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (col >= F.lit(float(lo)))
+        if hi is not None:
+            pred = pred & (col < F.lit(float(hi)))
+        entries.append(
+            F.when(pred & col.isNotNull(), F.lit(str(key)))
+        )
+    return F.array_compact(F.array(*entries))
+
+
 def _compile_bucket(name, btype, body, innermost: bool) -> tuple:
     """-> (_Level, explode_pairs | None). explode_pairs is a Column of
     array<struct<k,...>> for multi-membership leaves (range/filters)."""
@@ -238,32 +269,27 @@ def _compile_bucket(name, btype, body, innermost: bool) -> tuple:
         return _Level(name, key, min_doc_count=mdc, densify=densify), None
     if btype == "range":
         _require(body, path, {"field", "ranges"}, set())
-        ranges = body["ranges"]
-        if not isinstance(ranges, list) or not ranges:
-            raise ValueError(f"{path}: ranges must be a non-empty list")
-        col = F.col(body["field"])
-        entries = []
-        for r in ranges:
-            _require(r, f"{path}.ranges[]", set(), {"from", "to", "key"})
-            lo, hi = r.get("from"), r.get("to")
-            if lo is None and hi is None:
-                raise ValueError(f"{path}: a range needs 'from' and/or 'to'")
-            key = r.get("key")
-            if key is None:
-                # ES renders default range keys as DOUBLES ('10.0-60.0',
-                # '*-10.0') — a client keying on the ES-format string
-                # must match
-                key = (f"{'*' if lo is None else float(lo)}-"
-                       f"{'*' if hi is None else float(hi)}")
-            pred = F.lit(True)
-            if lo is not None:
-                pred = pred & (col >= F.lit(float(lo)))
-            if hi is not None:
-                pred = pred & (col < F.lit(float(hi)))
-            entries.append(
-                F.when(pred & col.isNotNull(), F.lit(str(key)))
-            )
-        pairs = F.array_compact(F.array(*entries))
+        pairs = _range_pairs(F.col(body["field"]), body["ranges"], path)
+        return _Level(name, None), pairs
+    if btype == "geo_distance":
+        # ES geo_distance rings, columnar twist: lat/lon FIELDS plus
+        # an [lat, lon] origin (this engine has no geo_point type —
+        # the operators/geo convention), ranges in km half-open
+        # [from, to) banding the RAW haversine (codegen trig; a NULL
+        # coordinate NULLs the distance and lands in no ring)
+        from platypus_ingestion_plugins_spark.operators.geo import (
+            haversine_km,
+        )
+        _require(body, path, {"lat_field", "lon_field", "origin",
+                              "ranges"}, set())
+        origin = body["origin"]
+        if not isinstance(origin, (list, tuple)) or len(origin) != 2:
+            raise ValueError(f"{path}: origin must be [lat, lon]")
+        dist = haversine_km(
+            F.col(body["lat_field"]), F.col(body["lon_field"]),
+            float(origin[0]), float(origin[1]),
+        )
+        pairs = _range_pairs(dist, body["ranges"], path)
         return _Level(name, None), pairs
     if btype == "missing":
         # ES missing bucket: docs WITHOUT the field — the data-quality

@@ -684,3 +684,25 @@ def test_aggs_pipeline_validation(spark):
             "histogram": {"field": "x", "interval": 1.0},
             "aggs": {"c": {"cumulative_sum":
                            {"buckets_path": "nope"}}}}}})
+
+
+def test_aggs_geo_distance_rings(spark):
+    # origin (0,0): (0,1)->~111km ring1, (0,40)->~4450km ring2,
+    # NULL coord -> no ring
+    df = spark.createDataFrame(
+        [(0.0, 1.0, 10.0), (0.0, 40.0, 20.0), (None, 1.0, 30.0)],
+        "lat double, lon double, v double",
+    )
+    out = run_aggs(df, {"aggs": {"rings": {
+        "geo_distance": {"lat_field": "lat", "lon_field": "lon",
+                         "origin": [0.0, 0.0],
+                         "ranges": [{"to": 1000}, {"from": 1000}]},
+        "aggs": {"m": {"avg": {"field": "v"}}}}}}) \
+        .orderBy("rings").collect()
+    assert [(r.rings, r.doc_count, r.m) for r in out] == [
+        ("*-1000.0", 1, 10.0), ("1000.0-*", 1, 20.0),
+    ]
+    with pytest.raises(ValueError, match="origin"):
+        run_aggs(df, {"aggs": {"r": {"geo_distance": {
+            "lat_field": "lat", "lon_field": "lon",
+            "origin": [1.0], "ranges": [{"to": 5}]}}}})

@@ -178,6 +178,7 @@ HEADLINE = [
     "ab_cuped",
     "aggs_missing",
     "aggs_pipeline",
+    "aggs_geo_rings",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
