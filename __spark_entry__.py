@@ -11425,6 +11425,53 @@ FROM b GROUP BY rings
 """
 
 
+def q_doremi_weights(spark, sf):
+    """DoReMi domain-reweighting step (NEW r15, functions/sampling.
+    doremi_reweight): per-source mean proxy vs reference losses
+    (deterministically synthesized — the json_validity convention),
+    clipped excess, prior-weighted exponential update, normalized;
+    one corpus groupBy + a domain-bounded softmax with 1-row
+    broadcasts. The oracle replays the synthesis, the partial prior's
+    uniform backfill, and the softmax."""
+    from platypus_ingestion_plugins_spark.functions.sampling import (
+        doremi_reweight,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "source",
+        F.log(F.lit(1.0) + (F.col("doc_id") * 31 + F.col("n_chars")) % 97)
+        .alias("loss"),
+        F.log(F.lit(1.0) + (F.col("doc_id") * 17) % 89).alias("ref"),
+    )
+    return doremi_reweight(
+        d, "source", "loss", "ref", step_size=2.0,
+        prior={"src0": 0.3},
+    )
+
+
+SQL_DOREMI_WEIGHTS = """
+WITH b AS (
+  SELECT source,
+         ln(1.0 + (doc_id * 31 + n_chars) % 97) AS loss,
+         ln(1.0 + (doc_id * 17) % 89) AS ref
+  FROM documents WHERE source IS NOT NULL),
+per AS (
+  SELECT source AS domain, CAST(count(*) AS BIGINT) AS n,
+         avg(loss) AS ml, avg(ref) AS mr,
+         greatest(avg(loss) - avg(ref), 0.0) AS ex
+  FROM b GROUP BY source),
+k AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM per),
+u AS (
+  SELECT per.*, coalesce(CASE WHEN domain = 'src0' THEN 0.3 END,
+                         1.0 / k.k) * exp(2.0 * ex) AS un
+  FROM per, k),
+z AS (SELECT sum(un) AS z FROM u)
+SELECT domain, n, round(ml, 6) AS mean_loss, round(mr, 6) AS mean_ref,
+       round(ex, 6) AS excess, round(un / z.z, 6) AS weight
+FROM u, z
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -11725,6 +11772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_seeds": q_ppr_seeds,
         "aggs_pipeline": q_aggs_pipeline,
         "aggs_geo_rings": q_aggs_geo_rings,
+        "doremi_weights": q_doremi_weights,
     }
 
 
@@ -11774,6 +11822,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_seeds": _ppr_oracle_sql(),
         "aggs_pipeline": SQL_AGGS_PIPELINE,
         "aggs_geo_rings": SQL_AGGS_GEO_RINGS,
+        "doremi_weights": SQL_DOREMI_WEIGHTS,
         "bpe_token_count": _bpe_oracle_sql(),
         "image_neardup": SQL_IMAGE_NEARDUP,
         "language_classifier": SQL_LANGUAGE_CLASSIFIER,

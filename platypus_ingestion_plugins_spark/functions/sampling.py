@@ -612,3 +612,86 @@ def length_batches(
         "batch_no",
         ((F.row_number().over(w) - 1) / batch_size).cast("long"),
     )
+
+
+def doremi_reweight(
+    df,
+    domain_col: str,
+    loss_col: str,
+    ref_loss_col: str,
+    step_size: float = 1.0,
+    prior: dict | None = None,
+) -> DataFrame:
+    """One DoReMi domain-reweighting step (NEW r15; Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining") — the LEARNED mixture update next to
+    ``solve_mixture``'s declarative targets and ``temperature_mix``'s
+    heuristic: given per-example proxy-model and reference-model
+    losses, each domain's weight multiplies by
+    ``exp(step_size * excess)`` with ``excess = max(0, mean proxy
+    loss − mean reference loss)`` (clipped at 0 — a domain the proxy
+    already beats the reference on carries no extra learning signal),
+    then normalizes. Iterating this inside a training loop is the
+    published algorithm; one call is one step.
+
+    ``prior`` maps domain -> starting weight (default uniform over
+    observed domains; unknown prior keys are ignored, missing ones
+    read uniform-share — priors renormalize over OBSERVED domains).
+    Rows with a NULL domain or either loss NULL drop (no signal).
+    Output per domain: ``(domain, n, mean_loss, mean_ref, excess,
+    weight)`` 6dp, weights summing to 1.
+
+    Plan: ONE partial-aggregatable corpus groupBy to per-domain
+    means, then the softmax over the domain-bounded frame with a
+    1-row normalizer broadcast — the ``temperature_mix`` shape."""
+    if step_size <= 0:
+        raise ValueError(f"step_size must be > 0, got {step_size}")
+    loss = F.col(loss_col).cast("double")
+    ref = F.col(ref_loss_col).cast("double")
+    per = (
+        df.where(
+            F.col(domain_col).isNotNull()
+            & loss.isNotNull() & ref.isNotNull()
+        )
+        .groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg(loss).alias("__ml"),
+            F.avg(ref).alias("__mr"),
+        )
+    )
+    if prior:
+        pri = F.create_map(
+            *[F.lit(x) for kv in prior.items() for x in (str(kv[0]),
+                                                         float(kv[1]))]
+        )
+        p = F.coalesce(
+            pri[F.col("domain").cast("string")], F.lit(None).cast("double")
+        )
+    else:
+        p = F.lit(None).cast("double")
+    excess = F.greatest(F.col("__ml") - F.col("__mr"), F.lit(0.0))
+    scored = per.select(
+        "domain", "n", "__ml", "__mr", excess.alias("__ex"),
+        p.alias("__p"),
+    )
+    # missing-prior domains read the uniform share AFTER the observed
+    # domain count is known: coalesce against 1/k with k a 1-row agg
+    k = scored.agg(F.count(F.lit(1)).cast("double").alias("__k"))
+    unnorm = (
+        F.coalesce(F.col("__p"), F.lit(1.0) / F.col("__k"))
+        * F.exp(F.lit(float(step_size)) * F.col("__ex"))
+    )
+    w = scored.crossJoin(F.broadcast(k)).withColumn("__u", unnorm)
+    z = w.agg(F.sum("__u").alias("__z"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "domain",
+            "n",
+            F.round(F.col("__ml"), 6).alias("mean_loss"),
+            F.round(F.col("__mr"), 6).alias("mean_ref"),
+            F.round(F.col("__ex"), 6).alias("excess"),
+            F.round(F.col("__u") / F.col("__z"), 6).alias("weight"),
+        )
+    )

@@ -487,38 +487,77 @@ def delete_by_query(table: ServingTable, predicate: Column) -> int:
 _ALIAS_SIDECAR = "_alias"
 
 
-def set_alias(spark: SparkSession, alias_path: str, table_path: str) -> None:
+def set_alias(
+    spark: SparkSession,
+    alias_path: str,
+    table_path: str,
+    filter_dsl: dict | None = None,
+) -> None:
     """Index alias (the Elasticsearch aliases API, NEW r15): an
     atomic name -> table-path indirection, the zero-downtime swap
     primitive — rebuild a corpus at a new path, point the alias,
     readers move on their next resolve with no partial state
     (fs.write_text_atomic = temp + rename, the serving table's own
     commit discipline). The target must exist — aliasing a
-    nonexistent table is always a deploy bug."""
+    nonexistent table is always a deploy bug.
+
+    ``filter_dsl`` makes it a FILTERED alias (ES's per-tenant /
+    per-slice view primitive): a ``parse_query`` DSL dict stored WITH
+    the indirection; ``read_alias`` applies it on every read, so a
+    tenant handed the alias can never see past the filter. The DSL
+    compiles eagerly here — a typo'd stored filter must fail at
+    set time, not on some future read."""
+    import json as _json
+
     probe = ServingTable(spark, table_path, key="_probe")
     if not probe.exists():
         raise FileNotFoundError(
             f"alias target {table_path} is not a serving table"
         )
+    if filter_dsl is not None:
+        from platypus_ingestion_plugins_spark.serving.query import parse_query
+
+        parse_query(filter_dsl)  # eager validation
+        payload = _json.dumps(
+            {"target": table_path, "filter": filter_dsl}, sort_keys=True
+        )
+    else:
+        payload = table_path
     fs.write_text_atomic(
-        spark, f"{alias_path.rstrip('/')}/{_ALIAS_SIDECAR}", table_path
+        spark, f"{alias_path.rstrip('/')}/{_ALIAS_SIDECAR}", payload
     )
+
+
+def _alias_record(spark: SparkSession, alias_path: str) -> dict:
+    import json as _json
+
+    raw = fs.read_text(
+        spark, f"{alias_path.rstrip('/')}/{_ALIAS_SIDECAR}"
+    )
+    if not raw:
+        raise FileNotFoundError(f"no alias at {alias_path}")
+    if raw.lstrip().startswith("{"):
+        rec = _json.loads(raw)
+        return {"target": rec["target"], "filter": rec.get("filter")}
+    return {"target": raw, "filter": None}  # pre-filter plain format
 
 
 def resolve_alias(spark: SparkSession, alias_path: str) -> str:
     """The table path an alias currently points at; raises on a
     dangling or never-set alias."""
-    target = fs.read_text(
-        spark, f"{alias_path.rstrip('/')}/{_ALIAS_SIDECAR}"
-    )
-    if not target:
-        raise FileNotFoundError(f"no alias at {alias_path}")
-    return target
+    return _alias_record(spark, alias_path)["target"]
 
 
 def read_alias(
     spark: SparkSession, alias_path: str, key: str | list[str]
 ) -> DataFrame:
     """Read the serving table behind an alias — the reader-side hop
-    clients use so a swap needs no reader redeploy."""
-    return ServingTable(spark, resolve_alias(spark, alias_path), key=key).query()
+    clients use so a swap needs no reader redeploy. A FILTERED alias
+    applies its stored ``parse_query`` filter on every read."""
+    rec = _alias_record(spark, alias_path)
+    out = ServingTable(spark, rec["target"], key=key).query()
+    if rec["filter"] is not None:
+        from platypus_ingestion_plugins_spark.serving.query import parse_query
+
+        out = out.filter(parse_query(rec["filter"]))
+    return out

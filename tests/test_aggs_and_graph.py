@@ -706,3 +706,34 @@ def test_aggs_geo_distance_rings(spark):
         run_aggs(df, {"aggs": {"r": {"geo_distance": {
             "lat_field": "lat", "lon_field": "lon",
             "origin": [1.0], "ranges": [{"to": 5}]}}}})
+
+
+def test_doremi_reweight_step(spark):
+    from platypus_ingestion_plugins_spark.functions.sampling import (
+        doremi_reweight,
+    )
+
+    rows = (
+        [Row(d="hard", loss=3.0, ref=1.0)] * 4      # excess 2
+        + [Row(d="easy", loss=1.0, ref=2.0)] * 4    # clipped to 0
+        + [Row(d="mid", loss=2.0, ref=1.5)] * 2     # excess 0.5
+        + [Row(d=None, loss=9.0, ref=0.0)]          # drops
+    )
+    out = {r.domain: r for r in doremi_reweight(
+        spark.createDataFrame(rows), "d", "loss", "ref",
+        step_size=1.0).collect()}
+    import math
+
+    assert out["easy"].excess == 0.0
+    z = math.exp(2.0) + 1.0 + math.exp(0.5)
+    assert abs(out["hard"].weight - math.exp(2.0) / z) < 1e-5
+    assert abs(out["easy"].weight - 1.0 / z) < 1e-5
+    assert abs(sum(r.weight for r in out.values()) - 1.0) < 1e-5
+    # a prior shifts mass before the exponential update
+    out2 = {r.domain: r for r in doremi_reweight(
+        spark.createDataFrame(rows), "d", "loss", "ref", step_size=1.0,
+        prior={"hard": 0.8, "easy": 0.1, "mid": 0.1}).collect()}
+    assert out2["hard"].weight > out["hard"].weight
+    with pytest.raises(ValueError, match="step_size"):
+        doremi_reweight(spark.createDataFrame(rows), "d", "loss",
+                        "ref", step_size=0)

@@ -179,6 +179,7 @@ HEADLINE = [
     "aggs_missing",
     "aggs_pipeline",
     "aggs_geo_rings",
+    "doremi_weights",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
@@ -208,6 +209,7 @@ EXPECT_BROADCAST = [
     "triangle_count",  # the 1-row id-space modulus must broadcast
     "psi_drift",  # the 1-row decile-cuts frame must broadcast
     "ab_cuped",  # the 1-row pooled-theta stats must broadcast
+    "doremi_weights",  # the 1-row domain-count/normalizer must broadcast
     # pagerank is NOT here: its returned frame sits behind the final
     # round's localCheckpoint, so the per-round broadcast scalars live
     # in already-truncated lineage — the unit test pins the semantics.

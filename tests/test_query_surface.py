@@ -1679,3 +1679,34 @@ def test_parse_query_es_body_forms_and_empty_analysis(spark):
         SQ.parse_query({"match_phrase": {"text": "!!!"}})
     with _pt.raises(ValueError, match="analyzes to zero"):
         SQ.parse_query({"prefix": {"text": ""}})
+
+
+def test_filtered_alias(spark, tmp_path):
+    """Filtered alias (r15 tail): a stored parse_query filter rides
+    the indirection — a tenant handed the alias never sees past it;
+    plain aliases keep the pre-filter sidecar format; a typo'd filter
+    fails at SET time."""
+    import pytest as _pt
+
+    from platypus_ingestion_plugins_spark.serving.table import (
+        ServingTable,
+        read_alias,
+        resolve_alias,
+        set_alias,
+    )
+
+    t = str(tmp_path / "t")
+    ServingTable(spark, t, key="id").overwrite(spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x")], "id long, kind string"
+    ))
+    alias = str(tmp_path / "tenant_x")
+    set_alias(spark, alias, t, filter_dsl={"term": {"kind": "x"}})
+    assert resolve_alias(spark, alias) == t
+    assert {r["id"] for r in
+            read_alias(spark, alias, key="id").collect()} == {1, 3}
+    # swap back to an unfiltered alias: full view returns
+    set_alias(spark, alias, t)
+    assert {r["id"] for r in
+            read_alias(spark, alias, key="id").collect()} == {1, 2, 3}
+    with _pt.raises(ValueError, match="unsupported query type"):
+        set_alias(spark, alias, t, filter_dsl={"nope": {"kind": "x"}})
