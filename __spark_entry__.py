@@ -11207,7 +11207,11 @@ def q_aggs_missing(spark, sf):
 
     d = _t(spark, sf, "documents").withColumn(
         "payload",
-        F.when(F.col("doc_id") % 4 != 0, F.col("lang")),
+        # derived from doc_id ALONE: a lang-dependent payload would
+        # silently diverge from the oracle's pure doc_id%4 WHERE if
+        # regenerated testdata ever carried NULL langs (review pin)
+        F.when(F.col("doc_id") % 4 != 0,
+               F.concat(F.lit("p"), (F.col("doc_id") % 7).cast("string"))),
     )
     return run_aggs(d, {
         "aggs": {
@@ -11386,7 +11390,7 @@ def q_aggs_geo_rings(spark, sf):
             "rings": {
                 "geo_distance": {
                     "lat_field": "lat", "lon_field": "lon",
-                    "origin": [48.0, 2.0],
+                    "origin": {"lat": 48.0, "lon": 2.0},
                     "ranges": [{"to": 3000}, {"from": 3000, "to": 8000},
                                {"from": 8000}],
                 },

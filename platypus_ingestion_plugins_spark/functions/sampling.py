@@ -646,6 +646,13 @@ def doremi_reweight(
     1-row normalizer broadcast — the ``temperature_mix`` shape."""
     if step_size <= 0:
         raise ValueError(f"step_size must be > 0, got {step_size}")
+    if prior and any(v <= 0 for v in prior.values()):
+        # a zero prior pins the domain's weight at 0 FOREVER (the
+        # multiplicative update can't recover it) and a negative one
+        # emits a negative "weight" in a normalized-mixture column
+        raise ValueError(
+            f"prior weights must all be > 0, got {prior}"
+        )
     loss = F.col(loss_col).cast("double")
     ref = F.col(ref_loss_col).cast("double")
     per = (

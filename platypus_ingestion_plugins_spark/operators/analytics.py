@@ -1462,46 +1462,45 @@ def srm_check(
     arm-bounded frame."""
     if not expected:
         raise ValueError("expected allocation must be non-empty")
+    if any(v <= 0 for v in expected.values()):
+        # a non-positive share yields a negative expected_n whose
+        # chi-square term DEFLATES the total, masking real mismatches
+        raise ValueError(
+            f"expected weights must all be > 0, got {expected}"
+        )
     wsum = float(sum(expected.values()))
-    if wsum <= 0:
-        raise ValueError("expected weights must sum > 0")
     shares = {str(k): v / wsum for k, v in expected.items()}
-    per = df.groupBy(
-        F.col(variant_col).cast("string").alias("variant")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    known = per.where(
-        F.col("variant").isin(list(shares)) | F.col("variant").isNull()
-    )
-    # loud unknown-arm check: bounded collect (arms, not units)
-    unknown = [
-        r.variant for r in per.select("variant").collect()
-        if r.variant not in shares and r.variant is not None
-    ]
+    # ONE corpus pass; the per-arm result is arms-bounded, so the
+    # collect that feeds the unknown-arm check also supplies the
+    # observed counts and total — no second aggregation
+    observed = {
+        r.variant: r.n
+        for r in df.groupBy(
+            F.col(variant_col).cast("string").alias("variant")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n")).collect()
+    }
+    if None in observed:
+        # silently folding unassigned units into the total would
+        # fabricate a mismatch no output row can explain
+        raise ValueError(
+            f"{observed[None]} unit(s) carry a NULL {variant_col!r} — "
+            "unassigned traffic IS a logging/assignment defect; filter "
+            "or attribute it before the SRM read"
+        )
+    unknown = sorted(set(observed) - set(shares))
     if unknown:
         raise ValueError(
-            f"arm(s) {sorted(unknown)} not in the expected allocation "
+            f"arm(s) {unknown} not in the expected allocation "
             f"{sorted(shares)} — an unknown arm IS a sample-ratio mismatch"
         )
-    spark = df.sparkSession
-    exp_rows = spark.createDataFrame(
-        [(k, float(v)) for k, v in sorted(shares.items())],
-        "variant string, share double",
-    )
-    tot = known.agg(F.sum("n").alias("__tot"))
-    out = (
-        exp_rows.join(known, "variant", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "variant",
-            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
-            (F.col("share") * F.col("__tot")).alias("__exp"),
-        )
-    )
-    chi = (F.col("n") - F.col("__exp")) * (F.col("n") - F.col("__exp")) / \
-        F.col("__exp")
-    return out.select(
-        "variant",
-        "n",
-        F.round(F.col("__exp"), 6).alias("expected_n"),
-        F.round(chi, 6).alias("chi2_term"),
+    total = float(sum(observed.values()))
+    rows = []
+    for k in sorted(shares):
+        n = int(observed.get(k, 0))
+        exp_n = shares[k] * total
+        chi = (n - exp_n) * (n - exp_n) / exp_n if exp_n > 0 else None
+        rows.append((k, n, round(exp_n, 6), round(chi, 6)))
+    return df.sparkSession.createDataFrame(
+        rows,
+        "variant string, n long, expected_n double, chi2_term double",
     )

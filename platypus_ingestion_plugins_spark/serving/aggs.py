@@ -283,11 +283,22 @@ def _compile_bucket(name, btype, body, innermost: bool) -> tuple:
         _require(body, path, {"lat_field", "lon_field", "origin",
                               "ranges"}, set())
         origin = body["origin"]
-        if not isinstance(origin, (list, tuple)) or len(origin) != 2:
-            raise ValueError(f"{path}: origin must be [lat, lon]")
+        # object form ONLY: ES's array geo_point is [lon, lat] while
+        # most humans write [lat, lon] — both orders are numerically
+        # valid coordinates, so a bare array would silently compute
+        # wrong rings whichever convention we picked; {lat, lon} keys
+        # make the order impossible to get wrong
+        if (not isinstance(origin, dict)
+                or set(origin) != {"lat", "lon"}):
+            raise ValueError(
+                f"{path}: origin must be {{'lat': .., 'lon': ..}} — a "
+                "bare [a, b] array is ambiguous (ES's geo_point arrays "
+                "are [lon, lat], GeoJSON too, but [lat, lon] is the "
+                "common hand-written order)"
+            )
         dist = haversine_km(
             F.col(body["lat_field"]), F.col(body["lon_field"]),
-            float(origin[0]), float(origin[1]),
+            float(origin["lat"]), float(origin["lon"]),
         )
         pairs = _range_pairs(dist, body["ranges"], path)
         return _Level(name, None), pairs
@@ -564,8 +575,13 @@ def run_aggs(df: DataFrame, dsl) -> DataFrame:
                 )
                 expr = F.sum(src).over(w)
             elif pt == "derivative":
-                w = Window.partitionBy(*parents).orderBy(axis)
-                expr = src - F.lag(src).over(w)
+                # last-non-NULL, not lag: ES gap_policy 'skip' — a
+                # densified gap bucket's NULL metric must not also
+                # NULL the derivative of the NEXT real bucket
+                w = Window.partitionBy(*parents).orderBy(axis).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+                expr = src - F.last(src, ignorenulls=True).over(w)
             else:  # moving_avg
                 window = int(pbody.get("window", 5))
                 if window < 1:

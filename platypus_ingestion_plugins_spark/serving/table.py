@@ -544,8 +544,18 @@ def _alias_record(spark: SparkSession, alias_path: str) -> dict:
 
 def resolve_alias(spark: SparkSession, alias_path: str) -> str:
     """The table path an alias currently points at; raises on a
-    dangling or never-set alias."""
-    return _alias_record(spark, alias_path)["target"]
+    dangling or never-set alias — and on a FILTERED alias: handing
+    out the bare target path would let the documented
+    resolve-then-read pattern bypass the stored tenant filter; a
+    filtered alias is only readable through ``read_alias``."""
+    rec = _alias_record(spark, alias_path)
+    if rec["filter"] is not None:
+        raise ValueError(
+            f"{alias_path} is a FILTERED alias — read it through "
+            "read_alias(); resolving the bare target would bypass "
+            "the stored filter"
+        )
+    return rec["target"]
 
 
 def read_alias(

@@ -611,6 +611,17 @@ def test_srm_terms_and_unknown_arm(spark):
                   {"A": 1.0})
     with pytest.raises(ValueError, match="non-empty"):
         srm_check(spark.createDataFrame([Row(arm="A")]), "arm", {})
+    # review pins: NULL assignments must raise (silently folding them
+    # into the total fabricated an unattributable "mismatch"), and a
+    # non-positive share must raise (its negative chi term DEFLATES
+    # the statistic)
+    withnull = spark.createDataFrame(
+        [("A",), ("B",), (None,)], "arm string")
+    with pytest.raises(ValueError, match="NULL"):
+        srm_check(withnull, "arm", {"A": 0.5, "B": 0.5})
+    with pytest.raises(ValueError, match="all be > 0"):
+        srm_check(spark.createDataFrame([Row(arm="A")]), "arm",
+                  {"A": 1.5, "B": -0.5})
 
 
 def test_aggs_missing_bucket(spark):
@@ -695,17 +706,19 @@ def test_aggs_geo_distance_rings(spark):
     )
     out = run_aggs(df, {"aggs": {"rings": {
         "geo_distance": {"lat_field": "lat", "lon_field": "lon",
-                         "origin": [0.0, 0.0],
+                         "origin": {"lat": 0.0, "lon": 0.0},
                          "ranges": [{"to": 1000}, {"from": 1000}]},
         "aggs": {"m": {"avg": {"field": "v"}}}}}}) \
         .orderBy("rings").collect()
     assert [(r.rings, r.doc_count, r.m) for r in out] == [
         ("*-1000.0", 1, 10.0), ("1000.0-*", 1, 20.0),
     ]
+    # a bare array origin is ambiguous (ES [lon, lat] vs hand-written
+    # [lat, lon]) and must raise, not guess
     with pytest.raises(ValueError, match="origin"):
         run_aggs(df, {"aggs": {"r": {"geo_distance": {
             "lat_field": "lat", "lon_field": "lon",
-            "origin": [1.0], "ranges": [{"to": 5}]}}}})
+            "origin": [0.0, 0.0], "ranges": [{"to": 5}]}}}})
 
 
 def test_doremi_reweight_step(spark):
@@ -737,3 +750,31 @@ def test_doremi_reweight_step(spark):
     with pytest.raises(ValueError, match="step_size"):
         doremi_reweight(spark.createDataFrame(rows), "d", "loss",
                         "ref", step_size=0)
+
+
+def test_aggs_pipeline_derivative_skips_gaps(spark):
+    # densified grid: the gap bucket's metric is NULL; the derivative
+    # of the NEXT real bucket must diff against the last REAL value
+    # (ES gap_policy skip), not NULL-poison
+    df = spark.createDataFrame(
+        [Row(x=0.5, v=10.0), Row(x=0.7, v=20.0), Row(x=4.5, v=50.0)]
+    )
+    out = run_aggs(df, {"aggs": {"h": {
+        "histogram": {"field": "x", "interval": 2.0},
+        "aggs": {"s": {"sum": {"field": "v"}},
+                 "d": {"derivative": {"buckets_path": "s"}}}}}}) \
+        .orderBy("h").collect()
+    got = [(r.h, r.doc_count, r.s, r.d) for r in out]
+    assert got == [(0.0, 2, 30.0, None), (2.0, 0, None, None),
+                   (4.0, 1, 50.0, 20.0)]
+
+
+def test_doremi_bad_prior_raises(spark):
+    from platypus_ingestion_plugins_spark.functions.sampling import (
+        doremi_reweight,
+    )
+
+    rows = [Row(d="a", loss=1.0, ref=1.0)]
+    with pytest.raises(ValueError, match="all be > 0"):
+        doremi_reweight(spark.createDataFrame(rows), "d", "loss",
+                        "ref", prior={"a": 0.0})

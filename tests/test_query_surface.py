@@ -1701,7 +1701,10 @@ def test_filtered_alias(spark, tmp_path):
     ))
     alias = str(tmp_path / "tenant_x")
     set_alias(spark, alias, t, filter_dsl={"term": {"kind": "x"}})
-    assert resolve_alias(spark, alias) == t
+    # resolve_alias must REFUSE a filtered alias: the bare target
+    # path would let the resolve-then-read pattern bypass the filter
+    with _pt.raises(ValueError, match="FILTERED"):
+        resolve_alias(spark, alias)
     assert {r["id"] for r in
             read_alias(spark, alias, key="id").collect()} == {1, 3}
     # swap back to an unfiltered alias: full view returns
