@@ -11476,6 +11476,36 @@ FROM u, z
 """
 
 
+def q_aggs_percentiles(spark, sf):
+    """ES percentiles metric in the DSL (NEW r15, serving/aggs.
+    run_aggs): terms → percentiles, EXACT where ES TDigests (the
+    percentile_ranks_facet contract), whole-number percents expanding
+    to _p25-style columns; the oracle replays with quantile_cont."""
+    from platypus_ingestion_plugins_spark.serving.aggs import run_aggs
+
+    e = _events_ts(spark, sf)
+    return run_aggs(e, {
+        "aggs": {
+            "et": {
+                "terms": {"field": "event_type", "size": 10},
+                "aggs": {"v": {"percentiles":
+                               {"field": "value",
+                                "percents": [25, 50, 90]}}},
+            }
+        },
+    })
+
+
+SQL_AGGS_PERCENTILES = """
+SELECT event_type AS et, CAST(count(*) AS BIGINT) AS doc_count,
+       quantile_cont(value, 0.25) AS v_p25,
+       quantile_cont(value, 0.50) AS v_p50,
+       quantile_cont(value, 0.90) AS v_p90
+FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -11777,6 +11807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggs_pipeline": q_aggs_pipeline,
         "aggs_geo_rings": q_aggs_geo_rings,
         "doremi_weights": q_doremi_weights,
+        "aggs_percentiles": q_aggs_percentiles,
     }
 
 
@@ -11827,6 +11858,7 @@ def oracle_sql() -> dict[str, str]:
         "aggs_pipeline": SQL_AGGS_PIPELINE,
         "aggs_geo_rings": SQL_AGGS_GEO_RINGS,
         "doremi_weights": SQL_DOREMI_WEIGHTS,
+        "aggs_percentiles": SQL_AGGS_PERCENTILES,
         "bpe_token_count": _bpe_oracle_sql(),
         "image_neardup": SQL_IMAGE_NEARDUP,
         "language_classifier": SQL_LANGUAGE_CLASSIFIER,

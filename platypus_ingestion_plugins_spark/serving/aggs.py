@@ -18,8 +18,10 @@ per-parent extent, innermost level only), ``date_histogram``
 (``calendar_interval`` hour/day/week/month), ``range`` (half-open
 [from, to) bands, a doc may land in several — ES semantics),
 ``geo_distance`` (km rings of the codegen haversine around an
-``origin: [lat, lon]``; ``lat_field``/``lon_field`` columns stand in
-for ES's geo_point — the operators/geo convention),
+``origin: {"lat": .., "lon": ..}`` — object form ONLY, a bare array
+is ambiguous between ES's [lon, lat] and hand-written [lat, lon];
+``lat_field``/``lon_field`` columns stand in for ES's geo_point —
+the operators/geo convention),
 ``filters`` (named sub-queries, each body parsed by ``parse_query``),
 and the single-bucket ``filter`` / ``missing`` scopes (narrowing for
 everything below; the constant agg name becomes the bucket key column
@@ -29,7 +31,9 @@ only, the ``date_histogram_pipeline`` conventions): ``cumulative_sum
 derivative moving_avg`` with ``buckets_path`` of ``_count`` or a
 sibling metric name, windowed per parent over the bucket-grid
 rectangle.  Supported metric aggs: ``avg sum min max value_count
-cardinality stats`` (stats expands to ``<name>_count/_min/_max/_avg/_sum``;
+cardinality stats percentiles`` (percentiles EXACT where ES
+TDigests, whole-number percents expanding to ``<name>_p50``-style
+columns) (stats expands to ``<name>_count/_min/_max/_avg/_sum``;
 cardinality is EXACT where ES uses HyperLogLog — same contract as
 ``percentile_ranks_facet`` being exact where ES TDigests).  One
 documented deviation: a declared ``range``/``filters`` bucket that
@@ -77,7 +81,9 @@ _BUCKET_TYPES = {
 }
 _METRIC_TYPES = {
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
+    "percentiles",
 }
+_DEFAULT_PERCENTS = (1, 5, 25, 50, 75, 95, 99)  # the ES defaults
 _PIPELINE_TYPES = {"cumulative_sum", "derivative", "moving_avg"}
 _CALENDAR = {"hour", "day", "week", "month"}
 
@@ -334,9 +340,36 @@ def _compile_bucket(name, btype, body, innermost: bool) -> tuple:
     raise AssertionError(btype)
 
 
+def _percents(body, path) -> list:
+    ps = body.get("percents", list(_DEFAULT_PERCENTS))
+    if not isinstance(ps, list) or not ps:
+        raise ValueError(f"{path}: percents must be a non-empty list")
+    out = []
+    for p in ps:
+        if not isinstance(p, (int, float)) or not 0 < p < 100 \
+                or int(p) != p:
+            raise ValueError(
+                f"{path}: percents must be whole numbers in (0, 100) — "
+                f"they become column suffixes ('_p50'); got {p!r}"
+            )
+        out.append(int(p))
+    return out
+
+
 def _metric_exprs(metrics) -> list:
     out = []
     for name, t, body in metrics:
+        if t == "percentiles":
+            _require(body, f"aggs.{name}", {"field"}, {"percents"})
+            col = F.col(body["field"])
+            # EXACT where ES TDigests (the percentile_ranks_facet
+            # contract); quantile_cont interpolation, so an external
+            # engine replays the values
+            out.extend(
+                F.percentile(col, F.lit(p / 100.0)).alias(f"{name}_p{p}")
+                for p in _percents(body, f"aggs.{name}")
+            )
+            continue
         _require(body, f"aggs.{name}", {"field"}, set())
         col = F.col(body["field"])
         if t == "avg":
@@ -439,10 +472,16 @@ def run_aggs(df: DataFrame, dsl) -> DataFrame:
     # duplicate output names would overwrite each other.
     out_names = [lvl.name for lvl in levels] + ["doc_count"]
     for name, t, body in metrics:
-        out_names.extend(
-            [f"{name}_{s}" for s in ("count", "min", "max", "avg", "sum")]
-            if t == "stats" else [name]
-        )
+        if t == "stats":
+            out_names.extend(
+                f"{name}_{s}" for s in ("count", "min", "max", "avg", "sum")
+            )
+        elif t == "percentiles":
+            out_names.extend(
+                f"{name}_p{p}" for p in _percents(body, f"aggs.{name}")
+            )
+        else:
+            out_names.append(name)
     out_names.extend(p[0] for p in pipelines)
     dupes = {n for n in out_names if out_names.count(n) > 1}
     if dupes:

@@ -778,3 +778,20 @@ def test_doremi_bad_prior_raises(spark):
     with pytest.raises(ValueError, match="all be > 0"):
         doremi_reweight(spark.createDataFrame(rows), "d", "loss",
                         "ref", prior={"a": 0.0})
+
+
+def test_aggs_percentiles_metric(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", v=float(i)) for i in range(1, 6)]  # 1..5
+    )
+    out = run_aggs(df, {"aggs": {"g2": {"terms": {"field": "g"},
+        "aggs": {"q": {"percentiles": {"field": "v",
+                                       "percents": [50, 75]}}}}}}) \
+        .collect()
+    assert out == [Row(g2="a", doc_count=5, q_p50=3.0, q_p75=4.0)]
+    with pytest.raises(ValueError, match="whole numbers"):
+        run_aggs(df, {"aggs": {"q": {"percentiles":
+                 {"field": "v", "percents": [99.9]}}}})
+    with pytest.raises(ValueError, match="percents"):
+        run_aggs(df, {"aggs": {"q": {"percentiles":
+                 {"field": "v", "percents": []}}}})

@@ -180,6 +180,7 @@ HEADLINE = [
     "aggs_pipeline",
     "aggs_geo_rings",
     "doremi_weights",
+    "aggs_percentiles",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
