@@ -360,13 +360,25 @@ def _metric_exprs(metrics) -> list:
     out = []
     for name, t, body in metrics:
         if t == "percentiles":
-            _require(body, f"aggs.{name}", {"field"}, {"percents"})
+            _require(body, f"aggs.{name}", {"field"},
+                     {"percents", "approx"})
             col = F.col(body["field"])
-            # EXACT where ES TDigests (the percentile_ranks_facet
-            # contract); quantile_cont interpolation, so an external
-            # engine replays the values
+            # EXACT by default where ES TDigests (the
+            # percentile_ranks_facet contract; quantile_cont
+            # interpolation, so an external engine replays the
+            # values). Exact percentile buffers a group's values in
+            # the aggregator — per-group-bounded, not corpus-bounded,
+            # but at 100 TB per bucket pass "approx": true for
+            # Spark's bounded-memory sketch (the ES-TDigest class;
+            # same call shape, values within the sketch's error
+            # bound, not oracle-replayable).
+            fn = (
+                (lambda c, p: F.percentile_approx(c, F.lit(p)))
+                if body.get("approx")
+                else (lambda c, p: F.percentile(c, F.lit(p)))
+            )
             out.extend(
-                F.percentile(col, F.lit(p / 100.0)).alias(f"{name}_p{p}")
+                fn(col, p / 100.0).alias(f"{name}_p{p}")
                 for p in _percents(body, f"aggs.{name}")
             )
             continue

@@ -795,3 +795,15 @@ def test_aggs_percentiles_metric(spark):
     with pytest.raises(ValueError, match="percents"):
         run_aggs(df, {"aggs": {"q": {"percentiles":
                  {"field": "v", "percents": []}}}})
+
+
+def test_aggs_percentiles_approx_mode(spark):
+    # the 100 TB escape hatch: bounded-memory sketch, same call shape;
+    # on a tiny exact-representable set it agrees with exact
+    df = spark.createDataFrame(
+        [Row(g="a", v=float(i)) for i in range(1, 6)]
+    )
+    out = run_aggs(df, {"aggs": {"g2": {"terms": {"field": "g"},
+        "aggs": {"q": {"percentiles": {"field": "v", "percents": [50],
+                                       "approx": True}}}}}}).collect()
+    assert out[0].q_p50 == 3.0
