@@ -11506,6 +11506,48 @@ GROUP BY event_type
 """
 
 
+def q_aggs_top_hits(spark, sf):
+    """ES top_hits in the DSL (NEW r15, serving/aggs.run_aggs): the
+    per-bucket drill-down rows as a FLAT rectangle (keys + hit_rank +
+    _source, one row per hit) — top-3 languages by true doc_count,
+    two longest docs each (doc_id tiebreak for a deterministic
+    order); the oracle replays the parent cut and the per-bucket
+    row_number."""
+    from platypus_ingestion_plugins_spark.serving.aggs import run_aggs
+
+    d = _t(spark, sf, "documents")
+    return run_aggs(d, {
+        "aggs": {
+            "lg": {
+                "terms": {"field": "lang", "size": 3},
+                "aggs": {"top": {"top_hits": {
+                    "size": 2,
+                    "sort": [{"n_chars": "desc"}, {"doc_id": "asc"}],
+                    "_source": ["doc_id", "n_chars"],
+                }}},
+            }
+        },
+    })
+
+
+SQL_AGGS_TOP_HITS = """
+WITH tot AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang),
+r AS (
+  SELECT lang, dense_rank() OVER (ORDER BY c DESC, lang ASC) AS rk
+  FROM tot),
+hits AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS hr
+  FROM documents WHERE lang IS NOT NULL)
+SELECT h.lang AS lg, CAST(h.hr AS INT) AS hit_rank, h.doc_id, h.n_chars
+FROM hits h JOIN r USING (lang)
+WHERE r.rk <= 3 AND h.hr <= 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -11808,6 +11850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggs_geo_rings": q_aggs_geo_rings,
         "doremi_weights": q_doremi_weights,
         "aggs_percentiles": q_aggs_percentiles,
+        "aggs_top_hits": q_aggs_top_hits,
     }
 
 
@@ -11859,6 +11902,7 @@ def oracle_sql() -> dict[str, str]:
         "aggs_geo_rings": SQL_AGGS_GEO_RINGS,
         "doremi_weights": SQL_DOREMI_WEIGHTS,
         "aggs_percentiles": SQL_AGGS_PERCENTILES,
+        "aggs_top_hits": SQL_AGGS_TOP_HITS,
         "bpe_token_count": _bpe_oracle_sql(),
         "image_neardup": SQL_IMAGE_NEARDUP,
         "language_classifier": SQL_LANGUAGE_CLASSIFIER,

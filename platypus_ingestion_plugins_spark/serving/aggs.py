@@ -29,8 +29,14 @@ everything below; the constant agg name becomes the bucket key column
 Supported pipeline aggs (innermost histogram/date_histogram axis
 only, the ``date_histogram_pipeline`` conventions): ``cumulative_sum
 derivative moving_avg`` with ``buckets_path`` of ``_count`` or a
-sibling metric name, windowed per parent over the bucket-grid
-rectangle.  Supported metric aggs: ``avg sum min max value_count
+sibling metric name and ``gap_policy`` of ``skip`` (default) or
+``insert_zeros``, windowed per parent over the bucket-grid
+rectangle.  ``top_hits`` (per-bucket example rows — the dashboard
+drill-down) emits a FLAT rectangle (bucket keys + ``hit_rank`` +
+``_source`` columns, one row per hit) rather than ES's nested hit
+arrays; it must be the only agg at its level, and ``sort`` is
+required (no _score context — end with a unique field for a
+deterministic order).  Supported metric aggs: ``avg sum min max value_count
 cardinality stats percentiles`` (percentiles EXACT where ES
 TDigests, whole-number percents expanding to ``<name>_p50``-style
 columns) (stats expands to ``<name>_count/_min/_max/_avg/_sum``;
@@ -85,6 +91,7 @@ _METRIC_TYPES = {
 }
 _DEFAULT_PERCENTS = (1, 5, 25, 50, 75, 95, 99)  # the ES defaults
 _PIPELINE_TYPES = {"cumulative_sum", "derivative", "moving_avg"}
+_GAP_POLICIES = {"skip", "insert_zeros"}
 _CALENDAR = {"hour", "day", "week", "month"}
 
 
@@ -115,7 +122,7 @@ def _split_level(aggs: dict, path: str):
                     "run_aggs calls"
                 )
             bucket = (name, t, spec[t], sub)
-        elif t in _METRIC_TYPES:
+        elif t in _METRIC_TYPES or t == "top_hits":
             if sub:
                 raise ValueError(f"{path}.{name}: metric aggs take no sub-aggs")
             metrics.append((name, t, spec[t]))
@@ -129,7 +136,7 @@ def _split_level(aggs: dict, path: str):
             raise ValueError(
                 f"{path}.{name}: unsupported agg type {t!r} "
                 f"(buckets: {sorted(_BUCKET_TYPES)}, "
-                f"metrics: {sorted(_METRIC_TYPES)}, "
+                f"metrics: {sorted(_METRIC_TYPES)} + top_hits, "
                 f"pipelines: {sorted(_PIPELINE_TYPES)})"
             )
     if bucket is not None and (metrics or pipelines):
@@ -410,6 +417,53 @@ def _metric_exprs(metrics) -> list:
     return out
 
 
+def _one_sort(s, path: str) -> tuple:
+    """One ES sort entry {field: "asc"|"desc"} -> (field, direction)."""
+    if isinstance(s, str):
+        return s, "asc"  # ES's bare-field shorthand
+    if not isinstance(s, dict) or len(s) != 1:
+        raise ValueError(f"{path}: sort entries are {{field: asc|desc}}")
+    fld, d = next(iter(s.items()))
+    if isinstance(d, dict):
+        d = d.get("order", "asc")  # the ES long form {"order": ...}
+    if d not in ("asc", "desc"):
+        raise ValueError(f"{path}: sort order must be asc|desc, got {d!r}")
+    return fld, d
+
+
+def _apply_cuts(out, levels, keys, snapshots):
+    """Per-level min_doc_count / terms-size cuts over any rectangle
+    carrying the key columns (the grouped grid OR the top_hits rows).
+    A level's TRUE bucket count (ES doc_count) aggregates its
+    SNAPSHOT — one extra partial-aggregatable pass per cut level,
+    joined bucket-grid-sized. A window sum over the final rectangle
+    would be cheaper but WRONG under scope-modifying children (a
+    child filter must not demote a big parent)."""
+    for i, lvl in enumerate(levels):
+        need_mdc = lvl.min_doc_count > (
+            0 if lvl.densify is not None else 1
+        )
+        if lvl.size is None and not need_mdc:
+            continue
+        totals = snapshots[i].groupBy(*keys[: i + 1]).agg(
+            F.count(F.lit(1)).alias("__lvl_cnt")
+        )
+        out = out.join(totals, keys[: i + 1], "left")
+        if need_mdc:
+            out = out.where(F.col("__lvl_cnt") >= F.lit(lvl.min_doc_count))
+        if lvl.size is not None:
+            w = Window.partitionBy(*keys[:i]).orderBy(
+                F.col("__lvl_cnt").desc(), F.col(lvl.name).asc()
+            )
+            out = (
+                out.withColumn("__rk", F.dense_rank().over(w))
+                .where(F.col("__rk") <= F.lit(lvl.size))
+                .drop("__rk")
+            )
+        out = out.drop("__lvl_cnt")
+    return out
+
+
 def run_aggs(df: DataFrame, dsl) -> DataFrame:
     """Run an ES request body's ``aggs`` (plus optional ``query``)
     against ``df``; see the module docstring for the supported surface
@@ -469,13 +523,67 @@ def run_aggs(df: DataFrame, dsl) -> DataFrame:
     metric_names = {m[0] for m in metrics if m[1] != "stats"}
     for pname, pt, pbody in pipelines:
         _require(pbody, f"aggs.{pname}", {"buckets_path"},
-                 {"window"} if pt == "moving_avg" else set())
+                 {"window", "gap_policy"} if pt == "moving_avg"
+                 else {"gap_policy"})
+        gp = pbody.get("gap_policy", "skip")
+        if gp not in _GAP_POLICIES:
+            raise ValueError(
+                f"aggs.{pname}: gap_policy must be one of "
+                f"{sorted(_GAP_POLICIES)}, got {gp!r}"
+            )
         bp = pbody["buckets_path"]
         if bp != "_count" and bp not in metric_names:
             raise ValueError(
                 f"aggs.{pname}: buckets_path {bp!r} must be '_count' or a "
                 f"sibling non-stats metric name {sorted(metric_names)}"
             )
+
+    # top_hits: the per-bucket example rows every dashboard drill-down
+    # wants — emitted as a FLAT rectangle (keys + hit_rank + _source
+    # columns, one row per hit) rather than ES's nested hit arrays,
+    # which is both oracle-replayable and what a DataFrame consumer
+    # actually joins on. Must be the ONLY agg at its level (hits and
+    # aggregates need different rectangles).
+    tophit = next(
+        ((n, b) for n, t, b in metrics if t == "top_hits"), None
+    )
+    if tophit is not None:
+        if len(metrics) > 1 or pipelines:
+            raise ValueError(
+                "top_hits must be the only agg at its level — hits and "
+                "aggregate metrics need different result rectangles"
+            )
+        tname, tbody = tophit
+        _require(tbody, f"aggs.{tname}", {"sort", "_source"}, {"size"})
+        tsort = tbody["sort"]
+        if not isinstance(tsort, list) or not tsort:
+            raise ValueError(
+                f"aggs.{tname}: sort must be a non-empty list (there is "
+                "no _score context here — include a unique field last "
+                "for a deterministic order)"
+            )
+        tsrc = tbody["_source"]
+        if not isinstance(tsrc, list) or not tsrc:
+            raise ValueError(
+                f"aggs.{tname}: _source must be a non-empty column list"
+            )
+        sort_exprs = []
+        for s in tsort:
+            fld, direction = _one_sort(s, f"aggs.{tname}")
+            c = F.col(fld)
+            sort_exprs.append(c.desc() if direction == "desc" else c.asc())
+        tsize = int(tbody.get("size", 3))
+        if tsize < 1:
+            raise ValueError(f"aggs.{tname}: size must be >= 1")
+        hit_names = [lvl.name for lvl in levels] + ["hit_rank"] + list(tsrc)
+        dupes = {n for n in hit_names if hit_names.count(n) > 1}
+        shadows = {lvl.name for lvl in levels} & set(df.columns)
+        if dupes or shadows:
+            raise ValueError(
+                f"top_hits name collision: duplicates {sorted(dupes)}, "
+                f"input-column shadows {sorted(shadows)}"
+            )
+        metrics = []
 
     # Name hygiene, raised loudly (the module contract): ES keeps agg
     # names and field names in separate namespaces, but this executor
@@ -527,6 +635,14 @@ def run_aggs(df: DataFrame, dsl) -> DataFrame:
         snapshots.append(df)
 
     keys = [lvl.name for lvl in levels]
+    if tophit is not None:
+        w = Window.partitionBy(*keys).orderBy(*sort_exprs)
+        out = (
+            df.withColumn("hit_rank", F.row_number().over(w))
+            .where(F.col("hit_rank") <= F.lit(tsize))
+            .select(*keys, "hit_rank", *tsrc)
+        )
+        return _apply_cuts(out, levels, keys, snapshots)
     if not keys:
         return df.agg(*_metric_exprs(metrics))
     grouped = df.groupBy(*keys).agg(
@@ -575,35 +691,9 @@ def run_aggs(df: DataFrame, dsl) -> DataFrame:
         grouped = grid.join(grouped, on=parents + [last.name], how="left") \
             .select(*keys, *fill, *[F.col(c) for c in metric_cols])
 
-    # Per-level min_doc_count / terms-size cuts. A level's TRUE bucket
-    # count (ES doc_count) aggregates its SNAPSHOT — one extra
-    # partial-aggregatable pass per cut level, joined onto the
-    # bucket-grid rectangle (grid-sized join). A window sum over the
-    # final grid would be cheaper but WRONG under scope-modifying
-    # children (a child filter would demote a big parent).
-    out = grouped
-    for i, lvl in enumerate(levels):
-        need_mdc = lvl.min_doc_count > (
-            0 if lvl.densify is not None else 1
-        )
-        if lvl.size is None and not need_mdc:
-            continue
-        totals = snapshots[i].groupBy(*keys[: i + 1]).agg(
-            F.count(F.lit(1)).alias("__lvl_cnt")
-        )
-        out = out.join(totals, keys[: i + 1], "left")
-        if need_mdc:
-            out = out.where(F.col("__lvl_cnt") >= F.lit(lvl.min_doc_count))
-        if lvl.size is not None:
-            w = Window.partitionBy(*keys[:i]).orderBy(
-                F.col("__lvl_cnt").desc(), F.col(lvl.name).asc()
-            )
-            out = (
-                out.withColumn("__rk", F.dense_rank().over(w))
-                .where(F.col("__rk") <= F.lit(lvl.size))
-                .drop("__rk")
-            )
-        out = out.drop("__lvl_cnt")
+    # Per-level min_doc_count / terms-size cuts (shared _apply_cuts;
+    # see its docstring for the snapshot-totals reasoning).
+    out = _apply_cuts(grouped, levels, keys, snapshots)
     out = out.select(*keys, "doc_count", *[
         c for c in grouped.columns if c not in keys and c != "doc_count"
     ])
@@ -620,6 +710,10 @@ def run_aggs(df: DataFrame, dsl) -> DataFrame:
         for pname, pt, pbody in pipelines:
             bp = pbody["buckets_path"]
             src = F.col("doc_count" if bp == "_count" else bp)
+            if pbody.get("gap_policy", "skip") == "insert_zeros":
+                # ES insert_zeros: a gap bucket CONTRIBUTES a zero to
+                # every pipeline stage instead of being skipped over
+                src = F.coalesce(src, F.lit(0))
             if pt == "cumulative_sum":
                 w = Window.partitionBy(*parents).orderBy(axis).rowsBetween(
                     Window.unboundedPreceding, Window.currentRow

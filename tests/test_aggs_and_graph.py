@@ -807,3 +807,51 @@ def test_aggs_percentiles_approx_mode(spark):
         "aggs": {"q": {"percentiles": {"field": "v", "percents": [50],
                                        "approx": True}}}}}}).collect()
     assert out[0].q_p50 == 3.0
+
+
+def test_aggs_top_hits_rectangle(spark):
+    df = spark.createDataFrame([
+        Row(g="a", id=1, v=5.0), Row(g="a", id=2, v=9.0),
+        Row(g="a", id=3, v=7.0), Row(g="b", id=4, v=1.0),
+    ])
+    out = run_aggs(df, {"aggs": {"g2": {"terms": {"field": "g"},
+        "aggs": {"top": {"top_hits": {"size": 2,
+            "sort": [{"v": "desc"}, {"id": "asc"}],
+            "_source": ["id", "v"]}}}}}}) \
+        .orderBy("g2", "hit_rank").collect()
+    assert [(r.g2, r.hit_rank, r.id) for r in out] == [
+        ("a", 1, 2), ("a", 2, 3), ("b", 1, 4),
+    ]
+    # parent terms size cut applies to the hit rectangle too
+    out = run_aggs(df, {"aggs": {"g2": {"terms": {"field": "g",
+                                                  "size": 1},
+        "aggs": {"top": {"top_hits": {"size": 1,
+            "sort": [{"v": "desc"}, {"id": "asc"}],
+            "_source": ["id"]}}}}}}).collect()
+    assert [(r.g2, r.id) for r in out] == [("a", 2)]
+    with pytest.raises(ValueError, match="only agg"):
+        run_aggs(df, {"aggs": {"g2": {"terms": {"field": "g"},
+            "aggs": {"top": {"top_hits": {"sort": [{"v": "desc"}],
+                                          "_source": ["id"]}},
+                     "m": {"avg": {"field": "v"}}}}}})
+    with pytest.raises(ValueError, match="sort"):
+        run_aggs(df, {"aggs": {"top": {"top_hits": {"sort": [],
+                                                    "_source": ["id"]}}}})
+
+
+def test_aggs_pipeline_gap_policy_insert_zeros(spark):
+    df = spark.createDataFrame([Row(x=0.5, v=10.0), Row(x=4.5, v=50.0)])
+    out = run_aggs(df, {"aggs": {"h": {
+        "histogram": {"field": "x", "interval": 2.0},
+        "aggs": {"s": {"sum": {"field": "v"}},
+                 "d": {"derivative": {"buckets_path": "s",
+                                      "gap_policy": "insert_zeros"}}}}}}) \
+        .orderBy("h").collect()
+    # the gap CONTRIBUTES a zero: -10 into the gap, 50 out of it
+    assert [(r.h, r.d) for r in out] == [(0.0, None), (2.0, -10.0),
+                                         (4.0, 50.0)]
+    with pytest.raises(ValueError, match="gap_policy"):
+        run_aggs(df, {"aggs": {"h": {
+            "histogram": {"field": "x", "interval": 2.0},
+            "aggs": {"d": {"derivative": {"buckets_path": "_count",
+                                          "gap_policy": "bogus"}}}}}})

@@ -181,6 +181,7 @@ HEADLINE = [
     "aggs_geo_rings",
     "doremi_weights",
     "aggs_percentiles",
+    "aggs_top_hits",
 ]
 
 # Queries whose plan legitimately contains a broadcast O(k)-side join.
