@@ -1239,53 +1239,77 @@ def minhash_lsh_dedup_pairs(
     if big:
         cands = cands.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    # verification ships HASHED shingles (xxhash64: one long instead of
-    # a ~30-byte gram string through two shuffles and the pair-sized
-    # intermediate) restricted to docs that actually appear in a
-    # candidate pair — non-candidate docs never enter the joins. The
-    # intersection count over 64-bit hashes equals the count over
-    # strings up to a cross-shingle collision INSIDE one candidate
-    # pair (~|A|·|B|/2^64 per pair — vanishing), the standard trade
-    # every hashed-gram dedup makes (r15 perf: the verify stage's
-    # shuffle bytes, the sf10 preset's dominant cost).
-    sh_h = sh.select(id_col, F.xxhash64("shingle").alias("__hsh"))
-    cand_ids = cands.select(F.col("id_a").alias(id_col)).union(
-        cands.select(F.col("id_b").alias(id_col))
-    ).distinct()
-    # one hashed-shingle ARRAY per candidate doc, intersected per pair
-    # in codegen (array_intersect over unique elements == the
-    # equi-join count): the pair-sized frame is ~70x fewer rows than
-    # the exploded join intermediate (sum over pairs of |shingles|),
-    # which was the sf10 preset's dominant shuffle. Per-doc array
-    # width is bounded by the doc's token count (and cap_shingle_df
-    # bounds cross-doc fan-out); n_common > 0 keeps the inner-join
-    # semantics (a zero-overlap pair emits no row, threshold 0.0
-    # included).
-    arrs = (
-        sh_h.join(cand_ids, id_col, "left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_list("__hsh").alias("__arr"))
-        # SHUFFLE_HASH: sort-merge would sort the fat array rows twice
-        # (the attach joins' dominant cost at sf10); the hash side is
-        # one partition's worth of candidate-doc arrays — bounded
-        .hint("shuffle_hash")
-    )
-    inter = (
-        cands.join(
-            arrs.select(F.col(id_col).alias("id_a"), F.col("__arr").alias("__a")),
-            "id_a",
+    if big:
+        # LARGE-corpus verify (r15): ship HASHED shingles (xxhash64:
+        # one long instead of a ~30-byte gram string through two
+        # shuffles and the pair-sized intermediate) restricted to docs
+        # that actually appear in a candidate pair — non-candidate
+        # docs never enter the joins. The intersection count over
+        # 64-bit hashes equals the count over strings up to a
+        # cross-shingle collision INSIDE one candidate pair
+        # (~|A|·|B|/2^64 per pair — vanishing), the standard trade
+        # every hashed-gram dedup makes (r15 perf: the verify stage's
+        # shuffle bytes, the sf10 preset's dominant cost).
+        sh_h = sh.select(id_col, F.xxhash64("shingle").alias("__hsh"))
+        cand_ids = cands.select(F.col("id_a").alias(id_col)).union(
+            cands.select(F.col("id_b").alias(id_col))
+        ).distinct()
+        # one hashed-shingle ARRAY per candidate doc, intersected per
+        # pair in codegen (array_intersect over unique elements == the
+        # equi-join count): the pair-sized frame is ~70x fewer rows
+        # than the exploded join intermediate (sum over pairs of
+        # |shingles|), which was the sf10 preset's dominant shuffle.
+        # Per-doc array width is bounded by the doc's token count (and
+        # cap_shingle_df bounds cross-doc fan-out); n_common > 0 keeps
+        # the inner-join semantics (a zero-overlap pair emits no row,
+        # threshold 0.0 included).
+        arrs = (
+            sh_h.join(cand_ids, id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.collect_list("__hsh").alias("__arr"))
+            # SHUFFLE_HASH: sort-merge would sort the fat array rows
+            # twice (the attach joins' dominant cost at sf10); the
+            # hash side is one partition's worth of candidate-doc
+            # arrays — bounded
+            .hint("shuffle_hash")
         )
-        .join(
-            arrs.select(F.col(id_col).alias("id_b"), F.col("__arr").alias("__b")),
-            "id_b",
+        inter = (
+            cands.join(
+                arrs.select(F.col(id_col).alias("id_a"), F.col("__arr").alias("__a")),
+                "id_a",
+            )
+            .join(
+                arrs.select(F.col(id_col).alias("id_b"), F.col("__arr").alias("__b")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("__a", "__b")).cast("long").alias("n_common"),
+            )
+            .filter(F.col("n_common") > 0)
         )
-        .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("__a", "__b")).cast("long").alias("n_common"),
+    else:
+        # SMALL-corpus verify (r14 shape, restored by the r16
+        # dedup_minhash_lsh bisect): candidate pairs join the left
+        # doc's shingles, then intersect with the right doc's via an
+        # equi-join on (id_b, shingle) — an inner join, so a
+        # zero-overlap pair emits no row, exactly the big path's
+        # n_common > 0. Value-identical to the hashed-array intersect
+        # (and exact — no hash anywhere); on a small corpus the array
+        # shape's three extra stages (candidate-id union+distinct,
+        # semi-join, collect_list groupBy) cost MORE than the
+        # exploded intermediate they avoid — measured 2.2 s vs 1.5 s
+        # at sf0.1, while the array shape wins 84 s -> 40 s at sf10.
+        # Same gate as the materialization boundaries above: the
+        # regime where the exploded intermediate hurts is the regime
+        # where `big` is true.
+        inter = (
+            cands.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+            .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        .filter(F.col("n_common") > 0)
-    )
     return (
         inter.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), "id_b")

@@ -46,6 +46,24 @@ def test_minhash_lsh_finds_exact_dups(docs):
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 4)}
 
 
+def test_minhash_lsh_verify_shapes_agree(monkeypatch, docs):
+    """The r16 size-gated dual verify (the dedup_minhash_lsh bisect):
+    the small-corpus exploded equi-join and the large-corpus
+    hashed-array intersect must emit identical (id_a, id_b, jaccard)
+    rows — the gate picks a plan, never a result."""
+    from platypus_ingestion_plugins_spark.operators import dedup as D
+
+    results = {}
+    for label, size in (("small", 0), ("big", 1 << 40)):
+        monkeypatch.setattr(D, "_plan_size_bytes", lambda df, s=size: s)
+        got = D.minhash_lsh_dedup_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.1
+        ).collect()
+        results[label] = sorted((r.id_a, r.id_b, r.jaccard) for r in got)
+    assert results["small"] == results["big"]
+    assert results["small"]  # the fixture has near-dup pairs
+
+
 def test_dedup_family_leaves_no_leaked_storage(spark, docs):
     """In a long-lived session (a streaming driver, a notebook), an
     operator that pins storage without a bounded lifetime accumulates
