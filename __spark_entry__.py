@@ -8923,7 +8923,14 @@ def q_quality_classifier(spark, sf):
     labels = d.select(
         "doc_id", (F.col("lang") == "en").cast("int").alias("y")
     )
-    feats = doc_features(d, "text", "doc_id", dim=4096)
+    # single-evaluation checkpoint (r16, the winnow/LSH pattern): the
+    # feature frame feeds BOTH the training join (persisted inside
+    # train_logreg) and the corpus-scoring pass — without it the
+    # explode+md5+groupBy extraction runs twice, once per reference
+    # (measured 4.2 s -> 2.7 s at sf0.1, interleaved min-of-3)
+    feats = doc_features(d, "text", "doc_id", dim=4096).localCheckpoint(
+        eager=False
+    )
     w = train_logreg(feats, labels, "doc_id", "y", iters=2, lr=1.0)
     return score_logreg(feats, w, "doc_id").select(
         "doc_id", F.round("margin", 6).alias("margin")
