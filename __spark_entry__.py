@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from platypus_ingestion_plugins_spark import concurrency
 from platypus_ingestion_plugins_spark.functions import text as TX
 from platypus_ingestion_plugins_spark.functions.converters import flatten_structs
 from platypus_ingestion_plugins_spark.operators import asof, cdc, chat, dedup, multimodal, similarity
@@ -4215,6 +4216,19 @@ def q_stream_exact_substring_dedup(spark, sf):
             starts = dedup.span_start_keys(batch_df, "text", "doc_id", k=8)
             starts.persist()
             try:
+                # compaction (a whole-index staged swap) runs FIRST, in
+                # its own serial step, so the overlapped jobs below
+                # never read directories a concurrent rewrite renames;
+                # every committed epoch < bid can no longer replay at
+                # this point — the same safety window the old
+                # inside-append placement used (r16, guide §2.6)
+                if bid % 4 == 3 and dedup.line_count_index_exists(
+                    spark, idx
+                ):
+                    dedup.compact_line_count_index(
+                        spark, idx, max_files_per_bucket=4,
+                        exclude_batch_id=str(bid),
+                    )
                 pairs = starts.select("line_key", "doc_id").distinct()
                 earlier = (
                     dedup.read_line_counts_pruned(
@@ -4223,19 +4237,24 @@ def q_stream_exact_substring_dedup(spark, sf):
                     if dedup.line_count_index_exists(spark, idx)
                     else None
                 )
-                (
-                    dedup.mask_repeated_spans_incremental(
-                        batch_df, earlier, "text", "doc_id", k=8,
-                        starts=starts,
-                    )
-                    .select("doc_id", "text_deduped")
-                    .write.mode("append")
-                    .parquet(outp)
-                )
-                dedup.append_line_count_index(
-                    dedup.span_count_keys(starts, "doc_id"),
-                    idx, key_buckets=16, batch_id=bid,
-                    auto_compact_max_files=4 if bid % 4 == 3 else None,
+                # the masked-output write and the span-count append are
+                # independent (the append excludes epoch bid on read,
+                # and `earlier` pinned its file listing above), so
+                # their jobs overlap instead of serializing (§2.6)
+                concurrency.overlap_jobs(
+                    lambda: (
+                        dedup.mask_repeated_spans_incremental(
+                            batch_df, earlier, "text", "doc_id", k=8,
+                            starts=starts,
+                        )
+                        .select("doc_id", "text_deduped")
+                        .write.mode("append")
+                        .parquet(outp)
+                    ),
+                    lambda: dedup.append_line_count_index(
+                        dedup.span_count_keys(starts, "doc_id"),
+                        idx, key_buckets=16, batch_id=bid,
+                    ),
                 )
             finally:
                 starts.unpersist()
@@ -6395,6 +6414,23 @@ def q_stream_line_dedup(spark, sf):
             pairs = dedup.line_key_pairs(batch_df, "text", "doc_id")
             pairs.persist()
             try:
+                # auto_compact every 4th epoch: the policy folds any
+                # kb= dir past 4 files (the in-flight epoch rides
+                # tagged — exclude_batch_id), so index file count
+                # plateaus over unbounded batches; consulting every N
+                # batches keeps the listing amortized (VERDICT r9 task
+                # #5; plateau proven in
+                # test_line_count_auto_compaction_exact_under_replay).
+                # The whole-index swap runs FIRST, serially, so the
+                # overlapped jobs below never read directories a
+                # concurrent rewrite renames (r16, guide §2.6)
+                if bid % 4 == 3 and dedup.line_count_index_exists(
+                    spark, idx
+                ):
+                    dedup.compact_line_count_index(
+                        spark, idx, max_files_per_bucket=4,
+                        exclude_batch_id=str(bid),
+                    )
                 # exclude_batch_id=bid: a crashed prior attempt of
                 # THIS epoch may have appended already — reading its
                 # rows back as "earlier" would over-suppress on replay
@@ -6406,31 +6442,27 @@ def q_stream_line_dedup(spark, sf):
                     if dedup.line_count_index_exists(spark, idx)
                     else None
                 )
-                (
-                    dedup.line_dedup_incremental(
-                        batch_df, earlier, "text", "doc_id", min_df=2,
-                        pairs=pairs,
-                    )
-                    .write.mode("append")
-                    .parquet(outp)
-                )
                 # batch_id epoch tag: an at-least-once replay of this
                 # batch re-appends identical rows, which the reader
-                # collapses per (line_key, batch_id) — exact counts
-                # auto_compact every 4th epoch: the policy folds any
-                # kb= dir past 4 files before that epoch's rows land
-                # (the in-flight epoch rides tagged —
-                # exclude_batch_id), so index file count plateaus over
-                # unbounded batches; consulting every N batches (not
-                # every batch) keeps the listing amortized
-                # (VERDICT r9 task #5; plateau proven in
-                # test_line_count_auto_compaction_exact_under_replay)
-                dedup.append_line_count_index(
-                    dedup.line_count_keys(
-                        batch_df, "text", "doc_id", pairs=pairs
+                # collapses per (line_key, batch_id) — exact counts.
+                # The scrubbed-output write and the count append are
+                # independent (the read above excludes epoch bid and
+                # pinned its listing), so their jobs overlap (§2.6)
+                concurrency.overlap_jobs(
+                    lambda: (
+                        dedup.line_dedup_incremental(
+                            batch_df, earlier, "text", "doc_id",
+                            min_df=2, pairs=pairs,
+                        )
+                        .write.mode("append")
+                        .parquet(outp)
                     ),
-                    idx, key_buckets=16, batch_id=bid,
-                    auto_compact_max_files=4 if bid % 4 == 3 else None,
+                    lambda: dedup.append_line_count_index(
+                        dedup.line_count_keys(
+                            batch_df, "text", "doc_id", pairs=pairs
+                        ),
+                        idx, key_buckets=16, batch_id=bid,
+                    ),
                 )
             finally:
                 pairs.unpersist()
@@ -7283,6 +7315,12 @@ def q_stream_image_neardup(spark, sf):
             )
             keys.persist()  # hash once for prune/join/append
             try:
+                # compact first / overlap after: same discipline and
+                # rationale as the text-side stream_neardup handle
+                if _bid % 4 == 3 and _fs.exists(spark, idx):
+                    dedup.compact_band_key_index(
+                        spark, idx, max_files_per_dir=4
+                    )
                 earlier = (
                     dedup.read_band_keys_pruned(
                         spark, idx, keys, val_buckets=8
@@ -7290,17 +7328,18 @@ def q_stream_image_neardup(spark, sf):
                     if _fs.exists(spark, idx)
                     else None
                 )
-                (
-                    dedup.neardup_survivors_incremental(
-                        keys, earlier, "doc_id", max_hamming=6
-                    )
-                    .withColumnRenamed("simhash", "dhash")
-                    .write.mode("append")
-                    .parquet(surv)
-                )
-                dedup.append_band_key_index(
-                    keys, idx, val_buckets=8,
-                    auto_compact_max_files=4 if _bid % 4 == 3 else None,
+                concurrency.overlap_jobs(
+                    lambda: (
+                        dedup.neardup_survivors_incremental(
+                            keys, earlier, "doc_id", max_hamming=6
+                        )
+                        .withColumnRenamed("simhash", "dhash")
+                        .write.mode("append")
+                        .parquet(surv)
+                    ),
+                    lambda: dedup.append_band_key_index(
+                        keys, idx, val_buckets=8
+                    ),
                 )
             finally:
                 keys.unpersist()
@@ -7962,25 +8001,38 @@ def q_stream_neardup_dedup(spark, sf):
             keys = dedup.simhash_band_keys(batch_df, "text", "doc_id", bits=32, bands=4)
             keys.persist()  # fingerprinting runs once for prune/join/append
             try:
+                # self-maintaining index, consulted every 4th epoch:
+                # dirs fragmented past 4 files are rewritten (plateau
+                # proven in test_band_key_index_auto_compaction_plateau).
+                # The per-dir swap runs FIRST, serially, so the
+                # overlapped jobs below never read a directory a
+                # concurrent rewrite renames (r16, guide §2.6); band
+                # keys are set-semantics idempotent, so compacting
+                # before vs after this batch's rows land reads back the
+                # same key set either way
+                if _bid % 4 == 3 and _fs.exists(spark, idx):
+                    dedup.compact_band_key_index(
+                        spark, idx, max_files_per_dir=4
+                    )
                 earlier = (
                     dedup.read_band_keys_pruned(spark, idx, keys, val_buckets=8)
                     if _fs.exists(spark, idx)
                     else None
                 )
-                (
-                    dedup.neardup_survivors_incremental(
-                        keys, earlier, "doc_id", max_hamming=3
-                    )
-                    .write.mode("append")
-                    .parquet(surv)
-                )
-                # self-maintaining index, consulted every 4th epoch:
-                # dirs fragmented past 4 files are rewritten before
-                # that batch's keys land (plateau proven in
-                # test_band_key_index_auto_compaction_plateau)
-                dedup.append_band_key_index(
-                    keys, idx, val_buckets=8,
-                    auto_compact_max_files=4 if _bid % 4 == 3 else None,
+                # survivors write and key append are independent
+                # (`earlier` pinned its file listing above, appends
+                # only add files), so their jobs overlap (§2.6)
+                concurrency.overlap_jobs(
+                    lambda: (
+                        dedup.neardup_survivors_incremental(
+                            keys, earlier, "doc_id", max_hamming=3
+                        )
+                        .write.mode("append")
+                        .parquet(surv)
+                    ),
+                    lambda: dedup.append_band_key_index(
+                        keys, idx, val_buckets=8
+                    ),
                 )
             finally:
                 keys.unpersist()

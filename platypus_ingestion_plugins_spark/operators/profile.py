@@ -240,15 +240,28 @@ def profile_merge_into(
             )
         )
 
+    from ..concurrency import overlap_jobs
+
     # ONE physical scan of the batch feeds all three state merges —
     # without the persist each _merge_sketch_into re-reads the
-    # micro-batch source (3x I/O per epoch on the ingest path)
+    # micro-batch source (3x I/O per epoch on the ingest path).
+    # The three merges maintain DISJOINT state directories, so their
+    # jobs overlap from driver threads (guide §2.6) instead of paying
+    # three end-to-end read-merge-write-swap latencies per epoch; the
+    # persist's block-level get-or-compute lock makes whichever thread
+    # touches a batch partition first compute it and the others reuse.
     batch.persist()
     try:
-        _merge_sketch_into(batch, f"{path}/counts", merge_counts, batch_id)
-        _merge_sketch_into(batch, f"{path}/sample", merge_sample, batch_id)
-        _merge_sketch_into(
-            batch, f"{path}/distinct", merge_distinct, batch_id
+        overlap_jobs(
+            lambda: _merge_sketch_into(
+                batch, f"{path}/counts", merge_counts, batch_id
+            ),
+            lambda: _merge_sketch_into(
+                batch, f"{path}/sample", merge_sample, batch_id
+            ),
+            lambda: _merge_sketch_into(
+                batch, f"{path}/distinct", merge_distinct, batch_id
+            ),
         )
     finally:
         batch.unpersist()
