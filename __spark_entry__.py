@@ -11626,79 +11626,41 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the least-recently-driver-verified queries come FIRST
     # (the driver caps each round's oracle sweep at 50 entries, so dict
-    # order IS verification priority — r15 rotation, VERDICT r14 task
-    # #4, recomputed from the CORRECTNESS_r01..r14 files by script):
-    #   0.  the 19 r14 entries the driver never saw (judge-verified at
-    #       sf0.01 in VERDICT r14), in r14 declaration order.
-    #   0b. the 22 NEW r15 entries. Sections 0+0b = 41 < 50.
+    # order IS verification priority — r16 rotation, VERDICT r15 task
+    # #3, recomputed from the CORRECTNESS_r01..r15 files by script):
+    #   0.  the 18 r15 entries the driver never saw (judge-verified at
+    #       sf0.01 in VERDICT r15), in r15 declaration order.
     #   1.  every previously-green entry ascending by its LAST
-    #       driver-green round (r11 -> r12 -> r13 -> r14), each cohort
-    #       in its CORRECTNESS file order: the cap's remaining 9
-    #       slots cover the first 9 of the 48 r11-stale entries.
+    #       driver-green round (r11 -> r12 -> r13 -> r14 -> r15), each
+    #       cohort in its CORRECTNESS file order: the cap's remaining
+    #       32 slots cover the first 32 of the 44 r11-stale entries.
     return {
-        # 0. the 19 r14 entries the driver never value-checked
-        #    (judge-verified at sf0.01 in VERDICT r14) — they lead r15.
-        "attribution": q_attribution,
-        "survival_km": q_survival_km,
-        "rfm_segments": q_rfm_segments,
-        "percolate": q_percolate,
-        "collapse_source": q_collapse,
-        "tfidf_keywords": q_tfidf_keywords,
-        "rouge_pairs": q_rouge_pairs,
-        "char_entropy": q_char_entropy,
-        "phrase_prefix": q_phrase_prefix,
-        "stats_facet": q_stats_facet,
-        "recency_decay": q_recency_decay,
-        "stream_rate_anomalies": q_stream_rate_anomalies,
-        "pagerank": q_pagerank,
-        "fd_violations": q_fd_violations,
-        "pmi_pairs": q_pmi_pairs,
-        "stream_percolate": q_stream_percolate,
-        "seasonal_anomalies": q_seasonal_anomalies,
-        "terms_lookup_filter": q_terms_lookup,
-        "adjacency_matrix": q_adjacency_matrix,
-        # 0b. NEW r15 entries (builder-verified at sf0.01 + sf0.001 on
-        #     landing) — inside the 50-cap on their first round.
-        "geo_distance": q_geo_distance,
-        "indexed_regexp": q_indexed_regexp,
-        "geo_grid": q_geo_grid,
-        "stickiness": q_stickiness,
-        "percentile_ranks": q_percentile_ranks,
-        "rare_terms": q_rare_terms,
-        "composite_page": q_composite_page,
-        "histogram_pipeline": q_histogram_pipeline,
-        "indexed_prefix": q_indexed_prefix,
-        "maxsim_topk": q_maxsim_topk,
-        "did_you_mean": q_did_you_mean,
-        "diff_in_diff": q_diff_in_diff,
-        "funnel_latency": q_funnel_latency,
-        "eval_report": q_eval_report,
-        "calibration": q_calibration,
-        "knn_label": q_knn_label,
-        "corpus_kl": q_corpus_kl,
-        "synonym_search": q_synonym_search,
-        "dsl_query": q_dsl_query,
-        "update_by_query": q_update_by_query,
-        "soft_dedup": q_soft_dedup,
-        "json_validity": q_json_validity,
-        "aggs_dsl": q_aggs_dsl,
-        "aggs_dsl_range": q_aggs_dsl_range,
-        "simple_query": q_simple_query,
-        "triangle_count": q_triangle_count,
-        "fim_split": q_fim_split,
+        # 0. the 18 r15 entries the driver never value-checked
+        #    (judge-verified at sf0.01 in VERDICT r15) — they lead r16.
+        "lpa_communities": q_lpa_communities,
+        "span_corrupt": q_span_corrupt,
+        "psi_drift": q_psi_drift,
+        "ewma_anomalies": q_ewma_anomalies,
+        "aggs_dsl_filter": q_aggs_dsl_filter,
+        "kcore_graph": q_kcore_graph,
+        "readability": q_readability,
+        "aggs_multi_terms": q_aggs_multi_terms,
+        "stream_ewma_anomalies": q_stream_ewma_anomalies,
+        "ab_cuped": q_ab_cuped,
+        "srm_check": q_srm_check,
+        "aggs_missing": q_aggs_missing,
+        "ppr_seeds": q_ppr_seeds,
+        "aggs_pipeline": q_aggs_pipeline,
+        "aggs_geo_rings": q_aggs_geo_rings,
+        "doremi_weights": q_doremi_weights,
+        "aggs_percentiles": q_aggs_percentiles,
+        "aggs_top_hits": q_aggs_top_hits,
         # 1. stale cohorts, least-recently-driver-green first
-        #    (r11 -> r12 -> r13 -> r14), each in its CORRECTNESS file
-        #    order. The 50-cap covers sections 0+0b (41: 19 r14 + 22
-        #    r15) plus the first 9 of the r11 cohort (cap boundary
-        #    marked below).
+        #    (r11 -> r12 -> r13 -> r14 -> r15), each in its
+        #    CORRECTNESS file order. The 50-cap covers section 0
+        #    (18) plus the first 32 of the 44 r11-stale entries
+        #    (cap boundary marked below).
         # -- last driver-green in CORRECTNESS_r11 --
-        "stream_profile": q_stream_profile,
-        "pretraining_mix": q_pretraining_mix,
-        "corpus_overlap": q_corpus_overlap,
-        "tar_scrub": q_tar_scrub,
-        # ---- 50-entry sweep cap falls HERE (46 + 4: the r15-tail
-        # batch displaced corpus_profile..c4_filter, each re-verified
-        # by targeted check_oracle on displacement) ----
         "corpus_profile": q_corpus_profile,
         "quality_classifier": q_quality_classifier,
         "url_dedup": q_url_dedup,
@@ -11731,6 +11693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_modulo": q_shard_modulo,
         "agg_rollup": q_agg_rollup,
         "anti_join": q_anti_join,
+        # ---- 50-entry sweep cap falls HERE (18 blind + 32
+        # r11-stale; entries below re-enter in later rotations) ----
         "serving_compact": q_serving_compact,
         "decontam_flags": q_decontam_flags,
         "pii_scrub": q_pii_scrub,
@@ -11896,27 +11860,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_gaps": q_event_gaps,
         "percentiles": q_percentiles,
         "mixture_plan": q_mixture_plan,
-        # POST-cap (r15 second batch): the 50-sweep is already all-new
-        # this round — these landed builder-verified at sf0.001 AND
-        # sf0.01 and lead the r16 rotation
-        "lpa_communities": q_lpa_communities,
-        "span_corrupt": q_span_corrupt,
-        "psi_drift": q_psi_drift,
-        "ewma_anomalies": q_ewma_anomalies,
-        "aggs_dsl_filter": q_aggs_dsl_filter,
-        "kcore_graph": q_kcore_graph,
-        "readability": q_readability,
-        "aggs_multi_terms": q_aggs_multi_terms,
-        "stream_ewma_anomalies": q_stream_ewma_anomalies,
-        "ab_cuped": q_ab_cuped,
-        "srm_check": q_srm_check,
-        "aggs_missing": q_aggs_missing,
-        "ppr_seeds": q_ppr_seeds,
-        "aggs_pipeline": q_aggs_pipeline,
-        "aggs_geo_rings": q_aggs_geo_rings,
-        "doremi_weights": q_doremi_weights,
-        "aggs_percentiles": q_aggs_percentiles,
-        "aggs_top_hits": q_aggs_top_hits,
+        # -- last driver-green in CORRECTNESS_r15 --
+        "attribution": q_attribution,
+        "survival_km": q_survival_km,
+        "rfm_segments": q_rfm_segments,
+        "percolate": q_percolate,
+        "collapse_source": q_collapse,
+        "tfidf_keywords": q_tfidf_keywords,
+        "rouge_pairs": q_rouge_pairs,
+        "char_entropy": q_char_entropy,
+        "phrase_prefix": q_phrase_prefix,
+        "stats_facet": q_stats_facet,
+        "recency_decay": q_recency_decay,
+        "stream_rate_anomalies": q_stream_rate_anomalies,
+        "pagerank": q_pagerank,
+        "fd_violations": q_fd_violations,
+        "pmi_pairs": q_pmi_pairs,
+        "stream_percolate": q_stream_percolate,
+        "seasonal_anomalies": q_seasonal_anomalies,
+        "terms_lookup_filter": q_terms_lookup,
+        "adjacency_matrix": q_adjacency_matrix,
+        "geo_distance": q_geo_distance,
+        "indexed_regexp": q_indexed_regexp,
+        "geo_grid": q_geo_grid,
+        "stickiness": q_stickiness,
+        "percentile_ranks": q_percentile_ranks,
+        "rare_terms": q_rare_terms,
+        "composite_page": q_composite_page,
+        "histogram_pipeline": q_histogram_pipeline,
+        "indexed_prefix": q_indexed_prefix,
+        "maxsim_topk": q_maxsim_topk,
+        "did_you_mean": q_did_you_mean,
+        "diff_in_diff": q_diff_in_diff,
+        "funnel_latency": q_funnel_latency,
+        "eval_report": q_eval_report,
+        "calibration": q_calibration,
+        "knn_label": q_knn_label,
+        "corpus_kl": q_corpus_kl,
+        "synonym_search": q_synonym_search,
+        "dsl_query": q_dsl_query,
+        "update_by_query": q_update_by_query,
+        "soft_dedup": q_soft_dedup,
+        "json_validity": q_json_validity,
+        "aggs_dsl": q_aggs_dsl,
+        "aggs_dsl_range": q_aggs_dsl_range,
+        "simple_query": q_simple_query,
+        "triangle_count": q_triangle_count,
+        "fim_split": q_fim_split,
+        "stream_profile": q_stream_profile,
+        "pretraining_mix": q_pretraining_mix,
+        "corpus_overlap": q_corpus_overlap,
+        "tar_scrub": q_tar_scrub,
     }
 
 
