@@ -339,6 +339,22 @@ def psi_report(
                 x, F.array(*[F.lit(i / bins) for i in range(1, bins)])
             ).alias("__cuts")
         )
+        # an empty reference slice makes the percentile array NULL, so
+        # every row would bin to NULL and the report would emit
+        # meaningless rows — fail loudly instead (plan-side guard: the
+        # query stays lazy/action-free at construction)
+        .select(
+            F.when(F.col("__cuts").isNotNull(), F.col("__cuts"))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "psi_report: reference slice "
+                        f"{ref_value!r} is empty"
+                    )
+                )
+            )
+            .alias("__cuts")
+        )
     )
     binned = both.join(F.broadcast(cuts)).select(
         F.col(slice_col).alias("__slice"),

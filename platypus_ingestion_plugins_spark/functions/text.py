@@ -1018,6 +1018,22 @@ def json_validity(df, col: str, by: str):
     )
 
 
+def _require_numeric_key(df, key_col: str, op: str) -> None:
+    """Eager guard for the multiplicative-hash determinism keys: a
+    non-numeric ``key_col`` would either throw mid-corpus under Spark
+    4's ANSI cast-to-long or (non-ANSI) silently yield NULL keys so no
+    row ever transforms — fail loudly at plan time instead."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[key_col].dataType
+    if not isinstance(dt, T.NumericType):
+        raise ValueError(
+            f"{op}: key_col {key_col!r} must be numeric for the "
+            f"deterministic multiplicative hash, got {dt.simpleString()};"
+            " derive a numeric key first (e.g. xxhash64(col))"
+        )
+
+
 def fim_transform(
     df,
     text_col: str = "text",
@@ -1051,6 +1067,7 @@ def fim_transform(
     map-side with ``pack_texts``/``pack_bins`` downstream."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate!r}")
+    _require_numeric_key(df, key_col, "fim_transform")
     # fold the key below 2**20 BEFORE the Knuth multiply: a raw
     # 100 TB-scale id times 2654435761 overflows BIGINT, and Spark 4's
     # ANSI default turns that into a runtime error mid-corpus
@@ -1107,6 +1124,7 @@ def span_corrupt(
         raise ValueError(f"block_tokens must be >= 1, got {block_tokens}")
     if mask_one_in < 2:
         raise ValueError(f"mask_one_in must be >= 2, got {mask_one_in}")
+    _require_numeric_key(df, key_col, "span_corrupt")
     kh = F.pmod(F.col(key_col).cast("long"), F.lit(1000003))
     toks = F.split(F.col(text_col), " ")
     n_blocks = F.ceil(F.size(toks) / F.lit(block_tokens)).cast("int")

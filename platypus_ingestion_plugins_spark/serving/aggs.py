@@ -520,7 +520,15 @@ def run_aggs(df: DataFrame, dsl) -> DataFrame:
             "histogram/date_histogram axis as the innermost bucket "
             f"(innermost here: {inner_btype!r})"
         )
-    metric_names = {m[0] for m in metrics if m[1] != "stats"}
+    # stats explodes into <name>_{count,min,max,avg,sum} columns,
+    # percentiles into <name>_pNN, and top_hits is not a metric column
+    # at all — none is addressable as a single buckets_path column, so
+    # excluding them here turns the later opaque AnalysisException on
+    # F.col(bp) into the module's documented loud ValueError
+    metric_names = {
+        m[0] for m in metrics
+        if m[1] not in ("stats", "percentiles", "top_hits")
+    }
     for pname, pt, pbody in pipelines:
         _require(pbody, f"aggs.{pname}", {"buckets_path"},
                  {"window", "gap_policy"} if pt == "moving_avg"

@@ -855,3 +855,39 @@ def test_aggs_pipeline_gap_policy_insert_zeros(spark):
             "histogram": {"field": "x", "interval": 2.0},
             "aggs": {"d": {"derivative": {"buckets_path": "_count",
                                           "gap_policy": "bogus"}}}}}})
+
+
+def test_psi_empty_reference_slice_raises(spark):
+    # ref slice absent -> NULL percentile cuts would bin every row to
+    # garbage; the plan-side guard must fail loudly instead
+    rows = [Row(s="b", x=float(i)) for i in range(50)]
+    out = psi_report(spark.createDataFrame(rows), "x", "s", "a", "b")
+    with pytest.raises(Exception, match="reference slice"):
+        out.collect()
+
+
+def test_fim_and_span_corrupt_reject_non_numeric_key(spark):
+    df = spark.createDataFrame(
+        [("k1", "some text here")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="numeric"):
+        fim_transform(df)
+    with pytest.raises(ValueError, match="numeric"):
+        span_corrupt(df)
+
+
+def test_aggs_pipeline_rejects_wide_metric_buckets_path(spark):
+    # percentiles materialize as <name>_pNN columns and stats as
+    # <name>_* — neither is addressable as a single buckets_path
+    # column, so the validation must raise the documented ValueError
+    # instead of the later opaque AnalysisException
+    df = spark.createDataFrame([Row(g="a", x=1.0)])
+    for metric in ({"p": {"percentiles": {"field": "x",
+                                          "percents": [50]}}},
+                   {"p": {"stats": {"field": "x"}}}):
+        with pytest.raises(ValueError, match="buckets_path"):
+            run_aggs(df, {"aggs": {"h": {
+                "histogram": {"field": "x", "interval": 1.0},
+                "aggs": {**metric,
+                         "c": {"cumulative_sum":
+                               {"buckets_path": "p"}}}}}})
