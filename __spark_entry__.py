@@ -9013,14 +9013,19 @@ def q_language_classifier(spark, sf):
     )
 
     d = _t(spark, sf, "documents")
-    # single-evaluation checkpoint (r16, the quality_classifier
-    # pattern): the char-trigram md5 extraction is referenced by the
-    # sample-training join AND the full-corpus scoring pass — one
-    # materialization serves both (measured 3.8 s -> 3.2 s at sf0.1,
-    # interleaved min-of-3)
-    feats = char_gram_features(d, "text", "doc_id", n=3, dim=2048).localCheckpoint(
-        eager=False
-    )
+    # NO single-evaluation checkpoint here, unlike quality_classifier
+    # (r16 revisit, scripts/ab_classifier_ckpt.py): training consumes
+    # only the doc_id % 10 sample, and without a checkpoint that
+    # filter pushes INTO the extraction (scan-level prune), so the
+    # full char-trigram evaluation runs ~1.1x total. Checkpointing
+    # materializes the fat full-corpus trigram frame (~2k buckets/doc)
+    # before the sample filter can prune — a wash at sf0.1
+    # (5.33 s none vs 5.58 s ckpt, interleaved min-of-3) and 2x worse
+    # at sf1 (10.96 s vs 20.78 s). quality_classifier KEEPS its
+    # checkpoint: it trains full-corpus, so both references need the
+    # whole frame (3.66 s vs 6.08 s at sf0.1, 6.51 s vs 10.05 s at
+    # sf1, same probe).
+    feats = char_gram_features(d, "text", "doc_id", n=3, dim=2048)
     w = train_logreg_ovr(
         feats.filter(F.col("doc_id") % 10 == 0),
         d.select("doc_id", "lang").filter(F.col("doc_id") % 10 == 0),

@@ -1227,8 +1227,18 @@ def minhash_lsh_dedup_pairs(
     # so the r13 lazy single-eval shape stays (bench floor unchanged).
     # Catalyst's optimized-plan size estimate is free and survives
     # localCheckpoint inputs; unknown stats read huge, mapping to the
-    # safe-at-scale eager choice.
-    big = single_eval and _plan_size_bytes(df) >= (32 << 20)
+    # safe-at-scale eager choice. Threshold 2 MB (r16): the original
+    # 32 MB was calibrated only at the endpoints (584 KB sf0.1 ->
+    # exploded wins by ~0.6 s; sf10 preset -> array wins 84 -> 40 s).
+    # An interleaved A/B at the 6 MB middle (scripts/ab_minhash_gate.py,
+    # 10x replica, min-of-3 per arm in one session) read the exploded/
+    # lazy side 4.8 s vs 3.8 s on the micro query and 11.3 s vs 9.6 s
+    # (typical pass 25 s vs 9.6 s — the lazy-checkpoint recompute race)
+    # on the clean_corpus preset, so the crossover sits BELOW 6 MB.
+    # The mis-choice cost is asymmetric — bounded ~0.6 s on the small
+    # side, growing with scale on the large side — so the gate biases
+    # low: above sf0.1's plan size, below the measured-bad 6 MB point.
+    big = single_eval and _plan_size_bytes(df) >= (2 << 20)
     sh = cap_shingle_df(shingles(df, text_col, id_col, n), max_shingle_df)
     if single_eval:
         sh = sh.localCheckpoint(eager=big)

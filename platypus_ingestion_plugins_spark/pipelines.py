@@ -77,7 +77,13 @@ def clean_corpus(
     # measured ~20 s of the sf10 preset wall; on a small corpus the
     # extra materialization jobs cost more than the duplicated
     # computes, so lazy stays.
-    big = single_eval and dedup._plan_size_bytes(docs) >= (32 << 20)
+    # threshold 2 MB, not 32 MB (r16): same gate re-calibration as
+    # minhash_lsh_dedup_pairs — the sf1-replica interleaved A/B
+    # (scripts/ab_minhash_gate.py) read the lazy arm of this preset at
+    # 11.3 s min-of-3 / ~25 s typical pass vs 9.6 s eager at a 6 MB
+    # corpus, the fused-first-action recompute race the r14 note
+    # measured at sf10 showing up an order of magnitude earlier.
+    big = single_eval and dedup._plan_size_bytes(docs) >= (2 << 20)
 
     def _stage(df):
         if not single_eval:
