@@ -376,8 +376,6 @@ def main():
                 "(inputs materialized before the clock starts)",
         "results": results,
     }
-    if tier100:
-        record["tier100"] = tier100
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     # the UNTRACKED sidecar got the r10 record silently dropped (fresh
     # checkout -> bench.py regenerates it without the key); the TRACKED
@@ -385,6 +383,17 @@ def main():
     # sidecar merge is kept only as the machine-readable mirror
     path = os.path.join(repo, "bench_summary.json")
     summary = json.load(open(path)) if os.path.exists(path) else {}
+    if not tier100:
+        # a 10x-only run must not drop the committed tier-100 evidence
+        # (sf10 runs are ~30 min; they are refreshed deliberately, not
+        # as a side effect) — carry the prior record's key forward
+        prior = summary.get("sf1_scale_check", {})
+        for k in ("tier100", "tier100_note"):
+            if k in prior:
+                record[k] = prior[k]
+        tier100 = record.get("tier100", {})
+    else:
+        record["tier100"] = tier100
     summary["sf1_scale_check"] = record
     json.dump(summary, open(path, "w"), indent=1)
     tier100_md = ""
