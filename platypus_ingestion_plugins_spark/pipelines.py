@@ -77,13 +77,21 @@ def clean_corpus(
     # measured ~20 s of the sf10 preset wall; on a small corpus the
     # extra materialization jobs cost more than the duplicated
     # computes, so lazy stays.
-    # threshold 2 MB, not 32 MB (r16): same gate re-calibration as
-    # minhash_lsh_dedup_pairs — the sf1-replica interleaved A/B
+    # threshold 256 KB, not the 32 MB this gate shipped with (r16, two
+    # re-calibrations): the sf1-replica interleaved A/B
     # (scripts/ab_minhash_gate.py) read the lazy arm of this preset at
     # 11.3 s min-of-3 / ~25 s typical pass vs 9.6 s eager at a 6 MB
-    # corpus, the fused-first-action recompute race the r14 note
-    # measured at sf10 showing up an order of magnitude earlier.
-    big = single_eval and dedup._plan_size_bytes(docs) >= (2 << 20)
+    # corpus — the fused-first-action recompute race the r14 note
+    # measured at sf10, an order of magnitude earlier. The decomposed
+    # 4-arm A/B (scripts/ab_preset_stage.py) then showed the preset's
+    # STAGING boundaries flip earlier than the LSH verify gate inside
+    # minhash_lsh_dedup_pairs (which stays at 2 MB): eager staging
+    # alone won every pass pairwise at a 594 KB corpus (4.04 vs 4.30 s
+    # min-of-4) while forcing the inner gate big there LOST (5.25 s).
+    # 256 KB keeps sf0.001/sf0.01 constructions action-free (the
+    # explain-audit and oracle scales) and flips everything from the
+    # bench scale up.
+    big = single_eval and dedup._plan_size_bytes(docs) >= (256 << 10)
 
     def _stage(df):
         if not single_eval:
