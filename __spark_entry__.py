@@ -11631,75 +11631,30 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the least-recently-driver-verified queries come FIRST
     # (the driver caps each round's oracle sweep at 50 entries, so dict
-    # order IS verification priority — r16 rotation, VERDICT r15 task
-    # #3, recomputed from the CORRECTNESS_r01..r15 files by script):
-    #   0.  the 18 r15 entries the driver never saw (judge-verified at
-    #       sf0.01 in VERDICT r15), in r15 declaration order.
-    #   1.  every previously-green entry ascending by its LAST
-    #       driver-green round (r11 -> r12 -> r13 -> r14 -> r15), each
-    #       cohort in its CORRECTNESS file order: the cap's remaining
-    #       32 slots cover the first 32 of the 44 r11-stale entries.
+    # order IS verification priority — r17 rotation, recomputed per
+    # VERDICT r16 task #1):
     return {
-        # 0. the 18 r15 entries the driver never value-checked
-        #    (judge-verified at sf0.01 in VERDICT r15) — they lead r16.
-        "lpa_communities": q_lpa_communities,
-        "span_corrupt": q_span_corrupt,
-        "psi_drift": q_psi_drift,
-        "ewma_anomalies": q_ewma_anomalies,
-        "aggs_dsl_filter": q_aggs_dsl_filter,
-        "kcore_graph": q_kcore_graph,
-        "readability": q_readability,
-        "aggs_multi_terms": q_aggs_multi_terms,
-        "stream_ewma_anomalies": q_stream_ewma_anomalies,
-        "ab_cuped": q_ab_cuped,
-        "srm_check": q_srm_check,
-        "aggs_missing": q_aggs_missing,
-        "ppr_seeds": q_ppr_seeds,
-        "aggs_pipeline": q_aggs_pipeline,
-        "aggs_geo_rings": q_aggs_geo_rings,
-        "doremi_weights": q_doremi_weights,
-        "aggs_percentiles": q_aggs_percentiles,
-        "aggs_top_hits": q_aggs_top_hits,
-        # 1. stale cohorts, least-recently-driver-green first
-        #    (r11 -> r12 -> r13 -> r14 -> r15), each in its
-        #    CORRECTNESS file order. The 50-cap covers section 0
-        #    (18) plus the first 32 of the 44 r11-stale entries
-        #    (cap boundary marked below).
-        # -- last driver-green in CORRECTNESS_r11 --
-        "corpus_profile": q_corpus_profile,
-        "quality_classifier": q_quality_classifier,
-        "url_dedup": q_url_dedup,
-        "paragraph_dedup": q_paragraph_dedup,
-        "c4_filter": q_c4_filter,
-        "bigram_logprob": q_bigram_logprob,
-        "stratified_interleave": q_stratified_interleave,
-        "semdedup_kmeans": q_semdedup_kmeans,
-        "avro_roundtrip": q_avro_roundtrip,
-        "budget_select": q_budget_select,
-        "exact_substring_dedup": q_exact_substring_dedup,
-        "stream_exact_substring_dedup": q_stream_exact_substring_dedup,
-        "weighted_sample": q_weighted_sample,
-        "line_dedup_by_source": q_line_dedup_by_source,
-        "perplexity_buckets": q_perplexity_buckets,
-        "dsir_select": q_dsir_select,
-        "gopher_quality": q_gopher_quality,
-        "window_topk_per_group": q_window_topk_per_group,
-        "heavy_hitters_sketch": q_heavy_hitters_sketch,
-        "sliding_counts": q_sliding_counts,
-        "semi_join": q_semi_join,
-        "set_except": q_set_except,
-        "tpch_q6ish": q_tpch_q6ish,
-        "multimodal_external_meta": q_multimodal_external_meta,
-        "stream_dedup_exact": q_stream_dedup_exact,
-        "stream_agg_materialize": q_stream_agg_materialize,
-        "stream_sessionize": q_stream_sessionize,
-        "cdc_last_wins": q_cdc_last_wins,
-        "flatten_rename_drop": q_flatten_rename_drop,
-        "shard_modulo": q_shard_modulo,
-        "agg_rollup": q_agg_rollup,
-        "anti_join": q_anti_join,
-        # ---- 50-entry sweep cap falls HERE (18 blind + 32
-        # r11-stale; entries below re-enter in later rotations) ----
+        #   0.  the SEVEN r16-touched queries the driver has not
+        #       value-checked since their code changed (gate recal,
+        #       checkpoint revert, job overlap + compaction
+        #       reordering) — VERDICT r16 task #1 orders them first.
+        #   1.  staleness continuation: every entry NOT in the r16
+        #       sweep, ascending by last driver-green round
+        #       (r11 -> r12 -> r13 -> r14 -> r15 cohorts, each in its
+        #       CORRECTNESS file order) — resumes exactly where the
+        #       r16 cap stopped.
+        #   2.  the 50 entries CORRECTNESS_r16 just verified (the
+        #       freshest) move to the END.
+        # 0. the seven r16-touched, driver-unverified queries
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "language_classifier": q_language_classifier,
+        "stream_line_dedup": q_stream_line_dedup,
+        "stream_image_neardup": q_stream_image_neardup,
+        "stream_neardup_dedup": q_stream_neardup_dedup,
+        "stream_profile": q_stream_profile,
+        # 1. staleness continuation (resumes at the r16 cap point:
+        #    the remaining r11-stale cohort, then r12 -> r15)
         "serving_compact": q_serving_compact,
         "decontam_flags": q_decontam_flags,
         "pii_scrub": q_pii_scrub,
@@ -11712,13 +11667,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_meta": q_multimodal_meta,
-        # -- last driver-green in CORRECTNESS_r12 --
         "image_neardup": q_image_neardup,
-        "language_classifier": q_language_classifier,
         "audio_stats": q_audio_stats,
         "video_neardup": q_video_neardup,
         "audio_neardup": q_audio_neardup,
-        "stream_image_neardup": q_stream_image_neardup,
         "bpe_token_count": q_bpe_token_count,
         "hybrid_search": q_hybrid_search,
         "chat_render": q_chat_render,
@@ -11746,6 +11698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term": q_term,
         "term_in_set": q_term_in_set,
         "fulltext_match": q_fulltext_match,
+        # ---- 50-entry sweep cap falls HERE (7 touched + 43
+        #      stale; entries below re-enter in later rotations) ----
         "fulltext_ranked": q_fulltext_ranked,
         "fulltext_tfidf": q_fulltext_tfidf,
         "fulltext_bm25": q_fulltext_bm25,
@@ -11753,17 +11707,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_prefix": q_term_prefix,
         "hit_count": q_hit_count,
         "multivalued_contains": q_multivalued_contains,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "line_dedup": q_line_dedup,
         "top_terms_per_group": q_top_terms_per_group,
         "hashed_bow_embedding": q_hashed_bow_embedding,
-        "stream_line_dedup": q_stream_line_dedup,
         "bow_knn": q_bow_knn,
         "quality_autocalibrated_filter": q_quality_autocalibrated_filter,
         "cdc_format_last_wins": q_cdc_format_last_wins,
         "embedding_decontam": q_embedding_decontam,
         "semdedup_keep": q_semdedup_keep,
-        # -- last driver-green in CORRECTNESS_r13 --
         "sft_spans": q_sft_spans,
         "mmr_rerank": q_mmr_rerank,
         "ann_recall": q_ann_recall,
@@ -11787,10 +11738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_append_compact": q_ivf_append_compact,
         "stream_cdc_materialize": q_stream_cdc_materialize,
         "band_index_compact": q_band_index_compact,
-        "stream_neardup_dedup": q_stream_neardup_dedup,
         "tar_roundtrip": q_tar_roundtrip,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "jaccard_join": q_jaccard_join,
         "dedup_groups": q_dedup_groups,
         "bloom_decontam": q_bloom_decontam,
@@ -11814,7 +11763,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "model_score": q_model_score,
         "quantile_sketch": q_quantile_sketch,
-        # -- last driver-green in CORRECTNESS_r14 --
         "range_bool_query": q_range_bool_query,
         "budget_select_bpe": q_budget_select_bpe,
         "indexed_term_search": q_indexed_term_search,
@@ -11865,7 +11813,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_gaps": q_event_gaps,
         "percentiles": q_percentiles,
         "mixture_plan": q_mixture_plan,
-        # -- last driver-green in CORRECTNESS_r15 --
         "attribution": q_attribution,
         "survival_km": q_survival_km,
         "rfm_segments": q_rfm_segments,
@@ -11912,10 +11859,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_query": q_simple_query,
         "triangle_count": q_triangle_count,
         "fim_split": q_fim_split,
-        "stream_profile": q_stream_profile,
         "pretraining_mix": q_pretraining_mix,
         "corpus_overlap": q_corpus_overlap,
         "tar_scrub": q_tar_scrub,
+        # 2. the 50 entries CORRECTNESS_r16 verified (freshest last)
+        "lpa_communities": q_lpa_communities,
+        "span_corrupt": q_span_corrupt,
+        "psi_drift": q_psi_drift,
+        "ewma_anomalies": q_ewma_anomalies,
+        "aggs_dsl_filter": q_aggs_dsl_filter,
+        "kcore_graph": q_kcore_graph,
+        "readability": q_readability,
+        "aggs_multi_terms": q_aggs_multi_terms,
+        "stream_ewma_anomalies": q_stream_ewma_anomalies,
+        "ab_cuped": q_ab_cuped,
+        "srm_check": q_srm_check,
+        "aggs_missing": q_aggs_missing,
+        "ppr_seeds": q_ppr_seeds,
+        "aggs_pipeline": q_aggs_pipeline,
+        "aggs_geo_rings": q_aggs_geo_rings,
+        "doremi_weights": q_doremi_weights,
+        "aggs_percentiles": q_aggs_percentiles,
+        "aggs_top_hits": q_aggs_top_hits,
+        "corpus_profile": q_corpus_profile,
+        "quality_classifier": q_quality_classifier,
+        "url_dedup": q_url_dedup,
+        "paragraph_dedup": q_paragraph_dedup,
+        "c4_filter": q_c4_filter,
+        "bigram_logprob": q_bigram_logprob,
+        "stratified_interleave": q_stratified_interleave,
+        "semdedup_kmeans": q_semdedup_kmeans,
+        "avro_roundtrip": q_avro_roundtrip,
+        "budget_select": q_budget_select,
+        "exact_substring_dedup": q_exact_substring_dedup,
+        "stream_exact_substring_dedup": q_stream_exact_substring_dedup,
+        "weighted_sample": q_weighted_sample,
+        "line_dedup_by_source": q_line_dedup_by_source,
+        "perplexity_buckets": q_perplexity_buckets,
+        "dsir_select": q_dsir_select,
+        "gopher_quality": q_gopher_quality,
+        "window_topk_per_group": q_window_topk_per_group,
+        "heavy_hitters_sketch": q_heavy_hitters_sketch,
+        "sliding_counts": q_sliding_counts,
+        "semi_join": q_semi_join,
+        "set_except": q_set_except,
+        "tpch_q6ish": q_tpch_q6ish,
+        "multimodal_external_meta": q_multimodal_external_meta,
+        "stream_dedup_exact": q_stream_dedup_exact,
+        "stream_agg_materialize": q_stream_agg_materialize,
+        "stream_sessionize": q_stream_sessionize,
+        "cdc_last_wins": q_cdc_last_wins,
+        "flatten_rename_drop": q_flatten_rename_drop,
+        "shard_modulo": q_shard_modulo,
+        "agg_rollup": q_agg_rollup,
+        "anti_join": q_anti_join,
     }
 
 

@@ -259,6 +259,34 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: stdout lines are still authoritative
     print(full_line, flush=True)
+    # Driver-parsable per-query data (VERDICT r16 task #2). The driver
+    # tail-captures the LAST 2000 bytes of stdout (BENCH_r16.json
+    # "tail" is exactly 2000 chars), so a names-keyed per-query dict
+    # (~5.8 KB at 262 queries) can NEVER survive the capture — that is
+    # the driver-side limitation that left PERF_r15/r16 per_query
+    # empty. What CAN survive: (a) named per-query chunk lines, each
+    # well under 2 KB, for harnesses that capture more than the tail;
+    # (b) one compact values-only line — centiseconds in CANONICAL
+    # (sorted-by-name) order, the same order the bench runs in — that
+    # fits INSIDE the 2000-byte window together with the final summary
+    # line (~1.25 KB combined at 262 queries), so the captured tail
+    # always carries complete, machine-recoverable per-query timings
+    # (names = sorted(queries); "names_sha" pins the name list so a
+    # mismatched reconstruction fails loudly instead of silently).
+    import hashlib
+
+    ordered = sorted(timings)
+    for i in range(0, len(ordered), 40):
+        chunk = {n: timings[n] for n in ordered[i:i + 40]}
+        print(json.dumps(
+            {"metric": "per_query_sec", "chunk": i // 40,
+             "n_chunks": (len(ordered) + 39) // 40, "queries": chunk},
+            separators=(",", ":")), flush=True)
+    names_sha = hashlib.sha256("\n".join(ordered).encode()).hexdigest()[:12]
+    compact = {"metric": "per_query_csec", "order": "sorted_names",
+               "n": len(ordered), "names_sha": names_sha,
+               "values": [int(round(timings[n] * 100)) for n in ordered]}
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
     short = {"metric": "sum_query_wall_sec", "value": total,
              "unit": "sec", "sf": sf, "contended": contended,
              "median_ratio_vs_tracked": median_ratio}

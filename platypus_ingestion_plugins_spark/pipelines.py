@@ -49,16 +49,22 @@ def clean_corpus(
     quality floor, and (when ``benchmark`` is given) decontamination.
 
     ``single_eval`` (default on) materializes the normalized and
-    exact-deduped frames with lazy localCheckpoints so the Arrow
+    exact-deduped frames with localCheckpoints so the Arrow
     unicodedata UDF — the chain's priciest map stage — runs once per
-    frame instead of once per downstream reference. The trade
-    (ADVICE r9): checkpointed blocks have no lineage, so an executor
-    lost mid-job fails the job instead of recomputing, and the
-    normalized corpus occupies (spillable) executor storage for the
-    call's duration. On a fault-prone or storage-tight cluster pass
-    ``single_eval=False`` to choose recomputation (the flag also
-    propagates to the LSH stage's shingle frame), or reliable-
-    checkpoint ``docs`` yourself before calling.
+    frame instead of once per downstream reference. Above the size
+    gate (Catalyst plan estimate >= 256 KB, i.e. essentially every
+    real corpus) the checkpoints are EAGER: constructing the returned
+    DataFrame itself executes the two staging jobs and pins the
+    normalized/deduped frames in (spillable) executor storage before
+    the caller triggers any action — the price of avoiding the
+    fused-first-action recompute race (ADVICE r16 / the r14 sf10
+    note). Below the gate the boundaries stay lazy and construction
+    is action-free. The other trade (ADVICE r9): checkpointed blocks
+    have no lineage, so an executor lost mid-job fails the job
+    instead of recomputing. On a fault-prone or storage-tight cluster
+    pass ``single_eval=False`` to restore a purely lazy, by-need
+    build (the flag also propagates to the LSH stage's shingle
+    frame), or reliable-checkpoint ``docs`` yourself before calling.
     """
     from platypus_ingestion_plugins_spark.functions.text import (
         normalize_unicode,

@@ -45,7 +45,7 @@ def main() -> None:
                 return BIG if first_big else real(df)
             return BIG if second_big else real(df)
 
-        return mock
+        return mock, calls
 
     ARMS = {
         "A_lazy_small": (False, False),
@@ -59,11 +59,21 @@ def main() -> None:
     try:
         for p in range(passes):
             for arm, (fb, sb) in ARMS.items():
-                dedup._plan_size_bytes = make_mock(fb, sb)
+                dedup._plan_size_bytes, calls = make_mock(fb, sb)
                 spark.sparkContext.setJobDescription(f"clean_corpus {arm} p{p}")
                 t0 = time.monotonic()
                 n = E.q_pipeline_clean_corpus(spark, sf).count()
                 dt = time.monotonic() - t0
+                # ADVICE r16: the positional mock assumes exactly two
+                # gate sites per construction (preset staging first,
+                # inner LSH gate second) — a third call site or a
+                # reorder would silently mislabel the arms, so fail
+                # loudly on any call-count drift
+                assert calls["n"] == 2, (
+                    f"expected 2 _plan_size_bytes gate calls per "
+                    f"construction, saw {calls['n']} — arm labels no "
+                    f"longer match the gate sites"
+                )
                 counts.add(n)
                 best[arm] = min(best.get(arm, dt), dt)
                 print(f"pass={p} {arm}: {dt:.2f}s rows={n}", flush=True)

@@ -33,7 +33,7 @@ from platypus_ingestion_plugins_spark.streaming.stateful import (
 )
 
 
-def run_funnel(spark, sf, parts: int) -> float:
+def run_funnel(spark, sf, parts: int) -> tuple[float, int]:
     ev = E._t(spark, sf, "events")
     sec = (
         F.expr("ts DIV 1000000000")
@@ -85,7 +85,7 @@ def run_funnel(spark, sf, parts: int) -> float:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def run_sessionize(spark, sf, parts: int) -> float:
+def run_sessionize(spark, sf, parts: int) -> tuple[float, int]:
     ev = E._t(spark, sf, "events")
     sec = (
         F.expr("ts DIV 1000000000")

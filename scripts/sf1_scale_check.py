@@ -391,6 +391,19 @@ def main():
         for k in ("tier100", "tier100_note"):
             if k in prior:
                 record[k] = prior[k]
+        if "tier100" in record:
+            # ADVICE r16: a carried tier100 keeps scaling_factor_100x
+            # values computed against the PRIOR run's sf0.1 baselines
+            # while record['results'] now holds fresh sf0.1 times —
+            # stamp the inconsistency instead of relying on a
+            # hand-inserted note
+            record["tier100_note"] = (
+                "carried forward from the prior record (this was a "
+                "10x-only run); its sf10 seconds and "
+                "scaling_factor_100x values were computed against "
+                "THAT run's sf0.1 baselines, not the fresh results "
+                "above"
+            )
         tier100 = record.get("tier100", {})
     else:
         record["tier100"] = tier100
