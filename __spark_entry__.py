@@ -8092,6 +8092,78 @@ def _stream_scratch(prefix: str) -> str:
     )
 
 
+def _run_two_drop_stream(spark, lo, hi, src, out, ckpt, xform):
+    """Write both drops, then run ONE availableNow query whose
+    ``maxFilesPerTrigger`` equals the first drop's file count, so the
+    drops become two micro-batches of a single run (state crosses the
+    batch boundary through the checkpointed store exactly as it
+    crossed the old two-run boundary, minus one query start + state
+    reload + no-data batch — scripts/ab_stream_drops.py). The file
+    source orders pending files oldest-first (modification time), and
+    the two write jobs are strictly sequential, so batch 0 is the lo
+    drop; the offsets-log check below turns any violation of that
+    precondition into a loud failure instead of a silently different
+    replay. If the hi drop ever fragments into MORE files than lo,
+    single-run batching could split it — fall back to the two-run
+    shape (same semantics, the pre-r17 path)."""
+    import json as _json
+
+    lo.coalesce(4).write.mode("append").parquet(src)
+    lo_files = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet"))
+    # hi goes to a sibling dir first so the one-run-vs-two-run choice
+    # is made BEFORE the second drop becomes visible to the source
+    side = src + ".drop2"
+    hi.coalesce(4).write.parquet(side)
+    hi_files = sorted(
+        f for f in os.listdir(side) if f.endswith(".parquet"))
+    schema = spark.read.parquet(src).schema
+
+    def run_available(mfpt):
+        q = (
+            xform(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", mfpt)
+                .parquet(src)
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def move_hi_in():
+        # rename preserves mtimes, which the two sequential write jobs
+        # already ordered lo-before-hi; part-file names carry per-job
+        # UUIDs so cross-job collisions cannot occur
+        for f in hi_files:
+            os.rename(os.path.join(side, f), os.path.join(src, f))
+
+    if len(hi_files) > len(lo_files):
+        # single-run batching would split the hi drop across batches
+        # (a drop is only time-ordered AS A WHOLE) — keep the two-run
+        # shape, identical to the pre-r17 path
+        run_available(len(lo_files) + len(hi_files))
+        move_hi_in()
+        run_available(len(lo_files) + len(hi_files))
+        return
+    move_hi_in()
+    run_available(len(lo_files))
+    # prove the micro-batch boundary followed the drop boundary
+    src_log = os.path.join(ckpt, "sources", "0", "0")
+    with open(src_log) as f:
+        batch0 = sorted(
+            os.path.basename(_json.loads(line)["path"])
+            for line in f if line.startswith("{"))
+    if batch0 != lo_files:
+        raise RuntimeError(
+            f"two-drop stream batching violated the drop boundary: "
+            f"batch 0 read {batch0}, expected the lo drop {lo_files}")
+
+
 def _keep_until_exit(work: str, keep: str):
     """Drop the stream's src/ckpt scratch now, keep the result parquet
     until interpreter exit — the returned DataFrame stays a lazy scan
@@ -8239,11 +8311,27 @@ FROM events GROUP BY user_id
 
 def q_stream_sessionize(spark, sf):
     """Stateful streaming sessionization (applyInPandasWithState): the
-    events table split into two event-time-ordered drops, streamed
-    through the checkpointed state store; emits CLOSED sessions
-    (30-min gap). Oracle: batch sessions minus each key's last
-    (still-open) session — cross-batch state must reconstruct exactly
-    the sessions a batch engine sees."""
+    events table split into two event-time-ordered drops, streamed as
+    two micro-batches through the checkpointed state store; emits
+    CLOSED sessions (30-min gap). Oracle: batch sessions minus each
+    key's last (still-open) session — cross-batch state must
+    reconstruct exactly the sessions a batch engine sees.
+
+    r17 drop shape (VERDICT r16 task #7, scripts/ab_stream_drops.py):
+    both drops are written BEFORE one availableNow query and
+    ``maxFilesPerTrigger = |lo files|`` makes them two micro-batches
+    of ONE run — the per-run fixed cost (query start, state-provider
+    reload, extra no-data batch) was half the wall clock at bench
+    scale. State still crosses a real micro-batch boundary through
+    the checkpointed store; the RESTART-recovery path the old
+    two-run shape also exercised stays covered by
+    test_streaming_stateful.py (every test there runs two
+    availableNow passes over a growing source). no-data micro-batches
+    are disabled for this finite replay: output is emitted inline by
+    the stateful function, never from an eviction timeout (late_s
+    outlives the span), so the watermark-advance batch does pure
+    state-commit work — A/B'd output-identical, min-of-3
+    5.15 -> 3.51 s."""
     import shutil
     import tempfile
 
@@ -8263,40 +8351,25 @@ def q_stream_sessionize(spark, sf):
     # (thousands of users), not the batch-analytics core count — every
     # state partition costs provider init/commit per micro-batch
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         src = os.path.join(work, "src")
         out = os.path.join(work, "out")
         ckpt = os.path.join(work, "ckpt")
-        e_lo.coalesce(4).write.mode("append").parquet(src)
-        schema = spark.read.parquet(src).schema
 
-        def run_available():
-            stream = (
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 100)
-                .parquet(src)
+        def xform(stream):
+            # late_s beyond the table's time span: eviction never fires
+            # on this finite replay, so closed-session output equals the
+            # batch engine's (the oracle); the eviction path itself is
+            # covered by test_streaming_stateful.py::test_sessionize_state_eviction
+            return sessionize_stream(
+                stream, key_col="k", ts_col="t", gap_s=1800, late_s=10**9
             )
-            q = (
-                # late_s beyond the table's time span: eviction never fires
-                # on this finite replay, so closed-session output equals the
-                # batch engine's (the oracle); the eviction path itself is
-                # covered by test_streaming_stateful.py::test_sessionize_state_eviction
-                sessionize_stream(
-                    stream, key_col="k", ts_col="t", gap_s=1800, late_s=10**9
-                )
-                .writeStream.format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
 
-        run_available()
-        e_hi.coalesce(4).write.mode("append").parquet(src)
-        run_available()
+        _run_two_drop_stream(spark, e_lo, e_hi, src, out, ckpt, xform)
         _keep_until_exit(work, keep=out)
         return spark.read.parquet(out)
     except BaseException:
@@ -8304,6 +8377,8 @@ def q_stream_sessionize(spark, sf):
         raise
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata)
 
 
 def q_stream_funnel(spark, sf):
@@ -8315,7 +8390,12 @@ def q_stream_funnel(spark, sf):
     arriving before their predecessor stay usable. On an ordered
     replay the output equals the batch staged-aggregation definition
     exactly — the oracle is a full value check of a custom stateful
-    streaming operator."""
+    streaming operator.
+
+    r17 drop shape (VERDICT r16 task #7): same single-run two-batch
+    replay + no-data-batch suppression as q_stream_sessionize (see its
+    docstring); A/B'd output-identical at sf0.1, min-of-3
+    5.83 -> 4.25 s (scripts/ab_stream_drops.py)."""
     import shutil
 
     from platypus_ingestion_plugins_spark.streaming.stateful import (
@@ -8336,41 +8416,26 @@ def q_stream_funnel(spark, sf):
 
     work = _stream_scratch("stream_funnel_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         src = os.path.join(work, "src")
         out = os.path.join(work, "out")
         ckpt = os.path.join(work, "ckpt")
-        e_lo.coalesce(4).write.mode("append").parquet(src)
-        schema = spark.read.parquet(src).schema
 
-        def run_available():
-            stream = (
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 100)
-                .parquet(src)
+        def xform(stream):
+            return funnel_stream(
+                stream,
+                "k",
+                "t",
+                "et",
+                ["view", "click", "purchase"],
+                late_s=10**9,
             )
-            q = (
-                funnel_stream(
-                    stream,
-                    "k",
-                    "t",
-                    "et",
-                    ["view", "click", "purchase"],
-                    late_s=10**9,
-                )
-                .writeStream.format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
 
-        run_available()
-        e_hi.coalesce(4).write.mode("append").parquet(src)
-        run_available()
+        _run_two_drop_stream(spark, e_lo, e_hi, src, out, ckpt, xform)
         _keep_until_exit(work, keep=out)
         return spark.read.parquet(out)
     except BaseException:
@@ -8378,6 +8443,8 @@ def q_stream_funnel(spark, sf):
         raise
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata)
 
 
 SQL_STREAM_FUNNEL = """

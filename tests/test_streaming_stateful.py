@@ -523,3 +523,101 @@ def test_funnel_stream_hot_user_state_bounded(spark, tmp_path):
             spark.readStream.schema(FUNNEL_EV_SCHEMA).parquet(src),
             "k", "ts", "et", ["view", "click"], max_pending=0,
         )
+
+
+def test_two_drop_single_run_equals_two_runs(spark, tmp_path):
+    """The r17 drop shape (one availableNow query, two micro-batches,
+    no-data batches off — __spark_entry__._run_two_drop_stream) must
+    reproduce the two-run replay byte for byte: the only thing that
+    changed is how many query starts the replay pays, not what crosses
+    the state store."""
+    import __spark_entry__ as E
+
+    rows_lo = [("a", 10), ("a", 100), ("b", 10)]
+    rows_hi = [("a", 5000), ("b", 20), ("b", 9000)]
+
+    def build(df_rows):
+        return spark.createDataFrame(
+            [Row(k=k, t=t) for k, t in df_rows], "k string, t long"
+        )
+
+    def xform(stream):
+        return sessionize_stream(
+            stream, key_col="k", ts_col="t", gap_s=30, late_s=10**9
+        )
+
+    # reference: the pre-r17 two-run shape
+    src, ckpt, out = (str(tmp_path / n) for n in ("s1", "c1", "o1"))
+    build(rows_lo).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k string, t long").parquet(src)
+    for drop in (None, rows_hi):
+        if drop is not None:
+            build(drop).coalesce(1).write.mode("append").parquet(src)
+        q = (
+            xform(spark.readStream.schema("k string, t long").parquet(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    expected = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    # the r17 helper, single-run branch (1 lo file, 1 hi file)
+    src2, ckpt2, out2 = (str(tmp_path / n) for n in ("s2", "c2", "o2"))
+    prev = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        E._run_two_drop_stream(
+            spark, build(rows_lo).coalesce(1), build(rows_hi).coalesce(1),
+            src2, out2, ckpt2, xform,
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev)
+    got = sorted(tuple(r) for r in spark.read.parquet(out2).collect())
+    assert got == expected and len(got) > 0, (got, expected)
+    # and the checkpoint proves TWO micro-batches (state crossed a
+    # real batch boundary inside the single run)
+    import os as _os
+    commits = [
+        n for n in _os.listdir(_os.path.join(ckpt2, "commits"))
+        if n.isdigit()
+    ]
+    assert len(commits) == 2, commits
+
+
+def test_two_drop_fallback_when_hi_fragments(spark, tmp_path):
+    """If the second drop has MORE files than the first, single-run
+    batching would split it mid-drop — the helper must fall back to
+    the two-run shape and still produce the identical result."""
+    import __spark_entry__ as E
+
+    rows_lo = [("a", 10), ("a", 100)]
+    rows_hi = [("a", 5000), ("a", 9000), ("a", 20000), ("a", 40000)]
+
+    def xform(stream):
+        return sessionize_stream(
+            stream, key_col="k", ts_col="t", gap_s=30, late_s=10**9
+        )
+
+    lo = spark.createDataFrame(
+        [Row(k=k, t=t) for k, t in rows_lo], "k string, t long"
+    ).coalesce(1)
+    hi = spark.createDataFrame(
+        [Row(k=k, t=t) for k, t in rows_hi], "k string, t long"
+    ).repartition(4)  # 4 files > lo's 1 -> fallback branch
+    src, ckpt, out = (str(tmp_path / n) for n in ("s", "c", "o"))
+    E._run_two_drop_stream(spark, lo, hi, src, out, ckpt, xform)
+    got = sorted(
+        (r["key"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # every session but the last (still open) is emitted closed:
+    # events 10,100 | 5000, 9000, 20000, 40000 with gap 30
+    assert got == [
+        ("a", 10, 10, 1), ("a", 100, 100, 1), ("a", 5000, 5000, 1),
+        ("a", 9000, 9000, 1), ("a", 20000, 20000, 1),
+    ], got
