@@ -8178,6 +8178,31 @@ def _keep_until_exit(work: str, keep: str):
     atexit.register(shutil.rmtree, work, ignore_errors=True)
 
 
+def _merge_band_index_files(side: str, idx: str) -> None:
+    """Move a staging band-key index's partition files into the main
+    index (local scratch only — both dirs live under _stream_scratch).
+    Same-directory appends cannot run concurrently (two Spark jobs
+    share the FileOutputCommitter _temporary dir under one output
+    path), so the second half is appended to ``side`` in parallel and
+    its band=*/vb=* parquet files renamed in here; part-file names
+    carry per-job UUIDs, so cross-job collisions cannot occur and the
+    merged directory state is byte-identical to two serial appends."""
+    for band_name in os.listdir(side):
+        if not band_name.startswith("band="):
+            continue
+        for vb_name in os.listdir(os.path.join(side, band_name)):
+            if not vb_name.startswith("vb="):
+                continue
+            src_dir = os.path.join(side, band_name, vb_name)
+            dst_dir = os.path.join(idx, band_name, vb_name)
+            os.makedirs(dst_dir, exist_ok=True)
+            for f in os.listdir(src_dir):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(src_dir, f), os.path.join(dst_dir, f)
+                    )
+
+
 def q_band_index_compact(spark, sf):
     """Band-key index maintenance under the oracle: two appends
     fragment every (band, vb) directory to two files, compaction
@@ -8185,7 +8210,16 @@ def q_band_index_compact(spark, sf):
     (dedup.compact_band_key_index), and the read-back must return the
     corpus's EXACT band-key set — a key lost or duplicated by the
     rewrite breaks the value hash. Crash-heal and threshold behavior
-    are unit-covered (test_band_key_index_compaction_and_crash_heal)."""
+    are unit-covered (test_band_key_index_compaction_and_crash_heal).
+
+    r17 (VERDICT r16 task #6): the two appends are independent halves
+    but CANNOT overlap on one output path (shared FileOutputCommitter
+    _temporary dir), so the second half appends to a distinct staging
+    index concurrently (guide §2.6) and its partition files rename in
+    (_merge_band_index_files) — directory state byte-identical to two
+    serial appends, compaction exercised identically. Interleaved A/B
+    (scripts/ab_band_stage.py, rows asserted identical): 2.26 ->
+    1.55 s min-of-4 at sf0.1."""
     import shutil
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
@@ -8206,8 +8240,12 @@ def q_band_index_compact(spark, sf):
         # val_buckets=4 (16 dirs): the certification targets the
         # rewrite+swap, not directory count — fewer dirs, fewer tiny
         # files and swap round-trips at sandbox scale
-        dedup.append_band_key_index(keys_lo, idx, val_buckets=4)
-        dedup.append_band_key_index(keys_hi, idx, val_buckets=4)
+        side = os.path.join(work, "index_staging")
+        concurrency.overlap_jobs(
+            lambda: dedup.append_band_key_index(keys_lo, idx, val_buckets=4),
+            lambda: dedup.append_band_key_index(keys_hi, side, val_buckets=4),
+        )
+        _merge_band_index_files(side, idx)
         if not dedup.compact_band_key_index(spark, idx, max_files_per_dir=1):
             # a no-op means the query stopped exercising compaction
             raise RuntimeError("band-key index compaction found nothing")
