@@ -1601,13 +1601,11 @@ def q_stream_rate_anomalies(spark, sf):
         src = os.path.join(work, "src")
         ckpt = os.path.join(work, "ckpt")
         state = os.path.join(work, "hourly")
-        lo.coalesce(4).write.mode("append").parquet(src)
-        schema = spark.read.parquet(src).schema
 
-        def run_available():
+        def run_available(mfpt, schema):
             q = (
                 spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 100)
+                .option("maxFilesPerTrigger", mfpt)
                 .parquet(src)
                 .writeStream.foreachBatch(
                     lambda b, bid: hourly_counts_merge_into(
@@ -1620,9 +1618,7 @@ def q_stream_rate_anomalies(spark, sf):
             )
             q.awaitTermination()
 
-        run_available()
-        hi.coalesce(4).write.mode("append").parquet(src)
-        run_available()
+        _replay_two_drops(spark, lo, hi, src, ckpt, run_available)
         out = rate_anomalies_read(
             spark, state, window_hours=24, z_threshold=1.8, min_history=6
         )
@@ -1783,13 +1779,11 @@ def q_stream_percolate(spark, sf):
         src = os.path.join(work, "src")
         ckpt = os.path.join(work, "ckpt")
         alerts = os.path.join(work, "alerts")
-        lo.coalesce(4).write.mode("append").parquet(src)
-        schema = spark.read.parquet(src).schema
 
-        def run_available():
+        def run_available(mfpt, schema):
             q = (
                 spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 100)
+                .option("maxFilesPerTrigger", mfpt)
                 .parquet(src)
                 .writeStream.foreachBatch(
                     lambda b, bid: percolate_stream_append(
@@ -1802,9 +1796,7 @@ def q_stream_percolate(spark, sf):
             )
             q.awaitTermination()
 
-        run_available()
-        hi.coalesce(4).write.mode("append").parquet(src)
-        run_available()
+        _replay_two_drops(spark, lo, hi, src, ckpt, run_available)
         out = read_alerts(spark, alerts)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
@@ -2298,18 +2290,16 @@ def q_stream_term_index(spark, sf):
         src = os.path.join(work, "src")
         idx = os.path.join(work, "idx")
         ckpt = os.path.join(work, "ckpt")
-        lo.coalesce(4).write.mode("append").parquet(src)
-        schema = spark.read.parquet(src).schema
 
         def handle(batch_df, _bid):
             TI.build_term_index(
                 batch_df, "text", "doc_id", idx, buckets=32, mode="append"
             )
 
-        def run_available():
+        def run_available(mfpt, schema):
             q = (
                 spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 100)
+                .option("maxFilesPerTrigger", mfpt)
                 .parquet(src)
                 .writeStream.foreachBatch(handle)
                 .option("checkpointLocation", ckpt)
@@ -2318,9 +2308,7 @@ def q_stream_term_index(spark, sf):
             )
             q.awaitTermination()
 
-        run_available()
-        hi.coalesce(4).write.mode("append").parquet(src)
-        run_available()
+        _replay_two_drops(spark, lo, hi, src, ckpt, run_available)
         out = TI.search_terms_indexed(
             spark, idx, ["join", "scan", "merge"], id_col="doc_id"
         )
@@ -2685,13 +2673,11 @@ def q_stream_constraints(spark, sf):
         src = os.path.join(work, "src")
         rep = os.path.join(work, "reports")
         ckpt = os.path.join(work, "ckpt")
-        lo.coalesce(4).write.mode("append").parquet(src)
-        schema = spark.read.parquet(src).schema
 
-        def run_available():
+        def run_available(mfpt, schema):
             q = (
                 spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 100)
+                .option("maxFilesPerTrigger", mfpt)
                 .parquet(src)
                 .writeStream.foreachBatch(V.constraint_monitor(checks, rep))
                 .option("checkpointLocation", ckpt)
@@ -2700,9 +2686,7 @@ def q_stream_constraints(spark, sf):
             )
             q.awaitTermination()
 
-        run_available()
-        hi.coalesce(4).write.mode("append").parquet(src)
-        run_available()
+        _replay_two_drops(spark, lo, hi, src, ckpt, run_available)
         out = (
             V.read_reports(spark, rep)
             .groupBy("check")
@@ -3731,14 +3715,11 @@ def q_stream_quantiles(spark, sf):
         src = os.path.join(work, "src")
         ckpt = os.path.join(work, "ckpt")
         state = os.path.join(work, "sample")
-        ev_lo.select("event_id", "value") \
-            .coalesce(4).write.mode("append").parquet(src)
-        schema = spark.read.parquet(src).schema
 
-        def run_available():
+        def run_available(mfpt, schema):
             q = (
                 spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 100)
+                .option("maxFilesPerTrigger", mfpt)
                 .parquet(src)
                 .writeStream.foreachBatch(
                     lambda b, bid: bottomk_merge_into(
@@ -3751,10 +3732,7 @@ def q_stream_quantiles(spark, sf):
             )
             q.awaitTermination()
 
-        run_available()
-        ev_hi.select("event_id", "value") \
-            .coalesce(4).write.mode("append").parquet(src)
-        run_available()
+        _replay_two_drops(spark, ev_lo.select("event_id", "value"), ev_hi.select("event_id", "value"), src, ckpt, run_available)
 
         sample = sketch_read(spark, state)
         out = sample.agg(
@@ -3836,14 +3814,11 @@ def q_stream_heavy_hitters(spark, sf):
         src = os.path.join(work, "src")
         ckpt = os.path.join(work, "ckpt")
         counters_path = os.path.join(work, "counters")
-        ev_lo.select("event_id", "event_type") \
-            .coalesce(4).write.mode("append").parquet(src)
-        schema = spark.read.parquet(src).schema
 
-        def run_available():
+        def run_available(mfpt, schema):
             stream = (
                 spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 100)
+                .option("maxFilesPerTrigger", mfpt)
                 .parquet(src)
             )
             q = (
@@ -3859,10 +3834,7 @@ def q_stream_heavy_hitters(spark, sf):
             )
             q.awaitTermination()
 
-        run_available()
-        ev_hi.select("event_id", "event_type") \
-            .coalesce(4).write.mode("append").parquet(src)
-        run_available()
+        _replay_two_drops(spark, ev_lo.select("event_id", "event_type"), ev_hi.select("event_id", "event_type"), src, ckpt, run_available)
 
         counters = countmin_read(spark, counters_path)
         keys = ev.select("event_type").distinct()
@@ -3935,12 +3907,18 @@ def q_ivf_append_compact(spark, sf):
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        similarity.append_ivf_partitioned(
-            emb_lo, cents, idx
+        # r17 (the band_index_compact pattern, guide §2.6): the two
+        # half appends are independent but share one output path's
+        # FileOutputCommitter _temporary dir — the second half appends
+        # to a staging layout concurrently and its cent_id= files
+        # rename in, leaving directory state byte-identical to two
+        # serial appends (scripts/ab_band_stage.py measured the twin)
+        side = os.path.join(work, "ivf_staging")
+        concurrency.overlap_jobs(
+            lambda: similarity.append_ivf_partitioned(emb_lo, cents, idx),
+            lambda: similarity.append_ivf_partitioned(emb_hi, cents, side),
         )
-        similarity.append_ivf_partitioned(
-            emb_hi, cents, idx
-        )
+        _merge_partitioned_files(side, idx)
         if not similarity.compact_ivf_partitioned(spark, idx, max_files_per_dir=1):
             raise RuntimeError("IVF compaction found nothing to rewrite")
         _keep_until_exit(work, keep=idx)
@@ -4209,8 +4187,6 @@ def q_stream_exact_substring_dedup(spark, sf):
         idx = os.path.join(work, "index")
         outp = os.path.join(work, "out")
         ckpt = os.path.join(work, "ckpt")
-        docs_lo.coalesce(4).write.mode("append").parquet(src)
-        schema = spark.read.parquet(src).schema
 
         def handle(batch_df, bid):
             starts = dedup.span_start_keys(batch_df, "text", "doc_id", k=8)
@@ -4259,10 +4235,10 @@ def q_stream_exact_substring_dedup(spark, sf):
             finally:
                 starts.unpersist()
 
-        def run_available():
+        def run_available(mfpt, schema):
             stream = (
                 spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 100)
+                .option("maxFilesPerTrigger", mfpt)
                 .parquet(src)
             )
             q = (
@@ -4273,9 +4249,7 @@ def q_stream_exact_substring_dedup(spark, sf):
             )
             q.awaitTermination()
 
-        run_available()
-        docs_hi.coalesce(4).write.mode("append").parquet(src)
-        run_available()
+        _replay_two_drops(spark, docs_lo, docs_hi, src, ckpt, run_available)
         _keep_until_exit(work, keep=outp)
         return (
             spark.read.parquet(outp)
@@ -6405,8 +6379,6 @@ def q_stream_line_dedup(spark, sf):
         idx = os.path.join(work, "index")
         outp = os.path.join(work, "out")
         ckpt = os.path.join(work, "ckpt")
-        docs_lo.coalesce(4).write.mode("append").parquet(src)
-        schema = spark.read.parquet(src).schema
 
         def handle(batch_df, bid):
             # ONE explode+distinct per batch: the persisted pair set
@@ -6467,10 +6439,10 @@ def q_stream_line_dedup(spark, sf):
             finally:
                 pairs.unpersist()
 
-        def run_available():
+        def run_available(mfpt, schema):
             stream = (
                 spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 100)
+                .option("maxFilesPerTrigger", mfpt)
                 .parquet(src)
             )
             q = (
@@ -6481,9 +6453,7 @@ def q_stream_line_dedup(spark, sf):
             )
             q.awaitTermination()
 
-        run_available()
-        docs_hi.coalesce(4).write.mode("append").parquet(src)
-        run_available()
+        _replay_two_drops(spark, docs_lo, docs_hi, src, ckpt, run_available)
         _keep_until_exit(work, keep=outp)
         # distinct: a replayed batch's re-appended output rows are
         # identical and collapse here (the neardup query's defense)
@@ -7291,8 +7261,6 @@ def q_stream_image_neardup(spark, sf):
         idx = os.path.join(work, "index")
         surv = os.path.join(work, "survivors")
         ckpt = os.path.join(work, "ckpt")
-        docs_lo.coalesce(4).write.mode("append").parquet(src)
-        schema = spark.read.parquet(src).schema
 
         ras = F.expr(
             "substring(repeat(text, cast(ceil(256.0/length(text)) as int)"
@@ -7344,10 +7312,10 @@ def q_stream_image_neardup(spark, sf):
             finally:
                 keys.unpersist()
 
-        def run_available():
+        def run_available(mfpt, schema):
             stream = (
                 spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 100)
+                .option("maxFilesPerTrigger", mfpt)
                 .parquet(src)
             )
             q = (
@@ -7358,9 +7326,7 @@ def q_stream_image_neardup(spark, sf):
             )
             q.awaitTermination()
 
-        run_available()
-        docs_hi.coalesce(4).write.mode("append").parquet(src)
-        run_available()
+        _replay_two_drops(spark, docs_lo, docs_hi, src, ckpt, run_available)
         _keep_until_exit(work, keep=surv)
         return spark.read.parquet(surv).distinct()
     except BaseException:
@@ -7720,21 +7686,23 @@ def q_stream_cdc_materialize(spark, sf):
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         src = os.path.join(work, "src")
-        # two ordered drops: all seqs <= mid, then the rest
-        ch_lo.coalesce(4).write.mode("append").parquet(src)
+        ckpt = os.path.join(work, "ckpt")
         # bucketed layout: each micro-batch rewrites only the hash-bucket
         # partitions holding changed keys (the 100 TB merge path)
         serving = ServingTable(
             spark, os.path.join(work, "serving"), key="user_id", num_buckets=8
         )
-        schema = spark.read.parquet(src).schema
-        pipe = CdcStreamingPipeline(
-            spark, src, schema, serving, os.path.join(work, "ckpt"),
-            max_files_per_trigger=100,
-        )
-        pipe.run_available()
-        ch_hi.coalesce(4).write.mode("append").parquet(src)
-        pipe.run_available()
+
+        # two ordered drops (all seqs <= mid, then the rest) as two
+        # micro-batches of one drain — r17 single-run replay, same as
+        # the rest of the stream family (_replay_two_drops)
+        def run_available(mfpt, schema):
+            CdcStreamingPipeline(
+                spark, src, schema, serving, ckpt,
+                max_files_per_trigger=mfpt,
+            ).run_available()
+
+        _replay_two_drops(spark, ch_lo, ch_hi, src, ckpt, run_available)
         _keep_until_exit(work, keep=os.path.join(work, "serving"))
         return serving.query().select("user_id", "event_type", "value")
     except BaseException:
@@ -7837,13 +7805,11 @@ def q_stream_dedup_exact(spark, sf):
         src = os.path.join(work, "src")
         out = os.path.join(work, "out")
         ckpt = os.path.join(work, "ckpt")
-        docs_lo.coalesce(4).write.mode("append").parquet(src)
-        schema = spark.read.parquet(src).schema
 
-        def run_available():
+        def run_available(mfpt, schema):
             stream = (
                 spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 100)
+                .option("maxFilesPerTrigger", mfpt)
                 .parquet(src)
             )
             q = (
@@ -7858,9 +7824,7 @@ def q_stream_dedup_exact(spark, sf):
             )
             q.awaitTermination()
 
-        run_available()
-        docs_hi.coalesce(4).write.mode("append").parquet(src)
-        run_available()
+        _replay_two_drops(spark, docs_lo, docs_hi, src, ckpt, run_available)
         _keep_until_exit(work, keep=out)
         return spark.read.parquet(out)
     except BaseException:
@@ -7911,13 +7875,11 @@ def q_stream_chat_dedup(spark, sf):
         src = os.path.join(work, "src")
         out = os.path.join(work, "out")
         ckpt = os.path.join(work, "ckpt")
-        lo.coalesce(4).write.mode("append").parquet(src)
-        schema = spark.read.parquet(src).schema
 
-        def run_available():
+        def run_available(mfpt, schema):
             stream = (
                 spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 100)
+                .option("maxFilesPerTrigger", mfpt)
                 .parquet(src)
             )
             q = (
@@ -7939,9 +7901,7 @@ def q_stream_chat_dedup(spark, sf):
             )
             q.awaitTermination()
 
-        run_available()
-        hi.coalesce(4).write.mode("append").parquet(src)
-        run_available()
+        _replay_two_drops(spark, lo, hi, src, ckpt, run_available)
         _keep_until_exit(work, keep=out)
         return spark.read.parquet(out)
     except BaseException:
@@ -7994,8 +7954,6 @@ def q_stream_neardup_dedup(spark, sf):
         idx = os.path.join(work, "index")
         surv = os.path.join(work, "survivors")
         ckpt = os.path.join(work, "ckpt")
-        docs_lo.coalesce(4).write.mode("append").parquet(src)
-        schema = spark.read.parquet(src).schema
 
         def handle(batch_df, _bid):
             keys = dedup.simhash_band_keys(batch_df, "text", "doc_id", bits=32, bands=4)
@@ -8037,10 +7995,10 @@ def q_stream_neardup_dedup(spark, sf):
             finally:
                 keys.unpersist()
 
-        def run_available():
+        def run_available(mfpt, schema):
             stream = (
                 spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 100)
+                .option("maxFilesPerTrigger", mfpt)
                 .parquet(src)
             )
             q = (
@@ -8051,13 +8009,11 @@ def q_stream_neardup_dedup(spark, sf):
             )
             q.awaitTermination()
 
-        run_available()
         # index compaction is oracle-certified by its own query
         # (band_index_compact) — wiring it here would add a third of
         # the cost to the suite's most expensive entry for coverage a
         # cheap batch query provides identically
-        docs_hi.coalesce(4).write.mode("append").parquet(src)
-        run_available()
+        _replay_two_drops(spark, docs_lo, docs_hi, src, ckpt, run_available)
         _keep_until_exit(work, keep=surv)
         return spark.read.parquet(surv).distinct()
     except BaseException:
@@ -8092,20 +8048,34 @@ def _stream_scratch(prefix: str) -> str:
     )
 
 
-def _run_two_drop_stream(spark, lo, hi, src, out, ckpt, xform):
-    """Write both drops, then run ONE availableNow query whose
-    ``maxFilesPerTrigger`` equals the first drop's file count, so the
-    drops become two micro-batches of a single run (state crosses the
-    batch boundary through the checkpointed store exactly as it
-    crossed the old two-run boundary, minus one query start + state
-    reload + no-data batch — scripts/ab_stream_drops.py). The file
-    source orders pending files oldest-first (modification time), and
-    the two write jobs are strictly sequential, so batch 0 is the lo
-    drop; the offsets-log check below turns any violation of that
-    precondition into a loud failure instead of a silently different
-    replay. If the hi drop ever fragments into MORE files than lo,
-    single-run batching could split it — fall back to the two-run
-    shape (same semantics, the pre-r17 path)."""
+# Flip for A/B only (scripts/ab_two_drop_replay.py): False forces the
+# pre-r17 two-run shape through the same code path.
+_SINGLE_RUN_DROPS = True
+
+
+def _replay_two_drops(spark, lo, hi, src, ckpt, run_available):
+    """Write both drops, then replay them as two micro-batches of ONE
+    availableNow query: ``maxFilesPerTrigger`` = the first drop's file
+    count, so the drops stay separate batches while the replay pays
+    one query start (planning, source init, state/provider load,
+    trailing no-data batch where applicable) instead of two — the
+    fixed cost that dominated every stream_* entry at bench scale
+    (VERDICT r16 task #7; scripts/ab_stream_drops.py measured the
+    stateful pair, scripts/ab_two_drop_replay.py the foreachBatch
+    family). ``run_available(mfpt, schema)`` must start one
+    availableNow pass over ``src`` and block until it terminates;
+    batch ids are unchanged vs the two-run shape (0 then 1 — ids are
+    checkpoint-global), so per-epoch foreachBatch logic keyed on the
+    batch id behaves identically.
+
+    The file source orders pending files oldest-first (modification
+    time), and the two write jobs are strictly sequential, so batch 0
+    is the lo drop; the offsets-log check below turns any violation
+    of that precondition into a loud failure instead of a silently
+    different replay. If the hi drop ever fragments into MORE files
+    than lo, single-run batching could split it mid-drop (a drop is
+    only time-ordered as a whole) — fall back to the two-run shape,
+    which is byte-identical to the pre-r17 path."""
     import json as _json
 
     lo.coalesce(4).write.mode("append").parquet(src)
@@ -8119,7 +8089,38 @@ def _run_two_drop_stream(spark, lo, hi, src, out, ckpt, xform):
         f for f in os.listdir(side) if f.endswith(".parquet"))
     schema = spark.read.parquet(src).schema
 
-    def run_available(mfpt):
+    def move_hi_in():
+        # rename preserves mtimes, which the two sequential write jobs
+        # already ordered lo-before-hi; part-file names carry per-job
+        # UUIDs so cross-job collisions cannot occur
+        for f in hi_files:
+            os.rename(os.path.join(side, f), os.path.join(src, f))
+
+    if len(hi_files) > len(lo_files) or not _SINGLE_RUN_DROPS:
+        run_available(len(lo_files) + len(hi_files), schema)
+        move_hi_in()
+        run_available(len(lo_files) + len(hi_files), schema)
+        return
+    move_hi_in()
+    run_available(len(lo_files), schema)
+    # prove the micro-batch boundary followed the drop boundary
+    src_log = os.path.join(ckpt, "sources", "0", "0")
+    with open(src_log) as f:
+        batch0 = sorted(
+            os.path.basename(_json.loads(line)["path"])
+            for line in f if line.startswith("{"))
+    if batch0 != lo_files:
+        raise RuntimeError(
+            f"two-drop stream batching violated the drop boundary: "
+            f"batch 0 read {batch0}, expected the lo drop {lo_files}")
+
+
+def _run_two_drop_stream(spark, lo, hi, src, out, ckpt, xform):
+    """_replay_two_drops for the parquet-sink stateful queries
+    (stream_funnel / stream_sessionize): the transform's stream writes
+    append-mode parquet to ``out``."""
+
+    def run_available(mfpt, schema):
         q = (
             xform(
                 spark.readStream.schema(schema)
@@ -8135,33 +8136,7 @@ def _run_two_drop_stream(spark, lo, hi, src, out, ckpt, xform):
         )
         q.awaitTermination()
 
-    def move_hi_in():
-        # rename preserves mtimes, which the two sequential write jobs
-        # already ordered lo-before-hi; part-file names carry per-job
-        # UUIDs so cross-job collisions cannot occur
-        for f in hi_files:
-            os.rename(os.path.join(side, f), os.path.join(src, f))
-
-    if len(hi_files) > len(lo_files):
-        # single-run batching would split the hi drop across batches
-        # (a drop is only time-ordered AS A WHOLE) — keep the two-run
-        # shape, identical to the pre-r17 path
-        run_available(len(lo_files) + len(hi_files))
-        move_hi_in()
-        run_available(len(lo_files) + len(hi_files))
-        return
-    move_hi_in()
-    run_available(len(lo_files))
-    # prove the micro-batch boundary followed the drop boundary
-    src_log = os.path.join(ckpt, "sources", "0", "0")
-    with open(src_log) as f:
-        batch0 = sorted(
-            os.path.basename(_json.loads(line)["path"])
-            for line in f if line.startswith("{"))
-    if batch0 != lo_files:
-        raise RuntimeError(
-            f"two-drop stream batching violated the drop boundary: "
-            f"batch 0 read {batch0}, expected the lo drop {lo_files}")
+    _replay_two_drops(spark, lo, hi, src, ckpt, run_available)
 
 
 def _keep_until_exit(work: str, keep: str):
@@ -8178,29 +8153,28 @@ def _keep_until_exit(work: str, keep: str):
     atexit.register(shutil.rmtree, work, ignore_errors=True)
 
 
-def _merge_band_index_files(side: str, idx: str) -> None:
-    """Move a staging band-key index's partition files into the main
-    index (local scratch only — both dirs live under _stream_scratch).
+def _merge_partitioned_files(side: str, idx: str) -> None:
+    """Move a staging index's partition files into the main index
+    (local scratch only — both dirs live under _stream_scratch).
     Same-directory appends cannot run concurrently (two Spark jobs
     share the FileOutputCommitter _temporary dir under one output
     path), so the second half is appended to ``side`` in parallel and
-    its band=*/vb=* parquet files renamed in here; part-file names
-    carry per-job UUIDs, so cross-job collisions cannot occur and the
-    merged directory state is byte-identical to two serial appends."""
-    for band_name in os.listdir(side):
-        if not band_name.startswith("band="):
-            continue
-        for vb_name in os.listdir(os.path.join(side, band_name)):
-            if not vb_name.startswith("vb="):
-                continue
-            src_dir = os.path.join(side, band_name, vb_name)
-            dst_dir = os.path.join(idx, band_name, vb_name)
-            os.makedirs(dst_dir, exist_ok=True)
-            for f in os.listdir(src_dir):
-                if f.endswith(".parquet"):
-                    os.rename(
-                        os.path.join(src_dir, f), os.path.join(dst_dir, f)
-                    )
+    its ``key=``-partition parquet files renamed in here; part-file
+    names carry per-job UUIDs, so cross-job collisions cannot occur
+    and the merged directory state is byte-identical to two serial
+    appends. Works for any partition depth (band=/vb=, cent_id=)."""
+    for dirpath, _dirnames, filenames in os.walk(side):
+        rel = os.path.relpath(dirpath, side)
+        parts = [] if rel == "." else rel.split(os.sep)
+        if not all("=" in p for p in parts):
+            continue  # only partition dirs carry data files
+        for f in filenames:
+            if f.endswith(".parquet"):
+                dst_dir = os.path.join(idx, *parts)
+                os.makedirs(dst_dir, exist_ok=True)
+                os.rename(
+                    os.path.join(dirpath, f), os.path.join(dst_dir, f)
+                )
 
 
 def q_band_index_compact(spark, sf):
@@ -8216,7 +8190,7 @@ def q_band_index_compact(spark, sf):
     but CANNOT overlap on one output path (shared FileOutputCommitter
     _temporary dir), so the second half appends to a distinct staging
     index concurrently (guide §2.6) and its partition files rename in
-    (_merge_band_index_files) — directory state byte-identical to two
+    (_merge_partitioned_files) — directory state byte-identical to two
     serial appends, compaction exercised identically. Interleaved A/B
     (scripts/ab_band_stage.py, rows asserted identical): 2.26 ->
     1.55 s min-of-4 at sf0.1."""
@@ -8245,7 +8219,7 @@ def q_band_index_compact(spark, sf):
             lambda: dedup.append_band_key_index(keys_lo, idx, val_buckets=4),
             lambda: dedup.append_band_key_index(keys_hi, side, val_buckets=4),
         )
-        _merge_band_index_files(side, idx)
+        _merge_partitioned_files(side, idx)
         if not dedup.compact_band_key_index(spark, idx, max_files_per_dir=1):
             # a no-op means the query stopped exercising compaction
             raise RuntimeError("band-key index compaction found nothing")
@@ -8290,8 +8264,6 @@ def q_stream_agg_materialize(spark, sf):
     try:
         src = os.path.join(work, "src")
         ckpt = os.path.join(work, "ckpt")
-        ch_lo.coalesce(4).write.mode("append").parquet(src)
-        schema = spark.read.parquet(src).schema
         serving = ServingTable(
             spark, os.path.join(work, "serving"), key="user_id", num_buckets=8
         )
@@ -8303,10 +8275,10 @@ def q_stream_agg_materialize(spark, sf):
                 )
             )
 
-        def run_available():
+        def run_available(mfpt, schema):
             agg = (
                 spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 100)
+                .option("maxFilesPerTrigger", mfpt)
                 .parquet(src)
                 .groupBy("user_id")
                 .agg(
@@ -8328,9 +8300,7 @@ def q_stream_agg_materialize(spark, sf):
             )
             q.awaitTermination()
 
-        run_available()
-        ch_hi.coalesce(4).write.mode("append").parquet(src)
-        run_available()
+        _replay_two_drops(spark, ch_lo, ch_hi, src, ckpt, run_available)
         _keep_until_exit(work, keep=os.path.join(work, "serving"))
         return serving.query().select("user_id", "n_events", "sum_value")
     except BaseException:
@@ -9657,13 +9627,11 @@ def q_stream_profile(spark, sf):
         src = os.path.join(work, "src")
         ckpt = os.path.join(work, "ckpt")
         state = os.path.join(work, "profile")
-        lo.coalesce(4).write.mode("append").parquet(src)
-        schema = spark.read.parquet(src).schema
 
-        def run_available():
+        def run_available(mfpt, schema):
             q = (
                 spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 100)
+                .option("maxFilesPerTrigger", mfpt)
                 .parquet(src)
                 .writeStream.foreachBatch(
                     lambda b, bid: profile_merge_into(
@@ -9677,9 +9645,7 @@ def q_stream_profile(spark, sf):
             )
             q.awaitTermination()
 
-        run_available()
-        hi.coalesce(4).write.mode("append").parquet(src)
-        run_available()
+        _replay_two_drops(spark, lo, hi, src, ckpt, run_available)
         out = profile_read(spark, state, "source").select(
             "source", "n_docs", "n_tokens", "n_chars",
             "chars_p50", "chars_p90", "chars_p99",
@@ -11247,13 +11213,11 @@ def q_stream_ewma_anomalies(spark, sf):
         src = os.path.join(work, "src")
         ckpt = os.path.join(work, "ckpt")
         state = os.path.join(work, "hourly")
-        lo.coalesce(4).write.mode("append").parquet(src)
-        schema = spark.read.parquet(src).schema
 
-        def run_available():
+        def run_available(mfpt, schema):
             q = (
                 spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 100)
+                .option("maxFilesPerTrigger", mfpt)
                 .parquet(src)
                 .writeStream.foreachBatch(
                     lambda b, bid: hourly_counts_merge_into(
@@ -11266,9 +11230,7 @@ def q_stream_ewma_anomalies(spark, sf):
             )
             q.awaitTermination()
 
-        run_available()
-        hi.coalesce(4).write.mode("append").parquet(src)
-        run_available()
+        _replay_two_drops(spark, lo, hi, src, ckpt, run_available)
         out = ewma_anomalies_read(spark, state)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)

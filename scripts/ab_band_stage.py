@@ -46,7 +46,7 @@ def run_arm(spark, sf, overlapped: bool):
                 lambda: dedup.append_band_key_index(keys_lo, idx, val_buckets=4),
                 lambda: dedup.append_band_key_index(keys_hi, side, val_buckets=4),
             )
-            E._merge_band_index_files(side, idx)
+            E._merge_partitioned_files(side, idx)
         else:
             dedup.append_band_key_index(keys_lo, idx, val_buckets=4)
             dedup.append_band_key_index(keys_hi, idx, val_buckets=4)
